@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Data-quality gates (SURVEY.md §2.7 Q1-Q5).
+  *
+  * Reference: `pipeline/data_preprocessing/data_quality_checks.py:7-133` —
+  * five hard-fail assertions wired as an Airflow stage
+  * (`dags/prod2vec_train_dag.py:207-212`). We keep the same semantics as
+  * cheap DataFrame checks; thresholds are parameters, not constants
+  * (`check_product_counts` hard-codes fixture-specific ranges at
+  * `data_quality_checks.py:49-57`).
+  *
+  * Scale posture: Q3/Q4 are metadata-only (no job). Q1/Q2/Q5 are single
+  * aggregations; [[report]] fuses all column null-counts into ONE pass over
+  * the data instead of a count() per column.
+  */
+object Quality {
+
+  final case class QualityError(msg: String) extends RuntimeException(msg)
+
+  /** Q1: `check_miss` — fail if any nulls in column
+    * (`data_quality_checks.py:7-26`). */
+  def checkNoNulls(df: DataFrame, column: String): Unit = {
+    val n = df.filter(col(column).isNull).count()
+    if (n != 0) throw QualityError(s"column $column has $n null values")
+  }
+
+  /** Q2: `check_product_counts` — distinct count within an exclusive range
+    * (`data_quality_checks.py:29-57`). */
+  def checkDistinctInRange(df: DataFrame, column: String,
+                           lo: Long, hi: Long): Unit = {
+    val n = df.select(countDistinct(col(column))).head.getLong(0)
+    if (n <= lo || n >= hi)
+      throw QualityError(
+        s"distinct($column) = $n outside exclusive range ($lo, $hi)")
+  }
+
+  /** Q3: `check_column_counts` — column arity (metadata only, no job;
+    * `data_quality_checks.py:60-83`). */
+  def checkColumnCount(df: DataFrame, expected: Int): Unit =
+    if (df.columns.length != expected)
+      throw QualityError(
+        s"expected $expected columns, found ${df.columns.length}: " +
+          df.columns.mkString(","))
+
+  /** Q4: `check_dtypes` — schema equality by (name → type), nullability
+    * ignored like the pandas dtype map (`data_quality_checks.py:86-109`). */
+  def checkSchema(df: DataFrame, expected: StructType): Unit = {
+    val got = df.schema.map(f => f.name -> f.dataType).toMap
+    val want = expected.map(f => f.name -> f.dataType).toMap
+    if (got != want)
+      throw QualityError(s"schema mismatch: got $got, want $want")
+  }
+
+  /** Q5: `check_records_in_products_dict` — primary-key uniqueness; pandas
+    * `to_dict` silently collapses duplicate keys, the check catches that
+    * (`data_quality_checks.py:112-133`). */
+  def checkPrimaryKey(df: DataFrame, column: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"),
+      countDistinct(col(column)).as("nd")).head
+    if (r.getLong(0) != r.getLong(1))
+      throw QualityError(
+        s"$column not unique: ${r.getLong(0)} rows, ${r.getLong(1)} distinct")
+  }
+
+  /** One-pass quality profile of a table: per-column null counts + total
+    * rows, as a single aggregation (every column's null predicate fused
+    * into one scan — the per-column `count()` loop the reference runs
+    * would be |cols| scans at 100 TB). */
+  def report(df: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      df.columns.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")).toSeq
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema-pinned sources & sinks (SURVEY.md §2.1).
+  *
+  * The reference ingests CSV from S3 with pandas dtype *inference* then
+  * asserts dtypes post-hoc (`utils/util_functions.py:5-27`,
+  * `pipeline/data_preprocessing/data_quality_checks.py:86-109`). We invert
+  * that: every production read carries an explicit [[StructType]]; inference
+  * never runs. Inter-stage exchange is Parquet (schema-carrying, splittable)
+  * instead of pickled Python lists (`data_prep.py:204-234`).
+  *
+  * Scale posture: paths are glob-able directories, so a 100 TB table is just
+  * more files behind the same call; Catalyst pushes filters/column pruning
+  * into the Parquet scan (verify via `.explain` → `PushedFilters`,
+  * `ReadSchema`).
+  */
+object Sources {
+
+  /** Basket fact table schema — mirror of `order_products__train.csv`
+    * asserted at `data_quality_checks.py:163-183`. */
+  val orderProductsSchema: StructType = StructType(Seq(
+    StructField("order_id", LongType, nullable = false),
+    StructField("product_id", LongType, nullable = false),
+    StructField("add_to_cart_order", LongType, nullable = true),
+    StructField("reordered", LongType, nullable = true)))
+
+  /** Catalog dim schema — `products.csv` (`data_quality_checks.py:175-183`). */
+  val productsSchema: StructType = StructType(Seq(
+    StructField("product_id", LongType, nullable = false),
+    StructField("product_name", StringType, nullable = true),
+    StructField("aisle_id", LongType, nullable = true),
+    StructField("department_id", LongType, nullable = true)))
+
+  /** S1: header CSV scan with a pinned schema (no inference). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Fixture-table reader: `<dir>/<name>.parquet` (TESTDATA.md layout). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S2/S3/S6/S7: Parquet sink (replaces pickle/CSV uploads). Partition
+    * count is left to the caller — at 100 TB you want the writer
+    * parallelism of the final stage, never a blanket coalesce(1). */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Human-readable CSV export (S6's `to_csv` analog) — only for small
+    * result tables (embeddings report, tuning table). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
