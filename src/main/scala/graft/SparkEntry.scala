@@ -24,11 +24,22 @@ object SparkEntry {
     * part count of every fixture SF so the OOV path is exercised. */
   val VocabK = 100
 
+  /** Skip-gram window (reference `config/prod2vec_config.yaml:26`; N1). */
+  val WindowW = 4
+  /** Basket cap (reference `config/prod2vec_config.yaml:28`). */
+  val MaxBasketLen = 50
+  /** Negatives per positive pair (`config/prod2vec_config.yaml:27`). */
+  val NumNs = 4
+  /** Subsampling factor (Keras default 1e-5 is tuned for 35k-word corpora;
+    * 1e-3 keeps fixture-scale pair counts meaningful). */
+  val SamplingFactor = 1e-3
+  /** Neighbors per target in the similarity reports. */
+  val TopK = 10
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Top co-purchase neighbors per part (SURVEY.md §7.2) — placeholder
-    * points at the pricing summary until Similarity lands. */
+    * Top co-purchase neighbors per part (SURVEY.md §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q14_copurchase_topk")(spark, "/root/testdata/sf0.001")
 
   // ---- shared building blocks ------------------------------------------
 
@@ -45,6 +56,47 @@ object SparkEntry {
        |    FROM lineitem GROUP BY l_partkey
        |  ) v WHERE idx <= ${VocabK - 1}
        |)""".stripMargin
+
+  /** Skip-gram positive pairs (A6'+P7+A9): encode lineitem through the
+    * vocab, shuffled-deterministic positions per order (seeded hash order,
+    * l_partkey tiebreak — hash ties can only occur between rows of the
+    * same item, so the pair multiset is well-defined), cap at
+    * [[MaxBasketLen]], banded self-join window [[WindowW]]. */
+  private def pairs(s: SparkSession, dir: String): DataFrame = {
+    val enc = Vocab.encode(t(s, dir, "lineitem"), "l_partkey", vocab(s, dir))
+    val seq = Pairs.positions(enc, "l_orderkey", "idx",
+      Seq(Portable.seededHash(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey")), col("l_partkey")),
+      MaxBasketLen)
+    Pairs.skipGramPairs(seq, WindowW)
+  }
+
+  /** DuckDB CTEs mirroring [[pairs]] bit-for-bit (extends [[vocabSqlCte]]
+    * with enc → seq → pairs). */
+  private val pairsSqlCte: String = {
+    val h = Portable.sqlHash("order_id", "ln", "pid")
+    s"""$vocabSqlCte,
+       |enc AS (
+       |  SELECT l.l_orderkey AS order_id, l.l_linenumber AS ln,
+       |         l.l_partkey AS pid, coalesce(v.idx, 0) AS item
+       |  FROM lineitem l LEFT JOIN vocab v ON l.l_partkey = v.pid
+       |),
+       |seq AS (
+       |  SELECT order_id, item, pos FROM (
+       |    SELECT order_id, item,
+       |           row_number() OVER (PARTITION BY order_id
+       |             ORDER BY $h, pid) - 1 AS pos
+       |    FROM enc
+       |  ) WHERE pos < $MaxBasketLen
+       |),
+       |pairs AS (
+       |  SELECT t.order_id, t.pos AS pos_t, c.pos AS pos_c,
+       |         t.item AS target, c.item AS context
+       |  FROM seq t JOIN seq c ON t.order_id = c.order_id
+       |  WHERE t.pos <> c.pos AND abs(t.pos - c.pos) <= $WindowW
+       |    AND t.item <> 0 AND c.item <> 0
+       |)""".stripMargin
+  }
 
   // ---- queries ----------------------------------------------------------
 
@@ -122,6 +174,84 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .agg(countDistinct(col("l_partkey")).as("n_products"),
           countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    // A6'+P7+A9: skip-gram pair co-occurrence counts (deterministic
+    // shuffled positions, window W, UNK excluded).
+    "q10_skipgram_cooc" -> ((s, dir) => {
+      pairs(s, dir)
+        .groupBy(col("target"), col("context"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("target", col("target").cast("long"))
+        .withColumn("context", col("context").cast("long"))
+        .orderBy("target", "context")
+    }),
+
+    // A8: Zipf-rank subsampling table (Keras make_sampling_table formula).
+    "q11_sampling_table" -> ((s, dir) => {
+      Pairs.samplingTable(s, VocabK, SamplingFactor)
+        .withColumn("keep_prob", round(col("keep_prob"), 9))
+        .orderBy("idx")
+    }),
+
+    // A8 applied: pairs surviving the frequent-target subsampling draw.
+    "q12_subsampled_pairs" -> ((s, dir) => {
+      Pairs.subsample(pairs(s, dir), Pairs.samplingTable(s, VocabK, SamplingFactor))
+        .groupBy(col("target").cast("long").as("target"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("target")
+    }),
+
+    // A10+A11: log-uniform negatives per positive pair, exploded.
+    "q13_negatives" -> ((s, dir) => {
+      Pairs.negatives(pairs(s, dir), NumNs, VocabK)
+        .select(col("order_id"), col("pos_t").cast("long").as("pos_t"),
+          col("pos_c").cast("long").as("pos_c"),
+          col("target").cast("long").as("target"),
+          col("context").cast("long").as("context"),
+          posexplode(col("negatives")).as(Seq("k", "neg")))
+        .withColumn("k", col("k").cast("long"))
+        .withColumn("neg", col("neg").cast("long"))
+        .orderBy("order_id", "pos_t", "pos_c", "k")
+    }),
+
+    // §7.2 flagship (M3 relational): top-K co-purchase neighbors per part,
+    // ranked by co-occurrence, names joined back (J2+J3).
+    "q14_copurchase_topk" -> ((s, dir) => {
+      val topk = Similarity.coPurchaseTopK(pairs(s, dir), TopK)
+      val v = vocab(s, dir).select(col("idx"), col("product_id"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      topk
+        .join(broadcast(v.withColumnRenamed("idx", "target")
+          .withColumnRenamed("product_id", "target_pid")), Seq("target"))
+        .join(broadcast(v.withColumnRenamed("idx", "context")
+          .withColumnRenamed("product_id", "neighbor_pid")), Seq("context"))
+        .join(broadcast(p.withColumnRenamed("p_partkey", "target_pid")
+          .withColumnRenamed("p_name", "target_name")), Seq("target_pid"))
+        .join(broadcast(p.withColumnRenamed("p_partkey", "neighbor_pid")
+          .withColumnRenamed("p_name", "neighbor_name")), Seq("neighbor_pid"))
+        .select(col("target_pid"), col("neighbor_pid"), col("target_name"),
+          col("neighbor_name"), col("cnt"), col("rnk").cast("long").as("rnk"))
+        .orderBy("target_pid", "rnk")
+    }),
+
+    // A7: ordered "; "-concat neighbor report per target (model_train.py:48).
+    "q15_neighbor_report" -> ((s, dir) => {
+      val ranked = queries("q14_copurchase_topk")(s, dir)
+        .select(col("target_pid").as("target"),
+          col("neighbor_name").as("name"), col("rnk"))
+      Similarity.neighborReport(ranked)
+        .withColumnRenamed("target", "target_pid")
+        .orderBy("target_pid")
+    }),
+
+    // J5/M3 vector form: exact cosine top-K of 5 probe vectors against the
+    // embeddings corpus (brute-force ANN baseline, SURVEY §7.4).
+    "q16_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), TopK)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("probe_id", "rnk")
     })
   )
 
@@ -179,6 +309,108 @@ object SparkEntry {
 
     "q9_distinct_counts" ->
       """SELECT count(DISTINCT l_partkey) AS n_products,
-        |       count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin
+        |       count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin,
+
+    "q10_skipgram_cooc" ->
+      s"""$pairsSqlCte
+         |SELECT target, context, count(*) AS cnt
+         |FROM pairs GROUP BY target, context
+         |ORDER BY target, context""".stripMargin,
+
+    "q11_sampling_table" ->
+      s"""SELECT idx, round(keep_prob, 9) AS keep_prob FROM (
+         |${Pairs.samplingTableSql(VocabK, SamplingFactor)}
+         |) ORDER BY idx""".stripMargin,
+
+    "q12_subsampled_pairs" ->
+      s"""$pairsSqlCte,
+         |sampling AS (
+         |${Pairs.samplingTableSql(VocabK, SamplingFactor)}
+         |)
+         |SELECT p.target, count(*) AS n_pairs
+         |FROM pairs p JOIN sampling s ON p.target = s.idx
+         |WHERE ${Portable.sqlUnif("p.order_id", "p.pos_t", "p.target")} < s.keep_prob
+         |GROUP BY p.target ORDER BY p.target""".stripMargin,
+
+    "q13_negatives" -> {
+      val u = Portable.sqlUnif("order_id", "pos_t", "pos_c", "k")
+      s"""$pairsSqlCte
+         |SELECT order_id, pos_t, pos_c, target, context, k,
+         |       least(${VocabK - 1},
+         |         CAST(floor(exp($u * ln(${VocabK + 1}.0))) AS BIGINT) - 1) AS neg
+         |FROM pairs, (SELECT unnest(generate_series(0, ${NumNs - 1})) AS k) ks
+         |ORDER BY order_id, pos_t, pos_c, k""".stripMargin
+    },
+
+    "q14_copurchase_topk" ->
+      s"""$pairsSqlCte,
+         |cooc AS (
+         |  SELECT target, context, count(*) AS cnt
+         |  FROM pairs GROUP BY target, context
+         |),
+         |topk AS (
+         |  SELECT target, context, cnt,
+         |         row_number() OVER (PARTITION BY target
+         |           ORDER BY cnt DESC, context ASC) AS rnk
+         |  FROM cooc
+         |)
+         |SELECT vt.pid AS target_pid, vc.pid AS neighbor_pid,
+         |       pt.p_name AS target_name, pc.p_name AS neighbor_name,
+         |       t.cnt, t.rnk
+         |FROM topk t
+         |JOIN vocab vt ON t.target = vt.idx
+         |JOIN vocab vc ON t.context = vc.idx
+         |JOIN part pt ON vt.pid = pt.p_partkey
+         |JOIN part pc ON vc.pid = pc.p_partkey
+         |WHERE t.rnk <= $TopK
+         |ORDER BY target_pid, rnk""".stripMargin,
+
+    "q15_neighbor_report" ->
+      s"""$pairsSqlCte,
+         |cooc AS (
+         |  SELECT target, context, count(*) AS cnt
+         |  FROM pairs GROUP BY target, context
+         |),
+         |topk AS (
+         |  SELECT target, context, cnt,
+         |         row_number() OVER (PARTITION BY target
+         |           ORDER BY cnt DESC, context ASC) AS rnk
+         |  FROM cooc
+         |)
+         |SELECT vt.pid AS target_pid,
+         |       string_agg(pc.p_name, '; ' ORDER BY t.rnk) AS neighbors
+         |FROM topk t
+         |JOIN vocab vt ON t.target = vt.idx
+         |JOIN vocab vc ON t.context = vc.idx
+         |JOIN part pc ON vc.pid = pc.p_partkey
+         |WHERE t.rnk <= $TopK
+         |GROUP BY vt.pid ORDER BY target_pid""".stripMargin,
+
+    "q16_cosine_topk" ->
+      s"""WITH c AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |p AS (
+         |  SELECT vec_id AS probe_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+         |  FROM embeddings WHERE vec_id < 5
+         |),
+         |s AS (
+         |  SELECT probe_id, vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, 65), i -> v[i] * pv[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, 65), i -> pv[i] * pv[i])))),
+         |      9) AS cos
+         |  FROM c, p WHERE vec_id <> probe_id
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+         |FROM s
+         |QUALIFY rnk <= $TopK
+         |ORDER BY probe_id, rnk""".stripMargin
   )
 }

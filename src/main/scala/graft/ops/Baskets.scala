@@ -38,8 +38,9 @@ object Baskets {
   def sequenceBaskets(df: DataFrame, basketCol: String, itemCol: String,
                       posCol: String): DataFrame =
     df.groupBy(col(basketCol))
-      .agg(array_sort(collect_list(struct(col(posCol), col(itemCol))))
-        .getField(itemCol).as("basket"))
+      .agg(array_sort(collect_list(
+          struct(col(posCol).as("__pos"), col(itemCol).as("__item"))))
+        .getField("__item").as("basket"))
 
   /** A6': seeded deterministic shuffle of an array column.
     *

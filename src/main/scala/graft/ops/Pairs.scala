@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skip-gram training-pair generation (SURVEY.md §2.5 A8-A11) — the
+  * semantic heart of the reference (`generate_training_data`,
+  * `pipeline/data_preprocessing/data_prep.py:108-201`).
+  *
+  * Reference semantics per basket: shuffle → cap at `max_basket_length` →
+  * `tf.keras.preprocessing.sequence.skipgrams(sequence, vocabulary_size,
+  * sampling_table, window_size=W, negative_samples=0)` → for each positive
+  * `(target, context)` pair draw `num_ns` log-uniform negatives
+  * (`tf.random.log_uniform_candidate_sampler`). Keras `skipgrams` never
+  * emits pairs where either side is index 0 (padding == our UNK) and
+  * subsamples frequent *targets* via the Zipf sampling table.
+  *
+  * Spark shape — NO join, NO extra shuffle: pair generation is a per-row
+  * array expansion over the already-grouped basket table. The only shuffle
+  * in the whole pipeline is the basket groupBy (and the final co-occurrence
+  * agg if requested); at 100 TB the pair stream never materializes on the
+  * driver (the reference's global Python lists, `data_prep.py:147-148`).
+  *
+  * Every "random" decision is keyed off [[Portable]] hashes, so pair sets
+  * are deterministic and DuckDB-oracle-able (SURVEY.md §7.5 risk 1).
+  */
+object Pairs {
+
+  /** A8: Zipf-rank subsampling table — reproduces
+    * `tf.keras.preprocessing.sequence.make_sampling_table` (public formula:
+    * word frequency under Zipf approximated by
+    * `1 / (rank·(ln(rank)+γ) + 0.5 − 1/(12·rank))`, keep-probability
+    * `min(1, sqrt(sampling_factor · inv_freq))`). Index 0 (UNK) gets keep
+    * probability 0 — Keras never samples padding.
+    *
+    * Returns one row per idx in [0, size): (idx, keep_prob). Tiny table —
+    * broadcast by construction.
+    */
+  def samplingTable(spark: SparkSession, size: Int,
+                    samplingFactor: Double = 1e-3): DataFrame = {
+    spark.range(0, size).toDF("idx")
+      .withColumn("keep_prob", when(col("idx") === 0, lit(0.0)).otherwise(
+        least(lit(1.0), sqrt(lit(samplingFactor) *
+          (col("idx") * (log(col("idx")) + lit(0.5772156649015329)) +
+            lit(0.5) - lit(1.0) / (lit(12.0) * col("idx")))))))
+  }
+
+  /** DuckDB SQL CTE producing the identical sampling table. */
+  def samplingTableSql(size: Int, samplingFactor: Double = 1e-3): String =
+    s"""SELECT idx, CASE WHEN idx = 0 THEN 0.0 ELSE
+       |  least(1.0, sqrt($samplingFactor *
+       |    (idx * (ln(idx) + 0.5772156649015329) + 0.5 - 1.0/(12.0*idx))))
+       |  END AS keep_prob
+       |FROM (SELECT unnest(generate_series(0, ${size - 1})) AS idx)""".stripMargin
+
+  /** Positional item sequences: one row per (basket, pos, idx) with dense
+    * 0-based positions in `orderCols` order, truncated at `maxLen` (P7).
+    * Input must already carry the integer-encoded item in `idxCol`.
+    *
+    * This subsumes A6' (the reference's `random.shuffle`): pass a seeded
+    * [[Portable.seededHash]] as the leading order column and positions ARE
+    * a deterministic shuffle. `orderCols` must be a total order up to rows
+    * with equal item value (ties between identical items permute identical
+    * positions — pair set invariant).
+    *
+    * This is the relational (exploded) form of the basket sequence — the
+    * shape both the Spark pair generator and the DuckDB oracle agree on. */
+  def positions(encoded: DataFrame, basketCol: String, idxCol: String,
+                orderCols: Seq[org.apache.spark.sql.Column],
+                maxLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    encoded
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col(basketCol)).orderBy(orderCols: _*)) - 1)
+      .filter(col("pos") < maxLen)
+      .select(col(basketCol).as("order_id"), col("pos"),
+        col(idxCol).cast("int").as("item"))
+  }
+
+  /** A9: skip-gram positive pairs from positional sequences — all ordered
+    * pairs (target, context) with `0 < |pos_t − pos_c| ≤ window` and
+    * neither side UNK (Keras zero-index rule, SURVEY.md §7.5 risk 4).
+    *
+    * Implemented as a self-join banded on position. Spark co-partitions
+    * both sides on order_id (one shuffle, reused from the upstream
+    * row_number window); the band predicate keeps it near-linear:
+    * ≤ 2W pairs per item.
+    */
+  def skipGramPairs(seq: DataFrame, window: Int): DataFrame = {
+    val t = seq.select(col("order_id"), col("pos").as("pos_t"),
+      col("item").as("target"))
+    val c = seq.select(col("order_id"), col("pos").as("pos_c"),
+      col("item").as("context"))
+    t.join(c, Seq("order_id"))
+      .filter(col("pos_t") =!= col("pos_c"))
+      .filter(abs(col("pos_t") - col("pos_c")) <= window)
+      .filter(col("target") =!= 0 && col("context") =!= 0)
+      .select(col("order_id"), col("pos_t"), col("pos_c"),
+        col("target"), col("context"))
+  }
+
+  /** A9 zero-shuffle variant: pair generation as a per-row array expansion
+    * over the basket-array table (`order_id`, `basket: array<int>`).
+    * Identical pair set to [[skipGramPairs]]; no join, no shuffle — the
+    * form to prefer at scale. Baskets must already be truncated (P7). */
+  def skipGramPairsFromBaskets(baskets: DataFrame, window: Int): DataFrame =
+    baskets
+      .select(col("order_id"),
+        posexplode(col("basket")).as(Seq("pos_t", "target")),
+        col("basket"))
+      .filter(col("target") =!= 0)
+      .select(col("order_id"), col("pos_t"), col("target"),
+        explode(expr(
+          s"""filter(
+             |  transform(
+             |    sequence(greatest(0, pos_t - $window),
+             |             least(size(basket) - 1, pos_t + $window)),
+             |    j -> struct(j AS pos_c, basket[j] AS context)),
+             |  s -> s.pos_c != pos_t AND s.context != 0)""".stripMargin))
+          .as("c"))
+      .select(col("order_id"), col("pos_t"), col("c.pos_c").as("pos_c"),
+        col("target"), col("c.context").as("context"))
+
+  /** A8 applied: drop pairs whose *target* fails the subsampling draw —
+    * keyed uniform `< keep_prob(target)` (reference:
+    * `sampling_table[target]` gating inside Keras skipgrams). */
+  def subsample(pairs: DataFrame, sampling: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(sampling.withColumnRenamed("idx", "target")),
+        Seq("target"))
+      .filter(Portable.unif(col("order_id"), col("pos_t"), col("target"))
+        < col("keep_prob"))
+      .drop("keep_prob")
+
+  /** A10: log-uniform ("Zipf") negative sampling —
+    * `tf.random.log_uniform_candidate_sampler(..., num_sampled=numNs,
+    * range_max=rangeMax)`: class k drawn with
+    * `P(k) = (ln(k+2) − ln(k+1)) / ln(rangeMax+1)`, i.e.
+    * `k = floor(exp(u · ln(rangeMax+1))) − 1` for uniform u.
+    *
+    * Deviations from TF, both deliberate: draws are keyed-hash
+    * deterministic (reproducible across engines), and we draw exactly
+    * `numNs` with replacement per pair rather than rejection-sampling to
+    * uniqueness (`unique=True`) — accidental hits on the true context are
+    * kept in both (TF does not reject them either).
+    *
+    * Appends `negatives: array<int>` (values in [0, rangeMax)).
+    */
+  def negatives(pairs: DataFrame, numNs: Int, rangeMax: Int): DataFrame = {
+    val draws = (0 until numNs).map { k =>
+      val u = Portable.unif(col("order_id"), col("pos_t"), col("pos_c"),
+        lit(k))
+      least(lit(rangeMax - 1),
+        floor(exp(u * lit(math.log(rangeMax.toDouble + 1.0)))).cast("int")
+          - lit(1))
+    }
+    pairs.withColumn("negatives", array(draws: _*))
+  }
+
+  /** A11: context/label tensor assembly — one row per positive pair:
+    * `contexts = [context, neg_1..neg_numNs]`,
+    * `labels = [1, 0 × numNs]` (`data_prep.py:188-199`). */
+  def assemble(pairsWithNegs: DataFrame, numNs: Int): DataFrame =
+    pairsWithNegs
+      .withColumn("contexts",
+        concat(array(col("context")), col("negatives")))
+      .withColumn("labels",
+        array(lit(1) +: Seq.fill(numNs)(lit(0)): _*))
+      .select(col("order_id"), col("pos_t"), col("pos_c"), col("target"),
+        col("contexts"), col("labels"))
+}

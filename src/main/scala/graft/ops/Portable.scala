@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic hashing.
+  *
+  * The reference's stochastic operators (basket shuffle `data_prep.py:156`,
+  * subsampling `data_prep.py:150-151`, negative sampling
+  * `data_prep.py:173-186`) use RNG state that can never be reproduced by an
+  * independent engine. We replace RNG draws with a *keyed hash*: every
+  * random decision is a pure function of the row's identity, so results are
+  * bit-for-bit reproducible across runs, partitionings, cluster sizes — and
+  * across engines (the DuckDB oracle computes the identical value with the
+  * identical SQL shape).
+  *
+  * The hash is the first 15 hex digits (60 bits) of md5 — md5 is the one
+  * cryptographic hash both Spark and DuckDB expose with identical string
+  * semantics. 60 bits keeps the value positive in an INT64 in both engines.
+  *
+  * Scale posture: md5 is not codegen'd as tightly as xxhash64, but it is a
+  * per-row scalar with no shuffle implications; use [[seededHash]] for
+  * oracle-facing paths and plain `xxhash64` where only Spark-side
+  * reproducibility matters.
+  */
+object Portable {
+
+  /** 2^60 as a double — divisor that maps the 60-bit hash to [0, 1). */
+  val TwoPow60: Double = 1152921504606846976.0
+
+  private val Sep = ""
+
+  /** 60-bit non-negative hash of the concatenated key columns.
+    * DuckDB equivalent: [[sqlHash]]. */
+  def seededHash(cols: Column*): Column =
+    conv(substring(md5(concat_ws(Sep, cols.map(_.cast("string")): _*)), 1, 15),
+      16, 10).cast("long")
+
+  /** Uniform [0,1) draw keyed by the given columns. DuckDB: [[sqlUnif]]. */
+  def unif(cols: Column*): Column =
+    seededHash(cols: _*) / lit(TwoPow60)
+
+  /** DuckDB SQL fragment computing the same 60-bit hash; `keys` are SQL
+    * expressions of string or integer type. */
+  def sqlHash(keys: String*): String =
+    s"CAST(('0x' || substring(md5(concat_ws(chr(1), " +
+      keys.map(k => s"CAST($k AS VARCHAR)").mkString(", ") +
+      ")), 1, 15)) AS BIGINT)"
+
+  /** DuckDB SQL fragment for the uniform [0,1) draw. */
+  def sqlUnif(keys: String*): String =
+    s"(${sqlHash(keys: _*)} / 1152921504606846976.0)"
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity operators (SURVEY.md §2.3 J5, §2.6 M3/M6, §7.4).
+  *
+  * Reference: `pipeline/model_train/model_train.py:14-49`
+  * (`SimilarityCallback.run_sim`) — for each probe product, cosine against
+  * the whole embedding matrix, drop self (P3), sort desc, top-20 (P6),
+  * map names (J2/J3), `"; "`-concat (A7).
+  *
+  * Two engine forms:
+  *  - [[coPurchaseTopK]]: the relational flagship (SURVEY.md §7.2) — the
+  *    same report computed from co-occurrence counts instead of a trained
+  *    embedding; fully deterministic and oracle-able.
+  *  - [[cosineTopK]]: the vector form over an `array<float>` embedding
+  *    column — brute-force exact k-NN: probes broadcast, one pass over the
+  *    corpus, per-probe top-k. At 100 TB the corpus side stays partitioned;
+  *    only the k·|probes| result rows move. The ANN (LSH-bucketed) scale
+  *    path lives in [[Ann]].
+  */
+object Similarity {
+
+  /** Dot product of two double-array columns — `zip_with` multiply then
+    * ordered fold; sequential order makes the result reproducible (and
+    * oracle-matchable) regardless of partitioning. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a double-array column. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** M3 relational flagship: top-k co-purchase neighbors per target from a
+    * skip-gram pair stream. Rank by co-occurrence count desc with pinned
+    * tiebreak (cnt DESC, context ASC); self pairs never occur (pair gen
+    * excludes pos_t == pos_c, and identical items at different positions
+    * are real co-occurrence). Returns (target, context, cnt, rnk ≤ k). */
+  def coPurchaseTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val co = pairs.groupBy(col("target"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+    co.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("target"))
+          .orderBy(desc("cnt"), asc("context"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** J5/M3 vector form: exact cosine top-k of every probe against the
+    * corpus. `probes` must be small (broadcast); self-matches dropped by
+    * id (P3). Scores rounded to 9 dp for stable cross-engine compare.
+    * Returns (probe_id, vec_id, cos, rnk ≤ k). */
+  def cosineTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      transform(col("embedding"), _.cast("double")).as("pv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosine(col("v"), col("pv")), 9))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
+  /** M6: best-row selection — explicit `orderBy(asc(objective)).limit(1)`
+    * (the reference does this via a fragile pandas positional idiom,
+    * `post_process.py:60-68`; SURVEY.md N3). */
+  def bestRow(df: DataFrame, objectiveCol: String): DataFrame =
+    df.orderBy(asc(objectiveCol)).limit(1)
+
+  /** M7: tuning-table enrichment — dense `iteration` index in start-time
+    * order (`tuning_analysis.py:30-41`). */
+  def withIteration(df: DataFrame, orderCol: String): DataFrame =
+    df.withColumn("iteration",
+      row_number().over(Window.orderBy(asc(orderCol))))
+
+  /** A7: ordered `"; "`-concat report line per target —
+    * `Series.str.cat(sep="; ")` over the ranked neighbor names
+    * (`model_train.py:48`). Expects (target, name, rnk). */
+  def neighborReport(ranked: DataFrame): DataFrame =
+    ranked.groupBy(col("target"))
+      .agg(concat_ws("; ",
+        array_sort(collect_list(struct(col("rnk"), col("name"))))
+          .getField("name")).as("neighbors"))
+}

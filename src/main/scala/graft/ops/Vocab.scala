@@ -58,8 +58,9 @@ object Vocab {
     * `data_prep.py:103`). */
   def build(df: DataFrame, itemCol: String, numProds: Int): DataFrame = {
     val vocab = withIndex(topK(df, itemCol, numProds))
-    val unkCnt = df.join(broadcast(vocab.select(col("product_id"))),
-        df(itemCol) === col("product_id"), "left_anti")
+    val unkCnt = df.join(
+        broadcast(vocab.select(col("product_id").as("__vk"))),
+        df(itemCol) === col("__vk"), "left_anti")
       .agg(count(lit(1)).as("cnt"))
       .select(lit(UnkKey).as("product_id"), col("cnt"),
         lit(UnkIndex).as("idx"))

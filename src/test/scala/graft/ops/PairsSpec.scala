@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 2
+
+  private def seqDf = Seq(
+    // order 1: items at pos 0..4 (0 = UNK at pos 2)
+    (1L, 0, 5), (1L, 1, 7), (1L, 2, 0), (1L, 3, 9), (1L, 4, 5),
+    // order 2: single item — no pairs
+    (2L, 0, 3)
+  ).toDF("order_id", "pos", "item")
+
+  test("A9: window band, no self, no UNK pairs, symmetric") {
+    val p = Pairs.skipGramPairs(seqDf, W).collect()
+    assert(p.forall(r => math.abs(r.getInt(1) - r.getInt(2)) <= W))
+    assert(p.forall(r => r.getInt(1) != r.getInt(2)))
+    assert(p.forall(r => r.getInt(3) != 0 && r.getInt(4) != 0))
+    // symmetry: (t@i, c@j) present iff (t@j, c@i) present
+    val set = p.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(set.forall { case (o, i, j) => set.contains((o, j, i)) })
+    // order 2 contributes nothing
+    assert(p.forall(_.getLong(0) == 1L))
+  }
+
+  test("A9: per-item pair count bounded by 2W") {
+    val c = Pairs.skipGramPairs(seqDf, W)
+      .groupBy("order_id", "pos_t").count().collect()
+    assert(c.forall(_.getLong(2) <= 2L * W))
+  }
+
+  test("A9: zero-shuffle basket variant emits the identical pair multiset") {
+    val baskets = seqDf.groupBy("order_id")
+      .agg(array_sort(collect_list(struct($"pos", $"item")))
+        .getField("item").as("basket"))
+    val a = Pairs.skipGramPairsFromBaskets(baskets, W)
+      .select("order_id", "pos_t", "pos_c", "target", "context")
+    val b = Pairs.skipGramPairs(seqDf, W)
+      .select("order_id", "pos_t", "pos_c", "target", "context")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("A9 on fixtures: relational == zero-shuffle variant") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val vocab = Vocab.withIndex(Vocab.topK(li, "l_partkey", 100))
+    val enc = Vocab.encode(li, "l_partkey", vocab)
+    val seqd = Pairs.positions(enc, "l_orderkey", "idx",
+      Seq(Portable.seededHash($"l_orderkey", $"l_linenumber", $"l_partkey"),
+        $"l_partkey"), 50)
+    val baskets = seqd.groupBy($"order_id")
+      .agg(array_sort(collect_list(struct($"pos", $"item")))
+        .getField("item").as("basket"))
+    val a = Pairs.skipGramPairsFromBaskets(baskets, 4)
+      .select("order_id", "pos_t", "pos_c", "target", "context")
+    val b = Pairs.skipGramPairs(seqd, 4)
+      .select("order_id", "pos_t", "pos_c", "target", "context")
+    assert(a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("A8: keep-prob rises with rank — frequent (low idx) items subsampled") {
+    val t = Pairs.samplingTable(spark, 100).orderBy("idx").collect()
+    assert(t.head.getDouble(1) == 0.0) // UNK never sampled
+    val probs = t.tail.map(_.getDouble(1))
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+    assert(probs.sliding(2).forall { case Array(a, b) => b >= a - 1e-12 })
+  }
+
+  test("A10: negatives in range, exactly numNs per pair, deterministic") {
+    val pairs = Pairs.skipGramPairs(seqDf, W)
+    val n1 = Pairs.negatives(pairs, 4, 100)
+    val rows = n1.select("negatives").as[Seq[Int]].collect()
+    assert(rows.forall(_.length == 4))
+    assert(rows.flatten.forall(k => k >= 0 && k < 100))
+    val n2 = Pairs.negatives(pairs, 4, 100).select("negatives")
+      .as[Seq[Int]].collect()
+    assert(rows.toSeq == n2.toSeq) // keyed-hash → reproducible
+  }
+
+  test("A10: negatives skew toward small (frequent) indices — log-uniform") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val vocab = Vocab.withIndex(Vocab.topK(li, "l_partkey", 100))
+    val enc = Vocab.encode(li, "l_partkey", vocab)
+    val seqd = Pairs.positions(enc, "l_orderkey", "idx",
+      Seq(Portable.seededHash($"l_orderkey", $"l_linenumber", $"l_partkey"),
+        $"l_partkey"), 50)
+    val negs = Pairs.negatives(Pairs.skipGramPairs(seqd, 4), 4, 100)
+      .select(explode($"negatives").as("neg"))
+    val lowHalf = negs.filter($"neg" < 10).count().toDouble
+    val total = negs.count().toDouble
+    // P(neg < 10) under log-uniform = ln(11)/ln(101) ≈ 0.52; uniform would be 0.1
+    assert(lowHalf / total > 0.4, s"log-uniform skew missing: ${lowHalf / total}")
+  }
+
+  test("A11: tensor assembly shapes (contexts = 1+numNs, labels = [1,0...])") {
+    val pairs = Pairs.skipGramPairs(seqDf, W)
+    val asm = Pairs.assemble(Pairs.negatives(pairs, 4, 100), 4)
+    val r = asm.select("contexts", "labels").collect()
+    assert(r.forall(_.getSeq[Int](0).length == 5))
+    assert(r.forall(_.getSeq[Int](1) == Seq(1, 0, 0, 0, 0)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Mirrors the reference's five hard-fail gates
+  * (`data_quality_checks.py:7-133`) on quality_bad-style fixtures. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val good = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    .toDF("product_id", "product_name")
+  private lazy val withNull = Seq((Some(1L), "a"), (None, "b"))
+    .toDF("product_id", "product_name")
+  private lazy val dupKey = Seq((1L, "a"), (1L, "b"), (2L, "c"))
+    .toDF("product_id", "product_name")
+
+  test("Q1 checkNoNulls passes on clean, fails on null") {
+    Quality.checkNoNulls(good, "product_id")
+    val e = intercept[Quality.QualityError](
+      Quality.checkNoNulls(withNull, "product_id"))
+    assert(e.getMessage.contains("product_id"))
+  }
+
+  test("Q2 checkDistinctInRange: exclusive bounds like the reference") {
+    Quality.checkDistinctInRange(good, "product_id", 2, 4)
+    intercept[Quality.QualityError](
+      Quality.checkDistinctInRange(good, "product_id", 3, 10)) // n==lo fails
+    intercept[Quality.QualityError](
+      Quality.checkDistinctInRange(good, "product_id", 0, 3)) // n==hi fails
+  }
+
+  test("Q3 checkColumnCount: metadata-only arity gate") {
+    Quality.checkColumnCount(good, 2)
+    intercept[Quality.QualityError](Quality.checkColumnCount(good, 4))
+  }
+
+  test("Q4 checkSchema: name→type equality, nullability ignored") {
+    Quality.checkSchema(good, StructType(Seq(
+      StructField("product_id", LongType, nullable = false),
+      StructField("product_name", StringType))))
+    intercept[Quality.QualityError](Quality.checkSchema(good, StructType(Seq(
+      StructField("product_id", IntegerType),
+      StructField("product_name", StringType)))))
+  }
+
+  test("Q5 checkPrimaryKey: catches duplicate keys pandas to_dict collapses") {
+    Quality.checkPrimaryKey(good, "product_id")
+    intercept[Quality.QualityError](Quality.checkPrimaryKey(dupKey, "product_id"))
+  }
+
+  test("report: one-pass null profile") {
+    val r = Quality.report(withNull).collect()(0)
+    assert(r.getAs[Long]("n_rows") === 2L)
+    assert(r.getAs[Long]("nulls_product_id") === 1L)
+    assert(r.getAs[Long]("nulls_product_name") === 0L)
+  }
+
+  test("fixture gates: lineitem/part pass the reference-shaped checks") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val part = Sources.table(spark, sf("sf0.001"), "part")
+    Quality.checkNoNulls(li, "l_orderkey")
+    Quality.checkColumnCount(li, 11)
+    Quality.checkPrimaryKey(part, "p_partkey")
+  }
+}

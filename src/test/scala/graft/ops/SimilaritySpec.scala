@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: bounds, self-similarity, orthogonality") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(1.0, 0.0)),   // identical → 1
+      (2L, Seq(1.0, 0.0), Seq(0.0, 1.0)),   // orthogonal → 0
+      (3L, Seq(1.0, 2.0), Seq(-1.0, -2.0))  // opposite → -1
+    ).toDF("id", "a", "b")
+      .select($"id", Similarity.cosine($"a", $"b").as("cos"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m(1L) - 1.0) < 1e-12)
+    assert(math.abs(m(2L)) < 1e-12)
+    assert(math.abs(m(3L) + 1.0) < 1e-12)
+  }
+
+  test("M3: cosineTopK excludes self, caps at k, scores in [-1,1], ranked") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val res = Similarity.cosineTopK(emb, emb.filter($"vec_id" < 3), 5)
+    val rows = res.collect()
+    assert(rows.forall(r => r.getLong(1) != r.getLong(0)))          // P3 self excluded
+    assert(rows.forall(r => r.getDouble(2) >= -1.0 - 1e-9 &&
+      r.getDouble(2) <= 1.0 + 1e-9))
+    val perProbe = rows.groupBy(_.getLong(0))
+    assert(perProbe.forall(_._2.length == 5))                       // P6 cap
+    perProbe.values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall {
+        case Array(a, b) => b <= a + 1e-12; case _ => true })       // rank order
+    }
+  }
+
+  test("M6: bestRow picks global minimum") {
+    val df = Seq(("a", 3.0), ("b", 1.0), ("c", 2.0)).toDF("job", "objective")
+    assert(Similarity.bestRow(df, "objective").head.getString(0) == "b")
+  }
+
+  test("M7: withIteration assigns dense 1..n in order") {
+    val df = Seq(("a", 30L), ("b", 10L), ("c", 20L)).toDF("job", "start")
+    val it = Similarity.withIteration(df, "start")
+      .orderBy("iteration").collect()
+    assert(it.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    assert(it.map(_.getString(0)).toSeq == Seq("b", "c", "a"))
+  }
+
+  test("A7: neighborReport concatenates in rank order") {
+    val df = Seq((1L, "x", 2L), (1L, "y", 1L), (2L, "z", 1L))
+      .toDF("target", "name", "rnk")
+    val m = Similarity.neighborReport(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "y; x")
+    assert(m(2L) == "z")
+  }
+}
