@@ -61,14 +61,21 @@ object SparkEntry {
     * vocab, shuffled-deterministic positions per order (seeded hash order,
     * l_partkey tiebreak — hash ties can only occur between rows of the
     * same item, so the pair multiset is well-defined), cap at
-    * [[MaxBasketLen]], banded self-join window [[WindowW]]. */
+    * [[MaxBasketLen]], window [[WindowW]].
+    *
+    * Zero-shuffle-after-groupBy form: one hash agg builds the ordered
+    * basket arrays, pair expansion is a per-row array expression
+    * ([[Pairs.orderedBaskets]] + [[Pairs.skipGramPairsFromBaskets]]) —
+    * the relational window+self-join form ([[Pairs.positions]] +
+    * [[Pairs.skipGramPairs]]) computes the identical pair multiset
+    * (PairsSpec proves it) but shuffles twice. */
   private def pairs(s: SparkSession, dir: String): DataFrame = {
     val enc = Vocab.encode(t(s, dir, "lineitem"), "l_partkey", vocab(s, dir))
-    val seq = Pairs.positions(enc, "l_orderkey", "idx",
+    val baskets = Pairs.orderedBaskets(enc, "l_orderkey", "idx",
       Seq(Portable.seededHash(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey")), col("l_partkey")),
+        col("l_partkey")).as("__h"), col("l_partkey").as("__pid")),
       MaxBasketLen)
-    Pairs.skipGramPairs(seq, WindowW)
+    Pairs.skipGramPairsFromBaskets(baskets, WindowW)
   }
 
   /** DuckDB CTEs mirroring [[pairs]] bit-for-bit (extends [[vocabSqlCte]]
@@ -400,9 +407,9 @@ object SparkEntry {
          |s AS (
          |  SELECT probe_id, vec_id,
          |    round(
-         |      list_sum(list_transform(range(1, 65), i -> v[i] * pv[i])) /
-         |      (sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))) *
-         |       sqrt(list_sum(list_transform(range(1, 65), i -> pv[i] * pv[i])))),
+         |      list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * pv[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i] * pv[i])))),
          |      9) AS cos
          |  FROM c, p WHERE vec_id <> probe_id
          |)

@@ -47,20 +47,23 @@ object Baskets {
     * The reference does `random.shuffle(sequence)` (`data_prep.py:156-157`)
     * — order is irrelevant semantically, the shuffle just randomizes which
     * neighbors fall inside the skip-gram window. We sort elements by a
-    * seeded 64-bit hash of (basket key, element, duplicate-index): same
-    * distributional effect, bit-for-bit reproducible across runs and
-    * cluster sizes (no RNG state tied to partitioning).
+    * seeded 64-bit hash of (basket key, element): same distributional
+    * effect, bit-for-bit reproducible across runs and cluster sizes (no
+    * RNG state tied to partitioning) — and, because the hash does NOT
+    * depend on the input array's order, reproducible even when the input
+    * order is itself nondeterministic (e.g. raw [[collect]] output).
     *
-    * Duplicate elements get distinct hash inputs via their index from
-    * `arrays_zip(posexplode)`-style pairing, so ties cannot collapse.
+    * Duplicate elements hash identically and become interchangeable
+    * identical `(h, x)` structs — any permutation of them is the same
+    * array, so the output is still well-defined.
     */
   def shuffledDeterministic(df: DataFrame, basketCol: String,
                             basketArr: String = "basket",
                             seed: Long = 42L): DataFrame =
-    // (hash, item) structs sorted by hash, then project item back out.
+    // (hash, item) structs sorted by (hash, item), then project item out.
     df.withColumn(basketArr,
-      expr(s"transform(array_sort(transform($basketArr, (x, i) -> " +
-        s"struct(xxhash64($basketCol, x, i, ${seed}L) AS h, x AS item))), s -> s.item)"))
+      expr(s"transform(array_sort(transform($basketArr, x -> " +
+        s"struct(xxhash64($basketCol, x, ${seed}L) AS h, x AS item))), s -> s.item)"))
 
   /** P7: basket truncation — `sequence[0:max_basket_length]`
     * (`data_prep.py:160`, cap 50 from `config/prod2vec_config.yaml:28`). */

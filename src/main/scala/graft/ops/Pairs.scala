@@ -26,12 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Pairs {
 
-  /** A8: Zipf-rank subsampling table — reproduces
-    * `tf.keras.preprocessing.sequence.make_sampling_table` (public formula:
-    * word frequency under Zipf approximated by
-    * `1 / (rank·(ln(rank)+γ) + 0.5 − 1/(12·rank))`, keep-probability
-    * `min(1, sqrt(sampling_factor · inv_freq))`). Index 0 (UNK) gets keep
-    * probability 0 — Keras never samples padding.
+  /** A8: Zipf-rank subsampling table — same construction as
+    * `tf.keras.preprocessing.sequence.make_sampling_table` (word frequency
+    * under Zipf approximated by `1 / (rank·(ln(rank)+γ) + 0.5 −
+    * 1/(12·rank))`, keep-probability `min(1, sqrt(sampling_factor ·
+    * inv_freq))`). Two deliberate deviations from Keras defaults: we use
+    * the full Euler–Mascheroni constant γ = 0.5772156649015329 where Keras
+    * hardcodes 0.577, and our default `samplingFactor` is 1e-3 (Keras:
+    * 1e-5, tuned for 35k-word corpora — see SparkEntry.SamplingFactor),
+    * so keep probabilities differ slightly from Keras output. Index 0
+    * (UNK) gets keep probability 0 — Keras never samples padding.
     *
     * Returns one row per idx in [0, size): (idx, keep_prob). Tiny table —
     * broadcast by construction.
@@ -77,6 +81,29 @@ object Pairs {
       .select(col(basketCol).as("order_id"), col("pos"),
         col(idxCol).cast("int").as("item"))
   }
+
+  /** A6'+P7 array form: position-ordered, truncated basket arrays from an
+    * integer-encoded fact table — ONE shuffle (the groupBy); the
+    * deterministic shuffle A6' is the in-array sort by the seeded-hash
+    * sort keys, and positions are array indices. Bit-identical positions
+    * to [[positions]] with the same `sortKeys` (ties between equal sort
+    * keys can only involve equal items when the keys include the item id,
+    * so the sequence is well-defined).
+    *
+    * This is the 100 TB shape: [[positions]]' window + [[skipGramPairs]]'
+    * self-join both re-shuffle and re-sort the fact table per reference;
+    * here everything after the single groupBy is a per-row array
+    * expression. Output: (order_id, basket: array<int>). */
+  def orderedBaskets(encoded: DataFrame, basketCol: String, itemCol: String,
+                     sortKeys: Seq[org.apache.spark.sql.Column],
+                     maxLen: Int): DataFrame =
+    encoded
+      .groupBy(col(basketCol).as("order_id"))
+      .agg(slice(array_sort(collect_list(
+          struct(sortKeys :+ col(itemCol).cast("int").as("__item"): _*))),
+        1, maxLen).as("__seq"))
+      .select(col("order_id"),
+        expr("transform(__seq, s -> s.__item)").as("basket"))
 
   /** A9: skip-gram positive pairs from positional sequences — all ordered
     * pairs (target, context) with `0 < |pos_t − pos_c| ≤ window` and

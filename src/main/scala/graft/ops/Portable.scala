@@ -28,7 +28,11 @@ object Portable {
   /** 2^60 as a double — divisor that maps the 60-bit hash to [0, 1). */
   val TwoPow60: Double = 1152921504606846976.0
 
-  private val Sep = ""
+  /** Key separator — must equal the `chr(1)` separator in [[sqlHash]]
+    * so Spark and DuckDB hash identical byte streams. Written as a
+    * unicode escape (NOT a raw control char) so editors/diff tooling
+    * can never silently strip or normalize it. */
+  private val Sep = "\u0001"
 
   /** 60-bit non-negative hash of the concatenated key columns.
     * DuckDB equivalent: [[sqlHash]]. */
