@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
+import graft.ml.Prod2Vec
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with matching DuckDB-runnable SQL in `oracleSql`.
@@ -105,9 +106,109 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  // ---- extension constants (SURVEY.md §7.4) ----------------------------
+
+  /** Shingle size for MinHash dedup. */
+  val ShingleN = 3
+  /** MinHash permutations; LSH bands × rows-per-band must equal it. */
+  val NumPerms = 16
+  val LshBands = 4
+  val LshRows = 4
+  /** Jaccard acceptance threshold for near-dup verification. */
+  val JaccardTau = 0.5
+  /** SimHash near-dup Hamming radius (byte-banding is exact to ≤3). */
+  val MaxHamming = 2
+  /** SRP planes for embedding near-dup / ANN bucketing. */
+  val SrpPlanes = 4
+  /** Embedding near-dup cosine threshold. */
+  val CosTau = 0.3
+  /** Winnowing fingerprint parameters (k-gram size, window). */
+  val FpK = 4
+  val FpW = 4
+  /** Tumbling window width / session gap for event analytics (ms). */
+  val WindowMs = 3600000L
+  val SessionGapMs = 1800000L
+  /** A12 probe sample: validSize draws from the validWindow most
+    * frequent items (`prod2vec_config.yaml:38-39`, scaled to fixtures). */
+  val ValidWindow = 50
+  val ValidSize = 10
+
+  /** Shingled documents (doc_id, shingles) shared by the MinHash path. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.shingles(Text.tokens(col("text")), ShingleN).as("shingles"))
+
+  /** DuckDB CTEs mirroring [[shingled]] + MinHash signatures. */
+  private val minhashSqlCte: String = {
+    val sigExpr = (0 until NumPerms).map(p =>
+      s"list_min(list_transform(shingles, s -> ${Portable.sqlHash("s", p.toString)}))")
+      .mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |sh AS (
+       |  SELECT doc_id, ${Text.shinglesSql("t", ShingleN)} AS shingles FROM toks
+       |),
+       |sig AS (
+       |  SELECT doc_id, shingles, [$sigExpr] AS sig
+       |  FROM sh WHERE len(shingles) >= 1
+       |)""".stripMargin
+  }
+
+  /** DuckDB CTE computing per-doc SimHash (relational form of
+    * [[Text.simhash]]). */
+  private val simhashSqlCte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |th AS (SELECT doc_id, ${Portable.sqlHash("w")} AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |         CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+       |              THEN (1::BIGINT << b) ELSE 0 END AS bv
+       |  FROM th, (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b
+       |),
+       |sim AS (
+       |  SELECT doc_id, sum(bv)::BIGINT AS simhash FROM bits GROUP BY doc_id
+       |)""".stripMargin
+
+  /** DuckDB CTE: SRP bucket per embedding vector (mirror of
+    * [[Dedup.srpBuckets]]). */
+  private val srpSqlCte: String =
+    // d is an ordered list_sum fold (not a relational SUM) so the float
+    // accumulation order matches Spark's sequential `aggregate` fold
+    // bit-for-bit — a relational SUM could flip the sign of a near-zero
+    // projection and change the bucket.
+    s"""WITH proj AS (
+       |  SELECT vec_id, p,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> embedding[i]::DOUBLE * (${Portable.sqlUnif("p", "i")} - 0.5))) AS d
+       |  FROM embeddings, (SELECT unnest(range(0, $SrpPlanes)) AS p)
+       |),
+       |buck AS (
+       |  SELECT vec_id, sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM proj GROUP BY vec_id
+       |),
+       |ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |)""".stripMargin
+
+  /** DuckDB fragment: sequential-fold cosine between list columns a, b —
+    * same operand order as [[Similarity.cosine]]. */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
+       | (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) *
+       |  sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))))""".stripMargin
+
   // ---- queries ----------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extQueries
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ extOracleSql
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S1+P1+A1-ish pricing rollup (scan, project, hash agg) — also the
     // bench headline. Catalyst prunes the scan to the 6 referenced columns.
@@ -262,7 +363,175 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // ---- extension queries (SURVEY.md §7.4: dedup, text, ANN, events,
+  // multimodal, ML) -------------------------------------------------------
+
+  private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: content-hash duplicate groups with canonical survivor.
+    "q17_exact_dup_groups" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    }),
+
+    // Exact dedup applied: surviving rows only (deterministic keep-min).
+    "q18_dedup_keep_first" -> ((s, dir) => {
+      Dedup.dedupExact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (16 keyed permutations over 3-gram shingles).
+    "q19_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignatures(shingled(s, dir), NumPerms)
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("p", "h")))
+        .withColumn("p", col("p").cast("long"))
+        .orderBy("doc_id", "p")
+    }),
+
+    // MinHash+LSH near-dup pairs, Jaccard-verified at tau.
+    "q20_lsh_near_pairs" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, NumPerms)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
+      Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-doc 32-bit SimHash fingerprint.
+    "q21_simhash" -> ((s, dir) => {
+      Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs (Hamming <= 2) via byte-banding.
+    "q22_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(
+        Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text"),
+        "doc_id", MaxHamming)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Embedding-cosine near-dup pairs via SRP buckets.
+    "q23_embed_near_pairs" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        SrpPlanes, CosTau)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Token statistics (whitespace + word-regex + BPE estimate).
+    "q24_token_stats" -> ((s, dir) => {
+      Text.tokenStats(t(s, dir, "documents"), "text").orderBy("doc_id")
+    }),
+
+    // Quality scoring (length / alpha / digit / stopword heuristics).
+    "q25_quality_score" -> ((s, dir) => {
+      Text.qualityScore(t(s, dir, "documents"), "text").orderBy("doc_id")
+    }),
+
+    // Language ID via stopword profiles with pinned tiebreak.
+    "q26_langid" -> ((s, dir) => {
+      Text.languageId(t(s, dir, "documents"), "text").orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprints (k=4 grams, window 4).
+    "q27_fingerprints" -> ((s, dir) => {
+      Text.fingerprints(t(s, dir, "documents"), "text", FpK, FpW)
+        .orderBy("doc_id", "fp")
+    }),
+
+    // ANN: SRP-bucketed approximate cosine top-k (probes vec_id < 5).
+    "q28_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.annTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        SrpPlanes, TopK)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Tumbling-window event aggregation (1h windows).
+    "q29_event_windows" -> ((s, dir) => {
+      Events.tumbling(t(s, dir, "events"), WindowMs)
+        .orderBy("event_type", "window_start_ms")
+    }),
+
+    // Gap-based sessionization (30 min gap).
+    "q30_sessionize" -> ((s, dir) => {
+      Events.sessionize(t(s, dir, "events"), SessionGapMs)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // M7: run table with dense iteration index in start order.
+    "q31_run_table" -> ((s, dir) => {
+      Events.runTable(t(s, dir, "events")).orderBy("iteration")
+    }),
+
+    // M6: best-run selection — explicit orderBy().limit(1) (SURVEY N3).
+    "q32_best_run" -> ((s, dir) => {
+      Similarity.bestRow(Events.runTable(t(s, dir, "events")), "objective")
+        .select(col("job_name"), col("objective"))
+    }),
+
+    // A12: deterministic validation-probe sample from the frequent head.
+    "q33_valid_sample" -> ((s, dir) => {
+      vocab(s, dir)
+        .filter(col("idx") <= ValidWindow)
+        .orderBy(Portable.unif(col("product_id"), lit("valid")), col("idx"))
+        .limit(ValidSize)
+        .withColumn("idx", col("idx").cast("long"))
+        .select(col("idx"), col("product_id"))
+        .orderBy("idx")
+    }),
+
+    // A11: assembled (contexts, labels) training tensors.
+    "q34_tensors" -> ((s, dir) => {
+      Pairs.assemble(Pairs.negatives(pairs(s, dir), NumNs, VocabK), NumNs)
+        .select(col("order_id"),
+          col("pos_t").cast("long").as("pos_t"),
+          col("pos_c").cast("long").as("pos_c"),
+          col("target").cast("long").as("target"),
+          array_join(col("contexts"), ",").as("contexts"),
+          array_join(col("labels"), ",").as("labels"))
+        .orderBy("order_id", "pos_t", "pos_c")
+    }),
+
+    // Multimodal: binary-payload metadata extraction (size, hash, magic).
+    "q35_mm_meta" -> ((s, dir) => {
+      Multimodal.metaTable(
+        Multimodal.payloads(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal: per-partition stub feature extraction (mapPartitions)
+    // — not SQL-expressible (driver records rows-only).
+    "q36_mm_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.payloads(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          array_join(col("features"), ",").as("features"))
+        .orderBy("doc_id")
+    }),
+
+    // M1-M4: MLlib Word2Vec trained on baskets; top-5 cosine neighbors of
+    // 3 probe products from the extracted embedding table. Stochastic
+    // training — rows-only check (no oracle). Basket cap bounds bench
+    // cost at any SF; the library path has no cap.
+    "q37_w2v_synonyms" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val basketDf = Prod2Vec.baskets(li).limit(20000)
+      val model = Prod2Vec.train(basketDf, Prod2Vec.Params())
+      val probes = Prod2Vec.embeddings(model)
+        .orderBy("vec_id").limit(3)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      Prod2Vec.synonyms(model, probes, 5)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("probe_id", "rnk")
+    })
+  )
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -419,5 +688,253 @@ object SparkEntry {
          |FROM s
          |QUALIFY rnk <= $TopK
          |ORDER BY probe_id, rnk""".stripMargin
+  )
+
+  private def extOracleSql: Map[String, String] = Map(
+    "q17_exact_dup_groups" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs,
+        |       min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q18_dedup_keep_first" ->
+      """SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q19_minhash_sig" ->
+      s"""$minhashSqlCte
+         |SELECT doc_id, p, sig[p + 1] AS h
+         |FROM sig, (SELECT unnest(range(0, $NumPerms)) AS p)
+         |ORDER BY doc_id, p""".stripMargin,
+
+    "q20_lsh_near_pairs" -> {
+      val bandKeys = (1 to LshRows).map(r => s"sig[$LshRows*b + $r]") :+ "b"
+      s"""$minhashSqlCte,
+         |bands AS (
+         |  SELECT doc_id, shingles, b, ${Portable.sqlHash(bandKeys: _*)} AS bh
+         |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+         |    AND a.doc_id < c.doc_id
+         |),
+         |jac AS (
+         |  SELECT id_a, id_b,
+         |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+         |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+         |            JOIN sh sb ON cand.id_b = sb.doc_id
+         |)
+         |SELECT id_a, id_b, jaccard FROM jac
+         |WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q21_simhash" ->
+      s"""$simhashSqlCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    "q22_simhash_pairs" ->
+      s"""$simhashSqlCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS bv
+         |  FROM sim, (SELECT unnest(range(0, 4)) AS b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |         bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+         |    AND a.doc_id < c.doc_id
+         |)
+         |SELECT id_a, id_b, hamming FROM cand
+         |WHERE hamming <= $MaxHamming ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_embed_near_pairs" ->
+      s"""$srpSqlCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       round(${cosSql("ea.v", "eb.v")}, 9) AS cos
+         |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |JOIN ev ea ON a.vec_id = ea.vec_id
+         |JOIN ev eb ON b.vec_id = eb.vec_id
+         |WHERE round(${cosSql("ea.v", "eb.v")}, 9) >= $CosTau
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q24_token_stats" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${Text.WordPattern}'))::BIGINT AS n_word_tokens,
+         |  length(text)::BIGINT AS n_chars,
+         |  round(length(text)::DOUBLE / len(string_split(text, ' ')), 9) AS mean_tok_len,
+         |  ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_quality_score" -> {
+      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' '))::DOUBLE AS n_toks,
+         |    length(text)::DOUBLE AS n_chars,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_toks::BIGINT AS n_tokens,
+         |  round(alpha, 9) AS alpha_ratio,
+         |  round(digits, 9) AS digit_ratio,
+         |  round(stop, 9) AS stopword_ratio,
+         |  len_ok::BIGINT AS len_ok,
+         |  round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q26_langid" ->
+      s"""WITH profile(plang, w) AS (VALUES ${Text.langProfileSql}),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |hits AS (
+         |  SELECT t.doc_id, p.plang, count(*) AS n
+         |  FROM tok t JOIN profile p ON t.w = p.w GROUP BY t.doc_id, p.plang
+         |),
+         |best AS (
+         |  SELECT doc_id, plang, n,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY n DESC, plang ASC) AS r
+         |  FROM hits
+         |)
+         |SELECT d.doc_id, coalesce(b.plang, 'und') AS pred_lang,
+         |       coalesce(b.n, 0)::BIGINT AS n_hits, d.lang
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+         |  USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q27_fingerprints" -> {
+      val kgHash = Portable.sqlHash(
+        "concat_ws(' ', " + (0 until FpK).map(o => s"t[i+$o]").mkString(", ") + ")")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |kg AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(0, len(t) - ${FpK - 2})),
+         |      i -> $kgHash) AS hs
+         |  FROM toks
+         |),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(0, len(hs) - ${FpW - 2})),
+         |      i -> list_min(hs[i:i+${FpW - 1}]))) AS fps
+         |  FROM kg
+         |)
+         |SELECT doc_id, unnest(fps) AS fp FROM fp
+         |WHERE len(fps) >= 1 ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "q28_ann_topk" ->
+      s"""$srpSqlCte,
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+         |  FROM buck p JOIN buck c ON p.bucket = c.bucket
+         |    AND c.vec_id <> p.vec_id
+         |  JOIN ev ep ON p.vec_id = ep.vec_id
+         |  JOIN ev ec ON c.vec_id = ec.vec_id
+         |  WHERE p.vec_id < 5
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= $TopK
+         |ORDER BY probe_id, rnk""".stripMargin,
+
+    "q29_event_windows" ->
+      s"""SELECT event_type,
+         |  (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT AS window_start_ms,
+         |  count(*) AS n_events,
+         |  round(avg(value), 9) AS avg_value,
+         |  round(sum(value), 9) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start_ms""".stripMargin,
+
+    "q30_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+         |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+         |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${SessionGapMs}000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+         |),
+         |s AS (
+         |  SELECT user_id, event_id, value, tns,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM e
+         |)
+         |SELECT user_id, session_id::BIGINT AS session_id,
+         |  count(*) AS n_events,
+         |  (min(tns) // 1000000)::BIGINT AS start_ms,
+         |  (max(tns) // 1000000)::BIGINT AS end_ms,
+         |  ((max(tns) - min(tns)) // 1000000)::BIGINT AS duration_ms,
+         |  round(sum(value), 9) AS sum_value
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q31_run_table" ->
+      """WITH runs AS (
+        |  SELECT event_type AS job_name,
+        |         round(avg(value), 9) AS objective,
+        |         (min(epoch_ns(ts)) // 1000000)::BIGINT AS start_ms
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT job_name, objective, start_ms,
+        |       CAST(row_number() OVER (ORDER BY start_ms ASC) AS BIGINT) AS iteration
+        |FROM runs ORDER BY iteration""".stripMargin,
+
+    "q32_best_run" ->
+      """WITH runs AS (
+        |  SELECT event_type AS job_name, round(avg(value), 9) AS objective
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT job_name, objective FROM runs
+        |ORDER BY objective ASC LIMIT 1""".stripMargin,
+
+    "q33_valid_sample" ->
+      s"""$vocabSqlCte
+         |SELECT idx, pid AS product_id FROM (
+         |  SELECT idx::BIGINT AS idx, pid FROM vocab
+         |  WHERE idx <= $ValidWindow
+         |  ORDER BY ${Portable.sqlUnif("pid", "'valid'")}, idx
+         |  LIMIT $ValidSize
+         |) ORDER BY idx""".stripMargin,
+
+    "q34_tensors" -> {
+      val negs = (0 until NumNs).map { k =>
+        val u = Portable.sqlUnif("order_id", "pos_t", "pos_c", k.toString)
+        s"least(${VocabK - 1}, CAST(floor(exp($u * ln(${VocabK + 1}.0))) AS BIGINT) - 1)"
+      }
+      s"""$pairsSqlCte
+         |SELECT order_id, pos_t, pos_c, target,
+         |  concat_ws(',', context, ${negs.mkString(", ")}) AS contexts,
+         |  '1,${Seq.fill(NumNs)("0").mkString(",")}' AS labels
+         |FROM pairs
+         |ORDER BY order_id, pos_t, pos_c""".stripMargin
+    },
+
+    "q35_mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  to_base64(encode(substring(text, 1, 8))) AS magic_b64,
+        |  lang, source
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q36_mm_features, q37_w2v_synonyms: no SQL equivalent (mapPartitions
+    // stub / stochastic training) — driver records rows-only checks.
   )
 }

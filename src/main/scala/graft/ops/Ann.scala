@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an `array<float>` embedding
+  * column (SURVEY.md §7.4) — the scale path beyond the exact broadcast
+  * scan in [[Similarity.cosineTopK]].
+  *
+  * Sign-random-projection LSH: each vector gets a `planes`-bit bucket
+  * ([[Dedup.srpBuckets]]); a probe is compared only against its own
+  * bucket's candidates. With P planes the corpus splits into ≤ 2^P
+  * buckets, so per-probe work drops by ~2^P at the cost of recall (near
+  * neighbors landing across a hyperplane are missed — raise recall with
+  * fewer planes or multi-table OR-construction). Everything is keyed
+  * hashing, so buckets — and therefore results — are deterministic and
+  * DuckDB-oracle-able.
+  */
+object Ann {
+
+  /** Approximate cosine top-k: probes meet only same-bucket candidates.
+    * One shuffle keyed on bucket; the per-probe top-k is a window rank
+    * over the (small) candidate set. Returns (probe_id, vec_id, cos,
+    * rnk ≤ k). */
+  def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, planes: Int, k: Int): DataFrame = {
+    val cb = Dedup.srpBuckets(corpus, idCol, vecCol, planes)
+      .select(col("bucket"), col(idCol).as("vec_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+    val pb = Dedup.srpBuckets(probes, idCol, vecCol, planes)
+      .select(col("bucket"), col(idCol).as("probe_id"),
+        transform(col(vecCol), _.cast("double")).as("pv"))
+    cb.join(pb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("pv")), 9))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
+  /** Recall of the approximate result against the exact top-k: fraction
+    * of (probe, neighbor) pairs the ANN run recovered. Driver for specs
+    * and tuning the plane count. */
+  def recallAgainstExact(approx: DataFrame, exact: DataFrame): Double = {
+    val hit = approx.select(col("probe_id"), col("vec_id"))
+      .join(exact.select(col("probe_id"), col("vec_id")),
+        Seq("probe_id", "vec_id"))
+      .count().toDouble
+    val total = exact.count().toDouble
+    if (total == 0) 1.0 else hit / total
+  }
+}

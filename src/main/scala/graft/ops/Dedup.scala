@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training-data pipelines (SURVEY.md
+  * §7.4): exact (content-hash groupBy), MinHash+LSH near-dup, SimHash
+  * near-dup, n-gram Jaccard verification, embedding-cosine near-dup.
+  *
+  * 100 TB posture: a corpus is never compared pairwise. Every near-dup
+  * path is signature → band/bucket → shuffle keyed on the bucket →
+  * candidate pairs only within buckets → exact verify on the candidates.
+  * The only all-pairs computation ever materialized is |candidates|,
+  * which LSH keeps near-linear in the true near-dup count. Signatures are
+  * map-only column expressions; persist the signature table when several
+  * downstream stages reuse it.
+  *
+  * All randomness is keyed [[Portable]] hashing → reproducible across
+  * engines; every operator here is DuckDB-oracle-able.
+  */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact-duplicate groups: md5 over the content column. Returns one row
+    * per distinct content value: (content_hash, n_docs, keep_id) where
+    * keep_id is the smallest doc id (the canonical survivor). */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Exact dedup: keep the smallest id per distinct content value.
+    * Equivalent to `dropDuplicates(contentCol)` but with a deterministic
+    * survivor (dropDuplicates keeps an arbitrary row). */
+  def dedupExact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.join(exactGroups(df, idCol, contentCol)
+        .select(col("keep_id").as(idCol)), Seq(idCol))
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** MinHash signature: permutation p's component is the minimum keyed
+    * hash over the document's shingle set. Map-only. Input must carry a
+    * `shingles` array column ([[Text.shingles]]); documents with no
+    * shingles are dropped (no signature is definable). */
+  def minhashSignatures(df: DataFrame, numPerms: Int): DataFrame =
+    df.filter(size(col("shingles")) >= 1)
+      .withColumn("sig", array((0 until numPerms).map(p =>
+        array_min(transform(col("shingles"), s =>
+          Portable.seededHash(s, lit(p))))): _*))
+
+  /** LSH banding: split the signature into `bands` bands of `rpb` rows,
+    * hash each band → (doc, band, band_hash). Docs sharing any band hash
+    * are candidate pairs. b bands of r rows ⇒ the S-curve collision
+    * probability 1-(1-j^r)^b; 4×4 over 16 perms targets j ≳ 0.5. */
+  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rpb: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      val keys = (1 to rpb).map(r => element_at(col("sig"), b * rpb + r))
+      struct(lit(b).as("band"), Portable.seededHash(keys :+ lit(b): _*).as("bh"))
+    }: _*)
+    sigs.select(col(idCol), explode(bandStructs).as("bnd"))
+      .select(col(idCol), col("bnd.band").as("band"), col("bnd.bh").as("bh"))
+  }
+
+  /** Candidate pairs: self-join of band hashes — the one shuffle of the
+    * MinHash pipeline, keyed on (band, band_hash) so only docs in the
+    * same bucket ever meet. Returns distinct (id_a < id_b). */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets: |A∩B| / |A∪B| on the distinct-shingle arrays. Joins the (small)
+    * candidate set back to the signatures' shingles — two hash joins keyed
+    * on doc id. Keeps pairs with jaccard ≥ tau. */
+  def jaccardVerify(cands: DataFrame, shingled: DataFrame, idCol: String,
+                    tau: Double): DataFrame = {
+    val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
+    cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 9))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** Per-doc 32-bit SimHash over whitespace tokens (map-only). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), Text.simhash("__t").as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHam, found via
+    * byte-banding: split the 32-bit fingerprint into 4 bytes; by
+    * pigeonhole, pairs within Hamming ≤ 3 share at least one exact byte,
+    * so bucketing on (byte_index, byte_value) finds all of them with one
+    * bucket-keyed shuffle — never a pairwise scan. */
+  def simhashPairs(sims: DataFrame, idCol: String, maxHam: Int): DataFrame = {
+    require(maxHam <= 3, "byte-banding over 4 bands only guarantees recall for hamming <= 3")
+    val banded = sims.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*))
+          .as("bnd"))
+      .select(col(idCol), col("simhash"), col("bnd.band").as("band"),
+        col("bnd.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col(idCol).as("id_a"),
+      col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"), col(idCol).as("id_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHam)
+  }
+
+  // ---- embedding-cosine -------------------------------------------------
+
+  /** Sign-random-projection bucket per vector: bit p = (v · w_p ≥ 0) with
+    * plane weights w_p[i] = unif(p, i) − 0.5 derived from the portable
+    * hash (no RNG state — reproducible and oracle-able). Map-only. */
+  def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 planes: Int): DataFrame = {
+    val h = Portable.sparkSqlHash("p", "i")
+    val proj = expr(
+      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
+         |  acc + IF(
+         |    aggregate(zip_with($vecCol, sequence(1, size($vecCol)), (x, i) ->
+         |        CAST(x AS DOUBLE) * (($h / 1152921504606846976.0) - 0.5)),
+         |      CAST(0.0 AS DOUBLE), (a2, y) -> a2 + y) >= 0,
+         |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
+    df.select(col(idCol), col(vecCol), proj.as("bucket"))
+  }
+
+  /** Embedding near-dup pairs: SRP-bucket the vectors, join within
+    * buckets only (shuffle keyed on bucket), exact cosine ≥ tau on the
+    * candidates. Recall is approximate (vectors in different buckets are
+    * never compared) — more planes ⇒ fewer, purer candidates. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       planes: Int, tau: Double): DataFrame = {
+    val bucketed = srpBuckets(df, idCol, vecCol, planes)
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      transform(col(vecCol), _.cast("double")).as("v_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      transform(col(vecCol), _.cast("double")).as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(Similarity.cosine(col("v_a"), col("v_b")), 9))
+      .filter(col("cos") >= tau)
+      // a pair shares exactly one bucket value, so no dedup is needed
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

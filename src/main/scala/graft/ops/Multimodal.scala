@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7.4): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run the
+  * decode / feature-extract step as a per-partition batch operator.
+  *
+  * The container has no image/audio codecs, so [[extractFeatures]]' inner
+  * decoder is a clearly-marked deterministic STUB (byte histogram); the
+  * Spark-side plumbing — schema, binary column handling, partition-batch
+  * iteration, typed output — is real and tested. Swapping the stub for a
+  * JNI/ONNX decoder changes one function.
+  *
+  * Scale posture: payloads never pass through a shuffle here — metadata
+  * extraction and feature extraction are map-only; downstream joins
+  * should carry (id, features) only, never the payload.
+  */
+object Multimodal {
+
+  /** A decoded feature row: id, payload size, and the extracted feature
+    * vector (the stub's 16-bin byte histogram, normalized). */
+  case class FeatureRow(doc_id: Long, n_bytes: Long, features: Array[Double])
+
+  /** Pack a text column as an opaque binary payload with typed metadata —
+    * the shape a real pipeline has after `spark.read.format("binaryFile")`
+    * or reading parquet with a `binary` media column. */
+  def payloads(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      col(contentCol).cast("binary").as("payload"),
+      struct(length(col(contentCol).cast("binary")).cast("long").as("n_bytes"),
+        col("lang"), col("source")).as("meta"))
+
+  /** Metadata extraction over the binary payload — size, content hash,
+    * magic-bytes prefix. Map-only scalar expressions (oracle-able). */
+  def metaTable(payloadDf: DataFrame): DataFrame =
+    payloadDf.select(col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      base64(substring(col("payload"), 1, 8)).as("magic_b64"),
+      col("meta.lang").as("lang"),
+      col("meta.source").as("source"))
+
+  /** Feature extraction as a per-partition batch operator
+    * (`mapPartitions`): the iterator shape is where a real implementation
+    * amortizes decoder/model initialization per partition (the JVM
+    * analog of `mapInPandas` batch UDFs).
+    *
+    * STUB DECODER: a real pipeline would decode the payload (image →
+    * pixels, audio → PCM) and run a feature model. Neither codec exists
+    * in this container, so the "features" are a deterministic 16-bin
+    * byte histogram — same signature, same batching, fake content. */
+  def extractFeatures(payloadDf: DataFrame): Dataset[FeatureRow] = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens HERE (decoder handles, model weights)
+        it.map { case (id, bytes) =>
+          val hist = new Array[Double](16)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
+          val n = math.max(1, bytes.length).toDouble
+          var b = 0
+          while (b < 16) { hist(b) = math.rint(hist(b) / n * 1e9) / 1e9; b += 1 }
+          FeatureRow(id, bytes.length.toLong, hist)
+        }
+      }
+  }
+}

@@ -44,6 +44,15 @@ object Portable {
   def unif(cols: Column*): Column =
     seededHash(cols: _*) / lit(TwoPow60)
 
+  /** Spark-SQL fragment computing the same 60-bit hash — for use inside
+    * `expr(...)` strings where the Column API can't reach (e.g. lambda
+    * variables of higher-order functions). Must stay in lockstep with
+    * [[seededHash]] and [[sqlHash]]. */
+  def sparkSqlHash(keys: String*): String =
+    s"CAST(conv(substring(md5(concat_ws(chr(1), " +
+      keys.map(k => s"CAST($k AS STRING)").mkString(", ") +
+      ")), 1, 15), 16, 10) AS BIGINT)"
+
   /** DuckDB SQL fragment computing the same 60-bit hash; `keys` are SQL
     * expressions of string or integer type. */
   def sqlHash(keys: String*): String =

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-training-data pipelines (SURVEY.md §7.4):
+  * tokenization, token counting, shingling, quality scoring, language ID,
+  * document fingerprinting, SimHash.
+  *
+  * These generalize the reference's basket/vocab pipeline
+  * (`pipeline/data_preprocessing/data_prep.py:47-105`) from product-id
+  * sequences to token sequences: a document is a basket of words. All
+  * operators are per-row column expressions (map-only, no shuffle) except
+  * where a groupBy is semantically required — the 100 TB posture is "the
+  * corpus never moves; only signatures/fingerprints do".
+  *
+  * Every stochastic-looking choice (hash seeds, profiles) is a pure
+  * function of row content via [[Portable]], so results are bit-for-bit
+  * reproducible and DuckDB-oracle-able.
+  */
+object Text {
+
+  /** Whitespace tokenization — single-space split, matching DuckDB
+    * `string_split(text, ' ')` exactly (fixture text is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word-regex tokenization (BPE-ish lower bound): maximal runs of
+    * letters or digits. Same RE2-safe pattern both engines. */
+  val WordPattern = "[a-zA-Z]+|[0-9]+"
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(text, lit(WordPattern), lit(0))
+
+  /** Distinct token n-gram shingles of an array column; empty when the
+    * document has fewer than n tokens. 1-based `element_at` keeps the
+    * construction aligned with the DuckDB oracle ([[shinglesSql]]). */
+  def shingles(toks: Column, n: Int): Column = {
+    val gram = transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    array_distinct(when(size(toks) >= n, gram)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB fragment: distinct n-gram shingles of list column `t`. */
+  def shinglesSql(t: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"$t[i+$o]").mkString(", ")
+    s"list_distinct(list_transform(range(1, greatest(0, len($t) - ${n - 2})), " +
+      s"i -> concat_ws(' ', $parts)))"
+  }
+
+  /** Per-document token statistics: whitespace tokens, word tokens, chars,
+    * mean token length, and the ~4-chars-per-token BPE estimate. */
+  def tokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(wordTokens(col(textCol))).cast("long").as("n_word_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      round(length(col(textCol)).cast("double") /
+        size(tokens(col(textCol))), 9).as("mean_tok_len"),
+      ceil(length(col(textCol)) / lit(4.0)).cast("long").as("est_bpe_tokens"))
+
+  /** English-stopword mini-list used by the quality score (public,
+    * standard top stopwords). */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Per-document quality metrics + composite score — the length /
+    * punctuation / stopword-ratio heuristics of C4/Gopher-style cleaning,
+    * as pure scalar expressions (map-only). Score is a clamped weighted
+    * sum, rounded for cross-engine float stability. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nToks = size(toks).cast("double")
+    val nChars = length(t).cast("double")
+    val alpha = (nChars - length(regexp_replace(t, "[a-z A-Z]", ""))) / nChars
+    val digits = (nChars - length(regexp_replace(t, "[0-9]", ""))) / nChars
+    val stop = size(filter(toks, w => w.isin(EnStopwords.map(lit): _*)))
+      .cast("double") / nToks
+    val lenOk = when(nToks >= 10 && nToks <= 1000, lit(1.0)).otherwise(lit(0.0))
+    val score = least(lit(1.0), greatest(lit(0.0),
+      lit(0.4) * lenOk + lit(0.3) * alpha + lit(0.2) * stop +
+        lit(0.1) * (lit(1.0) - digits)))
+    df.select(col("doc_id"),
+      nToks.cast("long").as("n_tokens"),
+      round(alpha, 9).as("alpha_ratio"),
+      round(digits, 9).as("digit_ratio"),
+      round(stop, 9).as("stopword_ratio"),
+      lenOk.cast("long").as("len_ok"),
+      round(score, 9).as("quality_score"))
+  }
+
+  /** Stopword profile per language for the n-gram/stopword language-ID
+    * heuristic — tiny public word lists; scoring is hit-count per language
+    * with deterministic tiebreak (count DESC, lang ASC), 'und' when no
+    * profile word occurs. */
+  val LangProfile: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "est",
+    "es" -> "el", "es" -> "los", "es" -> "que", "es" -> "y", "es" -> "es",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "不")
+
+  /** DuckDB VALUES list mirroring [[LangProfile]]. */
+  def langProfileSql: String =
+    LangProfile.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+
+  /** Language ID: join exploded tokens against the profile, argmax hits
+    * per doc (count DESC, lang ASC), left-join back with 'und' fallback.
+    * The profile is broadcast; the token explode never leaves its
+    * partition until the per-doc count agg. */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val profile = LangProfile.toDF("plang", "w")
+    val hits = df.select(col("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .join(broadcast(profile), Seq("w"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("n"))
+    val best = hits.withColumn("r", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(desc("n"), asc("plang"))))
+      .filter(col("r") === 1)
+      .select(col("doc_id"), col("plang"), col("n"))
+    df.select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("plang"), lit("und")).as("pred_lang"),
+        coalesce(col("n"), lit(0L)).as("n_hits"),
+        col("lang"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS algorithm): hash every k-token gram, slide a window of w hashes,
+    * keep each window's minimum, dedupe. A document's fingerprint set is
+    * position-robust: shared fingerprints ⇒ shared k-gram runs.
+    * Documents with fewer than k+w-1 tokens emit nothing (no full window).
+    * Map-only; output is (doc_id, fp) exploded. */
+  def fingerprints(df: DataFrame, textCol: String, k: Int, w: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = shinglesAll(toks, k)
+    val hs = transform(grams, g => Portable.seededHash(g))
+    val nWin = size(hs) - lit(w - 1)
+    val fps = array_distinct(transform(sequence(lit(1), nWin), i =>
+      array_min(slice(hs, i, lit(w)))))
+    df.select(col("doc_id"), fps.as("fps"))
+      .filter(size(col("fps")) >= 1)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  /** All (non-distinct) k-gram shingles — winnowing needs positional
+    * k-grams, not the distinct set. */
+  private def shinglesAll(toks: Column, n: Int): Column = {
+    val gram = transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    when(size(toks) >= n, gram).otherwise(array().cast("array<string>"))
+  }
+
+  /** 32-bit SimHash over the token multiset: bit b of the fingerprint is
+    * set when the sum over tokens of ±1 (by bit b of the token's 60-bit
+    * [[Portable]] hash) is ≥ 0. Pure per-row expression (map-only) — the
+    * DuckDB oracle computes the identical value relationally
+    * ([[Dedup.simhashSqlCte]]). */
+  def simhash(toksCol: String): Column = {
+    val h = Portable.sparkSqlHash("w")
+    expr(
+      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
+         |  IF(aggregate($toksCol, CAST(0 AS BIGINT), (a2, w) -> a2 +
+         |       IF(((shiftright($h, b)) & 1) = 1,
+         |          CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) >= 0,
+         |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+  }
+}
