@@ -103,6 +103,7 @@ object Prod2Vec {
       (s"run_dim${p.vectorSize}_lr${p.stepSize}", -meanCos, i.toLong)
     }.toDF("job_name", "objective", "start_ms")
     val table = Similarity.withIteration(runs, "start_ms")
+      .withColumn("iteration", col("iteration").cast("long"))
     (table, Similarity.bestRow(table, "objective"))
   }
 }

@@ -90,10 +90,14 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** Per-doc 32-bit SimHash over whitespace tokens (map-only). */
+  /** Per-doc 32-bit SimHash over whitespace tokens (map-only). Token
+    * hashes are materialized in their own projection so each token is
+    * md5'd once, not once per fingerprint bit. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), Text.tokens(col(textCol)).as("__t"))
-      .select(col(idCol), Text.simhash("__t").as("simhash"))
+    df.select(col(idCol),
+        transform(Text.tokens(col(textCol)), w => Portable.seededHash(w))
+          .as("__th"))
+      .select(col(idCol), Text.simhash("__th").as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHam, found via
     * byte-banding: split the 32-bit fingerprint into 4 bytes; by
@@ -128,6 +132,7 @@ object Dedup {
     * hash (no RNG state — reproducible and oracle-able). Map-only. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int): DataFrame = {
+    graft.functions.Hash60.register(df.sparkSession)
     val h = Portable.sparkSqlHash("p", "i")
     val proj = expr(
       s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->

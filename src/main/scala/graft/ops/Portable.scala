@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * cryptographic hash both Spark and DuckDB expose with identical string
   * semantics. 60 bits keeps the value positive in an INT64 in both engines.
   *
-  * Scale posture: md5 is not codegen'd as tightly as xxhash64, but it is a
-  * per-row scalar with no shuffle implications; use [[seededHash]] for
-  * oracle-facing paths and plain `xxhash64` where only Spark-side
-  * reproducibility matters.
+  * Spark-side the value is computed by [[graft.functions.Hash60]], a
+  * native codegen'd expression producing the long straight from the
+  * digest bytes (no hex string / base-16 parse); the composed built-in
+  * chain it replaces lives on as [[composedSeededHash]], and a spec pins
+  * their equality. The DuckDB oracle keeps the composed SQL form.
   */
 object Portable {
 
@@ -37,6 +38,12 @@ object Portable {
   /** 60-bit non-negative hash of the concatenated key columns.
     * DuckDB equivalent: [[sqlHash]]. */
   def seededHash(cols: Column*): Column =
+    graft.functions.Hash60(cols: _*)
+
+  /** The built-in-function composition [[seededHash]] replaced — kept as
+    * the reference implementation the Hash60 spec checks the native
+    * expression against. */
+  def composedSeededHash(cols: Column*): Column =
     conv(substring(md5(concat_ws(Sep, cols.map(_.cast("string")): _*)), 1, 15),
       16, 10).cast("long")
 
@@ -46,12 +53,11 @@ object Portable {
 
   /** Spark-SQL fragment computing the same 60-bit hash — for use inside
     * `expr(...)` strings where the Column API can't reach (e.g. lambda
-    * variables of higher-order functions). Must stay in lockstep with
-    * [[seededHash]] and [[sqlHash]]. */
+    * variables of higher-order functions). Resolves to the registered
+    * [[graft.functions.Hash60]] SQL function: call
+    * `Hash60.register(spark)` before resolving the fragment. */
   def sparkSqlHash(keys: String*): String =
-    s"CAST(conv(substring(md5(concat_ws(chr(1), " +
-      keys.map(k => s"CAST($k AS STRING)").mkString(", ") +
-      ")), 1, 15), 16, 10) AS BIGINT)"
+    s"${graft.functions.Hash60.FuncName}(" + keys.mkString(", ") + ")"
 
   /** DuckDB SQL fragment computing the same 60-bit hash; `keys` are SQL
     * expressions of string or integer type. */

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the batch event analytics
+  * ([[graft.ops.Events]]). The reference has no streaming surface
+  * (SURVEY.md §2.8) — these extend the engine per the north star, and
+  * every transform here is readStream/writeStream-agnostic: the same
+  * function works on a batch DataFrame (specs exercise both).
+  *
+  * Scale posture: watermarks bound state; windowed aggs shuffle once on
+  * (window, key); `session_window` and `mapGroupsWithState` keep state
+  * per key — at 1000 executors the state store partitions with the
+  * shuffle, so per-key state must stay small (counters, not event
+  * buffers).
+  */
+object StreamOps {
+
+  /** Event-time column from the epoch-ns LONG `ts` (micros precision —
+    * Spark's native timestamp resolution). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts per event_type with a watermark: late events
+    * beyond `watermark` are dropped, which is what bounds state. */
+  def windowedCounts(events: DataFrame, windowDur: String,
+                     watermark: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessions via the built-in `session_window` — the streaming
+    * twin of [[graft.ops.Events.sessionize]]. */
+  def sessionWindows(events: DataFrame, gap: String,
+                     watermark: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Per-user running aggregate state. */
+  case class UserState(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via `mapGroupsWithState`: a running per-user
+    * (count, sum) that survives across micro-batches — the
+    * minimal-state-per-key pattern (counters only, never buffered
+    * events). Emits the updated state for each key seen in the batch. */
+  def runningUserState(events: Dataset[(Long, Double)]): Dataset[UserState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(user, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { r => n += 1; s += r._2 }
+          val next = UserState(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: wire a streaming DataFrame to an in-memory sink (specs
+    * and smoke runs) and return the query name to select from. */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

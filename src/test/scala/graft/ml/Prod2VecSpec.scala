@@ -1,0 +1,49 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.ops.{Similarity, Sources}
+import org.apache.spark.sql.functions._
+
+class Prod2VecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val basketDf =
+    Prod2Vec.baskets(Sources.table(spark, sf("sf0.001"), "lineitem"))
+
+  private lazy val model =
+    Prod2Vec.train(basketDf, Prod2Vec.Params(vectorSize = 8, minCount = 2,
+      numPartitions = 2))
+
+  test("M1/M2/M4: trained embedding table has the declared shape") {
+    val emb = Prod2Vec.embeddings(model)
+    assert(emb.columns.sameElements(Array("vec_id", "embedding")))
+    val n = emb.count()
+    assert(n > 0)
+    assert(emb.select(size($"embedding")).distinct().as[Int].head() == 8)
+  }
+
+  test("M3: synonyms exclude the probe, cap at k, cosine in range") {
+    val probes = Prod2Vec.embeddings(model).orderBy("vec_id").limit(2)
+      .select("vec_id").as[Long].collect().toSeq
+    val syn = Prod2Vec.synonyms(model, probes, 5)
+      .select("probe_id", "vec_id", "cos", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(syn.nonEmpty)
+    assert(syn.forall(r => r._1 != r._2))          // P3: self excluded
+    assert(syn.groupBy(_._1).forall(_._2.length <= 5)) // P6: k cap
+    assert(syn.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
+  }
+
+  test("M5-M7: grid tune returns iteration table and min-objective best row") {
+    val coPairs = Seq((1L, 2L), (3L, 4L)).toDF("target_pid", "neighbor_pid")
+    val grid = Seq(
+      Prod2Vec.Params(vectorSize = 4, maxIter = 1, numPartitions = 2),
+      Prod2Vec.Params(vectorSize = 8, maxIter = 1, numPartitions = 2))
+    val (table, best) = Prod2Vec.tune(basketDf.limit(200), grid, coPairs)
+    val rows = table.orderBy("iteration").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("iteration")).sameElements(Array(1L, 2L)))
+    val bestObj = best.head().getAs[Double]("objective")
+    assert(bestObj == rows.map(_.getAs[Double]("objective")).min)
+  }
+}

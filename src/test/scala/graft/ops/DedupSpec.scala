@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),  // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "x")                                               // too short to shingle
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: duplicate groups counted, min-id survivor kept") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 4) // 5 docs, one exact pair
+    val dup = groups.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 1L) // survivor is the smallest id
+    val kept = Dedup.dedupExact(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("minhash: exact dups share full signature; shingle-less docs dropped") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val sigs = Dedup.minhashSignatures(sh, 16)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    assert(!sigs.contains(5L)) // 1 token -> no shingles -> no signature
+    assert(sigs(1L) == sigs(2L)) // identical shingle sets
+    // near-dup shares most (not necessarily all) signature components
+    val shared = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(shared >= 8, s"near-dup shared only $shared/16 minhashes")
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("LSH + jaccard verify finds exact and near dups, not distinct docs") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val sigs = Dedup.minhashSignatures(sh, 16)
+    val cands = Dedup.lshCandidatePairs(
+      Dedup.lshBands(sigs, "doc_id", 4, 4), "doc_id")
+    val verified = Dedup.jaccardVerify(cands, sh, "doc_id", 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pairs = verified.map(v => (v._1, v._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(verified.find(v => (v._1, v._2) == ((1L, 2L))).get._3 == 1.0)
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts equal, near texts close, Hamming pairs found") {
+    val sims = Dedup.simhashes(docs, "doc_id", "text")
+    val m = sims.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+    val pairs = Dedup.simhashPairs(sims, "doc_id", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // hamming 0
+  }
+
+  test("srp buckets: identical vectors collide; bucket domain bounded") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f)),
+      (3L, Seq(-1.0f, 2.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val b = Dedup.srpBuckets(vecs, "vec_id", "embedding", 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+    assert(b.values.forall(v => v >= 0 && v < 16))
+  }
+
+  test("embedding near-dup: finds the identical pair with cos 1.0") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f)),
+      (3L, Seq(-1.0f, 2.0f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", 4, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(nd.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(nd.head._3 == 1.0)
+  }
+
+  test("100TB shape: near-dup paths bucket-join, never full crossJoin") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val plan = Dedup.lshCandidatePairs(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, 16), "doc_id", 4, 4), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ts in epoch-nanos (the nanosAsLong read shape)
+  private val H = 3600L * 1000000000L   // 1h in ns
+  private val M = 60L * 1000000000L     // 1min in ns
+  private def ev = Seq(
+    // user 1: two sessions (gap > 30min between e3 and e4)
+    (1L, 0L * M, 10L, "click", 1.0),
+    (2L, 5L * M, 10L, "click", 2.0),
+    (3L, 10L * M, 10L, "view", 3.0),
+    (4L, 50L * M, 10L, "click", 4.0),
+    // user 2: single event
+    (5L, 2L * H, 20L, "view", 5.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumbling: window key is floor(ms/width)*width; aggs correct") {
+    val r = Events.tumbling(ev, 3600000L)
+      .orderBy("event_type", "window_start_ms").collect()
+    val clickW0 = r.find(x => x.getString(0) == "click" && x.getLong(1) == 0L).get
+    assert(clickW0.getLong(2) == 3)           // e1, e2, e4 in hour 0
+    assert(clickW0.getDouble(4) == 7.0)       // 1+2+4
+    val viewW2 = r.find(x => x.getString(0) == "view" && x.getLong(1) == 7200000L).get
+    assert(viewW2.getLong(2) == 1)
+  }
+
+  test("sessionize: 30min gap splits sessions; stats per session") {
+    val s = Events.sessionize(ev, 1800000L)
+      .orderBy("user_id", "session_id").collect()
+    assert(s.length == 3)
+    val (s1, s2, s3) = (s(0), s(1), s(2))
+    assert(s1.getLong(0) == 10L && s1.getLong(2) == 3) // first session: e1-e3
+    assert(s1.getLong(5) == 10L * 60L * 1000L)         // duration 10 min
+    assert(s2.getLong(2) == 1)                         // e4 alone
+    assert(s3.getLong(0) == 20L && s3.getLong(2) == 1)
+  }
+
+  test("run table: iteration ordered by start, best row = min objective") {
+    val rt = Events.runTable(ev).orderBy("iteration").collect()
+    assert(rt.map(_.getLong(3)).sameElements(Array(1L, 2L)))
+    assert(rt(0).getString(0) == "click") // click starts at t=0
+    val best = Similarity.bestRow(Events.runTable(ev), "objective").head()
+    // click avg = 7/3 < view avg = 4
+    assert(best.getString(0) == "click")
+  }
+}

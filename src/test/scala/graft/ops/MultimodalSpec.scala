@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hello world", "en", "s1"),
+    (2L, "", "en", "s2"),
+    (3L, "0123456789abcdef", "de", "s3")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("payloads: binary column + typed metadata struct") {
+    val p = Multimodal.payloads(docs, "doc_id", "text")
+    assert(p.schema("payload").dataType == BinaryType)
+    val meta = p.schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.sameElements(Array("n_bytes", "lang", "source")))
+    val r = p.where($"doc_id" === 1).select("meta.n_bytes").as[Long].head()
+    assert(r == 11L)
+  }
+
+  test("metaTable: size, md5, magic prefix") {
+    val m = Multimodal.metaTable(Multimodal.payloads(docs, "doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert(m(0).getLong(1) == 11L)
+    assert(m(0).getString(2) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(m(2).getString(3) ==
+      java.util.Base64.getEncoder.encodeToString("01234567".getBytes))
+  }
+
+  test("stub features: 16-bin normalized byte histogram, empty-safe") {
+    val f = Multimodal.extractFeatures(
+        Multimodal.payloads(docs, "doc_id", "text"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(f(1L).features.length == 16)
+    assert(math.abs(f(1L).features.sum - 1.0) < 1e-6)
+    assert(f(2L).n_bytes == 0L && f(2L).features.forall(_ == 0.0))
+    // "0123456789" bytes 0x30-0x39 -> bin 3; "abcdef" 0x61-0x66 -> bin 6
+    assert(f(3L).features(3) == 0.625 && f(3L).features(6) == 0.375)
+  }
+}

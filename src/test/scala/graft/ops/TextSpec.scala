@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today", "en"),
+    (2L, "der hund und die katze und das haus ist hier gross", "de"),
+    (3L, "a b", "en"),
+    (4L, "un deux trois 42 quatre", "fr")
+  ).toDF("doc_id", "text", "lang")
+
+  test("shingles: count = n_tokens - n + 1, distinct, short docs empty") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).length == 9) // 11 tokens, all trigrams distinct
+    assert(sh(3L).isEmpty)     // 2 tokens < n
+    assert(sh(1L).head == "the quick brown")
+  }
+
+  test("token stats: ws vs word-regex counts, bpe estimate") {
+    val r = Text.tokenStats(docs, "text").where($"doc_id" === 4)
+      .as[(Long, Long, Long, Long, Double, Long)].head()
+    assert(r._2 == 5)  // ws tokens
+    assert(r._3 == 5)  // word tokens: un deux trois 42 quatre
+    assert(r._6 == math.ceil(r._4 / 4.0).toLong)
+  }
+
+  test("quality score: in [0,1], monotone pieces behave") {
+    val rows = Text.qualityScore(docs, "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(rows.values.forall(s => s >= 0.0 && s <= 1.0))
+    // doc 3 fails the length gate; doc 1 passes -> strictly lower score
+    assert(rows(3L) < rows(1L))
+  }
+
+  test("langid: stopword profiles pick the right language, 'und' fallback") {
+    val r = Text.languageId(docs, "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "de")
+    assert(r(4L) == "und") // no profile word occurs
+  }
+
+  test("fingerprints: deterministic, subset-robust, empty for short docs") {
+    val fp1 = Text.fingerprints(docs, "text", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    val fp2 = Text.fingerprints(docs, "text", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(fp1 == fp2)
+    assert(!fp1.exists(_._1 == 3L)) // too short for any 4-gram window
+    assert(fp1.exists(_._1 == 1L))
+  }
+
+  test("simhash: 32-bit range and determinism") {
+    val s = Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(s.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+    assert(s == Dedup.simhashes(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap)
+  }
+}

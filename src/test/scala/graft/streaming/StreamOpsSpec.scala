@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // 1h in ns
+
+  // (event_id, ts_ns, user_id, event_type, value) matching the fixture shape
+  private def mkDf(rows: Seq[(Long, Long, Long, String, Double)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("windowedCounts: streaming counts accumulate; late event dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.windowedCounts(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour", "30 minutes"),
+      "wc", OutputMode.Append)
+    try {
+      // hour-0 events, then hour-3 events to push the watermark past hour 0
+      in.addData((1L, 0L, 1L, "click", 1.0), (2L, H / 2, 1L, "click", 2.0))
+      q.processAllAvailable()
+      in.addData((3L, 3 * H, 1L, "click", 4.0))
+      q.processAllAvailable()
+      // late arrival for hour 0 — beyond watermark, must be dropped
+      in.addData((4L, H / 4, 1L, "click", 100.0))
+      q.processAllAvailable()
+      in.addData((5L, 5 * H, 1L, "click", 8.0))
+      q.processAllAvailable()
+      val hour0 = spark.table("wc")
+        .filter(unix_millis($"window_start") === 0L)
+        .select($"n_events", $"sum_value").as[(Long, Double)].collect()
+      assert(hour0.length == 1)
+      assert(hour0.head == ((2L, 3.0))) // late value 100.0 not counted
+    } finally q.stop()
+  }
+
+  test("windowedCounts: same transform works in batch") {
+    val batch = StreamOps.windowedCounts(
+      mkDf(Seq((1L, 0L, 1L, "click", 1.0), (2L, H / 2, 1L, "click", 2.0),
+        (3L, 3 * H, 2L, "view", 4.0))),
+      "1 hour", "30 minutes")
+      .select(unix_millis($"window_start"), $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(batch == Set((0L, "click", 2L), (3 * 3600000L, "view", 1L)))
+  }
+
+  test("sessionWindows: gap splits sessions in batch mode") {
+    val s = StreamOps.sessionWindows(
+      mkDf(Seq(
+        (1L, 0L, 1L, "click", 1.0),
+        (2L, 10L * 60 * 1000000000L, 1L, "click", 2.0),   // +10min: same session
+        (3L, 2L * H, 1L, "click", 3.0),                   // new session
+        (4L, 0L, 2L, "view", 4.0))),
+      "30 minutes", "1 hour")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(s(1L) == Seq(1L, 2L))
+    assert(s(2L) == Seq(1L))
+  }
+
+  test("mapGroupsWithState: running per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.runningUserState(in.toDS()).toDF(), "state", OutputMode.Update)
+    try {
+      in.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      in.addData((1L, 4.0))
+      q.processAllAvailable()
+      // last emitted state per user
+      val last = spark.table("state")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"sum_value")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.sum_value")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(last(1L) == ((3L, 7.0)))
+      assert(last(2L) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+}
