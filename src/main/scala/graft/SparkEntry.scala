@@ -382,9 +382,14 @@ object SparkEntry {
     }),
 
     // MinHash signatures (16 keyed permutations over 3-gram shingles).
+    // posexplode_OUTER + isNotNull instead of posexplode: the non-outer
+    // generate makes the optimizer infer size(sig) > 0 and push it below
+    // the projection, re-deriving the full 16-perm hash tree at the scan
+    // (signatures are never empty here, so results are identical).
     "q19_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSignatures(shingled(s, dir), NumPerms)
-        .select(col("doc_id"), posexplode(col("sig")).as(Seq("p", "h")))
+        .select(col("doc_id"), posexplode_outer(col("sig")).as(Seq("p", "h")))
+        .filter(col("h").isNotNull)
         .withColumn("p", col("p").cast("long"))
         .orderBy("doc_id", "p")
     }),

@@ -154,7 +154,14 @@ object Text {
       // nWin would make sequence() count DOWN) — guard before transform
       .filter(size(hs) >= w)
       .select(col("doc_id"), fps.as("fps"))
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      // explode_OUTER + isNotNull, deliberately: a plain explode makes the
+      // optimizer infer `size(fps) > 0` and push it below the projection,
+      // substituting (= re-deriving) the whole hash expression tree at the
+      // scan — measured as the single worst hotspot in the bench. The
+      // outer generate is exempt from that rule; rows are non-empty here
+      // anyway (filtered above), so results are identical.
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
   }
 
   /** All (non-distinct) k-gram shingles — winnowing needs positional

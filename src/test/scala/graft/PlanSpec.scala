@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-quality assertions — the 100 TB posture is only real if the
+  * physical plans show it: pruned scans, pushed filters, broadcast
+  * dictionary joins, no cartesian products, codegen'd hot paths. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: scan pruned to referenced columns only") {
+    val p = plan("q1_pricing_summary")
+    val scan = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_partkey"),
+      s"unpruned scan: $scan")
+  }
+
+  test("q16: probe filter pushed down to the parquet scan") {
+    val p = plan("q16_cosine_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]")
+      || p.contains("LessThan(vec_id,5)"), p)
+  }
+
+  test("q14: dictionary joins are broadcast hash joins, fact never shuffles for them") {
+    val p = plan("q14_copurchase_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q10: pair pipeline has exactly one fact-table shuffle (the basket groupBy)") {
+    val p = plan("q10_skipgram_cooc")
+    // exchanges: basket groupBy + final cooc agg + tiny vocab topK/window +
+    // broadcast build — but NO join-driven exchange pair (sort-merge join
+    // would add two). SortMergeJoin must not appear at all.
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("aggregations are partial+final hash aggregates (map-side combine)") {
+    val p = plan("q2_vocab_topk")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("q2: top-K vocab is TakeOrdered, not a full sort") {
+    assert(plan("q2_vocab_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup/ann queries never fall back to nested-loop or cartesian joins") {
+    Seq("q20_lsh_near_pairs", "q22_simhash_pairs", "q23_embed_near_pairs",
+      "q28_ann_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
+
+  test("hash-dense operators stay inside whole-stage codegen") {
+    // execute THIS dataframe (not a derived count) so AQE finalizes the
+    // plan — pre-execution it prints isFinalPlan=false without codegen
+    // markers
+    val df = SparkEntry.queries("q19_minhash_sig")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(")) // fused codegen stages present
+  }
+
+  test("generate does not re-derive hash trees below the projection") {
+    // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
+    // comments): if it regresses, hash60 shows up inside a Filter over
+    // the raw text scan and these counts explode
+    Seq("q19_minhash_sig", "q27_fingerprints").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      val inFilters = p.linesIterator
+        .filter(_.trim.startsWith("Filter"))
+        .map(l => "hash60".r.findAllIn(l).size).sum
+      assert(inFilters == 0, s"$q: hash60 re-derived in a Filter ($inFilters times)")
+    }
+  }
+}

@@ -34,6 +34,15 @@ class Prod2VecSpec extends SparkSpec {
     assert(syn.forall(r => r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9))
   }
 
+  test("S8: model persistence round-trips (save/load)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2v").toString
+    model.write.overwrite().save(dir)
+    val back = org.apache.spark.ml.feature.Word2VecModel.load(dir)
+    val a = Prod2Vec.embeddings(model).orderBy("vec_id").collect()
+    val b = Prod2Vec.embeddings(back).orderBy("vec_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("M5-M7: grid tune returns iteration table and min-objective best row") {
     val coPairs = Seq((1L, 2L), (3L, 4L)).toDF("target_pid", "neighbor_pid")
     val grid = Seq(
