@@ -519,6 +519,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JSON column parsing: events.props is a JSON string — typed extract
+    // then aggregate (the from_json path a props/metadata column takes).
+    "q38_props_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // Analytic ranks: rank/dense_rank over per-user engagement within
+    // each event_type (value-determined, tie-stable).
+    "q39_user_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val peruser = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(desc("n"))
+      peruser
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("event_type"), col("user_id"), col("n"), col("rnk"),
+          col("drnk"))
+        .orderBy("event_type", "rnk", "user_id")
+    }),
+
+    // Window frames + lag/lead: per-user previous/next event gap and a
+    // 3-row moving sum, in (ts, event_id) order.
+    "q40_moving_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("ms", expr("ts div 1000000"))
+        .withColumn("prev_gap_ms",
+          (col("ms") - lag(col("ms"), 1).over(w)).cast("long"))
+        .withColumn("next_gap_ms",
+          (lead(col("ms"), 1).over(w) - col("ms")).cast("long"))
+        .withColumn("mov_sum3",
+          round(sum(col("value")).over(w.rowsBetween(-2, 0)), 9))
+        .select(col("user_id"), col("event_id"), col("ms"),
+          col("prev_gap_ms"), col("next_gap_ms"), col("mov_sum3"))
+        .orderBy("user_id", "ms", "event_id")
+    }),
+
     // M1-M4: MLlib Word2Vec trained on baskets; top-5 cosine neighbors of
     // 3 probe products from the extracted embedding table. Stochastic
     // training — rows-only check (no oracle). Basket cap bounds bench
@@ -938,7 +987,46 @@ object SparkEntry {
         |  md5(text) AS content_md5,
         |  to_base64(encode(substring(text, 1, 8))) AS magic_b64,
         |  lang, source
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_props_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q39_user_rank" ->
+      """WITH peruser AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY event_type, user_id
+        |)
+        |SELECT event_type, user_id, n,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM peruser
+        |WINDOW w AS (PARTITION BY event_type ORDER BY n DESC)
+        |QUALIFY rnk <= 10
+        |ORDER BY event_type, rnk, user_id""".stripMargin,
+
+    "q40_moving_window" ->
+      // truncate to ms BEFORE differencing (matches the Spark side, which
+      // lags the already-truncated ms column)
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         (epoch_ns(ts) // 1000000)::BIGINT AS ms,
+        |         epoch_ns(ts) AS tns
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, ms,
+        |  (ms - lag(ms, 1) OVER w)::BIGINT AS prev_gap_ms,
+        |  (lead(ms, 1) OVER w - ms)::BIGINT AS next_gap_ms,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY tns, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 9) AS mov_sum3
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+        |ORDER BY user_id, ms, event_id""".stripMargin
     // q36_mm_features, q37_w2v_synonyms: no SQL equivalent (mapPartitions
     // stub / stochastic training) — driver records rows-only checks.
   )
