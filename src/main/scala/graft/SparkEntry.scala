@@ -133,10 +133,15 @@ object SparkEntry {
   val ValidWindow = 50
   val ValidSize = 10
 
-  /** Shingled documents (doc_id, shingles) shared by the MinHash path. */
+  /** Shingled documents (doc_id, shingles) shared by the MinHash path.
+    * Tokens are materialized in their own projection first: HOF lambdas
+    * evaluate interpreted with NO common-subexpression elimination, so an
+    * inlined split(text) would re-run for every element_at inside the
+    * shingle lambda (3x per gram — measured ~2x the whole query). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-      Text.shingles(Text.tokens(col("text")), ShingleN).as("shingles"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), Text.shingles(col("__t"), ShingleN).as("shingles"))
 
   /** DuckDB CTEs mirroring [[shingled]] + MinHash signatures. */
   private val minhashSqlCte: String = {
@@ -387,7 +392,7 @@ object SparkEntry {
     // the projection, re-deriving the full 16-perm hash tree at the scan
     // (signatures are never empty here, so results are identical).
     "q19_minhash_sig" -> ((s, dir) => {
-      Dedup.minhashSignatures(shingled(s, dir), NumPerms)
+      Dedup.minhashSignatures(shingled(s, dir), "doc_id", NumPerms)
         .select(col("doc_id"), posexplode_outer(col("sig")).as(Seq("p", "h")))
         .filter(col("h").isNotNull)
         .withColumn("p", col("p").cast("long"))
@@ -397,7 +402,7 @@ object SparkEntry {
     // MinHash+LSH near-dup pairs, Jaccard-verified at tau.
     "q20_lsh_near_pairs" -> ((s, dir) => {
       val sh = shingled(s, dir)
-      val sigs = Dedup.minhashSignatures(sh, NumPerms)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", NumPerms)
       val cands = Dedup.lshCandidatePairs(
         Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
       Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)

@@ -39,14 +39,34 @@ object Dedup {
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** MinHash signature: permutation p's component is the minimum keyed
-    * hash over the document's shingle set. Map-only. Input must carry a
+    * hash over the document's shingle set. Input must carry `idCol` and a
     * `shingles` array column ([[Text.shingles]]); documents with no
-    * shingles are dropped (no signature is definable). */
-  def minhashSignatures(df: DataFrame, numPerms: Int): DataFrame =
-    df.filter(size(col("shingles")) >= 1)
-      .withColumn("sig", array((0 until numPerms).map(p =>
-        array_min(transform(col("shingles"), s =>
-          Portable.seededHash(s, lit(p))))): _*))
+    * shingles are dropped (no signature is definable).
+    *
+    * Shape: explode shingles → one codegen'd projection computing all
+    * `numPerms` hashes per shingle → partial+final min-aggregate back to
+    * one row per doc. The all-array `transform` form is shuffle-free but
+    * its lambda bodies evaluate INTERPRETED (Spark doesn't codegen
+    * higher-order-function lambdas) — measured ~2x slower than paying
+    * this narrow shuffle (numPerms longs per doc after map-side combine).
+    * Output: (idCol, sig: array<bigint>). */
+  def minhashSignatures(df: DataFrame, idCol: String, numPerms: Int): DataFrame = {
+    val perShingle = df
+      // explode_OUTER + isNotNull: a plain explode makes the optimizer
+      // infer size(shingles) > 0 and push it below the projection,
+      // re-deriving the whole shingle expression at the scan (see the
+      // PlanSpec regression test); empty-shingle docs drop either way
+      .select(col(idCol), explode_outer(col("shingles")).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol) +: (0 until numPerms).map(p =>
+        Portable.seededHash(col("__s"), lit(p)).as(s"__h$p")): _*)
+    perShingle
+      .groupBy(col(idCol))
+      .agg(min(col("__h0")).as("__m0"),
+        (1 until numPerms).map(p => min(col(s"__h$p")).as(s"__m$p")): _*)
+      .select(col(idCol),
+        array((0 until numPerms).map(p => col(s"__m$p")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rpb` rows,
     * hash each band → (doc, band, band_hash). Docs sharing any band hash
@@ -90,14 +110,32 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** Per-doc 32-bit SimHash over whitespace tokens (map-only). Token
-    * hashes are materialized in their own projection so each token is
-    * md5'd once, not once per fingerprint bit. */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
-        transform(Text.tokens(col(textCol)), w => Portable.seededHash(w))
-          .as("__th"))
-      .select(col(idCol), Text.simhash("__th").as("simhash"))
+  /** Per-doc 32-bit SimHash over whitespace tokens.
+    *
+    * Relational shape — explode tokens, hash each once, then ONE
+    * aggregation computing all 32 signed bit-sums as codegen'd
+    * `sum(case)` columns, reassembled into the fingerprint. The per-row
+    * higher-order-function form ([[Text.simhash]]) is shuffle-free but
+    * its lambdas evaluate interpreted (~5x slower measured); here the
+    * narrow shuffle (32 longs per doc after map-side combine) buys full
+    * whole-stage codegen, and the aggregate doubles as a materialization
+    * barrier for downstream banding. Matches the DuckDB oracle's
+    * relational form exactly (docs with zero tokens emit nothing). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$b")
+    }
+    val assemble = (0 until 32).map { b =>
+      when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), explode_outer(Text.tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isNotNull)
+      .select(col(idCol), Portable.seededHash(col("__w")).as("__h"))
+      .groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), assemble.as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHam, found via
     * byte-banding: split the 32-bit fingerprint into 4 bytes; by
@@ -121,8 +159,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is functional of the pair, so the
+      // result is identical, but the dedup shuffle then carries only the
+      // accepted pairs instead of every band collision
       .filter(col("hamming") <= maxHam)
+      .distinct()
   }
 
   // ---- embedding-cosine -------------------------------------------------

@@ -137,14 +137,17 @@ object Text {
     * Documents with fewer than k+w-1 tokens emit nothing (no full window).
     * Map-only; output is (doc_id, fp) exploded. */
   def fingerprints(df: DataFrame, textCol: String, k: Int, w: Int): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = shinglesAll(toks, k)
-    // Materialize the hash array in its own projection: expression trees
-    // are not DAG-shared, so referencing `hs` inside the per-window
-    // transform would re-hash every k-gram once per window (O(n·w) md5
-    // calls instead of O(n) — measured 100x+ on the bench).
-    val hashed = df.select(col("doc_id"),
-      transform(grams, g => Portable.seededHash(g)).as("hs"))
+    // Materialize tokens, then the hash array, each in their own
+    // projection: expression trees are not DAG-shared and interpreted HOF
+    // lambdas get no common-subexpression elimination, so an inlined
+    // split(text) would re-run per element_at (k x per gram) and an
+    // inlined `hs` would re-hash every k-gram once per window (O(n·w)
+    // md5 calls instead of O(n) — measured 100x+ on the bench).
+    val grams = shinglesAll(col("__t"), k)
+    val hashed = df
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        transform(grams, g => Portable.seededHash(g)).as("hs"))
     val hs = col("hs")
     val nWin = size(hs) - lit(w - 1)
     val fps = array_distinct(transform(sequence(lit(1), nWin), i =>

@@ -27,7 +27,7 @@ class DedupSpec extends SparkSpec {
   test("minhash: exact dups share full signature; shingle-less docs dropped") {
     val sh = docs.select($"doc_id",
       Text.shingles(Text.tokens($"text"), 3).as("shingles"))
-    val sigs = Dedup.minhashSignatures(sh, 16)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
       .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
     assert(!sigs.contains(5L)) // 1 token -> no shingles -> no signature
     assert(sigs(1L) == sigs(2L)) // identical shingle sets
@@ -40,7 +40,7 @@ class DedupSpec extends SparkSpec {
   test("LSH + jaccard verify finds exact and near dups, not distinct docs") {
     val sh = docs.select($"doc_id",
       Text.shingles(Text.tokens($"text"), 3).as("shingles"))
-    val sigs = Dedup.minhashSignatures(sh, 16)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id", 16)
     val cands = Dedup.lshCandidatePairs(
       Dedup.lshBands(sigs, "doc_id", 4, 4), "doc_id")
     val verified = Dedup.jaccardVerify(cands, sh, "doc_id", 0.5)
@@ -91,7 +91,7 @@ class DedupSpec extends SparkSpec {
     val sh = docs.select($"doc_id",
       Text.shingles(Text.tokens($"text"), 3).as("shingles"))
     val plan = Dedup.lshCandidatePairs(
-      Dedup.lshBands(Dedup.minhashSignatures(sh, 16), "doc_id", 4, 4), "doc_id")
+      Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 16), "doc_id", 4, 4), "doc_id")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
