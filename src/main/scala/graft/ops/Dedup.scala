@@ -170,19 +170,36 @@ object Dedup {
 
   /** Sign-random-projection bucket per vector: bit p = (v · w_p ≥ 0) with
     * plane weights w_p[i] = unif(p, i) − 0.5 derived from the portable
-    * hash (no RNG state — reproducible and oracle-able). Map-only. */
+    * hash (no RNG state — reproducible and oracle-able). Map-only.
+    *
+    * The weight matrix depends only on (plane, dim), so it is computed
+    * ONCE driver-side — with the very same [[graft.functions.Hash60]]
+    * digest function the runtime expression would use, so values are
+    * bit-identical to the DuckDB oracle's per-row hashing — and embedded
+    * as a literal. The per-row work is then a plain multiply-add fold
+    * (sequential, same accumulation order as the oracle's `list_sum`).
+    * The vector dimension is probed from one row (tiny driver job). */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int): DataFrame = {
-    graft.functions.Hash60.register(df.sparkSession)
-    val h = Portable.sparkSqlHash("p", "i")
+    import org.apache.spark.unsafe.types.UTF8String
+    val dim = df.select(size(col(vecCol)).as("n"))
+      .agg(max(col("n"))).head().getInt(0)
+    val weights: Seq[Seq[Double]] = (0 until planes).map { p =>
+      (1 to dim).map { i =>
+        val h = graft.functions.Hash60.compute(Array(
+          UTF8String.fromString(p.toString), UTF8String.fromString(i.toString)))
+        h / Portable.TwoPow60 - 0.5
+      }
+    }
     val proj = expr(
       s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
          |  acc + IF(
-         |    aggregate(zip_with($vecCol, sequence(1, size($vecCol)), (x, i) ->
-         |        CAST(x AS DOUBLE) * (($h / 1152921504606846976.0) - 0.5)),
+         |    aggregate(zip_with($vecCol, element_at(__srpw, p + 1), (x, w) ->
+         |        CAST(x AS DOUBLE) * w),
          |      CAST(0.0 AS DOUBLE), (a2, y) -> a2 + y) >= 0,
          |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
-    df.select(col(idCol), col(vecCol), proj.as("bucket"))
+    df.withColumn("__srpw", typedLit(weights))
+      .select(col(idCol), col(vecCol), proj.as("bucket"))
   }
 
   /** Embedding near-dup pairs: SRP-bucket the vectors, join within

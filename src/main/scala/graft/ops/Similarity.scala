@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double-array columns — `zip_with` multiply then
-    * ordered fold; sequential order makes the result reproducible (and
-    * oracle-matchable) regardless of partitioning. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric-array columns — left-to-right fold in
+    * double precision; sequential order makes the result reproducible (and
+    * oracle-matchable) regardless of partitioning. Evaluated by the native
+    * codegen'd [[graft.functions.FoldDot]] expression, bit-identical to
+    * the declarative `aggregate(zip_with(a, b, _*_), 0.0, _+_)` form but
+    * one tight loop instead of interpreted HOF lambdas. */
+  def dot(a: Column, b: Column): Column = graft.functions.FoldDot(a, b)
 
   /** L2 norm of a double-array column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
