@@ -116,7 +116,7 @@ object SparkEntry {
   val LshRows = 4
   /** Jaccard acceptance threshold for near-dup verification. */
   val JaccardTau = 0.5
-  /** SimHash near-dup Hamming radius (byte-banding is exact to ≤3). */
+  /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
   val SrpPlanes = 4
@@ -171,7 +171,7 @@ object SparkEntry {
        |  SELECT doc_id, b,
        |         CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) >= 0
        |              THEN (1::BIGINT << b) ELSE 0 END AS bv
-       |  FROM th, (SELECT unnest(range(0, 32)) AS b) GROUP BY doc_id, b
+       |  FROM th, (SELECT unnest(range(0, ${Dedup.SimHashBits})) AS b) GROUP BY doc_id, b
        |),
        |sim AS (
        |  SELECT doc_id, sum(bv)::BIGINT AS simhash FROM bits GROUP BY doc_id
@@ -409,13 +409,13 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // Per-doc 32-bit SimHash fingerprint.
+    // Per-doc 60-bit SimHash fingerprint.
     "q21_simhash" -> ((s, dir) => {
       Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
-    // SimHash near-dup pairs (Hamming <= 2) via byte-banding.
+    // SimHash near-dup pairs (Hamming <= 2) via 15-bit banding.
     "q22_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(
         Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text"),
@@ -798,8 +798,9 @@ object SparkEntry {
     "q22_simhash_pairs" ->
       s"""$simhashSqlCte,
          |bands AS (
-         |  SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS bv
-         |  FROM sim, (SELECT unnest(range(0, 4)) AS b)
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> (${Dedup.SimHashBandBits}*b)) & ${(1L << Dedup.SimHashBandBits) - 1} AS bv
+         |  FROM sim, (SELECT unnest(range(0, ${Dedup.SimHashBands})) AS b)
          |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -996,7 +997,7 @@ object SparkEntry {
 
     "q38_props_json" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -110,23 +110,36 @@ object Dedup {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** Per-doc 32-bit SimHash over whitespace tokens.
+  /** SimHash fingerprint width. 60 bits (the full [[Portable]] hash
+    * width): a 32-bit fingerprint saturates on web-scale corpora —
+    * unrelated documents start colliding within small Hamming radii —
+    * and its byte bands give only 256 bucket values, so the
+    * within-bucket candidate join goes quadratic. 60 bits keeps random
+    * collisions negligible and makes each of the 4 bands 15 bits wide
+    * (32768 bucket values per band). */
+  val SimHashBits = 60
+  /** Bands for [[simhashPairs]]: 4 × 15-bit — pigeonhole guarantees
+    * recall for Hamming ≤ 3. */
+  val SimHashBands = 4
+  val SimHashBandBits: Int = SimHashBits / SimHashBands
+
+  /** Per-doc [[SimHashBits]]-bit SimHash over whitespace tokens.
     *
     * Relational shape — explode tokens, hash each once, then ONE
-    * aggregation computing all 32 signed bit-sums as codegen'd
+    * aggregation computing all signed bit-sums as codegen'd
     * `sum(case)` columns, reassembled into the fingerprint. The per-row
     * higher-order-function form ([[Text.simhash]]) is shuffle-free but
     * its lambdas evaluate interpreted (~5x slower measured); here the
-    * narrow shuffle (32 longs per doc after map-side combine) buys full
+    * narrow shuffle (60 longs per doc after map-side combine) buys full
     * whole-stage codegen, and the aggregate doubles as a materialization
     * barrier for downstream banding. Matches the DuckDB oracle's
     * relational form exactly (docs with zero tokens emit nothing). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until SimHashBits).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__b$b")
     }
-    val assemble = (0 until 32).map { b =>
+    val assemble = (0 until SimHashBits).map { b =>
       when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.select(col(idCol), explode_outer(Text.tokens(col(textCol))).as("__w"))
@@ -138,16 +151,23 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHam, found via
-    * byte-banding: split the 32-bit fingerprint into 4 bytes; by
-    * pigeonhole, pairs within Hamming ≤ 3 share at least one exact byte,
-    * so bucketing on (byte_index, byte_value) finds all of them with one
-    * bucket-keyed shuffle — never a pairwise scan. */
+    * banding: split the [[SimHashBits]]-bit fingerprint into
+    * [[SimHashBands]] bands of [[SimHashBandBits]] bits; by pigeonhole,
+    * pairs within Hamming ≤ [[SimHashBands]]−1 share at least one exact
+    * band, so bucketing on (band_index, band_value) finds all of them
+    * with one bucket-keyed shuffle — never a pairwise scan. 15-bit bands
+    * give 32768 bucket values per band, so buckets stay small and the
+    * within-bucket join stays near-linear as the corpus grows (the
+    * round-2 byte-banding had 256, a quadratic-bucket scale trap). */
   def simhashPairs(sims: DataFrame, idCol: String, maxHam: Int): DataFrame = {
-    require(maxHam <= 3, "byte-banding over 4 bands only guarantees recall for hamming <= 3")
+    require(maxHam < SimHashBands,
+      s"$SimHashBands bands only guarantee recall for hamming <= ${SimHashBands - 1}")
+    val bandMask = (1L << SimHashBandBits) - 1
     val banded = sims.select(col(idCol), col("simhash"),
-        explode(array((0 until 4).map(b =>
+        explode(array((0 until SimHashBands).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*))
+            shiftright(col("simhash"), SimHashBandBits * b)
+              .bitwiseAND(lit(bandMask)).as("bv"))): _*))
           .as("bnd"))
       .select(col(idCol), col("simhash"), col("bnd.band").as("band"),
         col("bnd.bv").as("bv"))
@@ -178,12 +198,21 @@ object Dedup {
     * bit-identical to the DuckDB oracle's per-row hashing — and embedded
     * as a literal. The per-row work is then a plain multiply-add fold
     * (sequential, same accumulation order as the oracle's `list_sum`).
-    * The vector dimension is probed from one row (tiny driver job). */
+    *
+    * The vector dimension is probed from a SINGLE row (`head()` compiles
+    * to a limit-1 job — never a full scan; embedding columns are
+    * fixed-dimension by contract).
+    *
+    * Sizing `planes` at scale: buckets ≈ 2^planes, so within-bucket
+    * candidate joins stay near-linear only when
+    * planes ≈ log2(N / targetBucketSize). A fixture-sized default would
+    * be a scale trap, so `planes` is a required argument; for recall,
+    * OR multiple independent tables (distinct plane seeds) rather than
+    * lowering `planes`. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
                  planes: Int): DataFrame = {
     import org.apache.spark.unsafe.types.UTF8String
-    val dim = df.select(size(col(vecCol)).as("n"))
-      .agg(max(col("n"))).head().getInt(0)
+    val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
     val weights: Seq[Seq[Double]] = (0 until planes).map { p =>
       (1 to dim).map { i =>
         val h = graft.functions.Hash60.compute(Array(

@@ -175,16 +175,16 @@ object Text {
     when(size(toks) >= n, gram).otherwise(array().cast("array<string>"))
   }
 
-  /** 32-bit SimHash from a pre-hashed token array (`array<bigint>` of
-    * 60-bit [[Portable]] hashes): bit b of the fingerprint is set when
-    * the sum over tokens of ±1 (by bit b of the token's hash) is ≥ 0.
-    * Pure per-row expression (map-only). Takes the HASH array, not the
-    * token array, so the md5 work happens once per token in a prior
-    * projection instead of once per (token, bit) — 32x less hashing. The
+  /** [[Dedup.SimHashBits]]-bit SimHash from a pre-hashed token array
+    * (`array<bigint>` of 60-bit [[Portable]] hashes): bit b of the
+    * fingerprint is set when the sum over tokens of ±1 (by bit b of the
+    * token's hash) is ≥ 0. Pure per-row expression (map-only). Takes the
+    * HASH array, not the token array, so the md5 work happens once per
+    * token in a prior projection instead of once per (token, bit). The
     * DuckDB oracle computes the identical value relationally. */
   def simhash(hashCol: String): Column =
     expr(
-      s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
+      s"""aggregate(sequence(0, ${Dedup.SimHashBits - 1}), CAST(0 AS BIGINT), (acc, b) -> acc +
          |  IF(aggregate($hashCol, CAST(0 AS BIGINT), (a2, h) -> a2 +
          |       IF(((shiftright(h, b)) & 1) = 1,
          |          CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) >= 0,

@@ -56,10 +56,10 @@ class TextSpec extends SparkSpec {
     assert(fp1.exists(_._1 == 1L))
   }
 
-  test("simhash: 32-bit range and determinism") {
+  test("simhash: 60-bit range and determinism") {
     val s = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
-    assert(s.values.forall(v => v >= 0 && v <= 0xFFFFFFFFL))
+    assert(s.values.forall(v => v >= 0 && v < (1L << Dedup.SimHashBits)))
     assert(s == Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap)
   }
