@@ -21,8 +21,10 @@ object Bench {
         // Checksum over EVERY output column — a bare .count() lets
         // Catalyst prune expensive computed columns out of the plan, so
         // the "benchmark" would never evaluate them.
+        // bit_xor fold: order-independent and cannot overflow (sum of
+        // xxhash64 Longs throws ARITHMETIC_OVERFLOW under ANSI mode).
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
-          .agg(sum(col("__h"))).collect()
+          .agg(bit_xor(col("__h"))).collect()
       } catch {
         case e: Throwable =>
           errors += name -> e.toString.replaceAll("""["\\\n\r\t]""", " ").take(200)

@@ -25,12 +25,12 @@ object Ann {
     * rnk ≤ k). */
   def annTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, planes: Int, k: Int): DataFrame = {
+    // raw float arrays straight into FoldDot-backed cosine — element casts
+    // happen inside the codegen'd fold, no interpreted transform() copy
     val cb = Dedup.srpBuckets(corpus, idCol, vecCol, planes)
-      .select(col("bucket"), col(idCol).as("vec_id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
+      .select(col("bucket"), col(idCol).as("vec_id"), col(vecCol).as("v"))
     val pb = Dedup.srpBuckets(probes, idCol, vecCol, planes)
-      .select(col("bucket"), col(idCol).as("probe_id"),
-        transform(col(vecCol), _.cast("double")).as("pv"))
+      .select(col("bucket"), col(idCol).as("probe_id"), col(vecCol).as("pv"))
     cb.join(pb, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(Similarity.cosine(col("v"), col("pv")), 9))

@@ -189,15 +189,19 @@ object Dedup {
   // ---- embedding-cosine -------------------------------------------------
 
   /** Sign-random-projection bucket per vector: bit p = (v · w_p ≥ 0) with
-    * plane weights w_p[i] = unif(p, i) − 0.5 derived from the portable
-    * hash (no RNG state — reproducible and oracle-able). Map-only.
+    * plane weights w_p[i] = unif(planeOffset + p, i) − 0.5 derived from
+    * the portable hash (no RNG state — reproducible and oracle-able).
+    * Map-only.
     *
     * The weight matrix depends only on (plane, dim), so it is computed
     * ONCE driver-side — with the very same [[graft.functions.Hash60]]
     * digest function the runtime expression would use, so values are
     * bit-identical to the DuckDB oracle's per-row hashing — and embedded
-    * as a literal. The per-row work is then a plain multiply-add fold
-    * (sequential, same accumulation order as the oracle's `list_sum`).
+    * as a literal. The per-row work is then one [[graft.functions.FoldDot]]
+    * per plane against its literal weight array — a tight codegen'd
+    * multiply-add loop with the SAME sequential accumulation order as the
+    * oracle's `list_sum` fold (a relational SUM could flip the sign of a
+    * near-zero projection and change the bucket).
     *
     * The vector dimension is probed from a SINGLE row (`head()` compiles
     * to a limit-1 job — never a full scan; embedding columns are
@@ -207,28 +211,27 @@ object Dedup {
     * candidate joins stay near-linear only when
     * planes ≈ log2(N / targetBucketSize). A fixture-sized default would
     * be a scale trap, so `planes` is a required argument; for recall,
-    * OR multiple independent tables (distinct plane seeds) rather than
-    * lowering `planes`. */
+    * OR multiple independent tables via `planeOffset` (table t passes
+    * offset t·planes — distinct contiguous plane ranges, so table 0 is
+    * bit-identical to the single-table form; see
+    * [[graft.ops.Ann.annTopKMulti]]) rather than lowering `planes`. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int): DataFrame = {
+                 planes: Int, planeOffset: Int = 0): DataFrame = {
     import org.apache.spark.unsafe.types.UTF8String
     val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
     val weights: Seq[Seq[Double]] = (0 until planes).map { p =>
       (1 to dim).map { i =>
         val h = graft.functions.Hash60.compute(Array(
-          UTF8String.fromString(p.toString), UTF8String.fromString(i.toString)))
+          UTF8String.fromString((planeOffset + p).toString),
+          UTF8String.fromString(i.toString)))
         h / Portable.TwoPow60 - 0.5
       }
     }
-    val proj = expr(
-      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, p) ->
-         |  acc + IF(
-         |    aggregate(zip_with($vecCol, element_at(__srpw, p + 1), (x, w) ->
-         |        CAST(x AS DOUBLE) * w),
-         |      CAST(0.0 AS DOUBLE), (a2, y) -> a2 + y) >= 0,
-         |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
-    df.withColumn("__srpw", typedLit(weights))
-      .select(col(idCol), col(vecCol), proj.as("bucket"))
+    val bucket = (0 until planes).map { p =>
+      when(graft.functions.FoldDot(col(vecCol), typedLit(weights(p))) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), col(vecCol), bucket.as("bucket"))
   }
 
   /** Embedding near-dup pairs: SRP-bucket the vectors, join within
@@ -238,10 +241,12 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int, tau: Double): DataFrame = {
     val bucketed = srpBuckets(df, idCol, vecCol, planes)
+    // raw float arrays straight into FoldDot-backed cosine — element casts
+    // happen inside the codegen'd fold, no interpreted transform() copy
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      transform(col(vecCol), _.cast("double")).as("v_a"))
+      col(vecCol).as("v_a"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      transform(col(vecCol), _.cast("double")).as("v_b"))
+      col(vecCol).as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",

@@ -56,10 +56,11 @@ object Similarity {
     * id (P3). Scores rounded to 9 dp for stable cross-engine compare.
     * Returns (probe_id, vec_id, cos, rnk ≤ k). */
   def cosineTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
+    // raw arrays straight into the FoldDot-backed cosine — element casts
+    // happen inside the codegen'd fold, no interpreted transform() copy
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
     val p = probes.select(col("vec_id").as("probe_id"),
-      transform(col("embedding"), _.cast("double")).as("pv"))
+      col("embedding").as("pv"))
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(cosine(col("v"), col("pv")), 9))

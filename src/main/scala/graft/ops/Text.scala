@@ -135,14 +135,53 @@ object Text {
     * keep each window's minimum, dedupe. A document's fingerprint set is
     * position-robust: shared fingerprints ⇒ shared k-gram runs.
     * Documents with fewer than k+w-1 tokens emit nothing (no full window).
-    * Map-only; output is (doc_id, fp) exploded. */
+    * Output is (doc_id, fp) exploded.
+    *
+    * Relational shape: hash each k-gram ONCE (O(n) codegen'd Hash60
+    * calls in a map-only projection), explode to (doc_id, pos, h), then
+    * the per-window minimum is a window-function `min` over
+    * `rowsBetween(0, w-1)` in position order, keeping only positions
+    * with a full w-hash window, then distinct. The all-array HOF form
+    * ([[fingerprintsHof]], kept as the spec-pinned reference impl) is
+    * shuffle-free but evaluates `array_min(slice(...))` per window in
+    * interpreted lambdas — O(n·w) uncodegen'd work per doc; here the
+    * narrow (doc_id, pos, h) shuffle buys whole-stage codegen for the
+    * sliding minimum. Both shuffles (window + distinct) are keyed on
+    * doc_id / (doc_id, fp) — bounded per-doc rows, no skew trap at
+    * corpus scale. */
   def fingerprints(df: DataFrame, textCol: String, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Materialize tokens, then the hash array, each in their own
     // projection: expression trees are not DAG-shared and interpreted HOF
     // lambdas get no common-subexpression elimination, so an inlined
-    // split(text) would re-run per element_at (k x per gram) and an
-    // inlined `hs` would re-hash every k-gram once per window (O(n·w)
-    // md5 calls instead of O(n) — measured 100x+ on the bench).
+    // split(text) would re-run per element_at (k x per gram).
+    val hashed = df
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        transform(shinglesAll(col("__t"), k), g =>
+          Portable.seededHash(g)).as("hs"))
+      // posexplode_OUTER + isNotNull, deliberately: a plain posexplode
+      // makes the optimizer infer `size(hs) > 0` and push it below the
+      // projection, substituting (= re-deriving) the whole hash
+      // expression tree at the scan (see PlanSpec's regression test).
+      .select(col("doc_id"), size(col("hs")).as("__n"),
+        posexplode_outer(col("hs")).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("fp", min(col("h")).over(win))
+      // only positions with a full w-hash window are fingerprint windows
+      .filter(col("pos") <= col("__n") - w)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /** [[fingerprints]] in per-row higher-order-function form — shuffle-free
+    * (map-only) but interpreted: `array_min(slice(hs, i, w))` per window.
+    * Kept as the reference implementation the TextSpec pins the relational
+    * form against; prefer [[fingerprints]] on anything large. */
+  def fingerprintsHof(df: DataFrame, textCol: String, k: Int, w: Int): DataFrame = {
     val grams = shinglesAll(col("__t"), k)
     val hashed = df
       .select(col("doc_id"), tokens(col(textCol)).as("__t"))
@@ -157,12 +196,6 @@ object Text {
       // nWin would make sequence() count DOWN) — guard before transform
       .filter(size(hs) >= w)
       .select(col("doc_id"), fps.as("fps"))
-      // explode_OUTER + isNotNull, deliberately: a plain explode makes the
-      // optimizer infer `size(fps) > 0` and push it below the projection,
-      // substituting (= re-deriving) the whole hash expression tree at the
-      // scan — measured as the single worst hotspot in the bench. The
-      // outer generate is exempt from that rule; rows are non-empty here
-      // anyway (filtered above), so results are identical.
       .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)
   }

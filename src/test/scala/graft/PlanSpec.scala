@@ -69,6 +69,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(")) // fused codegen stages present
   }
 
+  test("SRP/cosine hot paths carry no interpreted lambda over the vector column") {
+    // srpBuckets emits one codegen'd FoldDot per plane against literal
+    // weights, and cosine consumes the raw float arrays — if aggregate/
+    // zip_with/transform lambdas reappear here, the projection went back
+    // to interpreted evaluation (~5-10x on q23/q28)
+    Seq("q23_embed_near_pairs", "q28_ann_topk").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("lambdafunction"), s"$q: interpreted lambda in plan")
+    }
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

@@ -56,6 +56,20 @@ class TextSpec extends SparkSpec {
     assert(fp1.exists(_._1 == 1L))
   }
 
+  test("fingerprints: relational window-min form equals the HOF reference impl") {
+    val rel = Text.fingerprints(docs, "text", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    val hof = Text.fingerprintsHof(docs, "text", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(rel == hof)
+    // also at a window size that straddles short docs
+    val rel2 = Text.fingerprints(docs, "text", 2, 3)
+      .as[(Long, Long)].collect().toSet
+    val hof2 = Text.fingerprintsHof(docs, "text", 2, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(rel2 == hof2)
+  }
+
   test("simhash: 60-bit range and determinism") {
     val s = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
