@@ -38,10 +38,34 @@ object Pipeline {
     Quality.checkPrimaryKey(part, "p_partkey")
   }
 
+  /** Stage boundary artifact: where [[trainStage]] leaves the model and
+    * [[postProcess]] finds it (S8 — the reference's
+    * `model.save` / `load_model` handoff between separate processes). */
+  def modelPath(outDir: String): String = s"$outDir/model"
+
   /** Full run on the fixture star schema. `sfDir` points at a TESTDATA
-    * scale directory; artifacts land under `outDir` as Parquet. */
+    * scale directory; artifacts land under `outDir` as Parquet.
+    *
+    * `run` is just [[trainStage]] then [[postProcess]] — the two halves
+    * communicate ONLY through the saved model + Parquet artifacts, so
+    * they can run in different Spark applications (train once, serve /
+    * post-process later), exactly like the reference's separate
+    * SageMaker jobs. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
           config: EngineConfig = EngineConfig()): Result = {
+    val (vocab, tensors, tuningTable) = trainStage(spark, sfDir, outDir, config)
+    val (named, report) = postProcess(spark, sfDir, outDir, config)
+    Result(vocab, tensors, named, report, tuningTable)
+  }
+
+  /** Preprocess + train + persist (the reference's preprocessing and
+    * model_train stages): gates, vocab/encode/pairs/tensors, the HPO
+    * branch, then [[graft.ml.Prod2Vec.save]] to [[modelPath]]. Returns
+    * the in-session DataFrames for callers that chain stages in one
+    * application; cross-application callers use the Parquet artifacts. */
+  def trainStage(spark: SparkSession, sfDir: String, outDir: String,
+                 config: EngineConfig = EngineConfig())
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
     val pp = config.preprocess
     val lineitem = Sources.table(spark, sfDir, "lineitem")
     val part = Sources.table(spark, sfDir, "part")
@@ -94,6 +118,24 @@ object Pipeline {
         (Prod2Vec.train(basketTokens, p), None)
       }
 
+    // ---- persist (S8): the train/post-process handoff artifact --------
+    Prod2Vec.save(model, modelPath(outDir))
+    (vocab, tensors, tuningTable)
+  }
+
+  /** Post-process (the reference's post_processing stage): LOADS the
+    * persisted model from [[modelPath]] — no in-session state from
+    * [[trainStage]] — then embeddings + names + similarity report.
+    * Returns (named embeddings, similarity report). */
+  def postProcess(spark: SparkSession, sfDir: String, outDir: String,
+                  config: EngineConfig = EngineConfig())
+      : (DataFrame, DataFrame) = {
+    val part = Sources.table(spark, sfDir, "part")
+    val lineitem = Sources.table(spark, sfDir, "lineitem")
+    val vocab = Vocab.withIndex(
+      Vocab.topK(lineitem, "l_partkey", config.preprocess.numProds))
+    val model = Prod2Vec.load(modelPath(outDir))
+
     // ---- post-process (§3.3): embeddings + names + similarity report --
     val emb = Prod2Vec.embeddings(model)
     val named = emb
@@ -109,6 +151,6 @@ object Pipeline {
     val report = Prod2Vec.synonyms(model, probes, 20)
     Sources.writeParquet(report, s"$outDir/report")
 
-    Result(vocab, tensors, named, report, tuningTable)
+    (named, report)
   }
 }

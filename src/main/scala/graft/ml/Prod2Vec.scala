@@ -56,6 +56,20 @@ object Prod2Vec {
       .setSeed(p.seed)
       .fit(basketDf)
 
+  /** S8: model persistence — the reference's train and post-process stages
+    * are separate processes exchanging a saved model
+    * (`pipeline/model_train/model_train.py:131` `model.save`;
+    * `pipeline/post_processing/post_process.py:89` `load_model`). MLlib's
+    * writer persists to a Parquet-backed directory: cluster-readable,
+    * version-stamped, no pickling — `path` can be any Hadoop-visible URI,
+    * so the 100 TB deployment writes straight to object storage. */
+  def save(model: Word2VecModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** S8: load a persisted model — the post-process entry point; see
+    * [[save]]. */
+  def load(path: String): Word2VecModel = Word2VecModel.load(path)
+
   /** M4: embedding matrix as a relational table
     * (vec_id = product id, embedding: array<float>) — the
     * `model.get_weights()[0]` → DataFrame step of `post_process.py:92-95`,

@@ -39,6 +39,18 @@ class PipelineSpec extends SparkSpec {
     assert(res.embeddings.count() > 0)
   }
 
+  test("S8: train and post-process run as separate stages through the saved model") {
+    val out = tmp("graft-pipe-s8")
+    val cfg = EngineConfig(train = TrainConfig(embeddingDim = 8,
+      validSize = 2, validWindow = 10))
+    Pipeline.trainStage(spark, sf("sf0.001"), out, cfg)
+    assert(new java.io.File(Pipeline.modelPath(out)).exists())
+    // post-process holds NO state from the train stage — only the path
+    val (named, report) = Pipeline.postProcess(spark, sf("sf0.001"), out, cfg)
+    assert(named.count() > 0)
+    assert(report.count() > 0)
+  }
+
   test("config validation fails fast like the reference's pydantic gate") {
     intercept[IllegalArgumentException] {
       PreprocessConfig(numProds = 1)

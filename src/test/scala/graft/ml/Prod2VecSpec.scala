@@ -36,8 +36,8 @@ class Prod2VecSpec extends SparkSpec {
 
   test("S8: model persistence round-trips (save/load)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-w2v").toString
-    model.write.overwrite().save(dir)
-    val back = org.apache.spark.ml.feature.Word2VecModel.load(dir)
+    Prod2Vec.save(model, dir)
+    val back = Prod2Vec.load(dir)
     val a = Prod2Vec.embeddings(model).orderBy("vec_id").collect()
     val b = Prod2Vec.embeddings(back).orderBy("vec_id").collect()
     assert(a.sameElements(b))
