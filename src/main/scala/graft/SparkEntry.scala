@@ -133,6 +133,12 @@ object SparkEntry {
   val ValidWindow = 50
   val ValidSize = 10
 
+  /** q41's CSV fixture directory — keyed on the sf dir so concurrent
+    * Verify/Bench runs at different scales never clobber each other. The
+    * oracle SQL pins the sf0.01 instance (the driver's correctness SF). */
+  def q41CsvPath(dir: String): String =
+    "/root/repo/target/q41_csv_" + dir.split('/').last
+
   /** Shingled documents (doc_id, shingles) shared by the MinHash path.
     * Tokens are materialized in their own projection first: HOF lambdas
     * evaluate interpreted with NO common-subexpression elimination, so an
@@ -513,15 +519,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Multimodal: per-partition stub feature extraction (mapPartitions)
-    // — not SQL-expressible (driver records rows-only).
+    // Multimodal: per-partition stub feature extraction (mapPartitions).
+    // The stub histogram is deterministic, so even this non-relational
+    // path gets a DuckDB oracle: features exploded to (bin, feat) rows —
+    // doubles compare via the shared round-to-9 convention, no
+    // engine-specific array-of-double string formatting.
     "q36_mm_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.payloads(t(s, dir, "documents"), "doc_id", "text"))
         .toDF()
         .select(col("doc_id"), col("n_bytes"),
-          array_join(col("features"), ",").as("features"))
-        .orderBy("doc_id")
+          posexplode(col("features")).as(Seq("bin", "feat")))
+        .withColumn("bin", col("bin").cast("long"))
+        .orderBy("doc_id", "bin")
     }),
 
     // JSON column parsing: events.props is a JSON string — typed extract
@@ -571,6 +581,29 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ms"),
           col("prev_gap_ms"), col("next_gap_ms"), col("mov_sum3"))
         .orderBy("user_id", "ms", "event_id")
+    }),
+
+    // S1 literal CSV path: write a fixture slice as header CSV once (the
+    // reference's order_products__train.csv shape), read it back through
+    // Sources.csv with the PINNED orderProductsSchema (no inference —
+    // the exact production read), aggregate. The single-partition write
+    // is fixture plumbing, not the scale path; the READ is the operator
+    // under test and globs directories like any 100 TB table.
+    "q41_csv_roundtrip" -> ((s, dir) => {
+      val path = q41CsvPath(dir)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("order_id"),
+          col("l_partkey").as("product_id"),
+          col("l_linenumber").as("add_to_cart_order"),
+          (col("l_linenumber") % 2).as("reordered"))
+        .repartition(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      Sources.csv(s, path, Sources.orderProductsSchema)
+        .groupBy(col("reordered"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("product_id")).as("n_products"),
+          sum(col("add_to_cart_order")).as("sum_pos"))
+        .orderBy("reordered")
     }),
 
     // M1-M4: MLlib Word2Vec trained on baskets; top-5 cosine neighbors of
@@ -995,6 +1028,41 @@ object SparkEntry {
         |  lang, source
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // q36: the stub decoder's 16-bin high-nibble byte histogram,
+    // recomputed from hex(encode(text)) — the high nibble of byte i IS
+    // hex digit 2i+1 (1-based) of the blob's hex string.
+    "q36_mm_features" ->
+      """WITH hx AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |         hex(encode(text)) AS h
+        |  FROM documents
+        |),
+        |nib AS (
+        |  SELECT doc_id, CAST(('0x' || substring(h, 2*i + 1, 1)) AS BIGINT) AS bin
+        |  FROM hx, LATERAL (SELECT unnest(range(0, n_bytes)) AS i) p
+        |),
+        |hist AS (
+        |  SELECT doc_id, bin, count(*) AS cnt FROM nib GROUP BY doc_id, bin
+        |)
+        |SELECT d.doc_id, d.n_bytes, bins.bin,
+        |  round(coalesce(ht.cnt, 0) / greatest(d.n_bytes, 1)::DOUBLE, 9) AS feat
+        |FROM hx d
+        |CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bins
+        |LEFT JOIN hist ht ON ht.doc_id = d.doc_id AND ht.bin = bins.bin
+        |ORDER BY d.doc_id, bins.bin""".stripMargin,
+
+    // q41: same aggregate over the same CSV files Spark wrote and read —
+    // read_csv with explicit column types mirrors the pinned StructType.
+    "q41_csv_roundtrip" ->
+      s"""SELECT reordered, count(*) AS n_rows,
+         |  count(DISTINCT product_id) AS n_products,
+         |  CAST(sum(add_to_cart_order) AS BIGINT) AS sum_pos
+         |FROM read_csv('${q41CsvPath("/root/testdata/sf0.01")}/*.csv',
+         |  header=true,
+         |  columns={'order_id': 'BIGINT', 'product_id': 'BIGINT',
+         |           'add_to_cart_order': 'BIGINT', 'reordered': 'BIGINT'})
+         |GROUP BY reordered ORDER BY reordered""".stripMargin,
+
     "q38_props_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1033,7 +1101,7 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
         |ORDER BY user_id, ms, event_id""".stripMargin
-    // q36_mm_features, q37_w2v_synonyms: no SQL equivalent (mapPartitions
-    // stub / stochastic training) — driver records rows-only checks.
+    // q37_w2v_synonyms: no SQL equivalent (stochastic MLlib training) —
+    // driver records a rows-only check. Every other query is oracle'd.
   )
 }

@@ -50,7 +50,12 @@ object Multimodal {
     * STUB DECODER: a real pipeline would decode the payload (image →
     * pixels, audio → PCM) and run a feature model. Neither codec exists
     * in this container, so the "features" are a deterministic 16-bin
-    * byte histogram — same signature, same batching, fake content. */
+    * byte histogram (bin = high nibble) — same signature, same batching,
+    * fake content. Deterministic on purpose: the DuckDB oracle recomputes
+    * the identical histogram from `hex(encode(text))`, so even the stub
+    * path is hash-checked end to end (q36). Rounding is half-up
+    * (`floor(x·1e9 + 0.5)/1e9`), matching SQL `round(x, 9)` in both
+    * engines — NOT `rint`, whose half-even ties would diverge. */
   def extractFeatures(payloadDf: DataFrame): Dataset[FeatureRow] = {
     val spark = payloadDf.sparkSession
     import spark.implicits._
@@ -64,7 +69,7 @@ object Multimodal {
           while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1.0; i += 1 }
           val n = math.max(1, bytes.length).toDouble
           var b = 0
-          while (b < 16) { hist(b) = math.rint(hist(b) / n * 1e9) / 1e9; b += 1 }
+          while (b < 16) { hist(b) = math.floor(hist(b) / n * 1e9 + 0.5) / 1e9; b += 1 }
           FeatureRow(id, bytes.length.toLong, hist)
         }
       }
