@@ -14,9 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (see [[graft.ops.Portable]]).
   *
   * Bit-for-bit equivalent to
-  * `CAST(conv(substring(md5(concat_ws('', args...)), 1, 15), 16, 10)
+  * `CAST(conv(substring(md5(concat_ws(chr(1), args...)), 1, 15), 16, 10)
   * AS BIGINT)` — the first 15 hex digits (60 bits) of the md5 of the
-  * -joined arguments — but computed straight from the digest bytes:
+  * chr(1)-joined arguments — but computed straight from the digest bytes:
   * no hex-string materialization, no base-16 string parse, and a reused
   * per-thread MessageDigest. Measured ~3-5x over the composed built-in
   * chain on hash-dense operators (MinHash signatures, winnowing,

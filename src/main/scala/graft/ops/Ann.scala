@@ -40,6 +40,41 @@ object Ann {
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Multi-table OR-amplification — the documented recall lever: near
+    * neighbors split by a hyperplane in one table meet in another, so
+    * recall rises with `numTables` at FIXED bucket purity (lowering
+    * `planes` instead would grow every bucket and the candidate join).
+    * P(candidate) = 1 − (1 − p^planes)^numTables for per-plane agreement
+    * probability p = 1 − θ/π.
+    *
+    * Shape: ONE pass computes all tables' codes ([[Dedup.srpBucketsMulti]]),
+    * the candidate join keys on (table, bucket), candidates dedupe on
+    * (probe_id, vec_id) BEFORE any vector is moved, and only the deduped
+    * candidate set joins the corpus vectors back (probes broadcast).
+    * Scoring work is ≤ numTables× the single-table candidate count —
+    * never all-pairs. */
+  def annTopKMulti(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   vecCol: String, planes: Int, k: Int,
+                   numTables: Int): DataFrame = {
+    val cb = Dedup.srpBucketsMulti(corpus, idCol, vecCol, planes, numTables)
+      .select(col("table"), col("bucket"), col(idCol).as("vec_id"))
+    val pb = Dedup.srpBucketsMulti(probes, idCol, vecCol, planes, numTables)
+      .select(col("table"), col("bucket"), col(idCol).as("probe_id"))
+    val cands = cb.join(pb, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+      .distinct()
+    val cv = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val pv = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    cands.join(cv, Seq("vec_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("pv")), 9))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
   /** Recall of the approximate result against the exact top-k: fraction
     * of (probe, neighbor) pairs the ANN run recovered. Driver for specs
     * and tuning the plane count. */

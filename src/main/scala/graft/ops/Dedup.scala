@@ -216,9 +216,22 @@ object Dedup {
     * bit-identical to the single-table form; see
     * [[graft.ops.Ann.annTopKMulti]]) rather than lowering `planes`. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int, planeOffset: Int = 0): DataFrame = {
+                 planes: Int, planeOffset: Int = 0): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      srpBucketExpr(probeDim(df, vecCol), vecCol, planes, planeOffset)
+        .as("bucket"))
+
+  /** Vector dimension probed from a SINGLE row (limit-1 job, never a
+    * full scan; embedding columns are fixed-dimension by contract). */
+  private def probeDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("n")).head().getInt(0)
+
+  /** The bucket column itself: planes-bit SRP code with plane indices
+    * [planeOffset, planeOffset + planes). One codegen'd FoldDot per
+    * plane; weights computed once driver-side (see [[srpBuckets]]). */
+  private def srpBucketExpr(dim: Int, vecCol: String,
+                            planes: Int, planeOffset: Int): Column = {
     import org.apache.spark.unsafe.types.UTF8String
-    val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
     val weights: Seq[Seq[Double]] = (0 until planes).map { p =>
       (1 to dim).map { i =>
         val h = graft.functions.Hash60.compute(Array(
@@ -227,11 +240,26 @@ object Dedup {
         h / Portable.TwoPow60 - 0.5
       }
     }
-    val bucket = (0 until planes).map { p =>
+    (0 until planes).map { p =>
       when(graft.functions.FoldDot(col(vecCol), typedLit(weights(p))) >= 0,
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    df.select(col(idCol), col(vecCol), bucket.as("bucket"))
+  }
+
+  /** OR-amplification: `numTables` independent SRP codes per vector in
+    * ONE pass over the data — table t uses the contiguous plane range
+    * [t·planes, (t+1)·planes), so table 0 is bit-identical to
+    * [[srpBuckets]]. Output: (idCol, table, bucket), one row per table —
+    * candidate joins key on (table, bucket). numTables · planes FoldDots
+    * per row, all codegen'd; the corpus is still scanned once, which at
+    * 100 TB beats per-table scans by the table count. */
+  def srpBucketsMulti(df: DataFrame, idCol: String, vecCol: String,
+                      planes: Int, numTables: Int): DataFrame = {
+    require(numTables >= 1, s"numTables must be >= 1, got $numTables")
+    val dim = probeDim(df, vecCol)
+    val codes = array((0 until numTables).map(t0 =>
+      srpBucketExpr(dim, vecCol, planes, t0 * planes)): _*)
+    df.select(col(idCol), posexplode(codes).as(Seq("table", "bucket")))
   }
 
   /** Embedding near-dup pairs: SRP-bucket the vectors, join within

@@ -185,6 +185,43 @@ object Pairs {
     pairs.withColumn("negatives", array(draws: _*))
   }
 
+  /** Skew lever for the co-occurrence aggregation (SURVEY.md §7.4 "salt
+    * skewed product_id hot keys"): two-stage salted count over arbitrary
+    * key columns.
+    *
+    * Stage 1 aggregates on (keys…, salt) — a hot key's rows spread over
+    * `salts` reducer partitions — stage 2 sums the partials on the keys
+    * alone. Counts are algebraic, so the result is IDENTICAL to the
+    * direct `groupBy(keys).count()` (PairsSpec proves it on the real
+    * pair stream); the extra stage shuffles only partial rows (≤ `salts`
+    * per key), never the raw stream.
+    *
+    * When to reach for it: Spark's partial (map-side) aggregation
+    * already caps a hot key's shuffled rows at one partial per map
+    * partition — fine for `count`/`sum` at moderate parallelism. Salting
+    * matters when (a) the final-stage reducer owning the hot key still
+    * concentrates too many partials (10k+ map partitions at 100 TB), or
+    * (b) the aggregate is NOT map-side combinable (`collect_list`,
+    * exact `count(DISTINCT)`), where every raw row of the hot key lands
+    * on one reducer. AQE skew handling splits sort-merge-join
+    * partitions, not aggregation hot keys — this is the
+    * aggregation-side lever. The salt is a keyed [[Portable]] hash of
+    * row-identity columns, so placement is deterministic and
+    * reproducible across runs.
+    */
+  def saltedCounts(df: DataFrame, keyCols: Seq[String],
+                   rowIdCols: Seq[org.apache.spark.sql.Column],
+                   salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val keys = keyCols.map(col)
+    df.withColumn("__salt",
+        pmod(Portable.seededHash(rowIdCols: _*), lit(salts.toLong)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__partial")).as("cnt"))
+  }
+
   /** A11: context/label tensor assembly — one row per positive pair:
     * `contexts = [context, neg_1..neg_numNs]`,
     * `labels = [1, 0 × numNs]` (`data_prep.py:188-199`). */

@@ -62,6 +62,27 @@ class PairsSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("salting: two-stage salted count == direct groupBy on the real pair stream") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val vocab = Vocab.withIndex(Vocab.topK(li, "l_partkey", 100))
+    val enc = Vocab.encode(li, "l_partkey", vocab)
+    val baskets = Pairs.orderedBaskets(enc, "l_orderkey", "idx",
+      Seq(Portable.seededHash($"l_orderkey", $"l_linenumber", $"l_partkey"),
+        $"l_partkey"), 50)
+    val pairs = Pairs.skipGramPairsFromBaskets(baskets, 4)
+    val direct = pairs.groupBy($"target", $"context")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Int, Int, Long)].collect().toSet
+    // salt keyed on row identity — deterministic placement, result
+    // invariant in the salt count
+    Seq(1, 8).foreach { salts =>
+      val salted = Pairs.saltedCounts(pairs, Seq("target", "context"),
+        Seq($"order_id", $"pos_t", $"pos_c"), salts)
+        .as[(Int, Int, Long)].collect().toSet
+      assert(salted == direct, s"salted($salts) diverged from direct groupBy")
+    }
+  }
+
   test("A8: keep-prob rises with rank — frequent (low idx) items subsampled") {
     val t = Pairs.samplingTable(spark, 100).orderBy("idx").collect()
     assert(t.head.getDouble(1) == 0.0) // UNK never sampled
