@@ -120,6 +120,8 @@ object SparkEntry {
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
   val SrpPlanes = 4
+  /** Independent SRP tables for the OR-amplified ANN (q42). */
+  val AnnTables = 2
   /** Embedding near-dup cosine threshold. */
   val CosTau = 0.3
   /** Winnowing fingerprint parameters (k-gram size, window). */
@@ -462,6 +464,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Ann.annTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         SrpPlanes, TopK)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // ANN with multi-table OR-amplification (recall lever over q28).
+    "q42_ann_multi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.annTopKMulti(emb, emb.filter(col("vec_id") < 5), "vec_id",
+        "embedding", SrpPlanes, TopK, AnnTables)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("probe_id", "rnk")
     }),
@@ -939,6 +950,45 @@ object SparkEntry {
          |  JOIN ev ep ON p.vec_id = ep.vec_id
          |  JOIN ev ec ON c.vec_id = ec.vec_id
          |  WHERE p.vec_id < 5
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= $TopK
+         |ORDER BY probe_id, rnk""".stripMargin,
+
+    // q42: multi-table SRP — global plane index p in [0, planes·tables),
+    // table = p // planes, bit = p % planes; candidates OR over tables.
+    "q42_ann_multi" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, p,
+         |    list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> embedding[i]::DOUBLE * (${Portable.sqlUnif("p", "i")} - 0.5))) AS d
+         |  FROM embeddings, (SELECT unnest(range(0, ${SrpPlanes * AnnTables})) AS p)
+         |),
+         |buck AS (
+         |  SELECT vec_id, p // $SrpPlanes AS tbl,
+         |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % $SrpPlanes))
+         |        ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY vec_id, p // $SrpPlanes
+         |),
+         |ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS vec_id
+         |  FROM buck p JOIN buck c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |    AND c.vec_id <> p.vec_id
+         |  WHERE p.vec_id < 5
+         |),
+         |scored AS (
+         |  SELECT cand.probe_id, cand.vec_id,
+         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+         |  FROM cand
+         |  JOIN ev ep ON cand.probe_id = ep.vec_id
+         |  JOIN ev ec ON cand.vec_id = ec.vec_id
          |)
          |SELECT probe_id, vec_id, cos,
          |       CAST(row_number() OVER (PARTITION BY probe_id
