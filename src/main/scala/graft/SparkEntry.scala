@@ -168,6 +168,30 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** DuckDB CTE chain for the MinHash→LSH→Jaccard near-dup pipeline
+    * (extends [[minhashSqlCte]] with bands → candidate pairs → verified
+    * jaccard) — shared by q20 (pair report) and q43 (dedup apply). */
+  private val lshJacSqlCte: String = {
+    val bandKeys = (1 to LshRows).map(r => s"sig[$LshRows*b + $r]") :+ "b"
+    s"""$minhashSqlCte,
+       |bands AS (
+       |  SELECT doc_id, shingles, b, ${Portable.sqlHash(bandKeys: _*)} AS bh
+       |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+       |    AND a.doc_id < c.doc_id
+       |),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+       |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+       |            JOIN sh sb ON cand.id_b = sb.doc_id
+       |)""".stripMargin
+  }
+
   /** DuckDB CTE computing per-doc SimHash (relational form of
     * [[Text.simhash]]). */
   private val simhashSqlCte: String =
@@ -415,6 +439,42 @@ object SparkEntry {
         Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
       Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Near-dedup applied: corpus minus LSH-found near-duplicates
+    // (greedy keep-smallest-id over the verified pair list).
+    "q43_near_dedup" -> ((s, dir) => {
+      Dedup.dedupNear(t(s, dir, "documents"), "doc_id", shingled(s, dir),
+        NumPerms, LshBands, LshRows, JaccardTau)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // TPC-H Q5-shaped multi-way join: revenue by (region, nation) with
+    // the local-supplier condition — exercises Catalyst join planning
+    // (broadcast dims, shuffle joins between facts, partial aggs).
+    "q44_region_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey")
+          && cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        // per-row round to integer cents, then an integer sum: a plain
+        // double SUM's accumulation order differs between engines (and
+        // between partitionings) in the low bits — integer cents are
+        // exact, order-free, and hash-stable
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100, 0).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
     }),
 
     // Per-doc 60-bit SimHash fingerprint.
@@ -812,28 +872,37 @@ object SparkEntry {
          |FROM sig, (SELECT unnest(range(0, $NumPerms)) AS p)
          |ORDER BY doc_id, p""".stripMargin,
 
-    "q20_lsh_near_pairs" -> {
-      val bandKeys = (1 to LshRows).map(r => s"sig[$LshRows*b + $r]") :+ "b"
-      s"""$minhashSqlCte,
-         |bands AS (
-         |  SELECT doc_id, shingles, b, ${Portable.sqlHash(bandKeys: _*)} AS bh
-         |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS b)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
-         |    AND a.doc_id < c.doc_id
-         |),
-         |jac AS (
-         |  SELECT id_a, id_b,
-         |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
-         |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
-         |            JOIN sh sb ON cand.id_b = sb.doc_id
-         |)
+    "q20_lsh_near_pairs" ->
+      s"""$lshJacSqlCte
          |SELECT id_a, id_b, jaccard FROM jac
-         |WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""".stripMargin
-    },
+         |WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""".stripMargin,
+
+    // q43: anti-join against the larger ids of the verified near-pairs
+    // (id_a < id_b in jac, so id_b is always the drop candidate).
+    "q43_near_dedup" ->
+      s"""$lshJacSqlCte,
+         |drops AS (
+         |  SELECT DISTINCT id_b FROM jac WHERE jaccard >= $JaccardTau
+         |)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN drops k ON d.doc_id = k.id_b
+         |WHERE k.id_b IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-row integer cents (see the Spark side): order-free exact sum
+    "q44_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q21_simhash" ->
       s"""$simhashSqlCte

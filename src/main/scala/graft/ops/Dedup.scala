@@ -108,6 +108,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Near-dedup applied: the corpus with near-duplicates REMOVED —
+    * the full MinHash→LSH→Jaccard pipeline ([[minhashSignatures]] →
+    * [[lshBands]] → [[lshCandidatePairs]] → [[jaccardVerify]]) driving a
+    * greedy keep-smallest-id policy: a document is dropped iff it
+    * Jaccard-matches (≥ tau) ANY smaller-id document. Greedy on the
+    * verified pair list, not transitive-closure clustering — the
+    * standard corpus-dedup practice (connected components would need an
+    * iterative join); for a chain a~b~c (a<b<c) both b and c drop even
+    * when a≁c directly, same survivors as clustering with min-id
+    * representatives when every chain link is verified.
+    *
+    * Shape: the drop-set is `distinct id_b` of the verified pairs
+    * (id_a < id_b by construction, so id_b is always the larger) and the
+    * removal is a left-anti join — the corpus shuffles once, keyed on
+    * id. */
+  def dedupNear(df: DataFrame, idCol: String, shingled: DataFrame,
+                numPerms: Int, bands: Int, rpb: Int, tau: Double): DataFrame = {
+    val sigs = minhashSignatures(shingled, idCol, numPerms)
+    val cands = lshCandidatePairs(lshBands(sigs, idCol, bands, rpb), idCol)
+    val drops = jaccardVerify(cands, shingled, idCol, tau)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash fingerprint width. 60 bits (the full [[Portable]] hash

@@ -32,6 +32,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q44: dims broadcast, facts hash-join, never cartesian") {
+    val p = plan("q44_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q10: pair pipeline has exactly one fact-table shuffle (the basket groupBy)") {
     val p = plan("q10_skipgram_cooc")
     // exchanges: basket groupBy + final cooc agg + tiny vocab topK/window +

@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dedupNear: drops larger-id near-dups, keeps distinct docs") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val survivors = Dedup.dedupNear(docs, "doc_id", sh, 16, 4, 4, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 1~2 are exact dups -> 2 (larger id) drops, 1 survives
+    assert(survivors.contains(1L) && !survivors.contains(2L))
+    // the distinct doc always survives
+    assert(survivors.contains(4L))
+    // every dropped doc near-matched a smaller survivor or smaller dup
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert((all -- survivors).forall(d => survivors.exists(_ < d)))
+  }
+
   test("simhash: identical texts equal, near texts close, Hamming pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
     val m = sims.as[(Long, Long)].collect().toMap
