@@ -513,6 +513,11 @@ object SparkEntry {
       Text.languageId(t(s, dir, "documents"), "text").orderBy("doc_id")
     }),
 
+    // Corpus document-frequency / IDF table.
+    "q45_idf_table" -> ((s, dir) => {
+      Text.idfTable(t(s, dir, "documents"), "text").orderBy("w")
+    }),
+
     // Winnowing fingerprints (k=4 grams, window 4).
     "q27_fingerprints" -> ((s, dir) => {
       Text.fingerprints(t(s, dir, "documents"), "text", FpK, FpW)
@@ -988,6 +993,16 @@ object SparkEntry {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b
          |  USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q45_idf_table" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents
+        |),
+        |dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT w, df, round(ln(n_docs::DOUBLE / df), 9) AS idf
+        |FROM dfreq, n ORDER BY w""".stripMargin,
 
     "q27_fingerprints" -> {
       val kgHash = Portable.sqlHash(

@@ -130,6 +130,26 @@ object Text {
         col("lang"))
   }
 
+  /** Corpus document-frequency / IDF table: one row per distinct token
+    * with (df, idf = ln(N / df)) — the plain unsmoothed variant
+    * (idf 0 for a token in every document). TF-IDF weighting, stopword
+    * discovery, and vocabulary pruning all read from this table.
+    *
+    * Shape: per-doc DISTINCT tokens (map-only array op) → explode → one
+    * hash agg keyed on token; the corpus count joins in as a broadcast
+    * 1-row aggregate, so the whole thing is lazy (no driver-side
+    * count()) and the token agg is the only data-sized shuffle. */
+  def idfTable(df: DataFrame, textCol: String): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    df.select(col("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df")), 9).as("idf"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * MOSS algorithm): hash every k-token gram, slide a window of w hashes,
     * keep each window's minimum, dedupe. A document's fingerprint set is

@@ -69,6 +69,26 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.ops.Dedup.dedupExact]]: drop any row whose content hash was
+    * already seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`: a duplicate arriving within the
+    * watermark of its first occurrence is dropped; state for older keys
+    * is evicted). On a batch frame the operator is unsupported by Spark,
+    * so this falls back to plain `dropDuplicates` on the hash (unbounded
+    * "watermark" — same result on finite input; specs exercise both).
+    * At scale the state store partitions on the hash — uniform by
+    * construction, no skew. */
+  def dedupStream(events: DataFrame, contentCol: String,
+                  watermark: String): DataFrame = {
+    val hashed = withEventTime(events)
+      .withColumn("content_hash", md5(col(contentCol).cast("binary")))
+    if (hashed.isStreaming)
+      hashed.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   /** Convenience: wire a streaming DataFrame to an in-memory sink (specs
     * and smoke runs) and return the query name to select from. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)

@@ -70,6 +70,19 @@ class TextSpec extends SparkSpec {
     assert(rel2 == hof2)
   }
 
+  test("idfTable: df counts distinct docs, idf monotone decreasing in df") {
+    val t = Text.idfTable(docs, "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "the" appears twice in doc 1 but counts ONE document
+    assert(t("the")._1 == 1L)
+    // "a" is in docs 3 and 4 ("a b", "...quatre"? no) — recount: doc 3 has "a"
+    assert(t("a")._1 == 1L)
+    assert(t.values.forall { case (df, idf) =>
+      math.abs(idf - math.floor(math.log(4.0 / df) * 1e9 + 0.5) / 1e9) < 1e-9 })
+    // every-doc token would have idf 0; none here, all idf > 0
+    assert(t.values.forall(_._2 > 0.0))
+  }
+
   test("simhash: 60-bit range and determinism") {
     val s = Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

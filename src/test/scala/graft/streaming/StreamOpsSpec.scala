@@ -65,6 +65,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(s(2L) == Seq(1L))
   }
 
+  test("dedupStream: duplicate content dropped across micro-batches within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.dedupStream(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "event_type", "2 hours"),
+      "dedup", OutputMode.Append)
+    try {
+      in.addData((1L, 0L, 1L, "click", 1.0), (2L, H / 4, 1L, "click", 2.0))
+      q.processAllAvailable()
+      // same content in a later micro-batch, still within the watermark
+      in.addData((3L, H / 2, 2L, "click", 3.0), (4L, H / 2, 2L, "view", 4.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select($"event_id").as[Long].collect().toSet
+      // exactly ONE of the same-batch duplicates survives (which one is
+      // not guaranteed within a micro-batch)...
+      assert((ids & Set(1L, 2L)).size == 1)
+      // ...the cross-batch duplicate within the watermark is dropped...
+      assert(!ids.contains(3L))
+      // ...and distinct content is kept
+      assert(ids.contains(4L))
+    } finally q.stop()
+  }
+
+  test("dedupStream: batch fallback behaves as exact dedup") {
+    val out = StreamOps.dedupStream(
+      mkDf(Seq((1L, 0L, 1L, "click", 1.0), (2L, H / 4, 1L, "click", 2.0),
+        (3L, H / 2, 2L, "view", 3.0))),
+      "event_type", "2 hours")
+      .select($"event_type").as[String].collect().toSeq.sorted
+    assert(out == Seq("click", "view"))
+  }
+
   test("mapGroupsWithState: running per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
