@@ -52,4 +52,20 @@ object Sources {
     * result tables (embeddings report, tuning table). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bucketed managed-table sink: pays the shuffle ONCE at write time
+    * (`numBuckets` buckets by hash of `bucketCol`, sorted within each
+    * bucket) so every later equi-join or aggregation keyed on the same
+    * column scans co-located, pre-sorted buckets — exchange-free
+    * (SourcesSpec pins the plan). This is the 100 TB lever for a fact
+    * table that is joined/grouped on the same key by many downstream
+    * jobs: the per-query shuffle disappears. Spark bucketing lives in
+    * the catalog (`saveAsTable`) — path-only parquet carries no bucket
+    * metadata. Reread with `spark.table(name)`. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

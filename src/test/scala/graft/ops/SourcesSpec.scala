@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class SourcesSpec extends SparkSpec {
@@ -40,5 +41,25 @@ class SourcesSpec extends SparkSpec {
     val back = spark.read.parquet(s"$out/li")
     assert(back.count() == 100)
     assert(back.schema == li.schema)
+  }
+
+  test("bucketed tables: co-located join runs with NO exchange") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val ord = Sources.table(spark, sf("sf0.001"), "orders")
+      .select("o_orderkey", "o_totalprice")
+    Sources.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Sources.writeBucketed(ord, "ord_b", "o_orderkey", 4)
+    // force a merge join (broadcast would hide the bucketing benefit)
+    val joined = spark.table("li_b").hint("merge")
+      .join(spark.table("ord_b").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n$plan")
+    // and the result is the same as the unbucketed join
+    assert(joined.count() ==
+      li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
   }
 }
