@@ -42,6 +42,43 @@ object Multimodal {
       col("meta.lang").as("lang"),
       col("meta.source").as("source"))
 
+  /** A sampled "frame": parent doc, frame index within the payload, and
+    * the frame's bytes. */
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Frame sampling as a per-partition batch operator — the video analog
+    * of [[extractFeatures]]: decode the container, emit every `stride`-th
+    * frame for downstream feature extraction. One input row fans out to
+    * many frame rows; the fan-out happens INSIDE the partition (iterator
+    * flatMap), so payloads never shuffle and output partitioning follows
+    * the input.
+    *
+    * STUB DECODER: no video codec in this container — a "frame" is a
+    * fixed-size byte chunk (`frameBytes`), deterministically derived, so
+    * the plumbing (fan-out shape, per-partition init point, typed
+    * output) is real and testable; a real implementation swaps the
+    * chunker for a demuxer. */
+  def sampleFrames(payloadDf: DataFrame, frameBytes: Int,
+                   stride: Int): Dataset[FrameRow] = {
+    require(frameBytes > 0 && stride > 0,
+      s"frameBytes/stride must be positive, got $frameBytes/$stride")
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens HERE (demuxer/codec handles)
+        it.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameBytes // trailing partial dropped
+          (0 until nFrames by stride).iterator.map { f =>
+            FrameRow(id, f.toLong,
+              java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+                (f + 1) * frameBytes))
+          }
+        }
+      }
+  }
+
   /** Feature extraction as a per-partition batch operator
     * (`mapPartitions`): the iterator shape is where a real implementation
     * amortizes decoder/model initialization per partition (the JVM

@@ -31,6 +31,19 @@ class MultimodalSpec extends SparkSpec {
       java.util.Base64.getEncoder.encodeToString("01234567".getBytes))
   }
 
+  test("sampleFrames: every stride-th fixed-size chunk, partial tail dropped") {
+    val f = Multimodal.sampleFrames(
+        Multimodal.payloads(docs, "doc_id", "text"), 4, 2)
+      .collect().groupBy(_.doc_id)
+    // doc 3: 16 bytes -> frames 0..3, stride 2 -> indices 0, 2
+    assert(f(3L).map(_.frame_idx).sorted.sameElements(Array(0L, 2L)))
+    assert(new String(f(3L).minBy(_.frame_idx).frame) == "0123")
+    // doc 1: 11 bytes -> 2 full frames, stride 2 -> index 0 only
+    assert(f(1L).map(_.frame_idx).sameElements(Array(0L)))
+    // empty payload -> no frames
+    assert(!f.contains(2L))
+  }
+
   test("stub features: 16-bin normalized byte histogram, empty-safe") {
     val f = Multimodal.extractFeatures(
         Multimodal.payloads(docs, "doc_id", "text"))
