@@ -92,6 +92,22 @@ class PairsLawsSpec extends SparkSpec {
     }
   }
 
+  test("salting law: saltedCounts == direct groupBy for random pair streams and salt counts") {
+    cases.foreach { baskets =>
+      val pairs = Pairs.skipGramPairs(toSeqDf(baskets), W)
+      val direct = pairs.groupBy($"target", $"context")
+        .agg(count(lit(1)).as("cnt"))
+        .as[(Int, Int, Long)].collect().toSet
+      Seq(1, 3, 16).foreach { salts =>
+        val salted = Pairs.saltedCounts(pairs, Seq("target", "context"),
+          Seq($"order_id", $"pos_t", $"pos_c"), salts)
+          .as[(Int, Int, Long)].collect().toSet
+        assert(salted == direct,
+          s"salted($salts) != direct for $baskets")
+      }
+    }
+  }
+
   test("A8 law: keep-prob in [0,1], 0 for UNK, non-decreasing in rank") {
     Seq(2, 5, 37, 100, 300).foreach { size =>
       val t = Pairs.samplingTable(spark, size).orderBy("idx")
