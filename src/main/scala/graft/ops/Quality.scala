@@ -38,6 +38,22 @@ object Quality {
         s"distinct($column) = $n outside exclusive range ($lo, $hi)")
   }
 
+  /** Q2 at 100 TB: exact `countDistinct` shuffles every distinct value to
+    * one aggregation — on a high-cardinality column of a 100 TB table
+    * that is the gate's own bottleneck. HyperLogLog++
+    * (`approx_count_distinct`) is map-side-combinable constant-size
+    * sketch state; `rsd` is the standard-error knob (default 5%). The
+    * caller widens the (lo, hi) gate by the expected error — a GATE
+    * wants "order of magnitude sane", not exactness. */
+  def checkDistinctInRangeApprox(df: DataFrame, column: String,
+                                 lo: Long, hi: Long,
+                                 rsd: Double = 0.05): Unit = {
+    val n = df.select(approx_count_distinct(col(column), rsd)).head.getLong(0)
+    if (n <= lo || n >= hi)
+      throw QualityError(
+        s"approx_distinct($column) = $n (rsd=$rsd) outside exclusive range ($lo, $hi)")
+  }
+
   /** Q3: `check_column_counts` — column arity (metadata only, no job;
     * `data_quality_checks.py:60-83`). */
   def checkColumnCount(df: DataFrame, expected: Int): Unit =

@@ -30,6 +30,14 @@ class QualitySpec extends SparkSpec {
       Quality.checkDistinctInRange(good, "product_id", 0, 3)) // n==hi fails
   }
 
+  test("Q2 approx variant: HLL gate passes wide bounds, fails absurd ones") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    // sf0.001 has ~200 distinct parts; 5% rsd stays far inside (100, 400)
+    Quality.checkDistinctInRangeApprox(li, "l_partkey", 100, 400)
+    intercept[Quality.QualityError](
+      Quality.checkDistinctInRangeApprox(li, "l_partkey", 100000, 200000))
+  }
+
   test("Q3 checkColumnCount: metadata-only arity gate") {
     Quality.checkColumnCount(good, 2)
     intercept[Quality.QualityError](Quality.checkColumnCount(good, 4))
