@@ -518,6 +518,20 @@ object SparkEntry {
       Text.idfTable(t(s, dir, "documents"), "text").orderBy("w")
     }),
 
+    // C4-style normalization (lowercase, strip, collapse whitespace).
+    "q46_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.normalize(col("text")).as("norm"))
+        .withColumn("n_chars", length(col("norm")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget chunking: documents -> <=64-token training rows.
+    "q47_chunks" -> ((s, dir) => {
+      Text.chunk(t(s, dir, "documents"), "text", 64)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Winnowing fingerprints (k=4 grams, window 4).
     "q27_fingerprints" -> ((s, dir) => {
       Text.fingerprints(t(s, dir, "documents"), "text", FpK, FpW)
@@ -996,6 +1010,26 @@ object SparkEntry {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b
          |  USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q46_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')))::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q47: chunk i is the 1-based inclusive slice t[i*64+1 : i*64+64]
+    "q47_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    array_to_string(t[i*64+1 : i*64+64], ' ') AS chunk,
+        |    len(t[i*64+1 : i*64+64])::BIGINT AS n_tokens
+        |  FROM toks, LATERAL (SELECT unnest(range(0, (len(t) + 63) // 64)) AS i) _
+        |)
+        |SELECT doc_id, chunk_idx, n_tokens, chunk FROM ch
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q45_idf_table" ->
       """WITH tok AS (

@@ -53,6 +53,16 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Hive-style partitioned parquet sink: one directory per value of the
+    * partition columns, so reads filtered on them prune whole
+    * directories at PLANNING time (`PartitionFilters` in the scan — the
+    * SourcesSpec pins it). The 100 TB lever for low-cardinality filter
+    * columns (date, source, event_type); do NOT partition on
+    * high-cardinality keys (millions of dirs kill the listing). */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed managed-table sink: pays the shuffle ONCE at write time
     * (`numBuckets` buckets by hash of `bucketCol`, sorted within each
     * bucket) so every later equi-join or aggregation keyed on the same

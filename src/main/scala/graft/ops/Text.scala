@@ -130,6 +130,38 @@ object Text {
         col("lang"))
   }
 
+  /** C4-style text normalization: lowercase, non-alphanumeric → space,
+    * collapse space runs, trim. Pure per-row scalar chain (map-only),
+    * identical regex semantics in the DuckDB oracle (its regexp_replace
+    * needs the 'g' flag; Spark's replaces all matches by default). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Token-budget document chunking — the training-data step that turns
+    * documents into ≤ chunkTokens-token training rows on whitespace
+    * boundaries. Per-row array expression (tokens materialized once in
+    * their own projection — no re-split per chunk), chunks exploded to
+    * (doc_id, chunk_idx, n_tokens, chunk); the fan-out stays inside the
+    * partition, no shuffle. Every doc emits ≥ 1 chunk (split() never
+    * yields an empty array, so the sequence bound is always ≥ 0 — no
+    * descending-sequence trap). */
+  def chunk(df: DataFrame, textCol: String, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    val c = chunkTokens
+    val chunks = expr(
+      s"""transform(sequence(0, (size(__t) + ${c - 1}) div $c - 1),
+         |  i -> struct(
+         |    concat_ws(' ', slice(__t, i * $c + 1, $c)) AS chunk,
+         |    size(slice(__t, i * $c + 1, $c)) AS n_toks))""".stripMargin)
+    df.select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), posexplode_outer(chunks).as(Seq("chunk_idx", "ch")))
+      .filter(col("ch").isNotNull)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("ch.n_toks").cast("long").as("n_tokens"),
+        col("ch.chunk").as("chunk"))
+  }
+
   /** Corpus document-frequency / IDF table: one row per distinct token
     * with (df, idf = ln(N / df)) — the plain unsmoothed variant
     * (idf 0 for a token in every document). TF-IDF weighting, stopword

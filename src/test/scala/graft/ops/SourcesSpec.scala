@@ -43,6 +43,18 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema == li.schema)
   }
 
+  test("partitioned write: filtered read prunes partitions at planning time") {
+    val ev = Sources.table(spark, sf("sf0.001"), "events")
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Sources.writeParquetPartitioned(ev, s"$out/ev", Seq("event_type"))
+    val one = spark.read.parquet(s"$out/ev")
+      .filter(col("event_type") === "click")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("event_type"), plan)
+    assert(one.count() == ev.filter(col("event_type") === "click").count())
+  }
+
   test("bucketed tables: co-located join runs with NO exchange") {
     val li = Sources.table(spark, sf("sf0.001"), "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity")

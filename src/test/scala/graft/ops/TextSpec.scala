@@ -70,6 +70,25 @@ class TextSpec extends SparkSpec {
     assert(rel2 == hof2)
   }
 
+  test("normalize: lowercase, strip, collapse, trim") {
+    val n = Seq((1L, "  Hello,   WORLD!! 42x  "))
+      .toDF("doc_id", "text")
+      .select(Text.normalize($"text")).as[String].head()
+    assert(n == "hello world 42x")
+  }
+
+  test("chunk: token-budget split covers all tokens in order, no shuffle of content") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val ch = Text.chunk(d, "text", 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(ch.filter(_._1 == 1L).map(_._4).toSeq ==
+      Seq("a b c", "d e f", "g"))
+    assert(ch.filter(_._1 == 1L).map(_._3).toSeq == Seq(3L, 3L, 1L))
+    assert(ch.filter(_._1 == 2L).map(_._4).toSeq == Seq("x"))
+    // reassembling the chunks gives back the original token stream
+    assert(ch.filter(_._1 == 1L).map(_._4).mkString(" ") == "a b c d e f g")
+  }
+
   test("idfTable: df counts distinct docs, idf monotone decreasing in df") {
     val t = Text.idfTable(docs, "text")
       .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
