@@ -42,6 +42,31 @@ object Multimodal {
       col("meta.lang").as("lang"),
       col("meta.source").as("source"))
 
+  /** Resize as a per-partition batch operator — the image analog of
+    * [[sampleFrames]]: shrink each payload by an integer `factor`.
+    *
+    * STUB DECODER: no image codec in this container — "resize" is byte
+    * decimation (every `factor`-th byte), deterministic, so the plumbing
+    * (map-only shape, per-partition init point, binary-in/binary-out
+    * schema) is real and testable; a real implementation swaps the
+    * decimator for decode → interpolate → encode. */
+  def resize(payloadDf: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init happens HERE (codec/interpolator handles)
+        it.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          (id, out)
+        }
+      }.toDF("doc_id", "payload_resized")
+  }
+
   /** A sampled "frame": parent doc, frame index within the payload, and
     * the frame's bytes. */
   case class FrameRow(doc_id: Long, frame_idx: Long, frame: Array[Byte])

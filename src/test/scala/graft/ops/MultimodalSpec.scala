@@ -31,6 +31,15 @@ class MultimodalSpec extends SparkSpec {
       java.util.Base64.getEncoder.encodeToString("01234567".getBytes))
   }
 
+  test("resize: integer byte decimation, ceil-length output, empty-safe") {
+    val r = Multimodal.resize(
+        Multimodal.payloads(docs, "doc_id", "text"), 4)
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(new String(r(3L)) == "048c")   // every 4th of 0123456789abcdef
+    assert(r(1L).length == 3)             // ceil(11 / 4)
+    assert(r(2L).length == 0)
+  }
+
   test("sampleFrames: every stride-th fixed-size chunk, partial tail dropped") {
     val f = Multimodal.sampleFrames(
         Multimodal.payloads(docs, "doc_id", "text"), 4, 2)
