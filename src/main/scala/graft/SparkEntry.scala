@@ -568,6 +568,21 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // As-of join: each event enriched with the latest COMPLETED hourly
+    // window stats of its type (stats become visible at window END —
+    // nontrivial temporal match, not a self-floor).
+    "q48_asof_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val left = ev.select(col("event_id"), col("event_type"),
+        expr("ts div 1000000").cast("long").as("ms"))
+      val right = Events.tumbling(ev, WindowMs)
+        .select(col("event_type"),
+          (col("window_start_ms") + WindowMs).cast("long").as("avail_ms"),
+          col("avg_value").as("prev_avg"))
+      Events.asofJoin(left, right, Seq("event_type"), "ms", "avail_ms")
+        .orderBy("event_id")
+    }),
+
     // M7: run table with dense iteration index in start order.
     "q31_run_table" -> ((s, dir) => {
       Events.runTable(t(s, dir, "events")).orderBy("iteration")
@@ -1149,6 +1164,25 @@ object SparkEntry {
          |  round(sum(value), 9) AS sum_value
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // q48: DuckDB native ASOF LEFT JOIN mirrors the union+last_value
+    // Spark shape (ties match: l.ms >= r.avail_ms).
+    "q48_asof_enrich" ->
+      s"""WITH wdw AS (
+         |  SELECT event_type,
+         |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,
+         |    round(avg(value), 9) AS prev_avg
+         |  FROM events GROUP BY 1, 2
+         |),
+         |e AS (
+         |  SELECT event_id, event_type,
+         |         (epoch_ns(ts) // 1000000)::BIGINT AS ms
+         |  FROM events
+         |)
+         |SELECT e.event_type, e.event_id, e.ms, w.avail_ms, w.prev_avg
+         |FROM e ASOF LEFT JOIN wdw w
+         |  ON e.event_type = w.event_type AND e.ms >= w.avail_ms
+         |ORDER BY e.event_id""".stripMargin,
 
     "q31_run_table" ->
       """WITH runs AS (

@@ -57,6 +57,58 @@ object Events {
         round(sum(col("value")), 9).as("sum_value"))
   }
 
+  /** Distributed as-of join (temporal enrich): for every left row, the
+    * single right row with the greatest `rightTimeCol` ≤ the left row's
+    * `leftTimeCol` within the same `keyCols` — "latest state visible at
+    * event time". Spark has no native ASOF JOIN; a range join would
+    * explode within-key (O(n·m) candidate pairs). This is the
+    * compose-existing-operators shape: tag and UNION both sides, ONE
+    * shuffle+sort keyed on `keyCols` ordered by (time, side), propagate
+    * the last-seen right payload with `last(ignoreNulls)` over the
+    * unbounded-preceding frame, keep left rows. Left rows before any
+    * right row get nulls (ASOF LEFT JOIN semantics, matching DuckDB's
+    * `ASOF LEFT JOIN ... ON l.t >= r.t` — ties match, right-at-equal-
+    * time sorts first).
+    *
+    * Requirements: `rightTimeCol` unique per key (otherwise which
+    * same-timestamp right row wins is undefined); payload column names
+    * of the two sides must not collide (both documented, both true for
+    * the q48 wiring). Both time columns are cast to BIGINT.
+    *
+    * 100 TB posture: cost is one shuffle of left ∪ right on the key and
+    * a per-key sort — same plan family as sessionize; no candidate
+    * blow-up, no broadcast requirement on either side. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val lPayCols = left.columns.toSeq.filterNot(keyCols.contains)
+    val rPayCols = right.columns.toSeq.filterNot(keyCols.contains)
+    val rTyped = right.select(keyCols.map(col) ++ Seq(
+      col(rightTimeCol).cast("long").as("__t"),
+      struct(rPayCols.map(col): _*).as("__rp")): _*)
+    val lTyped = left.select(keyCols.map(col) ++ Seq(
+      col(leftTimeCol).cast("long").as("__t"),
+      struct(lPayCols.map(col): _*).as("__lp")): _*)
+    val l2 = lTyped
+      .withColumn("__rp", lit(null).cast(rTyped.schema("__rp").dataType))
+      .withColumn("__src", lit(1))
+      .select(keyCols.map(col) ++ Seq(col("__t"), col("__lp"), col("__rp"),
+        col("__src")): _*)
+    val r2 = rTyped
+      .withColumn("__lp", lit(null).cast(lTyped.schema("__lp").dataType))
+      .withColumn("__src", lit(0))
+      .select(keyCols.map(col) ++ Seq(col("__t"), col("__lp"), col("__rp"),
+        col("__src")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.union(r2)
+      .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(keyCols.map(col) ++
+        lPayCols.map(c => col(s"__lp.$c").as(c)) ++
+        rPayCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** M7-shaped run table: one "run" per event_type with its objective
     * (avg value) and start time, plus the dense `iteration` index in
     * start-time order (`tuning_analysis.py:30-41`). */

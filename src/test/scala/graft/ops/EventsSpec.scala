@@ -40,6 +40,24 @@ class EventsSpec extends SparkSpec {
     assert(s3.getLong(0) == 20L && s3.getLong(2) == 1)
   }
 
+  test("asofJoin: latest right row at-or-before left time per key; null before first") {
+    val left = Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 25L),
+      (4L, "b", 10L)                      // key with no right rows at all
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0)    // states available at t=10, t=20
+    ).toDF("k", "rt", "v")
+    val r = Events.asofJoin(left, right, Seq("k"), "t", "rt")
+      .select($"event_id", $"rt", $"v")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(1L) == ((None, None)))              // before any right row
+    assert(r(2L) == ((Some(10L), Some(1.0))))    // tie: l.t >= r.t matches
+    assert(r(3L) == ((Some(20L), Some(2.0))))    // latest visible state
+    assert(r(4L) == ((None, None)))              // key absent from right
+  }
+
   test("run table: iteration ordered by start, best row = min objective") {
     val rt = Events.runTable(ev).orderBy("iteration").collect()
     assert(rt.map(_.getLong(3)).sameElements(Array(1L, 2L)))
