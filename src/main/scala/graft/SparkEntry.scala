@@ -583,6 +583,13 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Per-type value distribution profile (exact quantiles = order
+    // statistics, engine-stable; no float-sum drift).
+    "q49_value_quantiles" -> ((s, dir) => {
+      Events.quantileProfile(t(s, dir, "events"), Seq(0.25, 0.5, 0.95))
+        .orderBy("event_type")
+    }),
+
     // M7: run table with dense iteration index in start order.
     "q31_run_table" -> ((s, dir) => {
       Events.runTable(t(s, dir, "events")).orderBy("iteration")
@@ -1164,6 +1171,16 @@ object SparkEntry {
          |  round(sum(value), 9) AS sum_value
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "q49_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 9) AS p25,
+        |  round(quantile_cont(value, 0.5), 9) AS p50,
+        |  round(quantile_cont(value, 0.95), 9) AS p95,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q48: DuckDB native ASOF LEFT JOIN mirrors the union+last_value
     // Spark shape (ties match: l.ms >= r.avail_ms).

@@ -109,6 +109,25 @@ object Events {
         rPayCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Distribution profile per event_type: exact linear-interpolated
+    * quantiles + min/max/count of `value`. Quantiles are ORDER
+    * statistics — no floating-point accumulation, so results are
+    * bit-stable across engines and partitionings (unlike stddev/var,
+    * whose sums drift in the low bits). Exact `percentile` sorts per
+    * group; at 100 TB swap in `percentile_approx` (t-digest sketch,
+    * map-side combinable) when a bounded error beats a per-group sort —
+    * same call shape. */
+  def quantileProfile(events: DataFrame, probs: Seq[Double]): DataFrame = {
+    val qs = probs.map(p =>
+      round(expr(s"percentile(value, ${p}D)"), 9)
+        .as(s"p${(p * 100).round}"))
+    events.groupBy(col("event_type"))
+      .agg(qs.head, qs.tail ++ Seq(
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n")): _*)
+  }
+
   /** M7-shaped run table: one "run" per event_type with its objective
     * (avg value) and start time, plus the dense `iteration` index in
     * start-time order (`tuning_analysis.py:30-41`). */

@@ -58,6 +58,19 @@ class EventsSpec extends SparkSpec {
     assert(r(4L) == ((None, None)))              // key absent from right
   }
 
+  test("quantileProfile: exact interpolated quantiles, min/max/count") {
+    val r = Events.quantileProfile(ev, Seq(0.5))
+      .orderBy("event_type").collect()
+    val click = r.find(_.getString(0) == "click").get
+    // click values: 1, 2, 4 -> median 2
+    assert(click.getDouble(1) == 2.0)
+    assert(click.getDouble(2) == 1.0 && click.getDouble(3) == 4.0)
+    assert(click.getLong(4) == 3L)
+    val view = r.find(_.getString(0) == "view").get
+    // view values: 3, 5 -> interpolated median 4
+    assert(view.getDouble(1) == 4.0)
+  }
+
   test("run table: iteration ordered by start, best row = min objective") {
     val rt = Events.runTable(ev).orderBy("iteration").collect()
     assert(rt.map(_.getLong(3)).sameElements(Array(1L, 2L)))
