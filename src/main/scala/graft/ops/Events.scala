@@ -77,7 +77,11 @@ object Events {
     *
     * 100 TB posture: cost is one shuffle of left ∪ right on the key and
     * a per-key sort — same plan family as sessionize; no candidate
-    * blow-up, no broadcast requirement on either side. */
+    * blow-up, no broadcast requirement on either side. Parallelism is
+    * bounded by key cardinality (each key sorts on one task): with a
+    * low-cardinality key (q48's 5 event types) include an entity column
+    * in `keyCols` when the right table carries it, or range-bucket the
+    * time axis upstream. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTimeCol: String, rightTimeCol: String): DataFrame = {
     val lPayCols = left.columns.toSeq.filterNot(keyCols.contains)

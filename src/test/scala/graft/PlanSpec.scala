@@ -39,6 +39,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q48: as-of join is union + keyed window, never a range/cartesian join") {
+    val p = plan("q48_asof_enrich")
+    assert(p.contains("Union"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q10: pair pipeline has exactly one fact-table shuffle (the basket groupBy)") {
     val p = plan("q10_skipgram_cooc")
     // exchanges: basket groupBy + final cooc agg + tiny vocab topK/window +
