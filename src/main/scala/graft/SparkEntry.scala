@@ -130,6 +130,9 @@ object SparkEntry {
   /** Tumbling window width / session gap for event analytics (ms). */
   val WindowMs = 3600000L
   val SessionGapMs = 1800000L
+  /** Time-bucket width for the range-bucketed as-of join (q50): 6h — the
+    * fixture's one-week event span splits into ~28 buckets per key. */
+  val AsofBucketMs = 6L * 3600000L
   /** A12 probe sample: validSize draws from the validWindow most
     * frequent items (`prod2vec_config.yaml:38-39`, scaled to fixtures). */
   val ValidWindow = 50
@@ -580,6 +583,22 @@ object SparkEntry {
           (col("window_start_ms") + WindowMs).cast("long").as("avail_ms"),
           col("avg_value").as("prev_avg"))
       Events.asofJoin(left, right, Seq("event_type"), "ms", "avail_ms")
+        .orderBy("event_id")
+    }),
+
+    // Same enrichment via the range-bucketed as-of join — identical
+    // result (same oracle SQL), parallelism ∝ key × time-bucket instead
+    // of per-key (the q48 scale fix; 6h buckets here).
+    "q50_asof_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val left = ev.select(col("event_id"), col("event_type"),
+        expr("ts div 1000000").cast("long").as("ms"))
+      val right = Events.tumbling(ev, WindowMs)
+        .select(col("event_type"),
+          (col("window_start_ms") + WindowMs).cast("long").as("avail_ms"),
+          col("avg_value").as("prev_avg"))
+      Events.asofJoinBucketed(left, right, Seq("event_type"), "ms", "avail_ms",
+        AsofBucketMs)
         .orderBy("event_id")
     }),
 
@@ -1185,6 +1204,25 @@ object SparkEntry {
     // q48: DuckDB native ASOF LEFT JOIN mirrors the union+last_value
     // Spark shape (ties match: l.ms >= r.avail_ms).
     "q48_asof_enrich" ->
+      s"""WITH wdw AS (
+         |  SELECT event_type,
+         |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,
+         |    round(avg(value), 9) AS prev_avg
+         |  FROM events GROUP BY 1, 2
+         |),
+         |e AS (
+         |  SELECT event_id, event_type,
+         |         (epoch_ns(ts) // 1000000)::BIGINT AS ms
+         |  FROM events
+         |)
+         |SELECT e.event_type, e.event_id, e.ms, w.avail_ms, w.prev_avg
+         |FROM e ASOF LEFT JOIN wdw w
+         |  ON e.event_type = w.event_type AND e.ms >= w.avail_ms
+         |ORDER BY e.event_id""".stripMargin,
+
+    // q50: same semantics as q48 (the bucketed form is result-identical
+    // by construction), so the oracle is the same native ASOF LEFT JOIN.
+    "q50_asof_bucketed" ->
       s"""WITH wdw AS (
          |  SELECT event_type,
          |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,

@@ -80,8 +80,9 @@ object Events {
     * blow-up, no broadcast requirement on either side. Parallelism is
     * bounded by key cardinality (each key sorts on one task): with a
     * low-cardinality key (q48's 5 event types) include an entity column
-    * in `keyCols` when the right table carries it, or range-bucket the
-    * time axis upstream. */
+    * in `keyCols` when the right table carries it, or use
+    * [[asofJoinBucketed]] — identical semantics, parallelism ∝
+    * key × time-bucket. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTimeCol: String, rightTimeCol: String): DataFrame = {
     val lPayCols = left.columns.toSeq.filterNot(keyCols.contains)
@@ -107,6 +108,91 @@ object Events {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l2.union(r2)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(keyCols.map(col) ++
+        lPayCols.map(c => col(s"__lp.$c").as(c)) ++
+        rPayCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Range-bucketed as-of join — same semantics as [[asofJoin]] (for any
+    * `bucketWidth` ≥ 1 the results are identical; EventsSpec proves it on
+    * randomized streams) but parallelism ∝ |keys| × |time buckets| instead
+    * of |keys|. Reach for this when the key is low-cardinality (q48 keys
+    * on 5 event types — with plain [[asofJoin]] five tasks would sort
+    * everything at 100×).
+    *
+    * Shape (two-pass, still no range-join candidate blow-up):
+    *  1. bucket both sides by `floor(t / bucketWidth)`;
+    *  2. per (key, bucket) reduce the right side to its LAST row
+    *     (`max_by` — partial+final agg) → a bucket-granularity summary
+    *     table, ~|keys|·|buckets| rows regardless of data size;
+    *  3. carry-in: for each left-occupied bucket, the last summary among
+    *     strictly-earlier buckets — the union+running-`last` trick over
+    *     the SUMMARY table keyed on the key alone (per-key sort touches
+    *     bucket-granularity rows only, never raw data);
+    *  4. join the carry to the left rows on (key, bucket), then resolve
+    *     within-bucket with the same union+`last(ignoreNulls)` window as
+    *     [[asofJoin]] — but partitioned by (key, BUCKET): the raw-data
+    *     sort that bounded [[asofJoin]]'s parallelism now splits across
+    *     every time bucket. A left row's match is either a same-bucket
+    *     right row at `__t` ≤ its time (the window) or, if none, the
+    *     carry-in (`coalesce`).
+    *
+    * Same requirements as [[asofJoin]] (unique right times per key,
+    * non-colliding payload names) plus non-null keys (the carry join is
+    * an equi-join). Choose `bucketWidth` so a (key, bucket) cell fits a
+    * task — e.g. hours for event streams; more buckets only add summary
+    * rows, so err small. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTimeCol: String, rightTimeCol: String,
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val lPayCols = left.columns.toSeq.filterNot(keyCols.contains)
+    val rPayCols = right.columns.toSeq.filterNot(keyCols.contains)
+    val keys = keyCols.map(col)
+    // exact floor division for any sign: pmod is non-negative, so __t−pmod
+    // is an exact multiple of the width and `div` cannot truncate wrong
+    val bucket = expr(s"(__t - pmod(__t, ${bucketWidth}L)) div ${bucketWidth}L")
+    val rTyped = right.select(keys ++ Seq(
+        col(rightTimeCol).cast("long").as("__t"),
+        struct(rPayCols.map(col): _*).as("__rp")): _*)
+      .withColumn("__b", bucket)
+    val lTyped = left.select(keys ++ Seq(
+        col(leftTimeCol).cast("long").as("__t"),
+        struct(lPayCols.map(col): _*).as("__lp")): _*)
+      .withColumn("__b", bucket)
+    val rpType = rTyped.schema("__rp").dataType
+    val bucketLast = rTyped.groupBy(keys :+ col("__b"): _*)
+      .agg(max_by(col("__rp"), col("__t")).as("__rp"))
+    // carry-in: left bucket markers (__o=0) sort BEFORE right summaries
+    // (__o=1) within a bucket, so the running last sees only buckets < b
+    val cw = Window.partitionBy(keys: _*).orderBy(col("__b"), col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = lTyped.select(keys :+ col("__b"): _*).distinct()
+      .withColumn("__rp", lit(null).cast(rpType))
+      .withColumn("__o", lit(0))
+      .union(bucketLast.withColumn("__o", lit(1))
+        .select(keys ++ Seq(col("__b"), col("__rp"), col("__o")): _*))
+      .withColumn("__carry", last(col("__rp"), ignoreNulls = true).over(cw))
+      .filter(col("__o") === 0)
+      .select(keys ++ Seq(col("__b"), col("__carry")): _*)
+    val l2 = lTyped.join(carry, keyCols :+ "__b")
+      .withColumn("__rp", lit(null).cast(rpType))
+      .withColumn("__src", lit(1))
+      .select(keys ++ Seq(col("__b"), col("__t"), col("__lp"), col("__rp"),
+        col("__carry"), col("__src")): _*)
+    val r2 = rTyped
+      .withColumn("__lp", lit(null).cast(lTyped.schema("__lp").dataType))
+      .withColumn("__carry", lit(null).cast(rpType))
+      .withColumn("__src", lit(0))
+      .select(keys ++ Seq(col("__b"), col("__t"), col("__lp"), col("__rp"),
+        col("__carry"), col("__src")): _*)
+    val w = Window.partitionBy(keys :+ col("__b"): _*)
+      .orderBy(col("__t"), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.union(r2)
+      .withColumn("__m",
+        coalesce(last(col("__rp"), ignoreNulls = true).over(w), col("__carry")))
       .filter(col("__src") === 1)
       .select(keyCols.map(col) ++
         lPayCols.map(c => col(s"__lp.$c").as(c)) ++

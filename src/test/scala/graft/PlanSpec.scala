@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q50: bucketed as-of join shuffles raw rows by (key, time-bucket), not key alone") {
+    val p = plan("q50_asof_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the within-bucket window's exchange must carry the bucket column —
+    // per-key work splits across buckets (parallelism ∝ key × bucket);
+    // without it the plan regressed to q48's one-task-per-key sort
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("__b")), p)
+  }
+
   test("q10: pair pipeline has exactly one fact-table shuffle (the basket groupBy)") {
     val p = plan("q10_skipgram_cooc")
     // exchanges: basket groupBy + final cooc agg + tiny vocab topK/window +

@@ -58,6 +58,44 @@ class EventsSpec extends SparkSpec {
     assert(r(4L) == ((None, None)))              // key absent from right
   }
 
+  test("asofJoinBucketed: identical to asofJoin for any bucket width") {
+    val left = Seq(
+      (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 25L), (4L, "b", 10L)
+    ).toDF("event_id", "k", "t")
+    val right = Seq(("a", 10L, 1.0), ("a", 20L, 2.0)).toDF("k", "rt", "v")
+    val expect = Events.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("event_id").collect().toSeq
+    // width 1 (every instant its own bucket), 7 (buckets straddle the
+    // right rows), and one huge bucket (degenerates to plain asofJoin)
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = Events.asofJoinBucketed(left, right, Seq("k"), "t", "rt", w)
+        .orderBy("event_id").collect().toSeq
+      assert(got == expect, s"width $w")
+    }
+  }
+
+  test("asofJoinBucketed law: matches asofJoin on randomized streams") {
+    // seeded RNG — deterministic spec; times collide across sides and
+    // keys on purpose (ties must resolve right-at-equal-time first)
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b", "c")
+    val left = Seq.tabulate(120) { i =>
+      (i.toLong, keys(rnd.nextInt(3)), rnd.nextInt(400).toLong)
+    }.toDF("event_id", "k", "t")
+    // unique right times per key (the operator contract)
+    val right = keys.flatMap { k =>
+      rnd.shuffle((0 until 400).toList).take(25)
+        .map(t => (k, t.toLong, rnd.nextDouble()))
+    }.toDF("k", "rt", "v")
+    val expect = Events.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("event_id").collect().toSeq
+    for (w <- Seq(3L, 50L, 399L)) {
+      val got = Events.asofJoinBucketed(left, right, Seq("k"), "t", "rt", w)
+        .orderBy("event_id").collect().toSeq
+      assert(got == expect, s"width $w")
+    }
+  }
+
   test("quantileProfile: exact interpolated quantiles, min/max/count") {
     val r = Events.quantileProfile(ev, Seq(0.5))
       .orderBy("event_type").collect()
