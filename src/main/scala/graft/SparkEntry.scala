@@ -36,6 +36,12 @@ object SparkEntry {
   val SamplingFactor = 1e-3
   /** Neighbors per target in the similarity reports. */
   val TopK = 10
+  /** Salts for the flagship co-occurrence count (the hot-pair skew
+    * lever, [[graft.ops.Pairs.saltedCounts]]): counts are algebraic so
+    * any value yields the identical result — running the oracle gate
+    * with salts > 1 keeps the lever exercised, not just spec'd. At
+    * cluster scale size this ≈ executor count when one pair dominates. */
+  val CoocSalts = 4
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Top co-purchase neighbors per part (SURVEY.md §7.2). */
@@ -194,6 +200,33 @@ object SparkEntry {
        |            JOIN sh sb ON cand.id_b = sb.doc_id
        |)""".stripMargin
   }
+
+  /** Gaps-and-islands sessionization oracle — shared by q30 (direct,
+    * per-user window) and q52 (two-phase bucketed build): both engine
+    * forms compute the same sessions by construction. */
+  private val sessionizeOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+       |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+       |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${SessionGapMs}000000
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+       |),
+       |s AS (
+       |  SELECT user_id, event_id, value, tns,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM e
+       |)
+       |SELECT user_id, session_id::BIGINT AS session_id,
+       |  count(*) AS n_events,
+       |  (min(tns) // 1000000)::BIGINT AS start_ms,
+       |  (max(tns) // 1000000)::BIGINT AS end_ms,
+       |  ((max(tns) - min(tns)) // 1000000)::BIGINT AS duration_ms,
+       |  round(sum(value), 9) AS sum_value
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
 
   /** DuckDB CTE computing per-doc SimHash (relational form of
     * [[Text.simhash]]). */
@@ -366,7 +399,7 @@ object SparkEntry {
     // §7.2 flagship (M3 relational): top-K co-purchase neighbors per part,
     // ranked by co-occurrence, names joined back (J2+J3).
     "q14_copurchase_topk" -> ((s, dir) => {
-      val topk = Similarity.coPurchaseTopK(pairs(s, dir), TopK)
+      val topk = Similarity.coPurchaseTopK(pairs(s, dir), TopK, CoocSalts)
       val v = vocab(s, dir).select(col("idx"), col("product_id"))
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
       topk
@@ -450,6 +483,19 @@ object SparkEntry {
       Dedup.dedupNear(t(s, dir, "documents"), "doc_id", shingled(s, dir),
         NumPerms, LshBands, LshRows, JaccardTau)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup cluster-representative table: connected components (min-id
+    // label propagation to fixpoint) over the Jaccard-verified pair list —
+    // the transitive complement of q43's greedy drop policy.
+    "q51_near_dup_clusters" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", NumPerms)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
+      val verified = Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
+      Dedup.nearDupClusters(verified, "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -568,6 +614,13 @@ object SparkEntry {
     // Gap-based sessionization (30 min gap).
     "q30_sessionize" -> ((s, dir) => {
       Events.sessionize(t(s, dir, "events"), SessionGapMs)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Same sessions via the two-phase bucketed build — identical result
+    // (same oracle SQL as q30), per-user sort bound removed.
+    "q52_sessionize_bucketed" -> ((s, dir) => {
+      Events.sessionizeBucketed(t(s, dir, "events"), SessionGapMs, AsofBucketMs)
         .orderBy("user_id", "session_id")
     }),
 
@@ -952,6 +1005,27 @@ object SparkEntry {
          |WHERE k.id_b IS NULL
          |ORDER BY d.doc_id""".stripMargin,
 
+    // q51: transitive closure via recursive CTE — rep = min id reachable
+    // over the verified-pair edges (both directions; UNION dedups rows,
+    // so the recursion terminates on the finite reachability set).
+    // RECURSIVE must head the whole WITH chain in DuckDB, hence the
+    // replaceFirst on the shared CTE prefix.
+    "q51_near_dup_clusters" ->
+      s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM jac WHERE jaccard >= $JaccardTau
+         |  UNION
+         |  SELECT id_b AS s, id_a AS d FROM jac WHERE jaccard >= $JaccardTau
+         |),
+         |reach AS (
+         |  SELECT s AS id, s AS r FROM edges
+         |  UNION
+         |  SELECT e.s AS id, reach.r AS r
+         |  FROM edges e JOIN reach ON e.d = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // per-row integer cents (see the Spark side): order-free exact sum
     "q44_region_revenue" ->
       """SELECT r_name, n_name,
@@ -1167,29 +1241,11 @@ object SparkEntry {
          |  round(sum(value), 9) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start_ms""".stripMargin,
 
-    "q30_sessionize" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
-         |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-         |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > ${SessionGapMs}000000
-         |         THEN 1 ELSE 0 END AS new_sess
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-         |),
-         |s AS (
-         |  SELECT user_id, event_id, value, tns,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         |  FROM e
-         |)
-         |SELECT user_id, session_id::BIGINT AS session_id,
-         |  count(*) AS n_events,
-         |  (min(tns) // 1000000)::BIGINT AS start_ms,
-         |  (max(tns) // 1000000)::BIGINT AS end_ms,
-         |  ((max(tns) - min(tns)) // 1000000)::BIGINT AS duration_ms,
-         |  round(sum(value), 9) AS sum_value
-         |FROM s GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+    "q30_sessionize" -> sessionizeOracleSql,
+
+    // q52: the bucketed two-phase build is result-identical to q30 by
+    // construction, so it shares the oracle.
+    "q52_sessionize_bucketed" -> sessionizeOracleSql,
 
     "q49_value_quantiles" ->
       """SELECT event_type,

@@ -101,7 +101,8 @@ object Pipeline {
         val grid = config.tune.grid.map { case (d, lr) =>
           Prod2Vec.Params(vectorSize = d, stepSize = lr,
             windowSize = config.preprocess.trainWindowSize,
-            maxIter = config.train.epochs)
+            maxIter = config.train.epochs,
+            maxSentenceLength = config.preprocess.maxBasketLength)
         }
         val (table, best) = Prod2Vec.tune(basketTokens, grid, coPairs)
         val bestName = best.head().getAs[String]("job_name")
@@ -114,7 +115,8 @@ object Pipeline {
       } else {
         val p = Prod2Vec.Params(vectorSize = config.train.embeddingDim,
           windowSize = config.preprocess.trainWindowSize,
-          maxIter = config.train.epochs, stepSize = config.train.learningRate)
+          maxIter = config.train.epochs, stepSize = config.train.learningRate,
+          maxSentenceLength = config.preprocess.maxBasketLength)
         (Prod2Vec.train(basketTokens, p), None)
       }
 

@@ -26,7 +26,14 @@ import graft.ops.Similarity
   */
 object Prod2Vec {
 
-  /** Hyperparameters (mirror of `config/prod2vec_config.yaml:24-39`). */
+  /** Hyperparameters (mirror of `config/prod2vec_config.yaml:24-39`).
+    * `maxSentenceLength` is the trainer-path P7 analog (basket cap,
+    * `config/prod2vec_config.yaml:28` `max_basket_length`): MLlib splits
+    * longer token sequences into chunks of this size, bounding per-record
+    * training cost exactly like [[graft.ops.Pairs.orderedBaskets]]'s
+    * truncation bounds pair generation. Default matches MLlib's own
+    * (1000), so existing training paths are byte-identical unless a cap
+    * is configured. */
   case class Params(
       vectorSize: Int = 16,
       windowSize: Int = 4,      // train_window_size (N1: config wins over README)
@@ -34,7 +41,8 @@ object Prod2Vec {
       minCount: Int = 2,
       stepSize: Double = 0.025, // learning_rate
       numPartitions: Int = 8,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      maxSentenceLength: Int = 1000)
 
   /** A1 for the trainer: baskets as string-token sequences (Word2Vec
     * consumes `Array[String]`). */
@@ -42,8 +50,9 @@ object Prod2Vec {
     lineitem.groupBy(col("l_orderkey").as("order_id"))
       .agg(collect_list(col("l_partkey").cast("string")).as("tokens"))
 
-  /** M1+M2: build and fit the embedding model. */
-  def train(basketDf: DataFrame, p: Params): Word2VecModel =
+  /** M1: the configured estimator (exposed so specs can assert every
+    * [[Params]] field actually reaches MLlib). */
+  def estimator(p: Params): Word2Vec =
     new Word2Vec()
       .setInputCol("tokens")
       .setOutputCol("vec")
@@ -54,7 +63,11 @@ object Prod2Vec {
       .setStepSize(p.stepSize)
       .setNumPartitions(p.numPartitions)
       .setSeed(p.seed)
-      .fit(basketDf)
+      .setMaxSentenceLength(p.maxSentenceLength)
+
+  /** M1+M2: build and fit the embedding model. */
+  def train(basketDf: DataFrame, p: Params): Word2VecModel =
+    estimator(p).fit(basketDf)
 
   /** S8: model persistence — the reference's train and post-process stages
     * are separate processes exchanging a saved model

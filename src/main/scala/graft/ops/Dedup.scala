@@ -132,6 +132,61 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Connected-components clustering of a verified near-dup pair list
+    * ((id_a, id_b), id_a < id_b — [[jaccardVerify]] output or any
+    * undirected edge list): every document that appears in a pair is
+    * labeled with its component's MINIMUM id. Returns
+    * (idCol, cluster_rep), one row per distinct paired document —
+    * the "cluster representative table" corpus-dedup users want when
+    * survivors must be one-per-transitive-cluster rather than
+    * [[dedupNear]]'s greedy drop-any-id_b (greedy can keep BOTH b and a
+    * of a component when only (b,c) and (a,c) verified — clustering
+    * keeps exactly min(a,b,c); DedupSpec contrasts them).
+    *
+    * Algorithm: iterative min-label propagation. labels start as the
+    * vertex id; each round every vertex takes the min of its own label
+    * and its neighbors' labels; stop when no label changed (or
+    * `maxIters`, a safety bound — rounds needed ≈ component diameter,
+    * and near-dup components are short chains in practice).
+    *
+    * Scale posture: per round, one hash join of labels onto the edge
+    * list keyed on vertex id + one min-groupBy — both shuffle only the
+    * (vertex, label) pairs, never document contents. Labels
+    * `localCheckpoint` each round: the convergence action doesn't
+    * recompute the chain, lineage doesn't double per iteration, and
+    * out-of-scope round RDDs are reclaimed by the ContextCleaner.
+    * The convergence check is one tiny action per round on a
+    * |vertices|-row frame — the standard trade for a data-dependent
+    * fixpoint. */
+  def nearDupClusters(verifiedPairs: DataFrame, idCol: String,
+                      maxIters: Int = 30): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    // undirected: propagate across the edge in both directions
+    val edges = verifiedPairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+      .union(verifiedPairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+    var labels = edges.select(col("__src").as("__v")).distinct()
+      .withColumn("__lbl", col("__v"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // neighbor's current label, keyed to the receiving vertex
+      val fromNbr = edges
+        .join(labels.withColumnRenamed("__v", "__src"), Seq("__src"))
+        .groupBy(col("__dst").as("__v"))
+        .agg(min(col("__lbl")).as("__nl"))
+      val next = labels.join(fromNbr, Seq("__v"))
+        .select(col("__v"), least(col("__lbl"), col("__nl")).as("__lbl"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("__lbl", "__old"), Seq("__v"))
+        .filter(col("__lbl") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("__v").as(idCol), col("__lbl").as("cluster_rep"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash fingerprint width. 60 bits (the full [[Portable]] hash

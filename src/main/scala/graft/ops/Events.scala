@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * (map-side partial aggs apply); sessionization shuffles once on
   * user_id and sorts within partitions — the classic gaps-and-islands
   * plan that survives any data size as long as a single user's events
-  * fit a partition (salt pathological hot users upstream if not).
+  * fit a partition ([[sessionizeBucketed]] is the same computation with
+  * that bound removed — reach for it when users are pathologically hot).
   */
 object Events {
 
@@ -55,6 +56,64 @@ object Events {
         expr("max(ts) div 1000000").as("end_ms"),
         expr("(max(ts) - min(ts)) div 1000000").as("duration_ms"),
         round(sum(col("value")), 9).as("sum_value"))
+  }
+
+  /** Two-phase (time-bucketed) sessionization — identical output to
+    * [[sessionize]] for ANY `bucketMs` ≥ 1 (EventsSpec proves the law on
+    * a pathological hot user), but the raw-event sort partitions by
+    * (user, time-bucket) instead of user: the hot-user caveat on
+    * [[sessionize]] — one user's whole timeline sorting in one task —
+    * engineered away, same lever as [[asofJoinBucketed]].
+    *
+    * Phase 1 sessionizes LOCALLY within each (user, bucket) cell and
+    * reduces each local session to one summary row (count, min/max ts,
+    * value sum) — gaps-and-islands where the window partition carries
+    * the bucket, so a hot user splits across tasks. Phase 2 re-runs
+    * gaps-and-islands per user over the SUMMARY rows ordered by start
+    * time — a session continues the previous one iff its first event is
+    * within `gapMs` of the previous session's last (this compares real
+    * timestamps, so merges chain across empty buckets and any bucket
+    * width is correct); counts/sums/extrema recombine algebraically.
+    * The per-user sort now touches session-granularity rows only —
+    * bounded by cells, not events.
+    *
+    * Caveat: `sum_value` adds per-cell partials instead of raw values,
+    * so the float accumulation order differs from [[sessionize]] —
+    * both round to 9 dp, beneath which the engines already don't
+    * promise bit equality. */
+  def sessionizeBucketed(events: DataFrame, gapMs: Long,
+                         bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1, s"bucketMs must be >= 1, got $bucketMs")
+    val gapNs = gapMs * 1000000L
+    val bucketNs = bucketMs * 1000000L
+    // exact floor division (see asofJoinBucketed)
+    val withB = events.withColumn("__b",
+      expr(s"(ts - pmod(ts, ${bucketNs}L)) div ${bucketNs}L"))
+    val wCell = Window.partitionBy(col("user_id"), col("__b"))
+      .orderBy(col("ts"), col("event_id"))
+    val cellSessions = withB
+      .withColumn("__prev", lag(col("ts"), 1).over(wCell))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts") - col("__prev") > gapNs, 1L).otherwise(0L))
+      .withColumn("__ls", sum(col("__new")).over(
+        wCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__b"), col("__ls"))
+      .agg(count(lit(1)).as("__n"), min(col("ts")).as("__min"),
+        max(col("ts")).as("__max"), sum(col("value")).as("__sv"))
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("__min"), col("__b"), col("__ls"))
+    cellSessions
+      .withColumn("__pmax", lag(col("__max"), 1).over(wUser))
+      .withColumn("__start", when(col("__pmax").isNull ||
+        col("__min") - col("__pmax") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__start")).over(
+        wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("__n")).as("n_events"),
+        expr("min(__min) div 1000000").as("start_ms"),
+        expr("max(__max) div 1000000").as("end_ms"),
+        expr("(max(__max) - min(__min)) div 1000000").as("duration_ms"),
+        round(sum(col("__sv")), 9).as("sum_value"))
   }
 
   /** Distributed as-of join (temporal enrich): for every left row, the

@@ -32,6 +32,34 @@ object Multimodal {
       struct(length(col(contentCol).cast("binary")).cast("long").as("n_bytes"),
         col("lang"), col("source")).as("meta"))
 
+  /** Payload table from a real media directory via Spark's `binaryFile`
+    * source — the production entry point ([[payloads]] is the
+    * text-column twin for the fixture tables). Emits the same
+    * (doc_id, payload, meta) shape, so [[metaTable]] / [[resize]] /
+    * [[sampleFrames]] / [[extractFeatures]] run unchanged on either.
+    *
+    * doc_id is a hash of the file NAME (not the full path), so ids are
+    * stable when the same corpus mounts at a different prefix; `meta
+    * .source` keeps the name for traceability, `meta.lang` is null
+    * (unknown for raw media).
+    *
+    * 100 TB posture: binaryFile assigns whole files to partitions
+    * (a file never splits), reads are map-only, and media directories
+    * should be filtered at the source via its `pathGlobFilter` /
+    * `recursiveFileLookup` options rather than a post-scan filter —
+    * pass them through `options`. */
+  def payloadsFromDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      options: Map[String, String] = Map.empty): DataFrame = {
+    val fileName = element_at(split(col("path"), "/"), -1)
+    spark.read.format("binaryFile").options(options).load(dir)
+      .select(
+        xxhash64(fileName).as("doc_id"),
+        col("content").as("payload"),
+        struct(col("length").cast("long").as("n_bytes"),
+          lit(null).cast("string").as("lang"),
+          fileName.as("source")).as("meta"))
+  }
+
   /** Metadata extraction over the binary payload — size, content hash,
     * magic-bytes prefix. Map-only scalar expressions (oracle-able). */
   def metaTable(payloadDf: DataFrame): DataFrame =

@@ -41,10 +41,25 @@ object Similarity {
     * skip-gram pair stream. Rank by co-occurrence count desc with pinned
     * tiebreak (cnt DESC, context ASC); self pairs never occur (pair gen
     * excludes pos_t == pos_c, and identical items at different positions
-    * are real co-occurrence). Returns (target, context, cnt, rnk ≤ k). */
-  def coPurchaseTopK(pairs: DataFrame, k: Int): DataFrame = {
-    val co = pairs.groupBy(col("target"), col("context"))
-      .agg(count(lit(1)).as("cnt"))
+    * are real co-occurrence). Returns (target, context, cnt, rnk ≤ k).
+    *
+    * `salts` > 1 routes the co-occurrence count through
+    * [[Pairs.saltedCounts]] — the skew lever for hot (target, context)
+    * keys (a viral product pair at 100 TB): stage one spreads a hot key
+    * over `salts` reducers, stage two sums the ≤ `salts` partials.
+    * Counts are algebraic, so the result is IDENTICAL for every `salts`
+    * (the law is proven in PairsSpec; SimilaritySpec re-checks it through
+    * this entry point) — choose by cluster skew, not by semantics. The
+    * salt is a keyed hash of the full pair row, so placement is
+    * deterministic run-to-run. */
+  def coPurchaseTopK(pairs: DataFrame, k: Int, salts: Int = 1): DataFrame = {
+    val co =
+      if (salts <= 1)
+        pairs.groupBy(col("target"), col("context"))
+          .agg(count(lit(1)).as("cnt"))
+      else
+        Pairs.saltedCounts(pairs, Seq("target", "context"),
+          pairs.columns.toSeq.map(col), salts)
     co.withColumn("rnk",
         row_number().over(Window.partitionBy(col("target"))
           .orderBy(desc("cnt"), asc("context"))))

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
       l.contains("hashpartitioning") && l.contains("__b")), p)
   }
 
+  test("q52: bucketed sessionize sorts raw events by (user, time-bucket)") {
+    val p = plan("q52_sessionize_bucketed")
+    // phase-1 window exchange carries the bucket — a hot user's timeline
+    // splits across tasks instead of sorting in one (the q30 caveat)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("user_id")
+        && l.contains("__b")), p)
+  }
+
   test("q10: pair pipeline has exactly one fact-table shuffle (the basket groupBy)") {
     val p = plan("q10_skipgram_cooc")
     // exchanges: basket groupBy + final cooc agg + tiny vocab topK/window +

@@ -66,6 +66,31 @@ class DedupSpec extends SparkSpec {
     assert((all -- survivors).forall(d => survivors.exists(_ < d)))
   }
 
+  test("nearDupClusters: transitive min-id labels; fixpoint past one hop") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round) + pair 10-11
+    // + isolated vertex never in an edge (absent from the output)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupClusters vs greedy: clustering keeps one rep per component") {
+    // edges (2,3) and (1,3): greedy dedupNear-style drops only the id_b
+    // side {3}, keeping BOTH 1 and 2 of the same transitive cluster —
+    // the cluster table labels all three with rep 1
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val greedySurvivors = Set(1L, 2L, 3L) --
+      pairs.select("id_b").as[Long].collect().toSet
+    assert(greedySurvivors == Set(1L, 2L))
+    val labels = Dedup.nearDupClusters(pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(labels.values.toSet.size == 1) // exactly one rep for the component
+  }
+
   test("simhash: identical texts equal, near texts close, Hamming pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
     val m = sims.as[(Long, Long)].collect().toMap

@@ -58,6 +58,32 @@ class EventsSpec extends SparkSpec {
     assert(r(4L) == ((None, None)))              // key absent from right
   }
 
+  test("sessionizeBucketed law: matches sessionize on a pathological hot user") {
+    // one hot user with 500 events in bursts (gaps straddle bucket
+    // boundaries on purpose) + a sparse user + a single-event user
+    val rnd = new scala.util.Random(13)
+    var ts = 0L
+    val hot = Seq.tabulate(500) { i =>
+      ts += (if (rnd.nextInt(10) == 0) 45L * M else rnd.nextInt(5).toLong * M)
+      (1000L + i, ts, 1L, "click", rnd.nextInt(100) / 10.0)
+    }
+    val others = Seq(
+      (1L, 0L, 2L, "view", 1.5), (2L, 40L * M, 2L, "view", 2.5),
+      (3L, 10L * H, 3L, "click", 3.0))
+    val events = (hot ++ others)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expect = Events.sessionize(events, 1800000L)
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(expect.length > 10) // the bursts really split into many sessions
+    // widths around/below/above the gap — boundary merges chain across
+    // empty buckets in every case
+    for (w <- Seq(600000L, 1800000L, 7200000L)) {
+      val got = Events.sessionizeBucketed(events, 1800000L, w)
+        .orderBy("user_id", "session_id").collect().toSeq
+      assert(got == expect, s"bucketMs=$w")
+    }
+  }
+
   test("asofJoinBucketed: identical to asofJoin for any bucket width") {
     val left = Seq(
       (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 25L), (4L, "b", 10L)

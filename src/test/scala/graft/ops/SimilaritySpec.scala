@@ -35,6 +35,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("M3: coPurchaseTopK salts knob is identity-preserving (skew lever)") {
+    // pair stream with one hot (target, context) pair and ties that
+    // exercise the (cnt DESC, context ASC) tiebreak
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.tabulate(300) { i =>
+      if (i % 3 == 0) (i.toLong, 1L, 2L)                 // hot pair
+      else (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(9).toLong)
+    }.toDF("order_id", "target", "context")
+    val direct = Similarity.coPurchaseTopK(pairs, 3)
+      .orderBy("target", "rnk").collect().toSeq
+    for (s <- Seq(2, 7)) {
+      val salted = Similarity.coPurchaseTopK(pairs, 3, salts = s)
+        .orderBy("target", "rnk").collect().toSeq
+      assert(salted == direct, s"salts=$s")
+    }
+  }
+
   test("M6: bestRow picks global minimum") {
     val df = Seq(("a", 3.0), ("b", 1.0), ("c", 2.0)).toDF("job", "objective")
     assert(Similarity.bestRow(df, "objective").head.getString(0) == "b")
