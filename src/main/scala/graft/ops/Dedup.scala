@@ -143,11 +143,16 @@ object Dedup {
     * of a component when only (b,c) and (a,c) verified — clustering
     * keeps exactly min(a,b,c); DedupSpec contrasts them).
     *
-    * Algorithm: iterative min-label propagation. labels start as the
-    * vertex id; each round every vertex takes the min of its own label
-    * and its neighbors' labels; stop when no label changed (or
-    * `maxIters`, a safety bound — rounds needed ≈ component diameter,
-    * and near-dup components are short chains in practice).
+    * Algorithm: iterative min-label propagation with path halving.
+    * Labels start as the vertex id; each round every vertex takes the
+    * min of its own and its neighbors' labels, then jumps to its
+    * label's label (labels only decrease and always name a component
+    * member, so the jump stays inside the component). The jump halves
+    * pointer-chain depth each round, so rounds needed are
+    * O(log diameter) — web-scale dup chains (shingle drift) converge
+    * in a handful of rounds where plain propagation would need
+    * diameter rounds. Stops when no label changed (or `maxIters`, a
+    * safety bound).
     *
     * Scale posture: per round, one hash join of labels onto the edge
     * list keyed on vertex id + one min-groupBy — both shuffle only the
@@ -161,27 +166,44 @@ object Dedup {
   def nearDupClusters(verifiedPairs: DataFrame, idCol: String,
                       maxIters: Int = 30): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    // undirected: propagate across the edge in both directions
+    // undirected: propagate across the edge in both directions.
+    // Checkpointed FIRST: the edge list joins into every round, and
+    // without the barrier each iteration would recompute the whole
+    // upstream pipeline that produced the pairs (for the q51 wiring
+    // that's the full MinHash→LSH→Jaccard chain — measured 5x the
+    // entire query cost at sf0.1).
     val edges = verifiedPairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .union(verifiedPairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("__src").as("__v")).distinct()
       .withColumn("__lbl", col("__v"))
       .localCheckpoint(eager = true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // neighbor's current label, keyed to the receiving vertex
+      // neighbor's current label, keyed to the receiving vertex (every
+      // vertex has >= 1 neighbor — it came from the edge list)
       val fromNbr = edges
         .join(labels.withColumnRenamed("__v", "__src"), Seq("__src"))
         .groupBy(col("__dst").as("__v"))
         .agg(min(col("__lbl")).as("__nl"))
-      val next = labels.join(fromNbr, Seq("__v"))
-        .select(col("__v"), least(col("__lbl"), col("__nl")).as("__lbl"))
+      // checkpointed: the path-halving step self-joins this frame, and
+      // without the barrier the neighbor-min join would run twice
+      val merged = labels.join(fromNbr, Seq("__v"))
+        .select(col("__v"), col("__lbl").as("__old"),
+          least(col("__lbl"), col("__nl")).as("__m"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("__lbl", "__old"), Seq("__v"))
-        .filter(col("__lbl") =!= col("__old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      // path halving: adopt the label OF the label (left join — the
+      // labeled vertex may sit in another partition of `merged`;
+      // coalesce keeps __m when the jump target resolves to itself)
+      val next = merged
+        .join(merged.select(col("__v").as("__m"), col("__m").as("__mm")),
+          Seq("__m"), "left")
+        .select(col("__v"), coalesce(col("__mm"), col("__m")).as("__lbl"),
+          (coalesce(col("__mm"), col("__m")) =!= col("__old")).as("__chg"))
+        .localCheckpoint(eager = true)
+      converged = next.filter(col("__chg")).limit(1).count() == 0
+      labels = next.select(col("__v"), col("__lbl"))
       it += 1
     }
     labels.select(col("__v").as(idCol), col("__lbl").as("cluster_rep"))

@@ -77,6 +77,16 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters: long chain converges (path halving, log rounds)") {
+    // 60-vertex chain: plain propagation needs 59 rounds — far past the
+    // maxIters=8 given here; path halving converges within it
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain, "doc_id", maxIters = 8)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 60)
+    assert(labels.forall(_._2 == 0L))
+  }
+
   test("nearDupClusters vs greedy: clustering keeps one rep per component") {
     // edges (2,3) and (1,3): greedy dedupNear-style drops only the id_b
     // side {3}, keeping BOTH 1 and 2 of the same transitive cluster —
