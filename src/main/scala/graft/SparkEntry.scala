@@ -499,6 +499,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Near-dedup applied with transitive clustering: one survivor (min
+    // id) per connected component — q43's greedy policy can keep several
+    // docs of one component; this keeps exactly the representative.
+    "q53_near_dedup_clustered" -> ((s, dir) => {
+      Dedup.dedupNearClustered(t(s, dir, "documents"), "doc_id",
+        shingled(s, dir), NumPerms, LshBands, LshRows, JaccardTau)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // TPC-H Q5-shaped multi-way join: revenue by (region, nation) with
     // the local-supplier condition — exercises Catalyst join planning
     // (broadcast dims, shuffle joins between facts, partial aggs).
@@ -1025,6 +1035,29 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q53: drop every doc whose component min-id (recursive reach, as
+    // q51) is not itself; unpaired docs never enter `reach` and survive.
+    "q53_near_dedup_clustered" ->
+      s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM jac WHERE jaccard >= $JaccardTau
+         |  UNION
+         |  SELECT id_b AS s, id_a AS d FROM jac WHERE jaccard >= $JaccardTau
+         |),
+         |reach AS (
+         |  SELECT s AS id, s AS r FROM edges
+         |  UNION
+         |  SELECT e.s AS id, reach.r AS r
+         |  FROM edges e JOIN reach ON e.d = reach.id
+         |),
+         |drops AS (
+         |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id
+         |)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN drops k ON d.doc_id = k.id
+         |WHERE k.id IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
 
     // per-row integer cents (see the Spark side): order-free exact sum
     "q44_region_revenue" ->

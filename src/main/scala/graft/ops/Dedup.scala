@@ -209,6 +209,28 @@ object Dedup {
     labels.select(col("__v").as(idCol), col("__lbl").as("cluster_rep"))
   }
 
+  /** Near-dedup applied with TRANSITIVE clustering: the corpus reduced
+    * to one representative (min id) per connected component of the
+    * verified near-dup graph — the clustering twin of [[dedupNear]]'s
+    * greedy policy (which can keep several docs of one component; see
+    * [[nearDupClusters]]). Unpaired documents survive untouched.
+    *
+    * Shape: full MinHash→LSH→Jaccard pipeline → [[nearDupClusters]] →
+    * the drop-set is every clustered doc that is NOT its component's
+    * rep — removal is one left-anti join keyed on id, same as
+    * [[dedupNear]]. */
+  def dedupNearClustered(df: DataFrame, idCol: String, shingled: DataFrame,
+                         numPerms: Int, bands: Int, rpb: Int, tau: Double,
+                         maxIters: Int = 30): DataFrame = {
+    val sigs = minhashSignatures(shingled, idCol, numPerms)
+    val cands = lshCandidatePairs(lshBands(sigs, idCol, bands, rpb), idCol)
+    val verified = jaccardVerify(cands, shingled, idCol, tau)
+    val drops = nearDupClusters(verified, idCol, maxIters)
+      .filter(col(idCol) =!= col("cluster_rep"))
+      .select(col(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash fingerprint width. 60 bits (the full [[Portable]] hash

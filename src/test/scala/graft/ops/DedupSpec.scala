@@ -101,6 +101,21 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.toSet.size == 1) // exactly one rep for the component
   }
 
+  test("dedupNearClustered: one survivor per component; unpaired docs kept") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val clustered = Dedup.dedupNearClustered(docs, "doc_id", sh, 16, 4, 4, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // component {1,2} (3's jaccard vs 1 falls under tau) -> rep 1
+    // survives; 3, 4, 5 unpaired -> survive
+    assert(clustered == Set(1L, 3L, 4L, 5L))
+    // greedy twin keeps the same set here (every link names the min id);
+    // both policies agree when the pair list is transitively closed
+    val greedy = Dedup.dedupNear(docs, "doc_id", sh, 16, 4, 4, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == clustered)
+  }
+
   test("simhash: identical texts equal, near texts close, Hamming pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
     val m = sims.as[(Long, Long)].collect().toMap
