@@ -150,6 +150,14 @@ object SparkEntry {
   def q41CsvPath(dir: String): String =
     "/root/repo/target/q41_csv_" + dir.split('/').last
 
+  /** `events` with ts truncated to whole microseconds — the precision
+    * DuckDB actually reads from TIMESTAMP(NANOS) parquet. Queries whose
+    * oracle arithmetic touches raw ns (the sessionize pair) go through
+    * this so both engines compute over identical values; ms-floor-only
+    * queries (windows, as-of) don't need it. */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("ts - pmod(ts, 1000L)"))
+
   /** Shingled documents (doc_id, shingles) shared by the MinHash path.
     * Tokens are materialized in their own projection first: HOF lambdas
     * evaluate interpreted with NO common-subexpression elimination, so an
@@ -223,7 +231,7 @@ object SparkEntry {
        |  count(*) AS n_events,
        |  (min(tns) // 1000000)::BIGINT AS start_ms,
        |  (max(tns) // 1000000)::BIGINT AS end_ms,
-       |  ((max(tns) - min(tns)) // 1000000)::BIGINT AS duration_ms,
+       |  ((max(tns) // 1000000) - (min(tns) // 1000000))::BIGINT AS duration_ms,
        |  round(sum(value), 9) AS sum_value
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
@@ -621,16 +629,21 @@ object SparkEntry {
         .orderBy("event_type", "window_start_ms")
     }),
 
-    // Gap-based sessionization (30 min gap).
+    // Gap-based sessionization (30 min gap). ts truncated to µs for
+    // oracle parity: DuckDB reads TIMESTAMP(NANOS) parquet at µs
+    // precision, so the engines must sessionize IDENTICAL timestamps —
+    // otherwise sub-µs bits flip gap/duration arithmetic at exact
+    // boundaries (surfaced at sf0.1). The operator itself stays
+    // exact-ns for engine use.
     "q30_sessionize" -> ((s, dir) => {
-      Events.sessionize(t(s, dir, "events"), SessionGapMs)
+      Events.sessionize(eventsUs(s, dir), SessionGapMs)
         .orderBy("user_id", "session_id")
     }),
 
     // Same sessions via the two-phase bucketed build — identical result
     // (same oracle SQL as q30), per-user sort bound removed.
     "q52_sessionize_bucketed" -> ((s, dir) => {
-      Events.sessionizeBucketed(t(s, dir, "events"), SessionGapMs, AsofBucketMs)
+      Events.sessionizeBucketed(eventsUs(s, dir), SessionGapMs, AsofBucketMs)
         .orderBy("user_id", "session_id")
     }),
 

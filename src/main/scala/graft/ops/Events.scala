@@ -50,11 +50,17 @@ object Events {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       // `div` (integer division) — epoch-ns values exceed double's 53-bit
-      // mantissa, so `/` (float division) would lose milliseconds
+      // mantissa, so `/` (float division) would lose milliseconds.
+      // duration is end_ms - start_ms (difference of ms-FLOORS, not the
+      // floor of the ns difference): ms-floors survive any sub-ms
+      // truncation an engine applies on read — DuckDB reads
+      // TIMESTAMP(NANOS) parquet at µs precision, and floor(ns diff)
+      // is off by one when the sub-ms parts straddle a boundary
+      // (surfaced at sf0.1; ms-floor quantities never are).
       .agg(count(lit(1)).as("n_events"),
         expr("min(ts) div 1000000").as("start_ms"),
         expr("max(ts) div 1000000").as("end_ms"),
-        expr("(max(ts) - min(ts)) div 1000000").as("duration_ms"),
+        expr("(max(ts) div 1000000) - (min(ts) div 1000000)").as("duration_ms"),
         round(sum(col("value")), 9).as("sum_value"))
   }
 
@@ -109,10 +115,12 @@ object Events {
       .withColumn("session_id", sum(col("__start")).over(
         wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
+      // duration as difference of ms-floors — see [[sessionize]]
       .agg(sum(col("__n")).as("n_events"),
         expr("min(__min) div 1000000").as("start_ms"),
         expr("max(__max) div 1000000").as("end_ms"),
-        expr("(max(__max) - min(__min)) div 1000000").as("duration_ms"),
+        expr("(max(__max) div 1000000) - (min(__min) div 1000000)")
+          .as("duration_ms"),
         round(sum(col("__sv")), 9).as("sum_value"))
   }
 
