@@ -60,7 +60,12 @@ object Bench {
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // pass totals recorded alongside the min-fold: a reader can judge the
+    // run's own noise level (passes agreeing within ~15% = trustworthy;
+    // divergent passes = contended machine, rerun before comparing)
+    val t1 = pass1.values.sum
+    val t2 = pass2.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

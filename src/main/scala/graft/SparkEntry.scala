@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops._
 import graft.ml.Prod2Vec
+import graft.streaming.StreamOps
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with matching DuckDB-runnable SQL in `oracleSql`.
@@ -678,6 +679,25 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Stream-stream interval join, batch form (same code path as the
+    // streaming twin, StreamOpsSpec pins their equality): each click
+    // paired with the same user's purchases in the following 30 min.
+    // Event time is µs on both engines, so boundaries agree.
+    "q54_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      StreamOps.intervalJoin(clicks, purchases, "user_id", 0L, SessionGapMs,
+        "1 hour")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("r_event_id").as("purchase_id"),
+          (unix_micros(col("r_event_time")) - unix_micros(col("event_time")))
+            .as("delta_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
     // Per-type value distribution profile (exact quantiles = order
     // statistics, engine-stable; no float-sum drift).
     "q49_value_quantiles" -> ((s, dir) => {
@@ -1340,6 +1360,18 @@ object SparkEntry {
          |FROM e ASOF LEFT JOIN wdw w
          |  ON e.event_type = w.event_type AND e.ms >= w.avail_ms
          |ORDER BY e.event_id""".stripMargin,
+
+    // q54: DuckDB reads TIMESTAMP(NANOS) at µs precision — the same
+    // truncation intervalJoin's event_time applies — so epoch_us
+    // boundary comparisons agree bit-for-bit with the Spark side.
+    "q54_interval_join" ->
+      s"""SELECT l.user_id, l.event_id AS click_id, r.event_id AS purchase_id,
+         |  (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS delta_us
+         |FROM events l JOIN events r ON r.user_id = l.user_id
+         |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+         |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + ${SessionGapMs}::BIGINT * 1000
+         |ORDER BY l.user_id, click_id, purchase_id""".stripMargin,
 
     "q31_run_table" ->
       """WITH runs AS (

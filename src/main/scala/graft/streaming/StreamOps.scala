@@ -89,6 +89,41 @@ object StreamOps {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Watermarked stream-stream interval join — the impression→click
+    * enrichment shape: each left row pairs with right rows sharing
+    * `keyCol` whose event time lies in
+    * [left_time + lowerMs, left_time + upperMs]. Right columns come
+    * back prefixed `r_`.
+    *
+    * On streams BOTH sides carry the watermark and the join condition
+    * bounds event time in both directions — exactly what Spark requires
+    * to expire stream-stream join state, so state per key is the
+    * watermark + (upperMs − lowerMs) row slice, not the full history.
+    * On batch frames `withWatermark` is a no-op and this is a plain
+    * interval equi-join — the same code path is oracle-checked (q54)
+    * and the streaming twin is spec-pinned to it.
+    *
+    * Scale posture: shuffles both sides once on `keyCol`; a hot key
+    * buffers only its own time slice — no cross-key amplification.
+    * Event time is µs precision ([[withEventTime]]) on both sides, the
+    * same truncation DuckDB applies to TIMESTAMP(NANOS) parquet, so
+    * boundary comparisons agree across engines. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   lowerMs: Long, upperMs: Long,
+                   watermark: String): DataFrame = {
+    require(lowerMs <= upperMs, s"empty interval: [$lowerMs, $upperMs]")
+    val l = withEventTime(left).withWatermark("event_time", watermark)
+    val r0 = withEventTime(right)
+    val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, "r_" + c))
+      .withWatermark("r_event_time", watermark)
+    l.join(r,
+      col(keyCol) === col("r_" + keyCol) &&
+        col("r_event_time") >= col("event_time") +
+          expr(s"INTERVAL '$lowerMs' MILLISECOND") &&
+        col("r_event_time") <= col("event_time") +
+          expr(s"INTERVAL '$upperMs' MILLISECOND"))
+  }
+
   /** Convenience: wire a streaming DataFrame to an in-memory sink (specs
     * and smoke runs) and return the query name to select from. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)

@@ -120,4 +120,60 @@ class StreamOpsSpec extends SparkSpec {
       assert(last(2L) == ((1L, 5.0)))
     } finally q.stop()
   }
+
+  private val Min = 60L * 1000000000L // 1 min in ns
+  // (event_id, ts_ns, user_id): left = clicks, right = purchases.
+  // Window [0, +30 min]; boundary cases at exactly +30 min (in) and
+  // +30 min + 1 µs (out — µs is the event-time precision). All times
+  // sit above a base offset: a streaming row whose event time equals
+  // the INITIAL watermark (epoch 0) is dropped as late on input.
+  private val B = 1000L * Min
+  private val ijClicks = Seq((1L, B, 1L), (2L, B + 100L * Min, 2L))
+  private val ijPurchases = Seq(
+    (10L, B + 30L * Min, 1L),          // +30 min exactly: included
+    (11L, B + 30L * Min + 1000L, 1L),  // 1 µs past the bound: excluded
+    (12L, B + 99L * Min, 2L),          // 1 min BEFORE user 2's click: excluded
+    (13L, B + 110L * Min, 2L),         // +10 min: included
+    (14L, B, 3L))                      // no click for user 3: excluded
+  private val ijExpected = Set((1L, 10L), (2L, 13L))
+
+  test("intervalJoin: batch form pairs within [0,+30min], boundaries at µs precision") {
+    val out = StreamOps.intervalJoin(
+      ijClicks.toDF("event_id", "ts", "user_id"),
+      ijPurchases.toDF("event_id", "ts", "user_id"),
+      "user_id", 0L, 30L * 60000L, "1 hour")
+      .select($"event_id", $"r_event_id").as[(Long, Long)].collect().toSet
+    assert(out == ijExpected)
+  }
+
+  test("intervalJoin: stream-stream twin matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.intervalJoin(
+        lIn.toDF().toDF("event_id", "ts", "user_id"),
+        rIn.toDF().toDF("event_id", "ts", "user_id"),
+        "user_id", 0L, 30L * 60000L, "1 hour")
+        .select($"event_id", $"r_event_id"),
+      "ij", OutputMode.Append)
+    try {
+      // feed in event-time order (as a real source would): the watermark
+      // trails the max seen time, so in-window rows are never late
+      lIn.addData(ijClicks.head)
+      rIn.addData(ijPurchases.filter(_._2 <= B + 31L * Min): _*)
+      q.processAllAvailable()
+      lIn.addData(ijClicks(1))
+      rIn.addData(ijPurchases.filter(_._2 > B + 31L * Min): _*)
+      q.processAllAvailable()
+      assert(spark.table("ij").as[(Long, Long)].collect().toSet == ijExpected)
+      // state bounding: after the 110-min row the watermark is 50 min, so
+      // a user-1 purchase at +5 min — in-window for the batch form — is
+      // LATE: its click's join state was evicted, and the row is dropped.
+      // This is the eviction the range condition + watermark buy at scale.
+      rIn.addData((15L, B + 5L * Min, 1L))
+      q.processAllAvailable()
+      assert(spark.table("ij").as[(Long, Long)].collect().toSet == ijExpected)
+    } finally q.stop()
+  }
 }
