@@ -47,6 +47,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q54: interval join keys on user_id with the range as residual, never nested-loop") {
+    val p = plan("q54_interval_join")
+    // the equi-predicate must drive join selection (hash or sort-merge on
+    // user_id); the time-range condition rides along as the residual — a
+    // nested-loop/cartesian here would be all-pairs-per-batch at scale
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q50: bucketed as-of join shuffles raw rows by (key, time-bucket), not key alone") {
     val p = plan("q50_asof_bucketed")
     assert(!p.contains("CartesianProduct"), p)
