@@ -27,13 +27,13 @@ object Bench {
     // round (Map iteration order is arbitrary and changes with the
     // query count)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def timeOnce(name: String): Double = {
+    def timeOnce(name: String): (Double, Boolean) = {
       // collect the previous query's garbage OUTSIDE the timed region —
       // recorded r2-r4 benches all carried late-run GC noise (a 0.4 s
       // query billed 5 s for its predecessors' allocations)
       System.gc()
       val t0 = System.nanoTime()
-      try {
+      val ok = try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         // Checksum over EVERY output column — a bare .count() lets
         // Catalyst prune expensive computed columns out of the plan, so
@@ -42,19 +42,33 @@ object Bench {
         // xxhash64 Longs throws ARITHMETIC_OVERFLOW under ANSI mode).
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(bit_xor(col("__h"))).collect()
+        true
       } catch {
         case e: Throwable =>
           errors += name -> e.toString.replaceAll("""["\\\n\r\t]""", " ").take(200)
+          false
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // Two full in-process passes, report the per-query MIN: any transient
-    // contention (driver activity, JIT recompiles, stray GC) inflates one
-    // pass but almost never the same query in both — the min is the
-    // steady-state cost, reproducible run-to-run within ~15%.
+    // Two full in-process passes, report the per-query MIN over the
+    // passes that SUCCEEDED: any transient contention (driver activity,
+    // JIT recompiles, stray GC) inflates one pass but almost never the
+    // same query in both — the min is the steady-state cost,
+    // reproducible run-to-run within ~15%. A failed pass's elapsed time
+    // measures the failure, not the query, so it never wins the min;
+    // if both passes failed the raw min stands and `errors` carries
+    // the diagnosis.
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
     val pass2 = names.map(n => n -> timeOnce(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    val results = names.map { n =>
+      val (ta, oa) = pass1(n)
+      val (tb, ob) = pass2(n)
+      n -> ((oa, ob) match {
+        case (true, false)  => ta
+        case (false, true)  => tb
+        case _              => math.min(ta, tb)
+      })
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -63,8 +77,8 @@ object Bench {
     // pass totals recorded alongside the min-fold: a reader can judge the
     // run's own noise level (passes agreeing within ~15% = trustworthy;
     // divergent passes = contended machine, rerun before comparing)
-    val t1 = pass1.values.sum
-    val t2 = pass2.values.sum
+    val t1 = pass1.values.map(_._1).sum
+    val t2 = pass2.values.map(_._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

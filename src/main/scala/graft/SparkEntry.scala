@@ -237,6 +237,60 @@ object SparkEntry {
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** q48/q50 shared as-of inputs: events as (event_id, event_type, ms)
+    * on the left; completed-hourly-window stats keyed by availability
+    * time (window END) on the right. One definition so the direct and
+    * range-bucketed forms can never drift apart. */
+  private def asofInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events")
+    val left = ev.select(col("event_id"), col("event_type"),
+      expr("ts div 1000000").cast("long").as("ms"))
+    val right = Events.tumbling(ev, WindowMs)
+      .select(col("event_type"),
+        (col("window_start_ms") + WindowMs).cast("long").as("avail_ms"),
+        col("avg_value").as("prev_avg"))
+    (left, right)
+  }
+
+  /** As-of enrichment oracle (native DuckDB ASOF LEFT JOIN) — shared by
+    * q48 (union+window form) and q50 (range-bucketed form): both are
+    * result-identical by construction. */
+  private val asofOracleSql: String =
+    s"""WITH wdw AS (
+       |  SELECT event_type,
+       |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,
+       |    round(avg(value), 9) AS prev_avg
+       |  FROM events GROUP BY 1, 2
+       |),
+       |e AS (
+       |  SELECT event_id, event_type,
+       |         (epoch_ns(ts) // 1000000)::BIGINT AS ms
+       |  FROM events
+       |)
+       |SELECT e.event_type, e.event_id, e.ms, w.avail_ms, w.prev_avg
+       |FROM e ASOF LEFT JOIN wdw w
+       |  ON e.event_type = w.event_type AND e.ms >= w.avail_ms
+       |ORDER BY e.event_id""".stripMargin
+
+  /** Recursive transitive-reachability CTE over the verified near-dup
+    * pairs — shared by q51 (cluster table) and q53 (cluster-policy
+    * apply), so the reachability definition can never drift between
+    * them. Expects the `jac` CTE ([[lshJacSqlCte]]) in scope; yields
+    * `reach(id, r)` = every (vertex, reachable vertex) pair. */
+  private val nearDupReachCte: String =
+    s"""edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM jac WHERE jaccard >= $JaccardTau
+       |  UNION
+       |  SELECT id_b AS s, id_a AS d FROM jac WHERE jaccard >= $JaccardTau
+       |),
+       |reach AS (
+       |  SELECT s AS id, s AS r FROM edges
+       |  UNION
+       |  SELECT e.s AS id, reach.r AS r
+       |  FROM edges e JOIN reach ON e.d = reach.id
+       |)""".stripMargin
+
   /** DuckDB CTE computing per-doc SimHash (relational form of
     * [[Text.simhash]]). */
   private val simhashSqlCte: String =
@@ -652,13 +706,7 @@ object SparkEntry {
     // window stats of its type (stats become visible at window END —
     // nontrivial temporal match, not a self-floor).
     "q48_asof_enrich" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val left = ev.select(col("event_id"), col("event_type"),
-        expr("ts div 1000000").cast("long").as("ms"))
-      val right = Events.tumbling(ev, WindowMs)
-        .select(col("event_type"),
-          (col("window_start_ms") + WindowMs).cast("long").as("avail_ms"),
-          col("avg_value").as("prev_avg"))
+      val (left, right) = asofInputs(s, dir)
       Events.asofJoin(left, right, Seq("event_type"), "ms", "avail_ms")
         .orderBy("event_id")
     }),
@@ -667,13 +715,7 @@ object SparkEntry {
     // result (same oracle SQL), parallelism ∝ key × time-bucket instead
     // of per-key (the q48 scale fix; 6h buckets here).
     "q50_asof_bucketed" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val left = ev.select(col("event_id"), col("event_type"),
-        expr("ts div 1000000").cast("long").as("ms"))
-      val right = Events.tumbling(ev, WindowMs)
-        .select(col("event_type"),
-          (col("window_start_ms") + WindowMs).cast("long").as("avail_ms"),
-          col("avg_value").as("prev_avg"))
+      val (left, right) = asofInputs(s, dir)
       Events.asofJoinBucketed(left, right, Seq("event_type"), "ms", "avail_ms",
         AsofBucketMs)
         .orderBy("event_id")
@@ -1055,17 +1097,7 @@ object SparkEntry {
     // replaceFirst on the shared CTE prefix.
     "q51_near_dup_clusters" ->
       s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM jac WHERE jaccard >= $JaccardTau
-         |  UNION
-         |  SELECT id_b AS s, id_a AS d FROM jac WHERE jaccard >= $JaccardTau
-         |),
-         |reach AS (
-         |  SELECT s AS id, s AS r FROM edges
-         |  UNION
-         |  SELECT e.s AS id, reach.r AS r
-         |  FROM edges e JOIN reach ON e.d = reach.id
-         |)
+         |$nearDupReachCte
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
@@ -1073,17 +1105,7 @@ object SparkEntry {
     // q51) is not itself; unpaired docs never enter `reach` and survive.
     "q53_near_dedup_clustered" ->
       s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM jac WHERE jaccard >= $JaccardTau
-         |  UNION
-         |  SELECT id_b AS s, id_a AS d FROM jac WHERE jaccard >= $JaccardTau
-         |),
-         |reach AS (
-         |  SELECT s AS id, s AS r FROM edges
-         |  UNION
-         |  SELECT e.s AS id, reach.r AS r
-         |  FROM edges e JOIN reach ON e.d = reach.id
-         |),
+         |$nearDupReachCte,
          |drops AS (
          |  SELECT id FROM reach GROUP BY id HAVING min(r) <> id
          |)
@@ -1325,41 +1347,11 @@ object SparkEntry {
 
     // q48: DuckDB native ASOF LEFT JOIN mirrors the union+last_value
     // Spark shape (ties match: l.ms >= r.avail_ms).
-    "q48_asof_enrich" ->
-      s"""WITH wdw AS (
-         |  SELECT event_type,
-         |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,
-         |    round(avg(value), 9) AS prev_avg
-         |  FROM events GROUP BY 1, 2
-         |),
-         |e AS (
-         |  SELECT event_id, event_type,
-         |         (epoch_ns(ts) // 1000000)::BIGINT AS ms
-         |  FROM events
-         |)
-         |SELECT e.event_type, e.event_id, e.ms, w.avail_ms, w.prev_avg
-         |FROM e ASOF LEFT JOIN wdw w
-         |  ON e.event_type = w.event_type AND e.ms >= w.avail_ms
-         |ORDER BY e.event_id""".stripMargin,
+    "q48_asof_enrich" -> asofOracleSql,
 
     // q50: same semantics as q48 (the bucketed form is result-identical
     // by construction), so the oracle is the same native ASOF LEFT JOIN.
-    "q50_asof_bucketed" ->
-      s"""WITH wdw AS (
-         |  SELECT event_type,
-         |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,
-         |    round(avg(value), 9) AS prev_avg
-         |  FROM events GROUP BY 1, 2
-         |),
-         |e AS (
-         |  SELECT event_id, event_type,
-         |         (epoch_ns(ts) // 1000000)::BIGINT AS ms
-         |  FROM events
-         |)
-         |SELECT e.event_type, e.event_id, e.ms, w.avail_ms, w.prev_avg
-         |FROM e ASOF LEFT JOIN wdw w
-         |  ON e.event_type = w.event_type AND e.ms >= w.avail_ms
-         |ORDER BY e.event_id""".stripMargin,
+    "q50_asof_bucketed" -> asofOracleSql,
 
     // q54: DuckDB reads TIMESTAMP(NANOS) at µs precision — the same
     // truncation intervalJoin's event_time applies — so epoch_us

@@ -151,8 +151,9 @@ object Dedup {
     * pointer-chain depth each round, so rounds needed are
     * O(log diameter) — web-scale dup chains (shingle drift) converge
     * in a handful of rounds where plain propagation would need
-    * diameter rounds. Stops when no label changed (or `maxIters`, a
-    * safety bound).
+    * diameter rounds. Stops when no label changed; throws if `maxIters`
+    * rounds pass without convergence (non-minimal labels would silently
+    * break the cluster contract downstream).
     *
     * Scale posture: per round, one hash join of labels onto the edge
     * list keyed on vertex id + one min-groupBy — both shuffle only the
@@ -206,6 +207,12 @@ object Dedup {
       labels = next.select(col("__v"), col("__lbl"))
       it += 1
     }
+    // A capped exit means labels are NOT component minima — returning
+    // them would silently violate the one-survivor-per-cluster contract
+    // downstream (dedupNearClustered). Fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"nearDupClusters did not converge within $maxIters rounds " +
+        "(path-halving needs ~log2(component diameter) rounds; raise maxIters)")
     labels.select(col("__v").as(idCol), col("__lbl").as("cluster_rep"))
   }
 

@@ -275,6 +275,7 @@ object Events {
     * map-side combinable) when a bounded error beats a per-group sort —
     * same call shape. */
   def quantileProfile(events: DataFrame, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
     val qs = probs.map(p =>
       round(expr(s"percentile(value, ${p}D)"), 9)
         .as(s"p${(p * 100).round}"))
@@ -295,6 +296,7 @@ object Events {
     * approx_quantile is a different sketch, so no oracle parity. */
   def quantileProfileApprox(events: DataFrame, probs: Seq[Double],
                             accuracy: Int): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
     require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
     val qs = probs.map(p =>
       expr(s"percentile_approx(value, ${p}D, $accuracy)")

@@ -38,10 +38,11 @@ object Multimodal {
     * (doc_id, payload, meta) shape, so [[metaTable]] / [[resize]] /
     * [[sampleFrames]] / [[extractFeatures]] run unchanged on either.
     *
-    * doc_id is a hash of the file NAME (not the full path), so ids are
-    * stable when the same corpus mounts at a different prefix; `meta
-    * .source` keeps the name for traceability, `meta.lang` is null
-    * (unknown for raw media).
+    * doc_id is a hash of the dir-RELATIVE path: stable when the same
+    * corpus mounts at a different prefix, yet unique across
+    * subdirectories (same-named files under `recursiveFileLookup` must
+    * not collide); `meta.source` keeps the relative path for
+    * traceability, `meta.lang` is null (unknown for raw media).
     *
     * 100 TB posture: binaryFile assigns whole files to partitions
     * (a file never splits), reads are map-only, and media directories
@@ -50,14 +51,19 @@ object Multimodal {
     * pass them through `options`. */
   def payloadsFromDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                       options: Map[String, String] = Map.empty): DataFrame = {
-    val fileName = element_at(split(col("path"), "/"), -1)
+    // `path` arrives fully qualified (e.g. file:/...); qualify `dir` the
+    // same way so the relative path is an exact fixed-length strip
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val qualified = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(hp).toString
+    val rel = expr(s"substring(path, ${qualified.length + 2})")
     spark.read.format("binaryFile").options(options).load(dir)
       .select(
-        xxhash64(fileName).as("doc_id"),
+        xxhash64(rel).as("doc_id"),
         col("content").as("payload"),
         struct(col("length").cast("long").as("n_bytes"),
           lit(null).cast("string").as("lang"),
-          fileName.as("source")).as("meta"))
+          rel.as("source")).as("meta"))
   }
 
   /** Metadata extraction over the binary payload — size, content hash,

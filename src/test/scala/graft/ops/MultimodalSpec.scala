@@ -41,11 +41,19 @@ class MultimodalSpec extends SparkSpec {
       "doc_id", "text"))
       .select("content_md5").as[String].head()
     assert(meta("a.bin")._3 == twin)
-    // ids are name-derived: distinct per file, stable across reads
+    // ids hash the dir-relative path: distinct per file, stable across
+    // reads, and same-named files in different subdirectories DON'T
+    // collide under recursiveFileLookup
     val ids = p.select("doc_id").as[Long].collect()
     assert(ids.distinct.length == 2)
     assert(Multimodal.payloadsFromDir(spark, dir.toString)
       .select("doc_id").as[Long].collect().sorted.sameElements(ids.sorted))
+    java.nio.file.Files.createDirectory(dir.resolve("sub"))
+    java.nio.file.Files.write(dir.resolve("sub/a.bin"),
+      "different bytes".getBytes("UTF-8"))
+    val recIds = Multimodal.payloadsFromDir(spark, dir.toString,
+      Map("recursiveFileLookup" -> "true")).select("doc_id").as[Long].collect()
+    assert(recIds.distinct.length == 3)
     // features flow through the stub extractor with correct sizes
     val feats = Multimodal.extractFeatures(p).collect()
     assert(feats.map(_.n_bytes).sorted.sameElements(Array(11L, 32L)))
