@@ -27,13 +27,14 @@ object Bench {
     // round (Map iteration order is arbitrary and changes with the
     // query count)
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def timeOnce(name: String): (Double, Boolean) = {
+    // (elapsed seconds, error message if the pass failed)
+    def timeOnce(name: String): (Double, Option[String]) = {
       // collect the previous query's garbage OUTSIDE the timed region —
       // recorded r2-r4 benches all carried late-run GC noise (a 0.4 s
       // query billed 5 s for its predecessors' allocations)
       System.gc()
       val t0 = System.nanoTime()
-      val ok = try {
+      val err = try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         // Checksum over EVERY output column — a bare .count() lets
         // Catalyst prune expensive computed columns out of the plan, so
@@ -42,33 +43,41 @@ object Bench {
         // xxhash64 Longs throws ARITHMETIC_OVERFLOW under ANSI mode).
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(bit_xor(col("__h"))).collect()
-        true
+        None
       } catch {
         case e: Throwable =>
-          errors += name -> e.toString.replaceAll("""["\\\n\r\t]""", " ").take(200)
-          false
+          Some(e.toString.replaceAll("""["\\\n\r\t]""", " ").take(200))
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // Two full in-process passes, report the per-query MIN over the
     // passes that SUCCEEDED: any transient contention (driver activity,
     // JIT recompiles, stray GC) inflates one pass but almost never the
     // same query in both — the min is the steady-state cost,
     // reproducible run-to-run within ~15%. A failed pass's elapsed time
-    // measures the failure, not the query, so it never wins the min;
-    // if both passes failed the raw min stands and `errors` carries
-    // the diagnosis.
+    // measures the failure, not the query, so it never wins the min.
+    // `errors` lists a query ONLY when no pass succeeded (its `queries`
+    // time then measures failures, not the query) — so `errors`
+    // membership IS the per-query failed/measured signal; a both-fail
+    // entry keeps both passes' messages.
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
     val pass2 = names.map(n => n -> timeOnce(n)).toMap
     val results = names.map { n =>
-      val (ta, oa) = pass1(n)
-      val (tb, ob) = pass2(n)
-      n -> ((oa, ob) match {
-        case (true, false)  => ta
-        case (false, true)  => tb
-        case _              => math.min(ta, tb)
+      val (ta, ea) = pass1(n)
+      val (tb, eb) = pass2(n)
+      n -> ((ea, eb) match {
+        case (None, Some(_)) => ta
+        case (Some(_), None) => tb
+        case _               => math.min(ta, tb)
       })
     }
+    errors = names.flatMap { n =>
+      (pass1(n)._2, pass2(n)._2) match {
+        case (Some(e1), Some(e2)) =>
+          Some(n -> (if (e1 == e2) e1 else s"pass1: $e1 | pass2: $e2"))
+        case _ => None
+      }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

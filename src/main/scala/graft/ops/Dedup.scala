@@ -179,18 +179,17 @@ object Dedup {
     var labels = edges.select(col("__src").as("__v")).distinct()
       .withColumn("__lbl", col("__v"))
       .localCheckpoint(eager = true)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIters) {
+    // one propagation round: (next labels, did any label change)
+    def round(lbl: DataFrame): (DataFrame, Boolean) = {
       // neighbor's current label, keyed to the receiving vertex (every
       // vertex has >= 1 neighbor — it came from the edge list)
       val fromNbr = edges
-        .join(labels.withColumnRenamed("__v", "__src"), Seq("__src"))
+        .join(lbl.withColumnRenamed("__v", "__src"), Seq("__src"))
         .groupBy(col("__dst").as("__v"))
         .agg(min(col("__lbl")).as("__nl"))
       // checkpointed: the path-halving step self-joins this frame, and
       // without the barrier the neighbor-min join would run twice
-      val merged = labels.join(fromNbr, Seq("__v"))
+      val merged = lbl.join(fromNbr, Seq("__v"))
         .select(col("__v"), col("__lbl").as("__old"),
           least(col("__lbl"), col("__nl")).as("__m"))
         .localCheckpoint(eager = true)
@@ -203,14 +202,23 @@ object Dedup {
         .select(col("__v"), coalesce(col("__mm"), col("__m")).as("__lbl"),
           (coalesce(col("__mm"), col("__m")) =!= col("__old")).as("__chg"))
         .localCheckpoint(eager = true)
-      converged = next.filter(col("__chg")).limit(1).count() == 0
-      labels = next.select(col("__v"), col("__lbl"))
+      val changed = next.filter(col("__chg")).limit(1).count() > 0
+      (next.select(col("__v"), col("__lbl")), changed)
+    }
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val (next, changed) = round(labels)
+      labels = next
+      converged = !changed
       it += 1
     }
-    // A capped exit means labels are NOT component minima — returning
-    // them would silently violate the one-survivor-per-cluster contract
-    // downstream (dedupNearClustered). Fail loudly instead.
-    if (!converged) throw new IllegalStateException(
+    // Labels can stabilize IN round maxIters (convergence only shows one
+    // no-change round later) — confirm with a pure check before failing.
+    // A genuinely capped exit means labels are NOT component minima, and
+    // returning them would silently violate the one-survivor-per-cluster
+    // contract downstream (dedupNearClustered). Fail loudly instead.
+    if (!converged && round(labels)._2) throw new IllegalStateException(
       s"nearDupClusters did not converge within $maxIters rounds " +
         "(path-halving needs ~log2(component diameter) rounds; raise maxIters)")
     labels.select(col("__v").as(idCol), col("__lbl").as("cluster_rep"))

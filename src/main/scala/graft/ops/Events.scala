@@ -274,11 +274,24 @@ object Events {
     * group; at 100 TB swap in `percentile_approx` (t-digest sketch,
     * map-side combinable) when a bounded error beats a per-group sort —
     * same call shape. */
-  def quantileProfile(events: DataFrame, probs: Seq[Double]): DataFrame = {
+  /** Validated (prob, output column name) pairs for the quantile
+    * profiles: probs in (0, 1], and no two probs may round to the same
+    * integer-percent label (the duplicate column would poison every
+    * downstream reference with AMBIGUOUS_REFERENCE). */
+  private def quantileCols(probs: Seq[Double]): Seq[(Double, String)] = {
     require(probs.nonEmpty, "probs must be non-empty")
-    val qs = probs.map(p =>
-      round(expr(s"percentile(value, ${p}D)"), 9)
-        .as(s"p${(p * 100).round}"))
+    require(probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1]: ${probs.mkString(",")}")
+    val named = probs.map(p => p -> s"p${(p * 100).round}")
+    require(named.map(_._2).distinct.size == named.size,
+      s"probs collide on percent labels: ${named.map(_._2).mkString(",")}")
+    named
+  }
+
+  def quantileProfile(events: DataFrame, probs: Seq[Double]): DataFrame = {
+    val qs = quantileCols(probs).map { case (p, name) =>
+      round(expr(s"percentile(value, ${p}D)"), 9).as(name)
+    }
     events.groupBy(col("event_type"))
       .agg(qs.head, qs.tail ++ Seq(
         min(col("value")).as("min_value"),
@@ -296,11 +309,10 @@ object Events {
     * approx_quantile is a different sketch, so no oracle parity. */
   def quantileProfileApprox(events: DataFrame, probs: Seq[Double],
                             accuracy: Int): DataFrame = {
-    require(probs.nonEmpty, "probs must be non-empty")
     require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
-    val qs = probs.map(p =>
-      expr(s"percentile_approx(value, ${p}D, $accuracy)")
-        .as(s"p${(p * 100).round}"))
+    val qs = quantileCols(probs).map { case (p, name) =>
+      expr(s"percentile_approx(value, ${p}D, $accuracy)").as(name)
+    }
     events.groupBy(col("event_type"))
       .agg(qs.head, qs.tail ++ Seq(
         min(col("value")).as("min_value"),

@@ -52,11 +52,24 @@ object Multimodal {
   def payloadsFromDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                       options: Map[String, String] = Map.empty): DataFrame = {
     // `path` arrives fully qualified (e.g. file:/...); qualify `dir` the
-    // same way so the relative path is an exact fixed-length strip
+    // same way so the relative path is an exact fixed-length strip. That
+    // strip is only sound under a real directory — a glob or file path
+    // would misalign it into colliding/garbage ids, so reject those
+    // loudly (filter WITHIN a dir via pathGlobFilter in `options`).
     val hp = new org.apache.hadoop.fs.Path(dir)
-    val qualified = hp.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(hp).toString
-    val rel = expr(s"substring(path, ${qualified.length + 2})")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir =
+      try fs.getFileStatus(hp).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    require(isDir,
+      s"payloadsFromDir expects an existing directory (not a glob/file): $dir")
+    val qualified = fs.makeQualified(hp).toString
+    val prefix = if (qualified.endsWith("/")) qualified else qualified + "/"
+    // +1: SQL substring is 1-based; codePointCount because Spark's
+    // substring counts code points while String.length counts UTF-16
+    // units (they differ on non-BMP directory names)
+    val rel = expr(
+      s"substring(path, ${prefix.codePointCount(0, prefix.length) + 1})")
     spark.read.format("binaryFile").options(options).load(dir)
       .select(
         xxhash64(rel).as("doc_id"),

@@ -163,6 +163,18 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("quantile profiles reject empty, out-of-range, and label-colliding probs") {
+    intercept[IllegalArgumentException] { Events.quantileProfile(ev, Seq.empty) }
+    intercept[IllegalArgumentException] { Events.quantileProfile(ev, Seq(1.5)) }
+    // 0.125 and 0.13 both label as p13 -> ambiguous output column
+    intercept[IllegalArgumentException] {
+      Events.quantileProfile(ev, Seq(0.125, 0.13))
+    }
+    intercept[IllegalArgumentException] {
+      Events.quantileProfileApprox(ev, Seq(0.5), 0)
+    }
+  }
+
   test("run table: iteration ordered by start, best row = min objective") {
     val rt = Events.runTable(ev).orderBy("iteration").collect()
     assert(rt.map(_.getLong(3)).sameElements(Array(1L, 2L)))

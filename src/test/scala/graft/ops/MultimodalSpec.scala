@@ -54,6 +54,13 @@ class MultimodalSpec extends SparkSpec {
     val recIds = Multimodal.payloadsFromDir(spark, dir.toString,
       Map("recursiveFileLookup" -> "true")).select("doc_id").as[Long].collect()
     assert(recIds.distinct.length == 3)
+    // globs/files would misalign the relative-path strip — rejected loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.payloadsFromDir(spark, dir.toString + "/*.bin")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.payloadsFromDir(spark, dir.resolve("a.bin").toString)
+    }
     // features flow through the stub extractor with correct sizes
     val feats = Multimodal.extractFeatures(p).collect()
     assert(feats.map(_.n_bytes).sorted.sameElements(Array(11L, 32L)))
