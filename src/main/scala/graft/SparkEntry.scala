@@ -123,6 +123,9 @@ object SparkEntry {
   val LshRows = 4
   /** Jaccard acceptance threshold for near-dup verification. */
   val JaccardTau = 0.5
+  /** q55 posting-list prune bound — far above any fixture shingle's
+    * document frequency, so the exact-Jaccard join prunes nothing. */
+  val JaccardMaxDf = 100000L
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
@@ -169,17 +172,21 @@ object SparkEntry {
       .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
       .select(col("doc_id"), Text.shingles(col("__t"), ShingleN).as("shingles"))
 
-  /** DuckDB CTEs mirroring [[shingled]] + MinHash signatures. */
-  private val minhashSqlCte: String = {
-    val sigExpr = (0 until NumPerms).map(p =>
-      s"list_min(list_transform(shingles, s -> ${Portable.sqlHash("s", p.toString)}))")
-      .mkString(", ")
+  /** DuckDB CTEs mirroring [[shingled]]: tokens → distinct shingles. */
+  private val shingleSqlCte: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |),
        |sh AS (
        |  SELECT doc_id, ${Text.shinglesSql("t", ShingleN)} AS shingles FROM toks
-       |),
+       |)""".stripMargin
+
+  /** [[shingleSqlCte]] + MinHash signatures. */
+  private val minhashSqlCte: String = {
+    val sigExpr = (0 until NumPerms).map(p =>
+      s"list_min(list_transform(shingles, s -> ${Portable.sqlHash("s", p.toString)}))")
+      .mkString(", ")
+    s"""$shingleSqlCte,
        |sig AS (
        |  SELECT doc_id, shingles, [$sigExpr] AS sig
        |  FROM sh WHERE len(shingles) >= 1
@@ -537,6 +544,16 @@ object SparkEntry {
       val cands = Dedup.lshCandidatePairs(
         Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
       Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // EXACT n-gram-Jaccard pairs via the inverted shingle index —
+    // the ground-truth twin of q20 (no banding recall loss). MaxDf
+    // exceeds every fixture shingle's document frequency, so no
+    // posting list is pruned and the result is the full exact set.
+    "q55_jaccard_exact" -> ((s, dir) => {
+      Dedup.jaccardPairsExact(shingled(s, dir), "doc_id", JaccardTau,
+        JaccardMaxDf)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1077,6 +1094,32 @@ object SparkEntry {
       s"""$lshJacSqlCte
          |SELECT id_a, id_b, jaccard FROM jac
          |WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""".stripMargin,
+
+    // q55: same inverted-index construction as the Spark side — shared
+    // shingle COUNT + set sizes, no per-pair list intersection.
+    "q55_jaccard_exact" ->
+      s"""$shingleSqlCte,
+         |posts AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |),
+         |keep AS (
+         |  SELECT s FROM posts GROUP BY s HAVING count(*) <= $JaccardMaxDf
+         |),
+         |p AS (
+         |  SELECT posts.doc_id, posts.s FROM posts JOIN keep USING (s)
+         |),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sz AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+         |SELECT id_a, id_b,
+         |  round(i::DOUBLE / (sa.sz + sb.sz - i), 9) AS jaccard
+         |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+         |           JOIN sz sb ON inter.id_b = sb.doc_id
+         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 9) >= $JaccardTau
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q43: anti-join against the larger ids of the verified near-pairs
     // (id_a < id_b in jac, so id_b is always the drop candidate).

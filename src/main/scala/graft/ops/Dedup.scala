@@ -108,6 +108,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT n-gram-Jaccard similarity join via an inverted shingle
+    * index — the ground-truth counterpart of the MinHash/LSH pipeline
+    * (no banding recall loss): pairs meet through posting lists (docs
+    * sharing ≥ 1 sufficiently-rare shingle), and Jaccard comes from the
+    * shared-shingle COUNT plus the two set sizes
+    * (|A∩B| / (|A|+|B|−|A∩B|)) — no per-pair list intersection ever
+    * materializes.
+    *
+    * `maxDf` drops posting lists longer than `maxDf` docs — the skew
+    * lever: one stop-shingle in k docs alone yields k² candidate rows.
+    * Pruning can miss a pair whose ONLY shared shingles are hot; with
+    * maxDf ≥ the corpus's max document frequency the join is exact
+    * (the q55 wiring; DedupSpec pins both regimes).
+    *
+    * 100 TB posture: one explode, one shingle-keyed self-join (shuffle
+    * on the shingle — uniform once hot shingles are pruned), one
+    * pair-keyed count agg. Candidate volume is Σ_sh df², bounded above
+    * by maxDf · Σ_sh df. Prefer [[lshCandidatePairs]] when approximate
+    * recall is acceptable; this is the exact path. */
+  def jaccardPairsExact(shingled: DataFrame, idCol: String, tau: Double,
+                        maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    // ONE shingle explosion, checkpointed: the df filter, both self-join
+    // sides and the set sizes all reuse it — without the barrier the
+    // interpreted-HOF shingle pipeline recomputes once per branch
+    // (measured 4x the whole query at sf0.1, the q27/q28 lambda trap).
+    // explode_OUTER + isNotNull, never bare explode: the non-outer form
+    // pushes a Filter that re-derives the whole shingle HOF per row
+    // (measured 13x this stage's cost at sf0.1)
+    val posts = shingled
+      .select(col(idCol), explode_outer(col("shingles")).as("__sh"))
+      .filter(col("__sh").isNotNull)
+      .localCheckpoint(eager = true)
+    val kept = posts.join(
+      posts.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("__sh")),
+      Seq("__sh"))
+    // shingle arrays are distinct per doc, so |A| = the doc's post count
+    val sizes = posts.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val inter = kept.select(col("__sh"), col(idCol).as("id_a"))
+      .join(kept.select(col("__sh"), col(idCol).as("id_b")), Seq("__sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")),
+        Seq("id_b"))
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (col("__sza") + col("__szb") - col("__i")), 9))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Near-dedup applied: the corpus with near-duplicates REMOVED —
     * the full MinHash→LSH→Jaccard pipeline ([[minhashSignatures]] →
     * [[lshBands]] → [[lshCandidatePairs]] → [[jaccardVerify]]) driving a

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q55: exact-Jaccard inverted-index join is equi-keyed, never nested-loop") {
+    val p = plan("q55_jaccard_exact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the posting list is checkpointed — downstream must read the
+    // materialized RDD, not re-derive the shingle HOF per branch
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
   test("q50: bucketed as-of join shuffles raw rows by (key, time-bucket), not key alone") {
     val p = plan("q50_asof_bucketed")
     assert(!p.contains("CartesianProduct"), p)

@@ -160,4 +160,41 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("jaccardPairsExact: matches brute-force all-pairs Jaccard; >= LSH recall") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    // brute-force truth: every id pair through jaccardVerify
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for (a <- ids; b <- ids if a < b) yield (a, b))
+      .toSeq.toDF("id_a", "id_b")
+    val truth = Dedup.jaccardVerify(allPairs, sh, "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = Dedup.jaccardPairsExact(sh, "doc_id", 0.5, maxDf = 1000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact == truth)
+    // and it can only see MORE than the banding pipeline
+    val lsh = Dedup.jaccardVerify(
+      Dedup.lshCandidatePairs(
+        Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 16),
+          "doc_id", 4, 4), "doc_id"),
+      sh, "doc_id", 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("jaccardPairsExact: maxDf prunes hot shingles (recall traded for skew)") {
+    // two docs whose ONLY shared shingle is shared by every doc (hot)
+    val hot = Seq(
+      (1L, Seq("c c c", "a a a")),
+      (2L, Seq("c c c", "b b b")),
+      (3L, Seq("c c c", "d d d")),
+      (4L, Seq("c c c", "e e e"))
+    ).toDF("doc_id", "shingles")
+    // unpruned: all pairs share 1 of 3 distinct shingles -> jaccard 1/3
+    val full = Dedup.jaccardPairsExact(hot, "doc_id", 0.3, maxDf = 100L)
+    assert(full.count() == 6)
+    // df("c c c") = 4 > maxDf=3 -> posting list pruned, no pairs meet
+    val pruned = Dedup.jaccardPairsExact(hot, "doc_id", 0.3, maxDf = 3L)
+    assert(pruned.count() == 0)
+  }
 }
