@@ -126,6 +126,8 @@ object SparkEntry {
   /** q55 posting-list prune bound — far above any fixture shingle's
     * document frequency, so the exact-Jaccard join prunes nothing. */
   val JaccardMaxDf = 100000L
+  /** q56 keywords per document. */
+  val TopKeywordsK = 3
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
@@ -655,6 +657,13 @@ object SparkEntry {
     // Corpus document-frequency / IDF table.
     "q45_idf_table" -> ((s, dir) => {
       Text.idfTable(t(s, dir, "documents"), "text").orderBy("w")
+    }),
+
+    // Per-doc top-k TF-IDF keywords (tf x corpus idf, deterministic
+    // lexicographic tie-break).
+    "q56_top_keywords" -> ((s, dir) => {
+      Text.topKeywords(t(s, dir, "documents"), "text", TopKeywordsK)
+        .orderBy("doc_id", "rank")
     }),
 
     // C4-style normalization (lowercase, strip, collapse whitespace).
@@ -1286,6 +1295,32 @@ object SparkEntry {
         |n AS (SELECT count(*) AS n_docs FROM documents)
         |SELECT w, df, round(ln(n_docs::DOUBLE / df), 9) AS idf
         |FROM dfreq, n ORDER BY w""".stripMargin,
+
+    // q56: tf joins the (rounded) idf on the token; rank ties break on
+    // the token string — total order per doc, so row_number agrees.
+    "q56_top_keywords" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dtok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+         |  FROM documents
+         |),
+         |dfreq AS (SELECT w, count(*) AS df FROM dtok GROUP BY w),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT w, round(ln(n_docs::DOUBLE / df), 9) AS idf FROM dfreq, n),
+         |wtd AS (
+         |  SELECT tf.doc_id, tf.w, tf.tf, round(tf.tf * idf.idf, 9) AS tfidf
+         |  FROM tf JOIN idf USING (w)
+         |),
+         |rk AS (
+         |  SELECT doc_id, w, tf, tfidf, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rank
+         |  FROM wtd
+         |)
+         |SELECT doc_id, rank::BIGINT AS rank, w AS token, tf, tfidf
+         |FROM rk WHERE rank <= $TopKeywordsK ORDER BY doc_id, rank""".stripMargin,
 
     "q27_fingerprints" -> {
       val kgHash = Portable.sqlHash(

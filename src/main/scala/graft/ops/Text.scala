@@ -182,6 +182,34 @@ object Text {
         round(log(col("n_docs").cast("double") / col("df")), 9).as("idf"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the document-tagging step a
+    * curation pipeline runs after [[idfTable]]: term frequency per
+    * (doc, token), weight by the corpus IDF, keep each document's k
+    * highest-weighted tokens (ties broken lexicographically, so the
+    * result is deterministic and oracle-able).
+    *
+    * Scale posture: the tf agg and the token-keyed IDF join shuffle on
+    * the token — uniform by construction; the top-k window partitions
+    * by doc_id (per-doc cardinality = distinct tokens, never corpus-
+    * sized). On a real corpus the IDF table is large: it joins as a
+    * plain shuffled hash join here, and callers with a pruned
+    * vocabulary (top-N tokens) should broadcast it instead. */
+  def topKeywords(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col("doc_id"),
+        explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.join(idfTable(df, textCol).select(col("w"), col("idf")), Seq("w"))
+      .withColumn("tfidf", round(col("tf") * col("idf"), 9))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tfidf"), asc("w"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w").as("token"),
+        col("tf"), col("tfidf"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * MOSS algorithm): hash every k-token gram, slide a window of w hashes,
     * keep each window's minimum, dedupe. A document's fingerprint set is

@@ -109,4 +109,24 @@ class TextSpec extends SparkSpec {
     assert(s == Dedup.simhashes(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap)
   }
+
+  test("topKeywords: doc-unique token outranks shared tokens; k bounds rows") {
+    val corpus = Seq(
+      (1L, "alpha shared shared"),
+      (2L, "beta shared shared"),
+      (3L, "gamma shared shared")
+    ).toDF("doc_id", "text")
+    val kw = Text.topKeywords(corpus, "text", 1)
+      .select($"doc_id", $"token").as[(Long, String)].collect().toMap
+    // idf(shared)=ln(1)=0; each doc's unique token has idf ln(3) > 0
+    assert(kw == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    val k2 = Text.topKeywords(corpus, "text", 2)
+    assert(k2.count() == 6)
+    // rank-2 everywhere is the zero-weight "shared" (tie impossible here)
+    assert(k2.filter($"rank" === 2).select($"token").as[String]
+      .collect().forall(_ == "shared"))
+    intercept[IllegalArgumentException] {
+      Text.topKeywords(corpus, "text", 0)
+    }
+  }
 }
