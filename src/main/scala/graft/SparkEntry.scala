@@ -128,6 +128,8 @@ object SparkEntry {
   val JaccardMaxDf = 100000L
   /** q56 keywords per document. */
   val TopKeywordsK = 3
+  /** q57 conversion-funnel stage order. */
+  val FunnelStages = Seq("signup", "click", "purchase")
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
@@ -764,6 +766,13 @@ object SparkEntry {
           (unix_micros(col("r_event_time")) - unix_micros(col("event_time")))
             .as("delta_us"))
         .orderBy("user_id", "click_id", "purchase_id")
+    }),
+
+    // Sequential conversion funnel (strict first-occurrence ordering).
+    // Strict ts comparisons must agree with DuckDB's µs read, hence
+    // eventsUs (same reasoning as the sessionize pair).
+    "q57_funnel" -> ((s, dir) => {
+      Events.funnel(eventsUs(s, dir), FunnelStages).orderBy("stage_idx")
     }),
 
     // Per-type value distribution profile (exact quantiles = order
@@ -1442,6 +1451,33 @@ object SparkEntry {
          |  AND epoch_us(r.ts) >= epoch_us(l.ts)
          |  AND epoch_us(r.ts) <= epoch_us(l.ts) + ${SessionGapMs}::BIGINT * 1000
          |ORDER BY l.user_id, click_id, purchase_id""".stripMargin,
+
+    // q57: reach times chain through strict-after min aggs, exactly as
+    // the Spark side; only counts leave, so no ts precision in output.
+    "q57_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS rt FROM events
+         |  WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id
+         |),
+         |s2 AS (
+         |  SELECT e.user_id, min(e.ts) AS rt FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = '${FunnelStages(1)}' AND e.ts > s1.rt
+         |  GROUP BY e.user_id
+         |),
+         |s3 AS (
+         |  SELECT e.user_id, min(e.ts) AS rt FROM events e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = '${FunnelStages(2)}' AND e.ts > s2.rt
+         |  GROUP BY e.user_id
+         |)
+         |SELECT 1::BIGINT AS stage_idx, '${FunnelStages(0)}' AS stage,
+         |       (SELECT count(*) FROM s1)::BIGINT AS n_users
+         |UNION ALL SELECT 2::BIGINT, '${FunnelStages(1)}',
+         |       (SELECT count(*) FROM s2)::BIGINT
+         |UNION ALL SELECT 3::BIGINT, '${FunnelStages(2)}',
+         |       (SELECT count(*) FROM s3)::BIGINT
+         |ORDER BY stage_idx""".stripMargin,
 
     "q31_run_table" ->
       """WITH runs AS (

@@ -320,6 +320,41 @@ object Events {
         count(lit(1)).as("n")): _*)
   }
 
+  /** Sequential conversion funnel: for the ordered `stages` event
+    * types, a user reaches stage k iff they have a stage-k event
+    * STRICTLY AFTER the time they reached stage k−1 (first-occurrence
+    * semantics — the classic product funnel, not a mere presence
+    * check). Returns one row per stage with the reaching-user count.
+    *
+    * Relational shape: stage 1 is a type-filtered min-ts agg per user;
+    * each later stage joins the previous stage's reach time and takes
+    * the min ts after it — k type-pruned aggregates, each shuffling
+    * only that stage's events keyed on user. The per-stage counts union
+    * into ONE lazy frame (no driver-side count() loop); each union
+    * branch re-derives its chain prefix, O(k²) type-pruned scans for
+    * small fixed k. No per-user state machine, no event buffering;
+    * parallelism is user-keyed at every step. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct: ${stages.mkString(",")}")
+    def stageRow(idx: Long, st: String, reach: DataFrame): DataFrame =
+      reach.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"))
+    var reach = events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__rt"))
+    var rows = stageRow(1L, stages.head, reach)
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      reach = events.filter(col("event_type") === st)
+        .join(reach, Seq("user_id"))
+        .filter(col("ts") > col("__rt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__rt"))
+      rows = rows.union(stageRow(i + 2L, st, reach))
+    }
+    rows
+  }
+
   /** M7-shaped run table: one "run" per event_type with its objective
     * (avg value) and start time, plus the dense `iteration` index in
     * start-time order (`tuning_analysis.py:30-41`). */

@@ -163,6 +163,30 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: strict first-occurrence ordering; same-ts does not advance") {
+    val fe = Seq(
+      // user 1: full ordered funnel
+      (1L, 0L, 1L, "signup", 0.0), (2L, 10L, 1L, "click", 0.0),
+      (3L, 20L, 1L, "purchase", 0.0),
+      // user 2: signup then purchase, never clicks — stops at stage 1
+      (4L, 0L, 2L, "signup", 0.0), (5L, 10L, 2L, "purchase", 0.0),
+      // user 3: click BEFORE signup — stage 2 not reached
+      (6L, 10L, 3L, "click", 0.0), (7L, 20L, 3L, "signup", 0.0),
+      // user 4: never signs up
+      (8L, 0L, 4L, "click", 0.0),
+      // user 5: click at the SAME ts as signup — strictness blocks it
+      (9L, 0L, 5L, "signup", 0.0), (10L, 0L, 5L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = Events.funnel(fe, Seq("signup", "click", "purchase"))
+      .orderBy("stage_idx")
+      .select($"stage", $"n_users").as[(String, Long)].collect().toSeq
+    assert(f == Seq(("signup", 4L), ("click", 1L), ("purchase", 1L)))
+    intercept[IllegalArgumentException] { Events.funnel(fe, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Events.funnel(fe, Seq("click", "click"))
+    }
+  }
+
   test("quantile profiles reject empty, out-of-range, and label-colliding probs") {
     intercept[IllegalArgumentException] { Events.quantileProfile(ev, Seq.empty) }
     intercept[IllegalArgumentException] { Events.quantileProfile(ev, Seq(1.5)) }
