@@ -1131,7 +1131,7 @@ object SparkEntry {
          |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |),
-         |sz AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+         |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id)
          |SELECT id_a, id_b,
          |  round(i::DOUBLE / (sa.sz + sb.sz - i), 9) AS jaccard
          |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id

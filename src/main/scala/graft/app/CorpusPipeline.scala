@@ -1,6 +1,6 @@
 package graft.app
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.ops.{Dedup, Sources, Text}
@@ -17,8 +17,12 @@ import graft.ops.{Dedup, Sources, Text}
   * Every stage is one of the library's spec'd/oracle'd operators; this
   * object only sequences them, so the whole funnel inherits their scale
   * posture: map-only gates, hash-keyed dedup (never all-pairs), in-
-  * partition chunk fan-out, and exactly one persist per frame that is
-  * read twice (the dedup survivors feed both shingling and chunking).
+  * partition chunk fan-out. Three frames are persisted because they are
+  * read more than once: the exact-dedup survivors (feed shingling,
+  * chunking and a funnel count), the shingle arrays (read three times
+  * inside the near-dedup — signatures plus both Jaccard-verify sides;
+  * re-deriving the interpreted shingle HOF per read is the measured
+  * 2-4x trap), and the near-dedup survivors (chunking + count).
   */
 object CorpusPipeline {
 
@@ -41,12 +45,41 @@ object CorpusPipeline {
     * (doc_id, text, lang, source).
     *
     * `collectFunnel = true` adds one count() action per stage boundary —
-    * the operational visibility every real curation run wants, at the
-    * price of re-running the un-persisted upstream gates per count
-    * (they are map-only scans; the expensive dedup frames ARE
-    * persisted). Pass `false` for a pure single-action pipeline. */
-  def curate(spark: SparkSession, docs: DataFrame, cfg: Config = Config(),
+    * the operational visibility every real curation run wants. The
+    * gate stages are NOT persisted, so each count below them re-runs
+    * its upstream chain: the normalize/quality gates are cheap one-pass
+    * projections, but the language gate re-executes languageId's
+    * explode → broadcast-join → window pipeline for three of the seven
+    * counts. Pass `false` for a pure single-action pipeline.
+    *
+    * The three persisted frames stay cached so the returned `chunks`
+    * stays cheap to consume; a long-lived session running many corpora
+    * should prefer [[curateToParquet]], which unpersists them after the
+    * sink write. */
+  def curate(docs: DataFrame, cfg: Config = Config(),
              collectFunnel: Boolean = true): Result = {
+    val (res, _) = curateFrames(docs, cfg, collectFunnel)
+    res
+  }
+
+  /** [[curate]] and land the chunk table as parquet partitioned by the
+    * survivor's source — the layout downstream training readers prune
+    * on. The write materializes everything, so the internally persisted
+    * frames are unpersisted before returning (re-consuming the returned
+    * `chunks` afterwards re-derives the funnel; read the sink instead). */
+  def curateToParquet(docs: DataFrame, outPath: String,
+                      cfg: Config = Config()): Result = {
+    val (res, persisted) = curateFrames(docs, cfg, collectFunnel = true)
+    val withSource = res.chunks.join(
+      docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    Sources.writeParquetPartitioned(withSource, outPath, Seq("source"))
+    persisted.foreach(_.unpersist())
+    res
+  }
+
+  private def curateFrames(docs: DataFrame, cfg: Config,
+                           collectFunnel: Boolean)
+      : (Result, Seq[DataFrame]) = {
     // normalize FIRST so the gates, dedup shingles and chunks all see
     // canonical text; normalization can empty a document (all symbols)
     val normed = docs.select(col("doc_id"),
@@ -69,12 +102,12 @@ object CorpusPipeline {
       Seq("doc_id"))
 
     // exact dedup (hash-groupBy, deterministic min-id survivor), then
-    // near-dedup with the transitive-cluster policy; both frames are
-    // read more than once downstream, hence the persists
+    // near-dedup with the transitive-cluster policy
     val exact = Dedup.dedupExact(good, "doc_id", "text")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shingled = exact.select(col("doc_id"),
-      Text.shingles(Text.tokens(col("text")), cfg.shingleN).as("shingles"))
+        Text.shingles(Text.tokens(col("text")), cfg.shingleN).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val near = Dedup.dedupNearClustered(exact, "doc_id", shingled,
         cfg.minhashPerms, cfg.bands, cfg.rowsPerBand, cfg.jaccardTau)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -91,18 +124,6 @@ object CorpusPipeline {
         "exact_dedup" -> exact.count(),
         "near_dedup" -> near.count(),
         "chunks" -> chunks.count())
-    Result(chunks, funnel)
-  }
-
-  /** [[curate]] and land the chunk table as parquet partitioned by the
-    * survivor's source — the layout downstream training readers prune
-    * on. */
-  def curateToParquet(spark: SparkSession, docs: DataFrame, outPath: String,
-                      cfg: Config = Config()): Result = {
-    val r = curate(spark, docs, cfg)
-    val withSource = r.chunks.join(
-      docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    Sources.writeParquetPartitioned(withSource, outPath, Seq("source"))
-    r
+    (Result(chunks, funnel), Seq(near, shingled, exact))
   }
 }

@@ -118,9 +118,13 @@ object Dedup {
     *
     * `maxDf` drops posting lists longer than `maxDf` docs — the skew
     * lever: one stop-shingle in k docs alone yields k² candidate rows.
-    * Pruning can miss a pair whose ONLY shared shingles are hot; with
-    * maxDf ≥ the corpus's max document frequency the join is exact
-    * (the q55 wiring; DedupSpec pins both regimes).
+    * Under pruning, BOTH the intersection and the set sizes are
+    * measured over the surviving (df ≤ maxDf) shingle universe, so the
+    * score is the well-defined "Jaccard restricted to rare shingles" —
+    * not a deflated hybrid of pruned counts over full sizes. With
+    * maxDf ≥ the corpus's max document frequency nothing is pruned and
+    * the result is plain exact Jaccard (the q55 wiring; DedupSpec pins
+    * both regimes).
     *
     * 100 TB posture: one explode, one shingle-keyed self-join (shuffle
     * on the shingle — uniform once hot shingles are pruned), one
@@ -146,7 +150,8 @@ object Dedup {
         .filter(col("__df") <= maxDf).select(col("__sh")),
       Seq("__sh"))
     // shingle arrays are distinct per doc, so |A| = the doc's post count
-    val sizes = posts.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    // — counted over KEPT posts, the same universe as the intersection
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val inter = kept.select(col("__sh"), col(idCol).as("id_a"))
       .join(kept.select(col("__sh"), col(idCol).as("id_b")), Seq("__sh"))
       .filter(col("id_a") < col("id_b"))

@@ -9,7 +9,7 @@ class CorpusPipelineSpec extends SparkSpec {
   private def docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
 
   test("curate: monotone funnel, budgeted normalized chunks, dup-free survivors") {
-    val r = CorpusPipeline.curate(spark, docs)
+    val r = CorpusPipeline.curate(docs)
     val f = r.funnel.toMap
     val order = Seq("input", "normalized_non_empty", "language", "quality",
       "exact_dedup", "near_dedup")
@@ -33,7 +33,7 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("curateToParquet: source-partitioned sink round-trips the chunk rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
-    val r = CorpusPipeline.curateToParquet(spark, docs, out)
+    val r = CorpusPipeline.curateToParquet(docs, out)
     val back = spark.read.parquet(out)
     assert(back.count() == r.funnel.toMap.apply("chunks"))
     assert(back.columns.contains("source") && back.columns.contains("chunk"))

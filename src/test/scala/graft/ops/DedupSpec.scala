@@ -196,5 +196,18 @@ class DedupSpec extends SparkSpec {
     // df("c c c") = 4 > maxDf=3 -> posting list pruned, no pairs meet
     val pruned = Dedup.jaccardPairsExact(hot, "doc_id", 0.3, maxDf = 3L)
     assert(pruned.count() == 0)
+    // pruned regime scores Jaccard over the SURVIVING shingle universe:
+    // A={h,x,y}, B={h,x,z} with h hot -> restricted jaccard 1/3 (1 shared
+    // of {x,y,z}), not the deflated 1/5 a pruned-count/full-size hybrid
+    // would give
+    val partial = Seq(
+      (1L, Seq("h h h", "x x x", "y y y")),
+      (2L, Seq("h h h", "x x x", "z z z")),
+      (3L, Seq("h h h", "c c c")),
+      (4L, Seq("h h h", "d d d"))
+    ).toDF("doc_id", "shingles")
+    val restricted = Dedup.jaccardPairsExact(partial, "doc_id", 0.3, maxDf = 3L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(restricted == Set((1L, 2L, math.round(1.0 / 3 * 1e9) / 1e9)))
   }
 }
