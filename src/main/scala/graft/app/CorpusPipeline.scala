@@ -46,11 +46,16 @@ object CorpusPipeline {
     *
     * `collectFunnel = true` adds one count() action per stage boundary —
     * the operational visibility every real curation run wants. The
-    * gate stages are NOT persisted, so each count below them re-runs
-    * its upstream chain: the normalize/quality gates are cheap one-pass
-    * projections, but the language gate re-executes languageId's
-    * explode → broadcast-join → window pipeline for three of the seven
-    * counts. Pass `false` for a pure single-action pipeline.
+    * normalized frame and the two gate frames (language, quality) are
+    * persisted for the funnel's duration and unpersisted before
+    * returning, so every gate pipeline executes exactly ONCE: the
+    * languageId explode → broadcast-join → window chain runs once
+    * (during the language count) and each later count reads caches —
+    * the source is scanned exactly TWICE (input count + the normalize
+    * materialization), independent of funnel depth
+    * (CorpusPipelineSpec pins the bound with an accumulator-
+    * instrumented source). Pass `false` for a pure single-action
+    * pipeline.
     *
     * The three persisted frames stay cached so the returned `chunks`
     * stays cheap to consume; a long-lived session running many corpora
@@ -81,25 +86,41 @@ object CorpusPipeline {
                            collectFunnel: Boolean)
       : (Result, Seq[DataFrame]) = {
     // normalize FIRST so the gates, dedup shingles and chunks all see
-    // canonical text; normalization can empty a document (all symbols)
-    val normed = docs.select(col("doc_id"),
+    // canonical text; normalization can empty a document (all symbols).
+    // With collectFunnel this and the two gate frames persist for the
+    // funnel's duration (unpersisted below): languageId alone reads its
+    // input three times (hit counting, tag column, outer join), so an
+    // unpersisted normed would re-scan the source per reference.
+    val normed0 = docs.select(col("doc_id"),
         Text.normalize(col("text")).as("text"), col("lang"), col("source"))
       .filter(length(col("text")) > 0)
+    val normed =
+      if (collectFunnel) normed0.persist(StorageLevel.MEMORY_AND_DISK)
+      else normed0
 
     // language gate on the n-gram-profile PREDICTION, not the source-
-    // provided tag (at corpus scale the tag is missing or wrong)
-    val inLang = normed.join(
+    // provided tag (at corpus scale the tag is missing or wrong).
+    // With collectFunnel the gate frames persist for the funnel's
+    // duration (unpersisted below): downstream counts and the dedup
+    // build then read the cache instead of re-running the gate chains.
+    val inLang0 = normed.join(
       Text.languageId(normed, "text")
         .filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
         .select("doc_id"),
       Seq("doc_id"))
+    val inLang =
+      if (collectFunnel) inLang0.persist(StorageLevel.MEMORY_AND_DISK)
+      else inLang0
 
     // quality gate: length/alpha/stopword/digit composite
-    val good = inLang.join(
+    val good0 = inLang.join(
       Text.qualityScore(inLang, "text")
         .filter(col("quality_score") >= cfg.minQuality)
         .select("doc_id"),
       Seq("doc_id"))
+    val good =
+      if (collectFunnel) good0.persist(StorageLevel.MEMORY_AND_DISK)
+      else good0
 
     // exact dedup (hash-groupBy, deterministic min-id survivor), then
     // near-dedup with the transitive-cluster policy
@@ -116,14 +137,23 @@ object CorpusPipeline {
 
     val funnel =
       if (!collectFunnel) Seq.empty
-      else Seq(
-        "input" -> docs.count(),
-        "normalized_non_empty" -> normed.count(),
-        "language" -> inLang.count(),
-        "quality" -> good.count(),
-        "exact_dedup" -> exact.count(),
-        "near_dedup" -> near.count(),
-        "chunks" -> chunks.count())
+      else {
+        // count order matters: `exact` (persisted) materializes from the
+        // cached gates BEFORE they unpersist, so nothing downstream ever
+        // re-runs a gate pipeline
+        val counts = Seq(
+          "input" -> docs.count(),
+          "normalized_non_empty" -> normed.count(),
+          "language" -> inLang.count(),
+          "quality" -> good.count(),
+          "exact_dedup" -> exact.count(),
+          "near_dedup" -> near.count(),
+          "chunks" -> chunks.count())
+        good.unpersist()
+        inLang.unpersist()
+        normed.unpersist()
+        counts
+      }
     (Result(chunks, funnel), Seq(near, shingled, exact))
   }
 }

@@ -141,10 +141,9 @@ object Dedup {
     // explode_OUTER + isNotNull, never bare explode: the non-outer form
     // pushes a Filter that re-derives the whole shingle HOF per row
     // (measured 13x this stage's cost at sf0.1)
-    val posts = shingled
+    val posts = Barrier.cut(shingled
       .select(col(idCol), explode_outer(col("shingles")).as("__sh"))
-      .filter(col("__sh").isNotNull)
-      .localCheckpoint(eager = true)
+      .filter(col("__sh").isNotNull))
     val kept = posts.join(
       posts.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).select(col("__sh")),
@@ -216,11 +215,14 @@ object Dedup {
     *
     * Scale posture: per round, one hash join of labels onto the edge
     * list keyed on vertex id + one min-groupBy — both shuffle only the
-    * (vertex, label) pairs, never document contents. Labels
-    * `localCheckpoint` each round: the convergence action doesn't
-    * recompute the chain, lineage doesn't double per iteration, and
-    * out-of-scope round RDDs are reclaimed by the ContextCleaner.
-    * The convergence check is one tiny action per round on a
+    * (vertex, label) pairs, never document contents. Labels pass a
+    * [[Barrier]] each round: the convergence action doesn't recompute
+    * the chain, lineage doesn't double per iteration, and out-of-scope
+    * round RDDs are reclaimed by the ContextCleaner. With a checkpoint
+    * directory set the barriers are RELIABLE checkpoints — a lost
+    * executor on a multi-hour cluster run recomputes nothing (set one
+    * for production dedup; the executor-local fallback dies with the
+    * executor). The convergence check is one tiny action per round on a
     * |vertices|-row frame — the standard trade for a data-dependent
     * fixpoint. */
   def nearDupClusters(verifiedPairs: DataFrame, idCol: String,
@@ -232,12 +234,11 @@ object Dedup {
     // upstream pipeline that produced the pairs (for the q51 wiring
     // that's the full MinHash→LSH→Jaccard chain — measured 5x the
     // entire query cost at sf0.1).
-    val edges = verifiedPairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
-      .union(verifiedPairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
-      .localCheckpoint(eager = true)
-    var labels = edges.select(col("__src").as("__v")).distinct()
-      .withColumn("__lbl", col("__v"))
-      .localCheckpoint(eager = true)
+    val edges = Barrier.cut(
+      verifiedPairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+        .union(verifiedPairs.select(col("id_b").as("__src"), col("id_a").as("__dst"))))
+    var labels = Barrier.cut(edges.select(col("__src").as("__v")).distinct()
+      .withColumn("__lbl", col("__v")))
     // one propagation round: (next labels, did any label change)
     def round(lbl: DataFrame): (DataFrame, Boolean) = {
       // neighbor's current label, keyed to the receiving vertex (every
@@ -248,19 +249,17 @@ object Dedup {
         .agg(min(col("__lbl")).as("__nl"))
       // checkpointed: the path-halving step self-joins this frame, and
       // without the barrier the neighbor-min join would run twice
-      val merged = lbl.join(fromNbr, Seq("__v"))
+      val merged = Barrier.cut(lbl.join(fromNbr, Seq("__v"))
         .select(col("__v"), col("__lbl").as("__old"),
-          least(col("__lbl"), col("__nl")).as("__m"))
-        .localCheckpoint(eager = true)
+          least(col("__lbl"), col("__nl")).as("__m")))
       // path halving: adopt the label OF the label (left join — the
       // labeled vertex may sit in another partition of `merged`;
       // coalesce keeps __m when the jump target resolves to itself)
-      val next = merged
+      val next = Barrier.cut(merged
         .join(merged.select(col("__v").as("__m"), col("__m").as("__mm")),
           Seq("__m"), "left")
         .select(col("__v"), coalesce(col("__mm"), col("__m")).as("__lbl"),
-          (coalesce(col("__mm"), col("__m")) =!= col("__old")).as("__chg"))
-        .localCheckpoint(eager = true)
+          (coalesce(col("__mm"), col("__m")) =!= col("__old")).as("__chg")))
       val changed = next.filter(col("__chg")).limit(1).count() > 0
       (next.select(col("__v"), col("__lbl")), changed)
     }

@@ -329,11 +329,23 @@ object Events {
     * Relational shape: stage 1 is a type-filtered min-ts agg per user;
     * each later stage joins the previous stage's reach time and takes
     * the min ts after it — k type-pruned aggregates, each shuffling
-    * only that stage's events keyed on user. The per-stage counts union
-    * into ONE lazy frame (no driver-side count() loop); each union
-    * branch re-derives its chain prefix, O(k²) type-pruned scans for
-    * small fixed k. No per-user state machine, no event buffering;
-    * parallelism is user-keyed at every step. */
+    * only that stage's events keyed on user. Each stage's reach frame
+    * passes a [[Barrier]] (eager — the funnel materializes at the
+    * call): stage k reads stage k−1's MATERIALIZED (user, reach-time)
+    * rows instead of re-deriving the whole prefix chain, so the events
+    * table is scanned exactly once per stage — k scans total, not the
+    * O(k²) a lazy union of per-stage counts would pay (EventsSpec pins
+    * the scan count with an accumulator-instrumented source). The
+    * per-stage counts then union into one frame whose branches read
+    * only the checkpointed reach frames. No per-user state machine, no
+    * event buffering; parallelism is user-keyed at every step.
+    *
+    * Skew caveat (same as every user-keyed sibling): the per-stage
+    * join and min-agg key on user_id, so one pathologically hot user's
+    * stage events land on one task. The min-agg combines map-side; if
+    * the JOIN against a hot user's events ever dominates, pre-aggregate
+    * events to (user, type, min ts-after-candidates) or salt the key —
+    * see [[Pairs.saltedCounts]] for the two-stage salted shape. */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
     require(stages.distinct.size == stages.size,
@@ -342,14 +354,14 @@ object Events {
       reach.agg(count(lit(1)).as("n_users"))
         .select(lit(idx).as("stage_idx"), lit(st).as("stage"),
           col("n_users"))
-    var reach = events.filter(col("event_type") === stages.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("__rt"))
+    var reach = Barrier.cut(events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
     var rows = stageRow(1L, stages.head, reach)
     for ((st, i) <- stages.tail.zipWithIndex) {
-      reach = events.filter(col("event_type") === st)
+      reach = Barrier.cut(events.filter(col("event_type") === st)
         .join(reach, Seq("user_id"))
         .filter(col("ts") > col("__rt"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("__rt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
       rows = rows.union(stageRow(i + 2L, st, reach))
     }
     rows

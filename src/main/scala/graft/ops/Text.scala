@@ -188,20 +188,32 @@ object Text {
     * highest-weighted tokens (ties broken lexicographically, so the
     * result is deterministic and oracle-able).
     *
-    * Scale posture: the tf agg and the token-keyed IDF join shuffle on
-    * the token — uniform by construction; the top-k window partitions
-    * by doc_id (per-doc cardinality = distinct tokens, never corpus-
-    * sized). On a real corpus the IDF table is large: it joins as a
+    * Scale posture: the corpus is tokenized ONCE — the tf frame
+    * (doc, token, tf) passes a [[graft.ops.Barrier]] and BOTH sides
+    * derive from it: tf rows are per-(doc, distinct-token), so the
+    * document frequency is simply the per-token tf row count, and the
+    * IDF table never re-tokenizes the corpus (the [[idfTable]]-call
+    * form paid that double scan; only a column-pruned count(*) scan
+    * remains for the corpus size). tf agg and IDF join shuffle on the
+    * token — uniform by construction; the top-k window partitions by
+    * doc_id (per-doc cardinality = distinct tokens, never corpus-
+    * sized). On a real corpus the IDF side is large: it joins as a
     * plain shuffled hash join here, and callers with a pruned
-    * vocabulary (top-N tokens) should broadcast it instead. */
+    * vocabulary (top-N tokens) should broadcast it instead. Values
+    * are identical to joining [[idfTable]]'s output (q56 oracle). */
   def topKeywords(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col("doc_id"),
+    val tf = Barrier.cut(df.select(col("doc_id"),
         explode_outer(tokens(col(textCol))).as("w"))
       .filter(col("w").isNotNull)
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    tf.join(idfTable(df, textCol).select(col("w"), col("idf")), Seq("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"),
+        round(log(col("n_docs").cast("double") / col("df")), 9).as("idf"))
+    tf.join(idf, Seq("w"))
       .withColumn("tfidf", round(col("tf") * col("idf"), 9))
       .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(desc("tfidf"), asc("w"))).cast("long"))

@@ -31,6 +31,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(texts.count() == texts.distinct().count())
   }
 
+  test("curate: funnel counts run each gate pipeline once (source scanned 2x)") {
+    // instrument the source: accumulator ticks once per row READ, so
+    // (value / rows) = full source scans. With normalize + both gate
+    // frames persisted for the funnel's duration the source is read
+    // exactly twice — the input count and the normalize
+    // materialization — independent of funnel depth (the unpersisted
+    // form re-ran the languageId pipeline, which alone reads its input
+    // three times, for three of the seven counts).
+    val base = docs.collect().toSeq
+    val n = base.length
+    val acc = spark.sparkContext.longAccumulator("corpus-source-rows")
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(base, 4).map { r => acc.add(1); r },
+      docs.schema)
+    val r = CorpusPipeline.curate(src)
+    assert(r.funnel.toMap.apply("near_dedup") > 0)
+    assert(acc.value == 2L * n,
+      s"source scanned ${acc.value.toDouble / n}x, want 2x")
+    // counts must match the un-instrumented run bit-for-bit
+    assert(r.funnel == CorpusPipeline.curate(docs).funnel)
+  }
+
   test("curateToParquet: source-partitioned sink round-trips the chunk rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     val r = CorpusPipeline.curateToParquet(docs, out)

@@ -87,6 +87,30 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L))
   }
 
+  test("nearDupClusters: reliable-checkpoint mode (checkpoint dir set) is identical") {
+    // with a checkpoint dir the fixpoint's barriers become RELIABLE
+    // checkpoints (cluster-grade: survives executor loss); labels must
+    // be bit-identical to the executor-local default
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(pairs, "doc_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val reliable = Dedup.nearDupClusters(pairs, "doc_id")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(reliable == local)
+      // the reliable store was actually written (checkpoint() ran, not
+      // the executor-local fallback)
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        if (f.getName.startsWith("rdd-")) Seq(f)
+        else Option(f.listFiles).toSeq.flatten.flatMap(rddDirs)
+      assert(rddDirs(dir.toFile).nonEmpty, s"no rdd checkpoints under $dir")
+    } finally org.apache.spark.GraftCheckpointBridge.set(sc, None)
+  }
+
   test("nearDupClusters vs greedy: clustering keeps one rep per component") {
     // edges (2,3) and (1,3): greedy dedupNear-style drops only the id_b
     // side {3}, keeping BOTH 1 and 2 of the same transitive cluster —

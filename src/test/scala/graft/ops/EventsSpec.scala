@@ -187,6 +187,35 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: single-pass chaining — events scanned once per stage, counts read barriers") {
+    // instrument the source: the accumulator ticks once per row READ, so
+    // (value / rows) = number of full source scans. Stage k must reuse
+    // stage k−1's materialized reach frame — k scans total, not the
+    // O(k²) a lazy per-branch prefix re-derivation pays (3 stages: 3
+    // scans, was 6).
+    val rows = Seq(
+      (1L, 0L, 1L, "signup", 0.0), (2L, 10L, 1L, "click", 0.0),
+      (3L, 20L, 1L, "purchase", 0.0),
+      (4L, 0L, 2L, "signup", 0.0), (5L, 10L, 2L, "click", 0.0),
+      (6L, 0L, 3L, "signup", 0.0))
+    val n = rows.length
+    val acc = spark.sparkContext.longAccumulator("funnel-source-rows")
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2).map { r =>
+        acc.add(1)
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5)
+      },
+      ev.schema)
+    val f = Events.funnel(src, Seq("signup", "click", "purchase"))
+    // the funnel materializes eagerly: exactly one scan per stage
+    assert(acc.value == 3L * n, s"${acc.value.toDouble / n} scans, want 3")
+    val counts = f.orderBy("stage_idx").select($"n_users").as[Long].collect().toSeq
+    assert(counts == Seq(3L, 2L, 1L))
+    // evaluating the counts union reads ONLY the checkpointed reach
+    // frames — zero additional source scans
+    assert(acc.value == 3L * n, s"counts re-scanned the source: ${acc.value}")
+  }
+
   test("quantile profiles reject empty, out-of-range, and label-colliding probs") {
     intercept[IllegalArgumentException] { Events.quantileProfile(ev, Seq.empty) }
     intercept[IllegalArgumentException] { Events.quantileProfile(ev, Seq(1.5)) }

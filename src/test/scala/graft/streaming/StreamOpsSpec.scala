@@ -171,9 +171,17 @@ class StreamOpsSpec extends SparkSpec {
       // a user-1 purchase at +5 min — in-window for the batch form — is
       // LATE: its click's join state was evicted, and the row is dropped.
       // This is the eviction the range condition + watermark buy at scale.
+      val droppedBefore = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
       rIn.addData((15L, B + 5L * Min, 1L))
       q.processAllAvailable()
       assert(spark.table("ij").as[(Long, Long)].collect().toSet == ijExpected)
+      // the state store really exercised the cleanup: the late row shows
+      // up in the watermark-drop metric, it didn't just fail to match
+      val droppedAfter = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(droppedAfter > droppedBefore,
+        s"late row not dropped by watermark ($droppedBefore -> $droppedAfter)")
     } finally q.stop()
   }
 }
