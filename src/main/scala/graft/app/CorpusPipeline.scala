@@ -62,29 +62,35 @@ object CorpusPipeline {
     * should prefer [[curateToParquet]], which unpersists them after the
     * sink write. */
   def curate(docs: DataFrame, cfg: Config = Config(),
-             collectFunnel: Boolean = true): Result = {
-    val (res, _) = curateFrames(docs, cfg, collectFunnel)
-    res
-  }
+             collectFunnel: Boolean = true): Result =
+    curateFrames(docs, cfg, collectFunnel).result
+
+  /** Internal hand-off between [[curate]] and [[curateToParquet]]:
+    * the result plus the near-dedup survivor frame (persisted — the
+    * sink's source-tag join reads it instead of re-scanning the input)
+    * and every still-persisted frame for the caller to unpersist. */
+  private case class Frames(result: Result, survivors: DataFrame,
+                            persisted: Seq[DataFrame])
 
   /** [[curate]] and land the chunk table as parquet partitioned by the
     * survivor's source — the layout downstream training readers prune
     * on. The write materializes everything, so the internally persisted
     * frames are unpersisted before returning (re-consuming the returned
-    * `chunks` afterwards re-derives the funnel; read the sink instead). */
+    * `chunks` afterwards re-derives the funnel; read the sink instead).
+    * The source tag joins in from the PERSISTED survivor frame (chunk
+    * doc_ids are exactly its ids), never by re-scanning the input. */
   def curateToParquet(docs: DataFrame, outPath: String,
                       cfg: Config = Config()): Result = {
-    val (res, persisted) = curateFrames(docs, cfg, collectFunnel = true)
-    val withSource = res.chunks.join(
-      docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val f = curateFrames(docs, cfg, collectFunnel = true)
+    val withSource = f.result.chunks.join(
+      f.survivors.select(col("doc_id"), col("source")), Seq("doc_id"))
     Sources.writeParquetPartitioned(withSource, outPath, Seq("source"))
-    persisted.foreach(_.unpersist())
-    res
+    f.persisted.foreach(_.unpersist())
+    f.result
   }
 
   private def curateFrames(docs: DataFrame, cfg: Config,
-                           collectFunnel: Boolean)
-      : (Result, Seq[DataFrame]) = {
+                           collectFunnel: Boolean): Frames = {
     // normalize FIRST so the gates, dedup shingles and chunks all see
     // canonical text; normalization can empty a document (all symbols).
     // With collectFunnel this and the two gate frames persist for the
@@ -154,6 +160,6 @@ object CorpusPipeline {
         normed.unpersist()
         counts
       }
-    (Result(chunks, funnel), Seq(near, shingled, exact))
+    Frames(Result(chunks, funnel), near, Seq(near, shingled, exact))
   }
 }

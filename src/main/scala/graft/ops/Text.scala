@@ -188,32 +188,31 @@ object Text {
     * highest-weighted tokens (ties broken lexicographically, so the
     * result is deterministic and oracle-able).
     *
-    * Scale posture: the corpus is tokenized ONCE — the tf frame
-    * (doc, token, tf) passes a [[graft.ops.Barrier]] and BOTH sides
-    * derive from it: tf rows are per-(doc, distinct-token), so the
-    * document frequency is simply the per-token tf row count, and the
-    * IDF table never re-tokenizes the corpus (the [[idfTable]]-call
-    * form paid that double scan; only a column-pruned count(*) scan
-    * remains for the corpus size). tf agg and IDF join shuffle on the
-    * token — uniform by construction; the top-k window partitions by
-    * doc_id (per-doc cardinality = distinct tokens, never corpus-
-    * sized). On a real corpus the IDF side is large: it joins as a
-    * plain shuffled hash join here, and callers with a pruned
-    * vocabulary (top-N tokens) should broadcast it instead. Values
-    * are identical to joining [[idfTable]]'s output (q56 oracle). */
+    * Scale posture: the corpus is tokenized ONCE, by construction —
+    * the document frequency is a window count over the tf frame
+    * (tf rows are per-(doc, distinct-token), so the per-token row
+    * count IS df), not a join against [[idfTable]], whose call form
+    * re-tokenized the whole corpus for the second side (and a shared-
+    * subtree join can't be trusted to dedupe: the optimizer prunes tf
+    * out of the df branch, breaking exchange reuse). Only a column-
+    * pruned count(*) scan remains for the corpus size. PlanSpec pins
+    * exactly one tokenizing scan. The tf agg shuffles on
+    * (doc, token), the df window on the token — both uniform by
+    * construction (a token's window group is ≤ n_docs rows, never
+    * corpus-sized); the top-k window partitions by doc_id. Values are
+    * identical to joining [[idfTable]]'s output (q56 oracle). */
   def topKeywords(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val tf = Barrier.cut(df.select(col("doc_id"),
+    val tf = df.select(col("doc_id"),
         explode_outer(tokens(col(textCol))).as("w"))
       .filter(col("w").isNotNull)
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val idf = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .crossJoin(broadcast(nDocs))
-      .select(col("w"),
-        round(log(col("n_docs").cast("double") / col("df")), 9).as("idf"))
-    tf.join(idf, Seq("w"))
+      .withColumn("idf",
+        round(log(col("n_docs").cast("double") / col("df")), 9))
       .withColumn("tfidf", round(col("tf") * col("idf"), 9))
       .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(desc("tfidf"), asc("w"))).cast("long"))

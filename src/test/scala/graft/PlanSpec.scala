@@ -67,6 +67,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
   }
 
+  test("q56: topKeywords tokenizes the corpus exactly once") {
+    // df is a window count over the tf frame, never an idfTable join —
+    // the join form re-tokenized the corpus for the second side (and
+    // column pruning defeats exchange reuse between the two branches)
+    val p = plan("q56_top_keywords")
+    val tokenizations = "Generate explode".r.findAllIn(p).size
+    assert(tokenizations == 1, s"corpus tokenized $tokenizations times:\n$p")
+  }
+
+  test("q57: funnel counts read only checkpointed reach frames (no event re-scan)") {
+    val p = plan("q57_funnel")
+    // the funnel materializes its stage chain behind barriers at build
+    // time; the final union must contain ZERO scans of the events table
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"), p)
+    val evScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("events"))
+    assert(evScans == 0, s"funnel union re-scans events $evScans times:\n$p")
+  }
+
   test("q50: bucketed as-of join shuffles raw rows by (key, time-bucket), not key alone") {
     val p = plan("q50_asof_bucketed")
     assert(!p.contains("CartesianProduct"), p)
