@@ -128,6 +128,9 @@ object SparkEntry {
   val JaccardMaxDf = 100000L
   /** q56 keywords per document. */
   val TopKeywordsK = 3
+  /** q58 repetition-stats n-gram size (Gopher's duplication filters use
+    * n in 2..4; bigrams are the most sensitive on short documents). */
+  val RepetitionN = 2
   /** q57 conversion-funnel stage order. */
   val FunnelStages = Seq("signup", "click", "purchase")
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
@@ -666,6 +669,26 @@ object SparkEntry {
     "q56_top_keywords" -> ((s, dir) => {
       Text.topKeywords(t(s, dir, "documents"), "text", TopKeywordsK)
         .orderBy("doc_id", "rank")
+    }),
+
+    // Gopher-style repetition quality signals (bigram dup / top-gram
+    // concentration).
+    "q58_repetition" -> ((s, dir) => {
+      Text.repetitionStats(t(s, dir, "documents"), "text", RepetitionN)
+        .orderBy("doc_id")
+    }),
+
+    // PII masking over deterministically injected emails/URLs/digit runs
+    // (the fixture corpus is PII-free, so both engines append the same
+    // synthetic contact block per doc before masking).
+    "q59_pii_mask" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.org via https://ex.org/u/"),
+          col("doc_id").cast("string"), lit(" tel 555"),
+          lpad(col("doc_id").cast("string"), 7, "0")).as("text"))
+      Text.maskPii(aug, "text").orderBy("doc_id")
     }),
 
     // C4-style normalization (lowercase, strip, collapse whitespace).
@@ -1274,6 +1297,49 @@ object SparkEntry {
          |FROM documents d LEFT JOIN (SELECT * FROM best WHERE r = 1) b
          |  USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q58_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(${Text.shinglesAllSql("t", RepetitionN)}) AS g
+         |      FROM toks),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+         |p AS (SELECT doc_id, sum(c)::BIGINT AS total,
+         |             count(*)::BIGINT AS n_distinct, max(c) AS topc
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.total, 0)::BIGINT AS n_ngrams,
+         |  coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
+         |  round(1.0 - p.n_distinct / p.total::DOUBLE, 9) AS dup_ngram_ratio,
+         |  round(p.topc / p.total::DOUBLE, 9) AS top_ngram_ratio
+         |FROM documents d LEFT JOIN p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q59: masking order URL -> email -> long digits, each count taken on
+    // that stage's input (patterns interpolated from Text so the two
+    // engines can never drift)
+    "q59_pii_mask" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR ||
+         |    '@mail.example.org via https://ex.org/u/' || doc_id::VARCHAR ||
+         |    ' tel 555' || lpad(doc_id::VARCHAR, 7, '0') AS text
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${Text.UrlRe}', '<URL>', 'g') AS u
+         |  FROM aug
+         |), st2 AS (
+         |  SELECT doc_id, text, u,
+         |    regexp_replace(u, '${Text.EmailRe}', '<EMAIL>', 'g') AS e
+         |  FROM st
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(e, '${Text.LongNumRe}', '<NUM>', 'g') AS masked,
+         |  len(regexp_extract_all(text, '${Text.UrlRe}'))::BIGINT AS n_urls,
+         |  len(regexp_extract_all(u, '${Text.EmailRe}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(e, '${Text.LongNumRe}'))::BIGINT AS n_long_nums
+         |FROM st2 ORDER BY doc_id""".stripMargin,
 
     "q46_normalize" ->
       """SELECT doc_id,

@@ -47,6 +47,15 @@ object Text {
       s"i -> concat_ws(' ', $parts)))"
   }
 
+  /** DuckDB fragment: ALL n-gram shingles (repeats kept) of list `t` —
+    * the oracle twin of the non-distinct gram array [[repetitionStats]]
+    * counts over. */
+  def shinglesAllSql(t: String, n: Int): String = {
+    val parts = (0 until n).map(o => s"$t[i+$o]").mkString(", ")
+    s"list_transform(range(1, greatest(0, len($t) - ${n - 2})), " +
+      s"i -> concat_ws(' ', $parts))"
+  }
+
   /** Per-document token statistics: whitespace tokens, word tokens, chars,
     * mean token length, and the ~4-chars-per-token BPE estimate. */
   def tokenStats(df: DataFrame, textCol: String): DataFrame =
@@ -160,6 +169,73 @@ object Text {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("ch.n_toks").cast("long").as("n_tokens"),
         col("ch.chunk").as("chunk"))
+  }
+
+  /** Gopher-style repetition signals (the duplication quality filters of
+    * Rae et al. 2021 §A1.1, which length/stopword heuristics like
+    * [[qualityScore]] cannot see): per document, the n-gram duplication
+    * ratio `1 − distinct/total` and the fraction of all n-grams claimed
+    * by the single most frequent one. High values flag boilerplate,
+    * keyword spam and degenerate repetition. `n = 1` measures plain
+    * token repetition; Gopher uses n in 2..4.
+    *
+    * Relational shape: explode all n-grams (in-partition fan-out, the
+    * non-distinct twin of the [[shingles]] arrays) → one (doc, gram)
+    * count agg → one per-doc agg — both shuffles keyed on the doc id,
+    * group sizes bounded per document, nothing corpus-sized. Documents
+    * with fewer than n tokens have no n-grams: counts 0, ratios NULL
+    * (identical in the DuckDB oracle; spec-pinned). */
+  def repetitionStats(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // explode_OUTER + isNotNull — the Generate-pushdown trap (see
+    // fingerprints): bare explode re-derives the gram HOF below the
+    // projection
+    val grams = df.select(col("doc_id"),
+        explode_outer(shinglesAll(tokens(col(textCol)), n)).as("g"))
+      .filter(col("g").isNotNull)
+    val per = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("__total"),
+        count(lit(1)).as("__distinct"),
+        max(col("__c")).as("__top"))
+    df.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__total"), lit(0L)).as("n_ngrams"),
+        coalesce(col("__distinct"), lit(0L)).as("n_distinct"),
+        // un-coalesced operands: no-gram docs yield NULL ratios, never 0/0
+        round(lit(1.0) -
+          col("__distinct").cast("double") / col("__total"), 9)
+          .as("dup_ngram_ratio"),
+        round(col("__top").cast("double") / col("__total"), 9)
+          .as("top_ngram_ratio"))
+  }
+
+  /** PII scrubbing for training corpora: emails, URLs and long digit
+    * runs replaced by typed placeholder tokens, with per-doc match
+    * counts for the audit funnel. Pure per-row regex chain — map-only,
+    * no shuffle, and the patterns use only syntax with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB), so the oracle
+    * masks byte-identically. Masking order is fixed and significant:
+    * URLs first (they embed '@' and digits), then emails (they embed
+    * digits), then standalone digit runs of ≥ 7 (phone/account
+    * numbers; shorter runs are too often legitimate quantities).
+    * Counts are taken on the input of each stage, so a URL's digits
+    * are never also counted as a long number. */
+  val UrlRe = "https?://[^ ]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+
+  def maskPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val urlMasked = regexp_replace(t, UrlRe, "<URL>")
+    val emailMasked = regexp_replace(urlMasked, EmailRe, "<EMAIL>")
+    df.select(col("doc_id"),
+      regexp_replace(emailMasked, LongNumRe, "<NUM>").as("masked"),
+      regexp_count(t, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(urlMasked, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(emailMasked, lit(LongNumRe)).cast("long")
+        .as("n_long_nums"))
   }
 
   /** Corpus document-frequency / IDF table: one row per distinct token

@@ -129,4 +129,45 @@ class TextSpec extends SparkSpec {
       Text.topKeywords(corpus, "text", 0)
     }
   }
+
+  test("repetitionStats: dup and top-gram ratios; short docs NULL; n=1 is token form") {
+    val corpus = Seq(
+      (1L, "a b a b c"),   // bigrams: "a b","b a","a b","b c" -> 4 total, 3 distinct
+      (2L, "x y"),         // one bigram, no repetition
+      (3L, "z")            // too short for bigrams
+    ).toDF("doc_id", "text")
+    val r = Text.repetitionStats(corpus, "text", 2)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 4L, 3L, Some(0.25), Some(0.5))))
+    assert(r(2L) == ((2L, 1L, 1L, Some(0.0), Some(1.0))))
+    assert(r(3L) == ((3L, 0L, 0L, None, None)))
+    // n=1: plain token repetition — doc 1 has 5 tokens, 3 distinct
+    val t1 = Text.repetitionStats(corpus, "text", 1)
+      .filter($"doc_id" === 1L)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(t1 == ((1L, 5L, 3L, Some(0.4), Some(0.4))))
+    intercept[IllegalArgumentException] {
+      Text.repetitionStats(corpus, "text", 0)
+    }
+  }
+
+  test("maskPii: URL before email before digits; counts never double-bill") {
+    val corpus = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.com today"),
+      (2L, "see https://ex.org/a?id=1234567890 and call 0712345678"),
+      (3L, "short num 123456 stays; id 1234567 goes"),
+      (4L, "clean text only")
+    ).toDF("doc_id", "text")
+    val m = Text.maskPii(corpus, "text")
+      .as[(Long, String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(m(1L)._2 == "mail me at <EMAIL> today")
+    // the URL swallowed its own digits — only the phone counts as a number
+    assert(m(2L)._2 == "see <URL> and call <NUM>")
+    assert((m(2L)._3, m(2L)._4, m(2L)._5) == ((1L, 0L, 1L)))
+    // 6-digit run survives, 7-digit run masks
+    assert(m(3L)._2 == "short num 123456 stays; id <NUM> goes")
+    assert(m(4L)._2 == "clean text only" &&
+      (m(4L)._3, m(4L)._4, m(4L)._5) == ((0L, 0L, 0L)))
+  }
 }
