@@ -9,7 +9,8 @@ import graft.ops.{Dedup, Sources, Text}
   * extension operators exist for (SURVEY.md §7.4), composed into the
   * standard corpus funnel:
   *
-  *   documents → normalize → language gate → quality gate
+  *   documents → (optional) PII scrub → normalize → language gate
+  *     → quality gate → (optional) Gopher repetition gate
   *     → exact dedup → near-dedup (MinHash→LSH→Jaccard, connected
   *     components, one survivor per transitive cluster)
   *     → token-budget chunking → (optionally) partitioned parquet
@@ -26,7 +27,16 @@ import graft.ops.{Dedup, Sources, Text}
   */
 object CorpusPipeline {
 
-  /** Funnel knobs; defaults mirror the oracle queries' parameters. */
+  /** Funnel knobs; defaults mirror the oracle queries' parameters.
+    *
+    * `scrubPii` masks URLs/emails/long digit runs ([[Text.maskPii]])
+    * BEFORE normalization — normalize strips the '@'/':'/'/' characters
+    * the PII patterns key on, so the order is load-bearing. It also
+    * means two documents differing only in contact details dedup as the
+    * duplicates they are. `maxDupNgramRatio` adds the Gopher
+    * duplication gate ([[Text.repetitionStats]]) after the quality
+    * gate; docs too short to have n-grams (NULL ratio) pass. `None`
+    * skips the stage entirely — no dead scan. */
   case class Config(
       keepLangs: Set[String] = Set("en"),
       minQuality: Double = 0.5,
@@ -35,7 +45,10 @@ object CorpusPipeline {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       jaccardTau: Double = 0.5,
-      chunkTokens: Int = 64)
+      chunkTokens: Int = 64,
+      scrubPii: Boolean = false,
+      maxDupNgramRatio: Option[Double] = None,
+      repetitionN: Int = 2)
 
   /** Final chunk table + the per-stage survivor counts (empty when
     * `collectFunnel = false`). */
@@ -91,13 +104,21 @@ object CorpusPipeline {
 
   private def curateFrames(docs: DataFrame, cfg: Config,
                            collectFunnel: Boolean): Frames = {
-    // normalize FIRST so the gates, dedup shingles and chunks all see
+    // optional PII scrub FIRST — before normalize, which strips the
+    // very characters the URL/email patterns match on (see Config doc).
+    // Column-level mask inside the projection: no join, no extra scan.
+    val scrubbed =
+      if (!cfg.scrubPii) docs
+      else docs.select(col("doc_id"), Text.piiMasked(col("text")).as("text"),
+        col("lang"), col("source"))
+
+    // normalize next so the gates, dedup shingles and chunks all see
     // canonical text; normalization can empty a document (all symbols).
-    // With collectFunnel this and the two gate frames persist for the
+    // With collectFunnel this and the gate frames persist for the
     // funnel's duration (unpersisted below): languageId alone reads its
     // input three times (hit counting, tag column, outer join), so an
     // unpersisted normed would re-scan the source per reference.
-    val normed0 = docs.select(col("doc_id"),
+    val normed0 = scrubbed.select(col("doc_id"),
         Text.normalize(col("text")).as("text"), col("lang"), col("source"))
       .filter(length(col("text")) > 0)
     val normed =
@@ -118,15 +139,35 @@ object CorpusPipeline {
       if (collectFunnel) inLang0.persist(StorageLevel.MEMORY_AND_DISK)
       else inLang0
 
-    // quality gate: length/alpha/stopword/digit composite
-    val good0 = inLang.join(
+    // quality gate: length/alpha/stopword/digit composite. Persisted
+    // when the funnel counts it — or when the repetition gate below
+    // reads it twice (join side + stats side)
+    val quality0 = inLang.join(
       Text.qualityScore(inLang, "text")
         .filter(col("quality_score") >= cfg.minQuality)
         .select("doc_id"),
       Seq("doc_id"))
-    val good =
-      if (collectFunnel) good0.persist(StorageLevel.MEMORY_AND_DISK)
-      else good0
+    val quality =
+      if (collectFunnel || cfg.maxDupNgramRatio.isDefined)
+        quality0.persist(StorageLevel.MEMORY_AND_DISK)
+      else quality0
+
+    // optional Gopher duplication gate: drop degenerate-repetition docs
+    // (boilerplate/spam) the quality composite cannot see. NULL ratios
+    // (docs too short for an n-gram) pass; unset = stage skipped, no
+    // extra scan.
+    val good = cfg.maxDupNgramRatio match {
+      case None => quality
+      case Some(maxDup) =>
+        val surv = quality.join(
+          Text.repetitionStats(quality, "text", cfg.repetitionN)
+            .filter(col("dup_ngram_ratio").isNull ||
+              col("dup_ngram_ratio") <= maxDup)
+            .select("doc_id"),
+          Seq("doc_id"))
+        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        else surv
+    }
 
     // exact dedup (hash-groupBy, deterministic min-id survivor), then
     // near-dedup with the transitive-cluster policy
@@ -147,19 +188,28 @@ object CorpusPipeline {
         // count order matters: `exact` (persisted) materializes from the
         // cached gates BEFORE they unpersist, so nothing downstream ever
         // re-runs a gate pipeline
+        val gateCounts =
+          if (cfg.maxDupNgramRatio.isEmpty) Seq("quality" -> good.count())
+          else Seq("quality" -> quality.count(), "repetition" -> good.count())
         val counts = Seq(
           "input" -> docs.count(),
           "normalized_non_empty" -> normed.count(),
-          "language" -> inLang.count(),
-          "quality" -> good.count(),
+          "language" -> inLang.count()) ++ gateCounts ++ Seq(
           "exact_dedup" -> exact.count(),
           "near_dedup" -> near.count(),
           "chunks" -> chunks.count())
-        good.unpersist()
+        if (good ne quality) good.unpersist()
+        quality.unpersist()
         inLang.unpersist()
         normed.unpersist()
         counts
       }
-    Frames(Result(chunks, funnel), near, Seq(near, shingled, exact))
+    // lazy mode with the repetition gate keeps `quality` cached (the
+    // gate reads it twice) — hand it to the caller for unpersist
+    val extraPersisted =
+      if (!collectFunnel && cfg.maxDupNgramRatio.isDefined) Seq(quality)
+      else Seq.empty
+    Frames(Result(chunks, funnel), near,
+      Seq(near, shingled, exact) ++ extraPersisted)
   }
 }

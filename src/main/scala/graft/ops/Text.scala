@@ -226,6 +226,16 @@ object Text {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumRe = "[0-9]{7,}"
 
+  /** The masked text alone, as a column expression — for pipelines that
+    * scrub in-place inside an existing projection ([[graft.app.CorpusPipeline]])
+    * without a join. Same fixed masking order as [[maskPii]]. */
+  def piiMasked(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
   def maskPii(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val urlMasked = regexp_replace(t, UrlRe, "<URL>")

@@ -53,6 +53,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.funnel == CorpusPipeline.curate(docs).funnel)
   }
 
+  test("curate: PII scrub and repetition gate drop what the base gates cannot see") {
+    import spark.implicits._
+    // long enough to pass the length gate (>= 10 tokens), English
+    // stopword-rich so languageId keeps them
+    val clean = "the quick brown fox jumps over the lazy dog and then " +
+      "the other fox follows along the river bank"
+    val spam = ("buy now " * 30).trim + " and the of to a in is it"
+    // distinct base text — must NOT near-dup against doc 1
+    val pii = "a small dog walks into the garden and the children play " +
+      "near the old tree by the gate " +
+      "contact bob@example.com or https://spam.example.com/x1234567890"
+    val corpus = Seq(
+      (1L, clean, "en", "s0"),
+      (2L, spam, "en", "s0"),   // dup bigram ratio near 1 — only the rep gate sees it
+      (3L, pii, "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cfg = CorpusPipeline.Config(minQuality = 0.3,
+      scrubPii = true, maxDupNgramRatio = Some(0.5))
+    val r = CorpusPipeline.curate(corpus, cfg)
+    val f = r.funnel.toMap
+    // the funnel gained the repetition stage, and it dropped exactly doc 2
+    assert(f("quality") == 3 && f("repetition") == 2,
+      s"funnel: ${r.funnel}")
+    val survivors = r.chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L))
+    // doc 3's PII never reaches the chunk table: the mask ran before
+    // normalize, so the placeholders (not the raw address) got normalized
+    val doc3 = r.chunks.filter($"doc_id" === 3L)
+      .select("chunk").as[String].collect().mkString(" ")
+    assert(!doc3.contains("bob") && !doc3.contains("spam example com")
+      && !doc3.contains("1234567890"), doc3)
+    assert(doc3.contains("email") && doc3.contains("url"), doc3)
+  }
+
   test("curateToParquet: source-partitioned sink round-trips the chunk rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     val r = CorpusPipeline.curateToParquet(docs, out)
