@@ -19,7 +19,7 @@ object Bench {
     // machinery; failures here surface in the timed run instead.
     try {
       val w = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      w.select(xxhash64(w.columns.map(col): _*).as("__h"))
+      w.select(xxhash64(w.columns.toIndexedSeq.map(col): _*).as("__h"))
         .agg(bit_xor(col("__h"))).collect()
     } catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
@@ -41,7 +41,7 @@ object Bench {
         // the "benchmark" would never evaluate them.
         // bit_xor fold: order-independent and cannot overflow (sum of
         // xxhash64 Longs throws ARITHMETIC_OVERFLOW under ANSI mode).
-        df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
           .agg(bit_xor(col("__h"))).collect()
         None
       } catch {

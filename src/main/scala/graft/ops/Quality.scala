@@ -32,7 +32,7 @@ object Quality {
     * (`data_quality_checks.py:29-57`). */
   def checkDistinctInRange(df: DataFrame, column: String,
                            lo: Long, hi: Long): Unit = {
-    val n = df.select(countDistinct(col(column))).head.getLong(0)
+    val n = df.select(countDistinct(col(column))).head().getLong(0)
     if (n <= lo || n >= hi)
       throw QualityError(
         s"distinct($column) = $n outside exclusive range ($lo, $hi)")
@@ -48,7 +48,7 @@ object Quality {
   def checkDistinctInRangeApprox(df: DataFrame, column: String,
                                  lo: Long, hi: Long,
                                  rsd: Double = 0.05): Unit = {
-    val n = df.select(approx_count_distinct(col(column), rsd)).head.getLong(0)
+    val n = df.select(approx_count_distinct(col(column), rsd)).head().getLong(0)
     if (n <= lo || n >= hi)
       throw QualityError(
         s"approx_distinct($column) = $n (rsd=$rsd) outside exclusive range ($lo, $hi)")
@@ -76,7 +76,7 @@ object Quality {
     * (`data_quality_checks.py:112-133`). */
   def checkPrimaryKey(df: DataFrame, column: String): Unit = {
     val r = df.agg(count(lit(1)).as("n"),
-      countDistinct(col(column)).as("nd")).head
+      countDistinct(col(column)).as("nd")).head()
     if (r.getLong(0) != r.getLong(1))
       throw QualityError(
         s"$column not unique: ${r.getLong(0)} rows, ${r.getLong(1)} distinct")

@@ -187,11 +187,15 @@ object Text {
     * (identical in the DuckDB oracle; spec-pinned). */
   def repetitionStats(df: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // explode_OUTER + isNotNull — the Generate-pushdown trap (see
-    // fingerprints): bare explode re-derives the gram HOF below the
-    // projection
-    val grams = df.select(col("doc_id"),
-        explode_outer(shinglesAll(tokens(col(textCol)), n)).as("g"))
+    // Tokens materialized in their OWN projection before the gram HOF —
+    // the fingerprints trap: expression trees are not DAG-shared, so an
+    // inlined split(text) re-runs per element_at (2n× per gram; measured
+    // ~7× this query's cost at sf0.1). explode_OUTER + isNotNull — the
+    // Generate-pushdown trap: bare explode re-derives the gram HOF
+    // below the projection.
+    val grams = df
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode_outer(shinglesAll(col("__t"), n)).as("g"))
       .filter(col("g").isNotNull)
     val per = grams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("__c"))
