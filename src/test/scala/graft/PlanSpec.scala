@@ -155,6 +155,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q58: tokenization is materialized once, not inlined in the gram lambda") {
+    // split(text) must appear exactly once (its own projection): inlined
+    // into the transform it re-evaluates per element_at — 2n× per gram
+    // (measured 3.6× the whole query at sf0.1)
+    val p = SparkEntry.queries("q58_repetition")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits == 1, s"split() appears $splits times:\n$p")
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
