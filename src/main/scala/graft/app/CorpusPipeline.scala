@@ -70,10 +70,11 @@ object CorpusPipeline {
     * instrumented source). Pass `false` for a pure single-action
     * pipeline.
     *
-    * The three persisted frames stay cached so the returned `chunks`
-    * stays cheap to consume; a long-lived session running many corpora
-    * should prefer [[curateToParquet]], which unpersists them after the
-    * sink write. */
+    * The dedup-side persisted frames (survivors, shingles, exact — and
+    * in lazy mode with the repetition gate on, the quality frame) stay
+    * cached so the returned `chunks` stays cheap to consume; a
+    * long-lived session running many corpora should prefer
+    * [[curateToParquet]], which unpersists them after the sink write. */
   def curate(docs: DataFrame, cfg: Config = Config(),
              collectFunnel: Boolean = true): Result =
     curateFrames(docs, cfg, collectFunnel).result
