@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator property laws for the text-scrub/repetition
+  * operators: PII masking must be idempotent (placeholders never
+  * re-match a pattern — the guarantee that lets a pipeline re-run the
+  * scrub safely), masked output must carry no residual matches, and
+  * the repetition ratios must satisfy their algebraic invariants on
+  * arbitrary token streams. Generators are driven by a fixed-seed
+  * loop (the scalatestplus bridge isn't available offline). */
+class TextLawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cases = 10
+
+  /** Fragments a crawled document plausibly interleaves: words, PII of
+    * each kind (some adversarially adjacent), digit runs both below and
+    * above the masking threshold. */
+  private val fragmentGen: Gen[String] = Gen.oneOf(
+    Gen.oneOf("the", "data", "spark", "join", "alpha", "beta"),
+    Gen.chooseNum(1, 3).map(i => s"user$i@host$i.example.org"),
+    Gen.chooseNum(1, 3).map(i => s"https://ex$i.org/p/q?id=$i"),
+    Gen.chooseNum(100000L, 999999L).map(_.toString),          // 6 digits: kept
+    Gen.chooseNum(1000000L, 99999999L).map(_.toString),      // 7-8: masked
+    Gen.const("a@b"),                                        // not an email (no TLD)
+    Gen.const("http:/almost.a.url"))                         // not a URL (one slash)
+
+  private val docGen: Gen[String] =
+    Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, fragmentGen))
+      .map(_.mkString(" "))
+
+  private def docs(seed: Int): Seq[String] =
+    (1 to Cases).map(i =>
+      docGen(Gen.Parameters.default, Seed(seed.toLong * 1000 + i))
+        .getOrElse("the data"))
+
+  test("maskPii law: idempotent, and masked text carries no residual matches") {
+    val df = docs(7).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = Text.maskPii(df, "text")
+      .select($"doc_id", $"masked".as("text"))
+    val twice = Text.maskPii(once, "text")
+    val rows = once.select($"doc_id", $"text")
+      .join(twice.select($"doc_id", $"masked",
+        $"n_urls", $"n_emails", $"n_long_nums"), Seq("doc_id"))
+      .as[(Long, String, String, Long, Long, Long)].collect()
+    rows.foreach { case (id, m1, m2, u, e, n) =>
+      assert(m1 == m2, s"doc $id not idempotent:\n$m1\n$m2")
+      assert((u, e, n) == ((0L, 0L, 0L)),
+        s"doc $id residual matches after masking: urls=$u emails=$e nums=$n\n$m1")
+    }
+  }
+
+  test("repetitionStats laws: ratio ranges and count identities on random docs") {
+    for (n <- Seq(1, 2, 3)) {
+      val df = docs(n).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = Text.repetitionStats(df, "text", n)
+        .as[(Long, Long, Long, Option[Double], Option[Double])].collect()
+      assert(rows.length == Cases)
+      rows.foreach { case (id, total, distinct, dup, top) =>
+        assert(distinct <= total, s"doc $id: distinct $distinct > total $total")
+        assert((total == 0) == dup.isEmpty && (total == 0) == top.isEmpty,
+          s"doc $id: NULL ratios must appear exactly when no n-grams exist")
+        dup.foreach { d =>
+          assert(d >= 0.0 && d < 1.0, s"doc $id: dup ratio $d")
+          // algebraic identity with the counts it derives from
+          assert(math.abs(d - (1.0 - distinct.toDouble / total)) < 1e-9)
+        }
+        top.foreach(t =>
+          assert(t > 0.0 && t <= 1.0, s"doc $id: top ratio $t"))
+        // a doc with all-distinct n-grams has dup 0; fully degenerate has top 1
+        if (total > 0 && distinct == total) assert(dup.contains(0.0))
+        if (total > 0 && distinct == 1L) assert(top.contains(1.0))
+      }
+    }
+  }
+}
