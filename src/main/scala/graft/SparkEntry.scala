@@ -133,6 +133,9 @@ object SparkEntry {
   val RepetitionN = 2
   /** q57 conversion-funnel stage order. */
   val FunnelStages = Seq("signup", "click", "purchase")
+  /** q60 retention cohort period: daily — the fixture's one-week event
+    * span yields a full 8×8 retention triangle. */
+  val RetentionPeriodMs = 86400000L
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
@@ -796,6 +799,12 @@ object SparkEntry {
     // eventsUs (same reasoning as the sessionize pair).
     "q57_funnel" -> ((s, dir) => {
       Events.funnel(eventsUs(s, dir), FunnelStages).orderBy("stage_idx")
+    }),
+
+    // Daily cohort retention triangle (cohort = period of first event).
+    "q60_retention" -> ((s, dir) => {
+      Events.retention(t(s, dir, "events"), RetentionPeriodMs)
+        .orderBy("cohort_start_ms", "period_offset")
     }),
 
     // Per-type value distribution profile (exact quantiles = order
@@ -1544,6 +1553,33 @@ object SparkEntry {
          |UNION ALL SELECT 3::BIGINT, '${FunnelStages(2)}',
          |       (SELECT count(*) FROM s3)::BIGINT
          |ORDER BY stage_idx""".stripMargin,
+
+    // q60: same ms-floor period math as the Spark side (epoch_ms is the
+    // µs-truncated read's ms floor — identical to ts_ns div 1e6)
+    "q60_retention" ->
+      s"""WITH ms AS (
+         |  SELECT user_id, epoch_ms(ts) AS m FROM events
+         |), pd AS (
+         |  SELECT user_id, (m - m % $RetentionPeriodMs) // $RetentionPeriodMs AS p
+         |  FROM ms
+         |), cohorts AS (
+         |  SELECT user_id, min(p) AS cp FROM pd GROUP BY user_id
+         |), active AS (
+         |  SELECT DISTINCT user_id, p FROM pd
+         |), counts AS (
+         |  SELECT c.cp, a.p - c.cp AS period_offset, count(*) AS n_active
+         |  FROM active a JOIN cohorts c USING (user_id)
+         |  GROUP BY c.cp, a.p - c.cp
+         |), sizes AS (
+         |  SELECT cp, n_active AS cohort_size FROM counts WHERE period_offset = 0
+         |)
+         |SELECT (counts.cp * $RetentionPeriodMs)::BIGINT AS cohort_start_ms,
+         |  period_offset::BIGINT AS period_offset,
+         |  n_active::BIGINT AS n_active,
+         |  cohort_size::BIGINT AS cohort_size,
+         |  round(n_active / cohort_size::DOUBLE, 9) AS retention
+         |FROM counts JOIN sizes USING (cp)
+         |ORDER BY cohort_start_ms, period_offset""".stripMargin,
 
     "q31_run_table" ->
       """WITH runs AS (

@@ -367,6 +367,47 @@ object Events {
     rows
   }
 
+  /** Cohort retention table: users grouped by the period of their FIRST
+    * event (their cohort), and for each (cohort, period offset) the
+    * count and fraction of cohort members active in that period — the
+    * classic product-retention triangle. `widthMs` is the period width
+    * (a day, a week). Offset 0 always has retention 1.0 (every user is
+    * active in their first period by definition — a structural
+    * invariant EventsSpec pins).
+    *
+    * Relational shape: one user-keyed min-agg for cohorts, one distinct
+    * over (user, period) — activity collapses BEFORE the join, so a
+    * user's thousandth event in a period costs nothing downstream —
+    * then a broadcast-sized (cohort, offset) count agg and a self-join
+    * on the offset-0 row for the denominator. All shuffles are user-
+    * or cohort-keyed; nothing pairs rows. The period index derives
+    * from the ms-FLOOR of the ns timestamp (like [[sessionize]]'s
+    * durations): ms-floor quantities survive the sub-ms truncation an
+    * engine applies on read, so the DuckDB oracle agrees at every
+    * period boundary. */
+  def retention(events: DataFrame, widthMs: Long): DataFrame = {
+    require(widthMs >= 1, s"widthMs must be >= 1, got $widthMs")
+    def period(c: String) =
+      expr(s"(($c div 1000000) - pmod($c div 1000000, ${widthMs}L)) " +
+        s"div ${widthMs}L")
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("__ft"))
+      .select(col("user_id"), period("__ft").as("__cp"))
+    val active = events
+      .select(col("user_id"), period("ts").as("__p"))
+      .distinct()
+    val counts = active.join(cohorts, Seq("user_id"))
+      .groupBy(col("__cp"), (col("__p") - col("__cp")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = counts.filter(col("period_offset") === 0)
+      .select(col("__cp"), col("n_active").as("cohort_size"))
+    counts.join(sizes, Seq("__cp"))
+      .select((col("__cp") * widthMs).as("cohort_start_ms"),
+        col("period_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 9)
+          .as("retention"))
+  }
+
   /** M7-shaped run table: one "run" per event_type with its objective
     * (avg value) and start time, plus the dense `iteration` index in
     * start-time order (`tuning_analysis.py:30-41`). */

@@ -228,6 +228,34 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("retention: cohort by first-event period, offset-0 retention is 1.0") {
+    val D = 24L * H // 1 day in ns
+    val re = Seq(
+      // cohort day 0: users 1,2. user 1 returns day 1 and day 3;
+      // user 2 never returns.
+      (1L, 0L, 1L, "click", 0.0), (2L, D + 5L * M, 1L, "click", 0.0),
+      (3L, 3L * D, 1L, "view", 0.0),
+      (4L, 10L * M, 2L, "click", 0.0),
+      // cohort day 1: user 3, returns day 2 (two events that day —
+      // distinct() collapses them to one active row)
+      (5L, D, 3L, "click", 0.0),
+      (6L, 2L * D, 3L, "view", 0.0), (7L, 2L * D + M, 3L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.retention(re, 86400000L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    val day = 86400000L
+    assert(r((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(r((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(r((0L, 3L)) == ((1L, 2L, 0.5)))
+    assert(r((day, 0L)) == ((1L, 1L, 1.0)))
+    assert(r((day, 1L)) == ((1L, 1L, 1.0)))
+    assert(r.size == 5) // no (0,2) row: nobody from cohort 0 active day 2
+    // structural invariant: offset 0 is always full retention
+    assert(r.collect { case ((_, 0L), v) => v._3 }.forall(_ == 1.0))
+    intercept[IllegalArgumentException] { Events.retention(re, 0L) }
+  }
+
   test("run table: iteration ordered by start, best row = min objective") {
     val rt = Events.runTable(ev).orderBy("iteration").collect()
     assert(rt.map(_.getLong(3)).sameElements(Array(1L, 2L)))
