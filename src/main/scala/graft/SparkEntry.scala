@@ -136,6 +136,11 @@ object SparkEntry {
   /** q60 retention cohort period: daily — the fixture's one-week event
     * span yields a full 8×8 retention triangle. */
   val RetentionPeriodMs = 86400000L
+  /** q61 decontamination: the "eval set" is the first docs of the
+    * corpus (simulating benchmark leakage), flagged at ≥ 5 shared
+    * distinct shingles. */
+  val EvalSetDocs = 20L
+  val ContaminationMinShared = 5L
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
@@ -805,6 +810,15 @@ object SparkEntry {
     "q60_retention" -> ((s, dir) => {
       Events.retention(t(s, dir, "events"), RetentionPeriodMs)
         .orderBy("cohort_start_ms", "period_offset")
+    }),
+
+    // Benchmark decontamination: training docs sharing >= 5 distinct
+    // shingles with the (broadcast) eval set.
+    "q61_contamination" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      Dedup.contamination(sh, sh.filter(col("doc_id") < EvalSetDocs),
+        "doc_id", ContaminationMinShared)
+        .orderBy("doc_id", "eval_id")
     }),
 
     // Per-type value distribution profile (exact quantiles = order
@@ -1553,6 +1567,17 @@ object SparkEntry {
          |UNION ALL SELECT 3::BIGINT, '${FunnelStages(2)}',
          |       (SELECT count(*) FROM s3)::BIGINT
          |ORDER BY stage_idx""".stripMargin,
+
+    "q61_contamination" ->
+      s"""$shingleSqlCte,
+         |tp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ep AS (SELECT doc_id AS eval_id, unnest(shingles) AS s FROM sh
+         |       WHERE doc_id < $EvalSetDocs)
+         |SELECT tp.doc_id, ep.eval_id, count(*) AS shared_ngrams
+         |FROM tp JOIN ep USING (s)
+         |GROUP BY tp.doc_id, ep.eval_id
+         |HAVING count(*) >= $ContaminationMinShared
+         |ORDER BY tp.doc_id, ep.eval_id""".stripMargin,
 
     // q60: same ms-floor period math as the Spark side (epoch_ms is the
     // µs-truncated read's ms floor — identical to ts_ns div 1e6)

@@ -166,6 +166,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct n-gram shingles with ANY eval-set document —
+    * the standard pre-training hygiene step (eval answers leaking into
+    * the corpus inflate downstream scores). Both inputs are
+    * (id, shingles) frames like every dedup operator ([[graft.ops.Text.shingles]]).
+    * Returns (idCol, eval_id, shared_ngrams) for every contaminated
+    * pair; feed the distinct ids to a left-anti join to scrub.
+    *
+    * 100 TB posture: the EVAL side is benchmark-sized by definition, so
+    * its posting list broadcasts — the training corpus meets it in a
+    * map-side broadcast hash join and NEVER shuffles document-sized
+    * data; the only aggregation is the (train, eval) pair count,
+    * bounded by matches, not corpus size (PlanSpec pins the broadcast).
+    * Exact counting over distinct shingles — no MinHash recall loss,
+    * the property a decontamination audit needs. */
+  def contamination(shingledTrain: DataFrame, shingledEval: DataFrame,
+                    idCol: String, minShared: Long): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // explode_OUTER + isNotNull — the Generate-pushdown trap (see
+    // jaccardPairsExact)
+    def posts(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), explode_outer(col("shingles")).as("__sh"))
+      .filter(col("__sh").isNotNull)
+    posts(shingledTrain, idCol)
+      .join(broadcast(posts(shingledEval, "eval_id")), Seq("__sh"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Near-dedup applied: the corpus with near-duplicates REMOVED —
     * the full MinHash→LSH→Jaccard pipeline ([[minhashSignatures]] →
     * [[lshBands]] → [[lshCandidatePairs]] → [[jaccardVerify]]) driving a

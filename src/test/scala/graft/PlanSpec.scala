@@ -86,6 +86,13 @@ class PlanSpec extends SparkSpec {
     assert(evScans == 0, s"funnel union re-scans events $evScans times:\n$p")
   }
 
+  test("q61: contamination joins the broadcast eval posting list (train never shuffles for it)") {
+    val p = plan("q61_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q50: bucketed as-of join shuffles raw rows by (key, time-bucket), not key alone") {
     val p = plan("q50_asof_bucketed")
     assert(!p.contains("CartesianProduct"), p)

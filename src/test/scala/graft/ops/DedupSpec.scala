@@ -140,6 +140,24 @@ class DedupSpec extends SparkSpec {
     assert(greedy == clustered)
   }
 
+  test("contamination: shared-shingle counts vs a broadcast eval set") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val hits = Dedup.contamination(sh, sh.filter($"doc_id" === 1L), "doc_id", 3L)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 (the eval doc itself) and its exact dup share all 7
+    // shingles; the near-dup shares the 5 outside the changed word;
+    // the distinct doc and the shingle-less doc never appear
+    assert(hits == Set((1L, 1L, 7L), (2L, 1L, 7L), (3L, 1L, 5L)))
+    // threshold prunes the near-dup
+    assert(Dedup.contamination(sh, sh.filter($"doc_id" === 1L), "doc_id", 6L)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 1L, 7L), (2L, 1L, 7L)))
+    intercept[IllegalArgumentException] {
+      Dedup.contamination(sh, sh, "doc_id", 0L)
+    }
+  }
+
   test("simhash: identical texts equal, near texts close, Hamming pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
     val m = sims.as[(Long, Long)].collect().toMap
