@@ -1579,13 +1579,18 @@ object SparkEntry {
          |HAVING count(*) >= $ContaminationMinShared
          |ORDER BY tp.doc_id, ep.eval_id""".stripMargin,
 
-    // q60: same ms-floor period math as the Spark side (epoch_ms is the
-    // µs-truncated read's ms floor — identical to ts_ns div 1e6)
+    // q60: same ms-floor period math as the Spark side. The ms→period
+    // step uses the pmod-FLOOR form (m − pmod(m, w) is an exact multiple,
+    // so // is exact) matching Spark's sign-safe floor; the ns→ms step
+    // (epoch_ms) truncates toward zero in DuckDB, so oracle parity is
+    // contracted for ts ≥ 0 (the fixture) — see Events.retention.
     "q60_retention" ->
       s"""WITH ms AS (
          |  SELECT user_id, epoch_ms(ts) AS m FROM events
          |), pd AS (
-         |  SELECT user_id, (m - m % $RetentionPeriodMs) // $RetentionPeriodMs AS p
+         |  SELECT user_id,
+         |    (m - ((m % $RetentionPeriodMs) + $RetentionPeriodMs)
+         |      % $RetentionPeriodMs) // $RetentionPeriodMs AS p
          |  FROM ms
          |), cohorts AS (
          |  SELECT user_id, min(p) AS cp FROM pd GROUP BY user_id

@@ -175,22 +175,31 @@ object Dedup {
     * pair; feed the distinct ids to a left-anti join to scrub.
     *
     * 100 TB posture: the EVAL side is benchmark-sized by definition, so
-    * its posting list broadcasts — the training corpus meets it in a
-    * map-side broadcast hash join and NEVER shuffles document-sized
-    * data; the only aggregation is the (train, eval) pair count,
-    * bounded by matches, not corpus size (PlanSpec pins the broadcast).
-    * Exact counting over distinct shingles — no MinHash recall loss,
-    * the property a decontamination audit needs. */
+    * by default its posting list broadcasts — the training corpus meets
+    * it in a map-side broadcast hash join and NEVER shuffles
+    * document-sized data; the only aggregation is the (train, eval)
+    * pair count, bounded by matches, not corpus size (PlanSpec pins the
+    * broadcast). Exact counting over distinct shingles — no MinHash
+    * recall loss, the property a decontamination audit needs.
+    *
+    * `broadcastEval = false` is the escape hatch for a LARGE held-out
+    * corpus (one whose posting list would not fit the driver): the hint
+    * is dropped and the join shuffles both sides on the shingle —
+    * identical output (DedupSpec pins equality of the two paths), no
+    * driver OOM, at the price of shuffling the training posting list
+    * once. */
   def contamination(shingledTrain: DataFrame, shingledEval: DataFrame,
-                    idCol: String, minShared: Long): DataFrame = {
+                    idCol: String, minShared: Long,
+                    broadcastEval: Boolean = true): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     // explode_OUTER + isNotNull — the Generate-pushdown trap (see
     // jaccardPairsExact)
     def posts(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), explode_outer(col("shingles")).as("__sh"))
       .filter(col("__sh").isNotNull)
+    val evalPosts = posts(shingledEval, "eval_id")
     posts(shingledTrain, idCol)
-      .join(broadcast(posts(shingledEval, "eval_id")), Seq("__sh"))
+      .join(if (broadcastEval) broadcast(evalPosts) else evalPosts, Seq("__sh"))
       .groupBy(col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
@@ -247,12 +256,17 @@ object Dedup {
     * list keyed on vertex id + one min-groupBy — both shuffle only the
     * (vertex, label) pairs, never document contents. Labels pass a
     * [[Barrier]] each round: the convergence action doesn't recompute
-    * the chain, lineage doesn't double per iteration, and out-of-scope
-    * round RDDs are reclaimed by the ContextCleaner. With a checkpoint
-    * directory set the barriers are RELIABLE checkpoints — a lost
-    * executor on a multi-hour cluster run recomputes nothing (set one
-    * for production dedup; the executor-local fallback dies with the
-    * executor). The convergence check is one tiny action per round on a
+    * the chain, lineage doesn't double per iteration, and in LOCAL
+    * checkpoint mode out-of-scope round RDDs are reclaimed by the
+    * ContextCleaner. With a checkpoint directory set the barriers are
+    * RELIABLE checkpoints — a lost executor on a multi-hour cluster run
+    * recomputes nothing (set one for production dedup; the
+    * executor-local fallback dies with the executor) — but reliable
+    * checkpoint FILES of superseded rounds are deleted only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false; read at context creation): set it, or budget checkpoint
+    * storage ∝ rounds — see the [[Barrier]] scaladoc.
+    * The convergence check is one tiny action per round on a
     * |vertices|-row frame — the standard trade for a data-dependent
     * fixpoint. */
   def nearDupClusters(verifiedPairs: DataFrame, idCol: String,

@@ -384,12 +384,19 @@ object Events {
     * from the ms-FLOOR of the ns timestamp (like [[sessionize]]'s
     * durations): ms-floor quantities survive the sub-ms truncation an
     * engine applies on read, so the DuckDB oracle agrees at every
-    * period boundary. */
+    * period boundary. Both floor steps use the pmod form (x − pmod(x,m)
+    * is an exact multiple, so `div` cannot truncate wrong), making the
+    * period index well-defined FLOOR semantics for pre-1970 (negative)
+    * timestamps too — EventsSpec pins a ts < 0 cohort. Cross-ENGINE
+    * parity below ts = 0 still depends on the ns→ms read conversion
+    * (DuckDB's epoch_ms truncates toward zero), so the oracle contract
+    * remains ts ≥ 0; the operator itself is sign-safe. */
   def retention(events: DataFrame, widthMs: Long): DataFrame = {
     require(widthMs >= 1, s"widthMs must be >= 1, got $widthMs")
-    def period(c: String) =
-      expr(s"(($c div 1000000) - pmod($c div 1000000, ${widthMs}L)) " +
-        s"div ${widthMs}L")
+    def period(c: String) = {
+      val msF = s"(($c - pmod($c, 1000000L)) div 1000000L)"
+      expr(s"($msF - pmod($msF, ${widthMs}L)) div ${widthMs}L")
+    }
     val cohorts = events.groupBy(col("user_id"))
       .agg(min(col("ts")).as("__ft"))
       .select(col("user_id"), period("__ft").as("__cp"))

@@ -158,6 +158,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contamination: shuffle-join fallback (broadcastEval=false) is identical") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val evalSh = sh.filter($"doc_id" === 1L)
+    val viaBroadcast = Dedup.contamination(sh, evalSh, "doc_id", 3L)
+    val viaShuffle = Dedup.contamination(sh, evalSh, "doc_id", 3L,
+      broadcastEval = false)
+    assert(viaShuffle.as[(Long, Long, Long)].collect().toSet ==
+      viaBroadcast.as[(Long, Long, Long)].collect().toSet)
+    // the knob really controls the hint (a fixture-sized eval side may
+    // still AUTO-broadcast by size stats — that adaptive choice is the
+    // planner's; what the knob must guarantee is that nothing FORCES a
+    // driver-side build when the eval corpus is large)
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hinted(viaBroadcast) && !hinted(viaShuffle))
+  }
+
   test("simhash: identical texts equal, near texts close, Hamming pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
     val m = sims.as[(Long, Long)].collect().toMap

@@ -256,6 +256,25 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Events.retention(re, 0L) }
   }
 
+  test("retention: pre-1970 timestamps use FLOOR period math (sign-safe)") {
+    val D = 24L * H // 1 day in ns
+    // user 1's first event is 1ns BEFORE the epoch: truncate-toward-zero
+    // would put it in period 0 (same as user 2) — floor puts it in -1.
+    // Their day-0 events then land at offsets 1 and 0 respectively.
+    val re = Seq(
+      (1L, -1L, 1L, "click", 0.0), (2L, 5L * M, 1L, "click", 0.0),
+      (3L, 10L * M, 2L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val day = 86400000L
+    val r = Events.retention(re, day)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4, x._5))).toMap
+    assert(r((-day, 0L)) == ((1L, 1L, 1.0))) // user 1's cohort is day -1
+    assert(r((-day, 1L)) == ((1L, 1L, 1.0))) // ...returning on day 0
+    assert(r((0L, 0L)) == ((1L, 1L, 1.0)))   // user 2's cohort is day 0
+    assert(r.size == 3)
+  }
+
   test("run table: iteration ordered by start, best row = min objective") {
     val rt = Events.runTable(ev).orderBy("iteration").collect()
     assert(rt.map(_.getLong(3)).sameElements(Array(1L, 2L)))
