@@ -131,6 +131,9 @@ object SparkEntry {
   /** q58 repetition-stats n-gram size (Gopher's duplication filters use
     * n in 2..4; bigrams are the most sensitive on short documents). */
   val RepetitionN = 2
+  /** q63 multi-n repetition sizes — the full Gopher duplication-gate
+    * set, computed in one corpus scan. */
+  val RepetitionNs = Seq(2, 3, 4)
   /** q57 conversion-funnel stage order. */
   val FunnelStages = Seq("signup", "click", "purchase")
   /** q60 retention cohort period: daily — the fixture's one-week event
@@ -684,6 +687,13 @@ object SparkEntry {
     "q58_repetition" -> ((s, dir) => {
       Text.repetitionStats(t(s, dir, "documents"), "text", RepetitionN)
         .orderBy("doc_id")
+    }),
+
+    // Multi-n repetition stats: the full Gopher gate set n in {2,3,4}
+    // in ONE corpus scan (PlanSpec pins the single tokenization).
+    "q63_repetition_multi" -> ((s, dir) => {
+      Text.repetitionStatsMulti(t(s, dir, "documents"), "text", RepetitionNs)
+        .orderBy("doc_id", "n")
     }),
 
     // PII masking over deterministically injected emails/URLs/digit runs
@@ -1337,6 +1347,33 @@ object SparkEntry {
          |  round(p.topc / p.total::DOUBLE, 9) AS top_ngram_ratio
          |FROM documents d LEFT JOIN p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q63: per-n twin of q58 — one gram CTE per n, unioned; the (doc, n)
+    // spine cross-joins the n list so gram-less (doc, n) cells keep NULL
+    // ratios exactly like the Spark side's literal-array explode.
+    "q63_repetition_multi" -> {
+      val gramCtes = RepetitionNs.map(n =>
+        s"""  SELECT doc_id, ${n}::BIGINT AS n,
+           |    unnest(${Text.shinglesAllSql("t", n)}) AS g FROM toks""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (
+         |$gramCtes
+         |),
+         |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+         |p AS (SELECT doc_id, n, sum(c)::BIGINT AS total,
+         |             count(*)::BIGINT AS n_distinct, max(c) AS topc
+         |      FROM c GROUP BY doc_id, n)
+         |SELECT d.doc_id, nn.n::BIGINT AS n,
+         |  coalesce(p.total, 0)::BIGINT AS n_ngrams,
+         |  coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
+         |  round(1.0 - p.n_distinct / p.total::DOUBLE, 9) AS dup_ngram_ratio,
+         |  round(p.topc / p.total::DOUBLE, 9) AS top_ngram_ratio
+         |FROM documents d
+         |CROSS JOIN (SELECT unnest([${RepetitionNs.mkString(", ")}]) AS n) nn
+         |LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = nn.n
+         |ORDER BY d.doc_id, n""".stripMargin
+    },
 
     // q59: masking order URL -> email -> long digits, each count taken on
     // that stage's input (patterns interpolated from Text so the two

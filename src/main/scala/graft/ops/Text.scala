@@ -184,27 +184,59 @@ object Text {
     * count agg → one per-doc agg — both shuffles keyed on the doc id,
     * group sizes bounded per document, nothing corpus-sized. Documents
     * with fewer than n tokens have no n-grams: counts 0, ratios NULL
-    * (identical in the DuckDB oracle; spec-pinned). */
+    * (identical in the DuckDB oracle; spec-pinned).
+    *
+    * Delegates to [[repetitionStatsMulti]] with a one-element `ns` —
+    * same plan shape, same results (q58 pins the hash). */
   def repetitionStats(df: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    // Tokens materialized in their OWN projection before the gram HOF —
+    repetitionStatsMulti(df, textCol, Seq(n))
+      .select(col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        col("dup_ngram_ratio"), col("top_ngram_ratio"))
+  }
+
+  /** [[repetitionStats]] for SEVERAL n-gram sizes in ONE corpus scan —
+    * Gopher's duplication gate reads n ∈ {2,3,4} together, and the
+    * per-n call form pays one tokenize+explode pass per n. Here the
+    * tokens materialize once, each n's (non-distinct) gram array is
+    * tagged with its n inside the same projection, and ONE generate
+    * explodes the concatenation — PlanSpec pins a single `split` for
+    * three n values. Output: one row per (doc_id, n) with the same
+    * stats columns as [[repetitionStats]]; docs with fewer than n
+    * tokens get counts 0 and NULL ratios for that n.
+    *
+    * Scale shape is unchanged from the single-n form: the explode
+    * fan-out stays in-partition, both aggregations key on the doc id
+    * (now with n alongside — group sizes still bounded per document),
+    * and the (doc, n) spine is a map-only literal-array explode. */
+  def repetitionStatsMulti(df: DataFrame, textCol: String,
+                           ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty, "ns must be non-empty")
+    require(ns.forall(_ >= 1), s"every n must be >= 1: ${ns.mkString(",")}")
+    require(ns.distinct.size == ns.size, s"ns must be distinct: ${ns.mkString(",")}")
+    // Tokens materialized in their OWN projection before the gram HOFs —
     // the fingerprints trap: expression trees are not DAG-shared, so an
-    // inlined split(text) re-runs per element_at (2n× per gram; measured
-    // ~7× this query's cost at sf0.1). explode_OUTER + isNotNull — the
-    // Generate-pushdown trap: bare explode re-derives the gram HOF
-    // below the projection.
+    // inlined split(text) would re-run per element_at (2n× per gram;
+    // measured ~7× the single-n query's cost at sf0.1). explode_OUTER +
+    // isNotNull — the Generate-pushdown trap: bare explode re-derives
+    // the gram HOF below the projection.
+    val tagged = concat(ns.map(n =>
+      transform(shinglesAll(col("__t"), n), g =>
+        struct(lit(n.toLong).as("n"), g.as("g")))): _*)
     val grams = df
       .select(col("doc_id"), tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"), explode_outer(shinglesAll(col("__t"), n)).as("g"))
-      .filter(col("g").isNotNull)
-    val per = grams.groupBy(col("doc_id"), col("g"))
+      .select(col("doc_id"), explode_outer(tagged).as("__ng"))
+      .filter(col("__ng").isNotNull)
+      .select(col("doc_id"), col("__ng.n").as("n"), col("__ng.g").as("g"))
+    val per = grams.groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("n"))
       .agg(sum(col("__c")).as("__total"),
         count(lit(1)).as("__distinct"),
         max(col("__c")).as("__top"))
-    df.select(col("doc_id")).join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    df.select(col("doc_id"), explode(typedLit(ns.map(_.toLong))).as("n"))
+      .join(per, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"),
         coalesce(col("__total"), lit(0L)).as("n_ngrams"),
         coalesce(col("__distinct"), lit(0L)).as("n_distinct"),
         // un-coalesced operands: no-gram docs yield NULL ratios, never 0/0

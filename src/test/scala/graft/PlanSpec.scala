@@ -172,6 +172,16 @@ class PlanSpec extends SparkSpec {
     assert(splits == 1, s"split() appears $splits times:\n$p")
   }
 
+  test("q63: THREE n-gram sizes still tokenize the corpus exactly once") {
+    // repetitionStatsMulti tags each n's gram array inside one projection
+    // and explodes the concatenation — per-n call forms would pay one
+    // split+explode pass per n
+    val p = SparkEntry.queries("q63_repetition_multi")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits == 1, s"split() appears $splits times:\n$p")
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

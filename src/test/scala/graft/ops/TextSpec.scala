@@ -152,6 +152,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("repetitionStatsMulti: per-(doc, n) rows match the single-n calls") {
+    val corpus = Seq(
+      (1L, "a b a b c"),
+      (2L, "x y"),
+      (3L, "z")
+    ).toDF("doc_id", "text")
+    val ns = Seq(1, 2, 3)
+    val multi = Text.repetitionStatsMulti(corpus, "text", ns)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(x => (x._1, x._2) -> ((x._3, x._4, x._5, x._6))).toMap
+    assert(multi.size == corpus.count() * ns.size) // full (doc, n) spine
+    for (n <- ns) {
+      val single = Text.repetitionStats(corpus, "text", n)
+        .as[(Long, Long, Long, Option[Double], Option[Double])]
+        .collect().map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+      for ((doc, st) <- single) assert(multi((doc, n.toLong)) == st,
+        s"mismatch at doc=$doc n=$n")
+    }
+    // doc 3 is too short for every n > 1: NULL ratios at those cells
+    assert(multi((3L, 2L)) == ((0L, 0L, None, None)))
+    intercept[IllegalArgumentException] {
+      Text.repetitionStatsMulti(corpus, "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Text.repetitionStatsMulti(corpus, "text", Seq(2, 2))
+    }
+  }
+
   test("maskPii: URL before email before digits; counts never double-bill") {
     val corpus = Seq(
       (1L, "mail me at bob.smith+x@corp.example.com today"),
