@@ -696,16 +696,22 @@ object SparkEntry {
         .orderBy("doc_id", "n")
     }),
 
-    // PII masking over deterministically injected emails/URLs/digit runs
-    // (the fixture corpus is PII-free, so both engines append the same
-    // synthetic contact block per doc before masking).
+    // PII masking over deterministically injected emails/URLs/phones/
+    // IPs/digit runs (the fixture corpus is PII-free, so both engines
+    // append the same synthetic contact block per doc before masking).
+    // The pmod bounds keep every lpad input at or under the pad width —
+    // lpad truncation semantics for over-long inputs are engine-specific.
     "q59_pii_mask" -> ((s, dir) => {
       val aug = t(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" contact user"),
           col("doc_id").cast("string"),
           lit("@mail.example.org via https://ex.org/u/"),
           col("doc_id").cast("string"), lit(" tel 555"),
-          lpad(col("doc_id").cast("string"), 7, "0")).as("text"))
+          lpad(col("doc_id").cast("string"), 7, "0"),
+          lit(" ph 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0.7")).as("text"))
       Text.maskPii(aug, "text").orderBy("doc_id")
     }),
 
@@ -1375,15 +1381,18 @@ object SparkEntry {
          |ORDER BY d.doc_id, n""".stripMargin
     },
 
-    // q59: masking order URL -> email -> long digits, each count taken on
-    // that stage's input (patterns interpolated from Text so the two
-    // engines can never drift)
+    // q59: masking order URL -> email -> phone -> IPv4 -> long digits,
+    // each count taken on that stage's input (patterns interpolated
+    // from Text so the two engines can never drift)
     "q59_pii_mask" ->
       s"""WITH aug AS (
          |  SELECT doc_id,
          |    text || ' contact user' || doc_id::VARCHAR ||
          |    '@mail.example.org via https://ex.org/u/' || doc_id::VARCHAR ||
-         |    ' tel 555' || lpad(doc_id::VARCHAR, 7, '0') AS text
+         |    ' tel 555' || lpad(doc_id::VARCHAR, 7, '0') ||
+         |    ' ph 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+         |    '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         |    ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.7' AS text
          |  FROM documents
          |), st AS (
          |  SELECT doc_id, text,
@@ -1393,13 +1402,23 @@ object SparkEntry {
          |  SELECT doc_id, text, u,
          |    regexp_replace(u, '${Text.EmailRe}', '<EMAIL>', 'g') AS e
          |  FROM st
+         |), st3 AS (
+         |  SELECT doc_id, text, u, e,
+         |    regexp_replace(e, '${Text.PhoneRe}', '<PHONE>', 'g') AS p
+         |  FROM st2
+         |), st4 AS (
+         |  SELECT doc_id, text, u, e, p,
+         |    regexp_replace(p, '${Text.Ipv4Re}', '<IP>', 'g') AS i
+         |  FROM st3
          |)
          |SELECT doc_id,
-         |  regexp_replace(e, '${Text.LongNumRe}', '<NUM>', 'g') AS masked,
+         |  regexp_replace(i, '${Text.LongNumRe}', '<NUM>', 'g') AS masked,
          |  len(regexp_extract_all(text, '${Text.UrlRe}'))::BIGINT AS n_urls,
          |  len(regexp_extract_all(u, '${Text.EmailRe}'))::BIGINT AS n_emails,
-         |  len(regexp_extract_all(e, '${Text.LongNumRe}'))::BIGINT AS n_long_nums
-         |FROM st2 ORDER BY doc_id""".stripMargin,
+         |  len(regexp_extract_all(e, '${Text.PhoneRe}'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(p, '${Text.Ipv4Re}'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(i, '${Text.LongNumRe}'))::BIGINT AS n_long_nums
+         |FROM st4 ORDER BY doc_id""".stripMargin,
 
     "q46_normalize" ->
       """SELECT doc_id,

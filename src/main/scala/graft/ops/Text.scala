@@ -247,19 +247,26 @@ object Text {
           .as("top_ngram_ratio"))
   }
 
-  /** PII scrubbing for training corpora: emails, URLs and long digit
+  /** PII scrubbing for training corpora: URLs, emails,
+    * separator-formatted phone numbers, IPv4 addresses and long digit
     * runs replaced by typed placeholder tokens, with per-doc match
     * counts for the audit funnel. Pure per-row regex chain — map-only,
     * no shuffle, and the patterns use only syntax with identical
     * semantics in Java regex (Spark) and RE2 (DuckDB), so the oracle
     * masks byte-identically. Masking order is fixed and significant:
-    * URLs first (they embed '@' and digits), then emails (they embed
-    * digits), then standalone digit runs of ≥ 7 (phone/account
-    * numbers; shorter runs are too often legitimate quantities).
-    * Counts are taken on the input of each stage, so a URL's digits
-    * are never also counted as a long number. */
+    * URLs first (they embed '@', dotted hosts and digits), then emails
+    * (they embed digits and dots), then phones (dot-separated forms
+    * would otherwise half-match the IP pattern), then IPv4, then
+    * standalone digit runs of ≥ 7 (account numbers; shorter runs are
+    * too often legitimate quantities). Phone separators are `-` and
+    * `.` only — a space-tolerant form would swallow legitimate
+    * quantity lists ("100 1000 10000"). Counts are taken on the input
+    * of each stage, so a URL's digits are never also counted as a
+    * long number, and a phone's groups never as an IP. */
   val UrlRe = "https?://[^ ]+"
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+  val Ipv4Re = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
   val LongNumRe = "[0-9]{7,}"
 
   /** The masked text alone, as a column expression — for pipelines that
@@ -268,19 +275,27 @@ object Text {
   def piiMasked(t: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(t, UrlRe, "<URL>"),
-        EmailRe, "<EMAIL>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, UrlRe, "<URL>"),
+            EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>"),
       LongNumRe, "<NUM>")
 
   def maskPii(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val urlMasked = regexp_replace(t, UrlRe, "<URL>")
     val emailMasked = regexp_replace(urlMasked, EmailRe, "<EMAIL>")
+    val phoneMasked = regexp_replace(emailMasked, PhoneRe, "<PHONE>")
+    val ipMasked = regexp_replace(phoneMasked, Ipv4Re, "<IP>")
     df.select(col("doc_id"),
-      regexp_replace(emailMasked, LongNumRe, "<NUM>").as("masked"),
+      regexp_replace(ipMasked, LongNumRe, "<NUM>").as("masked"),
       regexp_count(t, lit(UrlRe)).cast("long").as("n_urls"),
       regexp_count(urlMasked, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(emailMasked, lit(LongNumRe)).cast("long")
+      regexp_count(emailMasked, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(phoneMasked, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(ipMasked, lit(LongNumRe)).cast("long")
         .as("n_long_nums"))
   }
 

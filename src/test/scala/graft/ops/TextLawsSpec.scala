@@ -26,6 +26,11 @@ class TextLawsSpec extends SparkSpec {
     Gen.chooseNum(1, 3).map(i => s"https://ex$i.org/p/q?id=$i"),
     Gen.chooseNum(100000L, 999999L).map(_.toString),          // 6 digits: kept
     Gen.chooseNum(1000000L, 99999999L).map(_.toString),      // 7-8: masked
+    Gen.chooseNum(100, 999).map(a => s"$a-555-0199"),        // phone, dash form
+    Gen.chooseNum(100, 999).map(a => s"$a.555.0142"),        // phone, dot form
+    Gen.chooseNum(0, 255).map(o => s"10.$o.0.7"),            // IPv4
+    Gen.const("1.2.3"),                                      // not an IP (3 groups)
+    Gen.const("555-12-0199"),                                // not a phone (2-digit mid)
     Gen.const("a@b"),                                        // not an email (no TLD)
     Gen.const("http:/almost.a.url"))                         // not a URL (one slash)
 
@@ -45,13 +50,14 @@ class TextLawsSpec extends SparkSpec {
       .select($"doc_id", $"masked".as("text"))
     val twice = Text.maskPii(once, "text")
     val rows = once.select($"doc_id", $"text")
-      .join(twice.select($"doc_id", $"masked",
-        $"n_urls", $"n_emails", $"n_long_nums"), Seq("doc_id"))
-      .as[(Long, String, String, Long, Long, Long)].collect()
-    rows.foreach { case (id, m1, m2, u, e, n) =>
+      .join(twice.select($"doc_id", $"masked", $"n_urls", $"n_emails",
+        $"n_phones", $"n_ips", $"n_long_nums"), Seq("doc_id"))
+      .as[(Long, String, String, Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (id, m1, m2, u, e, p, ip, n) =>
       assert(m1 == m2, s"doc $id not idempotent:\n$m1\n$m2")
-      assert((u, e, n) == ((0L, 0L, 0L)),
-        s"doc $id residual matches after masking: urls=$u emails=$e nums=$n\n$m1")
+      assert((u, e, p, ip, n) == ((0L, 0L, 0L, 0L, 0L)),
+        s"doc $id residual matches after masking: " +
+          s"urls=$u emails=$e phones=$p ips=$ip nums=$n\n$m1")
     }
   }
 

@@ -180,22 +180,34 @@ class TextSpec extends SparkSpec {
     }
   }
 
-  test("maskPii: URL before email before digits; counts never double-bill") {
+  test("maskPii: URL -> email -> phone -> IP -> digits; counts never double-bill") {
     val corpus = Seq(
       (1L, "mail me at bob.smith+x@corp.example.com today"),
       (2L, "see https://ex.org/a?id=1234567890 and call 0712345678"),
       (3L, "short num 123456 stays; id 1234567 goes"),
-      (4L, "clean text only")
+      (4L, "clean text only"),
+      (5L, "call 555-123-4567 or 555.123.4567 from 192.168.0.1"),
+      (6L, "v1.2.3 is not an ip; 555-12-4567 is not a phone; 100 1000 10000 stay")
     ).toDF("doc_id", "text")
     val m = Text.maskPii(corpus, "text")
-      .as[(Long, String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+      .as[(Long, String, Long, Long, Long, Long, Long)]
+      .collect().map(x => x._1 -> x).toMap
     assert(m(1L)._2 == "mail me at <EMAIL> today")
     // the URL swallowed its own digits — only the phone counts as a number
     assert(m(2L)._2 == "see <URL> and call <NUM>")
-    assert((m(2L)._3, m(2L)._4, m(2L)._5) == ((1L, 0L, 1L)))
+    assert((m(2L)._3, m(2L)._4, m(2L)._7) == ((1L, 0L, 1L)))
     // 6-digit run survives, 7-digit run masks
     assert(m(3L)._2 == "short num 123456 stays; id <NUM> goes")
     assert(m(4L)._2 == "clean text only" &&
-      (m(4L)._3, m(4L)._4, m(4L)._5) == ((0L, 0L, 0L)))
+      (m(4L)._3, m(4L)._4, m(4L)._5, m(4L)._6, m(4L)._7) ==
+        ((0L, 0L, 0L, 0L, 0L)))
+    // dot-separated phone masks as PHONE (before the IP pass sees it);
+    // the IP masks as IP; nothing double-counts
+    assert(m(5L)._2 == "call <PHONE> or <PHONE> from <IP>")
+    assert((m(5L)._5, m(5L)._6, m(5L)._7) == ((2L, 1L, 0L)))
+    // near-misses stay: 3-group dotted version string, 2-digit middle
+    // phone group, space-separated quantity list
+    assert(m(6L)._2 ==
+      "v1.2.3 is not an ip; 555-12-4567 is not a phone; 100 1000 10000 stay")
   }
 }
