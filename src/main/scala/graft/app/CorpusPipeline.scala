@@ -29,14 +29,26 @@ object CorpusPipeline {
 
   /** Funnel knobs; defaults mirror the oracle queries' parameters.
     *
-    * `scrubPii` masks URLs/emails/long digit runs ([[Text.maskPii]])
-    * BEFORE normalization — normalize strips the '@'/':'/'/' characters
-    * the PII patterns key on, so the order is load-bearing. It also
-    * means two documents differing only in contact details dedup as the
-    * duplicates they are. `maxDupNgramRatio` adds the Gopher
-    * duplication gate ([[Text.repetitionStats]]) after the quality
-    * gate; docs too short to have n-grams (NULL ratio) pass. `None`
-    * skips the stage entirely — no dead scan. */
+    * `scrubPii` masks URLs/emails/phones/IPs/long digit runs
+    * ([[Text.maskPii]]) BEFORE normalization — normalize strips the
+    * '@'/':'/'/' characters the PII patterns key on, so the order is
+    * load-bearing. It also means two documents differing only in
+    * contact details dedup as the duplicates they are.
+    * `maxDupNgramRatio` adds the Gopher duplication gate
+    * ([[Text.repetitionStats]]) after the quality gate; docs too short
+    * to have n-grams (NULL ratio) pass. `None` skips the stage
+    * entirely — no dead scan.
+    *
+    * `evalDocs` adds benchmark DECONTAMINATION between near-dedup and
+    * chunking ([[Dedup.contamination]]): a (doc_id, text) frame of
+    * held-out eval documents; any surviving training doc sharing ≥
+    * `contaminationMinShared` distinct `shingleN`-gram shingles with
+    * any eval doc is dropped. The eval text passes the SAME scrub +
+    * normalize chain as the corpus, so shingles compare like with
+    * like. The stage sits after near-dedup so the posting join sees
+    * the already-deduped (smallest) corpus. `broadcastEval = false`
+    * is the large-eval-corpus escape hatch — see
+    * [[Dedup.contamination]]. */
   case class Config(
       keepLangs: Set[String] = Set("en"),
       minQuality: Double = 0.5,
@@ -48,11 +60,19 @@ object CorpusPipeline {
       chunkTokens: Int = 64,
       scrubPii: Boolean = false,
       maxDupNgramRatio: Option[Double] = None,
-      repetitionN: Int = 2)
+      repetitionN: Int = 2,
+      evalDocs: Option[DataFrame] = None,
+      contaminationMinShared: Long = 5L,
+      broadcastEval: Boolean = true)
 
   /** Final chunk table + the per-stage survivor counts (empty when
-    * `collectFunnel = false`). */
-  case class Result(chunks: DataFrame, funnel: Seq[(String, Long)])
+    * `collectFunnel = false`) + every frame [[curate]] left persisted
+    * for the chunk table's benefit: a long-lived session should
+    * `result.persisted.foreach(_.unpersist())` once the chunks are
+    * consumed ([[curateToParquet]] does this itself after the sink
+    * write). */
+  case class Result(chunks: DataFrame, funnel: Seq[(String, Long)],
+                    persisted: Seq[DataFrame] = Seq.empty)
 
   /** Run the funnel over a `documents`-shaped frame
     * (doc_id, text, lang, source).
@@ -72,17 +92,21 @@ object CorpusPipeline {
     *
     * The dedup-side persisted frames (survivors, shingles, exact — and
     * in lazy mode with the repetition gate on, the quality frame) stay
-    * cached so the returned `chunks` stays cheap to consume; a
-    * long-lived session running many corpora should prefer
-    * [[curateToParquet]], which unpersists them after the sink write. */
+    * cached so the returned `chunks` stays cheap to consume; they are
+    * handed back in `Result.persisted` — unpersist them when done, or
+    * prefer [[curateToParquet]], which unpersists after the sink
+    * write. */
   def curate(docs: DataFrame, cfg: Config = Config(),
-             collectFunnel: Boolean = true): Result =
-    curateFrames(docs, cfg, collectFunnel).result
+             collectFunnel: Boolean = true): Result = {
+    val f = curateFrames(docs, cfg, collectFunnel)
+    f.result.copy(persisted = f.persisted)
+  }
 
   /** Internal hand-off between [[curate]] and [[curateToParquet]]:
-    * the result plus the near-dedup survivor frame (persisted — the
-    * sink's source-tag join reads it instead of re-scanning the input)
-    * and every still-persisted frame for the caller to unpersist. */
+    * the result plus the final survivor frame (post near-dedup and,
+    * when configured, post decontamination; persisted — the sink's
+    * source-tag join reads it instead of re-scanning the input) and
+    * every still-persisted frame for the caller to unpersist. */
   private case class Frames(result: Result, survivors: DataFrame,
                             persisted: Seq[DataFrame])
 
@@ -181,7 +205,34 @@ object CorpusPipeline {
         cfg.minhashPerms, cfg.bands, cfg.rowsPerBand, cfg.jaccardTau)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val chunks = Text.chunk(near, "text", cfg.chunkTokens)
+    // optional benchmark decontamination: drop survivors sharing too
+    // many shingles with the eval set. Eval text passes the SAME
+    // scrub+normalize chain, and the training side reuses the cached
+    // `shingled` frame (restricted to near survivors) — no re-shingling.
+    // Persisted like its dedup siblings: the anti-join is read by the
+    // chunk build and the funnel count.
+    val decon = cfg.evalDocs match {
+      case None => near
+      case Some(eval) =>
+        val evalMasked =
+          if (!cfg.scrubPii) eval
+          else eval.select(col("doc_id"), Text.piiMasked(col("text")).as("text"))
+        val evalShingled = evalMasked
+          .select(col("doc_id"), Text.normalize(col("text")).as("text"))
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
+          .select(col("doc_id"),
+            Text.shingles(col("__t"), cfg.shingleN).as("shingles"))
+        val drops = Dedup.contamination(
+            shingled.join(near.select(col("doc_id")), Seq("doc_id")),
+            evalShingled, "doc_id",
+            cfg.contaminationMinShared, cfg.broadcastEval)
+          .select(col("doc_id")).distinct()
+        near.join(drops, Seq("doc_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    val chunks = Text.chunk(decon, "text", cfg.chunkTokens)
 
     val funnel =
       if (!collectFunnel) Seq.empty
@@ -192,12 +243,15 @@ object CorpusPipeline {
         val gateCounts =
           if (cfg.maxDupNgramRatio.isEmpty) Seq("quality" -> good.count())
           else Seq("quality" -> quality.count(), "repetition" -> good.count())
+        val scrubCounts =
+          if (cfg.evalDocs.isEmpty) Seq.empty
+          else Seq("decontaminated" -> decon.count())
         val counts = Seq(
           "input" -> docs.count(),
           "normalized_non_empty" -> normed.count(),
           "language" -> inLang.count()) ++ gateCounts ++ Seq(
           "exact_dedup" -> exact.count(),
-          "near_dedup" -> near.count(),
+          "near_dedup" -> near.count()) ++ scrubCounts ++ Seq(
           "chunks" -> chunks.count())
         if (good ne quality) good.unpersist()
         quality.unpersist()
@@ -210,7 +264,8 @@ object CorpusPipeline {
     val extraPersisted =
       if (!collectFunnel && cfg.maxDupNgramRatio.isDefined) Seq(quality)
       else Seq.empty
-    Frames(Result(chunks, funnel), near,
-      Seq(near, shingled, exact) ++ extraPersisted)
+    val deconPersisted = if (decon ne near) Seq(decon) else Seq.empty
+    Frames(Result(chunks, funnel), decon,
+      deconPersisted ++ Seq(near, shingled, exact) ++ extraPersisted)
   }
 }

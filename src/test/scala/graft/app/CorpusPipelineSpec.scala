@@ -88,6 +88,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(doc3.contains("email") && doc3.contains("url"), doc3)
   }
 
+  test("curate: eval-scrub stage drops a planted benchmark leak, funnel stays monotone") {
+    import spark.implicits._
+    // doc 2 embeds an eval passage verbatim (≥ 5 shared 3-gram
+    // shingles); doc 1 is distinct from both eval docs
+    val evalPassage = "the capital of france is paris and the river " +
+      "seine flows through the old city"
+    val clean = "a quick brown fox jumps over the lazy dog and then " +
+      "the other fox follows along the river bank today"
+    val leaked = "intro words first " + evalPassage + " closing words here " +
+      "and the of to a in is it the end"
+    val corpus = Seq(
+      (1L, clean, "en", "s0"),
+      (2L, leaked, "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val eval = Seq(
+      (100L, evalPassage),
+      (101L, "an unrelated benchmark question about distant galaxies")
+    ).toDF("doc_id", "text")
+    val cfg = CorpusPipeline.Config(minQuality = 0.3,
+      evalDocs = Some(eval), contaminationMinShared = 5L)
+    val r = CorpusPipeline.curate(corpus, cfg)
+    val f = r.funnel.toMap
+    // the funnel gained the decontamination stage and it dropped
+    // exactly the leaked doc; monotonicity holds through it
+    assert(f("near_dedup") == 2 && f("decontaminated") == 1,
+      s"funnel: ${r.funnel}")
+    assert(f("decontaminated") <= f("near_dedup"))
+    val survivors = r.chunks.select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L))
+    // both broadcast paths agree
+    val rs = CorpusPipeline.curate(corpus, cfg.copy(broadcastEval = false))
+    assert(rs.funnel == r.funnel)
+    // the persisted handles are real: every frame is cached now, and
+    // unpersisting through the handle releases it
+    assert(r.persisted.nonEmpty &&
+      r.persisted.forall(_.storageLevel.useMemory))
+    r.persisted.foreach(_.unpersist(blocking = true))
+    assert(r.persisted.forall(_.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE))
+    rs.persisted.foreach(_.unpersist())
+  }
+
   test("curateToParquet: source-partitioned sink round-trips the chunk rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     val r = CorpusPipeline.curateToParquet(docs, out)
