@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.app.CorpusPipeline
 import graft.ops._
 import graft.ml.Prod2Vec
 import graft.streaming.StreamOps
@@ -136,6 +137,15 @@ object SparkEntry {
   val RepetitionNs = Seq(2, 3, 4)
   /** q57 conversion-funnel stage order. */
   val FunnelStages = Seq("signup", "click", "purchase")
+  /** q62 end-to-end curation Config, pinned so the Spark funnel and the
+    * chained DuckDB oracle can never drift: quality cut at the score
+    * median-ish 0.5, Gopher bigram gate at 0.1 (the sf0.01 corpus's
+    * ~p98 — the gate demonstrably drops docs), languages {en}, chunk
+    * budget 64, and the shared MinHash/LSH constants for near-dedup. */
+  val CurateMinQuality = 0.5
+  val CurateMaxDupRatio = 0.1
+  val CurateChunkTokens = 64
+  val CurateLangs = Set("en")
   /** q60 retention cohort period: daily — the fixture's one-week event
     * span yields a full 8×8 retention triangle. */
   val RetentionPeriodMs = 86400000L
@@ -190,33 +200,44 @@ object SparkEntry {
       .select(col("doc_id"), Text.tokens(col("text")).as("__t"))
       .select(col("doc_id"), Text.shingles(col("__t"), ShingleN).as("shingles"))
 
-  /** DuckDB CTEs mirroring [[shingled]]: tokens → distinct shingles. */
-  private val shingleSqlCte: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  /** DuckDB CTE bodies (no WITH prefix) mirroring [[shingled]] over an
+    * arbitrary (doc_id, text) source relation: tokens → distinct
+    * shingles. Parametrized so q62 can run the identical chain over the
+    * curation funnel's exact-dedup survivors instead of raw
+    * `documents`. */
+  private def shingleCtesFrom(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
        |),
        |sh AS (
        |  SELECT doc_id, ${Text.shinglesSql("t", ShingleN)} AS shingles FROM toks
        |)""".stripMargin
 
-  /** [[shingleSqlCte]] + MinHash signatures. */
-  private val minhashSqlCte: String = {
+  /** DuckDB CTEs mirroring [[shingled]]: tokens → distinct shingles. */
+  private val shingleSqlCte: String = s"WITH ${shingleCtesFrom("documents")}"
+
+  /** [[shingleCtesFrom]] + MinHash signatures (no WITH prefix). */
+  private def minhashCtesFrom(src: String): String = {
     val sigExpr = (0 until NumPerms).map(p =>
       s"list_min(list_transform(shingles, s -> ${Portable.sqlHash("s", p.toString)}))")
       .mkString(", ")
-    s"""$shingleSqlCte,
+    s"""${shingleCtesFrom(src)},
        |sig AS (
        |  SELECT doc_id, shingles, [$sigExpr] AS sig
        |  FROM sh WHERE len(shingles) >= 1
        |)""".stripMargin
   }
 
+  /** [[shingleSqlCte]] + MinHash signatures. */
+  private val minhashSqlCte: String = s"WITH ${minhashCtesFrom("documents")}"
+
   /** DuckDB CTE chain for the MinHash→LSH→Jaccard near-dup pipeline
-    * (extends [[minhashSqlCte]] with bands → candidate pairs → verified
-    * jaccard) — shared by q20 (pair report) and q43 (dedup apply). */
-  private val lshJacSqlCte: String = {
+    * over an arbitrary (doc_id, text) source (no WITH prefix; extends
+    * [[minhashCtesFrom]] with bands → candidate pairs → verified
+    * jaccard). */
+  private def lshJacCtesFrom(src: String): String = {
     val bandKeys = (1 to LshRows).map(r => s"sig[$LshRows*b + $r]") :+ "b"
-    s"""$minhashSqlCte,
+    s"""${minhashCtesFrom(src)},
        |bands AS (
        |  SELECT doc_id, shingles, b, ${Portable.sqlHash(bandKeys: _*)} AS bh
        |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS b)
@@ -234,6 +255,10 @@ object SparkEntry {
        |            JOIN sh sb ON cand.id_b = sb.doc_id
        |)""".stripMargin
   }
+
+  /** The [[lshJacCtesFrom]] chain over `documents` — shared by q20
+    * (pair report), q43 (dedup apply), q51/q53 (clustering). */
+  private val lshJacSqlCte: String = s"WITH ${lshJacCtesFrom("documents")}"
 
   /** Gaps-and-islands sessionization oracle — shared by q30 (direct,
     * per-user window) and q52 (two-phase bucketed build): both engine
@@ -687,6 +712,26 @@ object SparkEntry {
     "q58_repetition" -> ((s, dir) => {
       Text.repetitionStats(t(s, dir, "documents"), "text", RepetitionN)
         .orderBy("doc_id")
+    }),
+
+    // End-to-end corpus curation under the oracle: the COMPOSED funnel
+    // (normalize → language gate → quality gate → Gopher repetition
+    // gate → exact dedup → clustered near-dedup → 64-token chunking)
+    // with the pinned q62 Config, hash-matched on the final chunk
+    // table — the integration check no per-stage oracle can give.
+    // collectFunnel=false keeps the whole thing one lazy pipeline; the
+    // frames curate persists internally (survivors/shingles — all
+    // survivor-sized) stay cached for the query's lifetime.
+    "q62_corpus_curate" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN)
+      CorpusPipeline.curate(t(s, dir, "documents"), cfg,
+        collectFunnel = false).chunks
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // Multi-n repetition stats: the full Gopher gate set n in {2,3,4}
@@ -1353,6 +1398,97 @@ object SparkEntry {
          |  round(p.topc / p.total::DOUBLE, 9) AS top_ngram_ratio
          |FROM documents d LEFT JOIN p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q62: the WHOLE curation funnel as one CTE chain — each stage is
+    // the already-proven per-stage oracle form (normalize q46, langid
+    // q26, quality q25, repetition q58, exact dedup q18, clustered
+    // near-dedup q53's recursive reach, chunk q47), composed over the
+    // previous stage's survivors exactly as CorpusPipeline sequences
+    // the operators. Constants interpolate from the same vals as the
+    // Spark Config, so the two sides cannot drift.
+    "q62_corpus_curate" -> {
+      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+      val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+      val c = CurateChunkTokens
+      s"""WITH RECURSIVE
+         |norm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |         ' +', ' ', 'g')) AS text
+         |  FROM documents
+         |),
+         |nz AS (SELECT doc_id, text FROM norm WHERE length(text) > 0),
+         |profile(plang, w) AS (VALUES ${Text.langProfileSql}),
+         |ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM nz),
+         |lhits AS (
+         |  SELECT t.doc_id, p.plang, count(*) AS n
+         |  FROM ltok t JOIN profile p ON t.w = p.w GROUP BY t.doc_id, p.plang
+         |),
+         |lbest AS (
+         |  SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n DESC, plang ASC) AS r
+         |    FROM lhits
+         |  ) WHERE r = 1
+         |),
+         |lkeep AS (
+         |  SELECT nz.doc_id, nz.text FROM nz JOIN lbest b USING (doc_id)
+         |  WHERE b.plang IN ($langList)
+         |),
+         |qm AS (
+         |  SELECT doc_id, text,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM lkeep
+         |),
+         |qkeep AS (
+         |  SELECT doc_id, text FROM qm
+         |  WHERE round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    >= $CurateMinQuality
+         |),
+         |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qkeep),
+         |rg AS (SELECT doc_id,
+         |         unnest(${Text.shinglesAllSql("t", RepetitionN)}) AS g
+         |       FROM rtoks),
+         |rc AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY doc_id, g),
+         |rp AS (SELECT doc_id, sum(c)::BIGINT AS total,
+         |              count(*)::BIGINT AS n_distinct
+         |       FROM rc GROUP BY doc_id),
+         |gkeep AS (
+         |  SELECT q.doc_id, q.text FROM qkeep q LEFT JOIN rp USING (doc_id)
+         |  WHERE rp.total IS NULL
+         |     OR round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9)
+         |        <= $CurateMaxDupRatio
+         |),
+         |ex AS (
+         |  SELECT g.doc_id, g.text FROM gkeep g
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM gkeep GROUP BY md5(text)) k
+         |    USING (doc_id)
+         |),
+         |${lshJacCtesFrom("ex")},
+         |$nearDupReachCte,
+         |drops AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
+         |surv AS (
+         |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN drops k ON e.doc_id = k.id
+         |  WHERE k.id IS NULL
+         |),
+         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    array_to_string(t[i*$c+1 : i*$c+$c], ' ') AS chunk,
+         |    len(t[i*$c+1 : i*$c+$c])::BIGINT AS n_tokens
+         |  FROM ctoks, LATERAL (SELECT unnest(range(0, (len(t) + ${c - 1}) // $c)) AS i) _
+         |)
+         |SELECT doc_id, chunk_idx, n_tokens, chunk FROM ch
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
 
     // q63: per-n twin of q58 — one gram CTE per n, unioned; the (doc, n)
     // spine cross-joins the n list so gram-less (doc, n) cells keep NULL
