@@ -16,11 +16,20 @@ object Bench {
     // Untimed warmup: the first query in a fresh JVM otherwise absorbs
     // 5-8s of classloading/codegen/parquet-footer setup and its number
     // becomes uninterpretable. q1 touches the scan + shuffle + agg
-    // machinery; failures here surface in the timed run instead.
+    // machinery; a 4-row Word2Vec fit touches the MLlib trainer's
+    // classload/codegen path (q37's pass-1 number was otherwise ~2x its
+    // steady state — measuring initialization, not the query). Failures
+    // here surface in the timed run instead.
     try {
       val w = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       w.select(xxhash64(w.columns.toIndexedSeq.map(col): _*).as("__h"))
         .agg(bit_xor(col("__h"))).collect()
+      import spark.implicits._
+      val toy = Seq(Seq("a", "b"), Seq("a", "c"), Seq("b", "c"), Seq("a", "b"))
+        .toDF("tokens")
+      graft.ml.Prod2Vec.train(toy,
+        graft.ml.Prod2Vec.Params(vectorSize = 4, minCount = 1,
+          numPartitions = 1)).getVectors.count()
     } catch { case _: Throwable => () }
     var errors = Map.empty[String, String]
     // sorted order: deterministic run sequence run-to-run and round-to-

@@ -1023,10 +1023,12 @@ object SparkEntry {
     // M1-M4: MLlib Word2Vec trained on baskets; top-5 cosine neighbors of
     // 3 probe products from the extracted embedding table. Stochastic
     // training — rows-only check (no oracle). Basket cap bounds bench
-    // cost at any SF; the library path has no cap.
+    // cost at any SF (10k baskets: enough for a stable vocab, small
+    // enough that training cost stays steady run-to-run); the library
+    // path has no cap.
     "q37_w2v_synonyms" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val basketDf = Prod2Vec.baskets(li).limit(20000)
+      val basketDf = Prod2Vec.baskets(li).limit(10000)
       val model = Prod2Vec.train(basketDf, Prod2Vec.Params())
       val probes = Prod2Vec.embeddings(model)
         .orderBy("vec_id").limit(3)
