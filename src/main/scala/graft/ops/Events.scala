@@ -330,15 +330,24 @@ object Events {
     * each later stage joins the previous stage's reach time and takes
     * the min ts after it — k type-pruned aggregates, each shuffling
     * only that stage's events keyed on user. Each stage's reach frame
-    * passes a [[Barrier]] (eager — the funnel materializes at the
-    * call): stage k reads stage k−1's MATERIALIZED (user, reach-time)
-    * rows instead of re-deriving the whole prefix chain, so the events
-    * table is scanned exactly once per stage — k scans total, not the
-    * O(k²) a lazy union of per-stage counts would pay (EventsSpec pins
-    * the scan count with an accumulator-instrumented source). The
-    * per-stage counts then union into one frame whose branches read
-    * only the checkpointed reach frames. No per-user state machine, no
-    * event buffering; parallelism is user-keyed at every step.
+    * passes a [[Barrier]]: stage k reads stage k−1's MATERIALIZED
+    * (user, reach-time) rows instead of re-deriving the whole prefix
+    * chain, so the events table is scanned exactly once per stage — k
+    * scans total, not the O(k²) a lazy union of per-stage counts would
+    * pay (EventsSpec pins the scan count with an accumulator-
+    * instrumented source). The per-stage counts then union into one
+    * frame whose branches read only the checkpointed reach frames. No
+    * per-user state machine, no event buffering; parallelism is
+    * user-keyed at every step.
+    *
+    * EAGERNESS — the one deviation from the library's lazy-everywhere
+    * convention (see README's API conventions): with `eager = true`
+    * (default) the k stage materializations run AT THE CALL — k Spark
+    * jobs before any action on the result, and with a checkpoint dir
+    * set, k reliable checkpoint writes. Callers composing a funnel
+    * frame they may never evaluate should pass `eager = false`: fully
+    * lazy, identical rows (EventsSpec pins equality), at the price of
+    * the O(k²) prefix re-derivation when the union finally runs.
     *
     * Skew caveat (same as every user-keyed sibling): the per-stage
     * join and min-agg key on user_id, so one pathologically hot user's
@@ -346,19 +355,22 @@ object Events {
     * the JOIN against a hot user's events ever dominates, pre-aggregate
     * events to (user, type, min ts-after-candidates) or salt the key —
     * see [[Pairs.saltedCounts]] for the two-stage salted shape. */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, stages: Seq[String],
+             eager: Boolean = true): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
     require(stages.distinct.size == stages.size,
       s"stages must be distinct: ${stages.mkString(",")}")
+    def barrier(df: DataFrame): DataFrame =
+      if (eager) Barrier.cut(df) else df
     def stageRow(idx: Long, st: String, reach: DataFrame): DataFrame =
       reach.agg(count(lit(1)).as("n_users"))
         .select(lit(idx).as("stage_idx"), lit(st).as("stage"),
           col("n_users"))
-    var reach = Barrier.cut(events.filter(col("event_type") === stages.head)
+    var reach = barrier(events.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
     var rows = stageRow(1L, stages.head, reach)
     for ((st, i) <- stages.tail.zipWithIndex) {
-      reach = Barrier.cut(events.filter(col("event_type") === st)
+      reach = barrier(events.filter(col("event_type") === st)
         .join(reach, Seq("user_id"))
         .filter(col("ts") > col("__rt"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
