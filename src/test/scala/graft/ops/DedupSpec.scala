@@ -111,6 +111,31 @@ class DedupSpec extends SparkSpec {
     } finally org.apache.spark.GraftCheckpointBridge.set(sc, None)
   }
 
+  test("Barrier.cut reliable mode materializes the source exactly ONCE") {
+    // checkpoint(eager) runs the eager count job and then a SEPARATE
+    // checkpoint-write job; without the persist-before-checkpoint fix
+    // the write job recomputed the whole lineage (accumulator = 2n).
+    // The accumulator counts source-row reads across all jobs.
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-once")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val acc = sc.longAccumulator("barrier-source-rows")
+      val base = (1L to 100L).map(i => (i, i * 2)).toDF("k", "v").collect().toSeq
+      val src = spark.createDataFrame(
+        sc.parallelize(base, 4).map { r => acc.add(1); r },
+        new org.apache.spark.sql.types.StructType()
+          .add("k", "long").add("v", "long"))
+      val cut = Barrier.cut(src.filter($"k" > 0L))
+      assert(acc.value == 100L,
+        s"source rows read ${acc.value} times for 100 rows — " +
+          "the checkpoint write recomputed the lineage")
+      // the barrier output is intact and reads the checkpoint store
+      assert(cut.count() == 100L)
+      assert(acc.value == 100L, "post-barrier reads hit the source again")
+    } finally org.apache.spark.GraftCheckpointBridge.set(sc, None)
+  }
+
   test("nearDupClusters vs greedy: clustering keeps one rep per component") {
     // edges (2,3) and (1,3): greedy dedupNear-style drops only the id_b
     // side {3}, keeping BOTH 1 and 2 of the same transitive cluster —
