@@ -154,6 +154,17 @@ object SparkEntry {
     * distinct shingles. */
   val EvalSetDocs = 20L
   val ContaminationMinShared = 5L
+  /** q64 domain-mixing rates: even-indexed sources sampled at 0.9,
+    * odd at 0.3 — a deliberately non-uniform mixture over the
+    * fixture's 20 sources. */
+  val MixRates: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.9 else 0.3))
+  /** q65/q66 per-source token budget (sf0.01 carries ~1.4k whitespace
+    * tokens per source, so 800 keeps a strict subset) and the bucket
+    * count for the bucketed variant. */
+  val TokenBudgetPerSource = 800L
+  val TokenBudgetBuckets = 8
+
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
   /** SRP planes for embedding near-dup / ANN bucketing. */
@@ -379,6 +390,26 @@ object SparkEntry {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |)""".stripMargin
+
+  /** Token-budget oracle — shared by q65 (direct window form) and q66
+    * (two-phase bucketed build): both engine forms compute the same
+    * prefix by construction (SamplingSpec proves the law). */
+  private val tokenBudgetOracleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |    ${Portable.sqlHash("doc_id", "'budget'")} AS h
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM d
+       |)
+       |SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
+       |FROM c WHERE cum_tokens <= $TokenBudgetPerSource
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB fragment: sequential-fold cosine between list columns a, b —
     * same operand order as [[Similarity.cosine]]. */
@@ -711,6 +742,40 @@ object SparkEntry {
     // concentration).
     "q58_repetition" -> ((s, dir) => {
       Text.repetitionStats(t(s, dir, "documents"), "text", RepetitionN)
+        .orderBy("doc_id")
+    }),
+
+    // Domain-mixing sample: per-source Bernoulli rates over a keyed
+    // uniform draw — the data-mixture step; broadcast rate spec, no
+    // corpus shuffle.
+    "q64_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val rates = MixRates.toDF("source", "rate")
+      Sampling.domainMix(t(s, dir, "documents"), "doc_id", "source",
+        rates, "mix")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source token budget: hash-priority prefix under a running
+    // token total — the exact-cap twin of q64's expected-rate mixing.
+    "q65_token_budget" -> ((s, dir) => {
+      Sampling.tokenBudget(t(s, dir, "documents"), "doc_id", "source",
+        "text", TokenBudgetPerSource, "budget")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Same cap via the bucketed two-phase build — identical result
+    // (same oracle SQL), per-task sort bounded by bucket, parallelism
+    // ∝ source × bucket (the q65 scale lever, like q50/q52).
+    "q66_token_budget_bucketed" -> ((s, dir) => {
+      Sampling.tokenBudgetBucketed(t(s, dir, "documents"), "doc_id",
+        "source", "text", TokenBudgetPerSource, "budget",
+        TokenBudgetBuckets)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -1400,6 +1465,23 @@ object SparkEntry {
          |  round(p.topc / p.total::DOUBLE, 9) AS top_ngram_ratio
          |FROM documents d LEFT JOIN p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q64: rate spec as a VALUES list built from the same MixRates
+    // constant as the Spark side; same keyed uniform draw.
+    "q64_domain_mix" -> {
+      val vals = MixRates.map { case (s0, r) => s"('$s0', $r)" }.mkString(", ")
+      s"""WITH rates(source, rate) AS (VALUES $vals)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN rates r USING (source)
+         |WHERE ${Portable.sqlUnif("d.doc_id", "'mix'")} < r.rate
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // q65/q66: hash-priority running token total per source; the
+    // bucketed form is result-identical by construction so it shares
+    // the oracle (the q50/q52 pattern).
+    "q65_token_budget" -> tokenBudgetOracleSql,
+    "q66_token_budget_bucketed" -> tokenBudgetOracleSql,
 
     // q62: the WHOLE curation funnel as one CTE chain — each stage is
     // the already-proven per-stage oracle form (normalize q46, langid

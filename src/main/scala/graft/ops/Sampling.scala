@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-sampling operators for training-data pipelines: domain
+  * mixing (per-source Bernoulli rates) and per-source token budgets —
+  * the "data mixture" step that turns a curated corpus into the
+  * weighted blend a pre-training run actually consumes.
+  *
+  * Both draw every decision from [[Portable]] keyed hashing, not RNG
+  * state: which documents survive is a pure function of (id, salt), so
+  * a mixture is bit-reproducible across runs, partitionings and
+  * engines (DuckDB oracles hash-match), and re-running with a new salt
+  * yields an independent draw. Generalizes the reference's
+  * deterministic subsampling table (`data_prep.py:150-151` → keyed
+  * hash draws, SURVEY.md §2.4 A8) from token frequency to corpus
+  * composition.
+  */
+object Sampling {
+
+  /** Domain-mixing sample: keep a row iff its keyed uniform draw
+    * `unif(idCol, salt)` falls under its source's rate. `rates` is a
+    * (sourceCol, rate) frame — the mixture spec; sources absent from
+    * it are dropped (rate 0), which makes the mixture EXPLICIT: a new
+    * upstream source cannot silently leak into the blend.
+    *
+    * Scale shape: the rates table is mixture-spec-sized, so it
+    * broadcasts; the corpus streams through a map-side hash join and a
+    * scalar filter — no shuffle, no corpus movement. Expected kept
+    * tokens per source = rate × source volume; for an exact cap use
+    * [[tokenBudget]]. */
+  def domainMix(df: DataFrame, idCol: String, sourceCol: String,
+                rates: DataFrame, salt: String): DataFrame = {
+    val outCols = df.columns.toSeq.map(col)
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(Portable.unif(col(idCol), lit(salt)) < col("rate"))
+      .select(outCols: _*)
+  }
+
+  /** Per-source token budget: documents are ranked by an independent
+    * keyed-hash draw (id tiebreak — a deterministic uniform shuffle,
+    * so the kept set is an unbiased sample of the source) and kept
+    * while the running token total stays within `budget`. Returns the
+    * input columns plus (n_tokens, cum_tokens) — the audit trail of
+    * the cap. The cap is a PREFIX property: a document is kept iff it
+    * fits entirely (no mid-document truncation; chunk afterwards with
+    * [[Text.chunk]] if sub-document granularity is wanted).
+    *
+    * Scale caveat (the sessionize-shaped bound): one window partition
+    * per source — a source's whole document list sorts on one task.
+    * Fine for mixture-sized source counts with bounded per-source
+    * volume; for a 100 TB source use [[tokenBudgetBucketed]] — same
+    * results for ANY bucket count (law-spec'd), per-task work bounded
+    * by bucket size. */
+  def tokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                  textCol: String, budget: Long, salt: String): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Portable.seededHash(col(idCol), lit(salt)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(Text.tokens(col(textCol))).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** [[tokenBudget]] with the per-source sort bound removed — the
+    * [[Events.asofJoinBucketed]] trick applied to a running total.
+    * Documents bucket by the TOP bits of the priority hash (monotone
+    * in the hash, so bucket order IS priority order and hash ties
+    * never straddle buckets; `buckets` must be a power of two for the
+    * exact shift):
+    *
+    *  1. per (source, bucket) token sums — a summary table of
+    *     |sources| × buckets rows regardless of corpus size;
+    *  2. carry-in per bucket = running total of strictly-earlier
+    *     buckets — a window over the SUMMARY;
+    *  3. per (source, bucket) window resolves the cap exactly, offset
+    *     by the carry — each task sorts one bucket's rows only.
+    *
+    * Result-identical to [[tokenBudget]] for any bucket count
+    * (SamplingSpec proves the law); parallelism ∝ source × bucket. */
+  def tokenBudgetBucketed(df: DataFrame, idCol: String, sourceCol: String,
+                          textCol: String, budget: Long, salt: String,
+                          buckets: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
+    val withB = df
+      .withColumn("__h", Portable.seededHash(col(idCol), lit(salt)))
+      .withColumn("__b", shiftright(col("__h"), shift))
+      .withColumn("n_tokens", size(Text.tokens(col(textCol))).cast("long"))
+    val perBucket = withB.groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+    val cw = Window.partitionBy(col(sourceCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = perBucket
+      .withColumn("__carry", sum(col("__bt")).over(cw) - col("__bt"))
+      .select(col(sourceCol), col("__b"), col("__carry"))
+    val w = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(carry, Seq(sourceCol, "__b"))
+      .withColumn("cum_tokens", col("__carry") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__h", "__b", "__carry")
+  }
+}

@@ -182,6 +182,23 @@ class PlanSpec extends SparkSpec {
     assert(splits == 1, s"split() appears $splits times:\n$p")
   }
 
+  test("q64: domain mix broadcasts the rate spec, corpus never shuffles for it") {
+    val p = plan("q64_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q66: bucketed token budget sorts raw docs by (source, priority-bucket)") {
+    // the within-bucket window's exchange must carry the bucket — a hot
+    // source's document list splits across tasks instead of sorting in
+    // one (the q65 caveat)
+    val p = plan("q66_token_budget_bucketed")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("source")
+        && l.contains("__b")), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a b c d e", "s0"), (2L, "f g h", "s0"), (3L, "i j k l", "s0"),
+    (4L, "m n", "s0"), (5L, "o p q r s t", "s1"), (6L, "u v w", "s1"),
+    (7L, "x y", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("domainMix: rate 1 keeps all, rate 0 keeps none, absent source drops") {
+    val rates = Seq(("s0", 1.0), ("s1", 0.0)).toDF("source", "rate")
+    val kept = Sampling.domainMix(corpus, "doc_id", "source", rates, "t")
+      .select("doc_id").as[Long].collect().toSet
+    // s0 fully kept, s1 fully dropped, s2 absent from the spec -> dropped
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("domainMix: deterministic, salt-sensitive, rate-monotone") {
+    val half = Seq(("s0", 0.5), ("s1", 0.5), ("s2", 0.5)).toDF("source", "rate")
+    val once = Sampling.domainMix(corpus, "doc_id", "source", half, "a")
+      .select("doc_id").as[Long].collect().toSet
+    val again = Sampling.domainMix(corpus, "doc_id", "source", half, "a")
+      .select("doc_id").as[Long].collect().toSet
+    assert(once == again) // pure function of (id, salt)
+    // raising every rate can only ADD documents (same draw, higher bar)
+    val more = Seq(("s0", 0.9), ("s1", 0.9), ("s2", 0.9)).toDF("source", "rate")
+    val kept9 = Sampling.domainMix(corpus, "doc_id", "source", more, "a")
+      .select("doc_id").as[Long].collect().toSet
+    assert(once.subsetOf(kept9))
+  }
+
+  test("tokenBudget: prefix property, cap respected, deterministic order") {
+    val r = Sampling.tokenBudget(corpus, "doc_id", "source", "text", 8L, "t")
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    // every kept row is within budget
+    assert(r.forall(_._4 <= 8L))
+    // per source, kept docs form a prefix of the hash order: cum is the
+    // running sum of kept tokens exactly
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).scanLeft(0L)(_ + _).tail
+        .sameElements(sorted.map(_._4)))
+    }
+    // a doc bigger than the whole budget can never appear
+    val tiny = Sampling.tokenBudget(corpus, "doc_id", "source", "text", 1L, "t")
+      .select("n_tokens").as[Long].collect()
+    assert(tiny.forall(_ <= 1L))
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudget(corpus, "doc_id", "source", "text", 0L, "t")
+    }
+  }
+
+  test("tokenBudgetBucketed law: identical rows to tokenBudget for any bucket count") {
+    val direct = Sampling.tokenBudget(corpus, "doc_id", "source", "text", 8L, "t")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    for (b <- Seq(1, 2, 8, 64)) {
+      val bucketed = Sampling.tokenBudgetBucketed(
+        corpus, "doc_id", "source", "text", 8L, "t", b)
+        .select("doc_id", "n_tokens", "cum_tokens")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bucketed == direct, s"buckets=$b")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetBucketed(corpus, "doc_id", "source", "text", 8L, "t", 3)
+    }
+  }
+
+  test("tokenBudgetBucketed: law holds on a larger random-ish corpus") {
+    // 200 docs, 5 sources, varying lengths — exercises bucket boundaries
+    val big = (1L to 200L).map { i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), s"s${i % 5}")
+    }.toDF("doc_id", "text", "source")
+    val direct = Sampling.tokenBudget(big, "doc_id", "source", "text", 60L, "z")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    val bucketed = Sampling.tokenBudgetBucketed(
+      big, "doc_id", "source", "text", 60L, "z", 16)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toSet
+    assert(bucketed == direct)
+    assert(direct.nonEmpty)
+  }
+}
