@@ -18,12 +18,21 @@ import graft.ops.{Dedup, Sources, Text}
   * Every stage is one of the library's spec'd/oracle'd operators; this
   * object only sequences them, so the whole funnel inherits their scale
   * posture: map-only gates, hash-keyed dedup (never all-pairs), in-
-  * partition chunk fan-out. Three frames are persisted because they are
-  * read more than once: the exact-dedup survivors (feed shingling,
-  * chunking and a funnel count), the shingle arrays (read three times
-  * inside the near-dedup — signatures plus both Jaccard-verify sides;
-  * re-deriving the interpreted shingle HOF per read is the measured
-  * 2-4x trap), and the near-dedup survivors (chunking + count).
+  * partition chunk fan-out. The heavily-multi-read frames persist in
+  * BOTH modes: `normed` (every downstream branch hangs off it, and
+  * Spark plans are trees, not DAGs — unpersisted, the lazy chunk plan
+  * multiplied to ~120 source scans; one with the persist,
+  * accumulator-spec-pinned), `quality` (repetition gate + exact dedup
+  * + count each read it), the exact-dedup survivors (shingling,
+  * chunking, count), the shingle arrays (read three times inside the
+  * near-dedup — re-deriving the interpreted shingle HOF per read is
+  * the measured 2-4x trap), and the near-dedup survivors (chunking +
+  * count). The cheap single-join frames between them (`inLang`,
+  * `good`) persist only for the funnel counts' duration — caching
+  * them in the lazy path measured ~40% of q62's steady-state cost
+  * for a bounded ×2 recompute saving. Funnel mode unpersists the
+  * gates after the counts; everything still cached comes back via
+  * `Result.persisted`.
   */
 object CorpusPipeline {
 
@@ -87,8 +96,11 @@ object CorpusPipeline {
     * the source is scanned exactly TWICE (input count + the normalize
     * materialization), independent of funnel depth
     * (CorpusPipelineSpec pins the bound with an accumulator-
-    * instrumented source). Pass `false` for a pure single-action
-    * pipeline.
+    * instrumented source). Pass `false` to skip the per-stage counts:
+    * the source is then scanned exactly ONCE in total (the persists
+    * are registered either way — spec-pinned). Note the near-dedup
+    * fixpoint still runs AT THE CALL in both modes ([[graft.ops.Barrier]]
+    * is eager; see README's API conventions).
     *
     * The dedup-side persisted frames (survivors, shingles, exact — and
     * in lazy mode with the repetition gate on, the quality frame) stay
@@ -139,22 +151,26 @@ object CorpusPipeline {
 
     // normalize next so the gates, dedup shingles and chunks all see
     // canonical text; normalization can empty a document (all symbols).
-    // With collectFunnel this and the gate frames persist for the
-    // funnel's duration (unpersisted below): languageId alone reads its
-    // input three times (hit counting, tag column, outer join), so an
-    // unpersisted normed would re-scan the source per reference.
-    val normed0 = scrubbed.select(col("doc_id"),
+    // ALWAYS persist-registered (persist is metadata; in lazy mode
+    // nothing materializes before the fixpoint construction): Spark
+    // plans are trees, not DAGs, and every downstream branch hangs off
+    // this frame — unpersisted, the lazy chunk plan multiplied to ~120
+    // SOURCE SCANS (measured at sf0.01; one scan with the persist,
+    // accumulator-spec-pinned). Same for `quality` below, which the
+    // repetition gate and the exact dedup both read twice. The cheap
+    // single-join gate frames between them (`inLang`, `good`) stay
+    // UNpersisted outside funnel mode: their recomputation is a
+    // bounded ×2 over a cached parent, and the cache boundary itself
+    // measured ~40% of q62's steady-state cost when they were cached.
+    val normed = scrubbed.select(col("doc_id"),
         Text.normalize(col("text")).as("text"), col("lang"), col("source"))
       .filter(length(col("text")) > 0)
-    val normed =
-      if (collectFunnel) normed0.persist(StorageLevel.MEMORY_AND_DISK)
-      else normed0
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // language gate on the n-gram-profile PREDICTION, not the source-
     // provided tag (at corpus scale the tag is missing or wrong).
-    // With collectFunnel the gate frames persist for the funnel's
-    // duration (unpersisted below): downstream counts and the dedup
-    // build then read the cache instead of re-running the gate chains.
+    // With collectFunnel the frame persists for the funnel's duration
+    // (unpersisted below) so the counts run the langid chain once.
     val inLang0 = normed.join(
       Text.languageId(normed, "text")
         .filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
@@ -164,18 +180,15 @@ object CorpusPipeline {
       if (collectFunnel) inLang0.persist(StorageLevel.MEMORY_AND_DISK)
       else inLang0
 
-    // quality gate: length/alpha/stopword/digit composite. Persisted
-    // when the funnel counts it — or when the repetition gate below
-    // reads it twice (join side + stats side)
-    val quality0 = inLang.join(
+    // quality gate: length/alpha/stopword/digit composite (read by its
+    // own join + the repetition gate + the exact dedup + the funnel
+    // count — always persisted, see the normed comment)
+    val quality = inLang.join(
       Text.qualityScore(inLang, "text")
         .filter(col("quality_score") >= cfg.minQuality)
         .select("doc_id"),
       Seq("doc_id"))
-    val quality =
-      if (collectFunnel || cfg.maxDupNgramRatio.isDefined)
-        quality0.persist(StorageLevel.MEMORY_AND_DISK)
-      else quality0
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // optional Gopher duplication gate: drop degenerate-repetition docs
     // (boilerplate/spam) the quality composite cannot see. NULL ratios
@@ -259,11 +272,11 @@ object CorpusPipeline {
         normed.unpersist()
         counts
       }
-    // lazy mode with the repetition gate keeps `quality` cached (the
-    // gate reads it twice) — hand it to the caller for unpersist
+    // lazy mode keeps normed + quality cached (the always-persisted
+    // multi-read frames) — hand them to the caller alongside the
+    // dedup-side frames for unpersist after consumption
     val extraPersisted =
-      if (!collectFunnel && cfg.maxDupNgramRatio.isDefined) Seq(quality)
-      else Seq.empty
+      if (collectFunnel) Seq.empty else Seq(quality, normed)
     val deconPersisted = if (decon ne near) Seq(decon) else Seq.empty
     Frames(Result(chunks, funnel), decon,
       deconPersisted ++ Seq(near, shingled, exact) ++ extraPersisted)

@@ -53,6 +53,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(r.funnel == CorpusPipeline.curate(docs).funnel)
   }
 
+  test("curate lazy mode: source scanned exactly once end-to-end") {
+    // Spark plans are trees, not DAGs: without the gate persists the
+    // lazy chunk plan multiplied to ~120 source-scan references. With
+    // them, construction (the eager near-dedup fixpoint) fills the
+    // caches off ONE source scan and the chunk action reads caches.
+    val base = docs.collect().toSeq
+    val n = base.length
+    val acc = spark.sparkContext.longAccumulator("lazy-source-rows")
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(base, 4).map { r => acc.add(1); r },
+      docs.schema)
+    val r = CorpusPipeline.curate(src, collectFunnel = false)
+    assert(r.chunks.count() > 0)
+    assert(acc.value == n, s"source scanned ${acc.value.toDouble / n}x, want 1x")
+    r.persisted.foreach(_.unpersist())
+  }
+
   test("curate: PII scrub and repetition gate drop what the base gates cannot see") {
     import spark.implicits._
     // long enough to pass the length gate (>= 10 tokens), English
