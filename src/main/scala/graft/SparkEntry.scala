@@ -164,6 +164,9 @@ object SparkEntry {
     * count for the bucketed variant. */
   val TokenBudgetPerSource = 800L
   val TokenBudgetBuckets = 8
+  /** q67 packing: 128-token training sequences over 4 hash shards. */
+  val PackSeqTokens = 128
+  val PackShards = 4
 
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
@@ -777,6 +780,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // GPT-2-style token packing: the corpus token stream cut into
+    // fixed-length training sequences across hash shards — zero
+    // padding waste, documents span boundaries, every token lands
+    // exactly once (spec-pinned).
+    "q67_pack_sequences" -> ((s, dir) => {
+      Sampling.pack(t(s, dir, "documents"), "doc_id", "text",
+        PackSeqTokens, PackShards, "pack")
+        .orderBy("shard", "seq_idx")
     }),
 
     // End-to-end corpus curation under the oracle: the COMPOSED funnel
@@ -1482,6 +1495,44 @@ object SparkEntry {
     // the oracle (the q50/q52 pattern).
     "q65_token_budget" -> tokenBudgetOracleSql,
     "q66_token_budget_bucketed" -> tokenBudgetOracleSql,
+
+    // q67: same stream arithmetic — per-shard window cumsum gives each
+    // doc its offset, range() explodes the sequences its span touches,
+    // 1-based inclusive slices cut the parts, string_agg in offset
+    // order reassembles.
+    "q67_pack_sequences" -> {
+      val L = PackSeqTokens
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${Portable.sqlHash("doc_id", "'pack'")} % $PackShards AS shard,
+         |    string_split(text, ' ') AS t
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, t, len(t)::BIGINT AS n,
+         |    sum(len(t)) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM d
+         |),
+         |e AS (
+         |  SELECT shard, doc_id, t, cum, cum - n AS start,
+         |    unnest(range((cum - n) // $L, (cum - 1) // $L + 1)) AS seq_idx
+         |  FROM c
+         |),
+         |p AS (
+         |  SELECT shard, seq_idx,
+         |    greatest(start, seq_idx * $L) AS ps,
+         |    least(cum, (seq_idx + 1) * $L) AS pe,
+         |    t[(greatest(start, seq_idx * $L) - start + 1) :
+         |      (least(cum, (seq_idx + 1) * $L) - start)] AS part
+         |  FROM e
+         |)
+         |SELECT shard, seq_idx::BIGINT AS seq_idx,
+         |  sum(pe - ps)::BIGINT AS n_tokens,
+         |  string_agg(array_to_string(part, ' '), ' ' ORDER BY ps) AS seq
+         |FROM p GROUP BY shard, seq_idx
+         |ORDER BY shard, seq_idx""".stripMargin
+    },
 
     // q62: the WHOLE curation funnel as one CTE chain — each stage is
     // the already-proven per-stage oracle form (normalize q46, langid

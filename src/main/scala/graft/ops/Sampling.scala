@@ -65,6 +65,58 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Token-stream packing (the GPT-2-style pre-training layout):
+    * concatenate every document's tokens into one stream and cut it
+    * into fixed `seqTokens`-token training sequences, documents
+    * spanning sequence boundaries — zero padding waste, every
+    * sequence except a shard's final partial is exactly full. The
+    * stream is sharded by a keyed hash of the document id so packing
+    * parallelizes: within a shard documents concatenate in id order
+    * (deterministic — the hash already randomized the shard
+    * assignment, so within-shard order adds no bias).
+    *
+    * Relational shape: one window cumsum per shard gives each
+    * document its stream offset; a document spanning sequences
+    * [start/L .. (end−1)/L] explodes into per-sequence slices
+    * (in-partition fan-out, each token emitted exactly once); one
+    * (shard, seq) groupBy reassembles slices in offset order. Output:
+    * (shard, seq_idx, n_tokens, seq).
+    *
+    * Scale: parallelism ∝ `shards` — a shard's stream orders on one
+    * task (the tokenBudget caveat, with the lever built in): size
+    * `shards` so corpus/shards fits a task. All shuffles are
+    * shard-keyed; nothing is corpus-sized. */
+  def pack(df: DataFrame, idCol: String, textCol: String,
+           seqTokens: Int, shards: Int, salt: String): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val L = seqTokens.toLong
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol),
+        pmod(Portable.seededHash(col(idCol), lit(salt)), lit(shards.toLong))
+          .as("shard"),
+        Text.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("__start", col("__cum") - col("__n"))
+      // the sequences this document's token span [start, cum) touches
+      .withColumn("seq_idx", explode(sequence(
+        expr(s"__start div $L"), expr(s"(__cum - 1) div $L"))))
+      .withColumn("__ps", greatest(col("__start"), col("seq_idx") * L))
+      .withColumn("__pe", least(col("__cum"), (col("seq_idx") + 1) * L))
+      .withColumn("__part", slice(col("__t"),
+        (col("__ps") - col("__start") + 1).cast("int"),
+        (col("__pe") - col("__ps")).cast("int")))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(sum(col("__pe") - col("__ps")).as("n_tokens"),
+        sort_array(collect_list(struct(col("__ps").as("o"),
+          col("__part").as("p")))).as("__sp"))
+      .select(col("shard"), col("seq_idx"), col("n_tokens"),
+        concat_ws(" ", flatten(transform(col("__sp"), x => x.getField("p"))))
+          .as("seq"))
+  }
+
   /** [[tokenBudget]] with the per-source sort bound removed — the
     * [[Events.asofJoinBucketed]] trick applied to a running total.
     * Documents bucket by the TOP bits of the priority hash (monotone

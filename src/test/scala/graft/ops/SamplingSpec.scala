@@ -72,6 +72,48 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("pack: full sequences, zero token loss, boundary-spanning docs, determinism") {
+    val r = Sampling.pack(corpus, "doc_id", "text", 4, 1, "p")
+      .select("shard", "seq_idx", "n_tokens", "seq")
+      .as[(Long, Long, Long, String)].collect().sortBy(x => (x._1, x._2))
+    // one shard: the whole stream in doc_id order
+    val totalToks = corpus.select(size(split(col("text"), " ")))
+      .as[Int].collect().map(_.toLong).sum
+    assert(r.map(_._3).sum == totalToks) // every token lands exactly once
+    // every sequence but the final partial is exactly full
+    assert(r.dropRight(1).forall(_._3 == 4L), r.mkString("\n"))
+    assert(r.last._3 == totalToks % 4 || r.last._3 == 4L)
+    // the concatenated output IS the concatenated input stream
+    val stream = corpus.orderBy("doc_id").select("text")
+      .as[String].collect().mkString(" ")
+    assert(r.map(_._4).mkString(" ") == stream)
+    // deterministic across runs
+    val again = Sampling.pack(corpus, "doc_id", "text", 4, 1, "p")
+      .select("shard", "seq_idx", "n_tokens", "seq")
+      .as[(Long, Long, Long, String)].collect().sortBy(x => (x._1, x._2))
+    assert(again.toSeq == r.toSeq)
+  }
+
+  test("pack: sharded run loses no tokens and fills all but one seq per shard") {
+    val big = (1L to 100L).map { i =>
+      (i, Seq.fill((i % 9 + 1).toInt)(s"w$i").mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val r = Sampling.pack(big, "doc_id", "text", 16, 4, "p")
+      .select("shard", "seq_idx", "n_tokens")
+      .as[(Long, Long, Long)].collect()
+    val totalToks = big.select(size(split(col("text"), " ")))
+      .as[Int].collect().map(_.toLong).sum
+    assert(r.map(_._3).sum == totalToks)
+    // at most one non-full sequence per shard (the tail)
+    r.groupBy(_._1).foreach { case (sh, rows) =>
+      assert(rows.count(_._3 != 16L) <= 1, s"shard $sh: ${rows.mkString(",")}")
+    }
+    assert(r.map(_._1).distinct.length == 4)
+    intercept[IllegalArgumentException] {
+      Sampling.pack(big, "doc_id", "text", 0, 4, "p")
+    }
+  }
+
   test("tokenBudgetBucketed: law holds on a larger random-ish corpus") {
     // 200 docs, 5 sources, varying lengths — exercises bucket boundaries
     val big = (1L to 200L).map { i =>
