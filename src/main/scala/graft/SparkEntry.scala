@@ -167,6 +167,9 @@ object SparkEntry {
   /** q67 packing: 128-token training sequences over 4 hash shards. */
   val PackSeqTokens = 128
   val PackShards = 4
+  /** q68 incremental dedup: docs below the split are the "historical
+    * corpus", the rest are the incoming batch. */
+  val IncrementalSplitId = 250L
 
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
@@ -245,17 +248,24 @@ object SparkEntry {
   /** [[shingleSqlCte]] + MinHash signatures. */
   private val minhashSqlCte: String = s"WITH ${minhashCtesFrom("documents")}"
 
+  /** DuckDB CTE body: LSH band hashes from the `sig` CTE — shared by
+    * the self-join near-dup chain and q68's cross-side (new × existing)
+    * candidate join. */
+  private val bandsCteSql: String = {
+    val bandKeys = (1 to LshRows).map(r => s"sig[$LshRows*b + $r]") :+ "b"
+    s"""bands AS (
+       |  SELECT doc_id, shingles, b, ${Portable.sqlHash(bandKeys: _*)} AS bh
+       |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS b)
+       |)""".stripMargin
+  }
+
   /** DuckDB CTE chain for the MinHash→LSH→Jaccard near-dup pipeline
     * over an arbitrary (doc_id, text) source (no WITH prefix; extends
     * [[minhashCtesFrom]] with bands → candidate pairs → verified
     * jaccard). */
   private def lshJacCtesFrom(src: String): String = {
-    val bandKeys = (1 to LshRows).map(r => s"sig[$LshRows*b + $r]") :+ "b"
     s"""${minhashCtesFrom(src)},
-       |bands AS (
-       |  SELECT doc_id, shingles, b, ${Portable.sqlHash(bandKeys: _*)} AS bh
-       |  FROM sig, (SELECT unnest(range(0, $LshBands)) AS b)
-       |),
+       |$bandsCteSql,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
        |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
@@ -779,6 +789,25 @@ object SparkEntry {
         TokenBudgetBuckets)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental dedup: the incoming batch (doc_id >= split) scrubbed
+    // of exact AND near duplicates of the historical corpus
+    // (doc_id < split) — cross-side band join only, never new-vs-new
+    // or existing-vs-existing pairs. In-batch dups survive by contract
+    // (compose with q18/q43/q53 forms for those).
+    "q68_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = shingled(s, dir)
+      val exactClean = Dedup.dedupExactAgainst(
+        docs.filter(col("doc_id") >= IncrementalSplitId),
+        docs.filter(col("doc_id") < IncrementalSplitId), "doc_id", "text")
+      Dedup.dedupNearAgainst(exactClean, "doc_id",
+        sh.filter(col("doc_id") >= IncrementalSplitId),
+        sh.filter(col("doc_id") < IncrementalSplitId),
+        NumPerms, LshBands, LshRows, JaccardTau)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }),
 
@@ -1495,6 +1524,36 @@ object SparkEntry {
     // the oracle (the q50/q52 pattern).
     "q65_token_budget" -> tokenBudgetOracleSql,
     "q66_token_budget_bucketed" -> tokenBudgetOracleSql,
+
+    // q68: bands computed once over all docs, split into batch/corpus
+    // sides; candidates only ACROSS the split; exact side via distinct
+    // historical content hashes.
+    "q68_dedup_incremental" ->
+      s"""$minhashSqlCte,
+         |$bandsCteSql,
+         |bN AS (SELECT * FROM bands WHERE doc_id >= $IncrementalSplitId),
+         |bE AS (SELECT * FROM bands WHERE doc_id < $IncrementalSplitId),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS ex_id
+         |  FROM bN n JOIN bE e ON n.b = e.b AND n.bh = e.bh
+         |),
+         |jac AS (
+         |  SELECT new_id,
+         |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+         |  FROM cand JOIN sh sa ON cand.new_id = sa.doc_id
+         |            JOIN sh sb ON cand.ex_id = sb.doc_id
+         |),
+         |ndrops AS (SELECT DISTINCT new_id FROM jac WHERE jaccard >= $JaccardTau),
+         |eh AS (SELECT DISTINCT md5(text) AS h FROM documents
+         |       WHERE doc_id < $IncrementalSplitId)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |LEFT JOIN eh ON md5(d.text) = eh.h
+         |LEFT JOIN ndrops nd ON d.doc_id = nd.new_id
+         |WHERE d.doc_id >= $IncrementalSplitId
+         |  AND eh.h IS NULL AND nd.new_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin,
 
     // q67: same stream arithmetic — per-shard window cumsum gives each
     // doc its offset, range() explodes the sequences its span touches,

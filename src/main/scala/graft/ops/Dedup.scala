@@ -36,6 +36,58 @@ object Dedup {
     df.join(exactGroups(df, idCol, contentCol)
         .select(col("keep_id").as(idCol)), Seq(idCol))
 
+  /** Incremental exact dedup: rows of `df` whose content value already
+    * appears in `existing` are dropped — the daily-ingest pattern
+    * (today's crawl vs the historical index) where re-deduplicating
+    * the whole corpus per batch would be quadratic over time. The
+    * existing side reduces to its DISTINCT content hashes (at rest
+    * this is the stored dedup index — 16 bytes/doc, not the corpus),
+    * and the batch anti-joins it on the hash — one batch-sized
+    * shuffle; the historical corpus is never re-scanned beyond its
+    * hash column. In-batch duplicates are NOT removed here — compose
+    * with [[dedupExact]] for that. */
+  def dedupExactAgainst(df: DataFrame, existing: DataFrame, idCol: String,
+                        contentCol: String): DataFrame = {
+    val hashes = existing
+      .select(md5(col(contentCol).cast("binary")).as("__h")).distinct()
+    df.withColumn("__h", md5(col(contentCol).cast("binary")))
+      .join(hashes, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Incremental NEAR dedup: rows of `df` that Jaccard-match (≥ tau)
+    * ANY document of the existing corpus are dropped. Same
+    * MinHash→LSH machinery as [[dedupNear]], but the candidate join
+    * runs ACROSS the two sides (new bands × existing bands on the
+    * bucket key) instead of self-joining — no new-vs-new and no
+    * existing-vs-existing pairs are ever generated. At scale the
+    * existing side's band table is the persisted dedup index
+    * (numPerms longs + bands hashes per doc); only the batch is
+    * signed per run, and the bucket join shuffles band rows, never
+    * documents. In-batch near-dups are NOT removed — compose with
+    * [[dedupNear]]/[[dedupNearClustered]]. */
+  def dedupNearAgainst(df: DataFrame, idCol: String, shingled: DataFrame,
+                       existingShingled: DataFrame, numPerms: Int,
+                       bands: Int, rpb: Int, tau: Double): DataFrame = {
+    val bNew = lshBands(minhashSignatures(shingled, idCol, numPerms),
+        idCol, bands, rpb)
+      .select(col("band"), col("bh"), col(idCol).as("__new"))
+    val bEx = lshBands(minhashSignatures(existingShingled, idCol, numPerms),
+        idCol, bands, rpb)
+      .select(col("band"), col("bh"), col(idCol).as("__ex"))
+    val cands = bNew.join(bEx, Seq("band", "bh"))
+      .select(col("__new"), col("__ex")).distinct()
+    val sa = shingled.select(col(idCol).as("__new"), col("shingles").as("__sha"))
+    val sb = existingShingled
+      .select(col(idCol).as("__ex"), col("shingles").as("__shb"))
+    val drops = cands.join(sa, Seq("__new")).join(sb, Seq("__ex"))
+      .filter(round(
+        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))), 9) >= tau)
+      .select(col("__new").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** MinHash signature: permutation p's component is the minimum keyed

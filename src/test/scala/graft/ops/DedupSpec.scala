@@ -203,6 +203,29 @@ class DedupSpec extends SparkSpec {
     assert(hinted(viaBroadcast) && !hinted(viaShuffle))
   }
 
+  test("incremental dedup: batch scrubbed against the corpus; in-batch dups survive") {
+    // existing corpus = docs 1-5; incoming batch re-crawls an exact copy
+    // of 1 (id 10), a near variant of 1 (id 11), a fresh doc (id 12),
+    // and an in-batch exact pair (ids 13/14 — out of scope by contract)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "entirely novel content on incremental indexes today"),
+      (13L, "another brand new document body right here now"),
+      (14L, "another brand new document body right here now")
+    ).toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val exactClean = Dedup.dedupExactAgainst(batch, docs, "doc_id", "text")
+    assert(exactClean.select("doc_id").as[Long].collect().toSet ==
+      Set(11L, 12L, 13L, 14L)) // only the verbatim re-crawl dropped
+    val nearClean = Dedup.dedupNearAgainst(exactClean, "doc_id",
+      sh(batch), sh(docs), 16, 4, 4, 0.5)
+    // 11 jaccard-matches existing doc 1; the in-batch pair SURVIVES
+    assert(nearClean.select("doc_id").as[Long].collect().toSet ==
+      Set(12L, 13L, 14L))
+  }
+
   test("simhash: identical texts equal, near texts close, Hamming pairs found") {
     val sims = Dedup.simhashes(docs, "doc_id", "text")
     val m = sims.as[(Long, Long)].collect().toMap
