@@ -170,6 +170,8 @@ object SparkEntry {
   /** q68 incremental dedup: docs below the split are the "historical
     * corpus", the rest are the incoming batch. */
   val IncrementalSplitId = 250L
+  /** q69 relative quality gate: keep each source's top half. */
+  val QualityKeepFrac = 0.5
 
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
@@ -789,6 +791,19 @@ object SparkEntry {
         TokenBudgetBuckets)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source RELATIVE quality gate: each source keeps its top half
+    // by quality score (percent_rank, deterministic id tiebreak) — the
+    // distribution-aware twin of the absolute minQuality gate.
+    "q69_quality_top_fraction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("source"))
+        .join(Text.qualityScore(docs, "text")
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      Sampling.topFraction(scored, "doc_id", "source", "quality_score",
+        QualityKeepFrac)
         .orderBy("doc_id")
     }),
 
@@ -1524,6 +1539,40 @@ object SparkEntry {
     // the oracle (the q50/q52 pattern).
     "q65_token_budget" -> tokenBudgetOracleSql,
     "q66_token_budget_bucketed" -> tokenBudgetOracleSql,
+
+    // q69: the q25 score formula, then percent_rank per source with the
+    // identical (score DESC, doc_id ASC) order; filter on the ROUNDED
+    // pct on both sides.
+    "q69_quality_top_fraction" -> {
+      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM documents
+         |),
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    round(least(1.0, greatest(0.0,
+         |      0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |      AS quality_score
+         |  FROM m
+         |),
+         |r AS (
+         |  SELECT doc_id, source, quality_score,
+         |    round(percent_rank() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id ASC), 9) AS rank_pct
+         |  FROM sc
+         |)
+         |SELECT doc_id, source, quality_score, rank_pct FROM r
+         |WHERE rank_pct <= $QualityKeepFrac ORDER BY doc_id""".stripMargin
+    },
 
     // q68: bands computed once over all docs, split into batch/corpus
     // sides; candidates only ACROSS the split; exact side via distinct

@@ -23,14 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Epoch-milliseconds from the ns LONG (floor division — ts ≥ 0). */
-  private def ms = expr("ts div 1000000")
+  /** Epoch-milliseconds from the ns LONG — exact FLOOR for any sign
+    * (pmod is non-negative, so the subtraction yields an exact
+    * multiple; `div` alone truncates toward zero for ts < 0). Same
+    * form as [[retention]]'s period math; cross-engine parity below
+    * ts = 0 still depends on the oracle's ns→ms read conversion, so
+    * the oracle contract stays ts ≥ 0. */
+  private def ms = expr("(ts - pmod(ts, 1000000)) div 1000000")
 
   /** Tumbling-window aggregate: count / avg / sum of `value` per
-    * (event_type, window). `widthMs` is the window width. */
+    * (event_type, window). `widthMs` is the window width; the window
+    * key is a sign-safe floor (pmod form at both steps). */
   def tumbling(events: DataFrame, widthMs: Long): DataFrame =
     events
-      .withColumn("window_start_ms", (ms - (ms % widthMs)).cast("long"))
+      .withColumn("window_start_ms",
+        (ms - pmod(ms, lit(widthMs))).cast("long"))
       .groupBy(col("event_type"), col("window_start_ms"))
       .agg(count(lit(1)).as("n_events"),
         round(avg(col("value")), 9).as("avg_value"),

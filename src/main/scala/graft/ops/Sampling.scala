@@ -65,6 +65,30 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Per-source RELATIVE quality gate: keep each source's top
+    * `keepFrac` fraction of rows by `scoreCol` (percent_rank ≤
+    * keepFrac over score DESC, id tiebreak — fully deterministic).
+    * The absolute-threshold gate ([[graft.app.CorpusPipeline]]'s
+    * `minQuality`) prunes uniformly; this one prunes RELATIVE to each
+    * source's own distribution — a clean source keeps more, a noisy
+    * source loses more, and the blend's per-source proportions are
+    * controlled instead of emergent. Output: the input columns plus
+    * `rank_pct`.
+    *
+    * Scale: one window per source (the tokenBudget caveat — a
+    * source's rows rank on one task); scores are tiny so the shuffled
+    * rows can be projected to (id, source, score) and joined back if
+    * a source's full rows ever outgrow a task. */
+  def topFraction(df: DataFrame, idCol: String, sourceCol: String,
+                  scoreCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(desc(scoreCol), col(idCol))
+    df.withColumn("rank_pct", round(percent_rank().over(w), 9))
+      .filter(col("rank_pct") <= keepFrac)
+  }
+
   /** Token-stream packing (the GPT-2-style pre-training layout):
     * concatenate every document's tokens into one stream and cut it
     * into fixed `seqTokens`-token training sequences, documents

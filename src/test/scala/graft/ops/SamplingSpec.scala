@@ -72,6 +72,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("topFraction: per-source relative gate, deterministic ties, bounds checked") {
+    val scored = Seq(
+      (1L, "s0", 0.9), (2L, "s0", 0.7), (3L, "s0", 0.5), (4L, "s0", 0.3),
+      (5L, "s1", 0.2), (6L, "s1", 0.1),
+      (7L, "s2", 0.4)
+    ).toDF("doc_id", "source", "score")
+    val half = Sampling.topFraction(scored, "doc_id", "source", "score", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // s0: ranks pct 0, 1/3, 2/3, 1 -> keep 1,2; s1: 0, 1 -> keep 5;
+    // s2: single row pct 0 -> kept. RELATIVE: s1's 0.2 survives while
+    // s0's 0.5 (absolutely higher) does not.
+    assert(half == Set(1L, 2L, 5L, 7L))
+    // keepFrac 1 keeps everything; ties break on id (deterministic)
+    assert(Sampling.topFraction(scored, "doc_id", "source", "score", 1.0)
+      .count() == 7)
+    val tied = Seq((1L, "s", 0.5), (2L, "s", 0.5), (3L, "s", 0.5))
+      .toDF("doc_id", "source", "score")
+    assert(Sampling.topFraction(tied, "doc_id", "source", "score", 0.5)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Sampling.topFraction(scored, "doc_id", "source", "score", 0.0)
+    }
+  }
+
   test("pack: full sequences, zero token loss, boundary-spanning docs, determinism") {
     val r = Sampling.pack(corpus, "doc_id", "text", 4, 1, "p")
       .select("shard", "seq_idx", "n_tokens", "seq")
