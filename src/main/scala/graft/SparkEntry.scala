@@ -406,6 +406,97 @@ object SparkEntry {
        |  FROM embeddings
        |)""".stripMargin
 
+  /** The q62 oracle's CTE chain (WITH RECURSIVE .. surv): the full
+    * curation funnel down to the near-dedup survivors — shared by q62
+    * (chunk the survivors) and q70 (decontaminate, then chunk). */
+  private def curateOracleCtes: String = {
+    val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+    val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+    s"""WITH RECURSIVE
+         |norm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |         ' +', ' ', 'g')) AS text
+         |  FROM documents
+         |),
+         |nz AS (SELECT doc_id, text FROM norm WHERE length(text) > 0),
+         |profile(plang, w) AS (VALUES ${Text.langProfileSql}),
+         |ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM nz),
+         |lhits AS (
+         |  SELECT t.doc_id, p.plang, count(*) AS n
+         |  FROM ltok t JOIN profile p ON t.w = p.w GROUP BY t.doc_id, p.plang
+         |),
+         |lbest AS (
+         |  SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n DESC, plang ASC) AS r
+         |    FROM lhits
+         |  ) WHERE r = 1
+         |),
+         |lkeep AS (
+         |  SELECT nz.doc_id, nz.text FROM nz JOIN lbest b USING (doc_id)
+         |  WHERE b.plang IN ($langList)
+         |),
+         |qm AS (
+         |  SELECT doc_id, text,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM lkeep
+         |),
+         |qkeep AS (
+         |  SELECT doc_id, text FROM qm
+         |  WHERE round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    >= $CurateMinQuality
+         |),
+         |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qkeep),
+         |rg AS (SELECT doc_id,
+         |         unnest(${Text.shinglesAllSql("t", RepetitionN)}) AS g
+         |       FROM rtoks),
+         |rc AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY doc_id, g),
+         |rp AS (SELECT doc_id, sum(c)::BIGINT AS total,
+         |              count(*)::BIGINT AS n_distinct
+         |       FROM rc GROUP BY doc_id),
+         |gkeep AS (
+         |  SELECT q.doc_id, q.text FROM qkeep q LEFT JOIN rp USING (doc_id)
+         |  WHERE rp.total IS NULL
+         |     OR round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9)
+         |        <= $CurateMaxDupRatio
+         |),
+         |ex AS (
+         |  SELECT g.doc_id, g.text FROM gkeep g
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM gkeep GROUP BY md5(text)) k
+         |    USING (doc_id)
+         |),
+         |${lshJacCtesFrom("ex")},
+         |$nearDupReachCte,
+         |drops AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
+         |surv AS (
+         |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN drops k ON e.doc_id = k.id
+         |  WHERE k.id IS NULL
+         |)""".stripMargin
+  }
+
+  /** q47's chunking tail over an arbitrary (doc_id, text) CTE. */
+  private def chunkTailSql(src: String): String = {
+    val c = CurateChunkTokens
+    s"""ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |ch AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    array_to_string(t[i*$c+1 : i*$c+$c], ' ') AS chunk,
+       |    len(t[i*$c+1 : i*$c+$c])::BIGINT AS n_tokens
+       |  FROM ctoks, LATERAL (SELECT unnest(range(0, (len(t) + ${c - 1}) // $c)) AS i) _
+       |)
+       |SELECT doc_id, chunk_idx, n_tokens, chunk FROM ch
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** Token-budget oracle — shared by q65 (direct window form) and q66
     * (two-phase bucketed build): both engine forms compute the same
     * prefix by construction (SamplingSpec proves the law). */
@@ -853,6 +944,25 @@ object SparkEntry {
         maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN)
       CorpusPipeline.curate(t(s, dir, "documents"), cfg,
         collectFunnel = false).chunks
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // q62's funnel with the eval-scrub stage live: docs below the q61
+    // split double as the "benchmark" (self-contamination by
+    // construction), so surviving leaked docs drop between near-dedup
+    // and chunking — the composed decontamination under the oracle.
+    "q70_corpus_curate_decon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
+        evalDocs = Some(docs.filter(col("doc_id") < EvalSetDocs)
+          .select(col("doc_id"), col("text"))),
+        contaminationMinShared = ContaminationMinShared)
+      CorpusPipeline.curate(docs, cfg, collectFunnel = false).chunks
         .orderBy("doc_id", "chunk_idx")
     }),
 
@@ -1649,89 +1759,40 @@ object SparkEntry {
     // previous stage's survivors exactly as CorpusPipeline sequences
     // the operators. Constants interpolate from the same vals as the
     // Spark Config, so the two sides cannot drift.
-    "q62_corpus_curate" -> {
-      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
-      val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
-      val c = CurateChunkTokens
-      s"""WITH RECURSIVE
-         |norm AS (
-         |  SELECT doc_id,
-         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-         |         ' +', ' ', 'g')) AS text
-         |  FROM documents
+    "q62_corpus_curate" ->
+      s"""$curateOracleCtes,
+         |${chunkTailSql("surv")}""".stripMargin,
+
+    // q70: q62's funnel + the decontamination stage between near-dedup
+    // and chunking — eval docs (the q61 split) pass the same normalize
+    // chain, survivors sharing >= minShared distinct shingles with any
+    // eval doc drop before chunking.
+    "q70_corpus_curate_decon" ->
+      s"""$curateOracleCtes,
+         |etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM nz
+         |          WHERE doc_id < $EvalSetDocs),
+         |esh AS (SELECT doc_id, ${Text.shinglesSql("t", ShingleN)} AS shingles
+         |        FROM etoks),
+         |tpost AS (
+         |  SELECT s2.doc_id, unnest(s2.shingles) AS s
+         |  FROM sh s2 JOIN surv USING (doc_id)
          |),
-         |nz AS (SELECT doc_id, text FROM norm WHERE length(text) > 0),
-         |profile(plang, w) AS (VALUES ${Text.langProfileSql}),
-         |ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM nz),
-         |lhits AS (
-         |  SELECT t.doc_id, p.plang, count(*) AS n
-         |  FROM ltok t JOIN profile p ON t.w = p.w GROUP BY t.doc_id, p.plang
+         |epost AS (SELECT doc_id AS eval_id, unnest(shingles) AS s FROM esh),
+         |cont AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT tpost.doc_id, epost.eval_id
+         |    FROM tpost JOIN epost USING (s)
+         |    GROUP BY tpost.doc_id, epost.eval_id
+         |    HAVING count(*) >= $ContaminationMinShared
+         |  )
          |),
-         |lbest AS (
-         |  SELECT doc_id, plang FROM (
-         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY n DESC, plang ASC) AS r
-         |    FROM lhits
-         |  ) WHERE r = 1
+         |survd AS (
+         |  SELECT surv.doc_id, surv.text FROM surv
+         |  LEFT JOIN cont ON surv.doc_id = cont.doc_id
+         |  WHERE cont.doc_id IS NULL
          |),
-         |lkeep AS (
-         |  SELECT nz.doc_id, nz.text FROM nz JOIN lbest b USING (doc_id)
-         |  WHERE b.plang IN ($langList)
-         |),
-         |qm AS (
-         |  SELECT doc_id, text,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
-         |  FROM lkeep
-         |),
-         |qkeep AS (
-         |  SELECT doc_id, text FROM qm
-         |  WHERE round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
-         |    >= $CurateMinQuality
-         |),
-         |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qkeep),
-         |rg AS (SELECT doc_id,
-         |         unnest(${Text.shinglesAllSql("t", RepetitionN)}) AS g
-         |       FROM rtoks),
-         |rc AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY doc_id, g),
-         |rp AS (SELECT doc_id, sum(c)::BIGINT AS total,
-         |              count(*)::BIGINT AS n_distinct
-         |       FROM rc GROUP BY doc_id),
-         |gkeep AS (
-         |  SELECT q.doc_id, q.text FROM qkeep q LEFT JOIN rp USING (doc_id)
-         |  WHERE rp.total IS NULL
-         |     OR round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9)
-         |        <= $CurateMaxDupRatio
-         |),
-         |ex AS (
-         |  SELECT g.doc_id, g.text FROM gkeep g
-         |  JOIN (SELECT min(doc_id) AS doc_id FROM gkeep GROUP BY md5(text)) k
-         |    USING (doc_id)
-         |),
-         |${lshJacCtesFrom("ex")},
-         |$nearDupReachCte,
-         |drops AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
-         |surv AS (
-         |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN drops k ON e.doc_id = k.id
-         |  WHERE k.id IS NULL
-         |),
-         |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
-         |ch AS (
-         |  SELECT doc_id, i AS chunk_idx,
-         |    array_to_string(t[i*$c+1 : i*$c+$c], ' ') AS chunk,
-         |    len(t[i*$c+1 : i*$c+$c])::BIGINT AS n_tokens
-         |  FROM ctoks, LATERAL (SELECT unnest(range(0, (len(t) + ${c - 1}) // $c)) AS i) _
-         |)
-         |SELECT doc_id, chunk_idx, n_tokens, chunk FROM ch
-         |ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+         |${chunkTailSql("survd")}""".stripMargin,
+
 
     // q63: per-n twin of q58 — one gram CTE per n, unioned; the (doc, n)
     // spine cross-joins the n list so gram-less (doc, n) cells keep NULL
