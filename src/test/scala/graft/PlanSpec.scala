@@ -199,6 +199,19 @@ class PlanSpec extends SparkSpec {
         && l.contains("__b")), p)
   }
 
+  test("q67: packing exchanges carry the shard key; no cartesian reassembly") {
+    val p = plan("q67_pack_sequences")
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("shard")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q68: incremental dedup joins are equi-keyed, never nested-loop") {
+    val p = plan("q68_dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
