@@ -89,6 +89,25 @@ object StreamOps {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Streaming twin of [[graft.ops.Dedup.dedupExactAgainst]]: rows of
+    * a document STREAM whose content hash appears in the STATIC
+    * historical index are dropped via a stream-static LEFT ANTI join —
+    * the continuous-ingest version of the daily batch-vs-corpus dedup.
+    * `existingHashes` is the stored index frame (one `content_hash`
+    * column — [[graft.ops.Dedup.exactGroups]]'s hash output at rest).
+    *
+    * Scale posture: the join is STATELESS on the stream side (nothing
+    * accumulates across micro-batches — the static side is the state,
+    * at 16 bytes/doc); Spark re-plans the static side per micro-batch,
+    * so back it with a fast columnar store. In-stream duplicates are
+    * not removed — compose with [[dedupStream]], whose watermark
+    * bounds that state. Works identically on a batch frame (plain
+    * anti-join; spec pins the equality). */
+  def dedupStreamAgainst(docs: DataFrame, contentCol: String,
+                         existingHashes: DataFrame): DataFrame =
+    docs.withColumn("content_hash", md5(col(contentCol).cast("binary")))
+      .join(existingHashes, Seq("content_hash"), "left_anti")
+
   /** Watermarked stream-stream interval join — the impression→click
     * enrichment shape: each left row pairs with right rows sharing
     * `keyCol` whose event time lies in

@@ -99,6 +99,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Seq("click", "view"))
   }
 
+  test("dedupStreamAgainst: stream anti-joins the static corpus index; batch twin equal") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = Seq("known doc body", "another known body").toDF("text")
+      .select(md5($"text".cast("binary")).as("content_hash"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.dedupStreamAgainst(
+        in.toDF().toDF("doc_id", "text"), "text", index),
+      "dedup_against", OutputMode.Append)
+    try {
+      in.addData((1L, "known doc body"), (2L, "fresh content one"))
+      q.processAllAvailable()
+      in.addData((3L, "another known body"), (4L, "fresh content two"),
+        (5L, "fresh content one")) // in-stream dup of 2: survives by contract
+      q.processAllAvailable()
+      val ids = spark.table("dedup_against")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L, 4L, 5L))
+    } finally q.stop()
+    // batch twin: same call, same result
+    val batch = StreamOps.dedupStreamAgainst(
+      Seq((1L, "known doc body"), (2L, "fresh content one"),
+        (3L, "another known body"), (4L, "fresh content two"),
+        (5L, "fresh content one")).toDF("doc_id", "text"), "text", index)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch == Set(2L, 4L, 5L))
+  }
+
   test("mapGroupsWithState: running per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
