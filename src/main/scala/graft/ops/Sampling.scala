@@ -75,19 +75,40 @@ object Sampling {
     * controlled instead of emergent. Output: the input columns plus
     * `rank_pct`.
     *
-    * Scale: one window per source (the tokenBudget caveat — a
-    * source's rows rank on one task); scores are tiny so the shuffled
-    * rows can be projected to (id, source, score) and joined back if
-    * a source's full rows ever outgrow a task. */
+    * Scale: the rank window sorts a NARROW (id, source, score)
+    * projection — a source's full documents never pile onto its one
+    * sort task; the kept ids then join back keyed on id (uniform).
+    * The input is read twice (projection + join side) — persist it if
+    * it is itself an expensive derivation. */
   def topFraction(df: DataFrame, idCol: String, sourceCol: String,
                   scoreCol: String, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1,
       s"keepFrac must be in (0, 1], got $keepFrac")
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(desc(scoreCol), col(idCol))
-    df.withColumn("rank_pct", round(percent_rank().over(w), 9))
+    val kept = df.select(col(idCol), col(sourceCol), col(scoreCol))
+      .withColumn("rank_pct", round(percent_rank().over(w), 9))
       .filter(col("rank_pct") <= keepFrac)
+      .select(col(idCol), col("rank_pct"))
+    df.join(kept, Seq(idCol))
   }
+
+  /** Mixture-rate spec from TARGET token counts — the knob users
+    * actually reason in ("200M tokens of s0, 50M of s1"): per source,
+    * rate = min(1, target / current tokens). The result is a
+    * [[domainMix]]-shaped (sourceCol, rate) frame, mixture-spec-sized
+    * and lazy (the per-source token agg only runs when the mix
+    * evaluates); expected sampled volume per source ≈ its target
+    * (exact caps: [[tokenBudget]]). Sources absent from `targets`
+    * drop out of the rate spec — and therefore out of the mix. */
+  def ratesForTargets(df: DataFrame, sourceCol: String, textCol: String,
+                      targets: DataFrame): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(sum(size(Text.tokens(col(textCol))).cast("long")).as("__cur"))
+      .join(targets, Seq(sourceCol))
+      .select(col(sourceCol),
+        least(lit(1.0), col("target_tokens").cast("double") / col("__cur"))
+          .as("rate"))
 
   /** Token-stream packing (the GPT-2-style pre-training layout):
     * concatenate every document's tokens into one stream and cut it

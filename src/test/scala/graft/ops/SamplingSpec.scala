@@ -96,6 +96,21 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("ratesForTargets: rate = min(1, target/current); absent sources drop") {
+    // s0 has 5+3+4+2 = 14 tokens, s1 has 6+3 = 9, s2 has 2
+    val targets = Seq(("s0", 7L), ("s1", 100L)).toDF("source", "target_tokens")
+    val rates = Sampling.ratesForTargets(corpus, "source", "text", targets)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(rates("s0") - 0.5) < 1e-9) // 7/14
+    assert(rates("s1") == 1.0)                 // target above current: capped
+    assert(!rates.contains("s2"))              // absent from the spec
+    // composes with domainMix: s2 drops entirely, s1 fully kept
+    val kept = Sampling.domainMix(corpus, "doc_id", "source",
+      Sampling.ratesForTargets(corpus, "source", "text", targets), "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(5L, 6L).subsetOf(kept) && !kept.contains(7L))
+  }
+
   test("pack: full sequences, zero token loss, boundary-spanning docs, determinism") {
     val r = Sampling.pack(corpus, "doc_id", "text", 4, 1, "p")
       .select("shard", "seq_idx", "n_tokens", "seq")
