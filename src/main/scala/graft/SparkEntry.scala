@@ -135,6 +135,11 @@ object SparkEntry {
   /** q63 multi-n repetition sizes — the full Gopher duplication-gate
     * set, computed in one corpus scan. */
   val RepetitionNs = Seq(2, 3, 4)
+  /** q72 boilerplate gate: trigrams seen in more than `BoilerMaxDf`
+    * documents are corpus boilerplate (the fixture's trigram df is
+    * median 1 / p99 ≈ 4, so 3 marks a real minority of grams). */
+  val BoilerN = 3
+  val BoilerMaxDf = 3L
   /** q57 conversion-funnel stage order. */
   val FunnelStages = Seq("signup", "click", "purchase")
   /** q62 end-to-end curation Config, pinned so the Spark funnel and the
@@ -971,6 +976,19 @@ object SparkEntry {
     "q63_repetition_multi" -> ((s, dir) => {
       Text.repetitionStatsMulti(t(s, dir, "documents"), "text", RepetitionNs)
         .orderBy("doc_id", "n")
+    }),
+
+    // CCNet-style unigram-LM quality proxy: mean negative log-likelihood
+    // of each doc's tokens under the corpus unigram distribution.
+    "q71_unigram_nll" -> ((s, dir) => {
+      Text.unigramLogProb(t(s, dir, "documents"), "text").orderBy("doc_id")
+    }),
+
+    // Cross-document boilerplate fractions: trigrams with corpus df >
+    // BoilerMaxDf are boilerplate; per-doc occurrence + distinct ratios.
+    "q72_boilerplate" -> ((s, dir) => {
+      Text.boilerplateStats(t(s, dir, "documents"), "text", BoilerN,
+        BoilerMaxDf).orderBy("doc_id")
     }),
 
     // PII masking over deterministically injected emails/URLs/phones/
@@ -1820,6 +1838,57 @@ object SparkEntry {
          |LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = nn.n
          |ORDER BY d.doc_id, n""".stripMargin
     },
+
+    // q71: corpus-wide token count per w is a window sum over the tf
+    // frame; the total-token scalar is its own aggregate — both sides
+    // compute mean NLL as sum(c * -ln(cnt/total)) / sum(c), 9 dp.
+    "q71_unigram_nll" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  GROUP BY doc_id, w
+         |),
+         |cw AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY w) AS cnt FROM tf),
+         |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+         |               AS total FROM documents)
+         |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         |       round(sum(c * -ln(cnt / total)) / sum(c), 9) AS unigram_nll
+         |FROM cw, tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // q72: gram df is a window count over the distinct (doc, gram)
+    // frame; ratios stay un-coalesced so gram-less docs get NULLs.
+    "q72_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |occ AS (SELECT doc_id,
+         |               unnest(${Text.shinglesAllSql("toks", BoilerN)}) AS g
+         |        FROM t),
+         |per AS (SELECT doc_id, g, count(*)::BIGINT AS c
+         |        FROM occ GROUP BY doc_id, g),
+         |wdf AS (SELECT doc_id, g, c, count(*) OVER (PARTITION BY g) AS df
+         |        FROM per),
+         |agg AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_grams,
+         |    sum(CASE WHEN df > $BoilerMaxDf THEN c ELSE 0 END)::BIGINT
+         |      AS n_boiler_grams,
+         |    count(*)::BIGINT AS n_distinct,
+         |    sum(CASE WHEN df > $BoilerMaxDf THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_boiler_distinct
+         |  FROM wdf GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(a.n_boiler_grams, 0)::BIGINT AS n_boiler_grams,
+         |  round(a.n_boiler_grams / a.n_grams::DOUBLE, 9) AS boiler_ratio,
+         |  coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+         |  coalesce(a.n_boiler_distinct, 0)::BIGINT AS n_boiler_distinct,
+         |  round(a.n_boiler_distinct / a.n_distinct::DOUBLE, 9)
+         |    AS boiler_distinct_ratio
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // q59: masking order URL -> email -> phone -> IPv4 -> long digits,
     // each count taken on that stage's input (patterns interpolated

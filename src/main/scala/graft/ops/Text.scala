@@ -358,6 +358,92 @@ object Text {
         col("tf"), col("tfidf"))
   }
 
+  /** Per-document unigram language-model score — the CCNet-style (Wenzek
+    * et al., LREC'20) "LM quality" proxy with the corpus itself as the
+    * model: `unigram_nll` is the mean negative log-likelihood of the
+    * document's tokens under the corpus unigram distribution
+    * (p(w) = corpus occurrences of w / total corpus tokens). Low NLL =
+    * stereotypical text, high NLL = rare-token-heavy text; curation
+    * gates trim BOTH tails. Deterministic, so DuckDB-oracle-able —
+    * unlike a trained KenLM it needs no external model artifact.
+    *
+    * Returns (doc_id, n_tokens, unigram_nll), NLL rounded to 9 dp.
+    *
+    * Shape: the corpus tokenizes ONCE into the (doc, token) tf frame
+    * (one data-sized shuffle); the corpus-wide token count per w is a
+    * window sum over tf (a token's partition is ≤ n_docs rows, never
+    * corpus-sized — same trick as [[topKeywords]]'s df, avoiding a
+    * self-join that would re-tokenize); the total-token scalar joins in
+    * as a broadcast 1-row aggregate from a second, map-only,
+    * column-pruned scan (sum of per-row token counts — no shuffle, no
+    * explode). Final agg keys on doc_id. Lazy end to end. */
+  def unigramLogProb(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col("doc_id"),
+        explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val total = df.agg(
+      sum(size(tokens(col(textCol)))).cast("double").as("__total"))
+    tf.withColumn("cnt", sum(col("c")).over(Window.partitionBy(col("w"))))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c") * -log(col("cnt") / col("__total"))) /
+          sum(col("c")), 9).as("unigram_nll"))
+  }
+
+  /** Cross-document boilerplate statistics (the RefinedWeb / C4 "seen
+    * everywhere" signal): an n-gram is boilerplate when its document
+    * frequency exceeds `maxDf` — navigation chrome, license headers,
+    * templated disclaimers. Per document, counts of total vs boilerplate
+    * gram OCCURRENCES and DISTINCT grams, with 9-dp ratios; a curation
+    * gate drops documents whose text is mostly corpus-wide boilerplate.
+    * Complements [[repetitionStats]], which scores WITHIN-document
+    * repetition only and cannot see a phrase stamped across documents.
+    *
+    * Returns one row per input document: (doc_id, n_grams,
+    * n_boiler_grams, boiler_ratio, n_distinct, n_boiler_distinct,
+    * boiler_distinct_ratio); docs with fewer than n tokens have zero
+    * counts and NULL ratios (never 0/0 — same contract as
+    * [[repetitionStats]]).
+    *
+    * Shape: one tokenizing scan → (doc, gram) count agg (the only
+    * data-sized shuffle); the gram's document frequency is a window
+    * COUNT over that grouped frame (rows are distinct (doc, gram), so
+    * the per-gram partition size IS df, bounded by n_docs — no
+    * re-tokenizing self-join); final agg keys on doc_id; the doc spine
+    * left-joins so gram-less docs survive. A stop-gram list at 100 TB
+    * falls out of the same frame (filter df > maxDf, project grams). */
+  def boilerplateStats(df: DataFrame, textCol: String, n: Int,
+                       maxDf: Long): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    import org.apache.spark.sql.expressions.Window
+    val boiler = col("df") > maxDf
+    val per = df
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode_outer(shinglesAll(col("__t"), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(boiler, col("c")).otherwise(lit(0L))).as("n_boiler_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(boiler, lit(1L)).otherwise(lit(0L))).as("n_boiler_distinct"))
+    df.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
+        round(col("n_boiler_grams").cast("double") / col("n_grams"), 9)
+          .as("boiler_ratio"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_boiler_distinct"), lit(0L)).as("n_boiler_distinct"),
+        round(col("n_boiler_distinct").cast("double") / col("n_distinct"), 9)
+          .as("boiler_distinct_ratio"))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     * MOSS algorithm): hash every k-token gram, slide a window of w hashes,
     * keep each window's minimum, dedupe. A document's fingerprint set is

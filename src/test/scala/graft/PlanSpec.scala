@@ -182,6 +182,26 @@ class PlanSpec extends SparkSpec {
     assert(splits == 1, s"split() appears $splits times:\n$p")
   }
 
+  test("q71: one tokenizing explode; the token-count scan stays map-only") {
+    // the corpus-wide per-token count is a window sum over the tf frame
+    // (a join against a unigram table would re-tokenize the second side);
+    // the only other split() is the total-token scalar — a 1-row agg of
+    // size(split(...)), no explode, no shuffle
+    val p = SparkEntry.queries("q71_unigram_nll")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits == 2, s"split() appears $splits times:\n$p")
+    val explodes = "(?i)explode".r.findAllIn(p).size
+    assert(explodes == 1, s"explode appears $explodes times:\n$p")
+  }
+
+  test("q72: gram df is a window over the grouped frame — one tokenization") {
+    val p = SparkEntry.queries("q72_boilerplate")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits == 1, s"split() appears $splits times:\n$p")
+  }
+
   test("q64: domain mix broadcasts the rate spec, corpus never shuffles for it") {
     val p = plan("q64_domain_mix")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -210,4 +210,40 @@ class TextSpec extends SparkSpec {
     assert(m(6L)._2 ==
       "v1.2.3 is not an ip; 555-12-4567 is not a phone; 100 1000 10000 stay")
   }
+
+  test("unigramLogProb: mean -ln p under the corpus unigram distribution") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1; total=5
+    val r = Text.unigramLogProb(corpus, "text")
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L)._2 == 3L && r(2L)._2 == 2L)
+    // doc1: every token has p=0.4 -> nll = -ln(0.4)
+    assert(r(1L)._3 == rnd(-math.log(0.4)))
+    // doc2: (−ln 0.4 − ln 0.2) / 2
+    assert(r(2L)._3 == rnd((-math.log(0.4) - math.log(0.2)) / 2))
+  }
+
+  test("boilerplateStats: cross-doc df gate; short docs NULL ratios") {
+    val corpus = Seq((1L, "a b a"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    // n=1, maxDf=1: token 'a' appears in 2 docs -> boilerplate
+    val r = Text.boilerplateStats(corpus, "text", 1, 1L)
+      .as[(Long, Long, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 3L, 2L, Some(0.666666667), 2L, 1L, Some(0.5))))
+    assert(r(2L) == ((2L, 2L, 1L, Some(0.5), 2L, 1L, Some(0.5))))
+    assert(r(3L) == ((3L, 1L, 0L, Some(0.0), 1L, 0L, Some(0.0))))
+    // n=2: doc 3 has no bigrams -> zero counts, NULL ratios (never 0/0)
+    val b = Text.boilerplateStats(corpus, "text", 2, 1L)
+      .as[(Long, Long, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(b(3L) == ((3L, 0L, 0L, None, 0L, 0L, None)))
+    intercept[IllegalArgumentException] {
+      Text.boilerplateStats(corpus, "text", 0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Text.boilerplateStats(corpus, "text", 1, 0L)
+    }
+  }
 }
