@@ -186,6 +186,11 @@ object SparkEntry {
   val AnnTables = 2
   /** Embedding near-dup cosine threshold. */
   val CosTau = 0.3
+  /** q73 SemDeDup centroid count — the first-k-rows centroid choice the
+    * oracle pins (a real run passes k-means centers instead); within-
+    * cluster pairs stay ~N²/k, and the fixture's within-cluster cosine
+    * p99 ≈ 0.32 makes the CosTau gate drop a real minority. */
+  val SemClusters = 8L
   /** Winnowing fingerprint parameters (k-gram size, window). */
   val FpK = 4
   val FpW = 4
@@ -820,6 +825,15 @@ object SparkEntry {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
         SrpPlanes, CosTau)
         .orderBy("id_a", "id_b")
+    }),
+
+    // SemDeDup: argmax-cosine cluster assignment over first-k centroids,
+    // then within-cluster semantic-duplicate pruning (keep-min id).
+    "q73_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < SemClusters), CosTau)
+        .orderBy("vec_id")
     }),
 
     // Token statistics (whitespace + word-regex + BPE estimate).
@@ -1578,6 +1592,34 @@ object SparkEntry {
          |JOIN ev eb ON b.vec_id = eb.vec_id
          |WHERE round(${cosSql("ea.v", "eb.v")}, 9) >= $CosTau
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q73: assignment = rn-1 over (cos DESC, cid ASC) — the same
+    // (cos, -cid) max_by ordering as the Spark side; survivors exclude
+    // any id with a smaller same-cluster neighbor at cos >= tau.
+    "q73_semantic_dedup" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |cen AS (SELECT vec_id AS cid, v AS cv FROM ev
+         |        WHERE vec_id < $SemClusters),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |              round(${cosSql("e.v", "c.cv")}, 9) AS cos
+         |       FROM ev e CROSS JOIN cen c),
+         |a1 AS (SELECT vec_id, cid AS cluster, cos AS cos_centroid FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cos DESC, cid ASC) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |dom AS (SELECT DISTINCT b.vec_id AS vec_id
+         |        FROM a1 a JOIN a1 b
+         |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |        JOIN ev ea ON a.vec_id = ea.vec_id
+         |        JOIN ev eb ON b.vec_id = eb.vec_id
+         |        WHERE round(${cosSql("ea.v", "eb.v")}, 9) >= $CosTau)
+         |SELECT s.vec_id, s.cluster, s.cos_centroid
+         |FROM a1 s WHERE s.vec_id NOT IN (SELECT vec_id FROM dom)
+         |ORDER BY s.vec_id""".stripMargin,
 
     "q24_token_stats" ->
       s"""SELECT doc_id,

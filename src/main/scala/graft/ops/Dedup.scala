@@ -575,4 +575,68 @@ object Dedup {
       // a pair shares exactly one bucket value, so no dedup is needed
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** SemDeDup cluster assignment (Abbas et al. 2023, arXiv:2303.09540):
+    * each vector goes to its argmax-cosine centroid (ties broken by
+    * smaller centroid id — deterministic and oracle-able). `centroids`
+    * is any (idCol, vecCol) frame — k-means centers on a real run; the
+    * q73 oracle pins the first-k-rows choice. Returns the input columns
+    * plus (cluster, cos_centroid), cosine rounded to 9 dp.
+    *
+    * Shape: centroids broadcast (k rows), the corpus streams through a
+    * map-side cross join and collapses back to one row per id via a
+    * `max_by` hash aggregate on struct(cos, -cluster) — partial-agg
+    * (map-side combine) keeps the shuffle at one row per (id, partition),
+    * and no sort-window touches the k-times-fanned frame. */
+  def semanticAssign(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame): DataFrame = {
+    val cen = centroids.select(col(idCol).as("__cid"),
+      col(vecCol).as("__cv"))
+    val passCols = df.columns.toSeq
+    df.crossJoin(broadcast(cen))
+      .withColumn("__cos",
+        round(Similarity.cosine(col(vecCol), col("__cv")), 9))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(struct((passCols.filter(_ != idCol).map(col) ++
+            Seq(col("__cid"), col("__cos"))): _*),
+          struct(col("__cos"), -col("__cid"))).as("__b"))
+      .select(col(idCol) +: (passCols.filter(_ != idCol)
+          .map(c => col(s"__b.$c").as(c)) ++
+        Seq(col("__b.__cid").as("cluster"),
+          col("__b.__cos").as("cos_centroid"))): _*)
+  }
+
+  /** SemDeDup apply: cluster via [[semanticAssign]], then inside each
+    * cluster drop every vector that has a semantic duplicate
+    * (cosine ≥ tau) with a smaller id — the same keep-min survivor
+    * policy as [[dedupNear]], so results are deterministic. Returns the
+    * survivors as (idCol, cluster, cos_centroid).
+    *
+    * Scale shape: the assignment frame is read three times (both pair
+    * sides + the survivor base), so it materializes once behind a
+    * [[Barrier]] (EAGER, like [[dedupNear]]'s posting cuts); the pair
+    * join keys on the cluster — never all-pairs across the corpus. The
+    * within-cluster join IS quadratic per cluster by design (that is
+    * SemDeDup's verify step): k controls it. Size k ≈ N / targetClusterSize
+    * exactly as the paper does (they use k-means with k in the tens of
+    * thousands at web scale); a fixture-sized k here would be a scale
+    * trap, so k is whatever `centroids` carries — the caller's lever. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, tau: Double): DataFrame = {
+    val assign = Barrier.cut(
+      semanticAssign(df, idCol, vecCol, centroids)
+        .select(col(idCol), col(vecCol), col("cluster"),
+          col("cos_centroid")))
+    val a = assign.select(col("cluster"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"))
+    val b = assign.select(col("cluster"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"))
+    val dominated = a.join(b, Seq("cluster"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(Similarity.cosine(col("__va"), col("__vb")), 9) >= tau)
+      .select(col("__idb").as(idCol)).distinct()
+    assign.join(dominated, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"), col("cos_centroid"))
+  }
 }

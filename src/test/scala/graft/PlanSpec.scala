@@ -202,6 +202,25 @@ class PlanSpec extends SparkSpec {
     assert(splits == 1, s"split() appears $splits times:\n$p")
   }
 
+  test("q73: centroid fan-out broadcasts; the pair join is cluster-equi-keyed") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the assignment stage (pre-barrier): its only cartesian shape is
+    // the broadcast against the k-row centroid frame
+    val ap = graft.ops.Dedup.semanticAssign(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < SparkEntry.SemClusters))
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct"), s"cartesian in plan:\n$ap")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(ap).size
+    assert(bnlj == 1, s"expected 1 broadcast fan-out, got $bnlj:\n$ap")
+    // the full query (post-barrier): within-cluster pair join + anti
+    // join are equi-keyed — never a loop over the corpus
+    val p = SparkEntry.queries("q73_semantic_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$p")
+  }
+
   test("q64: domain mix broadcasts the rate spec, corpus never shuffles for it") {
     val p = plan("q64_domain_mix")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -320,4 +320,33 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(restricted == Set((1L, 2L, math.round(1.0 / 3 * 1e9) / 1e9)))
   }
+
+  test("semanticAssign: argmax-cosine cluster, ties to the smaller centroid") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),       // the two centroids
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)),
+      (6L, Seq(1f, 1f))                           // equidistant -> tie
+    ).toDF("vec_id", "embedding")
+    val cen = vecs.filter($"vec_id" <= 2L)
+    val a = Dedup.semanticAssign(vecs, "vec_id", "embedding", cen)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(a == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 6L -> 1L))
+  }
+
+  test("semanticDedup: within-cluster keep-min; cross-cluster pairs never compared") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.9f, 0.1f)),                 // cluster 1, near-dup of 1
+      (4L, Seq(0.1f, 0.9f)),                 // cluster 2, near-dup of 2
+      (5L, Seq(1f, 0.05f))                   // cluster 1, near-dup of 1 and 3
+    ).toDF("vec_id", "embedding")
+    val cen = vecs.filter($"vec_id" <= 2L)
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", cen, 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    // at an unreachable tau nothing is dominated
+    val all = Dedup.semanticDedup(vecs, "vec_id", "embedding", cen, 1.1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
