@@ -140,6 +140,11 @@ object SparkEntry {
     * median 1 / p99 ≈ 4, so 3 marks a real minority of grams). */
   val BoilerN = 3
   val BoilerMaxDf = 3L
+  /** q74 DSIR: hashed-bigram buckets and the "high-quality target"
+    * slice (the first four sources) the importance weights point at. */
+  val DsirBuckets = 1024
+  val DsirN = 2
+  val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
   /** q57 conversion-funnel stage order. */
   val FunnelStages = Seq("signup", "click", "purchase")
   /** q62 end-to-end curation Config, pinned so the Spark funnel and the
@@ -990,6 +995,15 @@ object SparkEntry {
     "q63_repetition_multi" -> ((s, dir) => {
       Text.repetitionStatsMulti(t(s, dir, "documents"), "text", RepetitionNs)
         .orderBy("doc_id", "n")
+    }),
+
+    // DSIR importance scores: hashed-bigram bucket weights
+    // ln p_target − ln p_raw (Laplace-smoothed), summed per document.
+    "q74_dsir_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.dsirScores(docs, "doc_id", "text",
+        docs.filter(col("source").isin(DsirTargetSources: _*)),
+        DsirBuckets, DsirN).orderBy("doc_id")
     }),
 
     // CCNet-style unigram-LM quality proxy: mean negative log-likelihood
@@ -1879,6 +1893,40 @@ object SparkEntry {
          |CROSS JOIN (SELECT unnest([${RepetitionNs.mkString(", ")}]) AS n) nn
          |LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = nn.n
          |ORDER BY d.doc_id, n""".stripMargin
+    },
+
+    // q74: bucket counts per corpus slice, Laplace-smoothed log-ratio
+    // weights on the full bucket spine, per-doc occurrence sum — the
+    // same bucket hash (md5-60 mod buckets) on both engines.
+    "q74_dsir_score" -> {
+      val tgt = DsirTargetSources.map(s0 => s"'$s0'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |occ AS (SELECT doc_id, source,
+         |               unnest(${Text.shinglesAllSql("toks", DsirN)}) AS g
+         |        FROM t),
+         |b AS (SELECT doc_id, source,
+         |             ${Portable.sqlHash("g")} % $DsirBuckets AS bucket
+         |      FROM occ),
+         |tc AS (SELECT bucket, count(*)::BIGINT AS ct FROM b
+         |       WHERE source IN ($tgt) GROUP BY bucket),
+         |rc AS (SELECT bucket, count(*)::BIGINT AS cr FROM b GROUP BY bucket),
+         |sp AS (SELECT unnest(range(0, $DsirBuckets)) AS bucket),
+         |tt AS (SELECT count(*)::DOUBLE AS v FROM b WHERE source IN ($tgt)),
+         |rt AS (SELECT count(*)::DOUBLE AS v FROM b),
+         |w AS (SELECT sp.bucket,
+         |        round(ln((coalesce(tc.ct, 0) + 1) / (tt.v + $DsirBuckets.0)) -
+         |              ln((coalesce(rc.cr, 0) + 1) / (rt.v + $DsirBuckets.0)),
+         |          9) AS w
+         |      FROM sp LEFT JOIN tc ON sp.bucket = tc.bucket
+         |              LEFT JOIN rc ON sp.bucket = rc.bucket, tt, rt),
+         |per AS (SELECT b.doc_id, count(*)::BIGINT AS n_grams,
+         |               sum(w.w) AS s
+         |        FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id)
+         |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+         |       round(coalesce(p.s, 0.0), 9) AS dsir_score
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     // q71: corpus-wide token count per w is a window sum over the tf

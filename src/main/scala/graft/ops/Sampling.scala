@@ -204,4 +204,81 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__h", "__b", "__carry")
   }
+
+  /** Hashed-n-gram occurrences of a document frame, bucketed — the DSIR
+    * feature extractor: every gram occurrence maps to
+    * `hash(gram) mod buckets`. Keyed hashing via [[Portable]], so the
+    * bucketing is engine-portable and run-stable. */
+  private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int, n: Int): DataFrame =
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        explode_outer(Text.shinglesAll(col("__t"), n)).as("__g"))
+      .filter(col("__g").isNotNull)
+      .select(col(idCol),
+        pmod(Portable.seededHash(col("__g")), lit(buckets.toLong))
+          .as("bucket"))
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * per hashed-n-gram bucket, `w = ln p_target(b) − ln p_raw(b)` with
+    * Laplace smoothing `p(b) = (count_b + 1) / (total + buckets)`.
+    * Returns the FULL bucket spine (bucket, ct, cr, w) — buckets unseen
+    * in either corpus get the smoothed floor, so any document can be
+    * scored. Weights rounded to 9 dp (engine parity).
+    *
+    * Shape: each corpus is scanned once; gram occurrences collapse to
+    * `buckets` rows via a map-side-combinable hash agg (the shuffle
+    * carries ≤ buckets rows per task, never the gram stream); the
+    * totals are window sums over the bucket-spine frame — `buckets`
+    * rows on one task, a constant, with a literal partition key so the
+    * plan states the intent. Everything downstream of the two count
+    * aggs is spine-sized. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int, n: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spine = raw.sparkSession.range(buckets)
+      .select(col("id").as("bucket"))
+    def counts(d: DataFrame, as: String) =
+      gramBuckets(d, idCol, textCol, buckets, n)
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val all = Window.partitionBy(lit(0))
+    def p(c: String, tot: String) =
+      (col(c) + lit(1L)).cast("double") / (col(tot) + lit(buckets.toDouble))
+    spine
+      .join(counts(target, "ct"), Seq("bucket"), "left")
+      .join(counts(raw, "cr"), Seq("bucket"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .withColumn("cr", coalesce(col("cr"), lit(0L)))
+      .withColumn("__tt", sum(col("ct")).over(all).cast("double"))
+      .withColumn("__tr", sum(col("cr")).over(all).cast("double"))
+      .select(col("bucket"), col("ct"), col("cr"),
+        round(log(p("ct", "__tt")) - log(p("cr", "__tr")), 9).as("w"))
+  }
+
+  /** DSIR importance score per document: the sum of bucket weights over
+    * the document's hashed-n-gram occurrences — the log importance
+    * weight `ln Π p_t/p_r` whose exponential DSIR resamples by. Gram-less
+    * documents (fewer than n tokens) score 0 (the empty product). Output:
+    * (idCol, n_grams, dsir_score), score rounded to 9 dp; select on it
+    * with [[topFraction]] (relative cut) or threshold directly.
+    *
+    * Shape: the weight table is `buckets` rows → broadcast; the corpus
+    * meets it map-side and collapses straight to one row per doc (doc-
+    * keyed agg, the only data-sized shuffle). The raw corpus is scanned
+    * twice end-to-end (once inside [[dsirWeights]]' count, once here) —
+    * both passes map-only before their aggs; a persisted `weights`
+    * frame amortizes the first across many scoring batches. */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, buckets: Int, n: Int): DataFrame = {
+    val w = dsirWeights(df, target, idCol, textCol, buckets, n)
+    val per = gramBuckets(df, idCol, textCol, buckets, n)
+      .join(broadcast(w.select(col("bucket"), col("w"))), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("__s"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("__s"), lit(0.0)), 9).as("dsir_score"))
+  }
 }

@@ -514,9 +514,10 @@ object Text {
       .filter(col("fp").isNotNull)
   }
 
-  /** All (non-distinct) k-gram shingles — winnowing needs positional
-    * k-grams, not the distinct set. */
-  private def shinglesAll(toks: Column, n: Int): Column = {
+  /** All (non-distinct) k-gram shingles — winnowing and occurrence-
+    * weighted gram features ([[Sampling.dsirScores]]) need positional
+    * k-grams, not the distinct set. DuckDB twin: [[shinglesAllSql]]. */
+  def shinglesAll(toks: Column, n: Int): Column = {
     val gram = transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
     when(size(toks) >= n, gram).otherwise(array().cast("array<string>"))

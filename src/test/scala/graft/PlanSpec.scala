@@ -221,6 +221,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi join in plan:\n$p")
   }
 
+  test("q74: weight spine broadcasts into the scoring join; 3 tokenizations") {
+    val df = SparkEntry.queries("q74_dsir_score")(spark, dir)
+    val op = df.queryExecution.optimizedPlan.toString
+    // target counts, raw counts, scoring pass — and nothing more (the
+    // weight math itself must never touch the corpus again)
+    val splits = "split\\(".r.findAllIn(op).size
+    assert(splits == 3, s"split() appears $splits times:\n$op")
+    val ep = df.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct") &&
+      !ep.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$ep")
+    // the buckets-row weight frame reaches the gram stream as a
+    // broadcast hash join, not a shuffle of the occurrences
+    assert(ep.contains("BroadcastHashJoin"), s"no broadcast join:\n$ep")
+  }
+
   test("q64: domain mix broadcasts the rate spec, corpus never shuffles for it") {
     val p = plan("q64_domain_mix")
     assert(p.contains("BroadcastHashJoin"), p)

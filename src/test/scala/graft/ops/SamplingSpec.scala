@@ -166,4 +166,41 @@ class SamplingSpec extends SparkSpec {
     assert(bucketed == direct)
     assert(direct.nonEmpty)
   }
+
+  test("dsirWeights: full spine, target-favored buckets weigh positive") {
+    val raw = Seq((1L, "a b a b"), (2L, "c d c d"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L)
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text", 16, 2)
+    assert(w.count() == 16)
+    val wm = w.select("bucket", "w").as[(Long, Double)].collect().toMap
+    def bk(g: String) = graft.functions.Hash60.compute(
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString(g))) % 16
+    // "a b" occurs in the target, "c d" only in raw
+    assert(wm(bk("a b")) > wm(bk("c d")))
+    // an unseen bucket gets the smoothed-floor weight, not NULL
+    val unseen = (0L until 16L).toSet -- Seq("a b", "b a", "c d", "d c").map(bk)
+    unseen.foreach(b => assert(!wm(b).isNaN))
+  }
+
+  test("dsirScores: per-doc sum of bucket weights; gram-less docs score 0") {
+    val raw = Seq((1L, "a b a b"), (2L, "c d c d"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" === 1L)
+    val wm = Sampling.dsirWeights(raw, target, "doc_id", "text", 16, 2)
+      .select("bucket", "w").as[(Long, Double)].collect().toMap
+    def bk(g: String) = graft.functions.Hash60.compute(
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString(g))) % 16
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s = Sampling.dsirScores(raw, "doc_id", "text", target, 16, 2)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    // doc 1 grams: "a b", "b a", "a b"
+    assert(s(1L)._2 == 3L)
+    assert(s(1L)._3 == rnd(2 * wm(bk("a b")) + wm(bk("b a"))))
+    assert(s(2L)._3 == rnd(2 * wm(bk("c d")) + wm(bk("d c"))))
+    // the target-slice doc outranks the out-of-target doc
+    assert(s(1L)._3 > s(2L)._3)
+    assert(s(3L) == ((3L, 0L, 0.0)))
+  }
 }
