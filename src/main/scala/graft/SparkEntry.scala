@@ -997,6 +997,12 @@ object SparkEntry {
         .orderBy("doc_id", "n")
     }),
 
+    // Corpus data card: per-(source, lang) doc/token/quality rollup.
+    "q75_corpus_report" -> ((s, dir) => {
+      Quality.corpusReport(t(s, dir, "documents"), "source", "lang", "text")
+        .orderBy("source", "lang")
+    }),
+
     // DSIR importance scores: hashed-bigram bucket weights
     // ln p_target − ln p_raw (Laplace-smoothed), summed per document.
     "q74_dsir_score" -> ((s, dir) => {
@@ -1893,6 +1899,39 @@ object SparkEntry {
          |CROSS JOIN (SELECT unnest([${RepetitionNs.mkString(", ")}]) AS n) nn
          |LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = nn.n
          |ORDER BY d.doc_id, n""".stripMargin
+    },
+
+    // q75: the q25 per-doc score CTE rolled up per (source, lang) —
+    // means taken over the 9-dp-rounded per-doc scores on both sides.
+    "q75_corpus_report" -> {
+      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id, source, lang,
+         |    len(string_split(text, ' '))::DOUBLE AS n_toks,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM documents
+         |), q AS (
+         |  SELECT source, lang, n_toks::BIGINT AS n_tokens,
+         |    round(least(1.0, greatest(0.0,
+         |      0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |      AS quality_score
+         |  FROM m
+         |)
+         |SELECT source, lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  round(avg(n_tokens), 9) AS mean_tokens,
+         |  round(avg(quality_score), 9) AS mean_quality,
+         |  round(min(quality_score), 9) AS min_quality,
+         |  round(max(quality_score), 9) AS max_quality
+         |FROM q GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin
     },
 
     // q74: bucket counts per corpus slice, Laplace-smoothed log-ratio

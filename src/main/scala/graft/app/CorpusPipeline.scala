@@ -48,6 +48,15 @@ object CorpusPipeline {
     * to have n-grams (NULL ratio) pass. `None` skips the stage
     * entirely — no dead scan.
     *
+    * `maxBoilerRatio` adds the cross-document boilerplate gate
+    * ([[Text.boilerplateStats]]) after the repetition gate: documents
+    * whose `boilerN`-gram occurrences are mostly corpus-wide
+    * boilerplate (grams seen in more than `boilerMaxDf` documents)
+    * drop. Unlike the repetition gate it sees ACROSS documents —
+    * templated chrome stamped on thousands of pages. Size
+    * `boilerMaxDf` to the corpus (it is an absolute document count);
+    * too-short docs (NULL ratio) pass, `None` skips the stage.
+    *
     * `evalDocs` adds benchmark DECONTAMINATION between near-dedup and
     * chunking ([[Dedup.contamination]]): a (doc_id, text) frame of
     * held-out eval documents; any surviving training doc sharing ≥
@@ -70,6 +79,9 @@ object CorpusPipeline {
       scrubPii: Boolean = false,
       maxDupNgramRatio: Option[Double] = None,
       repetitionN: Int = 2,
+      maxBoilerRatio: Option[Double] = None,
+      boilerN: Int = 3,
+      boilerMaxDf: Long = 1000L,
       evalDocs: Option[DataFrame] = None,
       contaminationMinShared: Long = 5L,
       broadcastEval: Boolean = true)
@@ -207,9 +219,26 @@ object CorpusPipeline {
         else surv
     }
 
+    // optional cross-document boilerplate gate: drop docs that are
+    // mostly corpus-wide boilerplate grams (df > boilerMaxDf). Reads
+    // its input twice (stats + join) over the cached parents — the
+    // same bounded-x2 contract as the repetition gate above.
+    val gated = cfg.maxBoilerRatio match {
+      case None => good
+      case Some(maxB) =>
+        val surv = good.join(
+          Text.boilerplateStats(good, "text", cfg.boilerN, cfg.boilerMaxDf)
+            .filter(col("boiler_ratio").isNull ||
+              col("boiler_ratio") <= maxB)
+            .select("doc_id"),
+          Seq("doc_id"))
+        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        else surv
+    }
+
     // exact dedup (hash-groupBy, deterministic min-id survivor), then
     // near-dedup with the transitive-cluster policy
-    val exact = Dedup.dedupExact(good, "doc_id", "text")
+    val exact = Dedup.dedupExact(gated, "doc_id", "text")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shingled = exact.select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), cfg.shingleN).as("shingles"))
@@ -253,9 +282,11 @@ object CorpusPipeline {
         // count order matters: `exact` (persisted) materializes from the
         // cached gates BEFORE they unpersist, so nothing downstream ever
         // re-runs a gate pipeline
-        val gateCounts =
-          if (cfg.maxDupNgramRatio.isEmpty) Seq("quality" -> good.count())
-          else Seq("quality" -> quality.count(), "repetition" -> good.count())
+        val gateCounts = Seq("quality" -> quality.count()) ++
+          (if (cfg.maxDupNgramRatio.isEmpty) Seq.empty
+           else Seq("repetition" -> good.count())) ++
+          (if (cfg.maxBoilerRatio.isEmpty) Seq.empty
+           else Seq("boilerplate" -> gated.count()))
         val scrubCounts =
           if (cfg.evalDocs.isEmpty) Seq.empty
           else Seq("decontaminated" -> decon.count())
@@ -266,6 +297,7 @@ object CorpusPipeline {
           "exact_dedup" -> exact.count(),
           "near_dedup" -> near.count()) ++ scrubCounts ++ Seq(
           "chunks" -> chunks.count())
+        if (gated ne good) gated.unpersist()
         if (good ne quality) good.unpersist()
         quality.unpersist()
         inLang.unpersist()

@@ -92,4 +92,25 @@ object Quality {
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")).toSeq
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Corpus data card: per-(source, lang) rollup of document counts,
+    * token volume and quality distribution — the summary table a
+    * curation run publishes next to its output (composition, per-slice
+    * quality floor/ceiling). Means are over the 9-dp per-doc scores of
+    * [[Text.qualityScore]] and are themselves rounded to 9 dp.
+    *
+    * Shape: the per-doc scores come from ONE corpus scan with the
+    * grouping columns passed through (no corpus-sized metadata join);
+    * the rollup is a map-side-combinable hash agg keyed on
+    * (source, lang) — slice-count rows move, never documents. */
+  def corpusReport(df: DataFrame, sourceCol: String, langCol: String,
+                   textCol: String): DataFrame =
+    Text.qualityScore(df, textCol, Seq(sourceCol, langCol))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(avg(col("n_tokens")), 9).as("mean_tokens"),
+        round(avg(col("quality_score")), 9).as("mean_quality"),
+        round(min(col("quality_score")), 9).as("min_quality"),
+        round(max(col("quality_score")), 9).as("max_quality"))
 }

@@ -76,7 +76,14 @@ object Text {
     * punctuation / stopword-ratio heuristics of C4/Gopher-style cleaning,
     * as pure scalar expressions (map-only). Score is a clamped weighted
     * sum, rounded for cross-engine float stability. */
-  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityScore(df, textCol, Nil)
+
+  /** [[qualityScore]] with extra input columns passed through — lets a
+    * rollup ([[Quality.corpusReport]]) group the per-doc scores without
+    * a corpus-sized join back to the metadata. */
+  def qualityScore(df: DataFrame, textCol: String,
+                   keep: Seq[String]): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nToks = size(toks).cast("double")
@@ -89,13 +96,13 @@ object Text {
     val score = least(lit(1.0), greatest(lit(0.0),
       lit(0.4) * lenOk + lit(0.3) * alpha + lit(0.2) * stop +
         lit(0.1) * (lit(1.0) - digits)))
-    df.select(col("doc_id"),
+    df.select(col("doc_id") +: keep.map(col) ++: Seq(
       nToks.cast("long").as("n_tokens"),
       round(alpha, 9).as("alpha_ratio"),
       round(digits, 9).as("digit_ratio"),
       round(stop, 9).as("stopword_ratio"),
       lenOk.cast("long").as("len_ok"),
-      round(score, 9).as("quality_score"))
+      round(score, 9).as("quality_score")): _*)
   }
 
   /** Stopword profile per language for the n-gram/stopword language-ID

@@ -105,6 +105,39 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(doc3.contains("email") && doc3.contains("url"), doc3)
   }
 
+  test("curate: boilerplate gate drops the doc that is mostly shared chrome") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for daily updates and offers"
+    val u1 = "the brown fox jumps over a lazy dog and runs far into " +
+      "the green hills beyond the farm fence line"
+    val u2 = "a tall ship sails across the wide ocean while sailors watch " +
+      "the stars and chart a course home"
+    val u3 = "the old library keeps a rare map of ancient roads that " +
+      "traders once used to cross the mountains"
+    val corpus = Seq(
+      (1L, s"$u1 $boiler", "en", "s0"),
+      (2L, s"$u2 $boiler", "en", "s0"),
+      (3L, s"$u3 $boiler", "en", "s0"),
+      // mostly boilerplate: only four tokens of its own
+      (4L, s"$boiler please thanks the end", "en", "s0"),
+      (5L, "a completely original essay about the history of sorting " +
+        "machines and the people who built them", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cfg = CorpusPipeline.Config(minQuality = 0.3,
+      maxBoilerRatio = Some(0.5), boilerN = 2, boilerMaxDf = 2L)
+    val r = CorpusPipeline.curate(corpus, cfg)
+    val f = r.funnel.toMap
+    assert(f("quality") == 5 && f("boilerplate") == 4, s"funnel: ${r.funnel}")
+    val survivors = r.chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L, 5L))
+    // lazy mode: same chunk rows, no funnel
+    val lazyR = CorpusPipeline.curate(corpus, cfg, collectFunnel = false)
+    assert(lazyR.funnel.isEmpty)
+    assert(lazyR.chunks.collect().toSet == r.chunks.collect().toSet)
+    lazyR.persisted.foreach(_.unpersist())
+    r.persisted.foreach(_.unpersist())
+  }
+
   test("curate: eval-scrub stage drops a planted benchmark leak, funnel stays monotone") {
     import spark.implicits._
     // doc 2 embeds an eval passage verbatim (≥ 5 shared 3-gram

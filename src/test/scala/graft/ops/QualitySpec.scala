@@ -71,4 +71,28 @@ class QualitySpec extends SparkSpec {
     Quality.checkColumnCount(li, 11)
     Quality.checkPrimaryKey(part, "p_partkey")
   }
+
+  test("corpusReport: per-(source, lang) rollup agrees with per-doc scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today", "s1", "en"),
+      (2L, "a b", "s1", "en"),
+      (3L, "der hund und die katze und das haus ist hier gross", "s2", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val rep = Quality.corpusReport(docs, "source", "lang", "text")
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(rep.keySet == Set(("s1", "en"), ("s2", "de")))
+    val q = Text.qualityScore(docs, "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val s1 = rep(("s1", "en"))
+    assert(s1._3 == 2L && s1._4 == 13L)      // 11 + 2 tokens
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s1._6 == rnd((q(1L) + q(2L)) / 2))
+    assert(s1._7 == math.min(q(1L), q(2L)) && s1._8 == math.max(q(1L), q(2L)))
+    // single-doc cell: mean == min == max
+    val s2 = rep(("s2", "de"))
+    assert(s2._6 == q(3L) && s2._7 == q(3L) && s2._8 == q(3L))
+  }
 }
