@@ -140,6 +140,10 @@ object SparkEntry {
     * median 1 / p99 ≈ 4, so 3 marks a real minority of grams). */
   val BoilerN = 3
   val BoilerMaxDf = 3L
+  /** q76 stratified sample: exact docs-per-source count and the draw's
+    * salt. */
+  val SampleNPerSource = 12
+  val SampleSalt = "q76"
   /** q74 DSIR: hashed-bigram buckets and the "high-quality target"
     * slice (the first four sources) the importance weights point at. */
   val DsirBuckets = 1024
@@ -995,6 +999,12 @@ object SparkEntry {
     "q63_repetition_multi" -> ((s, dir) => {
       Text.repetitionStatsMulti(t(s, dir, "documents"), "text", RepetitionNs)
         .orderBy("doc_id", "n")
+    }),
+
+    // Exact-N stratified sample: 12 docs per source by keyed-hash draw.
+    "q76_stratified_sample" -> ((s, dir) => {
+      Sampling.sampleN(t(s, dir, "documents"), "doc_id", "source",
+        SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
     // Corpus data card: per-(source, lang) doc/token/quality rollup.
@@ -1900,6 +1910,21 @@ object SparkEntry {
          |LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = nn.n
          |ORDER BY d.doc_id, n""".stripMargin
     },
+
+    // q76: rank by the same keyed hash (id tiebreak) within each
+    // source; keep rank <= N; payload joins back by id.
+    "q76_stratified_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${Portable.sqlHash("doc_id", s"'$SampleSalt'")},
+         |             doc_id)::BIGINT AS sample_rank
+         |  FROM documents
+         |)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+         |       r.sample_rank
+         |FROM documents d JOIN r ON d.doc_id = r.doc_id
+         |WHERE r.sample_rank <= $SampleNPerSource
+         |ORDER BY d.doc_id""".stripMargin,
 
     // q75: the q25 per-doc score CTE rolled up per (source, lang) —
     // means taken over the 9-dp-rounded per-doc scores on both sides.

@@ -93,6 +93,31 @@ object Sampling {
     df.join(kept, Seq(idCol))
   }
 
+  /** Exact-N stratified sample: keep exactly `min(n, |source|)` rows
+    * per source, chosen by an independent keyed-hash draw (id
+    * tiebreak) — the absolute-count twin of [[topFraction]]'s relative
+    * gate and the deterministic replacement for `df.sampleBy` (whose
+    * Bernoulli draws neither hit exact counts nor survive re-runs).
+    * Output: the input columns plus `sample_rank` (1-based within the
+    * source). A new salt yields an independent draw.
+    *
+    * Scale shape: the rank window sorts a NARROW (id, source, hash)
+    * projection, never the payload; kept ids join back keyed on id.
+    * The per-source sort-task bound applies (a source's ids sort on
+    * one task) — for billion-row sources rank within hash buckets
+    * first, as [[tokenBudgetBucketed]] does for budgets. */
+  def sampleN(df: DataFrame, idCol: String, sourceCol: String,
+              n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Portable.seededHash(col(idCol), lit(salt)), col(idCol))
+    val kept = df.select(col(idCol), col(sourceCol))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .select(col(idCol), col("sample_rank"))
+    df.join(kept, Seq(idCol))
+  }
+
   /** Mixture-rate spec from TARGET token counts — the knob users
     * actually reason in ("200M tokens of s0, 50M of s1"): per source,
     * rate = min(1, target / current tokens). The result is a

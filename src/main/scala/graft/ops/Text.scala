@@ -146,6 +146,29 @@ object Text {
         col("lang"))
   }
 
+  /** Map-only column form of [[languageId]] — the STREAM-SAFE language
+    * gate: no explode, no aggregation, no window, so it runs inside a
+    * `writeStream` pipeline in append mode where the relational form
+    * (groupBy + rank) cannot. Per language, the hit count is
+    * `size(filter(toks, profile words))` over the materialized token
+    * array; the argmax folds in ascending language order with a strict
+    * `>`, which reproduces [[languageId]]'s (count DESC, lang ASC)
+    * tiebreak and its 'und' fallback exactly (TextSpec pins equality on
+    * the full fixture corpus). The per-language filter lambdas are
+    * interpreted (no codegen) — fine for the profile's 5 languages;
+    * prefer [[languageId]] for batch corpora, where the broadcast-join
+    * form stays in codegen. */
+  def langIdColumn(toks: Column): Column = {
+    val byLang = LangProfile.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    byLang.foldLeft(struct(lit(0L).as("n"), lit("und").as("l"))) {
+      case (acc, (lg, ws)) =>
+        val n = size(filter(toks, w => w.isin(ws.map(lit): _*))).cast("long")
+        when(n > acc.getField("n"),
+          struct(n.as("n"), lit(lg).as("l"))).otherwise(acc)
+    }.getField("l")
+  }
+
   /** C4-style text normalization: lowercase, non-alphanumeric → space,
     * collapse space runs, trim. Pure per-row scalar chain (map-only),
     * identical regex semantics in the DuckDB oracle (its regexp_replace

@@ -143,6 +143,47 @@ object StreamOps {
           expr(s"INTERVAL '$upperMs' MILLISECOND"))
   }
 
+  /** Streaming ingest curation — the continuous-arrival twin of
+    * [[graft.app.CorpusPipeline]]'s gate prefix: optional PII scrub →
+    * normalize (+ non-empty) → language gate → quality gate → optional
+    * exact dedup against the static corpus index. Every gate is the
+    * SAME column expression the batch funnel uses, chosen in its
+    * map-only form ([[graft.ops.Text.piiMasked]], `normalize`,
+    * `langIdColumn`, `qualityScore`), so the stage is fully STATELESS:
+    * no watermark needed, nothing accumulates, append mode works, and
+    * a batch frame through this function gives bit-identical rows
+    * (spec-pinned) — one code path for backfill and ingest.
+    *
+    * What it deliberately does NOT do on the stream: near-dedup and
+    * in-stream exact dedup (state-bearing — compose [[dedupStream]]
+    * with a watermark for that), and chunking/packing (batch-shaped
+    * consumers). `existingHashes` is the stored content-hash index
+    * ([[graft.ops.Dedup.exactGroups]] output at rest); the anti-join
+    * against it is stateless on the stream side.
+    *
+    * Output: the input columns (text normalized/scrubbed) plus
+    * pred_lang and the quality columns, plus content_hash when the
+    * index gate is on. */
+  def curateStream(docs: DataFrame, keepLangs: Set[String],
+                   minQuality: Double, scrubPii: Boolean = false,
+                   existingHashes: Option[DataFrame] = None): DataFrame = {
+    import graft.ops.Text
+    val scrubbed =
+      if (!scrubPii) docs
+      else docs.withColumn("text", Text.piiMasked(col("text")))
+    val normed = scrubbed
+      .withColumn("text", Text.normalize(col("text")))
+      .filter(length(col("text")) > 0)
+      .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("pred_lang", Text.langIdColumn(col("__toks")))
+      .filter(col("pred_lang").isin(keepLangs.toSeq: _*))
+      .drop("__toks")
+    val scored = Text.qualityScore(normed, "text",
+        normed.columns.filterNot(_ == "doc_id").toSeq)
+      .filter(col("quality_score") >= minQuality)
+    existingHashes.fold(scored)(h => dedupStreamAgainst(scored, "text", h))
+  }
+
   /** Convenience: wire a streaming DataFrame to an in-memory sink (specs
     * and smoke runs) and return the query name to select from. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)

@@ -167,6 +167,28 @@ class SamplingSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("sampleN: exact per-source counts, deterministic, salt-independent draws") {
+    val docs = (1L to 40L).map(i => (i, s"text $i", s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val a = Sampling.sampleN(docs, "doc_id", "source", 3, "a")
+    val counts = a.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(3L) && counts.size == 4)
+    // ranks are 1..n within each source
+    assert(a.select("sample_rank").as[Long].collect().sorted.toSeq ==
+      Seq.fill(4)(Seq(1L, 2L, 3L)).flatten.sorted)
+    // deterministic: the same salt re-draws the identical set
+    val a2 = Sampling.sampleN(docs, "doc_id", "source", 3, "a")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.select("doc_id").as[Long].collect().toSet == a2)
+    // a different salt gives an independent (here: different) draw
+    val b = Sampling.sampleN(docs, "doc_id", "source", 3, "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a2 != b)
+    // n >= stratum size keeps the whole stratum
+    assert(Sampling.sampleN(docs, "doc_id", "source", 99, "a").count() == 40)
+  }
+
   test("dsirWeights: full spine, target-favored buckets weigh positive") {
     val raw = Seq((1L, "a b a b"), (2L, "c d c d"), (3L, "x"))
       .toDF("doc_id", "text")

@@ -212,4 +212,42 @@ class StreamOpsSpec extends SparkSpec {
         s"late row not dropped by watermark ($droppedBefore -> $droppedAfter)")
     } finally q.stop()
   }
+
+  test("curateStream: stateless gate chain on a stream; batch twin identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val knownRaw = "the known corpus document body is here and the words " +
+      "stay the same"
+    val index = Seq(knownRaw).toDF("text")
+      .select(md5($"text".cast("binary")).as("content_hash"))
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the " +
+        "other fox follows along the river bank", "en", "s0"), // survives
+      (2L, "der hund und die katze und das haus ist hier gross war alt",
+        "de", "s0"),                       // language gate drops
+      (3L, "the dog", "en", "s0"),         // quality gate drops (short)
+      (4L, "The KNOWN corpus document body is here, and the words stay " +
+        "the same!", "en", "s0"),          // normalizes into the index -> drop
+      (5L, "!!! ??? ...", "en", "s0"))     // normalize-empty -> drop
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.curateStream(df, Set("en"), 0.6,
+        scrubPii = false, existingHashes = Some(index))
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamOps.toMemorySink(
+      run(in.toDF().toDF("doc_id", "text", "lang", "source")),
+      "curate_stream", OutputMode.Append)
+    val streamed = try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      spark.table("curate_stream").collect().toSet
+    } finally q.stop()
+    val batch = run(rows.toDF("doc_id", "text", "lang", "source"))
+      .collect().toSet
+    assert(streamed == batch)
+    val ids = streamed.map(_.getAs[Long]("doc_id"))
+    assert(ids == Set(1L))
+    // the surviving row carries the gate evidence
+    val r = streamed.head
+    assert(r.getAs[String]("pred_lang") == "en" &&
+      r.getAs[Double]("quality_score") >= 0.6)
+  }
 }
