@@ -57,6 +57,13 @@ object CorpusPipeline {
     * `boilerMaxDf` to the corpus (it is an absolute document count);
     * too-short docs (NULL ratio) pass, `None` skips the stage.
     *
+    * `packSeqTokens` additionally emits the survivors packed into
+    * fixed-length training sequences ([[graft.ops.Sampling.pack]]) in
+    * `Result.packed` — the GPT-2-style consumer shape (cross-document
+    * concatenation, zero padding waste), next to the per-document
+    * `chunks` (which never cross documents). The two consumers read
+    * the SAME persisted survivor frame; pick per training recipe.
+    *
     * `evalDocs` adds benchmark DECONTAMINATION between near-dedup and
     * chunking ([[Dedup.contamination]]): a (doc_id, text) frame of
     * held-out eval documents; any surviving training doc sharing ≥
@@ -84,7 +91,10 @@ object CorpusPipeline {
       boilerMaxDf: Long = 1000L,
       evalDocs: Option[DataFrame] = None,
       contaminationMinShared: Long = 5L,
-      broadcastEval: Boolean = true)
+      broadcastEval: Boolean = true,
+      packSeqTokens: Option[Int] = None,
+      packShards: Int = 16,
+      packSalt: String = "pack")
 
   /** Final chunk table + the per-stage survivor counts (empty when
     * `collectFunnel = false`) + every frame [[curate]] left persisted
@@ -93,7 +103,8 @@ object CorpusPipeline {
     * consumed ([[curateToParquet]] does this itself after the sink
     * write). */
   case class Result(chunks: DataFrame, funnel: Seq[(String, Long)],
-                    persisted: Seq[DataFrame] = Seq.empty)
+                    persisted: Seq[DataFrame] = Seq.empty,
+                    packed: Option[DataFrame] = None)
 
   /** Run the funnel over a `documents`-shaped frame
     * (doc_id, text, lang, source).
@@ -275,6 +286,11 @@ object CorpusPipeline {
     }
 
     val chunks = Text.chunk(decon, "text", cfg.chunkTokens)
+    // optional packed-sequence consumer — reads the same persisted
+    // survivor frame as the chunker; no extra funnel stages upstream
+    val packed = cfg.packSeqTokens.map(l =>
+      graft.ops.Sampling.pack(decon, "doc_id", "text", l,
+        cfg.packShards, cfg.packSalt))
 
     val funnel =
       if (!collectFunnel) Seq.empty
@@ -296,7 +312,8 @@ object CorpusPipeline {
           "language" -> inLang.count()) ++ gateCounts ++ Seq(
           "exact_dedup" -> exact.count(),
           "near_dedup" -> near.count()) ++ scrubCounts ++ Seq(
-          "chunks" -> chunks.count())
+          "chunks" -> chunks.count()) ++
+          packed.map(p => "packed_sequences" -> p.count()).toSeq
         if (gated ne good) gated.unpersist()
         if (good ne quality) good.unpersist()
         quality.unpersist()
@@ -310,7 +327,7 @@ object CorpusPipeline {
     val extraPersisted =
       if (collectFunnel) Seq.empty else Seq(quality, normed)
     val deconPersisted = if (decon ne near) Seq(decon) else Seq.empty
-    Frames(Result(chunks, funnel), decon,
+    Frames(Result(chunks, funnel, packed = packed), decon,
       deconPersisted ++ Seq(near, shingled, exact) ++ extraPersisted)
   }
 }

@@ -98,7 +98,7 @@ object Pipeline {
           .join(broadcast(vocab.select(col("idx").as("context"),
             col("product_id").as("neighbor_pid"))), Seq("context"))
           .select("target_pid", "neighbor_pid")
-        val grid = config.tune.grid.map { case (d, lr) =>
+        val grid = config.tune.draws.map { case (d, lr) =>
           Prod2Vec.Params(vectorSize = d, stepSize = lr,
             windowSize = config.preprocess.trainWindowSize,
             maxIter = config.train.epochs,

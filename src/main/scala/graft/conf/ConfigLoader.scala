@@ -68,7 +68,8 @@ object ConfigLoader {
       learningRates = dblList(tuneHp, "learning_rates")
         .orElse(rangeEndpoints(tuneHp, "min_learning_rate", "max_learning_rate"))
         .getOrElse(d.tune.learningRates),
-      maxJobs = int(tuneHp, "max_jobs", d.tune.maxJobs))
+      maxJobs = int(tuneHp, "max_jobs", d.tune.maxJobs),
+      strategy = str(tuneHp, "strategy").getOrElse(d.tune.strategy))
     val hpo = str(static0, "run_hyperparameter_opt") match {
       case Some(s) => s.equalsIgnoreCase("yes") || s.equalsIgnoreCase("true")
       case None => false

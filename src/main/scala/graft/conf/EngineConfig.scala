@@ -38,17 +38,51 @@ final case class TrainConfig(
     s"validSize ($validSize) must be <= validWindow ($validWindow)")
 }
 
-/** Tuning search space (`prod2vec_config.yaml:49-55`): grid over
-  * dim x lr (deviation: the reference uses SageMaker Bayesian search). */
+/** Tuning search space (`prod2vec_config.yaml:49-55`). The reference
+  * hands the ranges to SageMaker's Bayesian tuner
+  * (`dags/prod2vec_train_dag.py:156-188`: `IntegerParameter` over
+  * embeddings, `ContinuousParameter` over learning rate, `max_jobs`
+  * draws); sequential Bayesian updating is out of proportion to a
+  * 5-job budget, so the engine offers two DETERMINISTIC strategies
+  * over the same ranges:
+  *
+  *  - `"grid"` — cartesian dims × learningRates capped at maxJobs;
+  *  - `"random"` — maxJobs keyed-hash draws from the CONTINUOUS
+  *    ranges [dims.min, dims.max] (integer-uniform) ×
+  *    [learningRates.min, learningRates.max] (uniform), the same
+  *    search distribution the reference's tuner samples from, made
+  *    reproducible: job i's params are a pure function of (salt, i),
+  *    so a re-run explores the identical sequence.
+  */
 final case class TuneConfig(
     dims: Seq[Int] = Seq(8, 16),
     learningRates: Seq[Double] = Seq(0.01, 0.025),
-    maxJobs: Int = 5) {          // :50
+    maxJobs: Int = 5,            // :50
+    strategy: String = "grid") {
   require(dims.nonEmpty && learningRates.nonEmpty, "empty tuning grid")
   require(maxJobs > 0, s"maxJobs must be > 0, got $maxJobs")
+  require(Set("grid", "random")(strategy),
+    s"strategy must be grid|random, got $strategy")
   /** The grid, capped at maxJobs like the reference's budget. */
   def grid: Seq[(Int, Double)] =
     (for { d <- dims; lr <- learningRates } yield (d, lr)).take(maxJobs)
+  /** Seeded random search (see class doc). */
+  def randomDraws(salt: String = "hpo"): Seq[(Int, Double)] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val (dMin, dMax) = (dims.min, dims.max)
+    val (lrMin, lrMax) = (learningRates.min, learningRates.max)
+    (0 until maxJobs).map { i =>
+      def u(tag: String): Double =
+        graft.functions.Hash60.compute(Array(
+          UTF8String.fromString(salt), UTF8String.fromString(tag),
+          UTF8String.fromString(i.toString))) / graft.ops.Portable.TwoPow60
+      val d = math.min(dMax, dMin + (u("dim") * (dMax - dMin + 1)).toInt)
+      (d, lrMin + u("lr") * (lrMax - lrMin))
+    }
+  }
+  /** The job list the configured strategy yields. */
+  def draws: Seq[(Int, Double)] =
+    if (strategy == "random") randomDraws() else grid
 }
 
 /** Full engine config with the HPO branch flag

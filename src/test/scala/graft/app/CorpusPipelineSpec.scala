@@ -181,6 +181,37 @@ class CorpusPipelineSpec extends SparkSpec {
     rs.persisted.foreach(_.unpersist())
   }
 
+  test("curate: optional packed-sequence consumer conserves survivor tokens") {
+    import spark.implicits._
+    val L = 32
+    val cfg = CorpusPipeline.Config(packSeqTokens = Some(L), packShards = 4)
+    val r = CorpusPipeline.curate(docs, cfg)
+    val f = r.funnel.toMap
+    assert(f.contains("packed_sequences") && f("packed_sequences") > 0,
+      s"funnel: ${r.funnel}")
+    val packed = r.packed.get.select("shard", "seq_idx", "n_tokens", "seq")
+      .as[(Long, Long, Long, String)].collect()
+    assert(packed.length == f("packed_sequences"))
+    // zero token loss: packed totals equal the survivors' token totals
+    val survivorTokens = r.chunks.select("doc_id").distinct()
+      .join(docs, "doc_id").select(size(split(
+        graft.ops.Text.normalize(col("text")), " ")).cast("long").as("n"))
+      .as[Long].collect().sum
+    assert(packed.map(_._3).sum == survivorTokens)
+    // every sequence except at most the last per shard is exactly L
+    packed.groupBy(_._1).foreach { case (_, seqs) =>
+      val sorted = seqs.sortBy(_._2)
+      sorted.init.foreach(s => assert(s._3 == L, s"short mid-seq: $s"))
+      assert(sorted.last._3 <= L)
+    }
+    // the chunk table is unchanged by the packing option
+    val plain = CorpusPipeline.curate(docs, cfg.copy(packSeqTokens = None))
+    assert(plain.packed.isEmpty)
+    assert(plain.chunks.collect().toSet == r.chunks.collect().toSet)
+    plain.persisted.foreach(_.unpersist())
+    r.persisted.foreach(_.unpersist())
+  }
+
   test("curateToParquet: source-partitioned sink round-trips the chunk rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     val r = CorpusPipeline.curateToParquet(docs, out)

@@ -85,6 +85,28 @@ class ConfigLoaderSpec extends AnyFunSuite {
     }
   }
 
+  test("random search strategy: parsed, in-range, deterministic, budget-sized") {
+    val c = ConfigLoader.fromYamlString(
+      sampleYaml.replace("max_jobs: 5", "max_jobs: 7\n    strategy: random"))
+    assert(c.tune.strategy == "random" && c.tune.maxJobs == 7)
+    val draws = c.tune.draws
+    assert(draws.size == 7)
+    draws.foreach { case (d, lr) =>
+      assert(d >= 100 && d <= 1024, s"dim out of range: $d")
+      assert(lr >= 0.0001 && lr <= 0.001, s"lr out of range: $lr")
+    }
+    // deterministic re-draw; a different salt explores differently
+    assert(c.tune.randomDraws() == draws)
+    assert(c.tune.randomDraws("other") != draws)
+    // the continuous range is actually explored (not endpoint-pinned)
+    assert(draws.map(_._2).distinct.size > 1)
+    // default stays grid; bad strategy rejected
+    assert(ConfigLoader.fromYamlString(sampleYaml).tune.strategy == "grid")
+    intercept[IllegalArgumentException] {
+      graft.conf.TuneConfig(strategy = "bayesian")
+    }
+  }
+
   test("file round-trip and missing-path error") {
     val f = java.nio.file.Files.createTempFile("graft-conf", ".yaml")
     java.nio.file.Files.writeString(f, sampleYaml)
