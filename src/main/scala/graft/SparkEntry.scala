@@ -516,6 +516,43 @@ object SparkEntry {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Packing oracle tail — shared by q67 (over raw documents) and q77
+    * (over the curation funnel's survivors): the same shard/cumsum/
+    * span-explode/reassemble chain as [[graft.ops.Sampling.pack]]. */
+  private def packTailSql(src: String): String = {
+    val L = PackSeqTokens
+    s"""pd AS (
+       |  SELECT doc_id,
+       |    ${Portable.sqlHash("doc_id", "'pack'")} % $PackShards AS shard,
+       |    string_split(text, ' ') AS t
+       |  FROM $src
+       |),
+       |pc AS (
+       |  SELECT doc_id, shard, t, len(t)::BIGINT AS n,
+       |    sum(len(t)) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM pd
+       |),
+       |pe AS (
+       |  SELECT shard, doc_id, t, cum, cum - n AS start,
+       |    unnest(range((cum - n) // $L, (cum - 1) // $L + 1)) AS seq_idx
+       |  FROM pc
+       |),
+       |pp AS (
+       |  SELECT shard, seq_idx,
+       |    greatest(start, seq_idx * $L) AS ps,
+       |    least(cum, (seq_idx + 1) * $L) AS pe2,
+       |    t[(greatest(start, seq_idx * $L) - start + 1) :
+       |      (least(cum, (seq_idx + 1) * $L) - start)] AS part
+       |  FROM pe
+       |)
+       |SELECT shard, seq_idx::BIGINT AS seq_idx,
+       |  sum(pe2 - ps)::BIGINT AS n_tokens,
+       |  string_agg(array_to_string(part, ' '), ' ' ORDER BY ps) AS seq
+       |FROM pp GROUP BY shard, seq_idx
+       |ORDER BY shard, seq_idx""".stripMargin
+  }
+
   /** Token-budget oracle — shared by q65 (direct window form) and q66
     * (two-phase bucketed build): both engine forms compute the same
     * prefix by construction (SamplingSpec proves the law). */
@@ -992,6 +1029,22 @@ object SparkEntry {
         contaminationMinShared = ContaminationMinShared)
       CorpusPipeline.curate(docs, cfg, collectFunnel = false).chunks
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // q62's funnel with the packed-sequence consumer as the output:
+    // the survivors' tokens cut into fixed-length training sequences —
+    // the composed raw-docs→training-sequences product under the oracle.
+    "q77_corpus_curate_packed" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
+        packSeqTokens = Some(PackSeqTokens), packShards = PackShards)
+      CorpusPipeline.curate(t(s, dir, "documents"), cfg,
+        collectFunnel = false).packed.get
+        .orderBy("shard", "seq_idx")
     }),
 
     // Multi-n repetition stats: the full Gopher gate set n in {2,3,4}
@@ -1808,39 +1861,7 @@ object SparkEntry {
     // doc its offset, range() explodes the sequences its span touches,
     // 1-based inclusive slices cut the parts, string_agg in offset
     // order reassembles.
-    "q67_pack_sequences" -> {
-      val L = PackSeqTokens
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    ${Portable.sqlHash("doc_id", "'pack'")} % $PackShards AS shard,
-         |    string_split(text, ' ') AS t
-         |  FROM documents
-         |),
-         |c AS (
-         |  SELECT doc_id, shard, t, len(t)::BIGINT AS n,
-         |    sum(len(t)) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
-         |  FROM d
-         |),
-         |e AS (
-         |  SELECT shard, doc_id, t, cum, cum - n AS start,
-         |    unnest(range((cum - n) // $L, (cum - 1) // $L + 1)) AS seq_idx
-         |  FROM c
-         |),
-         |p AS (
-         |  SELECT shard, seq_idx,
-         |    greatest(start, seq_idx * $L) AS ps,
-         |    least(cum, (seq_idx + 1) * $L) AS pe,
-         |    t[(greatest(start, seq_idx * $L) - start + 1) :
-         |      (least(cum, (seq_idx + 1) * $L) - start)] AS part
-         |  FROM e
-         |)
-         |SELECT shard, seq_idx::BIGINT AS seq_idx,
-         |  sum(pe - ps)::BIGINT AS n_tokens,
-         |  string_agg(array_to_string(part, ' '), ' ' ORDER BY ps) AS seq
-         |FROM p GROUP BY shard, seq_idx
-         |ORDER BY shard, seq_idx""".stripMargin
-    },
+    "q67_pack_sequences" -> s"WITH ${packTailSql("documents")}",
 
     // q62: the WHOLE curation funnel as one CTE chain — each stage is
     // the already-proven per-stage oracle form (normalize q46, langid
@@ -1883,6 +1904,13 @@ object SparkEntry {
          |),
          |${chunkTailSql("survd")}""".stripMargin,
 
+
+    // q77: the q62 survivor chain, consumed by the q67 packing tail
+    // instead of the chunker — same CTEs, same constants, no drift.
+    "q77_corpus_curate_packed" ->
+      s"""$curateOracleCtes,
+         |psrc AS (SELECT doc_id, text FROM surv),
+         |${packTailSql("psrc")}""".stripMargin,
 
     // q63: per-n twin of q58 — one gram CTE per n, unioned; the (doc, n)
     // spine cross-joins the n list so gram-less (doc, n) cells keep NULL
