@@ -74,4 +74,20 @@ object IvfIndex {
       .filter(col("rnk") <= topK)
       .select(col("probe_id"), col(idCol).as("vec_id"), col("cos"), col("rnk"))
   }
+
+  /** SemDeDup with LEARNED centroids — the paper's actual recipe
+    * (k-means cells, then within-cell duplicate pruning): the coarse
+    * quantizer's centers feed [[graft.ops.Dedup.semanticDedup]] as the
+    * centroid frame. Seeded-deterministic but not cross-engine
+    * reproducible (KMeans), so this form is spec-verified while the
+    * fixed-centroid form carries the oracle (q73). Centers are cast
+    * back to float so within-cell cosines run the same float-array
+    * FoldDot path as the oracle'd form. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, tau: Double, seed: Long = 42L): DataFrame = {
+    val centers = build(corpus, idCol, vecCol, k, seed).centroids
+      .select(col("cell").cast("long").as(idCol),
+        transform(col("c"), _.cast("float")).as(vecCol))
+    graft.ops.Dedup.semanticDedup(corpus, idCol, vecCol, centers, tau)
+  }
 }
