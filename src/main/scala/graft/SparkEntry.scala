@@ -144,6 +144,11 @@ object SparkEntry {
     * salt. */
   val SampleNPerSource = 12
   val SampleSalt = "q76"
+  /** q78 repeated-span scrub window (tokens). 4 on the fixture corpus
+    * marks a real minority of windows as cross-doc duplicates (~6% of
+    * windows, 235/500 docs touched at sf0.01), exercising both the
+    * scrub path and the clean-doc passthrough. */
+  val ScrubK = 4
   /** q74 DSIR: hashed-bigram buckets and the "high-quality target"
     * slice (the first four sources) the importance weights point at. */
   val DsirBuckets = 1024
@@ -1060,6 +1065,14 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // Repeated-span scrub (ExactSubstr-style): k-token windows seen
+    // earlier anywhere in the corpus are removed from the text; the
+    // globally-first occurrence survives.
+    "q78_scrub_spans" -> ((s, dir) => {
+      Dedup.scrubRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        ScrubK).orderBy("doc_id")
+    }),
+
     // Corpus data card: per-(source, lang) doc/token/quality rollup.
     "q75_corpus_report" -> ((s, dir) => {
       Quality.corpusReport(t(s, dir, "documents"), "source", "lang", "text")
@@ -1953,6 +1966,56 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q78: same window hashes; the canonical occurrence is rank 1 over
+    // (doc_id, pos) per hash — every later occurrence's k covered token
+    // indices are scrubbed; kept tokens re-join in position order.
+    // Fully-scrubbed documents keep an empty string (agg FILTER), and
+    // clean documents fall back to their original text.
+    "q78_scrub_spans" -> {
+      val kg = "concat_ws(' ', " +
+        (0 until ScrubK).map(o => s"t[i+$o]").mkString(", ") + ")"
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |wins AS (
+         |  SELECT doc_id, i AS pos, ${Portable.sqlHash(kg)} AS hh
+         |  FROM toks, LATERAL (SELECT unnest(range(1,
+         |    greatest(0, len(t) - ${ScrubK - 2}))) AS i) _
+         |),
+         |marked AS (
+         |  SELECT doc_id, pos, row_number() OVER (PARTITION BY hh
+         |    ORDER BY doc_id, pos) AS rn
+         |  FROM wins
+         |),
+         |dup AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+         |rem AS (
+         |  SELECT DISTINCT doc_id, pos + o AS idx
+         |  FROM dup, LATERAL (SELECT unnest(range(0, $ScrubK)) AS o) _
+         |),
+         |tsp AS (
+         |  SELECT doc_id, i AS idx, t[i] AS tok
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _
+         |),
+         |dirty AS (SELECT DISTINCT doc_id FROM rem),
+         |reb AS (
+         |  SELECT tsp.doc_id,
+         |    coalesce(string_agg(tsp.tok, ' ' ORDER BY tsp.idx)
+         |      FILTER (WHERE rem.idx IS NULL), '') AS scrubbed
+         |  FROM tsp
+         |  JOIN dirty ON tsp.doc_id = dirty.doc_id
+         |  LEFT JOIN rem ON tsp.doc_id = rem.doc_id AND tsp.idx = rem.idx
+         |  GROUP BY tsp.doc_id
+         |),
+         |remc AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+         |         FROM rem GROUP BY doc_id)
+         |SELECT d.doc_id, len(t.t)::BIGINT AS n_tokens,
+         |       coalesce(remc.n_removed, 0)::BIGINT AS n_removed,
+         |       coalesce(reb.scrubbed, d.text) AS text_scrubbed
+         |FROM documents d
+         |JOIN toks t ON d.doc_id = t.doc_id
+         |LEFT JOIN remc ON d.doc_id = remc.doc_id
+         |LEFT JOIN reb ON d.doc_id = reb.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // q75: the q25 per-doc score CTE rolled up per (source, lang) —
     // means taken over the 9-dp-rounded per-doc scores on both sides.

@@ -639,4 +639,87 @@ object Dedup {
     assign.join(dominated, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"), col("cos_centroid"))
   }
+
+  // ---- repeated-span scrub (substring-level dedup) ----------------------
+
+  /** Repeated-span scrub — substring-level exact deduplication at k-token
+    * granularity (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22: long spans repeated across a corpus are
+    * memorization fuel; the ExactSubstr pass keeps ONE copy globally and
+    * removes the rest). Every k-token window is hashed ([[Portable]], so
+    * the DuckDB oracle reproduces it); a window occurrence is a DUPLICATE
+    * when the same gram has an earlier occurrence anywhere in the corpus
+    * (earlier = lexicographically smaller (id, position) — the globally
+    * first occurrence is the canonical copy that survives). Tokens covered
+    * by at least one duplicate window are scrubbed; the document's
+    * remaining tokens re-join in order. Unlike document-level dedup
+    * ([[dedupExact]], [[dedupNear]]) this REWRITES text instead of
+    * dropping rows, and unlike the document-gating
+    * [[Text.boilerplateStats]] it removes the offending spans while
+    * keeping the rest of the document.
+    *
+    * Returns one row per input document:
+    * (id, n_tokens, n_removed, text_scrubbed) — n_removed counts scrubbed
+    * tokens; clean documents pass through with their text untouched.
+    *
+    * Relational shape (one tokenize of the source, no pairwise compare):
+    * the (id, text, tokens) frame passes a [[Barrier]] — windows, the
+    * rebuild and the output spine all read the materialized cut, so the
+    * source is scanned once and the op is eager like its siblings
+    * [[dedupNear]]/[[semanticDedup]]. Window hashes are a codegen'd md5
+    * projection posexploded to (id, pos, h); each gram's canonical
+    * occurrence is a groupBy(h) partial-agg `min(struct(id, pos))` —
+    * map-side combine absorbs the skew of mega-repeated spans — filtered
+    * to multi-occurrence grams, so the join back on h meets only the
+    * duplicate-gram subset. Duplicate windows fan out their k covered
+    * token indices; only documents that actually lost a token go through
+    * the rebuild (left_semi on the dirty-doc spine) — at a realistic
+    * duplication rate the expensive ordered re-assembly touches a small
+    * corpus fraction. All post-hash shuffles key on h, (id, idx) or id —
+    * bounded per-gram / per-document, never corpus-pairwise. */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val id = col(idCol)
+    val toks = Barrier.cut(df.select(id, col(textCol),
+      Text.tokens(col(textCol)).as("__t")))
+    val occ = toks
+      .select(id, transform(Text.shinglesAll(col("__t"), k), g =>
+        Portable.seededHash(g)).as("__hs"))
+      .select(id, posexplode_outer(col("__hs")).as(Seq("__p0", "__h")))
+      .filter(col("__h").isNotNull)
+      .select(id, (col("__p0") + 1).as("pos"), col("__h"))
+    val dupGrams = occ.groupBy(col("__h"))
+      .agg(min(struct(id, col("pos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h"), col("__first"))
+    val removed = occ.join(dupGrams, Seq("__h"))
+      .filter(struct(id, col("pos")) =!= col("__first"))
+      .select(id,
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    val dirty = removed.select(id).distinct()
+    val rebuilt = toks
+      .select(id, posexplode_outer(col("__t")).as(Seq("__p0", "__tok")))
+      .filter(col("__tok").isNotNull)
+      .select(id, (col("__p0") + 1).as("idx"), col("__tok"))
+      .join(dirty, Seq(idCol), "left_semi")
+      .join(removed.withColumn("__rm", lit(1)), Seq(idCol, "idx"), "left")
+      .groupBy(id)
+      // when(...) with no otherwise -> NULL for removed tokens, and
+      // collect_list skips NULLs: a fully-scrubbed document still gets a
+      // group row (empty list -> empty string), never its original text
+      .agg(sort_array(collect_list(when(col("__rm").isNull,
+        struct(col("idx"), col("__tok"))))).as("__kept"))
+      .select(id, concat_ws(" ",
+        transform(col("__kept"), s => s("__tok"))).as("__scrubbed"))
+    val remCounts = removed.groupBy(id).agg(count(lit(1)).as("__nrem"))
+    toks.select(id, col(textCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(remCounts, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id, col("n_tokens"),
+        coalesce(col("__nrem"), lit(0L)).as("n_removed"),
+        coalesce(col("__scrubbed"), col(textCol)).as("text_scrubbed"))
+  }
 }

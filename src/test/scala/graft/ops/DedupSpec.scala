@@ -349,4 +349,38 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(all == Set(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("scrubRepeatedSpans: later span occurrences scrubbed, first kept") {
+    val corpus = Seq(
+      (1L, "a b c d e"),          // canonical copy of every window
+      (2L, "x y a b c z"),        // one dup trigram "a b c" -> 3 tokens go
+      (3L, "a b c d e"),          // exact dup of 1 -> fully scrubbed
+      (4L, "p q r s"),            // clean -> untouched
+      (5L, "u v")                 // shorter than k -> no windows
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(corpus, "doc_id", "text", 3)
+      .select("doc_id", "n_tokens", "n_removed", "text_scrubbed")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 0L, "a b c d e")))  // first occurrence survives
+    assert(out(2L) == ((6L, 3L, "x y z")))
+    assert(out(3L) == ((5L, 5L, "")))           // fully-scrubbed, not original
+    assert(out(4L) == ((4L, 0L, "p q r s")))
+    assert(out(5L) == ((2L, 0L, "u v")))
+  }
+
+  test("scrubRepeatedSpans: overlapping dup windows union their coverage") {
+    // doc 2 repeats doc 1's "a b c d" => windows at pos 1 and 2 (k=3)
+    // are both dups; covered indices {1..4} scrub once each, not twice
+    val corpus = Seq(
+      (1L, "a b c d"),
+      (2L, "z a b c d w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(corpus, "doc_id", "text", 3)
+      .select("doc_id", "n_removed", "text_scrubbed")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, "a b c d")))
+    assert(out(2L) == ((4L, "z w")))
+  }
 }
