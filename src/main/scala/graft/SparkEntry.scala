@@ -144,6 +144,10 @@ object SparkEntry {
     * salt. */
   val SampleNPerSource = 12
   val SampleSalt = "q76"
+  /** q79 bigram-LM interpolation weight on the bigram term. 0.75 is
+    * exactly representable in binary, so 1−λ is too — the interpolation
+    * constants can never drift between the engines' float parsers. */
+  val BigramLambda = 0.75
   /** q78 repeated-span scrub window (tokens). 4 on the fixture corpus
     * marks a real minority of windows as cross-doc duplicates (~6% of
     * windows, 235/500 docs touched at sf0.01), exercising both the
@@ -1065,6 +1069,13 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // Interpolated bigram LM NLL: corpus-trained KenLM-lite fluency
+    // score; first token scores unigram, the rest λ·P(w|v)+(1−λ)·P(w).
+    "q79_bigram_nll" -> ((s, dir) => {
+      Text.bigramLogProb(t(s, dir, "documents"), "text", BigramLambda)
+        .orderBy("doc_id")
+    }),
+
     // Repeated-span scrub (ExactSubstr-style): k-token windows seen
     // earlier anywhere in the corpus are removed from the text; the
     // globally-first occurrence survives.
@@ -1966,6 +1977,36 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q79: the per-doc (v, w, c) frame joins the corpus bigram table;
+    // the bigram denominator and unigram counts are group-bys over that
+    // compact table (= the Spark side's window sums); first-token rows
+    // carry the chr(2) sentinel predecessor and score unigram-only.
+    "q79_bigram_nll" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pairs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN i = 1 THEN chr(2) ELSE t[i-1] END AS v, t[i] AS w
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _
+         |),
+         |bid AS (SELECT doc_id, v, w, count(*)::BIGINT AS c
+         |        FROM pairs GROUP BY doc_id, v, w),
+         |bic AS (SELECT v, w, sum(c)::BIGINT AS cnt_vw FROM bid GROUP BY v, w),
+         |unic AS (SELECT w, sum(cnt_vw)::BIGINT AS cnt_w FROM bic GROUP BY w),
+         |pref AS (SELECT v, sum(cnt_vw)::BIGINT AS cnt_v FROM bic GROUP BY v),
+         |tot AS (SELECT sum(cnt_vw)::DOUBLE AS total FROM bic)
+         |SELECT bid.doc_id, sum(c)::BIGINT AS n_tokens,
+         |  round(sum(c * -ln(CASE WHEN v = chr(2) THEN cnt_w / total
+         |    ELSE CAST($BigramLambda AS DOUBLE) * cnt_vw / cnt_v +
+         |         CAST(${1 - BigramLambda} AS DOUBLE) * cnt_w / total
+         |    END)) / sum(c), 9) AS bigram_nll
+         |FROM bid
+         |JOIN bic USING (v, w)
+         |JOIN unic USING (w)
+         |JOIN pref USING (v)
+         |CROSS JOIN tot
+         |GROUP BY bid.doc_id
+         |ORDER BY bid.doc_id""".stripMargin,
 
     // q78: same window hashes; the canonical occurrence is rank 1 over
     // (doc_id, pos) per hash — every later occurrence's k covered token

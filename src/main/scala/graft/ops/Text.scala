@@ -423,6 +423,66 @@ object Text {
           sum(col("c")), 9).as("unigram_nll"))
   }
 
+  /** Interpolated bigram LM negative log-likelihood — the KenLM-style
+    * fluency signal (CCNet / RedPajama quality filtering) computed from
+    * the corpus itself, with no external model artifact: token w after
+    * predecessor v scores ln(λ·P(w|v) + (1−λ)·P(w)), a document's first
+    * token scores its unigram probability, and the document's NLL is the
+    * mean over its tokens. Corpus-stereotypical text scores low,
+    * rare-continuation text high; curation gates trim both tails.
+    * Deterministic ⇒ DuckDB-oracle-able, unlike a trained KenLM.
+    * Complements [[unigramLogProb]], which cannot see word ORDER.
+    *
+    * Returns (doc_id, n_tokens, bigram_nll), NLL rounded to 9 dp.
+    *
+    * Shape: ONE tokenize and ONE data-sized shuffle. Tokens shift-zip
+    * into (prev, cur) pairs per row (a document's first pair gets a
+    * sentinel prev), explode, and group to the (doc, v, w) count frame,
+    * which passes a [[Barrier]] (the op is eager like
+    * [[Dedup.dedupNear]]) — the corpus-level tables and the final join
+    * all read the cut, so the explode+shuffle runs once. The corpus
+    * bigram table is a compact groupBy over the cut; P(w|v)'s
+    * denominator and the unigram counts are window sums over THAT
+    * vocabulary-sized frame (partitions ≤ distinct predecessors /
+    * continuations per word — never n_docs-sized, the hot-stopword
+    * partition trap a window over the per-doc frame would hit); the
+    * total-token scalar broadcasts as a 1-row aggregate. Final agg keys
+    * on doc_id. */
+  def bigramLogProb(df: DataFrame, textCol: String,
+                    lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    // document-start sentinel: a control char no tokenizer emits, so it
+    // never collides with a real token (DuckDB twin: chr(2)); written as
+    // a unicode escape, not a raw control char, per Portable.Sep
+    val sent = "\u0002"
+    val toks = df.select(col("doc_id"), tokens(col(textCol)).as("__t"))
+    val shifted = concat(array(lit(sent)),
+      slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))))
+    val pairs = toks
+      .select(col("doc_id"), zip_with(shifted, col("__t"),
+        (v, w) => struct(v.as("v"), w.as("w"))).as("__ps"))
+      .select(col("doc_id"), explode_outer(col("__ps")).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("doc_id"), col("__p.v").as("v"), col("__p.w").as("w"))
+    val bid = Barrier.cut(
+      pairs.groupBy(col("doc_id"), col("v"), col("w"))
+        .agg(count(lit(1)).as("c")))
+    val bic = bid.groupBy(col("v"), col("w")).agg(sum(col("c")).as("cnt_vw"))
+    val scored = bic
+      .withColumn("cnt_w", sum(col("cnt_vw")).over(Window.partitionBy(col("w"))))
+      .withColumn("cnt_v", sum(col("cnt_vw")).over(Window.partitionBy(col("v"))))
+    val tot = bic.agg(sum(col("cnt_vw")).cast("double").as("__total"))
+    val p = when(col("v") === sent, col("cnt_w") / col("__total"))
+      .otherwise(lit(lambda) * col("cnt_vw") / col("cnt_v") +
+        lit(1 - lambda) * col("cnt_w") / col("__total"))
+    bid.join(scored, Seq("v", "w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("c") * -log(p)) / sum(col("c")), 9).as("bigram_nll"))
+  }
+
   /** Cross-document boilerplate statistics (the RefinedWeb / C4 "seen
     * everywhere" signal): an n-gram is boilerplate when its document
     * frequency exceeds `maxDf` — navigation chrome, license headers,

@@ -369,6 +369,21 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((2L, 0L, "u v")))
   }
 
+  test("scrubRepeatedSpans: source scanned exactly once (barrier feeds all reads)") {
+    // the op reads its input in three places (window hashes, token
+    // spine rebuild, output spine) — all three must read the Barrier
+    // cut, not re-derive the source
+    val base = docs.collect().toSeq
+    val n = base.length
+    val acc = spark.sparkContext.longAccumulator("scrub-source-rows")
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(base, 2).map { r => acc.add(1); r },
+      docs.schema)
+    val out = Dedup.scrubRepeatedSpans(src, "doc_id", "text", 3)
+    assert(out.count() == n)
+    assert(acc.value == n, s"source scanned ${acc.value.toDouble / n}x, want 1x")
+  }
+
   test("scrubRepeatedSpans: overlapping dup windows union their coverage") {
     // doc 2 repeats doc 1's "a b c d" => windows at pos 1 and 2 (k=3)
     // are both dups; covered indices {1..4} scrub once each, not twice

@@ -243,6 +243,31 @@ class TextSpec extends SparkSpec {
     assert(r(2L)._3 == rnd((-math.log(0.4) - math.log(0.2)) / 2))
   }
 
+  test("bigramLogProb: hand-computed interpolated NLL; λ=0 is the unigram LM") {
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // unigram: a=3, b=2, c=1, T=6; prefix a: c(a,b)=2, c(a,c)=1, c(a)=3
+    val lam = 0.5
+    val r = Text.bigramLogProb(corpus, "text", lam)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    val pA = 3.0 / 6                                  // first token: unigram
+    val pBgivenA = lam * 2 / 3 + (1 - lam) * 2.0 / 6
+    val pCgivenA = lam * 1 / 3 + (1 - lam) * 1.0 / 6
+    assert(r(1L)._2 == 2L)
+    assert(r(1L)._3 == rnd((-math.log(pA) - math.log(pBgivenA)) / 2))
+    assert(r(1L)._3 == r(2L)._3)                      // identical docs
+    assert(r(3L)._3 == rnd((-math.log(pA) - math.log(pCgivenA)) / 2))
+    // the common continuation (a→b twice) scores lower NLL than the rare one
+    assert(r(1L)._3 < r(3L)._3)
+    // λ=0 collapses to the unigram LM: every position scores P(w)
+    val big0 = Text.bigramLogProb(corpus, "text", 0.0)
+      .select("doc_id", "bigram_nll").as[(Long, Double)].collect().toMap
+    val uni = Text.unigramLogProb(corpus, "text")
+      .select("doc_id", "unigram_nll").as[(Long, Double)].collect().toMap
+    assert(big0 == uni)
+  }
+
   test("boilerplateStats: cross-doc df gate; short docs NULL ratios") {
     val corpus = Seq((1L, "a b a"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
     // n=1, maxDf=1: token 'a' appears in 2 docs -> boilerplate
