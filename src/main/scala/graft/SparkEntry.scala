@@ -169,6 +169,11 @@ object SparkEntry {
   val CurateMaxDupRatio = 0.1
   val CurateChunkTokens = 64
   val CurateLangs = Set("en")
+  /** q80 in-funnel span-scrub window — smaller than q78's standalone
+    * [[ScrubK]] because the funnel's survivors are already document-
+    * deduped (the big cross-doc span mass is gone); 3 still rewrites a
+    * demonstrable share of survivor text at sf0.01. */
+  val CurateScrubK = 3
   /** q60 retention cohort period: daily — the fixture's one-week event
     * span yields a full 8×8 retention triangle. */
   val RetentionPeriodMs = 86400000L
@@ -509,6 +514,50 @@ object SparkEntry {
          |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN drops k ON e.doc_id = k.id
          |  WHERE k.id IS NULL
          |)""".stripMargin
+  }
+
+  /** q78's repeated-span scrub as an oracle tail over an arbitrary
+    * (doc_id, text) CTE — ends in `sscrub` (doc_id, text) holding the
+    * scrubbed non-empty survivors, for the q80 composed funnel. */
+  private def scrubTailSql(src: String): String = {
+    val k = CurateScrubK
+    val kg = "concat_ws(' ', " +
+      (0 until k).map(o => s"t[i+$o]").mkString(", ") + ")"
+    s"""stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |swins AS (
+       |  SELECT doc_id, i AS pos, ${Portable.sqlHash(kg)} AS hh
+       |  FROM stoks, LATERAL (SELECT unnest(range(1,
+       |    greatest(0, len(t) - ${k - 2}))) AS i) _
+       |),
+       |smarked AS (
+       |  SELECT doc_id, pos, row_number() OVER (PARTITION BY hh
+       |    ORDER BY doc_id, pos) AS rn
+       |  FROM swins
+       |),
+       |sdup AS (SELECT doc_id, pos FROM smarked WHERE rn > 1),
+       |srem AS (
+       |  SELECT DISTINCT doc_id, pos + o AS idx
+       |  FROM sdup, LATERAL (SELECT unnest(range(0, $k)) AS o) _
+       |),
+       |stsp AS (
+       |  SELECT doc_id, i AS idx, t[i] AS tok
+       |  FROM stoks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _
+       |),
+       |sdirty AS (SELECT DISTINCT doc_id FROM srem),
+       |sreb AS (
+       |  SELECT stsp.doc_id,
+       |    coalesce(string_agg(stsp.tok, ' ' ORDER BY stsp.idx)
+       |      FILTER (WHERE srem.idx IS NULL), '') AS text
+       |  FROM stsp
+       |  JOIN sdirty ON stsp.doc_id = sdirty.doc_id
+       |  LEFT JOIN srem ON stsp.doc_id = srem.doc_id AND stsp.idx = srem.idx
+       |  GROUP BY stsp.doc_id
+       |),
+       |sscrub AS (
+       |  SELECT s.doc_id, coalesce(sreb.text, s.text) AS text
+       |  FROM $src s LEFT JOIN sreb ON s.doc_id = sreb.doc_id
+       |  WHERE length(coalesce(sreb.text, s.text)) > 0
+       |)""".stripMargin
   }
 
   /** q47's chunking tail over an arbitrary (doc_id, text) CTE. */
@@ -1016,6 +1065,22 @@ object SparkEntry {
         rowsPerBand = LshRows, jaccardTau = JaccardTau,
         chunkTokens = CurateChunkTokens,
         maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN)
+      CorpusPipeline.curate(t(s, dir, "documents"), cfg,
+        collectFunnel = false).chunks
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // q62's funnel with the repeated-span scrub live between near-dedup
+    // and chunking: surviving text is rewritten (cross-survivor k-token
+    // spans removed, first occurrence kept) before the chunker reads it.
+    "q80_corpus_curate_scrubbed" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
+        scrubSpanK = Some(CurateScrubK))
       CorpusPipeline.curate(t(s, dir, "documents"), cfg,
         collectFunnel = false).chunks
         .orderBy("doc_id", "chunk_idx")
@@ -1928,6 +1993,14 @@ object SparkEntry {
          |),
          |${chunkTailSql("survd")}""".stripMargin,
 
+
+    // q80: the q62 survivor chain, passed through the q78-style span
+    // scrub (k=CurateScrubK over the surviving corpus only), then the
+    // q47 chunking tail — same CTEs, same constants, no drift.
+    "q80_corpus_curate_scrubbed" ->
+      s"""$curateOracleCtes,
+         |${scrubTailSql("surv")},
+         |${chunkTailSql("sscrub")}""".stripMargin,
 
     // q77: the q62 survivor chain, consumed by the q67 packing tail
     // instead of the chunker — same CTEs, same constants, no drift.

@@ -13,6 +13,7 @@ import graft.ops.{Dedup, Sources, Text}
   *     → quality gate → (optional) Gopher repetition gate
   *     → exact dedup → near-dedup (MinHash→LSH→Jaccard, connected
   *     components, one survivor per transitive cluster)
+  *     → (optional) decontamination → (optional) repeated-span scrub
   *     → token-budget chunking → (optionally) partitioned parquet
   *
   * Every stage is one of the library's spec'd/oracle'd operators; this
@@ -64,6 +65,17 @@ object CorpusPipeline {
     * `chunks` (which never cross documents). The two consumers read
     * the SAME persisted survivor frame; pick per training recipe.
     *
+    * `scrubSpanK` adds the repeated-span scrub
+    * ([[Dedup.scrubRepeatedSpans]], ExactSubstr-style) AFTER near-dedup
+    * and decontamination: k-token spans already seen earlier in the
+    * surviving corpus are removed from the text (the globally-first
+    * occurrence stays), and documents scrubbed down to nothing drop.
+    * It sits last among the dedup stages deliberately — document-level
+    * dedup first shrinks the corpus the span index is built over, and
+    * span-scrubbing earlier would perturb the quality/repetition gates'
+    * signals. The only funnel stage that REWRITES text rather than
+    * filtering rows; chunking and packing consume the scrubbed text.
+    *
     * `evalDocs` adds benchmark DECONTAMINATION between near-dedup and
     * chunking ([[Dedup.contamination]]): a (doc_id, text) frame of
     * held-out eval documents; any surviving training doc sharing ≥
@@ -92,6 +104,7 @@ object CorpusPipeline {
       evalDocs: Option[DataFrame] = None,
       contaminationMinShared: Long = 5L,
       broadcastEval: Boolean = true,
+      scrubSpanK: Option[Int] = None,
       packSeqTokens: Option[Int] = None,
       packShards: Int = 16,
       packSalt: String = "pack")
@@ -285,11 +298,28 @@ object CorpusPipeline {
           .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-    val chunks = Text.chunk(decon, "text", cfg.chunkTokens)
+    // optional repeated-span scrub: rewrite survivor text, removing
+    // k-token spans whose first occurrence lives elsewhere in the
+    // surviving corpus; docs scrubbed to nothing drop. Eager (the op's
+    // internal barrier), like the near-dedup fixpoint before it; reads
+    // the persisted survivor frame once. The scrubbed frame persists
+    // because chunking, packing, the sink's source join and the funnel
+    // count all read it.
+    val spanScrubbed = cfg.scrubSpanK match {
+      case None => decon
+      case Some(k) =>
+        val s = Dedup.scrubRepeatedSpans(decon, "doc_id", "text", k)
+          .filter(length(col("text_scrubbed")) > 0)
+          .select(col("doc_id"), col("text_scrubbed").as("text"))
+        decon.drop("text").join(s, Seq("doc_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+    val chunks = Text.chunk(spanScrubbed, "text", cfg.chunkTokens)
     // optional packed-sequence consumer — reads the same persisted
     // survivor frame as the chunker; no extra funnel stages upstream
     val packed = cfg.packSeqTokens.map(l =>
-      graft.ops.Sampling.pack(decon, "doc_id", "text", l,
+      graft.ops.Sampling.pack(spanScrubbed, "doc_id", "text", l,
         cfg.packShards, cfg.packSalt))
 
     val funnel =
@@ -304,8 +334,10 @@ object CorpusPipeline {
           (if (cfg.maxBoilerRatio.isEmpty) Seq.empty
            else Seq("boilerplate" -> gated.count()))
         val scrubCounts =
-          if (cfg.evalDocs.isEmpty) Seq.empty
-          else Seq("decontaminated" -> decon.count())
+          (if (cfg.evalDocs.isEmpty) Seq.empty
+           else Seq("decontaminated" -> decon.count())) ++
+          (if (cfg.scrubSpanK.isEmpty) Seq.empty
+           else Seq("span_scrub" -> spanScrubbed.count()))
         val counts = Seq(
           "input" -> docs.count(),
           "normalized_non_empty" -> normed.count(),
@@ -327,7 +359,10 @@ object CorpusPipeline {
     val extraPersisted =
       if (collectFunnel) Seq.empty else Seq(quality, normed)
     val deconPersisted = if (decon ne near) Seq(decon) else Seq.empty
-    Frames(Result(chunks, funnel, packed = packed), decon,
-      deconPersisted ++ Seq(near, shingled, exact) ++ extraPersisted)
+    val scrubPersisted =
+      if (spanScrubbed ne decon) Seq(spanScrubbed) else Seq.empty
+    Frames(Result(chunks, funnel, packed = packed), spanScrubbed,
+      scrubPersisted ++ deconPersisted ++ Seq(near, shingled, exact) ++
+        extraPersisted)
   }
 }

@@ -138,6 +138,43 @@ class CorpusPipelineSpec extends SparkSpec {
     r.persisted.foreach(_.unpersist())
   }
 
+  test("curate: span-scrub stage rewrites a planted cross-survivor span") {
+    import spark.implicits._
+    // docs 1 and 2 are NOT near-dups (different shingle sets overall)
+    // but share one verbatim 6-token run; doc 3 is a trigram-free
+    // bystander. k=3 scrubs the shared run from the LATER doc only.
+    // the language gate needs English-profile hits, and the two
+    // prefixes must not share a trigram of their own
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, "the cat and the dog is a pet of note " + shared,
+        "en", "s0"),
+      (2L, "is the bird and a fish of the sea " + shared +
+        " red green blue cyan magenta yellow black white pink gray",
+        "en", "s0"),
+      (3L, "solo words only here apart from the rest entirely distinct " +
+        "tokens everywhere and the end of it", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cfg = CorpusPipeline.Config(minQuality = 0.0, jaccardTau = 0.9,
+      scrubSpanK = Some(3))
+    val r = CorpusPipeline.curate(corpus, cfg)
+    val f = r.funnel.toMap
+    assert(f("near_dedup") == 3 && f("span_scrub") == 3, s"funnel: ${r.funnel}")
+    assert(f("span_scrub") <= f("near_dedup"))
+    // chunk text for doc 2 lost the shared run; doc 1 (first occurrence)
+    // and doc 3 (clean) kept theirs verbatim
+    val chunkText = r.chunks.groupBy("doc_id")
+      .agg(concat_ws(" ", sort_array(collect_list(
+        struct(col("chunk_idx"), col("chunk")))).getField("chunk"))
+        .as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(chunkText(1L).endsWith(shared))
+    assert(chunkText(2L) == "is the bird and a fish of the sea " +
+      "red green blue cyan magenta yellow black white pink gray")
+    assert(chunkText(3L).contains("solo words only"))
+    r.persisted.foreach(_.unpersist())
+  }
+
   test("curate: eval-scrub stage drops a planted benchmark leak, funnel stays monotone") {
     import spark.implicits._
     // doc 2 embeds an eval passage verbatim (≥ 5 shared 3-gram
