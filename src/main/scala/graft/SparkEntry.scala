@@ -144,6 +144,10 @@ object SparkEntry {
     * salt. */
   val SampleNPerSource = 12
   val SampleSalt = "q76"
+  /** q81/q82 BPE merge rounds. 6 keeps the unrolled oracle CTE chain
+    * readable while exercising multi-char merges (round 2+ pairs contain
+    * round-1 outputs) on the fixture vocabulary. */
+  val BpeNumMerges = 6
   /** q79 bigram-LM interpolation weight on the bigram term. 0.75 is
     * exactly representable in binary, so 1−λ is too — the interpolation
     * constants can never drift between the engines' float parsers. */
@@ -514,6 +518,67 @@ object SparkEntry {
          |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN drops k ON e.doc_id = k.id
          |  WHERE k.id IS NULL
          |)""".stripMargin
+  }
+
+  /** BPE oracle: the word-frequency CTE plus `k` UNROLLED learning
+    * rounds. Round j reads `bseg(j-1)` (word, count, s=symbols list) and
+    * produces `bb j` (the argmax pair: count DESC, l ASC, r ASC) and
+    * `bseg j` (the segmentation after greedily applying it). The greedy
+    * left-to-right non-overlapping apply is expressed with windows:
+    * consecutive matches only arise for l = r (runs of one symbol), and
+    * there the applied positions are the even offsets within each
+    * gaps-and-islands run — exactly the Spark side's fold semantics. */
+  private def bpeCtesSql(k: Int): String = {
+    val head =
+      s"""bwc AS MATERIALIZED (
+         |  SELECT w AS word, count(*)::BIGINT AS count
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) _
+         |  WHERE w <> '' GROUP BY w
+         |),
+         |bseg0 AS MATERIALIZED (
+         |  SELECT word, count,
+         |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS s
+         |  FROM bwc
+         |)""".stripMargin
+    val rounds = (1 to k).map { j =>
+      val prev = s"bseg${j - 1}"
+      s"""bp$j AS MATERIALIZED (
+         |  SELECT s[i] AS l, s[i+1] AS r, sum(count)::BIGINT AS c
+         |  FROM $prev, LATERAL (SELECT unnest(range(1, len(s))) AS i) _
+         |  GROUP BY l, r
+         |),
+         |bb$j AS MATERIALIZED (SELECT l, r, c FROM bp$j ORDER BY c DESC, l, r LIMIT 1),
+         |be$j AS MATERIALIZED (
+         |  SELECT word, count, i, s[i] AS sym,
+         |    CASE WHEN i < len(s) AND s[i] = (SELECT l FROM bb$j)
+         |              AND s[i+1] = (SELECT r FROM bb$j)
+         |         THEN 1 ELSE 0 END AS mt
+         |  FROM $prev, LATERAL (SELECT unnest(range(1, len(s) + 1)) AS i) _
+         |),
+         |bm$j AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, min(i) OVER (PARTITION BY word, isl) AS run_start
+         |    FROM (
+         |      SELECT word, i,
+         |        i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+         |      FROM be$j WHERE mt = 1
+         |    ) a
+         |  ) b
+         |  WHERE (i - run_start) % 2 = 0
+         |),
+         |bseg$j AS MATERIALIZED (
+         |  SELECT e.word, e.count,
+         |    list(CASE WHEN m.i IS NOT NULL
+         |              THEN (SELECT l FROM bb$j) || (SELECT r FROM bb$j)
+         |              ELSE e.sym END ORDER BY e.i) AS s
+         |  FROM be$j e
+         |  LEFT JOIN bm$j m ON e.word = m.word AND e.i = m.i
+         |  LEFT JOIN bm$j p ON e.word = p.word AND e.i = p.i + 1
+         |  WHERE p.i IS NULL
+         |  GROUP BY e.word, e.count
+         |)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
   }
 
   /** q78's repeated-span scrub as an oracle tail over an arbitrary
@@ -1132,6 +1197,22 @@ object SparkEntry {
     "q76_stratified_sample" -> ((s, dir) => {
       Sampling.sampleN(t(s, dir, "documents"), "doc_id", "source",
         SampleNPerSource, SampleSalt).orderBy("doc_id")
+    }),
+
+    // BPE merge learning: the subword-tokenizer training loop over the
+    // corpus word-frequency table — deterministic (count DESC, pair ASC
+    // tiebreak), so the learned merge table is oracle-checkable.
+    "q81_bpe_merges" -> ((s, dir) => {
+      Bpe.learn(Bpe.wordCounts(t(s, dir, "documents"), "text"), BpeNumMerges)
+        .merges.orderBy("rank")
+    }),
+
+    // BPE encoding: every document re-segmented through the learned
+    // word→subword table (dictionary join, corpus never char-split).
+    "q82_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val learned = Bpe.learn(Bpe.wordCounts(docs, "text"), BpeNumMerges)
+      Bpe.encode(docs, "text", learned.vocab).orderBy("doc_id")
     }),
 
     // Interpolated bigram LM NLL: corpus-trained KenLM-lite fluency
@@ -2050,6 +2131,44 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q81: the unrolled learning rounds; each round's argmax pair is one
+    // row of the merge table (an exhausted round's empty bb CTE simply
+    // contributes no row, mirroring the Spark loop's early stop).
+    "q81_bpe_merges" -> {
+      val rows = (1 to BpeNumMerges).map(j =>
+        s"""SELECT CAST($j AS BIGINT) AS rank, l AS "left", r AS "right",
+           |  l || r AS merged, c AS pair_count FROM bb$j""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bpeCtesSql(BpeNumMerges)}
+         |$rows
+         |ORDER BY rank""".stripMargin
+    },
+
+    // q82: documents meet the final segmentation by word; OOV words
+    // (none on the self-trained fixture, but the branch is live) fall
+    // back to character symbols.
+    "q82_bpe_encode" -> {
+      val k = BpeNumMerges
+      s"""WITH ${bpeCtesSql(k)},
+         |etok AS (
+         |  SELECT doc_id, i AS pos, t[i] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) _,
+         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) __
+         |  WHERE t[i] <> ''
+         |),
+         |eseg AS (
+         |  SELECT e.doc_id, e.pos,
+         |    coalesce(v.s, list_transform(range(1, length(e.word) + 1),
+         |                                 i -> e.word[i:i])) AS syms
+         |  FROM etok e LEFT JOIN bseg$k v ON e.word = v.word
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_words,
+         |  sum(len(syms))::BIGINT AS n_bpe_tokens,
+         |  array_to_string(flatten(list(syms ORDER BY pos)), ' ') AS bpe_text
+         |FROM eseg GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // q79: the per-doc (v, w, c) frame joins the corpus bigram table;
     // the bigram denominator and unigram counts are group-bys over that

@@ -266,6 +266,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q78: span-scrub joins equi-keyed; canonical-occurrence min is partial") {
+    // post-barrier plan: the dup-gram groupBy must be a map-side-
+    // combinable min (absorbs mega-repeated-span skew) and every join
+    // (hash join-back, semi on dirty docs, anti on removed idx) stays
+    // hash-keyed — a nested loop here would be corpus-pairwise
+    val p = plan("q78_scrub_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+  }
+
+  test("q79: bigram corpus tables are windows over the compact (v,w) frame") {
+    // post-barrier: the (doc,v,w) cut joins the corpus-level frame; the
+    // total-token scalar broadcasts (1-row, the only NLJ allowed); no
+    // cartesian, and the per-doc frame never windows directly (the
+    // hot-stopword partition trap)
+    val p = plan("q79_bigram_nll")
+    assert(!p.contains("CartesianProduct"), p)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj == 1, s"want exactly the 1-row total broadcast, got $nlj:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordCounts: corpus collapses to the (word, count) frame") {
+    val docs = Seq((1L, "ab ab ba"), (2L, "ab cc")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(wc == Map("ab" -> 3L, "ba" -> 1L, "cc" -> 1L))
+  }
+
+  test("learn: deterministic merges with count-then-lexicographic tiebreak") {
+    // "abab" x3: pairs (a,b)x2 per word -> c=6 dominates; after merging,
+    // (ab,ab) c=3 wins round 2; "cd" x2 gives (c,d) c=2 for round 3
+    val wc = Seq(("abab", 3L), ("cd", 2L)).toDF("word", "count")
+    val learned = Bpe.learn(wc, 4)
+    val m = learned.merges
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(m == List(
+      (1L, "a", "b", "ab", 6L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "c", "d", "cd", 2L)))            // exhausted after 3 (no pairs left)
+    val seg = learned.vocab.select("word", "symbols")
+      .as[(String, Seq[String])].collect().toMap
+    assert(seg("abab") == Seq("abab") && seg("cd") == Seq("cd"))
+  }
+
+  test("learn: identical-symbol runs merge leftmost non-overlapping pairs") {
+    // "aaa" x2: (a,a) c=4 (two per word); greedy leaves [aa, a]
+    val wc = Seq(("aaa", 2L)).toDF("word", "count")
+    val learned = Bpe.learn(wc, 1)
+    val m = learned.merges
+      .as[(Long, String, String, String, Long)].collect().toList
+    assert(m == List((1L, "a", "a", "aa", 4L)))
+    val seg = learned.vocab.select("symbols")
+      .as[Seq[String]].collect().head
+    assert(seg == Seq("aa", "a"))
+  }
+
+  test("encode: dictionary join reassembles subwords in word order; OOV falls back to chars") {
+    val wc = Seq(("abab", 2L), ("ab", 1L)).toDF("word", "count")
+    val learned = Bpe.learn(wc, 2)   // (a,b)->ab, (ab,ab)->abab
+    val docs = Seq(
+      (1L, "abab ab abab"),
+      (2L, "xy ab")                  // "xy" is OOV -> chars x y
+    ).toDF("doc_id", "text")
+    val r = Bpe.encode(docs, "text", learned.vocab)
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((3L, 3L, "abab ab abab")))
+    assert(r(2L) == ((2L, 3L, "x y ab")))
+  }
+}
