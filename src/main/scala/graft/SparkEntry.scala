@@ -144,6 +144,12 @@ object SparkEntry {
     * salt. */
   val SampleNPerSource = 12
   val SampleSalt = "q76"
+  /** q83 temperature-scaled mixture: α = 0.5 visibly flattens the
+    * fixture's source-size distribution, and the token target keeps
+    * big-source rates < 1 while small sources saturate at 1 — both
+    * regimes of the min() live in the oracle. */
+  val TempAlpha = 0.5
+  val TempTargetTokens = 15000L
   /** q81/q82 BPE merge rounds. 6 keeps the unrolled oracle CTE chain
     * readable while exercising multi-char merges (round 2+ pairs contain
     * round-1 outputs) on the fixture vocabulary. */
@@ -1199,6 +1205,18 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // Temperature-scaled corpus mixture: p_i ∝ n_i^α rates feeding the
+    // q64 Bernoulli domain-mix gate — the mT5/XLM-R sampling recipe.
+    "q83_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rates = Sampling.ratesForTemperature(docs, "source", "text",
+        TempAlpha, TempTargetTokens)
+      Sampling.domainMix(docs, "doc_id", "source",
+        rates.select(col("source"), col("rate")), "q83")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // BPE merge learning: the subword-tokenizer training loop over the
     // corpus word-frequency table — deterministic (count DESC, pair ASC
     // tiebreak), so the learned merge table is oracle-checkable.
@@ -2130,6 +2148,27 @@ object SparkEntry {
          |       r.sample_rank
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q83: per-source token counts → α-powered weights normalized by a
+    // window sum → rate = min(1, T·p/n), rounded BEFORE the gate so both
+    // engines threshold on identical values; same keyed-hash draw.
+    "q83_temperature_mix" ->
+      s"""WITH tc AS (
+         |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY source
+         |),
+         |tw AS (SELECT source, n_tokens,
+         |         pow(n_tokens::DOUBLE, $TempAlpha) AS w FROM tc),
+         |tp AS (SELECT source, n_tokens,
+         |         round(w / sum(w) OVER (), 9) AS p FROM tw),
+         |tr AS (SELECT source, n_tokens, p,
+         |         round(least(1.0, ${TempTargetTokens.toDouble} * p / n_tokens),
+         |               9) AS rate
+         |       FROM tp)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN tr USING (source)
+         |WHERE ${Portable.sqlUnif("d.doc_id", "'q83'")} < tr.rate
          |ORDER BY d.doc_id""".stripMargin,
 
     // q81: the unrolled learning rounds; each round's argmax pair is one

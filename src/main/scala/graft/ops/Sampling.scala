@@ -126,6 +126,36 @@ object Sampling {
     * evaluates); expected sampled volume per source ≈ its target
     * (exact caps: [[tokenBudget]]). Sources absent from `targets`
     * drop out of the rate spec — and therefore out of the mix. */
+  /** Temperature-scaled mixture rates (the mT5/XLM-R multilingual
+    * sampling recipe): source i's sampling probability is
+    * pᵢ ∝ nᵢ^α over per-source token counts — α = 1 is natural
+    * (proportional) sampling, α < 1 flattens the distribution so
+    * low-resource sources are upsampled relative to their size.
+    * The probabilities convert to per-source Bernoulli keep-rates for
+    * a `totalTokens` target: rateᵢ = min(1, totalTokens·pᵢ / nᵢ),
+    * ready for [[domainMix]]. Returns (sourceCol, n_tokens, p, rate)
+    * with p and rate rounded to 9 dp (the rate is computed FROM the
+    * rounded p, so both engines gate documents on bit-identical
+    * thresholds).
+    *
+    * Shape: one map-only corpus scan into a per-source agg; the
+    * weight normalization is a window sum over the mixture-spec-sized
+    * source frame (a deliberate single-partition window — sources
+    * number in the dozens, never corpus-scale). */
+  def ratesForTemperature(df: DataFrame, sourceCol: String, textCol: String,
+                          alpha: Double, totalTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(totalTokens >= 1, s"totalTokens must be >= 1, got $totalTokens")
+    df.groupBy(col(sourceCol))
+      .agg(sum(size(Text.tokens(col(textCol))).cast("long")).as("n_tokens"))
+      .withColumn("__w", pow(col("n_tokens").cast("double"), lit(alpha)))
+      .withColumn("p", round(col("__w") / sum(col("__w")).over(Window.partitionBy()), 9))
+      .select(col(sourceCol), col("n_tokens"), col("p"),
+        round(least(lit(1.0),
+          lit(totalTokens.toDouble) * col("p") / col("n_tokens")), 9)
+          .as("rate"))
+  }
+
   def ratesForTargets(df: DataFrame, sourceCol: String, textCol: String,
                       targets: DataFrame): DataFrame =
     df.groupBy(col(sourceCol))

@@ -111,6 +111,29 @@ class SamplingSpec extends SparkSpec {
     assert(Set(5L, 6L).subsetOf(kept) && !kept.contains(7L))
   }
 
+  test("ratesForTemperature: p ∝ n^α, rates capped, α=1 is natural sampling") {
+    // n: a=100 tokens, b=400 tokens; α=0.5 → w=10,20 → p=1/3,2/3;
+    // T=150 → rate_a=min(1,150·(1/3)/100)=0.5, rate_b=min(1,150·(2/3)/400)=0.25
+    val docs = Seq(
+      (1L, Seq.fill(100)("x").mkString(" "), "a"),
+      (2L, Seq.fill(400)("y").mkString(" "), "b")
+    ).toDF("doc_id", "text", "source")
+    val r = Sampling.ratesForTemperature(docs, "source", "text", 0.5, 150L)
+      .select("source", "n_tokens", "p", "rate")
+      .as[(String, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("a") == (("a", 100L, 0.333333333, 0.5)))
+    assert(r("b") == (("b", 400L, 0.666666667, 0.25)))
+    // α=1: p is proportional to size, so every rate equals T/total —
+    // natural sampling treats the corpus as one pool (150/500 = 0.3)
+    val nat = Sampling.ratesForTemperature(docs, "source", "text", 1.0, 150L)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(nat("a") == 0.3 && nat("b") == 0.3)
+    // the flattening direction at the SAME token target: α<1 gives the
+    // small source a HIGHER rate than natural, the big source a lower one
+    assert(r("a")._4 > nat("a") && r("b")._4 < nat("b"))
+  }
+
   test("pack: full sequences, zero token loss, boundary-spanning docs, determinism") {
     val r = Sampling.pack(corpus, "doc_id", "text", 4, 1, "p")
       .select("shard", "seq_idx", "n_tokens", "seq")
