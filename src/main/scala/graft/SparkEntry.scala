@@ -144,6 +144,11 @@ object SparkEntry {
     * salt. */
   val SampleNPerSource = 12
   val SampleSalt = "q76"
+  /** q84 tf-idf cosine pairs: 0.88 keeps ~100 fixture pairs (the tail
+    * of the word-soup similarity distribution); the df prune bound sits
+    * above every fixture df, same contract as [[JaccardMaxDf]]. */
+  val TfidfTau = 0.88
+  val TfidfMaxDf = 100000L
   /** q83 temperature-scaled mixture: α = 0.5 visibly flattens the
     * fixture's source-size distribution, and the token target keeps
     * big-source rates < 1 while small sources saturate at 1 — both
@@ -1205,6 +1210,14 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // TF-IDF cosine document pairs: inverted-index weighted similarity
+    // (rare shared terms dominate), the q55 Jaccard path's complement.
+    "q84_tfidf_pairs" -> ((s, dir) => {
+      Similarity.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
+        TfidfTau, TfidfMaxDf)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Temperature-scaled corpus mixture: p_i ∝ n_i^α rates feeding the
     // q64 Bernoulli domain-mix gate — the mT5/XLM-R sampling recipe.
     "q83_temperature_mix" -> ((s, dir) => {
@@ -2149,6 +2162,35 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q84: the same tf/df/norm windows as the Spark side; pairs meet on
+    // the term posting lists, cosine compared on the rounded value.
+    "q84_tfidf_pairs" ->
+      s"""WITH ttf AS (
+         |  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) _
+         |  WHERE w <> '' GROUP BY doc_id, w
+         |),
+         |tdf AS (SELECT doc_id, term, tf,
+         |          count(*) OVER (PARTITION BY term) AS df FROM ttf),
+         |tn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |tww AS (SELECT doc_id, term, df, tf * ln(n / df) AS w
+         |        FROM tdf CROSS JOIN tn),
+         |tnorm AS (
+         |  SELECT doc_id, term, u FROM (
+         |    SELECT doc_id, term, df,
+         |      w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS u,
+         |      sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS norm
+         |    FROM tww) _
+         |  WHERE norm > 0 AND df <= $TfidfMaxDf
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(sum(a.u * b.u), 9) AS cos_tfidf
+         |FROM tnorm a JOIN tnorm b ON a.term = b.term AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING round(sum(a.u * b.u), 9) >= $TfidfTau
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q83: per-source token counts → α-powered weights normalized by a
     // window sum → rate = min(1, T·p/n), rounded BEFORE the gate so both

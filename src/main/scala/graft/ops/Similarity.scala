@@ -106,4 +106,52 @@ object Similarity {
       .agg(concat_ws("; ",
         array_sort(collect_list(struct(col("rnk"), col("name"))))
           .getField("name")).as("neighbors"))
+
+  /** TF-IDF cosine document-similarity pairs — the weighted complement
+    * to the set-based [[Dedup.jaccardPairsExact]]: documents score by
+    * the cosine of their ln(N/df)-weighted term vectors, so sharing a
+    * RARE term means far more than sharing a stopword. Returns
+    * (id_a, id_b, cos_tfidf) for pairs with cosine ≥ tau (compared on
+    * the 9-dp-rounded value, both engines).
+    *
+    * Relational shape (inverted index, never all-pairs): one tokenize
+    * into the (doc, term, tf) frame; df is a window count over that
+    * grouped frame (partition = the term's posting list, ≤ n_docs rows
+    * — the [[Text.topKeywords]] trick, no re-tokenizing join); N joins
+    * in as a broadcast 1-row aggregate; the per-doc L2 norm is a window
+    * sum over the doc partition. The normalized posting list passes a
+    * [[Barrier]] (both join sides read the cut — one tokenize total,
+    * like q55), then pairs meet through a term-keyed equi self-join.
+    * `maxDf` prunes hot terms from the JOIN (their posting lists are
+    * quadratic candidate factories and their idf ≈ 0 contributes least)
+    * — the documented skew lever; norms keep every term, so pruning
+    * only ever underestimates a cosine. Documents whose every term has
+    * df = N carry a zero vector (all idf 0) and drop — cosine is
+    * undefined for them. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       tau: Double, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val id = col(idCol)
+    val tf = df.select(id,
+        explode_outer(Text.tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+      .groupBy(id, col("term")).agg(count(lit(1)).as("tf"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val posts = Barrier.cut(tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf") * log(col("__n") / col("df")))
+      .withColumn("norm",
+        sqrt(sum(col("w") * col("w")).over(Window.partitionBy(id))))
+      .filter(col("norm") > 0)
+      .filter(col("df") <= maxDf)
+      .select(id, col("term"), (col("w") / col("norm")).as("u")))
+    val a = posts.select(col("term"), id.as("id_a"), col("u").as("ua"))
+    val b = posts.select(col("term"), id.as("id_b"), col("u").as("ub"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(round(sum(col("ua") * col("ub")), 9).as("cos_tfidf"))
+      .filter(col("cos_tfidf") >= tau)
+  }
 }

@@ -41,6 +41,27 @@ class BpeSpec extends SparkSpec {
     assert(seg == Seq("aa", "a"))
   }
 
+  test("learn law: every segmentation concatenates back to its word; counts preserved") {
+    // merging only ever concatenates adjacent symbols, so at any round
+    // concat(symbols) == word and no word row is lost or duplicated
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val wc = Bpe.wordCounts(docs, "text")
+    val learned = Bpe.learn(wc, 5)
+    val bad = learned.vocab
+      .filter(concat_ws("", col("symbols")) =!= col("word")).count()
+    assert(bad == 0L)
+    val before = wc.as[(String, Long)].collect().toMap
+    val after = learned.vocab.select("word", "count")
+      .as[(String, Long)].collect().toMap
+    assert(after == before)
+    // exactly 5 merges learned on a real corpus, ranks 1..5, counts
+    // non-increasing (a later merge can never beat an earlier one)
+    val m = learned.merges
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(m.map(_._1).toList == List(1L, 2L, 3L, 4L, 5L))
+    assert(m.sliding(2).forall { case Array(a, b) => b._5 <= a._5 })
+  }
+
   test("encode: dictionary join reassembles subwords in word order; OOV falls back to chars") {
     val wc = Seq(("abab", 2L), ("ab", 1L)).toDF("word", "count")
     val learned = Bpe.learn(wc, 2)   // (a,b)->ab, (ab,ab)->abab

@@ -73,4 +73,28 @@ class SimilaritySpec extends SparkSpec {
     assert(m(1L) == "y; x")
     assert(m(2L) == "z")
   }
+
+  test("tfidfCosinePairs: rare shared terms dominate; zero-idf docs drop") {
+    // "the" is in all 4 docs (idf 0); "rare"/"gem" only in docs 1,2.
+    // Docs 1-2 share the rare mass -> cosine 1; doc 3 shares only
+    // zero-weight terms with them; doc 4 is all-stopword -> zero vector
+    val docs = Seq(
+      (1L, "the rare gem"),
+      (2L, "the rare gem"),
+      (3L, "the common words"),
+      (4L, "the the the")
+    ).toDF("doc_id", "text")
+    val pairs = Similarity.tfidfCosinePairs(docs, "doc_id", "text", 0.1, 100L)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == 1.0)
+    // tau above the pair's cosine -> empty
+    assert(Similarity.tfidfCosinePairs(docs, "doc_id", "text", 1.1, 100L)
+      .count() == 0)
+    // pruning the rare terms (maxDf = 1 excludes df=2 terms) removes
+    // the only scoring evidence -> no pairs survive
+    assert(Similarity.tfidfCosinePairs(docs, "doc_id", "text", 0.1, 1L)
+      .count() == 0)
+  }
 }
