@@ -1218,6 +1218,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Trained Naive-Bayes language classifier: exact-count train on the
+    // labeled corpus, argmax score per doc with the runner-up margin and
+    // a label-agreement flag — the learned quality-filter slot, and a
+    // label-noise report (margin ~ confidence, !correct ~ suspect label).
+    "q85_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.NaiveBayesText.train(docs, "text", "lang")
+      graft.ml.NaiveBayesText.classify(model, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("pred_label"),
+          (col("pred_label") === col("lang")).as("correct"),
+          round(col("avg_logp"), 9).as("avg_logp"),
+          round(col("margin"), 9).as("margin"))
+        .orderBy("doc_id")
+    }),
+
     // Temperature-scaled corpus mixture: p_i ∝ n_i^α rates feeding the
     // q64 Bernoulli domain-mix gate — the mT5/XLM-R sampling recipe.
     "q83_temperature_mix" -> ((s, dir) => {
@@ -2191,6 +2207,60 @@ object SparkEntry {
          |GROUP BY a.doc_id, b.doc_id
          |HAVING round(sum(a.u * b.u), 9) >= $TfidfTau
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q85: identical NB math — the −n_d·ln(tokens_c+V) factoring keeps
+    // the seen join INNER (unseen pairs contribute exactly 0), argmax by
+    // (score DESC, label ASC) row_number, runner-up margin via lead().
+    "q85_nb_classify" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, w AS token
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) _
+         |  WHERE w <> ''
+         |),
+         |tc AS (SELECT lang AS label, token, count(*)::BIGINT AS cnt
+         |       FROM tok GROUP BY lang, token),
+         |cls AS (SELECT lang AS label, count(*)::BIGINT AS n_tokens
+         |        FROM tok GROUP BY lang),
+         |cdocs AS (SELECT lang AS label, count(*)::BIGINT AS n_docs
+         |          FROM documents GROUP BY lang),
+         |tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS docs_total,
+         |          (SELECT count(DISTINCT token) FROM tok)::BIGINT AS vocab_v),
+         |dtf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+         |        FROM tok GROUP BY doc_id, token),
+         |dlen AS (SELECT doc_id, sum(tf)::BIGINT AS n_d
+         |         FROM dtf GROUP BY doc_id),
+         |seen AS (
+         |  SELECT dtf.doc_id, tc.label, sum(dtf.tf * ln(tc.cnt + 1)) AS ssum
+         |  FROM dtf JOIN tc ON dtf.token = tc.token
+         |  GROUP BY dtf.doc_id, tc.label
+         |),
+         |sc AS (
+         |  SELECT dlen.doc_id, c.label,
+         |    (ln(cd.n_docs::DOUBLE / tot.docs_total)
+         |      + coalesce(seen.ssum, 0)
+         |      - dlen.n_d * ln((c.n_tokens + tot.vocab_v)::DOUBLE))
+         |      / dlen.n_d AS avg_logp
+         |  FROM dlen CROSS JOIN cls c
+         |  JOIN cdocs cd ON cd.label = c.label
+         |  CROSS JOIN tot
+         |  LEFT JOIN seen ON seen.doc_id = dlen.doc_id AND seen.label = c.label
+         |),
+         |rk AS (
+         |  SELECT doc_id, label, avg_logp,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY avg_logp DESC, label ASC) AS rk,
+         |    lead(avg_logp) OVER (PARTITION BY doc_id
+         |      ORDER BY avg_logp DESC, label ASC) AS s2
+         |  FROM sc
+         |)
+         |SELECT r.doc_id, d.lang, r.label AS pred_label,
+         |  (r.label = d.lang) AS correct,
+         |  round(r.avg_logp, 9) AS avg_logp,
+         |  round(r.avg_logp - r.s2, 9) AS margin
+         |FROM rk r JOIN documents d ON d.doc_id = r.doc_id
+         |WHERE r.rk = 1
+         |ORDER BY r.doc_id""".stripMargin,
 
     // q83: per-source token counts → α-powered weights normalized by a
     // window sum → rate = min(1, T·p/n), rounded BEFORE the gate so both

@@ -1,0 +1,111 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive-Bayes text classifier — the learned quality/language
+  * filter of LLM data pipelines (the GPT-3 / CCNet "fastText-style linear
+  * classifier" slot), expressed relationally so training and scoring are
+  * plain aggregations and joins.
+  *
+  * Unlike [[graft.ops.Text.languageId]] (a fixed n-gram heuristic profile),
+  * this classifier is *trained* from labeled rows: class priors and
+  * Laplace-smoothed token likelihoods are exact corpus counts, so the whole
+  * train → score path is deterministic and DuckDB-oracle-able (q85) — no
+  * SGD, no RNG.
+  *
+  * Math (per document d, class c, smoothing α=1):
+  * {{{
+  *   score(d,c) = ln(docs_c / docs_total)
+  *              + Σ_{t ∈ d} tf_{d,t} · ln(cnt_{c,t} + 1)
+  *              − n_d · ln(tokens_c + V)
+  * }}}
+  * The −n_d·ln(tokens_c+V) factoring makes unseen (token, class) pairs
+  * contribute exactly 0 to the Σ term, so the scoring join can be INNER on
+  * observed counts — no dense vocab × classes frame is ever materialized.
+  *
+  * Scale posture (100 TB corpus, lexicon-sized model):
+  *  - train: one (label, token)-keyed count shuffle over the exploded
+  *    corpus + a label-keyed class rollup + one distinct-token count; the
+  *    corpus itself is read once and never re-shuffled;
+  *  - score: tf aggregates doc-keyed; the model (≈ lexicon × classes rows)
+  *    broadcasts into the token match, so the corpus-sized tf frame meets
+  *    it map-side; the class table (a handful of rows) broadcasts into the
+  *    dense (doc × class) base. Drop the broadcast hint if the lexicon
+  *    outgrows driver memory — the join is token-keyed equi either way.
+  */
+object NaiveBayesText {
+
+  /** Trained model: `classes` (label, n_docs, n_tokens), `tokenCounts`
+    * (label, token, cnt), `totals` (1 row: docs_total, vocab_v). All lazy
+    * frames — nothing materializes until a scoring action runs. */
+  case class Model(classes: DataFrame, tokenCounts: DataFrame,
+                   totals: DataFrame)
+
+  /** Whitespace-token multiset of `textCol` as (row, token, tf) — empty
+    * tokens dropped, matching DuckDB `string_split` + `WHERE w <> ''`. */
+  private def tf(docs: DataFrame, idCols: Seq[String], textCol: String) =
+    docs.select(idCols.map(col) :+
+        explode(split(col(textCol), " ")).as("token"): _*)
+      .where(col("token") =!= "")
+      .groupBy(idCols.map(col) :+ col("token"): _*)
+      .agg(count(lit(1)).as("tf"))
+
+  /** Train on labeled documents: exact counts, Laplace α=1 applied at
+    * score time. */
+  def train(docs: DataFrame, textCol: String, labelCol: String): Model = {
+    val toks = tf(docs, Seq(labelCol), textCol)
+      .withColumnRenamed(labelCol, "label")
+    val tokenCounts = toks.groupBy("label", "token")
+      .agg(sum("tf").as("cnt"))
+    val classes = toks.groupBy("label")
+      .agg(sum("tf").as("n_tokens"))
+      .join(docs.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_docs")), Seq("label"))
+    val totals = docs.agg(count(lit(1)).as("docs_total"))
+      .crossJoin(toks.select("token").distinct()
+        .agg(count(lit(1)).as("vocab_v")))
+    Model(classes, tokenCounts, totals)
+  }
+
+  /** Per-(document, class) scores: (idCol, label, avg_logp), where
+    * avg_logp is the log-posterior normalized by the document's token
+    * count — score(d,c)/n_d. Normalizing changes no argmax (n_d > 0 is
+    * constant within a document) and makes the value length-invariant,
+    * so one threshold works for short and long documents — and keeps the
+    * magnitude ~ln(vocab), where 9-dp rounding is exact cross-engine
+    * (same regime as [[graft.ops.Text.bigramLogProb]]). */
+  def score(model: Model, docs: DataFrame, idCol: String,
+            textCol: String): DataFrame = {
+    val docTf = tf(docs, Seq(idCol), textCol)
+    val seen = docTf
+      .join(broadcast(model.tokenCounts), Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("tf") * log(col("cnt") + lit(1))).as("ssum"))
+    val docLen = docTf.groupBy(idCol).agg(sum("tf").as("n_d"))
+    docLen
+      .crossJoin(broadcast(model.classes.crossJoin(model.totals)))
+      .join(seen, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        ((log(col("n_docs") / col("docs_total"))
+          + coalesce(col("ssum"), lit(0.0))
+          - col("n_d") * log(col("n_tokens") + col("vocab_v")))
+          / col("n_d")).as("avg_logp"))
+  }
+
+  /** Argmax classification with the runner-up margin:
+    * (idCol, pred_label, avg_logp, margin). Ties break on label
+    * ascending — identically in the oracle. */
+  def classify(model: Model, docs: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("avg_logp").desc, col("label").asc)
+    score(model, docs, idCol, textCol)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("margin", col("avg_logp") - lead("avg_logp", 1).over(w))
+      .where(col("rk") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        col("avg_logp"), col("margin"))
+  }
+}
