@@ -149,6 +149,14 @@ object SparkEntry {
     * above every fixture df, same contract as [[JaccardMaxDf]]. */
   val TfidfTau = 0.88
   val TfidfMaxDf = 100000L
+  /** q86 PageRank over the tf-idf similarity graph: τ = 0.8 keeps a
+    * ~4k-edge fixture graph (dense enough that rank differentiates,
+    * sparse enough for an unrolled oracle); 8 rounds is comfortably
+    * inside convergence for a graph of this diameter; ranks are
+    * BIGINT numerators over 10^12 (see [[graft.ops.Graph]]). */
+  val PrTau = 0.8
+  val PrIters = 8
+  val PrScale = 1000000000000L
   /** q83 temperature-scaled mixture: α = 0.5 visibly flattens the
     * fixture's source-size distribution, and the token target keeps
     * big-source rates < 1 while small sources saturate at 1 — both
@@ -707,6 +715,51 @@ object SparkEntry {
        |FROM c WHERE cum_tokens <= $TokenBudgetPerSource
        |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB CTE chain (no leading WITH) ending in
+    * `tfpairs(id_a, id_b, cos_tfidf)` — the [[Similarity.tfidfCosinePairs]]
+    * twin, shared by q84 (pairs) and q86 (PageRank edges). */
+  private def tfidfPairsCtes(tau: Double, maxDf: Long): String =
+    s"""ttf AS (
+       |  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) _
+       |  WHERE w <> '' GROUP BY doc_id, w
+       |),
+       |tdf AS (SELECT doc_id, term, tf,
+       |          count(*) OVER (PARTITION BY term) AS df FROM ttf),
+       |tn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+       |tww AS (SELECT doc_id, term, df, tf * ln(n / df) AS w
+       |        FROM tdf CROSS JOIN tn),
+       |tnorm AS (
+       |  SELECT doc_id, term, u FROM (
+       |    SELECT doc_id, term, df,
+       |      w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS u,
+       |      sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS norm
+       |    FROM tww) _
+       |  WHERE norm > 0 AND df <= $maxDf
+       |),
+       |tfpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(sum(a.u * b.u), 9) AS cos_tfidf
+       |  FROM tnorm a JOIN tnorm b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING round(sum(a.u * b.u), 9) >= $tau
+       |)""".stripMargin
+
+  /** q86's unrolled PageRank rounds r1..rK (damping 85/100 — the
+    * [[graft.ops.Graph.pageRank]] default), integer-only arithmetic. */
+  private def prRoundCtes(k: Int): String =
+    (1 to k).map { i =>
+      s"""r$i AS (
+         |  SELECT sym.d AS id,
+         |    (((15 * ($PrScale // nn.cnt)) // 100)
+         |      + ((85 * sum(r${i - 1}.r // deg.deg)) // 100))::BIGINT AS r
+         |  FROM sym JOIN deg ON sym.s = deg.s
+         |  JOIN r${i - 1} ON r${i - 1}.id = sym.s
+         |  CROSS JOIN nn GROUP BY sym.d, nn.cnt
+         |)""".stripMargin
+    }.mkString(",\n")
+
   /** DuckDB fragment: sequential-fold cosine between list columns a, b —
     * same operand order as [[Similarity.cosine]]. */
   private def cosSql(a: String, b: String): String =
@@ -1216,6 +1269,21 @@ object SparkEntry {
       Similarity.tfidfCosinePairs(t(s, dir, "documents"), "doc_id", "text",
         TfidfTau, TfidfMaxDf)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Graph centrality over the similarity graph: integer-scaled
+    // PageRank on the τ=0.8 tf-idf edges — boilerplate-adjacent docs
+    // (many well-connected near-dup neighbors) surface at the top,
+    // isolated/novel docs at the bottom. Bit-exact by construction
+    // (integer fixpoint), so the 8-round result hash-matches an
+    // unrolled CTE oracle.
+    "q86_pagerank" -> ((s, dir) => {
+      val edges = Similarity.tfidfCosinePairs(t(s, dir, "documents"),
+        "doc_id", "text", PrTau, TfidfMaxDf)
+      Graph.pageRank(edges, "id_a", "id_b", PrIters, PrScale)
+        .select(col("id").as("doc_id"), col("r").as("rank_int"),
+          round(col("r").cast("double") / lit(PrScale.toDouble), 9).as("pr"))
+        .orderBy("doc_id")
     }),
 
     // Trained Naive-Bayes language classifier: exact-count train on the
@@ -2182,31 +2250,26 @@ object SparkEntry {
     // q84: the same tf/df/norm windows as the Spark side; pairs meet on
     // the term posting lists, cosine compared on the rounded value.
     "q84_tfidf_pairs" ->
-      s"""WITH ttf AS (
-         |  SELECT doc_id, w AS term, count(*)::BIGINT AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |        FROM documents) _
-         |  WHERE w <> '' GROUP BY doc_id, w
-         |),
-         |tdf AS (SELECT doc_id, term, tf,
-         |          count(*) OVER (PARTITION BY term) AS df FROM ttf),
-         |tn AS (SELECT count(*)::DOUBLE AS n FROM documents),
-         |tww AS (SELECT doc_id, term, df, tf * ln(n / df) AS w
-         |        FROM tdf CROSS JOIN tn),
-         |tnorm AS (
-         |  SELECT doc_id, term, u FROM (
-         |    SELECT doc_id, term, df,
-         |      w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS u,
-         |      sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS norm
-         |    FROM tww) _
-         |  WHERE norm > 0 AND df <= $TfidfMaxDf
-         |)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(sum(a.u * b.u), 9) AS cos_tfidf
-         |FROM tnorm a JOIN tnorm b ON a.term = b.term AND a.doc_id < b.doc_id
-         |GROUP BY a.doc_id, b.doc_id
-         |HAVING round(sum(a.u * b.u), 9) >= $TfidfTau
+      s"""WITH ${tfidfPairsCtes(TfidfTau, TfidfMaxDf)}
+         |SELECT id_a, id_b, cos_tfidf FROM tfpairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q86: same edge CTEs at τ=$PrTau, then the integer PageRank rounds
+    // unrolled — every arithmetic step is BIGINT `//` division, so the
+    // 8-round fixpoint is bit-identical to the Spark loop regardless of
+    // summation order (sum() widens to HUGEINT; the cast narrows back).
+    "q86_pagerank" ->
+      s"""WITH ${tfidfPairsCtes(PrTau, TfidfMaxDf)},
+         |sym AS (SELECT id_a AS s, id_b AS d FROM tfpairs
+         |        UNION ALL SELECT id_b, id_a FROM tfpairs),
+         |deg AS (SELECT s, count(*)::BIGINT AS deg FROM sym GROUP BY s),
+         |nn AS (SELECT count(*)::BIGINT AS cnt FROM deg),
+         |r0 AS (SELECT s AS id, ($PrScale // cnt)::BIGINT AS r
+         |       FROM deg CROSS JOIN nn),
+         |${prRoundCtes(PrIters)}
+         |SELECT id AS doc_id, r AS rank_int,
+         |  round(r / $PrScale.0, 9) AS pr
+         |FROM r$PrIters ORDER BY doc_id""".stripMargin,
 
     // q85: identical NB math — the −n_d·ln(tokens_c+V) factoring keeps
     // the seen join INNER (unseen pairs contribute exactly 0), argmax by

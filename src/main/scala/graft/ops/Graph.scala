@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over relational edge lists (SURVEY.md §7.4) — the
+  * curation signal that needs the whole similarity GRAPH, not per-pair
+  * scores: a document tied to many well-connected near-duplicates is
+  * boilerplate-adjacent; an isolated one is novel. PageRank over the
+  * [[Similarity.tfidfCosinePairs]] edges is the standard instance
+  * (Page et al. 1999), and the same operator ranks any undirected pair
+  * list (co-purchase graphs, shared-fingerprint graphs).
+  *
+  * Numeric contract — SCALED-INTEGER arithmetic, not floats: a
+  * float-summed fixpoint accumulates error in partition order, so after
+  * k rounds two engines (or two cluster layouts) disagree in the low
+  * bits and a hash compare is meaningless. Instead every rank is a
+  * BIGINT numerator over `scale` (default 10^12) and each round is
+  * integer-only (`div` truncation, which equals floor for these
+  * non-negative values — identical in Spark and DuckDB):
+  * {{{
+  *   r_{t+1}(v) = ((100-d)·(scale div N)) div 100
+  *              + (d · Σ_{u~v} (r_t(u) div deg(u))) div 100
+  * }}}
+  * Integer addition is associative, so the result is bit-identical for
+  * every partitioning, engine, and summation order — the fixpoint twin
+  * of the [[Portable]] keyed-hash determinism rule. Truncation loses
+  * < deg(u) units of 10^-12 mass per node per round (PageRank's
+  * ordering is unaffected at any realistic scale; GraphSpec pins ≥99%
+  * mass retention on the fixture graph).
+  *
+  * Scale posture (edge list ≫ memory): each round is one src-keyed
+  * equi join of the adjacency against the rank frame and one dst-keyed
+  * partial-agg sum — both shuffles keyed, nothing quadratic, node
+  * count N arrives as a broadcast 1-row aggregate. The adjacency
+  * (edges + out-degree) sits behind one [[Barrier]] and is re-read
+  * per round; each round's rank frame passes its own barrier so
+  * lineage stays O(1) across iterations (the [[Dedup.nearDupClusters]]
+  * fixpoint discipline). A hub node's incoming sum is a single hot
+  * reduce key; its contributions still arrive as partial aggregates
+  * per map task, so the skew ceiling is the merge of ≤ #tasks
+  * partials, not the hub's degree. EAGER like [[Events.funnel]]: the
+  * barriers materialize at call time — `iters` Spark jobs run before
+  * the returned frame is consumed.
+  */
+object Graph {
+
+  /** PageRank over an undirected pair list (each edge once, any
+    * orientation). Returns (id, r) with r the scaled-integer rank —
+    * r/scale ≈ the PageRank probability. `dampPct` is the damping
+    * factor in percent (the classic 0.85 → 85). Nodes are the edge
+    * endpoints; isolated vertices don't participate (no edges → no
+    * rank flow — filter them in, degree 0, would just hold teleport
+    * mass). */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String, iters: Int,
+               scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    // adjacency with out-degree, materialized once, read every round
+    val adj = Barrier.cut(sym.join(deg, "src"))
+    val n = deg.agg(count(lit(1)).as("__n"))
+    val base = s"(CAST($scale AS BIGINT) div __n)"
+    var r = Barrier.cut(deg.select(col("src").as("id"))
+      .crossJoin(broadcast(n))
+      .selectExpr("id", s"$base AS r"))
+    for (_ <- 1 to iters) {
+      val flows = adj.join(r, adj("src") === r("id"))
+        .selectExpr("dst", "r div deg AS c")
+        .groupBy("dst").agg(sum("c").as("s"))
+      r = Barrier.cut(flows.crossJoin(broadcast(n))
+        .selectExpr("dst AS id",
+          s"((${100 - dampPct} * $base) div 100) + (($dampPct * s) div 100) AS r"))
+    }
+    r
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  test("pageRank: one round of the path graph matches hand-computed integers") {
+    // 1 - 2 - 3: deg(1)=deg(3)=1, deg(2)=2, N=3, base = S div 3
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.pageRank(pairs, "a", "b", iters = 1)
+      .orderBy("id").as[(Long, Long)].collect()
+    // base = 333333333333; teleport = (15*base) div 100 = 49999999999
+    // endpoints: 85*(base div 2) div 100 = 141666666666 -> 191666666665
+    // center: 85*(2*base) div 100 = 566666666666 -> 616666666665
+    assert(r.sameElements(Seq(
+      (1L, 191666666665L), (2L, 616666666665L), (3L, 191666666665L))))
+  }
+
+  test("pageRank: zero iterations returns the uniform start vector") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.pageRank(pairs, "a", "b", iters = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 333333333333L, 2L -> 333333333333L,
+      3L -> 333333333333L))
+  }
+
+  test("pageRank: star center dominates; mass stays within truncation loss") {
+    val pairs = (1L to 6L).map(l => (0L, l)).toDF("a", "b")
+    val r = Graph.pageRank(pairs, "a", "b", iters = 8)
+      .as[(Long, Long)].collect().toMap
+    val leaves = (1L to 6L).map(r)
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie exactly")
+    assert(r(0L) > leaves.head * 2, "hub must dominate leaf ranks")
+    val mass = r.values.sum
+    assert(mass <= S && mass > (S * 99) / 100,
+      s"mass $mass outside the truncation-loss envelope")
+  }
+
+  test("pageRank: bit-identical across runs and partitionings") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val edges = Similarity.tfidfCosinePairs(docs, "doc_id", "text",
+      tau = 0.8, maxDf = 100000L)
+    val a = Graph.pageRank(edges, "id_a", "id_b", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(edges.repartition(7), "id_a", "id_b", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a.nonEmpty && a == b)
+    assert(a.values.forall(_ > 0))
+  }
+
+  test("pageRank: a well-connected clique node outranks a pendant node") {
+    // clique {1,2,3,4} plus a pendant 5 attached to 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val r = Graph.pageRank(pairs, "a", "b", iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L), "degree-4 node must outrank degree-3")
+    assert(Seq(2L, 3L, 4L).forall(k => r(k) > r(5L)),
+      "pendant node must rank last")
+  }
+}
