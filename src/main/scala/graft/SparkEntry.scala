@@ -1302,6 +1302,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // kNN label-agreement over the SRP buckets: the label-noise report —
+    // a vector whose nearest (approximate) neighbors mostly carry a
+    // different label is a suspect annotation. Bucket singletons stay in
+    // the report with zero neighbors and NULL agreement.
+    "q87_knn_label_agreement" -> ((s, dir) => {
+      Ann.knnLabelAgreement(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", SrpPlanes, TopK)
+        .withColumn("suspect",
+          coalesce(col("agreement") < 0.5, lit(false)))
+        .orderBy("vec_id")
+    }),
+
+    // Hard-negative mining: per anchor, the top-k most-cosine-similar
+    // vectors with a DIFFERENT label from the same SRP bucket — the
+    // near-miss negatives a contrastive loss actually learns from.
+    "q89_hard_negatives" -> ((s, dir) => {
+      Ann.hardNegatives(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", SrpPlanes, TopK)
+        .orderBy("anchor_id", "rnk")
+    }),
+
     // Temperature-scaled corpus mixture: p_i ∝ n_i^α rates feeding the
     // q64 Bernoulli domain-mix gate — the mT5/XLM-R sampling recipe.
     "q83_temperature_mix" -> ((s, dir) => {
@@ -2324,6 +2345,67 @@ object SparkEntry {
          |FROM rk r JOIN documents d ON d.doc_id = r.doc_id
          |WHERE r.rk = 1
          |ORDER BY r.doc_id""".stripMargin,
+
+    // q87: same SRP bucket CTEs as q28; neighbors ranked with the q28
+    // tiebreak, agreement aggregated per probe, and a LEFT JOIN keeps
+    // bucket singletons in the report with NULL agreement.
+    "q87_knn_label_agreement" ->
+      s"""$srpSqlCte,
+         |cand AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+         |  FROM buck p JOIN buck c ON p.bucket = c.bucket
+         |    AND c.vec_id <> p.vec_id
+         |  JOIN ev ep ON p.vec_id = ep.vec_id
+         |  JOIN ev ec ON c.vec_id = ec.vec_id
+         |),
+         |ranked AS (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rnk
+         |  FROM cand QUALIFY rnk <= $TopK
+         |),
+         |agg AS (
+         |  SELECT r.probe_id, count(*)::BIGINT AS n_neighbors,
+         |    sum(CASE WHEN enb.label = ep.label THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_same
+         |  FROM ranked r
+         |  JOIN embeddings ep ON ep.vec_id = r.probe_id
+         |  JOIN embeddings enb ON enb.vec_id = r.vec_id
+         |  GROUP BY r.probe_id
+         |)
+         |SELECT e.vec_id, e.label,
+         |  coalesce(a.n_neighbors, 0)::BIGINT AS n_neighbors,
+         |  coalesce(a.n_same, 0)::BIGINT AS n_same,
+         |  CASE WHEN a.n_neighbors IS NOT NULL
+         |    THEN round(a.n_same::DOUBLE / a.n_neighbors, 9) END AS agreement,
+         |  coalesce(round(a.n_same::DOUBLE / a.n_neighbors, 9) < 0.5, false)
+         |    AS suspect
+         |FROM embeddings e LEFT JOIN agg a ON a.probe_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
+
+    // q89: same bucket CTEs; candidates restricted to cross-label
+    // bucket-mates, ranked per anchor with the q28 tiebreak.
+    "q89_hard_negatives" ->
+      s"""$srpSqlCte,
+         |scored AS (
+         |  SELECT a.vec_id AS anchor_id, ea.label AS anchor_label,
+         |         b.vec_id AS neg_id, eb.label AS neg_label,
+         |         round(${cosSql("evb.v", "eva.v")}, 9) AS cos
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket
+         |    AND b.vec_id <> a.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  JOIN ev eva ON eva.vec_id = a.vec_id
+         |  JOIN ev evb ON evb.vec_id = b.vec_id
+         |  WHERE ea.label <> eb.label
+         |)
+         |SELECT anchor_id, anchor_label, neg_id, neg_label, cos,
+         |  row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cos DESC, neg_id ASC) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= $TopK
+         |ORDER BY anchor_id, rnk""".stripMargin,
 
     // q83: per-source token counts → α-powered weights normalized by a
     // window sum → rate = min(1, T·p/n), rounded BEFORE the gate so both

@@ -75,6 +75,74 @@ object Ann {
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** kNN label-agreement — the label-noise report (Confident-Learning-
+    * style neighborhood check): a vector whose approximate neighbors
+    * mostly carry a DIFFERENT label is a suspect annotation (or an
+    * embedding-space outlier). Neighbors come from the same SRP bucket
+    * (self excluded), ranked by cosine with the [[annTopK]] tiebreak;
+    * agreement = n_same / n_neighbors over the ≤ k kept neighbors.
+    * Every corpus row appears in the output — bucket singletons get
+    * n_neighbors = 0 and a NULL agreement (no evidence either way).
+    *
+    * Scale: labels ride through the bucket projection (no corpus-sized
+    * label join), the candidate join keys on bucket, the agreement agg
+    * and the completeness join key on id — nothing all-pairs.
+    * Returns (idCol, label, n_neighbors, n_same, agreement). */
+  def knnLabelAgreement(corpus: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, planes: Int, k: Int): DataFrame = {
+    val cb = Dedup.srpBuckets(corpus, idCol, vecCol, planes,
+      carry = Seq(labelCol))
+    val a = cb.select(col("bucket"), col(idCol).as("probe_id"),
+      col(vecCol).as("pv"), col(labelCol).as("label"))
+    val b = cb.select(col("bucket"), col(idCol).as("vec_id"),
+      col(vecCol).as("v"), col(labelCol).as("nb_label"))
+    val agg = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("pv")), 9))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+      .groupBy(col("probe_id").as(idCol), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("nb_label") === col("label"), lit(1L))
+          .otherwise(lit(0L))).as("n_same"))
+    corpus.select(col(idCol), col(labelCol).as("label"))
+      .join(agg, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("n_same"), lit(0L)).as("n_same"),
+        when(col("n_neighbors").isNotNull,
+          round(col("n_same").cast("double") / col("n_neighbors"), 9))
+          .as("agreement"))
+  }
+
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar vectors with a DIFFERENT label — the negatives
+    * that actually move a contrastive loss (a random negative is
+    * already far away). Candidates are same-SRP-bucket only (the
+    * near-miss region is exactly where hard negatives live), labels
+    * ride the bucket projection, and anchors with no cross-label
+    * bucket-mate yield no rows. Returns (anchor_id, anchor_label,
+    * neg_id, neg_label, cos, rnk ≤ k). */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, planes: Int, k: Int): DataFrame = {
+    val cb = Dedup.srpBuckets(corpus, idCol, vecCol, planes,
+      carry = Seq(labelCol))
+    val a = cb.select(col("bucket"), col(idCol).as("anchor_id"),
+      col(vecCol).as("av"), col(labelCol).as("anchor_label"))
+    val b = cb.select(col("bucket"), col(idCol).as("neg_id"),
+      col(vecCol).as("nv"), col(labelCol).as("neg_label"))
+    a.join(b, Seq("bucket"))
+      .filter(col("anchor_id") =!= col("neg_id") &&
+        col("anchor_label") =!= col("neg_label"))
+      .withColumn("cos", round(Similarity.cosine(col("av"), col("nv")), 9))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("anchor_id"))
+        .orderBy(desc("cos"), asc("neg_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("cos"), col("rnk"))
+  }
+
   /** Recall of the approximate result against the exact top-k: fraction
     * of (probe, neighbor) pairs the ANN run recovered. Driver for specs
     * and tuning the plane count. */

@@ -508,10 +508,11 @@ object Dedup {
     * bit-identical to the single-table form; see
     * [[graft.ops.Ann.annTopKMulti]]) rather than lowering `planes`. */
   def srpBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 planes: Int, planeOffset: Int = 0): DataFrame =
-    df.select(col(idCol), col(vecCol),
+                 planes: Int, planeOffset: Int = 0,
+                 carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: carry.map(col) :+ col(vecCol) :+
       srpBucketExpr(probeDim(df, vecCol), vecCol, planes, planeOffset)
-        .as("bucket"))
+        .as("bucket"): _*)
 
   /** Vector dimension probed from a SINGLE row (limit-1 job, never a
     * full scan; embedding columns are fixed-dimension by contract). */

@@ -56,4 +56,70 @@ class AnnSpec extends SparkSpec {
       "embedding", 4, 10).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("knnLabelAgreement: every row reported; counts and bounds consistent") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val r = Ann.knnLabelAgreement(emb, "vec_id", "embedding", "label", 4, 10)
+      .as[(Long, Int, Long, Long, Option[Double])].collect()
+    assert(r.length == emb.count())
+    assert(r.forall { case (_, _, n, same, agree) =>
+      same <= n && n <= 10 &&
+        agree.forall(a => a >= 0.0 && a <= 1.0) &&
+        (agree.isEmpty == (n == 0L))
+    })
+    // agreement is exactly n_same / n_neighbors (9 dp)
+    assert(r.filter(_._3 > 0).forall { case (_, _, n, same, agree) =>
+      math.abs(agree.get -
+        BigDecimal(same.toDouble / n)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12
+    })
+  }
+
+  test("knnLabelAgreement: a planted flipped label is flagged") {
+    // identical vectors in one bucket, one row mislabeled -> its
+    // neighbors all disagree (agreement 0), the rest mostly agree
+    val rows = (0L to 9L).map(i =>
+      (i, Array.fill(8)(1.0f), if (i == 0) 1 else 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val r = Ann.knnLabelAgreement(df, "vec_id", "embedding", "label", 2, 5)
+      .as[(Long, Int, Long, Long, Option[Double])].collect()
+      .map(x => x._1 -> x._5.get).toMap
+    assert(r(0L) == 0.0, "flipped row must have zero agreement")
+    assert((1L to 9L).forall(r(_) > 0.5), "clean rows must mostly agree")
+  }
+
+  test("hardNegatives: cross-label only, ranked, no self pairs") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val r = Ann.hardNegatives(emb, "vec_id", "embedding", "label", 4, 5)
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x._2 != x._4), "negative must carry another label")
+    assert(r.forall(x => x._1 != x._3))
+    r.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._6).sorted.sameElements(1 to rs.length))
+      // ranks follow cosine desc
+      assert(rs.sortBy(_._6).map(_._5).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("hardNegatives: hardest negative is the most similar cross-label vector in bucket") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val top = Ann.hardNegatives(emb, "vec_id", "embedding", "label", 4, 1)
+      .filter($"rnk" === 1)
+    // recompute the evidence: joining all cross-label bucket-mates,
+    // nothing may beat the reported rank-1 cosine
+    val cb = Dedup.srpBuckets(emb, "vec_id", "embedding", 4,
+      carry = Seq("label"))
+    val all = cb.select($"bucket", $"vec_id".as("anchor_id"),
+        $"embedding".as("av"), $"label".as("anchor_label"))
+      .join(cb.select($"bucket", $"vec_id".as("neg_id"),
+        $"embedding".as("nv"), $"label".as("neg_label")), Seq("bucket"))
+      .filter($"anchor_id" =!= $"neg_id" && $"anchor_label" =!= $"neg_label")
+      .groupBy($"anchor_id")
+      .agg(max(round(Similarity.cosine($"nv", $"av"), 9)).as("best"))
+    val joined = top.join(all, Seq("anchor_id"))
+      .select($"cos", $"best").as[(Double, Double)].collect()
+    assert(joined.nonEmpty && joined.forall { case (c, b) => c == b })
+  }
 }
