@@ -1314,6 +1314,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Symmetric int8 embedding quantization: the 4× storage cut for the
+    // embedding column, with the per-vector reconstruction MSE computed
+    // from three dot products (never a materialized reconstruction).
+    // The quantized codes serialize to a comma string for the compare
+    // (q34's array convention).
+    "q88_int8_quant" -> ((s, dir) => {
+      Quantize.int8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
+          round(col("mse"), 9).as("mse"))
+        .orderBy("vec_id")
+    }),
+
     // Hard-negative mining: per anchor, the top-k most-cosine-similar
     // vectors with a DIFFERENT label from the same SRP bucket — the
     // near-miss negatives a contrastive loss actually learns from.
@@ -2383,6 +2396,36 @@ object SparkEntry {
          |    AS suspect
          |FROM embeddings e LEFT JOIN agg a ON a.probe_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
+
+    // q88: identical quantization math — floor(+0.5) rounding (the one
+    // half-up form both engines share), the guarded zero-scale case,
+    // and the same three-fold MSE identity with matching scalar order.
+    "q88_int8_quant" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+         |      AS scale
+         |  FROM embeddings
+         |),
+         |qq AS (
+         |  SELECT vec_id, v, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+         |    ELSE list_transform(v, x ->
+         |      least(greatest(floor(x / scale + 0.5), -127.0), 127.0)::BIGINT)
+         |    END AS q
+         |  FROM base
+         |),
+         |qd AS (SELECT vec_id, v, scale, q,
+         |  list_transform(q, x -> x::DOUBLE) AS qdv FROM qq)
+         |SELECT vec_id, round(scale, 9) AS scale,
+         |  array_to_string(q, ',') AS q_str,
+         |  round((list_sum(list_transform(range(1, len(v)+1), i -> v[i] * v[i]))
+         |    - 2.0 * scale *
+         |      list_sum(list_transform(range(1, len(v)+1), i -> v[i] * qdv[i]))
+         |    + scale * scale *
+         |      list_sum(list_transform(range(1, len(v)+1), i -> qdv[i] * qdv[i])))
+         |    / len(v), 9) AS mse
+         |FROM qd ORDER BY vec_id""".stripMargin,
 
     // q89: same bucket CTEs; candidates restricted to cross-label
     // bucket-mates, ranked per anchor with the q28 tiebreak.
