@@ -1400,6 +1400,15 @@ object SparkEntry {
       Text.unigramLogProb(t(s, dir, "documents"), "text").orderBy("doc_id")
     }),
 
+    // CCNet perplexity buckets: per-language head/middle/tail NLL
+    // terciles — the canonical quality-mixture tiers (train on
+    // head+middle, downsample tail). Deterministic tie-break on the
+    // rounded NLL then doc_id.
+    "q90_ppl_buckets" -> ((s, dir) => {
+      Text.perplexityBuckets(t(s, dir, "documents"), "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Cross-document boilerplate fractions: trigrams with corpus df >
     // BoilerMaxDf are boilerplate; per-doc occurrence + distinct ratios.
     "q72_boilerplate" -> ((s, dir) => {
@@ -2674,6 +2683,36 @@ object SparkEntry {
          |FROM cw, tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // q90: the q71 NLL CTEs, lang joined back, ntile(3) per language
+    // over the ROUNDED NLL (then doc_id) — both engines split the same
+    // ordering, so the tier boundary is deterministic.
+    "q90_ppl_buckets" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  GROUP BY doc_id, w
+         |),
+         |cw AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY w) AS cnt FROM tf),
+         |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+         |               AS total FROM documents),
+         |nll AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+         |         round(sum(c * -ln(cnt / total)) / sum(c), 9) AS unigram_nll
+         |  FROM cw, tot GROUP BY doc_id
+         |),
+         |b AS (
+         |  SELECT n.doc_id, n.n_tokens, n.unigram_nll, d.lang,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY n.unigram_nll ASC, n.doc_id ASC) AS bucket_idx
+         |  FROM nll n JOIN documents d ON d.doc_id = n.doc_id
+         |)
+         |SELECT doc_id, n_tokens, unigram_nll, lang, bucket_idx,
+         |  CASE WHEN bucket_idx = 1 THEN 'head'
+         |       WHEN bucket_idx = 3 THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // q72: gram df is a window count over the distinct (doc, gram)
     // frame; ratios stay un-coalesced so gram-less docs get NULLs.

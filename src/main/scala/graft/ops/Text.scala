@@ -423,6 +423,44 @@ object Text {
           sum(col("c")), 9).as("unigram_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20 §4.3):
+    * within each language, documents split into `nBuckets` equal-count
+    * NLL tiers — `head` (most corpus-fluent), `middle`, `tail` — and a
+    * pre-training mixture keeps/weights buckets per language (the
+    * canonical recipe trains on head+middle and drops or downsamples
+    * tail). The score is [[unigramLogProb]]'s mean NLL; the tier split
+    * is `ntile` over (9-dp-rounded NLL, doc_id) so the boundary is
+    * bit-deterministic cross-engine (an unrounded float sort key could
+    * order two engines differently inside 1e-9).
+    *
+    * Returns (doc_id, n_tokens, unigram_nll, lang, bucket_idx ∈ 1..n,
+    * bucket). Token-less documents have no NLL and drop, as in
+    * [[unigramLogProb]].
+    *
+    * Shape: everything up to the per-doc NLL is [[unigramLogProb]]'s
+    * single-tokenize plan; the language column joins back doc-keyed
+    * from a two-column pruned scan. The `ntile` partitions by LANGUAGE
+    * — a per-lang sort of DOC-level rows (one row per document, not
+    * per token), the same per-key sort bound as [[Events.sessionize]];
+    * at extreme doc counts per language, bucket by assigning against
+    * exact per-lang count thresholds from a first pass (the
+    * [[Events.sessionizeBucketed]] two-phase trick) — the fixture-scale
+    * form here is the oracle-able reference semantics. */
+  def perplexityBuckets(df: DataFrame, textCol: String, langCol: String,
+                        nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("unigram_nll").asc, col("doc_id").asc)
+    unigramLogProb(df, textCol)
+      .join(df.select(col("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+      .withColumn("bucket_idx", ntile(nBuckets).over(w))
+      .withColumn("bucket",
+        when(col("bucket_idx") === 1, lit("head"))
+          .when(col("bucket_idx") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")))
+  }
+
   /** Interpolated bigram LM negative log-likelihood — the KenLM-style
     * fluency signal (CCNet / RedPajama quality filtering) computed from
     * the corpus itself, with no external model artifact: token w after

@@ -289,4 +289,27 @@ class TextSpec extends SparkSpec {
       Text.boilerplateStats(corpus, "text", 1, 0L)
     }
   }
+
+  test("perplexityBuckets: equal-count per-lang tiers, NLL-monotone boundaries") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val r = Text.perplexityBuckets(docs, "text", "lang")
+      .as[(Long, Long, Double, String, Int, String)].collect()
+    assert(r.length == docs.count(), "every tokenized doc must be tiered")
+    r.groupBy(_._4).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)))
+      // ntile: tier sizes differ by at most one
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+      // boundaries monotone: max NLL of head <= min NLL of middle, etc.
+      def nlls(i: Int) = rows.filter(_._5 == i).map(_._3)
+      for (i <- 1 to 2 if sizes.contains(i) && sizes.contains(i + 1))
+        assert(nlls(i).max <= nlls(i + 1).min,
+          s"$lang: tier $i overlaps tier ${i + 1}")
+    }
+    assert(r.forall(x => Map(1 -> "head", 2 -> "middle", 3 -> "tail")
+      .apply(x._5) == x._6))
+    intercept[IllegalArgumentException] {
+      Text.perplexityBuckets(docs, "text", "lang", nBuckets = 1)
+    }
+  }
 }
