@@ -1002,6 +1002,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Soft dedup: keep every near-dup copy but weight it 1/|cluster| so
+    // each component contributes one unit of training mass — the
+    // loss-reweighting alternative to q53's hard drop. Singletons
+    // (docs in no verified pair) weigh 1.
+    "q91_softdedup_weights" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", NumPerms)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
+      val verified = Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
+      Dedup.softDedupWeights(t(s, dir, "documents"), "doc_id",
+          Dedup.nearDupClusters(verified, "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dedup applied with transitive clustering: one survivor (min
     // id) per connected component — q43's greedy policy can keep several
     // docs of one component; this keeps exactly the representative.
@@ -1325,6 +1340,16 @@ object SparkEntry {
           array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
           round(col("mse"), 9).as("mse"))
         .orderBy("vec_id")
+    }),
+
+    // ANN entirely in the quantized domain: SRP buckets and cosines
+    // computed from the int8 codes alone (the positive per-vector scale
+    // cancels from both), so the float vectors never load — the
+    // memory-resident-index serving path for the q88 artifact.
+    "q92_ann_quantized" -> ((s, dir) => {
+      Ann.annTopKQuantized(t(s, dir, "embeddings"), "vec_id", "embedding",
+          SrpPlanes, TopK)
+        .orderBy("probe_id", "rnk")
     }),
 
     // Hard-negative mining: per anchor, the top-k most-cosine-similar
@@ -1946,6 +1971,22 @@ object SparkEntry {
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // q91: q51's recursive component labels, completed to the full
+    // corpus (singleton = own label), window-counted per cluster.
+    "q91_softdedup_weights" ->
+      s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$nearDupReachCte,
+         |cl AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |fc AS (SELECT d.doc_id, coalesce(cl.cluster_rep, d.doc_id)
+         |         AS cluster_rep
+         |       FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |sz AS (SELECT doc_id, cluster_rep,
+         |         count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS csize
+         |       FROM fc)
+         |SELECT doc_id, cluster_rep, csize,
+         |  round(1.0::DOUBLE / csize, 9) AS weight
+         |FROM sz ORDER BY doc_id""".stripMargin,
+
     // q53: drop every doc whose component min-id (recursive reach, as
     // q51) is not itself; unpaired docs never enter `reach` and survive.
     "q53_near_dedup_clustered" ->
@@ -2435,6 +2476,54 @@ object SparkEntry {
          |      list_sum(list_transform(range(1, len(v)+1), i -> qdv[i] * qdv[i])))
          |    / len(v), 9) AS mse
          |FROM qd ORDER BY vec_id""".stripMargin,
+
+    // q92: the q88 quantization CTEs feed SRP projection and scoring
+    // over the CODES (cast to double — every dot is exact-integer in
+    // doubles, so no fold-order care is needed); same plane hashes and
+    // ranking tiebreak as q28.
+    "q92_ann_quantized" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+         |      AS scale
+         |  FROM embeddings
+         |),
+         |qq AS (
+         |  SELECT vec_id, v, scale,
+         |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+         |    ELSE list_transform(v, x ->
+         |      least(greatest(floor(x / scale + 0.5), -127.0), 127.0)::BIGINT)
+         |    END AS q
+         |  FROM base
+         |),
+         |qv AS (SELECT vec_id, list_transform(q, x -> x::DOUBLE) AS v
+         |       FROM qq),
+         |proj AS (
+         |  SELECT vec_id, p,
+         |    list_sum(list_transform(range(1, len(v) + 1),
+         |      i -> v[i] * (${Portable.sqlUnif("p", "i")} - 0.5))) AS d
+         |  FROM qv, (SELECT unnest(range(0, $SrpPlanes)) AS p)
+         |),
+         |buck AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+         |      AS bucket
+         |  FROM proj GROUP BY vec_id
+         |),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+         |  FROM buck p JOIN buck c ON p.bucket = c.bucket
+         |    AND c.vec_id <> p.vec_id
+         |  JOIN qv ep ON p.vec_id = ep.vec_id
+         |  JOIN qv ec ON c.vec_id = ec.vec_id
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, vec_id ASC) AS rnk
+         |FROM scored
+         |QUALIFY rnk <= $TopK
+         |ORDER BY probe_id, rnk""".stripMargin,
 
     // q89: same bucket CTEs; candidates restricted to cross-label
     // bucket-mates, ranked per anchor with the q28 tiebreak.

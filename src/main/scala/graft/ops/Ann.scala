@@ -143,6 +143,38 @@ object Ann {
         col("neg_label"), col("cos"), col("rnk"))
   }
 
+  /** ANN entirely in the quantized domain — the memory-resident-index
+    * form: [[graft.ops.Quantize.int8]] codes are 4× smaller than the
+    * float vectors, and because symmetric quantization scales a vector
+    * by a POSITIVE per-vector constant, that constant cancels from both
+    * the SRP signs (sign(s·q·w) = sign(q·w)) and the cosine
+    * (cos(s_a q_a, s_b q_b) = cos(q_a, q_b)) — so buckets and scores
+    * need only the codes; the float vectors never load. Code dot
+    * products are sums of |q| ≤ 127² terms, far inside the 2^53
+    * exact-integer range of doubles, so every score is bit-exact in any
+    * summation order and the oracle needs no fold-order care.
+    *
+    * All-corpus probes (the self-kNN form, like [[knnLabelAgreement]]);
+    * returns (probe_id, vec_id, cos, rnk ≤ k) where `cos` is the
+    * quantized-domain cosine. */
+  def annTopKQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                       planes: Int, k: Int): DataFrame = {
+    val qz = Quantize.int8(corpus, idCol, vecCol)
+      .select(col(idCol), transform(col("q"), _.cast("double")).as("qd"))
+    val cb = Dedup.srpBuckets(qz, idCol, "qd", planes)
+    val a = cb.select(col("bucket"), col(idCol).as("probe_id"),
+      col("qd").as("pq"))
+    val b = cb.select(col("bucket"), col(idCol).as("vec_id"),
+      col("qd").as("vq"))
+    b.join(a, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(Similarity.cosine(col("vq"), col("pq")), 9))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
   /** Recall of the approximate result against the exact top-k: fraction
     * of (probe, neighbor) pairs the ANN run recovered. Driver for specs
     * and tuning the plane count. */

@@ -400,6 +400,33 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Soft dedup — the weighting alternative to dropping near-duplicates
+    * (keep every copy, downweight so each CLUSTER contributes one unit
+    * of training mass): weight = 1 / |connected component|, singletons
+    * (docs in no verified pair) weigh 1. Dropping loses the natural
+    * distribution of phrasings inside a cluster; soft weights keep it
+    * while removing the duplication bias — the loss-reweighting twin of
+    * [[dedupNearClustered]]'s hard policy.
+    *
+    * `clusters` is [[nearDupClusters]] output — (idCol, cluster_rep)
+    * for docs in ≥ 1 verified pair. Returns every `df` row as
+    * (idCol, cluster_rep, csize, weight), weight rounded to 9 dp.
+    *
+    * Shape: one id-keyed left join (cluster labels are pair-involved
+    * docs only — far smaller than the corpus) and one cluster-keyed
+    * window count; a giant cluster is one window partition, but its
+    * size is bounded by the near-dup component itself, not the corpus. */
+  def softDedupWeights(df: DataFrame, idCol: String,
+                       clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col(idCol)))
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+      .withColumn("weight", round(lit(1.0) / col("csize"), 9))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash fingerprint width. 60 bits (the full [[Portable]] hash

@@ -103,6 +103,26 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("annTopKQuantized: int8-domain search tracks the float-domain ANN") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val qres = Ann.annTopKQuantized(emb, "vec_id", "embedding", 4, 5)
+    val fres = Ann.annTopK(emb, emb, "vec_id", "embedding", 4, 5)
+    // quantized cosines drift from float cosines by at most ~1/127-scale
+    val drift = qres.select($"probe_id", $"vec_id", $"cos".as("qcos"))
+      .join(fres.select($"probe_id", $"vec_id", $"cos".as("fcos")),
+        Seq("probe_id", "vec_id"))
+      .select(max(abs($"qcos" - $"fcos"))).as[Double].head()
+    assert(drift < 0.05, s"quantized cosine drift $drift too large")
+    // and the retrieved sets substantially overlap (buckets may differ
+    // near hyperplanes, scores near ties)
+    val common = qres.select("probe_id", "vec_id")
+      .join(fres.select("probe_id", "vec_id"), Seq("probe_id", "vec_id"))
+      .count().toDouble
+    val total = fres.count().toDouble
+    assert(common / total > 0.6,
+      s"quantized ANN recovered only ${common / total} of float ANN pairs")
+  }
+
   test("hardNegatives: hardest negative is the most similar cross-label vector in bucket") {
     val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
     val top = Ann.hardNegatives(emb, "vec_id", "embedding", "label", 4, 1)

@@ -398,4 +398,20 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == ((0L, "a b c d")))
     assert(out(2L) == ((4L, "z w")))
   }
+
+  test("softDedupWeights: 1/|cluster|, singletons weigh 1, mass = cluster count") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // component {1,2,3} via pairs (1,2),(2,3); 4 and 5 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs, "doc_id")
+    val r = Dedup.softDedupWeights(docs, "doc_id", clusters)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(Seq(1L, 2L, 3L).forall(r(_) == ((1L, 3L, 0.333333333))))
+    assert(r(4L) == ((4L, 1L, 1.0)) && r(5L) == ((5L, 1L, 1.0)))
+    // per-cluster mass is one unit up to the 9-dp rounding
+    val mass = r.values.map(_._3).sum
+    assert(math.abs(mass - 3.0) < 1e-8, s"total mass $mass != #clusters")
+  }
 }
