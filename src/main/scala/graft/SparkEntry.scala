@@ -192,6 +192,11 @@ object SparkEntry {
   val CurateMaxDupRatio = 0.1
   val CurateChunkTokens = 64
   val CurateLangs = Set("en")
+  /** q90/q93 CCNet perplexity tiers: 3 equal-count tiers per language;
+    * the funnel keeps head+middle (the canonical recipe — the tail is
+    * the rare-token/noise region). */
+  val PplBuckets = 3
+  val CuratePplTiers = Set("head", "middle")
   /** q80 in-funnel span-scrub window — smaller than q78's standalone
     * [[ScrubK]] because the funnel's survivors are already document-
     * deduped (the big cross-doc span mass is gone); 3 still rewrites a
@@ -465,9 +470,47 @@ object SparkEntry {
   /** The q62 oracle's CTE chain (WITH RECURSIVE .. surv): the full
     * curation funnel down to the near-dedup survivors — shared by q62
     * (chunk the survivors) and q70 (decontaminate, then chunk). */
-  private def curateOracleCtes: String = {
+  private def curateOracleCtes: String = curateOracleCtesWith(pplGate = false)
+
+  /** The shared funnel chain, optionally with the CCNet perplexity-tier
+    * gate (q93) between the repetition gate and exact dedup: NLL over
+    * the gkeep survivors (the model trains on the post-gate subset,
+    * exactly like the Spark stage), per-lang ntile on the rounded
+    * score, tiers in [[CuratePplTiers]] kept. */
+  private def curateOracleCtesWith(pplGate: Boolean): String = {
     val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
     val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+    val exSrc = if (pplGate) "pkeep" else "gkeep"
+    val pplCtes = if (!pplGate) "" else {
+      val tiers = CuratePplTiers.toSeq.sorted.map(t => s"'$t'").mkString(", ")
+      s"""ptf AS (
+         |  SELECT doc_id, w, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM gkeep) _
+         |  GROUP BY doc_id, w
+         |),
+         |pcw AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY w) AS cnt
+         |        FROM ptf),
+         |ptot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+         |                AS total FROM gkeep),
+         |pnll AS (
+         |  SELECT doc_id, round(sum(c * -ln(cnt / total)) / sum(c), 9) AS nll
+         |  FROM pcw, ptot GROUP BY doc_id
+         |),
+         |pb AS (
+         |  SELECT n.doc_id,
+         |    ntile($PplBuckets) OVER (PARTITION BY d.lang
+         |      ORDER BY n.nll ASC, n.doc_id ASC) AS bi
+         |  FROM pnll n JOIN documents d ON d.doc_id = n.doc_id
+         |),
+         |pkeep AS (
+         |  SELECT g.doc_id, g.text FROM gkeep g JOIN pb ON pb.doc_id = g.doc_id
+         |  WHERE CASE WHEN pb.bi = 1 THEN 'head'
+         |             WHEN pb.bi = $PplBuckets THEN 'tail'
+         |             ELSE 'middle' END IN ($tiers)
+         |),
+         |""".stripMargin
+    }
     s"""WITH RECURSIVE
          |norm AS (
          |  SELECT doc_id,
@@ -525,9 +568,9 @@ object SparkEntry {
          |     OR round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9)
          |        <= $CurateMaxDupRatio
          |),
-         |ex AS (
-         |  SELECT g.doc_id, g.text FROM gkeep g
-         |  JOIN (SELECT min(doc_id) AS doc_id FROM gkeep GROUP BY md5(text)) k
+         |${pplCtes}ex AS (
+         |  SELECT g.doc_id, g.text FROM $exSrc g
+         |  JOIN (SELECT min(doc_id) AS doc_id FROM $exSrc GROUP BY md5(text)) k
          |    USING (doc_id)
          |),
          |${lshJacCtesFrom("ex")},
@@ -1209,6 +1252,22 @@ object SparkEntry {
         rowsPerBand = LshRows, jaccardTau = JaccardTau,
         chunkTokens = CurateChunkTokens,
         maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN)
+      CorpusPipeline.curate(t(s, dir, "documents"), cfg,
+        collectFunnel = false).chunks
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // q62's funnel with the CCNet perplexity-tier gate live between the
+    // repetition gate and exact dedup: per-language NLL tiers over the
+    // gate survivors, only head+middle continue into dedup/chunking.
+    "q93_corpus_curate_ppl" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
+        pplKeepTiers = Some(CuratePplTiers), pplBuckets = PplBuckets)
       CorpusPipeline.curate(t(s, dir, "documents"), cfg,
         collectFunnel = false).chunks
         .orderBy("doc_id", "chunk_idx")
@@ -2241,6 +2300,12 @@ object SparkEntry {
     // Spark Config, so the two sides cannot drift.
     "q62_corpus_curate" ->
       s"""$curateOracleCtes,
+         |${chunkTailSql("surv")}""".stripMargin,
+
+    // q93: the shared funnel chain with the perplexity-tier CTEs
+    // enabled (model over gkeep, per-lang ntile, head+middle kept).
+    "q93_corpus_curate_ppl" ->
+      s"""${curateOracleCtesWith(pplGate = true)},
          |${chunkTailSql("surv")}""".stripMargin,
 
     // q70: q62's funnel + the decontamination stage between near-dedup

@@ -11,6 +11,7 @@ import graft.ops.{Dedup, Sources, Text}
   *
   *   documents → (optional) PII scrub → normalize → language gate
   *     → quality gate → (optional) Gopher repetition gate
+  *     → (optional) boilerplate gate → (optional) perplexity-tier gate
   *     → exact dedup → near-dedup (MinHash→LSH→Jaccard, connected
   *     components, one survivor per transitive cluster)
   *     → (optional) decontamination → (optional) repeated-span scrub
@@ -58,6 +59,14 @@ object CorpusPipeline {
     * `boilerMaxDf` to the corpus (it is an absolute document count);
     * too-short docs (NULL ratio) pass, `None` skips the stage.
     *
+    * `pplKeepTiers` adds the CCNet perplexity-tier gate
+    * ([[Text.perplexityBuckets]]) after the boilerplate gate: each
+    * language's surviving docs split into `pplBuckets` equal-count
+    * NLL tiers and only the named tiers (canonically
+    * `Set("head", "middle")`) continue. The unigram model trains on
+    * the post-gate survivors, so text the earlier gates rejected
+    * never shapes it. `None` skips the stage — no extra scan.
+    *
     * `packSeqTokens` additionally emits the survivors packed into
     * fixed-length training sequences ([[graft.ops.Sampling.pack]]) in
     * `Result.packed` — the GPT-2-style consumer shape (cross-document
@@ -101,6 +110,8 @@ object CorpusPipeline {
       maxBoilerRatio: Option[Double] = None,
       boilerN: Int = 3,
       boilerMaxDf: Long = 1000L,
+      pplKeepTiers: Option[Set[String]] = None,
+      pplBuckets: Int = 3,
       evalDocs: Option[DataFrame] = None,
       contaminationMinShared: Long = 5L,
       broadcastEval: Boolean = true,
@@ -260,9 +271,28 @@ object CorpusPipeline {
         else surv
     }
 
+    // optional CCNet perplexity-tier gate: per-language NLL tiers over
+    // the gated survivors (the unigram model trains on THIS subset —
+    // post-gate text, so spam the earlier gates dropped never shapes
+    // the model), keeping the configured tiers (canonically
+    // head+middle). Reads its input three times (tf explode, token
+    // total, lang join) over the cached parents — the bounded-×3
+    // sibling of the ×2 gate contract above.
+    val tiered = cfg.pplKeepTiers match {
+      case None => gated
+      case Some(keep) =>
+        val surv = gated.join(
+          Text.perplexityBuckets(gated, "text", "lang", cfg.pplBuckets)
+            .filter(col("bucket").isin(keep.toSeq: _*))
+            .select("doc_id"),
+          Seq("doc_id"))
+        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        else surv
+    }
+
     // exact dedup (hash-groupBy, deterministic min-id survivor), then
     // near-dedup with the transitive-cluster policy
-    val exact = Dedup.dedupExact(gated, "doc_id", "text")
+    val exact = Dedup.dedupExact(tiered, "doc_id", "text")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shingled = exact.select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), cfg.shingleN).as("shingles"))
@@ -332,7 +362,9 @@ object CorpusPipeline {
           (if (cfg.maxDupNgramRatio.isEmpty) Seq.empty
            else Seq("repetition" -> good.count())) ++
           (if (cfg.maxBoilerRatio.isEmpty) Seq.empty
-           else Seq("boilerplate" -> gated.count()))
+           else Seq("boilerplate" -> gated.count())) ++
+          (if (cfg.pplKeepTiers.isEmpty) Seq.empty
+           else Seq("perplexity" -> tiered.count()))
         val scrubCounts =
           (if (cfg.evalDocs.isEmpty) Seq.empty
            else Seq("decontaminated" -> decon.count())) ++
@@ -346,6 +378,7 @@ object CorpusPipeline {
           "near_dedup" -> near.count()) ++ scrubCounts ++ Seq(
           "chunks" -> chunks.count()) ++
           packed.map(p => "packed_sequences" -> p.count()).toSeq
+        if (tiered ne gated) tiered.unpersist()
         if (gated ne good) gated.unpersist()
         if (good ne quality) good.unpersist()
         quality.unpersist()

@@ -138,6 +138,27 @@ class CorpusPipelineSpec extends SparkSpec {
     r.persisted.foreach(_.unpersist())
   }
 
+  test("curate: perplexity-tier gate keeps head+middle, drops the tail third") {
+    import spark.implicits._
+    val r = CorpusPipeline.curate(docs, CorpusPipeline.Config(
+      pplKeepTiers = Some(Set("head", "middle"))))
+    val f = r.funnel.toMap
+    assert(f.contains("perplexity"), s"funnel: ${r.funnel}")
+    assert(f("perplexity") <= f("quality"))
+    // ntile thirds: the kept share is ~2/3 of the gate survivors per
+    // language (exactly, up to the +-1 per-lang tile imbalance)
+    val langs = docs.select("lang").distinct().count()
+    assert(math.abs(f("perplexity") - 2.0 * f("quality") / 3) <= 2 * langs,
+      s"kept ${f("perplexity")} of ${f("quality")}")
+    assert(f("exact_dedup") <= f("perplexity"))
+    // lazy mode agrees with funnel mode
+    val lazyR = CorpusPipeline.curate(docs, CorpusPipeline.Config(
+      pplKeepTiers = Some(Set("head", "middle"))), collectFunnel = false)
+    assert(lazyR.chunks.collect().toSet == r.chunks.collect().toSet)
+    lazyR.persisted.foreach(_.unpersist())
+    r.persisted.foreach(_.unpersist())
+  }
+
   test("curate: span-scrub stage rewrites a planted cross-survivor span") {
     import spark.implicits._
     // docs 1 and 2 are NOT near-dups (different shingle sets overall)
