@@ -197,6 +197,16 @@ object SparkEntry {
     * the rare-token/noise region). */
   val PplBuckets = 3
   val CuratePplTiers = Set("head", "middle")
+  /** q94 strided context windows: 48-token windows every 32 tokens
+    * (16-token overlap) — stride < chunk budget so consecutive windows
+    * demonstrably overlap on the fixture docs. */
+  val StrideWindowTokens = 48
+  val StrideTokens = 32
+  /** q95 leakage-free split: a quarter of near-dup CLUSTERS to valid. */
+  val SplitValidFrac = 0.25
+  /** q96 OOV gate vocabulary size — small enough that the fixture
+    * corpus has demonstrable OOV mass outside the top-500 tokens. */
+  val OovVocabSize = 500
   /** q80 in-funnel span-scrub window — smaller than q78's standalone
     * [[ScrubK]] because the funnel's survivors are already document-
     * deduped (the big cross-doc span mass is gone); 3 still rewrites a
@@ -1533,6 +1543,34 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Strided context windows: 48-token windows every 32 tokens — the
+    // overlapping long-context-LM variant of q47's disjoint chunks.
+    "q94_chunks_strided" -> ((s, dir) => {
+      Text.chunkStrided(t(s, dir, "documents"), "text",
+        StrideWindowTokens, StrideTokens)
+        .orderBy("doc_id", "window_idx")
+    }),
+
+    // Leakage-free split: whole near-dup clusters assigned train/valid
+    // by an md5 of the cluster representative, so near-duplicate docs
+    // can never straddle the eval boundary.
+    "q95_leakage_free_split" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", NumPerms)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
+      val verified = Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
+      Dedup.leakageFreeSplit(t(s, dir, "documents"), "doc_id",
+          Dedup.nearDupClusters(verified, "doc_id"), SplitValidFrac)
+        .orderBy("doc_id")
+    }),
+
+    // Per-doc OOV stats against the corpus top-500 token vocabulary.
+    "q96_oov_stats" -> ((s, dir) => {
+      Text.oovStats(t(s, dir, "documents"), "text", OovVocabSize)
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprints (k=4 grams, window 4).
     "q27_fingerprints" -> ((s, dir) => {
       Text.fingerprints(t(s, dir, "documents"), "text", FpK, FpW)
@@ -2045,6 +2083,22 @@ object SparkEntry {
          |SELECT doc_id, cluster_rep, csize,
          |  round(1.0::DOUBLE / csize, 9) AS weight
          |FROM sz ORDER BY doc_id""".stripMargin,
+
+    // q95: q91's full-corpus cluster labels, split by the md5-hex
+    // prefix of the representative — lexicographic hex compare is
+    // engine-portable and uniform.
+    "q95_leakage_free_split" ->
+      s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$nearDupReachCte,
+         |cl AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |fc AS (SELECT d.doc_id, coalesce(cl.cluster_rep, d.doc_id)
+         |         AS cluster_rep
+         |       FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT doc_id, cluster_rep,
+         |  CASE WHEN substr(md5(cluster_rep::VARCHAR), 1, 4)
+         |         < '${f"${math.floor(SplitValidFrac * 65536).toInt}%04x"}'
+         |       THEN 'valid' ELSE 'train' END AS split
+         |FROM fc ORDER BY doc_id""".stripMargin,
 
     // q53: drop every doc whose component min-id (recursive reach, as
     // q51) is not itself; unpaired docs never enter `reach` and survive.
@@ -2958,6 +3012,37 @@ object SparkEntry {
         |)
         |SELECT doc_id, chunk_idx, n_tokens, chunk FROM ch
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q94: window i covers the 1-based inclusive slice
+    // t[i*stride+1 : i*stride+window]; starts while i*stride < len.
+    "q94_chunks_strided" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |w AS (
+         |  SELECT doc_id, i AS window_idx, (i*$StrideTokens)::BIGINT AS start_tok,
+         |    array_to_string(t[i*$StrideTokens+1 : i*$StrideTokens+$StrideWindowTokens], ' ') AS chunk,
+         |    len(t[i*$StrideTokens+1 : i*$StrideTokens+$StrideWindowTokens])::BIGINT AS n_tokens
+         |  FROM toks, LATERAL
+         |    (SELECT unnest(range(0, (len(t) - 1) // $StrideTokens + 1)) AS i) _
+         |)
+         |SELECT doc_id, window_idx, start_tok, n_tokens, chunk FROM w
+         |ORDER BY doc_id, window_idx""".stripMargin,
+
+    // q96: vocab = top-500 tokens by (count DESC, token ASC) — the
+    // same deterministic tiebreak as the Spark TakeOrderedAndProject.
+    "q96_oov_stats" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |),
+         |vc AS (
+         |  SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w
+         |                 ORDER BY c DESC, w ASC LIMIT $OovVocabSize) _
+         |)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         |  round(sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(*), 9) AS oov_ratio
+         |FROM tok t LEFT JOIN vc ON t.w = vc.w
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "q45_idf_table" ->
       """WITH tok AS (

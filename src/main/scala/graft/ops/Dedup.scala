@@ -427,6 +427,42 @@ object Dedup {
       .withColumn("weight", round(lit(1.0) / col("csize"), 9))
   }
 
+  /** Leakage-free train/validation split: assign whole near-dup CLUSTERS
+    * to a split, so a document and its near-duplicate can never land on
+    * opposite sides of the train/valid boundary (the classic eval-leak
+    * a row-wise random split commits whenever the corpus has near-dups).
+    *
+    * The split is a pure function of the cluster representative: the
+    * first 4 hex digits of `md5(cluster_rep as string)` compared against
+    * `floor(validFrac · 16^4)` — deterministic, seedless, identical in
+    * any engine with md5 (the DuckDB oracle compares the same hex
+    * prefix lexicographically), and uniform because md5 is. Expected
+    * valid share ≈ validFrac of CLUSTERS (not documents — a split that
+    * held the document share fixed would have to break clusters).
+    *
+    * `clusters` is [[nearDupClusters]] output; docs in no verified pair
+    * are their own singleton cluster. Returns every `df` row as
+    * (idCol, cluster_rep, split ∈ {"train","valid"}).
+    *
+    * Shape: one id-keyed left join against the (pair-involved-docs-only)
+    * cluster table, then a map-only hash — no window, no extra shuffle;
+    * strictly cheaper than [[softDedupWeights]]. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       validFrac: Double): DataFrame = {
+    require(validFrac >= 0 && validFrac <= 1,
+      s"validFrac must be in [0,1], got $validFrac")
+    // validFrac = 1 would format as 5-hex-digit "10000", which sorts
+    // BELOW "ffff" lexicographically; "g" sorts above every hex digit.
+    val thresh =
+      if (validFrac >= 1) "g" else f"${math.floor(validFrac * 65536).toInt}%04x"
+    df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col(idCol)))
+      .withColumn("split",
+        when(substring(md5(col("cluster_rep").cast("string")), 1, 4)
+          < lit(thresh), "valid").otherwise("train"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash fingerprint width. 60 bits (the full [[Portable]] hash

@@ -201,6 +201,72 @@ object Text {
         col("ch.chunk").as("chunk"))
   }
 
+  /** Strided context windows — the overlapping variant of [[chunk]] used
+    * when training long-context LMs: a window of `windowTokens` tokens
+    * starts every `stride` tokens (stride < window ⇒ consecutive windows
+    * overlap by window − stride tokens, the standard sliding-window
+    * evaluation/training shape). Windows start at token offsets 0,
+    * stride, 2·stride, … while the offset lands inside the document;
+    * the final windows truncate at the document end rather than pad.
+    *
+    * Same 100 TB posture as [[chunk]]: tokens materialize once in their
+    * own projection, the window fan-out is a per-row array expression
+    * exploded in-partition — map-only, no shuffle, and the output is
+    * ~window/stride × the corpus token count (callers pick the overlap
+    * they are willing to store). Every doc emits ≥ 1 window (split()
+    * never yields an empty array). */
+  def chunkStrided(df: DataFrame, textCol: String, windowTokens: Int,
+                   stride: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be > 0, got $windowTokens")
+    require(stride > 0, s"stride must be > 0, got $stride")
+    val w = windowTokens
+    val windows = expr(
+      s"""transform(sequence(0, (size(__t) - 1) div $stride),
+         |  i -> struct(
+         |    (i * $stride) AS start_tok,
+         |    concat_ws(' ', slice(__t, i * $stride + 1, $w)) AS chunk,
+         |    size(slice(__t, i * $stride + 1, $w)) AS n_toks))""".stripMargin)
+    df.select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        posexplode_outer(windows).as(Seq("window_idx", "ch")))
+      .filter(col("ch").isNotNull)
+      .select(col("doc_id"), col("window_idx").cast("long").as("window_idx"),
+        col("ch.start_tok").cast("long").as("start_tok"),
+        col("ch.n_toks").cast("long").as("n_tokens"),
+        col("ch.chunk").as("chunk"))
+  }
+
+  /** Per-document out-of-vocabulary stats against the corpus top-K token
+    * vocabulary — the coverage gate a tokenizer/embedding consumer needs:
+    * documents whose tokens mostly fall outside the vocab (rare scripts,
+    * noise, encoding damage) are cheap to flag before training. Vocab =
+    * the `vocabSize` most frequent whitespace tokens, ties broken by
+    * token ascending (deterministic, oracle-able — the same contract as
+    * [[graft.ops.Vocab]]'s top-K).
+    *
+    * Relational shape: one token-keyed count agg builds the candidate
+    * counts, the top-K selection is an `orderBy().limit()` — Spark's
+    * `TakeOrderedAndProject`, a distributed per-partition top-K merge,
+    * NOT a single-partition rank window over the (possibly 100M-row)
+    * distinct-token table. The per-doc count is a doc-keyed agg over the
+    * exploded tokens with the vocab met map-side via a broadcast left
+    * join (vocabSize rows — never a corpus shuffle). Output: (doc_id,
+    * n_tokens, n_oov, oov_ratio ∈ [0,1], rounded 9dp). */
+  def oovStats(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
+    val tok = df.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("__w"))
+    val vocab = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc).limit(vocabSize)
+      .select(col("__w"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 9).as("oov_ratio"))
+  }
+
   /** Gopher-style repetition signals (the duplication quality filters of
     * Rae et al. 2021 §A1.1, which length/stopword heuristics like
     * [[qualityScore]] cannot see): per document, the n-gram duplication

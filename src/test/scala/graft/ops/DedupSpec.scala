@@ -414,4 +414,28 @@ class DedupSpec extends SparkSpec {
     val mass = r.values.map(_._3).sum
     assert(math.abs(mass - 3.0) < 1e-8, s"total mass $mass != #clusters")
   }
+
+  test("leakageFreeSplit: clusters never straddle; frac 0/1 degenerate; md5 rule") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs, "doc_id")
+    val r = Dedup.leakageFreeSplit(docs, "doc_id", clusters, 0.25)
+      .as[(Long, Long, String)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // every member of component {1,2,3} gets the SAME side
+    assert(Set(r(1L), r(2L), r(3L)).size == 1)
+    // the split is the pure md5-prefix rule on the representative
+    def expected(rep: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      if (hex < "4000") "valid" else "train"
+    }
+    assert(r.forall { case (_, (rep, split)) => split == expected(rep) })
+    // degenerate fractions: everything train / everything valid
+    val all0 = Dedup.leakageFreeSplit(docs, "doc_id", clusters, 0.0)
+    assert(all0.filter($"split" === "valid").count() == 0)
+    val all1 = Dedup.leakageFreeSplit(docs, "doc_id", clusters, 1.0)
+    assert(all1.filter($"split" === "train").count() == 0)
+  }
 }

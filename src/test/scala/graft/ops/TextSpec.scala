@@ -89,6 +89,35 @@ class TextSpec extends SparkSpec {
     assert(ch.filter(_._1 == 1L).map(_._4).mkString(" ") == "a b c d e f g")
   }
 
+  test("chunkStrided: overlapping windows at stride offsets, truncated tail") {
+    val d = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val w = Text.chunkStrided(d, "text", 4, 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // 7 tokens, stride 2 -> starts 0,2,4,6
+    assert(w.filter(_._1 == 1L).map(_._5).toSeq ==
+      Seq("a b c d", "c d e f", "e f g", "g"))
+    assert(w.filter(_._1 == 1L).map(_._3).toSeq == Seq(0L, 2L, 4L, 6L))
+    assert(w.filter(_._1 == 1L).map(_._4).toSeq == Seq(4L, 4L, 3L, 1L))
+    assert(w.filter(_._1 == 2L).map(_._5).toSeq == Seq("x"))
+    // stride == window degenerates to chunk's disjoint cover
+    val disj = Text.chunkStrided(d, "text", 3, 3)
+      .select($"doc_id", $"window_idx".as("chunk_idx"), $"n_tokens", $"chunk")
+    assert(disj.collect().toSet ==
+      Text.chunk(d, "text", 3).collect().toSet)
+  }
+
+  test("oovStats: top-K vocab membership, ratio bounds, count tiebreak") {
+    val d = Seq((1L, "a a a b b c"), (2L, "a b z"), (3L, "q r"))
+      .toDF("doc_id", "text")
+    // counts: a=4 b=3 c=1 z=1 q=1 r=1; K=3 -> vocab {a, b, c} (ties at
+    // count 1 break token-ascending: c < q < r < z)
+    val r = Text.oovStats(d, "text", 3)
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 6L, 0L, 0.0)))
+    assert(r(2L) == ((2L, 3L, 1L, math.floor(1.0 / 3 * 1e9) / 1e9)))
+    assert(r(3L) == ((3L, 2L, 2L, 1.0)))
+  }
+
   test("idfTable: df counts distinct docs, idf monotone decreasing in df") {
     val t = Text.idfTable(docs, "text")
       .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
