@@ -487,10 +487,12 @@ object SparkEntry {
     * the gkeep survivors (the model trains on the post-gate subset,
     * exactly like the Spark stage), per-lang ntile on the rounded
     * score, tiers in [[CuratePplTiers]] kept. */
-  private def curateOracleCtesWith(pplGate: Boolean): String = {
+  private def curateOracleCtesWith(pplGate: Boolean,
+                                   bestSurvivor: Boolean = false): String = {
     val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
     val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
     val exSrc = if (pplGate) "pkeep" else "gkeep"
+    val survTail = survTailSql(bestSurvivor, stopList)
     val pplCtes = if (!pplGate) "" else {
       val tiers = CuratePplTiers.toSeq.sorted.map(t => s"'$t'").mkString(", ")
       s"""ptf AS (
@@ -585,12 +587,50 @@ object SparkEntry {
          |),
          |${lshJacCtesFrom("ex")},
          |$nearDupReachCte,
-         |drops AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
+         |$survTail""".stripMargin
+  }
+
+  /** The funnel's near-dedup survivor tail: min-id drop (q62 default)
+    * or the keepBestQuality policy (q98) — full-corpus cluster labels
+    * over `ex`, the q25 quality score recomputed over the exact-
+    * survivor text, rank-1 per cluster on (score DESC, id ASC). */
+  private def survTailSql(bestSurvivor: Boolean, stopList: String): String =
+    if (!bestSurvivor)
+      s"""drops AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id),
          |surv AS (
          |  SELECT e.doc_id, e.text FROM ex e LEFT JOIN drops k ON e.doc_id = k.id
          |  WHERE k.id IS NULL
          |)""".stripMargin
-  }
+    else
+      s"""xcl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |xfc AS (SELECT e.doc_id, coalesce(xcl.rep, e.doc_id) AS rep, e.text
+         |        FROM ex e LEFT JOIN xcl ON xcl.id = e.doc_id),
+         |xqm AS (
+         |  SELECT doc_id,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM xfc
+         |),
+         |xqs AS (
+         |  SELECT doc_id, round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    AS quality_score
+         |  FROM xqm
+         |),
+         |surv AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT f.doc_id, f.text,
+         |      row_number() OVER (PARTITION BY f.rep
+         |        ORDER BY q.quality_score DESC, f.doc_id ASC) AS rn
+         |    FROM xfc f JOIN xqs q USING (doc_id)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
 
   /** BPE oracle: the word-frequency CTE plus `k` UNROLLED learning
     * rounds. Round j reads `bseg(j-1)` (word, count, s=symbols list) and
@@ -1283,6 +1323,21 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // q62's funnel with the quality-aware survivor policy: each near-dup
+    // cluster keeps its highest-quality copy instead of its min id.
+    "q98_corpus_curate_best" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
+        keepBestQuality = true)
+      CorpusPipeline.curate(t(s, dir, "documents"), cfg,
+        collectFunnel = false).chunks
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // q62's funnel with the repeated-span scrub live between near-dedup
     // and chunking: surviving text is rewritten (cross-survivor k-token
     // spans removed, first occurrence kept) before the chunker reads it.
@@ -1568,6 +1623,24 @@ object SparkEntry {
     // Per-doc OOV stats against the corpus top-500 token vocabulary.
     "q96_oov_stats" -> ((s, dir) => {
       Text.oovStats(t(s, dir, "documents"), "text", OovVocabSize)
+        .orderBy("doc_id")
+    }),
+
+    // Quality-aware near-dedup: per cluster keep the HIGHEST-quality
+    // copy (ties -> min id) instead of q53's min-id survivor.
+    "q97_near_dedup_best" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", NumPerms)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
+      val verified = Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
+      val scored = t(s, dir, "documents").join(
+        Text.qualityScore(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      Dedup.dedupNearClusteredBest(scored, "doc_id", "quality_score",
+          Dedup.nearDupClusters(verified, "doc_id"))
+        .select(col("doc_id"), col("cluster_rep"), col("lang"),
+          col("source"), col("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -2100,6 +2173,44 @@ object SparkEntry {
          |       THEN 'valid' ELSE 'train' END AS split
          |FROM fc ORDER BY doc_id""".stripMargin,
 
+    // q97: full-corpus cluster labels (as q91/q95) + the q25 quality
+    // score; per cluster the row_number-1 row on (score DESC, id ASC).
+    "q97_near_dedup_best" -> {
+      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$nearDupReachCte,
+         |cl AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |fc AS (SELECT d.doc_id, coalesce(cl.cluster_rep, d.doc_id)
+         |         AS cluster_rep
+         |       FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |qm AS (
+         |  SELECT doc_id,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM documents
+         |),
+         |qs AS (
+         |  SELECT doc_id, round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    AS quality_score
+         |  FROM qm
+         |),
+         |ranked AS (
+         |  SELECT d.doc_id, fc.cluster_rep, d.lang, d.source, qs.quality_score,
+         |    row_number() OVER (PARTITION BY fc.cluster_rep
+         |      ORDER BY qs.quality_score DESC, d.doc_id ASC) AS rn
+         |  FROM documents d JOIN fc USING (doc_id) JOIN qs USING (doc_id)
+         |)
+         |SELECT doc_id, cluster_rep, lang, source, quality_score
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
     // q53: drop every doc whose component min-id (recursive reach, as
     // q51) is not itself; unpaired docs never enter `reach` and survive.
     "q53_near_dedup_clustered" ->
@@ -2360,6 +2471,12 @@ object SparkEntry {
     // enabled (model over gkeep, per-lang ntile, head+middle kept).
     "q93_corpus_curate_ppl" ->
       s"""${curateOracleCtesWith(pplGate = true)},
+         |${chunkTailSql("surv")}""".stripMargin,
+
+    // q98: the shared funnel chain with the keepBestQuality survivor
+    // tail (rank-1 per cluster on quality DESC, id ASC).
+    "q98_corpus_curate_best" ->
+      s"""${curateOracleCtesWith(pplGate = false, bestSurvivor = true)},
          |${chunkTailSql("surv")}""".stripMargin,
 
     // q70: q62's funnel + the decontamination stage between near-dedup

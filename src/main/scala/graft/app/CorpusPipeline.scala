@@ -67,6 +67,11 @@ object CorpusPipeline {
     * the post-gate survivors, so text the earlier gates rejected
     * never shapes it. `None` skips the stage — no extra scan.
     *
+    * `keepBestQuality` switches the near-dedup survivor policy from
+    * min-id to highest-[[Text.qualityScore]] per cluster (ties →
+    * min id) — keep the cleanest copy of a duplicated document, not
+    * the one with the smallest id ([[Dedup.dedupNearClusteredBest]]).
+    *
     * `packSeqTokens` additionally emits the survivors packed into
     * fixed-length training sequences ([[graft.ops.Sampling.pack]]) in
     * `Result.packed` — the GPT-2-style consumer shape (cross-document
@@ -112,6 +117,7 @@ object CorpusPipeline {
       boilerMaxDf: Long = 1000L,
       pplKeepTiers: Option[Set[String]] = None,
       pplBuckets: Int = 3,
+      keepBestQuality: Boolean = false,
       evalDocs: Option[DataFrame] = None,
       contaminationMinShared: Long = 5L,
       broadcastEval: Boolean = true,
@@ -291,15 +297,33 @@ object CorpusPipeline {
     }
 
     // exact dedup (hash-groupBy, deterministic min-id survivor), then
-    // near-dedup with the transitive-cluster policy
+    // near-dedup with the transitive-cluster policy: min-id by default,
+    // or the highest-quality copy per cluster (keepBestQuality) — the
+    // score recomputes map-only over the persisted exact frame (the
+    // gate stage kept only ids, and the gate may not even have run).
     val exact = Dedup.dedupExact(tiered, "doc_id", "text")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val shingled = exact.select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), cfg.shingleN).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val near = Dedup.dedupNearClustered(exact, "doc_id", shingled,
-        cfg.minhashPerms, cfg.bands, cfg.rowsPerBand, cfg.jaccardTau)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val near = (if (!cfg.keepBestQuality)
+        Dedup.dedupNearClustered(exact, "doc_id", shingled,
+          cfg.minhashPerms, cfg.bands, cfg.rowsPerBand, cfg.jaccardTau)
+      else {
+        val sigs = Dedup.minhashSignatures(shingled, "doc_id",
+          cfg.minhashPerms)
+        val cands = Dedup.lshCandidatePairs(
+          Dedup.lshBands(sigs, "doc_id", cfg.bands, cfg.rowsPerBand),
+          "doc_id")
+        val verified = Dedup.jaccardVerify(cands, shingled, "doc_id",
+          cfg.jaccardTau)
+        val scored = exact.join(
+          Text.qualityScore(exact, "text")
+            .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        Dedup.dedupNearClusteredBest(scored, "doc_id", "quality_score",
+            Dedup.nearDupClusters(verified, "doc_id"))
+          .drop("quality_score", "cluster_rep")
+      }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // optional benchmark decontamination: drop survivors sharing too
     // many shingles with the eval set. Eval text passes the SAME

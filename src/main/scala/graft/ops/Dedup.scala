@@ -427,6 +427,33 @@ object Dedup {
       .withColumn("weight", round(lit(1.0) / col("csize"), 9))
   }
 
+  /** Quality-aware near-dedup survivor policy: keep, per near-dup
+    * cluster, the row with the HIGHEST `scoreCol` (ties → smallest id)
+    * instead of [[dedupNearClustered]]'s smallest-id row. Real curation
+    * pipelines keep the best copy of a duplicated document — the
+    * cleanest extraction, not the one that happened to get the lowest
+    * id. Singletons (docs in no verified pair) survive unchanged.
+    *
+    * `clusters` is [[nearDupClusters]] output. Returns the surviving
+    * `df` rows with their `cluster_rep` label (so callers can audit
+    * which cluster each survivor represents).
+    *
+    * Shape: one id-keyed left join against the pair-involved-docs-only
+    * cluster table, then one cluster-keyed `row_number` window —
+    * partitions bounded by cluster size, never corpus-sized. The score
+    * must be deterministic (e.g. [[Text.qualityScore]]'s 9-dp rounded
+    * score) for the policy to be reproducible across engines. */
+  def dedupNearClusteredBest(df: DataFrame, idCol: String, scoreCol: String,
+                             clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col(idCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cluster_rep"))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Leakage-free train/validation split: assign whole near-dup CLUSTERS
     * to a split, so a document and its near-duplicate can never land on
     * opposite sides of the train/valid boundary (the classic eval-leak

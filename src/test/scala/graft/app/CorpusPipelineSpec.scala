@@ -159,6 +159,29 @@ class CorpusPipelineSpec extends SparkSpec {
     r.persisted.foreach(_.unpersist())
   }
 
+  test("curate: keepBestQuality keeps one survivor per cluster, never lower total quality") {
+    val base = CorpusPipeline.curate(docs)
+    val best = CorpusPipeline.curate(docs,
+      CorpusPipeline.Config(keepBestQuality = true))
+    val fb = base.funnel.toMap
+    val fq = best.funnel.toMap
+    // same clusters either way -> same survivor COUNT, same upstream
+    assert(fq("near_dedup") == fb("near_dedup"))
+    assert(fq("exact_dedup") == fb("exact_dedup"))
+    // per cluster the best policy picks the max-quality member, so the
+    // summed survivor quality can never be below the min-id policy's
+    def totalQuality(r: CorpusPipeline.Result): Double = {
+      val surv = r.chunks.select("doc_id").distinct()
+      val normed = docs.join(surv, Seq("doc_id"))
+        .select(col("doc_id"), Text.normalize(col("text")).as("text"))
+      Text.qualityScore(normed, "text")
+        .agg(sum("quality_score")).head().getDouble(0)
+    }
+    assert(totalQuality(best) >= totalQuality(base) - 1e-9)
+    best.persisted.foreach(_.unpersist())
+    base.persisted.foreach(_.unpersist())
+  }
+
   test("curate: span-scrub stage rewrites a planted cross-survivor span") {
     import spark.implicits._
     // docs 1 and 2 are NOT near-dups (different shingle sets overall)

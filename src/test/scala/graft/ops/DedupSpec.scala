@@ -415,6 +415,17 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(mass - 3.0) < 1e-8, s"total mass $mass != #clusters")
   }
 
+  test("dedupNearClusteredBest: highest score survives, ties to min id, singletons kept") {
+    val docs = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.1))
+      .toDF("doc_id", "score")
+    // component {1,2,3}: 2 and 3 tie at 0.9 -> 2 survives; 4,5 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs, "doc_id")
+    val r = Dedup.dedupNearClusteredBest(docs, "doc_id", "score", clusters)
+      .select($"doc_id", $"cluster_rep").as[(Long, Long)].collect().toMap
+    assert(r == Map(2L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
   test("leakageFreeSplit: clusters never straddle; frac 0/1 degenerate; md5 rule") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
