@@ -1110,6 +1110,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source near-duplication audit: docs, dup docs, post-dedup
+    // count and dup rate per source slice.
+    "q99_dup_stats" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", NumPerms)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
+      val verified = Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau)
+      Dedup.dupStats(t(s, dir, "documents"), "doc_id", "source",
+          Dedup.nearDupClusters(verified, "doc_id"))
+        .orderBy("source")
+    }),
+
     // Near-dedup applied with transitive clustering: one survivor (min
     // id) per connected component — q43's greedy policy can keep several
     // docs of one component; this keeps exactly the representative.
@@ -1185,6 +1198,18 @@ object SparkEntry {
     // Quality scoring (length / alpha / digit / stopword heuristics).
     "q25_quality_score" -> ((s, dir) => {
       Text.qualityScore(t(s, dir, "documents"), "text").orderBy("doc_id")
+    }),
+
+    // Per-source percentile calibration of the quality score — SQL
+    // percent_rank tie semantics, computed over the compact
+    // (source, score) frame (never a corpus-sized window partition).
+    "q101_quality_percentiles" -> ((s, dir) => {
+      val scored = Text.qualityScore(t(s, dir, "documents"), "text",
+        Seq("source"))
+      Text.scorePercentiles(scored, "quality_score", "source")
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("pct_rank"))
+        .orderBy("doc_id")
     }),
 
     // Language ID via stopword profiles with pinned tiebreak.
@@ -1474,6 +1499,14 @@ object SparkEntry {
       Ann.annTopKQuantized(t(s, dir, "embeddings"), "vec_id", "embedding",
           SrpPlanes, TopK)
         .orderBy("probe_id", "rnk")
+    }),
+
+    // Label-prototype agreement: each vector's quantized-domain cosine
+    // to its own label's centroid (low = probable mislabel/outlier).
+    "q100_label_prototypes" -> ((s, dir) => {
+      Ann.labelPrototypes(t(s, dir, "embeddings"), "vec_id", "embedding",
+          "label")
+        .orderBy("vec_id")
     }),
 
     // Hard-negative mining: per anchor, the top-k most-cosine-similar
@@ -2157,6 +2190,22 @@ object SparkEntry {
          |  round(1.0::DOUBLE / csize, 9) AS weight
          |FROM sz ORDER BY doc_id""".stripMargin,
 
+    // q99: per-source rollup of the cluster labels — docs in any
+    // cluster are dup docs; distinct coalesce(rep, id) is the
+    // post-dedup count attributable to the source.
+    "q99_dup_stats" ->
+      s"""${lshJacSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$nearDupReachCte,
+         |cl AS (SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id),
+         |fc AS (SELECT d.doc_id, d.source, cl.cluster_rep,
+         |         coalesce(cl.cluster_rep, d.doc_id) AS eff
+         |       FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  count(cluster_rep)::BIGINT AS n_dup_docs,
+         |  count(DISTINCT eff)::BIGINT AS n_post_dedup,
+         |  round(count(cluster_rep)::DOUBLE / count(*), 9) AS dup_rate
+         |FROM fc GROUP BY source ORDER BY source""".stripMargin,
+
     // q95: q91's full-corpus cluster labels, split by the md5-hex
     // prefix of the representative — lexicographic hex compare is
     // engine-portable and uniform.
@@ -2331,6 +2380,35 @@ object SparkEntry {
          |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
          |    AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // q101: the q25 score + percent_rank per source — the native
+    // window IS the spec; the Spark side reproduces its tie semantics
+    // over the compact (source, score) frame.
+    "q101_quality_percentiles" -> {
+      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+         |      / length(text)::DOUBLE AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |      / length(text)::DOUBLE AS digits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+         |      / len(string_split(text, ' '))::DOUBLE AS stop,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |  FROM documents
+         |),
+         |qs AS (
+         |  SELECT doc_id, source, round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    AS quality_score
+         |  FROM m
+         |)
+         |SELECT doc_id, source, quality_score,
+         |  round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY quality_score), 9) AS pct_rank
+         |FROM qs ORDER BY doc_id""".stripMargin
     },
 
     "q26_langid" ->
@@ -2760,6 +2838,43 @@ object SparkEntry {
          |FROM scored
          |QUALIFY rnk <= $TopK
          |ORDER BY probe_id, rnk""".stripMargin,
+
+    // q100: q92's int8 codes, per-(label, dim) integer centroid sums
+    // (exact in any order), cosine of each code against its label's
+    // sum vector — the 1/n of the mean cancels from the cosine, so
+    // this IS the mean-centroid cosine, bit-exact cross-engine.
+    "q100_label_prototypes" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+         |      AS scale
+         |  FROM embeddings
+         |),
+         |qq AS (
+         |  SELECT vec_id, label,
+         |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0::BIGINT)
+         |    ELSE list_transform(v, x ->
+         |      least(greatest(floor(x / scale + 0.5), -127.0), 127.0)::BIGINT)
+         |    END AS q
+         |  FROM base
+         |),
+         |cent AS (
+         |  SELECT label, i AS pos, sum(q[i])::BIGINT AS s
+         |  FROM qq, LATERAL (SELECT unnest(range(1, len(q) + 1)) AS i) _
+         |  GROUP BY label, i
+         |),
+         |dots AS (
+         |  SELECT t.vec_id, t.label,
+         |    sum(t.q[c.pos] * c.s)::DOUBLE AS dot,
+         |    sum(t.q[c.pos] * t.q[c.pos])::DOUBLE AS qqs,
+         |    sum(c.s * c.s)::DOUBLE AS ccs
+         |  FROM qq t JOIN cent c ON t.label = c.label
+         |  GROUP BY t.vec_id, t.label
+         |)
+         |SELECT vec_id, label,
+         |  CASE WHEN qqs = 0 OR ccs = 0 THEN NULL
+         |       ELSE round(dot / (sqrt(qqs) * sqrt(ccs)), 9) END AS proto_cos
+         |FROM dots ORDER BY vec_id""".stripMargin,
 
     // q89: same bucket CTEs; candidates restricted to cross-label
     // bucket-mates, ranked per anchor with the q28 tiebreak.

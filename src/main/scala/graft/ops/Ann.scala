@@ -175,6 +175,53 @@ object Ann {
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Per-label prototype agreement — the label-noise / outlier scan a
+    * curation run does over a labeled embedding table: each vector's
+    * cosine to its own label's centroid. Low `proto_cos` flags probable
+    * mislabels or out-of-distribution rows (the centroid-distance twin
+    * of [[knnLabelAgreement]]'s neighborhood vote).
+    *
+    * Computed entirely in the quantized domain for cross-engine
+    * determinism: per-(label, dim) sums of [[Quantize.int8Codes]] codes
+    * are exact integers (order-free), and because cosine is invariant
+    * to the positive 1/n factor, the cosine against the integer SUM
+    * vector equals the cosine against the mean centroid exactly. Every
+    * dot product is a sum of exact-integer terms (|q| ≤ 127, |Σq| ≤
+    * 127·n), bit-identical in any summation order while n·127²·dim
+    * stays inside 2^53 — i.e. up to ~10⁹ rows per label at dim 1024.
+    * A vector is included in its own centroid (standard prototype
+    * scoring). Zero-code vectors or zero centroids yield NULL.
+    *
+    * Shape: map-only quantization → one (label, dim)-keyed partial-agg
+    * shuffle (cardinality labels × dim, never corpus-sized) → the
+    * labels×dim centroid table broadcasts back — corpus rows are
+    * scored map-side and never shuffle. Returns (idCol, labelCol,
+    * proto_cos rounded 9dp). */
+  def labelPrototypes(corpus: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val codes = Quantize.int8Codes(corpus, idCol, vecCol, Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("q"))
+    val centroids = codes
+      .select(col(labelCol), posexplode(col("q")).as(Seq("pos", "qi")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum("qi").as("s"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s").cast("double")).as("cd"))
+    codes
+      .withColumn("qd", transform(col("q"), _.cast("double")))
+      .join(broadcast(centroids), Seq(labelCol))
+      .withColumn("__dot", graft.functions.FoldDot(col("qd"), col("cd")))
+      .withColumn("__qq", graft.functions.FoldDot(col("qd"), col("qd")))
+      .withColumn("__cc", graft.functions.FoldDot(col("cd"), col("cd")))
+      .select(col(idCol), col(labelCol),
+        when(col("__qq") === 0 || col("__cc") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("__dot")
+            / (sqrt(col("__qq")) * sqrt(col("__cc"))), 9))
+          .as("proto_cos"))
+  }
+
   /** Recall of the approximate result against the exact top-k: fraction
     * of (probe, neighbor) pairs the ANN run recovered. Driver for specs
     * and tuning the plane count. */

@@ -427,6 +427,32 @@ object Dedup {
       .withColumn("weight", round(lit(1.0) / col("csize"), 9))
   }
 
+  /** Per-source near-duplication audit — the first report a curation
+    * run reads: how duplicated is each slice of the corpus? Per
+    * `sourceCol` value: total docs, docs belonging to a near-dup
+    * cluster (every cluster has ≥ 2 members by construction, so
+    * membership itself marks a duplicate), distinct post-dedup
+    * documents attributable to the source (cluster representatives for
+    * clustered docs, the doc itself for singletons — a cluster spanning
+    * sources counts once in each source it touches), and the
+    * duplicate-doc rate. `clusters` is [[nearDupClusters]] output.
+    *
+    * Shape: one id-keyed equi join (the cluster table holds only
+    * pair-involved docs) + one low-cardinality source-keyed agg with
+    * map-side partials — nothing corpus-sized survives the shuffle. */
+  def dupStats(df: DataFrame, idCol: String, sourceCol: String,
+               clusters: DataFrame): DataFrame =
+    df.select(col(idCol), col(sourceCol))
+      .join(clusters, Seq(idCol), "left")
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("cluster_rep")).as("n_dup_docs"),
+        countDistinct(coalesce(col("cluster_rep"), col(idCol)))
+          .as("n_post_dedup"),
+        round(count(col("cluster_rep")).cast("double") / count(lit(1)), 9)
+          .as("dup_rate"))
+
   /** Quality-aware near-dedup survivor policy: keep, per near-dup
     * cluster, the row with the HIGHEST `scoreCol` (ties → smallest id)
     * instead of [[dedupNearClustered]]'s smallest-id row. Real curation

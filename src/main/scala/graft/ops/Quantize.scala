@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   * this is pure per-row compute that parallelizes with the scan). */
 object Quantize {
 
+  /** The code projection alone: (idCol, carry…, vecCol, scale,
+    * q: array<long> in [-127,127]) — map-only, no shuffle. `carry`
+    * columns ride along untouched so downstream quantized-domain
+    * consumers (e.g. [[Ann.labelPrototypes]]) never pay an id-keyed
+    * join to recover them. */
+  def int8Codes(df: DataFrame, idCol: String, vecCol: String,
+                carry: Seq[String] = Nil): DataFrame = {
+    val v = col(vecCol)
+    val keep = (col(idCol) +: carry.map(col)) :+ v
+    val scaled = df.select(keep :+
+      (array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0))
+        .as("scale"): _*)
+    scaled.withColumn("q",
+      when(col("scale") === 0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x =>
+          least(greatest(floor(x.cast("double") / col("scale") + lit(0.5)),
+            lit(-127L)), lit(127L)))))
+  }
+
   /** Symmetric per-vector int8 quantization. Returns
     * (idCol, scale, q: array<long> in [-127,127], mse) — `scale`
     * unrounded (it is the dequantization constant, not a report
@@ -34,15 +53,7 @@ object Quantize {
   def int8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val id = col(idCol)
     val v = col(vecCol)
-    val scaled = df.select(id, v,
-      (array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0))
-        .as("scale"))
-    val quantized = scaled.select(id, v, col("scale"),
-      when(col("scale") === 0, transform(v, _ => lit(0L)))
-        .otherwise(transform(v, x =>
-          least(greatest(floor(x.cast("double") / col("scale") + lit(0.5)),
-            lit(-127L)), lit(127L)))).as("q"))
-    quantized
+    int8Codes(df, idCol, vecCol)
       .withColumn("qd", transform(col("q"), _.cast("double")))
       .select(id, col("scale"), col("q"),
         ((graft.functions.FoldDot(v, v)

@@ -267,6 +267,44 @@ object Text {
         round(col("n_oov") / col("n_tokens"), 9).as("oov_ratio"))
   }
 
+  /** Per-group percentile calibration of a score column — SQL
+    * `percent_rank() OVER (PARTITION BY group ORDER BY score)` with
+    * identical tie semantics, so scores from sources with different
+    * scales (one crawl's 0.6 is another's 0.9) become comparable
+    * percentile ranks before a global quality cut or mixing policy.
+    *
+    * The naive window puts every row of a group in ONE partition — a
+    * hot-source straggler sorting the full corpus slice at 100 TB.
+    * This form never does: one (group, score) count agg compacts the
+    * corpus (map-side combine), the cumulative window runs over that
+    * compact frame only (partitions bounded by distinct scores per
+    * group), and rows get their rank back through a (group, score)-
+    * keyed equi join. Ties share a rank exactly as `percent_rank`
+    * defines — (#strictly-lower rows) / (n − 1) — so the result is
+    * bit-identical to the single-partition window. Groups of one row
+    * get 0.0 (the SQL convention). Appends `pct_rank` (rounded 9dp);
+    * `scoreCol` must be deterministic and exactly joinable (integers
+    * or already-rounded doubles like [[qualityScore]]'s). */
+  def scorePercentiles(df: DataFrame, scoreCol: String,
+                       groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val byScore = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(groupCol))
+    val ranks = sc
+      .withColumn("__below",
+        coalesce(sum(col("__c")).over(byScore), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(whole))
+      .select(col(groupCol), col(scoreCol),
+        when(col("__n") > 1,
+          round(col("__below").cast("double") / (col("__n") - lit(1)), 9))
+          .otherwise(lit(0.0)).as("pct_rank"))
+    df.join(ranks, Seq(groupCol, scoreCol))
+  }
+
   /** Gopher-style repetition signals (the duplication quality filters of
     * Rae et al. 2021 §A1.1, which length/stopword heuristics like
     * [[qualityScore]] cannot see): per document, the n-gram duplication

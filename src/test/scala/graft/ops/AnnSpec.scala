@@ -123,6 +123,32 @@ class AnnSpec extends SparkSpec {
       s"quantized ANN recovered only ${common / total} of float ANN pairs")
   }
 
+  test("labelPrototypes: planted outlier scores low, members high, zero vector NULL") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.1f), 0),
+      (3L, Seq(0.9f, 0.0f), 0),
+      (4L, Seq(0.0f, 1.0f), 0),   // planted outlier inside label 0
+      (5L, Seq(0.0f, 1.0f), 1),
+      (6L, Seq(-0.05f, 1.0f), 1),
+      (7L, Seq(0.0f, 0.0f), 1)    // zero vector -> NULL score
+    ).toDF("vec_id", "embedding", "label")
+    val r = Ann.labelPrototypes(emb, "vec_id", "embedding", "label")
+      .select($"vec_id", $"proto_cos").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(r.size == 7)
+    assert(r(7L).isEmpty, "zero vector must score NULL")
+    assert(r.collect { case (_, Some(c)) => c }.forall(c =>
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    // members of label 0 agree with their centroid far better than the
+    // planted orthogonal outlier
+    assert(r(1L).get > 0.8 && r(3L).get > 0.8)
+    assert(r(4L).get < 0.5, s"outlier scored ${r(4L)}")
+    assert(r(4L).get < r(1L).get - 0.3)
+    // label-1 members (outlier-free) sit near 1
+    assert(r(5L).get > 0.9 && r(6L).get > 0.9)
+  }
+
   test("hardNegatives: hardest negative is the most similar cross-label vector in bucket") {
     val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
     val top = Ann.hardNegatives(emb, "vec_id", "embedding", "label", 4, 1)

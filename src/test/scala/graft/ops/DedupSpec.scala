@@ -415,6 +415,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(mass - 3.0) < 1e-8, s"total mass $mass != #clusters")
   }
 
+  test("dupStats: per-source docs, dup docs, post-dedup count and rate") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "b"))
+      .toDF("doc_id", "source")
+    // one cluster {1,2,3} (rep 1) spanning sources a and b
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs, "doc_id")
+    val r = Dedup.dupStats(docs, "doc_id", "source", clusters)
+      .select($"source", $"n_docs", $"n_dup_docs", $"n_post_dedup",
+        $"dup_rate")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    // source a: docs {1,2,4}; 1,2 clustered (rep 1) -> post-dedup {1,4}
+    assert(r("a")._1 == 3 && r("a")._2 == 2 && r("a")._3 == 2)
+    assert(math.abs(r("a")._4 - 2.0 / 3) < 1e-8)
+    // source b: docs {3,5}; 3 clustered (rep 1) -> post-dedup {1,5}
+    assert(r("b") == ((2L, 1L, 2L, 0.5)))
+  }
+
   test("dedupNearClusteredBest: highest score survives, ties to min id, singletons kept") {
     val docs = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.1))
       .toDF("doc_id", "score")

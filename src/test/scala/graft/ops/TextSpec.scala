@@ -297,6 +297,25 @@ class TextSpec extends SparkSpec {
     assert(big0 == uni)
   }
 
+  test("scorePercentiles: percent_rank tie semantics; singleton group 0; equals native window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, "g1", 1.0), (2L, "g1", 2.0), (3L, "g1", 2.0), (4L, "g1", 4.0),
+      (5L, "g2", 7.0)
+    ).toDF("id", "grp", "score")
+    val r = Text.scorePercentiles(df, "score", "grp")
+      .select($"id", $"pct_rank").as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.0)
+    assert(math.abs(r(2L) - 1.0 / 3) < 1e-8 && r(2L) == r(3L))
+    assert(r(4L) == 1.0)
+    assert(r(5L) == 0.0, "singleton group must rank 0.0 (SQL convention)")
+    // law: bit-equal to the native single-partition percent_rank window
+    val native = df.withColumn("pr", round(percent_rank().over(
+        Window.partitionBy($"grp").orderBy($"score")), 9))
+      .select($"id", $"pr").as[(Long, Double)].collect().toMap
+    assert(r == native)
+  }
+
   test("boilerplateStats: cross-doc df gate; short docs NULL ratios") {
     val corpus = Seq((1L, "a b a"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
     // n=1, maxDf=1: token 'a' appears in 2 docs -> boilerplate
