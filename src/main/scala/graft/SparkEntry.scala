@@ -190,6 +190,9 @@ object SparkEntry {
     * budget 64, and the shared MinHash/LSH constants for near-dedup. */
   val CurateMinQuality = 0.5
   val CurateMaxDupRatio = 0.1
+  /** q102 per-source relative quality cut: keep each source's top 70%
+    * (percent_rank ≥ 0.3) on top of the absolute 0.5 score floor. */
+  val CurateMinQualityPct = 0.3
   val CurateChunkTokens = 64
   val CurateLangs = Set("en")
   /** q90/q93 CCNet perplexity tiers: 3 equal-count tiers per language;
@@ -488,7 +491,8 @@ object SparkEntry {
     * exactly like the Spark stage), per-lang ntile on the rounded
     * score, tiers in [[CuratePplTiers]] kept. */
   private def curateOracleCtesWith(pplGate: Boolean,
-                                   bestSurvivor: Boolean = false): String = {
+                                   bestSurvivor: Boolean = false,
+                                   pctGate: Boolean = false): String = {
     val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
     val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
     val exSrc = if (pplGate) "pkeep" else "gkeep"
@@ -560,12 +564,7 @@ object SparkEntry {
          |         THEN 1.0 ELSE 0.0 END AS len_ok
          |  FROM lkeep
          |),
-         |qkeep AS (
-         |  SELECT doc_id, text FROM qm
-         |  WHERE round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
-         |    >= $CurateMinQuality
-         |),
+         |${qkeepSql(pctGate)},
          |rtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM qkeep),
          |rg AS (SELECT doc_id,
          |         unnest(${Text.shinglesAllSql("t", RepetitionN)}) AS g
@@ -589,6 +588,38 @@ object SparkEntry {
          |$nearDupReachCte,
          |$survTail""".stripMargin
   }
+
+  /** The funnel's quality-gate CTE: the absolute score floor (q62
+    * default), optionally ANDed with the per-source percent_rank cut
+    * (q102) — rank over ALL in-lang docs (`qm` is built from `lkeep`),
+    * source joined in from `documents`, both sides rounded 9dp exactly
+    * like [[graft.ops.Text.scorePercentiles]]. */
+  private def qkeepSql(pctGate: Boolean): String =
+    if (!pctGate)
+      s"""qkeep AS (
+         |  SELECT doc_id, text FROM qm
+         |  WHERE round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    >= $CurateMinQuality
+         |)""".stripMargin
+    else
+      s"""qsc AS (
+         |  SELECT doc_id, text, round(least(1.0, greatest(0.0,
+         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    AS score
+         |  FROM qm
+         |),
+         |qpr AS (
+         |  SELECT q.doc_id, q.text, q.score,
+         |    round(percent_rank() OVER (PARTITION BY d.source
+         |      ORDER BY q.score), 9) AS pr
+         |  FROM qsc q JOIN documents d USING (doc_id)
+         |),
+         |qkeep AS (
+         |  SELECT doc_id, text FROM qpr
+         |  WHERE score >= $CurateMinQuality
+         |    AND pr >= $CurateMinQualityPct
+         |)""".stripMargin
 
   /** The funnel's near-dedup survivor tail: min-id drop (q62 default)
     * or the keepBestQuality policy (q98) — full-corpus cluster labels
@@ -1358,6 +1389,21 @@ object SparkEntry {
         chunkTokens = CurateChunkTokens,
         maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
         keepBestQuality = true)
+      CorpusPipeline.curate(t(s, dir, "documents"), cfg,
+        collectFunnel = false).chunks
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // q62's funnel with the per-source relative quality cut ANDed into
+    // the quality gate: keep each source's top (1 - pct) slice.
+    "q102_corpus_curate_pct" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
+        minQualityPct = Some(CurateMinQualityPct))
       CorpusPipeline.curate(t(s, dir, "documents"), cfg,
         collectFunnel = false).chunks
         .orderBy("doc_id", "chunk_idx")
@@ -2555,6 +2601,12 @@ object SparkEntry {
     // tail (rank-1 per cluster on quality DESC, id ASC).
     "q98_corpus_curate_best" ->
       s"""${curateOracleCtesWith(pplGate = false, bestSurvivor = true)},
+         |${chunkTailSql("surv")}""".stripMargin,
+
+    // q102: the shared funnel chain with the per-source percent_rank
+    // cut ANDed into the quality gate.
+    "q102_corpus_curate_pct" ->
+      s"""${curateOracleCtesWith(pplGate = false, pctGate = true)},
          |${chunkTailSql("surv")}""".stripMargin,
 
     // q70: q62's funnel + the decontamination stage between near-dedup

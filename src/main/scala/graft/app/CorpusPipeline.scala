@@ -67,6 +67,12 @@ object CorpusPipeline {
     * the post-gate survivors, so text the earlier gates rejected
     * never shapes it. `None` skips the stage — no extra scan.
     *
+    * `minQualityPct` adds a RELATIVE quality cut to the absolute one:
+    * keep only docs at or above that per-source percentile of the
+    * quality score (computed over all in-lang docs via
+    * [[Text.scorePercentiles]]) — "the top X% of each source", so
+    * sources whose extraction scores run hot or cold are cut fairly.
+    *
     * `keepBestQuality` switches the near-dedup survivor policy from
     * min-id to highest-[[Text.qualityScore]] per cluster (ties →
     * min id) — keep the cleanest copy of a duplicated document, not
@@ -115,6 +121,7 @@ object CorpusPipeline {
       maxBoilerRatio: Option[Double] = None,
       boilerN: Int = 3,
       boilerMaxDf: Long = 1000L,
+      minQualityPct: Option[Double] = None,
       pplKeepTiers: Option[Set[String]] = None,
       pplBuckets: Int = 3,
       keepBestQuality: Boolean = false,
@@ -235,12 +242,27 @@ object CorpusPipeline {
 
     // quality gate: length/alpha/stopword/digit composite (read by its
     // own join + the repetition gate + the exact dedup + the funnel
-    // count — always persisted, see the normed comment)
-    val quality = inLang.join(
-      Text.qualityScore(inLang, "text")
-        .filter(col("quality_score") >= cfg.minQuality)
-        .select("doc_id"),
-      Seq("doc_id"))
+    // count — always persisted, see the normed comment). With
+    // `minQualityPct` the absolute cut is ANDed with a per-source
+    // percentile cut ("keep each source's top slice") — the ranks come
+    // from [[Text.scorePercentiles]]'s compact (source, score) frame
+    // over ALL in-lang docs, so one source's score inflation never
+    // crowds out another's documents.
+    val qkeep = cfg.minQualityPct match {
+      case None =>
+        Text.qualityScore(inLang, "text")
+          .filter(col("quality_score") >= cfg.minQuality)
+          .select("doc_id")
+      case Some(pct) =>
+        Text.scorePercentiles(
+            Text.qualityScore(inLang, "text", Seq("source"))
+              .select(col("doc_id"), col("source"), col("quality_score")),
+            "quality_score", "source")
+          .filter(col("quality_score") >= cfg.minQuality &&
+            col("pct_rank") >= pct)
+          .select("doc_id")
+    }
+    val quality = inLang.join(qkeep, Seq("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // optional Gopher duplication gate: drop degenerate-repetition docs

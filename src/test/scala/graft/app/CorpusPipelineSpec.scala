@@ -182,6 +182,28 @@ class CorpusPipelineSpec extends SparkSpec {
     base.persisted.foreach(_.unpersist())
   }
 
+  test("curate: minQualityPct tightens the quality gate per source; pct 0 is the absolute gate") {
+    val base = CorpusPipeline.curate(docs)
+    val cut = CorpusPipeline.curate(docs,
+      CorpusPipeline.Config(minQualityPct = Some(0.5)))
+    val fb = base.funnel.toMap
+    val fc = cut.funnel.toMap
+    // upstream stages identical; the quality stage can only shrink
+    assert(fc("language") == fb("language"))
+    assert(fc("quality") < fb("quality"),
+      s"pct cut did not drop anything (${fc("quality")})")
+    // survivors of the tightened gate are a subset of the base gate's
+    val extra = cut.chunks.select("doc_id")
+      .except(base.chunks.select("doc_id")).count()
+    assert(extra == 0, s"$extra pct-gate docs not in the base funnel")
+    // pct = 0.0 degenerates to the absolute-only gate (every rank >= 0)
+    val zero = CorpusPipeline.curate(docs,
+      CorpusPipeline.Config(minQualityPct = Some(0.0)))
+    val fz = zero.funnel.toMap
+    assert(fz("quality") == fb("quality"))
+    Seq(base, cut, zero).foreach(_.persisted.foreach(_.unpersist()))
+  }
+
   test("curate: span-scrub stage rewrites a planted cross-survivor span") {
     import spark.implicits._
     // docs 1 and 2 are NOT near-dups (different shingle sets overall)
