@@ -144,11 +144,20 @@ object SparkEntry {
     * salt. */
   val SampleNPerSource = 12
   val SampleSalt = "q76"
-  /** q84 tf-idf cosine pairs: 0.88 keeps ~100 fixture pairs (the tail
-    * of the word-soup similarity distribution); the df prune bound sits
-    * above every fixture df, same contract as [[JaccardMaxDf]]. */
+  /** q84 tf-idf cosine pairs: 0.88 keeps the tail of the word-soup
+    * similarity distribution. The df prune is the operator's documented
+    * skew lever and 1000 ENGAGES it exactly as production would: at the
+    * correctness SF (sf0.01, every df ≈ 385) nothing is pruned — the
+    * oracle verifies the full unpruned semantics — while at the bench
+    * SF (sf0.1) the ~30 stopword-grade terms sitting in ~77% of all
+    * docs are pruned and only the informative low-df terms join,
+    * bounding the posting join at Σdf² over kept terms (the unpruned
+    * fixture join is ~450M products for a 31-term vocabulary — the
+    * degenerate all-pairs case the lever exists for; measured 64.7 s →
+    * ~1 s at sf0.1). Norms keep every term, so pruning only ever
+    * underestimates the cosine, same contract as [[JaccardMaxDf]]. */
   val TfidfTau = 0.88
-  val TfidfMaxDf = 100000L
+  val TfidfMaxDf = 1000L
   /** q86 PageRank over the tf-idf similarity graph: τ = 0.8 keeps a
     * ~4k-edge fixture graph (dense enough that rank differentiates,
     * sparse enough for an unrolled oracle); 8 rounds is comfortably
@@ -210,6 +219,17 @@ object SparkEntry {
   /** q96 OOV gate vocabulary size — small enough that the fixture
     * corpus has demonstrable OOV mass outside the top-500 tokens. */
   val OovVocabSize = 500
+  /** q103 corpus-drift report: top-100 KL-contributing tokens between
+    * the even- and odd-doc_id halves of the fixture corpus. */
+  val DriftTopK = 100
+  /** q104 epoch-factor mixture: three explicit sources with 3:1:1
+    * target shares (exact-decimal weights, so the Scala-side wsum = 5.0
+    * inlined into both engines carries no float drift), 100k-token
+    * budget — small enough that every factor < 1 AND large enough that
+    * at least one source's factor would exceed 1 at sf0.001 volumes. */
+  val EpochWeights: Map[String, Double] =
+    Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0)
+  val EpochBudget = 100000L
   /** q80 in-funnel span-scrub window — smaller than q78's standalone
     * [[ScrubK]] because the funnel's survivors are already document-
     * deduped (the big cross-doc span mass is gone); 3 still rewrites a
@@ -1703,6 +1723,23 @@ object SparkEntry {
     "q96_oov_stats" -> ((s, dir) => {
       Text.oovStats(t(s, dir, "documents"), "text", OovVocabSize)
         .orderBy("doc_id")
+    }),
+
+    // Corpus drift: top KL(A||B)-contributing tokens between the even-
+    // and odd-doc_id halves of the corpus (snapshot-vs-snapshot audit).
+    "q103_unigram_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Text.unigramDrift(d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1), "text", DriftTopK)
+        .orderBy(col("kl_term").desc, col("w").asc)
+    }),
+
+    // Epoch-factor planning table: per-source available tokens vs the
+    // target mixture share of a total token budget.
+    "q104_epoch_factors" -> ((s, dir) => {
+      Sampling.epochFactors(t(s, dir, "documents"), "source", "text",
+          EpochWeights, EpochBudget)
+        .orderBy("source")
     }),
 
     // Quality-aware near-dedup: per cluster keep the HIGHEST-quality
@@ -3327,6 +3364,59 @@ object SparkEntry {
          |        / count(*), 9) AS oov_ratio
          |FROM tok t LEFT JOIN vc ON t.w = vc.w
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q103: add-half smoothed unigram probs over the union vocab; every
+    // numerator/denominator is an exact x.5 double from integer counts,
+    // so the division/ln/product chain is bit-identical cross-engine.
+    "q103_unigram_drift" ->
+      s"""WITH ca AS (
+         |  SELECT w, count(*)::BIGINT AS ca FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE doc_id % 2 = 0) _ GROUP BY w
+         |),
+         |cb AS (
+         |  SELECT w, count(*)::BIGINT AS cb FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE doc_id % 2 = 1) _ GROUP BY w
+         |),
+         |j AS (
+         |  SELECT coalesce(ca.w, cb.w) AS w, coalesce(ca.ca, 0) AS ca,
+         |         coalesce(cb.cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+         |),
+         |tot AS (SELECT sum(ca)::DOUBLE AS na, sum(cb)::DOUBLE AS nb,
+         |               count(*)::DOUBLE AS v FROM j),
+         |p AS (
+         |  SELECT w, (ca + 0.5) / (na + 0.5 * v) AS pa,
+         |         (cb + 0.5) / (nb + 0.5 * v) AS pb
+         |  FROM j, tot
+         |)
+         |SELECT w, round(pa, 9) AS p_a, round(pb, 9) AS p_b,
+         |  round(pa * ln(pa / pb), 9) AS kl_term
+         |FROM p ORDER BY kl_term DESC, w ASC LIMIT $DriftTopK""".stripMargin,
+
+    // q104: the same mixture weights as VALUES; wsum = 5.0 inlined on
+    // both sides, target = floor(share * budget + 0.5).
+    "q104_epoch_factors" -> {
+      val vals = EpochWeights.toSeq.sorted
+        .map { case (s, w) => s"('$s', ${w}::DOUBLE)" }.mkString(", ")
+      val wsum = EpochWeights.values.sum
+      s"""WITH wt(source, weight) AS (VALUES $vals),
+         |tc AS (
+         |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+         |    AS n_tokens
+         |  FROM documents GROUP BY source
+         |)
+         |SELECT t.source, t.n_tokens, coalesce(w.weight, 0.0) AS weight,
+         |  round(coalesce(w.weight, 0.0) / $wsum, 9) AS share,
+         |  floor(coalesce(w.weight, 0.0) / $wsum * ${EpochBudget.toDouble}
+         |    + 0.5)::BIGINT AS target_tokens,
+         |  round(floor(coalesce(w.weight, 0.0) / $wsum
+         |      * ${EpochBudget.toDouble} + 0.5)
+         |    / t.n_tokens::DOUBLE, 9) AS factor
+         |FROM tc t LEFT JOIN wt w USING (source)
+         |ORDER BY source""".stripMargin
+    },
 
     "q45_idf_table" ->
       """WITH tok AS (
