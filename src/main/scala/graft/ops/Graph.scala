@@ -57,8 +57,15 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
     require(scale > 0, s"scale must be positive, got $scale")
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the INPUT edge list first: Spark plans are trees, so
+    // without this cut an expensive upstream (e.g. the tf-idf pair
+    // join) would be re-derived four times below — twice for the
+    // symmetrized union, once each under the degree agg and the
+    // adjacency join (measured 4x the pair-join cost on q86 before
+    // the cut; every later read hits the checkpoint store instead)
+    val p0 = Barrier.cut(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val sym = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     // adjacency with out-degree, materialized once, read every round
     val adj = Barrier.cut(sym.join(deg, "src"))

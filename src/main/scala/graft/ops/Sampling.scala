@@ -39,6 +39,44 @@ object Sampling {
       .select(outCols: _*)
   }
 
+  /** Per-source epoch factors — the "epochs per dataset" table of a
+    * LLaMA-style mixture: given target mixture `weights` (relative,
+    * normalized by `wsum` = their Scala-side sum, inlined identically
+    * into the oracle) and a total token `budget`, each source's
+    * available tokens, normalized target share, target token count
+    * (floor(x + 0.5) — the cross-engine round-half-up used throughout)
+    * and the sampling factor target/available: factor < 1 means
+    * downsample, > 1 means the source repeats for multiple epochs.
+    * Sources absent from `weights` get weight 0 — explicit mixtures
+    * only, as [[domainMix]]. This is the PLANNING table; feed the
+    * factors to [[domainMix]]/[[tokenBudget]] (downsampling) or a
+    * repeat-and-remainder union (upsampling) to apply it.
+    *
+    * Shape: one source-keyed token-count agg with map-side partials
+    * over a two-column pruned scan; the weight lookup is a literal map
+    * (`element_at`), no join. Output one row per source present in
+    * the corpus, ordered by nothing (order at the edge). */
+  def epochFactors(df: DataFrame, sourceCol: String, textCol: String,
+                   weights: Map[String, Double],
+                   budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(weights.nonEmpty, "weights must not be empty")
+    val wsum = weights.values.sum
+    val w = coalesce(
+      element_at(typedLit(weights), col(sourceCol)), lit(0.0))
+    df.select(col(sourceCol),
+        size(Text.tokens(col(textCol))).cast("long").as("__t"))
+      .groupBy(col(sourceCol))
+      .agg(sum("__t").as("n_tokens"))
+      .withColumn("weight", w)
+      .withColumn("share", round(col("weight") / lit(wsum), 9))
+      .withColumn("target_tokens",
+        floor(col("weight") / lit(wsum) * lit(budget.toDouble) + lit(0.5))
+          .cast("long"))
+      .withColumn("factor",
+        round(col("target_tokens").cast("double") / col("n_tokens"), 9))
+  }
+
   /** Per-source token budget: documents are ranked by an independent
     * keyed-hash draw (id tiebreak — a deterministic uniform shuffle,
     * so the kept set is an unbiased sample of the source) and kept

@@ -527,6 +527,57 @@ object Text {
           sum(col("c")), 9).as("unigram_nll"))
   }
 
+  /** Corpus-drift report: the top-k tokens driving the unigram KL
+    * divergence KL(A‖B) between two corpora — the monitoring check a
+    * continuously-refreshed training corpus runs against its previous
+    * snapshot (or train vs eval): which tokens got more probable in A
+    * than B, and by how much of the total divergence?
+    *
+    * Add-half (Jeffreys) smoothing over the UNION vocabulary keeps
+    * every log finite: p_X(w) = (c_X(w) + 0.5) / (N_X + 0.5·V). Every
+    * numerator/denominator is an exact x.5 double built from integer
+    * counts, so both engines divide the same values and the ln/product
+    * chain is bit-identical (the same cross-engine ln parity
+    * [[unigramLogProb]] relies on). Output: (w, p_a, p_b, kl_term =
+    * p_a·ln(p_a/p_b), all rounded 9dp), the k largest kl_term (ties →
+    * token asc) — positive terms are A-overrepresented tokens; the
+    * unrounded terms sum to KL(A‖B) over the full vocab.
+    *
+    * Shape: one token-keyed count agg per corpus (map-side combine) →
+    * token-keyed full-outer join of the two COMPACT count frames →
+    * broadcast 1-row totals → map-side arithmetic → distributed
+    * `TakeOrderedAndProject` top-k. Nothing corpus-sized shuffles
+    * after the counts, and the joined count frame sits behind a
+    * [[Barrier]] (EAGER, like [[graft.ops.Events.funnel]]) so the
+    * totals aggregate reads the materialized vocab-sized frame instead
+    * of re-tokenizing both corpora — each corpus is scanned exactly
+    * once (PlanSpec-pinned). */
+  def unigramDrift(a: DataFrame, b: DataFrame, textCol: String,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as(as))
+    val j = Barrier.cut(
+      counts(a, "__ca").join(counts(b, "__cb"), Seq("w"), "full_outer")
+        .select(col("w"),
+          coalesce(col("__ca"), lit(0L)).as("__ca"),
+          coalesce(col("__cb"), lit(0L)).as("__cb")))
+    val tot = j.agg(sum("__ca").cast("double").as("__na"),
+      sum("__cb").cast("double").as("__nb"),
+      count(lit(1)).cast("double").as("__v"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("__pa",
+        (col("__ca") + lit(0.5)) / (col("__na") + lit(0.5) * col("__v")))
+      .withColumn("__pb",
+        (col("__cb") + lit(0.5)) / (col("__nb") + lit(0.5) * col("__v")))
+      .select(col("w"), round(col("__pa"), 9).as("p_a"),
+        round(col("__pb"), 9).as("p_b"),
+        round(col("__pa") * log(col("__pa") / col("__pb")), 9).as("kl_term"))
+      .orderBy(col("kl_term").desc, col("w").asc)
+      .limit(k)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20 §4.3):
     * within each language, documents split into `nBuckets` equal-count
     * NLL tiers — `head` (most corpus-fluent), `middle`, `tail` — and a

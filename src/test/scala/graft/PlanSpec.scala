@@ -236,6 +236,54 @@ class PlanSpec extends SparkSpec {
     assert(ep.contains("BroadcastHashJoin"), s"no broadcast join:\n$ep")
   }
 
+  test("q100: centroids broadcast into the scoring join; corpus rows never shuffle for it") {
+    val p = plan("q100_label_prototypes")
+    // the labels×dim centroid frame reaches the code stream as a
+    // broadcast hash join — a shuffled join here would move the corpus
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+  }
+
+  test("q101: percent_rank windows run over the grouped frame, never a corpus partition") {
+    val df = SparkEntry.queries("q101_quality_percentiles")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // every Window sits above a HashAggregate output (the compact
+    // (source, score) frame) — the raw document relation must never be
+    // a window child. The plan prints operators top-down, so if a scan
+    // appeared between a Window and its aggregate the ordering breaks.
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.zipWithIndex.filter(_._1.contains("Window")).map(_._2)
+    assert(winIdx.nonEmpty, s"no window in plan:\n$p")
+    winIdx.foreach { i =>
+      val below = lines.drop(i + 1)
+      val agg = below.indexWhere(_.contains("HashAggregate"))
+      val scan = below.indexWhere(_.contains("FileScan"))
+      assert(agg >= 0 && (scan < 0 || agg < scan),
+        s"window at line $i not over an aggregated frame:\n$p")
+    }
+  }
+
+  test("q103: drift arithmetic runs over the checkpointed count frame, never re-tokenizes") {
+    val df = SparkEntry.queries("q103_unigram_drift")(spark, dir)
+    // the joined (w, ca, cb) frame is materialized behind a Barrier at
+    // construction, so the returned plan must contain NO tokenizing
+    // split at all — the totals agg and the scoring both read the
+    // compact checkpointed frame
+    val op = df.queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(op).size
+    assert(splits == 0, s"split() appears $splits times:\n$op")
+    assert(op.contains("LogicalRDD") || op.contains("ExistingRDD"),
+      s"no checkpoint source in plan:\n$op")
+    val ep = df.queryExecution.executedPlan.toString
+    assert(!ep.contains("CartesianProduct"), s"cartesian in plan:\n$ep")
+    // the only loop-shaped join is the broadcast of the 1-row totals
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(ep).size
+    assert(bnlj <= 1, s"expected at most the 1-row totals broadcast:\n$ep")
+    // top-k is TakeOrdered, never a full global sort
+    assert(ep.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$ep")
+  }
+
   test("q64: domain mix broadcasts the rate spec, corpus never shuffles for it") {
     val p = plan("q64_domain_mix")
     assert(p.contains("BroadcastHashJoin"), p)

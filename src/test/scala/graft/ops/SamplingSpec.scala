@@ -134,6 +134,24 @@ class SamplingSpec extends SparkSpec {
     assert(r("a")._4 > nat("a") && r("b")._4 < nat("b"))
   }
 
+  test("epochFactors: target shares, round-half-up targets, absent source weight 0") {
+    val docs = Seq(
+      (1L, "x y", "s1"), (2L, "x y", "s1"),
+      (3L, "x", "s2"), (4L, "x y z", "s3")
+    ).toDF("doc_id", "text", "source")
+    val r = Sampling.epochFactors(docs, "source", "text",
+        Map("s1" -> 1.0, "s2" -> 1.0), 10L)
+      .select($"source", $"n_tokens", $"weight", $"share",
+        $"target_tokens", $"factor")
+      .as[(String, Long, Double, Double, Long, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("s1") == (("s1", 4L, 1.0, 0.5, 5L, 1.25)))
+    assert(r("s2") == (("s2", 1L, 1.0, 0.5, 5L, 5.0)),
+      "factor > 1 must signal multi-epoch upsampling")
+    assert(r("s3") == (("s3", 3L, 0.0, 0.0, 0L, 0.0)),
+      "source absent from the mixture gets weight 0, not a silent drop")
+  }
+
   test("pack: full sequences, zero token loss, boundary-spanning docs, determinism") {
     val r = Sampling.pack(corpus, "doc_id", "text", 4, 1, "p")
       .select("shard", "seq_idx", "n_tokens", "seq")

@@ -297,6 +297,21 @@ class TextSpec extends SparkSpec {
     assert(big0 == uni)
   }
 
+  test("unigramDrift: hand-computed smoothed KL terms, A-overrepresented tokens positive") {
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "b b c")).toDF("doc_id", "text")
+    val r = Text.unigramDrift(a, b, "text", 3)
+      .select($"w", $"kl_term").as[(String, Double)].collect()
+    // pa(a)=2.5/4.5, pb(a)=0.5/4.5 -> term = (5/9)ln(5); b and c negative
+    assert(r.map(_._1).toSeq == Seq("a", "c", "b"), s"order ${r.toSeq}")
+    assert(math.abs(r(0)._2 - (2.5 / 4.5) * math.log(5.0)) < 1e-8)
+    assert(r(1)._2 < 0 && r(2)._2 < 0)
+    // full-vocab sum is the (non-negative) KL divergence
+    assert(r.map(_._2).sum >= 0.0)
+    // k truncates deterministically
+    assert(Text.unigramDrift(a, b, "text", 1).count() == 1)
+  }
+
   test("scorePercentiles: percent_rank tie semantics; singleton group 0; equals native window") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq(
