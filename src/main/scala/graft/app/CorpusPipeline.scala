@@ -309,6 +309,15 @@ object CorpusPipeline {
     val tiered = cfg.pplKeepTiers match {
       case None => gated
       case Some(keep) =>
+        // the NLL model + tier join read `gated` five times (tf explode,
+        // token total, lang join, survivor join, downstream dedup) — at
+        // ×3-per-read gate-chain re-derivation that compounds, so in
+        // lazy mode the gate frame persists here (funnel mode already
+        // persists it; `ne quality` guards the no-gates case where it
+        // IS the always-persisted quality frame). Registered in
+        // `extraPersisted` for caller unpersist.
+        if (!collectFunnel && (gated ne quality))
+          gated.persist(StorageLevel.MEMORY_AND_DISK)
         val surv = gated.join(
           Text.perplexityBuckets(gated, "text", "lang", cfg.pplBuckets)
             .filter(col("bucket").isin(keep.toSeq: _*))
@@ -436,7 +445,10 @@ object CorpusPipeline {
     // multi-read frames) — hand them to the caller alongside the
     // dedup-side frames for unpersist after consumption
     val extraPersisted =
-      if (collectFunnel) Seq.empty else Seq(quality, normed)
+      if (collectFunnel) Seq.empty
+      else Seq(quality, normed) ++
+        (if (cfg.pplKeepTiers.isDefined && (gated ne quality)) Seq(gated)
+         else Seq.empty)
     val deconPersisted = if (decon ne near) Seq(decon) else Seq.empty
     val scrubPersisted =
       if (spanScrubbed ne decon) Seq(spanScrubbed) else Seq.empty
