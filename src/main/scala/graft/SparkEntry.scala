@@ -301,7 +301,7 @@ object SparkEntry {
     * this so both engines compute over identical values; ms-floor-only
     * queries (windows, as-of) don't need it. */
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("ts - pmod(ts, 1000L)"))
+    Sources.eventsNs(s, dir).withColumn("ts", expr("ts - pmod(ts, 1000L)"))
 
   /** Shingled documents (doc_id, shingles) shared by the MinHash path.
     * Tokens are materialized in their own projection first: HOF lambdas
@@ -413,7 +413,7 @@ object SparkEntry {
     * range-bucketed forms can never drift apart. */
   private def asofInputs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val ev = t(s, dir, "events")
+    val ev = Sources.eventsNs(s, dir)
     val left = ev.select(col("event_id"), col("event_type"),
       expr("ts div 1000000").cast("long").as("ms"))
     val right = Events.tumbling(ev, WindowMs)
@@ -1786,7 +1786,7 @@ object SparkEntry {
 
     // Tumbling-window event aggregation (1h windows).
     "q29_event_windows" -> ((s, dir) => {
-      Events.tumbling(t(s, dir, "events"), WindowMs)
+      Events.tumbling(Sources.eventsNs(s, dir), WindowMs)
         .orderBy("event_type", "window_start_ms")
     }),
 
@@ -1832,7 +1832,7 @@ object SparkEntry {
     // paired with the same user's purchases in the following 30 min.
     // Event time is µs on both engines, so boundaries agree.
     "q54_interval_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = Sources.eventsNs(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("ts"), col("user_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1855,7 +1855,7 @@ object SparkEntry {
 
     // Daily cohort retention triangle (cohort = period of first event).
     "q60_retention" -> ((s, dir) => {
-      Events.retention(t(s, dir, "events"), RetentionPeriodMs)
+      Events.retention(Sources.eventsNs(s, dir), RetentionPeriodMs)
         .orderBy("cohort_start_ms", "period_offset")
     }),
 
@@ -1871,18 +1871,18 @@ object SparkEntry {
     // Per-type value distribution profile (exact quantiles = order
     // statistics, engine-stable; no float-sum drift).
     "q49_value_quantiles" -> ((s, dir) => {
-      Events.quantileProfile(t(s, dir, "events"), Seq(0.25, 0.5, 0.95))
+      Events.quantileProfile(Sources.eventsNs(s, dir), Seq(0.25, 0.5, 0.95))
         .orderBy("event_type")
     }),
 
     // M7: run table with dense iteration index in start order.
     "q31_run_table" -> ((s, dir) => {
-      Events.runTable(t(s, dir, "events")).orderBy("iteration")
+      Events.runTable(Sources.eventsNs(s, dir)).orderBy("iteration")
     }),
 
     // M6: best-run selection — explicit orderBy().limit(1) (SURVEY N3).
     "q32_best_run" -> ((s, dir) => {
-      Similarity.bestRow(Events.runTable(t(s, dir, "events")), "objective")
+      Similarity.bestRow(Events.runTable(Sources.eventsNs(s, dir)), "objective")
         .select(col("job_name"), col("objective"))
     }),
 
@@ -1934,7 +1934,7 @@ object SparkEntry {
     // JSON column parsing: events.props is a JSON string — typed extract
     // then aggregate (the from_json path a props/metadata column takes).
     "q38_props_json" -> ((s, dir) => {
-      t(s, dir, "events")
+      Sources.eventsNs(s, dir)
         .select(col("event_type"),
           from_json(col("props"), lit("k INT")).getField("k").as("k"))
         .groupBy(col("event_type"))
@@ -1949,7 +1949,7 @@ object SparkEntry {
     // each event_type (value-determined, tie-stable).
     "q39_user_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val peruser = t(s, dir, "events")
+      val peruser = Sources.eventsNs(s, dir)
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("event_type")).orderBy(desc("n"))
@@ -1967,7 +1967,7 @@ object SparkEntry {
     "q40_moving_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
+      Sources.eventsNs(s, dir)
         .withColumn("ms", expr("ts div 1000000"))
         .withColumn("prev_gap_ms",
           (col("ms") - lag(col("ms"), 1).over(w)).cast("long"))

@@ -42,6 +42,31 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events` with `ts` normalized to epoch NANOSECONDS in a BIGINT —
+    * the engine's event-time contract ([[graft.ops.Events]] does pure
+    * integer floor math on it; the DuckDB oracle computes the identical
+    * value with `epoch_ns(ts)`). The adapter absorbs both vintages the
+    * fixture has shipped as: INT64 TIMESTAMP(NANOS) parquet (read as
+    * LongType under `spark.sql.legacy.parquet.nanosAsLong=true` — passes
+    * through) and TIMESTAMP(MICROS) parquet (read as TIMESTAMP_NTZ —
+    * converted via `unix_micros`, exact under the UTC session timezone
+    * every [[graft.conf.Sessions]] build pins). Normalizing at INGEST
+    * keeps the conversion a one-time map in the scan projection instead
+    * of re-deriving time per operator — and the rest of the engine stays
+    * engine-portable integer arithmetic. */
+  def eventsNs(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            raw.col("ts").cast(TimestampType)) * 1000L)
+      case other => throw new IllegalArgumentException(
+        s"events.ts must be epoch-ns BIGINT or a timestamp, got $other")
+    }
+  }
+
   /** S2/S3/S6/S7: Parquet sink (replaces pickle/CSV uploads). Partition
     * count is left to the caller — at 100 TB you want the writer
     * parallelism of the final stage, never a blanket coalesce(1). */
