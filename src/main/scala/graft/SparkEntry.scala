@@ -261,6 +261,12 @@ object SparkEntry {
   val IncrementalSplitId = 250L
   /** q69 relative quality gate: keep each source's top half. */
   val QualityKeepFrac = 0.5
+  /** q107 sharded-export manifest: shard count of the training export. */
+  val ManifestShards = 8
+  /** q106's JSONL fixture directory — keyed on the sf dir so concurrent
+    * SFs never clobber each other (same convention as [[q41CsvPath]]). */
+  def q106JsonlPath(dir: String): String =
+    "/root/repo/target/q106_jsonl_" + dir.split('/').last
 
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
@@ -1742,6 +1748,52 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Bloom-prefiltered incremental exact dedup: q68's exact stage with
+    // the sketch fast-path — batch rows the index Bloom filter rejects
+    // skip the anti-join map-side; positives verify exactly, so the
+    // result is the anti-join's, hash-checked here end-to-end.
+    "q105_dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupExactAgainstBloom(
+        docs.filter(col("doc_id") >= IncrementalSplitId),
+        docs.filter(col("doc_id") < IncrementalSplitId),
+        "doc_id", "text", expectedItems = 1L << 16)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // JSONL interchange round-trip: write a documents slice as JSON
+    // lines once (the corpus-release boundary format), read it back
+    // through Sources.jsonl with the PINNED schema (no inference), and
+    // aggregate — DuckDB hash-verifies the Spark-written files. The
+    // single-partition write is fixture plumbing; the READ is the
+    // operator under test and globs directories like any corpus.
+    "q106_jsonl_roundtrip" -> ((s, dir) => {
+      val path = q106JsonlPath(dir)
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .repartition(1)
+        .write.mode("overwrite").json(path)
+      Sources.jsonl(s, path, Sources.documentsJsonlSchema)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    }),
+
+    // Sharded-export manifest: deterministic hash-shard assignment plus
+    // the per-shard (docs, tokens, chars, id-range) sidecar a training
+    // loader plans epochs from — all relational, oracle-recomputable.
+    "q107_shard_manifest" -> ((s, dir) => {
+      Sources.shardManifest(
+        Sources.shardAssign(t(s, dir, "documents"), "doc_id",
+          ManifestShards),
+        "doc_id", "text")
+    }),
+
     // Quality-aware near-dedup: per cluster keep the HIGHEST-quality
     // copy (ties -> min id) instead of q53's min-id survivor.
     "q97_near_dedup_best" -> ((s, dir) => {
@@ -1866,6 +1918,18 @@ object SparkEntry {
       Dedup.contamination(sh, sh.filter(col("doc_id") < EvalSetDocs),
         "doc_id", ContaminationMinShared)
         .orderBy("doc_id", "eval_id")
+    }),
+
+    // Eval-integrity audit: per-eval-doc fraction of its distinct
+    // shingles found ANYWHERE in the (disjoint) training corpus —
+    // catches leakage spread across many training docs, which the
+    // pairwise q61 report structurally misses.
+    "q108_contamination_coverage" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      Dedup.contaminationCoverage(
+        sh.filter(col("doc_id") >= EvalSetDocs),
+        sh.filter(col("doc_id") < EvalSetDocs), "doc_id")
+        .orderBy("eval_id")
     }),
 
     // Per-type value distribution profile (exact quantiles = order
@@ -3418,6 +3482,44 @@ object SparkEntry {
          |ORDER BY source""".stripMargin
     },
 
+    // q105: Bloom prefilter + exact verify ≡ the plain anti-join — the
+    // sketch prunes work, never changes the answer, so the oracle is
+    // the anti-join itself.
+    "q105_dedup_bloom" ->
+      s"""SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id >= $IncrementalSplitId AND NOT EXISTS (
+         |  SELECT 1 FROM documents e
+         |  WHERE e.doc_id < $IncrementalSplitId AND e.text = d.text)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q106: same aggregate over the same JSONL files Spark wrote and
+    // read — read_json with explicit column types mirrors the pinned
+    // StructType (format='newline_delimited' = JSON lines).
+    "q106_jsonl_roundtrip" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  count(DISTINCT lang) AS n_langs, max(doc_id) AS max_id
+         |FROM read_json('${q106JsonlPath("/root/testdata/sf0.01")}/*.json',
+         |  format='newline_delimited',
+         |  columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
+         |           'lang': 'VARCHAR', 'source': 'VARCHAR'})
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q107: the portable hash keeps shard assignment engine-identical;
+    // the 60-bit hash is non-negative so % equals pmod.
+    "q107_shard_manifest" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    ${Portable.sqlHash("doc_id")} % $ManifestShards AS shard
+         |  FROM documents
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q45_idf_table" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
@@ -3612,6 +3714,33 @@ object SparkEntry {
          |GROUP BY tp.doc_id, ep.eval_id
          |HAVING count(*) >= $ContaminationMinShared
          |ORDER BY tp.doc_id, ep.eval_id""".stripMargin,
+
+    // q108: eval docs (and their shingle arrays' distinctness) come
+    // from the same sh CTE as the Spark side; a doc too short to
+    // shingle never enters the posting list, so its row comes from the
+    // documents spine with counts 0 and a NULL coverage.
+    "q108_contamination_coverage" ->
+      s"""$shingleSqlCte,
+         |tsp AS (SELECT DISTINCT s FROM (
+         |  SELECT unnest(shingles) AS s FROM sh
+         |  WHERE doc_id >= $EvalSetDocs) _),
+         |ep AS (SELECT doc_id AS eval_id, unnest(shingles) AS s FROM sh
+         |       WHERE doc_id < $EvalSetDocs),
+         |per AS (
+         |  SELECT eval_id, count(*)::BIGINT AS n_shingles,
+         |    CAST(sum(CASE WHEN tsp.s IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_cont
+         |  FROM ep LEFT JOIN tsp ON ep.s = tsp.s
+         |  GROUP BY eval_id
+         |)
+         |SELECT d.doc_id AS eval_id,
+         |  coalesce(per.n_shingles, 0) AS n_shingles,
+         |  coalesce(per.n_cont, 0) AS n_contaminated,
+         |  round(per.n_cont / per.n_shingles::DOUBLE, 9) AS coverage
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE doc_id < $EvalSetDocs) d
+         |LEFT JOIN per ON per.eval_id = d.doc_id
+         |ORDER BY eval_id""".stripMargin,
 
     // q60: same ms-floor period math as the Spark side. The ms→period
     // step uses the pmod-FLOOR form (m − pmod(m, w) is an exact multiple,

@@ -55,6 +55,68 @@ object Dedup {
       .drop("__h")
   }
 
+  /** [[dedupExactAgainst]] with a Bloom prefilter — the daily-ingest
+    * shape for a LARGE batch against a HUGE historical index. The
+    * anti-join alone shuffles the whole batch; but most of a typical
+    * crawl batch is new content, and a Bloom filter over the index
+    * hashes proves "definitely new" map-side with zero shuffle. Rows
+    * whose hash the filter rejects CANNOT be in the index (no false
+    * negatives) and skip the join entirely; only Bloom-positive rows
+    * (true dups + the `fpp` false-positive sliver) reach the exact
+    * anti-join verify, so the join's streamed side shrinks from |batch|
+    * to ~|dups| + fpp·|batch|. Output is EXACTLY [[dedupExactAgainst]]
+    * (the verify join removes Bloom false positives) — the sketch only
+    * prunes work, never changes the answer; a spec pins the equality
+    * and the oracle hash-checks it end-to-end (q105).
+    *
+    * Mechanics: the filter is built DISTRIBUTED by Spark's
+    * `BloomFilterAggregate` (partial filters merge like any agg — one
+    * pass over the index's hash column, never a driver-side item loop),
+    * and the final bitmap rides to executors as a binary literal inside
+    * the codegen'd `BloomFilterMightContain` predicate — the same
+    * machinery Spark's runtime-filter optimization injects for shuffle
+    * joins, applied deliberately because we know the join is an
+    * anti-join on a stored index. Size it honestly: `expectedItems` ≈
+    * the index's distinct-hash count; bits = optimalNumOfBits(n, fpp)
+    * (~1.2 GiB at 10^9 items / 1% fpp — driver and every executor hold
+    * one copy, the broadcast-dim budget). The index side itself is
+    * scanned twice (once building the filter, once as the verify join's
+    * build side) but only its 16-byte hash column — at rest that IS the
+    * stored dedup index, the corpus text is never re-read.
+    *
+    * `existing` empty → null filter aggregate → batch returned as-is
+    * (nothing to drop), matching the anti-join. */
+  def dedupExactAgainstBloom(df: DataFrame, existing: DataFrame,
+                             idCol: String, contentCol: String,
+                             expectedItems: Long = 1L << 20,
+                             fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+    require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val hashes = existing
+      .select(md5(col(contentCol).cast("binary")).as("__h")).distinct()
+    val bfAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("__h"))),
+      Literal(expectedItems),
+      Literal(BloomFilter.optimalNumOfBits(expectedItems, fpp)))
+      .toAggregateExpression()
+    val bfBytes = hashes.select(ColumnBridge.column(bfAgg).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    if (bfBytes == null) return df // empty index: nothing to drop
+    val withH = df.withColumn("__h", md5(col(contentCol).cast("binary")))
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col("__h")))))
+    val definitelyNew = withH.filter(!mightContain)
+    val verified = withH.filter(mightContain)
+      .join(hashes, Seq("__h"), "left_anti")
+    definitelyNew.unionByName(verified).drop("__h")
+  }
+
   /** Incremental NEAR dedup: rows of `df` that Jaccard-match (≥ tau)
     * ANY document of the existing corpus are dropped. Same
     * MinHash→LSH machinery as [[dedupNear]], but the candidate join
@@ -255,6 +317,58 @@ object Dedup {
       .groupBy(col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** Per-EVAL-document contamination coverage — the eval-integrity
+    * audit that complements [[contamination]]'s train-side scrub list:
+    * for each eval document, the fraction of its distinct shingles
+    * that appear ANYWHERE in the training corpus. A benchmark row at
+    * high coverage is effectively memorizable from training data even
+    * when no single training document crosses the pairwise
+    * `minShared` bar (its shingles can be spread over MANY training
+    * docs — exactly the case the pairwise report misses), so this is
+    * the number an eval-set release should publish per row.
+    *
+    * Shape (train never shuffles): the eval shingle spine (distinct
+    * shingles over the whole eval set — eval-sized) broadcasts; the
+    * training posts meet it map-side in a left_semi and collapse to
+    * the ≤|spine| matched-shingle set. That hit set joins back to the
+    * per-doc eval posts (both eval-sized, one doc-keyed agg). The
+    * training corpus is read once, filtered map-side, and contributes
+    * no corpus-sized shuffle — same posture as [[contamination]],
+    * with the same `broadcastEval = false` escape hatch for an eval
+    * set too large to broadcast.
+    *
+    * Output: one row per eval document —
+    * (eval_id, n_shingles, n_contaminated, coverage); shingle-less
+    * docs report counts 0 and a NULL coverage (never 0/0). */
+  def contaminationCoverage(shingledTrain: DataFrame,
+                            shingledEval: DataFrame, idCol: String,
+                            broadcastEval: Boolean = true): DataFrame = {
+    // explode_OUTER + isNotNull — the Generate-pushdown trap (see
+    // jaccardPairsExact); the eval posts feed two consumers (spine and
+    // coverage agg), so they pass a Barrier and materialize once
+    val evalPosts = Barrier.cut(shingledEval
+      .select(col(idCol).as("eval_id"), explode_outer(col("shingles")).as("__sh"))
+      .filter(col("__sh").isNotNull))
+    val evalSpine = evalPosts.select(col("__sh")).distinct()
+    val hit = shingledTrain
+      .select(explode_outer(col("shingles")).as("__sh"))
+      .filter(col("__sh").isNotNull)
+      .join(if (broadcastEval) broadcast(evalSpine) else evalSpine,
+        Seq("__sh"), "left_semi")
+      .distinct()
+    val per = evalPosts
+      .join(hit.withColumn("__hit", lit(1L)), Seq("__sh"), "left")
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("__n"), count(col("__hit")).as("__c"))
+    shingledEval.select(col(idCol).as("eval_id")).distinct()
+      .join(per, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("__n"), lit(0L)).as("n_shingles"),
+        coalesce(col("__c"), lit(0L)).as("n_contaminated"),
+        // un-coalesced operands: shingle-less docs yield NULL, never 0/0
+        round(col("__c").cast("double") / col("__n"), 9).as("coverage"))
   }
 
   /** Near-dedup applied: the corpus with near-duplicates REMOVED —

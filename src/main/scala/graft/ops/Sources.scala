@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Schema-pinned sources & sinks (SURVEY.md §2.1).
@@ -87,6 +88,68 @@ object Sources {
   def writeParquetPartitioned(df: DataFrame, path: String,
                               partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Schema-pinned JSONL scan — one JSON object per line, the lingua
+    * franca of LLM-corpus interchange (every public corpus release and
+    * every training loader speaks it). Same inversion as [[csv]]: the
+    * caller supplies the [[StructType]], inference NEVER runs — on a
+    * 100 TB corpus a schema-inference pre-pass is a full extra scan,
+    * and a drifting inferred type (a doc whose `id` happens to parse
+    * numeric) silently corrupts downstream joins. JSON lines are
+    * newline-split, so the format is splittable: a directory of .jsonl
+    * files fans out like any parquet table, filters/pruning push into
+    * the scan. Malformed lines follow the standard PERMISSIVE contract
+    * (nulls), so one bad crawl record cannot kill an ingest job. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** The documents-table interchange schema (q106's round-trip): the
+    * columns a corpus release ships per JSON line. */
+  val documentsJsonlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true)))
+
+  /** JSONL sink — the interchange-format twin of [[writeParquet]].
+    * Text-encoded and schema-free, so ~3-5× the bytes of parquet:
+    * use it at the corpus BOUNDARY (handing training data to a
+    * loader), never for inter-stage exchange. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Deterministic shard assignment: `shard = hash(id) mod nShards`
+    * with the engine-portable [[graft.ops.Portable]] hash, so the
+    * shard of a document is a pure function of its id — stable across
+    * runs, partitionings and engines (the DuckDB oracle recomputes it,
+    * q107). Hash-sharding spreads volume uniformly regardless of id
+    * clustering (sequential crawl ids land on different shards), the
+    * property a training loader needs to stream shards concurrently
+    * with balanced progress. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard",
+      pmod(Portable.seededHash(col(idCol)), lit(nShards.toLong)))
+  }
+
+  /** Per-shard manifest of a [[shardAssign]]'d corpus: doc count, token
+    * and char volume, id range. This is the sidecar a sharded training
+    * export ships so the loader can plan epochs WITHOUT scanning data
+    * files (total tokens per shard → steps per epoch; id ranges →
+    * resumable cursors). One doc-keyed aggregation, map-side combined;
+    * output is nShards rows. Pair with
+    * `writeParquetPartitioned(sharded, path, Seq("shard"))` for the
+    * actual data files — directory-per-shard, which is exactly the
+    * layout a per-shard reader prunes at planning time. */
+  def shardManifest(sharded: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+      .orderBy("shard")
 
   /** Bucketed managed-table sink: pays the shuffle ONCE at write time
     * (`numBuckets` buckets by hash of `bucketCol`, sorted within each

@@ -314,6 +314,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q108: coverage audit broadcasts the eval spine (train never shuffles for it)") {
+    val p = plan("q108_contamination_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q105: Bloom prefilter gates the anti-join map-side (codegen'd might_contain)") {
+    val p = plan("q105_dedup_bloom")
+    // the definitely-new branch and the verify branch both filter on the
+    // Bloom predicate BEFORE any exchange — batch rows the sketch
+    // rejects never shuffle; the membership test is the codegen'd
+    // BloomFilterMightContain expression, not a UDF
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q78: span-scrub joins equi-keyed; canonical-occurrence min is partial") {
     // post-barrier plan: the dup-gram groupBy must be a map-side-
     // combinable min (absorbs mega-repeated-span skew) and every join

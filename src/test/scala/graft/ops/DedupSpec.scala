@@ -467,4 +467,55 @@ class DedupSpec extends SparkSpec {
     val all1 = Dedup.leakageFreeSplit(docs, "doc_id", clusters, 1.0)
     assert(all1.filter($"split" === "train").count() == 0)
   }
+
+  test("contaminationCoverage: spread leakage counted, clean docs 0, shingle-less NULL") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    // eval = docs 1 and 5; train = 3 and 4. Doc 1 shares most of its
+    // shingles with near-dup 3 (spread-leak case); doc 5 has no
+    // shingles (1 token) → counts 0, NULL coverage.
+    val r = Dedup.contaminationCoverage(
+        sh.filter($"doc_id" === 3L || $"doc_id" === 4L),
+        sh.filter($"doc_id" === 1L || $"doc_id" === 5L), "doc_id")
+      .orderBy("eval_id").collect()
+    assert(r.length == 2)
+    val d1 = r(0)
+    assert(d1.getLong(0) == 1L)
+    // doc1: 7 trigrams over 9 tokens; doc3 differs in the 8th token, so
+    // exactly the 5 windows not covering it match
+    assert(d1.getLong(1) == 7L && d1.getLong(2) == 5L)
+    assert(math.abs(d1.getDouble(3) - 5.0 / 7.0) < 1e-8)
+    val d5 = r(1)
+    assert(d5.getLong(0) == 5L && d5.getLong(1) == 0L && d5.getLong(2) == 0L)
+    assert(d5.isNullAt(3))
+    // both-path parity: the shuffle fallback computes the identical frame
+    val shuffled = Dedup.contaminationCoverage(
+        sh.filter($"doc_id" === 3L || $"doc_id" === 4L),
+        sh.filter($"doc_id" === 1L || $"doc_id" === 5L), "doc_id",
+        broadcastEval = false)
+      .orderBy("eval_id").collect()
+    assert(shuffled.sameElements(r))
+  }
+
+  test("bloom-prefiltered incremental dedup ≡ the plain anti-join; empty index no-op") {
+    val existing = docs.filter($"doc_id" <= 2L)
+    val batch = docs.filter($"doc_id" >= 2L)
+    val plain = Dedup.dedupExactAgainst(batch, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    // tight fpp AND a sloppy 50% fpp: false positives route through the
+    // verify join and never change the answer
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.dedupExactAgainstBloom(batch, existing, "doc_id",
+          "text", expectedItems = 16, fpp = fpp)
+        .select("doc_id").as[Long].collect().sorted
+      assert(bloom.sameElements(plain), s"fpp=$fpp: ${bloom.toSeq}")
+    }
+    assert(plain.sameElements(Array(3L, 4L, 5L))) // 2 is an exact dup of 1
+    // empty index: the filter aggregate is null, the batch passes through
+    val none = Dedup.dedupExactAgainstBloom(batch,
+      existing.filter($"doc_id" < 0L), "doc_id", "text")
+    assert(none.count() == batch.count())
+    // output schema: the internal hash column never leaks
+    assert(none.columns.sameElements(batch.columns))
+  }
 }

@@ -74,4 +74,46 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() ==
       li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
   }
+
+  test("JSONL round-trip: pinned schema, no inference, rows and values preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain text", "en", "srcA"),
+      (2L, "quotes \" and \\ backslash and\ttab", "en", "srcA"),
+      (3L, null.asInstanceOf[String], "de", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    Sources.writeJsonl(docs, s"$dir/docs")
+    val back = Sources.jsonl(spark, s"$dir/docs", Sources.documentsJsonlSchema)
+    // the JSON source forces nullable=true on every field — pin names
+    // and types (the inference-proof part of the contract)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      Sources.documentsJsonlSchema.fields.map(f => (f.name, f.dataType))))
+    val got = back.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.sameElements(Array(
+      1L -> Some("plain text"),
+      2L -> Some("quotes \" and \\ backslash and\ttab"),
+      3L -> None)))
+  }
+
+  test("shardAssign is a pure function of id; manifest partitions the corpus exactly") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val sharded = Sources.shardAssign(docs, "doc_id", 8)
+    // deterministic: assigning twice yields identical shards per id
+    val twice = sharded.select(col("doc_id"), col("shard").as("s1"))
+      .join(Sources.shardAssign(docs, "doc_id", 8)
+        .select(col("doc_id"), col("shard").as("s2")), Seq("doc_id"))
+    assert(twice.filter(col("s1") =!= col("s2")).count() == 0)
+    // within range, and all shards populated at fixture scale
+    assert(sharded.filter(col("shard") < 0 || col("shard") >= 8).count() == 0)
+    val m = Sources.shardManifest(sharded, "doc_id", "text")
+    assert(m.count() == 8)
+    // manifest totals = corpus totals (every doc in exactly one shard)
+    val totals = m.agg(org.apache.spark.sql.functions.sum("n_docs"),
+      org.apache.spark.sql.functions.sum("n_chars")).head
+    assert(totals.getLong(0) == docs.count())
+    assert(totals.getLong(1) == docs.agg(org.apache.spark.sql.functions
+      .sum(org.apache.spark.sql.functions.length(col("text")))).head.getLong(0))
+  }
 }
