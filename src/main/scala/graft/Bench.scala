@@ -6,12 +6,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    // the engine's recommended production confs (AQE + coalescing +
+    // skew-join, UTC, nanos-as-long) — the bench measures the session
+    // posture the scaladocs prescribe, not a bare-defaults session
+    val spark = graft.conf.Sessions.recommendedConfs(
+        shufflePartitions = cpus.toInt, maxPartitionBytes = 128L << 20)
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: the first query in a fresh JVM otherwise absorbs

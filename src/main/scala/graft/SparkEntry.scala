@@ -144,6 +144,8 @@ object SparkEntry {
     * salt. */
   val SampleNPerSource = 12
   val SampleSalt = "q76"
+  /** q111 weighted sample: selection ∝ n_chars (≈ token mass). */
+  val WeightedSampleSalt = "q111"
   /** q84 tf-idf cosine pairs: 0.88 keeps the tail of the word-soup
     * similarity distribution. The df prune is the operator's documented
     * skew lever and 1000 ENGAGES it exactly as production would: at the
@@ -505,6 +507,55 @@ object SparkEntry {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |)""".stripMargin
+
+  /** q16's oracle (exact brute-force cosine top-k) — a val so q109's
+    * recall report can embed the identical exact side. */
+  private val q16OracleSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT vec_id AS probe_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+       |  FROM embeddings WHERE vec_id < 5
+       |),
+       |s AS (
+       |  SELECT probe_id, vec_id,
+       |    round(
+       |      list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * pv[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i] * pv[i])))),
+       |      9) AS cos
+       |  FROM c, p WHERE vec_id <> probe_id
+       |)
+       |SELECT probe_id, vec_id, cos,
+       |       CAST(row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+       |FROM s
+       |QUALIFY rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
+
+  /** q28's oracle (SRP-bucketed ANN top-k) — a val so q109's recall
+    * report can embed the identical approximate side. */
+  private def q28OracleSql: String =
+    s"""$srpSqlCte,
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id,
+       |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+       |  FROM buck p JOIN buck c ON p.bucket = c.bucket
+       |    AND c.vec_id <> p.vec_id
+       |  JOIN ev ep ON p.vec_id = ep.vec_id
+       |  JOIN ev ec ON c.vec_id = ec.vec_id
+       |  WHERE p.vec_id < 5
+       |)
+       |SELECT probe_id, vec_id, cos,
+       |       CAST(row_number() OVER (PARTITION BY probe_id
+       |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+       |FROM scored
+       |QUALIFY rnk <= $TopK
+       |ORDER BY probe_id, rnk""".stripMargin
 
   /** The q62 oracle's CTE chain (WITH RECURSIVE .. surv): the full
     * curation funnel down to the near-dedup survivors — shared by q62
@@ -1499,6 +1550,14 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // Weighted exact-N stratified sample (A-ES exponential keys):
+    // selection probability ∝ n_chars, i.e. ≈ token-uniform document
+    // sampling; keyed-hash deterministic, without replacement.
+    "q111_weighted_sample" -> ((s, dir) => {
+      Sampling.sampleNWeighted(t(s, dir, "documents"), "doc_id", "source",
+        "n_chars", SampleNPerSource, WeightedSampleSalt).orderBy("doc_id")
+    }),
+
     // TF-IDF cosine document pairs: inverted-index weighted similarity
     // (rare shared terms dominate), the q55 Jaccard path's complement.
     "q84_tfidf_pairs" -> ((s, dir) => {
@@ -1920,6 +1979,27 @@ object SparkEntry {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // ANN index-quality audit: per-probe recall of the SRP top-k (q28)
+    // against the exact top-k (q16) — the continuous production check
+    // that tunes the plane/table count; the scalar average hides the
+    // sparse-bucket tail this report surfaces.
+    "q109_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      Ann.recallReport(
+        Ann.annTopK(emb, probes, "vec_id", "embedding", SrpPlanes, TopK),
+        Similarity.cosineTopK(emb, probes, TopK))
+        .orderBy("probe_id")
+    }),
+
+    // Per-source lexical-diversity data-card rollup: token/type/hapax
+    // counts, TTR, hapax share — template-heavy and noisy sources
+    // surface even when per-doc quality averages look fine.
+    "q110_lexical_diversity" -> ((s, dir) => {
+      Text.lexicalDiversity(t(s, dir, "documents"), "text", "source")
+        .orderBy("source")
+    }),
+
     // Eval-integrity audit: per-eval-doc fraction of its distinct
     // shingles found ANYWHERE in the (disjoint) training corpus —
     // catches leakage spread across many training docs, which the
@@ -2220,32 +2300,7 @@ object SparkEntry {
          |WHERE t.rnk <= $TopK
          |GROUP BY vt.pid ORDER BY target_pid""".stripMargin,
 
-    "q16_cosine_topk" ->
-      s"""WITH c AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |),
-         |p AS (
-         |  SELECT vec_id AS probe_id,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
-         |  FROM embeddings WHERE vec_id < 5
-         |),
-         |s AS (
-         |  SELECT probe_id, vec_id,
-         |    round(
-         |      list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * pv[i])) /
-         |      (sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) *
-         |       sqrt(list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i] * pv[i])))),
-         |      9) AS cos
-         |  FROM c, p WHERE vec_id <> probe_id
-         |)
-         |SELECT probe_id, vec_id, cos,
-         |       CAST(row_number() OVER (PARTITION BY probe_id
-         |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
-         |FROM s
-         |QUALIFY rnk <= $TopK
-         |ORDER BY probe_id, rnk""".stripMargin
+    "q16_cosine_topk" -> q16OracleSql
   )
 
   private def extOracleSql: Map[String, String] = Map(
@@ -2791,6 +2846,24 @@ object SparkEntry {
          |    ORDER BY ${Portable.sqlHash("doc_id", s"'$SampleSalt'")},
          |             doc_id)::BIGINT AS sample_rank
          |  FROM documents
+         |)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+         |       r.sample_rank
+         |FROM documents d JOIN r ON d.doc_id = r.doc_id
+         |WHERE r.sample_rank <= $SampleNPerSource
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q111: the same A-ES exponential key (−ln(1−u)/w rounded to 9 dp,
+    // id tiebreak) ranks within each source; n_chars > 0 on every
+    // fixture row, mirroring the op's positive-weight gate.
+    "q111_weighted_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY round(-ln(1 -
+         |        ${Portable.sqlUnif("doc_id", s"'$WeightedSampleSalt'")})
+         |        / n_chars, 9),
+         |      doc_id)::BIGINT AS sample_rank
+         |  FROM documents WHERE n_chars > 0
          |)
          |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
          |       r.sample_rank
@@ -3576,23 +3649,51 @@ object SparkEntry {
          |WHERE len(fps) >= 1 ORDER BY doc_id, fp""".stripMargin
     },
 
-    "q28_ann_topk" ->
-      s"""$srpSqlCte,
-         |scored AS (
-         |  SELECT p.vec_id AS probe_id, c.vec_id,
-         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
-         |  FROM buck p JOIN buck c ON p.bucket = c.bucket
-         |    AND c.vec_id <> p.vec_id
-         |  JOIN ev ep ON p.vec_id = ep.vec_id
-         |  JOIN ev ec ON c.vec_id = ec.vec_id
-         |  WHERE p.vec_id < 5
+    "q28_ann_topk" -> q28OracleSql,
+
+    // q109: both top-k sides embed the UNCHANGED q28/q16 oracle bodies
+    // as named subqueries; the report is a probe-keyed left join + agg.
+    "q109_ann_recall" ->
+      s"""WITH ann AS (
+         |$q28OracleSql
+         |), ex AS (
+         |$q16OracleSql
          |)
-         |SELECT probe_id, vec_id, cos,
-         |       CAST(row_number() OVER (PARTITION BY probe_id
-         |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
-         |FROM scored
-         |QUALIFY rnk <= $TopK
-         |ORDER BY probe_id, rnk""".stripMargin,
+         |SELECT ex.probe_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 9) AS recall
+         |FROM ex LEFT JOIN ann
+         |  ON ann.probe_id = ex.probe_id AND ann.vec_id = ex.vec_id
+         |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
+
+    // q110: per-source type/token/hapax rollup over the same
+    // whitespace tokenization as every text oracle.
+    "q110_lexical_diversity" ->
+      s"""WITH tf AS (
+         |  SELECT source, w, count(*)::BIGINT AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) _
+         |  GROUP BY source, w
+         |),
+         |per AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*)::BIGINT AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
+         |  FROM tf GROUP BY source
+         |),
+         |d AS (SELECT source, count(*)::BIGINT AS n_docs
+         |      FROM documents GROUP BY source)
+         |SELECT d.source, d.n_docs,
+         |  coalesce(per.n_tokens, 0) AS n_tokens,
+         |  coalesce(per.n_types, 0) AS n_types,
+         |  round(per.n_types / per.n_tokens::DOUBLE, 9) AS ttr,
+         |  coalesce(per.n_hapax, 0) AS n_hapax,
+         |  round(per.n_hapax / per.n_types::DOUBLE, 9) AS hapax_ratio
+         |FROM d LEFT JOIN per USING (source)
+         |ORDER BY source""".stripMargin,
 
     // q42: multi-table SRP — global plane index p in [0, planes·tables),
     // table = p // planes, bit = p % planes; candidates OR over tables.

@@ -222,6 +222,30 @@ object Ann {
           .as("proto_cos"))
   }
 
+  /** Per-probe recall report — the relational (and so oracle-able)
+    * twin of [[recallAgainstExact]]: for each probe, how many of its
+    * exact top-k neighbors the approximate index recovered. This is
+    * the audit a production ANN deployment runs continuously on a
+    * probe sample to tune the plane/table count — recall is a
+    * DISTRIBUTION over probes (hub vectors recall high, sparse-bucket
+    * outliers low), and the scalar average hides exactly the tail the
+    * report surfaces.
+    *
+    * Both inputs are (probe_id, vec_id, …) top-k frames — probe-bounded
+    * (≤ k rows per probe), so every join and the aggregation key on
+    * probe_id with group sizes ≤ k: report cost scales with the probe
+    * sample, never the corpus. */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("probe_id"), col("vec_id"))
+      .withColumn("__hit", lit(1L))
+    exact.select(col("probe_id"), col("vec_id"))
+      .join(a, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .select(col("probe_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 9).as("recall"))
+  }
+
   /** Recall of the approximate result against the exact top-k: fraction
     * of (probe, neighbor) pairs the ANN run recovered. Driver for specs
     * and tuning the plane count. */

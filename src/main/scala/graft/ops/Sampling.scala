@@ -156,6 +156,41 @@ object Sampling {
     df.join(kept, Seq(idCol))
   }
 
+  /** Weighted exact-N stratified sample WITHOUT replacement —
+    * Efraimidis–Spirakis A-ES (IPL 2006), deterministic: each row
+    * draws key = −ln(1 − u) / w (an exponential draw with rate w,
+    * u the engine-portable keyed-hash uniform), and per source the n
+    * SMALLEST keys win, which realizes weight-proportional inclusion
+    * through the whole without-replacement process. The key rounds to
+    * 9 dp with an id tiebreak so both engines rank identically (the
+    * house float-boundary contract). Rows with non-positive weight
+    * never sample; sources with fewer than n positive-weight rows
+    * return them all.
+    *
+    * This is the SELECTION twin of loss-side reweighting: feed it
+    * [[graft.ops.Dedup.softDedupWeights]] (w = 1/|near-dup cluster|)
+    * and each cluster contributes ~one expected unit of training mass
+    * by sampling; feed it token counts and sampling approximates
+    * token-uniform over documents.
+    *
+    * Shape: same as [[sampleN]] — the rank runs over a NARROW
+    * (id, source, weight) projection (one per-source sort, the
+    * documented bound), the payload joins back by id. */
+  def sampleNWeighted(df: DataFrame, idCol: String, sourceCol: String,
+                      weightCol: String, n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val key = round(
+      -log(lit(1.0) - Portable.unif(col(idCol), lit(salt)))
+        / col(weightCol), 9)
+    val w = Window.partitionBy(col(sourceCol)).orderBy(key, col(idCol))
+    val kept = df.select(col(idCol), col(sourceCol), col(weightCol))
+      .filter(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .select(col(idCol), col("sample_rank"))
+    df.join(kept, Seq(idCol))
+  }
+
   /** Mixture-rate spec from TARGET token counts — the knob users
     * actually reason in ("200M tokens of s0, 50M of s1"): per source,
     * rate = min(1, target / current tokens). The result is a

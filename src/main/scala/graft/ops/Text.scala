@@ -381,6 +381,45 @@ object Text {
           .as("top_ngram_ratio"))
   }
 
+  /** Per-source lexical-diversity profile — the corpus-health numbers
+    * (beyond volume) a data card should carry per source: token count,
+    * type (distinct-token) count, type-token ratio, and the hapax
+    * fraction (types occurring exactly once). A source whose TTR or
+    * hapax share collapses is template/boilerplate-heavy or
+    * machine-generated; one whose hapax share explodes is noisy
+    * (OCR garbage, random identifiers) — both are mixture red flags
+    * that per-doc quality scores average away.
+    *
+    * Shape: one tokenize → one (source, token) count (token-level
+    * shuffle with map-side combine — hot stopwords are keyed per
+    * source and partially aggregated, no single-key hotspot) → one
+    * low-cardinality per-source rollup. Doc counts ride a separate
+    * map-only agg on the source column; token-less sources report 0s
+    * and NULL ratios (never 0/0). */
+  def lexicalDiversity(df: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val tf = df
+      .select(col(sourceCol).as("source"),
+        explode_outer(tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isNotNull)
+      .groupBy(col("source"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val per = tf.groupBy(col("source"))
+      .agg(sum(col("__c")).as("__tok"), count(lit(1)).as("__typ"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__hap"))
+    df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("__tok"), lit(0L)).as("n_tokens"),
+        coalesce(col("__typ"), lit(0L)).as("n_types"),
+        // un-coalesced operands: token-less sources yield NULL ratios
+        round(col("__typ").cast("double") / col("__tok"), 9).as("ttr"),
+        coalesce(col("__hap"), lit(0L)).as("n_hapax"),
+        round(col("__hap").cast("double") / col("__typ"), 9)
+          .as("hapax_ratio"))
+  }
+
   /** PII scrubbing for training corpora: URLs, emails,
     * separator-formatted phone numbers, IPv4 addresses and long digit
     * runs replaced by typed placeholder tokens, with per-doc match

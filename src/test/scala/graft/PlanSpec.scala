@@ -314,6 +314,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q110: lexical diversity aggregates with map-side partials, no pairwise join") {
+    val p = plan("q110_lexical_diversity")
+    // the (source, token) count must partial-aggregate before its
+    // exchange — hot stopwords combine map-side, no single-key hotspot
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q108: coverage audit broadcasts the eval spine (train never shuffles for it)") {
     val p = plan("q108_contamination_coverage")
     assert(p.contains("BroadcastHashJoin"), p)

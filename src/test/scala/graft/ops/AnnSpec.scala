@@ -168,4 +168,26 @@ class AnnSpec extends SparkSpec {
       .select($"cos", $"best").as[(Double, Double)].collect()
     assert(joined.nonEmpty && joined.forall { case (c, b) => c == b })
   }
+
+  test("recallReport: per-probe hits bounded by k; exact-vs-exact is recall 1") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(emb, probes, 5)
+    val approx = Ann.annTopK(emb, probes, "vec_id", "embedding", 4, 5)
+    val rep = Ann.recallReport(approx, exact)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rep.length == 10) // one row per probe, the exact side's spine
+    rep.foreach { case (_, nExact, nHit, recall) =>
+      assert(nExact == 5 && nHit >= 0 && nHit <= nExact)
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-8)
+    }
+    // the report's mean recomputes the scalar driver-side recall
+    val scalar = Ann.recallAgainstExact(approx, exact)
+    val mean = rep.map(_._3).sum.toDouble / rep.map(_._2).sum
+    assert(math.abs(mean - scalar) < 1e-8)
+    // degenerate audit: an index audited against itself is perfect
+    val self = Ann.recallReport(exact, exact).as[(Long, Long, Long, Double)]
+      .collect()
+    assert(self.forall(r => r._4 == 1.0))
+  }
 }

@@ -266,4 +266,28 @@ class SamplingSpec extends SparkSpec {
     assert(s(1L)._3 > s(2L)._3)
     assert(s(3L) == ((3L, 0L, 0.0)))
   }
+
+  test("sampleNWeighted: exact counts, weight-dominant row wins, nonpositive excluded") {
+    val d = Seq(
+      (1L, "s0", 1e9), (2L, "s0", 1e-9), (3L, "s0", 1e-9),
+      (4L, "s1", 0.0), (5L, "s1", -2.0), (6L, "s1", 1.0)
+    ).toDF("doc_id", "source", "w")
+    val r1 = Sampling.sampleNWeighted(d, "doc_id", "source", "w", 1, "t")
+      .select("doc_id", "source", "sample_rank")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // n=1 per source: the 1e9-weight row's exponential key is ~1e-9 of
+    // its rivals' — it wins deterministically; s1's only positive-weight
+    // row is 6
+    assert(r1.map(x => (x._1, x._2)).sameElements(
+      Array((1L, "s0"), (6L, "s1"))))
+    assert(r1.forall(_._3 == 1L))
+    // exact per-source counts capped by positive-weight rows
+    val r3 = Sampling.sampleNWeighted(d, "doc_id", "source", "w", 3, "t")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(r3("s0") == 3L && r3("s1") == 1L)
+    // deterministic: same salt, same sample
+    val again = Sampling.sampleNWeighted(d, "doc_id", "source", "w", 1, "t")
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(r1.map(_._1)))
+  }
 }

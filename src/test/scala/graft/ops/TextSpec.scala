@@ -375,4 +375,23 @@ class TextSpec extends SparkSpec {
       Text.perplexityBuckets(docs, "text", "lang", nBuckets = 1)
     }
   }
+
+  test("lexicalDiversity: type/token/hapax math per source; repeated types counted once") {
+    val d = Seq(
+      (1L, "a b a c", "s1"),   // tokens: a,b,a,c
+      (2L, "a d", "s1"),       // s1 totals: 6 tokens, types {a,b,c,d}
+      (3L, "x x x", "s2")      // s2: 3 tokens, 1 type, 0 hapax
+    ).toDF("doc_id", "text", "source")
+    val r = Text.lexicalDiversity(d, "text", "source")
+      .as[(String, Long, Long, Long, Double, Long, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    val s1 = r("s1")
+    assert(s1._2 == 2 && s1._3 == 6 && s1._4 == 4)
+    assert(math.abs(s1._5 - 4.0 / 6.0) < 1e-8)
+    assert(s1._6 == 3) // b, c, d occur once in s1; a occurs 3 times
+    assert(math.abs(s1._7 - 3.0 / 4.0) < 1e-8)
+    val s2 = r("s2")
+    assert(s2._2 == 1 && s2._3 == 3 && s2._4 == 1 && s2._6 == 0)
+    assert(s2._7 == 0.0)
+  }
 }
