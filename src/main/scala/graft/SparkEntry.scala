@@ -146,6 +146,9 @@ object SparkEntry {
   val SampleSalt = "q76"
   /** q111 weighted sample: selection ∝ n_chars (≈ token mass). */
   val WeightedSampleSalt = "q111"
+  /** q112 blocklist: two fixture-frequent terms + one absent, so hit,
+    * multi-hit and clean documents all occur. */
+  val BlockTerms: Seq[String] = Seq("slow", "spam", "stale")
   /** q84 tf-idf cosine pairs: 0.88 keeps the tail of the word-soup
     * similarity distribution. The df prune is the operator's documented
     * skew lever and 1000 ENGAGES it exactly as production would: at the
@@ -1550,6 +1553,14 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // C4-style blocklist report: per-doc occurrence/type counts of
+    // blocklisted tokens — map-only, the list rides as a codegen
+    // literal; the canonical gate is n_blocked == 0.
+    "q112_blocklist" -> ((s, dir) => {
+      Text.blocklistStats(t(s, dir, "documents"), "text", BlockTerms)
+        .orderBy("doc_id")
+    }),
+
     // Weighted exact-N stratified sample (A-ES exponential keys):
     // selection probability ∝ n_chars, i.e. ≈ token-uniform document
     // sampling; keyed-hash deterministic, without replacement.
@@ -2852,6 +2863,25 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q112: same token-membership counts via list_filter/list_distinct
+    // (list_intersect's dedup semantics are avoided on both sides: the
+    // distinct count is explicitly distinct-of-filtered).
+    "q112_blocklist" -> {
+      val lst = BlockTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($lst, t)))::BIGINT AS n_blocked,
+         |  len(list_distinct(list_filter(string_split(text, ' '),
+         |    t -> list_contains($lst, t))))::BIGINT AS n_blocked_types,
+         |  CASE WHEN len(string_split(text, ' ')) > 0 THEN
+         |    round(len(list_filter(string_split(text, ' '),
+         |      t -> list_contains($lst, t)))
+         |      / len(string_split(text, ' '))::DOUBLE, 9)
+         |  END AS blocked_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // q111: the same A-ES exponential key (−ln(1−u)/w rounded to 9 dp,
     // id tiebreak) ranks within each source; n_chars > 0 on every

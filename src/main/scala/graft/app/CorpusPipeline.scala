@@ -59,6 +59,12 @@ object CorpusPipeline {
     * `boilerMaxDf` to the corpus (it is an absolute document count);
     * too-short docs (NULL ratio) pass, `None` skips the stage.
     *
+    * `blocklist` adds the C4-style bad-words gate
+    * ([[Text.blocklistStats]]) after the quality gate: any document
+    * containing a blocklisted token drops. Map-only (the list is a
+    * codegen literal) — the cheapest gate in the funnel; `None` skips
+    * the stage.
+    *
     * `pplKeepTiers` adds the CCNet perplexity-tier gate
     * ([[Text.perplexityBuckets]]) after the boilerplate gate: each
     * language's surviving docs split into `pplBuckets` equal-count
@@ -122,6 +128,7 @@ object CorpusPipeline {
       boilerN: Int = 3,
       boilerMaxDf: Long = 1000L,
       minQualityPct: Option[Double] = None,
+      blocklist: Option[Seq[String]] = None,
       pplKeepTiers: Option[Set[String]] = None,
       pplBuckets: Int = 3,
       keepBestQuality: Boolean = false,
@@ -265,15 +272,32 @@ object CorpusPipeline {
     val quality = inLang.join(qkeep, Seq("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // optional C4-style blocklist gate: drop any document containing a
+    // blocklisted token ([[Text.blocklistStats]], n_blocked == 0 keeps).
+    // Map-only — the list is a codegen literal, so the stage adds no
+    // join and no shuffle, only one more read of the cached quality
+    // frame (stats + join = the bounded-×2 gate contract).
+    val clean = cfg.blocklist match {
+      case None => quality
+      case Some(terms) =>
+        val surv = quality.join(
+          Text.blocklistStats(quality, "text", terms)
+            .filter(col("n_blocked") === 0)
+            .select("doc_id"),
+          Seq("doc_id"))
+        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        else surv
+    }
+
     // optional Gopher duplication gate: drop degenerate-repetition docs
     // (boilerplate/spam) the quality composite cannot see. NULL ratios
     // (docs too short for an n-gram) pass; unset = stage skipped, no
     // extra scan.
     val good = cfg.maxDupNgramRatio match {
-      case None => quality
+      case None => clean
       case Some(maxDup) =>
-        val surv = quality.join(
-          Text.repetitionStats(quality, "text", cfg.repetitionN)
+        val surv = clean.join(
+          Text.repetitionStats(clean, "text", cfg.repetitionN)
             .filter(col("dup_ngram_ratio").isNull ||
               col("dup_ngram_ratio") <= maxDup)
             .select("doc_id"),
@@ -414,6 +438,8 @@ object CorpusPipeline {
         // cached gates BEFORE they unpersist, so nothing downstream ever
         // re-runs a gate pipeline
         val gateCounts = Seq("quality" -> quality.count()) ++
+          (if (cfg.blocklist.isEmpty) Seq.empty
+           else Seq("blocklist" -> clean.count())) ++
           (if (cfg.maxDupNgramRatio.isEmpty) Seq.empty
            else Seq("repetition" -> good.count())) ++
           (if (cfg.maxBoilerRatio.isEmpty) Seq.empty
@@ -435,7 +461,8 @@ object CorpusPipeline {
           packed.map(p => "packed_sequences" -> p.count()).toSeq
         if (tiered ne gated) tiered.unpersist()
         if (gated ne good) gated.unpersist()
-        if (good ne quality) good.unpersist()
+        if (good ne clean) good.unpersist()
+        if (clean ne quality) clean.unpersist()
         quality.unpersist()
         inLang.unpersist()
         normed.unpersist()

@@ -381,6 +381,50 @@ object Text {
           .as("top_ngram_ratio"))
   }
 
+  /** Token-level blocklist report — the C4-style "bad words" signal:
+    * per document, occurrence and distinct-type counts of tokens on a
+    * supplied blocklist. The canonical gate drops any document with a
+    * single hit (C4's List-of-Dirty-Naughty-Words rule); the counts
+    * form lets a softer policy threshold on hit DENSITY instead, which
+    * is why the report is the operator and the gate a one-line filter.
+    *
+    * Entirely MAP-ONLY: the blocklist rides into codegen as a literal
+    * array and every row answers from `filter`/`array_intersect` over
+    * its own tokens — no join, no shuffle, no broadcast round-trip; at
+    * 100 TB this is a pure scan. The per-token membership test is a
+    * linear probe of the list, so the form is sized for the standard
+    * curated lists (hundreds of terms); for a dictionary-scale list,
+    * tokenize + join a broadcast term table instead (the
+    * [[unigramLogProb]] tf shape). Matching is EXACT on whitespace
+    * tokens — normalize/casefold upstream ([[normalize]]) so "Bad" and
+    * "bad." hit; substring matching would false-positive on innocent
+    * compounds (the classic over-blocking failure).
+    *
+    * Output: (doc_id, n_tokens, n_blocked, n_blocked_types,
+    * blocked_ratio) — blocked_ratio NULL for token-less docs. */
+  def blocklistStats(df: DataFrame, textCol: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val lst = typedLit(terms.distinct)
+    val toks = tokens(col(textCol))
+    // tokens materialized in their own projection: the three HOF
+    // consumers below would each re-run an inlined split (the measured
+    // interpreted-lambda trap, see [[topKeywords]])
+    df.select(col("doc_id"), toks.as("__t"))
+      .select(col("doc_id"),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__t"), t => array_contains(lst, t)))
+          .cast("long").as("n_blocked"),
+        size(array_distinct(filter(col("__t"), t => array_contains(lst, t))))
+          .cast("long").as("n_blocked_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+        col("n_blocked_types"),
+        // un-coalesced: token-less docs yield NULL, never 0/0
+        when(col("n_tokens") > 0,
+          round(col("n_blocked").cast("double") / col("n_tokens"), 9))
+          .as("blocked_ratio"))
+  }
+
   /** Per-source lexical-diversity profile — the corpus-health numbers
     * (beyond volume) a data card should carry per source: token count,
     * type (distinct-token) count, type-token ratio, and the hapax

@@ -138,6 +138,35 @@ class CorpusPipelineSpec extends SparkSpec {
     r.persisted.foreach(_.unpersist())
   }
 
+  test("curate: blocklist gate drops any doc with a listed token, clean docs pass") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the brown fox jumps over a lazy dog near the green hills " +
+        "beyond the quiet farm fence line today", "en", "s0"),
+      (2L, "a tall ship sails across the wide ocean while sailors watch " +
+        "the stars and chart a course home", "en", "s0"),
+      // one hit mid-document — the canonical any-hit drop
+      (3L, "the old library keeps a casino map of ancient roads that " +
+        "traders once used to cross the mountains", "en", "s0"),
+      // multiple hits of both terms
+      (4L, "casino casino lottery night and more lottery talk with some " +
+        "extra words to pass the length and stopword gates", "en", "s0")
+    ).toDF("doc_id", "text", "lang", "source")
+    val cfg = CorpusPipeline.Config(minQuality = 0.3,
+      blocklist = Some(Seq("casino", "lottery")))
+    val r = CorpusPipeline.curate(corpus, cfg)
+    val f = r.funnel.toMap
+    assert(f("quality") == 4 && f("blocklist") == 2, s"funnel: ${r.funnel}")
+    val survivors = r.chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L))
+    // lazy mode: same chunk rows, no funnel
+    val lazyR = CorpusPipeline.curate(corpus, cfg, collectFunnel = false)
+    assert(lazyR.funnel.isEmpty)
+    assert(lazyR.chunks.collect().toSet == r.chunks.collect().toSet)
+    lazyR.persisted.foreach(_.unpersist())
+    r.persisted.foreach(_.unpersist())
+  }
+
   test("curate: perplexity-tier gate keeps head+middle, drops the tail third") {
     import spark.implicits._
     val r = CorpusPipeline.curate(docs, CorpusPipeline.Config(

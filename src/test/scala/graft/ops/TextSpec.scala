@@ -376,6 +376,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("blocklistStats: occurrence vs type counts, exact token match, clean doc zero") {
+    val d = Seq(
+      (1L, "good clean text here"),
+      (2L, "bad bad ugly text"),          // 2x bad + 1x ugly = 3 hits, 2 types
+      (3L, "badly notbad embedded"),      // substrings must NOT match
+      (4L, "")                            // one empty-string token, no hits
+    ).toDF("doc_id", "text")
+    val r = Text.blocklistStats(d, "text", Seq("bad", "ugly", "absent"))
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 4L, 0L, 0L, Some(0.0))))
+    assert(r(2L)._3 == 3L && r(2L)._4 == 2L)
+    assert(math.abs(r(2L)._5.get - 0.75) < 1e-9)
+    assert(r(3L)._3 == 0L) // token-exact: "badly"/"notbad" are not "bad"
+    assert(r(4L)._3 == 0L && r(4L)._2 == 1L) // split("") = [""], no hits
+  }
+
   test("lexicalDiversity: type/token/hapax math per source; repeated types counted once") {
     val d = Seq(
       (1L, "a b a c", "s1"),   // tokens: a,b,a,c
