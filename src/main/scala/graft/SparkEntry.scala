@@ -149,6 +149,8 @@ object SparkEntry {
   /** q112 blocklist: two fixture-frequent terms + one absent, so hit,
     * multi-hit and clean documents all occur. */
   val BlockTerms: Seq[String] = Seq("slow", "spam", "stale")
+  /** q114: the fractional-epoch lottery's draw salt. */
+  val EpochRealizeSalt = "q114"
   /** q84 tf-idf cosine pairs: 0.88 keeps the tail of the word-soup
     * similarity distribution. The df prune is the operator's documented
     * skew lever and 1000 ENGAGES it exactly as production would: at the
@@ -1553,6 +1555,29 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // Epoch-plan realization: q104's mixture plan materialized as the
+    // repeated-document corpus — integer epochs for every doc, the
+    // fractional epoch as a deterministic per-doc Bernoulli lottery;
+    // expected emitted tokens per source = the plan's target.
+    "q114_epoch_realize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.applyEpochFactors(
+          docs.select(col("doc_id"), col("source")), "doc_id", "source",
+          Sampling.epochFactors(docs, "source", "text", EpochWeights,
+            EpochBudget),
+          EpochRealizeSalt)
+        .select(col("doc_id"), col("source"), col("epoch_copy"))
+        .orderBy("doc_id", "epoch_copy")
+    }),
+
+    // Embedding-table data-quality audit: one-pass single-row profile
+    // (id uniqueness, dim consistency, NULL/NaN/zero vectors) — the
+    // ingest gate a similarity index runs before building.
+    "q113_embedding_checks" -> ((s, dir) => {
+      Quality.embeddingChecks(t(s, dir, "embeddings"), "vec_id",
+        "embedding")
+    }),
+
     // C4-style blocklist report: per-doc occurrence/type counts of
     // blocklisted tokens — map-only, the list rides as a codegen
     // literal; the canonical gate is n_blocked == 0.
@@ -2863,6 +2888,61 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q114: q104's factor chain inline (same rounded factor), then the
+    // copy count n = floor(f) + lottery and a lateral range-unnest.
+    "q114_epoch_realize" -> {
+      val vals = EpochWeights.toSeq.sorted
+        .map { case (s, w) => s"('$s', ${w}::DOUBLE)" }.mkString(", ")
+      val wsum = EpochWeights.values.sum
+      s"""WITH wt(source, weight) AS (VALUES $vals),
+         |tc AS (
+         |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+         |    AS n_tokens
+         |  FROM documents GROUP BY source
+         |),
+         |fac AS (
+         |  SELECT t.source,
+         |    round(floor(coalesce(w.weight, 0.0) / $wsum
+         |        * ${EpochBudget.toDouble} + 0.5)
+         |      / t.n_tokens::DOUBLE, 9) AS factor
+         |  FROM tc t LEFT JOIN wt w USING (source)
+         |),
+         |nn AS (
+         |  SELECT d.doc_id, d.source,
+         |    (floor(f.factor) + CASE WHEN
+         |        ${Portable.sqlUnif("d.doc_id", s"'$EpochRealizeSalt'")}
+         |        < f.factor - floor(f.factor) THEN 1 ELSE 0 END)::BIGINT
+         |      AS n
+         |  FROM documents d JOIN fac f USING (source)
+         |)
+         |SELECT doc_id, source,
+         |  unnest(range(1, n + 1))::BIGINT AS epoch_copy
+         |FROM nn WHERE n >= 1
+         |ORDER BY doc_id, epoch_copy""".stripMargin
+    },
+
+    // q113: the same per-vector flags via list ops; empty vectors count
+    // as zero-vectors on both sides (coalesce matches Spark's 0.0 fold
+    // identity over an empty array).
+    "q113_embedding_checks" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT vec_id) AS n_distinct_ids,
+        |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_vec,
+        |  count(DISTINCT CASE WHEN embedding IS NOT NULL
+        |    THEN len(embedding) END) AS n_dims_distinct,
+        |  CAST(min(CASE WHEN embedding IS NOT NULL
+        |    THEN len(embedding) END) AS BIGINT) AS dim_min,
+        |  CAST(max(CASE WHEN embedding IS NOT NULL
+        |    THEN len(embedding) END) AS BIGINT) AS dim_max,
+        |  CAST(sum(CASE WHEN len(list_filter(embedding,
+        |      x -> isnan(x::DOUBLE))) > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nan_vec,
+        |  CAST(sum(CASE WHEN coalesce(list_sum(list_transform(embedding,
+        |      x -> abs(x::DOUBLE))), 0) = 0 AND embedding IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec
+        |FROM embeddings""".stripMargin,
 
     // q112: same token-membership counts via list_filter/list_distinct
     // (list_intersect's dedup semantics are avoided on both sides: the

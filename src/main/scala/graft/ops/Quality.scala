@@ -93,6 +93,42 @@ object Quality {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Embedding-table audit — the vector-column analog of [[report]]:
+    * ONE pass over (id, vector) producing the single-row profile an
+    * embedding pipeline gates ingest on. A NaN that slips into a
+    * similarity index poisons every cosine it touches (NaN propagates
+    * through dot products and sorts unpredictably); all-zero vectors
+    * make cosine undefined (the q23/q28 operators guard them, but the
+    * table owner should KNOW); ragged dimensions break every fold; and
+    * duplicate ids silently double similarity mass. Columns:
+    * (n_rows, n_distinct_ids, n_null_vec, n_dims_distinct, dim_min,
+    * dim_max, n_nan_vec, n_zero_vec) — a healthy table reads
+    * n_rows = n_distinct_ids, 0 nulls/NaNs/zeros, n_dims_distinct = 1.
+    *
+    * Per-row flags are array expressions (`exists`/`aggregate` over the
+    * row's own vector — map-side, no fan-out); the rollup is one
+    * aggregation. NULL vectors report their own count and are excluded
+    * from the dim/NaN/zero tallies (their flags are NULL, and the
+    * conditional sums skip NULL). */
+  def embeddingChecks(df: DataFrame, idCol: String,
+                      vecCol: String): DataFrame = {
+    val v = col("__v")
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), v,
+        size(v).as("__d"),
+        exists(v, x => isnan(x.cast("double"))).as("__nan"),
+        (aggregate(v, lit(0.0), (acc, x) => acc + abs(x.cast("double")))
+          === 0.0).as("__zero"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__id")).as("n_distinct_ids"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null_vec"),
+        countDistinct(when(v.isNotNull, col("__d"))).as("n_dims_distinct"),
+        min(when(v.isNotNull, col("__d"))).cast("long").as("dim_min"),
+        max(when(v.isNotNull, col("__d"))).cast("long").as("dim_max"),
+        sum(when(col("__nan"), 1L).otherwise(0L)).as("n_nan_vec"),
+        sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero_vec"))
+  }
+
   /** Corpus data card: per-(source, lang) rollup of document counts,
     * token volume and quality distribution — the summary table a
     * curation run publishes next to its output (composition, per-slice

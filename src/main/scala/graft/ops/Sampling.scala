@@ -77,6 +77,40 @@ object Sampling {
         round(col("target_tokens").cast("double") / col("n_tokens"), 9))
   }
 
+  /** REALIZE an epoch-factor plan ([[epochFactors]]) as an actual
+    * repeated-document corpus: a source with factor 2.3 emits every
+    * document twice plus a deterministic 30% Bernoulli third copy
+    * (keyed-hash draw — the standard up-sampling semantics: integer
+    * epochs for everyone, the fractional epoch as an unbiased
+    * per-document lottery). Output is the input columns plus
+    * `epoch_copy` (1..n per document); factor < 1 down-samples the
+    * same way (no integer copy, Bernoulli(factor) single copy), factor
+    * 0 (or a source absent from the plan) drops the source. The
+    * expected emitted token mass per source is factor · n_tokens =
+    * the plan's target, and because the draw keys on the document id
+    * the realized corpus is bit-stable across runs, partitionings and
+    * engines.
+    *
+    * Shape: the plan is mixture-spec-sized and broadcasts; the copy
+    * fan-out is an in-partition `explode(sequence(...))` — no shuffle
+    * anywhere, the whole realization is map-side. Feed the result to
+    * [[pack]]/[[graft.ops.Text.chunk]]; the repeats land in training
+    * batches independently because packing re-keys by (id, copy). */
+  def applyEpochFactors(df: DataFrame, idCol: String, sourceCol: String,
+                        factors: DataFrame, salt: String): DataFrame = {
+    val f = broadcast(factors.select(col(sourceCol), col("factor")))
+    val whole = floor(col("factor"))
+    val frac = col("factor") - whole
+    df.join(f, Seq(sourceCol))
+      .withColumn("__n", (whole +
+        when(Portable.unif(col(idCol), lit(salt)) < frac, 1).otherwise(0))
+        .cast("long"))
+      .filter(col("__n") >= 1)
+      .withColumn("epoch_copy",
+        explode(sequence(lit(1L), col("__n"))))
+      .drop("factor", "__n")
+  }
+
   /** Per-source token budget: documents are ranked by an independent
     * keyed-hash draw (id tiebreak — a deterministic uniform shuffle,
     * so the kept set is an unbiased sample of the source) and kept

@@ -95,4 +95,31 @@ class QualitySpec extends SparkSpec {
     val s2 = rep(("s2", "de"))
     assert(s2._6 == q(3L) && s2._7 == q(3L) && s2._8 == q(3L))
   }
+
+  test("embeddingChecks: planted null/NaN/zero/ragged/dup defects all counted") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),               // healthy
+      (2L, Seq(0.0f, 0.0f, 0.0f)),               // zero vector
+      (3L, Seq(1.0f, Float.NaN, 2.0f)),          // NaN
+      (4L, Seq(1.0f, 2.0f)),                     // ragged dim
+      (4L, Seq(2.0f, 3.0f, 4.0f)),               // duplicate id
+      (5L, null.asInstanceOf[Seq[Float]])        // null vector
+    ).toDF("vec_id", "embedding")
+    val r = Quality.embeddingChecks(vecs, "vec_id", "embedding").head()
+    assert(r.getLong(0) == 6)  // n_rows
+    assert(r.getLong(1) == 5)  // n_distinct_ids (4 duplicated)
+    assert(r.getLong(2) == 1)  // n_null_vec
+    assert(r.getLong(3) == 2)  // dims {2, 3}
+    assert(r.getLong(4) == 2 && r.getLong(5) == 3) // dim range
+    assert(r.getLong(6) == 1)  // NaN vector
+    assert(r.getLong(7) == 1)  // zero vector
+    // a healthy table: every defect counter zero, one dim
+    val ok = Quality.embeddingChecks(
+      Sources.table(spark, sf("sf0.001"), "embeddings"),
+      "vec_id", "embedding").head()
+    assert(ok.getLong(0) == ok.getLong(1))
+    assert(ok.getLong(2) == 0 && ok.getLong(3) == 1)
+    assert(ok.getLong(6) == 0 && ok.getLong(7) == 0)
+  }
 }

@@ -267,6 +267,38 @@ class SamplingSpec extends SparkSpec {
     assert(s(3L) == ((3L, 0L, 0.0)))
   }
 
+  test("applyEpochFactors: integer copies for all, fractional lottery, zero drops") {
+    val d = Seq(
+      (1L, "s0"), (2L, "s0"), (3L, "s0"), (4L, "s0"),
+      (5L, "s1"), (6L, "s2")
+    ).toDF("doc_id", "source")
+    val factors = Seq(
+      ("s0", 2.5),  // 2 copies each + ~half get a third
+      ("s1", 0.0),  // dropped
+      ("s2", 1.0)   // exactly one copy
+    ).toDF("source", "factor")
+    val r = Sampling.applyEpochFactors(d, "doc_id", "source", factors, "t")
+      .select("doc_id", "source", "epoch_copy")
+      .as[(Long, String, Long)].collect()
+    // s1 dropped entirely; s2 exactly once
+    assert(!r.exists(_._2 == "s1"))
+    assert(r.count(_._2 == "s2") == 1 && r.find(_._2 == "s2").get._3 == 1L)
+    // s0: every doc appears 2 or 3 times with dense copy indices
+    val bySrc0 = r.filter(_._2 == "s0").groupBy(_._1)
+    assert(bySrc0.keySet == Set(1L, 2L, 3L, 4L))
+    bySrc0.foreach { case (_, copies) =>
+      val n = copies.length
+      assert(n == 2 || n == 3)
+      assert(copies.map(_._3).sorted.sameElements(1L to n.toLong))
+    }
+    // deterministic: the same call realizes the identical corpus
+    val again = Sampling.applyEpochFactors(d, "doc_id", "source",
+        factors, "t")
+      .select("doc_id", "source", "epoch_copy")
+      .as[(Long, String, Long)].collect()
+    assert(again.sorted.sameElements(r.sorted))
+  }
+
   test("sampleNWeighted: exact counts, weight-dominant row wins, nonpositive excluded") {
     val d = Seq(
       (1L, "s0", 1e9), (2L, "s0", 1e-9), (3L, "s0", 1e-9),
