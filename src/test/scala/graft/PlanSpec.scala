@@ -314,6 +314,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q112: blocklist report is join-free — the list lives in the projection") {
+    val p = plan("q112_blocklist")
+    // map-only contract: membership is array arithmetic over the row's
+    // own tokens; any Join here means the literal-list form regressed
+    // to a term-table join
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q114: epoch realization broadcasts the plan; the corpus never sort-merge-joins") {
+    val p = plan("q114_epoch_realize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q110: lexical diversity aggregates with map-side partials, no pairwise join") {
     val p = plan("q110_lexical_diversity")
     // the (source, token) count must partial-aggregate before its
