@@ -146,7 +146,9 @@ object StreamOps {
   /** Streaming ingest curation — the continuous-arrival twin of
     * [[graft.app.CorpusPipeline]]'s gate prefix: optional PII scrub →
     * normalize (+ non-empty) → language gate → quality gate → optional
-    * exact dedup against the static corpus index. Every gate is the
+    * blocklist gate (any-hit drop, the list a codegen literal) →
+    * optional exact dedup against the static corpus index. Every gate
+    * is the
     * SAME column expression the batch funnel uses, chosen in its
     * map-only form ([[graft.ops.Text.piiMasked]], `normalize`,
     * `langIdColumn`, `qualityScore`), so the stage is fully STATELESS:
@@ -166,7 +168,8 @@ object StreamOps {
     * index gate is on. */
   def curateStream(docs: DataFrame, keepLangs: Set[String],
                    minQuality: Double, scrubPii: Boolean = false,
-                   existingHashes: Option[DataFrame] = None): DataFrame = {
+                   existingHashes: Option[DataFrame] = None,
+                   blocklist: Option[Seq[String]] = None): DataFrame = {
     import graft.ops.Text
     val scrubbed =
       if (!scrubPii) docs
@@ -181,7 +184,15 @@ object StreamOps {
     val scored = Text.qualityScore(normed, "text",
         normed.columns.filterNot(_ == "doc_id").toSeq)
       .filter(col("quality_score") >= minQuality)
-    existingHashes.fold(scored)(h => dedupStreamAgainst(scored, "text", h))
+    // blocklist gate in its per-row form (the batch funnel's any-hit
+    // rule over the SAME literal list) — exists() over the row's own
+    // tokens, stateless like every other gate here
+    val clean = blocklist.fold(scored) { terms =>
+      val lst = typedLit(terms.distinct)
+      scored.filter(!exists(Text.tokens(col("text")),
+        t => array_contains(lst, t)))
+    }
+    existingHashes.fold(clean)(h => dedupStreamAgainst(clean, "text", h))
   }
 
   /** Convenience: wire a streaming DataFrame to an in-memory sink (specs

@@ -250,4 +250,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(r.getAs[String]("pred_lang") == "en" &&
       r.getAs[Double]("quality_score") >= 0.6)
   }
+
+  test("curateStream: blocklist gate drops any-hit rows on the stream, batch twin identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the " +
+        "other fox follows along the river bank", "en", "s0"), // survives
+      (2L, "the casino opened late and the quick crowd walked in from " +
+        "the river bank to see the show begin", "en", "s0"))   // blocklist
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.curateStream(df, Set("en"), 0.6,
+        blocklist = Some(Seq("casino", "lottery")))
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = StreamOps.toMemorySink(
+      run(in.toDF().toDF("doc_id", "text", "lang", "source")),
+      "curate_stream_bl", OutputMode.Append)
+    val streamed = try {
+      in.addData(rows: _*); q.processAllAvailable()
+      spark.table("curate_stream_bl").collect().toSet
+    } finally q.stop()
+    val batch = run(rows.toDF("doc_id", "text", "lang", "source"))
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.map(_.getAs[Long]("doc_id")) == Set(1L))
+  }
 }
