@@ -1555,6 +1555,13 @@ object SparkEntry {
         SampleNPerSource, SampleSalt).orderBy("doc_id")
     }),
 
+    // Corpus fingerprint: order/partitioning-invariant one-row identity
+    // stamp (XOR-fold of portable per-row hashes) — "trained on the
+    // same data" made checkable.
+    "q115_corpus_fingerprint" -> ((s, dir) => {
+      Quality.corpusFingerprint(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // Epoch-plan realization: q104's mixture plan materialized as the
     // repeated-document corpus — integer epochs for every doc, the
     // fractional epoch as a deterministic per-doc Bernoulli lottery;
@@ -2888,6 +2895,14 @@ object SparkEntry {
          |FROM documents d JOIN r ON d.doc_id = r.doc_id
          |WHERE r.sample_rank <= $SampleNPerSource
          |ORDER BY d.doc_id""".stripMargin,
+
+    // q115: the same per-row 60-bit hash XOR-folded; XOR keeps the
+    // value in [0, 2^60) so both engines' BIGINTs agree bit-for-bit.
+    "q115_corpus_fingerprint" ->
+      s"""SELECT count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  bit_xor(${Portable.sqlHash("doc_id", "text")}) AS corpus_hash
+         |FROM documents""".stripMargin,
 
     // q114: q104's factor chain inline (same rounded factor), then the
     // copy count n = floor(f) + lottery and a lateral range-unnest.

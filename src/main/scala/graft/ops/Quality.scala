@@ -129,6 +129,26 @@ object Quality {
         sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero_vec"))
   }
 
+  /** Order-invariant corpus fingerprint — the one-row identity stamp a
+    * data card or experiment manifest records so "trained on the same
+    * data" is CHECKABLE instead of asserted: (n_docs, n_tokens,
+    * corpus_hash), where corpus_hash is the XOR-fold of the
+    * engine-portable per-row hash of (id, text). XOR is commutative
+    * and associative, so the fingerprint is independent of row order,
+    * partitioning and cluster size — identical bytes in, identical
+    * stamp out, on any engine ([[graft.ops.Portable]]; DuckDB
+    * recomputes it, q115). Any single changed/added/dropped document
+    * flips the stamp (XOR of 60-bit hashes; collisions need an exact
+    * pairwise hash match). One map-side projection + one
+    * fully-combinable aggregation — at 100 TB this is a scan. */
+  def corpusFingerprint(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    df.select(
+        Portable.seededHash(col(idCol), col(textCol)).as("__h"),
+        size(Text.tokens(col(textCol))).cast("long").as("__t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        expr("bit_xor(__h)").as("corpus_hash"))
+
   /** Corpus data card: per-(source, lang) rollup of document counts,
     * token volume and quality distribution — the summary table a
     * curation run publishes next to its output (composition, per-slice

@@ -96,6 +96,26 @@ class QualitySpec extends SparkSpec {
     assert(s2._6 == q(3L) && s2._7 == q(3L) && s2._8 == q(3L))
   }
 
+  test("corpusFingerprint: order/partition-invariant; any changed doc flips the stamp") {
+    import spark.implicits._
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val a = Quality.corpusFingerprint(docs, "doc_id", "text").head()
+    // invariance: reversed order, different partitioning — same stamp
+    val b = Quality.corpusFingerprint(
+      docs.orderBy(org.apache.spark.sql.functions.desc("doc_id"))
+        .repartition(7), "doc_id", "text").head()
+    assert(a == b)
+    // sensitivity: one flipped character changes the hash, not the count
+    val mutated = docs.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === 0L,
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit("x")))
+        .otherwise($"text"))
+    val c = Quality.corpusFingerprint(mutated, "doc_id", "text").head()
+    assert(c.getLong(0) == a.getLong(0))
+    assert(c.getLong(2) != a.getLong(2))
+  }
+
   test("embeddingChecks: planted null/NaN/zero/ragged/dup defects all counted") {
     import spark.implicits._
     val vecs = Seq(

@@ -85,4 +85,28 @@ class TextLawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("blocklistStats laws: count bounds, and scrubbing listed tokens zeroes the report") {
+    val terms = Seq("data", "join", "alpha")
+    val df = docs(13).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = Text.blocklistStats(df, "text", terms)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+    assert(rows.length == Cases)
+    rows.foreach { case (id, nTok, nBlk, nTyp, ratio) =>
+      assert(nBlk <= nTok && nTyp <= nBlk, s"doc $id: $nTok/$nBlk/$nTyp")
+      assert(nTyp <= terms.length, s"doc $id: types $nTyp > |terms|")
+      ratio.foreach(r => assert(r >= 0.0 && r <= 1.0))
+      assert(ratio.isDefined == (nTok > 0))
+    }
+    // removing every listed token from the text zeroes the report
+    val scrubbed = df.select($"doc_id",
+      concat_ws(" ", filter(Text.tokens($"text"),
+        t => !t.isin(terms: _*))).as("text"))
+    Text.blocklistStats(scrubbed, "text", terms)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .foreach { case (id, _, nBlk, nTyp, _) =>
+        assert(nBlk == 0 && nTyp == 0, s"doc $id still reports hits")
+      }
+  }
 }
