@@ -1720,6 +1720,16 @@ object SparkEntry {
       Bpe.encode(docs, "text", learned.vocab).orderBy("doc_id")
     }),
 
+    // Tokenizer fertility report: subword tokens per word and chars per
+    // token for each (source, lang) slice — the tokenizer-evaluation
+    // rollup that flags slices the merges under-serve.
+    "q116_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val learned = Bpe.learn(Bpe.wordCounts(docs, "text"), BpeNumMerges)
+      Bpe.fertility(docs, "text", learned.vocab, Seq("source", "lang"))
+        .orderBy("source", "lang")
+    }),
+
     // Interpolated bigram LM NLL: corpus-trained KenLM-lite fluency
     // score; first token scores unigram, the rest λ·P(w|v)+(1−λ)·P(w).
     "q79_bigram_nll" -> ((s, dir) => {
@@ -3307,6 +3317,34 @@ object SparkEntry {
          |  array_to_string(flatten(list(syms ORDER BY pos)), ' ') AS bpe_text
          |FROM eseg GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // q116: q82's word→segmentation join rolled straight up to the
+    // (source, lang) slice — tokens per word and chars per token; only
+    // docs with at least one word count toward n_docs.
+    "q116_tokenizer_fertility" -> {
+      val k = BpeNumMerges
+      s"""WITH ${bpeCtesSql(k)},
+         |ftok AS (
+         |  SELECT source, lang, doc_id, t[i] AS word
+         |  FROM (SELECT source, lang, doc_id, string_split(text, ' ') AS t
+         |        FROM documents) _,
+         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) __
+         |  WHERE t[i] <> ''
+         |),
+         |fseg AS (
+         |  SELECT f.source, f.lang, f.doc_id,
+         |    length(f.word)::BIGINT AS chars,
+         |    coalesce(len(v.s), length(f.word))::BIGINT AS toks
+         |  FROM ftok f LEFT JOIN bseg$k v ON f.word = v.word
+         |)
+         |SELECT source, lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens,
+         |  sum(chars)::BIGINT AS n_chars,
+         |  round(sum(toks)::DOUBLE / count(*), 9) AS fertility,
+         |  round(sum(chars)::DOUBLE / sum(toks), 9) AS chars_per_token
+         |FROM fseg GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin
     },
 
     // q79: the per-doc (v, w, c) frame joins the corpus bigram table;

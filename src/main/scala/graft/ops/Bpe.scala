@@ -136,4 +136,53 @@ object Bpe {
         concat_ws(" ", flatten(transform(col("__ordered"), s => s("__syms"))))
           .as("bpe_text"))
   }
+
+  /** Tokenizer fertility report — the standard tokenizer-evaluation
+    * rollup (Ács/Rust et al.: how many subword tokens the tokenizer
+    * spends per word, and how many characters each token carries) per
+    * corpus slice. A slice whose fertility runs hot is one the
+    * tokenizer's merges never learned (under-represented language or
+    * domain — its documents cost proportionally more sequence length
+    * per word at training time); chars-per-token collapsing toward 1
+    * means the slice degrades to character segmentation. Output per
+    * `groupCols` group: (n_docs, n_words, n_tokens, n_chars,
+    * fertility = n_tokens/n_words, chars_per_token = n_chars/n_tokens).
+    * Only documents contributing at least one word count toward
+    * `n_docs`; a group with no words at all yields no row (never 0/0).
+    *
+    * Shape: one tokenize + explode, the word-keyed dictionary join of
+    * [[encode]] (AQE broadcasts vocabulary-sized tables), then ONE
+    * rollup straight to the group key — the per-document reassembly of
+    * [[encode]] (its collect_list and order-restoring sort) is skipped
+    * entirely because only counts survive, so nothing document-sized is
+    * ever buffered. The distinct-doc count rides the same agg as a
+    * count-distinct expansion over the group-keyed shuffle. At 100 TB:
+    * one corpus scan, one word join, one low-cardinality agg. */
+  def fertility(df: DataFrame, textCol: String, vocab: DataFrame,
+                groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val words = df
+      .select(groupCols.map(col) ++ Seq(col("doc_id"),
+        explode_outer(Text.tokens(col(textCol))).as("word")): _*)
+      .filter(col("word").isNotNull && col("word") =!= "")
+    words
+      .join(vocab.select(col("word"), size(col("symbols")).as("__k")),
+        Seq("word"), "left")
+      .select(groupCols.map(col) ++ Seq(col("doc_id"),
+        length(col("word")).cast("long").as("__chars"),
+        // OOV words fall back to character segmentation, same as encode
+        coalesce(col("__k"), length(col("word"))).cast("long")
+          .as("__toks")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"))
+      .select(groupCols.map(col) ++ Seq(col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 9)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 9)
+          .as("chars_per_token")): _*)
+  }
 }

@@ -75,4 +75,37 @@ class BpeSpec extends SparkSpec {
     assert(r(1L) == ((3L, 3L, "abab ab abab")))
     assert(r(2L) == ((2L, 3L, "x y ab")))
   }
+
+  test("fertility: per-slice rollup; OOV chars fallback; wordless docs drop") {
+    val vocab = Seq(
+      ("abab", 1L, Seq("ab", "ab")),
+      ("cd", 1L, Seq("cd"))
+    ).toDF("word", "count", "symbols")
+    val docs = Seq(
+      (1L, "abab cd", "s1"),
+      (2L, "abab xyz", "s2"),      // xyz OOV -> 3 char tokens
+      (3L, "", "s3")               // no words -> no s3 row, doc uncounted
+    ).toDF("doc_id", "text", "source")
+    val r = Bpe.fertility(docs, "text", vocab, Seq("source"))
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("s1") == (("s1", 1L, 2L, 3L, 6L, 1.5, 2.0)))
+    assert(r("s2") == (("s2", 1L, 2L, 5L, 7L, 2.5, 1.4)))
+    assert(!r.contains("s3"))
+  }
+
+  test("fertility law: self-trained vocab means zero OOV — token totals match encode") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val learned = Bpe.learn(Bpe.wordCounts(docs, "text"), 4)
+    val fert = Bpe.fertility(docs, "text", learned.vocab, Seq("source"))
+    val totalFert = fert.agg(sum("n_tokens")).as[Long].collect().head
+    val totalEnc = Bpe.encode(docs, "text", learned.vocab)
+      .agg(sum("n_bpe_tokens")).as[Long].collect().head
+    assert(totalFert == totalEnc)
+    // fertility is bounded by chars-per-word (char split is the floor
+    // segmentation) and at least 1 (a word is at least one token)
+    val bad = fert.filter(col("fertility") < 1.0 ||
+      col("chars_per_token") < 1.0).count()
+    assert(bad == 0L)
+  }
 }
