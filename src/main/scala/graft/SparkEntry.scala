@@ -1593,6 +1593,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Blocklist scrub: the rewrite companion to q112 — listed tokens
+    // removed from the text instead of dropping the document.
+    "q117_blocklist_scrub" -> ((s, dir) => {
+      Text.blocklistScrub(t(s, dir, "documents"), "text", BlockTerms)
+        .orderBy("doc_id")
+    }),
+
     // Weighted exact-N stratified sample (A-ES exponential keys):
     // selection probability ∝ n_chars, i.e. ≈ token-uniform document
     // sampling; keyed-hash deterministic, without replacement.
@@ -2985,6 +2992,19 @@ object SparkEntry {
          |      t -> list_contains($lst, t)))
          |      / len(string_split(text, ' '))::DOUBLE, 9)
          |  END AS blocked_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // q117: q112's membership test driving a rewrite — kept tokens
+    // re-join on single spaces (double-space artifacts at removal
+    // sites are identical in both engines).
+    "q117_blocklist_scrub" -> {
+      val lst = BlockTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  array_to_string(list_filter(string_split(text, ' '),
+         |    t -> NOT list_contains($lst, t)), ' ') AS text,
+         |  len(list_filter(string_split(text, ' '),
+         |    t -> list_contains($lst, t)))::BIGINT AS n_removed
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

@@ -425,6 +425,33 @@ object Text {
           .as("blocked_ratio"))
   }
 
+  /** Blocklist scrub — the REWRITE companion to [[blocklistStats]]:
+    * tokens on the list are removed from the text (the masking policy
+    * some pipelines prefer over C4's whole-document drop, which throws
+    * away every clean sentence around one hit). Returns (doc_id, text,
+    * n_removed) with the scrubbed text under the input column's name,
+    * so the frame drops into any downstream stage unchanged.
+    *
+    * Same contract as the report: exact whitespace-token matching
+    * (normalize/casefold upstream), the list rides into codegen as a
+    * literal array, and the whole operator is MAP-ONLY — one scan, no
+    * join, no shuffle at any scale. Adjacent-separator artifacts are
+    * real (removing a mid-sentence token leaves a double space exactly
+    * like [[maskPii]]'s number scrub) and preserved identically by the
+    * oracle, so the rewrite is bit-reproducible across engines. */
+  def blocklistScrub(df: DataFrame, textCol: String,
+                     terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val lst = typedLit(terms.distinct)
+    // tokens materialized once (the interpreted-HOF re-run trap)
+    df.select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          filter(col("__t"), t => !array_contains(lst, t))).as(textCol),
+        size(filter(col("__t"), t => array_contains(lst, t)))
+          .cast("long").as("n_removed"))
+  }
+
   /** Per-source lexical-diversity profile — the corpus-health numbers
     * (beyond volume) a data card should carry per source: token count,
     * type (distinct-token) count, type-token ratio, and the hapax

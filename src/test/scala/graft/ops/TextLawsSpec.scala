@@ -99,11 +99,15 @@ class TextLawsSpec extends SparkSpec {
       ratio.foreach(r => assert(r >= 0.0 && r <= 1.0))
       assert(ratio.isDefined == (nTok > 0))
     }
-    // removing every listed token from the text zeroes the report
-    val scrubbed = df.select($"doc_id",
-      concat_ws(" ", filter(Text.tokens($"text"),
-        t => !t.isin(terms: _*))).as("text"))
-    Text.blocklistStats(scrubbed, "text", terms)
+    // the scrub operator zeroes the report, and its removal count
+    // matches the report's hit count per document
+    val reported = rows.map(r => r._1 -> r._3).toMap
+    val scrubbed = Text.blocklistScrub(df, "text", terms)
+    scrubbed.as[(Long, String, Long)].collect().foreach {
+      case (id, _, nRemoved) =>
+        assert(nRemoved == reported(id), s"doc $id removed $nRemoved")
+    }
+    Text.blocklistStats(scrubbed.drop("n_removed"), "text", terms)
       .as[(Long, Long, Long, Long, Option[Double])].collect()
       .foreach { case (id, _, nBlk, nTyp, _) =>
         assert(nBlk == 0 && nTyp == 0, s"doc $id still reports hits")

@@ -393,6 +393,19 @@ class TextSpec extends SparkSpec {
     assert(r(4L)._3 == 0L && r(4L)._2 == 1L) // split("") = [""], no hits
   }
 
+  test("blocklistScrub: listed tokens removed under the input column name; separators survive") {
+    val d = Seq(
+      (1L, "good clean text"),
+      (2L, "bad keep bad ugly end"),   // removal leaves adjacent gaps
+      (3L, "badly notbad")             // token-exact: substrings survive
+    ).toDF("doc_id", "text")
+    val r = Text.blocklistScrub(d, "text", Seq("bad", "ugly"))
+      .as[(Long, String, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, "good clean text", 0L)))
+    assert(r(2L) == ((2L, "keep end", 3L)))
+    assert(r(3L) == ((3L, "badly notbad", 0L)))
+  }
+
   test("lexicalDiversity: type/token/hapax math per source; repeated types counted once") {
     val d = Seq(
       (1L, "a b a c", "s1"),   // tokens: a,b,a,c
