@@ -288,6 +288,11 @@ object SparkEntry {
     * cluster pairs stay ~N²/k, and the fixture's within-cluster cosine
     * p99 ≈ 0.32 makes the CosTau gate drop a real minority. */
   val SemClusters = 8L
+  /** q118 cluster-balanced sample: 20 per cluster over the q73
+    * centroids — the fixture's ~62-vector clusters downsample ~3× while
+    * any sparse cluster survives whole, so both branches are live. */
+  val ClusterSampleN = 20
+  val ClusterSampleSalt = "q118"
   /** Winnowing fingerprint parameters (k-gram size, window). */
   val FpK = 4
   val FpW = 4
@@ -1300,6 +1305,19 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Dedup.semanticDedup(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < SemClusters), CosTau)
+        .orderBy("vec_id")
+    }),
+
+    // Cluster-balanced sample: q73's centroid assignment driving an
+    // exact per-cluster hash-priority budget — uniform over semantic
+    // regions, not over documents.
+    "q118_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Sampling.sampleBalanced(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < SemClusters), ClusterSampleN,
+          ClusterSampleSalt)
+        .select(col("vec_id"), col("label"), col("cluster"),
+          col("cos_centroid"), col("sample_rank"))
         .orderBy("vec_id")
     }),
 
@@ -2607,6 +2625,35 @@ object SparkEntry {
          |SELECT s.vec_id, s.cluster, s.cos_centroid
          |FROM a1 s WHERE s.vec_id NOT IN (SELECT vec_id FROM dom)
          |ORDER BY s.vec_id""".stripMargin,
+
+    // q118: q73's assignment CTEs, then a per-cluster hash-priority
+    // row_number with the same (hash, id) ordering as sampleN.
+    "q118_cluster_sample" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |cen AS (SELECT vec_id AS cid, v AS cv FROM ev
+         |        WHERE vec_id < $SemClusters),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |              round(${cosSql("e.v", "c.cv")}, 9) AS cos
+         |       FROM ev e CROSS JOIN cen c),
+         |a1 AS (SELECT vec_id, cid AS cluster, cos AS cos_centroid FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY cos DESC, cid ASC) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |r AS (SELECT vec_id, cluster, cos_centroid,
+         |        row_number() OVER (PARTITION BY cluster
+         |          ORDER BY ${Portable.sqlHash("vec_id",
+                      s"'$ClusterSampleSalt'")}, vec_id)::BIGINT
+         |          AS sample_rank
+         |      FROM a1)
+         |SELECT e.vec_id, e.label, r.cluster, r.cos_centroid,
+         |       r.sample_rank
+         |FROM embeddings e JOIN r USING (vec_id)
+         |WHERE r.sample_rank <= $ClusterSampleN
+         |ORDER BY e.vec_id""".stripMargin,
 
     "q24_token_stats" ->
       s"""SELECT doc_id,

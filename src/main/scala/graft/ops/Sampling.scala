@@ -443,4 +443,40 @@ object Sampling {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         round(coalesce(col("__s"), lit(0.0)), 9).as("dsir_score"))
   }
+
+  /** Cluster-balanced exact-N sample: assign every vector to its
+    * nearest centroid ([[Dedup.semanticAssign]] — argmax cosine,
+    * deterministic tie-break), then keep the n hash-priority winners
+    * PER CLUSTER — the diversity-preserving subsample (uniform over
+    * semantic regions rather than over documents, so a corpus that is
+    * 90% one topic no longer yields a 90%-one-topic sample; the
+    * embedding-space twin of [[sampleN]]'s per-source stratification).
+    * Dense clusters are downsampled hard, sparse ones survive whole —
+    * the same rebalancing SemDeDup achieves by deletion, here achieved
+    * by selection with an exact per-cluster budget.
+    *
+    * Returns the input columns plus (cluster, cos_centroid,
+    * sample_rank ≤ n). Deterministic: the draw is a keyed hash of
+    * (id, salt), so the sample is a pure function of the inputs.
+    *
+    * Shape: one broadcast-centroid assignment pass (map-side cross
+    * join + max_by agg, nothing pairwise), one window rank over the
+    * NARROW (id, cluster, cos) frame — the per-cluster sort never
+    * carries vectors or payload — and one id-keyed join back to the
+    * input for the survivors' payload. k (centroid count) is the
+    * caller's parallelism lever exactly as in [[Dedup.semanticDedup]]. */
+  def sampleBalanced(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, n: Int, salt: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val assign = Dedup
+      .semanticAssign(df.select(col(idCol), col(vecCol)), idCol, vecCol,
+        centroids)
+      .select(col(idCol), col("cluster"), col("cos_centroid"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(Portable.seededHash(col(idCol), lit(salt)), col(idCol))
+    val kept = assign
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+    df.join(kept, Seq(idCol))
+  }
 }

@@ -322,4 +322,29 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(again.sameElements(r1.map(_._1)))
   }
+
+  test("sampleBalanced: exact per-cluster budget; sparse cluster survives whole") {
+    // two well-separated directions: ids 1-5 hug (1,0), ids 6-7 hug (0,1)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(1.0f, 0.1f)),
+      (4L, Seq(0.8f, 0.0f)), (5L, Seq(0.9f, 0.0f)),
+      (6L, Seq(0.0f, 1.0f)), (7L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val cen = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Sampling.sampleBalanced(vecs, "vec_id", "embedding", cen, 3, "t")
+      .select("vec_id", "cluster", "sample_rank")
+      .as[(Long, Long, Long)].collect()
+    val byCluster = r.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // dense cluster cut to exactly 3, sparse cluster kept whole
+    assert(byCluster(100L).size == 3 &&
+      byCluster(100L).subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+    assert(byCluster(200L) == Set(6L, 7L))
+    assert(r.forall(_._3 <= 3L))
+    // deterministic: pure function of (id, salt)
+    val again = Sampling
+      .sampleBalanced(vecs, "vec_id", "embedding", cen, 3, "t")
+      .select("vec_id").as[Long].collect().sorted
+    assert(again.sameElements(r.map(_._1).sorted))
+  }
 }
