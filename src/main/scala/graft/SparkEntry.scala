@@ -127,6 +127,12 @@ object SparkEntry {
   /** q55 posting-list prune bound — far above any fixture shingle's
     * document frequency, so the exact-Jaccard join prunes nothing. */
   val JaccardMaxDf = 100000L
+  /** q119 audit threshold: the fixture's pair similarity is bimodal
+    * (background mass under 0.1, planted near-dups above 0.9), so the
+    * audit runs at a tau low enough to see BOTH ends of the banding
+    * S-curve — the bottom band where (4,4)-banding recalls ~nothing
+    * and the top band where it recalls everything. */
+  val LshAuditTau = 0.01
   /** q56 keywords per document. */
   val TopKeywordsK = 3
   /** q58 repetition-stats n-gram size (Gopher's duplication filters use
@@ -1189,6 +1195,14 @@ object SparkEntry {
       Dedup.jaccardPairsExact(shingled(s, dir), "doc_id", JaccardTau,
         JaccardMaxDf)
         .orderBy("id_a", "id_b")
+    }),
+
+    // LSH recall audit: q20's banding vs q55's exact ground truth, the
+    // empirical recall S-curve per jaccard decile.
+    "q119_lsh_recall" -> ((s, dir) => {
+      Dedup.lshRecallReport(shingled(s, dir), "doc_id", NumPerms,
+        LshBands, LshRows, LshAuditTau, JaccardMaxDf)
+        .orderBy("sim_band")
     }),
 
     // Near-dedup applied: corpus minus LSH-found near-duplicates
@@ -2430,6 +2444,42 @@ object SparkEntry {
          |           JOIN sz sb ON inter.id_b = sb.doc_id
          |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 9) >= $JaccardTau
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q119: q55's exact pairs LEFT JOIN q20's LSH-verified pairs,
+    // rolled up per jaccard decile — the empirical banding-recall
+    // curve (identical double math, so the band floor agrees).
+    "q119_lsh_recall" ->
+      s"""$lshJacSqlCte,
+         |lshp AS (SELECT id_a AS fa, id_b AS fb, 1 AS hit FROM jac
+         |         WHERE jaccard >= $LshAuditTau),
+         |posts AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |),
+         |keep AS (
+         |  SELECT s FROM posts GROUP BY s HAVING count(*) <= $JaccardMaxDf
+         |),
+         |p AS (
+         |  SELECT posts.doc_id, posts.s FROM posts JOIN keep USING (s)
+         |),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
+         |ex AS (
+         |  SELECT id_a, id_b,
+         |    round(i::DOUBLE / (sa.sz + sb.sz - i), 9) AS jaccard
+         |  FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+         |             JOIN sz sb ON inter.id_b = sb.doc_id
+         |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 9) >= $LshAuditTau
+         |)
+         |SELECT floor(ex.jaccard * 10)::BIGINT AS sim_band,
+         |  count(*)::BIGINT AS n_true,
+         |  count(l.hit)::BIGINT AS n_found,
+         |  round(count(l.hit)::DOUBLE / count(*), 9) AS recall
+         |FROM ex LEFT JOIN lshp l ON ex.id_a = l.fa AND ex.id_b = l.fb
+         |GROUP BY sim_band ORDER BY sim_band""".stripMargin,
 
     // q43: anti-join against the larger ids of the verified near-pairs
     // (id_a < id_b in jac, so id_b is always the drop candidate).

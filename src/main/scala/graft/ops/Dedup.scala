@@ -280,6 +280,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash-LSH recall audit against the exact-Jaccard ground truth —
+    * per similarity band, how many true near-pairs the banding scheme
+    * recovered. Banding recall is an S-curve in the similarity
+    * (P[candidate] = 1 − (1 − j^r)^b), so a scalar recall hides exactly
+    * the borderline-τ band where pairs go missing; this report shows
+    * the curve empirically, which is how a production dedup tunes
+    * (bands, rowsPerBand) before trusting the LSH path at scale.
+    * Output: (sim_band = ⌊jaccard·10⌋, n_true, n_found, recall) —
+    * LSH-verified pairs are a subset of the exact pairs whenever
+    * `maxDf` prunes nothing, so recall ≤ 1 per band by construction.
+    *
+    * Shape: the shingle frame materializes once behind a [[Barrier]]
+    * (EAGER, the multi-read convention) and feeds three consumers: the
+    * exact posting-list join ([[jaccardPairsExact]] — the expensive
+    * side, which is why this is an AUDIT run on a sample or at
+    * commissioning time, not a steady-state pipeline stage), the
+    * signature pass, and the candidate verify. Everything downstream of
+    * the pair frames is pair-keyed and band-bucketed; the final rollup
+    * is 11 rows. */
+  def lshRecallReport(shingled: DataFrame, idCol: String, numPerms: Int,
+                      bands: Int, rpb: Int, tau: Double,
+                      maxDf: Long): DataFrame = {
+    val sh = Barrier.cut(shingled)
+    val exact = jaccardPairsExact(sh, idCol, tau, maxDf)
+    val found = jaccardVerify(
+        lshCandidatePairs(lshBands(
+          minhashSignatures(sh, idCol, numPerms), idCol, bands, rpb),
+          idCol),
+        sh, idCol, tau)
+      .select(col("id_a").as("__fa"), col("id_b").as("__fb"),
+        lit(1L).as("__hit"))
+    exact
+      .join(found, col("id_a") === col("__fa") &&
+        col("id_b") === col("__fb"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("sim_band"))
+      .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
+      .select(col("sim_band"), col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_true"), 9)
+          .as("recall"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * `minShared` distinct n-gram shingles with ANY eval-set document —
     * the standard pre-training hygiene step (eval answers leaking into

@@ -518,4 +518,32 @@ class DedupSpec extends SparkSpec {
     // output schema: the internal hash column never leaks
     assert(none.columns.sameElements(batch.columns))
   }
+
+  test("lshRecallReport: found ≤ true per band; totals match the pair frames") {
+    val fix = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val sh = fix.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val tau = 0.3
+    val r = Dedup.lshRecallReport(sh, "doc_id", numPerms = 16,
+        bands = 4, rpb = 4, tau = tau, maxDf = 100000L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (band, nTrue, nFound, recall) =>
+      assert(band >= 3L && band <= 10L, s"band $band below tau")
+      assert(nFound <= nTrue, s"band $band: $nFound > $nTrue")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the report's totals are exactly the two pair frames' counts
+    val nExact = Dedup.jaccardPairsExact(sh, "doc_id", tau, 100000L).count()
+    val nLsh = Dedup.jaccardVerify(
+      Dedup.lshCandidatePairs(Dedup.lshBands(
+        Dedup.minhashSignatures(sh, "doc_id", 16), "doc_id", 4, 4),
+        "doc_id"), sh, "doc_id", tau).count()
+    assert(r.map(_._2).sum == nExact)
+    assert(r.map(_._3).sum == nLsh)
+    // banding recall is monotone-ish in similarity: the top band never
+    // recalls worse than the bottom band on this fixture
+    val byBand = r.sortBy(_._1)
+    assert(byBand.last._4 >= byBand.head._4)
+  }
 }
