@@ -127,6 +127,19 @@ object SparkEntry {
   /** q55 posting-list prune bound — far above any fixture shingle's
     * document frequency, so the exact-Jaccard join prunes nothing. */
   val JaccardMaxDf = 100000L
+  /** q120 containment acceptance threshold. Containment ≥ Jaccard for
+    * every pair, so at the same 0.5 the containment join returns a
+    * superset of q55's pairs — the delta IS the subset-duplication
+    * signal the asymmetric score exists to find. */
+  val ContainTau = 0.5
+  /** q121 count–min sketch: depth 3 × width 64 against the fixture's
+    * ~40-term vocabulary forces real counter collisions, so the audit's
+    * overestimate column is non-trivially positive while the est ≥
+    * exact law still holds row-for-row. */
+  val CmsDepth = 3
+  val CmsWidth = 64
+  val CmsMinCount = 10L
+  val CmsSalt = "q121"
   /** q119 audit threshold: the fixture's pair similarity is bimodal
     * (background mass under 0.1, planted near-dups above 0.9), so the
     * audit runs at a tau low enough to see BOTH ends of the banding
@@ -1195,6 +1208,26 @@ object SparkEntry {
       Dedup.jaccardPairsExact(shingled(s, dir), "doc_id", JaccardTau,
         JaccardMaxDf)
         .orderBy("id_a", "id_b")
+    }),
+
+    // EXACT n-gram CONTAINMENT pairs — q55's asymmetric sibling:
+    // |A∩B| / min(|A|,|B|) finds subset duplication (a short doc
+    // quoted whole inside a long one) that Jaccard's union
+    // denominator dilutes away.
+    "q120_containment_pairs" -> ((s, dir) => {
+      Dedup.containmentPairsExact(shingled(s, dir), "doc_id", ContainTau,
+        JaccardMaxDf)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Count–min sketch heavy-hitter audit: every token with true
+    // frequency >= CmsMinCount, exact count vs sketch estimate —
+    // the one-sided (est >= exact) commissioning report for the
+    // bounded-state frequency path.
+    "q121_cms_audit" -> ((s, dir) => {
+      Sketch.heavyHitterAudit(t(s, dir, "documents"), "text",
+        CmsDepth, CmsWidth, CmsMinCount, CmsSalt)
+        .orderBy("token")
     }),
 
     // LSH recall audit: q20's banding vs q55's exact ground truth, the
@@ -2444,6 +2477,65 @@ object SparkEntry {
          |           JOIN sz sb ON inter.id_b = sb.doc_id
          |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 9) >= $JaccardTau
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q120: q55's posting-list join with the min-size denominator —
+    // identical CTE chain, asymmetric final scalar.
+    "q120_containment_pairs" ->
+      s"""$shingleSqlCte,
+         |posts AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |),
+         |keep AS (
+         |  SELECT s FROM posts GROUP BY s HAVING count(*) <= $JaccardMaxDf
+         |),
+         |p AS (
+         |  SELECT posts.doc_id, posts.s FROM posts JOIN keep USING (s)
+         |),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id)
+         |SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  round(i::DOUBLE / least(sa.sz, sb.sz), 9) AS containment
+         |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+         |           JOIN sz sb ON inter.id_b = sb.doc_id
+         |WHERE round(i::DOUBLE / least(sa.sz, sb.sz), 9) >= $ContainTau
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q121: the identical CMS table (portable keyed hash per (salt, r,
+    // token)), exact counts as the candidate set, min-over-rows
+    // estimates.
+    "q121_cms_audit" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |),
+         |rs AS (SELECT unnest(range(0, $CmsDepth)) AS r),
+         |sk AS (
+         |  SELECT r, ${Portable.sqlHash(s"'$CmsSalt'", "r", "w")}
+         |           % $CmsWidth AS c,
+         |         count(*)::BIGINT AS cnt
+         |  FROM tok CROSS JOIN rs GROUP BY 1, 2
+         |),
+         |exact AS (
+         |  SELECT w AS token, count(*)::BIGINT AS exact FROM tok
+         |  GROUP BY w HAVING count(*) >= $CmsMinCount
+         |),
+         |cells AS (
+         |  SELECT e.token, rs.r,
+         |    ${Portable.sqlHash(s"'$CmsSalt'", "rs.r", "e.token")}
+         |      % $CmsWidth AS c
+         |  FROM exact e CROSS JOIN rs
+         |),
+         |est AS (
+         |  SELECT token, min(coalesce(sk.cnt, 0))::BIGINT AS est
+         |  FROM cells LEFT JOIN sk ON cells.r = sk.r AND cells.c = sk.c
+         |  GROUP BY token
+         |)
+         |SELECT token, exact, est, est - exact AS overestimate
+         |FROM exact JOIN est USING (token)
+         |ORDER BY token""".stripMargin,
 
     // q119: q55's exact pairs LEFT JOIN q20's LSH-verified pairs,
     // rolled up per jaccard decile — the empirical banding-recall

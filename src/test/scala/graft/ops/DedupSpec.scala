@@ -321,6 +321,34 @@ class DedupSpec extends SparkSpec {
     assert(restricted == Set((1L, 2L, math.round(1.0 / 3 * 1e9) / 1e9)))
   }
 
+  test("containmentPairsExact: finds subset duplication jaccard dilutes; >= jaccard law") {
+    // doc 2's shingle set is a strict subset of doc 1's: containment
+    // 1.0, jaccard |B|/|A| — the asymmetric score's reason to exist
+    val subset = Seq(
+      (1L, Seq("a a a", "b b b", "c c c", "d d d", "e e e",
+               "f f f", "g g g", "h h h", "i i i", "j j j")),
+      (2L, Seq("a a a", "b b b")),
+      (3L, Seq("z z z"))
+    ).toDF("doc_id", "shingles")
+    val cont = Dedup.containmentPairsExact(subset, "doc_id", 0.9, 1000L)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(cont == Set((1L, 2L, 10L, 2L, 1.0)))
+    // the same pair at jaccard scoring: 2/10 = 0.2, invisible at tau 0.9
+    assert(Dedup.jaccardPairsExact(subset, "doc_id", 0.9, 1000L).count() == 0)
+    // law on the shared fixture: for every pair both joins emit,
+    // containment >= jaccard (min-size denominator <= union size)
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    val j = Dedup.jaccardPairsExact(sh, "doc_id", 0.0 + 1e-9, 1000L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val c = Dedup.containmentPairsExact(sh, "doc_id", 0.0 + 1e-9, 1000L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map { case (a, b, _, _, s) => (a, b) -> s }.toMap
+    assert(j.keySet == c.keySet && j.nonEmpty)
+    j.foreach { case (k, js) => assert(c(k) >= js - 1e-12) }
+  }
+
   test("semanticAssign: argmax-cosine cluster, ties to the smaller centroid") {
     val vecs = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),       // the two centroids
