@@ -282,6 +282,16 @@ object SparkEntry {
   /** q67 packing: 128-token training sequences over 4 hash shards. */
   val PackSeqTokens = 128
   val PackShards = 4
+  /** q122 no-split packing: the cap sits inside the fixture's token-
+    * length range, so full bins, multi-doc bins and oversized-doc
+    * overflow bins all occur. */
+  val PackWholeCap = 120L
+  val PackWholeSalt = "q122"
+  /** q123 length buckets: 8..64 against token lengths ~20..90 keeps
+    * every branch live — small-doc clamp-up, mid buckets, and >max
+    * overflow. */
+  val LenMinBucket = 8
+  val LenMaxBucket = 64
   /** q68 incremental dedup: docs below the split are the "historical
     * corpus", the rest are the incoming batch. */
   val IncrementalSplitId = 250L
@@ -1488,6 +1498,24 @@ object SparkEntry {
       Sampling.pack(t(s, dir, "documents"), "doc_id", "text",
         PackSeqTokens, PackShards, "pack")
         .orderBy("shard", "seq_idx")
+    }),
+
+    // NO-SPLIT greedy packing: q67's document-integrity alternative —
+    // whole docs first-fit into fixed-capacity bins in keyed-hash
+    // order, oversized docs in bins of their own.
+    "q122_pack_whole" -> ((s, dir) => {
+      Sampling.packWhole(t(s, dir, "documents"), "doc_id", "text",
+        PackWholeCap, PackShards, PackWholeSalt)
+        .orderBy("shard", "bin_idx", "pos_in_bin")
+    }),
+
+    // Length-bucketed batching audit: per power-of-two capacity
+    // bucket, the docs/tokens/padding/overflow a dynamic-batching
+    // loader would pay — the report that prices q67 vs q122 policies.
+    "q123_length_buckets" -> ((s, dir) => {
+      Text.lengthBuckets(t(s, dir, "documents"), "text",
+        LenMinBucket, LenMaxBucket)
+        .orderBy("bucket")
     }),
 
     // End-to-end corpus curation under the oracle: the COMPOSED funnel
@@ -2984,6 +3012,60 @@ object SparkEntry {
     // 1-based inclusive slices cut the parts, string_agg in offset
     // order reassembles.
     "q67_pack_sequences" -> s"WITH ${packTailSql("documents")}",
+
+    // q122: the greedy first-fit scan replayed as a recursive CTE —
+    // each recursion step advances every shard by one doc in the same
+    // (priority-hash, id) order the engine's sorted-group iterator
+    // walks.
+    "q122_pack_whole" ->
+      s"""WITH RECURSIVE pw AS (
+         |  SELECT doc_id,
+         |    ${Portable.sqlHash("doc_id", s"'$PackWholeSalt'")}
+         |      % $PackShards AS shard,
+         |    ${Portable.sqlHash(s"'$PackWholeSalt|pr'", "doc_id")} AS pr,
+         |    len(string_split(text, ' '))::BIGINT AS n
+         |  FROM documents
+         |),
+         |po AS (
+         |  SELECT shard, doc_id, n,
+         |    row_number() OVER (PARTITION BY shard ORDER BY pr, doc_id)
+         |      AS rn
+         |  FROM pw
+         |),
+         |rec AS (
+         |  SELECT shard, rn, doc_id, n, 0::BIGINT AS bin, n AS fill,
+         |    0::BIGINT AS pos
+         |  FROM po WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.n,
+         |    CASE WHEN r.fill + o.n <= $PackWholeCap THEN r.bin
+         |         ELSE r.bin + 1 END,
+         |    CASE WHEN r.fill + o.n <= $PackWholeCap THEN r.fill + o.n
+         |         ELSE o.n END,
+         |    CASE WHEN r.fill + o.n <= $PackWholeCap THEN r.pos + 1
+         |         ELSE 0 END
+         |  FROM rec r JOIN po o ON o.shard = r.shard AND o.rn = r.rn + 1
+         |)
+         |SELECT shard, bin AS bin_idx, pos AS pos_in_bin, doc_id,
+         |  n AS n_tokens
+         |FROM rec ORDER BY shard, bin_idx, pos_in_bin""".stripMargin,
+
+    // q123: the identical CASE chain over the shared bucket constant
+    // list.
+    "q123_length_buckets" -> {
+      val bs = Text.lengthBucketList(LenMinBucket, LenMaxBucket)
+      val bucketCase = "CASE " +
+        bs.init.map(b => s"WHEN n <= $b THEN ${b}").mkString(" ") +
+        s" ELSE ${bs.last} END"
+      s"""WITH d AS (
+         |  SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents
+         |),
+         |b AS (SELECT ($bucketCase)::BIGINT AS bucket, n FROM d)
+         |SELECT bucket, count(*)::BIGINT AS docs, sum(n)::BIGINT AS tokens,
+         |  sum(bucket - least(n, $LenMaxBucket))::BIGINT AS padding,
+         |  sum(greatest(n - $LenMaxBucket, 0))::BIGINT AS overflow
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     // q62: the WHOLE curation funnel as one CTE chain — each stage is
     // the already-proven per-stage oracle form (normalize q46, langid

@@ -324,6 +324,58 @@ object Sampling {
           .as("seq"))
   }
 
+  /** NO-SPLIT greedy packing — the document-integrity alternative to
+    * [[pack]]: documents fill fixed-capacity bins first-fit in keyed-
+    * hash order, and a document is never cut across bins. [[pack]]
+    * (GPT-2 concat style) wastes zero tokens but lets a sequence open
+    * mid-document — attention then trains across unrelated context
+    * unless the loader masks it; this form trades padding waste for
+    * whole documents per bin, the shape instruction-tuning and
+    * long-context curricula want. A document longer than `capTokens`
+    * gets a bin of its own (callers chunk upstream — [[Text.chunk]] —
+    * if overflow bins are unacceptable; the audit column is `n_tokens`
+    * vs the cap).
+    *
+    * Output: (shard, bin_idx, pos_in_bin, doc_id, n_tokens) — the
+    * assignment table a loader joins back to fetch text.
+    *
+    * Greedy fill is inherently sequential (bin of doc k depends on all
+    * docs before it), so this is the library's one honest
+    * `flatMapSortedGroups` operator: parallelism ∝ `shards` exactly
+    * like [[pack]]'s documented caveat — size shards so a shard's DOC
+    * COUNT fits a task (only (id, n) pairs stream through the group
+    * iterator, never text, so a shard of millions of docs is a few MB).
+    * Shuffle: one shard-keyed exchange carrying ~24 bytes/doc.
+    * Determinism: shard and order are both [[Portable]] keyed hashes of
+    * the id, so the packing is bit-stable across runs, partitionings
+    * and engines (the DuckDB oracle replays the greedy scan as a
+    * recursive CTE). */
+  def packWhole(df: DataFrame, idCol: String, textCol: String,
+                capTokens: Long, shards: Int, salt: String): DataFrame = {
+    require(capTokens >= 1, s"capTokens must be >= 1, got $capTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      pmod(Portable.seededHash(col(idCol), lit(salt)), lit(shards.toLong))
+        .as("shard"),
+      Portable.seededHash(lit(salt + "|pr"), col(idCol)).as("pr"),
+      size(Text.tokens(col(textCol))).cast("long").as("n"))
+    base.as[(Long, Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups(col("pr"), col("id")) { (shard, it) =>
+        var bin = 0L; var fill = 0L; var pos = 0L; var first = true
+        it.map { case (id, _, _, n) =>
+          if (first) { first = false; bin = 0L; fill = n; pos = 0L }
+          else if (fill + n <= capTokens) { fill += n; pos += 1 }
+          else { bin += 1; fill = n; pos = 0 }
+          (shard, bin, pos, id, n)
+        }
+      }
+      .toDF("shard", "bin_idx", "pos_in_bin", "doc_id", "n_tokens")
+  }
+
   /** [[tokenBudget]] with the per-source sort bound removed — the
     * [[Events.asofJoinBucketed]] trick applied to a running total.
     * Documents bucket by the TOP bits of the priority hash (monotone

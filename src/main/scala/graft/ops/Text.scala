@@ -267,6 +267,51 @@ object Text {
         round(col("n_oov") / col("n_tokens"), 9).as("oov_ratio"))
   }
 
+  /** Length-bucketed batching audit: documents bucket to the smallest
+    * power-of-two capacity ≥ their token count (clamped to
+    * [minBucket, maxBucket]), and the report prices each bucket's
+    * padding — the waste a dynamic-batching loader pays when every
+    * sequence in a batch pads to the bucket capacity. Tokens beyond
+    * `maxBucket` are `overflow` (what the loader truncates or
+    * [[chunk]] must split upstream). Output per bucket:
+    * (bucket, docs, tokens, padding, overflow) with
+    * padding = Σ (bucket − min(n, maxBucket)).
+    *
+    * Together with [[graft.ops.Sampling.pack]] (zero waste, split
+    * docs) and [[graft.ops.Sampling.packWhole]] (whole docs, padded
+    * bins) this completes the batching-policy triangle: this report is
+    * how the three are compared on a real corpus before choosing.
+    *
+    * Scale shape: the bucket is a chained CASE over ~log2(max/min)
+    * constants — map-only, codegen'd, no lambda; the rollup's key
+    * space IS those constants, so the shuffle is at most a dozen rows
+    * per map task. */
+  def lengthBuckets(df: DataFrame, textCol: String,
+                    minBucket: Int, maxBucket: Int): DataFrame = {
+    val bs = lengthBucketList(minBucket, maxBucket)
+    val n = size(tokens(col(textCol))).cast("long")
+    val bucket = bs.init.foldRight(lit(bs.last.toLong): Column) {
+      (b, rest) => when(n <= b, lit(b.toLong)).otherwise(rest)
+    }
+    df.select(bucket.as("bucket"), n.as("__n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("__n")).as("tokens"),
+        sum(col("bucket") - least(col("__n"), lit(maxBucket.toLong)))
+          .as("padding"),
+        sum(greatest(col("__n") - maxBucket, lit(0L))).as("overflow"))
+  }
+
+  /** The power-of-two capacities [[lengthBuckets]] buckets into —
+    * shared with the oracle generator so both engines case over the
+    * identical constant list. */
+  def lengthBucketList(minBucket: Int, maxBucket: Int): Seq[Int] = {
+    require(minBucket >= 1 && maxBucket >= minBucket,
+      s"need 1 <= minBucket <= maxBucket, got $minBucket, $maxBucket")
+    Iterator.iterate(minBucket)(_ * 2).takeWhile(_ < maxBucket).toSeq :+
+      maxBucket
+  }
+
   /** Per-group percentile calibration of a score column — SQL
     * `percent_rank() OVER (PARTITION BY group ORDER BY score)` with
     * identical tie semantics, so scores from sources with different

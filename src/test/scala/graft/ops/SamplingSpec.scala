@@ -194,6 +194,62 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("packWhole: docs never split, bins never overfill, oversized docs isolated") {
+    val big = (1L to 100L).map { i =>
+      // lengths 1..20, plus two oversized (> cap 16) docs
+      val n = if (i == 7L || i == 42L) 25 else (i % 20 + 1).toInt
+      (i, Seq.fill(n)(s"w$i").mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val r = Sampling.packWhole(big, "doc_id", "text", 16L, 4, "t")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // every doc assigned exactly once, token counts preserved
+    assert(r.map(_._4).sorted.toSeq == (1L to 100L).toSeq)
+    val nByDoc = r.map(x => x._4 -> x._5).toMap
+    assert(nByDoc(7L) == 25L && nByDoc(42L) == 25L)
+    // a bin's fill exceeds the cap ONLY as a single oversized doc
+    r.groupBy(x => (x._1, x._2)).foreach { case (bin, rows) =>
+      val fill = rows.map(_._5).sum
+      assert(fill <= 16L || rows.length == 1, s"bin $bin overfilled: $rows")
+    }
+    // bin indices contiguous from 0 per shard; positions contiguous per bin
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val bins = rows.map(_._2).distinct.sorted
+      assert(bins.sameElements(0L until bins.length))
+    }
+    r.groupBy(x => (x._1, x._2)).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(0L until rows.length))
+    }
+    // deterministic under a different input partitioning
+    val again = Sampling
+      .packWhole(big.repartition(13), "doc_id", "text", 16L, 4, "t")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(x => (x._1, x._2, x._3)).toSeq ==
+      r.sortBy(x => (x._1, x._2, x._3)).toSeq)
+  }
+
+  test("packWhole: greedy first-fit order is the keyed-hash priority order") {
+    // single shard, cap 10: replay the greedy scan in the host and
+    // compare bin-for-bin
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill((i % 6 + 1).toInt)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Sampling.packWhole(docs, "doc_id", "text", 10L, 1, "t")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(x => (x._2, x._3))
+    val pr = docs.select(col("doc_id"),
+        graft.ops.Portable.seededHash(lit("t|pr"), col("doc_id")).as("pr"))
+      .as[(Long, Long)].collect().toMap
+    val ordered = (1L to 30L).sortBy(i => (pr(i), i))
+    var bin = 0L; var fill = 0L
+    val expect = ordered.map { i =>
+      val n = (i % 6 + 1).toLong
+      if (fill == 0L || fill + n > 10L) { bin = if (fill == 0L) 0L else bin + 1; fill = n }
+      else fill += n
+      i -> bin
+    }.toMap
+    r.foreach { case (_, b, _, id, _) => assert(b == expect(id), s"doc $id") }
+  }
+
   test("tokenBudgetBucketed: law holds on a larger random-ish corpus") {
     // 200 docs, 5 sources, varying lengths — exercises bucket boundaries
     val big = (1L to 200L).map { i =>

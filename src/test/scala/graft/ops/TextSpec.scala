@@ -424,4 +424,24 @@ class TextSpec extends SparkSpec {
     assert(s2._2 == 1 && s2._3 == 3 && s2._4 == 1 && s2._6 == 0)
     assert(s2._7 == 0.0)
   }
+
+  test("lengthBuckets: pow2 clamp, padding/overflow math, token conservation") {
+    assert(Text.lengthBucketList(8, 64) == Seq(8, 16, 32, 64))
+    assert(Text.lengthBucketList(16, 16) == Seq(16))
+    val d = Seq(
+      (1L, Seq.fill(3)("w").mkString(" ")),   // n=3  -> bucket 8, pad 5
+      (2L, Seq.fill(8)("w").mkString(" ")),   // n=8  -> bucket 8, pad 0
+      (3L, Seq.fill(9)("w").mkString(" ")),   // n=9  -> bucket 16, pad 7
+      (4L, Seq.fill(40)("w").mkString(" ")),  // n=40 -> bucket 64, pad 24
+      (5L, Seq.fill(70)("w").mkString(" "))   // n=70 -> bucket 64, overflow 6
+    ).toDF("doc_id", "text")
+    val r = Text.lengthBuckets(d, "text", 8, 64)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(8L) == ((8L, 2L, 11L, 5L, 0L)))
+    assert(r(16L) == ((16L, 1L, 9L, 7L, 0L)))
+    assert(r(64L) == ((64L, 2L, 110L, 24L, 6L)))
+    // conservation: report tokens sum to the corpus token count
+    assert(r.values.map(_._3).sum == 3L + 8 + 9 + 40 + 70)
+  }
 }
