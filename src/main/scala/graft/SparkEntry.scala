@@ -1349,6 +1349,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Streaming near-dedup gate, batch-twin form: odd-id docs arrive
+    // as the "stream", even-id docs are the stored SimHash index —
+    // survivors are arrivals with no index fingerprint within
+    // MaxHamming. The same function runs on a readStream frame
+    // (StreamOpsSpec drives it); with MaxHamming < SimHashBands the
+    // band join is exhaustive by pigeonhole, so the oracle's
+    // brute-force min-hamming form is exact.
+    "q124_near_dedup_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.simhashes(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      StreamOps.dedupNearStreamAgainst(
+          docs.filter(col("doc_id") % 2 === 1), "text", idx, MaxHamming)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup pairs via SRP buckets.
     "q23_embed_near_pairs" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -2757,6 +2774,18 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, hamming FROM cand
          |WHERE hamming <= $MaxHamming ORDER BY id_a, id_b""".stripMargin,
+
+    // q124: odd-id survivors by brute-force min hamming vs the even-id
+    // fingerprints — exact because MaxHamming < SimHashBands makes the
+    // engine's band join exhaustive (pigeonhole).
+    "q124_near_dedup_stream" ->
+      s"""$simhashSqlCte
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN sim s USING (doc_id)
+         |WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+         |  SELECT 1 FROM sim c WHERE c.doc_id % 2 = 0
+         |    AND bit_count(xor(s.simhash, c.simhash)) <= $MaxHamming)
+         |ORDER BY doc_id""".stripMargin,
 
     "q23_embed_near_pairs" ->
       s"""$srpSqlCte

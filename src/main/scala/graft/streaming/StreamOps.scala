@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -107,6 +107,63 @@ object StreamOps {
                          existingHashes: DataFrame): DataFrame =
     docs.withColumn("content_hash", md5(col(contentCol).cast("binary")))
       .join(existingHashes, Seq("content_hash"), "left_anti")
+
+  /** Streaming NEAR-dedup against a static corpus — the SimHash twin
+    * of [[dedupStreamAgainst]]: drop stream rows whose fingerprint
+    * lies within Hamming `maxHam` of any corpus fingerprint.
+    * `corpusSims` is the stored index frame
+    * ([[graft.ops.Dedup.simhashes]]'s (id, simhash) output at rest).
+    *
+    * Shape — stateless per micro-batch, like every gate in
+    * [[curateStream]]: the static side pre-groups into
+    * (band, band_value) → fingerprint-array buckets (15-bit bands
+    * bound bucket counts at 4 × 32768; RefinedWeb-scale corpora
+    * average a handful of fingerprints per bucket); each stream row
+    * computes its own SimHash per-row (the [[graft.ops.Text.simhash]]
+    * HOF form — interpreted, the price of statelessness; the
+    * relational [[graft.ops.Dedup.simhashes]] needs a groupBy no
+    * append-mode stream can run) and LEFT-joins one bucket per band.
+    * A row survives iff NO joined bucket holds a fingerprint within
+    * `maxHam` — by pigeonhole any pair with Hamming < bands shares a
+    * band, so recall matches [[graft.ops.Dedup.simhashPairs]] exactly.
+    * In-stream near-dups are NOT removed (state the watermark can't
+    * bound); run the batch clustering over each day's survivors for
+    * that. Works identically on a batch frame — StreamOpsSpec pins
+    * equality with the brute-force cross-join filter. */
+  def dedupNearStreamAgainst(docs: DataFrame, textCol: String,
+                             corpusSims: DataFrame, maxHam: Int): DataFrame = {
+    import graft.ops.{Dedup, Portable, Text}
+    require(maxHam < Dedup.SimHashBands,
+      s"${Dedup.SimHashBands} bands only guarantee recall for " +
+        s"hamming <= ${Dedup.SimHashBands - 1}")
+    val bandMask = (1L << Dedup.SimHashBandBits) - 1
+    def bandVal(sim: Column, b: Int): Column =
+      shiftright(sim, Dedup.SimHashBandBits * b).bitwiseAND(lit(bandMask))
+    val idx = corpusSims.select(col("simhash"),
+        explode(array((0 until Dedup.SimHashBands).map(b =>
+          struct(lit(b).as("band"),
+            bandVal(col("simhash"), b).as("bv"))): _*)).as("bnd"))
+      .groupBy(col("bnd.band").as("band"), col("bnd.bv").as("bv"))
+      .agg(collect_list(col("simhash")).as("sims"))
+    val hashed = docs
+      .withColumn("__hs", transform(Text.tokens(col(textCol)),
+        w => Portable.seededHash(w)))
+      .withColumn("__sim", Text.simhash("__hs"))
+    val joined = (0 until Dedup.SimHashBands).foldLeft(hashed) { (d, b) =>
+      val bIdx = idx.filter(col("band") === b)
+        .select(col("bv").as(s"__bv$b"), col("sims").as(s"__sims$b"))
+      d.withColumn(s"__bv$b", bandVal(col("__sim"), b))
+        .join(bIdx, Seq(s"__bv$b"), "left")
+    }
+    val allCands = flatten(array((0 until Dedup.SimHashBands).map(b =>
+      coalesce(col(s"__sims$b"), lit(Array.empty[Long]))): _*))
+    joined
+      .filter(!exists(allCands,
+        s => bit_count(col("__sim").bitwiseXOR(s)) <= maxHam))
+      .drop((Seq("__hs", "__sim") ++
+        (0 until Dedup.SimHashBands).flatMap(b =>
+          Seq(s"__bv$b", s"__sims$b"))): _*)
+  }
 
   /** Watermarked stream-stream interval join — the impression→click
     * enrichment shape: each left row pairs with right rows sharing

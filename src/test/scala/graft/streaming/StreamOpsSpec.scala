@@ -127,6 +127,51 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == Set(2L, 4L, 5L))
   }
 
+  test("dedupNearStreamAgainst: near-dups of the static index dropped on the stream; batch twin equals brute force") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog sat on the mat"),
+      (200L, "completely different corpus body about spark query engines"))
+      .toDF("doc_id", "text")
+    val index = Dedup.simhashes(corpus, "doc_id", "text")
+    // stream docs: exact dup of 100, one-word edit of 100 (near dup),
+    // and genuinely fresh text
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog sat on the mat"),
+      (2L, "the quick brown fox jumps over the lazy cat sat on the mat"),
+      (3L, "totally unrelated fresh text with novel words and phrasing"))
+    // ground truth: brute-force hamming of each doc's simhash vs index
+    val sims = Dedup.simhashes(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    val truth = sims.crossJoin(index.select($"simhash".as("c")))
+      .groupBy($"doc_id")
+      .agg(min(bit_count($"simhash".bitwiseXOR($"c"))).as("h"))
+      .filter($"h" > 3).select($"doc_id").as[Long].collect().toSet
+    assert(truth == Set(3L)) // docs 1 (ham 0) and 2 (near) are dups
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.dedupNearStreamAgainst(
+        in.toDF().toDF("doc_id", "text"), "text", index, maxHam = 3),
+      "near_against", OutputMode.Append)
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val ids = spark.table("near_against")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(ids == truth)
+    } finally q.stop()
+    // batch twin: same call on a batch frame, same survivors
+    val batch = StreamOps.dedupNearStreamAgainst(
+      docs.toDF("doc_id", "text"), "text", index, maxHam = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batch == truth)
+    // survivor keeps its original columns only (helper cols dropped)
+    assert(StreamOps.dedupNearStreamAgainst(
+      docs.toDF("doc_id", "text"), "text", index, maxHam = 3)
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("mapGroupsWithState: running per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
