@@ -1366,6 +1366,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Media near-dup commissioning audit (LAION-style): perceptual
+    // aHash per payload, then the band-collision Hamming histogram —
+    // where the corpus's collision mass sits before picking a maxHam
+    // for the banded pair join (which is q22's machinery verbatim).
+    "q125_media_phash_audit" -> ((s, dir) => {
+      Dedup.simhashBandAudit(
+        Multimodal.perceptualHashes(
+          Multimodal.payloads(t(s, dir, "documents"), "doc_id", "text")),
+        "doc_id")
+        .orderBy("hamming")
+    }),
+
     // Embedding-cosine near-dup pairs via SRP buckets.
     "q23_embed_near_pairs" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -2774,6 +2786,40 @@ object SparkEntry {
          |)
          |SELECT id_a, id_b, hamming FROM cand
          |WHERE hamming <= $MaxHamming ORDER BY id_a, id_b""".stripMargin,
+
+    // q125: the aHash recomputed from the payload text (integer grid
+    // positions, integer mean compare), then q22's band join verbatim,
+    // rolled up per Hamming distance.
+    "q125_media_phash_audit" -> {
+      val n = Dedup.SimHashBits
+      s"""WITH pb AS (
+         |  SELECT doc_id, list_transform(range(0, $n), k ->
+         |    ascii(substring(text, (1 + (k * len(text)) // $n)::INT, 1)))
+         |    AS bs
+         |  FROM documents
+         |),
+         |pm AS (SELECT doc_id, bs, list_sum(bs)::BIGINT AS sm FROM pb),
+         |sim AS (
+         |  SELECT doc_id, list_sum(list_transform(range(0, $n), k ->
+         |    CASE WHEN bs[(k + 1)::INT] * $n >= sm
+         |         THEN (1::BIGINT << k::INT) ELSE 0::BIGINT END))::BIGINT
+         |    AS simhash
+         |  FROM pm
+         |),
+         |bands AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> (${Dedup.SimHashBandBits}*b)) & ${(1L << Dedup.SimHashBandBits) - 1} AS bv
+         |  FROM sim, (SELECT unnest(range(0, ${Dedup.SimHashBands})) AS b)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |         bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+         |    AND a.doc_id < c.doc_id
+         |)
+         |SELECT hamming, count(*)::BIGINT AS n_pairs FROM cand
+         |GROUP BY hamming ORDER BY hamming""".stripMargin
+    },
 
     // q124: odd-id survivors by brute-force min hamming vs the even-id
     // fingerprints — exact because MaxHamming < SimHashBands makes the

@@ -794,6 +794,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Band-collision Hamming histogram — the commissioning audit for a
+    * SimHash/perceptual-hash dedup: every DISTINCT pair meeting in ≥ 1
+    * band, rolled up per Hamming distance. Before trusting a `maxHam`
+    * threshold at scale, this is the report that shows where the
+    * corpus's collision mass sits (a healthy corpus has a gap between
+    * the near-dup spike at low Hamming and the random-collision hump
+    * near bits/2); it also measures band-join pressure directly — the
+    * histogram's total IS the candidate-pair volume the
+    * [[simhashPairs]] shuffle would carry. Output: (hamming, n_pairs).
+    *
+    * Same shape as [[simhashPairs]] minus the threshold: bucket-keyed
+    * self-join, pair-distinct, then a rollup whose key space is ≤ the
+    * fingerprint width. */
+  def simhashBandAudit(sims: DataFrame, idCol: String): DataFrame = {
+    val bandMask = (1L << SimHashBandBits) - 1
+    val banded = sims.select(col(idCol), col("simhash"),
+        explode(array((0 until SimHashBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), SimHashBandBits * b)
+              .bitwiseAND(lit(bandMask)).as("bv"))): _*))
+          .as("bnd"))
+      .select(col(idCol), col("simhash"), col("bnd.band").as("band"),
+        col("bnd.bv").as("bv"))
+    val a = banded.select(col("band"), col("bv"), col(idCol).as("id_a"),
+      col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bv"), col(idCol).as("id_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- embedding-cosine -------------------------------------------------
 
   /** Sign-random-projection bucket per vector: bit p = (v · w_p ≥ 0) with

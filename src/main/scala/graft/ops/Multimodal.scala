@@ -165,6 +165,43 @@ object Multimodal {
     * path is hash-checked end to end (q36). Rounding is half-up
     * (`floor(x·1e9 + 0.5)/1e9`), matching SQL `round(x, 9)` in both
     * engines — NOT `rint`, whose half-even ties would diverge. */
+  /** Perceptual hash per payload — the LAION-style media near-dup
+    * signal: sample a fixed [[graft.ops.Dedup.SimHashBits]]-position
+    * grid over the decoded "image", bit k = sample ≥ the grid mean
+    * (average-hash/aHash). Output (doc_id, simhash) — named to drop
+    * straight into [[graft.ops.Dedup.simhashPairs]], whose 15-bit
+    * banding then finds Hamming-bounded near-dup media pairs with one
+    * bucket-keyed shuffle, never a pairwise scan. The compare is
+    * integer (`sample · 60 ≥ Σ samples`) so the bit never depends on
+    * float division order — bit-identical across engines.
+    *
+    * STUB DECODER, like every media op here: no codec in the
+    * container, so the "decoded grayscale" is the payload's own byte
+    * stream read as a string (the fixture payloads are ASCII). A real
+    * implementation decodes → grayscale-resamples an 8×8 grid; the
+    * grid sampling, integer mean compare, fingerprint assembly and the
+    * banded pair join downstream are the real, tested machinery.
+    * Map-only; payloads never shuffle (only the 8-byte hash does). */
+  def perceptualHashes(payloadDf: DataFrame): DataFrame = {
+    val n = graft.ops.Dedup.SimHashBits
+    payloadDf
+      .select(col("doc_id"), col("payload").cast("string").as("__txt"))
+      // grid positions 1 + (k·len) div n, k = 0..n−1: always within the
+      // payload, evenly spread, repeats harmlessly when len < n
+      .select(col("doc_id"), transform(sequence(lit(0), lit(n - 1)),
+        k => ascii(col("__txt").substr(
+          (lit(1) + floor(k * length(col("__txt")) / lit(n))).cast("int"),
+          lit(1)))).as("__bs"))
+      .withColumn("__sm", aggregate(col("__bs"), lit(0L),
+        (a, x) => a + x.cast("long")))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${n - 1}), CAST(0 AS BIGINT), (acc, k) ->
+           |  acc + IF(element_at(__bs, k + 1) * $n >= __sm,
+           |           shiftleft(CAST(1 AS BIGINT), k),
+           |           CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+  }
+
   def extractFeatures(payloadDf: DataFrame): Dataset[FeatureRow] = {
     val spark = payloadDf.sparkSession
     import spark.implicits._

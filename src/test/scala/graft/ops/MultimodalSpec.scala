@@ -98,6 +98,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!f.contains(2L))
   }
 
+  test("perceptualHashes: identical payloads collide at hamming 0; audit counts them") {
+    val media = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "en", "s"),
+      (3L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq pppp oooo", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val ph = Multimodal.perceptualHashes(
+      Multimodal.payloads(media, "doc_id", "text"))
+    val m = ph.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))            // identical bytes -> identical aHash
+    assert(m(1L) != m(3L))            // different content separates
+    assert(m.values.forall(_ >= 0L))  // 60-bit: never sign-extends
+    // deterministic across partitionings
+    val again = Multimodal.perceptualHashes(
+        Multimodal.payloads(media.repartition(3), "doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == m)
+    // the band audit finds the hamming-0 pair (exact dup) exactly once
+    val audit = Dedup.simhashBandAudit(ph, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(audit.getOrElse(0L, 0L) == 1L)
+    // histogram total == distinct band-collision pairs (here: pair 1-2
+    // collides in all 4 bands but counts once)
+    assert(audit.values.sum >= 1L)
+  }
+
   test("stub features: 16-bin normalized byte histogram, empty-safe") {
     val f = Multimodal.extractFeatures(
         Multimodal.payloads(docs, "doc_id", "text"))
