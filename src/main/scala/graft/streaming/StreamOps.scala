@@ -204,7 +204,10 @@ object StreamOps {
     * [[graft.app.CorpusPipeline]]'s gate prefix: optional PII scrub →
     * normalize (+ non-empty) → language gate → quality gate → optional
     * blocklist gate (any-hit drop, the list a codegen literal) →
-    * optional exact dedup against the static corpus index. Every gate
+    * optional exact dedup against the static corpus index → optional
+    * NEAR dedup against the static SimHash index
+    * ([[dedupNearStreamAgainst]], cheapest-gate-first after the exact
+    * hash join). Every gate
     * is the
     * SAME column expression the batch funnel uses, chosen in its
     * map-only form ([[graft.ops.Text.piiMasked]], `normalize`,
@@ -213,9 +216,9 @@ object StreamOps {
     * a batch frame through this function gives bit-identical rows
     * (spec-pinned) — one code path for backfill and ingest.
     *
-    * What it deliberately does NOT do on the stream: near-dedup and
-    * in-stream exact dedup (state-bearing — compose [[dedupStream]]
-    * with a watermark for that), and chunking/packing (batch-shaped
+    * What it deliberately does NOT do on the stream: IN-STREAM dedup,
+    * exact or near (state-bearing — compose [[dedupStream]] with a
+    * watermark for that), and chunking/packing (batch-shaped
     * consumers). `existingHashes` is the stored content-hash index
     * ([[graft.ops.Dedup.exactGroups]] output at rest); the anti-join
     * against it is stateless on the stream side.
@@ -226,7 +229,9 @@ object StreamOps {
   def curateStream(docs: DataFrame, keepLangs: Set[String],
                    minQuality: Double, scrubPii: Boolean = false,
                    existingHashes: Option[DataFrame] = None,
-                   blocklist: Option[Seq[String]] = None): DataFrame = {
+                   blocklist: Option[Seq[String]] = None,
+                   nearIndex: Option[DataFrame] = None,
+                   nearMaxHam: Int = 2): DataFrame = {
     import graft.ops.Text
     val scrubbed =
       if (!scrubPii) docs
@@ -249,7 +254,13 @@ object StreamOps {
       scored.filter(!exists(Text.tokens(col("text")),
         t => array_contains(lst, t)))
     }
-    existingHashes.fold(clean)(h => dedupStreamAgainst(clean, "text", h))
+    // exact gate first (16-byte hash equi-join), then the near gate
+    // (band joins + hamming scan) on what survives — cheapest filter
+    // first, both stateless
+    val exactClean =
+      existingHashes.fold(clean)(h => dedupStreamAgainst(clean, "text", h))
+    nearIndex.fold(exactClean)(idx =>
+      dedupNearStreamAgainst(exactClean, "text", idx, nearMaxHam))
   }
 
   /** Convenience: wire a streaming DataFrame to an in-memory sink (specs

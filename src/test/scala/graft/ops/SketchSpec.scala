@@ -48,6 +48,18 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cms mergeability: shard sketches sum to the corpus sketch (the streaming/backfill law)") {
+    val a = docs.filter($"doc_id" <= 1L)
+    val b = docs.filter($"doc_id" > 1L)
+    val whole = Sketch.cmsTable(docs, "text", 3, 8, "s")
+      .as[(Int, Long, Long)].collect().toSet
+    val merged = Sketch.cmsTable(a, "text", 3, 8, "s")
+      .unionByName(Sketch.cmsTable(b, "text", 3, 8, "s"))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
   test("cmsEstimates: unseen candidate token estimates 0 via the missing-cell path") {
     val sk = Sketch.cmsTable(docs, "text", depth = 3, width = 1 << 16, "s")
     val est = Sketch.cmsEstimates(sk, Seq("zzz").toDF("token"), "token",
