@@ -809,7 +809,13 @@ object Dedup {
     * fingerprint width. */
   def simhashBandAudit(sims: DataFrame, idCol: String): DataFrame = {
     val bandMask = (1L << SimHashBandBits) - 1
-    val banded = sims.select(col(idCol), col("simhash"),
+    // both self-join sides read the fingerprint frame — cut it so a
+    // MAP-ONLY upstream (e.g. [[graft.ops.Multimodal.perceptualHashes]],
+    // which re-decodes the payload per branch) computes once;
+    // [[simhashes]]-fed callers pay one no-op cache of an 16-byte/doc
+    // frame (PlanSpec pins the single payload scan)
+    val cut = Barrier.cut(sims.select(col(idCol), col("simhash")))
+    val banded = cut.select(col(idCol), col("simhash"),
         explode(array((0 until SimHashBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), SimHashBandBits * b)

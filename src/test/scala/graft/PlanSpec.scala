@@ -379,6 +379,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q121: the d x w sketch broadcasts into the estimate join; no sort-merge") {
+    val p = plan("q121_cms_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q122: no-split packing exchanges once, on the group key only") {
+    val p = plan("q122_pack_whole")
+    // exactly one hash exchange: groupByKey's shard key (typed, so it
+    // shows as `value`) feeding the sorted group scan — no corpus-wide
+    // doc_id sort, no second shuffle
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.length == 1,
+      s"want the single shard exchange:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q125: phash audit decodes the payload once; band join equi-keyed") {
+    val p = plan("q125_media_phash_audit")
+    // the banded self-join must key on (band, bv) — never nested-loop,
+    // never a pairwise scan
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the fingerprint frame is cut behind the audit's barrier, so the
+    // payload decode (the aHash aggregate) runs in ONE scan — both join
+    // sides read the cached 16-byte/doc frame
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"documents scanned $scans times:\n$p")
+    // with the cut in place the join sides read the materialized frame
+    // (ExistingRDD under the local barrier, cache/checkpoint scan in
+    // reliable mode) — never a second parquet scan
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
