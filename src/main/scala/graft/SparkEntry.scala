@@ -132,6 +132,13 @@ object SparkEntry {
     * superset of q55's pairs — the delta IS the subset-duplication
     * signal the asymmetric score exists to find. */
   val ContainTau = 0.5
+  /** q126 Zipf fit width — the top-N frequency ranks the ln-ln
+    * regression runs over (fixed-size at any corpus scale). */
+  val ZipfFitTopK = 500
+  /** q127 ICT query-span length in tokens. */
+  val IctSpanTokens = 8
+  /** q129 calibration bin count (margin deciles). */
+  val CalibBins = 10
   /** q121 count–min sketch: depth 3 × width 64 against the fixture's
     * ~40-term vocabulary forces real counter collisions, so the audit's
     * overestimate column is non-trivially positive while the est ≥
@@ -901,7 +908,10 @@ object SparkEntry {
   /** Packing oracle tail — shared by q67 (over raw documents) and q77
     * (over the curation funnel's survivors): the same shard/cumsum/
     * span-explode/reassemble chain as [[graft.ops.Sampling.pack]]. */
-  private def packTailSql(src: String): String = {
+  /** The [[packTailSql]]/[[packAuditTailSql]] shared CTE chain: per
+    * (document, touched sequence) one row with the piece's token span —
+    * the oracle twin of `Sampling.packPieces`. */
+  private def packPiecesSql(src: String): String = {
     val L = PackSeqTokens
     s"""pd AS (
        |  SELECT doc_id,
@@ -927,13 +937,80 @@ object SparkEntry {
        |    t[(greatest(start, seq_idx * $L) - start + 1) :
        |      (least(cum, (seq_idx + 1) * $L) - start)] AS part
        |  FROM pe
-       |)
+       |)""".stripMargin
+  }
+
+  private def packTailSql(src: String): String =
+    s"""${packPiecesSql(src)}
        |SELECT shard, seq_idx::BIGINT AS seq_idx,
        |  sum(pe2 - ps)::BIGINT AS n_tokens,
        |  string_agg(array_to_string(part, ' '), ' ' ORDER BY ps) AS seq
        |FROM pp GROUP BY shard, seq_idx
        |ORDER BY shard, seq_idx""".stripMargin
-  }
+
+  /** q128: same piece fan-out, counted instead of reassembled. */
+  private def packAuditTailSql(src: String): String =
+    s"""${packPiecesSql(src)},
+       |pseq AS (
+       |  SELECT shard, seq_idx, count(*)::BIGINT AS docs,
+       |    sum(pe2 - ps)::BIGINT AS tok
+       |  FROM pp GROUP BY shard, seq_idx
+       |)
+       |SELECT shard, count(*)::BIGINT AS n_seqs,
+       |  sum(CASE WHEN tok = $PackSeqTokens THEN 1 ELSE 0 END)::BIGINT
+       |    AS full_seqs,
+       |  sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END)::BIGINT
+       |    AS multi_doc_seqs,
+       |  sum(docs - 1)::BIGINT AS doc_boundaries,
+       |  max(docs)::BIGINT AS max_docs_per_seq
+       |FROM pseq GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Naive-Bayes train + score + rank CTE chain ending at `rk` (per
+    * (doc, label) ranked avg-log-posterior with runner-up) — shared by
+    * q85 (the classify report) and q129 (the calibration binning). */
+  private val nbRankSqlCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, w AS token
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents) _
+      |  WHERE w <> ''
+      |),
+      |tc AS (SELECT lang AS label, token, count(*)::BIGINT AS cnt
+      |       FROM tok GROUP BY lang, token),
+      |cls AS (SELECT lang AS label, count(*)::BIGINT AS n_tokens
+      |        FROM tok GROUP BY lang),
+      |cdocs AS (SELECT lang AS label, count(*)::BIGINT AS n_docs
+      |          FROM documents GROUP BY lang),
+      |tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS docs_total,
+      |          (SELECT count(DISTINCT token) FROM tok)::BIGINT AS vocab_v),
+      |dtf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+      |        FROM tok GROUP BY doc_id, token),
+      |dlen AS (SELECT doc_id, sum(tf)::BIGINT AS n_d
+      |         FROM dtf GROUP BY doc_id),
+      |seen AS (
+      |  SELECT dtf.doc_id, tc.label, sum(dtf.tf * ln(tc.cnt + 1)) AS ssum
+      |  FROM dtf JOIN tc ON dtf.token = tc.token
+      |  GROUP BY dtf.doc_id, tc.label
+      |),
+      |sc AS (
+      |  SELECT dlen.doc_id, c.label,
+      |    (ln(cd.n_docs::DOUBLE / tot.docs_total)
+      |      + coalesce(seen.ssum, 0)
+      |      - dlen.n_d * ln((c.n_tokens + tot.vocab_v)::DOUBLE))
+      |      / dlen.n_d AS avg_logp
+      |  FROM dlen CROSS JOIN cls c
+      |  JOIN cdocs cd ON cd.label = c.label
+      |  CROSS JOIN tot
+      |  LEFT JOIN seen ON seen.doc_id = dlen.doc_id AND seen.label = c.label
+      |),
+      |rk AS (
+      |  SELECT doc_id, label, avg_logp,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY avg_logp DESC, label ASC) AS rk,
+      |    lead(avg_logp) OVER (PARTITION BY doc_id
+      |      ORDER BY avg_logp DESC, label ASC) AS s2
+      |  FROM sc
+      |)""".stripMargin
 
   /** Token-budget oracle — shared by q65 (direct window form) and q66
     * (two-phase bucketed build): both engine forms compute the same
@@ -1173,6 +1250,54 @@ object SparkEntry {
   // multimodal, ML) -------------------------------------------------------
 
   private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus-health Zipf audit: one-row token-frequency profile with an
+    // exact-integer least-squares ln-ln fit over the top-500 terms.
+    "q126_zipf_audit" -> ((s, dir) => {
+      Text.zipfAudit(t(s, dir, "documents"), "text", ZipfFitTopK)
+    }),
+
+    // Inverse-Cloze-Task contrastive pairs: deterministic span-out
+    // (query, passage-with-span-removed) retrieval pretraining pairs.
+    "q127_ict_pairs" -> ((s, dir) => {
+      Text.ictPairs(t(s, dir, "documents"), "doc_id", "text", IctSpanTokens)
+        .orderBy("doc_id")
+    }),
+
+    // Attention-bleed audit of the q67 packing layout: per shard, how
+    // many packed sequences mix documents and how many boundaries a
+    // boundary-unaware attention mask would cross.
+    "q128_pack_audit" -> ((s, dir) => {
+      Sampling.packAudit(t(s, dir, "documents"), "doc_id", "text",
+        PackSeqTokens, PackShards, "pack").orderBy("shard")
+    }),
+
+    // Margin-calibration report of the q85 classifier: decile bins by
+    // 9-dp-rounded margin, exact per-bin accuracy.
+    "q129_nb_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.NaiveBayesText.train(docs, "text", "lang")
+      val scored = graft.ml.NaiveBayesText
+        .classify(model, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("correct", col("pred_label") === col("lang"))
+      graft.ml.NaiveBayesText.calibration(scored, "doc_id", CalibBins)
+        .orderBy("bin")
+    }),
+
+    // Cross-source duplication matrix: the q20 near-dup pairs rolled up
+    // by the unordered source pair they bridge.
+    "q130_dup_source_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sh = shingled(s, dir)
+      val sigs = Dedup.minhashSignatures(sh, "doc_id", NumPerms)
+      val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", LshBands, LshRows), "doc_id")
+      Dedup.dupSourceMatrix(
+        Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau),
+        docs, "doc_id", "source")
+        .orderBy("source_a", "source_b")
+    }),
 
     // Exact dedup: content-hash duplicate groups with canonical survivor.
     "q17_exact_dup_groups" -> ((s, dir) => {
@@ -2486,6 +2611,98 @@ object SparkEntry {
   )
 
   private def extOracleSql: Map[String, String] = Map(
+
+    // q126: every regression sum runs exactly over integers/DECIMAL(38,0)
+    // and the normal equations are formed in exact decimal before ONE
+    // cast to double — bit-identical slope/intercept/r2 cross-engine
+    // (the 1e6-scaled floor(+0.5) per-term ln rounding absorbs libm's
+    // 1-ulp differences).
+    "q126_zipf_audit" ->
+      s"""WITH ztf AS (
+         |  SELECT w, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |        FROM documents) _
+         |  GROUP BY w
+         |),
+         |zroll AS (
+         |  SELECT count(*)::BIGINT AS vocab_size,
+         |    sum(c)::BIGINT AS total_tokens,
+         |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_count
+         |  FROM ztf
+         |),
+         |ztop AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+         |  FROM ztf ORDER BY c DESC, w ASC LIMIT $ZipfFitTopK
+         |),
+         |zxy AS (
+         |  SELECT rank, c,
+         |    CAST(floor(ln(rank) * 1e6 + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT) AS y
+         |  FROM ztop
+         |),
+         |zfit AS (
+         |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+         |    sum(CASE WHEN rank <= 100 THEN c ELSE 0 END)::BIGINT
+         |      AS top100_tokens
+         |  FROM zxy
+         |)
+         |SELECT zroll.vocab_size, zroll.total_tokens, zroll.hapax_count,
+         |  zfit.top100_tokens, CAST(zfit.n AS BIGINT) AS fit_terms,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9)
+         |    AS zipf_slope,
+         |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 1e6, 9)
+         |    AS zipf_intercept,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      * CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+         |          * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) AS zipf_r2
+         |FROM zroll CROSS JOIN zfit""".stripMargin,
+
+    // q127: same keyed-hash offset draw as the Spark side; DuckDB list
+    // slices are 1-based inclusive, l[1:0] is empty.
+    "q127_ict_pairs" ->
+      s"""WITH it AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' '))::BIGINT AS n
+         |  FROM documents
+         |),
+         |ia AS (
+         |  SELECT doc_id, t, n,
+         |    ${Portable.sqlHash("doc_id", "'ict'")}
+         |      % (n - $IctSpanTokens + 1) AS a
+         |  FROM it WHERE n >= ${2 * IctSpanTokens}
+         |)
+         |SELECT doc_id, n AS n_tokens, a AS span_start,
+         |  array_to_string(t[(a + 1):(a + $IctSpanTokens)], ' ') AS query,
+         |  array_to_string(
+         |    list_concat(t[1:a], t[(a + $IctSpanTokens + 1):n]), ' ')
+         |    AS passage
+         |FROM ia ORDER BY doc_id""".stripMargin,
+
+    "q128_pack_audit" -> s"WITH ${packAuditTailSql("documents")}",
+
+    // q130: the q20 jac pairs bridged to their sources; unordered cells.
+    "q130_dup_source_matrix" ->
+      s"""$lshJacSqlCte,
+         |ndp AS (
+         |  SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $JaccardTau
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*)::BIGINT AS n_pairs,
+         |  round(avg(jaccard), 9) AS avg_jaccard
+         |FROM ndp
+         |JOIN documents da ON da.doc_id = ndp.id_a
+         |JOIN documents db ON db.doc_id = ndp.id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q17_exact_dup_groups" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs,
         |       min(doc_id) AS keep_id
@@ -3400,48 +3617,7 @@ object SparkEntry {
     // the seen join INNER (unseen pairs contribute exactly 0), argmax by
     // (score DESC, label ASC) row_number, runner-up margin via lead().
     "q85_nb_classify" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang, w AS token
-         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
-         |        FROM documents) _
-         |  WHERE w <> ''
-         |),
-         |tc AS (SELECT lang AS label, token, count(*)::BIGINT AS cnt
-         |       FROM tok GROUP BY lang, token),
-         |cls AS (SELECT lang AS label, count(*)::BIGINT AS n_tokens
-         |        FROM tok GROUP BY lang),
-         |cdocs AS (SELECT lang AS label, count(*)::BIGINT AS n_docs
-         |          FROM documents GROUP BY lang),
-         |tot AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS docs_total,
-         |          (SELECT count(DISTINCT token) FROM tok)::BIGINT AS vocab_v),
-         |dtf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
-         |        FROM tok GROUP BY doc_id, token),
-         |dlen AS (SELECT doc_id, sum(tf)::BIGINT AS n_d
-         |         FROM dtf GROUP BY doc_id),
-         |seen AS (
-         |  SELECT dtf.doc_id, tc.label, sum(dtf.tf * ln(tc.cnt + 1)) AS ssum
-         |  FROM dtf JOIN tc ON dtf.token = tc.token
-         |  GROUP BY dtf.doc_id, tc.label
-         |),
-         |sc AS (
-         |  SELECT dlen.doc_id, c.label,
-         |    (ln(cd.n_docs::DOUBLE / tot.docs_total)
-         |      + coalesce(seen.ssum, 0)
-         |      - dlen.n_d * ln((c.n_tokens + tot.vocab_v)::DOUBLE))
-         |      / dlen.n_d AS avg_logp
-         |  FROM dlen CROSS JOIN cls c
-         |  JOIN cdocs cd ON cd.label = c.label
-         |  CROSS JOIN tot
-         |  LEFT JOIN seen ON seen.doc_id = dlen.doc_id AND seen.label = c.label
-         |),
-         |rk AS (
-         |  SELECT doc_id, label, avg_logp,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY avg_logp DESC, label ASC) AS rk,
-         |    lead(avg_logp) OVER (PARTITION BY doc_id
-         |      ORDER BY avg_logp DESC, label ASC) AS s2
-         |  FROM sc
-         |)
+      s"""$nbRankSqlCte
          |SELECT r.doc_id, d.lang, r.label AS pred_label,
          |  (r.label = d.lang) AS correct,
          |  round(r.avg_logp, 9) AS avg_logp,
@@ -3449,6 +3625,30 @@ object SparkEntry {
          |FROM rk r JOIN documents d ON d.doc_id = r.doc_id
          |WHERE r.rk = 1
          |ORDER BY r.doc_id""".stripMargin,
+
+    // q129: the q85 rank chain, binned — margins 9-dp-rounded BEFORE
+    // the ntile order (doc_id tiebreak) so bin boundaries are
+    // bit-deterministic cross-engine; accuracy is a ratio of exact
+    // integer counts.
+    "q129_nb_calibration" ->
+      s"""$nbRankSqlCte,
+         |cl AS (
+         |  SELECT r.doc_id, (r.label = d.lang) AS correct,
+         |    round(r.avg_logp - r.s2, 9) AS m
+         |  FROM rk r JOIN documents d ON d.doc_id = r.doc_id
+         |  WHERE r.rk = 1
+         |),
+         |cb AS (
+         |  SELECT doc_id, correct, m,
+         |    ntile($CalibBins) OVER (ORDER BY m DESC, doc_id ASC) AS bin
+         |  FROM cl
+         |)
+         |SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+         |  round(sum(CASE WHEN correct THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 9) AS accuracy,
+         |  round(max(m), 9) AS max_margin, round(min(m), 9) AS min_margin
+         |FROM cb GROUP BY bin ORDER BY bin""".stripMargin,
 
     // q87: same SRP bucket CTEs as q28; neighbors ranked with the q28
     // tiebreak, agreement aggregated per probe, and a LEFT JOIN keeps

@@ -108,4 +108,42 @@ object NaiveBayesText {
       .select(col(idCol), col("label").as("pred_label"),
         col("avg_logp"), col("margin"))
   }
+
+  /** Confidence-calibration report over a scored frame — does the
+    * classifier's margin actually track its accuracy? Rows rank by
+    * margin (desc) into `bins` equal-count bins (ntile); per bin the
+    * report carries doc count, correct count, exact accuracy and the
+    * margin range. A well-calibrated filter shows accuracy monotone in
+    * bin; the flat or inverted shape is the signal to retrain before
+    * trusting the filter's threshold — the check a data team runs before
+    * wiring [[classify]]'s output into a curation gate.
+    *
+    * `scored` needs (idCol, margin, correct: boolean) — the shape
+    * [[classify]] joined back to gold labels produces (q85). Margins are
+    * 9-dp-rounded BEFORE ranking with idCol as the tiebreak (the
+    * [[graft.ops.Text.perplexityBuckets]] idiom), so bin boundaries are
+    * bit-deterministic cross-engine; accuracy is a ratio of exact
+    * integer counts.
+    *
+    * Scale: the ntile window is a global order over the scored frame —
+    * calibration runs on an eval-sized labeled sample (gold labels are
+    * hand-made; there is no 100 TB labeled frame), so the single-task
+    * sort is bounded by construction. */
+  def calibration(scored: DataFrame, idCol: String,
+                  bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val w = Window.orderBy(round(col("margin"), 9).desc, col(idCol).asc)
+    scored
+      .withColumn("__m", round(col("margin"), 9))
+      .withColumn("bin", ntile(bins).over(w).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"),
+        max(col("__m")).as("max_margin"),
+        min(col("__m")).as("min_margin"))
+      .select(col("bin"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 9)
+          .as("accuracy"),
+        col("max_margin"), col("min_margin"))
+  }
 }

@@ -222,6 +222,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-source duplication matrix — the near-dup pair list
+    * ([[jaccardVerify]] / [[jaccardPairsExact]] output) rolled up by
+    * the SOURCE pair it connects: for each unordered (source_a,
+    * source_b) cell, how many near-dup pairs bridge the two sources and
+    * at what mean similarity. The corpus-composition diagnostic a data
+    * team reads before mixing crawls — a hot off-diagonal cell means
+    * two "independent" sources are substantially the same crawl (double
+    * mixture weight), a hot diagonal cell a source that is internally
+    * templated; both are invisible in the pairwise list itself.
+    *
+    * Cells are unordered (least/greatest of the two source names), so
+    * A×B and B×A land in one cell regardless of pair orientation.
+    *
+    * Scale: two id-keyed equi joins of the narrow (id, source)
+    * projection against the ALREADY-BOUNDED pair list (LSH/banding made
+    * it near-dups only, never all-pairs), then a rollup keyed on the
+    * (source, source) cell — cardinality = sources², a handful. The
+    * corpus text never moves. */
+  def dupSourceMatrix(pairs: DataFrame, meta: DataFrame, idCol: String,
+                      groupCol: String): DataFrame = {
+    val a = meta.select(col(idCol).as("id_a"), col(groupCol).as("__ga"))
+    val b = meta.select(col(idCol).as("id_b"), col(groupCol).as("__gb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(least(col("__ga"), col("__gb")).as("source_a"),
+        greatest(col("__ga"), col("__gb")).as("source_b"), col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 9).as("avg_jaccard"))
+  }
+
   /** EXACT n-gram-Jaccard similarity join via an inverted shingle
     * index — the ground-truth counterpart of the MinHash/LSH pipeline
     * (no banding recall loss): pairs meet through posting lists (docs

@@ -294,7 +294,26 @@ object Sampling {
     * `shards` so corpus/shards fits a task. All shuffles are
     * shard-keyed; nothing is corpus-sized. */
   def pack(df: DataFrame, idCol: String, textCol: String,
-           seqTokens: Int, shards: Int, salt: String): DataFrame = {
+           seqTokens: Int, shards: Int, salt: String): DataFrame =
+    packPieces(df, idCol, textCol, seqTokens, shards, salt)
+      .withColumn("__part", slice(col("__t"),
+        (col("__ps") - col("__start") + 1).cast("int"),
+        (col("__pe") - col("__ps")).cast("int")))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(sum(col("__pe") - col("__ps")).as("n_tokens"),
+        sort_array(collect_list(struct(col("__ps").as("o"),
+          col("__part").as("p")))).as("__sp"))
+      .select(col("shard"), col("seq_idx"), col("n_tokens"),
+        concat_ws(" ", flatten(transform(col("__sp"), x => x.getField("p"))))
+          .as("seq"))
+
+  /** The shared [[pack]] fan-out: per (document, touched sequence) one
+    * row carrying the piece's token span [__ps, __pe) and the document's
+    * token array/offset — [[pack]] slices and reassembles text from it,
+    * [[packAudit]] only counts it. */
+  private def packPieces(df: DataFrame, idCol: String, textCol: String,
+                         seqTokens: Int, shards: Int,
+                         salt: String): DataFrame = {
     require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val L = seqTokens.toLong
@@ -312,17 +331,35 @@ object Sampling {
         expr(s"__start div $L"), expr(s"(__cum - 1) div $L"))))
       .withColumn("__ps", greatest(col("__start"), col("seq_idx") * L))
       .withColumn("__pe", least(col("__cum"), (col("seq_idx") + 1) * L))
-      .withColumn("__part", slice(col("__t"),
-        (col("__ps") - col("__start") + 1).cast("int"),
-        (col("__pe") - col("__ps")).cast("int")))
-      .groupBy(col("shard"), col("seq_idx"))
-      .agg(sum(col("__pe") - col("__ps")).as("n_tokens"),
-        sort_array(collect_list(struct(col("__ps").as("o"),
-          col("__part").as("p")))).as("__sp"))
-      .select(col("shard"), col("seq_idx"), col("n_tokens"),
-        concat_ws(" ", flatten(transform(col("__sp"), x => x.getField("p"))))
-          .as("seq"))
   }
+
+  /** Attention-bleed audit of [[pack]]'s layout — per shard, how much
+    * cross-document contamination the packed sequences carry: without
+    * attention masking at document boundaries, a model trained on packed
+    * sequences attends across the documents sharing a sequence, and this
+    * report is the number a data team reads before choosing sequence
+    * length / masking strategy. Returns one row per shard:
+    * (shard, n_seqs, full_seqs, multi_doc_seqs, doc_boundaries = Σ per
+    * sequence (docs − 1) i.e. the count of intra-sequence document
+    * joins, max_docs_per_seq).
+    *
+    * Same fan-out as [[pack]] minus the text: the audit never slices or
+    * reassembles token arrays, so it is strictly cheaper than the
+    * packing it audits — per-(shard, seq) counts with map-side combine,
+    * then a shard-keyed rollup of the compact per-seq frame. */
+  def packAudit(df: DataFrame, idCol: String, textCol: String,
+                seqTokens: Int, shards: Int, salt: String): DataFrame =
+    packPieces(df, idCol, textCol, seqTokens, shards, salt)
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(col("__pe") - col("__ps")).as("__tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(when(col("__tok") === seqTokens.toLong, 1L).otherwise(0L))
+          .as("full_seqs"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("multi_doc_seqs"),
+        sum(col("__docs") - 1).as("doc_boundaries"),
+        max(col("__docs")).as("max_docs_per_seq"))
 
   /** NO-SPLIT greedy packing — the document-integrity alternative to
     * [[pack]]: documents fill fixed-capacity bins first-fit in keyed-

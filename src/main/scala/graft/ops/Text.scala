@@ -952,6 +952,109 @@ object Text {
       .filter(col("fp").isNotNull)
   }
 
+  /** Corpus-health Zipf audit — one row profiling the token-frequency
+    * distribution: vocabulary size, total tokens, hapax count, top-100
+    * mass, and a least-squares fit of ln(freq) ~ ln(rank) over the top
+    * `fitTopK` terms (Zipf's law predicts slope ≈ −1 for natural
+    * language; a much flatter slope flags template/boilerplate-heavy
+    * corpora, a much steeper one vocabulary collapse). The "is this
+    * snapshot still natural language" check a continuously-refreshed
+    * corpus runs next to [[unigramDrift]].
+    *
+    * Cross-engine determinism: the regression inputs are per-term ln
+    * values scaled to 1e6 and floor(+0.5)-rounded to integers (the
+    * [[Quantize]] half-up idiom — a 1-ulp cross-engine ln difference
+    * survives the rounding), every sum runs exactly over integers /
+    * DECIMAL(38,0), and the normal-equation numerators and denominators
+    * are formed in exact decimal arithmetic with ONE cast to double
+    * before the final division — so slope/intercept/r² are bit-identical
+    * across engines AND partitionings (no float-sum order sensitivity;
+    * the regression's catastrophic cancellation happens on exact
+    * integers, where it is exact).
+    *
+    * Shape: one token-keyed count agg (map-side combine) behind a
+    * [[Barrier]] (read twice: rollup + fit); the rollup is a full agg
+    * over the compact vocab frame; the fit input is a distributed
+    * `TakeOrderedAndProject` top-`fitTopK` — the rank window orders ≤
+    * fitTopK rows, never a vocab-sized sort. Both 1-row frames
+    * broadcast-cross-join. Nothing corpus-sized moves after the count,
+    * and the fit frame is fixed-size at any corpus scale. */
+  def zipfAudit(df: DataFrame, textCol: String,
+                fitTopK: Int = 500): DataFrame = {
+    require(fitTopK >= 2, s"fitTopK must be >= 2, got $fitTopK")
+    import org.apache.spark.sql.expressions.Window
+    val tf = Barrier.cut(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val rollup = tf.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("total_tokens"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax_count"))
+    val dec = "decimal(38,0)"
+    val top = tf.orderBy(desc("c"), asc("w")).limit(fitTopK)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(desc("c"), asc("w"))).cast("long"))
+      .withColumn("x", floor(log(col("rank")) * lit(1e6) + lit(0.5)))
+      .withColumn("y", floor(log(col("c")) * lit(1e6) + lit(0.5)))
+    val fit = top.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"),
+      sum(col("y")).cast(dec).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"),
+      sum(when(col("rank") <= 100, col("c")).otherwise(0L))
+        .as("top100_tokens"))
+    val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val aNum = (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+    broadcast(rollup).crossJoin(broadcast(fit))
+      .select(col("vocab_size"), col("total_tokens"), col("hapax_count"),
+        col("top100_tokens"), col("n").cast("long").as("fit_terms"),
+        round(when(dxx =!= 0d, dxy / dxx), 9).as("zipf_slope"),
+        round(when(dxx =!= 0d, aNum / dxx / lit(1e6)), 9)
+          .as("zipf_intercept"),
+        round(when(dxx =!= 0d && dyy =!= 0d, dxy * dxy / (dxx * dyy)), 9)
+          .as("zipf_r2"))
+  }
+
+  /** Inverse-Cloze-Task contrastive pairs (Lee et al., ACL'19 — the
+    * DPR/Contriever retrieval-pretraining data op): for each document
+    * long enough, pull one deterministic `spanTokens`-token window out
+    * as the "query" and keep the document WITH THE WINDOW REMOVED as
+    * the "passage" — the (query, positive-passage) pairs a dense
+    * retriever trains on, generated from raw text with no labels. The
+    * window offset is a keyed-hash draw ([[Portable]]) over the valid
+    * range, so extraction is bit-reproducible across runs, partitions
+    * and engines — no RNG state. Docs with fewer than 2×spanTokens
+    * tokens drop: a pair whose passage is shorter than its query
+    * teaches nothing.
+    *
+    * Returns (id, n_tokens, span_start 0-based, query, passage).
+    *
+    * Map-only — tokenize, hash, slice, rejoin per row; the corpus never
+    * shuffles at any scale. */
+  def ictPairs(df: DataFrame, idCol: String, textCol: String,
+               spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val k = spanTokens
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") >= 2L * k)
+      .withColumn("span_start",
+        pmod(Portable.seededHash(col(idCol), lit("ict")),
+          col("__n") - lit(k.toLong) + lit(1L)))
+      .select(col(idCol), col("__n").as("n_tokens"), col("span_start"),
+        array_join(slice(col("__t"), (col("span_start") + 1).cast("int"),
+          lit(k)), " ").as("query"),
+        array_join(concat(
+          slice(col("__t"), lit(1), col("span_start").cast("int")),
+          slice(col("__t"), (col("span_start") + k + 1).cast("int"),
+            (col("__n") - col("span_start") - k).cast("int"))), " ")
+          .as("passage"))
+  }
+
   /** All (non-distinct) k-gram shingles — winnowing and occurrence-
     * weighted gram features ([[Sampling.dsirScores]]) need positional
     * k-grams, not the distinct set. DuckDB twin: [[shinglesAllSql]]. */

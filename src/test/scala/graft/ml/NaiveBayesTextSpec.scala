@@ -71,6 +71,23 @@ class NaiveBayesTextSpec extends SparkSpec {
       s"NB accuracy ${hit}/$n not above majority baseline $majority/$n")
   }
 
+  test("calibration: equal-count margin bins, exact accuracy, total conservation") {
+    // margins 10..1 → with 5 bins: bin1={10,9} .. bin5={2,1};
+    // correct iff margin > 5 → accuracies 1, 1, (1, 0.5 split), 0, 0
+    val scored = (1L to 10L).map(i =>
+      (i, (11 - i).toDouble, i <= 5)).toDF("doc_id", "margin", "correct")
+    val r = NaiveBayesText.calibration(scored, "doc_id", bins = 5)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(r.map(_._1).toSeq == (1L to 5L))
+    assert(r.map(_._2).sum == 10L)               // every doc lands in a bin
+    assert(r.forall(_._2 == 2L))                 // equal-count deciles
+    assert(r.map(_._3).toSeq == Seq(2L, 2L, 1L, 0L, 0L))
+    assert(r.map(_._4).toSeq == Seq(1.0, 1.0, 0.5, 0.0, 0.0))
+    // margin ranges are descending and disjoint
+    assert(r.sliding(2).forall(p => p(0)._6 >= p(1)._5))
+  }
+
   test("plan: token-count model meets the corpus tf frame via broadcast") {
     val docs = Sources.table(spark, sf("sf0.001"), "documents")
     val m = NaiveBayesText.train(docs, "text", "lang")

@@ -574,4 +574,24 @@ class DedupSpec extends SparkSpec {
     val byBand = r.sortBy(_._1)
     assert(byBand.last._4 >= byBand.head._4)
   }
+
+  test("dupSourceMatrix: unordered cells merge both orientations; counts exact") {
+    val pairs = Seq(
+      (1L, 2L, 0.8), (3L, 4L, 0.6), // wiki-cc in both orientations
+      (5L, 6L, 1.0),                // cc-cc diagonal
+      (7L, 8L, 0.5)                 // wiki-wiki diagonal
+    ).toDF("id_a", "id_b", "jaccard")
+    val meta = Seq(
+      1L -> "wiki", 2L -> "cc", 3L -> "cc", 4L -> "wiki",
+      5L -> "cc", 6L -> "cc", 7L -> "wiki", 8L -> "wiki"
+    ).toDF("doc_id", "source")
+    val r = Dedup.dupSourceMatrix(pairs, meta, "doc_id", "source")
+      .as[(String, String, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r.size == 3)
+    val cw = r(("cc", "wiki"))
+    assert(cw._3 == 2L && math.abs(cw._4 - 0.7) < 1e-9)
+    assert(r(("cc", "cc"))._3 == 1L)
+    assert(r(("wiki", "wiki"))._3 == 1L)
+  }
 }

@@ -403,4 +403,24 @@ class SamplingSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted
     assert(again.sameElements(r.map(_._1).sorted))
   }
+
+  test("packAudit: boundary/full/multi-doc counts match the hand-built layout") {
+    // one shard → stream order is doc_id order; token counts 5, 3, 6,
+    // L=4 → sequences [0,4) doc1 | [4,8) doc1+doc2 | [8,12) doc3 |
+    // [12,14) doc3 partial
+    val d = Seq(
+      (1L, Seq.fill(5)("a").mkString(" ")),
+      (2L, Seq.fill(3)("b").mkString(" ")),
+      (3L, Seq.fill(6)("c").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Sampling.packAudit(d, "doc_id", "text",
+        seqTokens = 4, shards = 1, salt = "t")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((0L, 4L, 3L, 1L, 1L, 2L)))
+    // consistency with pack itself: same seq count per shard, and
+    // full_seqs equals the count of exactly-L sequences pack emits
+    val packed = Sampling.pack(d, "doc_id", "text", 4, 1, "t")
+      .select("n_tokens").as[Long].collect()
+    assert(packed.length == 4 && packed.count(_ == 4L) == 3)
+  }
 }

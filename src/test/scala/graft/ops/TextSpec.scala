@@ -425,6 +425,51 @@ class TextSpec extends SparkSpec {
     assert(s2._7 == 0.0)
   }
 
+  test("zipfAudit: rollup counts exact; fit matches an independent regression") {
+    val d = Seq(
+      (1L, "a a a a b b c d"),
+      (2L, "a a b c e")
+    ).toDF("doc_id", "text")
+    // counts: a=6, b=3, c=2, d=1, e=1 → vocab 5, total 13, hapax 2
+    val r = Text.zipfAudit(d, "text", fitTopK = 500).collect().head
+    assert(r.getLong(0) == 5L)    // vocab_size
+    assert(r.getLong(1) == 13L)   // total_tokens
+    assert(r.getLong(2) == 2L)    // hapax_count
+    assert(r.getLong(3) == 13L)   // top100_tokens = all (vocab < 100)
+    assert(r.getLong(4) == 5L)    // fit_terms
+    // independent least squares over the same 1e6-scaled rounded points
+    val pts = Seq(6L, 3L, 2L, 1L, 1L).zipWithIndex.map { case (c, i) =>
+      (math.floor(math.log(i + 1.0) * 1e6 + 0.5),
+        math.floor(math.log(c.toDouble) * 1e6 + 0.5))
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(5) - slope) < 1e-6)
+    assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0) // r2
+  }
+
+  test("ictPairs: short docs drop; span bounds; reinserting the query rebuilds the doc") {
+    val d = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens: kept
+      (2L, (1 to 7).map(i => s"u$i").mkString(" "))   // 7 < 2*4: dropped
+    ).toDF("doc_id", "text")
+    val rows = Text.ictPairs(d, "doc_id", "text", spanTokens = 4)
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(rows.map(_._1).toSet == Set(1L))
+    val (_, n, a, q, p) = rows.head
+    assert(n == 20L)
+    assert(a >= 0 && a <= n - 4) // valid window offset
+    val qt = q.split(" "); val pt = p.split(" ")
+    assert(qt.length == 4 && pt.length == 16)
+    // passage = doc with the query window excised at position a —
+    // splicing it back reconstructs the original token stream
+    val rebuilt = (pt.take(a.toInt) ++ qt ++ pt.drop(a.toInt)).mkString(" ")
+    assert(rebuilt == (1 to 20).map(i => s"t$i").mkString(" "))
+  }
+
   test("lengthBuckets: pow2 clamp, padding/overflow math, token conservation") {
     assert(Text.lengthBucketList(8, 64) == Seq(8, 16, 32, 64))
     assert(Text.lengthBucketList(16, 16) == Seq(16))
