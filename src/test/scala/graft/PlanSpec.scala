@@ -414,6 +414,32 @@ class PlanSpec extends SparkSpec {
     // reliable mode) — never a second parquet scan
   }
 
+  test("q126: zipf fit input is a distributed top-k, never a vocab-wide sort") {
+    val p = plan("q126_zipf_audit")
+    // the fit frame must come from TakeOrderedAndProject (bounded at
+    // fitTopK rows at any corpus scale); a global Sort before the rank
+    // window would be a vocab-sized single-partition sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q127: ICT pair extraction is map-only — no exchange at any scale") {
+    val p = plan("q127_ict_pairs")
+    // tokenize → hash → slice → rejoin, all per-row; the only allowed
+    // exchange is the output orderBy's range partitioning
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val range = p.linesIterator.count(l =>
+      l.trim.startsWith("Exchange rangepartitioning"))
+    assert(exchanges == range,
+      s"non-sort exchange in a map-only op ($exchanges vs $range):\n$p")
+  }
+
+  test("q130: source matrix joins are equi-keyed, never nested-loop") {
+    val p = plan("q130_dup_source_matrix")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
