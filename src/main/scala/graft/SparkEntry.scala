@@ -139,6 +139,14 @@ object SparkEntry {
   val IctSpanTokens = 8
   /** q129 calibration bin count (margin deciles). */
   val CalibBins = 10
+  /** q132 top-token concentration gate bound. */
+  val ConcMax = 0.2
+  /** q134 interleave stream shards. */
+  val InterleaveShards = 4
+  /** q133 anomaly baseline: previous day of observed hourly windows. */
+  val AnomalyTrailing = 24
+  /** q133 |z| flag threshold. */
+  val AnomalyZ = 2.0
   /** q121 count–min sketch: depth 3 × width 64 against the fixture's
     * ~40-term vocabulary forces real counter collisions, so the audit's
     * overestimate column is non-trivially positive while the est ≥
@@ -1297,6 +1305,49 @@ object SparkEntry {
         Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau),
         docs, "doc_id", "source")
         .orderBy("source_a", "source_b")
+    }),
+
+    // Stride-scheduled mixture interleave: the deterministic
+    // data-loader order over hash shards, weights a keyed-hash draw
+    // per source (so the fixture's uniform sources differentiate).
+    "q134_interleave" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          (pmod(Portable.seededHash(col("source"), lit("w")), lit(5L)) + 1L)
+            .cast("double"))
+      Sampling.interleave(docs, "doc_id", "source", w,
+        InterleaveShards, "il").orderBy("shard", "pos")
+    }),
+
+    // Per-doc marginal novelty: fraction of each doc's distinct
+    // shingles first seen in that doc (corpus id order).
+    "q131_novelty" -> ((s, dir) => {
+      Dedup.noveltyStats(shingled(s, dir), "doc_id").orderBy("doc_id")
+    }),
+
+    // Independent-gate overlap matrix: every (lang, length,
+    // top-token-concentration) pass/fail combination with counts —
+    // the ablation view the sequential funnel can't produce.
+    "q132_gate_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val conc = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("c")).cast("double") / sum(col("c"))).as("topfrac"))
+      Quality.gateOverlap(docs.join(conc, Seq("doc_id")), Seq(
+          "lang_ok" -> (col("lang") === "en"),
+          "len_ok" -> size(Text.tokens(col("text"))).between(10, 1000),
+          "conc_ok" -> (col("topfrac") <= ConcMax)))
+        .orderBy("lang_ok", "len_ok", "conc_ok")
+    }),
+
+    // Trailing-baseline window anomaly: hourly counts per type z-scored
+    // against the previous day of observed windows.
+    "q133_window_anomaly" -> ((s, dir) => {
+      Events.windowAnomaly(Sources.eventsNs(s, dir), WindowMs,
+        AnomalyTrailing, AnomalyZ).orderBy("event_type", "window_start_ms")
     }),
 
     // Exact dedup: content-hash duplicate groups with canonical survivor.
@@ -2687,6 +2738,115 @@ object SparkEntry {
          |FROM ia ORDER BY doc_id""".stripMargin,
 
     "q128_pack_audit" -> s"WITH ${packAuditTailSql("documents")}",
+
+    // q134: identical vt arithmetic and total tiebreak both engines.
+    "q134_interleave" ->
+      s"""WITH iw AS (
+         |  SELECT source,
+         |    (${Portable.sqlHash("source", "'w'")} % 5 + 1)::DOUBLE AS weight
+         |  FROM (SELECT DISTINCT source FROM documents) _
+         |),
+         |ib AS (
+         |  SELECT d.doc_id, d.source,
+         |    ${Portable.sqlHash("doc_id", "'il'")} AS h,
+         |    ${Portable.sqlHash("doc_id", "'il'", "'shard'")}
+         |      % $InterleaveShards AS shard,
+         |    iw.weight
+         |  FROM documents d JOIN iw USING (source)
+         |),
+         |ii AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS i
+         |  FROM ib
+         |),
+         |iv AS (
+         |  SELECT shard, doc_id, source, i::DOUBLE / weight AS vt FROM ii
+         |)
+         |SELECT shard, doc_id, source,
+         |  row_number() OVER
+         |    (PARTITION BY shard ORDER BY vt, source, doc_id)::BIGINT AS pos,
+         |  round(vt, 9) AS vt
+         |FROM iv ORDER BY shard, pos""".stripMargin,
+
+    // q131: first owner of each shingle as a window min; docs without
+    // shingles keep 0 counts and a NULL ratio.
+    "q131_novelty" ->
+      s"""$shingleSqlCte,
+         |nv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         |nf AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY g) AS first_doc
+         |  FROM nv
+         |),
+         |np AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_distinct,
+         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_novel
+         |  FROM nf GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(np.n_distinct, 0)::BIGINT AS n_distinct,
+         |  coalesce(np.n_novel, 0)::BIGINT AS n_novel,
+         |  round(np.n_novel::DOUBLE / np.n_distinct, 9) AS novelty_ratio
+         |FROM documents d LEFT JOIN np ON np.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q132: gates evaluated independently; the flag tuple is the key.
+    "q132_gate_overlap" ->
+      s"""WITH gc AS (
+         |  SELECT doc_id, max(c)::DOUBLE / sum(c) AS topfrac
+         |  FROM (SELECT doc_id, w, count(*)::BIGINT AS c
+         |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |              FROM documents) _
+         |        GROUP BY doc_id, w) _
+         |  GROUP BY doc_id
+         |),
+         |fl AS (
+         |  SELECT (d.lang = 'en') AS lang_ok,
+         |    (len(string_split(d.text, ' ')) BETWEEN 10 AND 1000) AS len_ok,
+         |    (gc.topfrac <= $ConcMax) AS conc_ok
+         |  FROM documents d JOIN gc USING (doc_id)
+         |)
+         |SELECT lang_ok, len_ok, conc_ok, count(*)::BIGINT AS n_docs,
+         |  (CASE WHEN lang_ok THEN 0 ELSE 1 END
+         |   + CASE WHEN len_ok THEN 0 ELSE 1 END
+         |   + CASE WHEN conc_ok THEN 0 ELSE 1 END)::BIGINT AS n_gates_failed
+         |FROM fl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q133: exact-integer baseline moments; the z expression shape is
+    // identical to the Spark side so even the floats are bit-equal.
+    "q133_window_anomaly" ->
+      s"""WITH wc AS (
+         |  SELECT event_type,
+         |    (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT
+         |      AS window_start_ms,
+         |    count(*)::BIGINT AS n_events
+         |  FROM events GROUP BY 1, 2
+         |),
+         |wt AS (
+         |  SELECT event_type, window_start_ms, n_events,
+         |    count(*) OVER tw AS k,
+         |    (sum(n_events) OVER tw)::BIGINT AS s,
+         |    (sum(n_events * n_events) OVER tw)::BIGINT AS ss
+         |  FROM wc
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_ms
+         |    ROWS BETWEEN $AnomalyTrailing PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT event_type, window_start_ms, n_events,
+         |  round(s::DOUBLE / $AnomalyTrailing, 9) AS trail_mean,
+         |  round((ss * $AnomalyTrailing - s * s)::DOUBLE
+         |    / (${AnomalyTrailing.toLong * AnomalyTrailing}), 9) AS trail_var,
+         |  round(CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
+         |    (n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
+         |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
+         |          / (${AnomalyTrailing.toLong * AnomalyTrailing})) END, 9)
+         |    AS zscore,
+         |  CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
+         |    abs((n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
+         |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
+         |          / (${AnomalyTrailing.toLong * AnomalyTrailing}))) >= $AnomalyZ
+         |  ELSE n_events * $AnomalyTrailing <> s END AS is_anomaly
+         |FROM wt WHERE k = $AnomalyTrailing
+         |ORDER BY event_type, window_start_ms""".stripMargin,
 
     // q130: the q20 jac pairs bridged to their sources; unordered cells.
     "q130_dup_source_matrix" ->

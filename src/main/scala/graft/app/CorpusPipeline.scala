@@ -3,7 +3,7 @@ package graft.app
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.ops.{Dedup, Sources, Text}
+import graft.ops.{Barrier, Dedup, Sources, Text}
 
 /** LLM training-data curation, end-to-end — the 100 TB use case the
   * extension operators exist for (SURVEY.md §7.4), composed into the
@@ -293,15 +293,25 @@ object CorpusPipeline {
     // (boilerplate/spam) the quality composite cannot see. NULL ratios
     // (docs too short for an n-gram) pass; unset = stage skipped, no
     // extra scan.
+    //
+    // Lazy-mode gate idiom (here and in the boiler/ppl gates below):
+    // the expensive stats chain collapses to its tiny survivor-ID
+    // frame behind a [[Barrier]], so downstream consumers that read
+    // the gate output more than once (exact dedup's group+join is ×2)
+    // re-scan only the CACHED parent joined with materialized ids —
+    // the n-gram explode never runs twice. Funnel mode instead
+    // persists the gate output and materializes it once in count
+    // order (the ids stay lazy — they run exactly once inside that
+    // materialization).
     val good = cfg.maxDupNgramRatio match {
       case None => clean
       case Some(maxDup) =>
+        val ids = Text.repetitionStats(clean, "text", cfg.repetitionN)
+          .filter(col("dup_ngram_ratio").isNull ||
+            col("dup_ngram_ratio") <= maxDup)
+          .select("doc_id")
         val surv = clean.join(
-          Text.repetitionStats(clean, "text", cfg.repetitionN)
-            .filter(col("dup_ngram_ratio").isNull ||
-              col("dup_ngram_ratio") <= maxDup)
-            .select("doc_id"),
-          Seq("doc_id"))
+          if (collectFunnel) ids else Barrier.cut(ids), Seq("doc_id"))
         if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
         else surv
     }
@@ -313,12 +323,13 @@ object CorpusPipeline {
     val gated = cfg.maxBoilerRatio match {
       case None => good
       case Some(maxB) =>
+        val ids = Text.boilerplateStats(good, "text", cfg.boilerN,
+            cfg.boilerMaxDf)
+          .filter(col("boiler_ratio").isNull ||
+            col("boiler_ratio") <= maxB)
+          .select("doc_id")
         val surv = good.join(
-          Text.boilerplateStats(good, "text", cfg.boilerN, cfg.boilerMaxDf)
-            .filter(col("boiler_ratio").isNull ||
-              col("boiler_ratio") <= maxB)
-            .select("doc_id"),
-          Seq("doc_id"))
+          if (collectFunnel) ids else Barrier.cut(ids), Seq("doc_id"))
         if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
         else surv
     }
@@ -339,14 +350,18 @@ object CorpusPipeline {
         // lazy mode the gate frame persists here (funnel mode already
         // persists it; `ne quality` guards the no-gates case where it
         // IS the always-persisted quality frame). Registered in
-        // `extraPersisted` for caller unpersist.
+        // `extraPersisted` for caller unpersist. The tier-survivor IDS
+        // additionally pass a [[Barrier]] in lazy mode (see the
+        // repetition gate note), so downstream multi-reads never re-run
+        // the NLL/ntile chain.
         if (!collectFunnel && (gated ne quality))
           gated.persist(StorageLevel.MEMORY_AND_DISK)
+        val ids = Text.perplexityBuckets(gated, "text", "lang",
+            cfg.pplBuckets)
+          .filter(col("bucket").isin(keep.toSeq: _*))
+          .select("doc_id")
         val surv = gated.join(
-          Text.perplexityBuckets(gated, "text", "lang", cfg.pplBuckets)
-            .filter(col("bucket").isin(keep.toSeq: _*))
-            .select("doc_id"),
-          Seq("doc_id"))
+          if (collectFunnel) ids else Barrier.cut(ids), Seq("doc_id"))
         if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
         else surv
     }

@@ -222,6 +222,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-document n-gram novelty — how much genuinely NEW text each
+    * document contributes to the corpus in id order: the fraction of
+    * its distinct shingles whose FIRST corpus occurrence (minimum doc
+    * id over documents containing the shingle) is this document. The
+    * marginal-contribution audit behind data-curriculum and
+    * crawl-refresh decisions — a snapshot whose tail documents show
+    * near-zero novelty is re-crawling what the corpus already has, a
+    * signal neither pairwise near-dup (needs a similar PAIR) nor
+    * boilerplate df gates (need many repeats) surface.
+    *
+    * Takes the shingled frame ((idCol, shingles) — [[minhashSignatures]]'s
+    * input shape) so the gram size and tokenization stay the caller's
+    * choice. Docs with no shingles report 0 counts and NULL ratio (the
+    * [[graft.ops.Text.boilerplateStats]] convention).
+    *
+    * Shape: explode → per-shingle first-owner as a window min (a
+    * shingle's partition is ≤ n_docs rows, never corpus-sized — the
+    * same bound as boilerplate's df window) → doc-keyed rollup → spine
+    * left-join (the spine scan prunes to the id column). Two keyed
+    * shuffles, nothing corpus-sized beyond the exploded gram frame. */
+  def noveltyStats(shingled: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = shingled
+      .select(col(idCol), explode_outer(col("shingles")).as("g"))
+      .filter(col("g").isNotNull)
+      .withColumn("__first", min(col(idCol)).over(Window.partitionBy(col("g"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+    shingled.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_distinct"), 9)
+          .as("novelty_ratio"))
+  }
+
   /** Cross-source duplication matrix — the near-dup pair list
     * ([[jaccardVerify]] / [[jaccardPairsExact]] output) rolled up by
     * the SOURCE pair it connects: for each unordered (source_a,

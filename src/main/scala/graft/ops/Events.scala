@@ -43,6 +43,59 @@ object Events {
         round(avg(col("value")), 9).as("avg_value"),
         round(sum(col("value")), 9).as("sum_value"))
 
+  /** Trailing-baseline anomaly detection over the tumbling counts —
+    * the monitoring twin of [[tumbling]]: per event type, each window's
+    * event count is z-scored against the mean/variance of its
+    * `trailing` PRECEDING observed windows, and windows beyond
+    * `zThresh` flag. The "did ingest just spike/die" alert an event
+    * pipeline runs continuously.
+    *
+    * Semantics: "trailing" means the previous `trailing` OBSERVED
+    * (non-empty) windows of that type — empty windows don't occupy
+    * baseline slots (the relational form needs no window spine; the
+    * stream analog is the watermark-bounded state twin). Windows
+    * without a full baseline emit nothing. When the baseline variance
+    * is 0, the z-score is NULL and `is_anomaly` falls back to the exact
+    * "count differs from the constant baseline" test.
+    *
+    * Determinism: mean and variance come from integer sums (Σ, Σ² over
+    * counts) combined in one fixed expression shape — both engines
+    * divide the same exact integers, so even the float z-scores are
+    * bit-identical. Shape: one (type, window) count agg, one per-type
+    * ordered window pass (partition = windows of one type — bounded by
+    * time range / width, never event-sized), no joins. */
+  def windowAnomaly(events: DataFrame, widthMs: Long, trailing: Int,
+                    zThresh: Double): DataFrame = {
+    require(widthMs >= 1, s"widthMs must be >= 1, got $widthMs")
+    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
+    require(zThresh > 0, s"zThresh must be > 0, got $zThresh")
+    val k = trailing.toLong
+    val counts = events
+      .withColumn("window_start_ms",
+        (ms - pmod(ms, lit(widthMs))).cast("long"))
+      .groupBy(col("event_type"), col("window_start_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("window_start_ms"))
+      .rowsBetween(-trailing, -1)
+    // exact-integer baseline: var = (k·Σx² − (Σx)²) / k²
+    val varNum = col("__ss") * k - col("__s") * col("__s")
+    val trailVar = varNum.cast("double") / (k * k).toDouble
+    val trailMean = col("__s").cast("double") / k.toDouble
+    val z = (col("n_events").cast("double") - trailMean) / sqrt(trailVar)
+    counts
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("n_events")).over(w))
+      .withColumn("__ss", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("__k") === k)
+      .select(col("event_type"), col("window_start_ms"), col("n_events"),
+        round(trailMean, 9).as("trail_mean"),
+        round(trailVar, 9).as("trail_var"),
+        round(when(varNum > 0, z), 9).as("zscore"),
+        when(varNum > 0, abs(z) >= zThresh)
+          .otherwise(col("n_events") * k =!= col("__s")).as("is_anomaly"))
+  }
+
   /** Gap-based sessionization (gaps-and-islands): a new session starts
     * when the time since the user's previous event exceeds `gapMs`.
     * Returns one row per session with start/end/duration/count/sum. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -169,4 +169,31 @@ object Quality {
         round(avg(col("quality_score")), 9).as("mean_quality"),
         round(min(col("quality_score")), 9).as("min_quality"),
         round(max(col("quality_score")), 9).as("max_quality"))
+
+  /** Curation-gate overlap matrix — the ablation view of a filter
+    * stack: every gate evaluated INDEPENDENTLY on every row (unlike
+    * [[graft.app.CorpusPipeline]]'s sequential funnel, where a row
+    * killed by gate 1 never meets gate 2), rolled up to one row per
+    * pass/fail combination. Reading the matrix tells a data team which
+    * gates are redundant (their fail sets coincide), which are
+    * load-bearing (rows failing ONLY them), and what a gate's removal
+    * would actually re-admit — none of which the funnel's sequential
+    * counts can say.
+    *
+    * `gates` are (name, predicate) pairs over `df`'s columns; derived
+    * metrics (an aggregate the predicate needs) should be joined onto
+    * `df` first — the op stays one groupBy over the flag tuple, output
+    * cardinality ≤ 2^gates. `n_gates_failed` counts false flags per
+    * combination (null flags count as failed — a gate that cannot
+    * evaluate must not silently pass). */
+  def gateOverlap(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "gateOverlap needs at least one gate")
+    val failed = gates
+      .map { case (n, _) => when(col(n) === true, 0L).otherwise(1L) }
+      .reduce(_ + _)
+    df.select(gates.map { case (n, c) => c.as(n) }: _*)
+      .groupBy(gates.map { case (n, _) => col(n) }: _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_gates_failed", failed)
+  }
 }

@@ -333,6 +333,46 @@ object Sampling {
       .withColumn("__pe", least(col("__cum"), (col("seq_idx") + 1) * L))
   }
 
+  /** Deterministic mixture-order interleave — the data-loader schedule
+    * realized as a table: given per-source mixture weights, emit every
+    * document with its position in the training stream such that
+    * sources appear in weight proportion THROUGHOUT the stream (stride
+    * scheduling: the i-th document of source s runs at virtual time
+    * i / weight_s; the stream is the vt order). Epoch-deterministic and
+    * engine-reproducible — the order is a pure function of (ids, salt),
+    * unlike an RNG-shuffled loader. [[domainMix]]/[[tokenBudget]] decide
+    * WHAT is in the mix; this decides WHEN each row is consumed.
+    *
+    * Sharded like [[pack]]: documents hash-assign to `shards` streams
+    * and positions are per-shard — a loader reads shards in parallel,
+    * and within a shard the weight proportions still hold (the hash is
+    * source-blind). Within a source, consumption order is the keyed-hash
+    * order (deterministic shuffle), then (vt, source, id) breaks all
+    * ties totally.
+    *
+    * Shape: broadcast weight join → one source-keyed window (per-source
+    * rank) → one shard-keyed window (stream position). Parallelism ∝
+    * shards on the second sort — size shards so a shard fits a task
+    * (the [[pack]] caveat, lever built in). */
+  def interleave(df: DataFrame, idCol: String, sourceCol: String,
+                 weights: DataFrame, shards: Int, salt: String): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val ws = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h"), col(idCol))
+    val wp = Window.partitionBy(col("shard"))
+      .orderBy(col("vt"), col(sourceCol), col(idCol))
+    df.select(col(idCol), col(sourceCol),
+        Portable.seededHash(col(idCol), lit(salt)).as("__h"),
+        pmod(Portable.seededHash(col(idCol), lit(salt), lit("shard")),
+          lit(shards.toLong)).as("shard"))
+      .join(broadcast(weights), Seq(sourceCol))
+      .withColumn("__i", row_number().over(ws).cast("long"))
+      .withColumn("vt", col("__i").cast("double") / col("weight"))
+      .select(col("shard"), col(idCol), col(sourceCol),
+        row_number().over(wp).cast("long").as("pos"),
+        round(col("vt"), 9).as("vt"))
+  }
+
   /** Attention-bleed audit of [[pack]]'s layout — per shard, how much
     * cross-document contamination the packed sequences carry: without
     * attention masking at document boundaries, a model trained on packed

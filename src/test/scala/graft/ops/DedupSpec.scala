@@ -575,6 +575,22 @@ class DedupSpec extends SparkSpec {
     assert(byBand.last._4 >= byBand.head._4)
   }
 
+  test("noveltyStats: first owner wins; later copies score zero; gram-less doc NULL") {
+    val sh = Seq(
+      (1L, Seq("a b c", "b c d")),      // all novel (first doc)
+      (2L, Seq("a b c", "x y z")),      // 1 of 2 novel
+      (3L, Seq("b c d", "x y z")),      // 0 novel
+      (4L, Seq.empty[String])           // no grams
+    ).toDF("doc_id", "shingles")
+    val r = Dedup.noveltyStats(sh, "doc_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 2)
+    assert(r(2L).getLong(1) == 2 && r(2L).getLong(2) == 1
+      && math.abs(r(2L).getDouble(3) - 0.5) < 1e-9)
+    assert(r(3L).getLong(2) == 0 && r(3L).getDouble(3) == 0.0)
+    assert(r(4L).getLong(1) == 0 && r(4L).isNullAt(3))
+  }
+
   test("dupSourceMatrix: unordered cells merge both orientations; counts exact") {
     val pairs = Seq(
       (1L, 2L, 0.8), (3L, 4L, 0.6), // wiki-cc in both orientations

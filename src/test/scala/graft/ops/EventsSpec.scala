@@ -289,6 +289,39 @@ class EventsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("windowAnomaly: spike flags past a flat baseline; zero-variance fallback exact") {
+    // type A: hourly counts 2,2,2 then a 6-spike — baseline var 0 for
+    // every full-baseline window, so the fallback triggers on the spike
+    val rows = (0 until 3).flatMap(h =>
+        (0 until 2).map(i => (h * 10L + i, h * H, 1L, "A", 0.0))) ++
+      (0 until 6).map(i => (100L + i, 3 * H, 1L, "A", 0.0)) ++
+      // type B: counts 1,2 — not enough windows for a k=3 baseline
+      Seq((200L, 0L, 1L, "B", 0.0), (201L, H, 1L, "B", 0.0),
+        (202L, H, 1L, "B", 0.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.windowAnomaly(df, 3600000L, trailing = 3, zThresh = 2.0)
+      .collect()
+    // only type A's 4th window has 3 trailing observed windows
+    assert(r.length == 1)
+    val a = r.head
+    assert(a.getString(0) == "A" && a.getLong(2) == 6L)
+    assert(a.getDouble(3) == 2.0 && a.getDouble(4) == 0.0) // mean 2, var 0
+    assert(a.isNullAt(5))                                  // z undefined
+    assert(a.getBoolean(6))                                // 6 != 2 → flag
+    // non-degenerate baseline: counts 1,2,3 then 3 → z < 2, no flag
+    val v = ((0 until 1).map(i => (0L + i, 0L, 1L, "C", 0.0)) ++
+      (0 until 2).map(i => (10L + i, H, 1L, "C", 0.0)) ++
+      (0 until 3).map(i => (20L + i, 2 * H, 1L, "C", 0.0)) ++
+      (0 until 3).map(i => (30L + i, 3 * H, 1L, "C", 0.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c = Events.windowAnomaly(v, 3600000L, 3, 2.0).collect().head
+    // baseline {1,2,3}: mean 2, var 2/3; z = (3-2)/sqrt(2/3)
+    assert(math.abs(c.getDouble(3) - 2.0) < 1e-9)
+    assert(math.abs(c.getDouble(4) - 2.0 / 3) < 1e-9)
+    assert(math.abs(c.getDouble(5) - 1.0 / math.sqrt(2.0 / 3)) < 1e-6)
+    assert(!c.getBoolean(6))
+  }
+
   test("run table: iteration ordered by start, best row = min objective") {
     val rt = Events.runTable(ev).orderBy("iteration").collect()
     assert(rt.map(_.getLong(3)).sameElements(Array(1L, 2L)))

@@ -142,4 +142,27 @@ class QualitySpec extends SparkSpec {
     assert(ok.getLong(2) == 0 && ok.getLong(3) == 1)
     assert(ok.getLong(6) == 0 && ok.getLong(7) == 0)
   }
+
+  test("gateOverlap: combination counts, failure tally, null fails closed") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, "en", 5L), (2L, "en", 50L), (3L, "de", 50L),
+      (4L, "en", 50L), (5L, "de", 5L)
+    ).toDF("id", "lang", "n")
+      .withColumn("m", when(col("id") === 5L, lit(null: String))
+        .otherwise(col("lang")))
+    val r = Quality.gateOverlap(d, Seq(
+        "lang_ok" -> (col("m") === "en"),
+        "len_ok" -> (col("n") >= 10L)))
+      .collect()
+      .map(x => (Option(x.get(0)), Option(x.get(1))) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    // (en,5)→(T,F); (en,50)×2→(T,T); (de,50)→(F,T); (de-null,5)→(null,F)
+    assert(r((Some(true), Some(true))) == ((2L, 0L)))
+    assert(r((Some(true), Some(false))) == ((1L, 1L)))
+    assert(r((Some(false), Some(true))) == ((1L, 1L)))
+    // null gate counts as failed, never as passed
+    assert(r((None, Some(false))) == ((1L, 2L)))
+    assert(r.values.map(_._1).sum == 5L)
+  }
 }

@@ -404,6 +404,29 @@ class SamplingSpec extends SparkSpec {
     assert(again.sameElements(r.map(_._1).sorted))
   }
 
+  test("interleave: stride schedule honors weights; positions contiguous; per-source order monotone") {
+    val docs = ((1 to 4).map(i => (i.toLong, "a")) ++
+      (11 to 12).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val w = Seq(("a", 2.0), ("b", 1.0)).toDF("source", "weight")
+    val r = Sampling.interleave(docs, "doc_id", "source", w,
+        shards = 1, salt = "t")
+      .orderBy("pos")
+      .as[(Long, Long, String, Long, Double)].collect()
+    // vt: a → 0.5, 1.0, 1.5, 2.0; b → 1.0, 2.0; tie at equal vt → source
+    // asc, so the stream pattern is a a b a a b — 2:1 throughout
+    assert(r.map(_._3).toSeq == Seq("a", "a", "b", "a", "a", "b"))
+    assert(r.map(_._4).toSeq == (1L to 6L))
+    // each source's own docs appear at increasing vt
+    r.groupBy(_._3).foreach { case (_, rows) =>
+      val vts = rows.sortBy(_._4).map(_._5)
+      assert(vts.zip(vts.tail).forall(p => p._1 < p._2))
+    }
+    // deterministic: same inputs → same order
+    val again = Sampling.interleave(docs, "doc_id", "source", w, 1, "t")
+      .orderBy("pos").as[(Long, Long, String, Long, Double)].collect()
+    assert(again.map(_._2).sameElements(r.map(_._2)))
+  }
+
   test("packAudit: boundary/full/multi-doc counts match the hand-built layout") {
     // one shard → stream order is doc_id order; token counts 5, 3, 6,
     // L=4 → sequences [0,4) doc1 | [4,8) doc1+doc2 | [8,12) doc3 |
