@@ -69,6 +69,92 @@ object StreamOps {
       }
   }
 
+  /** One [[anomalyStream]] report row — the field-for-field streaming
+    * twin of [[graft.ops.Events.windowAnomaly]]'s output (zscore None
+    * where the batch form is NULL). */
+  case class AnomRow(event_type: String, window_start_ms: Long,
+                     n_events: Long, trail_mean: Double, trail_var: Double,
+                     zscore: Option[Double], is_anomaly: Boolean)
+
+  /** Keyed anomaly state: counts of OPEN windows (not yet past the
+    * watermark) and the trailing ring of closed-window counts. Both
+    * bounded: open windows by the watermark delay / window width,
+    * the ring by `trailing` — counters only, never buffered events. */
+  case class AnomState(open: Seq[(Long, Long)], hist: Seq[Long])
+
+  /** [[anomalyStream]] input row (named fields so the typed conversion
+    * resolves against the projection). */
+  case class AnomIn(k: String, w: Long, event_time: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.ops.Events.windowAnomaly]]: per event
+    * type, tumbling-window counts z-scored against the trailing
+    * `trailing` CLOSED windows, emitted as each window closes (its end
+    * passes the watermark). Same exact-integer moment arithmetic and
+    * the same zero-variance fallback as the batch form, so on in-order
+    * input the emitted rows equal the batch report (StreamOpsSpec pins
+    * it); same sparse-window semantics too — the baseline is the
+    * previous `trailing` OBSERVED windows.
+    *
+    * State per key: open-window counters + a `trailing`-length ring —
+    * O(trailing + watermark/width) longs, never events. Windows close
+    * on the next batch touching the key or on an event-time timeout
+    * (set to the earliest open window's end), so a key that goes quiet
+    * still flushes. Streaming input only — on a batch frame use the
+    * batch twin (a batch run never advances the watermark, so nothing
+    * would close). */
+  def anomalyStream(events: DataFrame, widthMs: Long, trailing: Int,
+                    zThresh: Double, watermark: String): Dataset[AnomRow] = {
+    require(widthMs >= 1, s"widthMs must be >= 1, got $widthMs")
+    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
+    require(zThresh > 0, s"zThresh must be > 0, got $zThresh")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = trailing.toLong
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .select(col("event_type").as("k"),
+        expr(s"""(((ts - pmod(ts, 1000000)) div 1000000)
+                 | - pmod((ts - pmod(ts, 1000000)) div 1000000, $widthMs))
+                 |""".stripMargin).cast("long").as("w"),
+        col("event_time"))
+      .as[AnomIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AnomState, AnomRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val st = state.getOption.getOrElse(AnomState(Nil, Nil))
+          val open = collection.mutable.Map(st.open: _*)
+          rows.foreach { r => open(r.w) = open.getOrElse(r.w, 0L) + 1L }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = open.toSeq.partition(_._1 + widthMs <= wm)
+          var hist = st.hist
+          val out = closed.sortBy(_._1).flatMap { case (w, c) =>
+            val row = if (hist.size == trailing) {
+              val s = hist.sum
+              val ss = hist.map(x => x * x).sum
+              val varNum = ss * k - s * s
+              val mean = s.toDouble / k
+              val variance = varNum.toDouble / (k * k)
+              val zOpt = if (varNum > 0)
+                Some((c.toDouble - mean) / math.sqrt(variance)) else None
+              val anom = zOpt.map(z => math.abs(z) >= zThresh)
+                .getOrElse(c * k != s)
+              Some(AnomRow(key, w, c, r9(mean), r9(variance),
+                zOpt.map(r9), anom))
+            } else None
+            hist = (hist :+ c).takeRight(trailing)
+            row
+          }
+          state.update(AnomState(stillOpen.sortBy(_._1), hist))
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(stillOpen.map(_._1).min + widthMs, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.ops.Dedup.dedupExact]]: drop any row whose content hash was
     * already seen, with state bounded by the watermark

@@ -356,4 +356,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.map(_.getAs[Long]("doc_id")) == Set(1L))
   }
+
+  test("anomalyStream: windows close on watermark; rows equal the batch twin") {
+    import graft.ops.Events
+    implicit val sqlCtx = spark.sqlContext
+    // type A hourly counts 1, 2, 3, 3 (hours 1-4 — ts=0 would sit ON
+    // the initial watermark and be dropped as late) — with trailing=3
+    // only the hour-4 window has a full baseline {1,2,3}: mean 2,
+    // var 2/3, z = (3-2)/sqrt(2/3) ≈ 1.2247 < 2 → reported, not flagged
+    val aRows = (0 until 1).map(i => (1L + i, H, 1L, "A", 0.0)) ++
+      (0 until 2).map(i => (10L + i, 2 * H, 1L, "A", 0.0)) ++
+      (0 until 3).map(i => (20L + i, 3 * H, 1L, "A", 0.0)) ++
+      (0 until 3).map(i => (30L + i, 4 * H, 1L, "A", 0.0))
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.anomalyStream(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        3600000L, trailing = 3, zThresh = 2.0, watermark = "0 seconds")
+        .toDF(),
+      "anom_stream", OutputMode.Append)
+    val streamed = try {
+      in.addData(aRows: _*); q.processAllAvailable()
+      // sentinels push the watermark past hour 4's end and then fire
+      // the event-time timeout that flushes the closed window
+      in.addData((90L, 6 * H, 9L, "Z", 0.0)); q.processAllAvailable()
+      in.addData((91L, 7 * H, 9L, "Z", 0.0)); q.processAllAvailable()
+      spark.table("anom_stream")
+        .as[(String, Long, Long, Double, Double, Option[Double], Boolean)]
+        .collect().toSet
+    } finally q.stop()
+    val batch = Events.windowAnomaly(
+      mkDf(aRows ++ Seq((90L, 6 * H, 9L, "Z", 0.0), (91L, 7 * H, 9L, "Z", 0.0))),
+      3600000L, 3, 2.0)
+      .as[(String, Long, Long, Double, Double, Option[Double], Boolean)]
+      .collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.size == 1)
+    val r = streamed.head
+    assert(r._1 == "A" && r._2 == 4 * 3600000L && r._3 == 3L && !r._7)
+    assert(math.abs(r._6.get - 1.0 / math.sqrt(2.0 / 3)) < 1e-6)
+  }
 }
