@@ -143,6 +143,10 @@ object SparkEntry {
   val ConcMax = 0.2
   /** q134 interleave stream shards. */
   val InterleaveShards = 4
+  /** q135 CDC boundary divisor (expected chunk length in tokens). */
+  val CdcDivisor = 16
+  /** q136 conversion-latency quantiles. */
+  val FunnelLatencyProbs = Seq(0.25, 0.5, 0.95)
   /** q133 anomaly baseline: previous day of observed hourly windows. */
   val AnomalyTrailing = 24
   /** q133 |z| flag threshold. */
@@ -1305,6 +1309,19 @@ object SparkEntry {
         Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau),
         docs, "doc_id", "source")
         .orderBy("source_a", "source_b")
+    }),
+
+    // Content-defined chunking: CDC boundaries at adjacent-token-pair
+    // hash ≡ 0 mod divisor — revision-stable chunk dedup units.
+    "q135_chunks_cdc" -> ((s, dir) => {
+      Text.chunkContentDefined(t(s, dir, "documents"), "text",
+        CdcDivisor, "cdc").orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Funnel conversion-latency quantiles per stage transition.
+    "q136_funnel_latency" -> ((s, dir) => {
+      Events.funnelLatency(Sources.eventsNs(s, dir), FunnelStages,
+        FunnelLatencyProbs).orderBy("step_idx")
     }),
 
     // Stride-scheduled mixture interleave: the deterministic
@@ -2738,6 +2755,75 @@ object SparkEntry {
          |FROM ia ORDER BY doc_id""".stripMargin,
 
     "q128_pack_audit" -> s"WITH ${packAuditTailSql("documents")}",
+
+    // q135: the CDC pair-hash boundary and its running sum, relational
+    // on both sides.
+    "q135_chunks_cdc" ->
+      s"""WITH ct AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |),
+         |cp AS (
+         |  SELECT doc_id, i AS pos, t[i] AS tok,
+         |    CASE WHEN i > 1 AND
+         |      ${Portable.sqlHash("t[i-1]", "t[i]", "'cdc'")}
+         |        % $CdcDivisor = 0
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM ct, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _
+         |),
+         |cc AS (
+         |  SELECT doc_id, pos, tok,
+         |    (sum(b) OVER (PARTITION BY doc_id ORDER BY pos))::BIGINT
+         |      AS chunk_idx
+         |  FROM cp
+         |)
+         |SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+         |  string_agg(tok, ' ' ORDER BY pos) AS chunk
+         |FROM cc GROUP BY doc_id, chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q136: the q57 reach chain + per-transition exact quantiles of
+    // ms-floor reach-time differences.
+    "q136_funnel_latency" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS rt FROM events
+         |  WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id
+         |),
+         |s2 AS (
+         |  SELECT e.user_id, min(e.ts) AS rt FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = '${FunnelStages(1)}' AND e.ts > s1.rt
+         |  GROUP BY e.user_id
+         |),
+         |s3 AS (
+         |  SELECT e.user_id, min(e.ts) AS rt FROM events e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = '${FunnelStages(2)}' AND e.ts > s2.rt
+         |  GROUP BY e.user_id
+         |),
+         |l1 AS (
+         |  SELECT epoch_ms(s2.rt) - epoch_ms(s1.rt) AS lat_ms
+         |  FROM s2 JOIN s1 USING (user_id)
+         |),
+         |l2 AS (
+         |  SELECT epoch_ms(s3.rt) - epoch_ms(s2.rt) AS lat_ms
+         |  FROM s3 JOIN s2 USING (user_id)
+         |)
+         |SELECT 1::BIGINT AS step_idx, '${FunnelStages(0)}' AS from_stage,
+         |  '${FunnelStages(1)}' AS to_stage, count(*)::BIGINT AS n_users,
+         |  round(quantile_cont(lat_ms, 0.25), 9) AS p25,
+         |  round(quantile_cont(lat_ms, 0.5), 9) AS p50,
+         |  round(quantile_cont(lat_ms, 0.95), 9) AS p95,
+         |  min(lat_ms)::BIGINT AS min_ms, max(lat_ms)::BIGINT AS max_ms
+         |FROM l1
+         |UNION ALL
+         |SELECT 2::BIGINT, '${FunnelStages(1)}', '${FunnelStages(2)}',
+         |  count(*)::BIGINT,
+         |  round(quantile_cont(lat_ms, 0.25), 9),
+         |  round(quantile_cont(lat_ms, 0.5), 9),
+         |  round(quantile_cont(lat_ms, 0.95), 9),
+         |  min(lat_ms)::BIGINT, max(lat_ms)::BIGINT
+         |FROM l2
+         |ORDER BY step_idx""".stripMargin,
 
     // q134: identical vt arithmetic and total tiebreak both engines.
     "q134_interleave" ->

@@ -439,6 +439,64 @@ object Events {
     rows
   }
 
+  /** Conversion-latency profile of the [[funnel]] — for each
+    * consecutive stage transition, exact order-statistic quantiles of
+    * the per-user time from REACHING stage k to reaching stage k+1
+    * (first-occurrence times, the funnel's own semantics). "How many
+    * convert" ([[funnel]]) and "how fast" (this) are the two numbers a
+    * growth team reads together; the latency distribution also sets
+    * the attribution window an event pipeline needs to keep hot.
+    *
+    * Latencies are differences of ms-FLOORS of the ns reach times (the
+    * [[sessionize]] duration rule — survives sub-ms read truncation),
+    * quantiles are exact interpolated order statistics (the
+    * [[quantileProfile]] percentile ↔ quantile_cont parity; swap in
+    * percentile_approx at extreme per-step user counts). Output one
+    * row per transition: (step_idx, from_stage, to_stage, n_users,
+    * p…, min/max). Steps nobody completes report n_users 0 with NULL
+    * quantiles.
+    *
+    * Shape: the [[funnel]]'s stage chain verbatim (each reach frame
+    * barriered and carrying its reach time — k filtered scans for k
+    * stages, EAGER like funnel), plus per transition one user-keyed
+    * equi join of consecutive reach frames and a 1-row exact-quantile
+    * agg over the step's latency column. */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+                    probs: Seq[Double]): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs >= 2 stages")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct: ${stages.mkString(",")}")
+    var reach = Barrier.cut(events
+      .filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
+    var out: DataFrame = null
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      val next = Barrier.cut(events.filter(col("event_type") === st)
+        .join(reach, Seq("user_id"))
+        .filter(col("ts") > col("__rt"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
+      val lat = next.select(col("user_id"), col("__rt").as("__rt2"))
+        .join(reach, Seq("user_id"))
+        .select((expr("__rt2 div 1000000") - expr("__rt div 1000000"))
+          .as("lat_ms"))
+      val qs = quantileCols(probs).map { case (p, name) =>
+        round(expr(s"percentile(lat_ms, ${p}D)"), 9).as(name)
+      }
+      val row = lat
+        .agg(count(lit(1)).as("n_users"),
+          qs ++ Seq(min(col("lat_ms")).as("min_ms"),
+            max(col("lat_ms")).as("max_ms")): _*)
+        .select(Seq(lit(i + 1L).as("step_idx"),
+          lit(stages(i)).as("from_stage"), lit(st).as("to_stage"),
+          col("n_users")) ++
+          quantileCols(probs).map { case (_, n) => col(n) } ++
+          Seq(col("min_ms"), col("max_ms")): _*)
+      out = if (out == null) row else out.union(row)
+      reach = next
+    }
+    out
+  }
+
   /** Cohort retention table: users grouped by the period of their FIRST
     * event (their cohort), and for each (cohort, period offset) the
     * count and fraction of cohort members active in that period — the

@@ -201,6 +201,44 @@ object Text {
         col("ch.chunk").as("chunk"))
   }
 
+  /** Content-defined chunking — the CDC (rsync/LBFS) boundary rule at
+    * token granularity: a new chunk starts at token i whenever the
+    * keyed hash of the adjacent pair (tokenᵢ₋₁, tokenᵢ) is ≡ 0 mod
+    * `divisor`, giving chunks of expected length `divisor` whose
+    * boundaries move WITH the content. Unlike [[chunk]]'s fixed grid,
+    * inserting or deleting a prefix shifts only the chunks up to the
+    * next boundary — every later chunk re-aligns bit-identically
+    * (TextSpec pins the law), which is what makes chunk-hash dedup and
+    * incremental storage work across document revisions.
+    *
+    * Returns (doc_id, chunk_idx 0-based, n_tokens, chunk).
+    *
+    * Shape: posexplode → ONE doc-keyed window shuffle evaluating both
+    * the pair-hash boundary flag (lag) and its running sum (the chunk
+    * index) under whole-stage codegen, then a (doc, chunk) rollup
+    * reassembling token order — the same codegen-over-HOF trade as
+    * [[fingerprints]]. Per-doc rows bound every partition; no skew
+    * trap at corpus scale. */
+  def chunkContentDefined(df: DataFrame, textCol: String, divisor: Int,
+                          salt: String): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.select(col("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("__prev", lag(col("tok"), 1).over(wOrd))
+      .withColumn("__b", when(col("__prev").isNotNull &&
+          pmod(Portable.seededHash(col("__prev"), col("tok"), lit(salt)),
+            lit(divisor.toLong)) === 0L, 1L)
+        .otherwise(0L))
+      .withColumn("chunk_idx", sum(col("__b")).over(wOrd))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos").as("p"),
+            col("tok").as("t")))), x => x.getField("t"))).as("chunk"))
+  }
+
   /** Strided context windows — the overlapping variant of [[chunk]] used
     * when training long-context LMs: a window of `windowTokens` tokens
     * starts every `stride` tokens (stride < window ⇒ consecutive windows

@@ -440,6 +440,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q133: anomaly report is join-free — one count agg + one per-type window") {
+    val p = plan("q133_window_anomaly")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q135: CDC chunker pays one doc-keyed shuffle for lag+cumsum+rollup") {
+    val p = plan("q135_chunks_cdc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    // the boundary lag and the running chunk index share one window
+    // spec — a second hashpartitioning exchange on doc_id would mean
+    // the window split
+    val docExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id"))
+    assert(docExchanges == 1, s"expected 1 doc-keyed exchange:\n$p")
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

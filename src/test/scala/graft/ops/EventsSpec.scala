@@ -289,6 +289,25 @@ class EventsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("funnelLatency: exact quantiles over per-user conversion gaps; dead step NULL") {
+    // users 1,2,3 convert signup→click after 1, 2, 4 minutes; nobody buys
+    val rows = (1 to 3).map(u =>
+        (u * 10L, 0L, u.toLong, "signup", 0.0)) ++
+      Seq((11L, 1 * M, 1L, "click", 0.0), (21L, 2 * M, 2L, "click", 0.0),
+        (31L, 4 * M, 3L, "click", 0.0))
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.funnelLatency(df, Seq("signup", "click", "purchase"),
+        Seq(0.5)).orderBy("step_idx").collect()
+    assert(r.length == 2)
+    val step1 = r(0)
+    assert(step1.getLong(3) == 3L)                      // n_users
+    assert(step1.getDouble(4) == 2 * 60000.0)           // p50 = 2 min
+    assert(step1.getLong(5) == 60000L)                  // min
+    assert(step1.getLong(6) == 240000L)                 // max
+    val step2 = r(1)
+    assert(step2.getLong(3) == 0L && step2.isNullAt(4)) // dead step
+  }
+
   test("windowAnomaly: spike flags past a flat baseline; zero-variance fallback exact") {
     // type A: hourly counts 2,2,2 then a 6-spike — baseline var 0 for
     // every full-baseline window, so the fallback triggers on the spike

@@ -470,6 +470,28 @@ class TextSpec extends SparkSpec {
     assert(rebuilt == (1 to 20).map(i => s"t$i").mkString(" "))
   }
 
+  test("chunkContentDefined: token conservation; prefix insertion realigns later chunks") {
+    val base = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
+    val d = Seq((1L, base), (2L, "zz yy " + base)).toDF("doc_id", "text")
+    val r = Text.chunkContentDefined(d, "text", divisor = 8, salt = "t")
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    val c1 = r.filter(_._1 == 1L).map(_._4)
+    val c2 = r.filter(_._1 == 2L).map(_._4)
+    // every token lands in exactly one chunk, in order
+    assert(c1.mkString(" ") == base)
+    assert(c2.mkString(" ") == "zz yy " + base)
+    // content-defined law: boundaries depend on adjacent pairs only, so
+    // everything from doc 1's first boundary onward re-aligns — doc 1's
+    // chunk suffix is a verbatim chunk suffix of the prefixed doc 2
+    // (only the region before the first shared boundary may differ)
+    assert(c1.length > 2, s"fixture too uniform: ${c1.length} chunks")
+    val s1 = c1.drop(1)
+    assert(c2.length >= s1.length &&
+      c2.takeRight(s1.length).sameElements(s1),
+      s"later chunks diverged:\n${s1.mkString("|")}\nvs\n${c2.mkString("|")}")
+  }
+
   test("lengthBuckets: pow2 clamp, padding/overflow math, token conservation") {
     assert(Text.lengthBucketList(8, 64) == Seq(8, 16, 32, 64))
     assert(Text.lengthBucketList(16, 16) == Seq(16))
