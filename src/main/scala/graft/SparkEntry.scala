@@ -977,6 +977,126 @@ object SparkEntry {
        |  max(docs)::BIGINT AS max_docs_per_seq
        |FROM pseq GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q135/q137 shared CDC chunk chain, ending at `cdcch`
+    * (doc_id, chunk_idx, n_tokens, chunk). */
+  private val cdcChunkCtes: String =
+    s"""ct AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |cp AS (
+       |  SELECT doc_id, i AS pos, t[i] AS tok,
+       |    CASE WHEN i > 1 AND
+       |      ${Portable.sqlHash("t[i-1]", "t[i]", "'cdc'")}
+       |        % $CdcDivisor = 0
+       |    THEN 1 ELSE 0 END AS b
+       |  FROM ct, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _
+       |),
+       |cc AS (
+       |  SELECT doc_id, pos, tok,
+       |    (sum(b) OVER (PARTITION BY doc_id ORDER BY pos))::BIGINT
+       |      AS chunk_idx
+       |  FROM cp
+       |),
+       |cdcch AS (
+       |  SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+       |    string_agg(tok, ' ' ORDER BY pos) AS chunk
+       |  FROM cc GROUP BY doc_id, chunk_idx
+       |)""".stripMargin
+
+  /** q139: the q25 / q58 / q71 signal chains integerized (half-up at
+    * 1e9 over the already-9dp-rounded values), every moment an exact
+    * DECIMAL(38,0) sum, the 6 pair correlations formed from the one
+    * moment row — the same fixed-expression-shape discipline as the
+    * Spark side, so even the float correlations hash-match. */
+  private def q139OracleSql: String = {
+    val sigs = Seq("quality", "rep", "nll", "len")
+    val prs = for {
+      i <- sigs.indices; j <- (i + 1) until sigs.size
+    } yield (sigs(i), sigs(j))
+    def d(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val moments =
+      (Seq(s"${d("count(*)")} AS n") ++
+        sigs.flatMap(s0 => Seq(
+          s"${d(s"sum(${d(s0)})")} AS s_$s0",
+          s"${d(s"sum(${d(s0)} * ${d(s0)})")} AS ss_$s0")) ++
+        prs.map { case (a, b) =>
+          s"${d(s"sum(${d(a)} * ${d(b)})")} AS sp_${a}_$b" }).mkString(",\n    ")
+    def dd(e: String) = s"CAST($e AS DOUBLE)"
+    val pairSelects = prs.map { case (a, b) =>
+      val da = dd(s"n * ss_$a - s_$a * s_$a")
+      val db = dd(s"n * ss_$b - s_$b * s_$b")
+      val num = dd(s"n * sp_${a}_$b - s_$a * s_$b")
+      s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
+         |  CAST(n AS BIGINT) AS n_docs,
+         |  round(CASE WHEN $da > 0 AND $db > 0 THEN
+         |    $num / (sqrt($da) * sqrt($db)) END, 9) AS corr
+         |FROM agg1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH qm AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' '))::BIGINT AS lenv,
+       |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+       |      / length(text)::DOUBLE AS alpha,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+       |      / length(text)::DOUBLE AS digits,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+       |      / len(string_split(text, ' '))::DOUBLE AS stop,
+       |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+       |         THEN 1.0 ELSE 0.0 END AS len_ok
+       |  FROM documents
+       |),
+       |qx AS (
+       |  SELECT doc_id, lenv,
+       |    round(least(1.0, greatest(0.0,
+       |      0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+       |      AS score
+       |  FROM qm
+       |),
+       |rg AS (SELECT doc_id,
+       |         unnest(${Text.shinglesAllSql("string_split(text, ' ')",
+                  RepetitionN)}) AS g
+       |       FROM documents),
+       |rc AS (SELECT doc_id, g, count(*) AS c FROM rg GROUP BY doc_id, g),
+       |rp AS (SELECT doc_id, sum(c)::BIGINT AS total,
+       |              count(*)::BIGINT AS n_distinct
+       |       FROM rc GROUP BY doc_id),
+       |rx AS (
+       |  SELECT d.doc_id,
+       |    round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9) AS ratio
+       |  FROM documents d LEFT JOIN rp USING (doc_id)
+       |),
+       |utf AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY doc_id, w
+       |),
+       |ucw AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY w) AS cnt
+       |        FROM utf),
+       |utot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+       |               AS total FROM documents),
+       |ux AS (
+       |  SELECT doc_id, round(sum(c * -ln(cnt / total)) / sum(c), 9) AS nllv
+       |  FROM ucw, utot GROUP BY doc_id
+       |),
+       |sigf AS (
+       |  SELECT q.doc_id,
+       |    CAST(floor(q.score * 1e9 + 0.5) AS BIGINT) AS quality,
+       |    CAST(floor(r.ratio * 1e9 + 0.5) AS BIGINT) AS rep,
+       |    CAST(floor(u.nllv * 1e9 + 0.5) AS BIGINT) AS nll,
+       |    q.lenv AS len
+       |  FROM qx q JOIN rx r USING (doc_id) JOIN ux u USING (doc_id)
+       |  WHERE r.ratio IS NOT NULL
+       |),
+       |agg1 AS (
+       |  SELECT $moments
+       |  FROM sigf
+       |)
+       |$pairSelects
+       |ORDER BY sig_a, sig_b""".stripMargin
+  }
+
   /** Naive-Bayes train + score + rank CTE chain ending at `rk` (per
     * (doc, label) ranked avg-log-posterior with runner-up) — shared by
     * q85 (the classify report) and q129 (the calibration binning). */
@@ -1309,6 +1429,41 @@ object SparkEntry {
         Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau),
         docs, "doc_id", "source")
         .orderBy("source_a", "source_b")
+    }),
+
+    // Chunk-level dedup-rate rollup over the q135 CDC chunks: the
+    // storage/training-mass savings estimate.
+    "q137_cdc_dedup_rate" -> ((s, dir) => {
+      Dedup.chunkDedupRate(
+        Text.chunkContentDefined(t(s, dir, "documents"), "text",
+          CdcDivisor, "cdc"), "chunk", "n_tokens")
+    }),
+
+    // First-order event-transition matrix with row-normalized
+    // probabilities.
+    "q138_transition_matrix" -> ((s, dir) => {
+      Events.transitionMatrix(Sources.eventsNs(s, dir))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Pairwise Pearson correlation of four curation signals, exact
+    // decimal moments (do the stacked filters measure different
+    // things?).
+    "q139_signal_corr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def i9(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e9) + lit(0.5)).cast("long")
+      val sig = Text.qualityScore(docs, "text")
+        .select(col("doc_id"), col("n_tokens").as("len"),
+          i9(col("quality_score")).as("quality"))
+        .join(Text.repetitionStats(docs, "text", RepetitionN)
+          .select(col("doc_id"), i9(col("dup_ngram_ratio")).as("rep")),
+          Seq("doc_id"))
+        .join(Text.unigramLogProb(docs, "text")
+          .select(col("doc_id"), i9(col("unigram_nll")).as("nll")),
+          Seq("doc_id"))
+      Quality.signalCorrelation(sig, Seq("quality", "rep", "nll", "len"))
+        .orderBy("sig_a", "sig_b")
     }),
 
     // Content-defined chunking: CDC boundaries at adjacent-token-pair
@@ -2759,27 +2914,46 @@ object SparkEntry {
     // q135: the CDC pair-hash boundary and its running sum, relational
     // on both sides.
     "q135_chunks_cdc" ->
-      s"""WITH ct AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |),
-         |cp AS (
-         |  SELECT doc_id, i AS pos, t[i] AS tok,
-         |    CASE WHEN i > 1 AND
-         |      ${Portable.sqlHash("t[i-1]", "t[i]", "'cdc'")}
-         |        % $CdcDivisor = 0
-         |    THEN 1 ELSE 0 END AS b
-         |  FROM ct, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) _
-         |),
-         |cc AS (
-         |  SELECT doc_id, pos, tok,
-         |    (sum(b) OVER (PARTITION BY doc_id ORDER BY pos))::BIGINT
-         |      AS chunk_idx
-         |  FROM cp
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, n_tokens, chunk
+         |FROM cdcch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q137: the q135 chunks grouped by content hash, rolled to totals.
+    "q137_cdc_dedup_rate" ->
+      s"""WITH $cdcChunkCtes,
+         |ch AS (
+         |  SELECT md5(chunk) AS h, count(*)::BIGINT AS c,
+         |    max(n_tokens)::BIGINT AS t
+         |  FROM cdcch GROUP BY md5(chunk)
          |)
-         |SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
-         |  string_agg(tok, ' ' ORDER BY pos) AS chunk
-         |FROM cc GROUP BY doc_id, chunk_idx
-         |ORDER BY doc_id, chunk_idx""".stripMargin,
+         |SELECT sum(c)::BIGINT AS n_chunks,
+         |  count(*)::BIGINT AS n_unique_chunks,
+         |  sum(c - 1)::BIGINT AS dup_chunks,
+         |  round(sum(c - 1)::DOUBLE / sum(c), 9) AS dup_chunk_ratio,
+         |  sum(c * t)::BIGINT AS n_tokens,
+         |  sum((c - 1) * t)::BIGINT AS dup_tokens,
+         |  round(sum((c - 1) * t)::DOUBLE / sum(c * t), 9)
+         |    AS dup_token_ratio
+         |FROM ch""".stripMargin,
+
+    // q138: user-keyed lag + matrix count + row-normalizing window.
+    "q138_transition_matrix" ->
+      """WITH tp AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |),
+        |tc AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    count(*)::BIGINT AS n
+        |  FROM tp WHERE prev IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 9) AS p
+        |FROM tc ORDER BY from_type, to_type""".stripMargin,
+
+    "q139_signal_corr" -> q139OracleSql,
 
     // q136: the q57 reach chain + per-transition exact quantiles of
     // ms-floor reach-time differences.

@@ -222,6 +222,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Chunk-level dedup-rate audit — the storage/training-mass savings
+    * estimate over a chunked corpus (the consumer
+    * [[graft.ops.Text.chunkContentDefined]] exists for): chunks
+    * grouped by content hash, rolled up to one row of totals — how
+    * many chunk instances are redundant copies and how many tokens
+    * they carry. Content-defined boundaries make this estimate
+    * revision-robust; on fixed-grid chunks it still measures exact
+    * chunk duplication.
+    *
+    * `nTokensCol` rides the hash groupBy (identical text ⇒ identical
+    * token count, so max() is exact). Shape: one hash-keyed count agg
+    * (uniform by construction) + a 1-row rollup — the corpus text
+    * never moves beyond its hash. */
+  def chunkDedupRate(chunks: DataFrame, chunkCol: String,
+                     nTokensCol: String): DataFrame =
+    chunks
+      .groupBy(md5(col(chunkCol).cast("binary")).as("__h"))
+      .agg(count(lit(1)).as("__c"), max(col(nTokensCol)).as("__t"))
+      .agg(sum(col("__c")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("__c") - 1).as("dup_chunks"),
+        sum(col("__c") * col("__t")).as("n_tokens"),
+        sum((col("__c") - 1) * col("__t")).as("dup_tokens"))
+      .select(col("n_chunks"), col("n_unique_chunks"), col("dup_chunks"),
+        round(col("dup_chunks").cast("double") / col("n_chunks"), 9)
+          .as("dup_chunk_ratio"),
+        col("n_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 9)
+          .as("dup_token_ratio"))
+
   /** Per-document n-gram novelty — how much genuinely NEW text each
     * document contributes to the corpus in id order: the fraction of
     * its distinct shingles whose FIRST corpus occurrence (minimum doc

@@ -439,6 +439,33 @@ object Events {
     rows
   }
 
+  /** Per-user event-transition matrix — for every ordered pair of
+    * consecutive events of one user ((ts, event_id) order, the
+    * [[sessionize]] tiebreak), the count and the row-normalized
+    * transition probability P(to | from). The first-order-Markov
+    * behavioral fingerprint product analytics reads next to the
+    * [[funnel]] (which checks ONE prescribed path; this shows every
+    * path actually taken). Transitions spanning arbitrarily long gaps
+    * count — pre-filter to a session window if session-local behavior
+    * is wanted.
+    *
+    * Shape: one user-keyed window (lag) over the events, one
+    * (from, to)-keyed count agg, and the normalizing sum as a window
+    * over the compact matrix frame (≤ |event types|² rows). Exact
+    * integer counts; p is one division of exact integers, 9dp. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("from_type"), col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 9))
+  }
+
   /** Conversion-latency profile of the [[funnel]] — for each
     * consecutive stage transition, exact order-statistic quantiles of
     * the per-user time from REACHING stage k to reaching stage k+1

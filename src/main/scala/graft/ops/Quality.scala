@@ -186,6 +186,59 @@ object Quality {
     * cardinality ≤ 2^gates. `n_gates_failed` counts false flags per
     * combination (null flags count as failed — a gate that cannot
     * evaluate must not silently pass). */
+  /** Pairwise Pearson correlation of curation signals — do the
+    * filters a pipeline stacks (quality score, repetition, LM NLL,
+    * length…) measure DIFFERENT things, or is one a re-skin of
+    * another? A |corr| near 1 between two gates means the second buys
+    * almost no extra precision (the Gopher/CCNet ablation question,
+    * as a continuous audit). Complements [[gateOverlap]], which sees
+    * only thresholded booleans.
+    *
+    * `sig` carries one INTEGER-scaled LONG column per signal (callers
+    * integerize — e.g. floor(score·1e9 + ½); Pearson is invariant to
+    * each signal's affine scale, so per-signal scale choices don't
+    * matter). Rows with any NULL signal drop (a signal that cannot
+    * evaluate would otherwise poison the moments). All moments
+    * accumulate exactly over DECIMAL(38,0) and the correlation forms
+    * in one fixed expression shape from the exact sums — bit-identical
+    * cross-engine and partitioning-independent (the [[Text.zipfAudit]]
+    * regression discipline). One row per unordered signal
+    * pair: (sig_a, sig_b, n_docs, corr 9dp; NULL when either variance
+    * is 0).
+    *
+    * Shape: ONE full-agg pass computes every Σ, Σ², Σ·product (a
+    * single reduce, map-side combinable); the pair rows are literal
+    * selects from that 1-row frame unioned — nothing per-doc ever
+    * shuffles beyond the one aggregate. */
+  def signalCorrelation(sig: DataFrame, signals: Seq[String]): DataFrame = {
+    require(signals.size >= 2, "signalCorrelation needs >= 2 signals")
+    val dec = "decimal(38,0)"
+    val pairs = for {
+      i <- signals.indices; j <- (i + 1) until signals.size
+    } yield (signals(i), signals(j))
+    val aggs =
+      Seq(count(lit(1)).cast(dec).as("n")) ++
+      signals.flatMap(s => Seq(
+        sum(col(s).cast(dec)).as(s"s_$s"),
+        sum(col(s).cast(dec) * col(s).cast(dec)).as(s"ss_$s"))) ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast(dec) * col(b).cast(dec)).as(s"sp_${a}_$b") }
+    val one = sig.na.drop(signals).agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (a, b) =>
+      val num =
+        (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+          .cast("double")
+      val da = (col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a"))
+        .cast("double")
+      val db = (col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+        .cast("double")
+      one.select(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        col("n").cast("long").as("n_docs"),
+        round(when(da > 0d && db > 0d, num / (sqrt(da) * sqrt(db))), 9)
+          .as("corr"))
+    }.reduce(_ union _)
+  }
+
   def gateOverlap(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
     require(gates.nonEmpty, "gateOverlap needs at least one gate")
     val failed = gates

@@ -575,6 +575,22 @@ class DedupSpec extends SparkSpec {
     assert(byBand.last._4 >= byBand.head._4)
   }
 
+  test("chunkDedupRate: copies and their tokens counted; unique corpus reports zero") {
+    val chunks = Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 2L, "d e"),
+      (2L, 0L, 3L, "a b c"), (2L, 1L, 3L, "a b c"), // 2 extra copies
+      (3L, 0L, 1L, "f")
+    ).toDF("doc_id", "chunk_idx", "n_tokens", "chunk")
+    val r = Dedup.chunkDedupRate(chunks, "chunk", "n_tokens").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(math.abs(r.getDouble(3) - 0.4) < 1e-9)
+    assert(r.getLong(4) == 12L && r.getLong(5) == 6L)
+    assert(math.abs(r.getDouble(6) - 0.5) < 1e-9)
+    val clean = Dedup.chunkDedupRate(
+      chunks.filter(col("doc_id") =!= 2L), "chunk", "n_tokens").head()
+    assert(clean.getLong(2) == 0L && clean.getDouble(3) == 0.0)
+  }
+
   test("noveltyStats: first owner wins; later copies score zero; gram-less doc NULL") {
     val sh = Seq(
       (1L, Seq("a b c", "b c d")),      // all novel (first doc)

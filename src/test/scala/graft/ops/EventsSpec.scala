@@ -289,6 +289,25 @@ class EventsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("transitionMatrix: per-user lag pairs; row-normalized probabilities") {
+    // user 1: a -> b -> a -> c; user 2: a -> b. Transitions:
+    // a->b ×2, b->a ×1, a->c ×1 → P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1
+    // (user 2's b is terminal — it contributes no outgoing transition)
+    val df = Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 2 * M, 1L, "a", 0.0), (4L, 3 * M, 1L, "c", 0.0),
+      (5L, 0L, 2L, "a", 0.0), (6L, M, 2L, "b", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.transitionMatrix(df)
+      .as[(String, String, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> ((x._3, x._4))).toMap
+    assert(r.size == 3)
+    assert(r(("a", "b"))._1 == 2L)
+    assert(math.abs(r(("a", "b"))._2 - 2.0 / 3) < 1e-8)
+    assert(math.abs(r(("a", "c"))._2 - 1.0 / 3) < 1e-8)
+    assert(r(("b", "a")) == ((1L, 1.0)))
+  }
+
   test("funnelLatency: exact quantiles over per-user conversion gaps; dead step NULL") {
     // users 1,2,3 convert signup→click after 1, 2, 4 minutes; nobody buys
     val rows = (1 to 3).map(u =>

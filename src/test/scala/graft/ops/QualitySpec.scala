@@ -143,6 +143,24 @@ class QualitySpec extends SparkSpec {
     assert(ok.getLong(6) == 0 && ok.getLong(7) == 0)
   }
 
+  test("signalCorrelation: perfect/anti/none/degenerate cases; null rows drop") {
+    import org.apache.spark.sql.functions._
+    val d = Seq(
+      (1L, 10L, 20L, -10L, 7L), (2L, 20L, 40L, -20L, 7L),
+      (3L, 30L, 60L, -30L, 7L), (4L, 40L, 80L, -40L, 7L)
+    ).toDF("id", "a", "b", "c", "d")
+      // a 5th row with a NULL signal must not poison the moments
+      .unionByName(Seq((5L, 99L, 0L, 0L, 0L)).toDF("id", "a", "b", "c", "d")
+        .withColumn("b", lit(null: java.lang.Long)))
+    val r = Quality.signalCorrelation(d, Seq("a", "b", "c", "d"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.values.forall(_.getLong(2) == 4L))
+    assert(r(("a", "b")).getDouble(3) == 1.0)   // b = 2a
+    assert(r(("a", "c")).getDouble(3) == -1.0)  // c = -a
+    assert(r(("a", "d")).isNullAt(3))           // d constant: no variance
+    assert(r(("b", "c")).getDouble(3) == -1.0)
+  }
+
   test("gateOverlap: combination counts, failure tally, null fails closed") {
     import org.apache.spark.sql.functions._
     val d = Seq(
