@@ -1431,6 +1431,27 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // Key-skew audit over the pair-gen hot key (the "should I salt
+    // this join" pre-flight the q14 salted variant answers).
+    "q141_key_skew" -> ((s, dir) => {
+      Quality.keySkew(t(s, dir, "lineitem"), "l_partkey")
+    }),
+
+    // Incremental chunk-level scrub: the q61 train/eval doc split as
+    // stored-corpus vs new-batch; new docs rewritten from the chunks
+    // whose hash is NOT in the stored index.
+    "q140_chunk_scrub_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stored = Text.chunkContentDefined(
+          docs.filter(col("doc_id") < EvalSetDocs), "text",
+          CdcDivisor, "cdc")
+        .select(md5(col("chunk").cast("binary")).as("chunk_hash"))
+        .distinct()
+      Dedup.scrubChunksAgainst(docs.filter(col("doc_id") >= EvalSetDocs),
+        "doc_id", "text", CdcDivisor, "cdc", stored)
+        .orderBy("doc_id")
+    }),
+
     // Chunk-level dedup-rate rollup over the q135 CDC chunks: the
     // storage/training-mass savings estimate.
     "q137_cdc_dedup_rate" -> ((s, dir) => {
@@ -2954,6 +2975,56 @@ object SparkEntry {
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
+
+    // q141: exact count moments; entropy from the integerized-ln sum
+    // (H = ln N − Σ c·x_c / (N·1e6)), identical shape both engines.
+    "q141_key_skew" ->
+      """WITH kc AS (
+        |  SELECT l_partkey AS k, count(*)::BIGINT AS c
+        |  FROM lineitem GROUP BY l_partkey
+        |),
+        |kt AS (
+        |  SELECT sum(c)::BIGINT AS top10_rows
+        |  FROM (SELECT c FROM kc ORDER BY c DESC, k ASC LIMIT 10) _
+        |),
+        |km AS (
+        |  SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+        |    max(c)::BIGINT AS max_key_rows,
+        |    CAST(sum(CAST(c AS DECIMAL(38,0)) *
+        |      CAST(floor(ln(c) * 1e6 + 0.5) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sclnc
+        |  FROM kc
+        |)
+        |SELECT km.n_rows, km.n_keys, km.max_key_rows,
+        |  round(km.max_key_rows::DOUBLE / km.n_rows, 9) AS max_key_share,
+        |  kt.top10_rows,
+        |  round(kt.top10_rows::DOUBLE / km.n_rows, 9) AS top10_share,
+        |  round(ln(km.n_rows::DOUBLE)
+        |    - CAST(km.sclnc AS DOUBLE) / (km.n_rows::DOUBLE * 1e6), 9)
+        |    AS entropy
+        |FROM km CROSS JOIN kt""".stripMargin,
+
+    // q140: chunk the whole corpus once (boundaries are per-document,
+    // so chunking the union equals chunking each split), hash-split
+    // into stored index vs new batch, anti-join, reassemble.
+    "q140_chunk_scrub_incr" ->
+      s"""WITH $cdcChunkCtes,
+         |st AS (SELECT DISTINCT md5(chunk) AS h FROM cdcch
+         |       WHERE doc_id < $EvalSetDocs),
+         |nw AS (SELECT * FROM cdcch WHERE doc_id >= $EvalSetDocs),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+         |        FROM nw GROUP BY doc_id),
+         |kp AS (SELECT nw.* FROM nw LEFT JOIN st ON md5(nw.chunk) = st.h
+         |       WHERE st.h IS NULL),
+         |rb AS (SELECT doc_id, count(*)::BIGINT AS kept,
+         |         string_agg(chunk, ' ' ORDER BY chunk_idx)
+         |           AS text_scrubbed
+         |       FROM kp GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_chunks,
+         |  (t.n_chunks - coalesce(rb.kept, 0))::BIGINT AS n_dropped,
+         |  coalesce(rb.text_scrubbed, '') AS text_scrubbed
+         |FROM tot t LEFT JOIN rb USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     // q136: the q57 reach chain + per-transition exact quantiles of
     // ms-floor reach-time differences.

@@ -252,6 +252,54 @@ object Dedup {
         round(col("dup_tokens").cast("double") / col("n_tokens"), 9)
           .as("dup_token_ratio"))
 
+  /** Incremental chunk-level scrub against a stored chunk index — the
+    * delta-crawl consumer [[graft.ops.Text.chunkContentDefined]]'s
+    * revision-stable boundaries exist for: re-chunk the NEW batch,
+    * drop every chunk whose content hash is already in the historical
+    * index (`storedHashes`, one `chunk_hash` column — the index a
+    * prior run stored), and REWRITE each document from its surviving
+    * chunks in order. Because boundaries are content-defined, an
+    * edited document re-aligns with its previous revision after the
+    * edit region, so unchanged spans dedup away even though the
+    * document as a whole is "new" — the sub-document dedup neither
+    * exact ([[dedupExactAgainst]]) nor near ([[dedupNearAgainst]])
+    * row-level dedup can do. Documents scrubbed to nothing report
+    * empty text (callers drop them, the
+    * [[graft.app.CorpusPipeline]] span-scrub convention).
+    *
+    * Returns (id, n_chunks, n_dropped, text_scrubbed).
+    *
+    * Shape: the chunker's one doc-keyed window shuffle, a LEFT ANTI
+    * equi join on the chunk hash (uniform key; the stored side is
+    * 16 bytes/chunk at rest), and one doc-keyed reassembly rollup plus
+    * the chunk-count rollup from the pre-join frame — the batch is
+    * chunked once behind a [[Barrier]]. */
+  def scrubChunksAgainst(df: DataFrame, idCol: String, textCol: String,
+                         divisor: Int, salt: String,
+                         storedHashes: DataFrame): DataFrame = {
+    val chunks = Barrier.cut(
+      Text.chunkContentDefined(
+        df.select(col(idCol).as("doc_id"), col(textCol)), textCol,
+        divisor, salt))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks
+      .join(storedHashes.select(
+          col("chunk_hash").as("__sh")),
+        md5(col("chunk").cast("binary")) === col("__sh"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("chunk_idx").as("i"),
+            col("chunk").as("c")))), x => x.getField("c")))
+          .as("text_scrubbed"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** Per-document n-gram novelty — how much genuinely NEW text each
     * document contributes to the corpus in id order: the fraction of
     * its distinct shingles whose FIRST corpus occurrence (minimum doc

@@ -186,6 +186,50 @@ object Quality {
     * cardinality ≤ 2^gates. `n_gates_failed` counts false flags per
     * combination (null flags count as failed — a gate that cannot
     * evaluate must not silently pass). */
+  /** Key-skew audit — the pre-flight a 100 TB join/agg runs before
+    * choosing a partitioning strategy: one row profiling how a key
+    * column's mass is distributed. `max_key_share` near 1 or a fat
+    * `top10_share` says the planned shuffle has a straggler partition
+    * and the salted two-stage form ([[graft.ops.Pairs.saltedCounts]])
+    * or AQE skew-join should take over; `entropy` (nats, 1e-6-quantized)
+    * near ln(n_keys) says the keys are uniform and plain hash
+    * partitioning is fine.
+    *
+    * Determinism: entropy comes from H = ln N − (Σ c·x_c)/(N·10⁶) with
+    * x_c = floor(ln c · 10⁶ + ½) — per-key integerized ln, exact
+    * DECIMAL sums, one final double expression — bit-identical across
+    * engines and partitionings ([[Text.zipfAudit]] discipline). Ratios
+    * are divisions of exact counts.
+    *
+    * Shape: one key-keyed count agg (map-side combine) behind a
+    * [[Barrier]] (read twice: moments + top-k), a full agg over the
+    * compact key frame, and a distributed `TakeOrderedAndProject`
+    * top-10 — nothing key-frame-sized ever sorts globally. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val counts = graft.ops.Barrier.cut(
+      df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("c")))
+    val top = counts.orderBy(desc("c"), asc("__k")).limit(10)
+      .agg(sum(col("c")).as("top10_rows"))
+    val mom = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_key_rows"),
+      sum((col("c").cast(dec)) *
+          floor(log(col("c")) * lit(1e6) + lit(0.5)).cast(dec))
+        .as("__sclnc"))
+    broadcast(mom).crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        round(col("max_key_rows").cast("double") / col("n_rows"), 9)
+          .as("max_key_share"),
+        col("top10_rows"),
+        round(col("top10_rows").cast("double") / col("n_rows"), 9)
+          .as("top10_share"),
+        round(log(col("n_rows").cast("double")) -
+          col("__sclnc").cast("double") /
+            (col("n_rows").cast("double") * lit(1e6)), 9).as("entropy"))
+  }
+
   /** Pairwise Pearson correlation of curation signals — do the
     * filters a pipeline stacks (quality score, repetition, LM NLL,
     * length…) measure DIFFERENT things, or is one a re-skin of

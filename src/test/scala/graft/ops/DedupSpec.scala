@@ -575,6 +575,31 @@ class DedupSpec extends SparkSpec {
     assert(byBand.last._4 >= byBand.head._4)
   }
 
+  test("scrubChunksAgainst: shared chunks drop, edits survive, exact dup empties") {
+    val base = (1 to 200).map(i => s"w${i % 41}").mkString(" ")
+    val edited = base.split(" ").patch(100, Seq("EDIT1", "EDIT2"), 0)
+      .mkString(" ")
+    val stored = Text.chunkContentDefined(
+        Seq((1L, base)).toDF("doc_id", "text"), "text", 8, "t")
+      .select(md5(col("chunk").cast("binary")).as("chunk_hash")).distinct()
+    val r = Dedup.scrubChunksAgainst(
+        Seq((10L, edited), (11L, base), (12L, "totally fresh text here"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 8, "t", stored)
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> x).toMap
+    // exact duplicate: every chunk stored → empty rewrite
+    assert(r(11L)._3 == r(11L)._2 && r(11L)._4 == "")
+    // fresh doc: nothing stored → untouched
+    assert(r(12L)._3 == 0L && r(12L)._4 == "totally fresh text here")
+    // edited revision: the edit survives, most revision-shared chunks drop
+    assert(r(10L)._4.contains("EDIT1") && r(10L)._4.contains("EDIT2"))
+    assert(r(10L)._3 > 0L && r(10L)._3 < r(10L)._2,
+      s"expected partial scrub, got ${r(10L)}")
+    // CDC realignment: far more chunks drop than survive
+    assert(r(10L)._3 > r(10L)._2 / 2, s"realignment too weak: ${r(10L)}")
+  }
+
   test("chunkDedupRate: copies and their tokens counted; unique corpus reports zero") {
     val chunks = Seq(
       (1L, 0L, 3L, "a b c"), (1L, 1L, 2L, "d e"),

@@ -143,6 +143,23 @@ class QualitySpec extends SparkSpec {
     assert(ok.getLong(6) == 0 && ok.getLong(7) == 0)
   }
 
+  test("keySkew: shares exact; quantized entropy matches the closed form") {
+    import org.apache.spark.sql.functions._
+    val d = Seq("a", "a", "a", "a", "b", "c").toDF("k")
+    val r = Quality.keySkew(d, "k").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 4L)
+    assert(math.abs(r.getDouble(3) - 4.0 / 6) < 1e-9)
+    assert(r.getLong(4) == 6L && r.getDouble(5) == 1.0)
+    // H = ln 6 − (4·x)/(6·1e6), x = floor(ln 4 · 1e6 + ½)
+    val x = math.floor(math.log(4.0) * 1e6 + 0.5)
+    val h = math.log(6.0) - 4 * x / (6 * 1e6)
+    assert(math.abs(r.getDouble(6) - h) < 1e-8)
+    // uniform keys: entropy ≈ ln(n_keys), max share = 1/n
+    val u = Quality.keySkew(Seq("x", "y", "z").toDF("k"), "k").head()
+    assert(math.abs(u.getDouble(6) - math.log(3.0)) < 1e-5)
+    assert(math.abs(u.getDouble(3) - 1.0 / 3) < 1e-9)
+  }
+
   test("signalCorrelation: perfect/anti/none/degenerate cases; null rows drop") {
     import org.apache.spark.sql.functions._
     val d = Seq(
