@@ -147,6 +147,9 @@ object SparkEntry {
   val CdcDivisor = 16
   /** q136 conversion-latency quantiles. */
   val FunnelLatencyProbs = Seq(0.25, 0.5, 0.95)
+  /** q142 journey-prefix length and top-k. */
+  val PathLen = 3
+  val PathTopK = 20
   /** q133 anomaly baseline: previous day of observed hourly windows. */
   val AnomalyTrailing = 24
   /** q133 |z| flag threshold. */
@@ -1429,6 +1432,12 @@ object SparkEntry {
         Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau),
         docs, "doc_id", "source")
         .orderBy("source_a", "source_b")
+    }),
+
+    // Top user-journey prefixes (first-3-event paths, top-20).
+    "q142_top_paths" -> ((s, dir) => {
+      Events.topPaths(Sources.eventsNs(s, dir), PathLen, PathTopK)
+        .orderBy("rank")
     }),
 
     // Key-skew audit over the pair-gen hot key (the "should I salt
@@ -2975,6 +2984,25 @@ object SparkEntry {
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
+
+    // q142: per-user ordered prefix → path count → deterministic top-k.
+    "q142_top_paths" ->
+      s"""WITH pr AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events
+         |),
+         |pp AS (
+         |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM pr WHERE rn <= $PathLen GROUP BY user_id
+         |),
+         |pc AS (SELECT path, count(*)::BIGINT AS n_users
+         |       FROM pp GROUP BY path)
+         |SELECT path, n_users,
+         |  row_number() OVER (ORDER BY n_users DESC, path ASC)::BIGINT
+         |    AS rank
+         |FROM pc ORDER BY n_users DESC, path ASC LIMIT $PathTopK""".stripMargin,
 
     // q141: exact count moments; entropy from the integerized-ln sum
     // (H = ln N − Σ c·x_c / (N·1e6)), identical shape both engines.

@@ -466,6 +466,38 @@ object Events {
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 9))
   }
 
+  /** Top user journey prefixes — the Sankey/behavior-flow counterpart
+    * of [[transitionMatrix]]'s one-step view: each user's first
+    * `pathLen` event types (in (ts, event_id) order) joined into a
+    * path string, counted, top `k` paths returned with ranks. Where
+    * [[funnel]] checks ONE prescribed path and [[transitionMatrix]]
+    * forgets history after one step, this shows the actual most-common
+    * openings. Users with fewer than `pathLen` events contribute their
+    * full (shorter) path.
+    *
+    * Shape: one user-keyed window (row_number, prefix filter), one
+    * user-keyed rollup reassembling order, one path-keyed count, then
+    * a distributed `TakeOrderedAndProject` top-k — the final rank
+    * window orders ≤ k rows. Deterministic: (count DESC, path ASC). */
+  def topPaths(events: DataFrame, pathLen: Int, k: Int): DataFrame = {
+    require(pathLen >= 1, s"pathLen must be >= 1, got $pathLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">", transform(
+        sort_array(collect_list(struct(col("__rn").as("r"),
+          col("event_type").as("t")))), x => x.getField("t"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path")).limit(k)
+      .select(col("path"), col("n_users"),
+        row_number().over(Window.orderBy(desc("n_users"), asc("path")))
+          .cast("long").as("rank"))
+  }
+
   /** Conversion-latency profile of the [[funnel]] — for each
     * consecutive stage transition, exact order-statistic quantiles of
     * the per-user time from REACHING stage k to reaching stage k+1

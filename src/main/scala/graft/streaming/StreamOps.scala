@@ -234,7 +234,10 @@ object StreamOps {
     val hashed = docs
       .withColumn("__hs", transform(Text.tokens(col(textCol)),
         w => Portable.seededHash(w)))
-      .withColumn("__sim", Text.simhash("__hs"))
+      // codegen'd one-pass fingerprint; value-identical to the
+      // Text.simhash HOF reference form (spec-pinned), ~O(60·n)
+      // interpreted lambdas cheaper per row
+      .withColumn("__sim", graft.functions.SimHash60(col("__hs")))
     val joined = (0 until Dedup.SimHashBands).foldLeft(hashed) { (d, b) =>
       val bIdx = idx.filter(col("band") === b)
         .select(col("bv").as(s"__bv$b"), col("sims").as(s"__sims$b"))

@@ -308,6 +308,23 @@ class EventsSpec extends SparkSpec {
     assert(r(("b", "a")) == ((1L, 1.0)))
   }
 
+  test("topPaths: ordered prefixes, short users keep short paths, rank deterministic") {
+    // users 1,2: a>b>c (plus a 4th event that must not extend the
+    // prefix); user 3: a>b; user 4: b alone
+    val rows = Seq(
+      (1L, 0L, 1L, "a", 0.0), (2L, M, 1L, "b", 0.0),
+      (3L, 2 * M, 1L, "c", 0.0), (4L, 3 * M, 1L, "d", 0.0),
+      (11L, 0L, 2L, "a", 0.0), (12L, M, 2L, "b", 0.0),
+      (13L, 2 * M, 2L, "c", 0.0),
+      (21L, 0L, 3L, "a", 0.0), (22L, M, 3L, "b", 0.0),
+      (31L, 0L, 4L, "b", 0.0))
+    val r = Events.topPaths(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        pathLen = 3, k = 10)
+      .orderBy("rank").as[(String, Long, Long)].collect()
+    assert(r.toSeq == Seq(("a>b>c", 2L, 1L), ("a>b", 1L, 2L), ("b", 1L, 3L)))
+  }
+
   test("funnelLatency: exact quantiles over per-user conversion gaps; dead step NULL") {
     // users 1,2,3 convert signup→click after 1, 2, 4 minutes; nobody buys
     val rows = (1 to 3).map(u =>
