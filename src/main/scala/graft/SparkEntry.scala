@@ -1434,6 +1434,26 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // Loader-side end-to-end: the q114 epoch plan realized into the
+    // repeated corpus, then cut into fixed training sequences by the
+    // q67 packer — raw docs + mixture weights → the actual token
+    // stream a trainer consumes, one hash. Copy identity
+    // doc_id·1024 + epoch_copy keeps packing order deterministic
+    // (epoch copies of a doc pack adjacently, different docs by id).
+    "q143_epoch_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val realized = Sampling.applyEpochFactors(
+          docs.select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source",
+          Sampling.epochFactors(docs, "source", "text", EpochWeights,
+            EpochBudget),
+          EpochRealizeSalt)
+        .select((col("doc_id") * 1024 + col("epoch_copy")).as("doc_id"),
+          col("text"))
+      Sampling.pack(realized, "doc_id", "text", PackSeqTokens, PackShards,
+        "pack").orderBy("shard", "seq_idx")
+    }),
+
     // Top user-journey prefixes (first-3-event paths, top-20).
     "q142_top_paths" -> ((s, dir) => {
       Events.topPaths(Sources.eventsNs(s, dir), PathLen, PathTopK)
@@ -2984,6 +3004,45 @@ object SparkEntry {
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
+
+    // q143: the q114 realization CTEs (text carried through) feeding
+    // the q67 packing tail over composite copy ids.
+    "q143_epoch_pack" -> {
+      val vals = EpochWeights.toSeq.sorted
+        .map { case (s, w) => s"('$s', ${w}::DOUBLE)" }.mkString(", ")
+      val wsum = EpochWeights.values.sum
+      s"""WITH wt(source, weight) AS (VALUES $vals),
+         |tc AS (
+         |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+         |    AS n_tokens
+         |  FROM documents GROUP BY source
+         |),
+         |fac AS (
+         |  SELECT t.source,
+         |    round(floor(coalesce(w.weight, 0.0) / $wsum
+         |        * ${EpochBudget.toDouble} + 0.5)
+         |      / t.n_tokens::DOUBLE, 9) AS factor
+         |  FROM tc t LEFT JOIN wt w USING (source)
+         |),
+         |nn AS (
+         |  SELECT d.doc_id, d.text,
+         |    (floor(f.factor) + CASE WHEN
+         |        ${Portable.sqlUnif("d.doc_id", s"'$EpochRealizeSalt'")}
+         |        < f.factor - floor(f.factor) THEN 1 ELSE 0 END)::BIGINT
+         |      AS n
+         |  FROM documents d JOIN fac f USING (source)
+         |),
+         |ee AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, n + 1))::BIGINT AS epoch_copy
+         |  FROM nn WHERE n >= 1
+         |),
+         |erz AS (
+         |  SELECT (doc_id * 1024 + epoch_copy)::BIGINT AS doc_id, text
+         |  FROM ee
+         |),
+         |${packTailSql("erz")}""".stripMargin
+    },
 
     // q142: per-user ordered prefix → path count → deterministic top-k.
     "q142_top_paths" ->

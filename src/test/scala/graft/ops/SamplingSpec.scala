@@ -427,6 +427,25 @@ class SamplingSpec extends SparkSpec {
     assert(again.map(_._2).sameElements(r.map(_._2)))
   }
 
+  test("epoch realization feeding pack conserves every realized token") {
+    val docs = Seq(
+      (1L, "sA", Seq.fill(6)("a").mkString(" ")),
+      (2L, "sA", Seq.fill(4)("b").mkString(" ")),
+      (3L, "sB", Seq.fill(5)("c").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val fac = Seq(("sA", 2.0), ("sB", 1.0)).toDF("source", "factor")
+    val realized = Sampling.applyEpochFactors(docs, "doc_id", "source",
+        fac, "t")
+      .select((col("doc_id") * 1024 + col("epoch_copy")).as("doc_id"),
+        col("text"))
+    val realTokens = realized
+      .select(size(split(col("text"), " ")).cast("long")).as[Long]
+      .collect().sum
+    assert(realTokens == 2 * (6 + 4) + 5) // integer factors: exact
+    val packed = Sampling.pack(realized, "doc_id", "text", 8, 2, "t")
+    assert(packed.select(sum("n_tokens")).as[Long].head() == realTokens)
+  }
+
   test("packAudit: boundary/full/multi-doc counts match the hand-built layout") {
     // one shard → stream order is doc_id order; token counts 5, 3, 6,
     // L=4 → sequences [0,4) doc1 | [4,8) doc1+doc2 | [8,12) doc3 |
