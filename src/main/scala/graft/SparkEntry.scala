@@ -364,6 +364,11 @@ object SparkEntry {
   def q41CsvPath(dir: String): String =
     "/root/repo/target/q41_csv_" + dir.split('/').last
 
+  /** q144's stored chunk-index directory — same per-SF keying as
+    * [[q41CsvPath]]; the oracle pins the sf0.01 instance. */
+  def q144IdxPath(dir: String): String =
+    "/root/repo/target/q144_chunk_idx_" + dir.split('/').last
+
   /** `events` with ts truncated to whole microseconds — the precision
     * DuckDB actually reads from TIMESTAMP(NANOS) parquet. Queries whose
     * oracle arithmetic touches raw ns (the sessionize pair) go through
@@ -1432,6 +1437,26 @@ object SparkEntry {
         Dedup.jaccardVerify(cands, sh, "doc_id", JaccardTau),
         docs, "doc_id", "source")
         .orderBy("source_a", "source_b")
+    }),
+
+    // Chunk-index-at-rest interchange: the q140 flow's persistent
+    // artifact — the CDC chunk-hash index written as parquet by Spark,
+    // read back, and (via the oracle reading the SAME files) proven
+    // DuckDB-readable with identical values. The WRITE is fixture
+    // plumbing; the stored-index SCAN is the operator under test.
+    "q144_chunk_index_roundtrip" -> ((s, dir) => {
+      val path = q144IdxPath(dir)
+      Text.chunkContentDefined(t(s, dir, "documents"), "text",
+          CdcDivisor, "cdc")
+        .groupBy(md5(col("chunk").cast("binary")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_refs"), sum(col("n_tokens")).as("n_tokens"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n_unique_chunks"),
+          sum(col("n_refs")).as("n_chunk_refs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("chunk_hash")).as("n_hashes"))
     }),
 
     // Loader-side end-to-end: the q114 epoch plan realized into the
@@ -3004,6 +3029,16 @@ object SparkEntry {
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
+
+    // q144: the oracle reads the SPARK-WRITTEN parquet files — the
+    // interchange check that the stored index is engine-portable.
+    "q144_chunk_index_roundtrip" ->
+      s"""SELECT count(*)::BIGINT AS n_unique_chunks,
+         |  sum(n_refs)::BIGINT AS n_chunk_refs,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  count(DISTINCT chunk_hash)::BIGINT AS n_hashes
+         |FROM read_parquet('${q144IdxPath("/root/testdata/sf0.01")}/*.parquet')
+         |""".stripMargin,
 
     // q143: the q114 realization CTEs (text carried through) feeding
     // the q67 packing tail over composite copy ids.
