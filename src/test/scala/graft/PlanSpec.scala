@@ -458,6 +458,26 @@ class PlanSpec extends SparkSpec {
     assert(docExchanges == 1, s"expected 1 doc-keyed exchange:\n$p")
   }
 
+  test("q134: interleave broadcasts the weight spec; corpus never sort-merges for it") {
+    val p = plan("q134_interleave")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q138: transition matrix is join-free — lag window + matrix agg only") {
+    val p = plan("q138_transition_matrix")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q140: incremental chunk scrub anti-joins equi on the hash, never nested-loop") {
+    val p = plan("q140_chunk_scrub_incr")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
