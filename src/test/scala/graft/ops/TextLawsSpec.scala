@@ -113,4 +113,47 @@ class TextLawsSpec extends SparkSpec {
         assert(nBlk == 0 && nTyp == 0, s"doc $id still reports hits")
       }
   }
+
+  test("ictPairs law: splicing the query back at span_start rebuilds every doc") {
+    val df = docs(19).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val k = 3
+    val pairs = Text.ictPairs(df, "doc_id", "text", k)
+      .as[(Long, Long, Long, String, String)].collect()
+    val original = df.as[(Long, String)].collect().toMap
+    pairs.foreach { case (id, n, a, q, p) =>
+      val toks = original(id).split(" ", -1)
+      assert(n == toks.length && a >= 0 && a <= n - k, s"doc $id span")
+      val qt = q.split(" ", -1); val pt = p.split(" ", -1)
+      assert(qt.length == k, s"doc $id query len ${qt.length}")
+      val rebuilt = (pt.take(a.toInt) ++ qt ++ pt.drop(a.toInt))
+        .mkString(" ")
+      assert(rebuilt == original(id), s"doc $id not rebuilt")
+    }
+    // only long-enough docs produce a pair
+    assert(pairs.length ==
+      original.values.count(_.split(" ", -1).length >= 2 * k))
+  }
+
+  test("chunkContentDefined law: chunks partition the token stream on arbitrary docs") {
+    val df = docs(23).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chunks = Text.chunkContentDefined(df, "text", divisor = 4,
+        salt = "law")
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect()
+    val original = df.as[(Long, String)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // contiguous 0-based chunk indices, token counts consistent
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      sorted.foreach { c =>
+        assert(c._3 == c._4.split(" ", -1).length, s"doc $id count")
+      }
+      // concatenating chunks in order rebuilds the document exactly
+      assert(sorted.map(_._4).mkString(" ") == original(id), s"doc $id")
+    }
+    // every doc (split(' ') is never empty) emits at least one chunk
+    assert(chunks.map(_._1).distinct.length == original.size)
+  }
 }
