@@ -1439,6 +1439,15 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    // Dedup threshold-sensitivity curve over the exact-Jaccard pairs
+    // (tau = 0: every meeting pair feeds the histogram).
+    "q145_dedup_sensitivity" -> ((s, dir) => {
+      Dedup.dedupSensitivity(
+        Dedup.jaccardPairsExact(shingled(s, dir), "doc_id", 0.0,
+          JaccardMaxDf))
+        .orderBy("tau_floor")
+    }),
+
     // Chunk-index-at-rest interchange: the q140 flow's persistent
     // artifact — the CDC chunk-hash index written as parquet by Spark,
     // read back, and (via the oracle reading the SAME files) proven
@@ -3029,6 +3038,48 @@ object SparkEntry {
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
+
+    // q145: the q55 chain unfiltered, per-doc max, integer-edge bins,
+    // descending cumulative.
+    "q145_dedup_sensitivity" ->
+      s"""$shingleSqlCte,
+         |posts AS (
+         |  SELECT doc_id, unnest(shingles) AS s FROM sh
+         |),
+         |keep AS (
+         |  SELECT s FROM posts GROUP BY s HAVING count(*) <= $JaccardMaxDf
+         |),
+         |p AS (
+         |  SELECT posts.doc_id, posts.s FROM posts JOIN keep USING (s)
+         |),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
+         |jacall AS (
+         |  SELECT id_a, id_b,
+         |    round(i::DOUBLE / (sa.sz + sb.sz - i), 9) AS jaccard
+         |  FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+         |             JOIN sz sb ON inter.id_b = sb.doc_id
+         |),
+         |mxj AS (
+         |  SELECT id, max(jaccard) AS mj FROM (
+         |    SELECT id_a AS id, jaccard FROM jacall
+         |    UNION ALL SELECT id_b, jaccard FROM jacall) _
+         |  GROUP BY id
+         |),
+         |bk AS (
+         |  SELECT CAST(floor(mj * 20) AS BIGINT) AS bucket,
+         |    count(*)::BIGINT AS n_docs
+         |  FROM mxj GROUP BY 1
+         |)
+         |SELECT round(bucket / 20.0, 9) AS tau_floor, n_docs,
+         |  (sum(n_docs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         |    AS cum_docs_ge
+         |FROM bk ORDER BY tau_floor""".stripMargin,
 
     // q144: the oracle reads the SPARK-WRITTEN parquet files — the
     // interchange check that the stored index is engine-portable.

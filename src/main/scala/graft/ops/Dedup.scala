@@ -338,6 +338,38 @@ object Dedup {
           .as("novelty_ratio"))
   }
 
+  /** Dedup threshold-sensitivity curve — what a τ choice actually
+    * costs: from a similarity pair list ([[jaccardPairsExact]] /
+    * [[jaccardVerify]] output, unfiltered or low-τ), each document
+    * collapses to its MAXIMUM pair similarity, histogrammed into
+    * `buckets` equal τ bins with a descending cumulative — row
+    * (tau_floor, n_docs, cum_docs_ge) says "raising the dedup
+    * threshold to tau_floor would touch cum_docs_ge documents". The
+    * tuning curve a data team reads before committing a τ to the
+    * curation funnel, where the per-τ survivor count would otherwise
+    * cost one clustering run per candidate value.
+    *
+    * Bucket boundaries are floor(max_jaccard · buckets) on the
+    * 9dp-rounded jaccard — integer arithmetic at the edge, so both
+    * engines bin identically. Shape: one explode + id-keyed max over
+    * the ALREADY-BOUNDED pair list, a `buckets`-row histogram, and a
+    * cumulative window over ≤ buckets+1 rows. */
+  def dedupSensitivity(pairs: DataFrame, buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"),
+        col("jaccard"))
+      .groupBy(col("id")).agg(max(col("jaccard")).as("__mj"))
+      .withColumn("bucket", floor(col("__mj") * buckets).cast("long"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cum_docs_ge", sum(col("n_docs")).over(w))
+      .select(round(col("bucket") / buckets.toDouble, 9).as("tau_floor"),
+        col("n_docs"), col("cum_docs_ge"))
+  }
+
   /** Cross-source duplication matrix — the near-dup pair list
     * ([[jaccardVerify]] / [[jaccardPairsExact]] output) rolled up by
     * the SOURCE pair it connects: for each unordered (source_a,

@@ -575,6 +575,19 @@ class DedupSpec extends SparkSpec {
     assert(byBand.last._4 >= byBand.head._4)
   }
 
+  test("dedupSensitivity: per-doc max collapses pairs; cumulative counts descend") {
+    // doc 1 peaks at 0.9 (two pairs), 2 at 0.9, 3 at 0.52, 4 at 0.52,
+    // 5 at 0.12 with 6 → buckets 18:{1,2}, 10:{3,4}, 2:{5,6}
+    val pairs = Seq(
+      (1L, 2L, 0.9), (1L, 3L, 0.52), (3L, 4L, 0.4),
+      (4L, 3L, 0.52), (5L, 6L, 0.12)
+    ).toDF("id_a", "id_b", "jaccard")
+    val r = Dedup.dedupSensitivity(pairs, buckets = 20)
+      .orderBy("tau_floor")
+      .as[(Double, Long, Long)].collect()
+    assert(r.toSeq == Seq((0.1, 2L, 6L), (0.5, 2L, 4L), (0.9, 2L, 2L)))
+  }
+
   test("scrubChunksAgainst: shared chunks drop, edits survive, exact dup empties") {
     val base = (1 to 200).map(i => s"w${i % 41}").mkString(" ")
     val edited = base.split(" ").patch(100, Seq("EDIT1", "EDIT2"), 0)
