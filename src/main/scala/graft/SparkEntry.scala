@@ -364,6 +364,23 @@ object SparkEntry {
   def q41CsvPath(dir: String): String =
     "/root/repo/target/q41_csv_" + dir.split('/').last
 
+  /** q59/q146's planted-PII frame: the fixture text (which carries no
+    * natural PII) augmented with one deterministic identifier of each
+    * maskable type, keyed on doc_id — both the mask round-trip and the
+    * per-source rollup read the same frame. */
+  private def piiAugmented(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"),
+        lit("@mail.example.org via https://ex.org/u/"),
+        col("doc_id").cast("string"), lit(" tel 555"),
+        lpad(col("doc_id").cast("string"), 7, "0"),
+        lit(" ph 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.7")).as("text"))
+
   /** q144's stored chunk-index directory — same per-SF keying as
     * [[q41CsvPath]]; the oracle pins the sf0.01 instance. */
   def q144IdxPath(dir: String): String =
@@ -2349,17 +2366,14 @@ object SparkEntry {
     // The pmod bounds keep every lpad input at or under the pad width —
     // lpad truncation semantics for over-long inputs are engine-specific.
     "q59_pii_mask" -> ((s, dir) => {
-      val aug = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"), lit(" contact user"),
-          col("doc_id").cast("string"),
-          lit("@mail.example.org via https://ex.org/u/"),
-          col("doc_id").cast("string"), lit(" tel 555"),
-          lpad(col("doc_id").cast("string"), 7, "0"),
-          lit(" ph 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
-          lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-          lit(" ip 10."), pmod(col("doc_id"), lit(256)).cast("string"),
-          lit(".0.7")).as("text"))
-      Text.maskPii(aug, "text").orderBy("doc_id")
+      Text.maskPii(piiAugmented(s, dir), "text").orderBy("doc_id")
+    }),
+
+    // Per-source PII-density rollup over the same planted-PII frame:
+    // the data-card line saying which sources leak identifiers.
+    "q146_pii_by_source" -> ((s, dir) => {
+      Text.piiReport(piiAugmented(s, dir), "text", "source")
+        .orderBy("source")
     }),
 
     // C4-style normalization (lowercase, strip, collapse whitespace).
@@ -3038,6 +3052,53 @@ object SparkEntry {
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
+
+    // q146: the q59 planted-PII chain (source carried through), rolled
+    // up per source with the same staged counts.
+    "q146_pii_by_source" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, source,
+         |    text || ' contact user' || doc_id::VARCHAR ||
+         |    '@mail.example.org via https://ex.org/u/' || doc_id::VARCHAR ||
+         |    ' tel 555' || lpad(doc_id::VARCHAR, 7, '0') ||
+         |    ' ph 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+         |    '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+         |    ' ip 10.' || (doc_id % 256)::VARCHAR || '.0.7' AS text
+         |  FROM documents
+         |), st AS (
+         |  SELECT doc_id, source, text,
+         |    regexp_replace(text, '${Text.UrlRe}', '<URL>', 'g') AS u
+         |  FROM aug
+         |), st2 AS (
+         |  SELECT doc_id, source, text, u,
+         |    regexp_replace(u, '${Text.EmailRe}', '<EMAIL>', 'g') AS e
+         |  FROM st
+         |), st3 AS (
+         |  SELECT doc_id, source, text, u, e,
+         |    regexp_replace(e, '${Text.PhoneRe}', '<PHONE>', 'g') AS p
+         |  FROM st2
+         |), st4 AS (
+         |  SELECT doc_id, source, text, u, e, p,
+         |    regexp_replace(p, '${Text.Ipv4Re}', '<IP>', 'g') AS i
+         |  FROM st3
+         |), pcn AS (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '${Text.UrlRe}'))::BIGINT AS nu,
+         |    len(regexp_extract_all(u, '${Text.EmailRe}'))::BIGINT AS ne,
+         |    len(regexp_extract_all(e, '${Text.PhoneRe}'))::BIGINT AS np,
+         |    len(regexp_extract_all(p, '${Text.Ipv4Re}'))::BIGINT AS ni,
+         |    len(regexp_extract_all(i, '${Text.LongNumRe}'))::BIGINT AS nn
+         |  FROM st4
+         |)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN nu + ne + np + ni + nn > 0 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS docs_with_pii,
+         |  sum(nu)::BIGINT AS n_urls, sum(ne)::BIGINT AS n_emails,
+         |  sum(np)::BIGINT AS n_phones, sum(ni)::BIGINT AS n_ips,
+         |  sum(nn)::BIGINT AS n_long_nums,
+         |  round(sum(CASE WHEN nu + ne + np + ni + nn > 0 THEN 1 ELSE 0
+         |    END)::DOUBLE / count(*), 9) AS pii_doc_ratio
+         |FROM pcn GROUP BY source ORDER BY source""".stripMargin,
 
     // q145: the q55 chain unfiltered, per-doc max, integer-edge bins,
     // descending cumulative.

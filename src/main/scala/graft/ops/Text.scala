@@ -626,6 +626,36 @@ object Text {
         .as("n_long_nums"))
   }
 
+  /** Per-group PII-density rollup over [[maskPii]]'s audit counts —
+    * the data-card line that says WHICH sources leak identifiers (and
+    * of what kind) before anyone reads a sample: per `groupCol`, doc
+    * count, docs carrying any maskable span, per-type span totals and
+    * the affected-doc ratio. High-ratio sources get routed to heavier
+    * scrubbing or dropped; the per-type mix distinguishes a
+    * URL-heavy crawl (harmless) from a phone-number-laden one (not).
+    *
+    * Shape: the map-only mask/count projection, one doc-keyed join of
+    * the pruned (id, group) spine, one low-cardinality rollup. */
+  def piiReport(df: DataFrame, textCol: String,
+                groupCol: String): DataFrame = {
+    val m = maskPii(df, textCol)
+    val total = Seq("n_urls", "n_emails", "n_phones", "n_ips",
+      "n_long_nums").map(col).reduce(_ + _)
+    df.select(col("doc_id"), col(groupCol))
+      .join(m, Seq("doc_id"))
+      .withColumn("__tot", total)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tot") > 0, 1L).otherwise(0L)).as("docs_with_pii"),
+        sum(col("n_urls")).as("n_urls"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(col("n_long_nums")).as("n_long_nums"))
+      .withColumn("pii_doc_ratio",
+        round(col("docs_with_pii").cast("double") / col("n_docs"), 9))
+  }
+
   /** Corpus document-frequency / IDF table: one row per distinct token
     * with (df, idf = ln(N / df)) — the plain unsmoothed variant
     * (idf 0 for a token in every document). TF-IDF weighting, stopword

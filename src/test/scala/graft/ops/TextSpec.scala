@@ -470,6 +470,23 @@ class TextSpec extends SparkSpec {
     assert(rebuilt == (1 to 20).map(i => s"t$i").mkString(" "))
   }
 
+  test("piiReport: per-group sums, affected-doc count, clean group reports zero") {
+    val d = Seq(
+      (1L, "sA", "mail me at a@b.org or see https://x.org/a"),
+      (2L, "sA", "nothing sensitive here at all"),
+      (3L, "sB", "clean text only")
+    ).toDF("doc_id", "source", "text")
+    val r = Text.piiReport(d, "text", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("sA")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L) // n_docs, docs_with_pii
+    assert(a.getLong(3) == 1L && a.getLong(4) == 1L) // urls, emails
+    assert(math.abs(a.getDouble(8) - 0.5) < 1e-9)
+    val b = r("sB")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 0L
+      && b.getDouble(8) == 0.0)
+  }
+
   test("chunkContentDefined: token conservation; prefix insertion realigns later chunks") {
     val base = (1 to 120).map(i => s"w${i % 37}").mkString(" ")
     val d = Seq((1L, base), (2L, "zz yy " + base)).toDF("doc_id", "text")
