@@ -101,7 +101,18 @@ object Bench {
     // divergent passes = contended machine, rerun before comparing)
     val t1 = pass1.values.map(_._1).sum
     val t2 = pass2.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver's artifact captures only the
+    // log TAIL, which truncated away the totals + 88 per-query rows in
+    // round 7 once the suite outgrew the capture window. The file is the
+    // truncation-proof record.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("bench.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $e") }
     spark.stop()
   }
 }

@@ -321,6 +321,12 @@ object SparkEntry {
   val QualityKeepFrac = 0.5
   /** q107 sharded-export manifest: shard count of the training export. */
   val ManifestShards = 8
+  /** Placeholder the sink-interchange oracles (q41/q106/q144) embed in
+    * their read paths; [[Verify]] substitutes the ACTIVE sf dir's
+    * basename at dump time, so the oracle always reads the files the
+    * Spark side just wrote — valid at every SF, never stale. */
+  val SfToken = "__SF__"
+
   /** q106's JSONL fixture directory — keyed on the sf dir so concurrent
     * SFs never clobber each other (same convention as [[q41CsvPath]]). */
   def q106JsonlPath(dir: String): String =
@@ -360,7 +366,7 @@ object SparkEntry {
 
   /** q41's CSV fixture directory — keyed on the sf dir so concurrent
     * Verify/Bench runs at different scales never clobber each other. The
-    * oracle SQL pins the sf0.01 instance (the driver's correctness SF). */
+    * oracle SQL carries [[SfToken]] so it follows the active SF. */
   def q41CsvPath(dir: String): String =
     "/root/repo/target/q41_csv_" + dir.split('/').last
 
@@ -382,9 +388,14 @@ object SparkEntry {
         lit(".0.7")).as("text"))
 
   /** q144's stored chunk-index directory — same per-SF keying as
-    * [[q41CsvPath]]; the oracle pins the sf0.01 instance. */
+    * [[q41CsvPath]]; the oracle carries [[SfToken]]. */
   def q144IdxPath(dir: String): String =
     "/root/repo/target/q144_chunk_idx_" + dir.split('/').last
+
+  /** q37's stored embedding-table directory (M4 at rest) — same per-SF
+    * keying and [[SfToken]] oracle convention as [[q144IdxPath]]. */
+  def q37EmbPath(dir: String): String =
+    "/root/repo/target/q37_emb_" + dir.split('/').last
 
   /** `events` with ts truncated to whole microseconds — the precision
     * DuckDB actually reads from TIMESTAMP(NANOS) parquet. Queries whose
@@ -2778,21 +2789,35 @@ object SparkEntry {
         .orderBy("reordered")
     }),
 
-    // M1-M4: MLlib Word2Vec trained on baskets; top-5 cosine neighbors of
-    // 3 probe products from the extracted embedding table. Stochastic
-    // training — rows-only check (no oracle). Basket cap bounds bench
-    // cost at any SF (10k baskets: enough for a stable vocab, small
-    // enough that training cost stays steady run-to-run); the library
-    // path has no cap.
+    // M1-M4 verified end-to-end (the round-7 red cell): train Word2Vec
+    // single-partition on deterministically ordered baskets (first 10k
+    // by order_id — a stable vocab at bounded, jitter-free cost at any
+    // SF; the library path has no cap), STORE the extracted embedding
+    // table (M4) as parquet, then compute the model_train.py:14-49
+    // report — self-excluded cosine top-5 with the J3 name joins — FROM
+    // the stored table. The oracle reads the SAME Spark-written parquet
+    // (q144 interchange pattern), so the compare hash-verifies
+    // extraction + store + scan + report exactly, independent of SGD
+    // stochasticity; training determinism itself is the seeded single-
+    // partition law in Prod2VecSpec.
     "q37_w2v_synonyms" -> ((s, dir) => {
+      val path = q37EmbPath(dir)
       val li = t(s, dir, "lineitem")
-      val basketDf = Prod2Vec.baskets(li).limit(10000)
-      val model = Prod2Vec.train(basketDf, Prod2Vec.Params())
-      val probes = Prod2Vec.embeddings(model)
-        .orderBy("vec_id").limit(3)
-        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
-      Prod2Vec.synonyms(model, probes, 5)
-        .withColumn("rnk", col("rnk").cast("long"))
+      val basketDf = Prod2Vec.baskets(li).orderBy("order_id").limit(10000)
+      val model = Prod2Vec.train(basketDf,
+        Prod2Vec.Params(numPartitions = 1))
+      Prod2Vec.embeddings(model).repartition(1)
+        .write.mode("overwrite").parquet(path)
+      val emb = s.read.parquet(path)
+      val probes = emb.orderBy("vec_id").limit(3)
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").cast("long"), col("p_name"))
+      Similarity.cosineTopK(emb, probes, 5)
+        .join(broadcast(p.toDF("probe_id", "probe_name")), Seq("probe_id"))
+        .join(broadcast(p.toDF("vec_id", "neighbor_name")), Seq("vec_id"))
+        .select(col("probe_id"), col("probe_name"), col("vec_id"),
+          col("neighbor_name"), col("cos"),
+          col("rnk").cast("long").as("rnk"))
         .orderBy("probe_id", "rnk")
     })
   )
@@ -3149,7 +3174,7 @@ object SparkEntry {
          |  sum(n_refs)::BIGINT AS n_chunk_refs,
          |  sum(n_tokens)::BIGINT AS n_tokens,
          |  count(DISTINCT chunk_hash)::BIGINT AS n_hashes
-         |FROM read_parquet('${q144IdxPath("/root/testdata/sf0.01")}/*.parquet')
+         |FROM read_parquet('${q144IdxPath(SfToken)}/*.parquet')
          |""".stripMargin,
 
     // q143: the q114 realization CTEs (text carried through) feeding
@@ -5027,7 +5052,7 @@ object SparkEntry {
       s"""SELECT source, count(*) AS n_docs,
          |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
          |  count(DISTINCT lang) AS n_langs, max(doc_id) AS max_id
-         |FROM read_json('${q106JsonlPath("/root/testdata/sf0.01")}/*.json',
+         |FROM read_json('${q106JsonlPath(SfToken)}/*.json',
          |  format='newline_delimited',
          |  columns={'doc_id': 'BIGINT', 'text': 'VARCHAR',
          |           'lang': 'VARCHAR', 'source': 'VARCHAR'})
@@ -5407,7 +5432,7 @@ object SparkEntry {
       s"""SELECT reordered, count(*) AS n_rows,
          |  count(DISTINCT product_id) AS n_products,
          |  CAST(sum(add_to_cart_order) AS BIGINT) AS sum_pos
-         |FROM read_csv('${q41CsvPath("/root/testdata/sf0.01")}/*.csv',
+         |FROM read_csv('${q41CsvPath(SfToken)}/*.csv',
          |  header=true,
          |  columns={'order_id': 'BIGINT', 'product_id': 'BIGINT',
          |           'add_to_cart_order': 'BIGINT', 'reordered': 'BIGINT'})
@@ -5450,8 +5475,34 @@ object SparkEntry {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 9) AS mov_sum3
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
-        |ORDER BY user_id, ms, event_id""".stripMargin
-    // q37_w2v_synonyms: no SQL equivalent (stochastic MLlib training) —
-    // driver records a rows-only check. Every other query is oracle'd.
+        |ORDER BY user_id, ms, event_id""".stripMargin,
+    // q37: the oracle reads the SPARK-WRITTEN embedding parquet (q144
+    // interchange pattern) — the stored-table report is exact SQL even
+    // though the training that produced the table is not.
+    "q37_w2v_synonyms" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM read_parquet('${q37EmbPath(SfToken)}/*.parquet')
+         |),
+         |p AS (
+         |  SELECT vec_id AS probe_id, v AS pv
+         |  FROM emb ORDER BY vec_id LIMIT 3
+         |),
+         |sc AS (
+         |  SELECT probe_id, vec_id, round(${cosSql("v", "pv")}, 9) AS cos
+         |  FROM emb, p WHERE vec_id <> probe_id
+         |),
+         |r AS (
+         |  SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+         |  FROM sc QUALIFY rnk <= 5
+         |)
+         |SELECT r.probe_id, pp.p_name AS probe_name, r.vec_id,
+         |  pn.p_name AS neighbor_name, r.cos, r.rnk
+         |FROM r JOIN part pp ON r.probe_id = pp.p_partkey
+         |       JOIN part pn ON r.vec_id = pn.p_partkey
+         |ORDER BY r.probe_id, r.rnk""".stripMargin
   )
 }

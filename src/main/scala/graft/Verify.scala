@@ -40,8 +40,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Sink-interchange oracles (q41/q106/q144) embed SfToken in their
+    // read paths; substitute the ACTIVE sf basename so the oracle reads
+    // the files this run's Spark side just wrote — valid at every SF.
+    val sfBase = sfDir.stripSuffix("/").split('/').last
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(SparkEntry.SfToken, sfBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -45,10 +45,16 @@ object Prod2Vec {
       maxSentenceLength: Int = 1000)
 
   /** A1 for the trainer: baskets as string-token sequences (Word2Vec
-    * consumes `Array[String]`). */
+    * consumes `Array[String]`), tokens in line-number (add-to-cart)
+    * order — `collect_list` alone is partitioning-dependent, and a
+    * deterministic token order is what makes single-partition seeded
+    * training bit-reproducible (the q37 fixture + Prod2VecSpec law). */
   def baskets(lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_orderkey").as("order_id"))
-      .agg(collect_list(col("l_partkey").cast("string")).as("tokens"))
+      .agg(array_sort(collect_list(struct(
+          col("l_linenumber").as("n"),
+          col("l_partkey").cast("string").as("t"))))
+        .getField("t").as("tokens"))
 
   /** M1: the configured estimator (exposed so specs can assert every
     * [[Params]] field actually reaches MLlib). */

@@ -350,8 +350,12 @@ object Dedup {
     * cost one clustering run per candidate value.
     *
     * Bucket boundaries are floor(max_jaccard · buckets) on the
-    * 9dp-rounded jaccard — integer arithmetic at the edge, so both
-    * engines bin identically. Shape: one explode + id-keyed max over
+    * 9dp-rounded jaccard. The multiply itself is IEEE double (e.g.
+    * 0.35 · 20 = 6.999…, binning one bucket low) — cross-engine parity
+    * holds because both engines evaluate the IDENTICAL expression on
+    * identical 9dp inputs, not because the edge placement is exact;
+    * a reader who needs exact edges should bin on the integer 9dp
+    * representation instead. Shape: one explode + id-keyed max over
     * the ALREADY-BOUNDED pair list, a `buckets`-row histogram, and a
     * cumulative window over ≤ buckets+1 rows. */
   def dedupSensitivity(pairs: DataFrame, buckets: Int = 20): DataFrame = {

@@ -170,22 +170,6 @@ object Quality {
         round(min(col("quality_score")), 9).as("min_quality"),
         round(max(col("quality_score")), 9).as("max_quality"))
 
-  /** Curation-gate overlap matrix — the ablation view of a filter
-    * stack: every gate evaluated INDEPENDENTLY on every row (unlike
-    * [[graft.app.CorpusPipeline]]'s sequential funnel, where a row
-    * killed by gate 1 never meets gate 2), rolled up to one row per
-    * pass/fail combination. Reading the matrix tells a data team which
-    * gates are redundant (their fail sets coincide), which are
-    * load-bearing (rows failing ONLY them), and what a gate's removal
-    * would actually re-admit — none of which the funnel's sequential
-    * counts can say.
-    *
-    * `gates` are (name, predicate) pairs over `df`'s columns; derived
-    * metrics (an aggregate the predicate needs) should be joined onto
-    * `df` first — the op stays one groupBy over the flag tuple, output
-    * cardinality ≤ 2^gates. `n_gates_failed` counts false flags per
-    * combination (null flags count as failed — a gate that cannot
-    * evaluate must not silently pass). */
   /** Key-skew audit — the pre-flight a 100 TB join/agg runs before
     * choosing a partitioning strategy: one row profiling how a key
     * column's mass is distributed. `max_key_share` near 1 or a fat
@@ -283,6 +267,22 @@ object Quality {
     }.reduce(_ union _)
   }
 
+  /** Curation-gate overlap matrix — the ablation view of a filter
+    * stack: every gate evaluated INDEPENDENTLY on every row (unlike
+    * [[graft.app.CorpusPipeline]]'s sequential funnel, where a row
+    * killed by gate 1 never meets gate 2), rolled up to one row per
+    * pass/fail combination. Reading the matrix tells a data team which
+    * gates are redundant (their fail sets coincide), which are
+    * load-bearing (rows failing ONLY them), and what a gate's removal
+    * would actually re-admit — none of which the funnel's sequential
+    * counts can say.
+    *
+    * `gates` are (name, predicate) pairs over `df`'s columns; derived
+    * metrics (an aggregate the predicate needs) should be joined onto
+    * `df` first — the op stays one groupBy over the flag tuple, output
+    * cardinality ≤ 2^gates. `n_gates_failed` counts false flags per
+    * combination (null flags count as failed — a gate that cannot
+    * evaluate must not silently pass). */
   def gateOverlap(df: DataFrame, gates: Seq[(String, Column)]): DataFrame = {
     require(gates.nonEmpty, "gateOverlap needs at least one gate")
     val failed = gates

@@ -353,7 +353,15 @@ object Sampling {
     * Shape: broadcast weight join → one source-keyed window (per-source
     * rank) → one shard-keyed window (stream position). Parallelism ∝
     * shards on the second sort — size shards so a shard fits a task
-    * (the [[pack]] caveat, lever built in). */
+    * (the [[pack]] caveat, lever built in).
+    *
+    * `weights` must be positive: a zero/negative weight makes `vt`
+    * infinite or order-inverting, so the op raises at evaluation time
+    * (runtime guard — no extra job) rather than emit a silently broken
+    * schedule. Sources absent from `weights` DROP (inner join) — the
+    * mixture-spec semantics shared with [[domainMix]]: the weights
+    * frame IS the mixture; an unlisted source has weight "not in the
+    * mix", not weight 1. */
   def interleave(df: DataFrame, idCol: String, sourceCol: String,
                  weights: DataFrame, shards: Int, salt: String): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
@@ -367,7 +375,11 @@ object Sampling {
           lit(shards.toLong)).as("shard"))
       .join(broadcast(weights), Seq(sourceCol))
       .withColumn("__i", row_number().over(ws).cast("long"))
-      .withColumn("vt", col("__i").cast("double") / col("weight"))
+      .withColumn("__w", when(col("weight") > 0d, col("weight"))
+        .otherwise(raise_error(concat(
+          lit("interleave: non-positive weight for source "),
+          col(sourceCol)))))
+      .withColumn("vt", col("__i").cast("double") / col("__w"))
       .select(col("shard"), col(idCol), col(sourceCol),
         row_number().over(wp).cast("long").as("pos"),
         round(col("vt"), 9).as("vt"))

@@ -1049,7 +1049,11 @@ object Text {
     * and the fit frame is fixed-size at any corpus scale. */
   def zipfAudit(df: DataFrame, textCol: String,
                 fitTopK: Int = 500): DataFrame = {
-    require(fitTopK >= 2, s"fitTopK must be >= 2, got $fitTopK")
+    // >= 100, not >= 2: `top100_tokens` is computed INSIDE the
+    // top-fitTopK frame (one TakeOrdered instead of two), so a smaller
+    // fit window would silently report top-fitTopK mass under the
+    // top-100 name.
+    require(fitTopK >= 100, s"fitTopK must be >= 100, got $fitTopK")
     import org.apache.spark.sql.expressions.Window
     val tf = Barrier.cut(
       df.select(explode(tokens(col(textCol))).as("w"))

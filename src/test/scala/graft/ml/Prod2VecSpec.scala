@@ -57,6 +57,24 @@ class Prod2VecSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("M1/M2 determinism law: two seeded single-partition trainings on " +
+      "ordered baskets produce bit-identical vectors") {
+    // the q37 premise: baskets() orders tokens deterministically, so with
+    // numPartitions = 1 and a fixed seed the whole SGD trajectory — vocab
+    // order, sentence order, per-step alpha — replays exactly.
+    def vecs() = Prod2Vec.embeddings(Prod2Vec.train(
+        basketDf.orderBy("order_id").limit(500),
+        Prod2Vec.Params(vectorSize = 8, numPartitions = 1)))
+      .orderBy("vec_id")
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val a = vecs()
+    val b = vecs()
+    assert(a.nonEmpty && a.length == b.length)
+    assert(a.zip(b).forall { case ((ia, va), (ib, vb)) =>
+      ia == ib && va == vb })   // exact float equality, not tolerance
+  }
+
   test("M5-M7: grid tune returns iteration table and min-objective best row") {
     val coPairs = Seq((1L, 2L), (3L, 4L)).toDF("target_pid", "neighbor_pid")
     val grid = Seq(
