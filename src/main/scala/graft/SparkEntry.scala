@@ -224,6 +224,12 @@ object SparkEntry {
     * readable while exercising multi-char merges (round 2+ pairs contain
     * round-1 outputs) on the fixture vocabulary. */
   val BpeNumMerges = 6
+  /** BPE batched-learning width (q81/q82/q116): up to this many merges
+    * accepted per round under the sequential-equivalence guard
+    * ([[graft.ops.Bpe.learn]]) — the result is bit-identical to
+    * batch = 1, which the sequential unrolled-CTE oracle re-proves
+    * every round. */
+  val BpeBatch = 4
   /** q79 bigram-LM interpolation weight on the bigram term. 0.75 is
     * exactly representable in binary, so 1−λ is too — the interpolation
     * constants can never drift between the engines' float parsers. */
@@ -2297,7 +2303,8 @@ object SparkEntry {
     // corpus word-frequency table — deterministic (count DESC, pair ASC
     // tiebreak), so the learned merge table is oracle-checkable.
     "q81_bpe_merges" -> ((s, dir) => {
-      Bpe.learn(Bpe.wordCounts(t(s, dir, "documents"), "text"), BpeNumMerges)
+      Bpe.learn(Bpe.wordCounts(t(s, dir, "documents"), "text"),
+          BpeNumMerges, batch = BpeBatch)
         .merges.orderBy("rank")
     }),
 
@@ -2305,7 +2312,8 @@ object SparkEntry {
     // word→subword table (dictionary join, corpus never char-split).
     "q82_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val learned = Bpe.learn(Bpe.wordCounts(docs, "text"), BpeNumMerges)
+      val learned = Bpe.learn(Bpe.wordCounts(docs, "text"),
+        BpeNumMerges, batch = BpeBatch)
       Bpe.encode(docs, "text", learned.vocab).orderBy("doc_id")
     }),
 
@@ -2314,7 +2322,8 @@ object SparkEntry {
     // rollup that flags slices the merges under-serve.
     "q116_tokenizer_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val learned = Bpe.learn(Bpe.wordCounts(docs, "text"), BpeNumMerges)
+      val learned = Bpe.learn(Bpe.wordCounts(docs, "text"),
+        BpeNumMerges, batch = BpeBatch)
       Bpe.fertility(docs, "text", learned.vocab, Seq("source", "lang"))
         .orderBy("source", "lang")
     }),

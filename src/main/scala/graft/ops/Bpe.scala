@@ -30,8 +30,11 @@ object Bpe {
     * `merges`: (rank, left, right, merged, pair_count), rank 1-based in
     * learning order — tiny (≤ numMerges rows). `vocab`: (word, count,
     * symbols) — the segmentation of every distinct corpus word after all
-    * merges, i.e. the word→subword encoding table. */
-  case class Learned(merges: DataFrame, vocab: DataFrame)
+    * merges, i.e. the word→subword encoding table. `rounds`: driver
+    * round-trips the learning loop took — numMerges/batch-ish when the
+    * batch guard accepts, numMerges when it degrades to sequential (the
+    * observable the batching exists to shrink). */
+  case class Learned(merges: DataFrame, vocab: DataFrame, rounds: Int)
 
   /** Word-frequency table of a corpus — the only corpus-sized pass in
     * BPE training (one explode + one word-keyed shuffle with map-side
@@ -69,42 +72,152 @@ object Bpe {
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(s)))))
 
+  /** Per-candidate trigram ceiling — for each candidate pair (l, r),
+    * the max total count over round-start trigram TYPES that contain
+    * (l, r) at positions (1,2) or (2,3). Every pair a merge of (l, r)
+    * can CREATE or BOOST maps injectively onto occurrences of such a
+    * trigram (the created token's neighbor resolves to one fixed
+    * round-start symbol per pair type), so this is a sound upper bound
+    * on any post-merge count movement — the number the batch guard
+    * compares against. Compact: trigram frame is the same cost class as
+    * [[pairCounts]]; candidates broadcast; output ≤ |candidates| rows. */
+  private def trigramMax(vocab: DataFrame,
+                         cands: Seq[(String, String)]): Map[(String, String), Long] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val cl = broadcast(cands.toDF("cl", "cr"))
+    val tri = vocab
+      .filter(size(col("symbols")) >= 3)
+      .select(col("count"), explode(transform(
+        sequence(lit(1), size(col("symbols")) - 2),
+        i => struct(
+          element_at(col("symbols"), i).as("t1"),
+          element_at(col("symbols"), (i + 1).cast("int")).as("t2"),
+          element_at(col("symbols"), (i + 2).cast("int")).as("t3")))).as("tr"))
+      .select(col("count"), col("tr.t1").as("t1"), col("tr.t2").as("t2"),
+        col("tr.t3").as("t3"))
+    val m12 = tri.join(cl, col("t1") === col("cl") && col("t2") === col("cr"))
+    val m23 = tri.join(cl, col("t2") === col("cl") && col("t3") === col("cr"))
+    m12.unionByName(m23)
+      .groupBy(col("cl"), col("cr"), col("t1"), col("t2"), col("t3"))
+      .agg(sum(col("count")).as("tc"))
+      .groupBy(col("cl"), col("cr")).agg(max(col("tc")).as("mt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+  }
+
   /** Learn up to `numMerges` BPE merges from a (word, count) frame.
     *
     * Per round: pair counts over the vocabulary frame (one compact
-    * shuffle with map-side combine), the argmax pair collected to the
-    * driver (a bounded 1-row action, same contract as the best-run
-    * probes), the merge applied map-only, and the new segmentation cut
-    * behind a [[Barrier]] — without the cut each round's plan would
-    * stack k interpreted merge-folds deep (the plan-tree multiplication
-    * trap). Stops early when no adjacent pair remains. Eager by nature —
-    * it is a training loop, like [[graft.ml.Prod2Vec]]. */
-  def learn(wordCounts: DataFrame, numMerges: Int): Learned = {
+    * shuffle with map-side combine), the top candidates collected to
+    * the driver (a bounded ≤ batch+1-row action, same contract as the
+    * best-run probes), the merges applied map-only, and the new
+    * segmentation cut behind a [[Barrier]] — without the cut each
+    * round's plan would stack k interpreted merge-folds deep (the
+    * plan-tree multiplication trap). Stops early when no adjacent pair
+    * remains. Eager by nature — it is a training loop, like
+    * [[graft.ml.Prod2Vec]].
+    *
+    * `batch` > 1 accepts up to `batch` merges per round while staying
+    * BIT-IDENTICAL to the sequential (batch = 1) result — the scale
+    * lever that turns a 32k-merge vocabulary from 32k sequential Spark
+    * jobs into ~32k/batch (the round-7 scale ceiling). The prefix rule
+    * guaranteeing equivalence: walk the candidates in (count DESC, l,
+    * r) order and accept p_k only while
+    *   (a) its symbols are string-disjoint from every accepted pair
+    *       (its count is then invariant under the earlier merges — a
+    *       merge site consumes only its own two symbols), and
+    *   (b) c_k STRICTLY exceeds every accepted merge's [[trigramMax]]
+    *       ceiling — every pair an earlier accepted merge can create is
+    *       then strictly below c_k, and
+    *   (c) no accepted merged string ALIASES a pre-existing symbol
+    *       (checked against a conservative driver-side superset:
+    *       initial alphabet ∪ every merge so far) — aliasing is the
+    *       one mechanism by which an EXISTING pair's count can rise,
+    *       so with it excluded every unaccepted pair is bounded by its
+    *       round-start count and the original sort order decides.
+    * Under (a)+(b)+(c), each accepted p_k is the unique sequential
+    * argmax at its step: higher-ranked pairs are already merged
+    * (prefix contiguity — stop at the first rejection), lower-ranked
+    * old pairs can only have decreased (ties resolve to p_k by the
+    * original (l, r) order), created pairs sit strictly below c_k, and
+    * nothing is boosted. A merge that itself aliases (its merged
+    * string is in the superset) is accepted but ENDS the round —
+    * sequential counts after it may rise in ways the round-start frame
+    * can't see. On Zipfian pair distributions the top counts clear the
+    * trigram ceilings and rounds accept near-`batch` merges; on
+    * flat/adversarial ones the guard degrades gracefully to 1 per
+    * round — never to a wrong table. Equivalence is law-checked in
+    * BpeSpec; q81/q82 hash against the sequential unrolled-CTE oracle
+    * with the batched path live. */
+  def learn(wordCounts: DataFrame, numMerges: Int,
+            batch: Int = 1): Learned = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = wordCounts.sparkSession
     import spark.implicits._
     var vocab = Barrier.cut(wordCounts.select(col("word"), col("count"),
       split(col("word"), "").as("symbols")))
+    // conservative symbol superset for the alias check (c): initial
+    // alphabet (one cheap compact collect — character vocabulary) plus
+    // every merged string as it is created. Superset-ness only ever
+    // ends a round early, never admits a wrong merge.
+    var symSuper: Set[String] =
+      if (batch > 1)
+        vocab.select(explode(col("symbols")).as("s")).distinct()
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 1
+    var rounds = 0
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val best = pairCounts(vocab)
-        .orderBy(desc("c"), asc("l"), asc("r")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      rounds += 1
+      val want = math.min(batch, numMerges - rank + 1)
+      val top = pairCounts(vocab)
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(want).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((rank, l, r, l + r, c))
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        accepted += top(0)
+        // a merge whose string aliases an existing symbol ends the round
+        var aliased = symSuper.contains(top(0)._1 + top(0)._2)
+        if (want > 1 && top.length > 1 && !aliased) {
+          val trig = trigramMax(vocab, top.toSeq.map(t => (t._1, t._2)))
+          var used = Set(top(0)._1, top(0)._2)
+          var maxTrig = trig.getOrElse((top(0)._1, top(0)._2), 0L)
+          var k = 1
+          var stop = false
+          while (!stop && k < top.length) {
+            val (l, r, c) = top(k)
+            if (!used(l) && !used(r) && c > maxTrig) {
+              accepted += top(k)
+              used = used + l + r
+              maxTrig = math.max(maxTrig, trig.getOrElse((l, r), 0L))
+              if (symSuper.contains(l + r)) { aliased = true; stop = true }
+              k += 1
+            } else stop = true
+          }
+        }
+        val batchPairs = accepted.result()
+        if (batch > 1)
+          symSuper = symSuper ++ batchPairs.map(p => p._1 + p._2)
+        batchPairs.foreach { case (l, r, c) =>
+          merges += ((rank, l, r, l + r, c))
+          rank += 1
+        }
+        // disjoint ⇒ order-independent; nest in rank order anyway
+        val newSyms = batchPairs.foldLeft(col("symbols")) {
+          case (acc, (l, r, _)) => mergeOnce(acc, l, r) }
         vocab = Barrier.cut(vocab.select(col("word"), col("count"),
-          mergeOnce(col("symbols"), l, r).as("symbols")))
-        rank += 1
+          newSyms.as("symbols")))
       }
     }
     Learned(
       merges.result().toDF("rank", "left", "right", "merged", "pair_count")
         .withColumn("rank", col("rank").cast("long")),
-      vocab)
+      vocab, rounds)
   }
 
   /** Encode a corpus with a learned segmentation: documents tokenize,

@@ -62,6 +62,52 @@ class BpeSpec extends SparkSpec {
     assert(m.sliding(2).forall { case Array(a, b) => b._5 <= a._5 })
   }
 
+  test("learn batched law: batch > 1 is bit-identical to sequential on a " +
+      "real corpus") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val wc = Bpe.wordCounts(docs, "text")
+    def learn(batch: Int) = Bpe.learn(wc, 8, batch = batch)
+    def table(l: Bpe.Learned) = l.merges
+      .as[(Long, String, String, String, Long)].collect().toList.sortBy(_._1)
+    val base = learn(1)
+    val seq1 = table(base)
+    assert(seq1.length == 8 && base.rounds == 8)
+    val b4 = learn(4)
+    val b8 = learn(8)
+    assert(table(b4) == seq1)
+    assert(table(b8) == seq1)
+    // the batching must actually batch on real Zipfian counts — fewer
+    // driver round-trips, not just equal output
+    assert(b4.rounds < 8 && b8.rounds <= b4.rounds)
+  }
+
+  test("learn batched: conflict/tie fixtures degrade to sequential, never " +
+      "to a wrong table") {
+    // "abab": round-2 winner (ab,ab) is CREATED by round 1 — the guard
+    // must not batch past it (trigram (a,b,a)/(b,a,b) ceilings block).
+    val chain = Seq(("abab", 3L), ("cd", 2L)).toDF("word", "count")
+    def m(df: org.apache.spark.sql.DataFrame, n: Int, b: Int) =
+      Bpe.learn(df, n, batch = b).merges
+        .as[(Long, String, String, String, Long)].collect().toList
+    assert(m(chain, 4, 4) == m(chain, 4, 1))
+    assert(m(chain, 4, 4) == List(
+      (1L, "a", "b", "ab", 6L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "c", "d", "cd", 2L)))
+    // flat tie: (a,b) and (c,d) both c=2 and disjoint — batching may
+    // take both in one round; sequential resolves the tie by (l, r)
+    // order, which is exactly the batch's prefix order, so the tables
+    // agree either way
+    val tie = Seq(("ab", 2L), ("cd", 2L)).toDF("word", "count")
+    assert(m(tie, 2, 2) == m(tie, 2, 1))
+    // disjoint with a count gap: both accepted in ONE round, same table
+    val gap = Seq(("ab", 9L), ("cd", 2L)).toDF("word", "count")
+    assert(m(gap, 2, 2) == m(gap, 2, 1))
+    assert(m(gap, 2, 2) == List(
+      (1L, "a", "b", "ab", 9L), (2L, "c", "d", "cd", 2L)))
+    assert(Bpe.learn(gap, 2, batch = 2).rounds == 1)
+  }
+
   test("encode: dictionary join reassembles subwords in word order; OOV falls back to chars") {
     val wc = Seq(("abab", 2L), ("ab", 1L)).toDF("word", "count")
     val learned = Bpe.learn(wc, 2)   // (a,b)->ab, (ab,ab)->abab
