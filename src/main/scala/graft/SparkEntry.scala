@@ -41,8 +41,11 @@ object SparkEntry {
   /** Salts for the flagship co-occurrence count (the hot-pair skew
     * lever, [[graft.ops.Pairs.saltedCounts]]): counts are algebraic so
     * any value yields the identical result — running the oracle gate
-    * with salts > 1 keeps the lever exercised, not just spec'd. At
-    * cluster scale size this ≈ executor count when one pair dominates. */
+    * with salts > 1 keeps the lever exercised, not just spec'd. The
+    * constant is not taken on faith either: q147 runs the SAME report
+    * through [[graft.ops.Similarity.coPurchaseTopKAuto]], where the
+    * [[graft.ops.Quality.autoSalts]] skew pre-flight chooses the count
+    * (this value as floor), and hash-matches the same oracle. */
   val CoocSalts = 4
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -78,6 +81,27 @@ object SparkEntry {
     * the relational window+self-join form ([[Pairs.positions]] +
     * [[Pairs.skipGramPairs]]) computes the identical pair multiset
     * (PairsSpec proves it) but shuffles twice. */
+  /** J2/J3 name joins + ordering shared by q14 (manual salts) and q147
+    * (auto-salted): ranked (target, context, cnt, rnk) -> the named
+    * co-purchase report. */
+  private def copurchaseReport(s: SparkSession, dir: String,
+                               topk: DataFrame): DataFrame = {
+    val v = vocab(s, dir).select(col("idx"), col("product_id"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    topk
+      .join(broadcast(v.withColumnRenamed("idx", "target")
+        .withColumnRenamed("product_id", "target_pid")), Seq("target"))
+      .join(broadcast(v.withColumnRenamed("idx", "context")
+        .withColumnRenamed("product_id", "neighbor_pid")), Seq("context"))
+      .join(broadcast(p.withColumnRenamed("p_partkey", "target_pid")
+        .withColumnRenamed("p_name", "target_name")), Seq("target_pid"))
+      .join(broadcast(p.withColumnRenamed("p_partkey", "neighbor_pid")
+        .withColumnRenamed("p_name", "neighbor_name")), Seq("neighbor_pid"))
+      .select(col("target_pid"), col("neighbor_pid"), col("target_name"),
+        col("neighbor_name"), col("cnt"), col("rnk").cast("long").as("rnk"))
+      .orderBy("target_pid", "rnk")
+  }
+
   private def pairs(s: SparkSession, dir: String): DataFrame = {
     val enc = Vocab.encode(t(s, dir, "lineitem"), "l_partkey", vocab(s, dir))
     val baskets = Pairs.orderedBaskets(enc, "l_orderkey", "idx",
@@ -610,6 +634,31 @@ object SparkEntry {
 
   /** q16's oracle (exact brute-force cosine top-k) — a val so q109's
     * recall report can embed the identical exact side. */
+  /** q14's oracle — a val because q147 (the auto-salted form of the
+    * same report) shares it verbatim. */
+  private def q14OracleSql: String =
+    s"""$pairsSqlCte,
+       |cooc AS (
+       |  SELECT target, context, count(*) AS cnt
+       |  FROM pairs GROUP BY target, context
+       |),
+       |topk AS (
+       |  SELECT target, context, cnt,
+       |         row_number() OVER (PARTITION BY target
+       |           ORDER BY cnt DESC, context ASC) AS rnk
+       |  FROM cooc
+       |)
+       |SELECT vt.pid AS target_pid, vc.pid AS neighbor_pid,
+       |       pt.p_name AS target_name, pc.p_name AS neighbor_name,
+       |       t.cnt, t.rnk
+       |FROM topk t
+       |JOIN vocab vt ON t.target = vt.idx
+       |JOIN vocab vc ON t.context = vc.idx
+       |JOIN part pt ON vt.pid = pt.p_partkey
+       |JOIN part pc ON vc.pid = pc.p_partkey
+       |WHERE t.rnk <= $TopK
+       |ORDER BY target_pid, rnk""".stripMargin
+
   private val q16OracleSql: String =
     s"""WITH c AS (
        |  SELECT vec_id,
@@ -1382,23 +1431,19 @@ object SparkEntry {
 
     // §7.2 flagship (M3 relational): top-K co-purchase neighbors per part,
     // ranked by co-occurrence, names joined back (J2+J3).
-    "q14_copurchase_topk" -> ((s, dir) => {
-      val topk = Similarity.coPurchaseTopK(pairs(s, dir), TopK, CoocSalts)
-      val v = vocab(s, dir).select(col("idx"), col("product_id"))
-      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
-      topk
-        .join(broadcast(v.withColumnRenamed("idx", "target")
-          .withColumnRenamed("product_id", "target_pid")), Seq("target"))
-        .join(broadcast(v.withColumnRenamed("idx", "context")
-          .withColumnRenamed("product_id", "neighbor_pid")), Seq("context"))
-        .join(broadcast(p.withColumnRenamed("p_partkey", "target_pid")
-          .withColumnRenamed("p_name", "target_name")), Seq("target_pid"))
-        .join(broadcast(p.withColumnRenamed("p_partkey", "neighbor_pid")
-          .withColumnRenamed("p_name", "neighbor_name")), Seq("neighbor_pid"))
-        .select(col("target_pid"), col("neighbor_pid"), col("target_name"),
-          col("neighbor_name"), col("cnt"), col("rnk").cast("long").as("rnk"))
-        .orderBy("target_pid", "rnk")
-    }),
+    "q14_copurchase_topk" -> ((s, dir) =>
+      copurchaseReport(s, dir,
+        Similarity.coPurchaseTopK(pairs(s, dir), TopK, CoocSalts))),
+
+    // q14 through the AUTO-salted production wiring: the keySkew
+    // pre-flight chooses the salt count (floor = CoocSalts keeps the
+    // salted path open on the uniform fixture) — same report, same
+    // oracle SQL, because salted counts are salt-invariant; the probe's
+    // cost is this query's own bench row, not a tax on q14.
+    "q147_auto_salted_topk" -> ((s, dir) =>
+      copurchaseReport(s, dir,
+        Similarity.coPurchaseTopKAuto(pairs(s, dir), TopK,
+          s.sparkContext.defaultParallelism, floorSalts = CoocSalts))),
 
     // A7: ordered "; "-concat neighbor report per target (model_train.py:48).
     "q15_neighbor_report" -> ((s, dir) => {
@@ -2918,28 +2963,11 @@ object SparkEntry {
          |ORDER BY order_id, pos_t, pos_c, k""".stripMargin
     },
 
-    "q14_copurchase_topk" ->
-      s"""$pairsSqlCte,
-         |cooc AS (
-         |  SELECT target, context, count(*) AS cnt
-         |  FROM pairs GROUP BY target, context
-         |),
-         |topk AS (
-         |  SELECT target, context, cnt,
-         |         row_number() OVER (PARTITION BY target
-         |           ORDER BY cnt DESC, context ASC) AS rnk
-         |  FROM cooc
-         |)
-         |SELECT vt.pid AS target_pid, vc.pid AS neighbor_pid,
-         |       pt.p_name AS target_name, pc.p_name AS neighbor_name,
-         |       t.cnt, t.rnk
-         |FROM topk t
-         |JOIN vocab vt ON t.target = vt.idx
-         |JOIN vocab vc ON t.context = vc.idx
-         |JOIN part pt ON vt.pid = pt.p_partkey
-         |JOIN part pc ON vc.pid = pc.p_partkey
-         |WHERE t.rnk <= $TopK
-         |ORDER BY target_pid, rnk""".stripMargin,
+    "q14_copurchase_topk" -> q14OracleSql,
+
+    // identical SQL by design: the auto-chosen salt count changes only
+    // the physical shuffle, never a value (saltedCounts law)
+    "q147_auto_salted_topk" -> q14OracleSql,
 
     "q15_neighbor_report" ->
       s"""$pairsSqlCte,

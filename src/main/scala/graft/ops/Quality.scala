@@ -214,6 +214,52 @@ object Quality {
             (col("n_rows").cast("double") * lit(1e6)), 9).as("entropy"))
   }
 
+  /** Auto-salt pre-flight — [[keySkew]] turned into a decision: profile
+    * the planned shuffle key's mass and RETURN the salt count a salted
+    * two-stage aggregation ([[Pairs.saltedCounts]]) should use, instead
+    * of leaving the number to the caller's guess. salts =
+    * ⌈max_key_share × parallelism⌉ clamped to [1, parallelism]: a key
+    * holding 1/parallelism of the rows or less fills at most one
+    * reducer's fair share (salts = 1, plain hash partitioning — salting
+    * would only add a combine stage for nothing); a key holding s fair
+    * shares needs ~s reducers to level the straggler.
+    *
+    * The choice is physical-only: salted counts are algebraic, so ANY
+    * salt count yields identical values (the PairsSpec law) — which is
+    * why an ESTIMATE is safe. `sampleOneIn` > 1 profiles a deterministic
+    * 1-in-N row sample (keyed hash over the whole row, no RNG) — shares
+    * are scale-free so the estimate converges fast; at 100 TB run the
+    * pre-flight at sampleOneIn ≈ 100+ and the probe costs 1% of a scan.
+    * The 1-row collect is a bounded driver probe (best-run contract). */
+  def autoSalts(df: DataFrame, keyCols: Seq[String], parallelism: Int,
+                sampleOneIn: Int = 1): Int = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    // '\\u0001' separator: composite keys must not alias ("ab","c" vs
+    // "a","bc"); an alias would only merge keys and over-provision
+    // salts, but there is no reason to accept even that
+    val key = concat_ws("\u0001", keyCols.map(col): _*).as("__key")
+    // unsampled probes project ONLY the key columns, so column pruning
+    // reaches the probe's scan; the row hash (over every column — rows
+    // need no id) exists only on the sampled path
+    val sampled =
+      if (sampleOneIn == 1) df.select(key)
+      else df
+        .select(key,
+          Portable.seededHash(df.columns.toIndexedSeq.map(col): _*)
+            .as("__h"))
+        .filter(pmod(col("__h"), lit(sampleOneIn.toLong)) === 0)
+        .select(col("__key"))
+    val probe = keySkew(sampled, "__key")
+      .select(col("max_key_share"), col("n_rows")).collect()
+    if (probe.isEmpty || probe(0).isNullAt(0)) 1
+    else {
+      val share = probe(0).getDouble(0)
+      math.max(1, math.min(parallelism,
+        math.ceil(share * parallelism).toInt))
+    }
+  }
+
   /** Pairwise Pearson correlation of curation signals — do the
     * filters a pipeline stacks (quality score, repetition, LM NLL,
     * length…) measure DIFFERENT things, or is one a re-skin of

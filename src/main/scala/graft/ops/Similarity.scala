@@ -66,6 +66,27 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** [[coPurchaseTopK]] with the salt count CHOSEN by the
+    * [[Quality.autoSalts]] skew pre-flight instead of supplied by the
+    * caller — the production wiring for a pair stream whose skew is
+    * unknown: probe the (target, context) key's mass (`sampleOneIn`
+    * thins the probe deterministically — at 100 TB run it at 100+ so
+    * the pre-flight costs ~1% of a scan), take
+    * ⌈max_key_share × parallelism⌉ salts clamped to the `floorSalts`..
+    * parallelism band, and run the salted two-stage count with it.
+    * Values are identical for every salt choice (the saltedCounts law),
+    * so the probe affects only the physical shuffle layout — measured
+    * cost at toy scale is one extra pruned pass over the pair lineage,
+    * which is why the oracle-gated q14 keeps an explicit constant and
+    * this form is its own gated query (q147). */
+  def coPurchaseTopKAuto(pairs: DataFrame, k: Int, parallelism: Int,
+                         floorSalts: Int = 1,
+                         sampleOneIn: Int = 1): DataFrame = {
+    val salts = math.max(floorSalts, Quality.autoSalts(
+      pairs, Seq("target", "context"), parallelism, sampleOneIn))
+    coPurchaseTopK(pairs, k, salts)
+  }
+
   /** J5/M3 vector form: exact cosine top-k of every probe against the
     * corpus. `probes` must be small (broadcast); self-matches dropped by
     * id (P3). Scores rounded to 9 dp for stable cross-engine compare.

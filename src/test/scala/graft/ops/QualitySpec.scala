@@ -160,6 +160,39 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(u.getDouble(3) - 1.0 / 3) < 1e-9)
   }
 
+  test("autoSalts: skewed keys choose >1 salt, uniform keys choose 1, " +
+      "choice never changes the counts") {
+    import org.apache.spark.sql.functions._
+    // one key holds 60/66 rows: share ≈ 0.909 → ceil(.909 × 8) = 8 salts
+    val hot = ((1 to 60).map(i => ("hot", s"x$i")) ++
+      (1 to 6).map(i => (s"k$i", s"y$i"))).toDF("target", "context")
+    val sHot = Quality.autoSalts(hot, Seq("target", "context"), 8)
+    // composite key: ("hot", x_i) are 60 DISTINCT keys → max share is
+    // tiny → 1 salt; keyed on target alone the hot key dominates
+    assert(sHot == 1)
+    val sTgt = Quality.autoSalts(hot, Seq("target"), 8)
+    assert(sTgt == 8)
+    // middling skew picks a middling salt count
+    val mid = ((1 to 30).map(_ => ("h", "c")) ++
+      (1 to 30).map(i => (s"k$i", s"c$i"))).toDF("target", "context")
+    val sMid = Quality.autoSalts(mid, Seq("target", "context"), 8)
+    assert(sMid == 4)   // share 0.5 × 8 = 4
+    // uniform: every key 1/n → 1 salt
+    val uni = (1 to 32).map(i => (s"t$i", s"c$i")).toDF("target", "context")
+    assert(Quality.autoSalts(uni, Seq("target", "context"), 8) == 1)
+    // the law that makes an estimated choice safe: identical counts at
+    // every salt count (here: the auto-chosen vs 1 vs parallelism)
+    val ids = Seq(col("target"), col("context"))
+    def counts(n: Int) = Pairs.saltedCounts(mid, Seq("target", "context"),
+      ids, n).orderBy("target", "context").collect().toSeq
+    assert(counts(sMid) == counts(1) && counts(sMid) == counts(8))
+    // deterministic sampling path returns a valid choice on tiny input
+    val sSampled = Quality.autoSalts(hot, Seq("target"), 8, sampleOneIn = 2)
+    assert(sSampled >= 1 && sSampled <= 8)
+    // empty frame → 1 (no probe row, plain partitioning)
+    assert(Quality.autoSalts(hot.limit(0), Seq("target"), 8) == 1)
+  }
+
   test("signalCorrelation: perfect/anti/none/degenerate cases; null rows drop") {
     import org.apache.spark.sql.functions._
     val d = Seq(
