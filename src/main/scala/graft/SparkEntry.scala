@@ -364,6 +364,9 @@ object SparkEntry {
 
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
+
+  /** q148 image side: 8×8 = 64 gray samples ≥ the 60 aHash positions. */
+  val MediaGridSide = 8
   /** SRP planes for embedding near-dup / ANN bucketing. */
   val SrpPlanes = 4
   /** Independent SRP tables for the OR-amplified ANN (q42). */
@@ -1887,6 +1890,20 @@ object SparkEntry {
           Multimodal.payloads(t(s, dir, "documents"), "doc_id", "text")),
         "doc_id")
         .orderBy("hamming")
+    }),
+
+    // REAL image decode end-to-end: deterministic per-doc pixels (text
+    // bytes) -> javax.imageio PNG ENCODE -> magic-byte detect -> REAL
+    // PNG DECODE -> 8x8 gray grid -> integer aHash. The oracle computes
+    // the same aHash straight from the text bytes, so a hash match
+    // PROVES decode(encode(pixels)) returned the exact pixels — the
+    // decode itself is inside the verified chain, not just spec'd.
+    "q148_media_ahash_real" -> ((s, dir) => {
+      val png = Multimodal.encodePng(t(s, dir, "documents"),
+        "doc_id", "text", MediaGridSide)
+      Multimodal.aHashFromGrid(
+          Multimodal.decodeGrayGrid(png, MediaGridSide))
+        .orderBy("doc_id")
     }),
 
     // Embedding-cosine near-dup pairs via SRP buckets.
@@ -3794,6 +3811,26 @@ object SparkEntry {
     // q125: the aHash recomputed from the payload text (integer grid
     // positions, integer mean compare), then q22's band join verbatim,
     // rolled up per Hamming distance.
+    // q148: gray grid sample k = text byte at k mod len (encodePng pixel
+    // layout x decodeGrayGrid identity resample at w = h = side), then
+    // the integer-mean aHash over the first SimHashBits positions.
+    "q148_media_ahash_real" -> {
+      val n = Dedup.SimHashBits
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(range(0, $n), k ->
+         |    CASE WHEN len(text) = 0 THEN 0
+         |         ELSE ascii(substring(text, (1 + (k % len(text)))::INT, 1))
+         |    END) AS bs
+         |  FROM documents
+         |),
+         |gm AS (SELECT doc_id, bs, list_sum(bs)::BIGINT AS sm FROM g)
+         |SELECT doc_id, list_sum(list_transform(range(0, $n), k ->
+         |    CASE WHEN bs[(k + 1)::INT] * $n >= sm
+         |         THEN (1::BIGINT << k::INT) ELSE 0::BIGINT END))::BIGINT
+         |    AS simhash
+         |FROM gm ORDER BY doc_id""".stripMargin
+    },
+
     "q125_media_phash_audit" -> {
       val n = Dedup.SimHashBits
       s"""WITH pb AS (

@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, and run the
   * decode / feature-extract step as a per-partition batch operator.
   *
-  * The container has no image/audio codecs, so [[extractFeatures]]' inner
-  * decoder is a clearly-marked deterministic STUB (byte histogram); the
-  * Spark-side plumbing — schema, binary column handling, partition-batch
-  * iteration, typed output — is real and tested. Swapping the stub for a
-  * JNI/ONNX decoder changes one function.
+  * IMAGE decode is REAL: [[decodeGrayGrid]] decodes PNG/BMP payloads
+  * with the JDK's own `javax.imageio` (encode twin [[encodePng]];
+  * roundtrip law in MultimodalSpec; aHash-over-real-pixels oracle'd as
+  * q148). Audio/video codecs don't exist in this container, so
+  * [[extractFeatures]]'/[[sampleFrames]]' inner decoders remain
+  * clearly-marked deterministic STUBs (byte histogram / byte chunks);
+  * the Spark-side plumbing — schema, binary column handling,
+  * partition-batch iteration, typed output — is real and tested either
+  * way. Swapping a stub for a JNI/ONNX decoder changes one function.
   *
   * Scale posture: payloads never pass through a shuffle here — metadata
   * extraction and feature extraction are map-only; downstream joins
@@ -194,6 +198,149 @@ object Multimodal {
           lit(1)))).as("__bs"))
       .withColumn("__sm", aggregate(col("__bs"), lit(0L),
         (a, x) => a + x.cast("long")))
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${n - 1}), CAST(0 AS BIGINT), (acc, k) ->
+           |  acc + IF(element_at(__bs, k + 1) * $n >= __sm,
+           |           shiftleft(CAST(1 AS BIGINT), k),
+           |           CAST(0 AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** PNG magic (0x89 "PNG" prefix, first 4 bytes checked) and
+    * BMP magic ("BM") — the two formats [[decodeGrayGrid]] decodes with
+    * the JDK's own `javax.imageio` (public, zero extra deps). */
+  private def isDecodable(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 &&
+      ((bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) ||
+       (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte))
+
+  /** Encode per-document deterministic grayscale images as REAL PNG
+    * payloads: pixel (y, x) of the `side`×`side` 8-bit gray raster is
+    * the document's text byte at position (y·side + x) mod len — a
+    * pixel source both engines can read (`ascii(substr(text, …))`), so
+    * a downstream oracle can verify a real decode end-to-end. Map-only
+    * per-partition batches; the encoder handle is per-JVM. Empty texts
+    * yield a black image. */
+  def encodePng(df: DataFrame, idCol: String, textCol: String,
+                side: Int): DataFrame = {
+    require(side >= 1, s"side must be >= 1, got $side")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val img = new java.awt.image.BufferedImage(side, side,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          val t = if (text == null) "" else text
+          var y = 0
+          while (y < side) {
+            var x = 0
+            while (x < side) {
+              val p =
+                if (t.isEmpty) 0
+                else t.charAt((y * side + x) % t.length).toInt & 0xff
+              raster.setSample(x, y, 0, p)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL image decode: payloads whose magic bytes say PNG or BMP are
+    * decoded with `javax.imageio` and resampled onto a `side`×`side`
+    * grayscale grid — (doc_id, width, height, gray) with gray the
+    * row-major grid samples (0–255). Grid position (y, x) reads pixel
+    * (⌊y·h/side⌋, ⌊x·w/side⌋) — pure integer index math, so the grid is
+    * bit-deterministic for a given decoded raster. RGB images collapse
+    * to integer luma (299·r + 587·g + 114·b) / 1000 — exact integer
+    * division, no float. Payloads that are NOT decodable images fall
+    * back to the byte-stream stub (byte at the grid's linear position —
+    * the synthetic-fixture path [[perceptualHashes]] documents), so
+    * mixed media/text tables flow through one operator. Undecodable
+    * bytes WITH an image magic (truncated file) yield a null gray — a
+    * poison row the caller can audit, never a crash.
+    *
+    * Per-partition batches (`mapPartitions` — decoder init amortizes);
+    * payloads never shuffle; only (id, side²·long) leaves the map. */
+  def decodeGrayGrid(payloadDf: DataFrame, side: Int): DataFrame = {
+    require(side >= 1, s"side must be >= 1, got $side")
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          if (isDecodable(bytes)) {
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            if (img == null) (id, -1, -1, null: Array[Long])
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val raster = img.getRaster
+              val gray = new Array[Long](side * side)
+              val bands = raster.getNumBands
+              var y = 0
+              while (y < side) {
+                var x = 0
+                while (x < side) {
+                  val px = x * w / side
+                  val py = y * h / side
+                  val g =
+                    if (bands >= 3) {
+                      val r = raster.getSample(px, py, 0)
+                      val gg = raster.getSample(px, py, 1)
+                      val b = raster.getSample(px, py, 2)
+                      (299 * r + 587 * gg + 114 * b) / 1000
+                    } else raster.getSample(px, py, 0)
+                  gray(y * side + x) = g.toLong
+                  x += 1
+                }
+                y += 1
+              }
+              (id, w, h, gray)
+            }
+          } else {
+            // stub path: grid sample k = payload byte at k·len div side²
+            val n = side * side
+            val gray = new Array[Long](n)
+            if (bytes.nonEmpty) {
+              var k = 0
+              while (k < n) {
+                gray(k) = (bytes(k * bytes.length / n) & 0xff).toLong
+                k += 1
+              }
+            }
+            (id, -1, -1, gray)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "gray")
+  }
+
+  /** Average-hash over a decoded grayscale grid ([[decodeGrayGrid]]
+    * output): bit k = gray_k · n ≥ Σ gray (integer compare — no float
+    * division, bit-identical across engines), n =
+    * [[graft.ops.Dedup.SimHashBits]] grid positions. Output
+    * (doc_id, simhash) drops straight into
+    * [[graft.ops.Dedup.simhashPairs]]/`simhashBandAudit` banding. Pure
+    * SQL expressions — THIS half is oracle-able; the decode half is
+    * spec-verified (roundtrip law: decode(encode(pixels)) = pixels). */
+  def aHashFromGrid(gridDf: DataFrame): DataFrame = {
+    val n = graft.ops.Dedup.SimHashBits
+    gridDf
+      .filter(col("gray").isNotNull && size(col("gray")) >= n)
+      .withColumn("__bs", slice(col("gray"), 1, n))
+      .withColumn("__sm", aggregate(col("__bs"), lit(0L), (a, x) => a + x))
       .withColumn("simhash", expr(
         s"""aggregate(sequence(0, ${n - 1}), CAST(0 AS BIGINT), (acc, k) ->
            |  acc + IF(element_at(__bs, k + 1) * $n >= __sm,

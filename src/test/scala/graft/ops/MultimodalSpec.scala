@@ -124,6 +124,77 @@ class MultimodalSpec extends SparkSpec {
     assert(audit.values.sum >= 1L)
   }
 
+  test("real PNG decode roundtrip law: decode(encodePng(text)) returns " +
+      "the exact text bytes as the gray grid") {
+    val side = 8
+    val png = Multimodal.encodePng(docs, "doc_id", "text", side)
+    // payloads ARE real PNGs: magic bytes present
+    val magics = Multimodal.metaTable(
+        png.withColumn("meta", struct(lit(0L).as("n_bytes"),
+          lit(null).cast("string").as("lang"), lit("x").as("source"))))
+      .select("doc_id", "magic_b64").as[(Long, String)].collect().toMap
+    assert(magics.values.forall(m =>
+      java.util.Base64.getDecoder.decode(m).take(4).sameElements(
+        Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))))
+    val grid = Multimodal.decodeGrayGrid(png, side)
+      .select("doc_id", "width", "height", "gray")
+      .as[(Long, Int, Int, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    // real decode path taken: width/height reported from the codec
+    assert(grid(1L)._2 == side && grid(1L)._3 == side)
+    // roundtrip identity: sample k == text byte at k mod len
+    val t1 = "hello world"
+    assert(grid(1L)._4 == (0 until side * side)
+      .map(k => t1.charAt(k % t1.length).toLong))
+    assert(grid(2L)._4.forall(_ == 0L))   // empty text -> black image
+    // RGB decode collapses to integer luma
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rgb = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    val g9 = Multimodal.decodeGrayGrid(rgb, 2)
+      .select("gray").as[Seq[Long]].collect().head
+    assert(g9 == Seq(299L * 255 / 1000, 587L * 255 / 1000,
+      114L * 255 / 1000, (299L * 255 + 587 * 255 + 114 * 255) / 1000))
+    // BMP magic decodes too
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos2)
+    val bmp = Seq((10L, bos2.toByteArray)).toDF("doc_id", "payload")
+    val g10 = Multimodal.decodeGrayGrid(bmp, 2)
+      .select("width", "gray").as[(Int, Seq[Long])].collect().head
+    assert(g10._1 == 2 && g10._2 == g9)
+    // truncated image bytes -> null gray poison row, not a crash
+    val broken = Seq((11L, bos.toByteArray.take(10)))
+      .toDF("doc_id", "payload")
+    val g11 = Multimodal.decodeGrayGrid(broken, 2)
+      .select("width", "gray").as[(Int, Option[Seq[Long]])].collect().head
+    assert(g11._1 == -1 && g11._2.isEmpty)
+    // non-image payload falls back to the byte-stream stub (width -1)
+    val txt = Seq((12L, "abcd".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val g12 = Multimodal.decodeGrayGrid(txt, 2)
+      .select("width", "gray").as[(Int, Seq[Long])].collect().head
+    assert(g12._1 == -1 && g12._2 == Seq('a'.toLong, 'b'.toLong,
+      'c'.toLong, 'd'.toLong))
+  }
+
+  test("aHashFromGrid: integer mean compare, short/null grids drop") {
+    val n = Dedup.SimHashBits
+    // constant grid: every sample == mean -> all bits set
+    val const = Seq((1L, Seq.fill(n)(7L))).toDF("doc_id", "gray")
+    val h1 = Multimodal.aHashFromGrid(const).as[(Long, Long)].collect().head
+    assert(h1._2 == (1L << n) - 1)
+    // one hot sample: only that bit set
+    val hot = Seq((2L, 5L +: Seq.fill(n - 1)(0L))).toDF("doc_id", "gray")
+    val h2 = Multimodal.aHashFromGrid(hot).as[(Long, Long)].collect().head
+    assert(h2._2 == 1L)
+    // null and short grids drop
+    val bad = Seq((3L, null: Seq[Long]), (4L, Seq(1L, 2L)))
+      .toDF("doc_id", "gray")
+    assert(Multimodal.aHashFromGrid(bad).count() == 0L)
+  }
+
   test("stub features: 16-bin normalized byte histogram, empty-safe") {
     val f = Multimodal.extractFeatures(
         Multimodal.payloads(docs, "doc_id", "text"))
