@@ -110,8 +110,9 @@ object Prod2Vec {
 
   /** M5–M7: grid "tuning" — fit each candidate, score it with an
     * intrinsic objective, return the runs table with `iteration` in
-    * start order plus the best row (grid ≠ the reference's SageMaker
-    * Bayesian search — documented deviation, SURVEY.md §2.6 M5).
+    * start order plus the best row. Grid ≠ the reference's SageMaker
+    * Bayesian search; [[tuneSearch]] is the sequential model-based
+    * (TPE) strategy over the same space that closes that deviation.
     *
     * Objective (minimized): negative mean cosine between the model's
     * embeddings of the `coPairs` (target_pid, neighbor_pid) ground-truth
@@ -122,18 +123,103 @@ object Prod2Vec {
     val spark = basketDf.sparkSession
     import spark.implicits._
     val runs = grid.zipWithIndex.map { case (p, i) =>
-      val model = train(basketDf, p)
-      val emb = embeddings(model)
-      val a = emb.select(col("vec_id").as("pid_a"),
-        transform(col("embedding"), _.cast("double")).as("v_a"))
-      val b = emb.select(col("vec_id").as("pid_b"),
-        transform(col("embedding"), _.cast("double")).as("v_b"))
-      val meanCos = coPairs
-        .select(col("target_pid").as("pid_a"), col("neighbor_pid").as("pid_b"))
-        .join(a, Seq("pid_a")).join(b, Seq("pid_b"))
-        .select(Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
-        .agg(avg("cos")).head().getDouble(0)
-      (s"run_dim${p.vectorSize}_lr${p.stepSize}", -meanCos, i.toLong)
+      (s"run_dim${p.vectorSize}_lr${p.stepSize}",
+        evalObjective(basketDf, p, coPairs), i.toLong)
+    }.toDF("job_name", "objective", "start_ms")
+    val table = Similarity.withIteration(runs, "start_ms")
+      .withColumn("iteration", col("iteration").cast("long"))
+    (table, Similarity.bestRow(table, "objective"))
+  }
+
+  /** The tuning objective (minimized): negative mean cosine of the
+    * co-purchase ground-truth pairs under the candidate's embeddings —
+    * shared by grid [[tune]] and the TPE [[tuneSearch]]. */
+  private def evalObjective(basketDf: DataFrame, p: Params,
+                            coPairs: DataFrame): Double = {
+    val emb = embeddings(train(basketDf, p))
+    val a = emb.select(col("vec_id").as("pid_a"),
+      transform(col("embedding"), _.cast("double")).as("v_a"))
+    val b = emb.select(col("vec_id").as("pid_b"),
+      transform(col("embedding"), _.cast("double")).as("v_b"))
+    val meanCos = coPairs
+      .select(col("target_pid").as("pid_a"), col("neighbor_pid").as("pid_b"))
+      .join(a, Seq("pid_a")).join(b, Seq("pid_b"))
+      .select(Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+      .agg(avg("cos")).head().getDouble(0)
+    -meanCos
+  }
+
+  /** M5 without the deviation: sequential model-based search over the
+    * SAME candidate space as [[tune]] — the public Tree-structured
+    * Parzen Estimator recipe (Bergstra et al., NeurIPS'11, the
+    * Hyperopt/SageMaker-class Bayesian strategy the reference's DAG
+    * configures at `dags/prod2vec_train_dag.py:156-188`), specialized
+    * to a discrete space:
+    *
+    * 1. evaluate `initRandom` seeded-random candidates (the warmup
+    *    Bayesian search needs before densities mean anything);
+    * 2. each further step splits the observed runs at the γ = 25%
+    *    objective quantile into good/bad sets, models each as a product
+    *    of per-dimension categorical densities with add-one smoothing
+    *    (the discrete Parzen estimator), and evaluates the UNSEEN
+    *    candidate maximizing l_good(x)/g_bad(x) — expected-improvement
+    *    surrogate, exploitation where good runs cluster, smoothing
+    *    keeps exploration alive;
+    * 3. stops at `budget` evaluations (≤ one training per step, the
+    *    actual cost unit) and returns the same (runs table, best row)
+    *    shape as [[tune]] — iteration = evaluation order.
+    *
+    * Deterministic: the only randomness is the seeded warmup draw, so a
+    * (space, budget, seed) triple replays exactly; with budget ≥ |space|
+    * the search is exhaustive and the best row EQUALS grid [[tune]]'s
+    * (the Prod2VecSpec law). Driver-paced like every trainer here; each
+    * step is one Spark training job, the TPE bookkeeping is O(|space|)
+    * driver arithmetic. */
+  def tuneSearch(basketDf: DataFrame, space: Seq[Params],
+                 coPairs: DataFrame, budget: Int, seed: Long = 42L,
+                 initRandom: Int = 3): (DataFrame, DataFrame) = {
+    require(space.nonEmpty, "tuneSearch needs a non-empty space")
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = basketDf.sparkSession
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val n = math.min(budget, space.size)
+    // per-dimension views of a candidate (the tree structure — here one
+    // flat level; categorical densities per dimension)
+    def dims(p: Params): Seq[(String, String)] = Seq(
+      "vectorSize" -> p.vectorSize.toString,
+      "windowSize" -> p.windowSize.toString,
+      "maxIter" -> p.maxIter.toString,
+      "minCount" -> p.minCount.toString,
+      "stepSize" -> p.stepSize.toString,
+      "maxSentenceLength" -> p.maxSentenceLength.toString)
+    val warmup = rnd.shuffle(space.indices.toList).take(math.min(initRandom, n))
+    val evaluated = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    warmup.foreach { i =>
+      evaluated(i) = evalObjective(basketDf, space(i), coPairs) }
+    while (evaluated.size < n) {
+      val obs = evaluated.toSeq
+      // γ-quantile split: the best ~25% (at least 1) are "good"
+      val sorted = obs.sortBy(_._2)
+      val nGood = math.max(1, (sorted.size * 0.25).toInt)
+      val good = sorted.take(nGood).map(_._1)
+      val bad = sorted.drop(nGood).map(_._1)
+      def density(members: Seq[Int])(cand: Params): Double =
+        dims(cand).map { case (d, v) =>
+          val cnt = members.count(i => dims(space(i)).contains(d -> v))
+          val distinct = space.map(p => dims(p).toMap.apply(d)).distinct.size
+          (cnt + 1.0) / (members.size + distinct.toDouble)
+        }.product
+      val l = density(good) _
+      val g = density(bad) _
+      val next = space.indices
+        .filterNot(evaluated.contains)
+        .maxBy(i => (l(space(i)) / g(space(i)), -i)) // deterministic tie
+      evaluated(next) = evalObjective(basketDf, space(next), coPairs)
+    }
+    val runs = evaluated.toSeq.zipWithIndex.map { case ((i, obj), step) =>
+      val p = space(i)
+      (s"run_dim${p.vectorSize}_lr${p.stepSize}", obj, step.toLong)
     }.toDF("job_name", "objective", "start_ms")
     val table = Similarity.withIteration(runs, "start_ms")
       .withColumn("iteration", col("iteration").cast("long"))

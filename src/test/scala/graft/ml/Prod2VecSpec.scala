@@ -87,4 +87,32 @@ class Prod2VecSpec extends SparkSpec {
     val bestObj = best.head().getAs[Double]("objective")
     assert(bestObj == rows.map(_.getAs[Double]("objective")).min)
   }
+
+  test("M5 TPE search: exhaustive budget finds the grid optimum; " +
+      "bounded budget explores distinct candidates deterministically") {
+    val coPairs = Seq((1L, 2L), (3L, 4L)).toDF("target_pid", "neighbor_pid")
+    val space = for {
+      dim <- Seq(4, 8); lr <- Seq(0.025, 0.05)
+    } yield Prod2Vec.Params(vectorSize = dim, stepSize = lr,
+      maxIter = 1, numPartitions = 1)
+    val bs = basketDf.orderBy("order_id").limit(200)
+    // single-partition seeded training => objectives are reproducible,
+    // so grid and search evaluate the SAME numbers per candidate
+    val (_, gridBest) = Prod2Vec.tune(bs, space, coPairs)
+    val (tpeTable, tpeBest) =
+      Prod2Vec.tuneSearch(bs, space, coPairs, budget = space.size)
+    assert(tpeTable.count() == space.size)   // exhaustive at full budget
+    assert(tpeBest.head().getAs[Double]("objective") ==
+      gridBest.head().getAs[Double]("objective"))
+    // bounded budget: evaluates exactly `budget` distinct candidates
+    val (t3, b3) = Prod2Vec.tuneSearch(bs, space, coPairs, budget = 3)
+    val jobs = t3.select("job_name").as[String].collect().toSeq
+    assert(jobs.length == 3 && jobs.distinct.length == 3)
+    assert(b3.head().getAs[Double]("objective") ==
+      t3.agg(min($"objective")).as[Double].head())
+    // deterministic replay: same (space, budget, seed) -> same table
+    val (t3b, _) = Prod2Vec.tuneSearch(bs, space, coPairs, budget = 3)
+    assert(t3b.orderBy("iteration").collect().toSeq ==
+      t3.orderBy("iteration").collect().toSeq)
+  }
 }
