@@ -344,6 +344,47 @@ class CorpusPipelineSpec extends SparkSpec {
     r.persisted.foreach(_.unpersist())
   }
 
+  test("curate under a reliable checkpoint dir (the q62 config): chunks " +
+      "bit-identical to local mode, checkpoint files land") {
+    // the 100 TB durability mode certified on the flagship path, not
+    // just the DedupSpec fixpoint unit: with a checkpoint dir set,
+    // EVERY barrier in the funnel (gate survivor frames, dedup
+    // signatures, the clustering fixpoint rounds) writes the reliable
+    // store, and the end-to-end chunk output must not move a bit.
+    import graft.SparkEntry
+    val cfg = CorpusPipeline.Config(
+      keepLangs = SparkEntry.CurateLangs,
+      minQuality = SparkEntry.CurateMinQuality,
+      shingleN = SparkEntry.ShingleN,
+      minhashPerms = SparkEntry.NumPerms,
+      bands = SparkEntry.LshBands,
+      rowsPerBand = SparkEntry.LshRows,
+      jaccardTau = SparkEntry.JaccardTau,
+      chunkTokens = SparkEntry.CurateChunkTokens,
+      maxDupNgramRatio = Some(SparkEntry.CurateMaxDupRatio),
+      repetitionN = SparkEntry.RepetitionN)
+    def run(): Seq[org.apache.spark.sql.Row] = {
+      val r = CorpusPipeline.curate(docs, cfg, collectFunnel = false)
+      val rows = r.chunks.orderBy("doc_id", "chunk_idx").collect().toSeq
+      r.persisted.foreach(_.unpersist(false))
+      rows
+    }
+    val local = run()
+    assert(local.nonEmpty)
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-funnel")
+    try {
+      sc.setCheckpointDir(dir.toString)
+      val reliable = run()
+      assert(reliable == local)
+      // the reliable store was actually written by the funnel's barriers
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        if (f.getName.startsWith("rdd-")) Seq(f)
+        else Option(f.listFiles).toSeq.flatten.flatMap(rddDirs)
+      assert(rddDirs(dir.toFile).nonEmpty, s"no rdd checkpoints under $dir")
+    } finally org.apache.spark.GraftCheckpointBridge.set(sc, None)
+  }
+
   test("curateToParquet: source-partitioned sink round-trips the chunk rows") {
     val out = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     val r = CorpusPipeline.curateToParquet(docs, out)
