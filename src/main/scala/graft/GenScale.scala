@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-study fixture generator (not part of the driver contract):
+  * synthesizes a `factor`×-scaled twin of a testdata dir under a
+  * writable destination, so the README scaling table can measure one
+  * decade PAST the largest driver-provided SF (sf0.1 → "sf1").
+  *
+  * The driver's generator is not available, so `documents` is re-drawn
+  * from the SOURCE dir's own empirical distributions — per-lang unigram
+  * token weights, per-lang length histogram, (lang, source) joint — with
+  * exact-duplicate and near-duplicate planting at the source's observed
+  * rates (1/625 exact at sf0.1; near-dups planted at 1/125 with every
+  * 10th token resampled). Every doc is a pure function of its id
+  * (seeded per-row RNG), so the corpus is deterministic, partitioning-
+  * independent, and regenerable. All other tables copy through
+  * unchanged — the 10 most expensive queries under study read only
+  * `documents`.
+  *
+  * Usage: runMain graft.GenScale <srcDir> <destDir> <factor>
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, destDir, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val n0 = docs.count()
+    val n = n0 * factor
+
+    // empirical distributions (tiny: 31 tokens × 5 langs at sf0.1)
+    val langSource: Array[((String, String), Long)] = docs
+      .groupBy("lang", "source").count()
+      .as[(String, String, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).sortBy(_._1)
+    val tokW: Map[String, Array[(String, Long)]] = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+      .map { case (l, rows) => l -> rows.map(r => (r._2, r._3)).sorted }
+    val lenH: Map[String, Array[Int]] = docs
+      .select(col("lang"), size(split(col("text"), " ")).as("k"))
+      .as[(String, Int)].collect()
+      .groupBy(_._1).map { case (l, rows) => l -> rows.map(_._2).sorted }
+
+    def cum[T: scala.reflect.ClassTag](
+        xs: Array[(T, Long)]): (Array[T], Array[Long], Long) = {
+      val vals = xs.map(_._1)
+      val cs = xs.map(_._2).scanLeft(0L)(_ + _).tail
+      (vals, cs, cs.last)
+    }
+    val (lsVals, lsCum, lsTot) = cum(langSource)
+    val tokCum = tokW.map { case (l, xs) => l -> cum(xs) }
+
+    def pick[T](vals: Array[T], cs: Array[Long], tot: Long,
+                rnd: java.util.Random): T = {
+      val x = (rnd.nextDouble() * tot).toLong
+      var lo = 0; var hi = cs.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (cs(mid) > x) hi = mid else lo = mid + 1
+      }
+      vals(lo)
+    }
+
+    // doc i is a pure function of i — dup planting regenerates the base
+    def gen(id: Long): (String, String, String) = {
+      val rnd = new java.util.Random(id * 0x9e3779b97f4a7c15L + 42L)
+      val (lang, source) = pick(lsVals, lsCum, lsTot, rnd)
+      val lens = lenH(lang)
+      val len = lens(rnd.nextInt(lens.length))
+      val (tv, tc, tt) = tokCum(lang)
+      val toks = Array.fill(len)(pick(tv, tc, tt, rnd))
+      (lang, source, toks.mkString(" "))
+    }
+    def genDoc(id: Long): (Long, String, String, String) = {
+      if (id % 625 == 624 && id >= 625) {
+        // exact dup of the doc one stride earlier — genDoc, not gen: the
+        // base may itself sit on the near-dup stride, and an exact dup
+        // must copy what the base ACTUALLY says (recursion walks the
+        // stride chain and terminates at id < 625)
+        val (_, l, s, t) = genDoc(id - 625)
+        (id, l, s, t)
+      } else if (id % 125 == 124) {
+        val (l, s, t) = gen(id - 124) // near-dup: every 10th token fresh
+        val rnd = new java.util.Random(id * 0x517cc1b727220a95L + 7L)
+        val (tv, tc, tt) = tokCum(l)
+        val toks = t.split(" ")
+        var k = 9
+        while (k < toks.length) { toks(k) = pick(tv, tc, tt, rnd); k += 10 }
+        (id, l, s, toks.mkString(" "))
+      } else {
+        val (l, s, t) = gen(id)
+        (id, l, s, t)
+      }
+    }
+
+    spark.range(n).repartition(32).map { id =>
+        val (i, l, s, t) = genDoc(id)
+        (i, t, l, s, t.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+
+    // pass-through tables (the studied queries read only documents, but
+    // a complete dir keeps every query runnable)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
+    }
+    println(s"GENSCALE rows=$n dest=$destDir")
+    spark.stop()
+  }
+}
