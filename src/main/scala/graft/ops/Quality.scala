@@ -129,6 +129,44 @@ object Quality {
         sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero_vec"))
   }
 
+  /** Corpus version diff — what changed between two snapshots of the
+    * same table, the audit a data team reads before re-training on a
+    * refreshed corpus (and the detailed twin of comparing two
+    * [[corpusFingerprint]] stamps, which can only say "something
+    * changed"): one row per status
+    * (added / removed / changed / unchanged) with document counts and
+    * token mass on each side, so the reader sees at a glance whether a
+    * refresh was append-only, a re-scrape that rewrote half the corpus,
+    * or an accidental truncation.
+    *
+    * Change detection is content-hash equality (md5 of the text), not
+    * text equality in the join — 16 bytes per side move through the
+    * comparison, never two documents. Shape: per-side map-only
+    * (id, hash, token-count) projections → ONE full outer equi-join on
+    * the id → status classify → a ≤4-row rollup. At 100 TB both sides
+    * shuffle once on the id — the unavoidable exchange — and nothing
+    * wider than 3 columns ever moves. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) = df.select(
+      col(idCol).as("__id"),
+      md5(col(textCol).cast("binary")).as(s"__h_$tag"),
+      size(Text.tokens(col(textCol))).cast("long").as(s"__t_$tag"))
+    side(oldDf, "old").join(side(newDf, "new"), Seq("__id"), "full_outer")
+      .select(
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") === col("__h_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("__t_old"), col("__t_new"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__t_old")), lit(0L)).as("n_tokens_old"),
+        coalesce(sum(col("__t_new")), lit(0L)).as("n_tokens_new"))
+      .withColumn("token_delta",
+        col("n_tokens_new") - col("n_tokens_old"))
+  }
+
   /** Order-invariant corpus fingerprint — the one-row identity stamp a
     * data card or experiment manifest records so "trained on the same
     * data" is CHECKABLE instead of asserted: (n_docs, n_tokens,

@@ -107,6 +107,21 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Matryoshka truncation (Kusupati et al., NeurIPS'22 — the
+    * MRL-embedding serving trick): keep only the FIRST `dims`
+    * coordinates of each vector. With matryoshka-trained embeddings the
+    * information-densest prefix approximates the full-vector geometry,
+    * so retrieval runs at dims/D of the memory and dot-product cost;
+    * [[cosineTopK]] renormalizes inside the cosine, so no explicit
+    * renorm is needed. Pair with [[graft.ops.Ann.recallReport]] against
+    * the full-dimension top-k to MEASURE what a truncation costs before
+    * committing an index to it (the q150 report). Map-only slice —
+    * at 100 TB this is the cheap half of the index-sizing decision. */
+  def truncateEmbeddings(emb: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+  }
+
   /** M6: best-row selection — explicit `orderBy(asc(objective)).limit(1)`
     * (the reference does this via a fragile pandas positional idiom,
     * `post_process.py:60-68`; SURVEY.md N3). */
