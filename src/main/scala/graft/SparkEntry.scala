@@ -369,6 +369,12 @@ object SparkEntry {
   val MediaGridSide = 8
   /** SRP planes for embedding near-dup / ANN bucketing. */
   val SrpPlanes = 4
+  /** q149's id shift for the synthetic "re-added" snapshot docs — far
+    * above any fixture doc_id, so shifted ids never collide. */
+  val DiffAddIdOffset = 10000000L
+  /** q150 matryoshka prefix: keep 16 of the fixture's 64 dims (4× the
+    * memory/dot-product savings an MRL index would bank). */
+  val TruncDims = 16
   /** Independent SRP tables for the OR-amplified ANN (q42). */
   val AnnTables = 2
   /** Embedding near-dup cosine threshold. */
@@ -662,15 +668,19 @@ object SparkEntry {
        |WHERE t.rnk <= $TopK
        |ORDER BY target_pid, rnk""".stripMargin
 
-  private val q16OracleSql: String =
+  /** Exact-cosine top-k oracle body (probes = vec_id < 5), parametrized
+    * on the embedding expression so q150 can run the IDENTICAL report
+    * over the matryoshka prefix (`embedding[1:dims]`) — the truncation
+    * is the only delta between the q150 oracle's two sides. */
+  private def exactTopKSqlOn(vecExpr: String): String =
     s"""WITH c AS (
        |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |         list_transform($vecExpr, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
        |p AS (
        |  SELECT vec_id AS probe_id,
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+       |         list_transform($vecExpr, x -> CAST(x AS DOUBLE)) AS pv
        |  FROM embeddings WHERE vec_id < 5
        |),
        |s AS (
@@ -688,6 +698,8 @@ object SparkEntry {
        |FROM s
        |QUALIFY rnk <= $TopK
        |ORDER BY probe_id, rnk""".stripMargin
+
+  private val q16OracleSql: String = exactTopKSqlOn("embedding")
 
   /** q28's oracle (SRP-bucketed ANN top-k) — a val so q109's recall
     * report can embed the identical approximate side. */
@@ -1898,6 +1910,12 @@ object SparkEntry {
     // the same aHash straight from the text bytes, so a hash match
     // PROVES decode(encode(pixels)) returned the exact pixels — the
     // decode itself is inside the verified chain, not just spec'd.
+    // ASCII-FIXTURE ASSUMPTION (shared with the q148 oracle): the pixel
+    // source is charAt(k % len) & 0xff over UTF-16 units on the Spark
+    // side vs ascii(substring) over codepoints + len() over codepoints
+    // in DuckDB — identical ONLY for ASCII text, which the synthetic
+    // documents fixture guarantees. Non-ASCII corpora would need a
+    // UTF-8-byte pixel source on both engines before this oracle holds.
     "q148_media_ahash_real" -> ((s, dir) => {
       val png = Multimodal.encodePng(t(s, dir, "documents"),
         "doc_id", "text", MediaGridSide)
@@ -2210,6 +2228,48 @@ object SparkEntry {
     // same data" made checkable.
     "q115_corpus_fingerprint" -> ((s, dir) => {
       Quality.corpusFingerprint(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // Corpus version diff: the detailed twin of q115's stamp — one row
+    // per status (added/removed/changed/unchanged) between two corpus
+    // snapshots, with doc counts and token mass per side. The "new"
+    // snapshot is derived deterministically from the fixture (every
+    // 7th doc removed, every 5th survivor's text refreshed, every 11th
+    // doc re-added under a shifted id), so both engines diff the SAME
+    // two corpora and the full-outer-join classify is oracle-checked
+    // across all four statuses.
+    "q149_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val refreshed = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" refreshed")))
+            .otherwise(col("text")).as("text"))
+      val added = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(DiffAddIdOffset)).as("doc_id"),
+          col("text"))
+      Quality.corpusDiff(docs, refreshed.unionByName(added),
+          "doc_id", "text")
+        .orderBy("status")
+    }),
+
+    // Matryoshka truncation audit (the report truncateEmbeddings'
+    // scaladoc promises): per-probe recall of the exact top-k computed
+    // on the FIRST TruncDims of each embedding against the
+    // full-dimension exact top-k — what an index sized at dims/D of
+    // the memory would actually cost in retrieval quality.
+    "q150_matryoshka_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      Ann.recallReport(
+        Similarity.cosineTopK(
+          Similarity.truncateEmbeddings(
+            emb.select(col("vec_id"), col("embedding")), TruncDims),
+          Similarity.truncateEmbeddings(
+            probes.select(col("vec_id"), col("embedding")), TruncDims),
+          TopK),
+        Similarity.cosineTopK(emb, probes, TopK))
+        .orderBy("probe_id")
     }),
 
     // Epoch-plan realization: q104's mixture plan materialized as the
@@ -4308,6 +4368,36 @@ object SparkEntry {
          |  bit_xor(${Portable.sqlHash("doc_id", "text")}) AS corpus_hash
          |FROM documents""".stripMargin,
 
+    // q149: the same synthetic second snapshot (7-removal / 5-refresh /
+    // 11-readd), classified by DIRECT text equality — md5 equality in
+    // the engine is text equality here, so the oracle needs no hashing;
+    // token masses are the shared whitespace tokenization.
+    "q149_corpus_diff" ->
+      s"""WITH newd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' refreshed'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $DiffAddIdOffset, text
+         |  FROM documents WHERE doc_id % 11 = 0
+         |),
+         |j AS (
+         |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+         |              WHEN n.doc_id IS NULL THEN 'removed'
+         |              WHEN o.text = n.text THEN 'unchanged'
+         |              ELSE 'changed' END AS status,
+         |    len(string_split(o.text, ' '))::BIGINT AS t_old,
+         |    len(string_split(n.text, ' '))::BIGINT AS t_new
+         |  FROM documents o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+         |)
+         |SELECT status, count(*) AS n_docs,
+         |  coalesce(sum(t_old), 0)::BIGINT AS n_tokens_old,
+         |  coalesce(sum(t_new), 0)::BIGINT AS n_tokens_new,
+         |  (coalesce(sum(t_new), 0) - coalesce(sum(t_old), 0))::BIGINT
+         |    AS token_delta
+         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
     // q114: q104's factor chain inline (same rounded factor), then the
     // copy count n = floor(f) + lottery and a lateral range-unnest.
     "q114_epoch_realize" -> {
@@ -5219,6 +5309,25 @@ object SparkEntry {
          |    / count(*)::DOUBLE, 9) AS recall
          |FROM ex LEFT JOIN ann
          |  ON ann.probe_id = ex.probe_id AND ann.vec_id = ex.vec_id
+         |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
+
+    // q150: q109's recall-join shape with the approximate side replaced
+    // by the exact top-k over the matryoshka PREFIX — embedding[1:dims]
+    // is the oracle's entire model of truncateEmbeddings (DuckDB list
+    // slices are 1-based inclusive, matching Spark's slice(e, 1, dims)).
+    "q150_matryoshka_recall" ->
+      s"""WITH ap AS (
+         |${exactTopKSqlOn(s"embedding[1:$TruncDims]")}
+         |), ex AS (
+         |$q16OracleSql
+         |)
+         |SELECT ex.probe_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 9) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.probe_id = ex.probe_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
 
     // q110: per-source type/token/hapax rollup over the same

@@ -130,9 +130,12 @@ object Bpe {
     *   (b) c_k STRICTLY exceeds every accepted merge's [[trigramMax]]
     *       ceiling — every pair an earlier accepted merge can create is
     *       then strictly below c_k, and
-    *   (c) no accepted merged string ALIASES a pre-existing symbol
-    *       (checked against a conservative driver-side superset:
-    *       initial alphabet ∪ every merge so far) — aliasing is the
+    *   (c) no accepted merged string ALIASES a pre-existing symbol OR
+    *       an earlier accept of the SAME round (checked against a
+    *       conservative driver-side superset — initial alphabet ∪ every
+    *       merge so far — plus the round's own merged strings: two
+    *       symbol-disjoint accepts can still spell one token, summing
+    *       two trigram families onto one pair type) — aliasing is the
     *       one mechanism by which an EXISTING pair's count can rise,
     *       so with it excluded every unaccepted pair is bounded by its
     *       round-start count and the original sort order decides.
@@ -186,6 +189,13 @@ object Bpe {
         if (want > 1 && top.length > 1 && !aliased) {
           val trig = trigramMax(vocab, top.toSeq.map(t => (t._1, t._2)))
           var used = Set(top(0)._1, top(0)._2)
+          // the round's own merged strings join the alias check: two
+          // symbol-disjoint accepts can still SPELL the same token
+          // ((ab,cd) and (abc,d) both -> "abcd"), and their created-pair
+          // counts then alias onto one pair type whose total the
+          // per-merge trigram ceilings never bounded — so a batch-local
+          // spelling collision ends the round exactly like a symSuper hit
+          var localMerged = Set(top(0)._1 + top(0)._2)
           var maxTrig = trig.getOrElse((top(0)._1, top(0)._2), 0L)
           var k = 1
           var stop = false
@@ -195,7 +205,10 @@ object Bpe {
               accepted += top(k)
               used = used + l + r
               maxTrig = math.max(maxTrig, trig.getOrElse((l, r), 0L))
-              if (symSuper.contains(l + r)) { aliased = true; stop = true }
+              if (symSuper.contains(l + r) || localMerged.contains(l + r)) {
+                aliased = true; stop = true
+              }
+              localMerged = localMerged + (l + r)
               k += 1
             } else stop = true
           }

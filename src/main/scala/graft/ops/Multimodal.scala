@@ -317,7 +317,9 @@ object Multimodal {
             if (bytes.nonEmpty) {
               var k = 0
               while (k < n) {
-                gray(k) = (bytes(k * bytes.length / n) & 0xff).toLong
+                // index in Long: k * length overflows Int for payloads
+                // past ~2^31/n bytes, crashing the never-crash contract
+                gray(k) = (bytes((k.toLong * bytes.length / n).toInt) & 0xff).toLong
                 k += 1
               }
             }

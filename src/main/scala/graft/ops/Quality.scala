@@ -150,13 +150,19 @@ object Quality {
                  textCol: String): DataFrame = {
     def side(df: DataFrame, tag: String) = df.select(
       col(idCol).as("__id"),
+      // explicit presence flag: md5(NULL text) is NULL, so hash
+      // nullability cannot mark presence — a doc present on both sides
+      // with NULL text on one would misread as added/removed
+      lit(true).as(s"__p_$tag"),
       md5(col(textCol).cast("binary")).as(s"__h_$tag"),
       size(Text.tokens(col(textCol))).cast("long").as(s"__t_$tag"))
     side(oldDf, "old").join(side(newDf, "new"), Seq("__id"), "full_outer")
       .select(
-        when(col("__h_old").isNull, "added")
-          .when(col("__h_new").isNull, "removed")
-          .when(col("__h_old") === col("__h_new"), "unchanged")
+        when(col("__p_old").isNull, "added")
+          .when(col("__p_new").isNull, "removed")
+          // null-safe compare: NULL-text rows present on BOTH sides are
+          // unchanged iff both are NULL, changed if only one is
+          .when(col("__h_old") <=> col("__h_new"), "unchanged")
           .otherwise("changed").as("status"),
         col("__t_old"), col("__t_new"))
       .groupBy(col("status"))

@@ -233,4 +233,37 @@ class QualitySpec extends SparkSpec {
     assert(r((None, Some(false))) == ((1L, 2L)))
     assert(r.values.map(_._1).sum == 5L)
   }
+
+  test("corpusDiff: four statuses classify by content; NULL text marks " +
+      "changed/unchanged presence, never absence") {
+    import org.apache.spark.sql.functions._
+    val oldDf = Seq(
+      (1L, Option("a b")),        // unchanged
+      (2L, Option("c")),          // changed (text rewritten)
+      (3L, Option("d e f")),      // removed
+      (4L, Option.empty[String]), // NULL -> text: changed, NOT added
+      (5L, Option.empty[String]), // NULL both sides: unchanged
+      (7L, Option("g h"))         // text -> NULL: changed, NOT removed
+    ).toDF("doc_id", "text")
+    val newDf = Seq(
+      (1L, Option("a b")),
+      (2L, Option("c x")),
+      (4L, Option("now present")),
+      (5L, Option.empty[String]),
+      (6L, Option("i j k")),      // added
+      (7L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val r = Quality.corpusDiff(oldDf, newDf, "doc_id", "text")
+      .collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r("unchanged")._1 == 2L) // ids 1, 5 (null == null is unchanged)
+    assert(r("changed")._1 == 3L)   // ids 2, 4, 7
+    assert(r("removed")._1 == 1L)   // id 3
+    assert(r("added")._1 == 1L)     // id 6
+    // token masses: NULL text contributes nothing, not a crash
+    assert(r("removed") == ((1L, 3L, 0L, -3L)))
+    assert(r("added") == ((1L, 0L, 3L, 3L)))
+    assert(r("changed") == ((3L, 3L, 4L, 1L))) // "c"+"g h" -> "c x"+"now present"
+  }
 }

@@ -97,4 +97,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.tfidfCosinePairs(docs, "doc_id", "text", 0.1, 1L)
       .count() == 0)
   }
+
+  test("truncateEmbeddings: keeps exactly the first dims coords; a " +
+      "truncation-demoted neighbor shows up as lost recall (q150's report)") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      // cos with probe ~0.11 at dim 4 (dominated by the tail), 1.0 at dim 2
+      (1L, Seq(1.0f, 0.0f, 9.0f, 0.0f)),
+      // cos with probe ~0.994 at every prefix — the true full-dim top-1
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val t2 = Similarity.truncateEmbeddings(emb, 2)
+    val rows = t2.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows.values.forall(_.length == 2))
+    assert(rows(1L) == Seq(1.0f, 0.0f))
+    // full-dim exact top-1 is vec 2; the dim-2 prefix ranks vec 1 first
+    val probes = emb.filter($"vec_id" === 0L)
+    val exact = Similarity.cosineTopK(emb, probes, 1)
+    val approx = Similarity.cosineTopK(t2,
+      Similarity.truncateEmbeddings(probes, 2), 1)
+    assert(exact.collect().head.getLong(1) == 2L)
+    assert(approx.collect().head.getLong(1) == 1L)
+    val rec = Ann.recallReport(approx, exact).collect().head
+    assert(rec.getLong(1) == 1L && rec.getLong(2) == 0L &&
+      rec.getDouble(3) == 0.0)
+    // the guard rail
+    intercept[IllegalArgumentException] {
+      Similarity.truncateEmbeddings(emb, 0)
+    }
+  }
 }
