@@ -3,6 +3,41 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object Bench {
+  /** One pass's observations: name -> (elapsed sec, error if failed). */
+  type Pass = Map[String, (Double, Option[String])]
+
+  /** Pass total over every query's elapsed time (failures included —
+    * a failing pass still spent the wall-clock). */
+  def passTotal(p: Pass): Double = p.values.map(_._1).sum
+
+  /** The contended-run trip wire: two pass totals more than 25% apart
+    * mean a co-tenant stole the box for one of them, and every
+    * two-pass min is suspect. */
+  def divergent(a: Double, b: Double): Boolean =
+    math.abs(a - b) / math.max(math.min(a, b), 1e-9) > 0.25
+
+  /** Per-query min over the passes that SUCCEEDED; a query that failed
+    * in every pass falls back to the min elapsed (which then measures
+    * the failure — `allFailMessage` marks it). */
+  def minFold(names: Seq[String], passes: Seq[Pass]): Seq[(String, Double)] =
+    names.map { n =>
+      val obs = passes.map(_(n))
+      val ok = obs.collect { case (t, None) => t }
+      n -> (if (ok.nonEmpty) ok.min else obs.map(_._1).min)
+    }
+
+  /** Error entry for a query ONLY when no pass succeeded — `errors`
+    * membership is the per-query failed/measured signal. */
+  def allFailMessage(name: String, passes: Seq[Pass]): Option[(String, String)] = {
+    val fails = passes.map(_(name)._2)
+    if (fails.forall(_.isDefined)) {
+      val msgs = fails.flatten
+      Some(name -> (if (msgs.distinct.size == 1) msgs.head
+      else msgs.zipWithIndex
+        .map { case (e, i) => s"pass${i + 1}: $e" }.mkString(" | ")))
+    } else None
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,37 +106,35 @@ object Bench {
     // measures the failure, not the query, so it never wins the min.
     // `errors` lists a query ONLY when no pass succeeded (its `queries`
     // time then measures failures, not the query) — so `errors`
-    // membership IS the per-query failed/measured signal; a both-fail
-    // entry keeps both passes' messages.
+    // membership IS the per-query failed/measured signal; an all-fail
+    // entry keeps every pass's message.
     val pass1 = names.map(n => n -> timeOnce(n)).toMap
     val pass2 = names.map(n => n -> timeOnce(n)).toMap
-    val results = names.map { n =>
-      val (ta, ea) = pass1(n)
-      val (tb, eb) = pass2(n)
-      n -> ((ea, eb) match {
-        case (None, Some(_)) => ta
-        case (Some(_), None) => tb
-        case _               => math.min(ta, tb)
-      })
-    }
-    errors = names.flatMap { n =>
-      (pass1(n)._2, pass2(n)._2) match {
-        case (Some(e1), Some(e2)) =>
-          Some(n -> (if (e1 == e2) e1 else s"pass1: $e1 | pass2: $e2"))
-        case _ => None
-      }
-    }.toMap
+    // Contention self-defense: pass totals agreeing within ~15% is the
+    // trustworthy-run signature; >25% apart ([[divergent]]) means a
+    // co-tenant stole the box for one pass and EVERY min would be
+    // suspect — run a third pass and min-fold all three (two of three
+    // passes land on the quiet side in practice), and flag the artifact
+    // so a reader knows the numbers came from a defended run.
+    // (BENCH_r08's 431.7 vs 223.6 s passes made every funnel row a lie
+    // — this is the fix.)
+    val contended = divergent(passTotal(pass1), passTotal(pass2))
+    val passes =
+      if (contended) Seq(pass1, pass2, names.map(n => n -> timeOnce(n)).toMap)
+      else Seq(pass1, pass2)
+    val results = minFold(names, passes)
+    errors = names.flatMap(n => allFailMessage(n, passes)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalMin = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // pass totals recorded alongside the min-fold: a reader can judge the
-    // run's own noise level (passes agreeing within ~15% = trustworthy;
-    // divergent passes = contended machine, rerun before comparing)
-    val t1 = pass1.values.map(_._1).sum
-    val t2 = pass2.values.map(_._1).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // run's own noise level (passes agreeing within ~15% = trustworthy);
+    // "contended":true marks a run that tripped the >25% divergence guard
+    // and was min-folded over THREE passes
+    val passTotals = passes.map(passTotal).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","pass_totals":$passTotals,"contended":$contended,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver's artifact captures only the
     // log TAIL, which truncated away the totals + 88 per-query rows in

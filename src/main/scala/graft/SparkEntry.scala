@@ -436,6 +436,14 @@ object SparkEntry {
   def q37EmbPath(dir: String): String =
     "/root/repo/target/q37_emb_" + dir.split('/').last
 
+  /** q37's persisted MODEL directory (S8 at rest) — the trained model
+    * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
+    * embedding table is extracted, so model persistence sits INSIDE the
+    * oracle-verified chain (the reference's train → save → load →
+    * post-process handoff, `model_train.py:131` / `post_process.py:89`). */
+  def q37ModelPath(dir: String): String =
+    "/root/repo/target/q37_model_" + dir.split('/').last
+
   /** `events` with ts truncated to whole microseconds — the precision
     * DuckDB actually reads from TIMESTAMP(NANOS) parquet. Queries whose
     * oracle arithmetic touches raw ns (the sessionize pair) go through
@@ -2920,24 +2928,28 @@ object SparkEntry {
         .orderBy("reordered")
     }),
 
-    // M1-M4 verified end-to-end (the round-7 red cell): train Word2Vec
-    // single-partition on deterministically ordered baskets (first 10k
-    // by order_id — a stable vocab at bounded, jitter-free cost at any
-    // SF; the library path has no cap), STORE the extracted embedding
-    // table (M4) as parquet, then compute the model_train.py:14-49
-    // report — self-excluded cosine top-5 with the J3 name joins — FROM
-    // the stored table. The oracle reads the SAME Spark-written parquet
+    // M1-M4 + S8 verified end-to-end (the round-7 red cell): train
+    // Word2Vec single-partition on deterministically ordered baskets
+    // (first 10k by order_id — a stable vocab at bounded, jitter-free
+    // cost at any SF; the library path has no cap), PERSIST the model
+    // and reload it (S8 — the reference's train/post-process process
+    // boundary), STORE the reloaded model's embedding table (M4) as
+    // parquet, then compute the model_train.py:14-49 report —
+    // self-excluded cosine top-5 with the J3 name joins — FROM the
+    // stored table. The oracle reads the SAME Spark-written parquet
     // (q144 interchange pattern), so the compare hash-verifies
-    // extraction + store + scan + report exactly, independent of SGD
-    // stochasticity; training determinism itself is the seeded single-
-    // partition law in Prod2VecSpec.
+    // save + load + extraction + store + scan + report exactly,
+    // independent of SGD stochasticity; training determinism itself is
+    // the seeded single-partition law in Prod2VecSpec.
     "q37_w2v_synonyms" -> ((s, dir) => {
       val path = q37EmbPath(dir)
       val li = t(s, dir, "lineitem")
       val basketDf = Prod2Vec.baskets(li).orderBy("order_id").limit(10000)
       val model = Prod2Vec.train(basketDf,
         Prod2Vec.Params(numPartitions = 1))
-      Prod2Vec.embeddings(model).repartition(1)
+      Prod2Vec.save(model, q37ModelPath(dir))
+      val loaded = Prod2Vec.load(q37ModelPath(dir))
+      Prod2Vec.embeddings(loaded).repartition(1)
         .write.mode("overwrite").parquet(path)
       val emb = s.read.parquet(path)
       val probes = emb.orderBy("vec_id").limit(3)

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's contention self-defense, certified without needing a
+  * deliberately loaded box: the trip wire, the 3-pass min-fold, and the
+  * errors-only-when-every-pass-failed contract are pure functions. */
+class BenchSpec extends AnyFunSuite {
+  private def pass(obs: (String, Double)*): Bench.Pass =
+    obs.map { case (n, t) => n -> (t, None: Option[String]) }.toMap
+
+  test("divergent: trips past 25% pass-total divergence, not within it") {
+    assert(!Bench.divergent(100.0, 100.0))
+    assert(!Bench.divergent(100.0, 115.0)) // the normal ±15% noise band
+    assert(!Bench.divergent(100.0, 124.9))
+    assert(Bench.divergent(100.0, 125.1))
+    assert(Bench.divergent(223.6, 431.7)) // the BENCH_r08 contended run
+    assert(Bench.divergent(431.7, 223.6)) // symmetric
+  }
+
+  test("minFold: a contended pass never wins; third pass folds in") {
+    val names = Seq("q1", "q2")
+    val quiet1 = pass("q1" -> 1.0, "q2" -> 2.0)
+    val loaded = pass("q1" -> 9.0, "q2" -> 7.0)
+    val quiet2 = pass("q1" -> 1.1, "q2" -> 1.8)
+    assert(Bench.minFold(names, Seq(quiet1, loaded, quiet2)).toMap ==
+      Map("q1" -> 1.0, "q2" -> 1.8))
+  }
+
+  test("minFold + allFailMessage: failed passes never win the min; " +
+      "errors appear only when every pass failed") {
+    val names = Seq("q1", "q2")
+    val p1: Bench.Pass = Map(
+      "q1" -> (0.1, Some("boom")), // fast BECAUSE it failed
+      "q2" -> (2.0, Some("err-a")))
+    val p2: Bench.Pass = Map(
+      "q1" -> (5.0, None),
+      "q2" -> (3.0, Some("err-b")))
+    assert(Bench.minFold(names, Seq(p1, p2)).toMap ==
+      Map("q1" -> 5.0, "q2" -> 2.0))
+    assert(Bench.allFailMessage("q1", Seq(p1, p2)).isEmpty)
+    assert(Bench.allFailMessage("q2", Seq(p1, p2)) ==
+      Some("q2" -> "pass1: err-a | pass2: err-b"))
+    // identical messages collapse to one
+    val p3: Bench.Pass = Map("q2" -> (1.0, Some("err-a")), "q1" -> (1.0, None))
+    assert(Bench.allFailMessage("q2", Seq(p1, p3)) == Some("q2" -> "err-a"))
+  }
+}
