@@ -206,14 +206,17 @@ object Multimodal {
       .select(col("doc_id"), col("simhash"))
   }
 
-  /** PNG magic (0x89 "PNG" prefix, first 4 bytes checked) and
-    * BMP magic ("BM") — the two formats [[decodeGrayGrid]] decodes with
-    * the JDK's own `javax.imageio` (public, zero extra deps). */
+  /** PNG magic (0x89 "PNG" prefix, first 4 bytes checked), BMP magic
+    * ("BM") and JPEG magic (0xFFD8 SOI marker) — the three formats
+    * [[decodeGrayGrid]] decodes with the JDK's own `javax.imageio`
+    * (public, zero extra deps). JPEG matters most in practice: real
+    * crawled media is overwhelmingly JPEG. */
   private def isDecodable(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 &&
       ((bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
         bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) ||
-       (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte))
+       (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) ||
+       (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte))
 
   /** Encode per-document deterministic grayscale images as REAL PNG
     * payloads: pixel (y, x) of the `side`×`side` 8-bit gray raster is
@@ -254,8 +257,8 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
-  /** REAL image decode: payloads whose magic bytes say PNG or BMP are
-    * decoded with `javax.imageio` and resampled onto a `side`×`side`
+  /** REAL image decode: payloads whose magic bytes say PNG, BMP or JPEG
+    * are decoded with `javax.imageio` and resampled onto a `side`×`side`
     * grayscale grid — (doc_id, width, height, gray) with gray the
     * row-major grid samples (0–255). Grid position (y, x) reads pixel
     * (⌊y·h/side⌋, ⌊x·w/side⌋) — pure integer index math, so the grid is

@@ -115,4 +115,47 @@ class Prod2VecSpec extends SparkSpec {
     assert(t3b.orderBy("iteration").collect().toSeq ==
       t3.orderBy("iteration").collect().toSeq)
   }
+
+  test("M5 continuous TPE: logGrid + quantile buckets make a dense " +
+      "learning-rate axis searchable; budget << |space| converges to the " +
+      "optimum's bucket on a closed-form objective") {
+    // the reference's continuous range (prod2vec_config.yaml:49-55),
+    // densely discretized: 16 log-spaced rates in [1e-4, 1e-3]
+    val grid = Prod2Vec.logGrid(1e-4, 1e-3, 16)
+    assert(grid.length == 16)
+    assert(math.abs(grid.head - 1e-4) < 1e-15 &&
+      math.abs(grid.last - 1e-3) < 1e-15)
+    val ratios = grid.sliding(2).map { case Seq(a, b) => b / a }.toSeq
+    assert(ratios.forall(r => math.abs(r - ratios.head) < 1e-9))
+    // 16 values fold onto 4 equal-count, order-preserving buckets
+    assert(grid.map(v => Prod2Vec.quantileBucket(grid, v)) ==
+      (0 until 16).map(_ / 4))
+    // <= `buckets` distinct values keep their own bucket — the discrete
+    // case degenerates to the old exact-category behavior
+    assert(Seq(0.025, 0.05).map(v =>
+      Prod2Vec.quantileBucket(Seq(0.025, 0.05), v)) == Seq(0, 1))
+    // convergence law on the Spark-free core: quadratic-in-log objective
+    // with its minimum at 3e-4 (k = 7, the last point of bucket 1);
+    // 8 of 16 evaluations, 5-point warmup (TPE needs real warmup before
+    // densities mean anything — 3 points put the whole good-set in one
+    // lucky bucket)
+    val space = grid.map(lr => Prod2Vec.Params(stepSize = lr))
+    def obj(p: Prod2Vec.Params): Double =
+      math.pow(math.log(p.stepSize) - math.log(3e-4), 2)
+    val order = Prod2Vec.tpeOrder(space, budget = 8, seed = 42L,
+      initRandom = 5)(obj)
+    assert(order.length == 8 && order.map(_._1).distinct.length == 8)
+    val bucketOf = (i: Int) => Prod2Vec.quantileBucket(grid, grid(i))
+    val trueBest = space.indices.minBy(i => obj(space(i)))
+    // half the budget finds the EXACT argmin of the 16-point axis...
+    assert(order.minBy(_._2)._1 == trueBest)
+    // ...because the guided steps exhaust the optimum's bucket: every
+    // bucket-1 candidate is evaluated within the 8 evals (uniform
+    // 8-of-16 exploration gives that only ~14% of the time)
+    val b1 = space.indices.filter(i => bucketOf(i) == bucketOf(trueBest))
+    assert(b1.forall(i => order.exists(_._1 == i)))
+    // replay determinism holds for the continuous axis too
+    assert(Prod2Vec.tpeOrder(space, budget = 8, seed = 42L,
+      initRandom = 5)(obj) == order)
+  }
 }

@@ -179,6 +179,58 @@ class MultimodalSpec extends SparkSpec {
       'c'.toLong, 'd'.toLong))
   }
 
+  test("real JPEG decode: FFD8 magic routes to the codec; a constant-gray " +
+      "JPEG survives the lossy roundtrip; truncated JPEG poisons, not crashes") {
+    // constant-gray 8x8: DCT of a flat block is the DC coefficient alone,
+    // so even lossy JPEG reproduces the value exactly
+    val side = 8
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < side * side) {
+      img.getRaster.setSample(i % side, i / side, 0, 128); i += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val payload = bos.toByteArray
+    assert(payload(0) == 0xff.toByte && payload(1) == 0xd8.toByte)
+    val g = Multimodal.decodeGrayGrid(
+        Seq((1L, payload)).toDF("doc_id", "payload"), side)
+      .select("width", "height", "gray")
+      .as[(Int, Int, Seq[Long])].collect().head
+    // real-decode path: codec dimensions, not the stub's -1
+    assert(g._1 == side && g._2 == side)
+    assert(g._3.forall(_ == 128L))
+    // RGB JPEG collapses through the same integer-luma path; lossy
+    // codec -> tolerance, not bit-equality (that's the PNG law's job)
+    val rgb = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(0, 0, 0x808080); rgb.setRGB(1, 0, 0x808080)
+    rgb.setRGB(0, 1, 0x808080); rgb.setRGB(1, 1, 0x808080)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(rgb, "jpg", bos2))
+    val g2 = Multimodal.decodeGrayGrid(
+        Seq((2L, bos2.toByteArray)).toDF("doc_id", "payload"), 2)
+      .select("width", "gray").as[(Int, Seq[Long])].collect().head
+    assert(g2._1 == 2 && g2._2.forall(v => math.abs(v - 128L) <= 3))
+    // FFD8 magic + garbage tail -> null-gray poison row, never a crash
+    val broken = Seq((3L, payload.take(6))).toDF("doc_id", "payload")
+    val g3 = Multimodal.decodeGrayGrid(broken, 2)
+      .select("width", "gray").as[(Int, Option[Seq[Long]])].collect().head
+    assert(g3._1 == -1 && g3._2.isEmpty)
+    // mixed PNG/BMP/JPEG fixture: every row takes the real-decode path
+    val pbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pbos)
+    val bbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bbos)
+    val mixed = Seq((10L, pbos.toByteArray), (11L, bbos.toByteArray),
+      (12L, payload)).toDF("doc_id", "payload")
+    val m = Multimodal.decodeGrayGrid(mixed, side)
+      .select("doc_id", "width", "gray")
+      .as[(Long, Int, Seq[Long])].collect()
+    assert(m.length == 3 && m.forall(_._2 == side))
+    assert(m.forall(_._3.forall(_ == 128L)))
+  }
+
   test("aHashFromGrid: integer mean compare, short/null grids drop") {
     val n = Dedup.SimHashBits
     // constant grid: every sample == mean -> all bits set
