@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * The driver's generator is not available, so `documents` is re-drawn
   * from the SOURCE dir's own empirical distributions — per-lang unigram
-  * token weights, per-lang length histogram, (lang, source) joint — with
+  * token weights (grown per Heaps' law, V ∝ factor^0.5, with a Zipf
+  * tail of synthetic rare types — a fixed table would saturate the
+  * shingle space and fake df ∝ N), per-lang length histogram,
+  * (lang, source) joint — with
   * exact-duplicate and near-duplicate planting at the source's observed
   * rates (1/625 exact at sf0.1; near-dups planted at 1/125 with every
   * 10th token resampled). Every doc is a pure function of its id
@@ -64,7 +67,40 @@ object GenScale {
       (vals, cs, cs.last)
     }
     val (lsVals, lsCum, lsTot) = cum(langSource)
-    val tokCum = tokW.map { case (l, xs) => l -> cum(xs) }
+
+    // Heaps-law vocabulary growth (round-8 caveat, closed): a fixed
+    // empirical table saturates the shingle space — every type's df
+    // grows linearly with corpus size, which is a FIXTURE artifact, not
+    // engine truth. Real corpora grow types as V(N) = V0·(N/N0)^β,
+    // β ≈ 0.5 (Heaps '78). Per lang: the source's V0 empirical types
+    // keep their observed relative weights at the Zipf head-mass share
+    // of the grown vocabulary, and ranks V0+1..V0·factor^β become
+    // synthetic tail types ("<lang>zipfR", ASCII, space-free) with
+    // r^-s weights (s = 1.1, the text-corpus range) — so new types are
+    // individually rare exactly like real tail vocabulary, and langid/
+    // quality gates still see the head stopwords they key on.
+    val HeapsBeta = 0.5
+    val ZipfS = 1.1
+    val tokCum = tokW.map { case (l, xs) =>
+      val v0 = xs.length
+      val v = math.ceil(v0 * math.pow(factor.toDouble, HeapsBeta)).toInt
+      if (v <= v0) l -> cum(xs)
+      else {
+        val zipf = (1 to v).map(r => math.pow(r.toDouble, -ZipfS))
+        val zTot = zipf.sum
+        val headMass = zipf.take(v0).sum / zTot
+        val empTot = xs.map(_._2).sum.toDouble
+        // integer weights on a common 1e9 grid keep cum() in exact Long
+        val scale = 1e9
+        val head = xs.map { case (w, c) =>
+          (w, math.max(1L, (c / empTot * headMass * scale).toLong)) }
+        val tail = (v0 + 1 to v).map { r =>
+          (s"${l}zipf$r",
+            math.max(1L, (math.pow(r.toDouble, -ZipfS) / zTot * scale).toLong))
+        }.toArray
+        l -> cum(head ++ tail)
+      }
+    }
 
     def pick[T](vals: Array[T], cs: Array[Long], tot: Long,
                 rnd: java.util.Random): T = {
