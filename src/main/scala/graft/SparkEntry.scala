@@ -375,6 +375,11 @@ object SparkEntry {
   /** q150 matryoshka prefix: keep 16 of the fixture's 64 dims (4× the
     * memory/dot-product savings an MRL index would bank). */
   val TruncDims = 16
+  /** q151 curve: every power-of-two prefix up to the full 64 dims (the
+    * last entry is the reference dimension). */
+  val MatryoshkaDims = Seq(8, 16, 32, 64)
+  /** q152 Heaps audit: decile document prefixes. */
+  val HeapsBuckets = 10
   /** Independent SRP tables for the OR-amplified ANN (q42). */
   val AnnTables = 2
   /** Embedding near-dup cosine threshold. */
@@ -2278,6 +2283,24 @@ object SparkEntry {
           TopK),
         Similarity.cosineTopK(emb, probes, TopK))
         .orderBy("probe_id")
+    }),
+
+    // The full matryoshka CURVE: q150's question asked at every
+    // power-of-two prefix in one corpus pass — per (dims, probe) recall
+    // vs the full 64-dim exact top-k; the index-sizing decision table.
+    "q151_matryoshka_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.matryoshkaCurve(emb, emb.filter(col("vec_id") < 5),
+          MatryoshkaDims, TopK)
+        .orderBy("dims", "probe_id")
+    }),
+
+    // Heaps-law corpus-health audit: cumulative vocabulary-growth curve
+    // over decile document prefixes + exact-integer ln-ln fit of the
+    // Heaps exponent — the growth twin of q126's Zipf shape check.
+    "q152_heaps_audit" -> ((s, dir) => {
+      Text.heapsAudit(t(s, dir, "documents"), "doc_id", "text",
+        HeapsBuckets).orderBy("bucket")
     }),
 
     // Epoch-plan realization: q104's mixture plan materialized as the
@@ -5322,6 +5345,114 @@ object SparkEntry {
          |FROM ex LEFT JOIN ann
          |  ON ann.probe_id = ex.probe_id AND ann.vec_id = ex.vec_id
          |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
+
+    // q151: the curve oracle scores every prefix cosine in one lateral
+    // (c × p × dims) product — range(1, dims+1) bounds each sum to the
+    // prefix — then q109's recall-join shape per dims against the
+    // dims = 64 reference rows.
+    "q151_matryoshka_curve" -> {
+      val dimsSql = MatryoshkaDims.mkString("[", ", ", "]")
+      s"""WITH c AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |p AS (
+         |  SELECT vec_id AS probe_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+         |  FROM embeddings WHERE vec_id < 5
+         |),
+         |dm AS (SELECT unnest($dimsSql) AS dims),
+         |s AS (
+         |  SELECT probe_id, vec_id, dims,
+         |    round(
+         |      list_sum(list_transform(range(1, dims + 1), i -> v[i] * pv[i])) /
+         |      (sqrt(list_sum(list_transform(range(1, dims + 1), i -> v[i] * v[i]))) *
+         |       sqrt(list_sum(list_transform(range(1, dims + 1), i -> pv[i] * pv[i])))),
+         |      9) AS cos
+         |  FROM c, p, dm WHERE vec_id <> probe_id
+         |),
+         |r AS (
+         |  SELECT probe_id, vec_id, dims,
+         |         row_number() OVER (PARTITION BY probe_id, dims
+         |           ORDER BY cos DESC, vec_id ASC) AS rnk
+         |  FROM s QUALIFY rnk <= $TopK
+         |),
+         |ex AS (SELECT probe_id, vec_id FROM r
+         |       WHERE dims = ${MatryoshkaDims.last}),
+         |exc AS (SELECT probe_id, count(*)::BIGINT AS n_exact
+         |        FROM ex GROUP BY probe_id),
+         |hits AS (
+         |  SELECT r.dims, r.probe_id, count(*)::BIGINT AS n_hit
+         |  FROM r JOIN ex ON r.probe_id = ex.probe_id
+         |    AND r.vec_id = ex.vec_id
+         |  GROUP BY r.dims, r.probe_id
+         |)
+         |SELECT dm.dims::BIGINT AS dims, exc.probe_id, exc.n_exact,
+         |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  round(coalesce(h.n_hit, 0) / exc.n_exact::DOUBLE, 9) AS recall
+         |FROM exc CROSS JOIN dm
+         |LEFT JOIN hits h ON h.dims = dm.dims AND h.probe_id = exc.probe_id
+         |ORDER BY dims, exc.probe_id""".stripMargin
+    },
+
+    // q152: the same first-occurrence trick relationally — each type's
+    // birth bucket from min(doc_id), cumulative window sums over the
+    // decile rollup, and q126's exact-integer ln-ln fit discipline on
+    // the cumulative (tokens, vocab) points.
+    "q152_heaps_audit" ->
+      s"""WITH spine AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n,
+         |         ntile($HeapsBuckets) OVER (ORDER BY doc_id) AS bucket
+         |  FROM documents
+         |),
+         |fs AS (
+         |  SELECT w, min(doc_id) AS fid
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) _
+         |  GROUP BY w
+         |),
+         |born AS (
+         |  SELECT s.bucket, count(*)::BIGINT AS new_types
+         |  FROM fs JOIN spine s ON fs.fid = s.doc_id
+         |  GROUP BY s.bucket
+         |),
+         |curve AS (
+         |  SELECT m.bucket::BIGINT AS bucket,
+         |    CAST(sum(m.n_docs) OVER w AS BIGINT) AS n_docs,
+         |    CAST(sum(m.n_toks) OVER w AS BIGINT) AS n_tokens,
+         |    CAST(sum(coalesce(b.new_types, 0)) OVER w AS BIGINT) AS vocab,
+         |    coalesce(b.new_types, 0)::BIGINT AS new_types
+         |  FROM (SELECT bucket, count(*)::BIGINT AS n_docs,
+         |          sum(n)::BIGINT AS n_toks
+         |        FROM spine GROUP BY bucket) m
+         |  LEFT JOIN born b USING (bucket)
+         |  WINDOW w AS (ORDER BY m.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |pts AS (
+         |  SELECT CAST(floor(ln(n_tokens) * 1e6 + 0.5) AS BIGINT) AS x,
+         |         CAST(floor(ln(vocab) * 1e6 + 0.5) AS BIGINT) AS y
+         |  FROM curve WHERE n_tokens > 0 AND vocab > 0
+         |),
+         |fit AS (
+         |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+         |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+         |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+         |  FROM pts
+         |)
+         |SELECT c.bucket, c.n_docs, c.n_tokens, c.vocab, c.new_types,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9)
+         |    AS heaps_beta,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      * CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+         |      * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) AS heaps_r2
+         |FROM curve c CROSS JOIN fit ORDER BY c.bucket""".stripMargin,
 
     // q150: q109's recall-join shape with the approximate side replaced
     // by the exact top-k over the matryoshka PREFIX — embedding[1:dims]

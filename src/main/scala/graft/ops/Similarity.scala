@@ -122,6 +122,59 @@ object Similarity {
     emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
   }
 
+  /** Matryoshka recall CURVE — the q150 report swept over every prefix
+    * length in ONE corpus pass: per (dims, probe), recall of the exact
+    * top-k under the first-`dims` prefix against the full-dimension
+    * exact top-k (`dimsList`'s last entry must be the full dimension —
+    * it is the reference set). This is the index-sizing decision table:
+    * read down the dims column until recall drops below the serving
+    * bar, and that prefix is the memory/dot-cost the index pays.
+    *
+    * Shape: one broadcast cross-join scores ALL prefix cosines per
+    * row (the slices share the row — |dims| cosine expressions in one
+    * projection, not |dims| corpus scans); per-(probe, dims) top-k via
+    * a probe×dims-partitioned rank window; the tiny ranked frame passes
+    * a [[graft.ops.Barrier]] (read once as reference, once per curve
+    * point) and the recall join is q109's shape with a dims spine. */
+  def matryoshkaCurve(corpus: DataFrame, probes: DataFrame,
+                      dimsList: Seq[Int], k: Int): DataFrame = {
+    require(dimsList.nonEmpty && dimsList == dimsList.sorted &&
+      dimsList.distinct == dimsList,
+      s"dimsList must be sorted distinct, got $dimsList")
+    require(dimsList.forall(_ >= 1), s"dims must be >= 1, got $dimsList")
+    val full = dimsList.last
+    val c = corpus.select(col("vec_id"), col("embedding").as("v"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        explode(array(dimsList.map(d => struct(lit(d.toLong).as("dims"),
+          round(cosine(slice(col("v"), 1, d), slice(col("pv"), 1, d)), 9)
+            .as("cos"))): _*)).as("s"))
+      .select(col("probe_id"), col("vec_id"),
+        col("s.dims").as("dims"), col("s.cos").as("cos"))
+    val ranked = Barrier.cut(scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"), col("dims"))
+          .orderBy(desc("cos"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("dims")))
+    val ex = ranked.filter(col("dims") === full.toLong)
+      .select(col("probe_id"), col("vec_id"))
+    val exCnt = ex.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = ranked.join(ex, Seq("probe_id", "vec_id"))
+      .groupBy(col("dims"), col("probe_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    exCnt.crossJoin(ranked.select(col("dims")).distinct())
+      .join(hits, Seq("dims", "probe_id"), "left")
+      .select(col("dims"), col("probe_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact"), 9).as("recall"))
+  }
+
   /** M6: best-row selection — explicit `orderBy(asc(objective)).limit(1)`
     * (the reference does this via a fragile pandas positional idiom,
     * `post_process.py:60-68`; SURVEY.md N3). */

@@ -1091,6 +1091,80 @@ object Text {
           .as("zipf_r2"))
   }
 
+  /** Corpus-health Heaps audit — the vocabulary-GROWTH twin of
+    * [[zipfAudit]]: split the corpus into `buckets` equal-count document
+    * prefixes in id order and report the cumulative V(N) curve — per
+    * prefix, cumulative docs / tokens / distinct types plus the types
+    * born in that bucket — and the least-squares Heaps exponent β̂ of
+    * ln V ~ ln N (Heaps '78 predicts β ≈ 0.4–0.6 for natural language;
+    * β near 0 flags a saturated or templated vocabulary — exactly the
+    * fixture defect the round-8 scaling study tripped over — and β
+    * near 1 flags id-like token pollution). Run next to [[zipfAudit]]
+    * on every corpus refresh: Zipf checks the frequency SHAPE at a
+    * point, Heaps checks that the vocabulary still GROWS like text.
+    *
+    * Relational shape — the curve never rescans a prefix: each type's
+    * FIRST document (min id over its postings, one token-keyed agg
+    * with map-side combine) assigns it to the bucket where it is born,
+    * and cumulative sums over the ≤`buckets`-row rollup reconstruct V
+    * at every prefix; token mass cumulates the same way from the doc
+    * spine. The ntile bucketing orders the (id) spine only — narrow
+    * n_docs rows, the audit-twin sort contract (sample at extreme
+    * scale) shared with the exact-dedup chain. β̂ reuses [[zipfAudit]]'s
+    * cross-engine discipline: 1e6-quantized ln on exact integer
+    * cumulatives, DECIMAL(38,0) normal equations, ONE cast to double.
+    *
+    * Returns one row per bucket:
+    * (bucket, n_docs, n_tokens, vocab, new_types, heaps_beta,
+    * heaps_r2) — n_docs/n_tokens/vocab cumulative, β̂/r² constant. */
+  def heapsAudit(df: DataFrame, idCol: String, textCol: String,
+                 buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    val spine = Barrier.cut(
+      toks.select(col("__id"), size(col("__t")).cast("long").as("__n"))
+        .withColumn("bucket",
+          ntile(buckets).over(Window.orderBy(col("__id"))).cast("long")))
+    val born = toks.select(col("__id"), explode(col("__t")).as("__w"))
+      .groupBy(col("__w")).agg(min(col("__id")).as("__fid"))
+      .join(spine.select(col("__id").as("__fid"), col("bucket")), Seq("__fid"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = Barrier.cut(
+      spine.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__d"), sum(col("__n")).as("__m"))
+        .join(born, Seq("bucket"), "left")
+        .na.fill(0L, Seq("new_types"))
+        // ≤ buckets rows: the cumulative window is provably bounded
+        .select(col("bucket"),
+          sum(col("__d")).over(w).as("n_docs"),
+          sum(col("__m")).over(w).as("n_tokens"),
+          sum(col("new_types")).over(w).as("vocab"),
+          col("new_types")))
+    val dec = "decimal(38,0)"
+    val pts = curve.filter(col("n_tokens") > 0 && col("vocab") > 0)
+      .withColumn("x", floor(log(col("n_tokens")) * lit(1e6) + lit(0.5)))
+      .withColumn("y", floor(log(col("vocab")) * lit(1e6) + lit(0.5)))
+    val fit = pts.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x")).cast(dec).as("sx"),
+      sum(col("y")).cast(dec).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    curve.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("new_types"),
+        round(when(dxx =!= 0d, dxy / dxx), 9).as("heaps_beta"),
+        round(when(dxx =!= 0d && dyy =!= 0d, dxy * dxy / (dxx * dyy)), 9)
+          .as("heaps_r2"))
+  }
+
   /** Inverse-Cloze-Task contrastive pairs (Lee et al., ACL'19 — the
     * DPR/Contriever retrieval-pretraining data op): for each document
     * long enough, pull one deterministic `spanTokens`-token window out

@@ -127,4 +127,25 @@ class SimilaritySpec extends SparkSpec {
       Similarity.truncateEmbeddings(emb, 0)
     }
   }
+
+  test("matryoshkaCurve: one pass sweeps every prefix; the demoted " +
+      "neighbor shows as recall 0 at dims 2 and 1 at the full dims") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 9.0f, 0.0f)),  // dims-2 winner, full-dim loser
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f))   // true full-dim top-1
+    ).toDF("vec_id", "embedding")
+    val curve = Similarity.matryoshkaCurve(emb,
+        emb.filter($"vec_id" === 0L), Seq(2, 4), 1)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(curve.keySet == Set(2L, 4L))
+    assert(curve(2L) == ((1L, 0L, 0.0)))  // prefix index missed the truth
+    assert(curve(4L) == ((1L, 1L, 1.0)))  // the reference recalls itself
+    // the reference set must be the LAST dims entry — unsorted rejected
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaCurve(emb, emb, Seq(4, 2), 1)
+    }
+  }
 }

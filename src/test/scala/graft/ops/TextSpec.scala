@@ -528,4 +528,34 @@ class TextSpec extends SparkSpec {
     // conservation: report tokens sum to the corpus token count
     assert(r.values.map(_._3).sum == 3L + 8 + 9 + 40 + 70)
   }
+
+  test("heapsAudit: birth-bucket curve exact; two-point fit is the exact " +
+      "slope with r2 = 1") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a c"),     // bucket 1: types a, b, c born
+      (3L, "c d e"), (4L, "a b")    // bucket 2: d, e born
+    ).toDF("doc_id", "text")
+    val rows = Text.heapsAudit(docs, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // cumulative (n_docs, n_tokens, vocab, new_types)
+    assert(rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq == Seq((2L, 4L, 3L, 3L), (4L, 9L, 5L, 2L)))
+    // two points determine the line exactly: beta = the quantized-ln
+    // slope (ln5-ln3)/(ln9-ln4), r2 exactly 1
+    val beta = rows.head.getDouble(5)
+    assert(math.abs(beta - 0.629926) < 1e-5)
+    assert(rows.forall(_.getDouble(5) == beta))  // constant across rows
+    assert(rows.forall(_.getDouble(6) == 1.0))
+    // the red flag, demonstrated on the corpus that EARNED it: the
+    // driver fixture's ~31-type vocabulary is fully born in the first
+    // decile (the round-8 scaling-study artifact), so the audit reads
+    // beta ≈ 0 — exactly the saturation warning it exists to raise
+    val fx = Text.heapsAudit(
+      Sources.table(spark, sf("sf0.001"), "documents"), "doc_id", "text")
+      .orderBy("bucket").collect()
+    assert(fx.length == 10)
+    assert(fx.head.getLong(3) == fx.last.getLong(3)) // vocab flat
+    assert(math.abs(fx.head.getDouble(5)) < 0.05)    // beta ~ 0
+  }
 }
