@@ -380,6 +380,15 @@ object SparkEntry {
   val MatryoshkaDims = Seq(8, 16, 32, 64)
   /** q152 Heaps audit: decile document prefixes. */
   val HeapsBuckets = 10
+  /** q153 order2vec: part key → fixture vec_id mapping modulus (the
+    * fixture embedding table's id range; parts whose mapped id is
+    * absent at a small SF drop identically on both engines). */
+  val PoolMod = 500L
+  /** q153 probes: orders with id below this. */
+  val OrderProbeMax = 8L
+  /** Fixture embedding width (pinned — q151's reference dimension and
+    * the q153 oracle's unnest bound). */
+  val EmbDims = 64
   /** Independent SRP tables for the OR-amplified ANN (q42). */
   val AnnTables = 2
   /** Embedding near-dup cosine threshold. */
@@ -2301,6 +2310,24 @@ object SparkEntry {
     "q152_heaps_audit" -> ((s, dir) => {
       Text.heapsAudit(t(s, dir, "documents"), "doc_id", "text",
         HeapsBuckets).orderBy("bucket")
+    }),
+
+    // order2vec serving: baskets mean-pool their items' embeddings
+    // (exact-decimal per-dimension means — bit-stable at any
+    // partitioning) and the pooled ORDER vectors feed the same exact
+    // top-k report the item embeddings use — similar orders from item
+    // embeddings, no second training. Items map to the fixture
+    // embedding table by pmod(part, PoolMod).
+    "q153_order2vec_topk" -> ((s, dir) => {
+      val mem = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("order_id"),
+        pmod(col("l_partkey"), lit(PoolMod)).cast("long").as("vec_id"))
+      val pooled = Barrier.cut(Similarity.meanPoolEmbeddings(
+        mem, "order_id", "vec_id", t(s, dir, "embeddings")))
+      Similarity.cosineTopK(pooled,
+          pooled.filter(col("vec_id") < OrderProbeMax), TopK)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("probe_id", "rnk")
     }),
 
     // Epoch-plan realization: q104's mixture plan materialized as the
@@ -5453,6 +5480,45 @@ object SparkEntry {
          |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
          |      * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) AS heaps_r2
          |FROM curve c CROSS JOIN fit ORDER BY c.bucket""".stripMargin,
+
+    // q153: the pooling oracle mirrors the exact-decimal mean — widen
+    // float32 → double, integerize once at 1e9, exact integer sums per
+    // (order, dim), ONE cast back — then the q16 cosine/rank shape over
+    // the pooled lists. Dims are 1-based here vs 0-based posexplode in
+    // the engine; dim is only a group/order key, so the lists agree.
+    "q153_order2vec_topk" ->
+      s"""WITH mem AS (
+         |  SELECT l_orderkey AS gid, l_partkey % $PoolMod AS vec_id
+         |  FROM lineitem
+         |),
+         |px AS (
+         |  SELECT mem.gid, d.i AS dim,
+         |    CAST(floor(CAST(e.embedding[d.i] AS DOUBLE) * 1e9 + 0.5)
+         |      AS BIGINT) AS xi
+         |  FROM mem JOIN embeddings e ON mem.vec_id = e.vec_id,
+         |       (SELECT unnest(range(1, $EmbDims + 1)) AS i) d
+         |),
+         |pv AS (
+         |  SELECT gid, dim,
+         |    CAST(CAST(sum(xi) AS DOUBLE) / count(*) / 1e9 AS FLOAT) AS v
+         |  FROM px GROUP BY gid, dim
+         |),
+         |pool AS (
+         |  SELECT gid, list(CAST(v AS DOUBLE) ORDER BY dim) AS emb
+         |  FROM pv GROUP BY gid
+         |),
+         |sc AS (
+         |  SELECT p.gid AS probe_id, c.gid AS vec_id,
+         |    round(${cosSql("c.emb", "p.emb")}, 9) AS cos
+         |  FROM pool c, pool p
+         |  WHERE p.gid < $OrderProbeMax AND c.gid <> p.gid
+         |)
+         |SELECT probe_id, vec_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+         |FROM sc
+         |QUALIFY rnk <= $TopK
+         |ORDER BY probe_id, rnk""".stripMargin,
 
     // q150: q109's recall-join shape with the approximate side replaced
     // by the exact top-k over the matryoshka PREFIX — embedding[1:dims]

@@ -122,6 +122,64 @@ object Similarity {
     emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
   }
 
+  /** Group-embedding mean pooling — order2vec/user2vec, the standard
+    * serving recipe DOWNSTREAM of a trained item embedding: given a
+    * (group, member) membership frame and the item-embedding table, the
+    * group's embedding is the per-dimension MEAN of its members'
+    * vectors (duplicate members count per occurrence — a basket with
+    * the same product twice weighs it twice, matching the bag
+    * semantics a sequence model would see). The pooled frame drops
+    * straight back into [[cosineTopK]]/[[graft.ops.Ann]] — similar
+    * ORDERS from item embeddings, no second training.
+    *
+    * Exactness (the cross-engine float-mean discipline): each float32
+    * coordinate widens to double exactly, integerizes once
+    * (floor(x·1e9 + ½)), sums run exactly in DECIMAL(38,0) keyed on
+    * (group, dim), and the mean leaves integer land ONCE — the exact
+    * sum widens to double and two IEEE divisions (by n, by 1e9)
+    * produce the same bits on every engine (no round() in the path:
+    * decimal rounding of a full-mantissa double is implementation-
+    * defined at the last ulp) — so the pooled vectors are
+    * bit-identical across partitionings and engines (no float-sum
+    * order sensitivity). The result stores at the ITEM table's float32
+    * width: beyond being what a serving index would keep, float32
+    * coordinates make every downstream cosine's products exact in
+    * double (24-bit × 24-bit mantissas), which is what keeps
+    * [[cosineTopK]] over pooled vectors 9-dp oracle-matchable — full-
+    * mantissa doubles would leak last-ulp fold differences into the
+    * 9th digit. Shape: one membership-keyed equi join, one
+    * per-(group, dim) hash agg with map-side combine, and the array
+    * reassembles via the sorted-struct collect idiom (dim-count
+    * structs per group — bounded by the embedding width, never by
+    * group size). Returns (vec_id = group id, embedding:
+    * array<float>). */
+  def meanPoolEmbeddings(membership: DataFrame, groupCol: String,
+                         memberCol: String, emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    membership
+      .select(col(groupCol).as("__g"), col(memberCol).as("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("__g"), posexplode(col("embedding")).as(Seq("__d", "__x")))
+      .select(col("__g"), col("__d"),
+        floor(col("__x").cast("double") * lit(1e9) + lit(0.5))
+          .cast(dec).as("__xi"))
+      .groupBy(col("__g"), col("__d"))
+      .agg(sum(col("__xi")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__g"), col("__d"),
+        // no round(): the exact integer sum widens to double and the
+        // two IEEE divisions are bit-deterministic on every engine —
+        // a round(x, 9) here would REINTRODUCE engine skew (decimal
+        // rounding of a full-mantissa double is implementation-defined
+        // at the last ulp), exactly what the float32 narrowing below
+        // then fails to hide
+        (col("__s").cast("double") / col("__n") / lit(1e9))
+          .cast("float").as("__v"))
+      .groupBy(col("__g"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__v"))))
+        .getField("__v").as("embedding"))
+      .select(col("__g").as("vec_id"), col("embedding"))
+  }
+
   /** Matryoshka recall CURVE — the q150 report swept over every prefix
     * length in ONE corpus pass: per (dims, probe), recall of the exact
     * top-k under the first-`dims` prefix against the full-dimension

@@ -148,4 +148,29 @@ class SimilaritySpec extends SparkSpec {
       Similarity.matryoshkaCurve(emb, emb, Seq(4, 2), 1)
     }
   }
+
+  test("meanPoolEmbeddings: exact per-dim means; duplicate members weigh " +
+      "per occurrence; unmatched members drop the inner-join way") {
+    val emb = Seq(
+      (10L, Seq(1.0f, 3.0f)),
+      (11L, Seq(3.0f, 5.0f)),
+      (12L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val mem = Seq(
+      (1L, 10L), (1L, 11L),           // plain 2-member mean
+      (2L, 10L), (2L, 10L), (2L, 12L),// duplicate member counts twice
+      (3L, 99L)                       // member absent from the table
+    ).toDF("gid", "vid")
+    val pooled = Similarity.meanPoolEmbeddings(mem, "gid", "vid", emb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(pooled(1L) == Seq(2.0f, 4.0f))
+    // 2/3, 7/3 through the op's exact arithmetic (integerize at 1e9,
+    // exact sum, two IEEE divisions, float32 narrowing — the width
+    // that keeps downstream cosines 9-dp oracle-matchable)
+    assert(pooled(2L) == Seq((2e9 / 3 / 1e9).toFloat, (7e9 / 3 / 1e9).toFloat))
+    assert(!pooled.contains(3L))
+    // group vectors are full-width and ready for cosineTopK (q153's
+    // oracle proves the composition end-to-end)
+    assert(pooled.values.forall(_.length == 2))
+  }
 }
