@@ -367,6 +367,29 @@ object SparkEntry {
 
   /** q148 image side: 8×8 = 64 gray samples ≥ the 60 aHash positions. */
   val MediaGridSide = 8
+
+  /** Shared q148/q154 oracle chain: the aHash every document's REAL
+    * decoded pixels must produce, recomputed straight from the source
+    * text bytes (encodePng's pixel layout × decodeGrayGrid's identity
+    * resample at w = h = side) — ends in `msim(doc_id, simhash)`. */
+  private def mediaAHashSqlCte: String = {
+    val n = Dedup.SimHashBits
+    s"""WITH g AS (
+       |  SELECT doc_id, list_transform(range(0, $n), k ->
+       |    CASE WHEN len(text) = 0 THEN 0
+       |         ELSE ascii(substring(text, (1 + (k % len(text)))::INT, 1))
+       |    END) AS bs
+       |  FROM documents
+       |),
+       |gm AS (SELECT doc_id, bs, list_sum(bs)::BIGINT AS sm FROM g),
+       |msim AS (
+       |  SELECT doc_id, list_sum(list_transform(range(0, $n), k ->
+       |    CASE WHEN bs[(k + 1)::INT] * $n >= sm
+       |         THEN (1::BIGINT << k::INT) ELSE 0::BIGINT END))::BIGINT
+       |    AS simhash
+       |  FROM gm
+       |)""".stripMargin
+  }
   /** SRP planes for embedding near-dup / ANN bucketing. */
   val SrpPlanes = 4
   /** q149's id shift for the synthetic "re-added" snapshot docs — far
@@ -1944,6 +1967,19 @@ object SparkEntry {
       Multimodal.aHashFromGrid(
           Multimodal.decodeGrayGrid(png, MediaGridSide))
         .orderBy("doc_id")
+    }),
+
+    // q148's verified real-decode chain driven to its PRODUCT: the
+    // decoded-pixel aHashes feed the q22 SimHash band join — which
+    // images are near-copies, computed from actually-decoded bytes.
+    "q154_media_neardup_real" -> ((s, dir) => {
+      val png = Multimodal.encodePng(t(s, dir, "documents"),
+        "doc_id", "text", MediaGridSide)
+      Dedup.simhashPairs(
+          Multimodal.aHashFromGrid(
+            Multimodal.decodeGrayGrid(png, MediaGridSide)),
+          "doc_id", MaxHamming)
+        .orderBy("id_a", "id_b")
     }),
 
     // Embedding-cosine near-dup pairs via SRP buckets.
@@ -3936,22 +3972,29 @@ object SparkEntry {
     // q148: gray grid sample k = text byte at k mod len (encodePng pixel
     // layout x decodeGrayGrid identity resample at w = h = side), then
     // the integer-mean aHash over the first SimHashBits positions.
-    "q148_media_ahash_real" -> {
-      val n = Dedup.SimHashBits
-      s"""WITH g AS (
-         |  SELECT doc_id, list_transform(range(0, $n), k ->
-         |    CASE WHEN len(text) = 0 THEN 0
-         |         ELSE ascii(substring(text, (1 + (k % len(text)))::INT, 1))
-         |    END) AS bs
-         |  FROM documents
+    "q148_media_ahash_real" ->
+      s"""$mediaAHashSqlCte
+         |SELECT doc_id, simhash FROM msim ORDER BY doc_id""".stripMargin,
+
+    // q154: the REAL-decode media near-dup pairs — q148's verified
+    // encode→decode→aHash chain (msim) feeding q22's band join
+    // verbatim. The end-to-end "which images are near-copies" product
+    // over actually-decoded pixels.
+    "q154_media_neardup_real" ->
+      s"""$mediaAHashSqlCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, b,
+         |    (simhash >> (${Dedup.SimHashBandBits}*b)) & ${(1L << Dedup.SimHashBandBits) - 1} AS bv
+         |  FROM msim, (SELECT unnest(range(0, ${Dedup.SimHashBands})) AS b)
          |),
-         |gm AS (SELECT doc_id, bs, list_sum(bs)::BIGINT AS sm FROM g)
-         |SELECT doc_id, list_sum(list_transform(range(0, $n), k ->
-         |    CASE WHEN bs[(k + 1)::INT] * $n >= sm
-         |         THEN (1::BIGINT << k::INT) ELSE 0::BIGINT END))::BIGINT
-         |    AS simhash
-         |FROM gm ORDER BY doc_id""".stripMargin
-    },
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |         bit_count(xor(a.simhash, c.simhash))::BIGINT AS hamming
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv
+         |    AND a.doc_id < c.doc_id
+         |)
+         |SELECT id_a, id_b, hamming FROM cand
+         |WHERE hamming <= $MaxHamming ORDER BY id_a, id_b""".stripMargin,
 
     "q125_media_phash_audit" -> {
       val n = Dedup.SimHashBits
