@@ -412,6 +412,10 @@ object SparkEntry {
   /** Fixture embedding width (pinned — q151's reference dimension and
     * the q153 oracle's unnest bound). */
   val EmbDims = 64
+  /** q155 JL output width — same 16-dim budget as q150's matryoshka
+    * truncation, so the two recall reports price the two reduction
+    * strategies head-to-head. */
+  val JlDims = 16
   /** Independent SRP tables for the OR-amplified ANN (q42). */
   val AnnTables = 2
   /** Embedding near-dup cosine threshold. */
@@ -2346,6 +2350,21 @@ object SparkEntry {
     "q152_heaps_audit" -> ((s, dir) => {
       Text.heapsAudit(t(s, dir, "documents"), "doc_id", "text",
         HeapsBuckets).orderBy("bucket")
+    }),
+
+    // JL ±1 random projection at q150's width: recall of the exact
+    // top-k under the 16-dim PROJECTION against the full 64-dim exact
+    // top-k — the reduction path for non-matryoshka embeddings, priced
+    // by the same report so q150 vs q155 is a fair head-to-head.
+    "q155_jl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val proj = Barrier.cut(Similarity.randomProject(
+        emb.select(col("vec_id"), col("embedding")), JlDims))
+      Ann.recallReport(
+        Similarity.cosineTopK(proj,
+          proj.filter(col("vec_id") < 5), TopK),
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), TopK))
+        .orderBy("probe_id")
     }),
 
     // order2vec serving: baskets mean-pool their items' embeddings
@@ -5523,6 +5542,47 @@ object SparkEntry {
          |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
          |      * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) AS heaps_r2
          |FROM curve c CROSS JOIN fit ORDER BY c.bucket""".stripMargin,
+
+    // q155: projected vectors from the same keyed-hash ±1 signs
+    // (('jl' || j, i) → sign), fold order matching FoldDot; float32
+    // narrowing, then the q16 cosine/rank shape and q109's recall join
+    // against the embedded full-dimension exact body.
+    "q155_jl_recall" ->
+      s"""WITH pj AS (
+         |  SELECT vec_id, j,
+         |    CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> embedding[i]::DOUBLE *
+         |           (CASE WHEN ${Portable.sqlUnif("('jl' || j)", "i")} < 0.5
+         |                 THEN -1.0 ELSE 1.0 END))) AS FLOAT) AS x
+         |  FROM embeddings, (SELECT unnest(range(0, $JlDims)) AS j) d
+         |),
+         |pr AS (
+         |  SELECT vec_id, list(CAST(x AS DOUBLE) ORDER BY j) AS v
+         |  FROM pj GROUP BY vec_id
+         |),
+         |aps AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |    round(${cosSql("c.v", "p.v")}, 9) AS cos
+         |  FROM pr c, pr p
+         |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         |),
+         |ap AS (
+         |  SELECT probe_id, vec_id,
+         |         row_number() OVER (PARTITION BY probe_id
+         |           ORDER BY cos DESC, vec_id ASC) AS rnk
+         |  FROM aps QUALIFY rnk <= $TopK
+         |),
+         |ex AS (
+         |$q16OracleSql
+         |)
+         |SELECT ex.probe_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 9) AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.probe_id = ex.probe_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
 
     // q153: the pooling oracle mirrors the exact-decimal mean — widen
     // float32 → double, integerize once at 1e9, exact integer sums per

@@ -122,6 +122,44 @@ object Similarity {
     emb.select(col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection — the dimension-
+    * reduction path for embeddings that were NOT matryoshka-trained
+    * (truncating those just throws information away; a dense random
+    * projection preserves pairwise geometry with JL's distortion
+    * bound): out_j = Σ_i s_ji·x_i with s_ji = ±1 decided by the
+    * [[graft.ops.Portable]] keyed hash of ("jl"+j, i) — the Achlioptas
+    * sign family, reproducible across runs, partitions and engines
+    * with no stored projection matrix. Cosine is scale-invariant, so
+    * the 1/√k JL normalization is unnecessary for retrieval and
+    * omitted.
+    *
+    * Exactness: ±1 weights make every product an exact float in
+    * double (the same trick that keeps [[cosineTopK]] oracle-exact),
+    * and the result narrows to float32 like [[meanPoolEmbeddings]] so
+    * downstream products stay exact too. Map-only — one codegen'd
+    * [[graft.functions.FoldDot]] per output dimension, weights
+    * computed once driver-side; the corpus never shuffles. Pair with
+    * [[graft.ops.Ann.recallReport]] against the full-dimension exact
+    * top-k to price the reduction (q155 — directly comparable to
+    * q150's matryoshka truncation at the same output width). */
+  def randomProject(emb: DataFrame, outDims: Int): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    import org.apache.spark.unsafe.types.UTF8String
+    // fixed-dimension by contract: probe one row, never a scan
+    val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+    val signs: Seq[Seq[Double]] = (0 until outDims).map { j =>
+      (1 to dim).map { i =>
+        val h = graft.functions.Hash60.compute(Array(
+          UTF8String.fromString("jl" + j), UTF8String.fromString(i.toString)))
+        if (h / Portable.TwoPow60 < 0.5) -1.0 else 1.0
+      }
+    }
+    emb.select(col("vec_id"),
+      array(signs.map(w =>
+        graft.functions.FoldDot(col("embedding"), typedLit(w))
+          .cast("float")): _*).as("embedding"))
+  }
+
   /** Group-embedding mean pooling — order2vec/user2vec, the standard
     * serving recipe DOWNSTREAM of a trained item embedding: given a
     * (group, member) membership frame and the item-embedding table, the

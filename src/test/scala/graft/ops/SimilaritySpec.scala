@@ -149,6 +149,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("randomProject: deterministic ±1 signs; projection equals the " +
+      "manual signed sum; zero vectors stay zero") {
+    val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(emb, 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(p.values.forall(_.length == 4))
+    // re-derive the signs exactly as the operator does
+    import org.apache.spark.unsafe.types.UTF8String
+    val signs = (0 until 4).map { j =>
+      (1 to 3).map { i =>
+        val h = graft.functions.Hash60.compute(Array(
+          UTF8String.fromString("jl" + j),
+          UTF8String.fromString(i.toString)))
+        if (h / Portable.TwoPow60 < 0.5) -1.0 else 1.0
+      }
+    }
+    val x = Seq(1.0, 2.0, 3.0)
+    val expected = signs.map(w =>
+      w.zip(x).map { case (a, b) => a * b }.sum.toFloat)
+    assert(p(1L) == expected)
+    assert(p(2L).forall(_ == 0f))
+    intercept[IllegalArgumentException] {
+      Similarity.randomProject(emb, 0)
+    }
+  }
+
   test("meanPoolEmbeddings: exact per-dim means; duplicate members weigh " +
       "per occurrence; unmatched members drop the inner-join way") {
     val emb = Seq(
