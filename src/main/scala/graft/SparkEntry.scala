@@ -416,6 +416,10 @@ object SparkEntry {
     * truncation, so the two recall reports price the two reduction
     * strategies head-to-head. */
   val JlDims = 16
+  /** q156 attribution window (48 h) — sits inside the fixture's
+    * conversion-gap distribution (median signup→click ≈ 29 h), so the
+    * window visibly bites without zeroing the funnel. */
+  val FunnelWindowMs = 172800000L
   /** Independent SRP tables for the OR-amplified ANN (q42). */
   val AnnTables = 2
   /** Embedding near-dup cosine threshold. */
@@ -2845,6 +2849,16 @@ object SparkEntry {
     // eventsUs (same reasoning as the sessionize pair).
     "q57_funnel" -> ((s, dir) => {
       Events.funnel(eventsUs(s, dir), FunnelStages).orderBy("stage_idx")
+    }),
+
+    // The funnel under a 48-hour attribution window: each stage only
+    // credits conversions landing within FunnelWindowMs of the
+    // previous reach — q57 is its upper bound, q136's latency
+    // distribution is how the window gets chosen. ns events like q136
+    // (gap arithmetic needs the ns longs).
+    "q156_funnel_windowed" -> ((s, dir) => {
+      Events.funnelWindowed(Sources.eventsNs(s, dir), FunnelStages,
+        FunnelWindowMs).orderBy("stage_idx")
     }),
 
     // Daily cohort retention triangle (cohort = period of first event).
@@ -5769,6 +5783,36 @@ object SparkEntry {
          |  SELECT e.user_id, min(e.ts) AS rt FROM events e
          |  JOIN s2 ON e.user_id = s2.user_id
          |  WHERE e.event_type = '${FunnelStages(2)}' AND e.ts > s2.rt
+         |  GROUP BY e.user_id
+         |)
+         |SELECT 1::BIGINT AS stage_idx, '${FunnelStages(0)}' AS stage,
+         |       (SELECT count(*) FROM s1)::BIGINT AS n_users
+         |UNION ALL SELECT 2::BIGINT, '${FunnelStages(1)}',
+         |       (SELECT count(*) FROM s2)::BIGINT
+         |UNION ALL SELECT 3::BIGINT, '${FunnelStages(2)}',
+         |       (SELECT count(*) FROM s3)::BIGINT
+         |ORDER BY stage_idx""".stripMargin,
+
+    // q156: q57's chain with the window predicate on every tail stage —
+    // epoch_ms floors the µs-read timestamp to ms exactly like the
+    // engine's `ns div 1000000`.
+    "q156_funnel_windowed" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS rt FROM events
+         |  WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id
+         |),
+         |s2 AS (
+         |  SELECT e.user_id, min(e.ts) AS rt FROM events e
+         |  JOIN s1 ON e.user_id = s1.user_id
+         |  WHERE e.event_type = '${FunnelStages(1)}' AND e.ts > s1.rt
+         |    AND epoch_ms(e.ts) - epoch_ms(s1.rt) <= $FunnelWindowMs
+         |  GROUP BY e.user_id
+         |),
+         |s3 AS (
+         |  SELECT e.user_id, min(e.ts) AS rt FROM events e
+         |  JOIN s2 ON e.user_id = s2.user_id
+         |  WHERE e.event_type = '${FunnelStages(2)}' AND e.ts > s2.rt
+         |    AND epoch_ms(e.ts) - epoch_ms(s2.rt) <= $FunnelWindowMs
          |  GROUP BY e.user_id
          |)
          |SELECT 1::BIGINT AS stage_idx, '${FunnelStages(0)}' AS stage,

@@ -439,6 +439,45 @@ object Events {
     rows
   }
 
+  /** [[funnel]] with an ATTRIBUTION WINDOW — stage k+1 counts a user
+    * only when their first qualifying event lands within `maxGapMs` of
+    * reaching stage k: "converted, and within the window the business
+    * actually credits" (the number ad attribution and trial-to-paid
+    * funnels report; the unwindowed [[funnel]] is its upper bound, and
+    * [[funnelLatency]]'s distribution is how you CHOOSE the window).
+    * The windowed reach time chains: stage k+2's window starts at the
+    * first WINDOWED stage-k+1 event. Gap compares ms-floors of the ns
+    * event times (the [[sessionize]] duration rule — survives sub-ms
+    * read truncation); same stage-chain shape, eagerness contract and
+    * skew caveat as [[funnel]], whose scaladoc is the reference — the
+    * window predicate on the tail-stage filter is the ONLY delta. */
+  def funnelWindowed(events: DataFrame, stages: Seq[String],
+                     maxGapMs: Long, eager: Boolean = true): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    require(stages.distinct.size == stages.size,
+      s"stages must be distinct: ${stages.mkString(",")}")
+    require(maxGapMs >= 0, s"maxGapMs must be >= 0, got $maxGapMs")
+    def barrier(df: DataFrame): DataFrame =
+      if (eager) Barrier.cut(df) else df
+    def stageRow(idx: Long, st: String, reach: DataFrame): DataFrame =
+      reach.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(st).as("stage"),
+          col("n_users"))
+    var reach = barrier(events.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
+    var rows = stageRow(1L, stages.head, reach)
+    for ((st, i) <- stages.tail.zipWithIndex) {
+      reach = barrier(events.filter(col("event_type") === st)
+        .join(reach, Seq("user_id"))
+        .filter(col("ts") > col("__rt") &&
+          (expr("ts div 1000000") - expr("__rt div 1000000"))
+            <= maxGapMs)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__rt")))
+      rows = rows.union(stageRow(i + 2L, st, reach))
+    }
+    rows
+  }
+
   /** Per-user event-transition matrix — for every ordered pair of
     * consecutive events of one user ((ts, event_id) order, the
     * [[sessionize]] tiebreak), the count and the row-normalized

@@ -187,6 +187,33 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  test("funnelWindowed: credits only conversions inside the attribution " +
+      "window; a window wider than every gap reproduces funnel exactly") {
+    val ms = 1000000L // ns per ms
+    val stages = Seq("signup", "click", "purchase")
+    val fe = Seq(
+      // user 1: click in window; purchase 500ms after the click — out
+      (1L, 0L, 1L, "signup", 0.0), (2L, 5 * ms, 1L, "click", 0.0),
+      (3L, 505 * ms, 1L, "purchase", 0.0),
+      // user 2: every transition within 100ms
+      (4L, 0L, 2L, "signup", 0.0), (5L, 50 * ms, 2L, "click", 0.0),
+      (6L, 120 * ms, 2L, "purchase", 0.0),
+      // user 3: click 200ms after signup — outside the window
+      (7L, 0L, 3L, "signup", 0.0), (8L, 200 * ms, 3L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val w = Events.funnelWindowed(fe, stages, 100L).orderBy("stage_idx")
+      .select($"n_users").as[Long].collect().toSeq
+    assert(w == Seq(3L, 2L, 1L))
+    val wide = Events.funnelWindowed(fe, stages, 1000000L)
+      .orderBy("stage_idx").collect().toSeq
+    val plain = Events.funnel(fe, stages).orderBy("stage_idx")
+      .collect().toSeq
+    assert(wide == plain)
+    intercept[IllegalArgumentException] {
+      Events.funnelWindowed(fe, stages, -1L)
+    }
+  }
+
   test("funnel: single-pass chaining — events scanned once per stage, counts read barriers") {
     // instrument the source: the accumulator ticks once per row READ, so
     // (value / rows) = number of full source scans. Stage k must reuse
