@@ -2876,6 +2876,17 @@ object SparkEntry {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // Decontamination threshold sensitivity: per observed worst-overlap
+    // value, how many training docs a minShared bar set there would
+    // flag — every candidate threshold priced in one pass (q145's
+    // pattern applied to the q61 bar).
+    "q157_contamination_sens" -> ((s, dir) => {
+      val sh = shingled(s, dir)
+      Dedup.contaminationSensitivity(sh,
+          sh.filter(col("doc_id") < EvalSetDocs), "doc_id")
+        .orderBy("max_shared")
+    }),
+
     // ANN index-quality audit: per-probe recall of the SRP top-k (q28)
     // against the exact top-k (q16) — the continuous production check
     // that tunes the plane/table count; the scalar average hides the
@@ -5833,6 +5844,29 @@ object SparkEntry {
          |GROUP BY tp.doc_id, ep.eval_id
          |HAVING count(*) >= $ContaminationMinShared
          |ORDER BY tp.doc_id, ep.eval_id""".stripMargin,
+
+    // q157: q61's posting join at minShared = 1, doc-keyed max, value
+    // rollup, descending cumulative.
+    "q157_contamination_sens" ->
+      s"""$shingleSqlCte,
+         |tp AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ep AS (SELECT doc_id AS eval_id, unnest(shingles) AS s FROM sh
+         |       WHERE doc_id < $EvalSetDocs),
+         |pairsh AS (
+         |  SELECT tp.doc_id, ep.eval_id, count(*) AS shared_ngrams
+         |  FROM tp JOIN ep USING (s)
+         |  GROUP BY tp.doc_id, ep.eval_id
+         |),
+         |mx AS (
+         |  SELECT doc_id, max(shared_ngrams) AS max_shared
+         |  FROM pairsh GROUP BY doc_id
+         |)
+         |SELECT max_shared, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(count(*)) OVER (ORDER BY max_shared DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_docs_ge
+         |FROM mx GROUP BY max_shared
+         |ORDER BY max_shared""".stripMargin,
 
     // q108: eval docs (and their shingle arrays' distinctness) come
     // from the same sh CTE as the Spark side; a doc too short to

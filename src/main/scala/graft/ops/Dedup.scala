@@ -587,6 +587,34 @@ object Dedup {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Decontamination threshold-sensitivity curve —
+    * [[dedupSensitivity]]'s question asked of the eval-overlap bar:
+    * each training document scores its WORST overlap with any single
+    * eval document (max shared distinct shingles — exactly the
+    * statistic [[contamination]]'s `minShared` thresholds), and the
+    * report gives, per observed max-shared value m, the document count
+    * at m and the descending cumulative — how many training docs a
+    * `minShared = m` bar would flag. One run prices EVERY candidate
+    * threshold; without it each bar costs its own contamination pass.
+    *
+    * Shape: [[contamination]]'s posting join at minShared = 1 (same
+    * `broadcastEval` contract — the training corpus never shuffles in
+    * broadcast mode), one doc-keyed max agg, one count rollup keyed on
+    * the shared-count value, and the cumulative as a window over that
+    * compact frame (rows ≤ the largest eval document's shingle count —
+    * an audited-bounded global window like the vocab-sized ones). */
+  def contaminationSensitivity(shingledTrain: DataFrame,
+                               shingledEval: DataFrame, idCol: String,
+                               broadcastEval: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("max_shared").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    contamination(shingledTrain, shingledEval, idCol, 1L, broadcastEval)
+      .groupBy(col(idCol)).agg(max(col("shared_ngrams")).as("max_shared"))
+      .groupBy(col("max_shared")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cum_docs_ge", sum(col("n_docs")).over(w))
+  }
+
   /** Per-EVAL-document contamination coverage — the eval-integrity
     * audit that complements [[contamination]]'s train-side scrub list:
     * for each eval document, the fraction of its distinct shingles

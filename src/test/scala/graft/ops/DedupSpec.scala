@@ -183,6 +183,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationSensitivity: worst-overlap is a max over eval docs, " +
+      "not a sum; descending cumulative prices every minShared bar") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    // eval set = docs 1 AND 3 (near-dups of each other): doc 2 overlaps
+    // doc 1 at 7 and doc 3 at 5 — its max_shared must read 7, not 12
+    val r = Dedup.contaminationSensitivity(sh,
+        sh.filter($"doc_id" === 1L || $"doc_id" === 3L), "doc_id")
+      .as[(Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val perDoc = Dedup.contamination(sh,
+        sh.filter($"doc_id" === 1L || $"doc_id" === 3L), "doc_id", 1L)
+      .groupBy($"doc_id").agg(max($"shared_ngrams").as("m"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc(2L) == 7L) // max, not 12
+    // histogram matches the independently computed per-doc maxima
+    assert(r.map { case (m, (n, _)) => m -> n } ==
+      perDoc.values.groupBy(identity).map { case (m, v) => m -> v.size.toLong })
+    // cumulative: docs a bar at m would flag = docs with max_shared >= m
+    r.keys.foreach { m =>
+      assert(r(m)._2 == perDoc.values.count(_ >= m).toLong)
+    }
+  }
+
   test("contamination: shuffle-join fallback (broadcastEval=false) is identical") {
     val sh = docs.select($"doc_id",
       Text.shingles(Text.tokens($"text"), 3).as("shingles"))
