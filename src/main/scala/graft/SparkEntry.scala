@@ -481,6 +481,12 @@ object SparkEntry {
   def q37EmbPath(dir: String): String =
     "/root/repo/target/q37_emb_" + dir.split('/').last
 
+  /** q158's audited multi-file parquet directory — written by the query
+    * itself (4 hash partitions of lineitem), same per-SF keying and
+    * [[SfToken]] oracle convention as [[q144IdxPath]]. */
+  def q158LayoutPath(dir: String): String =
+    "/root/repo/target/q158_layout_" + dir.split('/').last
+
   /** q37's persisted MODEL directory (S8 at rest) — the trained model
     * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
     * embedding table is extracted, so model persistence sits INSIDE the
@@ -2874,6 +2880,19 @@ object SparkEntry {
       Dedup.contamination(sh, sh.filter(col("doc_id") < EvalSetDocs),
         "doc_id", ContaminationMinShared)
         .orderBy("doc_id", "eval_id")
+    }),
+
+    // Parquet layout audit: write a 4-file hash-partitioned table, then
+    // read ONLY its footers back — per file row groups / rows /
+    // compressed / uncompressed bytes. The oracle reads the same
+    // footers through DuckDB's parquet_metadata(), so the audit is
+    // verified bit-for-bit against an independent parquet
+    // implementation (the q144 sink-interchange pattern for METADATA).
+    "q158_parquet_layout" -> ((s, dir) => {
+      val path = q158LayoutPath(dir)
+      t(s, dir, "lineitem").repartition(4, col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      Sources.parquetLayoutAudit(s, path).orderBy("file_name")
     }),
 
     // Decontamination threshold sensitivity: per observed worst-overlap
@@ -5844,6 +5863,24 @@ object SparkEntry {
          |GROUP BY tp.doc_id, ep.eval_id
          |HAVING count(*) >= $ContaminationMinShared
          |ORDER BY tp.doc_id, ep.eval_id""".stripMargin,
+
+    // q158: the same footers through DuckDB's own parquet reader —
+    // column-chunk metadata rolls up to (row group) then (file).
+    "q158_parquet_layout" ->
+      s"""WITH cc AS (
+         |  SELECT file_name, row_group_id,
+         |    max(row_group_num_rows) AS rg_rows,
+         |    sum(total_compressed_size) AS comp,
+         |    sum(total_uncompressed_size) AS unc
+         |  FROM parquet_metadata('${q158LayoutPath(SfToken)}/*.parquet')
+         |  GROUP BY file_name, row_group_id
+         |)
+         |SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
+         |  count(*)::BIGINT AS n_row_groups,
+         |  sum(rg_rows)::BIGINT AS n_rows,
+         |  sum(comp)::BIGINT AS compressed_bytes,
+         |  sum(unc)::BIGINT AS uncompressed_bytes
+         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q157: q61's posting join at minShared = 1, doc-keyed max, value
     // rollup, descending cumulative.

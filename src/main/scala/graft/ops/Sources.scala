@@ -166,4 +166,46 @@ object Sources {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Parquet LAYOUT audit — per file: row-group count, rows,
+    * compressed/uncompressed bytes, straight from the footers. The
+    * physical-layout health check a 100 TB table needs BEFORE anyone
+    * queries it: thousands of KB-sized files (the small-files problem)
+    * or single-row-group multi-GB files (no intra-file parallelism, no
+    * row-group pruning) both read as pathologies here long before they
+    * read as slow queries. Metadata-only — footer reads, never data
+    * pages; the file list fans out over the cluster (`parallelize` +
+    * per-partition `ParquetFileReader`), so auditing a 100k-file table
+    * is a few thousand footer RPCs per executor, not a driver loop.
+    * DuckDB's `parquet_metadata()` reads the same footers, which makes
+    * the audit oracle-checkable bit-for-bit (q158). */
+  def parquetLayoutAudit(spark: SparkSession, dirPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val fs = new Path(dirPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(dirPath))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = r.getFooter.getBlocks.asScala.toSeq
+            (p.split('/').last, blocks.size.toLong,
+              blocks.map(_.getRowCount).sum,
+              blocks.map(_.getCompressedSize).sum,
+              blocks.map(_.getTotalByteSize).sum)
+          } finally r.close()
+        }
+      }
+      .toDF("file_name", "n_row_groups", "n_rows",
+        "compressed_bytes", "uncompressed_bytes")
+  }
 }

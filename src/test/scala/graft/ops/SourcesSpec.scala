@@ -116,4 +116,19 @@ class SourcesSpec extends SparkSpec {
     assert(totals.getLong(1) == docs.agg(org.apache.spark.sql.functions
       .sum(org.apache.spark.sql.functions.length(col("text")))).head.getLong(0))
   }
+
+  test("parquetLayoutAudit: footers account for every row and file; " +
+      "metadata-only (bytes strictly positive, groups >= 1)") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-layout").toString
+    docs.repartition(3).write.mode("overwrite").parquet(out)
+    val audit = Sources.parquetLayoutAudit(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(audit.length == 3)
+    assert(audit.map(_._3).sum == docs.count())
+    assert(audit.forall(a => a._2 >= 1L && a._4 > 0L && a._5 > 0L))
+    assert(audit.forall(_._1.endsWith(".parquet")))
+  }
 }
