@@ -487,6 +487,11 @@ object SparkEntry {
   def q158LayoutPath(dir: String): String =
     "/root/repo/target/q158_layout_" + dir.split('/').last
 
+  /** q159's audited Hive-partitioned directory — [[q158LayoutPath]]'s
+    * convention, one subdirectory per partition value. */
+  def q159LayoutPath(dir: String): String =
+    "/root/repo/target/q159_layout_" + dir.split('/').last
+
   /** q37's persisted MODEL directory (S8 at rest) — the trained model
     * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
     * embedding table is extracted, so model persistence sits INSIDE the
@@ -2892,6 +2897,19 @@ object SparkEntry {
       val path = q158LayoutPath(dir)
       t(s, dir, "lineitem").repartition(4, col("l_orderkey"))
         .write.mode("overwrite").parquet(path)
+      Sources.parquetLayoutAudit(s, path).orderBy("file_name")
+    }),
+
+    // The layout audit over a Hive-PARTITIONED sink: the recursive walk
+    // surfaces per-partition layout (file_name carries the partition
+    // subdir), which is where the small-files problem actually lives —
+    // a fine-grained partition key multiplies the file count by its
+    // cardinality.
+    "q159_partitioned_layout" -> ((s, dir) => {
+      val path = q159LayoutPath(dir)
+      Sources.writeParquetPartitioned(
+        t(s, dir, "lineitem").repartition(2, col("l_orderkey")),
+        path, Seq("l_returnflag"))
       Sources.parquetLayoutAudit(s, path).orderBy("file_name")
     }),
 
@@ -5876,6 +5894,27 @@ object SparkEntry {
          |  GROUP BY file_name, row_group_id
          |)
          |SELECT regexp_extract(file_name, '[^/]+$$') AS file_name,
+         |  count(*)::BIGINT AS n_row_groups,
+         |  sum(rg_rows)::BIGINT AS n_rows,
+         |  sum(comp)::BIGINT AS compressed_bytes,
+         |  sum(unc)::BIGINT AS uncompressed_bytes
+         |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q159: one partition level — the glob matches dir/value/file and
+    // the relative name strips the audit root, matching the engine's
+    // root-relative file_name.
+    "q159_partitioned_layout" ->
+      s"""WITH cc AS (
+         |  SELECT replace(file_name, '${q159LayoutPath(SfToken)}/', '')
+         |      AS rel_name,
+         |    row_group_id,
+         |    max(row_group_num_rows) AS rg_rows,
+         |    sum(total_compressed_size) AS comp,
+         |    sum(total_uncompressed_size) AS unc
+         |  FROM parquet_metadata('${q159LayoutPath(SfToken)}/*/*.parquet')
+         |  GROUP BY rel_name, row_group_id
+         |)
+         |SELECT rel_name AS file_name,
          |  count(*)::BIGINT AS n_row_groups,
          |  sum(rg_rows)::BIGINT AS n_rows,
          |  sum(comp)::BIGINT AS compressed_bytes,

@@ -178,34 +178,47 @@ object Sources {
     * per-partition `ParquetFileReader`), so auditing a 100k-file table
     * is a few thousand footer RPCs per executor, not a driver loop.
     * DuckDB's `parquet_metadata()` reads the same footers, which makes
-    * the audit oracle-checkable bit-for-bit (q158). */
+    * the audit oracle-checkable bit-for-bit (q158; q159 audits a
+    * Hive-partitioned sink through the same recursive walk).
+    *
+    * Listing RECURSES (Hive-partitioned tables are directory trees)
+    * and `file_name` is the path RELATIVE to the audit root, so a
+    * partitioned table's rows read `source=wiki/part-….parquet` — the
+    * audit shows per-partition layout for free. */
   def parquetLayoutAudit(spark: SparkSession, dirPath: String): DataFrame = {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
     import scala.jdk.CollectionConverters._
-    val fs = new Path(dirPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new Path(dirPath))
-      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val root = new Path(dirPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(_.getName.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
-      .mapPartitions { it =>
+      .mapPartitions { fit =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        it.map { p =>
+        fit.map { p =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(p), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
             val blocks = r.getFooter.getBlocks.asScala.toSeq
-            (p.split('/').last, blocks.size.toLong,
+            (p, blocks.size.toLong,
               blocks.map(_.getRowCount).sum,
               blocks.map(_.getCompressedSize).sum,
               blocks.map(_.getTotalByteSize).sum)
           } finally r.close()
         }
       }
-      .toDF("file_name", "n_row_groups", "n_rows",
+      .toDF("__p", "n_row_groups", "n_rows",
         "compressed_bytes", "uncompressed_bytes")
+      .select(expr(s"substring(__p, ${rootUri.length + 1})")
+          .as("file_name"),
+        col("n_row_groups"), col("n_rows"),
+        col("compressed_bytes"), col("uncompressed_bytes"))
   }
 }
