@@ -2913,6 +2913,23 @@ object SparkEntry {
       Sources.parquetLayoutAudit(s, path).orderBy("file_name")
     }),
 
+    // The schema-drift audit over heterogeneous tables: distinct leaf
+    // columns straight from the parquet footers — flat scalars
+    // (lineitem), strings + timestamps (events), and a nested
+    // list<float> (embeddings, whose `element` leaf is the row that
+    // proves nesting walks correctly). The storage-level form of the
+    // reference's column-count/dtype gates (Q3/Q4): what the FILES
+    // declare, not what a reader inferred.
+    "q160_schema_audit" -> ((s, dir) => {
+      Seq("lineitem", "events", "embeddings").map { name =>
+        Sources.parquetSchemaAudit(s, s"$dir/$name.parquet")
+          .withColumn("table_name", lit(name))
+      }.reduce(_.unionByName(_))
+        .select(col("table_name"), col("field_name"), col("physical_type"),
+          col("repetition"), col("converted_type"))
+        .orderBy("table_name", "field_name")
+    }),
+
     // Decontamination threshold sensitivity: per observed worst-overlap
     // value, how many training docs a minShared bar set there would
     // flag — every candidate threshold priced in one pass (q145's
@@ -5920,6 +5937,19 @@ object SparkEntry {
          |  sum(comp)::BIGINT AS compressed_bytes,
          |  sum(unc)::BIGINT AS uncompressed_bytes
          |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q160: DuckDB reads the same footers; leaf columns are the rows
+    // with no children. DISTINCT matches the engine's cross-file
+    // distinct (single-file fixtures make it a no-op, but the CONTRACT
+    // is distinct-leaf-set, so the oracle says so too).
+    "q160_schema_audit" ->
+      Seq("lineitem", "events", "embeddings").map { name =>
+        s"""SELECT DISTINCT '$name' AS table_name, name AS field_name,
+           |  type AS physical_type, repetition_type AS repetition,
+           |  converted_type
+           |FROM parquet_schema('/root/testdata/$SfToken/$name.parquet')
+           |WHERE num_children IS NULL""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, field_name"),
 
     // q157: q61's posting join at minShared = 1, doc-keyed max, value
     // rollup, descending cumulative.

@@ -55,7 +55,10 @@ object Quality {
   }
 
   /** Q3: `check_column_counts` — column arity (metadata only, no job;
-    * `data_quality_checks.py:60-83`). */
+    * `data_quality_checks.py:60-83`). The storage-level oracle-verified
+    * form of this gate and [[checkSchema]]'s is
+    * [[graft.ops.Sources.parquetSchemaAudit]] (q160): what the files
+    * declare, independent of the reader. */
   def checkColumnCount(df: DataFrame, expected: Int): Unit =
     if (df.columns.length != expected)
       throw QualityError(

@@ -221,4 +221,67 @@ object Sources {
         col("n_row_groups"), col("n_rows"),
         col("compressed_bytes"), col("uncompressed_bytes"))
   }
+
+  /** Parquet SCHEMA audit — the distinct set of LEAF columns across
+    * every footer under `dirPath`: (field_name, physical_type,
+    * repetition, converted_type). This is the storage-level form of the
+    * reference's `check_column_counts`/`check_dtypes` gates
+    * (`data_quality_checks.py`): instead of trusting the reader's
+    * inferred `DataFrame.schema`, it reads what the files themselves
+    * declare — which is what a 100 TB lake actually has to defend.
+    * Because the output is DISTINCT over files, a healthy table yields
+    * exactly one row per column; a directory where writers drifted
+    * (a column widened int32→int64, a string column written untyped
+    * BYTE_ARRAY by one producer) yields DUPLICATE field_name rows — the
+    * drift surfaces as extra rows, not as a reader crash three jobs
+    * later. Footer-only and distributed exactly like
+    * [[parquetLayoutAudit]]; DuckDB's `parquet_schema()` reads the same
+    * footers (leaf rows = `num_children IS NULL`), making the audit
+    * oracle-checkable bit-for-bit (q160).
+    *
+    * `field_name` is the leaf's own name (the last path segment), so a
+    * nested `list<float>` column reports its `element` leaf — the same
+    * node name DuckDB prints. `converted_type` is the parquet
+    * ConvertedType annotation (UTF8, TIMESTAMP_MICROS, …; null for
+    * plain physical types), matching DuckDB's column of the same name. */
+  def parquetSchemaAudit(spark: SparkSession, dirPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val root = new Path(dirPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .mapPartitions { fit =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        fit.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            r.getFooter.getFileMetaData.getSchema.getColumns.asScala
+              .map { cd =>
+                val pt = cd.getPrimitiveType
+                // parquet-mr's enum spells the spec's BYTE_ARRAY as
+                // "BINARY"; report the format-spec name (what DuckDB
+                // and the Thrift definition both print).
+                val phys = pt.getPrimitiveTypeName.name match {
+                  case "BINARY" => "BYTE_ARRAY"
+                  case other    => other
+                }
+                (cd.getPath.last, phys,
+                  pt.getRepetition.name,
+                  Option(pt.getOriginalType).map(_.name).orNull)
+              }.toSeq
+          } finally r.close()
+        }
+      }
+      .toDF("field_name", "physical_type", "repetition", "converted_type")
+      .distinct()
+  }
 }

@@ -131,4 +131,30 @@ class SourcesSpec extends SparkSpec {
     assert(audit.forall(a => a._2 >= 1L && a._4 > 0L && a._5 > 0L))
     assert(audit.forall(_._1.endsWith(".parquet")))
   }
+
+  test("parquetSchemaAudit: one row per leaf on a healthy table; " +
+      "writer drift surfaces as duplicate field_name rows") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-schema").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("append").parquet(s"$out/t")
+    val healthy = Sources.parquetSchemaAudit(spark, s"$out/t").collect()
+    assert(healthy.length == 2)
+    assert(healthy.map(_.getString(0)).sorted.toSeq == Seq("id", "v"))
+    assert(healthy.find(_.getString(0) == "id").get.getString(1) == "INT64")
+    assert(healthy.find(_.getString(0) == "v").get.getString(3) == "UTF8")
+    // a second writer narrows id to int32 — reading the MERGED dir with
+    // Spark needs mergeSchema and may still break downstream; the audit
+    // shows the drift as two `id` rows, footer-only
+    Seq((2, "b")).toDF("id", "v").write.mode("append").parquet(s"$out/t")
+    val drifted = Sources.parquetSchemaAudit(spark, s"$out/t").collect()
+    assert(drifted.count(_.getString(0) == "id") == 2)
+    assert(drifted.map(r => (r.getString(0), r.getString(1))).toSet
+      .contains(("id", "INT32")))
+    // nested lists report their leaf: embeddings' element is FLOAT
+    val emb = Sources.parquetSchemaAudit(
+      spark, sf("sf0.001") + "/embeddings.parquet").collect()
+    assert(emb.map(r => (r.getString(0), r.getString(1))).toSet
+      .contains(("element", "FLOAT")))
+  }
 }
