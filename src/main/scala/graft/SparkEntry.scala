@@ -401,6 +401,13 @@ object SparkEntry {
   /** q151 curve: every power-of-two prefix up to the full 64 dims (the
     * last entry is the reference dimension). */
   val MatryoshkaDims = Seq(8, 16, 32, 64)
+  /** q161 margin mining: per-endpoint neighborhood size (k nearest on
+    * each side feed the ratio penalty). */
+  val MarginK = 4
+  /** q161 margin threshold — τ just above 1: a mined pair must beat
+    * the average of its own two neighborhoods (Artetxe & Schwenk's
+    * published operating regime). */
+  val MarginTau = 1.05
   /** q152 Heaps audit: decile document prefixes. */
   val HeapsBuckets = 10
   /** q153 order2vec: part key → fixture vec_id mapping modulus (the
@@ -2928,6 +2935,17 @@ object SparkEntry {
         .select(col("table_name"), col("field_name"), col("physical_type"),
           col("repetition"), col("converted_type"))
         .orderBy("table_name", "field_name")
+    }),
+
+    // Margin-based cross-corpus pair mining: label-0 vectors vs label-1
+    // vectors, each candidate cosine ratio-normalized by its two
+    // endpoints' top-k neighborhoods, mutual-best + τ gate. The exact
+    // ground-truth form; the 100 TB path buckets candidates via SRP.
+    "q161_margin_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMine(emb.filter(col("label") === 0),
+          emb.filter(col("label") === 1), MarginK, MarginTau)
+        .orderBy("x_id")
     }),
 
     // Decontamination threshold sensitivity: per observed worst-overlap
@@ -5950,6 +5968,58 @@ object SparkEntry {
            |FROM parquet_schema('/root/testdata/$SfToken/$name.parquet')
            |WHERE num_children IS NULL""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name, field_name"),
+
+    // q161: the same integerize-then-exact-ratio discipline — cosines
+    // 9dp-rounded then scaled to BIGINT, top-k penalty sums exact,
+    // margin = one double division of two exact integers.
+    "q161_margin_mining" ->
+      s"""WITH x AS (
+         |  SELECT vec_id AS x_id,
+         |         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xv
+         |  FROM embeddings WHERE label = 0
+         |),
+         |y AS (
+         |  SELECT vec_id AS y_id,
+         |         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS yv
+         |  FROM embeddings WHERE label = 1
+         |),
+         |si AS (
+         |  SELECT x_id, y_id, cos,
+         |         CAST(floor(cos * 1e9 + 0.5) AS BIGINT) AS ci
+         |  FROM (SELECT x_id, y_id,
+         |          round(${cosSql("xv", "yv")}, 9) AS cos
+         |        FROM x, y)
+         |),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY x_id
+         |      ORDER BY ci DESC, y_id) AS rx,
+         |    row_number() OVER (PARTITION BY y_id
+         |      ORDER BY ci DESC, x_id) AS ry
+         |  FROM si
+         |),
+         |sx AS (SELECT x_id, sum(ci) AS sx FROM r
+         |       WHERE rx <= $MarginK GROUP BY x_id),
+         |sy AS (SELECT y_id, sum(ci) AS sy FROM r
+         |       WHERE ry <= $MarginK GROUP BY y_id),
+         |m AS (
+         |  SELECT si.x_id, si.y_id, si.cos,
+         |    round(CAST(si.ci * ${2 * MarginK} AS DOUBLE) /
+         |          CAST(sx.sx + sy.sy AS DOUBLE), 9) AS margin
+         |  FROM si JOIN sx USING (x_id) JOIN sy USING (y_id)
+         |  WHERE sx.sx + sy.sy <> 0
+         |),
+         |b AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY x_id
+         |      ORDER BY margin DESC, y_id) AS bx,
+         |    row_number() OVER (PARTITION BY y_id
+         |      ORDER BY margin DESC, x_id) AS byy
+         |  FROM m
+         |)
+         |SELECT x_id, y_id, cos, margin FROM b
+         |WHERE bx = 1 AND byy = 1 AND margin >= $MarginTau
+         |ORDER BY x_id""".stripMargin,
 
     // q157: q61's posting join at minShared = 1, doc-keyed max, value
     // rollup, descending cumulative.

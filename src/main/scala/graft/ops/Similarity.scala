@@ -107,6 +107,72 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL'19 §3;
+    * the CCMatrix/LASER bitext-mining score): a raw cosine threshold
+    * cannot separate true cross-corpus pairs from "hubs" — vectors that
+    * are uniformly close to everything — so each candidate cosine is
+    * RATIO-NORMALIZED by its two endpoints' neighborhood density:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgTopK(x→Y) + avgTopK(y→X)) / 2)
+    *
+    * and a pair is mined iff it is the MUTUAL best match by margin and
+    * margin ≥ `tau` (τ slightly above 1 = "this pair beats its own
+    * neighborhoods", the published operating point). The same score
+    * mines aligned pairs across any two embedded corpora: translations
+    * across languages, near-synonym products across catalogs,
+    * caption↔image across modalities.
+    *
+    * Cross-engine determinism: cosines are rounded to 9 dp then
+    * integerized (·1e9) per pair; the top-k penalty sums accumulate in
+    * exact BIGINT; the margin is formed as the integer ratio
+    * 2k·cos_i / (sx+sy) and cast to double ONCE — both engines divide
+    * the same two exact integers. A zero penalty sum (margin undefined)
+    * drops the pair.
+    *
+    * Shape: one cross join with the Y side broadcast (mining is always
+    * big-corpus × small-corpus per batch), then two bounded windows
+    * over the pair frame — each partition holds at most |Y| (resp. the
+    * X batch) rows. At 100 TB both sides are large: generate candidates
+    * from shared SRP buckets ([[graft.ops.Dedup.srpBuckets]]) and
+    * compute the penalties within the retrieved sets — the standard
+    * ANN-mining posture (CCMatrix mines 32B pairs exactly this way);
+    * the exact form here is the oracle-able ground truth the
+    * approximate path is audited against (the q119 recall pattern).
+    * Returns (x_id, y_id, cos, margin), mutual-best rows only. */
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int,
+                 tau: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val x = xs.select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val y = ys.select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val scored = x.crossJoin(broadcast(y))
+      .withColumn("cos", round(cosine(col("xv"), col("yv")), 9))
+      .withColumn("__ci", floor(col("cos") * 1e9 + lit(0.5)).cast("long"))
+      .select(col("x_id"), col("y_id"), col("cos"), col("__ci"))
+    val ranked = scored
+      .withColumn("__rx", row_number().over(Window.partitionBy(col("x_id"))
+        .orderBy(desc("__ci"), asc("y_id"))))
+      .withColumn("__ry", row_number().over(Window.partitionBy(col("y_id"))
+        .orderBy(desc("__ci"), asc("x_id"))))
+    val sx = ranked.filter(col("__rx") <= k)
+      .groupBy(col("x_id")).agg(sum(col("__ci")).as("__sx"))
+    val sy = ranked.filter(col("__ry") <= k)
+      .groupBy(col("y_id")).agg(sum(col("__ci")).as("__sy"))
+    val margins = scored
+      .join(sx, Seq("x_id")).join(sy, Seq("y_id"))
+      .filter(col("__sx") + col("__sy") =!= 0L)
+      .withColumn("margin", round(
+        (col("__ci") * lit(2L * k)).cast("double") /
+          (col("__sx") + col("__sy")).cast("double"), 9))
+    margins
+      .withColumn("__bx", row_number().over(Window.partitionBy(col("x_id"))
+        .orderBy(desc("margin"), asc("y_id"))))
+      .withColumn("__by", row_number().over(Window.partitionBy(col("y_id"))
+        .orderBy(desc("margin"), asc("x_id"))))
+      .filter(col("__bx") === 1 && col("__by") === 1 &&
+        col("margin") >= tau)
+      .select(col("x_id"), col("y_id"), col("cos"), col("margin"))
+  }
+
   /** Matryoshka truncation (Kusupati et al., NeurIPS'22 — the
     * MRL-embedding serving trick): keep only the FIRST `dims`
     * coordinates of each vector. With matryoshka-trained embeddings the

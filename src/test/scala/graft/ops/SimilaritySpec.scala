@@ -200,4 +200,40 @@ class SimilaritySpec extends SparkSpec {
     // oracle proves the composition end-to-end)
     assert(pooled.values.forall(_.length == 2))
   }
+
+  test("marginMine: output is a partial matching, planted translation " +
+      "pair is mined, and a hub's raw-cosine wins are margin-suppressed") {
+    def emb(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    // X: 3 spread-out unit-ish vectors; Y: exact copies of two of them
+    // (planted aligned pairs) plus a HUB — the normalized mean of all
+    // X, fairly close to everything but the best match of nothing.
+    val x = emb(
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0.1f, 0.1f, 1f, 0f))
+    val hub = Seq(0.6f, 0.6f, 0.55f, 0f)
+    val y = emb(
+      11L -> Seq(1f, 0.05f, 0f, 0f),
+      12L -> Seq(0.05f, 1f, 0f, 0f),
+      14L -> Seq(0.1f, 0.15f, 1f, 0f),
+      13L -> hub)
+    val mined = Similarity.marginMine(x, y, k = 2, tau = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted pairs mined; the hub pairs with nothing (every x prefers
+    // its aligned partner once neighborhood density divides out)
+    assert(mined.contains((1L, 11L)) && mined.contains((2L, 12L)))
+    assert(!mined.exists(_._2 == 13L))
+    // partial matching: no endpoint appears twice
+    val full = Similarity.marginMine(x, y, k = 2, tau = 0.0).collect()
+    assert(full.map(_.getLong(0)).distinct.length == full.length)
+    assert(full.map(_.getLong(1)).distinct.length == full.length)
+    // mutual-best is symmetric: swapping sides mirrors the pair set
+    val swapped = Similarity.marginMine(y, x, k = 2, tau = 0.0)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(swapped == full.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // margins respect the tau gate
+    assert(Similarity.marginMine(x, y, k = 2, tau = 1.0)
+      .collect().forall(_.getDouble(3) >= 1.0))
+  }
 }
