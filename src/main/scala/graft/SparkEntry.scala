@@ -1388,6 +1388,41 @@ object SparkEntry {
 
   /** DuckDB fragment: sequential-fold cosine between list columns a, b —
     * same operand order as [[Similarity.cosine]]. */
+  /** Shared mining tail for q161/q162 (mirror of
+    * `Similarity.mineScored`): expects a CTE `si(x_id, y_id, cos, ci)`
+    * already open, appends the exact-integer top-k penalties, the
+    * one-division margin, and the mutual-best + τ gate. Lines carry no
+    * margin bar on purpose — the host string's `stripMargin` must leave
+    * them untouched. */
+  private def marginMineSqlTail: String =
+    s""",
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY x_id ORDER BY ci DESC, y_id) AS rx,
+    row_number() OVER (PARTITION BY y_id ORDER BY ci DESC, x_id) AS ry
+  FROM si
+),
+sx AS (SELECT x_id, sum(ci) AS sx FROM r
+       WHERE rx <= $MarginK GROUP BY x_id),
+sy AS (SELECT y_id, sum(ci) AS sy FROM r
+       WHERE ry <= $MarginK GROUP BY y_id),
+m AS (
+  SELECT si.x_id, si.y_id, si.cos,
+    round(CAST(si.ci * ${2 * MarginK} AS DOUBLE) /
+          CAST(sx.sx + sy.sy AS DOUBLE), 9) AS margin
+  FROM si JOIN sx USING (x_id) JOIN sy USING (y_id)
+  WHERE sx.sx + sy.sy <> 0
+),
+b AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+    row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS byy
+  FROM m
+)
+SELECT x_id, y_id, cos, margin FROM b
+WHERE bx = 1 AND byy = 1 AND margin >= $MarginTau
+ORDER BY x_id"""
+
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
        | (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) *
@@ -2945,6 +2980,17 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.marginMine(emb.filter(col("label") === 0),
           emb.filter(col("label") === 1), MarginK, MarginTau)
+        .orderBy("x_id")
+    }),
+
+    // The same mining through SRP-bucket candidates — neither side
+    // broadcast, shuffle keyed on the bucket code, penalties computed
+    // within retrieved sets: the shape that mines two 100 TB corpora.
+    // q161 is its exact-recall audit twin.
+    "q162_margin_mining_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.marginMineBucketed(emb.filter(col("label") === 0),
+          emb.filter(col("label") === 1), MarginK, MarginTau, SrpPlanes)
         .orderBy("x_id")
     }),
 
@@ -5989,37 +6035,40 @@ object SparkEntry {
          |  FROM (SELECT x_id, y_id,
          |          round(${cosSql("xv", "yv")}, 9) AS cos
          |        FROM x, y)
+         |)$marginMineSqlTail""".stripMargin,
+
+    // q162: identical mining tail over SRP-bucket candidates — the
+    // plane family is the shared srp CTE's, labels carried through the
+    // bucket so the sides stay disjoint.
+    "q162_margin_mining_lsh" ->
+      s"""WITH proj AS (
+         |  SELECT vec_id, label, p,
+         |    list_sum(list_transform(range(1, len(embedding) + 1),
+         |      i -> embedding[i]::DOUBLE * (${Portable.sqlUnif("p", "i")} - 0.5))) AS d
+         |  FROM embeddings, (SELECT unnest(range(0, $SrpPlanes)) AS p)
+         |  WHERE label IN (0, 1)
          |),
-         |r AS (
-         |  SELECT *,
-         |    row_number() OVER (PARTITION BY x_id
-         |      ORDER BY ci DESC, y_id) AS rx,
-         |    row_number() OVER (PARTITION BY y_id
-         |      ORDER BY ci DESC, x_id) AS ry
-         |  FROM si
+         |buck AS (
+         |  SELECT vec_id, label,
+         |    sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT
+         |      AS bucket
+         |  FROM proj GROUP BY vec_id, label
          |),
-         |sx AS (SELECT x_id, sum(ci) AS sx FROM r
-         |       WHERE rx <= $MarginK GROUP BY x_id),
-         |sy AS (SELECT y_id, sum(ci) AS sy FROM r
-         |       WHERE ry <= $MarginK GROUP BY y_id),
-         |m AS (
-         |  SELECT si.x_id, si.y_id, si.cos,
-         |    round(CAST(si.ci * ${2 * MarginK} AS DOUBLE) /
-         |          CAST(sx.sx + sy.sy AS DOUBLE), 9) AS margin
-         |  FROM si JOIN sx USING (x_id) JOIN sy USING (y_id)
-         |  WHERE sx.sx + sy.sy <> 0
+         |ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
          |),
-         |b AS (
-         |  SELECT *,
-         |    row_number() OVER (PARTITION BY x_id
-         |      ORDER BY margin DESC, y_id) AS bx,
-         |    row_number() OVER (PARTITION BY y_id
-         |      ORDER BY margin DESC, x_id) AS byy
-         |  FROM m
-         |)
-         |SELECT x_id, y_id, cos, margin FROM b
-         |WHERE bx = 1 AND byy = 1 AND margin >= $MarginTau
-         |ORDER BY x_id""".stripMargin,
+         |si AS (
+         |  SELECT x_id, y_id, cos,
+         |         CAST(floor(cos * 1e9 + 0.5) AS BIGINT) AS ci
+         |  FROM (SELECT bx.vec_id AS x_id, by_.vec_id AS y_id,
+         |          round(${cosSql("ex.v", "ey.v")}, 9) AS cos
+         |        FROM buck bx
+         |        JOIN buck by_ ON bx.bucket = by_.bucket
+         |          AND bx.label = 0 AND by_.label = 1
+         |        JOIN ev ex ON bx.vec_id = ex.vec_id
+         |        JOIN ev ey ON by_.vec_id = ey.vec_id)
+         |)$marginMineSqlTail""".stripMargin,
 
     // q157: q61's posting join at minShared = 1, doc-keyed max, value
     // rollup, descending cumulative.

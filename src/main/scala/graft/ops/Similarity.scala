@@ -148,6 +148,45 @@ object Similarity {
       .withColumn("cos", round(cosine(col("xv"), col("yv")), 9))
       .withColumn("__ci", floor(col("cos") * 1e9 + lit(0.5)).cast("long"))
       .select(col("x_id"), col("y_id"), col("cos"), col("__ci"))
+    mineScored(scored, k, tau)
+  }
+
+  /** The SRP-bucketed scale path of [[marginMine]]: candidates come
+    * from shared sign-random-projection buckets
+    * ([[graft.ops.Dedup.srpBuckets]] — same deterministic plane family
+    * as the ANN/near-dup paths), and the top-k penalty neighborhoods
+    * are computed WITHIN the retrieved candidate sets — exactly the
+    * approximation a FAISS-backed production miner makes (CCMatrix
+    * mines its 32B pairs this way). Neither side is broadcast and the
+    * only shuffle keys on the bucket code, so both corpora can be
+    * 100 TB. Recall is approximate (aligned pairs landing in different
+    * buckets are unseen — OR more plane tables via
+    * [[graft.ops.Dedup.srpBucketsMulti]] to recover them); audit the
+    * loss against [[marginMine]]'s exact truth on a sample, the
+    * q161/q162 pattern. */
+  def marginMineBucketed(xs: DataFrame, ys: DataFrame, k: Int,
+                         tau: Double, planes: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bx = graft.ops.Dedup.srpBuckets(xs, "vec_id", "embedding", planes)
+      .select(col("bucket"), col("vec_id").as("x_id"),
+        col("embedding").as("xv"))
+    val by = graft.ops.Dedup.srpBuckets(ys, "vec_id", "embedding", planes)
+      .select(col("bucket"), col("vec_id").as("y_id"),
+        col("embedding").as("yv"))
+    // one bucket code per vector, so a pair meets in at most one bucket
+    // — no candidate dedup needed
+    val scored = bx.join(by, Seq("bucket"))
+      .withColumn("cos", round(cosine(col("xv"), col("yv")), 9))
+      .withColumn("__ci", floor(col("cos") * 1e9 + lit(0.5)).cast("long"))
+      .select(col("x_id"), col("y_id"), col("cos"), col("__ci"))
+    mineScored(scored, k, tau)
+  }
+
+  /** Shared mining tail: exact-integer top-k penalties, margin as one
+    * integer ratio, mutual-best + τ gate over a candidate frame of
+    * (x_id, y_id, cos, __ci). */
+  private def mineScored(scored: DataFrame, k: Int,
+                         tau: Double): DataFrame = {
     val ranked = scored
       .withColumn("__rx", row_number().over(Window.partitionBy(col("x_id"))
         .orderBy(desc("__ci"), asc("y_id"))))

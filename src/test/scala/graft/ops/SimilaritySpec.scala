@@ -236,4 +236,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.marginMine(x, y, k = 2, tau = 1.0)
       .collect().forall(_.getDouble(3) >= 1.0))
   }
+
+  test("marginMineBucketed: an exactly-aligned pair shares every SRP " +
+      "bucket (same vector, same code), so it is always a candidate " +
+      "and survives; output stays a partial matching") {
+    def emb(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    val a = Seq(1f, 0f, 0.2f, 0f)
+    val b = Seq(0f, 1f, 0f, 0.2f)
+    val x = emb(1L -> a, 2L -> b, 3L -> Seq(0.3f, 0.3f, 1f, 0f))
+    val y = emb(11L -> a, 12L -> b, 13L -> Seq(0.5f, 0.5f, 0.4f, 0.1f))
+    for (planes <- Seq(1, 2, 4)) {
+      val mined = Similarity
+        .marginMineBucketed(x, y, k = 2, tau = 1.0, planes = planes)
+        .collect()
+      val pairs = mined.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 11L)) && pairs.contains((2L, 12L)),
+        s"planes=$planes mined=$pairs")
+      assert(mined.map(_.getLong(0)).distinct.length == mined.length)
+      assert(mined.map(_.getLong(1)).distinct.length == mined.length)
+    }
+  }
 }
