@@ -186,6 +186,12 @@ object SparkEntry {
   val CmsWidth = 64
   val CmsMinCount = 10L
   val CmsSalt = "q121"
+  /** q163 HyperLogLog: 2^6 = 64 registers (≈13% standard error) against
+    * per-language vocabularies of a few dozen types — small enough that
+    * the raw estimator's error is visibly non-zero, which is what the
+    * audit exists to show. */
+  val HllBits = 6
+  val HllSalt = "q163"
   /** q119 audit threshold: the fixture's pair similarity is bimodal
     * (background mass under 0.1, planted near-dups above 0.9), so the
     * audit runs at a tau low enough to see BOTH ends of the banding
@@ -2940,6 +2946,17 @@ ORDER BY x_id"""
       t(s, dir, "lineitem").repartition(4, col("l_orderkey"))
         .write.mode("overwrite").parquet(path)
       Sources.parquetLayoutAudit(s, path).orderBy("file_name")
+    }),
+
+    // Per-language HLL cardinality audit: portable registers (keyed
+    // hash, integer-only rho), exact-BIGINT harmonic denominator, raw
+    // estimate next to the exact distinct and its error — the
+    // commissioning report for the constant-state distinct-count path.
+    "q163_hll_audit" -> ((s, dir) => {
+      Sketch.hllAudit(t(s, dir, "documents"), "text", "lang",
+          HllBits, HllSalt)
+        .withColumnRenamed("key", "lang")
+        .orderBy("lang")
     }),
 
     // The layout audit over a Hive-PARTITIONED sink: the recursive walk
@@ -5980,6 +5997,52 @@ ORDER BY x_id"""
          |  sum(comp)::BIGINT AS compressed_bytes,
          |  sum(unc)::BIGINT AS uncompressed_bytes
          |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q163: same registers from the same keyed hash; rho in pure
+    // integer ops (bit_count of the trailing-zero mask); harmonic
+    // denominator as one exact BIGINT; the estimate is a fixed IEEE
+    // op sequence on exact inputs — bit-identical across engines.
+    "q163_hll_audit" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+         |),
+         |hh AS (
+         |  SELECT lang, ${Portable.sqlHash(s"'$HllSalt'", "w")} AS h FROM tok
+         |),
+         |rr AS (
+         |  SELECT lang, h % ${1L << HllBits} AS bucket,
+         |         (h >> $HllBits) AS wb
+         |  FROM hh
+         |),
+         |regs AS (
+         |  SELECT lang, bucket,
+         |    max(CASE WHEN wb = 0 THEN ${61 - HllBits}
+         |             ELSE bit_count((wb & -wb) - 1) + 1 END)::BIGINT AS mr
+         |  FROM rr GROUP BY 1, 2
+         |),
+         |pk AS (
+         |  SELECT lang, count(*)::BIGINT AS n_registers_used,
+         |    sum((1::BIGINT << (${61 - HllBits} - mr)))::BIGINT AS zu
+         |  FROM regs GROUP BY lang
+         |),
+         |ex AS (
+         |  SELECT lang, count(DISTINCT w)::BIGINT AS exact_distinct
+         |  FROM tok GROUP BY lang
+         |),
+         |fin AS (
+         |  SELECT pk.lang, n_registers_used,
+         |    round((CAST(709 AS DOUBLE) / CAST(1000 AS DOUBLE)) *
+         |      (CAST(${(1L << HllBits) * (1L << HllBits)} AS DOUBLE) *
+         |        CAST(${1L << (61 - HllBits)} AS DOUBLE)) /
+         |      CAST(zu + (${1L << HllBits} - n_registers_used) *
+         |        (1::BIGINT << ${61 - HllBits}) AS DOUBLE), 6) AS hll_est,
+         |    exact_distinct
+         |  FROM pk JOIN ex USING (lang)
+         |)
+         |SELECT lang, n_registers_used, hll_est, exact_distinct,
+         |  round((hll_est - exact_distinct) / exact_distinct * 100, 6)
+         |    AS rel_err_pct
+         |FROM fin ORDER BY lang""".stripMargin,
 
     // q159: one partition level — the glob matches dir/value/file and
     // the relative name strips the audit root, matching the engine's

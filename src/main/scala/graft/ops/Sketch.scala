@@ -69,6 +69,108 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** HyperLogLog registers per key (Flajolet et al., AofA'07): each
+    * token occurrence hashes once ([[Portable]] keyed — bit-identical
+    * across runs, partitionings and engines), the low `bits` bits pick
+    * one of m = 2^`bits` registers, and the register keeps the MAX of
+    * ρ = (trailing zeros of the remaining hash bits) + 1. Duplicates
+    * are absorbed by the max, which is the whole point: COUNT DISTINCT
+    * without a distinct.
+    *
+    * The exact distinct shuffles one row per DISTINCT value per key; at
+    * 100 TB the value universe is itself huge. The registers shuffle at
+    * most m rows per (key, map partition) — constant state chosen up
+    * front (relative error ≈ 1.04/√m), and register tables from
+    * disjoint shards/days MERGE by pairwise max, so the sketch
+    * composes across ingestion batches for free (the same property
+    * that makes it the industry-standard approx-distinct: Spark's own
+    * `approx_count_distinct` is an HLL++ — opaque bytes, engine-pinned;
+    * this one is a plain (key, bucket, max_rho) table any engine can
+    * read, merge, and audit).
+    *
+    * ρ is computed in pure integer ops — `bit_count((w & −w) − 1) + 1`
+    * — so no float log ever runs; the zero suffix (probability 2^−54)
+    * caps ρ at its max. Output: (key, bucket, max_rho). */
+  def hllRegisters(df: DataFrame, textCol: String, keyCol: String,
+                   bits: Int, salt: String): DataFrame = {
+    require(bits >= 4 && bits <= 16, s"bits must be in [4,16], got $bits")
+    val m = 1L << bits
+    val maxRho = 61 - bits // 60-bit hash leaves 60-bits suffix bits
+    val tok = df
+      .select(col(keyCol).as("key"),
+        explode_outer(Text.tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isNotNull)
+      .select(col("key"),
+        Portable.seededHash(lit(salt), col("__w")).as("__h"))
+    tok
+      .select(col("key"), pmod(col("__h"), lit(m)).as("bucket"),
+        shiftright(col("__h"), bits).as("__wb"))
+      .select(col("key"), col("bucket"),
+        when(col("__wb") === 0L, lit(maxRho.toLong))
+          .otherwise((bit_count(col("__wb").bitwiseAND(-col("__wb")) - 1)
+            + lit(1)).cast("long")).as("rho"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Per-key HLL cardinality audit: the raw HLL estimate next to the
+    * exact distinct count and the relative error — the commissioning
+    * report that validates a register width before the sketch path is
+    * trusted at scale (the CMS [[heavyHitterAudit]] pattern; pays the
+    * exact distinct ON PURPOSE, run it on a sample).
+    *
+    * Cross-engine determinism: the harmonic denominator is formed in
+    * exact BIGINT — register j contributes 2^(maxρ − M_j), empty
+    * registers 2^maxρ — so Z is one exact integer and the estimate
+    * α·m²·2^maxρ / Z is a fixed sequence of IEEE ops on exact inputs,
+    * identical in both engines. α uses Flajolet's published constants
+    * (α₁₆/α₃₂/α₆₄ exact rationals; the 0.7213/(1+1.079/m) formula as
+    * an exact integer ratio for m ≥ 128). The small-range
+    * linear-counting correction (m·ln(m/V)) is intentionally NOT
+    * applied — cross-engine ln is not bit-stable, and this is an
+    * AUDIT: its exact twin is the ground truth, so the raw estimator's
+    * small-range bias is exactly what the report should show. Output:
+    * (key, n_registers_used, hll_est, exact_distinct, rel_err_pct). */
+  def hllAudit(df: DataFrame, textCol: String, keyCol: String,
+               bits: Int, salt: String): DataFrame = {
+    val m = 1L << bits
+    val maxRho = 61 - bits
+    val (aNum, aDen) = hllAlpha(bits)
+    val tok = df
+      .select(col(keyCol).as("key"),
+        explode_outer(Text.tokens(col(textCol))).as("__w"))
+      .filter(col("__w").isNotNull)
+    val exact = tok.groupBy(col("key"))
+      .agg(countDistinct(col("__w")).as("exact_distinct"))
+    val perKey = hllRegisters(df, textCol, keyCol, bits, salt)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_registers_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST($maxRho - max_rho AS INT))")).as("__zu"))
+      .withColumn("__z",
+        col("__zu") + (lit(m) - col("n_registers_used")) *
+          lit(1L << maxRho))
+      .withColumn("hll_est", round(
+        (lit(aNum.toDouble) / lit(aDen.toDouble)) *
+          (lit((m * m).toDouble) * lit(math.pow(2.0, maxRho))) /
+          col("__z").cast("double"), 6))
+    perKey.join(exact, Seq("key"))
+      .select(col("key"), col("n_registers_used"), col("hll_est"),
+        col("exact_distinct"),
+        round((col("hll_est") - col("exact_distinct")) /
+          col("exact_distinct") * 100, 6).as("rel_err_pct"))
+  }
+
+  /** Flajolet's bias-correction constant as an exact rational. */
+  private[ops] def hllAlpha(bits: Int): (Long, Long) = bits match {
+    case 4 => (673L, 1000L)
+    case 5 => (697L, 1000L)
+    case 6 => (709L, 1000L)
+    case _ =>
+      val m = 1L << bits // 0.7213/(1 + 1.079/m) = 7213000m/(10^4(1000m+1079))
+      (7213000L * m, 10000L * (1000L * m + 1079L))
+  }
+
   /** Heavy-hitter audit: every token whose TRUE corpus frequency is
     * ≥ `minCount`, with its sketch estimate alongside — the
     * commissioning report that validates a (depth, width) choice

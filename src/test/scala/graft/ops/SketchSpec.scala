@@ -67,4 +67,52 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(est == Map("zzz" -> 0L))
   }
+
+  test("hllRegisters: duplicates absorbed by the max; disjoint shards " +
+      "merge by pairwise max into exactly the whole-corpus registers") {
+    val keyed = docs.withColumn("k", lit("all"))
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllRegisters(df, "text", "k", bits = 4, "s")
+        .as[(String, Long, Long)].collect()
+        .map { case (_, b, r) => b -> r }.toMap
+    val whole = regs(keyed)
+    // duplicating the corpus changes nothing — COUNT DISTINCT semantics
+    assert(regs(keyed.union(keyed)) == whole)
+    // shard-compose: registers of doc-1 and docs-2,3 merge by max
+    val a = regs(keyed.filter(col("doc_id") === 1))
+    val b = regs(keyed.filter(col("doc_id") =!= 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+    // rho stays in the integer-law range for 60-bit hashes
+    assert(whole.values.forall(r => r >= 1L && r <= 57L))
+  }
+
+  test("hllAudit: estimate positive and within the m=64 error regime " +
+      "of the exact distinct; alpha constants are Flajolet's") {
+    val keyed = docs.withColumn("k", lit("all"))
+    val row = Sketch.hllAudit(keyed, "text", "k", bits = 6, "s")
+      .as[(String, Long, Double, Long, Double)].collect().head
+    val (_, used, est, exact, err) = row
+    assert(exact == 13L) // a..m
+    assert(used >= 1L && used <= 64L)
+    assert(est > 0.0)
+    // raw HLL (no linear-counting correction) at tiny cardinality
+    // OVERESTIMATES — the documented small-range bias the audit exists
+    // to make visible (est ≈ alpha·m²/V for V mostly-empty registers)
+    assert(err > 0.0, s"est=$est exact=$exact err=$err")
+    // in the estimator's design regime (n >> m) the error obeys the
+    // ~1.04/sqrt(m) law: 2000 distinct tokens vs m=64 → |err| well
+    // inside 3 sigma (~39%)
+    val big = Seq(("d", (0 until 2000).map(i => s"t$i").mkString(" ")))
+      .toDF("k", "text")
+    val (_, _, estB, exactB, errB) =
+      Sketch.hllAudit(big, "text", "k", bits = 6, "s")
+        .as[(String, Long, Double, Long, Double)].collect().head
+    assert(exactB == 2000L)
+    assert(math.abs(errB) < 39.0, s"est=$estB err=$errB")
+    assert(Sketch.hllAlpha(4) == (673L, 1000L))
+    assert(Sketch.hllAlpha(6) == (709L, 1000L))
+    assert(Sketch.hllAlpha(7) == (7213000L * 128, 10000L * (128000L + 1079L)))
+  }
 }
