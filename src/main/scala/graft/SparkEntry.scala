@@ -192,6 +192,11 @@ object SparkEntry {
     * audit exists to show. */
   val HllBits = 6
   val HllSalt = "q163"
+  /** q164 Z-order: 21 bits per dimension (keys to ~2M — headroom past
+    * every fixture SF) interleaved into a 42-bit Morton code; 8 range-
+    * split files so per-file envelopes are visibly tiled at sf0.01. */
+  val ZorderBits = 21
+  val ZorderFiles = 8
   /** q119 audit threshold: the fixture's pair similarity is bimodal
     * (background mass under 0.1, planted near-dups above 0.9), so the
     * audit runs at a tau low enough to see BOTH ends of the banding
@@ -504,6 +509,10 @@ object SparkEntry {
     * convention, one subdirectory per partition value. */
   def q159LayoutPath(dir: String): String =
     "/root/repo/target/q159_layout_" + dir.split('/').last
+
+  /** q164's Z-ordered sink directory — [[q158LayoutPath]]'s convention. */
+  def q164LayoutPath(dir: String): String =
+    "/root/repo/target/q164_zorder_" + dir.split('/').last
 
   /** q37's persisted MODEL directory (S8 at rest) — the trained model
     * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
@@ -3009,6 +3018,21 @@ ORDER BY x_id"""
       Similarity.marginMineBucketed(emb.filter(col("label") === 0),
           emb.filter(col("label") === 1), MarginK, MarginTau, SrpPlanes)
         .orderBy("x_id")
+    }),
+
+    // Z-order layout + stats audit: lineitem written along the Morton
+    // curve of (l_orderkey, l_partkey), then the per-file min/max
+    // envelopes of BOTH dimensions read back from the same footer
+    // stats a scan planner prunes with — the multi-dimension
+    // data-skipping lever, quantified. (SourcesSpec proves the curve
+    // actually tiles: a mid-range band on EITHER dimension overlaps
+    // strictly fewer files than a one-dimension sort gives the other.)
+    "q164_zorder_stats" -> ((s, dir) => {
+      val path = q164LayoutPath(dir)
+      Sources.writeZOrdered(t(s, dir, "lineitem"), path,
+        "l_orderkey", "l_partkey", ZorderBits, ZorderFiles)
+      Sources.parquetStatsAudit(s, path, Seq("l_orderkey", "l_partkey"))
+        .orderBy("file_name", "col_name")
     }),
 
     // Decontamination threshold sensitivity: per observed worst-overlap
@@ -6043,6 +6067,24 @@ ORDER BY x_id"""
          |  round((hll_est - exact_distinct) / exact_distinct * 100, 6)
          |    AS rel_err_pct
          |FROM fin ORDER BY lang""".stripMargin,
+
+    // q164: DuckDB reads the same row-group statistics; per-file
+    // envelope = min/max over row groups, stats decoded from the
+    // VARCHAR projection parquet_metadata exposes.
+    "q164_zorder_stats" ->
+      s"""WITH cc AS (
+         |  SELECT replace(file_name, '${q164LayoutPath(SfToken)}/', '')
+         |      AS file_name,
+         |    path_in_schema AS col_name,
+         |    CAST(stats_min_value AS BIGINT) AS mn,
+         |    CAST(stats_max_value AS BIGINT) AS mx
+         |  FROM parquet_metadata('${q164LayoutPath(SfToken)}/*.parquet')
+         |  WHERE path_in_schema IN ('l_orderkey', 'l_partkey')
+         |)
+         |SELECT file_name, col_name,
+         |  min(mn)::BIGINT AS min_val, max(mx)::BIGINT AS max_val
+         |FROM cc GROUP BY 1, 2
+         |ORDER BY file_name, col_name""".stripMargin,
 
     // q159: one partition level — the glob matches dir/value/file and
     // the relative name strips the audit root, matching the engine's

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -220,6 +220,109 @@ object Sources {
           .as("file_name"),
         col("n_row_groups"), col("n_rows"),
         col("compressed_bytes"), col("uncompressed_bytes"))
+  }
+
+  /** Morton (Z-order) code of two non-negative integer columns: the
+    * low `bits` bits of each are interleaved (a in even positions, b in
+    * odd), so sorting by the code lays rows on a space-filling curve —
+    * rows close in EITHER dimension land close in the file order.
+    * Pure shift/mask integer ops, codegen'd; 2·bits ≤ 62. Raw values
+    * are interleaved directly (right for roughly-uniform keys like the
+    * fixture's); skewed production keys should be rank/percentile
+    * mapped first or the curve degenerates to the hot dimension. */
+  def zorderCode(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Z-ordered parquet sink: range-split on the Morton code of
+    * (`colA`, `colB`) into `files` files, each sorted by the code.
+    * THE multi-dimension data-skipping lever (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`): a single-column sort gives tight min/max footer
+    * stats — and therefore row-group/file skipping — on that column
+    * only; the Z-curve gives BOTH columns simultaneously-bounded
+    * ranges per file, so a range predicate on EITHER dimension prunes
+    * most files at planning time from stats alone. Verify with
+    * [[parquetStatsAudit]] (q164): per-file min/max envelopes of both
+    * dimensions, read back from the same footers the skipping uses.
+    *
+    * Both dimensions are min/max-scaled into the common `bits`-bit
+    * space before interleaving — raw interleave of unequal-width keys
+    * degenerates to a sort on the wider key (its high bits own the
+    * code's high bits and the narrow dimension never splits; the
+    * SourcesSpec pins the non-degeneracy). Min/max scaling is the
+    * right normalizer for roughly-uniform keys; heavily skewed
+    * production keys want a quantile (percent_rank) map instead. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, bits: Int, files: Int): Unit = {
+    val b = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      (col(c).cast("long") - lit(lo)) * lit((1L << bits) - 1) /
+        lit(math.max(1L, hi - lo))
+    df.withColumn("__z", zorderCode(
+        scaled(colA, b.getLong(0), b.getLong(1)).cast("long"),
+        scaled(colB, b.getLong(2), b.getLong(3)).cast("long"), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Parquet column-STATISTICS audit — per file and requested leaf
+    * column: min/max over the footer's row-group statistics, the very
+    * values scan planners prune with. Metadata-only and distributed
+    * exactly like [[parquetLayoutAudit]]; DuckDB's `parquet_metadata()`
+    * exposes the same stats, making the audit oracle-checkable. Output:
+    * (file_name root-relative, col_name, min_val, max_val) for integer
+    * columns. The audit quantifies a layout choice: after
+    * [[writeZOrdered]], BOTH dimensions' per-file envelopes are narrow
+    * (tiles); after a plain sort, only the sort column's are. */
+  def parquetStatsAudit(spark: SparkSession, dirPath: String,
+                        cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val root = new Path(dirPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    val wanted = cols.toSet
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .mapPartitions { fit =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        fit.flatMap { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            r.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala)
+              .filter(c => wanted.contains(c.getPath.toDotString))
+              .map { c =>
+                val s = c.getStatistics
+                (p, c.getPath.toDotString,
+                  s.genericGetMin.asInstanceOf[Number].longValue,
+                  s.genericGetMax.asInstanceOf[Number].longValue)
+              }.toSeq
+          } finally r.close()
+        }
+      }
+      .toDF("__p", "col_name", "mn", "mx")
+      .groupBy(col("__p"), col("col_name"))
+      .agg(min(col("mn")).as("min_val"), max(col("mx")).as("max_val"))
+      .select(expr(s"substring(__p, ${rootUri.length + 1})")
+          .as("file_name"),
+        col("col_name"), col("min_val"), col("max_val"))
   }
 
   /** Parquet SCHEMA audit — the distinct set of LEAF columns across

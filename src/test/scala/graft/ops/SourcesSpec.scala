@@ -157,4 +157,39 @@ class SourcesSpec extends SparkSpec {
     assert(emb.map(r => (r.getString(0), r.getString(1))).toSet
       .contains(("element", "FLOAT")))
   }
+
+  test("zorderCode interleaves bits (a even, b odd); writeZOrdered " +
+      "tiles BOTH dimensions where a 1-D sort bounds only its own") {
+    import spark.implicits._
+    val code = Seq((5L, 3L)).toDF("a", "b")
+      .select(Sources.zorderCode(col("a"), col("b"), 3)).head.getLong(0)
+    assert(code == 27L) // 101 ⨯ 011 → 011011
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    // 1-D layout: range-sorted by l_orderkey only
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.parquet(s"$base/sorted")
+    Sources.writeZOrdered(li, s"$base/z", "l_orderkey", "l_partkey",
+      bits = 21, files = 8)
+    // a mid-range band on the NON-sort dimension: how many files could
+    // a stats-pruning scan skip under each layout?
+    def overlapping(dir: String): Long = {
+      import org.apache.spark.sql.functions.{min, max}
+      val bounds = li.agg(min("l_partkey"), max("l_partkey")).head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val (bandLo, bandHi) = (lo + (hi - lo) * 2 / 5, lo + (hi - lo) * 3 / 5)
+      Sources.parquetStatsAudit(spark, dir, Seq("l_partkey"))
+        .filter(col("min_val") <= bandHi && col("max_val") >= bandLo)
+        .count()
+    }
+    val (oneD, z) = (overlapping(s"$base/sorted"), overlapping(s"$base/z"))
+    // the orderkey-sorted layout leaves partkey unbounded per file —
+    // every file overlaps the band; the Z-curve tiles partkey too
+    assert(oneD == 8L, s"1-D layout overlapped $oneD files")
+    assert(z < oneD, s"z-order overlapped $z of $oneD")
+    // and the z files still hold all the rows
+    assert(spark.read.parquet(s"$base/z").count() == li.count())
+  }
 }
