@@ -478,6 +478,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q161: exact margin mining broadcasts the Y side; windows are " +
+      "keyed, never a global sort; no nested-loop beyond the one " +
+      "intended broadcast cross join") {
+    val p = plan("q161_margin_mining")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every Window is partitioned (x_id/y_id), no Window over unkeyed sort
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), p)
+  }
+
+  test("q162: bucketed margin mining never broadcasts a corpus side — " +
+      "the candidate join is equi-keyed on the bucket code") {
+    val p = plan("q162_margin_mining_lsh")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q163: HLL registers shuffle only (key, bucket) partials — " +
+      "partial_max before the exchange, no distinct on the token stream") {
+    val p = plan("q163_hll_audit")
+    // map-side combine on the register agg: a partial max appears
+    // below the shuffle
+    assert(p.contains("partial_max") || p.contains("partial max"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
