@@ -113,6 +113,43 @@ object Sketch {
       .agg(max(col("rho")).as("max_rho"))
   }
 
+  /** Merge two register tables by pairwise max — the composition that
+    * makes HLL the right distinct-counter for a sharded/incremental
+    * corpus: registers of day N+1 merge into the running table without
+    * touching day ≤ N's data, and registers of disjoint shards built
+    * independently merge into exactly the whole-corpus table
+    * (law-checked in SketchSpec). Works in Structured Streaming
+    * unchanged: `groupBy(key, bucket).max` needs NO watermark to stay
+    * bounded, because the state is ≤ m rows per key BY CONSTRUCTION —
+    * the rare streaming aggregation whose state does not grow with the
+    * stream (StreamOpsSpec runs [[hllRegisters]] itself as a streaming
+    * query and asserts the final table equals the batch one). */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("key"), col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** Per-key raw HLL estimate from a register table — the serving-side
+    * half of [[hllAudit]] (same exact-BIGINT harmonic sum, same fixed
+    * IEEE op sequence; see there for the determinism and small-range
+    * notes). Output: (key, n_registers_used, hll_est). */
+  def hllEstimate(regs: DataFrame, bits: Int): DataFrame = {
+    val m = 1L << bits
+    val maxRho = 61 - bits
+    val (aNum, aDen) = hllAlpha(bits)
+    regs.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_registers_used"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST($maxRho - max_rho AS INT))")).as("__zu"))
+      .withColumn("__z",
+        col("__zu") + (lit(m) - col("n_registers_used")) *
+          lit(1L << maxRho))
+      .select(col("key"), col("n_registers_used"),
+        round((lit(aNum.toDouble) / lit(aDen.toDouble)) *
+          (lit((m * m).toDouble) * lit(math.pow(2.0, maxRho))) /
+          col("__z").cast("double"), 6).as("hll_est"))
+  }
+
   /** Per-key HLL cardinality audit: the raw HLL estimate next to the
     * exact distinct count and the relative error — the commissioning
     * report that validates a register width before the sketch path is
@@ -133,28 +170,14 @@ object Sketch {
     * (key, n_registers_used, hll_est, exact_distinct, rel_err_pct). */
   def hllAudit(df: DataFrame, textCol: String, keyCol: String,
                bits: Int, salt: String): DataFrame = {
-    val m = 1L << bits
-    val maxRho = 61 - bits
-    val (aNum, aDen) = hllAlpha(bits)
     val tok = df
       .select(col(keyCol).as("key"),
         explode_outer(Text.tokens(col(textCol))).as("__w"))
       .filter(col("__w").isNotNull)
     val exact = tok.groupBy(col("key"))
       .agg(countDistinct(col("__w")).as("exact_distinct"))
-    val perKey = hllRegisters(df, textCol, keyCol, bits, salt)
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_registers_used"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
-          s"CAST($maxRho - max_rho AS INT))")).as("__zu"))
-      .withColumn("__z",
-        col("__zu") + (lit(m) - col("n_registers_used")) *
-          lit(1L << maxRho))
-      .withColumn("hll_est", round(
-        (lit(aNum.toDouble) / lit(aDen.toDouble)) *
-          (lit((m * m).toDouble) * lit(math.pow(2.0, maxRho))) /
-          col("__z").cast("double"), 6))
-    perKey.join(exact, Seq("key"))
+    hllEstimate(hllRegisters(df, textCol, keyCol, bits, salt), bits)
+      .join(exact, Seq("key"))
       .select(col("key"), col("n_registers_used"), col("hll_est"),
         col("exact_distinct"),
         round((col("hll_est") - col("exact_distinct")) /

@@ -447,4 +447,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == batch, s"stream $got vs batch $batch")
     assert(got.map(_._1) == Seq(1L, 4L, 6L))
   }
+
+  test("hllRegisters runs UNCHANGED as a streaming aggregation with no " +
+      "watermark — state is bounded by construction — and the final " +
+      "register table equals the batch twin") {
+    import graft.ops.Sketch
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "a b c d", "en"), (2L, "c d e f", "en"),
+      (3L, "g h i j", "de"), (4L, "a a a k", "de"), (5L, "k l m n", "de"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.toMemorySink(
+      Sketch.hllRegisters(
+        in.toDF().toDF("doc_id", "text", "lang"), "text", "lang", 4, "s"),
+      "hll_regs", OutputMode.Complete)
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val stream = spark.table("hll_regs")
+        .as[(String, Long, Long)].collect().toSet
+      val batch = Sketch.hllRegisters(
+        rows.toDF("doc_id", "text", "lang"), "text", "lang", 4, "s")
+        .as[(String, Long, Long)].collect().toSet
+      assert(stream == batch)
+      // state bound: at most m = 16 registers per key, ever
+      assert(stream.groupBy(_._1).forall(_._2.size <= 16))
+    } finally q.stop()
+    // and the day-shard composition: merge(regs(day1), regs(day2)) is
+    // exactly regs(all), so estimates from merged shards match too
+    val day1 = Sketch.hllRegisters(rows.take(2).toDF("doc_id", "text", "lang"),
+      "text", "lang", 4, "s")
+    val day2 = Sketch.hllRegisters(rows.drop(2).toDF("doc_id", "text", "lang"),
+      "text", "lang", 4, "s")
+    val whole = Sketch.hllRegisters(rows.toDF("doc_id", "text", "lang"),
+      "text", "lang", 4, "s")
+    val mergedEst = Sketch.hllEstimate(Sketch.hllMerge(day1, day2), 4)
+      .as[(String, Long, Double)].collect().toSet
+    val wholeEst = Sketch.hllEstimate(whole, 4)
+      .as[(String, Long, Double)].collect().toSet
+    assert(mergedEst == wholeEst)
+  }
 }
