@@ -514,6 +514,11 @@ object SparkEntry {
   def q164LayoutPath(dir: String): String =
     "/root/repo/target/q164_zorder_" + dir.split('/').last
 
+  /** q165's JSONL ingest fixture (good export + planted torn lines) —
+    * [[q106JsonlPath]]'s convention. */
+  def q165JsonlPath(dir: String): String =
+    "/root/repo/target/q165_jsonl_" + dir.split('/').last
+
   /** q37's persisted MODEL directory (S8 at rest) — the trained model
     * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
     * embedding table is extracted, so model persistence sits INSIDE the
@@ -3018,6 +3023,33 @@ ORDER BY x_id"""
       Similarity.marginMineBucketed(emb.filter(col("label") === 0),
           emb.filter(col("label") === 1), MarginK, MarginTau, SrpPlanes)
         .orderBy("x_id")
+    }),
+
+    // Malformed-record quarantine on JSONL ingest: a clean export plus
+    // a planted file of torn lines (one GOOD line among them proving
+    // location doesn't matter), read under the PERMISSIVE contract —
+    // per-source counts with an id checksum, corrupt lines as their
+    // own auditable bucket instead of a silent drop or a dead job.
+    "q165_jsonl_quarantine" -> ((s, dir) => {
+      val path = q165JsonlPath(dir)
+      Sources.writeJsonl(t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select("doc_id", "text", "lang", "source"), path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "zz_corrupt.json"),
+        "{\"doc_id\": 9001, \"text\": \"ok line\", " +
+          "\"lang\": \"en\", \"source\": \"web\"}\n" +
+          "{not json at all\n" +
+          "]]]{{\n" +
+          "{\"doc_id\": \n")
+      Sources.jsonlQuarantine(s, path, Sources.documentsJsonlSchema)
+        .withColumn("bucket",
+          when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+            .otherwise(col("source")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_lines"),
+          coalesce(sum("doc_id"), lit(0L)).as("id_sum"))
+        .orderBy("bucket")
     }),
 
     // Z-order layout + stats audit: lineitem written along the Morton
@@ -6067,6 +6099,23 @@ ORDER BY x_id"""
          |  round((hll_est - exact_distinct) / exact_distinct * 100, 6)
          |    AS rel_err_pct
          |FROM fin ORDER BY lang""".stripMargin,
+
+    // q165: DuckDB's ignore_errors surfaces each torn line as an
+    // all-NULL row (one per line — verified behavior), so the corrupt
+    // bucket is doc_id IS NULL; good lines always carry doc_id.
+    "q165_jsonl_quarantine" ->
+      s"""WITH j AS (
+         |  SELECT * FROM read_json('${q165JsonlPath(SfToken)}/*.json',
+         |    format='newline_delimited',
+         |    columns={'doc_id':'BIGINT','text':'VARCHAR',
+         |             'lang':'VARCHAR','source':'VARCHAR'},
+         |    ignore_errors=true)
+         |)
+         |SELECT CASE WHEN doc_id IS NULL THEN '__corrupt__'
+         |            ELSE source END AS bucket,
+         |  count(*)::BIGINT AS n_lines,
+         |  coalesce(sum(doc_id), 0)::BIGINT AS id_sum
+         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // q164: DuckDB reads the same row-group statistics; per-file
     // envelope = min/max over row groups, stats decoded from the

@@ -111,6 +111,24 @@ object Sources {
     StructField("lang", StringType, nullable = true),
     StructField("source", StringType, nullable = true)))
 
+  /** [[jsonl]] with the malformed-record QUARANTINE made explicit: the
+    * PERMISSIVE contract surfaces each unparseable line as a row whose
+    * `_corrupt_record` column holds the raw text (parsed columns null),
+    * instead of silently dropping it or killing the job. Real crawl
+    * dumps always contain torn lines; at 100 TB the difference between
+    * "0.3% of lines quarantined, here they are" and a silent drop is an
+    * auditable corpus. Filter `_corrupt_record IS NOT NULL` to route
+    * the quarantine to its own sink; q165 reports the split per source
+    * with an id checksum proving good lines still parse exactly. */
+  def jsonlQuarantine(spark: SparkSession, path: String,
+                      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType,
+        nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** JSONL sink — the interchange-format twin of [[writeParquet]].
     * Text-encoded and schema-free, so ~3-5× the bytes of parquet:
     * use it at the corpus BOUNDARY (handing training data to a

@@ -158,6 +158,24 @@ class SourcesSpec extends SparkSpec {
       .contains(("element", "FLOAT")))
   }
 
+  test("jsonlQuarantine: torn lines become auditable rows carrying the " +
+      "raw text; good lines parse exactly; nothing is dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jq")
+    java.nio.file.Files.writeString(dir.resolve("mixed.json"),
+      "{\"doc_id\": 1, \"text\": \"a\", \"lang\": \"en\", \"source\": \"w\"}\n" +
+        "{torn\n" +
+        "{\"doc_id\": 2, \"text\": \"b\", \"lang\": \"de\", \"source\": \"w\"}\n")
+    val df = Sources.jsonlQuarantine(spark, dir.toString,
+      Sources.documentsJsonlSchema)
+    assert(df.count() == 3)
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1)
+    assert(bad.head.getAs[String]("_corrupt_record") == "{torn")
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(good == Seq(1L, 2L))
+  }
+
   test("zorderCode interleaves bits (a even, b odd); writeZOrdered " +
       "tiles BOTH dimensions where a 1-D sort bounds only its own") {
     import spark.implicits._
