@@ -197,6 +197,12 @@ object SparkEntry {
     * split files so per-file envelopes are visibly tiled at sf0.01. */
   val ZorderBits = 21
   val ZorderFiles = 8
+  /** q166 product quantization: 4 subspaces × 16 first-K centroids over
+    * the 64-dim fixture vectors — 2 bytes/vector (128× vs float32),
+    * coarse enough that the recall report shows a real, non-trivial
+    * loss against the exact-L2 truth. */
+  val PqM = 4
+  val PqCent = 16
   /** q119 audit threshold: the fixture's pair similarity is bimodal
     * (background mass under 0.1, planted near-dups above 0.9), so the
     * audit runs at a tau low enough to see BOTH ends of the banding
@@ -1442,6 +1448,16 @@ b AS (
 SELECT x_id, y_id, cos, margin FROM b
 WHERE bx = 1 AND byy = 1 AND margin >= $MarginTau
 ORDER BY x_id"""
+
+  /** DuckDB mirror of `Quantize.l2i`: squared L2 expanded as
+    * a·a − 2(a·b) + b·b over ordered list_sum folds, 9-dp rounded and
+    * integerized at 1e9 — identical IEEE op shape to the engine. */
+  private def l2iSql(a: String, b: String): String =
+    s"""CAST(floor(round(
+       |  list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))
+       |  - 2 * list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+       |  + list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])),
+       |  9) * 1e9 + 0.5) AS BIGINT)""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
@@ -3023,6 +3039,20 @@ ORDER BY x_id"""
       Similarity.marginMineBucketed(emb.filter(col("label") === 0),
           emb.filter(col("label") === 1), MarginK, MarginTau, SrpPlanes)
         .orderBy("x_id")
+    }),
+
+    // Product-quantization recall audit: PQ codes (4 subspaces, first-16
+    // codebooks), ADC top-k against the exact-L2 truth in shared
+    // integer distance units — what 2 bytes/vector costs in retrieval.
+    "q166_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val cen = emb.filter(col("vec_id") < PqCent)
+      Ann.recallReport(
+        Quantize.pqAdcTopK(emb, "vec_id", "embedding", probes, PqM,
+          cen, TopK),
+        Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, TopK))
+        .orderBy("probe_id")
     }),
 
     // Malformed-record quarantine on JSONL ingest: a clean export plus
@@ -6099,6 +6129,66 @@ ORDER BY x_id"""
          |  round((hll_est - exact_distinct) / exact_distinct * 100, 6)
          |    AS rel_err_pct
          |FROM fin ORDER BY lang""".stripMargin,
+
+    // q166: the same first-K codebooks, argmin encode, ADC integer
+    // sums, and exact-L2 twin rebuilt in SQL; q109's recall-join shape.
+    "q166_pq_recall" -> {
+      val w = 64 / PqM
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |sub AS (
+         |  SELECT vec_id, s, v[(s*$w+1):(s*$w+$w)] AS sv
+         |  FROM ev, (SELECT unnest(range(0, $PqM)) AS s)
+         |),
+         |cen AS (SELECT vec_id AS cid, s, sv AS cv FROM sub
+         |        WHERE vec_id < $PqCent),
+         |enc AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT a.vec_id, a.s, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id, a.s
+         |        ORDER BY ${l2iSql("a.sv", "c.cv")}, c.cid) AS rn
+         |    FROM sub a JOIN cen c USING (s))
+         |  WHERE rn = 1
+         |),
+         |tab AS (
+         |  SELECT p.vec_id AS probe_id, p.s, c.cid,
+         |         ${l2iSql("p.sv", "c.cv")} AS d
+         |  FROM sub p JOIN cen c USING (s) WHERE p.vec_id < 5
+         |),
+         |ad AS (
+         |  SELECT t.probe_id, e.vec_id, sum(t.d)::BIGINT AS adist
+         |  FROM enc e JOIN tab t ON e.s = t.s AND e.code = t.cid
+         |  GROUP BY 1, 2
+         |),
+         |atop AS (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY adist, vec_id) AS rnk
+         |  FROM ad WHERE vec_id <> probe_id
+         |  QUALIFY rnk <= $TopK
+         |),
+         |exd AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |         ${l2iSql("c.v", "p.v")} AS d
+         |  FROM ev c, ev p WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         |),
+         |etop AS (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY d, vec_id) AS rnk
+         |  FROM exd QUALIFY rnk <= $TopK
+         |)
+         |SELECT e.probe_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 9) AS recall
+         |FROM etop e LEFT JOIN atop a
+         |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin
+    },
 
     // q165: DuckDB's ignore_errors surfaces each torn line as an
     // all-NULL row (one per line — verified behavior), so the corrupt

@@ -46,6 +46,105 @@ object Quantize {
             lit(-127L)), lit(127L)))))
   }
 
+  /** Squared-L2 distance, 9-dp rounded then integerized at 1e9 — the
+    * engine-portable comparison unit for every PQ ranking below
+    * (identical IEEE op shape in the DuckDB oracle; integer sums and
+    * integer ties are order-free). Expanded as a·a − 2(a·b) + b·b so
+    * it is three codegen'd FoldDot folds, no materialized diff array. */
+  private def l2i(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(round(graft.functions.FoldDot(a, a)
+      - lit(2.0) * graft.functions.FoldDot(a, b)
+      + graft.functions.FoldDot(b, b), 9) * 1e9 + lit(0.5)).cast("long")
+
+  private def subspaces(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int, w: Int, idAs: String,
+                        svAs: String): DataFrame =
+    df.select(col(idCol).as(idAs),
+        explode(array((0 until m).map(s => struct(lit(s).as("s"),
+          slice(col(vecCol), s * w + 1, w).as(svAs))): _*)).as("__e"))
+      .select(col(idAs), col("__e.s").as("s"), col(s"__e.$svAs").as(svAs))
+
+  /** Product-quantization codes (Jégou et al., TPAMI'11): the vector
+    * splits into `m` contiguous subvectors and each subvector is
+    * replaced by the id of its nearest centroid in that subspace's
+    * codebook — m small ints instead of d floats (64-dim float32 at
+    * m=4, K=16 → 2 bytes/vector, a 128× cut, vs int8's fixed 4×).
+    * `centroids` is any (idCol, vecCol) frame sharing the dimension —
+    * per-subspace k-means codebooks on a real run; the q166 oracle
+    * pins the first-K-rows choice (the [[graft.ops.Dedup.semanticAssign]]
+    * pattern). Nearest is argmin of the integerized distance with ties
+    * to the smaller centroid id — deterministic and oracle-able.
+    *
+    * Shape: codebooks broadcast (m·K subvectors); the corpus streams
+    * through a subspace explode (m rows per vector) and collapses back
+    * via a min_by hash aggregate — map-side combined, shuffle is one
+    * row per (vector, subspace). Output: (idCol, s, code). */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String, m: Int,
+              centroids: DataFrame): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val w = dim / m
+    val corpus = subspaces(df, idCol, vecCol, m, w, idCol, "sv")
+    val cen = subspaces(centroids, idCol, vecCol, m, w, "cid", "cv")
+    corpus.join(broadcast(cen), Seq("s"))
+      .withColumn("__d", l2i(col("sv"), col("cv")))
+      .groupBy(col(idCol), col("s"))
+      .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the probe stays
+    * full-precision, each subspace contributes its exact
+    * probe-to-centroid distance for the CODE the corpus vector stored,
+    * and the approximate distance is the sum — the standard PQ search
+    * (the probe×codebook distance TABLE is m·K scalars, broadcast;
+    * the corpus never rereads its floats). Integer distance units make
+    * the sum and the ranking order-free. Returns
+    * (probe_id, vec_id, rnk ≤ k), self-matches dropped. Audit recall
+    * against [[l2TopKExact]] — the q150/q109 pattern (q166). */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, m: Int, centroids: DataFrame,
+                k: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
+    val w = dim / m
+    val codes = pqCodes(df, idCol, vecCol, m, centroids)
+    val cen = subspaces(centroids, idCol, vecCol, m, w, "cid", "cv")
+    val tab = subspaces(probes, idCol, vecCol, m, w, "probe_id", "pv")
+      .join(cen, Seq("s"))
+      .select(col("probe_id"), col("s"), col("cid"),
+        l2i(col("pv"), col("cv")).as("__d"))
+    codes.join(broadcast(tab),
+        codes("s") === tab("s") && codes("code") === tab("cid"))
+      .select(col("probe_id"), codes(idCol).as("vec_id"), col("__d"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("__d")).as("__ad"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("__ad"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+  }
+
+  /** Exact squared-L2 top-k — the ground-truth twin the PQ path is
+    * audited against (same integer distance units, same tie order).
+    * Probes broadcast, corpus streams: the [[graft.ops.Similarity.cosineTopK]]
+    * posture for the L2 metric PQ approximates. */
+  def l2TopKExact(df: DataFrame, idCol: String, vecCol: String,
+                  probes: DataFrame, k: Int): DataFrame = {
+    val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("__d", l2i(col("v"), col("pv")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("__d"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+  }
+
   /** Symmetric per-vector int8 quantization. Returns
     * (idCol, scale, q: array<long> in [-127,127], mse) — `scale`
     * unrounded (it is the dequantization constant, not a report

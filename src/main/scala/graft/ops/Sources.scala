@@ -277,8 +277,8 @@ object Sources {
     * production keys want a quantile (percent_rank) map instead. */
   def writeZOrdered(df: DataFrame, path: String, colA: String,
                     colB: String, bits: Int, files: Int): Unit = {
-    val b = df.agg(min(col(colA)), max(col(colA)),
-      min(col(colB)), max(col(colB))).head
+    val b = df.agg(min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head
     def scaled(c: String, lo: Long, hi: Long): Column =
       (col(c).cast("long") - lit(lo)) * lit((1L << bits) - 1) /
         lit(math.max(1L, hi - lo))

@@ -49,4 +49,44 @@ class QuantizeSpec extends SparkSpec {
       .agg(min("c")).as[Double].head()
     assert(drift > 0.99, s"int8 round-trip cosine fell to $drift")
   }
+
+  test("pqCodes: a vector equal to a centroid in every subspace gets " +
+      "that centroid's code everywhere; codes land in [0, K)") {
+    // 4-dim vectors, m=2 subspaces of width 2; centroids 0 and 1
+    val cen = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)),
+      (1L, Array(5f, 5f, -10f, -10f))).toDF("vec_id", "embedding")
+    val df = Seq(
+      (10L, Array(0.1f, -0.1f, -9f, -11f)), // near cen0 in s0, cen1 in s1
+      (11L, Array(5f, 5f, -10f, -10f))      // exactly cen1 everywhere
+    ).toDF("vec_id", "embedding").union(cen)
+    val codes = Quantize.pqCodes(df, "vec_id", "embedding", 2, cen)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, s, c) => (id, s) -> c }.toMap
+    assert(codes((10L, 0)) == 0L && codes((10L, 1)) == 1L)
+    assert(codes((11L, 0)) == 1L && codes((11L, 1)) == 1L)
+    // centroids encode to themselves (distance 0, tie to own id only
+    // when duplicated — here unique)
+    assert(codes((0L, 0)) == 0L && codes((1L, 1)) == 1L)
+    assert(codes.values.forall(c => c >= 0L && c < 2L))
+  }
+
+  test("pqAdcTopK on the fixture: valid top-k frame and real recall " +
+      "against the exact-L2 twin — above chance, below perfect at K=16") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val cen = emb.filter(col("vec_id") < 16)
+    val approx = Quantize.pqAdcTopK(emb, "vec_id", "embedding",
+      probes, 4, cen, 10)
+    val exact = Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, 10)
+    // both are proper top-k frames: 10 rows per probe, no self-matches
+    Seq(approx, exact).foreach { f =>
+      val per = f.groupBy("probe_id").count().as[(Long, Long)].collect()
+      assert(per.length == 5 && per.forall(_._2 == 10L))
+      assert(f.filter(col("probe_id") === col("vec_id")).count() == 0)
+    }
+    val rec = Ann.recallReport(approx, exact)
+      .agg(avg("recall")).as[Double].head()
+    assert(rec > 0.1 && rec < 1.0, s"PQ recall $rec outside (0.1, 1)")
+  }
 }
