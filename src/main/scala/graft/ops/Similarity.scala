@@ -277,50 +277,51 @@ object Similarity {
     *
     * Exactness (the cross-engine float-mean discipline): each float32
     * coordinate widens to double exactly, integerizes once
-    * (floor(x·1e9 + ½)), sums run exactly in DECIMAL(38,0) keyed on
-    * (group, dim), and the mean leaves integer land ONCE — the exact
-    * sum widens to double and two IEEE divisions (by n, by 1e9)
-    * produce the same bits on every engine (no round() in the path:
-    * decimal rounding of a full-mantissa double is implementation-
-    * defined at the last ulp) — so the pooled vectors are
-    * bit-identical across partitionings and engines (no float-sum
+    * (floor(x·1e9 + ½)), sums run exactly in LONG keyed on the group
+    * (exact while Σ|x_i|·1e9 per (group, dim) stays under 2^63 —
+    * ~9.2e9 units of absolute coordinate mass, i.e. even a 100M-member
+    * group of unit-scale floats), and the mean leaves integer land
+    * ONCE — the exact sum widens to double and two IEEE divisions (by
+    * n, by 1e9) produce the same bits on every engine (no round() in
+    * the path: decimal rounding of a full-mantissa double is
+    * implementation-defined at the last ulp) — so the pooled vectors
+    * are bit-identical across partitionings and engines (no float-sum
     * order sensitivity). The result stores at the ITEM table's float32
     * width: beyond being what a serving index would keep, float32
     * coordinates make every downstream cosine's products exact in
     * double (24-bit × 24-bit mantissas), which is what keeps
     * [[cosineTopK]] over pooled vectors 9-dp oracle-matchable — full-
     * mantissa doubles would leak last-ulp fold differences into the
-    * 9th digit. Shape: one membership-keyed equi join, one
-    * per-(group, dim) hash agg with map-side combine, and the array
-    * reassembles via the sorted-struct collect idiom (dim-count
-    * structs per group — bounded by the embedding width, never by
-    * group size). Returns (vec_id = group id, embedding:
-    * array<float>). */
+    * 9th digit.
+    *
+    * Shape: one membership-keyed equi join, then ONE wide hash agg —
+    * dim sum columns + a count per group, all map-side combined, so
+    * the shuffle carries one dim-wide row per (group, map partition).
+    * (The previous posexplode form shuffled members × dims skinny
+    * rows — 64× the row overhead and 4× the wall time on the q153
+    * bench path — and reassembled through a collect_list; the wide-agg
+    * form rebuilds the array in the output projection for free.)
+    * Returns (vec_id = group id, embedding: array<float>). */
   def meanPoolEmbeddings(membership: DataFrame, groupCol: String,
                          memberCol: String, emb: DataFrame): DataFrame = {
-    val dec = "decimal(38,0)"
-    membership
+    // fixed-dimension by contract: probe one row, never a scan
+    val dim = emb.select(size(col("embedding")).as("n")).head().getInt(0)
+    val joined = membership
       .select(col(groupCol).as("__g"), col(memberCol).as("vec_id"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("__g"), posexplode(col("embedding")).as(Seq("__d", "__x")))
-      .select(col("__g"), col("__d"),
-        floor(col("__x").cast("double") * lit(1e9) + lit(0.5))
-          .cast(dec).as("__xi"))
-      .groupBy(col("__g"), col("__d"))
-      .agg(sum(col("__xi")).as("__s"), count(lit(1)).as("__n"))
-      .select(col("__g"), col("__d"),
+    val sums = (0 until dim).map(i =>
+      sum(floor(element_at(col("embedding"), i + 1).cast("double")
+        * lit(1e9) + lit(0.5)).cast("long")).as(s"__s$i"))
+    joined.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("__g").as("vec_id"),
         // no round(): the exact integer sum widens to double and the
         // two IEEE divisions are bit-deterministic on every engine —
-        // a round(x, 9) here would REINTRODUCE engine skew (decimal
-        // rounding of a full-mantissa double is implementation-defined
-        // at the last ulp), exactly what the float32 narrowing below
-        // then fails to hide
-        (col("__s").cast("double") / col("__n") / lit(1e9))
-          .cast("float").as("__v"))
-      .groupBy(col("__g"))
-      .agg(array_sort(collect_list(struct(col("__d"), col("__v"))))
-        .getField("__v").as("embedding"))
-      .select(col("__g").as("vec_id"), col("embedding"))
+        // a round(x, 9) here would REINTRODUCE engine skew, exactly
+        // what the float32 narrowing below then fails to hide
+        array((0 until dim).map(i =>
+          (col(s"__s$i").cast("double") / col("__n") / lit(1e9))
+            .cast("float")): _*).as("embedding"))
   }
 
   /** Matryoshka recall CURVE — the q150 report swept over every prefix
