@@ -203,6 +203,10 @@ object SparkEntry {
     * loss against the exact-L2 truth. */
   val PqM = 4
   val PqCent = 16
+  /** q167 IVF: 8 coarse cells (first-8 centroids), 3 probed per query —
+    * candidates ∝ nprobe/nCells, the knob that bounds corpus touched. */
+  val IvfCells = 8
+  val IvfNprobe = 3
   /** q119 audit threshold: the fixture's pair similarity is bimodal
     * (background mass under 0.1, planted near-dups above 0.9), so the
     * audit runs at a tau low enough to see BOTH ends of the banding
@@ -1448,6 +1452,68 @@ b AS (
 SELECT x_id, y_id, cos, margin FROM b
 WHERE bx = 1 AND byy = 1 AND margin >= $MarginTau
 ORDER BY x_id"""
+
+  /** Shared q166/q167 PQ oracle prefix: doubles view, subspace slices,
+    * first-K codebooks, argmin codes, probe×codebook distance table.
+    * Bar-margined — interpolates at the TOP of a stripMargin host. */
+  private def pqSqlPrefix: String = {
+    val w = 64 / PqM
+    s"""WITH ev AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |sub AS (
+       |  SELECT vec_id, s, v[(s*$w+1):(s*$w+$w)] AS sv
+       |  FROM ev, (SELECT unnest(range(0, $PqM)) AS s)
+       |),
+       |cen AS (SELECT vec_id AS cid, s, sv AS cv FROM sub
+       |        WHERE vec_id < $PqCent),
+       |enc AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT a.vec_id, a.s, c.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id, a.s
+       |        ORDER BY ${l2iSql("a.sv", "c.cv")}, c.cid) AS rn
+       |    FROM sub a JOIN cen c USING (s))
+       |  WHERE rn = 1
+       |),
+       |tab AS (
+       |  SELECT p.vec_id AS probe_id, p.s, c.cid,
+       |         ${l2iSql("p.sv", "c.cv")} AS d
+       |  FROM sub p JOIN cen c USING (s) WHERE p.vec_id < 5
+       |)""".stripMargin
+  }
+
+  /** Shared q166/q167 oracle suffix: approximate top-k from the `ad`
+    * CTE, the exact-L2 twin, and q109's recall-join shape. Margins
+    * pre-stripped — safe inside a stripMargin host (no leading bars). */
+  private def pqRecallSqlSuffix: String =
+    s""",
+atop AS (
+  SELECT probe_id, vec_id,
+    row_number() OVER (PARTITION BY probe_id
+      ORDER BY adist, vec_id) AS rnk
+  FROM ad WHERE vec_id <> probe_id
+  QUALIFY rnk <= $TopK
+),
+exd AS (
+  SELECT p.vec_id AS probe_id, c.vec_id,
+         ${l2iSql("c.v", "p.v")} AS d
+  FROM ev c, ev p WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+),
+etop AS (
+  SELECT probe_id, vec_id,
+    row_number() OVER (PARTITION BY probe_id
+      ORDER BY d, vec_id) AS rnk
+  FROM exd QUALIFY rnk <= $TopK
+)
+SELECT e.probe_id, count(*) AS n_exact,
+  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_hit,
+  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    / count(*)::DOUBLE, 9) AS recall
+FROM etop e LEFT JOIN atop a
+  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+GROUP BY e.probe_id ORDER BY e.probe_id"""
 
   /** DuckDB mirror of `Quantize.l2i`: squared L2 expanded as
     * a·a − 2(a·b) + b·b over ordered list_sum folds, 9-dp rounded and
@@ -3051,6 +3117,20 @@ ORDER BY x_id"""
       Ann.recallReport(
         Quantize.pqAdcTopK(emb, "vec_id", "embedding", probes, PqM,
           cen, TopK),
+        Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, TopK))
+        .orderBy("probe_id")
+    }),
+
+    // IVF-PQ: the production ANN stack — inverted-file cells gate
+    // candidacy (nprobe of nCells), ADC ranks the survivors from the
+    // q166 codes; the q166-vs-q167 recall gap prices the visit bound.
+    "q167_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      Ann.recallReport(
+        Quantize.ivfPqTopK(emb, "vec_id", "embedding", probes, PqM,
+          emb.filter(col("vec_id") < PqCent),
+          emb.filter(col("vec_id") < IvfCells), IvfNprobe, TopK),
         Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, TopK))
         .orderBy("probe_id")
     }),
@@ -6132,63 +6212,45 @@ ORDER BY x_id"""
 
     // q166: the same first-K codebooks, argmin encode, ADC integer
     // sums, and exact-L2 twin rebuilt in SQL; q109's recall-join shape.
-    "q166_pq_recall" -> {
-      val w = 64 / PqM
-      s"""WITH ev AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |),
-         |sub AS (
-         |  SELECT vec_id, s, v[(s*$w+1):(s*$w+$w)] AS sv
-         |  FROM ev, (SELECT unnest(range(0, $PqM)) AS s)
-         |),
-         |cen AS (SELECT vec_id AS cid, s, sv AS cv FROM sub
-         |        WHERE vec_id < $PqCent),
-         |enc AS (
-         |  SELECT vec_id, s, cid AS code FROM (
-         |    SELECT a.vec_id, a.s, c.cid,
-         |      row_number() OVER (PARTITION BY a.vec_id, a.s
-         |        ORDER BY ${l2iSql("a.sv", "c.cv")}, c.cid) AS rn
-         |    FROM sub a JOIN cen c USING (s))
-         |  WHERE rn = 1
-         |),
-         |tab AS (
-         |  SELECT p.vec_id AS probe_id, p.s, c.cid,
-         |         ${l2iSql("p.sv", "c.cv")} AS d
-         |  FROM sub p JOIN cen c USING (s) WHERE p.vec_id < 5
-         |),
+    "q166_pq_recall" ->
+      s"""$pqSqlPrefix,
          |ad AS (
          |  SELECT t.probe_id, e.vec_id, sum(t.d)::BIGINT AS adist
          |  FROM enc e JOIN tab t ON e.s = t.s AND e.code = t.cid
          |  GROUP BY 1, 2
+         |)$pqRecallSqlSuffix""".stripMargin,
+
+    // q167: q166's prefix + the inverted file — coarse argmin cells,
+    // probe's top-nprobe cells, candidates restricted before ADC.
+    "q167_ivfpq_recall" ->
+      s"""$pqSqlPrefix,
+         |coarse AS (SELECT vec_id AS ccid, v AS ccv FROM ev
+         |           WHERE vec_id < $IvfCells),
+         |cells AS (
+         |  SELECT vec_id, ccid AS cell FROM (
+         |    SELECT e.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2iSql("e.v", "c.ccv")}, c.ccid) AS rn
+         |    FROM ev e, coarse c)
+         |  WHERE rn = 1
          |),
-         |atop AS (
-         |  SELECT probe_id, vec_id,
-         |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY adist, vec_id) AS rnk
-         |  FROM ad WHERE vec_id <> probe_id
-         |  QUALIFY rnk <= $TopK
+         |pcells AS (
+         |  SELECT probe_id, ccid AS cell FROM (
+         |    SELECT p.vec_id AS probe_id, c.ccid,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${l2iSql("p.v", "c.ccv")}, c.ccid) AS rn
+         |    FROM ev p, coarse c WHERE p.vec_id < 5)
+         |  WHERE rn <= $IvfNprobe
          |),
-         |exd AS (
-         |  SELECT p.vec_id AS probe_id, c.vec_id,
-         |         ${l2iSql("c.v", "p.v")} AS d
-         |  FROM ev c, ev p WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
-         |),
-         |etop AS (
-         |  SELECT probe_id, vec_id,
-         |    row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY d, vec_id) AS rnk
-         |  FROM exd QUALIFY rnk <= $TopK
-         |)
-         |SELECT e.probe_id, count(*) AS n_exact,
-         |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_hit,
-         |  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    / count(*)::DOUBLE, 9) AS recall
-         |FROM etop e LEFT JOIN atop a
-         |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
-         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin
-    },
+         |ad AS (
+         |  SELECT t.probe_id, e.vec_id, sum(t.d)::BIGINT AS adist
+         |  FROM enc e
+         |  JOIN cells cl ON e.vec_id = cl.vec_id
+         |  JOIN pcells pc ON cl.cell = pc.cell
+         |  JOIN tab t ON t.probe_id = pc.probe_id
+         |    AND e.s = t.s AND e.code = t.cid
+         |  GROUP BY 1, 2
+         |)$pqRecallSqlSuffix""".stripMargin,
 
     // q165: DuckDB's ignore_errors surfaces each torn line as an
     // all-NULL row (one per line — verified behavior), so the corrupt

@@ -127,6 +127,72 @@ object Quantize {
       .select(col("probe_id"), col("vec_id"), col("rnk"))
   }
 
+  /** IVF coarse assignment: every vector goes to its nearest coarse
+    * centroid by the same integerized L2 (ties to the smaller cell id)
+    * — the inverted-file half of IVF-PQ. Broadcast centroids, map-side
+    * combined argmin; output (idCol, cell). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                coarse: DataFrame): DataFrame = {
+    val cen = coarse.select(col(idCol).as("__cid"),
+      col(vecCol).as("__cv"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cen))
+      .withColumn("__d", l2i(col(vecCol), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("__cid"), struct(col("__d"), col("__cid")))
+        .as("cell"))
+  }
+
+  /** IVF-PQ search — the production ANN stack (FAISS's default index
+    * family) composed from the two verified halves: the inverted file
+    * restricts candidates to the probe's `nprobe` nearest coarse cells
+    * (corpus touched ∝ nprobe/nCells — the knob that makes 100 TB
+    * searchable), and [[pqCodes]]+ADC rank the survivors from 2-byte
+    * codes. Deviation from FAISS, documented: codes quantize RAW
+    * vectors, not cell residuals — the cell only gates candidacy, so
+    * the ADC ranking is exactly [[pqAdcTopK]]'s restricted to the
+    * visited cells (and the recall gap between q166 and q167 prices
+    * the visit bound alone). Returns (probe_id, vec_id, rnk ≤ k);
+    * audit against [[l2TopKExact]] (q167). */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                probes: DataFrame, m: Int, centroids: DataFrame,
+                coarse: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
+    val w = dim / m
+    val cells = ivfAssign(df, idCol, vecCol, coarse)
+    val codes = pqCodes(df, idCol, vecCol, m, centroids)
+    val cen = coarse.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val probeCells = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("__pv"))
+      .crossJoin(broadcast(cen))
+      .withColumn("__d", l2i(col("__pv"), col("__cv")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("__d"), col("__cid"))))
+      .filter(col("__r") <= nprobe)
+      .select(col("probe_id"), col("__cid").as("cell"))
+    val pqCen = subspaces(centroids, idCol, vecCol, m, w, "cid", "cv")
+    val tab = subspaces(probes, idCol, vecCol, m, w, "probe_id", "pv")
+      .join(pqCen, Seq("s"))
+      .select(col("probe_id"), col("s"), col("cid"),
+        l2i(col("pv"), col("cv")).as("__d"))
+    val cand = codes.join(cells, Seq(idCol))
+      .join(broadcast(probeCells), Seq("cell"))
+    cand.join(broadcast(tab),
+        cand("probe_id") === tab("probe_id") && cand("s") === tab("s")
+          && cand("code") === tab("cid"))
+      .select(cand("probe_id"), cand(idCol).as("vec_id"), tab("__d"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("__d")).as("__ad"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("__ad"), col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+  }
+
   /** Exact squared-L2 top-k — the ground-truth twin the PQ path is
     * audited against (same integer distance units, same tie order).
     * Probes broadcast, corpus streams: the [[graft.ops.Similarity.cosineTopK]]

@@ -89,4 +89,25 @@ class QuantizeSpec extends SparkSpec {
       .agg(avg("recall")).as[Double].head()
     assert(rec > 0.1 && rec < 1.0, s"PQ recall $rec outside (0.1, 1)")
   }
+
+  test("ivfPqTopK: visiting every cell reduces exactly to pqAdcTopK " +
+      "(the visit bound is the ONLY approximation the IVF adds); " +
+      "bounded nprobe yields a valid, generally different top-k") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val cen = emb.filter(col("vec_id") < 16)
+    val coarse = emb.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    val full = rows(Quantize.ivfPqTopK(emb, "vec_id", "embedding",
+      probes, 4, cen, coarse, nprobe = 8, k = 10))
+    val adc = rows(Quantize.pqAdcTopK(emb, "vec_id", "embedding",
+      probes, 4, cen, 10))
+    assert(full == adc)
+    val bounded = Quantize.ivfPqTopK(emb, "vec_id", "embedding",
+      probes, 4, cen, coarse, nprobe = 2, k = 10)
+    val per = bounded.groupBy("probe_id").count().as[(Long, Long)].collect()
+    assert(per.forall(_._2 <= 10L) && per.length == 5)
+    assert(bounded.filter(col("probe_id") === col("vec_id")).count() == 0)
+  }
 }
