@@ -207,6 +207,11 @@ object SparkEntry {
     * candidates ∝ nprobe/nCells, the knob that bounds corpus touched. */
   val IvfCells = 8
   val IvfNprobe = 3
+  /** q168 k-means: 8 clusters from the first-8 init, 2 Lloyd updates —
+    * enough to move every centroid off its init while keeping the
+    * oracle's unrolled-CTE replay readable. */
+  val KmeansK = 8
+  val KmeansIters = 2
   /** q119 audit threshold: the fixture's pair similarity is bimodal
     * (background mass under 0.1, planted near-dups above 0.9), so the
     * audit runs at a tau low enough to see BOTH ends of the banding
@@ -3119,6 +3124,27 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           cen, TopK),
         Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, TopK))
         .orderBy("probe_id")
+    }),
+
+    // Deterministic Lloyd k-means: 2 exact-replayable updates from the
+    // first-8 init (integerized argmin, exact-integer centroid means,
+    // empty clusters keep their centroid), then the final centroids
+    // exploded per dimension next to the final membership counts —
+    // the trainer for every centroid table the vector ops consume.
+    "q168_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cen = Kmeans.fit(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < KmeansK), KmeansIters)
+      val counts = Kmeans.assign(emb, "vec_id", "embedding", cen)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      cen.select(col("vec_id").as("cluster"),
+          posexplode(col("embedding")).as(Seq("d", "val")))
+        .withColumn("d", col("d").cast("long") + lit(1L))
+        .join(counts, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          col("d"), col("val"))
+        .orderBy("cluster", "d")
     }),
 
     // IVF-PQ: the production ANN stack — inverted-file cells gate
@@ -6209,6 +6235,61 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round((hll_est - exact_distinct) / exact_distinct * 100, 6)
          |    AS rel_err_pct
          |FROM fin ORDER BY lang""".stripMargin,
+
+    // q168: the 2-iteration Lloyd replay, fully unrolled — each
+    // update = argmin assign (integerized L2, id ties) + per-dim
+    // exact-BIGINT means narrowed to FLOAT, empty clusters inherited;
+    // final = centroids exploded + membership counts.
+    "q168_kmeans" -> {
+      def assignSql(cenCte: String, as: String): String =
+        s"""$as AS (
+           |  SELECT vec_id, cid AS cluster FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2iSql("e.v", "c.cv")}, c.cid) AS rn
+           |    FROM ev e, $cenCte c)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      def meanSql(aCte: String, as: String): String =
+        s"""$as AS (
+           |  SELECT $aCte.cluster AS cid, i AS d,
+           |    CAST(CAST(sum(CAST(floor(e.v[i] * 1e9 + 0.5) AS BIGINT))
+           |        AS DOUBLE) / count(*) / 1e9 AS FLOAT) AS val
+           |  FROM $aCte JOIN ev e USING (vec_id),
+           |       (SELECT unnest(range(1, 65)) AS i)
+           |  GROUP BY 1, 2
+           |)""".stripMargin
+      def nextCenSql(mCte: String, prevCte: String, as: String): String =
+        s"""$as AS (
+           |  SELECT cid, list(CAST(val AS DOUBLE) ORDER BY d) AS cv
+           |  FROM $mCte GROUP BY cid
+           |  UNION ALL
+           |  SELECT cid, cv FROM $prevCte
+           |  WHERE cid NOT IN (SELECT cid FROM $mCte)
+           |)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM ev
+         |       WHERE vec_id < $KmeansK),
+         |${assignSql("c0", "a1")},
+         |${meanSql("a1", "m1")},
+         |${nextCenSql("m1", "c0", "c1")},
+         |${assignSql("c1", "a2")},
+         |${meanSql("a2", "m2")},
+         |${nextCenSql("m2", "c1", "c2")},
+         |${assignSql("c2", "af")},
+         |cnt AS (SELECT cluster, count(*)::BIGINT AS n_members
+         |        FROM af GROUP BY 1)
+         |SELECT x.cid AS cluster,
+         |  coalesce(cnt.n_members, 0)::BIGINT AS n_members,
+         |  x.d, x.val
+         |FROM (SELECT cid, i::BIGINT AS d, CAST(cv[i] AS FLOAT) AS val
+         |      FROM c2, (SELECT unnest(range(1, 65)) AS i)) x
+         |LEFT JOIN cnt ON cnt.cluster = x.cid
+         |ORDER BY cluster, d""".stripMargin
+    },
 
     // q166: the same first-K codebooks, argmin encode, ADC integer
     // sums, and exact-L2 twin rebuilt in SQL; q109's recall-join shape.

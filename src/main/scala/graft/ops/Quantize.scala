@@ -51,7 +51,7 @@ object Quantize {
     * (identical IEEE op shape in the DuckDB oracle; integer sums and
     * integer ties are order-free). Expanded as a·a − 2(a·b) + b·b so
     * it is three codegen'd FoldDot folds, no materialized diff array. */
-  private def l2i(a: org.apache.spark.sql.Column,
+  private[ops] def l2i(a: org.apache.spark.sql.Column,
                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(round(graft.functions.FoldDot(a, a)
       - lit(2.0) * graft.functions.FoldDot(a, b)
