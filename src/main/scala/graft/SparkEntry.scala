@@ -212,6 +212,10 @@ object SparkEntry {
     * oracle's unrolled-CTE replay readable. */
   val KmeansK = 8
   val KmeansIters = 2
+  /** q169 offline rec-eval: hash-keyed order split (fold 0 of 10 is the
+    * eval set) and the hit-rate curve up to the report's TopK. */
+  val RecEvalSalt = "recEval"
+  val RecEvalFolds = 10L
   /** q119 audit threshold: the fixture's pair similarity is bimodal
     * (background mass under 0.1, planted near-dups above 0.9), so the
     * audit runs at a tau low enough to see BOTH ends of the banding
@@ -3124,6 +3128,29 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           cen, TopK),
         Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, TopK))
         .orderBy("probe_id")
+    }),
+
+    // Offline recommender evaluation — closes the loop the reference
+    // leaves open: train the co-occurrence model on 9/10 of the orders
+    // (hash fold), hold out each eval basket's last item in trainer
+    // order, and report hit-rate@k for k = 1..10. Leakage-free by
+    // construction (eval pairs never enter the model).
+    "q169_rec_eval" -> ((s, dir) => {
+      val enc = Vocab.encode(t(s, dir, "lineitem"), "l_partkey",
+        vocab(s, dir))
+      val fold = pmod(Portable.seededHash(lit(RecEvalSalt),
+        col("l_orderkey")), lit(RecEvalFolds))
+      def baskets(e: DataFrame) =
+        Pairs.orderedBaskets(e, "l_orderkey", "idx",
+          Seq(Portable.seededHash(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey")).as("__h"), col("l_partkey").as("__pid")),
+          MaxBasketLen)
+      val cooc = Pairs.skipGramPairsFromBaskets(
+          baskets(enc.filter(fold =!= 0)), WindowW)
+        .groupBy(col("target"), col("context"))
+        .agg(count(lit(1)).as("cnt"))
+      RecEval.hitRateCurve(baskets(enc.filter(fold === 0)), cooc, TopK)
+        .orderBy("k")
     }),
 
     // Deterministic Lloyd k-means: 2 exact-replayable updates from the
@@ -6235,6 +6262,75 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round((hll_est - exact_distinct) / exact_distinct * 100, 6)
          |    AS rel_err_pct
          |FROM fin ORDER BY lang""".stripMargin,
+
+    // q169: the trainer's own basket order and pair rule rebuilt per
+    // fold — cooc from fold≠0 only, leave-last-out on fold 0, NOT
+    // EXISTS for the in-cart exclusion, q14's tie order for ranking.
+    "q169_rec_eval" -> {
+      val h = Portable.sqlHash("order_id", "ln", "pid")
+      def seqSql(cond: String, as: String): String =
+        s"""$as AS (
+           |  SELECT order_id, item, pos FROM (
+           |    SELECT order_id, item,
+           |           row_number() OVER (PARTITION BY order_id
+           |             ORDER BY $h, pid) - 1 AS pos
+           |    FROM enc WHERE $cond
+           |  ) WHERE pos < $MaxBasketLen
+           |)""".stripMargin
+      s"""$vocabSqlCte,
+         |enc AS (
+         |  SELECT l.l_orderkey AS order_id, l.l_linenumber AS ln,
+         |         l.l_partkey AS pid, coalesce(v.idx, 0) AS item,
+         |         ${Portable.sqlHash(s"'$RecEvalSalt'", "l.l_orderkey")}
+         |           % $RecEvalFolds AS fold
+         |  FROM lineitem l LEFT JOIN vocab v ON l.l_partkey = v.pid
+         |),
+         |${seqSql("fold <> 0", "seqt")},
+         |cooc AS (
+         |  SELECT t.item AS target, c.item AS context,
+         |         count(*)::BIGINT AS cnt
+         |  FROM seqt t JOIN seqt c ON t.order_id = c.order_id
+         |  WHERE t.pos <> c.pos AND abs(t.pos - c.pos) <= $WindowW
+         |    AND t.item <> 0 AND c.item <> 0
+         |  GROUP BY 1, 2
+         |),
+         |${seqSql("fold = 0", "seqe")},
+         |eb AS (SELECT order_id, max(pos) AS lastpos FROM seqe
+         |       GROUP BY 1 HAVING count(*) >= 2),
+         |held AS (SELECT e.order_id, s.item AS heldout
+         |         FROM eb e JOIN seqe s ON s.order_id = e.order_id
+         |           AND s.pos = e.lastpos),
+         |ctx AS (SELECT s.order_id, s.item AS c
+         |        FROM eb e JOIN seqe s ON s.order_id = e.order_id
+         |          AND s.pos < e.lastpos),
+         |scf AS (
+         |  SELECT s.order_id, s.cand, sum(s.cnt)::BIGINT AS score
+         |  FROM (SELECT x.order_id, co.context AS cand, co.cnt
+         |        FROM ctx x JOIN cooc co ON co.target = x.c) s
+         |  WHERE NOT EXISTS (SELECT 1 FROM ctx x
+         |    WHERE x.order_id = s.order_id AND x.c = s.cand)
+         |  GROUP BY 1, 2
+         |),
+         |rk AS (
+         |  SELECT order_id, cand,
+         |    row_number() OVER (PARTITION BY order_id
+         |      ORDER BY score DESC, cand) AS rnk
+         |  FROM scf
+         |),
+         |rh AS (SELECT r.order_id, r.rnk FROM rk r
+         |       JOIN held h ON h.order_id = r.order_id
+         |         AND r.cand = h.heldout),
+         |tot AS (SELECT count(*)::BIGINT AS n_orders FROM eb),
+         |ks AS (SELECT unnest(range(1, ${TopK + 1}))::BIGINT AS k),
+         |hits AS (SELECT ks.k, count(*)::BIGINT AS n_hits
+         |         FROM ks, rh WHERE rh.rnk <= ks.k GROUP BY ks.k)
+         |SELECT ks.k AS k, tot.n_orders,
+         |  coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+         |  round(coalesce(hits.n_hits, 0) / CAST(tot.n_orders AS DOUBLE), 9)
+         |    AS hit_rate
+         |FROM ks CROSS JOIN tot LEFT JOIN hits ON hits.k = ks.k
+         |ORDER BY ks.k""".stripMargin
+    },
 
     // q168: the 2-iteration Lloyd replay, fully unrolled — each
     // update = argmin assign (integerized L2, id ties) + per-dim

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline recommender evaluation — the loop the reference never
+  * closes: it trains and eyeballs a synonym report
+  * (`tuning_analysis.py` plots), but nothing measures whether the
+  * model would actually have predicted a held-out purchase. This is
+  * the standard leave-last-out protocol: hold out each eval basket's
+  * LAST item (in the same deterministic basket order the trainer
+  * consumed), score every candidate by its co-occurrence mass with the
+  * remaining context, and ask where the held-out item ranks.
+  *
+  * Leakage posture: the caller trains the co-occurrence model on the
+  * TRAIN fold only (q169 splits orders by keyed hash), so an eval
+  * basket's own pairs never inform its scores — the q95 leakage-free
+  * discipline applied to model evaluation.
+  *
+  * Scale shape: context explode is ≤ maxLen rows per eval order; the
+  * scoring join keys on the context item against the (target, context,
+  * cnt) model — the model side is vocab², bounded and broadcastable;
+  * ranking windows key on the eval order. Nothing corpus-sized crosses
+  * an unkeyed boundary.
+  */
+object RecEval {
+
+  /** Rank of each eval basket's held-out last item among co-occurrence
+    * candidates. `baskets` = (order_id, basket: array<int>) in trainer
+    * order; `cooc` = (target, context, cnt) from the TRAIN fold.
+    * Candidates already in the context are excluded (recommending what
+    * is in the cart is not a prediction); a held-out item the model
+    * never co-scored simply has no rank row — it can never be a hit,
+    * which is the honest accounting (UNK held-outs behave the same).
+    * Returns (order_id, rnk). */
+  def heldoutRanks(baskets: DataFrame, cooc: DataFrame): DataFrame = {
+    val elig = eligible(baskets)
+    val scored = elig
+      .withColumn("c", explode(col("ctx")))
+      .join(cooc.select(col("target").cast("long").as("c"),
+        col("context").cast("long").as("cand"), col("cnt")), Seq("c"))
+      .filter(!array_contains(col("ctx"), col("cand").cast("int")))
+      .groupBy(col("order_id"), col("heldout"), col("cand"))
+      .agg(sum(col("cnt")).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("order_id"))
+        .orderBy(desc("score"), asc("cand"))))
+      .filter(col("cand") === col("heldout"))
+      .select(col("order_id"), col("rnk"))
+  }
+
+  /** The hit-rate@k curve for k = 1..maxK: of the eligible eval
+    * baskets (≥ 2 items after the trainer's cap), how many had their
+    * held-out item ranked within k. One pass over the rank frame.
+    * Returns (k, n_orders, n_hits, hit_rate). */
+  def hitRateCurve(baskets: DataFrame, cooc: DataFrame,
+                   maxK: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val ranks = heldoutRanks(baskets, cooc)
+    val hits = ranks
+      .withColumn("k", explode(sequence(lit(1L), lit(maxK.toLong))))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_hits"))
+    eligible(baskets).agg(count(lit(1)).as("n_orders"))
+      .select(col("n_orders"),
+        explode(sequence(lit(1L), lit(maxK.toLong))).as("k"))
+      .join(hits, Seq("k"), "left")
+      .select(col("k"), col("n_orders"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("hit_rate",
+        round(col("n_hits").cast("double") / col("n_orders"), 9))
+  }
+
+  /** Eval baskets with a context and a held-out: the LAST item in
+    * trainer order is held out, the rest are context (per-occurrence —
+    * a duplicate context item weighs its co-occurrences twice, the
+    * same bag semantics the trainer saw). */
+  private def eligible(baskets: DataFrame): DataFrame =
+    baskets.filter(size(col("basket")) >= 2)
+      .select(col("order_id"),
+        element_at(col("basket"), size(col("basket")))
+          .cast("long").as("heldout"),
+        slice(col("basket"), lit(1), size(col("basket")) - 1).as("ctx"))
+}

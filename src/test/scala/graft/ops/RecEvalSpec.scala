@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RecEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def baskets(rows: (Long, Seq[Int])*) =
+    rows.toDF("order_id", "basket")
+
+  private def cooc(rows: (Int, Int, Long)*) =
+    rows.toDF("target", "context", "cnt")
+
+  test("heldoutRanks: co-occurrence mass ranks the held-out item; " +
+      "in-cart candidates are excluded from the ranking") {
+    val b = baskets(100L -> Seq(1, 2, 3))
+    // model: 3 co-occurs with both context items; 2 co-occurs with 1
+    // strongly (but 2 is IN the cart — must not occupy a rank)
+    val m = cooc((1, 3, 5L), (2, 3, 7L), (1, 2, 99L), (1, 4, 6L))
+    val r = RecEval.heldoutRanks(b, m).as[(Long, Int)].collect().toMap
+    // candidates: 3 (score 12), 4 (score 6) — 2 excluded despite 99
+    assert(r(100L) == 1)
+    // weaken the model below a competitor: heldout drops to rank 2
+    val m2 = cooc((1, 3, 5L), (1, 4, 6L))
+    assert(RecEval.heldoutRanks(b, m2)
+      .as[(Long, Int)].collect().toMap.apply(100L) == 2)
+  }
+
+  test("hitRateCurve: planted signal is detected; unrankable held-outs " +
+      "stay in the denominator; singleton baskets are ineligible") {
+    val b = baskets(
+      1L -> Seq(1, 2, 3),   // heldout 3, rankable at 1
+      2L -> Seq(1, 2, 9),   // heldout 9, model never scores it
+      3L -> Seq(7))         // singleton — ineligible
+    val m = cooc((1, 3, 5L), (2, 3, 7L), (1, 4, 1L))
+    val curve = RecEval.hitRateCurve(b, m, 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(curve.forall(_._2 == 2L)) // orders 1 and 2 eligible
+    assert(curve.map(_._3).toSeq == Seq(1L, 1L, 1L)) // only order 1 hits
+    assert(curve.head._4 == 0.5)
+    // monotone: hit-rate@k never decreases in k
+    assert(curve.map(_._4).toSeq == curve.map(_._4).sorted.toSeq)
+  }
+}
