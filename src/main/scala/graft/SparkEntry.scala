@@ -1524,6 +1524,68 @@ FROM etop e LEFT JOIN atop a
   ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
 GROUP BY e.probe_id ORDER BY e.probe_id"""
 
+  /** Shared q169/q170 rec-eval oracle prefix: vocab, fold-split enc,
+    * trainer-ordered baskets per fold, train-fold cooc, leave-last-out
+    * held-outs, candidate ranks (rh) and the eligible-order total
+    * (tot). Bar-margined — interpolate at the TOP of a stripMargin
+    * host. */
+  private def recEvalSqlPrefix: String = {
+    val h = Portable.sqlHash("order_id", "ln", "pid")
+    def seqSql(cond: String, as: String): String =
+      s"""$as AS (
+         |  SELECT order_id, item, pos FROM (
+         |    SELECT order_id, item,
+         |           row_number() OVER (PARTITION BY order_id
+         |             ORDER BY $h, pid) - 1 AS pos
+         |    FROM enc WHERE $cond
+         |  ) WHERE pos < $MaxBasketLen
+         |)""".stripMargin
+    s"""$vocabSqlCte,
+       |enc AS (
+       |  SELECT l.l_orderkey AS order_id, l.l_linenumber AS ln,
+       |         l.l_partkey AS pid, coalesce(v.idx, 0) AS item,
+       |         ${Portable.sqlHash(s"'$RecEvalSalt'", "l.l_orderkey")}
+       |           % $RecEvalFolds AS fold
+       |  FROM lineitem l LEFT JOIN vocab v ON l.l_partkey = v.pid
+       |),
+       |${seqSql("fold <> 0", "seqt")},
+       |cooc AS (
+       |  SELECT t.item AS target, c.item AS context,
+       |         count(*)::BIGINT AS cnt
+       |  FROM seqt t JOIN seqt c ON t.order_id = c.order_id
+       |  WHERE t.pos <> c.pos AND abs(t.pos - c.pos) <= $WindowW
+       |    AND t.item <> 0 AND c.item <> 0
+       |  GROUP BY 1, 2
+       |),
+       |${seqSql("fold = 0", "seqe")},
+       |eb AS (SELECT order_id, max(pos) AS lastpos FROM seqe
+       |       GROUP BY 1 HAVING count(*) >= 2),
+       |held AS (SELECT e.order_id, s.item AS heldout
+       |         FROM eb e JOIN seqe s ON s.order_id = e.order_id
+       |           AND s.pos = e.lastpos),
+       |ctx AS (SELECT s.order_id, s.item AS c
+       |        FROM eb e JOIN seqe s ON s.order_id = e.order_id
+       |          AND s.pos < e.lastpos),
+       |scf AS (
+       |  SELECT s.order_id, s.cand, sum(s.cnt)::BIGINT AS score
+       |  FROM (SELECT x.order_id, co.context AS cand, co.cnt
+       |        FROM ctx x JOIN cooc co ON co.target = x.c) s
+       |  WHERE NOT EXISTS (SELECT 1 FROM ctx x
+       |    WHERE x.order_id = s.order_id AND x.c = s.cand)
+       |  GROUP BY 1, 2
+       |),
+       |rk AS (
+       |  SELECT order_id, cand,
+       |    row_number() OVER (PARTITION BY order_id
+       |      ORDER BY score DESC, cand) AS rnk
+       |  FROM scf
+       |),
+       |rh AS (SELECT r.order_id, r.rnk FROM rk r
+       |       JOIN held h ON h.order_id = r.order_id
+       |         AND r.cand = h.heldout),
+       |tot AS (SELECT count(*)::BIGINT AS n_orders FROM eb)""".stripMargin
+  }
+
   /** DuckDB mirror of `Quantize.l2i`: squared L2 expanded as
     * a·a − 2(a·b) + b·b over ordered list_sum folds, 9-dp rounded and
     * integerized at 1e9 — identical IEEE op shape to the engine. */
@@ -3151,6 +3213,27 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .agg(count(lit(1)).as("cnt"))
       RecEval.hitRateCurve(baskets(enc.filter(fold === 0)), cooc, TopK)
         .orderBy("k")
+    }),
+
+    // Graded rank metrics over the q169 protocol: MRR and NDCG at the
+    // report cutoff, plus coverage (held-outs scored at all) — the
+    // numbers that separate "ranked it somewhere" from "ranked it
+    // first", in exact shared-literal integer units.
+    "q170_rec_eval_graded" -> ((s, dir) => {
+      val enc = Vocab.encode(t(s, dir, "lineitem"), "l_partkey",
+        vocab(s, dir))
+      val fold = pmod(Portable.seededHash(lit(RecEvalSalt),
+        col("l_orderkey")), lit(RecEvalFolds))
+      def baskets(e: DataFrame) =
+        Pairs.orderedBaskets(e, "l_orderkey", "idx",
+          Seq(Portable.seededHash(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey")).as("__h"), col("l_partkey").as("__pid")),
+          MaxBasketLen)
+      val cooc = Pairs.skipGramPairsFromBaskets(
+          baskets(enc.filter(fold =!= 0)), WindowW)
+        .groupBy(col("target"), col("context"))
+        .agg(count(lit(1)).as("cnt"))
+      RecEval.rankMetrics(baskets(enc.filter(fold === 0)), cooc, TopK)
     }),
 
     // Deterministic Lloyd k-means: 2 exact-replayable updates from the
@@ -6266,61 +6349,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // q169: the trainer's own basket order and pair rule rebuilt per
     // fold — cooc from fold≠0 only, leave-last-out on fold 0, NOT
     // EXISTS for the in-cart exclusion, q14's tie order for ranking.
-    "q169_rec_eval" -> {
-      val h = Portable.sqlHash("order_id", "ln", "pid")
-      def seqSql(cond: String, as: String): String =
-        s"""$as AS (
-           |  SELECT order_id, item, pos FROM (
-           |    SELECT order_id, item,
-           |           row_number() OVER (PARTITION BY order_id
-           |             ORDER BY $h, pid) - 1 AS pos
-           |    FROM enc WHERE $cond
-           |  ) WHERE pos < $MaxBasketLen
-           |)""".stripMargin
-      s"""$vocabSqlCte,
-         |enc AS (
-         |  SELECT l.l_orderkey AS order_id, l.l_linenumber AS ln,
-         |         l.l_partkey AS pid, coalesce(v.idx, 0) AS item,
-         |         ${Portable.sqlHash(s"'$RecEvalSalt'", "l.l_orderkey")}
-         |           % $RecEvalFolds AS fold
-         |  FROM lineitem l LEFT JOIN vocab v ON l.l_partkey = v.pid
-         |),
-         |${seqSql("fold <> 0", "seqt")},
-         |cooc AS (
-         |  SELECT t.item AS target, c.item AS context,
-         |         count(*)::BIGINT AS cnt
-         |  FROM seqt t JOIN seqt c ON t.order_id = c.order_id
-         |  WHERE t.pos <> c.pos AND abs(t.pos - c.pos) <= $WindowW
-         |    AND t.item <> 0 AND c.item <> 0
-         |  GROUP BY 1, 2
-         |),
-         |${seqSql("fold = 0", "seqe")},
-         |eb AS (SELECT order_id, max(pos) AS lastpos FROM seqe
-         |       GROUP BY 1 HAVING count(*) >= 2),
-         |held AS (SELECT e.order_id, s.item AS heldout
-         |         FROM eb e JOIN seqe s ON s.order_id = e.order_id
-         |           AND s.pos = e.lastpos),
-         |ctx AS (SELECT s.order_id, s.item AS c
-         |        FROM eb e JOIN seqe s ON s.order_id = e.order_id
-         |          AND s.pos < e.lastpos),
-         |scf AS (
-         |  SELECT s.order_id, s.cand, sum(s.cnt)::BIGINT AS score
-         |  FROM (SELECT x.order_id, co.context AS cand, co.cnt
-         |        FROM ctx x JOIN cooc co ON co.target = x.c) s
-         |  WHERE NOT EXISTS (SELECT 1 FROM ctx x
-         |    WHERE x.order_id = s.order_id AND x.c = s.cand)
-         |  GROUP BY 1, 2
-         |),
-         |rk AS (
-         |  SELECT order_id, cand,
-         |    row_number() OVER (PARTITION BY order_id
-         |      ORDER BY score DESC, cand) AS rnk
-         |  FROM scf
-         |),
-         |rh AS (SELECT r.order_id, r.rnk FROM rk r
-         |       JOIN held h ON h.order_id = r.order_id
-         |         AND r.cand = h.heldout),
-         |tot AS (SELECT count(*)::BIGINT AS n_orders FROM eb),
+    "q169_rec_eval" ->
+      s"""$recEvalSqlPrefix,
          |ks AS (SELECT unnest(range(1, ${TopK + 1}))::BIGINT AS k),
          |hits AS (SELECT ks.k, count(*)::BIGINT AS n_hits
          |         FROM ks, rh WHERE rh.rnk <= ks.k GROUP BY ks.k)
@@ -6329,7 +6359,23 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(coalesce(hits.n_hits, 0) / CAST(tot.n_orders AS DOUBLE), 9)
          |    AS hit_rate
          |FROM ks CROSS JOIN tot LEFT JOIN hits ON hits.k = ks.k
-         |ORDER BY ks.k""".stripMargin
+         |ORDER BY ks.k""".stripMargin,
+
+    // q170: the q169 prefix + the exact shared-literal metric tables —
+    // the SAME Scala-computed integers land in both engines.
+    "q170_rec_eval_graded" -> {
+      val rr = graft.ops.RecEval.rrTable(TopK).mkString("[", ", ", "]")
+      val dcg = graft.ops.RecEval.dcgTable(TopK).mkString("[", ", ", "]")
+      s"""$recEvalSqlPrefix
+         |SELECT $TopK::BIGINT AS k, tot.n_orders,
+         |  (SELECT count(*) FROM rh)::BIGINT AS n_ranked,
+         |  round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
+         |      THEN ($rr)[rnk] ELSE 0 END), 0) FROM rh)
+         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) AS mrr,
+         |  round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
+         |      THEN ($dcg)[rnk] ELSE 0 END), 0) FROM rh)
+         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) AS ndcg
+         |FROM tot""".stripMargin
     },
 
     // q168: the 2-iteration Lloyd replay, fully unrolled — each

@@ -72,6 +72,47 @@ object RecEval {
         round(col("n_hits").cast("double") / col("n_orders"), 9))
   }
 
+  /** Reciprocal-rank table for ranks 1..k, integerized at 1e9 — shared
+    * between the engine and the oracle so both sum identical integers
+    * (a float Σ1/r is order-sensitive; an integer one is not). */
+  def rrTable(k: Int): Seq[Long] =
+    (1 to k).map(r => math.floor(1e9 / r + 0.5).toLong)
+
+  /** Single-relevant-item DCG discount table 1/log2(r+1), integerized
+    * at 1e9. log runs ONCE, here, at plan-build time — the cross-engine
+    * ln instability never reaches the data path because both engines
+    * receive the same literal integers. */
+  def dcgTable(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Graded rank metrics at cutoff k over the same leave-last-out
+    * protocol: MRR@k and NDCG@k (single relevant item ⇒ IDCG = 1, so
+    * NDCG is the mean discount of the hit rank). Sums run in the exact
+    * integer tables above; each metric leaves integer land with one
+    * double division pair. Output: (k, n_orders, n_ranked, mrr, ndcg)
+    * — n_ranked counts held-outs the model scored AT ALL (at any rank),
+    * the coverage number hit_rate alone hides. */
+  def rankMetrics(baskets: DataFrame, cooc: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ranks = heldoutRanks(baskets, cooc)
+    val agg = ranks.agg(
+      count(lit(1)).as("n_ranked"),
+      coalesce(sum(when(col("rnk") <= k,
+        element_at(typedLit(rrTable(k)), col("rnk").cast("int")))
+        .otherwise(lit(0L))), lit(0L)).as("__rr"),
+      coalesce(sum(when(col("rnk") <= k,
+        element_at(typedLit(dcgTable(k)), col("rnk").cast("int")))
+        .otherwise(lit(0L))), lit(0L)).as("__dcg"))
+    eligible(baskets).agg(count(lit(1)).as("n_orders"))
+      .crossJoin(agg)
+      .select(lit(k.toLong).as("k"), col("n_orders"), col("n_ranked"),
+        round(col("__rr").cast("double") / col("n_orders") / 1e9, 9)
+          .as("mrr"),
+        round(col("__dcg").cast("double") / col("n_orders") / 1e9, 9)
+          .as("ndcg"))
+  }
+
   /** Eval baskets with a context and a held-out: the LAST item in
     * trainer order is held out, the rest are context (per-occurrence —
     * a duplicate context item weighs its co-occurrences twice, the

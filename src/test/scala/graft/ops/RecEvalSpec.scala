@@ -43,4 +43,21 @@ class RecEvalSpec extends SparkSpec {
     // monotone: hit-rate@k never decreases in k
     assert(curve.map(_._4).toSeq == curve.map(_._4).sorted.toSeq)
   }
+
+  test("rankMetrics: rank-1 hit yields MRR = NDCG = 1/n; the discount " +
+      "tables are the exact shared-literal integers") {
+    val b = baskets(1L -> Seq(1, 2, 3), 2L -> Seq(1, 2, 9))
+    val m = cooc((1, 3, 5L), (2, 3, 7L), (1, 4, 1L))
+    val (k, n, nr, mrr, ndcg) = RecEval.rankMetrics(b, m, 3)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(k == 3L && n == 2L)
+    assert(nr == 1L) // order 2's heldout never scored
+    // order 1 hits at rank 1: mrr = ndcg = 1e9/1e9 / 2 orders = 0.5
+    assert(mrr == 0.5 && ndcg == 0.5)
+    // table sanity: rr halves, dcg discounts via log2(r+1)
+    assert(RecEval.rrTable(3) == Seq(1000000000L, 500000000L, 333333333L))
+    assert(RecEval.dcgTable(3).head == 1000000000L)
+    assert(RecEval.dcgTable(3)(1) ==
+      math.floor(1e9 / (math.log(3.0) / math.log(2.0)) + 0.5).toLong)
+  }
 }
