@@ -3271,6 +3271,26 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("probe_id")
     }),
 
+    // PQ with TRAINED codebooks: per-subspace deterministic k-means
+    // (q168's trainer, m times) replaces q166's first-K pin; same ADC
+    // search, same exact twin — the q166-vs-q171 recall delta is what
+    // training the codebooks buys. (On the isotropic fixture that
+    // delta is ~0 — random vectors have no density for Lloyd to find;
+    // the guaranteed win is the objective itself, and QuantizeSpec
+    // pins trained-cost ≤ init-cost. Clustered real embeddings are
+    // where the recall delta appears.)
+    "q171_pq_trained_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val books = Quantize.pqTrain(emb, "vec_id", "embedding", PqM,
+        emb.filter(col("vec_id") < PqCent), KmeansIters)
+      Ann.recallReport(
+        Quantize.pqAdcTopKFrom(emb, "vec_id", "embedding", probes,
+          PqM, 64 / PqM, books, TopK),
+        Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, TopK))
+        .orderBy("probe_id")
+    }),
+
     // Malformed-record quarantine on JSONL ingest: a clean export plus
     // a planted file of torn lines (one GOOD line among them proving
     // location doesn't matter), read under the PERMISSIVE contract —
@@ -6474,6 +6494,75 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    AND e.s = t.s AND e.code = t.cid
          |  GROUP BY 1, 2
          |)$pqRecallSqlSuffix""".stripMargin,
+
+    // q171: q166's frame with the codebooks REPLACED by a per-subspace
+    // keyed replay of the q168 Lloyd recipe (assign/mean/inherit,
+    // carried through (s, cid)); enc/tab rebind to the trained c2.
+    "q171_pq_trained_recall" -> {
+      val w = 64 / PqM
+      def assignSql(cenCte: String, as: String): String =
+        s"""$as AS (
+           |  SELECT vec_id, s, cid AS cluster FROM (
+           |    SELECT a.vec_id, a.s, c.cid,
+           |      row_number() OVER (PARTITION BY a.vec_id, a.s
+           |        ORDER BY ${l2iSql("a.sv", "c.cv")}, c.cid) AS rn
+           |    FROM sub a JOIN $cenCte c USING (s))
+           |  WHERE rn = 1
+           |)""".stripMargin
+      def meanSql(aCte: String, as: String): String =
+        s"""$as AS (
+           |  SELECT $aCte.s, $aCte.cluster AS cid, i AS d,
+           |    CAST(CAST(sum(CAST(floor(b.sv[i] * 1e9 + 0.5) AS BIGINT))
+           |        AS DOUBLE) / count(*) / 1e9 AS FLOAT) AS val
+           |  FROM $aCte JOIN sub b ON b.vec_id = $aCte.vec_id
+           |    AND b.s = $aCte.s,
+           |       (SELECT unnest(range(1, ${w + 1})) AS i)
+           |  GROUP BY 1, 2, 3
+           |)""".stripMargin
+      def nextCenSql(mCte: String, prevCte: String, as: String): String =
+        s"""$as AS (
+           |  SELECT s, cid, list(CAST(val AS DOUBLE) ORDER BY d) AS cv
+           |  FROM $mCte GROUP BY s, cid
+           |  UNION ALL
+           |  SELECT p.s, p.cid, p.cv FROM $prevCte p
+           |  WHERE NOT EXISTS (SELECT 1 FROM $mCte m
+           |    WHERE m.s = p.s AND m.cid = p.cid)
+           |)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |sub AS (
+         |  SELECT vec_id, s, v[(s*$w+1):(s*$w+$w)] AS sv
+         |  FROM ev, (SELECT unnest(range(0, $PqM)) AS s)
+         |),
+         |c0 AS (SELECT vec_id AS cid, s, sv AS cv FROM sub
+         |       WHERE vec_id < $PqCent),
+         |${assignSql("c0", "ka1")},
+         |${meanSql("ka1", "km1")},
+         |${nextCenSql("km1", "c0", "kc1")},
+         |${assignSql("kc1", "ka2")},
+         |${meanSql("ka2", "km2")},
+         |${nextCenSql("km2", "kc1", "kc2")},
+         |enc AS (
+         |  SELECT vec_id, s, cid AS code FROM (
+         |    SELECT a.vec_id, a.s, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id, a.s
+         |        ORDER BY ${l2iSql("a.sv", "c.cv")}, c.cid) AS rn
+         |    FROM sub a JOIN kc2 c USING (s))
+         |  WHERE rn = 1
+         |),
+         |tab AS (
+         |  SELECT p.vec_id AS probe_id, p.s, c.cid,
+         |         ${l2iSql("p.sv", "c.cv")} AS d
+         |  FROM sub p JOIN kc2 c USING (s) WHERE p.vec_id < 5
+         |),
+         |ad AS (
+         |  SELECT t.probe_id, e.vec_id, sum(t.d)::BIGINT AS adist
+         |  FROM enc e JOIN tab t ON e.s = t.s AND e.code = t.cid
+         |  GROUP BY 1, 2
+         |)$pqRecallSqlSuffix""".stripMargin
+    },
 
     // q165: DuckDB's ignore_errors surfaces each torn line as an
     // all-NULL row (one per line — verified behavior), so the corrupt

@@ -86,12 +86,42 @@ object Quantize {
     val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val w = dim / m
+    pqCodesFrom(df, idCol, vecCol, m, w,
+      subspaces(centroids, idCol, vecCol, m, w, "cid", "cv"))
+  }
+
+  /** [[pqCodes]] against an explicit per-subspace codebook frame
+    * (s, cid, cv) — the form [[pqTrain]] produces. */
+  def pqCodesFrom(df: DataFrame, idCol: String, vecCol: String, m: Int,
+                  w: Int, codebooks: DataFrame): DataFrame = {
     val corpus = subspaces(df, idCol, vecCol, m, w, idCol, "sv")
-    val cen = subspaces(centroids, idCol, vecCol, m, w, "cid", "cv")
-    corpus.join(broadcast(cen), Seq("s"))
+    corpus.join(broadcast(codebooks), Seq("s"))
       .withColumn("__d", l2i(col("sv"), col("cv")))
       .groupBy(col(idCol), col("s"))
       .agg(min_by(col("cid"), struct(col("__d"), col("cid"))).as("code"))
+  }
+
+  /** Train per-subspace PQ codebooks with deterministic k-means
+    * ([[graft.ops.Kmeans.fit]] run once per subspace — m is small by
+    * construction, so the driver loop is m·iters bounded jobs, each
+    * corpus-parallel): the step from "codebooks pinned to the first K
+    * rows" (q166) to codebooks that actually sit in the data's density
+    * (q171 measures what that buys in recall, same protocol). `init`
+    * follows the [[Kmeans.fit]] convention per subspace — the first-K
+    * vectors' subvectors. Output: (s, cid, cv: array<float>). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
+              init: DataFrame, iters: Int): DataFrame = {
+    val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val w = dim / m
+    (0 until m).map { s =>
+      def sub(frame: DataFrame): DataFrame =
+        frame.select(col(idCol), slice(col(vecCol), s * w + 1, w)
+          .as(vecCol))
+      Kmeans.fit(sub(df), idCol, vecCol, sub(init), iters)
+        .select(lit(s).as("s"), col(idCol).as("cid"),
+          col(vecCol).as("cv"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the probe stays
@@ -108,10 +138,17 @@ object Quantize {
                 k: Int): DataFrame = {
     val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
     val w = dim / m
-    val codes = pqCodes(df, idCol, vecCol, m, centroids)
-    val cen = subspaces(centroids, idCol, vecCol, m, w, "cid", "cv")
+    pqAdcTopKFrom(df, idCol, vecCol, probes, m, w,
+      subspaces(centroids, idCol, vecCol, m, w, "cid", "cv"), k)
+  }
+
+  /** [[pqAdcTopK]] against an explicit (s, cid, cv) codebook frame. */
+  def pqAdcTopKFrom(df: DataFrame, idCol: String, vecCol: String,
+                    probes: DataFrame, m: Int, w: Int,
+                    codebooks: DataFrame, k: Int): DataFrame = {
+    val codes = pqCodesFrom(df, idCol, vecCol, m, w, codebooks)
     val tab = subspaces(probes, idCol, vecCol, m, w, "probe_id", "pv")
-      .join(cen, Seq("s"))
+      .join(codebooks, Seq("s"))
       .select(col("probe_id"), col("s"), col("cid"),
         l2i(col("pv"), col("cv")).as("__d"))
     codes.join(broadcast(tab),

@@ -90,6 +90,36 @@ class QuantizeSpec extends SparkSpec {
     assert(rec > 0.1 && rec < 1.0, s"PQ recall $rec outside (0.1, 1)")
   }
 
+  test("pqTrain: m complete codebooks; Lloyd's objective is monotone — " +
+      "trained codebooks never quantize worse than their init") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val init = emb.filter(col("vec_id") < 16)
+    val books = Quantize.pqTrain(emb, "vec_id", "embedding", 4, init, 2)
+    val byS = books.as[(Int, Long, Seq[Float])].collect().groupBy(_._1)
+    assert(byS.keySet == Set(0, 1, 2, 3))
+    assert(byS.values.forall(_.length == 16))
+    assert(byS.values.forall(_.forall(_._3.length == 16)))
+    // quantization cost = sum over (vector, subspace) of the distance
+    // to the assigned codeword, in the op's own integer units
+    def cost(codebooks: org.apache.spark.sql.DataFrame): Long = {
+      val w = 16
+      val sub = emb.select(col("vec_id"),
+        explode(array((0 until 4).map(s => struct(lit(s).as("s"),
+          slice(col("embedding"), s * w + 1, w).as("sv"))): _*)).as("e"))
+        .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      sub.join(codebooks, Seq("s"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(Quantize.l2i(col("sv"), col("cv"))).as("d"))
+        .agg(sum("d")).as[Long].head()
+    }
+    val initBooks = Quantize.pqTrain(emb, "vec_id", "embedding", 4, init, 0)
+    assert(cost(books) <= cost(initBooks),
+      "training increased quantization cost")
+    // and training actually moved at least one codeword on the fixture
+    assert(books.as[(Int, Long, Seq[Float])].collect().toSet !=
+      initBooks.as[(Int, Long, Seq[Float])].collect().toSet)
+  }
+
   test("ivfPqTopK: visiting every cell reduces exactly to pqAdcTopK " +
       "(the visit bound is the ONLY approximation the IVF adds); " +
       "bounded nprobe yields a valid, generally different top-k") {
