@@ -538,6 +538,15 @@ object SparkEntry {
   def q165JsonlPath(dir: String): String =
     "/root/repo/target/q165_jsonl_" + dir.split('/').last
 
+  /** q172's deliberately fragmented sink — [[q158LayoutPath]]'s
+    * convention. */
+  def q172LayoutPath(dir: String): String =
+    "/root/repo/target/q172_frag_" + dir.split('/').last
+
+  /** q172 compaction target: quarter of the fixture sink's compressed
+    * mass, so the plan visibly folds ~32 fragments into ~4 groups. */
+  val CompactTargetFrac = 4L
+
   /** q37's persisted MODEL directory (S8 at rest) — the trained model
     * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
     * embedding table is extracted, so model persistence sits INSIDE the
@@ -3316,6 +3325,20 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .agg(count(lit(1)).as("n_lines"),
           coalesce(sum("doc_id"), lit(0L)).as("id_sum"))
         .orderBy("bucket")
+    }),
+
+    // Compaction plan: a deliberately fragmented sink (32 small files)
+    // audited, then cut into ~4 contiguous byte-range groups of ≈¼ the
+    // total mass — the metadata-only OPTIMIZE plan whose groups are
+    // rewrite tasks. The 1-row total probe is a bounded driver read.
+    "q172_compaction_plan" -> ((s, dir) => {
+      val path = q172LayoutPath(dir)
+      Sources.writeParquet(t(s, dir, "lineitem").repartition(32), path)
+      val audit = Sources.parquetLayoutAudit(s, path)
+      val total = audit.agg(sum(col("compressed_bytes"))).head.getLong(0)
+      Sources.compactionPlan(audit,
+          math.max(1L, total / CompactTargetFrac))
+        .orderBy("file_name")
     }),
 
     // Z-order layout + stats audit: lineitem written along the Morton
@@ -6580,6 +6603,34 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  count(*)::BIGINT AS n_lines,
          |  coalesce(sum(doc_id), 0)::BIGINT AS id_sum
          |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // q172: same footers, same cumulative-offset cut — integer byte
+    // offsets make the group function exact in both engines.
+    "q172_compaction_plan" ->
+      s"""WITH cc AS (
+         |  SELECT replace(file_name, '${q172LayoutPath(SfToken)}/', '')
+         |      AS file_name,
+         |    sum(total_compressed_size)::BIGINT AS compressed_bytes
+         |  FROM parquet_metadata('${q172LayoutPath(SfToken)}/*.parquet')
+         |  GROUP BY 1
+         |),
+         |tgt AS (SELECT greatest(1, sum(compressed_bytes)
+         |          // $CompactTargetFrac)::BIGINT AS t FROM cc),
+         |cum AS (
+         |  SELECT file_name, compressed_bytes,
+         |    coalesce(sum(compressed_bytes) OVER (ORDER BY file_name
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS off
+         |  FROM cc
+         |),
+         |g AS (SELECT file_name, compressed_bytes,
+         |        (off // tgt.t)::BIGINT AS grp FROM cum, tgt),
+         |tot AS (SELECT grp, count(*)::BIGINT AS grp_files,
+         |          sum(compressed_bytes)::BIGINT AS grp_bytes
+         |        FROM g GROUP BY 1)
+         |SELECT g.file_name, g.compressed_bytes, g.grp,
+         |       tot.grp_files, tot.grp_bytes
+         |FROM g JOIN tot USING (grp) ORDER BY file_name""".stripMargin,
 
     // q164: DuckDB reads the same row-group statistics; per-file
     // envelope = min/max over row groups, stats decoded from the

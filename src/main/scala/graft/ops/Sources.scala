@@ -343,6 +343,38 @@ object Sources {
         col("col_name"), col("min_val"), col("max_val"))
   }
 
+  /** Compaction plan from a [[parquetLayoutAudit]] frame — the FIX for
+    * the small-files pathology the audit diagnoses: files are laid out
+    * in deterministic (name) order along their cumulative compressed
+    * byte offsets and cut into groups of ≈ `targetBytes` (group =
+    * byte-offset ÷ target — the contiguous-range sharding a
+    * distributed OPTIMIZE job hands its workers; every group lands
+    * within one file of the target, and each group is one rewrite
+    * task's input set). Output: (file_name, compressed_bytes, grp,
+    * grp_files, grp_bytes).
+    *
+    * The cumulative window is unpartitioned BY DESIGN and bounded by
+    * the audit's own cardinality — file COUNT, not data size (the
+    * same audited-global-window class as the vocab top-K): a 100k-file
+    * table is 100k metadata rows. The plan is pure metadata; executing
+    * it is `spark.read.parquet(group files).coalesce(1).write`. */
+  def compactionPlan(audit: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val cum = audit.select(col("file_name"), col("compressed_bytes"))
+      .withColumn("__off",
+        coalesce(sum(col("compressed_bytes")).over(
+          Window.orderBy(col("file_name"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp", floor(col("__off") / lit(targetBytes)).cast("long"))
+    val totals = cum.groupBy(col("grp"))
+      .agg(count(lit(1)).as("grp_files"),
+        sum(col("compressed_bytes")).as("grp_bytes"))
+    cum.join(totals, Seq("grp"))
+      .select(col("file_name"), col("compressed_bytes"), col("grp"),
+        col("grp_files"), col("grp_bytes"))
+  }
+
   /** Parquet SCHEMA audit — the distinct set of LEAF columns across
     * every footer under `dirPath`: (field_name, physical_type,
     * repetition, converted_type). This is the storage-level form of the

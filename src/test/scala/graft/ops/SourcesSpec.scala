@@ -176,6 +176,44 @@ class SourcesSpec extends SparkSpec {
     assert(good == Seq(1L, 2L))
   }
 
+  test("compactionPlan: contiguous name-ordered groups near the byte " +
+      "target; executing the plan preserves rows at the planned file " +
+      "count") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    li.repartition(16).write.parquet(s"$base/frag")
+    val audit = Sources.parquetLayoutAudit(spark, s"$base/frag")
+    val total = audit.agg(fsum("compressed_bytes")).head.getLong(0)
+    val target = total / 3
+    val plan = Sources.compactionPlan(audit, target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plan.length == 16)
+    // groups are contiguous in file_name order
+    val ordered = plan.sortBy(_._1).map(_._3)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a })
+    // byte-offset bucketing's envelope: every non-last group's mass
+    // lands within one file of the target on BOTH sides (a group's
+    // span is next-group-start − own-start; starts drift < maxFile)
+    val groups = plan.groupBy(_._3).toSeq.sortBy(_._1)
+    val maxFile = plan.map(_._2).max
+    groups.init.foreach { case (_, fs) =>
+      assert(fs.map(_._2).sum > target - maxFile)
+    }
+    groups.foreach { case (_, fs) =>
+      assert(fs.map(_._2).sum <= target + maxFile)
+    }
+    // execute: one rewrite task per group
+    groups.foreach { case (g, fs) =>
+      spark.read.parquet(fs.map(f => s"$base/frag/${f._1}"): _*)
+        .coalesce(1).write.mode("append").parquet(s"$base/compacted")
+    }
+    assert(spark.read.parquet(s"$base/compacted").count() == li.count())
+    val after = Sources.parquetLayoutAudit(spark, s"$base/compacted")
+    assert(after.count() == groups.length)
+  }
+
   test("zorderCode interleaves bits (a even, b odd); writeZOrdered " +
       "tiles BOTH dimensions where a 1-D sort bounds only its own") {
     import spark.implicits._
