@@ -546,6 +546,10 @@ object SparkEntry {
   /** q172 compaction target: quarter of the fixture sink's compressed
     * mass, so the plan visibly folds ~32 fragments into ~4 groups. */
   val CompactTargetFrac = 4L
+  /** q173 label propagation: 3 synchronous rounds over the q86 edge
+    * set — enough for the planted near-dup groups to close while the
+    * unrolled oracle stays readable. */
+  val LpaIters = 3
 
   /** q37's persisted MODEL directory (S8 at rest) — the trained model
     * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
@@ -2690,6 +2694,18 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Graph.pageRank(edges, "id_a", "id_b", PrIters, PrScale)
         .select(col("id").as("doc_id"), col("r").as("rank_int"),
           round(col("r").cast("double") / lit(PrScale.toDouble), 9).as("pr"))
+        .orderBy("doc_id")
+    }),
+
+    // Density-sensitive communities on the q86 similarity graph:
+    // synchronous LPA with closed tie-breaks — unlike connected
+    // components, a single stray edge cannot fuse two dense near-dup
+    // groups; unlike PageRank, the output PARTITIONS the graph.
+    "q173_lpa_communities" -> ((s, dir) => {
+      val edges = Similarity.tfidfCosinePairs(t(s, dir, "documents"),
+        "doc_id", "text", PrTau, TfidfMaxDf)
+      Graph.labelPropagation(edges, "id_a", "id_b", LpaIters)
+        .select(col("id").as("doc_id"), col("community"))
         .orderBy("doc_id")
     }),
 
@@ -5155,6 +5171,39 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT id AS doc_id, r AS rank_int,
          |  round(r / $PrScale.0, 9) AS pr
          |FROM r$PrIters ORDER BY doc_id""".stripMargin,
+
+    // q173: the same edges, the LPA rounds unrolled — count/argmax/
+    // carry per round, ties (count DESC, community ASC) both engines.
+    "q173_lpa_communities" -> {
+      val rounds = (1 to LpaIters).map { r =>
+        s"""c$r AS (
+           |  SELECT e.s AS node, l.community, count(*) AS c
+           |  FROM sym e JOIN l${r - 1} l ON l.id = e.d
+           |  GROUP BY 1, 2
+           |),
+           |w$r AS (
+           |  SELECT node, community AS w FROM (
+           |    SELECT node, community,
+           |      row_number() OVER (PARTITION BY node
+           |        ORDER BY c DESC, community) AS rn
+           |    FROM c$r)
+           |  WHERE rn = 1
+           |),
+           |l$r AS (
+           |  SELECT p.id, coalesce(w.w, p.community) AS community
+           |  FROM l${r - 1} p LEFT JOIN w$r w ON w.node = p.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${tfidfPairsCtes(PrTau, TfidfMaxDf)},
+         |sym AS (SELECT DISTINCT s, d FROM (
+         |    SELECT id_a AS s, id_b AS d FROM tfpairs
+         |    UNION ALL SELECT id_b, id_a FROM tfpairs)
+         |  WHERE s <> d),
+         |l0 AS (SELECT DISTINCT s AS id, s AS community FROM sym),
+         |$rounds
+         |SELECT id AS doc_id, community FROM l$LpaIters
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // q85: identical NB math — the −n_d·ln(tokens_c+V) factoring keeps
     // the seen join INNER (unseen pairs contribute exactly 0), argmax by

@@ -84,4 +84,49 @@ object Graph {
     }
     r
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * over an undirected pair list — the density-sensitive third member
+    * of the graph family: connected components merge through ANY path
+    * (one stray edge fuses two clusters), PageRank ranks but does not
+    * partition; LPA gives every node the label a MAJORITY of its
+    * neighbors hold, so sparse bridges do not merge dense groups.
+    *
+    * Determinism, closed textbook-style: init label(v) = v; each round
+    * every node SIMULTANEOUSLY takes the most frequent label among its
+    * neighbors, ties to the smallest label; isolated-this-round nodes
+    * keep theirs. (Asynchronous/randomized update order — the paper's
+    * default — is unreplayable; the synchronous form can oscillate on
+    * bipartite structures, which a fixed `iters` makes a deterministic,
+    * oracle-able outcome rather than a hang.)
+    *
+    * Per round: one adjacency×labels equi join, one (node, label)
+    * count with map-side combine, one argmax via min_by — shuffles key
+    * on node ids throughout; rounds chain through [[Barrier]] cuts like
+    * [[pageRank]]. Returns (id, community). */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val p0 = Barrier.cut(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val sym = Barrier.cut(
+      p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct())
+    var labels = Barrier.cut(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("community")))
+    for (_ <- 1 to iters) {
+      val counts = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("node"), col("community"))
+        .agg(count(lit(1)).as("__c"))
+      val winners = counts.groupBy(col("node"))
+        .agg(min_by(col("community"), struct(-col("__c"), col("community")))
+          .as("__w"))
+      labels = Barrier.cut(labels
+        .join(winners, labels("id") === winners("node"), "left")
+        .select(col("id"), coalesce(col("__w"), col("community"))
+          .as("community")))
+    }
+    labels
+  }
 }

@@ -62,4 +62,29 @@ class GraphSpec extends SparkSpec {
     assert(Seq(2L, 3L, 4L).forall(k => r(k) > r(5L)),
       "pendant node must rank last")
   }
+
+  test("labelPropagation: disjoint triangles converge to their min " +
+      "labels; a single bridge edge does NOT fuse two dense groups " +
+      "(the property connected components cannot offer)") {
+    val bridge = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.labelPropagation(bridge, "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    // hand-simulated synchronous rounds with min-ties: after 3 rounds
+    // the triangles hold two distinct communities despite the bridge
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1)
+    assert(Seq(4L, 5L, 6L).map(got).distinct.size == 1)
+    assert(got(1L) != got(4L), s"bridge fused the triangles: $got")
+    // disjoint triangles: min label wins each
+    val two = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val g2 = Graph.labelPropagation(two, "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    // determinism across partitionings
+    val g3 = Graph.labelPropagation(bridge.repartition(5), "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(g3 == got)
+  }
 }
