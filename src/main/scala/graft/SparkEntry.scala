@@ -550,6 +550,9 @@ object SparkEntry {
     * set — enough for the planted near-dup groups to close while the
     * unrolled oracle stays readable. */
   val LpaIters = 3
+  /** q174 nprobe sweep: every power of two up to all 8 cells (the last
+    * row = plain ADC by the q167 reduction law — the curve's ceiling). */
+  val NprobeSweep = Seq(1, 2, 4, 8)
 
   /** q37's persisted MODEL directory (S8 at rest) — the trained model
     * round-trips through [[graft.ml.Prod2Vec.save]]/`load` before the
@@ -3314,6 +3317,29 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           PqM, 64 / PqM, books, TopK),
         Quantize.l2TopKExact(emb, "vec_id", "embedding", probes, TopK))
         .orderBy("probe_id")
+    }),
+
+    // The IVF tuning decision table: q167's recall at every nprobe in
+    // the sweep, one row per (nprobe, probe) — how much corpus must be
+    // visited for how much recall; the last row equals plain ADC by
+    // the reduction law. A commissioning query: production would share
+    // the codes/cells frames across the sweep.
+    "q174_ivf_nprobe_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val cen = emb.filter(col("vec_id") < PqCent)
+      val coarse = emb.filter(col("vec_id") < IvfCells)
+      val exact = Quantize.l2TopKExact(emb, "vec_id", "embedding",
+        probes, TopK)
+      NprobeSweep.map { np =>
+        Ann.recallReport(
+          Quantize.ivfPqTopK(emb, "vec_id", "embedding", probes, PqM,
+            cen, coarse, np, TopK), exact)
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_.unionByName(_))
+        .select(col("nprobe"), col("probe_id"), col("n_exact"),
+          col("n_hit"), col("recall"))
+        .orderBy("nprobe", "probe_id")
     }),
 
     // Malformed-record quarantine on JSONL ingest: a clean export plus
@@ -6634,6 +6660,71 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM enc e JOIN tab t ON e.s = t.s AND e.code = t.cid
          |  GROUP BY 1, 2
          |)$pqRecallSqlSuffix""".stripMargin
+    },
+
+    // q174: q167's chain with pcells ranked once; per sweep point the
+    // candidate gate filters rn <= np, the recall join repeats.
+    "q174_ivf_nprobe_curve" -> {
+      val perNp = NprobeSweep.map { np =>
+        s"""ad$np AS (
+           |  SELECT t.probe_id, e.vec_id, sum(t.d)::BIGINT AS adist
+           |  FROM enc e
+           |  JOIN cells cl ON e.vec_id = cl.vec_id
+           |  JOIN pca pc ON cl.cell = pc.cell AND pc.rn <= $np
+           |  JOIN tab t ON t.probe_id = pc.probe_id
+           |    AND e.s = t.s AND e.code = t.cid
+           |  GROUP BY 1, 2
+           |),
+           |at$np AS (
+           |  SELECT probe_id, vec_id,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY adist, vec_id) AS rnk
+           |  FROM ad$np WHERE vec_id <> probe_id
+           |  QUALIFY rnk <= $TopK
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unions = NprobeSweep.map { np =>
+        s"""SELECT $np::BIGINT AS nprobe, e.probe_id,
+           |  count(*) AS n_exact,
+           |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hit,
+           |  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    / count(*)::DOUBLE, 9) AS recall
+           |FROM etop e LEFT JOIN at$np a
+           |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+           |GROUP BY e.probe_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$pqSqlPrefix,
+         |coarse AS (SELECT vec_id AS ccid, v AS ccv FROM ev
+         |           WHERE vec_id < $IvfCells),
+         |cells AS (
+         |  SELECT vec_id, ccid AS cell FROM (
+         |    SELECT e.vec_id, c.ccid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2iSql("e.v", "c.ccv")}, c.ccid) AS rn
+         |    FROM ev e, coarse c)
+         |  WHERE rn = 1
+         |),
+         |pca AS (
+         |  SELECT p.vec_id AS probe_id, c.ccid AS cell,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${l2iSql("p.v", "c.ccv")}, c.ccid) AS rn
+         |  FROM ev p, coarse c WHERE p.vec_id < 5
+         |),
+         |exd AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id,
+         |         ${l2iSql("c.v", "p.v")} AS d
+         |  FROM ev c, ev p WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         |),
+         |etop AS (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY d, vec_id) AS rnk
+         |  FROM exd QUALIFY rnk <= $TopK
+         |),
+         |$perNp
+         |$unions
+         |ORDER BY nprobe, probe_id""".stripMargin
     },
 
     // q165: DuckDB's ignore_errors surfaces each torn line as an
