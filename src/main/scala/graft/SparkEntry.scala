@@ -3323,7 +3323,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // the sweep, one row per (nprobe, probe) — how much corpus must be
     // visited for how much recall; the last row equals plain ADC by
     // the reduction law. A commissioning query: production would share
-    // the codes/cells frames across the sweep.
+    // the codes/cells frames across the sweep. (And the curve is NOT
+    // guaranteed monotone — at 2-byte codes the ADC misranks freely,
+    // and the cell gate filters its false positives too: on the
+    // fixture, nprobe=1 beats nprobe=8. Exactly the non-obvious fact
+    // a commissioning table exists to surface.)
     "q174_ivf_nprobe_curve" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.filter(col("vec_id") < 5)
