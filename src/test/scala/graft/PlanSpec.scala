@@ -508,6 +508,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q166: codebooks and the ADC distance table ride broadcast " +
+      "exchanges; no unintended cartesian product") {
+    val p = plan("q166_pq_recall")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q169: the co-occurrence model meets the eval contexts through " +
+      "an equi join; every window is keyed on the eval order") {
+    val p = plan("q169_rec_eval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
