@@ -453,6 +453,26 @@ object SparkEntry {
     * truncation, so the two recall reports price the two reduction
     * strategies head-to-head. */
   val JlDims = 16
+  /** q175/q176 retrieval split: documents below this id are the query
+    * set, the rest are the retrieved corpus (disjoint, so no self-match
+    * filter is needed on either list). */
+  val RetrievalQueryDocs = 16L
+  /** q175 BM25 df prune share — the fixture's ~31-token vocabulary has
+    * df between 0.75·N and 0.81·N, so 0.78 genuinely splits it: the
+    * head terms drop (the stopword lever fires) while the tail scores. */
+  val Bm25MaxDfShare = 0.78
+  /** q176 reciprocal-rank-fusion constant (Cormack et al., SIGIR'09's
+    * published k = 60). */
+  val RrfC = 60
+  /** q177 triangle graph: co-purchase edges keep only parts below this
+    * id — a FIXED node universe at every SF (the graph densifies as SF
+    * grows instead of exploding in nodes), non-degenerate at sf0.01
+    * (≈390 nodes / 4.7k edges / 3.5k triangles measured). */
+  val TriPartMax = 400L
+  /** q179 range-sorted layout file count — [[ZorderFiles]]' twin so the
+    * one-column and two-column layouts are comparable. */
+  val RangeFiles = 8
+
   /** q156 attribution window (48 h) — sits inside the fixture's
     * conversion-gap distribution (median signup→click ≈ 29 h), so the
     * window visibly bites without zeroing the funnel. */
@@ -542,6 +562,11 @@ object SparkEntry {
     * convention. */
   def q172LayoutPath(dir: String): String =
     "/root/repo/target/q172_frag_" + dir.split('/').last
+
+  /** q179's range-sorted sink directory — [[q158LayoutPath]]'s
+    * convention. */
+  def q179LayoutPath(dir: String): String =
+    "/root/repo/target/q179_range_" + dir.split('/').last
 
   /** q172 compaction target: quarter of the fixture sink's compressed
     * mass, so the plan visibly folds ~32 fragments into ~4 groups. */
@@ -1616,6 +1641,64 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
        | (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) *
        |  sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))))""".stripMargin
+
+  /** DuckDB CTE chain mirroring [[graft.ops.Text.bm25TopK]] on the
+    * q175 query/corpus split — ends with `rk` = (query_id, doc_id,
+    * score_i, rnk ≤ [[TopK]]). Shared by q175 and q176 (the fusion
+    * oracle embeds the UNCHANGED lexical body, the q109 discipline). */
+  private val bm25SqlCtes: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id >= $RetrievalQueryDocs
+       |),
+       |q AS (
+       |  SELECT doc_id AS query_id, text FROM documents
+       |  WHERE doc_id < $RetrievalQueryDocs
+       |),
+       |tf AS (
+       |  SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus)
+       |  GROUP BY 1, 2
+       |),
+       |st AS (
+       |  SELECT doc_id, w, tf,
+       |    sum(tf) OVER (PARTITION BY doc_id) AS dl,
+       |    count(*) OVER (PARTITION BY w) AS df
+       |  FROM tf
+       |),
+       |tot AS (
+       |  SELECT count(*)::BIGINT AS n_docs,
+       |    sum(len(string_split(text, ' ')))::BIGINT AS l_tot
+       |  FROM corpus
+       |),
+       |qt AS (
+       |  SELECT query_id, w, count(*)::BIGINT AS qtf FROM (
+       |    SELECT query_id, unnest(string_split(text, ' ')) AS w FROM q)
+       |  GROUP BY 1, 2
+       |),
+       |terms AS (
+       |  SELECT qt.query_id, st.doc_id,
+       |    qt.qtf * CAST(floor(
+       |      round(ln(1 + CAST(2 * tot.n_docs - 2 * st.df + 1 AS DOUBLE)
+       |                  / CAST(2 * st.df + 1 AS DOUBLE)), 9)
+       |      * (CAST(22 * st.tf * tot.l_tot AS DOUBLE)
+       |         / CAST(10 * st.tf * tot.l_tot + 3 * tot.l_tot
+       |                + 9 * st.dl * tot.n_docs AS DOUBLE))
+       |      * 1e9 + 0.5) AS BIGINT) AS contrib
+       |  FROM st JOIN qt USING (w) CROSS JOIN tot
+       |  WHERE CAST(st.df AS DOUBLE)
+       |    <= $Bm25MaxDfShare * CAST(tot.n_docs AS DOUBLE)
+       |),
+       |sc AS (
+       |  SELECT query_id, doc_id, sum(contrib)::BIGINT AS score_i
+       |  FROM terms GROUP BY 1, 2
+       |),
+       |rk AS (
+       |  SELECT query_id, doc_id, score_i,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_i DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM sc QUALIFY rnk <= $TopK
+       |)""".stripMargin
 
   // ---- queries ----------------------------------------------------------
 
@@ -3618,6 +3701,89 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           col("neighbor_name"), col("cos"),
           col("rnk").cast("long").as("rnk"))
         .orderBy("probe_id", "rnk")
+    }),
+
+    // BM25 ranked retrieval: the low-id documents query the rest of
+    // the corpus — exact rational tf-norm, 9dp idf, per-term
+    // integerized contributions summed in LONG (lexical retrieval the
+    // hybrid/hard-negative/decontamination stacks build on).
+    "q175_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.bm25TopK(
+          docs.filter(col("doc_id") >= RetrievalQueryDocs)
+            .select(col("doc_id"), col("text")),
+          docs.filter(col("doc_id") < RetrievalQueryDocs)
+            .select(col("doc_id").as("query_id"), col("text")),
+          "text", TopK, Bm25MaxDfShare)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Hybrid retrieval: the q175 lexical list fused with the exact
+    // embedding-cosine list (same query/corpus split on the embeddings
+    // table) by reciprocal-rank fusion — ranks only, exact integer
+    // weights 1e9 div (60 + rank).
+    "q176_rrf_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lex = Text.bm25TopK(
+          docs.filter(col("doc_id") >= RetrievalQueryDocs)
+            .select(col("doc_id"), col("text")),
+          docs.filter(col("doc_id") < RetrievalQueryDocs)
+            .select(col("doc_id").as("query_id"), col("text")),
+          "text", TopK, Bm25MaxDfShare)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.cosineTopK(
+          emb.filter(col("vec_id") >= RetrievalQueryDocs),
+          emb.filter(col("vec_id") < RetrievalQueryDocs), TopK)
+        .select(col("probe_id").as("query_id"),
+          col("vec_id").as("doc_id"), col("rnk"))
+      RecEval.rrfFuse(Seq(lex, sem), RrfC, TopK)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Per-node triangle count + local clustering coefficient over the
+    // part-capped co-purchase graph — degree-ordered orientation, two
+    // equi-joins, exact integer counts (clique-vs-hub separation the
+    // pairwise dedup scores can't see).
+    "q177_triangles" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < TriPartMax)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lp.toDF("o", "pa").join(lp.toDF("o", "pb"), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      Graph.triangles(edges, "pa", "pb").orderBy("id")
+    }),
+
+    // Type-2 SCD build from the event log: per user the event_type
+    // change history as versioned [from, to) rows — the versioned
+    // dimension a reproducible pipeline as-of joins against.
+    "q178_scd2" -> ((s, dir) => {
+      Events.scd2(Sources.eventsNs(s, dir), "user_id", "event_type")
+        .orderBy("user_id", "version")
+    }),
+
+    // Range-sorted layout + disjointness audit: lineitem written
+    // range-partitioned and sorted on l_orderkey, then each file's
+    // footer [min, max] envelope checked against its predecessor —
+    // the single-dimension data-skipping twin of q164's Z-order.
+    "q179_range_layout" -> ((s, dir) => {
+      val path = q179LayoutPath(dir)
+      Sources.writeRangeSorted(t(s, dir, "lineitem"), path,
+        "l_orderkey", RangeFiles)
+      Sources.rangeLayoutAudit(s, path, "l_orderkey")
+        .orderBy("min_val", "file_name")
+    }),
+
+    // Exact embedding covariance (upper triangle, long form): the
+    // Gramian one-pass over integerized coordinates — whitening/PCA
+    // input and the anisotropy audit, bit-reproducible by exact LONG
+    // accumulation.
+    "q180_embed_cov" -> ((s, dir) => {
+      Quality.embeddingCovariance(t(s, dir, "embeddings"), "embedding",
+          EmbDims)
+        .orderBy("i", "j")
     })
   )
 
@@ -7114,6 +7280,201 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  pn.p_name AS neighbor_name, r.cos, r.rnk
          |FROM r JOIN part pp ON r.probe_id = pp.p_partkey
          |       JOIN part pn ON r.vec_id = pn.p_partkey
-         |ORDER BY r.probe_id, r.rnk""".stripMargin
+         |ORDER BY r.probe_id, r.rnk""".stripMargin,
+
+    // q175: the exact-rational BM25 — idf 9dp-rounded (the q56 ln
+    // discipline), tf-norm a ratio of exact BIGINTs (k1 = 6/5,
+    // b = 3/4 clear every denominator), per-term contributions
+    // integerized then summed in BIGINT.
+    "q175_bm25_topk" ->
+      s"""$bm25SqlCtes
+         |SELECT query_id, rnk, doc_id, score_i,
+         |  round(CAST(score_i AS DOUBLE) / 1e9, 9) AS score
+         |FROM rk ORDER BY query_id, rnk""".stripMargin,
+
+    // q176: the UNCHANGED q175 lexical body + the q16-shaped exact
+    // cosine list on the same split, fused by exact integer
+    // 1e9 div (60 + rank) weights.
+    "q176_rrf_hybrid" ->
+      s"""$bm25SqlCtes,
+         |emb AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |    AS v
+         |  FROM embeddings
+         |),
+         |cp AS (SELECT vec_id, v FROM emb
+         |       WHERE vec_id >= $RetrievalQueryDocs),
+         |pp AS (SELECT vec_id AS query_id, v AS pv FROM emb
+         |       WHERE vec_id < $RetrievalQueryDocs),
+         |cs AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    round(${cosSql("v", "pv")}, 9) AS cos
+         |  FROM cp, pp
+         |),
+         |semr AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS rnk
+         |  FROM cs QUALIFY rnk <= $TopK
+         |),
+         |u AS (
+         |  SELECT query_id, doc_id, rnk FROM rk
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rnk FROM semr
+         |),
+         |f AS (
+         |  SELECT query_id, doc_id, count(*)::BIGINT AS n_lists,
+         |    sum(CAST(floor(1000000000 / ($RrfC + rnk)) AS BIGINT))::BIGINT
+         |      AS rrf_i
+         |  FROM u GROUP BY 1, 2
+         |),
+         |fr AS (
+         |  SELECT query_id, doc_id, n_lists, rrf_i,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_i DESC, doc_id ASC) AS BIGINT) AS rnk
+         |  FROM f QUALIFY rnk <= $TopK
+         |)
+         |SELECT query_id, rnk, doc_id, n_lists, rrf_i,
+         |  round(CAST(rrf_i AS DOUBLE) / 1e9, 9) AS rrf
+         |FROM fr ORDER BY query_id, rnk""".stripMargin,
+
+    // q177: degree-ordered orientation replayed relationally — every
+    // triangle counted at its unique two-out-edge source, per-node
+    // counts by exploding the three corners, coefficient = one double
+    // division over exact integers.
+    "q177_triangles" ->
+      s"""WITH lp AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |  WHERE l_partkey < $TriPartMax
+         |),
+         |e AS (
+         |  SELECT DISTINCT a.p AS lo, b.p AS hi
+         |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+         |),
+         |deg AS (
+         |  SELECT id, count(*)::BIGINT AS deg FROM (
+         |    SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
+         |  GROUP BY id
+         |),
+         |o AS (
+         |  SELECT
+         |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e.lo < e.hi)
+         |         THEN e.lo ELSE e.hi END AS src,
+         |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e.lo < e.hi)
+         |         THEN e.hi ELSE e.lo END AS dst,
+         |    CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND e.lo < e.hi)
+         |         THEN dh.deg ELSE dl.deg END AS ddeg
+         |  FROM e JOIN deg dl ON dl.id = e.lo JOIN deg dh ON dh.id = e.hi
+         |),
+         |tri AS (
+         |  SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+         |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |    AND (o1.ddeg < o2.ddeg
+         |         OR (o1.ddeg = o2.ddeg AND o1.dst < o2.dst))
+         |  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+         |),
+         |pn AS (
+         |  SELECT id, count(*)::BIGINT AS n_triangles FROM (
+         |    SELECT u AS id FROM tri
+         |    UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri)
+         |  GROUP BY id
+         |)
+         |SELECT d.id, d.deg,
+         |  coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles,
+         |  CASE WHEN d.deg >= 2 THEN
+         |    round(CAST(2 * coalesce(pn.n_triangles, 0) AS DOUBLE)
+         |          / CAST(d.deg * (d.deg - 1) AS DOUBLE), 9)
+         |  END AS clustering_coeff
+         |FROM deg d LEFT JOIN pn USING (id)
+         |ORDER BY d.id""".stripMargin,
+
+    // q178: change detection then versioning, both ordered by the
+    // original (ts, event_id); timestamps leave as ms-floors (the
+    // sessionize cross-engine contract).
+    "q178_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
+        |  FROM events
+        |),
+        |ch AS (
+        |  SELECT user_id, event_id, tns, event_type FROM (
+        |    SELECT user_id, event_id, tns, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY tns, event_id) AS prev
+        |    FROM ev)
+        |  WHERE prev IS NULL OR prev <> event_type
+        |),
+        |v AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tns, event_id) AS BIGINT) AS version,
+        |    event_type AS attr,
+        |    (tns // 1000000)::BIGINT AS from_ms,
+        |    lead(tns // 1000000) OVER (PARTITION BY user_id
+        |      ORDER BY tns, event_id)::BIGINT AS to_ms
+        |  FROM ch
+        |)
+        |SELECT user_id, version, attr, from_ms, to_ms,
+        |  (to_ms IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // q179: the same footer stats the q164 audit reads, reduced to
+    // per-file envelopes of the one sort column, lag-checked for
+    // overlap in (min, name) order.
+    "q179_range_layout" ->
+      s"""WITH cc AS (
+         |  SELECT replace(file_name, '${q179LayoutPath(SfToken)}/', '')
+         |      AS file_name,
+         |    CAST(stats_min_value AS BIGINT) AS mn,
+         |    CAST(stats_max_value AS BIGINT) AS mx
+         |  FROM parquet_metadata('${q179LayoutPath(SfToken)}/*.parquet')
+         |  WHERE path_in_schema = 'l_orderkey'
+         |),
+         |f AS (
+         |  SELECT file_name, min(mn)::BIGINT AS min_val,
+         |    max(mx)::BIGINT AS max_val
+         |  FROM cc GROUP BY 1
+         |),
+         |w AS (
+         |  SELECT file_name, min_val, max_val,
+         |    lag(max_val) OVER (ORDER BY min_val, file_name) AS pm
+         |  FROM f
+         |)
+         |SELECT file_name, min_val, max_val,
+         |  coalesce(min_val <= pm, false) AS overlaps_prev
+         |FROM w ORDER BY min_val, file_name""".stripMargin,
+
+    // q180: the same integerized coordinates summed relationally —
+    // per-pair products in exact BIGINT, the covariance numerator in
+    // HUGEINT, ONE cast to double.
+    "q180_embed_cov" ->
+      s"""WITH ev AS (
+         |  SELECT list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+         |    AS xi
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = $EmbDims
+         |),
+         |n AS (SELECT count(*)::BIGINT AS n FROM ev),
+         |d AS (SELECT unnest(range(1, ${EmbDims + 1}))::BIGINT AS i),
+         |sums AS (
+         |  SELECT i, sum(xi[i])::BIGINT AS s FROM ev, d GROUP BY i
+         |),
+         |prods AS (
+         |  SELECT di.i AS i, dj.i AS j,
+         |    sum(xi[di.i] * xi[dj.i])::BIGINT AS sp
+         |  FROM ev, d di, d dj WHERE dj.i >= di.i GROUP BY 1, 2
+         |)
+         |SELECT p.i, p.j, n.n, si.s AS sum_i, sj.s AS sum_j,
+         |  p.sp AS sumprod,
+         |  round(CAST(CAST(n.n AS HUGEINT) * p.sp
+         |             - CAST(si.s AS HUGEINT) * sj.s AS DOUBLE)
+         |        / CAST(n.n * n.n AS DOUBLE) / 1e12, 9) AS cov
+         |FROM prods p
+         |JOIN sums si ON si.i = p.i
+         |JOIN sums sj ON sj.i = p.j
+         |CROSS JOIN n
+         |ORDER BY p.i, p.j""".stripMargin
   )
 }

@@ -643,6 +643,50 @@ object Events {
           .as("retention"))
   }
 
+  /** Type-2 slowly-changing-dimension build (Kimball's SCD2) from an
+    * event log: per key, the tracked attribute's CHANGE history as
+    * versioned rows with [effective_from, effective_to) validity and a
+    * current flag — the versioned-metadata table a reproducible
+    * training run joins against ("what was this user's segment WHEN
+    * the event happened", via [[asofJoin]] on effective_from). Source
+    * rows where the attribute equals the key's previous value collapse
+    * (no spurious versions); the first observation opens version 1;
+    * the latest version is open-ended (effective_to NULL,
+    * is_current = true).
+    *
+    * Determinism: events order by (ts, event_id) per key — the
+    * [[sessionize]] tiebreak — so simultaneous events produce one
+    * well-defined history. Timestamps leave as ms-floors (`div`, the
+    * cross-engine contract documented on [[sessionize]]).
+    *
+    * Shape: two windows, both partitioned by the key (change detection
+    * over raw events; version numbering + lead over the collapsed
+    * changes — strictly fewer rows). A hot key sorts in one task; at
+    * 100 TB feed the same two-phase bucketing lever as
+    * [[sessionizeBucketed]] — change detection is gaps-and-islands on
+    * equality instead of time gaps, so phase-1-local / phase-2-merge
+    * applies unchanged. Returns (keyCol, version, attr, from_ms,
+    * to_ms, is_current). */
+  def scd2(events: DataFrame, keyCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(attrCol)))
+    // version order must replay the ORIGINAL (ts, event_id) order, not
+    // (from_ms, event_id): two changes inside one millisecond would
+    // otherwise version by id, contradicting the change detection
+    val wc = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts"), col("event_id"))
+    changes
+      .select(col(keyCol), col("ts"), col("event_id"),
+        col(attrCol).as("attr"), expr("ts div 1000000").as("from_ms"))
+      .withColumn("version", row_number().over(wc).cast("long"))
+      .withColumn("to_ms", lead(col("from_ms"), 1).over(wc))
+      .select(col(keyCol), col("version"), col("attr"), col("from_ms"),
+        col("to_ms"), col("to_ms").isNull.as("is_current"))
+  }
+
   /** M7-shaped run table: one "run" per event_type with its objective
     * (avg value) and start time, plus the dense `iteration` index in
     * start-time order (`tuning_analysis.py:30-41`). */

@@ -129,4 +129,73 @@ object Graph {
     }
     labels
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected pair list — the density signal the component/community
+    * operators can't give: a node's neighbors being neighbors OF EACH
+    * OTHER separates a genuine duplicate cluster (clique-like,
+    * coefficient → 1) from a hub that merely touches everything
+    * (star-like, coefficient → 0). The same number drives motif
+    * features on co-purchase graphs (Watts & Strogatz 1998).
+    *
+    * Algorithm: degree-ordered orientation (Suri & Vassilvitskii,
+    * WWW'11 — the MapReduce triangle standard). Each edge is directed
+    * from its lower endpoint in the total order (deg, id); every
+    * triangle then has EXACTLY ONE source node with two out-edges, so
+    * counting = (wedge from the out-adjacency) ⋈ (closing oriented
+    * edge). Orientation bounds out-degree by O(√m) regardless of raw
+    * degree skew — a celebrity node's million-edge star generates NO
+    * wedges at the star center: every star edge orients from its
+    * degree-1 leaf INTO the hub, so the hub has out-degree 0 and each
+    * leaf out-degree 1 — no node fans out. Both joins are
+    * equi-joins (src; then (v,w)) — nothing quadratic, no broadcast of
+    * anything data-sized, safe at 100 TB edge lists.
+    *
+    * Input edges may arrive in any orientation with duplicates;
+    * self-loops are dropped, duplicates collapse. All arithmetic on
+    * counts is exact integer; the coefficient
+    * `2T / (deg·(deg−1))` leaves integer land with one double division
+    * (9 dp). Nodes of degree 1 have no possible triangle — coefficient
+    * NULL (no evidence), count 0. Returns (id, deg, n_triangles,
+    * clustering_coeff) — one row per node with ≥1 edge. */
+  def triangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = Barrier.cut(pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct())
+    val deg = e.select(col("lo").as("id"))
+      .union(e.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint
+    val withDegs = e
+      .join(deg.select(col("id").as("lo"), col("deg").as("ldeg")), Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("hdeg")), Seq("hi"))
+    val loFirst = col("ldeg") < col("hdeg") ||
+      (col("ldeg") === col("hdeg") && col("lo") < col("hi"))
+    val o = Barrier.cut(withDegs.select(
+      when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
+      when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
+      when(loFirst, col("hdeg")).otherwise(col("ldeg")).as("ddeg")))
+    // wedges (src → v, src → w) with v before w in the same total
+    // order, closed by the oriented edge (v → w)
+    val o1 = o.select(col("src"), col("dst").as("v"), col("ddeg").as("vdeg"))
+    val o2 = o.select(col("src"), col("dst").as("w"), col("ddeg").as("wdeg"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("vdeg") < col("wdeg") ||
+        (col("vdeg") === col("wdeg") && col("v") < col("w")))
+    val tris = wedges.join(
+      o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val perNode = tris.select(explode(array(col("u"), col("v"), col("w")))
+        .as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("deg") >= 2, round(
+          (lit(2L) * col("n_triangles")).cast("double") /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"), 9)))
+  }
 }

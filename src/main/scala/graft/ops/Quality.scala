@@ -132,6 +132,94 @@ object Quality {
         sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero_vec"))
   }
 
+  /** Exact embedding covariance matrix (upper triangle, long form) —
+    * the d×d second-moment audit behind whitening, PCA energy checks,
+    * and anisotropy diagnosis (Ethayarajh, EMNLP'19: contextual
+    * embedding spaces collapse toward a dominant direction; the
+    * covariance spectrum is how you SEE it). The driver-side (tiny,
+    * d×d) matrix is the input to any eigen/whitening step — the
+    * distributed part, done here, is the one pass over the corpus.
+    *
+    * Numeric contract: coordinates integerize at `unitScale` (the
+    * floor(x·s + ½) discipline), per-pair products and sums accumulate
+    * in exact LONG, and the covariance numerator n·Σxy − Σx·Σy forms
+    * per pair in 128-bit-safe arithmetic downstream of the output's
+    * exact integer columns — so the matrix is bit-reproducible across
+    * partitionings and engines. Capacity budget: n·(max|x|·s)² must
+    * stay below 2^63 (documented, not checked per-row) — at s = 10^6
+    * and unit-ish coordinates that is ~2·10^6 rows per aggregation;
+    * beyond that, drop `unitScale` a decade per 100× rows (precision
+    * is a knob, exactness is not).
+    *
+    * Shape — the RowMatrix Gramian pattern (one of the rare genuinely
+    * imperative per-partition kernels): each partition accumulates its
+    * local (n, Σx[d], Σxy[d(d+1)/2]) in flat long arrays, a treeReduce
+    * merges ≤ #partitions summaries (O(d²) bytes each — never data),
+    * and the result materializes as a d(d+1)/2-row frame. The corpus
+    * is scanned ONCE, column-pruned to the vector; nothing shuffles.
+    * EAGER: the pass runs at call time. Returns (i ≤ j 1-based, n,
+    * sum_i, sum_j, sumprod, cov) with cov = (n·Σxy − Σx·Σy)/(n²·s²)
+    * at 9 dp. */
+  def embeddingCovariance(df: DataFrame, vecCol: String, dims: Int,
+                          unitScale: Long = 1000000L): DataFrame = {
+    require(dims >= 1 && dims <= 512, s"dims must be in [1,512], got $dims")
+    require(unitScale >= 1L, s"unitScale must be >= 1, got $unitScale")
+    val spark = df.sparkSession
+    val d = dims
+    val nTri = d * (d + 1) / 2
+    val s = unitScale.toDouble
+    val (n, sums, prods) = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .select(col(vecCol).cast("array<double>"))
+      .rdd.mapPartitions { it =>
+        val sum = new Array[Long](d)
+        val g = new Array[Long](nTri)
+        var cnt = 0L
+        val xi = new Array[Long](d)
+        it.foreach { row =>
+          val v = row.getSeq[Double](0)
+          var i = 0
+          while (i < d) {
+            xi(i) = math.floor(v(i) * s + 0.5).toLong
+            sum(i) += xi(i)
+            i += 1
+          }
+          var idx = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              g(idx) += xi(i) * xi(j)
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          cnt += 1L
+        }
+        Iterator.single((cnt, sum, g))
+      }
+      .treeReduce({ case ((n1, s1, g1), (n2, s2, g2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < nTri) { g1(i) += g2(i); i += 1 }
+        (n1 + n2, s1, g1)
+      }, depth = 2)
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield (i.toLong + 1L, j.toLong + 1L, n, sums(i), sums(j),
+      prods(i * d - i * (i - 1) / 2 + (j - i)))
+    import spark.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    rows.toDF("i", "j", "n", "sum_i", "sum_j", "sumprod")
+      .withColumn("cov", round(
+        (col("n").cast(dec) * col("sumprod").cast(dec) -
+          col("sum_i").cast(dec) * col("sum_j").cast(dec)).cast("double") /
+          (col("n") * col("n")).cast("double") /
+          lit(s * s), 9))
+  }
+
   /** Corpus version diff — what changed between two snapshots of the
     * same table, the audit a data team reads before re-training on a
     * refreshed corpus (and the detailed twin of comparing two

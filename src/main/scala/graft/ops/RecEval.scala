@@ -113,6 +113,50 @@ object RecEval {
           .as("ndcg"))
   }
 
+  /** Reciprocal-rank-fusion of ranked lists (Cormack, Clarke &
+    * Büttcher, SIGIR'09) — the standard hybrid-retrieval combiner: a
+    * document's fused score is Σ over lists of 1/(C + rank), C = 60
+    * (the published constant), summed over every list that retrieved
+    * it. RRF needs only RANKS, never the lists' incomparable raw
+    * scores — which is exactly why it is the default way to merge a
+    * lexical (BM25) and a semantic (embedding-cosine) ranking.
+    *
+    * Exactness: 1/(C + rank) is realized as the INTEGER
+    * ⌊1e9 / (C + rank)⌋ — integer division both engines compute
+    * bit-identically — and fused scores accumulate in LONG, so
+    * summation order is immaterial. Fused ties rank by doc_id.
+    *
+    * `lists` rows are (query_id, doc_id, rnk); duplicate (query, doc)
+    * rows WITHIN one list are a caller bug (scores would double-count)
+    * and are not checked here — upstream top-k windows guarantee
+    * uniqueness by construction.
+    *
+    * Shape: a union of already-top-k frames (≤ Σkᵢ rows per query —
+    * tiny), one hash agg on (query_id, doc_id), one per-query window.
+    * The expensive work happened upstream in the per-list retrievals;
+    * fusion itself never touches the corpus. Returns (query_id,
+    * rnk ≤ k, doc_id, n_lists, rrf_i, rrf). */
+  def rrfFuse(lists: Seq[DataFrame], c: Int, k: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(c >= 0, s"c must be >= 0, got $c")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val unioned = lists
+      .map(_.select(col("query_id"), col("doc_id"),
+        col("rnk").cast("long").as("rnk")))
+      .reduce(_.unionByName(_))
+    unioned
+      .withColumn("w", floor(lit(1000000000L) / (lit(c.toLong) + col("rnk")))
+        .cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("w")).as("rrf_i"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(desc("rrf_i"), asc("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("n_lists"),
+        col("rrf_i"),
+        round(col("rrf_i").cast("double") / lit(1e9), 9).as("rrf"))
+  }
+
   /** Eval baskets with a context and a held-out: the LAST item in
     * trainer order is held out, the rest are context (per-occurrence —
     * a duplicate context item weighs its co-occurrences twice, the

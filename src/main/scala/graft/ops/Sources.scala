@@ -343,6 +343,47 @@ object Sources {
         col("col_name"), col("min_val"), col("max_val"))
   }
 
+  /** Range-sorted parquet sink: `repartitionByRange` on `sortCol` into
+    * `files` files, each sorted within — the single-dimension
+    * data-skipping layout (the one-column special case of
+    * [[writeZOrdered]], and the stronger one WHEN queries filter on
+    * exactly one key: ranges are disjoint, so a point/range predicate
+    * touches the minimal file set, where a Z-curve trades some
+    * single-column tightness for two-column coverage). Boundaries come
+    * from Spark's reservoir-sampled range partitioner — at 100 TB
+    * that's one lightweight sampling pass, never a full sort shuffle
+    * of anything but the data being written anyway. Verify the claim
+    * with [[rangeLayoutAudit]]: consecutive files' [min, max]
+    * envelopes must not overlap. */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String,
+                       files: Int): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Disjointness audit of a range-sorted layout — per file (in
+    * ascending min order) the footer min/max envelope of `colName` and
+    * whether it overlaps its predecessor's. `n_overlaps` must be 0
+    * after [[writeRangeSorted]]; a nonzero count quantifies how much a
+    * layout has decayed (e.g. after appends) and feeds the
+    * [[compactionPlan]] decision. Footer-only and distributed like
+    * [[parquetStatsAudit]] (which supplies the envelopes); the lag
+    * window is over FILE COUNT rows — the audited-global-window class.
+    * Returns (file_name, min_val, max_val, overlaps_prev). */
+  def rangeLayoutAudit(spark: SparkSession, dirPath: String,
+                       colName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("min_val"), col("file_name"))
+    parquetStatsAudit(spark, dirPath, Seq(colName))
+      .filter(col("col_name") === colName)
+      .withColumn("__pm", lag(col("max_val"), 1).over(w))
+      .select(col("file_name"), col("min_val"), col("max_val"),
+        coalesce(col("min_val") <= col("__pm"), lit(false))
+          .as("overlaps_prev"))
+  }
+
   /** Compaction plan from a [[parquetLayoutAudit]] frame — the FIX for
     * the small-files pathology the audit diagnoses: files are laid out
     * in deterministic (name) order along their cumulative compressed

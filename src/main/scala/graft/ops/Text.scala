@@ -715,6 +715,84 @@ object Text {
         col("tf"), col("tfidf"))
   }
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza, FnTIR'09 — the
+    * Okapi BM25 scoring function with Lucene's non-negative idf
+    * variant `ln(1 + (N − df + ½)/(df + ½))`), of a query frame against
+    * a document corpus: the lexical-retrieval half of every
+    * hybrid-search / hard-negative-mining / eval-decontamination
+    * pipeline. `k1 = 1.2`, `b = 0.75` (the textbook operating point)
+    * are baked in as EXACT rationals — with `k1 = 6/5`, `b = 3/4` and
+    * `avgdl = L/N` the length-normalized term weight clears every
+    * denominator:
+    *
+    *   tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))
+    *     = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)
+    *
+    * — a ratio of two exact BIGINTs. Cross-engine determinism: idf is
+    * 9dp-rounded (the q56 discipline), each term's contribution
+    * `qtf · ⌊idf₉ · tfnorm · 1e9 + ½⌋` integerizes per (query, term,
+    * doc) row, and the document score accumulates those LONGs exactly —
+    * summation order can never move a bit. Ties rank by doc_id.
+    *
+    * `maxDfShare` prunes postings of terms with df > share·N — the
+    * stopword lever: at 100 TB a head term's posting list is
+    * corpus-sized and contributes ≈0 idf; pruning it bounds the
+    * per-term join fan-out (the q119/q55 `maxDf` posture). `dl` counts
+    * ALL tokens (length normalization sees the document the user wrote,
+    * not the pruned one).
+    *
+    * Shape: the corpus tokenizes ONCE into the (doc, token) tf frame;
+    * df and dl are windows over tf (per-token partition ≤ N rows,
+    * per-doc partition ≤ distinct-tokens rows — never corpus-sized);
+    * the 1-row (N, L) aggregate joins in broadcast from a second
+    * map-only scan; the query-term frame is broadcast (queries ≪
+    * corpus, the retrieval invariant); the score agg shuffles on
+    * (query_id, doc_id) and the top-k window partitions by query.
+    *
+    * Returns (query_id, rnk ≤ k, doc_id, score_i, score) with
+    * `score_i` the exact 1e9-scaled integer and `score` its readable
+    * 9dp double. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, textCol: String,
+               k: Int, maxDfShare: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfShare > 0.0 && maxDfShare <= 1.0,
+      s"maxDfShare must be in (0, 1], got $maxDfShare")
+    import org.apache.spark.sql.expressions.Window
+    val tf = corpus.select(col("doc_id"),
+        explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val totals = corpus.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
+        .as("l_tot"))
+    val qt = queries.select(col("query_id"),
+        explode_outer(tokens(col(textCol))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy(col("query_id"), col("w")).agg(count(lit(1)).as("qtf"))
+    val idf9 = round(log(lit(1.0) +
+      (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+        .cast("double") /
+      (lit(2L) * col("df") + lit(1L)).cast("double")), 9)
+    val tfnorm = (lit(22L) * col("tf") * col("l_tot")).cast("double") /
+      (lit(10L) * col("tf") * col("l_tot") + lit(3L) * col("l_tot") +
+        lit(9L) * col("dl") * col("n_docs")).cast("double")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .join(broadcast(qt), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .filter(col("df").cast("double") <=
+        lit(maxDfShare) * col("n_docs").cast("double"))
+      .withColumn("contrib",
+        col("qtf") * floor(idf9 * tfnorm * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_i"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(desc("score_i"), asc("doc_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score_i"),
+        round(col("score_i").cast("double") / lit(1e9), 9).as("score"))
+  }
+
   /** Per-document unigram language-model score — the CCNet-style (Wenzek
     * et al., LREC'20) "LM quality" proxy with the corpus itself as the
     * model: `unigram_nll` is the mean negative log-likelihood of the

@@ -412,4 +412,54 @@ class EventsSpec extends SparkSpec {
     // click avg = 7/3 < view avg = 4
     assert(best.getString(0) == "click")
   }
+
+  test("scd2: consecutive duplicates collapse; versions chain " +
+      "[from, to) with an open current row") {
+    // user 10: A A B B A  -> versions A, B, A; user 20: single B
+    val log = Seq(
+      (1L, 0L * M, 10L, "A", 0.0),
+      (2L, 5L * M, 10L, "A", 0.0),
+      (3L, 10L * M, 10L, "B", 0.0),
+      (4L, 15L * M, 10L, "B", 0.0),
+      (5L, 20L * M, 10L, "A", 0.0),
+      (6L, 7L * M, 20L, "B", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.scd2(log, "user_id", "event_type")
+      .orderBy("user_id", "version")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    val ms = 60L * 1000L
+    assert(got == Seq(
+      (10L, 1L, "A", 0L, Some(10L * ms), false),
+      (10L, 2L, "B", 10L * ms, Some(20L * ms), false),
+      (10L, 3L, "A", 20L * ms, None, true),
+      (20L, 1L, "B", 7L * ms, None, true)))
+    // validity intervals tile: each version's to_ms = successor's from_ms
+    got.groupBy(_._1).values.foreach { h =>
+      h.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5.contains(b._4))
+        case _ =>
+      }
+    }
+  }
+
+  test("scd2: two changes inside one millisecond version in ts order, " +
+      "not event_id order; re-appearing values open NEW versions") {
+    val log = Seq(
+      // ns 100 and 900 within ms 0 — ids deliberately inverted
+      (9L, 100L, 10L, "A", 0.0),
+      (2L, 900L, 10L, "B", 0.0),
+      (3L, 2L * M, 10L, "A", 0.0)   // A again: a fresh version, not v1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.scd2(log, "user_id", "event_type")
+      .orderBy("version")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got.map(r => (r._2, r._3)) == Seq((1L, "A"), (2L, "B"),
+      (3L, "A")))
+    // both sub-ms changes floor to from_ms 0 — the documented ms
+    // granularity; the VERSION order still replays the ns order
+    assert(got(0)._4 == 0L && got(1)._4 == 0L)
+    assert(got(2)._6 && !got(0)._6)
+  }
 }

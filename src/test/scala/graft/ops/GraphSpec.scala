@@ -87,4 +87,61 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(g3 == got)
   }
+
+  private def triMap(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (Long, Long, Option[Double])] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+
+  test("triangles: triangle + pendant — counts and coefficients by hand") {
+    // triangle {1,2,3}; pendant 4 on node 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = triMap(Graph.triangles(pairs, "a", "b"))
+    // node 1: deg 3, 1 triangle, c = 2*1/(3*2) = 1/3 (9dp)
+    assert(got(1L) == ((3L, 1L, Some(0.333333333))))
+    assert(got(2L) == ((2L, 1L, Some(1.0))))
+    assert(got(3L) == ((2L, 1L, Some(1.0))))
+    // pendant: degree 1, no triangle possible, coefficient undefined
+    assert(got(4L) == ((1L, 0L, None)))
+  }
+
+  test("triangles: K4 is all-1.0; star is all-0.0 at the center") {
+    val k4 = (for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j))
+      .toDF("a", "b")
+    val gk = triMap(Graph.triangles(k4, "a", "b"))
+    // every K4 node: deg 3, C(3,2) = 3 triangles through it, coeff 1
+    assert((1L to 4L).forall(n => gk(n) == ((3L, 3L, Some(1.0)))))
+    val star = (1L to 6L).map(l => (0L, l)).toDF("a", "b")
+    val gs = triMap(Graph.triangles(star, "a", "b"))
+    assert(gs(0L) == ((6L, 0L, Some(0.0))),
+      "star center: many neighbor pairs, none adjacent")
+    assert((1L to 6L).forall(n => gs(n) == ((1L, 0L, None))))
+  }
+
+  test("triangles: duplicates, reversed edges and self-loops collapse; " +
+      "result is partitioning-invariant") {
+    val clean = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("a", "b")
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L),
+      (1L, 4L), (4L, 4L)).toDF("a", "b")
+    val a = triMap(Graph.triangles(clean, "a", "b"))
+    val b = triMap(Graph.triangles(dirty, "a", "b"))
+    val c = triMap(Graph.triangles(dirty.repartition(7), "a", "b"))
+    assert(a == b && b == c)
+  }
+
+  test("triangles: total count is right on the fixture co-purchase graph " +
+      "(each corner counted once: sum of per-node counts = 3 * total)") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+      .filter(col("l_partkey") < 400L)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.toDF("o", "pa").join(li.toDF("o", "pb"), Seq("o"))
+      .filter(col("pa") < col("pb")).select("pa", "pb")
+    val r = Graph.triangles(edges, "pa", "pb")
+      .agg(sum("n_triangles"), sum(when(col("deg") >= 1, 1L))).head()
+    val cornerSum = r.getLong(0)
+    assert(cornerSum % 3 == 0, "every triangle must contribute 3 corners")
+    assert(r.getLong(1) > 0)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Mirrors the reference's five hard-fail gates
@@ -265,5 +266,45 @@ class QualitySpec extends SparkSpec {
     assert(r("removed") == ((1L, 3L, 0L, -3L)))
     assert(r("added") == ((1L, 0L, 3L, 3L)))
     assert(r("changed") == ((3L, 3L, 4L, 1L))) // "c"+"g h" -> "c x"+"now present"
+  }
+
+  test("embeddingCovariance: hand-computed 2-dim case; exact integer " +
+      "sums; population covariance recovered") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Quality.embeddingCovariance(df, "embedding", dims = 2)
+      .orderBy("i", "j")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // integerized at 1e6: x = (1e6, 3e6), y = (2e6, 4e6)
+    assert(got == Seq(
+      (1L, 1L, 2L, 4000000L, 4000000L, 10000000000000L, 1.0),
+      (1L, 2L, 2L, 4000000L, 6000000L, 14000000000000L, 1.0),
+      (2L, 2L, 2L, 6000000L, 6000000L, 20000000000000L, 1.0)))
+  }
+
+  test("embeddingCovariance: null and mis-sized vectors are excluded; " +
+      "bit-identical across partitionings; fixture variances " +
+      "non-negative") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val dirty = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((9001L, null.asInstanceOf[Seq[Float]]),
+        (9002L, Seq(1.0f, 2.0f)))
+        .toDF("vec_id", "embedding"))
+    val a = Quality.embeddingCovariance(emb, "embedding", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    val b = Quality.embeddingCovariance(dirty, "embedding", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    val c = Quality.embeddingCovariance(emb.repartition(13), "embedding",
+        64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(a.size == 64 * 65 / 2)
+    assert(a == b, "poison rows must not reach the Gramian")
+    assert(a == c, "exact LONG accumulation is partitioning-invariant")
+    // diagonal entries are variances — non-negative by definition
+    (1L to 64L).foreach { i =>
+      assert(a((i, i)).last.asInstanceOf[Double] >= 0.0)
+    }
   }
 }

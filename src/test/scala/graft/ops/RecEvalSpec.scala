@@ -60,4 +60,42 @@ class RecEvalSpec extends SparkSpec {
     assert(RecEval.dcgTable(3)(1) ==
       math.floor(1e9 / (math.log(3.0) / math.log(2.0)) + 0.5).toLong)
   }
+
+  test("rrfFuse: integer weights 1e9 div (c+r); presence in both lists " +
+      "beats a single better rank; doc_id breaks exact ties") {
+    def w(r: Long) = 1000000000L / (60L + r)
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = RecEval.rrfFuse(Seq(lex, sem), c = 60, k = 10)
+      .orderBy("rnk")
+      .select("doc_id", "n_lists", "rrf_i").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc 11: ranks 2+1 in two lists — beats doc 10's single rank-1
+    assert(got == Seq(
+      (11L, 2L, w(2) + w(1)),
+      (10L, 1L, w(1)),
+      (13L, 1L, w(2)),
+      (12L, 1L, w(3))))
+    // 12 vs 13 differ; make an exact tie and check the id tiebreak:
+    val t1 = Seq((7L, 5L, 4L)).toDF("query_id", "doc_id", "rnk")
+    val t2 = Seq((7L, 3L, 4L)).toDF("query_id", "doc_id", "rnk")
+    val tie = RecEval.rrfFuse(Seq(t1, t2), 60, 10)
+      .orderBy("rnk").select("doc_id").as[Long].collect().toSeq
+    assert(tie == Seq(3L, 5L))
+  }
+
+  test("rrfFuse: k bounds the fused list per query; queries fuse " +
+      "independently") {
+    val a = (1L to 8L).map(r => (1L, 100L + r, r))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = (1L to 8L).map(r => (2L, 200L + r, r))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = RecEval.rrfFuse(Seq(a, b), 60, 3)
+      .select("query_id", "rnk", "doc_id").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(got == Seq((1L, 1L, 101L), (1L, 2L, 102L), (1L, 3L, 103L),
+      (2L, 1L, 201L), (2L, 2L, 202L), (2L, 3L, 203L)))
+  }
 }

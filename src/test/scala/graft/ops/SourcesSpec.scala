@@ -248,4 +248,25 @@ class SourcesSpec extends SparkSpec {
     // and the z files still hold all the rows
     assert(spark.read.parquet(s"$base/z").count() == li.count())
   }
+
+  test("writeRangeSorted + rangeLayoutAudit: disjoint envelopes on the " +
+      "sorted layout; the audit catches an unsorted one") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val base = "/root/repo/target/spec_range"
+    Sources.writeRangeSorted(li, s"$base/sorted", "l_orderkey", 8)
+    val audit = Sources.rangeLayoutAudit(spark, s"$base/sorted",
+      "l_orderkey").collect()
+    assert(audit.length == 8)
+    assert(audit.forall(!_.getBoolean(3)), "range layout must be disjoint")
+    // no rows lost, global envelope preserved
+    assert(spark.read.parquet(s"$base/sorted").count() == li.count())
+    // a hash-partitioned write scatters every key range across every
+    // file — the audit must flag (all but the first) files
+    li.repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$base/hashed")
+    val bad = Sources.rangeLayoutAudit(spark, s"$base/hashed",
+      "l_orderkey").collect()
+    assert(bad.count(_.getBoolean(3)) == bad.length - 1,
+      "hash layout must overlap everywhere")
+  }
 }

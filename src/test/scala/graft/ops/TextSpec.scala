@@ -558,4 +558,66 @@ class TextSpec extends SparkSpec {
     assert(fx.head.getLong(3) == fx.last.getLong(3)) // vocab flat
     assert(math.abs(fx.head.getDouble(5)) < 0.05)    // beta ~ 0
   }
+
+  /** The exact per-term BM25 contribution [[Text.bm25TopK]] promises,
+    * replayed in plain Scala with the same IEEE op order. */
+  private def bm25Term(n: Long, l: Long, df: Long, tf: Long, dl: Long,
+                       qtf: Long): Long = {
+    val idf9 = BigDecimal(math.log(1.0 +
+      (2 * n - 2 * df + 1).toDouble / (2 * df + 1).toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tfnorm = (22 * tf * l).toDouble /
+      (10 * tf * l + 3 * l + 9 * dl * n).toDouble
+    qtf * math.floor(idf9 * tfnorm * 1e9 + 0.5).toLong
+  }
+
+  test("bm25TopK: scores equal the closed-form per-term formula on a " +
+      "hand fixture; rarer terms and shorter docs score higher") {
+    val corpus = Seq(
+      (1L, "apple banana"),          // has the rare term
+      (2L, "apple apple apple"),     // common term, repeated, longer
+      (3L, "apple"),                 // common term, shortest
+      (4L, "cherry cherry")          // no query terms
+    ).toDF("doc_id", "text")
+    val q = Seq((100L, "banana apple")).toDF("query_id", "text")
+    val got = Text.bm25TopK(corpus, q, "text", k = 10)
+      .orderBy("rnk")
+      .select("doc_id", "score_i").as[(Long, Long)].collect()
+    // N=4, L=8; df(apple)=3, df(banana)=1
+    val d1 = bm25Term(4, 8, 1, 1, 2, 1) + bm25Term(4, 8, 3, 1, 2, 1)
+    val d2 = bm25Term(4, 8, 3, 3, 3, 1)
+    val d3 = bm25Term(4, 8, 3, 1, 1, 1)
+    assert(got.toSeq == Seq((1L, d1), (2L, d2), (3L, d3)),
+      s"got ${got.toSeq}, want ${Seq((1L, d1), (2L, d2), (3L, d3))}")
+    // rare banana dominates everything; among the apple-only docs the
+    // triple occurrence still wins (tfnorm 528/372 > 176/140) but
+    // SUBLINEARLY — nowhere near 3x the single occurrence
+    assert(d3 < d2 && d2 < d1)
+    assert(d2 < 2 * d3, "saturation: 3 occurrences must be < 2x one")
+  }
+
+  test("bm25TopK: qtf weights linearly; maxDfShare prunes head terms; " +
+      "result is partitioning-invariant") {
+    val corpus = Seq(
+      (1L, "x y"), (2L, "x z"), (3L, "x w"), (4L, "y w")
+    ).toDF("doc_id", "text")
+    val q1 = Seq((9L, "y")).toDF("query_id", "text")
+    val q2 = Seq((9L, "y y")).toDF("query_id", "text")
+    val s1 = Text.bm25TopK(corpus, q1, "text", 10)
+      .select("doc_id", "score_i").as[(Long, Long)].collect().toMap
+    val s2 = Text.bm25TopK(corpus, q2, "text", 10)
+      .select("doc_id", "score_i").as[(Long, Long)].collect().toMap
+    assert(s1.keySet == Set(1L, 4L))
+    assert(s2 == s1.map { case (k, v) => k -> 2 * v },
+      "duplicated query term must exactly double each contribution")
+    // x has df 3 of 4 — a 0.5 share prunes it; only the y leg scores
+    val qm = Seq((9L, "x y")).toDF("query_id", "text")
+    val pruned = Text.bm25TopK(corpus, qm, "text", 10, maxDfShare = 0.5)
+      .select("doc_id", "score_i").as[(Long, Long)].collect().toMap
+    assert(pruned == s1, "df-pruned term must contribute nothing")
+    val rep = Text.bm25TopK(corpus.repartition(7), qm.repartition(3),
+        "text", 10, maxDfShare = 0.5)
+      .select("doc_id", "score_i").as[(Long, Long)].collect().toMap
+    assert(rep == pruned)
+  }
 }
