@@ -472,6 +472,11 @@ object SparkEntry {
   /** q179 range-sorted layout file count — [[ZorderFiles]]' twin so the
     * one-column and two-column layouts are comparable. */
   val RangeFiles = 8
+  /** q181 collocation count floor — PMI's hapax-pair pathology gate. */
+  val PmiMinCount = 5L
+  /** q182 coverage-set size (the oracle unrolls this many greedy
+    * rounds, the q168 discipline). */
+  val KCenterK = 4
 
   /** q156 attribution window (48 h) — sits inside the fixture's
     * conversion-gap distribution (median signup→click ≈ 29 h), so the
@@ -3784,6 +3789,30 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.embeddingCovariance(t(s, dir, "embeddings"), "embedding",
           EmbDims)
         .orderBy("i", "j")
+    }),
+
+    // PMI collocation table: adjacent-pair mutual information over the
+    // corpus (count-floored), with the normalized [-1,1] variant —
+    // the phrase-mining table a phrase-aware tokenizer consumes.
+    "q181_pmi_collocations" -> ((s, dir) => {
+      Text.pmiCollocations(t(s, dir, "documents"), "text", PmiMinCount)
+        .orderBy("w1", "w2")
+    }),
+
+    // Greedy k-center coreset over the embeddings: 4 exact-replayable
+    // selection rounds (min-id seed, integerized-L2 argmax, min-id
+    // ties), reported with each center's coverage count and radius.
+    "q182_kcenter_coreset" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val sel = Kmeans.kCenterGreedy(emb, "vec_id", "embedding", KCenterK)
+      val cen = sel.join(emb.select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      val cov = Kmeans.coverage(emb, "vec_id", "embedding",
+        cen.select(col("vec_id"), col("embedding")))
+      sel.join(cov, sel("vec_id") === cov("cluster"))
+        .select(col("round"), col("vec_id"), col("n_assigned"),
+          col("radius_i"))
+        .orderBy("round")
     })
   )
 
@@ -7475,6 +7504,91 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |JOIN sums si ON si.i = p.i
          |JOIN sums sj ON sj.i = p.j
          |CROSS JOIN n
-         |ORDER BY p.i, p.j""".stripMargin
+         |ORDER BY p.i, p.j""".stripMargin,
+
+    // q181: the same exact-integer ratio inside one ln per score (the
+    // q56 discipline); NPMI NULL at the one-bigram-corpus edge.
+    "q181_pmi_collocations" -> {
+      val ratio = "CAST(b.cnt_xy AS DOUBLE) * CAST(t_u AS DOUBLE)" +
+        " * CAST(t_u AS DOUBLE) / CAST(ux.c AS DOUBLE)" +
+        " / CAST(uy.c AS DOUBLE) / CAST(t_b AS DOUBLE)"
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |bp AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS p
+         |  FROM tok
+         |),
+         |big AS (
+         |  SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS cnt_xy
+         |  FROM bp GROUP BY 1, 2
+         |),
+         |uni AS (
+         |  SELECT w, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+         |),
+         |tu AS (SELECT sum(c)::BIGINT AS t_u FROM uni),
+         |tb AS (SELECT sum(cnt_xy)::BIGINT AS t_b FROM big)
+         |SELECT b.w1, b.w2, b.cnt_xy, ux.c AS c_x, uy.c AS c_y,
+         |  round(ln($ratio), 9) AS pmi,
+         |  CASE WHEN b.cnt_xy < t_b THEN
+         |    round(ln($ratio)
+         |      / -ln(CAST(b.cnt_xy AS DOUBLE) / CAST(t_b AS DOUBLE)), 9)
+         |  END AS npmi
+         |FROM big b JOIN uni ux ON ux.w = b.w1
+         |           JOIN uni uy ON uy.w = b.w2
+         |CROSS JOIN tu CROSS JOIN tb
+         |WHERE b.cnt_xy >= $PmiMinCount
+         |ORDER BY b.w1, b.w2""".stripMargin
+    },
+
+    // q182: the greedy rounds unrolled (min-id seed; per round the
+    // not-yet-selected argmax of the min integerized distance, min-id
+    // ties — q168's replay discipline), then the q168-shaped argmin
+    // assignment and per-center radius.
+    "q182_kcenter_coreset" -> {
+      def round2(cenCte: String, dAs: String, nAs: String,
+                 rnd: Int): String =
+        s"""$dAs AS (
+           |  SELECT e.vec_id, min(${l2iSql("e.v", "c.v")}) AS d
+           |  FROM ev e CROSS JOIN $cenCte c
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM $cenCte)
+           |  GROUP BY e.vec_id
+           |),
+           |$nAs AS (
+           |  SELECT $rnd::BIGINT AS round, e.vec_id, e.v FROM ev e
+           |  JOIN (SELECT vec_id FROM $dAs ORDER BY d DESC, vec_id
+           |        LIMIT 1) t USING (vec_id)
+           |)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |c1 AS (SELECT 1::BIGINT AS round, vec_id, v FROM ev
+         |       ORDER BY vec_id LIMIT 1),
+         |${round2("c1", "d2", "n2", 2)},
+         |cen2 AS (SELECT * FROM c1 UNION ALL SELECT * FROM n2),
+         |${round2("cen2", "d3", "n3", 3)},
+         |cen3 AS (SELECT * FROM cen2 UNION ALL SELECT * FROM n3),
+         |${round2("cen3", "d4", "n4", 4)},
+         |cen4 AS (SELECT * FROM cen3 UNION ALL SELECT * FROM n4),
+         |asg AS (
+         |  SELECT vec_id, cid, d FROM (
+         |    SELECT e.vec_id, c.vec_id AS cid,
+         |      ${l2iSql("e.v", "c.v")} AS d,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2iSql("e.v", "c.v")}, c.vec_id) AS rn
+         |    FROM ev e CROSS JOIN cen4 c)
+         |  WHERE rn = 1
+         |),
+         |stats AS (
+         |  SELECT cid, count(*)::BIGINT AS n_assigned,
+         |    max(d)::BIGINT AS radius_i
+         |  FROM asg GROUP BY cid
+         |)
+         |SELECT c.round, c.vec_id, s.n_assigned, s.radius_i
+         |FROM cen4 c JOIN stats s ON s.cid = c.vec_id
+         |ORDER BY c.round""".stripMargin
+    }
   )
 }

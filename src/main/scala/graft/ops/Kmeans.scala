@@ -74,4 +74,75 @@ object Kmeans {
       cen = Barrier.cut(step(df, idCol, vecCol, cen))
     cen
   }
+
+  /** Coverage report of a centroid set: per centroid its member count
+    * and `radius_i` — the max integerized distance among members, so
+    * the k-center objective (what [[kCenterGreedy]] minimizes) is the
+    * max over this column. Same broadcast-argmin shape and tie policy
+    * as [[assign]], plus the distance carried to one more max-agg.
+    * Returns (cluster, n_assigned, radius_i). */
+  def coverage(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame): DataFrame = {
+    val cen = centroids.select(col(idCol).as("__cid"),
+      col(vecCol).as("__cv"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cen))
+      .withColumn("__d", Quantize.l2i(col(vecCol), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d"), col("__cid"))).as("__m"))
+      .select(col("__m.__cid").as("cluster"), col("__m.__d").as("__d"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_assigned"), max(col("__d")).as("radius_i"))
+  }
+
+  /** Greedy k-center selection (Gonzalez'85 2-approximation; Sener &
+    * Savarese, ICLR'18 use it as the CORESET selector) — the diverse-
+    * subset primitive: pick the point farthest from everything picked
+    * so far, k times. Where [[fit]] finds density centers, this finds
+    * COVERAGE centers — the right selection when labeling budget or a
+    * seed-prompt set must span the embedding space, not mirror its
+    * density.
+    *
+    * Determinism, textbook holes closed: the seed is the SMALLEST id
+    * (the first-K/q168 init discipline, not a random draw); distances
+    * are the 9-dp-integerized squared L2 ([[Quantize.l2i]]) on
+    * float→double-exact coordinates; the argmax breaks ties toward the
+    * smaller id. Returns (round 1-based, idCol) — join it back to the
+    * corpus for the vectors, or feed [[assign]] for the coverage
+    * partition.
+    *
+    * Shape: k passes, each a broadcast of ≤ k collected center vectors
+    * (k·d doubles — bounded driver state, the [[graft.ops.Bpe]] argmax
+    * class) into a map-only `least`-of-k distance projection and ONE
+    * TakeOrdered(1) — no joins, no shuffles beyond the top-1 reduce.
+    * Greedy k-center is inherently sequential in k; at 100 TB with
+    * large k, batch variants (pick the top-B per pass) trade the
+    * 2-approximation bound for k/B passes — this is the exact,
+    * oracle-able form those are audited against. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val pts = df.select(col(idCol), col(vecCol).cast("array<double>")
+      .as("__v"))
+    val seed = pts.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col("__v")).collect()(0)
+    var centers = Vector[(Long, Seq[Double])](
+      (seed.getLong(0), seed.getSeq[Double](1)))
+    while (centers.size < k) {
+      val dists = centers.map { case (_, v) =>
+        Quantize.l2i(col("__v"), typedLit(v)) }
+      val next = pts
+        .withColumn("__d",
+          if (dists.size == 1) dists.head else least(dists: _*))
+        .filter(!col(idCol).isin(centers.map(_._1): _*))
+        .orderBy(desc("__d"), col(idCol))
+        .limit(1).select(col(idCol), col("__v")).collect()(0)
+      centers = centers :+ ((next.getLong(0), next.getSeq[Double](1)))
+    }
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case ((id, _), i) => (i.toLong + 1L, id) }
+      .toDF("round", idCol)
+  }
 }

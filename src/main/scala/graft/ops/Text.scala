@@ -977,6 +977,71 @@ object Text {
         round(sum(col("c") * -log(p)) / sum(col("c")), 9).as("bigram_nll"))
   }
 
+  /** Corpus collocation mining by pointwise mutual information (Church
+    * & Hanks, CL'90; the word2phrase scoring family): adjacent token
+    * pairs that co-occur far above chance — "new york", "machine
+    * learning" — ranked by PMI = ln(p(xy)/(p(x)p(y))) and its
+    * normalized variant NPMI = PMI/−ln(p(xy)) (Bouma'09; the textbook
+    * [−1, 1] bound is exact when the unigram and bigram totals
+    * coincide and approximate on real corpora, where they differ by
+    * one per document — a short-corpus NPMI can exceed 1).
+    * The output table drives phrase-aware tokenization (join phrases
+    * before BPE), collocation features, and MWE vocabularies.
+    *
+    * `minCount` floors the pair count — PMI's textbook failure mode is
+    * hapax pairs of hapax words scoring ln(T) (maximal!), so unfloored
+    * output is noise at any corpus size.
+    *
+    * Cross-engine determinism: all counts are exact BIGINTs;
+    * p(xy)/(p(x)p(y)) clears to the integer ratio cnt_xy·T_u²/(c_x·
+    * c_y·T_b), formed in ONE pinned double op chain; each ln rounds to
+    * 9 dp only after the full expression (the q56 ln discipline). NPMI
+    * is NULL when cnt_xy = T_b (−ln(p)=0 — a one-bigram corpus has no
+    * normalizable score).
+    *
+    * Shape: two tokenizing scans — the bigram pair frame (zip_with of
+    * the token array against its own tail, map-only before its count
+    * agg) and the unigram count frame — each materialized behind a
+    * [[Barrier]] so the unigram table feeds BOTH endpoint joins and
+    * its own 1-row total WITHOUT re-tokenizing (a shared-subtree join
+    * re-derives, the q56 lesson), and the bigram total likewise reads
+    * the counted frame. Endpoint joins are token-keyed equi-joins
+    * (vocab-sized right sides — at 100 TB a Heaps-law vocabulary is
+    * too big to broadcast, so they shuffle by token, bounded by the
+    * pair table itself). EAGER like [[graft.ops.Events.funnel]].
+    * Returns (w1, w2, cnt_xy, c_x, c_y, pmi, npmi). */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(tokens(col(textCol)).as("__t"))
+    val n1 = greatest(size(col("__t")) - 1, lit(0))
+    val big = Barrier.cut(toks
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), n1), slice(col("__t"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt_xy")))
+    val uni = Barrier.cut(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")))
+    val totU = uni.agg(sum(col("c")).as("t_u"))
+    val totB = big.agg(sum(col("cnt_xy")).as("t_b"))
+    val ratio = col("cnt_xy").cast("double") *
+      col("t_u").cast("double") * col("t_u").cast("double") /
+      col("c_x").cast("double") / col("c_y").cast("double") /
+      col("t_b").cast("double")
+    val pxy = col("cnt_xy").cast("double") / col("t_b").cast("double")
+    big.filter(col("cnt_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(totU))
+      .crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("cnt_xy"), col("c_x"), col("c_y"),
+        round(log(ratio), 9).as("pmi"),
+        when(col("cnt_xy") < col("t_b"),
+          round(log(ratio) / -log(pxy), 9)).as("npmi"))
+  }
+
   /** Cross-document boilerplate statistics (the RefinedWeb / C4 "seen
     * everywhere" signal): an n-gram is boilerplate when its document
     * frequency exceeds `maxDf` — navigation chrome, license headers,

@@ -523,6 +523,31 @@ class PlanSpec extends SparkSpec {
       l.contains("Window") && l.contains("partitionBy=[]")), p)
   }
 
+  test("q175: BM25 tokenizes each side once; query terms broadcast " +
+      "into the posting join") {
+    // corpus: ONE exploding tokenization (the tf frame — df and dl are
+    // windows over it, never a second-tokenize join) + the map-only
+    // size(split()) total scan; queries: one explode. 3 splits, 2
+    // explodes total — anything more means a side re-tokenized.
+    val p0 = SparkEntry.queries("q175_bm25_topk")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(p0).size
+    assert(splits == 3, s"split() appears $splits times:\n$p0")
+    val explodes = "(?i)explode".r.findAllIn(p0).size
+    assert(explodes == 2, s"explode appears $explodes times:\n$p0")
+    val p = plan("q175_bm25_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty,
+      s"query-term join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q177: triangle joins are equi-keyed (src; then (v,w)) — " +
+      "never nested-loop, never cartesian") {
+    val p = plan("q177_triangles")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

@@ -63,4 +63,37 @@ class KmeansSpec extends SparkSpec {
       assert(got(id) == best, s"vec $id: got ${got(id)}, want $best")
     }
   }
+
+  test("kCenterGreedy: min-id seed, then farthest-point rounds with " +
+      "min-id ties — hand-replayed on a 1-D line") {
+    // points 0, 1, 10, 11, 20: seed id1 (0); round 2 takes 20 (d 400);
+    // round 3: id3 min(100,100)=100 beats id4 min(121,81)=81
+    val pts = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f)), (3L, Seq(10.0f)),
+      (4L, Seq(11.0f)), (5L, Seq(20.0f))).toDF("vec_id", "embedding")
+    val sel = Kmeans.kCenterGreedy(pts, "vec_id", "embedding", 3)
+      .orderBy("round").as[(Long, Long)].collect().toSeq
+    assert(sel == Seq((1L, 1L), (2L, 5L), (3L, 3L)))
+    // coverage of the selected set: {0} <- {0,1}; {10} <- {10,11};
+    // {20} <- {20}; radii are the integerized squared distances
+    val cen = pts.filter(col("vec_id").isin(1L, 3L, 5L))
+    val cov = Kmeans.coverage(pts, "vec_id", "embedding", cen)
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    assert(cov == Seq((1L, 2L, 1000000000L), (3L, 2L, 1000000000L),
+      (5L, 1L, 0L)))
+  }
+
+  test("kCenterGreedy: an all-duplicates corpus still selects k " +
+      "DISTINCT ids (in id order); partitioning never changes the set") {
+    val dup = Seq((7L, Seq(1.0f, 2.0f)), (3L, Seq(1.0f, 2.0f)),
+      (5L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val sel = Kmeans.kCenterGreedy(dup, "vec_id", "embedding", 3)
+      .orderBy("round").as[(Long, Long)].collect().toSeq
+    assert(sel == Seq((1L, 3L), (2L, 5L), (3L, 7L)))
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val a = Kmeans.kCenterGreedy(emb, "vec_id", "embedding", 4)
+      .as[(Long, Long)].collect().toSet
+    val b = Kmeans.kCenterGreedy(emb.repartition(9), "vec_id",
+      "embedding", 4).as[(Long, Long)].collect().toSet
+    assert(a == b && a.size == 4)
+  }
 }

@@ -620,4 +620,53 @@ class TextSpec extends SparkSpec {
       .select("doc_id", "score_i").as[(Long, Long)].collect().toMap
     assert(rep == pruned)
   }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("pmiCollocations: hand-counted corpus matches the closed form; " +
+      "minCount floors; NPMI null on a one-bigram corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // pairs (a,b):2 (b,a):1 (a,c):1; unigrams a:3 b:2 c:1; Tu=6 Tb=4
+    def pmi(cnt: Long, cx: Long, cy: Long): Double =
+      round9(math.log(
+        cnt.toDouble * 6.0 * 6.0 / cx.toDouble / cy.toDouble / 4.0))
+    def npmi(cnt: Long, cx: Long, cy: Long): Double =
+      round9(math.log(
+        cnt.toDouble * 6.0 * 6.0 / cx.toDouble / cy.toDouble / 4.0) /
+        -math.log(cnt.toDouble / 4.0))
+    val got = Text.pmiCollocations(docs, "text", minCount = 1)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Long, Long, Double, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 2L, pmi(2, 3, 2), Some(npmi(2, 3, 2))),
+      ("a", "c", 1L, 3L, 1L, pmi(1, 3, 1), Some(npmi(1, 3, 1))),
+      ("b", "a", 1L, 2L, 3L, pmi(1, 2, 3), Some(npmi(1, 2, 3)))))
+    // the repeated pair scores higher than its reversal (PMI is
+    // direction-sensitive on ordered bigrams)
+    assert(pmi(2, 3, 2) > pmi(1, 2, 3))
+    val floored = Text.pmiCollocations(docs, "text", minCount = 2)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    assert(floored == Seq(("a", "b")))
+    // one bigram in the whole corpus: -ln p(xy) = 0, NPMI undefined
+    val one = Text.pmiCollocations(
+      Seq((1L, "x y")).toDF("doc_id", "text"), "text", 1)
+      .as[(String, String, Long, Long, Long, Double, Option[Double])]
+      .collect().toSeq
+    assert(one.size == 1 && one.head._7.isEmpty)
+  }
+
+  test("pmiCollocations: bit-identical across partitionings on the " +
+      "fixture corpus; counts exact") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val a = Text.pmiCollocations(docs, "text", 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq)
+      .toMap
+    val b = Text.pmiCollocations(docs.repartition(11), "text", 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.toSeq)
+      .toMap
+    assert(a.nonEmpty && a == b)
+    assert(a.values.forall(_(2).asInstanceOf[Long] >= 5L))
+  }
 }
