@@ -474,6 +474,11 @@ object SparkEntry {
   val RangeFiles = 8
   /** q181 collocation count floor — PMI's hapax-pair pathology gate. */
   val PmiMinCount = 5L
+  /** q183 time split (2024-01-16 00:00 UTC, ~the fixture median):
+    * events before it build the "current" SCD2 table, the rest arrive
+    * as the merge batch — a global time split satisfies scd2Merge's
+    * append-only contract at every SF. */
+  val Scd2CutMs = 1705363200000L
   /** q182 coverage-set size (the oracle unrolls this many greedy
     * rounds, the q168 discipline). */
   val KCenterK = 4
@@ -1646,6 +1651,63 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     s"""(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
        | (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) *
        |  sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))))""".stripMargin
+
+  /** q101/q184 shared oracle prefix: the per-doc quality score
+    * ([[graft.ops.Text.qualityScore]]'s exact DuckDB twin) as CTE `qs`
+    * = (doc_id, source, quality_score). */
+  private val qualityScoreSqlCtes: String = {
+    val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
+       |      / length(text)::DOUBLE AS alpha,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+       |      / length(text)::DOUBLE AS digits,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
+       |      / len(string_split(text, ' '))::DOUBLE AS stop,
+       |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+       |         THEN 1.0 ELSE 0.0 END AS len_ok
+       |  FROM documents
+       |),
+       |qs AS (
+       |  SELECT doc_id, source, round(least(1.0, greatest(0.0,
+       |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+       |    AS quality_score
+       |  FROM m
+       |)""".stripMargin
+  }
+
+  /** q178/q183 shared oracle: the SCD2 FULL rebuild over the whole
+    * event log — change detection then versioning, both ordered by the
+    * original (ts, event_id); timestamps leave as ms-floors (the
+    * sessionize cross-engine contract). q183's merge path hashing
+    * against this IS the merge-equals-rebuild law. */
+  private val scd2OracleSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
+      |  FROM events
+      |),
+      |ch AS (
+      |  SELECT user_id, event_id, tns, event_type FROM (
+      |    SELECT user_id, event_id, tns, event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY tns, event_id) AS prev
+      |    FROM ev)
+      |  WHERE prev IS NULL OR prev <> event_type
+      |),
+      |v AS (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY tns, event_id) AS BIGINT) AS version,
+      |    event_type AS attr,
+      |    (tns // 1000000)::BIGINT AS from_ms,
+      |    lead(tns // 1000000) OVER (PARTITION BY user_id
+      |      ORDER BY tns, event_id)::BIGINT AS to_ms
+      |  FROM ch
+      |)
+      |SELECT user_id, version, attr, from_ms, to_ms,
+      |  (to_ms IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
 
   /** DuckDB CTE chain mirroring [[graft.ops.Text.bm25TopK]] on the
     * q175 query/corpus split — ends with `rk` = (query_id, doc_id,
@@ -3769,6 +3831,20 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("user_id", "version")
     }),
 
+    // Incremental SCD2 maintenance: the dimension built from the first
+    // half-month of events, then MERGED with the rest — the oracle is
+    // the full recompute (q178's own SQL over all events), so the hash
+    // match IS the merge-equals-rebuild law at fixture scale.
+    "q183_scd2_merge" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+      val cutNs = Scd2CutMs * 1000000L
+      val cur = Events.scd2(ev.filter(col("ts") < cutNs),
+        "user_id", "event_type")
+      Events.scd2Merge(cur, ev.filter(col("ts") >= cutNs),
+          "user_id", "event_type")
+        .orderBy("user_id", "version")
+    }),
+
     // Range-sorted layout + disjointness audit: lineitem written
     // range-partitioned and sorted on l_orderkey, then each file's
     // footer [min, max] envelope checked against its predecessor —
@@ -3797,6 +3873,48 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q181_pmi_collocations" -> ((s, dir) => {
       Text.pmiCollocations(t(s, dir, "documents"), "text", PmiMinCount)
         .orderBy("w1", "w2")
+    }),
+
+    // Cross-source quantile normalization of the quality score: each
+    // doc's score mapped to the global score at its within-source
+    // quantile — exact tie-aware integer index arithmetic over
+    // distinct-score CDFs (the calibration before one threshold can
+    // gate a mixed corpus).
+    "q184_quantile_norm" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      Sampling.quantileNormalize(qs, "doc_id", "source", "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // Label-balance audit on the embedding labels: share, integerized
+    // Shannon entropy, max/min imbalance — the pre-training read on
+    // any label column.
+    "q185_class_balance" -> ((s, dir) => {
+      Quality.classBalance(t(s, dir, "embeddings"), "label")
+        .orderBy("label")
+    }),
+
+    // Per-class precision/recall/F1 of the q85 self-classifier —
+    // exact rational metrics from the confusion cells (F1 in its
+    // single-fraction 2tp/(2tp+fp+fn) form).
+    "q186_classifier_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.ml.NaiveBayesText.train(docs, "text", "lang")
+      val pred = graft.ml.NaiveBayesText
+        .classify(model, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Quality.classifierReport(pred, "lang", "pred_label")
+        .orderBy("label")
+    }),
+
+    // One CUBE pass over (source, lang): every composition margin plus
+    // the grand total with doc/token mass, grouping_id-disambiguated.
+    "q187_corpus_cube" -> ((s, dir) => {
+      Quality.corpusCube(t(s, dir, "documents"), Seq("source", "lang"),
+          "text")
+        .orderBy("grouping_id", "source", "lang")
     }),
 
     // Greedy k-center coreset over the embeddings: 4 exact-replayable
@@ -4910,31 +5028,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // q101: the q25 score + percent_rank per source — the native
     // window IS the spec; the Spark side reproduces its tie semantics
     // over the compact (source, score) frame.
-    "q101_quality_percentiles" -> {
-      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH m AS (
-         |  SELECT doc_id, source,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
-         |  FROM documents
-         |),
-         |qs AS (
-         |  SELECT doc_id, source, round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
-         |    AS quality_score
-         |  FROM m
-         |)
+    "q101_quality_percentiles" ->
+      s"""$qualityScoreSqlCtes
          |SELECT doc_id, source, quality_score,
          |  round(percent_rank() OVER (PARTITION BY source
          |    ORDER BY quality_score), 9) AS pct_rank
-         |FROM qs ORDER BY doc_id""".stripMargin
-    },
+         |FROM qs ORDER BY doc_id""".stripMargin,
 
     "q26_langid" ->
       s"""WITH profile(plang, w) AS (VALUES ${Text.langProfileSql}),
@@ -7421,32 +7520,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // q178: change detection then versioning, both ordered by the
     // original (ts, event_id); timestamps leave as ms-floors (the
     // sessionize cross-engine contract).
-    "q178_scd2" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns
-        |  FROM events
-        |),
-        |ch AS (
-        |  SELECT user_id, event_id, tns, event_type FROM (
-        |    SELECT user_id, event_id, tns, event_type,
-        |      lag(event_type) OVER (PARTITION BY user_id
-        |        ORDER BY tns, event_id) AS prev
-        |    FROM ev)
-        |  WHERE prev IS NULL OR prev <> event_type
-        |),
-        |v AS (
-        |  SELECT user_id,
-        |    CAST(row_number() OVER (PARTITION BY user_id
-        |      ORDER BY tns, event_id) AS BIGINT) AS version,
-        |    event_type AS attr,
-        |    (tns // 1000000)::BIGINT AS from_ms,
-        |    lead(tns // 1000000) OVER (PARTITION BY user_id
-        |      ORDER BY tns, event_id)::BIGINT AS to_ms
-        |  FROM ch
-        |)
-        |SELECT user_id, version, attr, from_ms, to_ms,
-        |  (to_ms IS NULL) AS is_current
-        |FROM v ORDER BY user_id, version""".stripMargin,
+    "q178_scd2" -> scd2OracleSql,
+
+    // q183: the merge result must equal the full rebuild — the oracle
+    // IS q178's full-recompute SQL over the whole log.
+    "q183_scd2_merge" -> scd2OracleSql,
 
     // q179: the same footer stats the q164 audit reads, reduced to
     // per-file envelopes of the one sort column, lag-checked for
@@ -7540,6 +7618,121 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |WHERE b.cnt_xy >= $PmiMinCount
          |ORDER BY b.w1, b.w2""".stripMargin
     },
+
+    // q185: per-label p·ln p integerized through the identical double
+    // chain, summed exactly; share/imbalance are single divisions of
+    // exact counts.
+    "q185_class_balance" ->
+      """WITH c AS (
+        |  SELECT label, count(*)::BIGINT AS n FROM embeddings
+        |  GROUP BY label
+        |),
+        |t AS (SELECT sum(n)::BIGINT AS t FROM c),
+        |pl AS (
+        |  SELECT label, n,
+        |    round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 9) AS share,
+        |    CAST(floor(round(
+        |      (CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |        * ln(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE)), 9)
+        |      * 1e9 + 0.5) AS BIGINT) AS plogp
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT label, n, share,
+        |  round(CAST(-(SELECT sum(plogp) FROM pl) AS DOUBLE) / 1e9, 9)
+        |    AS entropy,
+        |  round(CAST((SELECT max(n) FROM c) AS DOUBLE)
+        |        / CAST((SELECT min(n) FROM c) AS DOUBLE), 9) AS imbalance
+        |FROM pl ORDER BY label""".stripMargin,
+
+    // q186: the UNCHANGED q85 rank chain feeds the confusion cells;
+    // each metric is one division of exact integers (F1 in the
+    // single-fraction form).
+    "q186_classifier_report" ->
+      s"""$nbRankSqlCte,
+         |pr AS (
+         |  SELECT r.doc_id, d.lang AS t, r.label AS p
+         |  FROM rk r JOIN documents d ON d.doc_id = r.doc_id
+         |  WHERE r.rk = 1
+         |),
+         |cells AS (SELECT t, p, count(*)::BIGINT AS c FROM pr GROUP BY 1, 2),
+         |tpt AS (SELECT t AS label, c AS tp FROM cells WHERE t = p),
+         |bt AS (SELECT t AS label, sum(c)::BIGINT AS support
+         |       FROM cells GROUP BY 1),
+         |bp AS (SELECT p AS label, sum(c)::BIGINT AS predicted
+         |       FROM cells GROUP BY 1),
+         |j AS (
+         |  SELECT label,
+         |    coalesce(support, 0)::BIGINT AS support,
+         |    coalesce(tp, 0)::BIGINT AS tp,
+         |    (coalesce(predicted, 0) - coalesce(tp, 0))::BIGINT AS fp,
+         |    (coalesce(support, 0) - coalesce(tp, 0))::BIGINT AS fn
+         |  FROM bt FULL JOIN bp USING (label) LEFT JOIN tpt USING (label)
+         |)
+         |SELECT label, support, tp, fp, fn,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 9)
+         |  END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN
+         |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9)
+         |  END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |    round(CAST(2 * tp AS DOUBLE)
+         |          / CAST(2 * tp + fp + fn AS DOUBLE), 9)
+         |  END AS f1
+         |FROM j ORDER BY label""".stripMargin,
+
+    // q187: DuckDB CUBE + GROUPING share Spark's bit convention
+    // (first dimension = MSB) — verified empirically, pinned here.
+    "q187_corpus_cube" ->
+      """SELECT source, lang,
+        |  GROUPING(source, lang)::BIGINT AS grouping_id,
+        |  count(*)::BIGINT AS n_docs,
+        |  coalesce(sum(len(string_split(text, ' '))), 0)::BIGINT
+        |    AS n_tokens
+        |FROM documents
+        |GROUP BY CUBE (source, lang)
+        |ORDER BY grouping_id, source, lang""".stripMargin,
+
+    // q184: distinct-score CDFs on both levels, the integer target
+    // index (rlo·(N−1)) // max(ng−1, 1), and the interval lookup —
+    // exact mirror of the engine's tie-aware mapping.
+    "q184_quantile_norm" ->
+      s"""$qualityScoreSqlCtes,
+         |g AS (
+         |  SELECT quality_score AS gs, count(*)::BIGINT AS gcnt
+         |  FROM qs GROUP BY 1
+         |),
+         |g2 AS (
+         |  SELECT gs, gcnt,
+         |    coalesce(sum(gcnt) OVER (ORDER BY gs
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS glo
+         |  FROM g
+         |),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM qs),
+         |pg AS (
+         |  SELECT source, quality_score, count(*)::BIGINT AS cnt
+         |  FROM qs GROUP BY 1, 2
+         |),
+         |pg2 AS (
+         |  SELECT source, quality_score,
+         |    coalesce(sum(cnt) OVER (PARTITION BY source
+         |      ORDER BY quality_score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS rlo,
+         |    sum(cnt) OVER (PARTITION BY source)::BIGINT AS ng
+         |  FROM pg
+         |),
+         |mp AS (
+         |  SELECT p.source, p.quality_score, g2.gs AS qn_score
+         |  FROM pg2 p CROSS JOIN nn JOIN g2
+         |    ON (p.rlo * (nn.n - 1)) // greatest(p.ng - 1, 1) >= g2.glo
+         |   AND (p.rlo * (nn.n - 1)) // greatest(p.ng - 1, 1)
+         |       < g2.glo + g2.gcnt
+         |)
+         |SELECT q.doc_id, q.source, q.quality_score, mp.qn_score
+         |FROM qs q JOIN mp USING (source, quality_score)
+         |ORDER BY q.doc_id""".stripMargin,
 
     // q182: the greedy rounds unrolled (min-id seed; per round the
     // not-yet-selected argmax of the min integerized distance, min-id

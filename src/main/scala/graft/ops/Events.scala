@@ -687,6 +687,75 @@ object Events {
         col("to_ms"), col("to_ms").isNull.as("is_current"))
   }
 
+  /** Incremental [[scd2]] maintenance — fold a NEW batch of events
+    * into an existing SCD2 table without re-reading the history (the
+    * MERGE a daily dimension refresh runs; at 100 TB the event log is
+    * append-only and the dimension is rebuilt-from-scratch exactly
+    * never). Contract: per key, every new event's timestamp is ≥ the
+    * open version's from ms-floor (the append-only split a watermark
+    * guarantees); under it the result is BIT-IDENTICAL to running
+    * [[scd2]] over the concatenated log — the law `scd2(all) =
+    * scd2Merge(scd2(old), new)` is spec-checked on seeded streams and
+    * oracle-checked (q183 merges a time-split and hashes against the
+    * full-recompute SQL).
+    *
+    * Mechanics: [[scd2]] runs on the NEW batch alone; per key the
+    * batch's first version either CONTINUES the open version (equal
+    * attr — the open row keeps its from, inherits the first new
+    * version's to/current, and the batch row drops) or CLOSES it
+    * (attr change — the open row closes at the first new from);
+    * surviving batch versions renumber onto the open version's count.
+    * Keys absent from one side pass through unchanged.
+    *
+    * Shape: the batch-side [[scd2]] windows are batch-sized; the
+    * stitch is two key-equi broadcast-or-hash joins (open rows × the
+    * batch's ≤1-per-key first versions) — history rows that aren't
+    * open are never touched, which is the whole point. */
+  def scd2Merge(current: DataFrame, events: DataFrame, keyCol: String,
+                attrCol: String): DataFrame = {
+    val nh = scd2(events, keyCol, attrCol)
+    val first = nh.filter(col("version") === 1L)
+      .select(col(keyCol), col("attr").as("__first_attr"),
+        col("from_ms").as("__first_from"),
+        col("to_ms").as("__first_to"))
+    val open = current.filter(col("is_current"))
+      .select(col(keyCol), col("version").as("__cur_v"),
+        col("attr").as("__cur_attr"), col("from_ms").as("__cur_from"))
+    // untouched history: closed versions, plus open versions of keys
+    // with no new events
+    val closed = current.filter(!col("is_current"))
+    val openKept = current.filter(col("is_current"))
+      .join(first.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // open versions revised by the batch: continue or close
+    val openRevised = open.join(first, Seq(keyCol))
+      .select(col(keyCol), col("__cur_v").as("version"),
+        col("__cur_attr").as("attr"), col("__cur_from").as("from_ms"),
+        when(col("__first_attr") === col("__cur_attr"), col("__first_to"))
+          .otherwise(col("__first_from")).as("to_ms"),
+        (col("__first_attr") === col("__cur_attr") &&
+          col("__first_to").isNull).as("is_current"))
+    // batch versions: drop a continuing v1, renumber onto the open
+    // count — the offset is a PER-KEY property (did the batch's first
+    // version continue the open one?), joined in once per key
+    val batchRows = nh.join(
+        open.select(col(keyCol), col("__cur_v"), col("__cur_attr"))
+          .join(first.select(col(keyCol), col("__first_attr")),
+            Seq(keyCol))
+          .select(col(keyCol), col("__cur_v"),
+            (col("__first_attr") === col("__cur_attr")).as("__cont")),
+        Seq(keyCol), "left")
+      .filter(col("__cur_v").isNull ||
+        col("version") =!= 1L || !col("__cont"))
+      .withColumn("version", col("version") +
+        when(col("__cur_v").isNull, lit(0L))
+          .when(col("__cont"), col("__cur_v") - 1L)
+          .otherwise(col("__cur_v")))
+      .select(col(keyCol), col("version"), col("attr"), col("from_ms"),
+        col("to_ms"), col("is_current"))
+    closed.unionByName(openKept).unionByName(openRevised)
+      .unionByName(batchRows)
+  }
+
   /** M7-shaped run table: one "run" per event_type with its objective
     * (avg value) and start time, plus the dense `iteration` index in
     * start-time order (`tuning_analysis.py:30-41`). */

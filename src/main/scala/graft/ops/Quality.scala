@@ -132,6 +132,108 @@ object Quality {
         sum(when(col("__zero"), 1L).otherwise(0L)).as("n_zero_vec"))
   }
 
+  /** Multi-dimensional corpus rollup — one CUBE pass materializing
+    * every grouping-set margin of the given dimensions (per (source,
+    * lang), per source, per lang, grand total — 2^d sets) with doc and
+    * token mass: the composition dashboard table that otherwise costs
+    * 2^d separate scans. `grouping_id` disambiguates a rolled-up
+    * dimension from a genuine NULL value (bit set = rolled up; first
+    * dimension owns the most significant bit — Spark's
+    * `grouping_id()` convention, mirrored by DuckDB's GROUPING()).
+    *
+    * Shape: Spark expands CUBE into one Expand + hash agg — the corpus
+    * is scanned ONCE and each input row fans into 2^d (tiny d)
+    * aggregation rows with map-side combine; nothing shuffles but the
+    * grouped partials. Returns (dims..., grouping_id, n_docs,
+    * n_tokens). */
+  def corpusCube(df: DataFrame, dims: Seq[String],
+                 textCol: String): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 4,
+      s"dims must be 1..4 columns, got ${dims.size}")
+    df.cube(dims.map(col): _*)
+      .agg(grouping_id().cast("long").as("grouping_id"),
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(size(Text.tokens(col(textCol))).cast("long")),
+          lit(0L)).as("n_tokens"))
+      .select(dims.map(col) ++ Seq(col("grouping_id"), col("n_docs"),
+        col("n_tokens")): _*)
+  }
+
+  /** Label-balance audit — share, Shannon entropy, and imbalance ratio
+    * of a label column: the first thing to read before training any
+    * classifier head or stratifying a split (a 99:1 label column makes
+    * accuracy meaningless and a uniform sampler wasteful). Entropy
+    * accumulates the per-label p·ln p terms as 1e9-scaled integers
+    * (each term one pinned double chain, 9-dp-rounded — the q56 ln
+    * discipline), so the sum is order-free and engine-portable.
+    *
+    * Shape: one hash agg to (label, n) — the only data-sized work —
+    * then broadcast-total and label-frame windows (bounded by the
+    * number of classes, the audited-global-window class). NULL labels
+    * count as their own class. Returns one row per label: (labelCol,
+    * n, share, entropy, imbalance) — entropy/imbalance are
+    * distribution-level, repeated per row for a self-contained report;
+    * imbalance = max class count / min class count. */
+  def classBalance(df: DataFrame, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    val p = col("n").cast("double") / col("__t").cast("double")
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__plogp",
+        floor(round(p * log(p), 9) * lit(1e9) + lit(0.5)).cast("long"))
+      .select(col(labelCol), col("n"), round(p, 9).as("share"),
+        round((-sum(col("__plogp")).over(w)).cast("double") / lit(1e9), 9)
+          .as("entropy"),
+        round(max(col("n")).over(w).cast("double") /
+          min(col("n")).over(w).cast("double"), 9).as("imbalance"))
+  }
+
+  /** Per-class classifier evaluation from a (truth, prediction) frame —
+    * confusion-derived support/tp/fp/fn with precision, recall and F1,
+    * each an EXACT rational leaving integer land in one division
+    * (F1 = 2tp/(2tp+fp+fn) — the single-fraction form, no p·r/(p+r)
+    * float chain). The report a label-quality loop reads next to
+    * [[graft.ml.NaiveBayesText.calibration]] (which bins confidence,
+    * not classes). Zero-denominator metrics are NULL (a class never
+    * predicted has no precision), never 0/0.
+    *
+    * Classes = the union of truth and predicted labels, so a class the
+    * model invents (predicts but never true) still surfaces — support
+    * 0, fp > 0. Shape: one (truth, pred) hash agg, then label-frame
+    * aggs (bounded by #classes). Returns (label, support, tp, fp, fn,
+    * precision, recall, f1). */
+  def classifierReport(df: DataFrame, truthCol: String,
+                       predCol: String): DataFrame = {
+    val cells = df.groupBy(col(truthCol).as("__t"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val tp = cells.filter(col("__t") === col("__p"))
+      .select(col("__t").as("label"), col("__c").as("tp"))
+    val byTruth = cells.groupBy(col("__t").as("label"))
+      .agg(sum(col("__c")).as("support"))
+    val byPred = cells.groupBy(col("__p").as("label"))
+      .agg(sum(col("__c")).as("predicted"))
+    byTruth.join(byPred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("predicted"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 9)))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double"), 9)))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        round((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 9)))
+  }
+
   /** Exact embedding covariance matrix (upper triangle, long form) —
     * the d×d second-moment audit behind whitening, PCA energy checks,
     * and anisotropy diagnosis (Ethayarajh, EMNLP'19: contextual

@@ -620,4 +620,60 @@ object Sampling {
       .filter(col("sample_rank") <= n)
     df.join(kept, Seq(idCol))
   }
+
+  /** Cross-group quantile normalization of a score column — the
+    * calibration step before any mixed-source score gate: a 0.6
+    * fastText-style quality score means different things on arXiv and
+    * on Common Crawl, so thresholding the RAW score under- or
+    * over-prunes whole sources; mapping each score to the GLOBAL score
+    * at the same within-group quantile makes one threshold mean the
+    * same thing everywhere (the microarray quantile-normalization
+    * recipe, Bolstad et al.'03, applied per group).
+    *
+    * Exact, tie-aware, engine-portable: within a group, a score's
+    * 0-based position is `r_lo` = rows strictly below it (every tied
+    * row gets the same position — ties MUST map identically or the
+    * output depends on row order); its target global 0-based index is
+    * `t0 = (r_lo · (N−1)) div max(n_g−1, 1)` — all integer arithmetic
+    * — and the normalized score is the global score whose cumulative
+    * interval [g_lo, g_lo + cnt) contains t0. A singleton group maps
+    * to the global minimum (p = 0 — documented, not hidden). When the
+    * input is ONE group, t0 = r_lo and the mapping is the identity
+    * (law-checked).
+    *
+    * Shape: both CDFs live on DISTINCT-(score) frames — the
+    * [[graft.ops.Text.scorePercentiles]] trick — so every window here
+    * is bounded by distinct score values (9-dp scores, never
+    * corpus-sized); the interval lookup is a range join between those
+    * two bounded frames (broadcast nested loop over value-domain-sized
+    * inputs — the audited-bounded class, NOT a corpus join); docs
+    * re-attach by one (group, score) equi-join. Returns (idCol,
+    * groupCol, scoreCol, qn_score). */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        scoreCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("__gs"))
+      .agg(count(lit(1)).as("__gcnt"))
+      .withColumn("__glo",
+        coalesce(sum(col("__gcnt")).over(Window.orderBy(col("__gs"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val pg = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rlo",
+        coalesce(sum(col("__cnt")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ng",
+        sum(col("__cnt")).over(Window.partitionBy(col(groupCol))))
+    val mapped = pg.crossJoin(broadcast(n))
+      .withColumn("__t0", expr(
+        "(__rlo * (__n - 1)) div greatest(__ng - 1, 1)"))
+      .join(broadcast(g),
+        col("__t0") >= col("__glo") &&
+          col("__t0") < col("__glo") + col("__gcnt"))
+      .select(col(groupCol), col(scoreCol), col("__gs").as("qn_score"))
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .join(mapped, Seq(groupCol, scoreCol))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("qn_score"))
+  }
 }

@@ -462,4 +462,53 @@ class EventsSpec extends SparkSpec {
     assert(got(0)._4 == 0L && got(1)._4 == 0L)
     assert(got(2)._6 && !got(0)._6)
   }
+
+  test("scd2Merge: continuing vs closing vs new-key vs untouched-key, " +
+      "by hand") {
+    val old = Seq(
+      (1L, 0L * M, 10L, "A", 0.0),   // user 10: open A (will continue)
+      (2L, 0L * M, 20L, "A", 0.0),
+      (3L, 5L * M, 20L, "B", 0.0),   // user 20: closed A, open B (closes)
+      (4L, 0L * M, 30L, "A", 0.0)    // user 30: no new events
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val nw = Seq(
+      (5L, 10L * M, 10L, "A", 0.0),  // continues 10's A
+      (6L, 20L * M, 10L, "B", 0.0),  // then changes
+      (7L, 10L * M, 20L, "C", 0.0),  // closes 20's B
+      (8L, 10L * M, 40L, "X", 0.0)   // brand-new key
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val cur = Events.scd2(old, "user_id", "event_type")
+    val got = Events.scd2Merge(cur, nw, "user_id", "event_type")
+      .orderBy("user_id", "version")
+      .as[(Long, Long, String, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    val ms = 60L * 1000L
+    assert(got == Seq(
+      (10L, 1L, "A", 0L, Some(20L * ms), false),
+      (10L, 2L, "B", 20L * ms, None, true),
+      (20L, 1L, "A", 0L, Some(5L * ms), false),
+      (20L, 2L, "B", 5L * ms, Some(10L * ms), false),
+      (20L, 3L, "C", 10L * ms, None, true),
+      (30L, 1L, "A", 0L, None, true),
+      (40L, 1L, "X", 10L * ms, None, true)))
+  }
+
+  test("scd2Merge law: merge(scd2(old), new) == scd2(all) at every " +
+      "global time cut on a seeded random stream") {
+    val rnd = new scala.util.Random(11)
+    val all = Seq.tabulate(400) { i =>
+      (i.toLong, rnd.nextInt(500).toLong * M, (1 + rnd.nextInt(5)).toLong,
+        Seq("A", "B", "C")(rnd.nextInt(3)), 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expect = Events.scd2(all, "user_id", "event_type")
+      .collect().map(_.toSeq).toSet
+    for (cutMin <- Seq(1L, 100L, 250L, 499L)) {
+      val cut = cutMin * M
+      val got = Events.scd2Merge(
+        Events.scd2(all.filter(col("ts") < cut), "user_id", "event_type"),
+        all.filter(col("ts") >= cut), "user_id", "event_type")
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"cut at $cutMin min diverged from rebuild")
+    }
+  }
 }

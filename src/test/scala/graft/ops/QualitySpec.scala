@@ -268,6 +268,63 @@ class QualitySpec extends SparkSpec {
     assert(r("changed") == ((3L, 3L, 4L, 1L))) // "c"+"g h" -> "c x"+"now present"
   }
 
+  test("classBalance: uniform labels hit ln(k) entropy, imbalance 1; " +
+      "skew shows up in both") {
+    val uni = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("id", "label")
+    val gu = Quality.classBalance(uni, "label").orderBy("label")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    // plogp = floor(round(0.5*ln 0.5, 9)*1e9 + .5) = -346573590 each
+    assert(gu == Seq(("A", 2L, 0.5, 0.69314718, 1.0),
+      ("B", 2L, 0.5, 0.69314718, 1.0)))
+    val skew = Seq.tabulate(8)(i => (i.toLong, if (i < 6) "A" else "B"))
+      .toDF("id", "label")
+    val gs = Quality.classBalance(skew, "label").orderBy("label")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(gs.map(_._5) == Seq(3.0, 3.0))
+    assert(gs.head._4 < 0.69314718, "skew must lower entropy")
+    assert(gs.head._2 == 6L && gs.head._3 == 0.75)
+  }
+
+  test("classifierReport: confusion-derived exact rationals; never-" +
+      "predicted class has NULL precision; invented class surfaces") {
+    val pred = Seq(("A", "A"), ("A", "B"), ("B", "B"), ("B", "B"),
+      ("C", "B")).toDF("truth", "pred")
+    val got = Quality.classifierReport(pred, "truth", "pred")
+      .orderBy("label")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("A", 2L, 1L, 0L, 1L, Some(1.0), Some(0.5), Some(0.666666667)),
+      ("B", 2L, 2L, 2L, 0L, Some(0.5), Some(1.0), Some(0.666666667)),
+      ("C", 1L, 0L, 0L, 1L, None, Some(0.0), Some(0.0))))
+    // a label the model invents (predicted, never true): fp-only row
+    val inv = Quality.classifierReport(
+      Seq(("A", "D"), ("A", "A")).toDF("truth", "pred"), "truth", "pred")
+      .orderBy("label")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(inv(1) == (("D", 0L, 0L, 1L, 0L, Some(0.0), None, Some(0.0))))
+  }
+
+  test("corpusCube: every margin internally consistent — each " +
+      "grouping level re-adds to the grand total") {
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+    val got = Quality.corpusCube(docs, Seq("source", "lang"), "text")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = got.filter(_._3 == 3L)
+    assert(total.length == 1 && total.head._4 == docs.count())
+    for (gid <- Seq(0L, 1L, 2L)) {
+      val level = got.filter(_._3 == gid)
+      assert(level.map(_._4).sum == total.head._4, s"docs at gid $gid")
+      assert(level.map(_._5).sum == total.head._5, s"tokens at gid $gid")
+    }
+    // grouping_id disambiguates: rolled-up dims are NULL exactly per bit
+    assert(got.filter(_._3 == 1L).forall(r => r._1.isDefined && r._2.isEmpty))
+    assert(got.filter(_._3 == 2L).forall(r => r._1.isEmpty && r._2.isDefined))
+  }
+
   test("embeddingCovariance: hand-computed 2-dim case; exact integer " +
       "sums; population covariance recovered") {
     val df = Seq(

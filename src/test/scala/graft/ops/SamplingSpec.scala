@@ -465,4 +465,43 @@ class SamplingSpec extends SparkSpec {
       .select("n_tokens").as[Long].collect()
     assert(packed.length == 4 && packed.count(_ == 4L) == 3)
   }
+
+  test("quantileNormalize: hand-computed two-group mapping; ties map " +
+      "identically; row count preserved") {
+    val df = Seq(
+      (1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0), (4L, "A", 4.0),
+      (5L, "B", 10.0), (6L, "B", 20.0)
+    ).toDF("doc_id", "source", "score")
+    val got = Sampling.quantileNormalize(df, "doc_id", "source", "score")
+      .orderBy("doc_id")
+      .as[(Long, String, Double, Double)].collect().toSeq
+    // N=6; A (ng 4): t0 = rlo*5 div 3 -> 0,1,3,5 -> global scores
+    // 1,2,4,20; B (ng 2): t0 = 0,5 -> 1,20
+    assert(got == Seq(
+      (1L, "A", 1.0, 1.0), (2L, "A", 2.0, 2.0), (3L, "A", 3.0, 4.0),
+      (4L, "A", 4.0, 20.0), (5L, "B", 10.0, 1.0), (6L, "B", 20.0, 20.0)))
+    // ties: every tied row gets the same image, cardinality unchanged
+    val tied = Seq((1L, "A", 5.0), (2L, "A", 5.0), (3L, "A", 7.0),
+      (4L, "B", 9.0)).toDF("doc_id", "source", "score")
+    val tg = Sampling.quantileNormalize(tied, "doc_id", "source", "score")
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(tg.size == 4)
+    assert(tg.filter(_._3 == 5.0).map(_._4).distinct.size == 1)
+  }
+
+  test("quantileNormalize: identity on a single group; singleton group " +
+      "maps to the global minimum") {
+    val one = Seq.tabulate(20)(i => (i.toLong, "X", (i % 7).toDouble))
+      .toDF("doc_id", "source", "score")
+    val got = Sampling.quantileNormalize(one, "doc_id", "source", "score")
+      .as[(Long, String, Double, Double)].collect()
+    assert(got.forall(r => r._3 == r._4),
+      "one group: normalization must be the identity")
+    val withSingleton = Seq((1L, "A", 3.0), (2L, "A", 8.0),
+      (3L, "S", 99.0)).toDF("doc_id", "source", "score")
+    val s = Sampling.quantileNormalize(withSingleton, "doc_id", "source",
+      "score").as[(Long, String, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(s(3L) == 3.0, "singleton group sits at p = 0, the global min")
+  }
 }
