@@ -474,6 +474,18 @@ object SparkEntry {
   val RangeFiles = 8
   /** q181 collocation count floor — PMI's hapax-pair pathology gate. */
   val PmiMinCount = 5L
+  /** q188 association-rule co-presence floor — 2 keeps a live rule set
+    * on the sparse part-capped fixture (246 directional rules at
+    * sf0.01; a floor of 5 empties it). */
+  val AssocMinOrders = 2L
+  /** q189 Markov next-event eval: user-keyed folds (the q169
+    * protocol applied to event sequences). */
+  val MarkovSalt = "markovEval"
+  val MarkovFolds = 5
+  /** q190 embedding-drift split: vectors below this id are corpus A,
+    * the rest corpus B (fixed A size at every SF, B grows). */
+  val DriftSplitId = 250L
+
   /** q183 time split (2024-01-16 00:00 UTC, ~the fixture median):
     * events before it build the "current" SCD2 table, the rest arrive
     * as the merge batch — a global time split satisfies scd2Merge's
@@ -3886,6 +3898,36 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .select(col("doc_id"), col("source"), col("quality_score"))
       Sampling.quantileNormalize(qs, "doc_id", "source", "quality_score")
         .orderBy("doc_id")
+    }),
+
+    // Directional association rules over order baskets: support /
+    // confidence / lift from exact per-transaction-distinct counts —
+    // the retail twin of q181's PMI (lift = e^PMI), floored at 5
+    // co-present orders.
+    "q188_assoc_rules" -> ((s, dir) => {
+      Pairs.associationRules(t(s, dir, "lineitem")
+          .filter(col("l_partkey") < TriPartMax),
+          "l_orderkey", "l_partkey", AssocMinOrders)
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // First-order Markov next-event baseline, evaluated on a held-out
+    // user fold: per previous state the argmax-transition prediction
+    // and its hit rate — the number a sequence model must beat.
+    "q189_markov_eval" -> ((s, dir) => {
+      Events.nextEventEval(Sources.eventsNs(s, dir), MarkovFolds,
+          MarkovSalt)
+        .orderBy("prev")
+    }),
+
+    // Per-dimension embedding mean drift between the two id-split
+    // corpora — exact LONG sums, one double chain per mean, the
+    // first-order re-embedding monitor.
+    "q190_embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Quality.embeddingDrift(emb.filter(col("vec_id") < DriftSplitId),
+          emb.filter(col("vec_id") >= DriftSplitId), "embedding", EmbDims)
+        .orderBy("d")
     }),
 
     // Label-balance audit on the embedding labels: share, integerized
@@ -7617,6 +7659,99 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |CROSS JOIN tu CROSS JOIN tb
          |WHERE b.cnt_xy >= $PmiMinCount
          |ORDER BY b.w1, b.w2""".stripMargin
+    },
+
+    // q188: per-transaction-distinct counts; each metric one pinned
+    // double chain over exact BIGINTs.
+    "q188_assoc_rules" ->
+      s"""WITH ti AS (
+         |  SELECT DISTINCT l_orderkey AS t, l_partkey AS i FROM lineitem
+         |  WHERE l_partkey < $TriPartMax
+         |),
+         |pc AS (
+         |  SELECT a.i AS a, b.i AS b, count(*)::BIGINT AS c_ab
+         |  FROM ti a JOIN ti b ON a.t = b.t AND a.i <> b.i
+         |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinOrders
+         |),
+         |ic AS (SELECT i, count(*)::BIGINT AS c FROM ti GROUP BY i),
+         |n AS (SELECT count(DISTINCT t)::BIGINT AS n_orders FROM ti)
+         |SELECT p.a AS antecedent, p.b AS consequent, n.n_orders,
+         |  ia.c AS c_a, ib.c AS c_b, p.c_ab,
+         |  round(CAST(p.c_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 9)
+         |    AS support,
+         |  round(CAST(p.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE), 9)
+         |    AS confidence,
+         |  round(CAST(n.n_orders AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
+         |        / CAST(ia.c AS DOUBLE) / CAST(ib.c AS DOUBLE), 9)
+         |    AS lift
+         |FROM pc p JOIN ic ia ON ia.i = p.a JOIN ic ib ON ib.i = p.b
+         |CROSS JOIN n
+         |ORDER BY antecedent, consequent""".stripMargin,
+
+    // q189: the q169 fold hash on users; the argmax replayed as a
+    // row_number over (count DESC, next ASC); unseen states predict
+    // NULL on both sides.
+    "q189_markov_eval" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+         |    ${Portable.sqlHash(s"'$MarkovSalt'", "user_id")}
+         |      % $MarkovFolds AS fold
+         |  FROM events
+         |),
+         |pr AS (
+         |  SELECT fold,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY tns, event_id) AS prev,
+         |    event_type AS next
+         |  FROM ev
+         |),
+         |p2 AS (SELECT * FROM pr WHERE prev IS NOT NULL),
+         |model AS (
+         |  SELECT prev, next AS predicted FROM (
+         |    SELECT prev, next,
+         |      row_number() OVER (PARTITION BY prev
+         |        ORDER BY count(*) DESC, next ASC) AS rn
+         |    FROM p2 WHERE fold <> 0 GROUP BY prev, next)
+         |  WHERE rn = 1
+         |)
+         |SELECT e.prev, m.predicted, count(*)::BIGINT AS n_transitions,
+         |  sum(CASE WHEN e.next = m.predicted THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_hits,
+         |  round(sum(CASE WHEN e.next = m.predicted THEN 1 ELSE 0
+         |    END)::BIGINT / CAST(count(*) AS DOUBLE), 9) AS hit_rate
+         |FROM p2 e LEFT JOIN model m USING (prev)
+         |WHERE e.fold = 0
+         |GROUP BY 1, 2 ORDER BY e.prev""".stripMargin,
+
+    // q190: the same integerized per-dim sums per side; means and the
+    // delta are the identical double chains.
+    "q190_embed_drift" -> {
+      def side(as: String, cond: String): String =
+        s"""e$as AS (
+           |  SELECT list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+           |    AS xi
+           |  FROM embeddings
+           |  WHERE $cond AND embedding IS NOT NULL
+           |    AND len(embedding) = $EmbDims
+           |),
+           |n$as AS (SELECT count(*)::BIGINT AS n FROM e$as),
+           |s$as AS (
+           |  SELECT dd.d, sum(xi[dd.d])::BIGINT AS s
+           |  FROM e$as, dd GROUP BY 1
+           |)""".stripMargin
+      val ma = "CAST(sa.s AS DOUBLE) / CAST(na.n AS DOUBLE) / 1e6"
+      val mb = "CAST(sb.s AS DOUBLE) / CAST(nb.n AS DOUBLE) / 1e6"
+      s"""WITH dd AS (SELECT unnest(range(1, ${EmbDims + 1}))::BIGINT AS d),
+         |${side("a", s"vec_id < $DriftSplitId")},
+         |${side("b", s"vec_id >= $DriftSplitId")}
+         |SELECT dd.d, na.n AS n_a, nb.n AS n_b,
+         |  round($ma, 9) AS mean_a,
+         |  round($mb, 9) AS mean_b,
+         |  round($mb - $ma, 9) AS delta
+         |FROM dd JOIN sa ON sa.d = dd.d JOIN sb ON sb.d = dd.d
+         |CROSS JOIN na CROSS JOIN nb
+         |ORDER BY dd.d""".stripMargin
     },
 
     // q185: per-label p·ln p integerized through the identical double

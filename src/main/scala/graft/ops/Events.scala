@@ -687,6 +687,54 @@ object Events {
         col("to_ms"), col("to_ms").isNull.as("is_current"))
   }
 
+  /** Next-event prediction evaluation — the [[transitionMatrix]]
+    * closed into a measured model, the way [[graft.ops.RecEval]]
+    * closes the co-occurrence trainer: train a first-order Markov
+    * predictor (argmax over outgoing transition counts) on the TRAIN
+    * fold of users, then score every consecutive (prev → actual)
+    * transition of the EVAL fold against the prediction. The output
+    * hit-rate-by-state is the baseline number any sequence model must
+    * beat before it earns cluster time.
+    *
+    * Leakage posture: the fold is a keyed hash of the USER (the q169
+    * discipline — a user's own transitions never inform their
+    * predictions). Determinism: event order per user is (ts,
+    * event_id); the argmax ties to the smaller event type. Eval states
+    * the trainer never saw predict NULL and score as misses — the
+    * honest accounting.
+    *
+    * Shape: transition counts aggregate to a states² frame (tiny —
+    * broadcast into the eval join); eval pair extraction is one
+    * user-partitioned lag window; the rollup keys on the prev state.
+    * Returns (prev, predicted, n_transitions, n_hits, hit_rate). */
+  def nextEventEval(events: DataFrame, folds: Int,
+                    salt: String): DataFrame = {
+    require(folds >= 2, s"folds must be >= 2, got $folds")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val fold = pmod(Portable.seededHash(lit(salt), col("user_id")),
+      lit(folds.toLong))
+    val pairs = events
+      .withColumn("__fold", fold)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("__fold"), col("prev"),
+        col("event_type").as("next"))
+    val model = pairs.filter(col("__fold") =!= 0L)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("prev"))
+      .agg(min_by(col("next"), struct(-col("__c"), col("next")))
+        .as("predicted"))
+    pairs.filter(col("__fold") === 0L)
+      .join(broadcast(model), Seq("prev"), "left")
+      .groupBy(col("prev"), col("predicted"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
+          .as("n_hits"))
+      .withColumn("hit_rate", round(col("n_hits").cast("double") /
+        col("n_transitions").cast("double"), 9))
+  }
+
   /** Incremental [[scd2]] maintenance — fold a NEW batch of events
     * into an existing SCD2 table without re-reading the history (the
     * MERGE a daily dimension refresh runs; at 100 TB the event log is

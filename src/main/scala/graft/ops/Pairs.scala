@@ -233,4 +233,56 @@ object Pairs {
         array(lit(1) +: Seq.fill(numNs)(lit(0)): _*))
       .select(col("order_id"), col("pos_t"), col("pos_c"), col("target"),
         col("contexts"), col("labels"))
+
+  /** Association-rule mining over transactions (Agrawal & Srikant,
+    * VLDB'94's support/confidence plus lift) — the DIRECTIONAL
+    * complement of the co-occurrence counts the skip-gram path
+    * aggregates: `conf(a→b) = P(b|a)` is asymmetric (diapers→beer ≠
+    * beer→diapers), and `lift > 1` separates genuine affinity from
+    * two-popular-items coincidence. The retail-domain twin of
+    * [[graft.ops.Text.pmiCollocations]] (PMI = ln lift), over BASKET
+    * membership instead of adjacency.
+    *
+    * Per ordered pair (a→b) of items co-present in ≥ `minOrders`
+    * transactions: transaction counts (n_orders, c_a, c_b, c_ab — all
+    * exact, per-transaction DISTINCT so a twice-bought item counts
+    * once), support = c_ab/N, confidence = c_ab/c_a, lift =
+    * N·c_ab/(c_a·c_b) — each ONE pinned double chain over exact
+    * BIGINTs, 9 dp.
+    *
+    * Shape: distinct (txn, item) → per-txn pair expansion (an equi
+    * self-join on the txn key, fan-out basket², the skip-gram class —
+    * cap baskets upstream like [[orderedBaskets]] if a degenerate txn
+    * could be huge) → one (a,b) hash agg; item counts are a second agg
+    * on the same distinct frame behind a [[Barrier]] (feeding both
+    * endpoint joins without recompute); N broadcasts as a 1-row agg.
+    * Returns (antecedent, consequent, n_orders, c_a, c_b, c_ab,
+    * support, confidence, lift). */
+  def associationRules(txns: DataFrame, txnCol: String, itemCol: String,
+                       minOrders: Long): DataFrame = {
+    require(minOrders >= 1, s"minOrders must be >= 1, got $minOrders")
+    val ti = Barrier.cut(
+      txns.select(col(txnCol).as("__t"), col(itemCol).as("__i")).distinct())
+    val pairCnt = ti.toDF("__t", "a").join(ti.toDF("__t", "b"), Seq("__t"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minOrders)
+    val itemCnt = ti.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val n = ti.select(col("__t")).distinct().agg(count(lit(1)).as("n_orders"))
+    pairCnt
+      .join(itemCnt.select(col("__i").as("a"), col("__c").as("c_a")),
+        Seq("a"))
+      .join(itemCnt.select(col("__i").as("b"), col("__c").as("c_b")),
+        Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_orders"), col("c_a"), col("c_b"), col("c_ab"),
+        round(col("c_ab").cast("double") / col("n_orders").cast("double"),
+          9).as("support"),
+        round(col("c_ab").cast("double") / col("c_a").cast("double"), 9)
+          .as("confidence"),
+        round(col("n_orders").cast("double") * col("c_ab").cast("double")
+          / col("c_a").cast("double") / col("c_b").cast("double"), 9)
+          .as("lift"))
+  }
 }

@@ -234,6 +234,50 @@ object Quality {
           (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 9)))
   }
 
+  /** Per-dimension (n, Σ integerized-coordinate) stats in long form —
+    * ONE wide map-side-combined aggregation (the meanPool lesson: never
+    * posexplode dimensions into skinny rows for per-dim sums), then a
+    * d-row reshape. Null / mis-sized vectors are excluded. */
+  private def dimStats(df: DataFrame, vecCol: String, dims: Int,
+                       unitScale: Double): DataFrame = {
+    val sums = (0 until dims).map(i =>
+      sum(floor(element_at(col(vecCol), i + 1).cast("double") *
+        lit(unitScale) + lit(0.5)).cast("long")).as(s"__s$i"))
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .agg(count(lit(1)).as("__n"), sums: _*)
+      .select(col("__n"), posexplode(
+        array((0 until dims).map(i => col(s"__s$i")): _*))
+        .as(Seq("__d0", "__s")))
+      .select((col("__d0").cast("long") + 1L).as("d"), col("__n"),
+        coalesce(col("__s"), lit(0L)).as("__s"))
+  }
+
+  /** Embedding-space drift between two corpora (model versions, time
+    * slices, sources) — the per-dimension mean shift, the first-order
+    * signal that a re-embedded corpus no longer lives where the old
+    * index/thresholds assume (pairs with [[embeddingCovariance]] for
+    * the second-order view). Sums are exact LONGs of 1e6-integerized
+    * coordinates; each mean is one pinned double chain; the delta
+    * subtracts the two chains — deterministic cross-engine.
+    *
+    * Shape: one wide aggregation per side (map-side combined, no
+    * explode, no shuffle beyond the 1-row agg), one d-row join.
+    * Returns (d, n_a, n_b, mean_a, mean_b, delta) — d 1-based. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, vecCol: String,
+                     dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 4096, s"dims in [1,4096], got $dims")
+    val s = 1000000.0
+    def mean(nc: String, sc: String) =
+      col(sc).cast("double") / col(nc).cast("double") / lit(s)
+    dimStats(a, vecCol, dims, s).toDF("d", "n_a", "__sa")
+      .join(dimStats(b, vecCol, dims, s).toDF("d", "n_b", "__sb"),
+        Seq("d"))
+      .select(col("d"), col("n_a"), col("n_b"),
+        round(mean("n_a", "__sa"), 9).as("mean_a"),
+        round(mean("n_b", "__sb"), 9).as("mean_b"),
+        round(mean("n_b", "__sb") - mean("n_a", "__sa"), 9).as("delta"))
+  }
+
   /** Exact embedding covariance matrix (upper triangle, long form) —
     * the d×d second-moment audit behind whitening, PCA energy checks,
     * and anisotropy diagnosis (Ethayarajh, EMNLP'19: contextual

@@ -493,6 +493,38 @@ class EventsSpec extends SparkSpec {
       (40L, 1L, "X", 10L * ms, None, true)))
   }
 
+  test("nextEventEval: deterministic-sequence users score 1.0; a " +
+      "state only the eval fold saw predicts NULL and misses") {
+    import graft.ops.Portable
+    // find user ids in the eval fold (0) and in a train fold
+    val folds = spark.range(1, 200)
+      .select(col("id"), pmod(Portable.seededHash(lit("mkv"), col("id")),
+        lit(5L)).as("f"))
+      .as[(Long, Long)].collect()
+    val evalUsers = folds.filter(_._2 == 0L).map(_._1).take(3)
+    val trainUsers = folds.filter(_._2 != 0L).map(_._1).take(10)
+    assert(evalUsers.nonEmpty && trainUsers.nonEmpty)
+    // everyone plays A->B->A->B; one eval user also emits Z->Z
+    val base = (evalUsers ++ trainUsers).zipWithIndex.flatMap {
+      case (u, ui) => Seq("A", "B", "A", "B").zipWithIndex.map {
+        case (t, i) => (ui * 10L + i, i.toLong * M, u, t, 0.0) }
+    }
+    val zTail = Seq((9001L, 10L * M, evalUsers.head, "Z", 0.0),
+      (9002L, 11L * M, evalUsers.head, "Z", 0.0))
+    val ev = (base.toSeq ++ zTail)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.nextEventEval(ev, 5, "mkv")
+      .orderBy("prev")
+      .as[(String, Option[String], Long, Long, Double)].collect().toSeq
+    val byPrev = got.map(r => r._1 -> r).toMap
+    assert(byPrev("A")._2.contains("B") && byPrev("A")._5 == 1.0)
+    // B -> A everywhere except the eval user's one B -> Z tail... the
+    // Z tail follows B only for that user, so B's rate dips below 1
+    assert(byPrev("B")._2.contains("A") && byPrev("B")._4 >= 1L)
+    // Z never appears in a train fold: prediction NULL, zero hits
+    assert(byPrev("Z")._2.isEmpty && byPrev("Z")._4 == 0L)
+  }
+
   test("scd2Merge law: merge(scd2(old), new) == scd2(all) at every " +
       "global time cut on a seeded random stream") {
     val rnd = new scala.util.Random(11)

@@ -124,4 +124,43 @@ class PairsSpec extends SparkSpec {
     assert(r.forall(_.getSeq[Int](0).length == 5))
     assert(r.forall(_.getSeq[Int](1) == Seq(1, 0, 0, 0, 0)))
   }
+
+  test("associationRules: hand-counted support/confidence/lift; " +
+      "duplicate items in a transaction count once; floor applies") {
+    val txns = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 10L), (2L, 20L),   // item 10 twice: counts once
+      (3L, 10L)
+    ).toDF("order_id", "item")
+    val got = Pairs.associationRules(txns, "order_id", "item", 2L)
+      .orderBy("antecedent", "consequent")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    // only {10,20} co-present twice; N=3, c_10=3, c_20=2
+    assert(got == Seq(
+      (10L, 20L, 3L, 3L, 2L, 2L, 0.666666667, 0.666666667, 1.0),
+      (20L, 10L, 3L, 2L, 3L, 2L, 0.666666667, 1.0, 1.0)))
+    // lift > 1 when the pair beats popularity-coincidence
+    val aff = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 9L))
+      .toDF("order_id", "item")
+    val lifted = Pairs.associationRules(aff, "order_id", "item", 2L)
+      .select("lift").as[Double].collect()
+    assert(lifted.forall(_ == 1.5))
+  }
+
+  test("associationRules: direction matters — confidence asymmetric " +
+      "on an asymmetric basket set; partitioning-invariant") {
+    // 20 appears only with 10; 10 appears in many baskets alone
+    val txns = (Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)) ++
+      (3L to 10L).map(o => (o, 10L))).toDF("order_id", "item")
+    val got = Pairs.associationRules(txns, "order_id", "item", 2L)
+      .select("antecedent", "confidence").as[(Long, Double)]
+      .collect().toMap
+    assert(got(20L) == 1.0, "20 -> 10 is certain")
+    assert(got(10L) == 0.2, "10 -> 20 is rare")
+    val rep = Pairs.associationRules(txns.repartition(7), "order_id",
+      "item", 2L).select("antecedent", "confidence")
+      .as[(Long, Double)].collect().toMap
+    assert(rep == got)
+  }
 }

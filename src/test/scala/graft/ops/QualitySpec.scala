@@ -268,6 +268,28 @@ class QualitySpec extends SparkSpec {
     assert(r("changed") == ((3L, 3L, 4L, 1L))) // "c"+"g h" -> "c x"+"now present"
   }
 
+  test("embeddingDrift: hand-computed per-dim means and delta; poison " +
+      "rows excluded; exact across partitionings") {
+    val a = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 2.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]), (4L, Seq(9.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((5L, Seq(1.0f, 3.0f))).toDF("vec_id", "embedding")
+    val got = Quality.embeddingDrift(a, b, "embedding", 2)
+      .orderBy("d")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0, 1.0, 0.0),
+      (2L, 2L, 1L, 1.0, 3.0, 2.0)))
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val x = Quality.embeddingDrift(emb, emb.repartition(9), "embedding",
+      64).collect().map(_.toSeq)
+    val y = Quality.embeddingDrift(emb.repartition(5), emb, "embedding",
+      64).collect().map(_.toSeq)
+    assert(x.toSet == y.toSet && x.length == 64)
+    // same corpus on both sides: drift is exactly zero everywhere
+    assert(x.forall(_.last.asInstanceOf[Double] == 0.0))
+  }
+
   test("classBalance: uniform labels hit ln(k) entropy, imbalance 1; " +
       "skew shows up in both") {
     val uni = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
