@@ -486,6 +486,12 @@ object SparkEntry {
     * the rest corpus B (fixed A size at every SF, B grows). */
   val DriftSplitId = 250L
 
+  /** q191 KS-drift split: the named source vs the rest of the corpus. */
+  val KsSourceA = "src0"
+  /** q192 A/B arm-assignment salt (an A/A split on untreated fixture
+    * data — the null check an experimentation stack must pass). */
+  val AbSalt = "abArm"
+
   /** q183 time split (2024-01-16 00:00 UTC, ~the fixture median):
     * events before it build the "current" SCD2 table, the rest arrive
     * as the merge batch — a global time split satisfies scd2Merge's
@@ -3928,6 +3934,24 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.embeddingDrift(emb.filter(col("vec_id") < DriftSplitId),
           emb.filter(col("vec_id") >= DriftSplitId), "embedding", EmbDims)
         .orderBy("d")
+    }),
+
+    // Exact two-sample KS statistic between src0's quality-score
+    // distribution and the rest of the corpus — integer CDF gaps over
+    // merged distinct scores, one division at the end.
+    "q191_ks_drift" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.ksDrift(qs.filter(col("source") === KsSourceA),
+        qs.filter(col("source") =!= KsSourceA), "quality_score")
+    }),
+
+    // Two-proportion z-test on hash-assigned user arms (purchase
+    // conversion) — an A/A null check on the fixture: the arms differ
+    // only by hash, so |z| should be unremarkable.
+    "q192_ab_test" -> ((s, dir) => {
+      Events.abTest(Sources.eventsNs(s, dir), "purchase", AbSalt)
     }),
 
     // Label-balance audit on the embedding labels: share, integerized
@@ -7752,6 +7776,87 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM dd JOIN sa ON sa.d = dd.d JOIN sb ON sb.d = dd.d
          |CROSS JOIN na CROSS JOIN nb
          |ORDER BY dd.d""".stripMargin
+    },
+
+    // q191: both CDFs as inclusive running sums over distinct scores,
+    // step-filled through the merged value set (IGNORE NULLS last), the
+    // supremum as exact integer cross-products, min-score ties.
+    "q191_ks_drift" ->
+      s"""$qualityScoreSqlCtes,
+         |av AS (SELECT quality_score AS v FROM qs
+         |       WHERE source = '$KsSourceA'),
+         |bv AS (SELECT quality_score AS v FROM qs
+         |       WHERE source <> '$KsSourceA'),
+         |ca2 AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM (SELECT v, count(*)::BIGINT AS c FROM av GROUP BY v)
+         |),
+         |cb2 AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM (SELECT v, count(*)::BIGINT AS c FROM bv GROUP BY v)
+         |),
+         |na AS (SELECT count(*)::BIGINT AS n FROM av),
+         |nb AS (SELECT count(*)::BIGINT AS n FROM bv),
+         |mg AS (
+         |  SELECT v, ca2.cum AS ca, cb2.cum AS cb
+         |  FROM ca2 FULL JOIN cb2 USING (v)
+         |),
+         |f AS (
+         |  SELECT v,
+         |    coalesce(last_value(ca IGNORE NULLS) OVER w, 0)::BIGINT AS ca,
+         |    coalesce(last_value(cb IGNORE NULLS) OVER w, 0)::BIGINT AS cb
+         |  FROM mg WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)
+         |),
+         |g AS (
+         |  SELECT v, abs(ca * nb.n - cb * na.n)::BIGINT AS d
+         |  FROM f CROSS JOIN na CROSS JOIN nb
+         |),
+         |top AS (SELECT v, d FROM g ORDER BY d DESC, v ASC LIMIT 1)
+         |SELECT na.n AS n_a, nb.n AS n_b, top.v AS ks_at,
+         |  top.d AS ks_num,
+         |  round(CAST(top.d AS DOUBLE)
+         |    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 9) AS ks
+         |FROM top CROSS JOIN na CROSS JOIN nb""".stripMargin,
+
+    // q192: the identical pooled-z double chain over exact counts
+    // (IEEE sqrt is correctly rounded — portable); arms by the same
+    // keyed hash.
+    "q192_ab_test" -> {
+      val pA = "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+      val pB = "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+      val pp = "(CAST(conv_a + conv_b AS DOUBLE)" +
+        " / CAST(n_a + n_b AS DOUBLE))"
+      val se = s"sqrt($pp * (CAST(1 AS DOUBLE) - $pp)" +
+        " * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)" +
+        " + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END)::BIGINT AS conv,
+         |    ${Portable.sqlHash(s"'$AbSalt'", "user_id")} % 2 AS arm
+         |  FROM events GROUP BY user_id
+         |),
+         |w AS (
+         |  SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)::BIGINT AS conv_a,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)::BIGINT AS conv_b
+         |  FROM u
+         |)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  round($pA, 9) AS rate_a,
+         |  round($pB, 9) AS rate_b,
+         |  CASE WHEN $se > CAST(0 AS DOUBLE) THEN
+         |    round(($pA - $pB) / $se, 9)
+         |  END AS z,
+         |  coalesce(abs(CASE WHEN $se > CAST(0 AS DOUBLE) THEN
+         |    round(($pA - $pB) / $se, 9) END) >= 1.96, false)
+         |    AS significant
+         |FROM w""".stripMargin
     },
 
     // q185: per-label p·ln p integerized through the identical double

@@ -687,6 +687,57 @@ object Events {
         col("to_ms"), col("to_ms").isNull.as("is_current"))
   }
 
+  /** Two-proportion A/B z-test over hash-assigned user arms — the
+    * experiment readout: users split into arms by keyed hash (the
+    * [[graft.ops.Portable]] assignment an experimentation system
+    * actually uses — sticky, uniform, reproducible), a user converts
+    * iff they have ≥1 `convType` event, and the pooled two-proportion
+    * z-statistic prices the rate difference. On a hash split of
+    * UNTREATED data this is the A/A null check: |z| should exceed 1.96
+    * ~5% of the time, so a "significant" A/A readout flags a broken
+    * assignment or metric, not a discovery.
+    *
+    * Determinism: arms and conversions are exact integer counts; the
+    * rates, pooled rate, standard error (IEEE sqrt is correctly
+    * rounded — portable) and z form one pinned double chain, 9 dp.
+    * Zero standard error (pooled rate 0 or 1, or an empty arm) yields
+    * NULL z. Shape: one distinct-user agg keyed by user (conversion =
+    * max over the user's events), one 2-row rollup. Returns ONE row:
+    * (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z, significant). */
+  def abTest(events: DataFrame, convType: String, salt: String,
+             zCrit: Double = 1.96): DataFrame = {
+    val arm = pmod(Portable.seededHash(lit(salt), col("user_id")), lit(2L))
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("__conv"))
+      .withColumn("__arm", arm)
+    val rolled = users.groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__c"))
+    val wide = rolled.agg(
+      sum(when(col("__arm") === 0L, col("__n")).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 0L, col("__c")).otherwise(0L)).as("conv_a"),
+      sum(when(col("__arm") === 1L, col("__n")).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === 1L, col("__c")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pB = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    // ANSI-safe: every division sits behind a short-circuiting n > 0
+    // guard (Spark's And evaluates lazily), so an empty arm yields the
+    // documented NULLs instead of a DIVIDE_BY_ZERO
+    wide
+      .withColumn("rate_a", when(col("n_a") > 0, round(pA, 9)))
+      .withColumn("rate_b", when(col("n_b") > 0, round(pB, 9)))
+      .withColumn("z", when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0,
+        round((pA - pB) / se, 9)))
+      .withColumn("significant",
+        coalesce(abs(col("z")) >= zCrit, lit(false)))
+  }
+
   /** Next-event prediction evaluation — the [[transitionMatrix]]
     * closed into a measured model, the way [[graft.ops.RecEval]]
     * closes the co-occurrence trainer: train a first-order Markov

@@ -252,6 +252,53 @@ object Quality {
         coalesce(col("__s"), lit(0L)).as("__s"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two score
+    * distributions — THE distribution-drift number for monitoring a
+    * quality/perplexity/length signal across corpus versions or
+    * sources ([[graft.ops.Text.unigramDrift]] compares token mass;
+    * this compares any per-row score). No approximation and no float
+    * CDFs: the supremum runs over the merged distinct score values,
+    * and each gap is the exact integer |cdf_a·n_b − cdf_b·n_a| —
+    * division to the familiar [0,1] D happens ONCE at the end (9 dp).
+    * Ties in the gap resolve to the smallest score.
+    *
+    * Shape: per-side (score → count) aggs, one full-outer merge on the
+    * distinct-score frame, step-fill via last-non-null windows and the
+    * max via one ordered-struct agg — every window/agg is bounded by
+    * DISTINCT score values (the scorePercentiles class), never corpus
+    * rows. Integer capacity: cdf·n ≤ n_a·n_b must fit a LONG —
+    * fine to ~3·10^9 rows per side.
+    *
+    * Returns ONE row: (n_a, n_b, ks_at, ks_num, ks) — D = ks, attained
+    * at score ks_at. */
+  def ksDrift(a: DataFrame, b: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cdf(df: DataFrame, cum: String) = df
+      .groupBy(col(scoreCol).as("v")).agg(count(lit(1)).as("__c"))
+      .withColumn(cum, sum(col("__c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__c")
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    cdf(a, "__ca").join(cdf(b, "__cb"), Seq("v"), "full_outer")
+      .withColumn("__ca2",
+        coalesce(last(col("__ca"), ignoreNulls = true).over(wOrd), lit(0L)))
+      .withColumn("__cb2",
+        coalesce(last(col("__cb"), ignoreNulls = true).over(wOrd), lit(0L)))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("__d",
+        abs(col("__ca2") * col("n_b") - col("__cb2") * col("n_a")))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(struct(col("__d"), (-col("v")).as("__negv"))).as("__m"))
+      .select(col("n_a"), col("n_b"), (-col("__m.__negv")).as("ks_at"),
+        col("__m.__d").as("ks_num"),
+        round(col("__m.__d").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 9)
+          .as("ks"))
+  }
+
   /** Embedding-space drift between two corpora (model versions, time
     * slices, sources) — the per-dimension mean shift, the first-order
     * signal that a re-embedded corpus no longer lives where the old

@@ -175,6 +175,62 @@ object StreamOps {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** One emitted [[scd2Stream]] row — field-for-field the CLOSED-row
+    * shape of [[graft.ops.Events.scd2]]'s output. */
+  case class Scd2Out(user_id: Long, version: Long, attr: String,
+                     from_ms: Long, to_ms: Option[Long],
+                     is_current: Boolean)
+
+  /** Per-key [[scd2Stream]] state: the OPEN version — three scalars,
+    * never buffered events. */
+  case class Scd2St(version: Long, attr: String, fromMs: Long)
+
+  /** Streaming twin of [[graft.ops.Events.scd2]]: maintain each key's
+    * type-2 change history continuously, emitting a version's row the
+    * moment it CLOSES (the attribute changes) — append semantics, so
+    * the sink accumulates exactly the batch twin's `is_current = false`
+    * rows while each key's open version lives in the state store
+    * (StreamOpsSpec pins the equality on a replayed stream). The
+    * always-revisable "current" row is precisely what a streaming sink
+    * cannot retract — closing rows are the append-correct projection,
+    * and the open tail is a stateful-store lookup, not a sink row.
+    *
+    * Ordering contract: per key, events arrive in (ts, event_id) order
+    * ACROSS micro-batches ([[graft.ops.Events.scd2Merge]]'s append-only
+    * contract); within a batch the group sorts, so intra-batch disorder
+    * is absorbed. State per key is three scalars; the shuffle keys on
+    * the user — the same posture as [[runningUserState]]. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Out] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2St, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Scd2St]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Scd2Out]
+          sorted.foreach { case (_, ts, _, attr) =>
+            val fromMs = Math.floorDiv(ts, 1000000L)
+            cur match {
+              case None =>
+                cur = Some(Scd2St(1L, attr, fromMs))
+              case Some(st) if st.attr != attr =>
+                out += Scd2Out(user, st.version, st.attr, st.fromMs,
+                  Some(fromMs), is_current = false)
+                cur = Some(Scd2St(st.version + 1L, attr, fromMs))
+              case _ => ()
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Dedup.dedupExactAgainst]]: rows of
     * a document STREAM whose content hash appears in the STATIC
     * historical index are dropped via a stream-static LEFT ANTI join —

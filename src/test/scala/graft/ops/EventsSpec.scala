@@ -525,6 +525,45 @@ class EventsSpec extends SparkSpec {
     assert(byPrev("Z")._2.isEmpty && byPrev("Z")._4 == 0L)
   }
 
+  test("abTest: perfectly separated arms give the textbook pooled z; " +
+      "degenerate all-convert case yields NULL z, not a crash") {
+    import graft.ops.Portable
+    val arms = spark.range(1, 400)
+      .select(col("id"), pmod(Portable.seededHash(lit("ab"), col("id")),
+        lit(2L)).as("arm"))
+      .as[(Long, Long)].collect()
+    val a0 = arms.filter(_._2 == 0L).map(_._1).take(20)
+    val a1 = arms.filter(_._2 == 1L).map(_._1).take(30)
+    // arm 0 all convert, arm 1 never
+    val ev = (a0.map(u => (u, 0L, u, "purchase", 0.0)) ++
+      a1.map(u => (u, 0L, u, "view", 0.0))).toSeq
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.abTest(ev, "purchase", "ab")
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double],
+        Boolean)].collect().head
+    assert(r._1 == 20L && r._2 == 20L && r._3 == 30L && r._4 == 0L)
+    assert(r._5 == 1.0 && r._6 == 0.0)
+    val pp = 20.0 / 50.0
+    val z = BigDecimal(1.0 / math.sqrt(pp * (1.0 - pp) *
+      (1.0 / 20.0 + 1.0 / 30.0)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._7.contains(z) && r._8)
+    // everyone converts: pooled rate 1 -> zero variance -> NULL z
+    val all = (a0 ++ a1).map(u => (u, 0L, u, "purchase", 0.0)).toSeq
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val d = Events.abTest(all, "purchase", "ab")
+      .select("z", "significant").as[(Option[Double], Boolean)]
+      .collect().head
+    assert(d._1.isEmpty && !d._2)
+    // one arm empty (ANSI divide-by-zero hazard): NULLs, never a crash
+    val oneArm = a0.map(u => (u, 0L, u, "purchase", 0.0)).toSeq
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val e = Events.abTest(oneArm, "purchase", "ab")
+      .select("rate_b", "z", "significant")
+      .as[(Option[Double], Option[Double], Boolean)].collect().head
+    assert(e._1.isEmpty && e._2.isEmpty && !e._3)
+  }
+
   test("scd2Merge law: merge(scd2(old), new) == scd2(all) at every " +
       "global time cut on a seeded random stream") {
     val rnd = new scala.util.Random(11)

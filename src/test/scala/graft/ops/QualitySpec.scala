@@ -268,6 +268,30 @@ class QualitySpec extends SparkSpec {
     assert(r("changed") == ((3L, 3L, 4L, 1L))) // "c"+"g h" -> "c x"+"now present"
   }
 
+  test("ksDrift: hand-computed supremum over merged distinct values; " +
+      "0 on identical samples; 1 on disjoint supports") {
+    val a = Seq(1.0, 1.0, 2.0, 3.0).map(Tuple1(_)).toDF("s")
+    val b = Seq(2.0, 3.0, 3.0).map(Tuple1(_)).toDF("s")
+    val got = Quality.ksDrift(a, b, "s")
+      .as[(Long, Long, Double, Long, Double)].collect().head
+    // cdf_a = (2,3,4), cdf_b = (0,1,3) at v = 1,2,3:
+    // gaps |ca*3 - cb*4| = 6, 5, 0 -> sup 6 at v=1, D = 6/12
+    assert(got == ((4L, 3L, 1.0, 6L, 0.5)))
+    val same = Quality.ksDrift(a, a, "s")
+      .as[(Long, Long, Double, Long, Double)].collect().head
+    assert(same._4 == 0L && same._5 == 0.0)
+    val dis = Quality.ksDrift(
+      Seq(1.0, 2.0).map(Tuple1(_)).toDF("s"),
+      Seq(5.0, 6.0).map(Tuple1(_)).toDF("s"), "s")
+      .as[(Long, Long, Double, Long, Double)].collect().head
+    assert(dis._5 == 1.0 && dis._3 == 2.0,
+      "disjoint supports peak at a's max value")
+    // partitioning invariance (exact integers throughout)
+    val rep = Quality.ksDrift(a.repartition(5), b.repartition(3), "s")
+      .as[(Long, Long, Double, Long, Double)].collect().head
+    assert(rep == got)
+  }
+
   test("embeddingDrift: hand-computed per-dim means and delta; poison " +
       "rows excluded; exact across partitionings") {
     val a = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 2.0f)),

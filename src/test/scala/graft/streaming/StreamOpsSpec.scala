@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.ops.Events
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -486,5 +487,41 @@ class StreamOpsSpec extends SparkSpec {
     val wholeEst = Sketch.hllEstimate(whole, 4)
       .as[(String, Long, Double)].collect().toSet
     assert(mergedEst == wholeEst)
+  }
+
+  test("scd2Stream: emitted closed versions across micro-batches " +
+      "equal the batch twin's closed rows; open tail stays in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val M = 60L * 1000000000L
+    // user 10: A A B | B A (change B->A straddles the batch boundary);
+    // user 20: B | C; user 30 appears only in batch 2
+    val batch1 = Seq((1L, 0L * M, 10L, "A", 0.0),
+      (2L, 5L * M, 10L, "A", 0.0), (3L, 10L * M, 10L, "B", 0.0),
+      (6L, 7L * M, 20L, "B", 0.0))
+    val batch2 = Seq((4L, 15L * M, 10L, "B", 0.0),
+      (5L, 20L * M, 10L, "A", 0.0), (7L, 30L * M, 20L, "C", 0.0),
+      (8L, 2L * M, 30L, "X", 0.0))
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.scd2Stream(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value")).toDF(),
+      "scd2s", OutputMode.Append)
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val emitted = spark.table("scd2s")
+        .as[(Long, Long, String, Long, Option[Long], Boolean)]
+        .collect().toSet
+      val batchClosed = Events.scd2(
+        (batch1 ++ batch2).toDF("event_id", "ts", "user_id",
+          "event_type", "value"), "user_id", "event_type")
+        .filter(!col("is_current"))
+        .as[(Long, Long, String, Long, Option[Long], Boolean)]
+        .collect().toSet
+      assert(emitted == batchClosed && emitted.nonEmpty)
+      // the open tail is exactly what was NOT emitted: one per key
+      assert(emitted.map(_._1) == Set(10L, 20L))
+    } finally q.stop()
   }
 }
