@@ -488,6 +488,15 @@ object SparkEntry {
 
   /** q191 KS-drift split: the named source vs the rest of the corpus. */
   val KsSourceA = "src0"
+  /** q193 skip-estimate band: the middle fifth of the key range
+    * (numerators over [[SkipBandDen]]). */
+  val SkipBandLo = 2L
+  val SkipBandHi = 3L
+  val SkipBandDen = 5L
+  /** q194 join-size CMS geometry + salt. */
+  val CmsJoinDepth = 4
+  val CmsJoinWidth = 256
+  val CmsJoinSalt = "cmsJoin"
   /** q192 A/B arm-assignment salt (an A/A split on untreated fixture
     * data — the null check an experimentation stack must pass). */
   val AbSalt = "abArm"
@@ -595,6 +604,11 @@ object SparkEntry {
     * convention. */
   def q179LayoutPath(dir: String): String =
     "/root/repo/target/q179_range_" + dir.split('/').last
+
+  /** q193's skip-estimate layout directory — own path so the q179/q193
+    * writes can never race under a parallel Verify. */
+  def q193LayoutPath(dir: String): String =
+    "/root/repo/target/q193_range_" + dir.split('/').last
 
   /** q172 compaction target: quarter of the fixture sink's compressed
     * mass, so the plan visibly folds ~32 fragments into ~4 groups. */
@@ -3934,6 +3948,36 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.embeddingDrift(emb.filter(col("vec_id") < DriftSplitId),
           emb.filter(col("vec_id") >= DriftSplitId), "embedding", EmbDims)
         .orderBy("d")
+    }),
+
+    // Data-skipping estimate on the range-sorted layout: how many
+    // files a middle-fifth band predicate actually touches — the
+    // number the layout writers exist to move, from the same footer
+    // stats the planner prunes with.
+    "q193_skip_estimate" -> ((s, dir) => {
+      val path = q193LayoutPath(dir)
+      Sources.writeRangeSorted(t(s, dir, "lineitem"), path,
+        "l_orderkey", RangeFiles)
+      Sources.skipEstimate(
+        Sources.rangeLayoutAudit(s, path, "l_orderkey"),
+        SkipBandLo, SkipBandHi, SkipBandDen)
+    }),
+
+    // Join-size pre-flight: the exact self-join cardinality on
+    // l_orderkey (= the pair-expansion cost) next to the CMS
+    // inner-product estimate — est >= exact by construction, the
+    // ratio prices the sketch width.
+    "q194_join_size" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cms = Sketch.cmsTableKeyed(li, "l_orderkey", CmsJoinDepth,
+        CmsJoinWidth, CmsJoinSalt)
+      Sketch.joinSizeExact(li, li, "l_orderkey")
+        .crossJoin(Sketch.joinSizeEstimate(cms, cms))
+        .select(col("n_left"), col("n_right"), col("join_size"),
+          col("est_size"),
+          (col("est_size") - col("join_size")).as("overestimate"),
+          round(col("est_size").cast("double") /
+            col("join_size").cast("double"), 9).as("ratio"))
     }),
 
     // Exact two-sample KS statistic between src0's quality-score
@@ -7777,6 +7821,72 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |CROSS JOIN na CROSS JOIN nb
          |ORDER BY dd.d""".stripMargin
     },
+
+    // q193: per-file envelopes from the same footer stats, the band in
+    // exact integer arithmetic, intersection = the planner's min/max
+    // pruning test.
+    "q193_skip_estimate" ->
+      s"""WITH cc AS (
+         |  SELECT replace(file_name, '${q193LayoutPath(SfToken)}/', '')
+         |      AS file_name,
+         |    CAST(stats_min_value AS BIGINT) AS mn,
+         |    CAST(stats_max_value AS BIGINT) AS mx
+         |  FROM parquet_metadata('${q193LayoutPath(SfToken)}/*.parquet')
+         |  WHERE path_in_schema = 'l_orderkey'
+         |),
+         |f AS (
+         |  SELECT file_name, min(mn)::BIGINT AS min_val,
+         |    max(mx)::BIGINT AS max_val
+         |  FROM cc GROUP BY 1
+         |),
+         |g AS (SELECT min(min_val)::BIGINT AS gmin,
+         |             max(max_val)::BIGINT AS gmax FROM f),
+         |b AS (
+         |  SELECT gmin + ((gmax - gmin) * $SkipBandLo) // $SkipBandDen
+         |      AS band_lo,
+         |    gmin + ((gmax - gmin) * $SkipBandHi) // $SkipBandDen
+         |      AS band_hi
+         |  FROM g
+         |)
+         |SELECT count(*)::BIGINT AS n_files, b.band_lo, b.band_hi,
+         |  sum(CASE WHEN f.min_val <= b.band_hi
+         |        AND f.max_val >= b.band_lo THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_touched,
+         |  (count(*) - sum(CASE WHEN f.min_val <= b.band_hi
+         |        AND f.max_val >= b.band_lo THEN 1 ELSE 0 END))::BIGINT
+         |    AS n_skipped,
+         |  round(CAST(count(*) - sum(CASE WHEN f.min_val <= b.band_hi
+         |        AND f.max_val >= b.band_lo THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE), 9) AS skip_ratio
+         |FROM f CROSS JOIN b
+         |GROUP BY b.band_lo, b.band_hi""".stripMargin,
+
+    // q194: the same keyed CMS cells; exact = sum of per-key count
+    // squares, estimate = min-over-rows inner product.
+    "q194_join_size" ->
+      s"""WITH ck AS (
+         |  SELECT l_orderkey AS k, count(*)::BIGINT AS cnt
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+         |),
+         |ex AS (SELECT sum(cnt * cnt)::BIGINT AS join_size FROM ck),
+         |nn AS (SELECT count(l_orderkey)::BIGINT AS n FROM lineitem),
+         |cm AS (
+         |  SELECT rr.r,
+         |    ${Portable.sqlHash(s"'$CmsJoinSalt'", "rr.r", "l_orderkey")}
+         |      % $CmsJoinWidth AS c,
+         |    count(*)::BIGINT AS cnt
+         |  FROM lineitem,
+         |    (SELECT unnest(range(0, $CmsJoinDepth)) AS r) rr
+         |  WHERE l_orderkey IS NOT NULL GROUP BY 1, 2
+         |),
+         |ip AS (SELECT r, sum(cnt * cnt)::BIGINT AS ip FROM cm GROUP BY r),
+         |est AS (SELECT min(ip)::BIGINT AS est_size FROM ip)
+         |SELECT nn.n AS n_left, nn.n AS n_right, ex.join_size,
+         |  est.est_size,
+         |  (est.est_size - ex.join_size)::BIGINT AS overestimate,
+         |  round(CAST(est.est_size AS DOUBLE)
+         |    / CAST(ex.join_size AS DOUBLE), 9) AS ratio
+         |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
 
     // q191: both CDFs as inclusive running sums over distinct scores,
     // step-filled through the merged value set (IGNORE NULLS last), the

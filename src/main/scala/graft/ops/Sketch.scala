@@ -69,6 +69,59 @@ object Sketch {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** CMS counter table over a KEY column (the [[cmsTable]] shape with
+    * the join key as the item) — the sketch a join-size estimator
+    * reads. Output: (r, c, cnt), ≤ depth × width rows. */
+  def cmsTableKeyed(df: DataFrame, keyCol: String, depth: Int, width: Int,
+                    salt: String): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 1, s"width must be >= 1, got $width")
+    df.select(col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"), explode(lit((0 until depth).toArray)).as("r"))
+      .select(col("r"),
+        pmod(Portable.seededHash(lit(salt), col("r"), col("__k")),
+          lit(width.toLong)).as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** EXACT equi-join output cardinality: |a ⋈ b on key| = Σ_k
+    * c_a(k)·c_b(k) — the ground truth the sketch estimate is audited
+    * against, and the pre-flight number for any pair expansion (a
+    * self-join's Σ c² IS the skip-gram/association fan-out cost).
+    * Shape: per-side key-count aggs, one key-equi join of count
+    * frames (key-cardinality-sized, never row-sized), one 1-row sum.
+    * Returns (n_left, n_right, join_size). */
+  def joinSizeExact(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
+        .groupBy(col("__k")).agg(count(lit(1)).as(as))
+    val na = a.agg(count(col(keyCol)).as("n_left"))
+    val nb = b.agg(count(col(keyCol)).as("n_right"))
+    counts(a, "__ca").join(counts(b, "__cb"), Seq("__k"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+        .as("join_size"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("n_left"), col("n_right"), col("join_size"))
+  }
+
+  /** CMS join-size estimate (the AGMS/CM inner-product estimator,
+    * Alon–Matias–Szegedy '96 / Cormode–Muthukrishnan '05): for each
+    * depth row, the inner product of the two sketches' counter rows;
+    * the estimate is the MIN over rows. Never an underestimate —
+    * colliding keys only ADD cross terms — so `est ≥ exact` is a LAW
+    * (spec-pinned), and est/exact prices the width. This is the
+    * optimizer-style cardinality pre-flight at sketch cost: the two
+    * sides never meet, only their d×w tables do.
+    *
+    * Shape: both sketches are ≤ d×w rows — the join is sketch-sized
+    * and broadcast. Returns ONE row: (est_size). */
+  def joinSizeEstimate(cmsA: DataFrame, cmsB: DataFrame): DataFrame =
+    cmsA.join(broadcast(cmsB.toDF("r", "c", "__cnt_b")), Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("cnt") * col("__cnt_b")).as("__ip"))
+      .agg(min(col("__ip")).as("est_size"))
+
   /** HyperLogLog registers per key (Flajolet et al., AofA'07): each
     * token occurrence hashes once ([[Portable]] keyed — bit-identical
     * across runs, partitionings and engines), the low `bits` bits pick

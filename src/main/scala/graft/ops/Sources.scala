@@ -384,6 +384,46 @@ object Sources {
           .as("overlaps_prev"))
   }
 
+  /** Data-skipping estimate from a layout-audit frame — the number the
+    * layout work ([[writeRangeSorted]], [[writeZOrdered]]) exists to
+    * move: for a band predicate spanning the given fraction of the
+    * key's global range, how many files would a stats-pruning scan
+    * planner actually touch? The band sits at
+    * [gmin + span·loNum div loDen, gmin + span·hiNum div hiDen] —
+    * pure integer arithmetic from the audit's own envelopes, so the
+    * report is deterministic and cross-engine. A file is touched iff
+    * its [min, max] envelope intersects the band — exactly the
+    * min/max test scan planners run against footer stats.
+    *
+    * Shape: the audit frame is file-count-sized; two aggs over it.
+    * Returns ONE row: (n_files, band_lo, band_hi, n_touched,
+    * n_skipped, skip_ratio). */
+  def skipEstimate(audit: DataFrame, loNum: Long, hiNum: Long,
+                   den: Long): DataFrame = {
+    require(den >= 1 && loNum >= 0 && hiNum >= loNum && hiNum <= den,
+      s"need 0 <= $loNum <= $hiNum <= $den")
+    val g = audit.agg(min(col("min_val")).as("__gmin"),
+      max(col("max_val")).as("__gmax"))
+    val lo = col("__gmin") +
+      expr(s"((__gmax - __gmin) * $loNum) div $den")
+    val hi = col("__gmin") +
+      expr(s"((__gmax - __gmin) * $hiNum) div $den")
+    audit.crossJoin(broadcast(g))
+      .select(col("file_name"), col("min_val"), col("max_val"),
+        lo.as("band_lo"), hi.as("band_hi"))
+      .withColumn("__touched",
+        (col("min_val") <= col("band_hi") &&
+          col("max_val") >= col("band_lo")).cast("long"))
+      .groupBy(col("band_lo"), col("band_hi"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("__touched")).as("n_touched"))
+      .select(col("n_files"), col("band_lo"), col("band_hi"),
+        col("n_touched"),
+        (col("n_files") - col("n_touched")).as("n_skipped"),
+        round((col("n_files") - col("n_touched")).cast("double") /
+          col("n_files").cast("double"), 9).as("skip_ratio"))
+  }
+
   /** Compaction plan from a [[parquetLayoutAudit]] frame — the FIX for
     * the small-files pathology the audit diagnoses: files are laid out
     * in deterministic (name) order along their cumulative compressed

@@ -115,4 +115,37 @@ class SketchSpec extends SparkSpec {
     assert(Sketch.hllAlpha(6) == (709L, 1000L))
     assert(Sketch.hllAlpha(7) == (7213000L * 128, 10000L * (128000L + 1079L)))
   }
+
+  test("joinSizeExact: hand-counted cross and self joins; null keys " +
+      "never join") {
+    val a = Seq(Some(1L), Some(1L), Some(2L), None).map(Tuple1(_))
+      .toDF("k")
+    val b = Seq(1L, 2L, 2L, 3L).map(Tuple1(_)).toDF("k")
+    val ab = Sketch.joinSizeExact(a, b, "k")
+      .as[(Long, Long, Long)].collect().head
+    // 1: 2x1, 2: 1x2 -> 4; null key excluded from n_left too? count(col)
+    // skips nulls: n_left = 3
+    assert(ab == ((3L, 4L, 4L)))
+    val self = Sketch.joinSizeExact(b, b, "k")
+      .as[(Long, Long, Long)].collect().head
+    assert(self == ((4L, 4L, 1L + 4L + 1L)))
+  }
+
+  test("joinSizeEstimate: CMS inner product never underestimates; " +
+      "per-row sketch mass equals the row count") {
+    val li = Sources.table(spark, sf("sf0.001"), "lineitem")
+    val exact = Sketch.joinSizeExact(li, li, "l_orderkey")
+      .select("join_size").as[Long].collect().head
+    val n = li.count()
+    for (w <- Seq(16, 256)) {
+      val cms = Sketch.cmsTableKeyed(li, "l_orderkey", 4, w, "s")
+      // each depth row holds every key occurrence exactly once
+      val mass = cms.groupBy("r").agg(sum("cnt").as("m"))
+        .select("m").as[Long].collect()
+      assert(mass.length == 4 && mass.forall(_ == n))
+      val est = Sketch.joinSizeEstimate(cms, cms)
+        .as[Long].collect().head
+      assert(est >= exact, s"width $w: est $est < exact $exact")
+    }
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class SourcesSpec extends SparkSpec {
+  import spark.implicits._
 
   test("S1: CSV scan uses the pinned schema, no inference") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv")
@@ -268,5 +269,20 @@ class SourcesSpec extends SparkSpec {
       "l_orderkey").collect()
     assert(bad.count(_.getBoolean(3)) == bad.length - 1,
       "hash layout must overlap everywhere")
+    // skipEstimate: a middle-fifth band on the range layout touches a
+    // minority of files; on the hash layout it touches ALL of them —
+    // the estimator quantifies exactly the win the writer claims
+    val good = Sources.skipEstimate(
+      Sources.rangeLayoutAudit(spark, s"$base/sorted", "l_orderkey"),
+      2L, 3L, 5L).as[(Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(good._1 == 8L && good._4 <= 3L && good._5 >= 5L,
+      s"range layout should skip most files: $good")
+    val none = Sources.skipEstimate(
+      Sources.rangeLayoutAudit(spark, s"$base/hashed", "l_orderkey"),
+      2L, 3L, 5L).as[(Long, Long, Long, Long, Long, Double)]
+      .collect().head
+    assert(none._4 == 8L && none._5 == 0L && none._6 == 0.0,
+      s"hash layout skips nothing: $none")
   }
 }
