@@ -3980,6 +3980,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
             col("join_size").cast("double"), 9).as("ratio"))
     }),
 
+    // The q191 statistic for EVERY source against its complement in
+    // one pass — the drift leaderboard that answers "which source
+    // moved" without a per-source corpus re-scan.
+    "q195_ks_by_source" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.ksDriftByGroup(qs, "source", "quality_score")
+        .orderBy(desc("ks"), col("source"))
+    }),
+
     // Exact two-sample KS statistic between src0's quality-score
     // distribution and the rest of the corpus — integer CDF gaps over
     // merged distinct scores, one division at the end.
@@ -7887,6 +7898,63 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(est.est_size AS DOUBLE)
          |    / CAST(ex.join_size AS DOUBLE), 9) AS ratio
          |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
+
+    // q195: the per-group replay — group CDFs step-filled onto the
+    // replicated global value frame (own jump before the probe at
+    // equal v), gaps vs the complement in exact integers, per-group
+    // argmax with min-score ties.
+    "q195_ks_by_source" ->
+      s"""$qualityScoreSqlCtes,
+         |ga AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)::BIGINT AS cml
+         |  FROM (SELECT quality_score AS v, count(*)::BIGINT AS c
+         |        FROM qs GROUP BY 1)
+         |),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM qs),
+         |pgc AS (
+         |  SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS cg
+         |  FROM (SELECT source, quality_score AS v, count(*)::BIGINT AS c
+         |        FROM qs GROUP BY 1, 2)
+         |),
+         |gr AS (SELECT source, count(*)::BIGINT AS ng FROM qs
+         |       GROUP BY source),
+         |u AS (
+         |  SELECT g.source, g.ng, a.v, a.cml, 0 AS isg,
+         |    NULL::BIGINT AS cgv
+         |  FROM gr g CROSS JOIN ga a
+         |  UNION ALL
+         |  SELECT p.source, NULL::BIGINT, p.v, NULL::BIGINT, 1, p.cg
+         |  FROM pgc p
+         |),
+         |f AS (
+         |  SELECT source, ng, v, cml, isg,
+         |    coalesce(last_value(cgv IGNORE NULLS) OVER (
+         |      PARTITION BY source ORDER BY v, isg DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |      0)::BIGINT AS cg2
+         |  FROM u
+         |),
+         |dd AS (
+         |  SELECT source, ng, v,
+         |    abs(cg2 * (nn.n - ng) - (cml - cg2) * ng)::BIGINT AS d
+         |  FROM f CROSS JOIN nn WHERE isg = 0
+         |),
+         |top AS (
+         |  SELECT source, ng, v AS ks_at, d AS ks_num,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY d DESC, v ASC) AS rn
+         |  FROM dd QUALIFY rn = 1
+         |)
+         |SELECT t.source, t.ng AS n_g, t.ks_at, t.ks_num,
+         |  CASE WHEN nn.n - t.ng > 0 THEN
+         |    round(CAST(t.ks_num AS DOUBLE)
+         |      / (CAST(t.ng AS DOUBLE) * CAST(nn.n - t.ng AS DOUBLE)), 9)
+         |  END AS ks
+         |FROM top t CROSS JOIN nn
+         |ORDER BY ks DESC, t.source""".stripMargin,
 
     // q191: both CDFs as inclusive running sums over distinct scores,
     // step-filled through the merged value set (IGNORE NULLS last), the

@@ -299,6 +299,73 @@ object Quality {
           .as("ks"))
   }
 
+  /** Per-group KS drift leaderboard — [[ksDrift]] of EVERY group
+    * against the rest of the corpus in one pass: which source's score
+    * distribution deviates most is the first question a mixed-corpus
+    * drift alarm must answer, and running the pairwise operator per
+    * source re-scans the corpus per group. Same exact-integer contract
+    * as [[ksDrift]]: per group g with n_g rows against the other
+    * N − n_g, the statistic is max over score values of
+    * |cdf_g·(N − n_g) − (cdf_all − cdf_g)·n_g| / (n_g·(N − n_g)).
+    *
+    * The supremum is evaluated at EVERY global jump point: a group's
+    * own CDF is step-filled (last-non-null window, per group) onto the
+    * replicated global value frame — between a group's own jumps the
+    * complement still jumps, so evaluating only at group values would
+    * miss the sup. Work is groups × distinct-values rows (bounded by
+    * the value domain and the group count, never corpus²).
+    *
+    * Returns one row per group: (groupCol, n_g, ks_at, ks_num, ks),
+    * ks descending. Groups with an empty complement (a single-group
+    * corpus) get NULL ks. */
+  def ksDriftByGroup(df: DataFrame, groupCol: String,
+                     scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gAll = df.groupBy(col(scoreCol).as("v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__call", sum(col("__c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__c")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val perG = df.groupBy(col(groupCol), col(scoreCol).as("v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cg",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__c")
+    val groups = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__ng"))
+    // replicate the global value frame per group, fill the group CDF;
+    // at equal v the group's OWN row (isg 1) must precede the global
+    // probe so the probe sees the inclusive cdf_g(v) jump
+    val wFill = Window.partitionBy(col(groupCol))
+      .orderBy(col("v"), col("__isg").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val repl = groups.select(col(groupCol), col("__ng"))
+      .crossJoin(gAll)
+      .select(col(groupCol), col("__ng"), col("v"), col("__call"),
+        lit(0L).as("__isg"), lit(null).cast("long").as("__cgv"))
+    val own = perG.select(col(groupCol), lit(null).cast("long").as("__ng"),
+      col("v"), lit(null).cast("long").as("__call"), lit(1L).as("__isg"),
+      col("__cg").as("__cgv"))
+    repl.unionByName(own)
+      .withColumn("__cg2",
+        coalesce(last(col("__cgv"), ignoreNulls = true).over(wFill),
+          lit(0L)))
+      .filter(col("__isg") === 0L)
+      .crossJoin(broadcast(n))
+      .withColumn("__d", abs(col("__cg2") * (col("__n") - col("__ng")) -
+        (col("__call") - col("__cg2")) * col("__ng")))
+      .groupBy(col(groupCol), col("__ng"), col("__n"))
+      .agg(max(struct(col("__d"), (-col("v")).as("__negv"))).as("__m"))
+      .select(col(groupCol), col("__ng").as("n_g"),
+        (-col("__m.__negv")).as("ks_at"), col("__m.__d").as("ks_num"),
+        when(col("__n") - col("__ng") > 0,
+          round(col("__m.__d").cast("double") /
+            (col("__ng").cast("double") *
+              (col("__n") - col("__ng")).cast("double")), 9)).as("ks"))
+  }
+
   /** Embedding-space drift between two corpora (model versions, time
     * slices, sources) — the per-dimension mean shift, the first-order
     * signal that a re-embedded corpus no longer lives where the old

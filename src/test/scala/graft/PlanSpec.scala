@@ -548,6 +548,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), s"non-equi join:\n$p")
   }
 
+  test("q184: the interval lookup is a window merge — exactly one " +
+      "nested-loop in the plan (the 1-row total broadcast)") {
+    // regression pin for the sf1 finding: a range join between
+    // distinct-score frames is O(V²) when 9-dp scores are near-unique
+    // (measured 7.2x/decade); the merge form keeps one BNLJ, the
+    // 1-row count broadcast
+    val p = plan("q184_quantile_norm")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"interval lookup regressed to a range join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

@@ -292,6 +292,35 @@ class QualitySpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("ksDriftByGroup: each group's row equals the pairwise ksDrift " +
+      "against its complement; single-group corpus yields NULL ks") {
+    val df = (Seq(1.0, 1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(2.0, 3.0, 3.0).map(("B", _))).toDF("g", "s")
+    val got = Quality.ksDriftByGroup(df, "g", "s")
+      .orderBy("g")
+      .as[(String, Long, Double, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("A", 4L, 1.0, 6L, Some(0.5)),
+      ("B", 3L, 1.0, 6L, Some(0.5))))
+    // law on the fixture: every per-group row == the pairwise operator
+    val docs = Sources.table(spark, sf("sf0.001"), "documents")
+      .select(col("source"), col("n_chars").cast("double").as("s"))
+    val board = Quality.ksDriftByGroup(docs, "source", "s")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    for (src <- Seq("src0", "src7", "src19")) {
+      val pw = Quality.ksDrift(docs.filter(col("source") === src),
+        docs.filter(col("source") =!= src), "s")
+        .as[(Long, Long, Double, Long, Double)].collect().head
+      assert(board(src) == ((pw._1, pw._3, pw._4, pw._5)),
+        s"$src: board ${board(src)} != pairwise $pw")
+    }
+    val one = Quality.ksDriftByGroup(
+      Seq(("X", 1.0), ("X", 2.0)).toDF("g", "s"), "g", "s")
+      .select("ks").as[Option[Double]].collect().head
+    assert(one.isEmpty)
+  }
+
   test("embeddingDrift: hand-computed per-dim means and delta; poison " +
       "rows excluded; exact across partitionings") {
     val a = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 2.0f)),
