@@ -488,6 +488,10 @@ object SparkEntry {
 
   /** q191 KS-drift split: the named source vs the rest of the corpus. */
   val KsSourceA = "src0"
+  /** q196 conformal miscoverage α = 1/10 (90% coverage gates). */
+  val ConformalAlphaNum = 1L
+  val ConformalAlphaDen = 10L
+
   /** q193 skip-estimate band: the middle fifth of the key range
     * (numerators over [[SkipBandDen]]). */
   val SkipBandLo = 2L
@@ -3978,6 +3982,36 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           (col("est_size") - col("join_size")).as("overestimate"),
           round(col("est_size").cast("double") /
             col("join_size").cast("double"), 9).as("ratio"))
+    }),
+
+    // Split-conformal (Mondrian, per-source) gate thresholds at 90%
+    // coverage: the k = ceil((n+1)(1-alpha)) order statistic of each
+    // source's calibration scores — a quality cut with a
+    // distribution-free coverage contract.
+    "q196_conformal_gate" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Sampling.conformalGate(qs, "source", "quality_score",
+          ConformalAlphaNum, ConformalAlphaDen)
+        .orderBy("source")
+    }),
+
+    // Tie-corrected Mann-Whitney U on the q191 split — the LOCATION
+    // drift test next to KS's shape test, exact 2x-rank integers.
+    "q197_mann_whitney" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.mannWhitney(qs.filter(col("source") === KsSourceA),
+        qs.filter(col("source") =!= KsSourceA), "quality_score")
+    }),
+
+    // Chi-square independence of source x lang with Cramer's V — "is
+    // the language mix different across sources", every cell term an
+    // exact integer ratio integerized then summed in LONG.
+    "q198_chi_square" -> ((s, dir) => {
+      Quality.chiSquare(t(s, dir, "documents"), "source", "lang")
     }),
 
     // The q191 statistic for EVERY source against its complement in
@@ -7898,6 +7932,119 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(est.est_size AS DOUBLE)
          |    / CAST(ex.join_size AS DOUBLE), 9) AS ratio
          |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
+
+    // q196: the order statistic at the exact-integer conformal rank;
+    // tie values make the rank's VALUE deterministic regardless of
+    // row_number tie order.
+    "q196_conformal_gate" ->
+      s"""$qualityScoreSqlCtes,
+         |r AS (
+         |  SELECT source, quality_score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality_score) AS rk
+         |  FROM qs
+         |),
+         |kk AS (
+         |  SELECT source, count(*)::BIGINT AS n,
+         |    ((count(*) + 1) * ${ConformalAlphaDen - ConformalAlphaNum}
+         |      + ${ConformalAlphaDen - 1}) // $ConformalAlphaDen AS k
+         |  FROM qs GROUP BY source
+         |)
+         |SELECT kk.source, kk.n, kk.k::BIGINT AS k,
+         |  r.quality_score AS threshold
+         |FROM kk LEFT JOIN r ON r.source = kk.source AND r.rk = kk.k
+         |ORDER BY kk.source""".stripMargin,
+
+    // q197: the same 2x-rank integers (2.midrank = 2.cum_before +
+    // cnt + 1), tie-corrected variance as one exact ratio, one double
+    // chain to z.
+    "q197_mann_whitney" ->
+      s"""$qualityScoreSqlCtes,
+         |j AS (
+         |  SELECT quality_score AS v,
+         |    sum(CASE WHEN source = '$KsSourceA' THEN 1 ELSE 0
+         |      END)::BIGINT AS ca,
+         |    sum(CASE WHEN source <> '$KsSourceA' THEN 1 ELSE 0
+         |      END)::BIGINT AS cb
+         |  FROM qs GROUP BY 1
+         |),
+         |j2 AS (
+         |  SELECT v, ca, cb, ca + cb AS cnt,
+         |    coalesce(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum_before
+         |  FROM j
+         |),
+         |ag AS (
+         |  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+         |    sum(ca * (2 * cum_before + cnt + 1))::BIGINT AS r2,
+         |    sum(cnt * cnt * cnt - cnt)::BIGINT AS t3
+         |  FROM j2
+         |),
+         |fin AS (
+         |  SELECT n_a, n_b,
+         |    (r2 - n_a * (n_a + 1))::BIGINT AS u2_a,
+         |    (n_a + n_b) AS nn, t3
+         |  FROM ag
+         |)
+         |SELECT n_a, n_b, u2_a,
+         |  CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+         |  CASE WHEN n_a * n_b * ((nn + 1) * nn * (nn - 1) - t3) > 0 THEN
+         |    round((CAST(u2_a - n_a * n_b AS DOUBLE) / 2.0)
+         |      / sqrt(CAST(n_a * n_b * ((nn + 1) * nn * (nn - 1) - t3)
+         |               AS DOUBLE)
+         |             / CAST(12 * nn * (nn - 1) AS DOUBLE)), 9)
+         |  END AS z
+         |FROM fin""".stripMargin,
+
+    // q198: per-cell (O.N - r.c)^2/(N.r.c) in the pinned chain,
+    // integerized and summed exactly; margins as windows over the
+    // cell frame.
+    "q198_chi_square" ->
+      """WITH obs AS (
+        |  SELECT source AS a, lang AS b, count(*)::BIGINT AS o
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |cells AS (
+        |  SELECT g.a, g.b, coalesce(obs.o, 0)::BIGINT AS o
+        |  FROM (SELECT ra.a, cb.b
+        |        FROM (SELECT DISTINCT a FROM obs) ra
+        |        CROSS JOIN (SELECT DISTINCT b FROM obs) cb) g
+        |  LEFT JOIN obs ON obs.a = g.a AND obs.b = g.b
+        |),
+        |m AS (
+        |  SELECT a, b, o,
+        |    sum(o) OVER (PARTITION BY a)::BIGINT AS r,
+        |    sum(o) OVER (PARTITION BY b)::BIGINT AS c
+        |  FROM cells
+        |),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |t AS (
+        |  SELECT a, b, CAST(floor(round(
+        |    CAST(o * nn.n - r * c AS DOUBLE)
+        |      * CAST(o * nn.n - r * c AS DOUBLE)
+        |      / (CAST(nn.n AS DOUBLE) * CAST(r AS DOUBLE)
+        |         * CAST(c AS DOUBLE)), 9) * 1e9 + 0.5) AS BIGINT) AS t9
+        |  FROM m CROSS JOIN nn
+        |),
+        |ag AS (
+        |  SELECT (SELECT n FROM nn) AS n,
+        |    count(DISTINCT a)::BIGINT AS n_rows,
+        |    count(DISTINCT b)::BIGINT AS n_cols,
+        |    sum(t9)::BIGINT AS chi9
+        |  FROM t
+        |)
+        |SELECT n, n_rows, n_cols,
+        |  ((n_rows - 1) * (n_cols - 1))::BIGINT AS dof,
+        |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+        |    round(CAST(chi9 AS DOUBLE) / 1e9, 9)
+        |  END AS chi2,
+        |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
+        |    round(sqrt((CAST(chi9 AS DOUBLE) / 1e9)
+        |      / (CAST(n AS DOUBLE)
+        |         * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))), 9)
+        |  END AS cramers_v
+        |FROM ag""".stripMargin,
 
     // q195: the per-group replay — group CDFs step-filled onto the
     // replicated global value frame (own jump before the probe at

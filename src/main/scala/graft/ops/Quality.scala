@@ -299,6 +299,111 @@ object Quality {
           .as("ks"))
   }
 
+  /** Tie-corrected Mann–Whitney U test between two score samples —
+    * the LOCATION complement of [[ksDrift]]'s shape statistic: "is
+    * one source's quality systematically higher", robust to any
+    * monotone rescaling of the score. Midranks handle ties exactly:
+    * everything stays integer by carrying 2×rank quantities
+    * (2·midrank(v) = 2·cum_before + cnt + 1), so R₁ and U₁ are exact
+    * half-integer-free BIGINTs at double scale; the normal
+    * approximation's variance uses the standard tie correction
+    * σ² = n₁n₂((n+1)n(n−1) − Σ(t³−t)) / (12·n·(n−1)), formed as one
+    * exact integer ratio before ONE pinned double chain (IEEE sqrt —
+    * portable). Zero variance (all values tied) yields NULL z.
+    *
+    * Shape: one joint distinct-value agg (per-side counts ride as
+    * conditional sums), rank arithmetic as bounded windows over the
+    * value frame, a 1-row rollup. Integer capacity: t³ ≤ n³ and
+    * n₁n₂(n+1)n(n−1) must fit a LONG — fine to ~10⁴ rows per side;
+    * beyond that swap the variance numerator to DECIMAL(38,0).
+    * Returns ONE row: (n_a, n_b, u2_a — twice U₁ —, u_a, z). */
+  def mannWhitney(a: DataFrame, b: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = a.select(col(scoreCol).as("v"), lit(1L).as("__ca"),
+        lit(0L).as("__cb"))
+      .unionByName(b.select(col(scoreCol).as("v"), lit(0L).as("__ca"),
+        lit(1L).as("__cb")))
+      .groupBy(col("v"))
+      .agg(sum(col("__ca")).as("ca"), sum(col("__cb")).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    joint
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        // 2·R1 = Σ ca·(2·cum_before + cnt + 1)
+        sum(col("ca") * (lit(2L) * col("cum_before") + col("cnt") + 1L))
+          .as("__r2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("__t3"))
+      .withColumn("u2_a",
+        col("__r2") - col("n_a") * (col("n_a") + 1L))
+      .withColumn("u_a",
+        col("u2_a").cast("double") / lit(2.0))
+      .withColumn("__n", col("n_a") + col("n_b"))
+      .withColumn("__varnum", col("n_a") * col("n_b") *
+        ((col("__n") + 1L) * col("__n") * (col("__n") - 1L) - col("__t3")))
+      .withColumn("__varden", lit(12L) * col("__n") * (col("__n") - 1L))
+      .withColumn("z", when(col("__varnum") > 0L, round(
+        ((col("u2_a") - col("n_a") * col("n_b")).cast("double") / lit(2.0))
+          / sqrt(col("__varnum").cast("double") /
+            col("__varden").cast("double")), 9)))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"), col("z"))
+  }
+
+  /** Chi-square independence test + Cramér's V over a two-column
+    * contingency table (label × source, lang × source …) — "is the
+    * label mix different across sources" as one number, the
+    * categorical complement of [[ksDrift]]. Each cell's term
+    * (O·N − r·c)²/(N·r·c) clears to exact integers inside ONE pinned
+    * double chain, integerizes at 1e9 (the [[classBalance]] p·ln p
+    * discipline) and sums in LONG — order-free, engine-portable.
+    * V = sqrt(χ²/(N·min(R−1, C−1))) prices the association strength
+    * independent of table size.
+    *
+    * Shape: one (a, b) cell agg; margins as windows over the cell
+    * frame (bounded by the category product); a 1-row rollup.
+    * Returns ONE row: (n, n_rows, n_cols, dof, chi2, cramers_v);
+    * single-category inputs (dof 0) yield NULL chi2/V. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val observed = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    // the full R×C grid: a ZERO cell still contributes (r·c/N)²/(r·c/N)
+    // = r·c/N to χ² — dropping unobserved cells understates the
+    // statistic (a spec-caught bug: perfect 2×2 association read 2, not
+    // N). Category frames are value-domain-sized, so the cross join is
+    // bounded.
+    val cells = observed.select(col("__a")).distinct()
+      .crossJoin(observed.select(col("__b")).distinct())
+      .join(observed, Seq("__a", "__b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("__a"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("__b"))))
+    val n = df.agg(count(lit(1)).as("n"))
+    val term = (col("o") * col("n") - col("r") * col("c")).cast("double") *
+      (col("o") * col("n") - col("r") * col("c")).cast("double") /
+      (col("n").cast("double") * col("r").cast("double") *
+        col("c").cast("double"))
+    cells.crossJoin(broadcast(n))
+      .withColumn("__t9",
+        floor(round(term, 9) * lit(1e9) + lit(0.5)).cast("long"))
+      .agg(first(col("n")).as("n"),
+        countDistinct(col("__a")).as("n_rows"),
+        countDistinct(col("__b")).as("n_cols"),
+        sum(col("__t9")).as("__chi9"))
+      .withColumn("dof",
+        (col("n_rows") - 1L) * (col("n_cols") - 1L))
+      .withColumn("chi2", when(col("dof") > 0L,
+        round(col("__chi9").cast("double") / lit(1e9), 9)))
+      .withColumn("cramers_v", when(col("dof") > 0L, round(
+        sqrt((col("__chi9").cast("double") / lit(1e9)) /
+          (col("n").cast("double") *
+            least(col("n_rows") - 1L, col("n_cols") - 1L)
+              .cast("double"))), 9)))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+        col("chi2"), col("cramers_v"))
+  }
+
   /** Per-group KS drift leaderboard — [[ksDrift]] of EVERY group
     * against the rest of the corpus in one pass: which source's score
     * distribution deviates most is the first question a mixed-corpus

@@ -621,6 +621,41 @@ object Sampling {
     df.join(kept, Seq(idCol))
   }
 
+  /** Split-conformal gate thresholds, per group (Vovk et al.'s
+    * inductive conformal prediction; Mondrian = per-group): from a
+    * calibration sample of nonconformity scores, the k-th smallest
+    * with k = ⌈(n+1)(1−α)⌉ — accepting a future item iff its score is
+    * ≤ the threshold then carries the distribution-free guarantee
+    * P(accept a conforming item) ≥ 1−α. This turns an arbitrary
+    * quality/outlier score into a gate with a COVERAGE contract — the
+    * principled way to set the cut, instead of eyeballing a
+    * percentile. k is exact integer arithmetic
+    * (⌈x/y⌉ = (x + y − 1) div y); a group too small for the requested
+    * α (k > n) reports a NULL threshold — the honest "not enough
+    * calibration data" outcome the naive quantile hides.
+    *
+    * Shape: one per-group rank window (group-sized partitions — at
+    * 100 TB calibration samples are samples, not the corpus) and a
+    * group-count agg. Returns one row per group: (groupCol, n, k,
+    * threshold). */
+  def conformalGate(df: DataFrame, groupCol: String, scoreCol: String,
+                    alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must be in [0, 1)")
+    val keep = alphaDen - alphaNum
+    val ranked = df.select(col(groupCol), col(scoreCol))
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy(col(groupCol)).orderBy(col(scoreCol))).cast("long"))
+    val ks = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k",
+        expr(s"((n + 1) * $keep + $alphaDen - 1) div $alphaDen"))
+    ks.join(ranked, ks(groupCol) === ranked(groupCol) &&
+        col("__rk") === col("k"), "left")
+      .select(ks(groupCol), col("n"), col("k"),
+        col(scoreCol).as("threshold"))
+  }
+
   /** Cross-group quantile normalization of a score column — the
     * calibration step before any mixed-source score gate: a 0.6
     * fastText-style quality score means different things on arXiv and

@@ -292,6 +292,48 @@ class QualitySpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("mannWhitney: hand-computed U and z; all-tied variance is NULL; " +
+      "U_a + U_b = n_a*n_b (symmetry law)") {
+    def mw(a: Seq[Double], b: Seq[Double]) =
+      Quality.mannWhitney(a.map(Tuple1(_)).toDF("s"),
+        b.map(Tuple1(_)).toDF("s"), "s")
+        .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    val r = mw(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    // a entirely below b: U_a = 0; z = (-4/2)/sqrt(2*2*5/12)
+    val z = BigDecimal(-2.0 / math.sqrt(20.0 / 12.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == ((2L, 2L, 0L, 0.0, Some(z))))
+    val tied = mw(Seq(1.0, 1.0), Seq(1.0, 1.0))
+    // full tie: U_a = n_a*n_b/2 exactly, variance 0 -> NULL z
+    assert(tied == ((2L, 2L, 4L, 2.0, None)))
+    val x = Seq(1.0, 2.0, 2.0, 5.0); val y = Seq(2.0, 3.0, 7.0)
+    val (ab, ba) = (mw(x, y), mw(y, x))
+    assert(ab._3 + ba._3 == 2L * 4L * 3L, "2U_a + 2U_b = 2 n_a n_b")
+    assert(ab._5.get == -ba._5.get, "z antisymmetric under swap")
+  }
+
+  test("chiSquare: zero on an exactly independent table, one " +
+      "(Cramer's V) on a perfectly associated one; dof-0 is NULL") {
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val ri = Quality.chiSquare(indep, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(ri == ((4L, 2L, 2L, 1L, Some(0.0), Some(0.0))))
+    val assoc = Seq(("x", "u"), ("x", "u"), ("y", "v"), ("y", "v"))
+      .toDF("a", "b")
+    val ra = Quality.chiSquare(assoc, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    // 2x2 perfect association: chi2 = N, V = 1
+    assert(ra._5.contains(4.0) && ra._6.contains(1.0))
+    val flat = Quality.chiSquare(
+      Seq(("x", "u"), ("x", "v")).toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    assert(flat._4 == 0L && flat._5.isEmpty && flat._6.isEmpty)
+  }
+
   test("ksDriftByGroup: each group's row equals the pairwise ksDrift " +
       "against its complement; single-group corpus yields NULL ks") {
     val df = (Seq(1.0, 1.0, 2.0, 3.0).map(("A", _)) ++

@@ -489,6 +489,32 @@ class SamplingSpec extends SparkSpec {
     assert(tg.filter(_._3 == 5.0).map(_._4).distinct.size == 1)
   }
 
+  test("conformalGate: k = ceil((n+1)(1-alpha)) order statistic; " +
+      "too-small groups report NULL; coverage holds on the sample") {
+    val df = ((1 to 9).map(i => ("big", i.toDouble)) ++
+      Seq(("tiny", 1.0), ("tiny", 2.0), ("tiny", 3.0)))
+      .toDF("g", "s")
+    val g10 = Sampling.conformalGate(df, "g", "s", 1L, 10L)
+      .orderBy("g").as[(String, Long, Long, Option[Double])]
+      .collect().toSeq
+    // big: k = ceil(10*0.9) = 9 -> 9th smallest = 9.0;
+    // tiny: k = ceil(4*0.9) = 4 > 3 -> honest NULL
+    assert(g10 == Seq(("big", 9L, 9L, Some(9.0)),
+      ("tiny", 3L, 4L, None)))
+    val g50 = Sampling.conformalGate(df, "g", "s", 1L, 2L)
+      .orderBy("g").as[(String, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(g50 == Seq(("big", 9L, 5L, Some(5.0)),
+      ("tiny", 3L, 2L, Some(2.0))))
+    // empirical coverage on a bigger calibration set: at least 1-alpha
+    // of the sample sits at or below the gate
+    val cal = (1 to 99).map(i => ("c", i.toDouble)).toDF("g", "s")
+    val th = Sampling.conformalGate(cal, "g", "s", 1L, 10L)
+      .select("threshold").as[Double].collect().head
+    assert(th == 90.0)
+    assert(cal.filter(col("s") <= th).count() * 10L >= cal.count() * 9L)
+  }
+
   test("quantileNormalize: identity on a single group; singleton group " +
       "maps to the global minimum") {
     val one = Seq.tabulate(20)(i => (i.toLong, "X", (i % 7).toDouble))
