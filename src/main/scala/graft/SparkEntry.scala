@@ -491,6 +491,8 @@ object SparkEntry {
   /** q196 conformal miscoverage α = 1/10 (90% coverage gates). */
   val ConformalAlphaNum = 1L
   val ConformalAlphaDen = 10L
+  /** q200 PSI bin count (the industry-standard 10 deciles). */
+  val PsiBins = 10
 
   /** q193 skip-estimate band: the middle fifth of the key range
     * (numerators over [[SkipBandDen]]). */
@@ -1694,7 +1696,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
   private val qualityScoreSqlCtes: String = {
     val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH m AS (
-       |  SELECT doc_id, source,
+       |  SELECT doc_id, source, lang,
        |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
        |      / length(text)::DOUBLE AS alpha,
        |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
@@ -1706,7 +1708,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |  FROM documents
        |),
        |qs AS (
-       |  SELECT doc_id, source, round(least(1.0, greatest(0.0,
+       |  SELECT doc_id, source, lang, round(least(1.0, greatest(0.0,
        |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
        |    AS quality_score
        |  FROM m
@@ -3982,6 +3984,26 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           (col("est_size") - col("join_size")).as("overestimate"),
           round(col("est_size").cast("double") /
             col("join_size").cast("double"), 9).as("ratio"))
+    }),
+
+    // ROC-AUC of the quality score as a ranker for lang = en — exact
+    // through the tie-adjusted U (no curve discretization).
+    "q199_auc" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      Quality.auc(qs, col("lang") === "en", "quality_score")
+    }),
+
+    // Population Stability Index of the quality score: the corpus
+    // minus src0 as the baseline deciles, src0 as the comparison —
+    // the model-monitoring standard next to KS/MWU.
+    "q200_psi" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.psi(qs.filter(col("source") =!= KsSourceA),
+        qs.filter(col("source") === KsSourceA), "quality_score", PsiBins)
     }),
 
     // Split-conformal (Mondrian, per-source) gate thresholds at 90%
@@ -7932,6 +7954,99 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(est.est_size AS DOUBLE)
          |    / CAST(ex.join_size AS DOUBLE), 9) AS ratio
          |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
+
+    // q199: the q197 rank machinery on the en/non-en split, one
+    // division to AUC.
+    "q199_auc" ->
+      s"""$qualityScoreSqlCtes,
+         |j AS (
+         |  SELECT quality_score AS v,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS cb
+         |  FROM qs GROUP BY 1
+         |),
+         |j2 AS (
+         |  SELECT v, ca, cb, ca + cb AS cnt,
+         |    coalesce(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum_before
+         |  FROM j
+         |),
+         |ag AS (
+         |  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+         |    sum(ca * (2 * cum_before + cnt + 1))::BIGINT AS r2
+         |  FROM j2
+         |)
+         |SELECT n_a AS n_pos, n_b AS n_neg,
+         |  (r2 - n_a * (n_a + 1))::BIGINT AS u2_pos,
+         |  round(CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
+         |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
+         |    AS auc
+         |FROM ag""".stripMargin,
+
+    // q200: baseline decile boundaries as exact order statistics off
+    // the distinct-value CDF; bins by strictly-below boundary counts;
+    // per-bin terms in the classBalance integerization; any empty bin
+    // on either side nulls the statistic.
+    "q200_psi" ->
+      s"""$qualityScoreSqlCtes,
+         |av AS (SELECT quality_score AS v FROM qs
+         |       WHERE source <> '$KsSourceA'),
+         |bv AS (SELECT quality_score AS v FROM qs
+         |       WHERE source = '$KsSourceA'),
+         |da AS (SELECT v, count(*)::BIGINT AS c FROM av GROUP BY v),
+         |db AS (SELECT v, count(*)::BIGINT AS c FROM bv GROUP BY v),
+         |dac AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM da
+         |),
+         |na AS (SELECT count(*)::BIGINT AS n_a FROM av),
+         |nb AS (SELECT count(*)::BIGINT AS n_b FROM bv),
+         |tg AS (
+         |  SELECT ii.i, (ii.i * na.n_a + ${PsiBins - 1}) // $PsiBins
+         |    AS target
+         |  FROM (SELECT unnest(range(1, $PsiBins))::BIGINT AS i) ii
+         |  CROSS JOIN na
+         |),
+         |bd AS (
+         |  SELECT tg.i, min(dac.v) AS v
+         |  FROM dac JOIN tg ON dac.cum >= tg.target GROUP BY tg.i
+         |),
+         |ba AS (
+         |  SELECT s.bin, sum(s.c)::BIGINT AS ca FROM (
+         |    SELECT d.v, d.c,
+         |      sum(CASE WHEN d.v > bd.v THEN 1 ELSE 0 END)::BIGINT AS bin
+         |    FROM da d CROSS JOIN bd GROUP BY d.v, d.c) s
+         |  GROUP BY s.bin
+         |),
+         |bb AS (
+         |  SELECT s.bin, sum(s.c)::BIGINT AS cb FROM (
+         |    SELECT d.v, d.c,
+         |      sum(CASE WHEN d.v > bd.v THEN 1 ELSE 0 END)::BIGINT AS bin
+         |    FROM db d CROSS JOIN bd GROUP BY d.v, d.c) s
+         |  GROUP BY s.bin
+         |),
+         |ff AS (
+         |  SELECT bin, ca, cb FROM ba FULL JOIN bb USING (bin)
+         |),
+         |tt AS (
+         |  SELECT bin, ca, cb,
+         |    CAST(floor(round(
+         |      (CAST(ca AS DOUBLE) / CAST(na.n_a AS DOUBLE)
+         |       - CAST(cb AS DOUBLE) / CAST(nb.n_b AS DOUBLE))
+         |      * ln((CAST(ca AS DOUBLE) / CAST(na.n_a AS DOUBLE))
+         |           / (CAST(cb AS DOUBLE) / CAST(nb.n_b AS DOUBLE))), 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS t9
+         |  FROM ff CROSS JOIN na CROSS JOIN nb
+         |)
+         |SELECT na.n_a, nb.n_b, (SELECT count(*) FROM ff)::BIGINT
+         |    AS n_bins,
+         |  CASE WHEN (SELECT sum(CASE WHEN t9 IS NULL THEN 1 ELSE 0 END)
+         |             FROM tt) = 0 THEN
+         |    round(CAST((SELECT sum(t9) FROM tt) AS DOUBLE) / 1e9, 9)
+         |  END AS psi
+         |FROM na CROSS JOIN nb""".stripMargin,
 
     // q196: the order statistic at the exact-integer conformal rank;
     // tie values make the rank's VALUE deterministic regardless of

@@ -350,6 +350,85 @@ object Quality {
       .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"), col("z"))
   }
 
+  /** ROC-AUC of a score against a boolean label — "does the quality
+    * score actually rank the class above the rest", the one-number
+    * audit before any score becomes a gate. Computed EXACTLY through
+    * [[mannWhitney]]'s tie-adjusted U (AUC = U₊/(n₊·n₋) =
+    * P(score₊ > score₋) + ½P(=)): no ROC curve discretization, no
+    * trapezoid error, ties handled by midranks. One division of exact
+    * integers (u2/2n₊n₋), 9 dp. Returns ONE row: (n_pos, n_neg,
+    * u2_pos, auc) — AUC 0.5 = the score carries no signal for the
+    * label. */
+  def auc(df: DataFrame, labelCol: Column, scoreCol: String): DataFrame =
+    mannWhitney(df.filter(labelCol), df.filter(!labelCol), scoreCol)
+      .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
+        col("u2_a").as("u2_pos"),
+        round(col("u2_a").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") *
+            col("n_b").cast("double")), 9).as("auc"))
+
+  /** Population Stability Index between a BASELINE sample and a
+    * comparison sample of a score (the credit-scoring / model-
+    * monitoring standard: PSI < 0.1 stable, > 0.25 shifted): scores
+    * bin by the BASELINE's `bins` quantile boundaries — the boundary
+    * for quantile i is the baseline score at rank ⌈i·n_A/bins⌉, an
+    * exact order statistic — and PSI = Σ (p_A − p_B)·ln(p_A/p_B)
+    * over bins. Each bin term is an exact count ratio inside one
+    * pinned double chain, integerized at 1e9 and summed in LONG (the
+    * [[classBalance]] discipline). An empty bin on either side makes
+    * ln undefined — PSI is NULL then (the honest outcome; smoothing
+    * constants silently change the statistic).
+    *
+    * Shape: baseline boundaries come from the baseline's
+    * DISTINCT-value CDF (the scorePercentiles class — never a
+    * corpus-sized sort): boundary i = min value whose inclusive cum ≥
+    * the target rank. Bin assignment broadcasts the ≤ bins−1 boundary
+    * rows against each side's distinct-score frame (a score's bin =
+    * boundaries strictly below it, so boundary-valued scores fall in
+    * the lower bin); one (side, bin) agg; a bins-sized rollup.
+    * Returns ONE row: (n_a, n_b, n_bins, psi). */
+  def psi(a: DataFrame, b: DataFrame, scoreCol: String,
+          bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val distA = a.groupBy(col(scoreCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nA = a.agg(count(lit(1)).as("n_a"))
+    val targets = a.sparkSession.range(1, bins).select(col("id").as("__i"))
+      .crossJoin(broadcast(nA))
+      .select(col("__i"),
+        expr(s"(__i * n_a + ${bins - 1}) div $bins").as("__target"))
+    val bounds = distA.crossJoin(broadcast(targets))
+      .filter(col("__cum") >= col("__target"))
+      .groupBy(col("__i")).agg(min(col("__v")).as("__v"))
+    def binned(df: DataFrame, as: String) = df
+      .groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("__s"), col("__c"))
+      .agg(sum(when(col("__s") > col("__v"),
+        lit(1L)).otherwise(0L)).as("__bin"))
+      .groupBy(col("__bin")).agg(sum(col("__c")).as(as))
+    val ca = binned(a, "ca")
+    val cb = binned(b, "cb")
+    val nB = b.agg(count(lit(1)).as("n_b"))
+    val pa = col("ca").cast("double") / col("n_a").cast("double")
+    val pb = col("cb").cast("double") / col("n_b").cast("double")
+    val term = (pa - pb) * log(pa / pb)
+    ca.join(cb, Seq("__bin"), "full_outer")
+      .crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+      .withColumn("__t9", when(col("ca").isNotNull && col("cb").isNotNull,
+        floor(round(term, 9) * lit(1e9) + lit(0.5)).cast("long")))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_bins"),
+        sum(when(col("__t9").isNull, 1L).otherwise(0L)).as("__bad"),
+        sum(col("__t9")).as("__psi9"))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        when(col("__bad") === 0L,
+          round(col("__psi9").cast("double") / lit(1e9), 9)).as("psi"))
+  }
+
   /** Chi-square independence test + Cramér's V over a two-column
     * contingency table (label × source, lang × source …) — "is the
     * label mix different across sources" as one number, the

@@ -312,6 +312,44 @@ class QualitySpec extends SparkSpec {
     assert(ab._5.get == -ba._5.get, "z antisymmetric under swap")
   }
 
+  test("auc: 1.0 on perfect separation, 0.0 reversed, 0.5 on " +
+      "all-ties; matches the pairwise-comparison definition") {
+    def mk(pos: Seq[Double], neg: Seq[Double]) =
+      (pos.map((true, _)) ++ neg.map((false, _))).toDF("y", "s")
+    def aucOf(pos: Seq[Double], neg: Seq[Double]) =
+      Quality.auc(mk(pos, neg), col("y"), "s")
+        .select("auc").as[Double].collect().head
+    assert(aucOf(Seq(3.0, 4.0), Seq(1.0, 2.0)) == 1.0)
+    assert(aucOf(Seq(1.0, 2.0), Seq(3.0, 4.0)) == 0.0)
+    assert(aucOf(Seq(5.0, 5.0), Seq(5.0, 5.0, 5.0)) == 0.5)
+    // definition check with ties: pairs (p > n) + 0.5 (p = n), / n+n-
+    val pos = Seq(1.0, 2.0, 2.0, 4.0); val neg = Seq(1.0, 2.0, 3.0)
+    val expect = (for { p <- pos; n <- neg } yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+      (pos.size * neg.size)
+    assert(aucOf(pos, neg) ==
+      BigDecimal(expect).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("psi: zero on identical distributions; positive under shift; " +
+      "an empty bin on either side yields NULL") {
+    val base = (1 to 100).map(i => Tuple1(i.toDouble)).toDF("s")
+    val same = Quality.psi(base, base, "s", 10)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(same == ((100L, 100L, 10L, Some(0.0))))
+    val shifted = (1 to 100).map(i => Tuple1(i.toDouble + 30.0))
+      .toDF("s")
+    val sh = Quality.psi(base, shifted, "s", 10)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(sh._4.isEmpty || sh._4.get > 0.1,
+      s"a 30-point shift must read as drift or an empty-bin NULL: $sh")
+    val narrow = Seq.fill(50)(Tuple1(55.0)).toDF("s")
+    val nb = Quality.psi(base, narrow, "s", 10)
+      .select("psi").as[Option[Double]].collect().head
+    assert(nb.isEmpty, "concentrated comparison empties bins -> NULL")
+  }
+
   test("chiSquare: zero on an exactly independent table, one " +
       "(Cramer's V) on a perfectly associated one; dof-0 is NULL") {
     val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
