@@ -493,6 +493,11 @@ object SparkEntry {
   val ConformalAlphaDen = 10L
   /** q200 PSI bin count (the industry-standard 10 deciles). */
   val PsiBins = 10
+  /** q202 trim fraction (10% per tail). */
+  val TrimNum = 1L
+  val TrimDen = 10L
+  /** q203 MAD multiplier (the classic 3-MAD outlier band). */
+  val MadK = 3
 
   /** q193 skip-estimate band: the middle fifth of the key range
     * (numerators over [[SkipBandDen]]). */
@@ -3984,6 +3989,37 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           (col("est_size") - col("join_size")).as("overestimate"),
           round(col("est_size").cast("double") /
             col("join_size").cast("double"), 9).as("ratio"))
+    }),
+
+    // Leave-one-source-out ablation of the mean quality score —
+    // algebra over exact integer sums, no per-source re-scan; the
+    // ablation leaderboard ("removing which source raises the mean").
+    "q201_loo_ablation" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.leaveOneOut(qs, "source", "quality_score")
+        .orderBy(desc("delta"), col("source"))
+    }),
+
+    // Exact 10%-trimmed mean per source — interval arithmetic over
+    // the per-source distinct-value CDF, no data sort.
+    "q202_trimmed_mean" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.trimmedMean(qs, "source", "quality_score", TrimNum, TrimDen)
+        .orderBy("source")
+    }),
+
+    // Median / 3-MAD outlier report per source — exact lower medians
+    // over integerized scores, both for the center and the deviation.
+    "q203_mad_outliers" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.madOutliers(qs, "source", "quality_score", MadK)
+        .orderBy("source")
     }),
 
     // ROC-AUC of the quality score as a ranker for lang = en — exact
@@ -7954,6 +7990,108 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(est.est_size AS DOUBLE)
          |    / CAST(ex.join_size AS DOUBLE), 9) AS ratio
          |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
+
+    // q201: global-minus-group algebra over the same integerized sums.
+    "q201_loo_ablation" ->
+      s"""$qualityScoreSqlCtes,
+         |per AS (
+         |  SELECT source, count(*)::BIGINT AS n_g,
+         |    sum(CAST(floor(quality_score * 1e9 + 0.5)
+         |      AS BIGINT))::BIGINT AS sg
+         |  FROM qs GROUP BY source
+         |),
+         |tot AS (SELECT sum(n_g)::BIGINT AS n, sum(sg)::BIGINT AS s
+         |        FROM per)
+         |SELECT p.source, p.n_g,
+         |  round(CAST(p.sg AS DOUBLE) / CAST(p.n_g AS DOUBLE) / 1e9, 9)
+         |    AS mean_g,
+         |  CASE WHEN t.n > p.n_g THEN
+         |    round(CAST(t.s - p.sg AS DOUBLE)
+         |      / CAST(t.n - p.n_g AS DOUBLE) / 1e9, 9)
+         |  END AS mean_without,
+         |  CASE WHEN t.n > p.n_g THEN
+         |    round(CAST(t.s - p.sg AS DOUBLE)
+         |        / CAST(t.n - p.n_g AS DOUBLE) / 1e9
+         |      - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) / 1e9, 9)
+         |  END AS delta
+         |FROM per p CROSS JOIN tot t
+         |ORDER BY delta DESC, p.source""".stripMargin,
+
+    // q202: the same kept-interval arithmetic over the per-source
+    // distinct-value CDF.
+    "q202_trimmed_mean" ->
+      s"""$qualityScoreSqlCtes,
+         |cdf AS (
+         |  SELECT source,
+         |    CAST(floor(quality_score * 1e9 + 0.5) AS BIGINT) AS vi,
+         |    count(*)::BIGINT AS c
+         |  FROM qs GROUP BY 1, 2
+         |),
+         |w AS (
+         |  SELECT source, vi, c,
+         |    sum(c) OVER (PARTITION BY source ORDER BY vi ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+         |  FROM cdf
+         |),
+         |kept AS (
+         |  SELECT source, n, vi,
+         |    greatest(0, least(cum, n - (n * $TrimNum) // $TrimDen)
+         |      - greatest(cum - c + 1, (n * $TrimNum) // $TrimDen + 1)
+         |      + 1)::BIGINT AS k
+         |  FROM w
+         |)
+         |SELECT source, max(n)::BIGINT AS n, sum(k)::BIGINT AS n_kept,
+         |  CASE WHEN sum(k) > 0 THEN
+         |    round(CAST(sum(k * vi) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
+         |      / 1e9, 9)
+         |  END AS trimmed_mean
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // q203: two exact lower medians (rank ceil(n/2) order statistics)
+    // over integerized values, then the 3-MAD flag count.
+    "q203_mad_outliers" ->
+      s"""$qualityScoreSqlCtes,
+         |vi AS (
+         |  SELECT source,
+         |    CAST(floor(quality_score * 1e9 + 0.5) AS BIGINT) AS v
+         |  FROM qs
+         |),
+         |m2 AS (
+         |  SELECT source, v,
+         |    sum(c) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+         |  FROM (SELECT source, v, count(*)::BIGINT AS c FROM vi
+         |        GROUP BY 1, 2)
+         |),
+         |med AS (
+         |  SELECT source, min(v)::BIGINT AS med FROM m2
+         |  WHERE cum >= (n + 1) // 2 GROUP BY source
+         |),
+         |dv AS (
+         |  SELECT vi.source, abs(vi.v - med.med)::BIGINT AS d, med.med
+         |  FROM vi JOIN med USING (source)
+         |),
+         |d2 AS (
+         |  SELECT source, d,
+         |    sum(c) OVER (PARTITION BY source ORDER BY d ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+         |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+         |  FROM (SELECT source, d, count(*)::BIGINT AS c FROM dv
+         |        GROUP BY 1, 2)
+         |),
+         |mad AS (
+         |  SELECT source, min(d)::BIGINT AS mad FROM d2
+         |  WHERE cum >= (n + 1) // 2 GROUP BY source
+         |)
+         |SELECT dv.source, count(*)::BIGINT AS n,
+         |  round(CAST(max(dv.med) AS DOUBLE) / 1e9, 9) AS median,
+         |  round(CAST(max(mad.mad) AS DOUBLE) / 1e9, 9) AS mad,
+         |  sum(CASE WHEN dv.d > $MadK * mad.mad THEN 1 ELSE 0
+         |    END)::BIGINT AS n_outliers
+         |FROM dv JOIN mad USING (source)
+         |GROUP BY dv.source ORDER BY dv.source""".stripMargin,
 
     // q199: the q197 rank machinery on the en/non-en split, one
     // division to AUC.

@@ -350,6 +350,138 @@ object Quality {
       .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"), col("z"))
   }
 
+  /** Leave-one-group-out ablation of a mean metric — "which source is
+    * dragging the corpus average down" answered for EVERY source in
+    * one pass: additive metrics make ablation algebra, not re-runs
+    * (global sum − group sum over global count − group count). Scores
+    * integerize at 1e9 (floor(x·1e9 + ½)) and sum in exact LONG, so
+    * each ablated mean is one pinned double chain and the table is
+    * engine-portable. `delta` = ablated mean − global mean: positive
+    * delta = removing the group RAISES the average (the group was a
+    * drag). A group that IS the whole corpus ablates to NULL.
+    *
+    * Shape: one (group → n, Σ) agg + a broadcast 1-row global; no
+    * second scan per group — that is the point. Returns one row per
+    * group: (groupCol, n_g, mean_g, mean_without, delta), delta
+    * descending — the ablation leaderboard. */
+  def leaveOneOut(df: DataFrame, groupCol: String,
+                  scoreCol: String): DataFrame = {
+    val si = floor(col(scoreCol).cast("double") * lit(1e9) + lit(0.5))
+      .cast("long")
+    val per = df.select(col(groupCol), si.as("__si"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_g"), sum(col("__si")).as("__sg"))
+    val tot = per.agg(sum(col("n_g")).as("__n"), sum(col("__sg")).as("__s"))
+    def mean(sc: Column, nc: Column) =
+      sc.cast("double") / nc.cast("double") / lit(1e9)
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_g"),
+        round(mean(col("__sg"), col("n_g")), 9).as("mean_g"),
+        when(col("__n") > col("n_g"),
+          round(mean(col("__s") - col("__sg"), col("__n") - col("n_g")), 9))
+          .as("mean_without"),
+        when(col("__n") > col("n_g"),
+          round(mean(col("__s") - col("__sg"), col("__n") - col("n_g")) -
+            mean(col("__s"), col("__n")), 9)).as("delta"))
+  }
+
+  /** Exact trimmed mean per group — the robust location estimate a
+    * quality dashboard should show instead of the raw mean (one
+    * spam-burst document at length 10⁷ moves a mean; it cannot move a
+    * 10%-trimmed one): keep ranks in [⌊n·lo⌋+1, n − ⌊n·lo⌋] (both
+    * tails trimmed by the `loNum/loDen` fraction) and average exactly.
+    * No sort of the data: each DISTINCT value contributes
+    * overlap([cum_before+1, cum], [k_lo, k_hi]) copies — pure integer
+    * interval arithmetic over the group's distinct-value CDF — and
+    * values integerize at 1e9 so the kept-sum is an exact LONG.
+    *
+    * Shape: one (group, value) agg, per-group CDF windows (bounded by
+    * distinct values), one group rollup. Integer capacity: 1e9-scaled
+    * value × kept count per group must fit LONG (~9·10⁹ unit-scale
+    * rows). Returns (groupCol, n, n_kept, trimmed_mean) — NULL when
+    * the trim empties the group. */
+  def trimmedMean(df: DataFrame, groupCol: String, scoreCol: String,
+                  loNum: Long, loDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(loDen >= 1 && loNum >= 0 && 2 * loNum < loDen,
+      s"trim fraction $loNum/$loDen must be in [0, 0.5)")
+    val cdf = df
+      .select(col(groupCol),
+        floor(col(scoreCol).cast("double") * lit(1e9) + lit(0.5))
+          .cast("long").as("__vi"))
+      .groupBy(col(groupCol), col("__vi"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__vi"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+    val kLo = expr(s"(__n * $loNum) div $loDen") + 1L
+    val kHi = col("__n") - expr(s"(__n * $loNum) div $loDen")
+    val kept = greatest(lit(0L),
+      least(col("__cum"), kHi) -
+        greatest(col("__cum") - col("__c") + 1L, kLo) + 1L)
+    cdf.withColumn("__k", kept)
+      .groupBy(col(groupCol))
+      .agg(first(col("__n")).as("n"), sum(col("__k")).as("n_kept"),
+        sum(col("__k") * col("__vi")).as("__ks"))
+      .withColumn("trimmed_mean", when(col("n_kept") > 0L,
+        round(col("__ks").cast("double") / col("n_kept").cast("double") /
+          lit(1e9), 9)))
+      .select(col(groupCol), col("n"), col("n_kept"), col("trimmed_mean"))
+  }
+
+  /** Median / MAD robust outlier report per group — the
+    * median-absolute-deviation gate (flag x iff |x − med| > k·MAD)
+    * that survives the heavy tails a mean/stddev z-score drowns in.
+    * Both medians are exact LOWER medians (rank ⌈n/2⌉ order
+    * statistics — deterministic, no interpolation ambiguity across
+    * engines) over 1e9-integerized values, so med, MAD and the flag
+    * count are bit-portable. MAD = 0 (over half the group tied at the
+    * median) reports n_outliers against a zero band — any deviation
+    * flags, the documented degenerate behavior.
+    *
+    * Shape: per-group distinct-value CDF for the median (bounded
+    * windows), a second distinct-CDF over |v − med| for the MAD, one
+    * flag-count agg. Returns (groupCol, n, median, mad, n_outliers). */
+  def madOutliers(df: DataFrame, groupCol: String, scoreCol: String,
+                  k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    def lowerMedian(in: DataFrame, valCol: String, as: String) = in
+      .groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col(valCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__cum") >= expr("(__n + 1) div 2"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valCol)).as(as), first(col("__n")).as("__n"))
+    val vi = df.select(col(groupCol),
+      floor(col(scoreCol).cast("double") * lit(1e9) + lit(0.5))
+        .cast("long").as("__vi"))
+    val med = lowerMedian(vi, "__vi", "__med")
+    val dev = vi.join(med.select(col(groupCol), col("__med")),
+        Seq(groupCol))
+      .withColumn("__d", abs(col("__vi") - col("__med")))
+    val mad = lowerMedian(dev.select(col(groupCol), col("__d")), "__d",
+      "__mad")
+    dev.join(mad.select(col(groupCol), col("__mad")), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("__med")).as("__m"), first(col("__mad")).as("__md"),
+        sum(when(col("__d") > lit(k.toLong) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col(groupCol), col("n"),
+        round(col("__m").cast("double") / lit(1e9), 9).as("median"),
+        round(col("__md").cast("double") / lit(1e9), 9).as("mad"),
+        col("n_outliers"))
+  }
+
   /** ROC-AUC of a score against a boolean label — "does the quality
     * score actually rank the class above the rest", the one-number
     * audit before any score becomes a gate. Computed EXACTLY through

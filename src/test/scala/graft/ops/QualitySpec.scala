@@ -312,6 +312,49 @@ class QualitySpec extends SparkSpec {
     assert(ab._5.get == -ba._5.get, "z antisymmetric under swap")
   }
 
+  test("leaveOneOut: ablation algebra by hand — removing the drag " +
+      "group raises the mean") {
+    val df = Seq(("A", 1.0), ("A", 1.0), ("B", 4.0)).toDF("g", "s")
+    val got = Quality.leaveOneOut(df, "g", "s")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 2L, 1.0, Some(4.0), Some(2.0))))
+    assert(got("B") == (("B", 1L, 4.0, Some(1.0), Some(-1.0))))
+    // a single-group frame ablates to nothing
+    val one = Quality.leaveOneOut(
+      Seq(("X", 1.0), ("X", 2.0)).toDF("g", "s"), "g", "s")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(one._4.isEmpty && one._5.isEmpty)
+  }
+
+  test("trimmedMean: hand case; one extreme row cannot move the " +
+      "10%-trimmed mean") {
+    val clean = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "s")
+    val tm = Quality.trimmedMean(clean, "g", "s", 1L, 10L)
+      .as[(String, Long, Long, Option[Double])].collect().head
+    // keep ranks 2..9 -> mean of 2..9 = 5.5
+    assert(tm == (("g", 10L, 8L, Some(5.5))))
+    val poisoned = ((1 to 9).map(i => ("g", i.toDouble)) :+
+      (("g", 1000000.0))).toDF("g", "s")
+    val tp = Quality.trimmedMean(poisoned, "g", "s", 1L, 10L)
+      .as[(String, Long, Long, Option[Double])].collect().head
+    assert(tp._4.contains(5.5), s"trim must drop the poison row: $tp")
+  }
+
+  test("madOutliers: exact lower medians; heavy tail flagged; " +
+      "MAD-zero degenerate band flags any deviation") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)).toDF("g", "s")
+    val r = Quality.madOutliers(df, "g", "s", 3)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    // median 3; deviations 2,1,0,1,97 -> MAD 1; only 97 > 3
+    assert(r == (("g", 5L, 3.0, 1.0, 1L)))
+    val deg = Seq(5.0, 5.0, 5.0, 7.0).map(("g", _)).toDF("g", "s")
+    val d = Quality.madOutliers(deg, "g", "s", 3)
+      .as[(String, Long, Double, Double, Long)].collect().head
+    assert(d == (("g", 4L, 5.0, 0.0, 1L)))
+  }
+
   test("auc: 1.0 on perfect separation, 0.0 reversed, 0.5 on " +
       "all-ties; matches the pairwise-comparison definition") {
     def mk(pos: Seq[Double], neg: Seq[Double]) =
