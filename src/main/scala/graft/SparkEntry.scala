@@ -498,6 +498,13 @@ object SparkEntry {
   val TrimDen = 10L
   /** q203 MAD multiplier (the classic 3-MAD outlier band). */
   val MadK = 3
+  /** q204 anonymity floor (groups below k violate). */
+  val KAnonK = 5L
+  /** q205 decay half-life (7 days) and report instant (2024-01-31
+    * 00:00 UTC — just past the fixture's last event, so every event
+    * counts and the instant is SF-independent). */
+  val DecayHalfLifeMs = 604800000L
+  val DecayAsOfMs = 1706659200000L
 
   /** q193 skip-estimate band: the middle fifth of the key range
     * (numerators over [[SkipBandDen]]). */
@@ -3989,6 +3996,26 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           (col("est_size") - col("join_size")).as("overestimate"),
           round(col("est_size").cast("double") /
             col("join_size").cast("double"), 9).as("ratio"))
+    }),
+
+    // k-anonymity / l-diversity release gate on the customer table:
+    // QI = (nation, balance-thousand bucket), sensitive = segment —
+    // exact group sizes and distinct-sensitive minima in one pass.
+    "q204_k_anonymity" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bucket",
+          floor(col("c_acctbal") / lit(1000.0)).cast("long"))
+      Quality.kAnonymity(c, Seq("c_nationkey", "bal_bucket"),
+        "c_mktsegment", KAnonK)
+    }),
+
+    // Exponentially decayed event mass per type as of just past the
+    // fixture's horizon — per-row decay integerized before the sum,
+    // so the trending table is bit-portable.
+    "q205_decayed_counts" -> ((s, dir) => {
+      Events.decayedCounts(Sources.eventsNs(s, dir), DecayHalfLifeMs,
+          DecayAsOfMs)
+        .orderBy("event_type")
     }),
 
     // Leave-one-source-out ablation of the mean quality score —
@@ -7990,6 +8017,50 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(est.est_size AS DOUBLE)
          |    / CAST(ex.join_size AS DOUBLE), 9) AS ratio
          |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
+
+    // q204: one QI agg, one rollup — counts exact, one division.
+    "q204_k_anonymity" ->
+      s"""WITH c AS (
+         |  SELECT c_nationkey,
+         |    CAST(floor(c_acctbal / 1e3) AS BIGINT) AS bal_bucket,
+         |    c_mktsegment
+         |  FROM customer
+         |),
+         |g AS (
+         |  SELECT c_nationkey, bal_bucket, count(*)::BIGINT AS sz,
+         |    count(DISTINCT c_mktsegment)::BIGINT AS l
+         |  FROM c GROUP BY 1, 2
+         |)
+         |SELECT sum(sz)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+         |  min(sz)::BIGINT AS min_group_size,
+         |  sum(CASE WHEN sz < $KAnonK THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_viol_groups,
+         |  sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)::BIGINT
+         |    AS n_viol_rows,
+         |  round(sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)
+         |    / CAST(sum(sz) AS DOUBLE), 9) AS viol_share,
+         |  min(l)::BIGINT AS min_l
+         |FROM g""".stripMargin,
+
+    // q205: the identical age -> pow chain per row, 9dp-rounded and
+    // integerized before the sum.
+    "q205_decayed_counts" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_ns(ts) // 1000000 AS ms FROM events
+         |),
+         |w AS (
+         |  SELECT event_type,
+         |    CAST(floor(round(pow(CAST(2 AS DOUBLE),
+         |      -(CAST($DecayAsOfMs - ms AS DOUBLE)
+         |        / CAST($DecayHalfLifeMs AS DOUBLE))), 9) * 1e9 + 0.5)
+         |      AS BIGINT) AS w9
+         |  FROM e WHERE ms <= $DecayAsOfMs
+         |)
+         |SELECT event_type, count(*)::BIGINT AS n_events,
+         |  round(CAST(sum(w9) AS DOUBLE) / 1e9, 9) AS decayed_mass,
+         |  round(CAST(sum(w9) AS DOUBLE) / 1e9
+         |    / CAST(count(*) AS DOUBLE), 9) AS recency
+         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q201: global-minus-group algebra over the same integerized sums.
     "q201_loo_ablation" ->

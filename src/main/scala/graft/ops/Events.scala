@@ -687,6 +687,41 @@ object Events {
         col("to_ms"), col("to_ms").isNull.as("is_current"))
   }
 
+  /** Exponentially time-decayed event mass per type — the "trending
+    * now" aggregate: each event contributes 2^(−age/halfLife) as of
+    * the given instant, so yesterday's burst outweighs last month's
+    * steady drip, without any windowing cliff. The decayed/raw ratio
+    * is the recency signature (→1 = all mass recent, →0 = stale).
+    *
+    * Determinism: the per-row decay is one pinned double chain
+    * (integer age → double division → pow), rounded to 9 dp and
+    * integerized at 1e9 BEFORE summation — the sum is exact LONG, so
+    * partition order cannot move a bit (the [[classBalance]]
+    * discipline; a float sum of 2^−x terms is order-sensitive).
+    * Events after `asOfMs` are excluded (they haven't happened yet as
+    * of the report instant).
+    *
+    * Shape: map-only per-row decay, one hash agg keyed on type.
+    * Returns (event_type, n_events, decayed_mass, recency) ordered by
+    * the caller. */
+  def decayedCounts(events: DataFrame, halfLifeMs: Long,
+                    asOfMs: Long): DataFrame = {
+    require(halfLifeMs >= 1, s"halfLifeMs must be >= 1, got $halfLifeMs")
+    val ageMs = lit(asOfMs) - expr("ts div 1000000")
+    val w9 = floor(round(pow(lit(2.0),
+      -(ageMs.cast("double") / lit(halfLifeMs.toDouble))), 9) * lit(1e9) +
+      lit(0.5)).cast("long")
+    events.filter(expr("ts div 1000000") <= asOfMs)
+      .select(col("event_type"), w9.as("__w9"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__w9")).as("__m9"))
+      .select(col("event_type"), col("n_events"),
+        round(col("__m9").cast("double") / lit(1e9), 9)
+          .as("decayed_mass"),
+        round(col("__m9").cast("double") / lit(1e9) /
+          col("n_events").cast("double"), 9).as("recency"))
+  }
+
   /** Two-proportion A/B z-test over hash-assigned user arms — the
     * experiment readout: users split into arms by keyed hash (the
     * [[graft.ops.Portable]] assignment an experimentation system

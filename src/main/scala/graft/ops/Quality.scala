@@ -350,6 +350,42 @@ object Quality {
       .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"), col("z"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney'02; Machanavajjhala
+    * et al.'07) — the release-gate numbers for any table carrying
+    * quasi-identifiers: a row is k-anonymous iff at least k rows share
+    * its full QI combination, and a QI group is l-diverse iff it
+    * spans ≥ l distinct sensitive values (k-anonymity alone leaks when
+    * a group is sensitive-homogeneous). One pass: QI-group sizes and
+    * per-group distinct-sensitive counts, rolled to the release
+    * decision row. All counts exact; the share is one division.
+    *
+    * Shape: one hash agg on the QI columns (count + count distinct),
+    * one rollup over the group frame. Returns ONE row: (n_rows,
+    * n_groups, min_group_size, n_viol_groups, n_viol_rows,
+    * viol_share, min_l) — release-safe iff n_viol_rows = 0 AND
+    * min_l ≥ the policy's l. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val groups = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    groups.agg(
+        sum(col("__sz")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__sz")).as("min_group_size"),
+        sum(when(col("__sz") < k, 1L).otherwise(0L)).as("n_viol_groups"),
+        sum(when(col("__sz") < k, col("__sz")).otherwise(0L))
+          .as("n_viol_rows"),
+        min(col("__l")).as("min_l"))
+      .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+        col("n_viol_groups"), col("n_viol_rows"),
+        round(col("n_viol_rows").cast("double") /
+          col("n_rows").cast("double"), 9).as("viol_share"),
+        col("min_l"))
+  }
+
   /** Leave-one-group-out ablation of a mean metric — "which source is
     * dragging the corpus average down" answered for EVERY source in
     * one pass: additive metrics make ablation algebra, not re-runs

@@ -525,6 +525,26 @@ class EventsSpec extends SparkSpec {
     assert(byPrev("Z")._2.isEmpty && byPrev("Z")._4 == 0L)
   }
 
+  test("decayedCounts: halving per half-life by hand; future events " +
+      "excluded; integerized sum is partitioning-invariant") {
+    val ns = 1000000L // 1 ms in ns
+    val ev = Seq(
+      (1L, 1000L * ns, 1L, "a", 0.0),  // age 0   -> 1.0
+      (2L, 900L * ns, 1L, "a", 0.0),   // age 100 -> 0.5
+      (3L, 800L * ns, 1L, "a", 0.0),   // age 200 -> 0.25
+      (4L, 1100L * ns, 1L, "a", 0.0),  // future  -> excluded
+      (5L, 1000L * ns, 2L, "b", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.decayedCounts(ev, halfLifeMs = 100L, asOfMs = 1000L)
+      .orderBy("event_type")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 3L, 1.75, 0.583333333), ("b", 1L, 1.0, 1.0)))
+    val rep = Events.decayedCounts(ev.repartition(7), 100L, 1000L)
+      .orderBy("event_type")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(rep == got)
+  }
+
   test("abTest: perfectly separated arms give the textbook pooled z; " +
       "degenerate all-convert case yields NULL z, not a crash") {
     import graft.ops.Portable

@@ -312,6 +312,17 @@ class QualitySpec extends SparkSpec {
     assert(ab._5.get == -ba._5.get, "z antisymmetric under swap")
   }
 
+  test("kAnonymity: group sizes, violation mass and l-diversity by " +
+      "hand — the homogeneous big group is k-safe but l = 1") {
+    val df = (Seq.fill(6)((1L, 10L, "x")) ++
+      Seq((2L, 10L, "x"), (2L, 10L, "y"), (2L, 10L, "y")))
+      .toDF("nation", "bucket", "seg")
+    val r = Quality.kAnonymity(df, Seq("nation", "bucket"), "seg", 5L)
+      .as[(Long, Long, Long, Long, Long, Double, Long)].collect().head
+    // group (1,10): 6 rows, 1 segment; group (2,10): 3 rows, 2 segments
+    assert(r == ((9L, 2L, 3L, 1L, 3L, 0.333333333, 1L)))
+  }
+
   test("leaveOneOut: ablation algebra by hand — removing the drag " +
       "group raises the mean") {
     val df = Seq(("A", 1.0), ("A", 1.0), ("B", 4.0)).toDF("g", "s")
