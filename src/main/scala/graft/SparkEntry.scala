@@ -500,6 +500,17 @@ object SparkEntry {
   val MadK = 3
   /** q204 anonymity floor (groups below k violate). */
   val KAnonK = 5L
+  /** q206 edit-distance threshold for catalog fuzzy matching. */
+  val ErMaxDist = 2
+  /** q208 RBO persistence parameter (Webber et al.'s p = 0.9: ~86% of
+    * the weight mass in the top 10). */
+  val RboP = 0.9
+  /** q207 isotonic-calibration score buckets — 200 (not 20) because
+    * the fixture's quality scores concentrate in [0.80, 0.85]: at 20
+    * bins the whole corpus lands in one bucket and the PAV lattice is
+    * never exercised; at 200 the populated ~9 buckets carry a
+    * genuinely non-monotone rate profile that PAV must pool. */
+  val IsoBins = 200
   /** q205 decay half-life (7 days) and report instant (2024-01-31
     * 00:00 UTC — just past the fixture's last event, so every event
     * counts and the instant is SF-independent). */
@@ -4016,6 +4027,46 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Events.decayedCounts(Sources.eventsNs(s, dir), DecayHalfLifeMs,
           DecayAsOfMs)
         .orderBy("event_type")
+    }),
+
+    // Catalog fuzzy matching: every pair of distinct part names within
+    // edit distance 2, found via loss-free PassJoin segment filtering
+    // (never all-pairs); the oracle is the INDEPENDENT brute-force
+    // cross join, so a hash match certifies completeness on real data.
+    "q206_fuzzy_names" -> ((s, dir) => {
+      Er.editJoin(t(s, dir, "part"), "p_name", ErMaxDist)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // Rank-Biased Overlap between the full-dim exact top-10 and the
+    // 16-dim matryoshka top-10 per probe — q150 asks "did the
+    // neighbors survive truncation", this asks "in the same ORDER":
+    // rbo_norm = 1 means the truncated index ranks identically.
+    "q208_rank_rbo" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      RecEval.rboAtDepth(
+        Similarity.cosineTopK(emb, probes, TopK),
+        Similarity.cosineTopK(
+          Similarity.truncateEmbeddings(
+            emb.select(col("vec_id"), col("embedding")), TruncDims),
+          Similarity.truncateEmbeddings(
+            probes.select(col("vec_id"), col("embedding")), TruncDims),
+          TopK),
+        "probe_id", "vec_id", "rnk", TopK, RboP)
+        .orderBy("probe_id")
+    }),
+
+    // Isotonic (PAV) calibration of the quality score against the
+    // lang=en label — the q199 ranker turned into a monotone
+    // probability table, via the minimax closed form (no driver loop).
+    "q207_isotonic_calibration" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      Quality.isotonicCalibration(qs, "quality_score",
+          col("lang") === "en", IsoBins)
+        .orderBy("bucket")
     }),
 
     // Leave-one-source-out ablation of the mean quality score —
@@ -8061,6 +8112,94 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(sum(w9) AS DOUBLE) / 1e9
          |    / CAST(count(*) AS DOUBLE), 9) AS recency
          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q206: the oracle is deliberately the brute-force O(V²) join the
+    // engine avoids — a hash match certifies the segment-filter path
+    // is COMPLETE on real data, not just on the spec fixture.
+    "q206_fuzzy_names" ->
+      s"""WITH strs AS (
+         |  SELECT p_name AS s, count(*)::BIGINT AS n FROM part GROUP BY 1
+         |)
+         |SELECT a.s AS name_a, b.s AS name_b,
+         |  levenshtein(a.s, b.s)::BIGINT AS dist,
+         |  a.n AS n_a, b.n AS n_b
+         |FROM strs a JOIN strs b ON a.s < b.s
+         |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND $ErMaxDist
+         |ORDER BY name_a, name_b""".stripMargin,
+
+    // q208: both rankings as q150's CTEs; a common pair first counts
+    // at k = max(rank_a, rank_b), so each contributes the literal
+    // weight suffix sum W9(max) — the integers come from the SAME
+    // rboSuffixW9 table the engine consumes.
+    "q208_rank_rbo" -> {
+      val suf = RecEval.rboSuffixW9(TopK, RboP)
+      s"""WITH ap AS (
+         |${exactTopKSqlOn(s"embedding[1:$TruncDims]")}
+         |), ex AS (
+         |$q16OracleSql
+         |),
+         |j AS (
+         |  SELECT ex.probe_id,
+         |    ([${suf.mkString(", ")}])
+         |      [greatest(ex.rnk, ap.rnk)::INT] AS w9
+         |  FROM ex JOIN ap
+         |    ON ex.probe_id = ap.probe_id AND ex.vec_id = ap.vec_id
+         |),
+         |ag AS (
+         |  SELECT probe_id, count(*)::BIGINT AS n_common,
+         |    sum(w9)::BIGINT AS r9
+         |  FROM j GROUP BY 1
+         |),
+         |pr AS (SELECT DISTINCT probe_id FROM ex)
+         |SELECT pr.probe_id,
+         |  coalesce(ag.n_common, 0)::BIGINT AS n_common,
+         |  round(CAST(coalesce(ag.r9, 0) AS DOUBLE) / 1e9, 9) AS rbo,
+         |  round(CAST(coalesce(ag.r9, 0) AS DOUBLE)
+         |    / CAST(${suf.sum} AS DOUBLE), 9) AS rbo_norm
+         |FROM pr LEFT JOIN ag USING (probe_id)
+         |ORDER BY probe_id""".stripMargin
+    },
+
+    // q207: the identical bucket agg, cumulative frame, integerized
+    // pooled-rate grid and min/max lattice — buckets are distinct so
+    // the default RANGE window frame equals Spark's ROWS frame.
+    "q207_isotonic_calibration" ->
+      s"""$qualityScoreSqlCtes,
+         |bk AS (
+         |  SELECT least(floor(quality_score * $IsoBins), ${IsoBins - 1})
+         |      ::BIGINT AS bucket,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM qs
+         |),
+         |b AS (
+         |  SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+         |  FROM bk GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT bucket, n, pos,
+         |    sum(n) OVER (ORDER BY bucket) AS cn,
+         |    sum(pos) OVER (ORDER BY bucket) AS cp
+         |  FROM b
+         |),
+         |grid AS (
+         |  SELECT i.bucket AS bi, j.bucket AS bj,
+         |    CAST(floor(round(CAST(j.cp - (i.cp - i.pos) AS DOUBLE)
+         |      / CAST(j.cn - (i.cn - i.n) AS DOUBLE), 9) * 1e9 + 0.5)
+         |      AS BIGINT) AS r9
+         |  FROM c i JOIN c j ON i.bucket <= j.bucket
+         |),
+         |mn AS (
+         |  SELECT bb.bucket AS bkt, g.bi, min(g.r9) AS m
+         |  FROM grid g JOIN b bb
+         |    ON g.bi <= bb.bucket AND g.bj >= bb.bucket
+         |  GROUP BY 1, 2
+         |),
+         |f AS (SELECT bkt, max(m) AS f9 FROM mn GROUP BY 1)
+         |SELECT b.bucket, b.n, b.pos,
+         |  round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 9)
+         |    AS raw_rate,
+         |  round(CAST(f.f9 AS DOUBLE) / 1e9, 9) AS fitted
+         |FROM b JOIN f ON b.bucket = f.bkt ORDER BY b.bucket""".stripMargin,
 
     // q201: global-minus-group algebra over the same integerized sums.
     "q201_loo_ablation" ->

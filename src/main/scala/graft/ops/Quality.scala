@@ -535,6 +535,59 @@ object Quality {
           (lit(2.0) * col("n_a").cast("double") *
             col("n_b").cast("double")), 9).as("auc"))
 
+  /** Isotonic calibration of a score against a binary label via the
+    * Pool-Adjacent-Violators solution in its minimax CLOSED FORM
+    * (Ayer et al.'55; Barlow & Brunk'72): over score buckets ordered
+    * by bucket index, fitted(b) = max_{i≤b} min_{j≥b} rate(i..j),
+    * where rate(i..j) is the pooled positive rate of buckets i..j —
+    * the exact PAV fit without the sequential pooling loop, so it is
+    * one declarative plan (and one DuckDB oracle) instead of a
+    * driver-side recursion. Rates integerized at 1e9 before the
+    * min/max lattice, so cross-engine comparison is on integers.
+    *
+    * Shape: one corpus-pass bucket agg (bucket = ⌊score·bins⌋ clamped
+    * to bins−1), then everything is algebra on the ≤`bins`-row bucket
+    * frame: a bounded cumulative window, an O(bins²) pooled-rate
+    * grid, an O(bins³)-pair min/max reduction — thousands of rows at
+    * bins=20, independent of corpus size. Returns per present bucket:
+    * (bucket, n, pos, raw_rate, fitted) with fitted monotone
+    * non-decreasing in bucket (the law IsotonicSpec asserts). */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          labelCol: Column, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val b = df.select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long")
+          .as("bucket"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    // bounded global window: ≤ bins rows by construction
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("pos")).over(w))
+    val iF = cum.select(col("bucket").as("__bi"),
+      (col("__cn") - col("n")).as("__pn"),
+      (col("__cp") - col("pos")).as("__pp"))
+    val jF = cum.select(col("bucket").as("__bj"), col("__cn"), col("__cp"))
+    val grid = iF.join(jF, col("__bi") <= col("__bj"))
+      .select(col("__bi"), col("__bj"),
+        floor(round((col("__cp") - col("__pp")).cast("double") /
+          (col("__cn") - col("__pn")).cast("double"), 9) * lit(1e9) +
+          lit(0.5)).cast("long").as("__r9"))
+    val fitted = grid
+      .join(b.select(col("bucket").as("__bb")),
+        col("__bi") <= col("__bb") && col("__bj") >= col("__bb"))
+      .groupBy(col("__bb"), col("__bi")).agg(min(col("__r9")).as("__mn"))
+      .groupBy(col("__bb")).agg(max(col("__mn")).as("__f9"))
+    b.join(fitted, col("bucket") === col("__bb"))
+      .select(col("bucket"), col("n"), col("pos"),
+        round(col("pos").cast("double") / col("n").cast("double"), 9)
+          .as("raw_rate"),
+        round(col("__f9").cast("double") / lit(1e9), 9).as("fitted"))
+  }
+
   /** Population Stability Index between a BASELINE sample and a
     * comparison sample of a score (the credit-scoring / model-
     * monitoring standard: PSI < 0.1 stable, > 0.25 shifted): scores

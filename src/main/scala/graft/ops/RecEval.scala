@@ -167,4 +167,64 @@ object RecEval {
         element_at(col("basket"), size(col("basket")))
           .cast("long").as("heldout"),
         slice(col("basket"), lit(1), size(col("basket")) - 1).as("ctx"))
+
+  /** Per-weight-table entries for [[rboAtDepth]]: w(k) = (1−p)·p^(k−1)/k
+    * integerized at 1e9, and the suffix sums W9(m) = Σ_{k=m..d} w9(k).
+    * Exposed so the SparkEntry oracle embeds the IDENTICAL integers
+    * (the q170 NDCG recipe — log/pow tables computed once, both
+    * engines consume literals). */
+  def rboSuffixW9(depth: Int, p: Double): Seq[Long] = {
+    val w9 = (1 to depth).map(k =>
+      math.round((1 - p) * math.pow(p, k - 1) / k * 1e9))
+    (1 to depth).map(m => w9.drop(m - 1).sum)
+  }
+
+  /** Rank-Biased Overlap at depth d (Webber, Moffat & Zobel, TOIS'10
+    * — the standard top-weighted comparison of two rankings): for each
+    * probe, RBO@d = Σ_{k=1..d} (1−p)p^(k−1) · |A_k ∩ B_k| / k, where
+    * A_k/B_k are the two rankings' depth-k prefixes. Recall@k (q150)
+    * only asks "did it show up"; RBO also charges for showing up LATE
+    * — the metric that separates "same set, shuffled order" from
+    * "same ranking".
+    *
+    * Exactness: a common item first counts at k = max(rank_A, rank_B),
+    * so RBO@d = Σ_pairs W(max rank) with W the weight suffix sum —
+    * the per-k prefix intersection never needs materializing. Weights
+    * are integerized literals ([[rboSuffixW9]]); the per-probe sum is
+    * exact LONG; two final divisions (mass, and normalization by W(1)
+    * = the identical-rankings maximum).
+    *
+    * Shape: one hash join of the two (probe, id, rank≤d) frames keyed
+    * on (probe, id), a literal-array lookup, one agg per probe; probes
+    * with empty intersection are kept at rbo = 0 via the probe dim.
+    * Returns (probe_id, n_common, rbo, rbo_norm) — identical depth-d
+    * prefixes score rbo = 1−p^d = Σ_m W9(m)/1e9 (each rank-r pair
+    * contributes W9(r)), and rbo_norm divides by that maximum so 1
+    * means "ranked identically to depth d". */
+  def rboAtDepth(a: DataFrame, b: DataFrame, probeCol: String,
+                 idCol: String, rankCol: String, depth: Int,
+                 p: Double): DataFrame = {
+    require(depth >= 1 && depth <= 1000, s"depth in [1,1000], got $depth")
+    require(p > 0 && p < 1, s"p in (0,1), got $p")
+    val suf = rboSuffixW9(depth, p)
+    val sufArr = array(suf.map(lit): _*)
+    def side(df: DataFrame, r: String) = df
+      .select(col(probeCol).as("__p"), col(idCol).as("__id"),
+        col(rankCol).as(r))
+      .filter(col(r) <= depth)
+    val j = side(a, "__ra").join(side(b, "__rb"), Seq("__p", "__id"))
+      .select(col("__p"),
+        element_at(sufArr, greatest(col("__ra"), col("__rb")).cast("int"))
+          .as("__w9"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_common"), sum(col("__w9")).as("__r9"))
+    a.select(col(probeCol).as("__p")).distinct()
+      .join(j, Seq("__p"), "left")
+      .select(col("__p").as(probeCol),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("__r9"), lit(0L)).cast("double") / lit(1e9), 9)
+          .as("rbo"),
+        round(coalesce(col("__r9"), lit(0L)).cast("double") /
+          lit(suf.sum.toDouble), 9).as("rbo_norm"))
+  }
 }

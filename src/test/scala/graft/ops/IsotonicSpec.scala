@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IsotonicSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (score, label) rows: `n` rows at `score`, `pos` of them labeled. */
+  private def mk(buckets: Seq[(Double, Int, Int)]) =
+    buckets.flatMap { case (s, n, p) =>
+      Seq.fill(p)((s, true)) ++ Seq.fill(n - p)((s, false))
+    }.toDF("score", "y")
+
+  test("isotonicCalibration: the textbook PAV pool — a decreasing " +
+      "violation pools to the weighted average of its block") {
+    // rates [0.2, 0.1, 0.4] over equal buckets -> [0.15, 0.15, 0.4]
+    val df = mk(Seq((0.1, 10, 2), (0.5, 10, 1), (0.9, 10, 4)))
+    val r = Quality.isotonicCalibration(df, "score", col("y"), 3)
+      .orderBy("bucket")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq((0L, 10L, 2L, 0.2, 0.15), (1L, 10L, 1L, 0.1, 0.15),
+      (2L, 10L, 4L, 0.4, 0.4)))
+  }
+
+  test("isotonicCalibration: unequal bucket sizes pool by WEIGHT, " +
+      "and an already-monotone profile is returned unchanged") {
+    // rates [0.5 (n=2), 0.25 (n=8)] -> pooled 3/10 = 0.3 for both
+    val v = mk(Seq((0.2, 2, 1), (0.7, 8, 2)))
+    val rv = Quality.isotonicCalibration(v, "score", col("y"), 2)
+      .orderBy("bucket").as[(Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(rv.map(_._5) == Seq(0.3, 0.3))
+    val mono = mk(Seq((0.1, 10, 1), (0.5, 10, 5), (0.9, 10, 9)))
+    val rm = Quality.isotonicCalibration(mono, "score", col("y"), 3)
+      .orderBy("bucket").as[(Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(rm.forall(t => t._4 == t._5), "monotone input is a fixpoint")
+  }
+
+  test("isotonicCalibration: fitted is monotone non-decreasing on a " +
+      "noisy profile; score=1.0 clamps into the top bucket") {
+    val noisy = mk(Seq((0.05, 7, 3), (0.15, 5, 0), (0.35, 9, 4),
+      (0.55, 4, 4), (0.65, 6, 2), (0.85, 8, 5), (1.0, 3, 3)))
+    val r = Quality.isotonicCalibration(noisy, "score", col("y"), 10)
+      .orderBy("bucket").as[(Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(r.map(_._1).max == 9L, "score 1.0 lands in bucket bins-1")
+    assert(r.map(_._5) == r.map(_._5).sorted, "fitted monotone")
+    // total positive mass is conserved by PAV (sum n*fitted = sum pos)
+    val mass = r.map(t => t._2 * t._5).sum
+    assert(math.abs(mass - r.map(_._3).sum) < 1e-6)
+  }
+}

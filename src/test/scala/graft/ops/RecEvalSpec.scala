@@ -98,4 +98,28 @@ class RecEvalSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 101L), (1L, 2L, 102L), (1L, 3L, 103L),
       (2L, 1L, 201L), (2L, 2L, 202L), (2L, 3L, 203L)))
   }
+
+  test("rboAtDepth: identical / swapped-tail / disjoint rankings by " +
+      "hand at d=3, p=0.5; empty-intersection probes kept at 0") {
+    // w9 = [500000000, 125000000, 41666667]; W9 = [666666667,
+    // 166666667, 41666667]; identical max = 875000001
+    assert(RecEval.rboSuffixW9(3, 0.5) ==
+      Seq(666666667L, 166666667L, 41666667L))
+    def rk(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("probe_id", "vec_id", "rnk")
+    val a = rk((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L),
+      (3L, 10L, 1L), (3L, 20L, 2L), (3L, 30L, 3L))
+    val b = rk(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), // identical
+      (2L, 10L, 1L), (2L, 30L, 2L), (2L, 20L, 3L), // tail swapped
+      (3L, 40L, 1L), (3L, 50L, 2L), (3L, 60L, 3L)) // disjoint
+    val r = RecEval.rboAtDepth(a, b, "probe_id", "vec_id", "rnk", 3, 0.5)
+      .orderBy("probe_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, 0.875000001, 1.0),
+      (2L, 3L, 0.750000001, 0.857142857),
+      (3L, 0L, 0.0, 0.0)))
+  }
 }
