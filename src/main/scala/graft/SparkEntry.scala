@@ -4038,6 +4038,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("name_a", "name_b")
     }),
 
+    // Entity resolution end-to-end: the q206 match graph closed
+    // transitively into entity clusters, canonicalized by the
+    // most-frequent-variant survivorship rule — the name→canonical
+    // rewrite table a catalog normalization pass joins on.
+    "q209_entity_resolution" -> ((s, dir) => {
+      Er.resolveEntities(t(s, dir, "part"), "p_name", ErMaxDist)
+        .orderBy("name")
+    }),
+
     // Rank-Biased Overlap between the full-dim exact top-10 and the
     // 16-dim matryoshka top-10 per probe — q150 asks "did the
     // neighbors survive truncation", this asks "in the same ORDER":
@@ -8126,6 +8135,44 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM strs a JOIN strs b ON a.s < b.s
          |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND $ErMaxDist
          |ORDER BY name_a, name_b""".stripMargin,
+
+    // q209: brute-force edges (the q206 oracle posture), recursive
+    // transitive closure (the q51 reach pattern), min-reachable rep,
+    // survivorship as a deterministic row_number window.
+    "q209_entity_resolution" ->
+      s"""WITH RECURSIVE strs AS (
+         |  SELECT p_name AS s, count(*)::BIGINT AS n FROM part GROUP BY 1
+         |),
+         |edges AS (
+         |  SELECT a.s AS x, b.s AS y FROM strs a JOIN strs b
+         |  ON a.s <> b.s AND levenshtein(a.s, b.s) <= $ErMaxDist
+         |),
+         |reach AS (
+         |  SELECT x AS id, x AS r FROM edges
+         |  UNION
+         |  SELECT e.x AS id, reach.r FROM edges e JOIN reach ON e.y = reach.id
+         |),
+         |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY 1),
+         |lab AS (
+         |  SELECT s.s AS name, s.n AS n_rows, coalesce(cl.rep, s.s) AS rep
+         |  FROM strs s LEFT JOIN cl ON cl.id = s.s
+         |),
+         |canon AS (
+         |  SELECT rep, name AS canonical,
+         |    row_number() OVER (PARTITION BY rep
+         |      ORDER BY n_rows DESC, name) AS rn
+         |  FROM lab
+         |),
+         |agg AS (
+         |  SELECT rep, count(*)::BIGINT AS n_variants,
+         |    sum(n_rows)::BIGINT AS cluster_rows
+         |  FROM lab GROUP BY 1
+         |)
+         |SELECT lab.name, lab.n_rows, c.canonical, a.n_variants,
+         |  a.cluster_rows
+         |FROM lab JOIN canon c ON lab.rep = c.rep AND c.rn = 1
+         |JOIN agg a ON lab.rep = a.rep
+         |ORDER BY lab.name""".stripMargin,
 
     // q208: both rankings as q150's CTEs; a common pair first counts
     // at k = max(rank_a, rank_b), so each contributes the literal

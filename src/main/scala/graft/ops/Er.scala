@@ -130,4 +130,47 @@ object Er {
       .select(col("name_a"), col("name_b"), col("dist"), col("n_a"),
         col("n_b"))
   }
+
+  /** End-to-end entity resolution over a string catalog: the
+    * [[editJoin]] match graph closed TRANSITIVELY into entity clusters
+    * (connected components — "bolt"~"bolts"~"bolt s" merge even when
+    * the endpoints exceed k), with the survivorship policy catalogs
+    * actually use: the canonical form of an entity is its most
+    * frequent variant (row multiplicity), ties to the lexicographically
+    * smallest — deterministic, no "first seen wins".
+    *
+    * Returns one row per DISTINCT value of `strCol`: (name, n_rows,
+    * canonical, n_variants, cluster_rows) — the rewrite table a
+    * normalization pass joins on (name → canonical), with the audit
+    * columns (how big is the entity, how much mass moves) in the same
+    * frame. Unmatched names are their own canonical (n_variants = 1).
+    *
+    * 100 TB posture: every stage is vocab-bounded — candidate pairs
+    * from the loss-free segment join, components via the same
+    * path-halving label propagation the near-dup clusterer uses
+    * ([[Dedup.nearDupClusters]]; checkpoint-barriered, ~log2(diameter)
+    * rounds), survivorship one agg + one window over the distinct-name
+    * frame. The row frame is touched only by the caller's final join. */
+  def resolveEntities(df: DataFrame, strCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val strs = df.groupBy(col(strCol).as("name"))
+      .agg(count(lit(1)).as("n_rows"))
+    val pairs = editJoin(df, strCol, k)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val clusters = Dedup.nearDupClusters(pairs, "name")
+    val labeled = strs.join(clusters, Seq("name"), "left")
+      .select(col("name"), col("n_rows"),
+        coalesce(col("cluster_rep"), col("name")).as("__rep"))
+    // survivor per component: max multiplicity, tie min name — one
+    // window pass over the component partition (bounded: one row per
+    // distinct name), deterministic by the full order-by
+    val wOrd = Window.partitionBy(col("__rep"))
+      .orderBy(col("n_rows").desc, col("name"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.partitionBy(col("__rep"))
+    labeled.select(col("name"), col("n_rows"),
+      first(col("name")).over(wOrd).as("canonical"),
+      count(lit(1)).over(wAll).as("n_variants"),
+      sum(col("n_rows")).over(wAll).as("cluster_rows"))
+  }
 }

@@ -47,6 +47,29 @@ class ErSpec extends SparkSpec {
       assert(got(df, "name", k) == brute(df, "name", k), s"k=$k")
   }
 
+  test("resolveEntities: transitive merge beyond k; canonical = max " +
+      "multiplicity with min-name ties; singletons self-canonical") {
+    // bolt(3) ~1~ bolts(1) ~1~ boltss(1): bolt..boltss dist 2 > k=1
+    // but same component; canonical = bolt (count 3).
+    // ring(2) ~1~ rings(2): tie on count -> min name "ring".
+    // xylophone: singleton.
+    val df = (Seq.fill(3)("bolt") ++ Seq("bolts", "boltss") ++
+      Seq.fill(2)("ring") ++ Seq.fill(2)("rings") ++ Seq("xylophone"))
+      .toDF("name")
+    val r = Er.resolveEntities(df, "name", 1)
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(r == Set(
+      ("bolt", 3L, "bolt", 3L, 5L),
+      ("bolts", 1L, "bolt", 3L, 5L),
+      ("boltss", 1L, "bolt", 3L, 5L),
+      ("ring", 2L, "ring", 2L, 4L),
+      ("rings", 2L, "ring", 2L, 4L),
+      ("xylophone", 1L, "xylophone", 1L, 1L)))
+    val rp = Er.resolveEntities(df.repartition(5), "name", 1)
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(rp == r, "partitioning-invariant")
+  }
+
   test("editJoin: multiplicities carried; exact dups never pair; " +
       "partitioning-invariant") {
     val df = Seq("bolt", "bolt", "bolt", "bold", "jolt")
