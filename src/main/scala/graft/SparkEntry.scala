@@ -511,6 +511,14 @@ object SparkEntry {
     * never exercised; at 200 the populated ~9 buckets carry a
     * genuinely non-monotone rate profile that PAV must pool. */
   val IsoBins = 200
+  /** q210 winnowing window: w=4 gram hashes per window over ShingleN
+    * word grams — guarantee threshold t = w + ShingleN − 1 = 6 shared
+    * tokens, expected density ~2/(w+1) = 40% of grams. */
+  val WinnowW = 4
+  /** q211 fingerprint document-frequency prune (boilerplate lever) and
+    * minimum shared fingerprints for a reported pair. */
+  val WinnowMaxDf = 1000L
+  val WinnowMinShared = 2L
   /** q205 decay half-life (7 days) and report instant (2024-01-31
     * 00:00 UTC — just past the fixture's last event, so every event
     * counts and the instant is SF-independent). */
@@ -823,6 +831,37 @@ object SparkEntry {
        |  SELECT e.s AS id, reach.r AS r
        |  FROM edges e JOIN reach ON e.d = reach.id
        |)""".stripMargin
+
+  /** DuckDB CTE chain computing per-doc winnowing fingerprints
+    * (relational twin of [[Text.winnowFingerprints]]): positional
+    * grams, the same 60-bit hash, a per-doc ROWS window min, the
+    * window-start filter, distinct. Yields `fp(doc_id, fp)`. */
+  private val winnowFpSqlCte: String = {
+    val gram = (0 until ShingleN).map(o => s"t[i+$o]").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |),
+       |gr AS (
+       |  SELECT doc_id, t,
+       |    unnest(range(1, greatest(0, len(t) - ${ShingleN - 2}))) AS i
+       |  FROM tok WHERE len(t) >= $ShingleN
+       |),
+       |gh AS (
+       |  SELECT doc_id, i AS p, len(t) - ${ShingleN - 1} AS np,
+       |    ${Portable.sqlHash(s"concat_ws(' ', $gram)")} AS h
+       |  FROM gr
+       |),
+       |wm AS (
+       |  SELECT doc_id, p, np,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+       |  FROM gh
+       |),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, fp FROM wm
+       |  WHERE p <= greatest(np - ${WinnowW - 1}, 1)
+       |)""".stripMargin
+  }
 
   /** DuckDB CTE computing per-doc SimHash (relational form of
     * [[Text.simhash]]). */
@@ -4064,6 +4103,27 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           TopK),
         "probe_id", "vec_id", "rnk", TopK, RboP)
         .orderBy("probe_id")
+    }),
+
+    // Winnowing (MOSS) fingerprints per document: window-min selected
+    // k-gram hashes — the position-robust local fingerprint set, at
+    // ~2/(w+1) the density of the full q55 shingle index.
+    "q210_winnow_fps" -> ((s, dir) => {
+      Text.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          ShingleN, WinnowW)
+        .orderBy("doc_id", "fp")
+    }),
+
+    // Shared-fingerprint overlap pairs over the winnowed index —
+    // quote/plagiarism detection at fingerprint (not full-shingle)
+    // cost; maxDf prunes boilerplate posting lists, the same
+    // restricted-universe contract as q55.
+    "q211_winnow_overlap" -> ((s, dir) => {
+      Text.winnowOverlap(
+        Text.winnowFingerprints(t(s, dir, "documents"), "doc_id",
+          "text", ShingleN, WinnowW),
+        "doc_id", WinnowMaxDf, WinnowMinShared)
+        .orderBy("id_a", "id_b")
     }),
 
     // Isotonic (PAV) calibration of the quality score against the
@@ -8206,6 +8266,36 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM pr LEFT JOIN ag USING (probe_id)
          |ORDER BY probe_id""".stripMargin
     },
+
+    // q210: the winnowing chain CTE — identical hash, window frame,
+    // start filter.
+    "q210_winnow_fps" ->
+      s"""$winnowFpSqlCte
+         |SELECT doc_id, fp FROM fp ORDER BY doc_id, fp""".stripMargin,
+
+    // q211: df prune (HAVING over the distinct fingerprint frame),
+    // posting self-join, post-prune sizes — the q55 shape over the
+    // winnowed index.
+    "q211_winnow_overlap" ->
+      s"""$winnowFpSqlCte,
+         |kept AS (
+         |  SELECT f.doc_id, f.fp FROM fp f JOIN (
+         |    SELECT fp FROM fp GROUP BY 1
+         |    HAVING count(*) <= $WinnowMaxDf) d USING (fp)
+         |),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM kept GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+         |)
+         |SELECT pr.id_a, pr.id_b, pr.n_shared, sa.s AS n_a, sb.s AS n_b,
+         |  round(CAST(pr.n_shared AS DOUBLE)
+         |    / CAST(least(sa.s, sb.s) AS DOUBLE), 9) AS containment
+         |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
+         |JOIN sz sb ON pr.id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q207: the identical bucket agg, cumulative frame, integerized
     // pooled-rate grid and min/max lattice — buckets are distinct so

@@ -1367,4 +1367,87 @@ object Text {
          |       IF(((shiftright(h, b)) & 1) = 1,
          |          CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) >= 0,
          |     shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS local fingerprinting scheme): hash every positional
+    * k-gram, slide a window of `w` consecutive gram hashes, keep each
+    * window's MINIMUM hash; the per-document fingerprint set is the
+    * distinct selected hashes. The winnowing guarantee: any shared
+    * token run of length ≥ w + k − 1 contributes at least one COMMON
+    * fingerprint to both documents, while expected density is ~2/(w+1)
+    * of all grams — position-robust overlap detection at a fraction of
+    * the full-shingle index (q55) cost, the plagiarism/quote-detection
+    * primitive.
+    *
+    * This implementation fingerprints the hash VALUE (not the (value,
+    * position) pair of the paper): the overlap report only consumes
+    * values, dropping positions keeps the selection rule identical in
+    * both engines without an argmin tie-break, and the ≥-one-common-
+    * fingerprint guarantee is on values anyway. Documents with fewer
+    * than w grams winnow their single full-span window (≥ 1
+    * fingerprint per non-empty document).
+    *
+    * Shape: one tokenize → positional grams ([[shinglesAll]]) →
+    * posexplode → per-doc ROWS window min (partitioned by doc — never
+    * global) → distinct. Map-side until the final per-doc distinct.
+    * Returns (idCol, fp). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val grams = df
+      .select(col(idCol), posexplode_outer(
+        shinglesAll(tokens(col(textCol)), k)))
+      .filter(col("col").isNotNull)
+      .select(col(idCol), (col("pos") + 1).as("__p"),
+        Portable.seededHash(col("col")).as("__h"),
+        count(lit(1)).over(
+          Window.partitionBy(col(idCol))).as("__np"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__fp", min(col("__h")).over(win))
+      .filter(col("__p") <= greatest(col("__np") - lit(w - 1), lit(1L)))
+      .select(col(idCol), col("__fp").as("fp"))
+      .distinct()
+  }
+
+  /** Pairwise overlap report over [[winnowFingerprints]] output: for
+    * every document pair sharing ≥ `minShared` fingerprints,
+    * (id_a < id_b, n_shared, n_a, n_b, containment = n_shared /
+    * min(n_a, n_b)) — n_a/n_b are fingerprint-set sizes AFTER the
+    * `maxDf` posting prune, the same restricted-universe contract as
+    * [[Dedup.jaccardPairsExact]] (a fingerprint shared by more than
+    * `maxDf` documents is boilerplate, not plagiarism, and its
+    * posting list is the quadratic hot key at corpus scale).
+    *
+    * Shape: df-prune → fingerprint-keyed self-join (posting lists
+    * only — the corpus never self-joins) → pair-keyed count → two
+    * broadcast-size joins for the set sizes. */
+  def winnowOverlap(fps: DataFrame, idCol: String, maxDf: Long,
+                    minShared: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val posts = Barrier.cut(fps.select(col(idCol), col("fp")))
+    val kept = posts.join(
+      posts.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("fp")),
+      Seq("fp"))
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    kept.select(col("fp"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 9)
+          .as("containment"))
+  }
 }
