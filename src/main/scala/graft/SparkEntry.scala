@@ -832,6 +832,29 @@ object SparkEntry {
        |  FROM edges e JOIN reach ON e.d = reach.id
        |)""".stripMargin
 
+  /** DuckDB CTE chain for the q212/q213 calibration buckets: the
+    * [[Quality.reliabilityDiagram]] bucket agg — per-row 1e9
+    * integerization, exact DECIMAL sums of score mass and squared
+    * error. Yields `b(bin, n, pos, ss, se)`; expects the
+    * quality-score `qs` CTE prefix (included). */
+  private lazy val calibBinsSqlCte: String =
+    s"""$qualityScoreSqlCtes,
+       |bk AS (
+       |  SELECT least(floor(quality_score * $IsoBins), ${IsoBins - 1})
+       |      ::BIGINT AS bin,
+       |    CAST(floor(round(quality_score, 9) * 1e9 + 0.5) AS BIGINT)
+       |      AS s9,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM qs
+       |),
+       |b AS (
+       |  SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+       |    sum(CAST(s9 AS DECIMAL(38,0))) AS ss,
+       |    sum(CAST((s9 - 1000000000*y)*(s9 - 1000000000*y)
+       |      AS DECIMAL(38,0))) AS se
+       |  FROM bk GROUP BY 1
+       |)""".stripMargin
+
   /** DuckDB CTE chain computing per-doc winnowing fingerprints
     * (relational twin of [[Text.winnowFingerprints]]): positional
     * grams, the same 60-bit hash, a per-doc ROWS window min, the
@@ -4136,6 +4159,31 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.isotonicCalibration(qs, "quality_score",
           col("lang") === "en", IsoBins)
         .orderBy("bucket")
+    }),
+
+    // Reliability diagram of the quality score vs the lang=en label —
+    // the per-bucket calibration table (mean forecast vs observed
+    // rate vs bucket Brier) q207's PAV fit repairs.
+    "q212_reliability_diagram" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      Quality.reliabilityDiagram(qs, "quality_score",
+          col("lang") === "en", IsoBins)
+        .orderBy("bin")
+    }),
+
+    // Murphy decomposition of the same score's Brier: reliability /
+    // resolution / uncertainty in one summary row — is the score
+    // badly calibrated (fixable by q207) or just undiscriminating
+    // (not fixable by any monotone map)?
+    "q213_brier_decomposition" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      Quality.brierDecomposition(qs, "quality_score",
+          col("lang") === "en", IsoBins)
+        .orderBy("n")
     }),
 
     // Leave-one-source-out ablation of the mean quality score —
@@ -8296,6 +8344,55 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
          |JOIN sz sb ON pr.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q212: the shared calibration-bucket CTE (exact DECIMAL sums of
+    // s9 and squared error), three pinned double chains.
+    "q212_reliability_diagram" ->
+      s"""$calibBinsSqlCte
+         |SELECT bin, n, pos,
+         |  round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 9)
+         |    AS mean_score,
+         |  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS frac_pos,
+         |  round(CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1e18, 9)
+         |    AS brier_bin
+         |FROM b ORDER BY bin""".stripMargin,
+
+    // q213: per-bucket REL/RES terms integerized at 1e9 then summed in
+    // BIGINT (the chi-square discipline — no order-dependent double
+    // accumulation), totals via one cross-joined 1-row frame.
+    "q213_brier_decomposition" ->
+      s"""$calibBinsSqlCte,
+         |t AS (SELECT sum(n)::BIGINT AS nn, sum(pos)::BIGINT AS pp,
+         |        sum(se) AS sse FROM b),
+         |terms AS (
+         |  SELECT t.nn, t.pp, t.sse,
+         |    CAST(floor(round(
+         |      CAST(b.ss - CAST(b.pos AS DECIMAL(38,0)) * 1000000000
+         |        AS DOUBLE)
+         |      * CAST(b.ss - CAST(b.pos AS DECIMAL(38,0)) * 1000000000
+         |        AS DOUBLE)
+         |      / CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) / 1e18, 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS rel9,
+         |    CAST(floor(round(
+         |      (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+         |        - CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         |      * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
+         |        - CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
+         |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE), 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS res9
+         |  FROM b CROSS JOIN t
+         |)
+         |SELECT nn AS n, pp AS pos,
+         |  round(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS pos_rate,
+         |  round(CAST(sse AS DOUBLE) / CAST(nn AS DOUBLE) / 1e18, 9)
+         |    AS brier,
+         |  round(CAST(sum(rel9) AS DOUBLE) / 1e9, 9) AS reliability,
+         |  round(CAST(sum(res9) AS DOUBLE) / 1e9, 9) AS resolution,
+         |  round(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)
+         |    * (CAST(1 AS DOUBLE) - CAST(pp AS DOUBLE)
+         |        / CAST(nn AS DOUBLE)), 9) AS uncertainty
+         |FROM terms GROUP BY nn, pp, sse
+         |ORDER BY n""".stripMargin,
 
     // q207: the identical bucket agg, cumulative frame, integerized
     // pooled-rate grid and min/max lattice — buckets are distinct so

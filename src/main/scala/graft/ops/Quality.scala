@@ -588,6 +588,98 @@ object Quality {
         round(col("__f9").cast("double") / lit(1e9), 9).as("fitted"))
   }
 
+  /** Shared bucket frame for [[reliabilityDiagram]] /
+    * [[brierDecomposition]]: per score bucket, (bin, n, pos, __ss =
+    * Σ s9 exact, __se = Σ (s9 − 1e9·y)² exact) — scores integerized
+    * per row at 1e9 (9dp-round first), squared error per row fits a
+    * LONG (≤ 1e18), sums carried in DECIMAL(38,0) so no corpus size
+    * overflows them. One corpus pass, map-side combined. */
+  private def calibrationBins(df: DataFrame, scoreCol: String,
+                              labelCol: Column, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val e9 = lit(1000000000L)
+    val base = df.select(
+      least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("long")
+        .as("bin"),
+      floor(round(col(scoreCol), 9) * e9 + lit(0.5)).cast("long").as("__s9"),
+      when(labelCol, 1L).otherwise(0L).as("__y"))
+    base.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+      sum(col("__s9").cast("decimal(38,0)")).as("__ss"),
+      sum(((col("__s9") - col("__y") * e9) * (col("__s9") - col("__y") * e9))
+        .cast("decimal(38,0)")).as("__se"))
+  }
+
+  /** Reliability diagram of a probabilistic score against a binary
+    * outcome: per score bucket, volume, mean forecast, observed
+    * positive rate, and the bucket's own Brier (mean squared error)
+    * contribution — the table a calibration plot draws, and the
+    * per-bin view [[isotonicCalibration]] repairs. All three ratios
+    * are single pinned double chains over exact integer sums. */
+  def reliabilityDiagram(df: DataFrame, scoreCol: String,
+                         labelCol: Column, bins: Int): DataFrame =
+    calibrationBins(df, scoreCol, labelCol, bins)
+      .select(col("bin"), col("n"), col("pos"),
+        round(col("__ss").cast("double") / col("n").cast("double") /
+          lit(1e9), 9).as("mean_score"),
+        round(col("pos").cast("double") / col("n").cast("double"), 9)
+          .as("frac_pos"),
+        round(col("__se").cast("double") / col("n").cast("double") /
+          lit(1e18), 9).as("brier_bin"))
+
+  /** Murphy decomposition of the Brier score over score buckets
+    * (Murphy '73): REL = Σ_b n_b(s̄_b − ȳ_b)²/N (calibration error —
+    * lower is better), RES = Σ_b n_b(ȳ_b − ȳ)²/N (discrimination —
+    * higher is better), UNC = ȳ(1−ȳ) (the climatology floor). One
+    * summary row: (n, pos_rate, brier, reliability, resolution,
+    * uncertainty). The textbook identity REL − RES + UNC equals the
+    * Brier of the BUCKET-MEAN forecast; `brier` here is the raw-score
+    * Brier, so the gap between the two is the within-bucket forecast
+    * variance (reported implicitly; do not assert the identity on raw
+    * scores).
+    *
+    * Exactness: per-bucket terms are pinned double chains over exact
+    * DECIMAL/LONG sums, integerized at 1e9 per TERM and summed in
+    * LONG (the chi-square/PSI discipline — a ≤`bins`-element double
+    * sum would be accumulation-order-dependent); one final division
+    * each. The bucket frame is ≤ `bins` rows, so every window/agg
+    * here is bounded. */
+  def brierDecomposition(df: DataFrame, scoreCol: String,
+                         labelCol: Column, bins: Int): DataFrame = {
+    val b = calibrationBins(df, scoreCol, labelCol, bins)
+    val tot = b.agg(sum(col("n")).as("__nn"), sum(col("pos")).as("__pp"),
+      sum(col("__se")).as("__sse"))
+    val terms = b.crossJoin(broadcast(tot))
+      .select(col("__nn"), col("__pp"), col("__sse"),
+        // d = Σs9 − 1e9·pos exactly in decimal, ONE cast to double
+        (col("__ss") - col("pos").cast("decimal(38,0)") *
+          lit(1000000000L)).cast("double").as("__d"),
+        col("n").cast("double").as("__nd"),
+        col("pos").cast("double").as("__pd"))
+      .select(col("__nn"), col("__pp"), col("__sse"),
+        floor(round(col("__d") * col("__d") / col("__nd") /
+          col("__nn").cast("double") / lit(1e18), 9) * lit(1e9) +
+          lit(0.5)).cast("long").as("__rel9"),
+        floor(round((col("__pd") / col("__nd") -
+            col("__pp").cast("double") / col("__nn").cast("double")) *
+          (col("__pd") / col("__nd") -
+            col("__pp").cast("double") / col("__nn").cast("double")) *
+          col("__nd") / col("__nn").cast("double"), 9) * lit(1e9) +
+          lit(0.5)).cast("long").as("__res9"))
+    terms.groupBy(col("__nn"), col("__pp"), col("__sse"))
+      .agg(sum(col("__rel9")).as("__r"), sum(col("__res9")).as("__s"))
+      .select(col("__nn").as("n"), col("__pp").as("pos"),
+        round(col("__pp").cast("double") / col("__nn").cast("double"), 9)
+          .as("pos_rate"),
+        round(col("__sse").cast("double") / col("__nn").cast("double") /
+          lit(1e18), 9).as("brier"),
+        round(col("__r").cast("double") / lit(1e9), 9).as("reliability"),
+        round(col("__s").cast("double") / lit(1e9), 9).as("resolution"),
+        round(col("__pp").cast("double") / col("__nn").cast("double") *
+          (lit(1.0) - col("__pp").cast("double") /
+            col("__nn").cast("double")), 9).as("uncertainty"))
+  }
+
   /** Population Stability Index between a BASELINE sample and a
     * comparison sample of a score (the credit-scoring / model-
     * monitoring standard: PSI < 0.1 stable, > 0.25 shifted): scores

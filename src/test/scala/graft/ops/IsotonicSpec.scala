@@ -38,6 +38,37 @@ class IsotonicSpec extends SparkSpec {
     assert(rm.forall(t => t._4 == t._5), "monotone input is a fixpoint")
   }
 
+  test("reliabilityDiagram + brierDecomposition: hand-computed fixture " +
+      "where within-bucket variance is 0, so REL - RES + UNC = Brier") {
+    // bin0: scores 0.1 (n=2, pos=1); bin1: scores 0.9 (n=2, pos=2)
+    val df = mk(Seq((0.1, 2, 1), (0.9, 2, 2)))
+    val rd = Quality.reliabilityDiagram(df, "score", col("y"), 2)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rd == Seq(
+      (0L, 2L, 1L, 0.1, 0.5, 0.41),
+      (1L, 2L, 2L, 0.9, 1.0, 0.01)))
+    val bd = Quality.brierDecomposition(df, "score", col("y"), 2)
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    // N=4, P=3: brier = (0.82*2 + 0.01*2)/4 = 0.21; REL = 0.085;
+    // RES = 0.0625; UNC = 0.1875; identity holds (scores constant
+    // within each bucket): 0.085 - 0.0625 + 0.1875 = 0.21
+    assert(bd == Seq((4L, 3L, 0.75, 0.21, 0.085, 0.0625, 0.1875)))
+    assert(math.abs(bd.head._5 - bd.head._6 + bd.head._7 - bd.head._4)
+      < 1e-12)
+  }
+
+  test("brierDecomposition: a perfectly calibrated constant forecast " +
+      "has REL = 0 and RES = 0; brier = uncertainty") {
+    // score 0.5 everywhere, half positive
+    val df = mk(Seq((0.5, 10, 5)))
+    val bd = Quality.brierDecomposition(df, "score", col("y"), 2)
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(bd == ((10L, 5L, 0.5, 0.25, 0.0, 0.0, 0.25)))
+  }
+
   test("isotonicCalibration: fitted is monotone non-decreasing on a " +
       "noisy profile; score=1.0 clamps into the top bucket") {
     val noisy = mk(Seq((0.05, 7, 3), (0.15, 5, 0), (0.35, 9, 4),
