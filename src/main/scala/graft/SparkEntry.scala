@@ -519,6 +519,12 @@ object SparkEntry {
     * minimum shared fingerprints for a reported pair. */
   val WinnowMaxDf = 1000L
   val WinnowMinShared = 2L
+  /** q214 WordPiece mining: max piece length, occurrence-mass floor,
+    * word-length cap (degenerate megatoken guard), report size. */
+  val WpMaxPiece = 6
+  val WpMinCount = 20L
+  val WpMaxWordLen = 30
+  val WpTopOut = 300
   /** q205 decay half-life (7 days) and report instant (2024-01-31
     * 00:00 UTC — just past the fixture's last event, so every event
     * counts and the instant is SF-independent). */
@@ -4159,6 +4165,21 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.isotonicCalibration(qs, "quality_score",
           col("lang") === "en", IsoBins)
         .orderBy("bucket")
+    }),
+
+    // WordPiece tokenizer end-to-end on the corpus vocabulary:
+    // frequency-mined position-aware pieces, greedy longest-match
+    // segmentation (no learning loop — the one-pass alternative to
+    // q81's BPE), reported as the corpus subword-frequency table.
+    "q214_wordpiece_tokens" -> ((s, dir) => {
+      val wcnt = Bpe.wordCounts(t(s, dir, "documents"), "text")
+        .filter(length(col("word")) <= WpMaxWordLen)
+      val vocab = Bpe.wordpieceVocab(wcnt, WpMaxPiece, WpMinCount)
+      Bpe.wordpieceSegment(wcnt, vocab, WpMaxPiece)
+        .select(explode(col("pieces")).as("token"), col("count"))
+        .groupBy(col("token")).agg(sum(col("count")).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(WpTopOut)
     }),
 
     // Reliability diagram of the quality score vs the lang=en label —
@@ -8344,6 +8365,55 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
          |JOIN sz sb ON pr.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q214: the identical mine→prune→jump pipeline; the greedy chain
+    // is a recursive pointer-chase over the per-position argmax jump
+    // table (one jump per state — no aggregate in the recursion).
+    "q214_wordpiece_tokens" ->
+      s"""WITH RECURSIVE wc AS (
+         |  SELECT word, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1
+         |),
+         |w AS (SELECT word, cnt FROM wc WHERE length(word) <= $WpMaxWordLen),
+         |c1 AS (
+         |  SELECT word, cnt, length(word) AS len,
+         |    unnest(range(1, length(word) + 1)) AS s
+         |  FROM w
+         |),
+         |cp AS (
+         |  SELECT word, cnt, s, l, substring(word, CAST(s AS INT),
+         |      CAST(l AS INT)) AS piece, (s = 1) AS ini
+         |  FROM (
+         |    SELECT word, cnt, s,
+         |      unnest(range(1, least($WpMaxPiece, len - s + 1) + 1)) AS l
+         |    FROM c1)
+         |),
+         |voc AS (
+         |  SELECT piece, ini FROM cp GROUP BY piece, ini
+         |  HAVING sum(cnt) >= $WpMinCount OR max(l) = 1
+         |),
+         |jump AS (
+         |  SELECT cp.word, cp.cnt, cp.s, max(cp.l) AS jl
+         |  FROM cp JOIN voc ON cp.piece = voc.piece AND cp.ini = voc.ini
+         |  GROUP BY 1, 2, 3
+         |),
+         |chain AS (
+         |  SELECT word, 1 AS s FROM w
+         |  UNION ALL
+         |  SELECT c.word, CAST(c.s + j.jl AS INTEGER) FROM chain c
+         |  JOIN jump j ON j.word = c.word AND j.s = c.s
+         |),
+         |toks AS (
+         |  SELECT c.word, j.cnt,
+         |    CASE WHEN c.s = 1
+         |      THEN substring(c.word, CAST(c.s AS INT), CAST(j.jl AS INT))
+         |      ELSE '##' || substring(c.word, CAST(c.s AS INT),
+         |        CAST(j.jl AS INT)) END AS token
+         |  FROM chain c JOIN jump j ON j.word = c.word AND j.s = c.s
+         |)
+         |SELECT token, sum(cnt)::BIGINT AS n FROM toks GROUP BY 1
+         |ORDER BY n DESC, token LIMIT $WpTopOut""".stripMargin,
 
     // q212: the shared calibration-bucket CTE (exact DECIMAL sums of
     // s9 and squared error), three pinned double chains.

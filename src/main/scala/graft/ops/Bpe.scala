@@ -311,4 +311,90 @@ object Bpe {
         round(col("n_chars").cast("double") / col("n_tokens"), 9)
           .as("chars_per_token")): _*)
   }
+
+  /** Frequency-mined WordPiece vocabulary (the position-aware subword
+    * inventory of Schuster & Nakajima'12 / BERT, mined directly from
+    * substring frequencies instead of merge learning — the cheap
+    * one-pass alternative to [[learn]]): every substring of length ≤
+    * `maxPiece` of every distinct word, keyed by (piece, word-INITIAL
+    * vs continuation), occurrence-weighted by word count; pieces with
+    * mass ≥ `minCount` survive, and ALL single characters survive
+    * unconditionally so greedy encoding is total (no [UNK] path).
+    * Returns (piece, initial: boolean).
+    *
+    * Shape: the substring enumeration is over the DISTINCT-WORD frame
+    * (≤ len·maxPiece rows per word), never the corpus — the same
+    * vocabulary-collapse posture as [[learn]]. */
+  def wordpieceVocab(wordCounts: DataFrame, maxPiece: Int,
+                     minCount: Long): DataFrame = {
+    require(maxPiece >= 1, s"maxPiece must be >= 1, got $maxPiece")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    wordCounts
+      .select(col("word"), col("count"),
+        length(col("word")).cast("int").as("__len"))
+      .select(col("word"), col("count"),
+        explode(sequence(lit(1), col("__len"))).as("s"),
+        col("__len"))
+      .select(col("word"), col("count"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPiece), col("__len") - col("s") + 1))).as("l"))
+      .select(col("word").substr(col("s"), col("l")).as("piece"),
+        (col("s") === 1).as("initial"), col("count"), col("l"))
+      .groupBy(col("piece"), col("initial"))
+      .agg(sum(col("count")).as("__c"), max(col("l")).as("__l"))
+      .filter(col("__c") >= minCount || col("__l") === 1)
+      .select(col("piece"), col("initial"))
+  }
+
+  /** Greedy longest-match-first segmentation of the distinct-word
+    * frame against a [[wordpieceVocab]] table — the WordPiece/BERT
+    * encode rule: at each position take the LONGEST vocabulary piece
+    * (word-initial pieces at position 1, `##`-class continuations
+    * after), advance past it, repeat. Totality: single characters are
+    * always in the vocab, so the longest match is ≥ 1 and the
+    * segmentation consumes every word exactly.
+    *
+    * Returns (word, count, pieces: array<string>) with continuations
+    * rendered `##piece` — the word→subword dictionary [[encode]]-style
+    * corpus joins consume.
+    *
+    * Shape: candidate (word, position, length) triples join the
+    * broadcast-size vocab; one argmax agg gives the per-position jump
+    * table; one sorted collect per word; then ONE higher-order fold
+    * walks the jump chain per word — no driver loop, no recursion,
+    * work ∝ Σ word lengths over the DISTINCT-word frame. */
+  def wordpieceSegment(wordCounts: DataFrame, vocab: DataFrame,
+                       maxPiece: Int): DataFrame = {
+    val cands = wordCounts
+      .select(col("word"), col("count"),
+        length(col("word")).cast("int").as("__len"))
+      .select(col("word"), col("count"),
+        explode(sequence(lit(1), col("__len"))).as("s"),
+        col("__len"))
+      .select(col("word"), col("count"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPiece), col("__len") - col("s") + 1))).as("l"))
+      .select(col("word"), col("count"), col("s"), col("l"),
+        col("word").substr(col("s"), col("l")).as("piece"),
+        (col("s") === 1).as("initial"))
+    val jumps = cands
+      .join(vocab, Seq("piece", "initial"))
+      .groupBy(col("word"), col("count"), col("s"))
+      .agg(max(col("l")).as("jl"))
+    jumps
+      .groupBy(col("word"), col("count"))
+      .agg(sort_array(collect_list(struct(col("s"), col("jl")))).as("__j"))
+      .select(col("word"), col("count"), expr(
+        """aggregate(sequence(1, size(__j)),
+          |  named_struct('p', 1, 't', CAST(array() AS array<string>)),
+          |  (acc, i) -> IF(i = acc.p,
+          |    named_struct(
+          |      'p', CAST(acc.p + __j[i-1].jl AS INT),
+          |      't', concat(acc.t, array(IF(i = 1,
+          |        substring(word, i, CAST(__j[i-1].jl AS INT)),
+          |        concat('##',
+          |          substring(word, i, CAST(__j[i-1].jl AS INT))))))),
+          |    acc),
+          |  acc -> acc.t)""".stripMargin).as("pieces"))
+  }
 }
