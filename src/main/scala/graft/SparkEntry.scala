@@ -519,6 +519,9 @@ object SparkEntry {
     * minimum shared fingerprints for a reported pair. */
   val WinnowMaxDf = 1000L
   val WinnowMinShared = 2L
+  /** q215 CUPED split instant: 2024-01-15 00:00 UTC in epoch-ns —
+    * mid-fixture, so both periods are populated at every SF. */
+  val CupedSplitNs = 1705276800000000000L
   /** q214 WordPiece mining: max piece length, occurrence-mass floor,
     * word-length cap (degenerate megatoken guard), report size. */
   val WpMaxPiece = 6
@@ -4165,6 +4168,16 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.isotonicCalibration(qs, "quality_score",
           col("lang") === "en", IsoBins)
         .orderBy("bucket")
+    }),
+
+    // CUPED variance-reduced A/B readout: q192's arms and conversion
+    // metric, with each user's pre-period purchase count as the
+    // covariate — theta, adjusted means, the variance reduction won,
+    // and the z on the adjusted difference.
+    "q215_cuped_ab" -> ((s, dir) => {
+      Events.cuped(Sources.eventsNs(s, dir), "purchase", AbSalt,
+          CupedSplitNs)
+        .orderBy("n_a")
     }),
 
     // WordPiece tokenizer end-to-end on the corpus vocabulary:
@@ -8365,6 +8378,93 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
          |JOIN sz sb ON pr.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q215: identical moment sums (cross-products in DECIMAL), then
+    // the same pinned double chains — theta, adjusted means, adjusted
+    // variances, z — with the same positivity guards as NULLs.
+    "q215_cuped_ab" -> {
+      def dd(x: String) = s"CAST($x AS DOUBLE)"
+      val thN = dd("CAST(n AS DECIMAL(38,0))*sxy - " +
+        "CAST(sx AS DECIMAL(38,0))*CAST(sy AS DECIMAL(38,0))")
+      val thD = dd("CAST(n AS DECIMAL(38,0))*sxx - " +
+        "CAST(sx AS DECIMAL(38,0))*CAST(sx AS DECIMAL(38,0))")
+      val vyP = dd("CAST(n AS DECIMAL(38,0))*syy - " +
+        "CAST(sy AS DECIMAL(38,0))*CAST(sy AS DECIMAL(38,0))")
+      val theta = s"($thN / $thD)"
+      val xbar = s"(${dd("sx")} / ${dd("n")})"
+      def mean(sy: String, n: String) = s"(${dd(sy)} / ${dd(n)})"
+      def adj(sy: String, sx: String, n: String) =
+        s"(${mean(sy, n)} - $theta * (${mean(sx, n)} - $xbar))"
+      def cm(n: String, spq: String, sp: String, sq: String) =
+        dd(s"CAST($n AS DECIMAL(38,0))*$spq - $sp*$sq")
+      def varAdj(n: String, sxx: String, sxy: String, syy: String,
+                 sx: String, sy: String) =
+        s"((${cm(n, syy, sy, sy)} - CAST(2 AS DOUBLE) * $theta * " +
+          s"${cm(n, sxy, sx, sy)} + $theta * $theta * " +
+          s"${cm(n, sxx, sx, sx)}) / (${dd(n)} * ${dd(n)}))"
+      val vA = varAdj("n_a", "sxxa", "sxya", "syya", "sxa", "sya")
+      val vB = varAdj("n_b", "sxxb", "sxyb", "syyb", "sxb", "syb")
+      val seAdj = s"sqrt($vA / ${dd("n_a")} + $vB / ${dd("n_b")})"
+      val adjA = adj("sya", "sxa", "n_a")
+      val adjB = adj("syb", "sxb", "n_b")
+      val ok = s"(n > 0 AND $thD > CAST(0 AS DOUBLE))"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |      AND epoch_ns(ts) < $CupedSplitNs THEN 1 ELSE 0
+         |      END)::BIGINT AS x,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |      AND epoch_ns(ts) >= $CupedSplitNs THEN 1 ELSE 0
+         |      END)::BIGINT AS y,
+         |    ${Portable.sqlHash(s"'$AbSalt'", "user_id")} % 2 AS arm
+         |  FROM events GROUP BY user_id
+         |),
+         |m AS (
+         |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy,
+         |    sum(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+         |    sum(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+         |    sum(CAST(y*y AS DECIMAL(38,0))) AS syy,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CAST(CASE WHEN arm = 0 THEN x ELSE 0 END
+         |      AS DECIMAL(38,0))) AS sxa,
+         |    sum(CAST(CASE WHEN arm = 0 THEN y ELSE 0 END
+         |      AS DECIMAL(38,0))) AS sya,
+         |    sum(CAST(CASE WHEN arm = 1 THEN x ELSE 0 END
+         |      AS DECIMAL(38,0))) AS sxb,
+         |    sum(CAST(CASE WHEN arm = 1 THEN y ELSE 0 END
+         |      AS DECIMAL(38,0))) AS syb,
+         |    sum(CAST(CASE WHEN arm = 0 THEN x*x ELSE 0 END
+         |      AS DECIMAL(38,0))) AS sxxa,
+         |    sum(CAST(CASE WHEN arm = 0 THEN x*y ELSE 0 END
+         |      AS DECIMAL(38,0))) AS sxya,
+         |    sum(CAST(CASE WHEN arm = 0 THEN y*y ELSE 0 END
+         |      AS DECIMAL(38,0))) AS syya,
+         |    sum(CAST(CASE WHEN arm = 1 THEN x*x ELSE 0 END
+         |      AS DECIMAL(38,0))) AS sxxb,
+         |    sum(CAST(CASE WHEN arm = 1 THEN x*y ELSE 0 END
+         |      AS DECIMAL(38,0))) AS sxyb,
+         |    sum(CAST(CASE WHEN arm = 1 THEN y*y ELSE 0 END
+         |      AS DECIMAL(38,0))) AS syyb
+         |  FROM u
+         |)
+         |SELECT n_a, n_b,
+         |  CASE WHEN $ok THEN round($theta, 9) END AS theta,
+         |  CASE WHEN n_a > 0 THEN round(${mean("sya", "n_a")}, 9)
+         |    END AS mean_a,
+         |  CASE WHEN n_b > 0 THEN round(${mean("syb", "n_b")}, 9)
+         |    END AS mean_b,
+         |  CASE WHEN $ok AND n_a > 0 THEN round($adjA, 9) END AS adj_a,
+         |  CASE WHEN $ok AND n_b > 0 THEN round($adjB, 9) END AS adj_b,
+         |  CASE WHEN $ok AND $vyP > CAST(0 AS DOUBLE)
+         |    THEN round($thN * $thN / ($thD * $vyP), 9)
+         |    END AS var_reduction,
+         |  CASE WHEN $ok AND n_a > 0 AND n_b > 0
+         |      AND $seAdj > CAST(0 AS DOUBLE)
+         |    THEN round(($adjA - $adjB) / $seAdj, 9) END AS z_adj
+         |FROM m ORDER BY n_a""".stripMargin
+    },
 
     // q214: the identical mine→prune→jump pipeline; the greedy chain
     // is a recursive pointer-chase over the per-position argmax jump

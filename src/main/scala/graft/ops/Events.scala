@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -900,5 +900,114 @@ object Events {
     // tiny table (one row per event type) — single-partition window is fine
     Similarity.withIteration(runs, "start_ms")
       .withColumn("iteration", col("iteration").cast("long"))
+  }
+
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM'13 — the industry-standard experiment sensitivity boost):
+    * each user's post-period metric y is adjusted by its pre-period
+    * twin x, y′ = y − θ(x − x̄), with θ = Cov(x, y)/Var(x) estimated
+    * POOLED across arms (assignment is independent of the pre-period,
+    * so pooling is unbiased and uses all users). The adjusted means
+    * shift by arm imbalance in x only, and Var(y′) = Var(y)(1 − ρ²) —
+    * the test gets ρ² of its sample size back for free. Here x/y =
+    * the user's `metricType` event count strictly before / at-or-after
+    * `splitNs` (epoch-ns), arms the [[abTest]] sticky hash.
+    *
+    * Exactness: one user-keyed count pass, then ONE pooled+per-arm
+    * moment agg — counts and cross-products are exact integers
+    * (DECIMAL-summed), every reported number is a pinned double chain
+    * over those sums: θ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), per-arm
+    * adjusted variance via the same exact central-moment numerators,
+    * z on the adjusted difference. Degenerate pre-period (Var(x) = 0)
+    * yields NULL θ and NULL adjusted columns — the honest "CUPED
+    * cannot help here", never a divide-by-zero.
+    *
+    * Returns one row: (n_a, n_b, theta, mean_a, mean_b, adj_a, adj_b,
+    * var_reduction, z_adj). Shape: corpus → user frame (one shuffle,
+    * map-side combined) → 1-row agg; nothing user-sized crosses the
+    * driver. */
+  def cuped(events: DataFrame, metricType: String, salt: String,
+            splitNs: Long): DataFrame = {
+    val arm = pmod(Portable.seededHash(lit(salt), col("user_id")), lit(2L))
+    val isM = col("event_type") === metricType
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(sum(when(isM && col("ts") < splitNs, 1L).otherwise(0L))
+          .as("__x"),
+        sum(when(isM && col("ts") >= splitNs, 1L).otherwise(0L))
+          .as("__y"))
+      .withColumn("__arm", arm)
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+    def armed(a: Int, c: Column) =
+      sum(when(col("__arm") === a.toLong, c).otherwise(lit(0L))
+        .cast("decimal(38,0)"))
+    val m = users.agg(
+      count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+      sum(col("__y")).as("sy"),
+      dsum(col("__x") * col("__x")).as("sxx"),
+      dsum(col("__x") * col("__y")).as("sxy"),
+      dsum(col("__y") * col("__y")).as("syy"),
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      armed(0, col("__x")).as("sxa"), armed(0, col("__y")).as("sya"),
+      armed(1, col("__x")).as("sxb"), armed(1, col("__y")).as("syb"),
+      armed(0, col("__x") * col("__x")).as("sxxa"),
+      armed(0, col("__x") * col("__y")).as("sxya"),
+      armed(0, col("__y") * col("__y")).as("syya"),
+      armed(1, col("__x") * col("__x")).as("sxxb"),
+      armed(1, col("__x") * col("__y")).as("sxyb"),
+      armed(1, col("__y") * col("__y")).as("syyb"))
+    // exact decimal numerators, ONE cast to double each
+    def d(c: Column) = c.cast("decimal(38,0)")
+    // ANSI note: inner divisions are NULL-safe (divide by the
+    // denominator only when positive, else by NULL → NULL) because
+    // codegen common-subexpression elimination can hoist a shared
+    // division OUT of its when() guard — the outer when()s still
+    // define which outputs are non-NULL
+    def nz(c: Column) = when(c > 0.0, c)
+    val thN = (d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy")))
+      .cast("double")
+    val thD = (d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")))
+      .cast("double")
+    val vyP = (d(col("n")) * col("syy") - d(col("sy")) * d(col("sy")))
+      .cast("double")
+    val theta = thN / nz(thD)
+    def mean(s: Column, n: Column) =
+      s.cast("double") / nz(n.cast("double"))
+    val xbar = mean(col("sx"), col("n"))
+    def adj(sy: Column, sx: Column, n: Column) =
+      mean(sy, n) - theta * (mean(sx, n) - xbar)
+    // per-arm central moments of the adjusted score (the x̄ shift is
+    // constant within an experiment, so it drops out of the variance)
+    def cm(n: Column, spq: Column, sp: Column, sq: Column) =
+      (d(n) * spq - d(sp) * d(sq)).cast("double")
+    def varAdj(n: Column, sxx: Column, sxy: Column, syy: Column,
+               sx: Column, sy: Column) =
+      (cm(n, syy, sy, sy) - lit(2.0) * theta * cm(n, sxy, sx, sy) +
+        theta * theta * cm(n, sxx, sx, sx)) /
+        nz(n.cast("double") * n.cast("double"))
+    val vA = varAdj(col("n_a"), col("sxxa"), col("sxya"), col("syya"),
+      col("sxa"), col("sya"))
+    val vB = varAdj(col("n_b"), col("sxxb"), col("sxyb"), col("syyb"),
+      col("sxb"), col("syb"))
+    val seAdj = sqrt(vA / nz(col("n_a").cast("double")) +
+      vB / nz(col("n_b").cast("double")))
+    val ok = col("n") > 0 && thD > 0.0
+    m.select(col("n_a"), col("n_b"),
+      when(ok, round(theta, 9)).as("theta"),
+      when(col("n_a") > 0, round(mean(col("sya"), col("n_a")), 9))
+        .as("mean_a"),
+      when(col("n_b") > 0, round(mean(col("syb"), col("n_b")), 9))
+        .as("mean_b"),
+      when(ok && col("n_a") > 0,
+        round(adj(col("sya"), col("sxa"), col("n_a")), 9)).as("adj_a"),
+      when(ok && col("n_b") > 0,
+        round(adj(col("syb"), col("sxb"), col("n_b")), 9)).as("adj_b"),
+      when(ok && vyP > 0.0,
+        round(thN * thN / nz(thD * vyP), 9)).as("var_reduction"),
+      when(ok && col("n_a") > 0 && col("n_b") > 0 && seAdj > 0.0,
+        round((adj(col("sya"), col("sxa"), col("n_a")) -
+          adj(col("syb"), col("sxb"), col("n_b"))) / seAdj, 9))
+        .as("z_adj"))
   }
 }
