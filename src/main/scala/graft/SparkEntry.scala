@@ -841,6 +841,48 @@ object SparkEntry {
        |  FROM edges e JOIN reach ON e.d = reach.id
        |)""".stripMargin
 
+  /** DuckDB CTE chain for the q214/q216 WordPiece pipeline: word
+    * counts → substring mine → minCount prune (singles always kept) →
+    * per-position argmax jump table → the greedy chain as a recursive
+    * pointer-chase (one jump per state — no aggregate inside the
+    * recursion). Yields `chain(word, s)` + `jump`/`w` in scope; the
+    * whole chain must be headed by WITH RECURSIVE. */
+  private lazy val wordpieceCtesSql: String =
+    s"""wc AS (
+       |  SELECT word, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1
+       |),
+       |w AS (SELECT word, cnt FROM wc WHERE length(word) <= $WpMaxWordLen),
+       |c1 AS (
+       |  SELECT word, cnt, length(word) AS len,
+       |    unnest(range(1, length(word) + 1)) AS s
+       |  FROM w
+       |),
+       |cp AS (
+       |  SELECT word, cnt, s, l, substring(word, CAST(s AS INT),
+       |      CAST(l AS INT)) AS piece, (s = 1) AS ini
+       |  FROM (
+       |    SELECT word, cnt, s,
+       |      unnest(range(1, least($WpMaxPiece, len - s + 1) + 1)) AS l
+       |    FROM c1)
+       |),
+       |voc AS (
+       |  SELECT piece, ini FROM cp GROUP BY piece, ini
+       |  HAVING sum(cnt) >= $WpMinCount OR max(l) = 1
+       |),
+       |jump AS (
+       |  SELECT cp.word, cp.cnt, cp.s, max(cp.l) AS jl
+       |  FROM cp JOIN voc ON cp.piece = voc.piece AND cp.ini = voc.ini
+       |  GROUP BY 1, 2, 3
+       |),
+       |chain AS (
+       |  SELECT word, 1 AS s FROM w
+       |  UNION ALL
+       |  SELECT c.word, CAST(c.s + j.jl AS INTEGER) FROM chain c
+       |  JOIN jump j ON j.word = c.word AND j.s = c.s
+       |)""".stripMargin
+
   /** DuckDB CTE chain for the q212/q213 calibration buckets: the
     * [[Quality.reliabilityDiagram]] bucket agg — per-row 1e9
     * integerization, exact DECIMAL sums of score mass and squared
@@ -4168,6 +4210,21 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.isotonicCalibration(qs, "quality_score",
           col("lang") === "en", IsoBins)
         .orderBy("bucket")
+    }),
+
+    // WordPiece fertility: the q116 tokenizer-evaluation rollup per
+    // (source, lang) slice, with the mined-vocab greedy segmentation
+    // instead of learned BPE merges — the head-to-head that prices
+    // the one-pass vocab against the learning loop.
+    "q216_wordpiece_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wcnt = Bpe.wordCounts(docs, "text")
+        .filter(length(col("word")) <= WpMaxWordLen)
+      val vocab = Bpe.wordpieceVocab(wcnt, WpMaxPiece, WpMinCount)
+      val seg = Bpe.wordpieceSegment(wcnt, vocab, WpMaxPiece)
+        .select(col("word"), col("pieces").as("symbols"))
+      Bpe.fertility(docs, "text", seg, Seq("source", "lang"))
+        .orderBy("source", "lang")
     }),
 
     // CUPED variance-reduced A/B readout: q192's arms and conversion
@@ -8470,40 +8527,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // is a recursive pointer-chase over the per-position argmax jump
     // table (one jump per state — no aggregate in the recursion).
     "q214_wordpiece_tokens" ->
-      s"""WITH RECURSIVE wc AS (
-         |  SELECT word, count(*)::BIGINT AS cnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE word <> '' GROUP BY 1
-         |),
-         |w AS (SELECT word, cnt FROM wc WHERE length(word) <= $WpMaxWordLen),
-         |c1 AS (
-         |  SELECT word, cnt, length(word) AS len,
-         |    unnest(range(1, length(word) + 1)) AS s
-         |  FROM w
-         |),
-         |cp AS (
-         |  SELECT word, cnt, s, l, substring(word, CAST(s AS INT),
-         |      CAST(l AS INT)) AS piece, (s = 1) AS ini
-         |  FROM (
-         |    SELECT word, cnt, s,
-         |      unnest(range(1, least($WpMaxPiece, len - s + 1) + 1)) AS l
-         |    FROM c1)
-         |),
-         |voc AS (
-         |  SELECT piece, ini FROM cp GROUP BY piece, ini
-         |  HAVING sum(cnt) >= $WpMinCount OR max(l) = 1
-         |),
-         |jump AS (
-         |  SELECT cp.word, cp.cnt, cp.s, max(cp.l) AS jl
-         |  FROM cp JOIN voc ON cp.piece = voc.piece AND cp.ini = voc.ini
-         |  GROUP BY 1, 2, 3
-         |),
-         |chain AS (
-         |  SELECT word, 1 AS s FROM w
-         |  UNION ALL
-         |  SELECT c.word, CAST(c.s + j.jl AS INTEGER) FROM chain c
-         |  JOIN jump j ON j.word = c.word AND j.s = c.s
-         |),
+      s"""WITH RECURSIVE $wordpieceCtesSql,
          |toks AS (
          |  SELECT c.word, j.cnt,
          |    CASE WHEN c.s = 1
@@ -8514,6 +8538,38 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT token, sum(cnt)::BIGINT AS n FROM toks GROUP BY 1
          |ORDER BY n DESC, token LIMIT $WpTopOut""".stripMargin,
+
+    // q216: the q116 fertility rollup over the WordPiece segmentation
+    // — per-word token counts are the chain-state counts; words over
+    // the length cap fall back to character segmentation (the same
+    // OOV convention as Bpe.fertility).
+    "q216_wordpiece_fertility" ->
+      s"""WITH RECURSIVE $wordpieceCtesSql,
+         |-- chain carries the terminal state (s = len+1, no jump);
+         |-- pieces are the states that HAVE a jump
+         |wl AS (SELECT c.word, count(*)::BIGINT AS toks FROM chain c
+         |       JOIN jump j ON j.word = c.word AND j.s = c.s
+         |       GROUP BY 1),
+         |ftok AS (
+         |  SELECT source, lang, doc_id, t[i] AS word
+         |  FROM (SELECT source, lang, doc_id, string_split(text, ' ') AS t
+         |        FROM documents) _,
+         |       LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) __
+         |  WHERE t[i] <> ''
+         |),
+         |fseg AS (
+         |  SELECT f.source, f.lang, f.doc_id,
+         |    length(f.word)::BIGINT AS chars,
+         |    coalesce(wl.toks, length(f.word))::BIGINT AS toks
+         |  FROM ftok f LEFT JOIN wl ON f.word = wl.word
+         |)
+         |SELECT source, lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens,
+         |  sum(chars)::BIGINT AS n_chars,
+         |  round(sum(toks)::DOUBLE / count(*), 9) AS fertility,
+         |  round(sum(chars)::DOUBLE / sum(toks), 9) AS chars_per_token
+         |FROM fseg GROUP BY source, lang
+         |ORDER BY source, lang""".stripMargin,
 
     // q212: the shared calibration-bucket CTE (exact DECIMAL sums of
     // s9 and squared error), three pinned double chains.
