@@ -4212,6 +4212,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("bucket")
     }),
 
+    // Rolling active-user curves: DAU / trailing-7-day WAU /
+    // stickiness plus the new/cumulative-user growth ledger — the
+    // engagement dashboard over the events stream.
+    "q217_active_users" -> ((s, dir) => {
+      Events.activeUsers(Sources.eventsNs(s, dir), 7)
+        .orderBy("day")
+    }),
+
     // WordPiece fertility: the q116 tokenizer-evaluation rollup per
     // (source, lang) slice, with the mined-vocab greedy segmentation
     // instead of learned BPE merges — the head-to-head that prices
@@ -8435,6 +8443,42 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
          |JOIN sz sb ON pr.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q217: the BETWEEN-join WAU is the oracle's O(days × user-days)
+    // luxury; the engine's explode+distinct computes the same set.
+    "q217_active_users" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    (epoch_ns(ts) // 86400000000000)::BIGINT AS day
+         |  FROM events
+         |),
+         |spine AS (
+         |  SELECT unnest(range((SELECT min(day) FROM ud),
+         |    (SELECT max(day) FROM ud) + 1)) AS day
+         |),
+         |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+         |wau AS (
+         |  SELECT s.day, count(DISTINCT u.user_id)::BIGINT AS wau
+         |  FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+         |  GROUP BY 1
+         |),
+         |nu AS (
+         |  SELECT day, count(*)::BIGINT AS new_users FROM (
+         |    SELECT user_id, min(day) AS day FROM ud GROUP BY 1)
+         |  GROUP BY 1
+         |)
+         |SELECT s.day, coalesce(dau.dau, 0)::BIGINT AS dau,
+         |  coalesce(wau.wau, 0)::BIGINT AS wau,
+         |  CASE WHEN coalesce(wau.wau, 0) > 0 THEN
+         |    round(CAST(coalesce(dau.dau, 0) AS DOUBLE)
+         |      / CAST(wau.wau AS DOUBLE), 9) END AS stickiness,
+         |  coalesce(nu.new_users, 0)::BIGINT AS new_users,
+         |  sum(coalesce(nu.new_users, 0))
+         |    OVER (ORDER BY s.day)::BIGINT AS cum_users
+         |FROM spine s LEFT JOIN dau ON s.day = dau.day
+         |LEFT JOIN wau ON s.day = wau.day
+         |LEFT JOIN nu ON s.day = nu.day
+         |ORDER BY s.day""".stripMargin,
 
     // q215: identical moment sums (cross-products in DECIMAL), then
     // the same pinned double chains — theta, adjusted means, adjusted

@@ -902,6 +902,62 @@ object Events {
       .withColumn("iteration", col("iteration").cast("long"))
   }
 
+  /** Rolling active-user curves — the product-analytics growth
+    * accounting every event stream gets asked for: per calendar day of
+    * the observed range, DAU (distinct users that day), WAU (distinct
+    * users in the trailing `windowDays`-day window), stickiness =
+    * DAU/WAU (the DAU/MAU-style engagement ratio), plus the growth
+    * ledger: new_users (first-ever-seen that day) and cum_users (the
+    * running distinct-user total — exact, because a user is "new"
+    * exactly once).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (user, day)
+    * frame in one shuffle; the trailing window is computed by
+    * exploding each user-day to the `windowDays` report days it
+    * supports and re-distincting — LINEAR in user-days (never the
+    * day×user-day range join, which is the same O(V²) trap as q184's
+    * interval lookup). The day spine is a sequence over [min, max]
+    * day; day-frame windows are bounded by the calendar. Days with an
+    * empty trailing window report stickiness NULL.
+    *
+    * Returns (day, dau, wau, stickiness, new_users, cum_users), day =
+    * epoch day (ts ns / 86400e9). */
+  def activeUsers(events: DataFrame, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    // integer `div`, not `/`: double division of an epoch-ns LONG
+    // (~1.7e18 > 2^53) rounds the dividend before dividing
+    val ud = events
+      .select(col("user_id"),
+        expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val spine = ud.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + windowDays - 1))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val nu = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    // day-frame window: bounded by the calendar span, not the corpus
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(dau, Seq("day"), "left")
+      .join(wau, Seq("day"), "left")
+      .join(nu, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"),
+        when(coalesce(col("wau"), lit(0L)) > 0,
+          round(coalesce(col("dau"), lit(0L)).cast("double") /
+            col("wau").cast("double"), 9)).as("stickiness"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+  }
+
   /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
     * WSDM'13 — the industry-standard experiment sensitivity boost):
     * each user's post-period metric y is adjusted by its pre-period
