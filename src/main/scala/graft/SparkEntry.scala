@@ -4212,6 +4212,40 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("bucket")
     }),
 
+    // Threshold sweep: every distinct quality score as an operating
+    // point with exact confusion counts; the F1-argmax row flagged
+    // (tie → highest threshold) — how the score becomes a gate.
+    "q218_threshold_sweep" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      Quality.thresholdSweep(qs, "quality_score", col("lang") === "en")
+        .orderBy("threshold")
+    }),
+
+    // Cumulative gains / lift at decile cuts from exact order
+    // statistics — "gate the top k/10 of the corpus by score, how
+    // much of the target class is captured".
+    "q219_gains_table" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      Quality.gainsTable(qs, "quality_score", col("lang") === "en", 10)
+        .orderBy("tile")
+    }),
+
+    // Per-source ROC-AUC leaderboard: within-group tie-adjusted AUC —
+    // which slices the quality score actually ranks well on (q199 is
+    // the global number; this is its fairness/robustness breakdown).
+    "q220_auc_by_source" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("quality_score"))
+      Quality.aucByGroup(qs, "source", col("lang") === "en",
+          "quality_score")
+        .orderBy("source")
+    }),
+
     // Rolling active-user curves: DAU / trailing-7-day WAU /
     // stickiness plus the new/cumulative-user growth ledger — the
     // engagement dashboard over the events stream.
@@ -8443,6 +8477,110 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
          |JOIN sz sb ON pr.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q218: distinct-score CDF, descending cumulative windows, F1
+    // integerized at 1e9; best row via ORDER BY (f19, s9) DESC LIMIT 1.
+    "q218_threshold_sweep" ->
+      s"""$qualityScoreSqlCtes,
+         |g AS (
+         |  SELECT quality_score AS threshold, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p
+         |  FROM qs GROUP BY 1
+         |),
+         |c AS (
+         |  SELECT threshold, sum(p) OVER w AS tp, sum(n - p) OVER w AS fp,
+         |    sum(p) OVER (ORDER BY threshold DESC ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS totp
+         |  FROM g
+         |  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |f AS (
+         |  SELECT threshold, tp, fp, (totp - tp)::BIGINT AS fn, totp,
+         |    CAST(floor(round(CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE)
+         |      / (CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE)
+         |         + CAST(fp AS DOUBLE) + CAST(totp - tp AS DOUBLE)), 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS f19,
+         |    CAST(floor(round(CAST(threshold AS DOUBLE), 9) * 1e9 + 0.5)
+         |      AS BIGINT) AS s9
+         |  FROM c
+         |),
+         |b AS (SELECT f19, s9 FROM f ORDER BY f19 DESC, s9 DESC LIMIT 1)
+         |SELECT f.threshold, f.tp, f.fp, f.fn,
+         |  round(CAST(f.tp AS DOUBLE) / CAST(f.tp + f.fp AS DOUBLE), 9)
+         |    AS precision,
+         |  CASE WHEN f.totp > 0 THEN
+         |    round(CAST(f.tp AS DOUBLE) / CAST(f.totp AS DOUBLE), 9)
+         |    END AS recall,
+         |  round(CAST(f.f19 AS DOUBLE) / 1e9, 9) AS f1,
+         |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
+         |FROM f CROSS JOIN b ORDER BY f.threshold""".stripMargin,
+
+    // q219: the descending CDF again; cut k = first distinct score
+    // whose cumulative count reaches ⌈kN/tiles⌉ (integer ceil-div).
+    "q219_gains_table" ->
+      s"""$qualityScoreSqlCtes,
+         |g AS (
+         |  SELECT quality_score AS v, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p
+         |  FROM qs GROUP BY 1
+         |),
+         |cdf AS (
+         |  SELECT v, sum(n) OVER w AS cum_n, sum(p) OVER w AS cum_p
+         |  FROM g
+         |  WINDOW w AS (ORDER BY v DESC ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW)
+         |),
+         |tot AS (SELECT max(cum_n)::BIGINT AS nn,
+         |        max(cum_p)::BIGINT AS pp FROM cdf),
+         |sp AS (SELECT nn, pp, unnest(range(1, 11)) AS tile FROM tot),
+         |sel AS (
+         |  SELECT sp.tile, sp.nn, sp.pp, min(cdf.cum_n) AS n
+         |  FROM sp JOIN cdf
+         |    ON cdf.cum_n >= (sp.tile * sp.nn + 9) // 10
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT sel.tile, cdf.v AS threshold, cdf.cum_n AS n,
+         |  cdf.cum_p AS pos,
+         |  CASE WHEN sel.pp > 0 THEN round(CAST(cdf.cum_p AS DOUBLE)
+         |    / CAST(sel.pp AS DOUBLE), 9) END AS gain,
+         |  CASE WHEN sel.pp > 0 THEN round(CAST(cdf.cum_p AS DOUBLE)
+         |    / CAST(cdf.cum_n AS DOUBLE)
+         |    / (CAST(sel.pp AS DOUBLE) / CAST(sel.nn AS DOUBLE)), 9)
+         |    END AS lift
+         |FROM sel JOIN cdf ON cdf.cum_n = sel.n
+         |ORDER BY sel.tile""".stripMargin,
+
+    // q220: the q199 midrank identity per source partition — 2×R1 as
+    // exact integers over each group's own distinct-score CDF.
+    "q220_auc_by_source" ->
+      s"""$qualityScoreSqlCtes,
+         |g AS (
+         |  SELECT source, quality_score AS v,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS cb
+         |  FROM qs GROUP BY 1, 2
+         |),
+         |c AS (
+         |  SELECT source, ca, cb, ca + cb AS cnt,
+         |    coalesce(sum(ca + cb) OVER (PARTITION BY source ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM g
+         |),
+         |a AS (
+         |  SELECT source, sum(ca)::BIGINT AS n_pos,
+         |    sum(cb)::BIGINT AS n_neg,
+         |    sum(ca * (2 * cum_before + cnt + 1))::BIGINT AS r2
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT source, n_pos, n_neg,
+         |  (r2 - n_pos * (n_pos + 1))::BIGINT AS u2_pos,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+         |         * CAST(n_neg AS DOUBLE)), 9) END AS auc
+         |FROM a ORDER BY source""".stripMargin,
 
     // q217: the BETWEEN-join WAU is the oracle's O(days × user-days)
     // luxury; the engine's explode+distinct computes the same set.

@@ -588,6 +588,138 @@ object Quality {
         round(col("__f9").cast("double") / lit(1e9), 9).as("fitted"))
   }
 
+  /** Per-group ROC-AUC leaderboard — [[auc]] computed WITHIN every
+    * group in one pass (which sources does the score actually rank
+    * well?): the same tie-adjusted Mann–Whitney identity over each
+    * group's own distinct-score CDF, midranks as exact 2×-integers.
+    * Groups missing a class report NULL AUC (undefined, not 0.5).
+    * Every window is partitioned by the group and bounded by its
+    * distinct score values. Returns (groupCol, n_pos, n_neg, u2_pos,
+    * auc). */
+  def aucByGroup(df: DataFrame, groupCol: String, labelCol: Column,
+                 scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df.select(col(groupCol), col(scoreCol).as("v"),
+        when(labelCol, 1L).otherwise(0L).as("__ca"),
+        when(labelCol, 0L).otherwise(1L).as("__cb"))
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(col("__ca")).as("ca"), sum(col("__cb")).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    joint
+      .groupBy(col(groupCol))
+      .agg(sum(col("ca")).as("n_pos"), sum(col("cb")).as("n_neg"),
+        sum(col("ca") * (lit(2L) * col("cum_before") + col("cnt") + 1L))
+          .as("__r2"))
+      .withColumn("u2_pos",
+        col("__r2") - col("n_pos") * (col("n_pos") + 1L))
+      .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2_pos"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2_pos").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double")), 9)).as("auc"))
+  }
+
+  /** Classification-threshold sweep: for every DISTINCT score value t
+    * (as the "predict positive iff score ≥ t" cut), the exact
+    * confusion counts and precision/recall/F1, with the F1-argmax row
+    * flagged (ties → the HIGHEST threshold, the conservative cut) —
+    * how an uncalibrated quality score becomes an operating point.
+    *
+    * Shape: one groupBy on the score (the distinct-value CDF), one
+    * descending cumulative window over that bounded frame, integer
+    * counts throughout; F1 compared as integerized 1e9 values, never
+    * as doubles. Returns (threshold, tp, fp, fn, precision, recall,
+    * f1, is_best) — recall NULL when the corpus has no positives. */
+  def thresholdSweep(df: DataFrame, scoreCol: String,
+                     labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(scoreCol).as("threshold"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    // bounded global windows: one row per distinct score
+    val wCum = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = g
+      .withColumn("tp", sum(col("__p")).over(wCum))
+      .withColumn("fp", sum(col("__n") - col("__p")).over(wCum))
+      .withColumn("__tot_p", sum(col("__p")).over(wAll))
+      .withColumn("fn", col("__tot_p") - col("tp"))
+      // f1 = 2tp/(2tp+fp+fn); denominator ≥ 1 because the threshold
+      // row itself contributes ≥ 1 selected row
+      .withColumn("__f19",
+        floor(round(lit(2.0) * col("tp").cast("double") /
+          (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"),
+          9) * lit(1e9) + lit(0.5)).cast("long"))
+    val s9 = floor(round(col("threshold").cast("double"), 9) * lit(1e9) +
+      lit(0.5)).cast("long")
+    c.withColumn("__best",
+        max(struct(col("__f19"), s9.as("__s9"))).over(wAll))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 9).as("precision"),
+        when(col("__tot_p") > 0,
+          round(col("tp").cast("double") / col("__tot_p").cast("double"),
+            9)).as("recall"),
+        round(col("__f19").cast("double") / lit(1e9), 9).as("f1"),
+        (col("__best") === struct(col("__f19"), s9.as("__s9")))
+          .as("is_best"))
+  }
+
+  /** Cumulative gains / lift table at `tiles` population cuts (the
+    * model-targeting decision table: "mail the top decile"): cut k's
+    * threshold is the score at exact rank ⌈kN/tiles⌉ in descending
+    * order, read off the distinct-score CDF — no per-row ranking, no
+    * data sort, and ties are reported HONESTLY (n may exceed kN/tiles
+    * when a tie block straddles the cut). Returns per cut: (tile,
+    * threshold, n, pos, gain = pos/P, lift = (pos/n)/(P/N)).
+    *
+    * Shape: distinct-score frame + one bounded descending cumulative
+    * window, cross join the ≤`tiles`-row spine, one argmin per tile.
+    * Lift is NULL when the corpus has no positives. */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: Column,
+                 tiles: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tiles >= 2 && tiles <= 1000,
+      s"tiles must be in [2,1000], got $tiles")
+    val g = df.select(col(scoreCol).as("v"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val wCum = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = g
+      .withColumn("cum_n", sum(col("__n")).over(wCum))
+      .withColumn("cum_p", sum(col("__p")).over(wCum))
+    val tot = cdf.agg(max(col("cum_n")).as("__nn"),
+      max(col("cum_p")).as("__pp"))
+    val spine = tot.select(col("__nn"), col("__pp"),
+      explode(sequence(lit(1L), lit(tiles.toLong))).as("tile"))
+    // rank target ⌈k·N/tiles⌉ in exact integer arithmetic; first
+    // distinct score (descending) whose cumulative count reaches it
+    val rk = ((col("tile") * col("__nn") + lit(tiles.toLong) - 1L) /
+      lit(tiles.toLong)).cast("long")
+    spine.join(cdf, col("cum_n") >= rk)
+      .groupBy(col("tile"), col("__nn"), col("__pp"))
+      .agg(min(struct(col("cum_n"), col("v"), col("cum_p"))).as("__c"))
+      .select(col("tile"), col("__c.v").as("threshold"),
+        col("__c.cum_n").as("n"), col("__c.cum_p").as("pos"),
+        when(col("__pp") > 0,
+          round(col("__c.cum_p").cast("double") /
+            col("__pp").cast("double"), 9)).as("gain"),
+        when(col("__pp") > 0,
+          round(col("__c.cum_p").cast("double") /
+            col("__c.cum_n").cast("double") /
+            (col("__pp").cast("double") / col("__nn").cast("double")),
+            9)).as("lift"))
+  }
+
   /** Shared bucket frame for [[reliabilityDiagram]] /
     * [[brierDecomposition]]: per score bucket, (bin, n, pos, __ss =
     * Σ s9 exact, __se = Σ (s9 − 1e9·y)² exact) — scores integerized
