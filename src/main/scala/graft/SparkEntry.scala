@@ -4246,6 +4246,21 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("source")
     }),
 
+    // Kaplan–Meier retention: censoring-aware survival over user
+    // PURCHASE lifetimes at hour granularity (last purchase within
+    // the final 72 hours = right-censored, still alive), with
+    // Greenwood standard errors — the churn curve a naive "fraction
+    // active after t hours" biases down by death-marking users who
+    // simply ran out of observation. Hour periods, not days: this
+    // fixture's users are all daily-active, so day-granularity
+    // degenerates to a 3-row curve.
+    "q221_survival_curve" -> ((s, dir) => {
+      Events.survivalCurve(
+        Sources.eventsNs(s, dir)
+          .filter(col("event_type") === "purchase"),
+        3600000000000L, 72)
+    }),
+
     // Rolling active-user curves: DAU / trailing-7-day WAU /
     // stickiness plus the new/cumulative-user growth ledger — the
     // engagement dashboard over the events stream.
@@ -8581,6 +8596,59 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |      / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
          |         * CAST(n_neg AS DOUBLE)), 9) END AS auc
          |FROM a ORDER BY source""".stripMargin,
+
+    // q221: identical per-term integerized logs (floor(ln·1e9 + ½)
+    // LONG-summed), one exp on an identical double; at_risk off the
+    // duration-histogram CDF.
+    "q221_survival_curve" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    min(epoch_ns(ts) // 3600000000000) AS f,
+         |    max(epoch_ns(ts) // 3600000000000) AS l
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |),
+         |lives AS (
+         |  SELECT (l - f)::BIGINT AS t,
+         |    (l <= (SELECT max(l) FROM u) - 72) AS died
+         |  FROM u
+         |),
+         |hist AS (
+         |  SELECT t,
+         |    sum(CASE WHEN died THEN 1 ELSE 0 END)::BIGINT AS deaths,
+         |    sum(CASE WHEN died THEN 0 ELSE 1 END)::BIGINT AS censored
+         |  FROM lives GROUP BY 1
+         |),
+         |r AS (
+         |  SELECT t, deaths, censored,
+         |    ((SELECT count(*) FROM lives)
+         |      - coalesce(sum(deaths + censored) OVER (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |        0))::BIGINT AS at_risk
+         |  FROM hist
+         |),
+         |k AS (
+         |  SELECT t, at_risk, deaths, censored,
+         |    sum(CASE WHEN deaths < at_risk THEN
+         |      CAST(floor(ln(CAST(at_risk - deaths AS DOUBLE)
+         |        / CAST(at_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+         |      END) OVER (ORDER BY t) AS lns,
+         |    sum(CASE WHEN deaths < at_risk THEN
+         |      CAST(floor(CAST(deaths AS DOUBLE)
+         |        / (CAST(at_risk AS DOUBLE)
+         |           * CAST(at_risk - deaths AS DOUBLE)) * 1e9 + 0.5)
+         |        AS BIGINT) END) OVER (ORDER BY t) AS gw,
+         |    max(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY t) AS dead
+         |  FROM r
+         |)
+         |SELECT t, at_risk, deaths, censored,
+         |  CASE WHEN dead = 1 THEN 0.0
+         |    ELSE round(exp(CAST(lns AS DOUBLE) / 1e9), 9) END
+         |    AS survival,
+         |  CASE WHEN dead = 0 THEN
+         |    round(exp(CAST(lns AS DOUBLE) / 1e9)
+         |      * sqrt(CAST(gw AS DOUBLE) / 1e9), 9) END AS se
+         |FROM k ORDER BY t""".stripMargin,
 
     // q217: the BETWEEN-join WAU is the oracle's O(days × user-days)
     // luxury; the engine's explode+distinct computes the same set.

@@ -982,6 +982,95 @@ object Events {
     * var_reduction, z_adj). Shape: corpus → user frame (one shuffle,
     * map-side combined) → 1-row agg; nothing user-sized crosses the
     * driver. */
+  /** Kaplan–Meier product-limit survival curve (Kaplan & Meier, JASA
+    * 1958) over user lifetimes — the censoring-aware retention report
+    * a plain "fraction still active after t days" gets WRONG: users
+    * still active at the end of the observation window haven't
+    * churned, they're right-censored, and dropping or death-marking
+    * them biases the curve down.
+    *
+    * Lifetime model: per user, duration = last-active period −
+    * first-seen period (periods of `periodNs` from the epoch-ns
+    * stamps — pick the granularity to match the churn dynamics; a
+    * corpus where everyone is daily-active needs hours, not days). A
+    * user whose last activity falls within the final
+    * `censorMarginPeriods` periods of the corpus is CENSORED at its
+    * duration (still alive when observation stopped); anyone who went
+    * quiet earlier is an observed churn event at its duration. At
+    * each distinct duration t: at_risk n_t = #{duration ≥ t} (by
+    * convention both deaths and censorings at t count at risk at t),
+    * deaths d_t, and the KM step S(t) = Π_{u ≤ t} (1 − d_u/n_u), with
+    * the Greenwood (1926) standard error S(t)·√(Σ d_u/(n_u(n_u −
+    * d_u))).
+    *
+    * Cross-engine numerics: each factor enters as the per-term
+    * integerized log floor(ln((n−d)/n)·1e9 + ½) summed in LONG (sum
+    * order cannot move the result), exponentiated ONCE on an
+    * identical double; Greenwood terms integerize the same way. A
+    * time with d_t = n_t sends survival exactly to 0 (and SE to NULL)
+    * from that point on — flagged through a cumulative max, never a
+    * ln(0).
+    *
+    * Shape at scale: one user-keyed agg (map-side combined), then the
+    * duration histogram — bounded by the calendar span, not the
+    * corpus — carries every window. The global horizon is a 1-row
+    * broadcast. Returns (t, at_risk, deaths, censored, survival,
+    * se) ordered by t. */
+  def survivalCurve(events: DataFrame, periodNs: Long,
+                    censorMarginPeriods: Int): DataFrame = {
+    require(periodNs >= 1L, s"periodNs must be >= 1, got $periodNs")
+    require(censorMarginPeriods >= 0,
+      s"censorMarginPeriods must be >= 0, got $censorMarginPeriods")
+    val users = events
+      .select(col("user_id"), expr(s"ts div ${periodNs}L").as("__p"))
+      .groupBy(col("user_id"))
+      .agg(min(col("__p")).as("__first"), max(col("__p")).as("__last"))
+    val horizon = users.agg(max(col("__last")).as("__hi"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select((col("__last") - col("__first")).as("t"),
+        (col("__last") <= col("__hi") - censorMarginPeriods.toLong)
+          .as("__died"))
+    val hist = lives.groupBy(col("t"))
+      .agg(sum(when(col("__died"), 1L).otherwise(0L)).as("deaths"),
+        sum(when(col("__died"), 0L).otherwise(1L)).as("censored"))
+    // duration-histogram windows: bounded by the calendar span
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // at_risk = total − (# with duration < t); total comes from a
+    // 1-row broadcast (exact, no second scan of the corpus: `hist`
+    // is already the tiny histogram).
+    val total = hist.agg(sum(col("deaths") + col("censored")).as("__n"))
+    val risked = hist.crossJoin(broadcast(total))
+      .withColumn("__before",
+        coalesce(sum(col("deaths") + col("censored")).over(wPrev),
+          lit(0L)))
+      .withColumn("at_risk", col("__n") - col("__before"))
+    val lnTerm = when(col("deaths") < col("at_risk"),
+      floor(log((col("at_risk") - col("deaths")).cast("double") /
+        col("at_risk").cast("double")) * 1e9 + 0.5).cast("long"))
+    val gwTerm = when(col("deaths") < col("at_risk"),
+      floor(col("deaths").cast("double") /
+        (col("at_risk").cast("double") *
+          (col("at_risk") - col("deaths")).cast("double")) * 1e9 + 0.5)
+        .cast("long"))
+    risked
+      .withColumn("__lnS", sum(lnTerm).over(wCum))
+      .withColumn("__gw", sum(gwTerm).over(wCum))
+      .withColumn("__dead",
+        max(when(col("deaths") === col("at_risk"), 1).otherwise(0))
+          .over(wCum))
+      .select(col("t"), col("at_risk"), col("deaths"), col("censored"),
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("__lnS").cast("double") / 1e9), 9))
+          .as("survival"),
+        when(col("__dead") === 0,
+          round(exp(col("__lnS").cast("double") / 1e9) *
+            sqrt(col("__gw").cast("double") / 1e9), 9)).as("se"))
+      .orderBy(col("t"))
+  }
+
   def cuped(events: DataFrame, metricType: String, salt: String,
             splitNs: Long): DataFrame = {
     val arm = pmod(Portable.seededHash(lit(salt), col("user_id")), lit(2L))
