@@ -8522,10 +8522,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |b AS (SELECT f19, s9 FROM f ORDER BY f19 DESC, s9 DESC LIMIT 1)
          |SELECT f.threshold, f.tp, f.fp, f.fn,
-         |  round(CAST(f.tp AS DOUBLE) / CAST(f.tp + f.fp AS DOUBLE), 9)
-         |    AS precision,
+         |  round(CAST(CAST(floor(round(CAST(f.tp AS DOUBLE)
+         |    / CAST(f.tp + f.fp AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
+         |    AS DOUBLE) / 1e9, 9) AS precision,
          |  CASE WHEN f.totp > 0 THEN
-         |    round(CAST(f.tp AS DOUBLE) / CAST(f.totp AS DOUBLE), 9)
+         |    round(CAST(CAST(floor(round(CAST(f.tp AS DOUBLE)
+         |      / CAST(f.totp AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
+         |      AS DOUBLE) / 1e9, 9)
          |    END AS recall,
          |  round(CAST(f.f19 AS DOUBLE) / 1e9, 9) AS f1,
          |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
@@ -8557,11 +8560,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT sel.tile, cdf.v AS threshold, cdf.cum_n AS n,
          |  cdf.cum_p AS pos,
-         |  CASE WHEN sel.pp > 0 THEN round(CAST(cdf.cum_p AS DOUBLE)
-         |    / CAST(sel.pp AS DOUBLE), 9) END AS gain,
-         |  CASE WHEN sel.pp > 0 THEN round(CAST(cdf.cum_p AS DOUBLE)
-         |    / CAST(cdf.cum_n AS DOUBLE)
-         |    / (CAST(sel.pp AS DOUBLE) / CAST(sel.nn AS DOUBLE)), 9)
+         |  CASE WHEN sel.pp > 0 THEN
+         |    round(CAST(CAST(floor(round(CAST(cdf.cum_p AS DOUBLE)
+         |      / CAST(sel.pp AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
+         |      AS DOUBLE) / 1e9, 9) END AS gain,
+         |  CASE WHEN sel.pp > 0 THEN
+         |    round(CAST(CAST(floor(round(CAST(cdf.cum_p AS DOUBLE)
+         |      / CAST(cdf.cum_n AS DOUBLE)
+         |      / (CAST(sel.pp AS DOUBLE) / CAST(sel.nn AS DOUBLE)), 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    END AS lift
          |FROM sel JOIN cdf ON cdf.cum_n = sel.n
          |ORDER BY sel.tile""".stripMargin,

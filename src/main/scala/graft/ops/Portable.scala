@@ -69,4 +69,26 @@ object Portable {
   /** DuckDB SQL fragment for the uniform [0,1) draw. */
   def sqlUnif(keys: String*): String =
     s"(${sqlHash(keys: _*)} / 1152921504606846976.0)"
+
+  /** Engine-portable emission of a rounded double ratio: integerize
+    * the 9dp-rounded value at 1e9 — the floor(·+0.5) absorbs sub-ulp
+    * drift between engines' round() implementations — then ONE IEEE
+    * division by the 1e9 literal (correctly rounded, so the emitted
+    * bit pattern is identical in any engine holding the same exact
+    * integer). Use for EVERY emitted column that would otherwise be
+    * a naked round(<division chain>, 9): that form is
+    * oracle-engine-version-sensitive (the q218/q219 round-9 driver
+    * hash-fail — bit-exact vs local DuckDB, red vs the driver's).
+    * NULL-safe (NULL in → NULL out); the input must be FINITE —
+    * guard zero denominators OUTSIDE with when(), because an ANSI
+    * cast of Infinity/NaN to long throws. DuckDB mirror:
+    * [[sqlRatio9]]. */
+  def ratio9(x: Column): Column =
+    round(floor(round(x, 9) * lit(1e9) + lit(0.5)).cast("long")
+      .cast("double") / lit(1e9), 9)
+
+  /** DuckDB SQL mirror of [[ratio9]]; `x` is a SQL DOUBLE expression. */
+  def sqlRatio9(x: String): String =
+    s"round(CAST(CAST(floor(round($x, 9) * 1e9 + 0.5) AS BIGINT)" +
+      s" AS DOUBLE) / 1e9, 9)"
 }

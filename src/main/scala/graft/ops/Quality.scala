@@ -659,14 +659,18 @@ object Quality {
           9) * lit(1e9) + lit(0.5)).cast("long"))
     val s9 = floor(round(col("threshold").cast("double"), 9) * lit(1e9) +
       lit(0.5)).cast("long")
+    // precision/recall emitted via Portable.ratio9 — the same
+    // integerize-then-divide-once shape as f1, which is what makes
+    // the hash engine-portable (the naked round(tp/(tp+fp),9) form
+    // hash-failed the driver's oracle in round 9).
     c.withColumn("__best",
         max(struct(col("__f19"), s9.as("__s9"))).over(wAll))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
-        round(col("tp").cast("double") /
-          (col("tp") + col("fp")).cast("double"), 9).as("precision"),
+        Portable.ratio9(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).as("precision"),
         when(col("__tot_p") > 0,
-          round(col("tp").cast("double") / col("__tot_p").cast("double"),
-            9)).as("recall"),
+          Portable.ratio9(col("tp").cast("double") /
+            col("__tot_p").cast("double"))).as("recall"),
         round(col("__f19").cast("double") / lit(1e9), 9).as("f1"),
         (col("__best") === struct(col("__f19"), s9.as("__s9")))
           .as("is_best"))
@@ -705,19 +709,22 @@ object Quality {
     // distinct score (descending) whose cumulative count reaches it
     val rk = ((col("tile") * col("__nn") + lit(tiles.toLong) - 1L) /
       lit(tiles.toLong)).cast("long")
+    // gain/lift via Portable.ratio9 — the raw round()-of-division
+    // chain is oracle-engine-version-sensitive (the q218/q219 r9
+    // hash-fail class).
     spine.join(cdf, col("cum_n") >= rk)
       .groupBy(col("tile"), col("__nn"), col("__pp"))
       .agg(min(struct(col("cum_n"), col("v"), col("cum_p"))).as("__c"))
       .select(col("tile"), col("__c.v").as("threshold"),
         col("__c.cum_n").as("n"), col("__c.cum_p").as("pos"),
         when(col("__pp") > 0,
-          round(col("__c.cum_p").cast("double") /
-            col("__pp").cast("double"), 9)).as("gain"),
+          Portable.ratio9(col("__c.cum_p").cast("double") /
+            col("__pp").cast("double"))).as("gain"),
         when(col("__pp") > 0,
-          round(col("__c.cum_p").cast("double") /
+          Portable.ratio9(col("__c.cum_p").cast("double") /
             col("__c.cum_n").cast("double") /
-            (col("__pp").cast("double") / col("__nn").cast("double")),
-            9)).as("lift"))
+            (col("__pp").cast("double") /
+              col("__nn").cast("double")))).as("lift"))
   }
 
   /** Shared bucket frame for [[reliabilityDiagram]] /
