@@ -1,12 +1,18 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--approx]
 
 Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against the sfDir
 parquet tables, normalizes (sort columns by name, sort rows by all
 columns), and reports exact / approximate equality per query.
+
+STRICT BY DEFAULT: a query that matches only within 1e-9 float
+tolerance ("OK~") counts as a FAILURE in the exit code, because the
+driver's gate hashes bit-exact values — a tolerance-only match here
+is a hash-fail there. Pass --approx to restore the old lenient exit
+(e.g. while bisecting which column broke).
 """
 import duckdb, glob, json, math, os, sys
 import pandas as pd
@@ -31,7 +37,7 @@ def cell_eq(a, b) -> bool:
         return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return a == b
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, approx: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -76,7 +82,20 @@ def main(sf_dir: str, out_dir: str) -> int:
                     if first is None:
                         first = (col, i, a, b)
         if bad_cells == 0:
-            print(f"OK~  {name}: match within float tolerance ({len(w)} rows) — MAY fail exact hash")
+            tag = "OK~ " if approx else "FAIL"
+            print(f"{tag} {name}: match within float tolerance only ({len(w)} rows) — WILL fail the driver's exact hash")
+            if not approx:
+                # localize the first bit-inexact cell for debugging
+                for col in w.columns:
+                    for i, (a, b) in enumerate(zip(w[col].tolist(), g[col].tolist())):
+                        if not (a == b or (isinstance(a, float) and isinstance(b, float)
+                                           and math.isnan(a) and math.isnan(b))):
+                            print(f"     first inexact cell: col={col} row={i} oracle={a!r} spark={b!r}")
+                            break
+                    else:
+                        continue
+                    break
+                failures += 1
         else:
             col, i, a, b = first
             print(f"FAIL {name}: {bad_cells} mismatched cells; first at col={col} row={i}: oracle={a!r} spark={b!r}")
@@ -84,4 +103,5 @@ def main(sf_dir: str, out_dir: str) -> int:
     return failures
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(1 if main(args[0], args[1], approx="--approx" in sys.argv) else 0)
