@@ -749,8 +749,10 @@ object SparkEntry {
        |),
        |jac AS (
        |  SELECT id_a, id_b,
-       |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-       |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+       |    ${Portable.sqlRatio9(
+           "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /" +
+           " len(list_distinct(list_concat(sa.shingles, sb.shingles)))")}
+       |      AS jaccard
        |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
        |            JOIN sh sb ON cand.id_b = sb.doc_id
        |)""".stripMargin
@@ -783,7 +785,7 @@ object SparkEntry {
        |  (min(tns) // 1000000)::BIGINT AS start_ms,
        |  (max(tns) // 1000000)::BIGINT AS end_ms,
        |  ((max(tns) // 1000000) - (min(tns) // 1000000))::BIGINT AS duration_ms,
-       |  round(sum(value), 9) AS sum_value
+       |  round(CAST(CAST(floor(round(sum(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS sum_value
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
@@ -810,7 +812,7 @@ object SparkEntry {
     s"""WITH wdw AS (
        |  SELECT event_type,
        |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,
-       |    round(avg(value), 9) AS prev_avg
+       |    round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS prev_avg
        |  FROM events GROUP BY 1, 2
        |),
        |e AS (
@@ -1020,11 +1022,13 @@ object SparkEntry {
        |),
        |s AS (
        |  SELECT probe_id, vec_id,
-       |    round(
-       |      list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * pv[i])) /
-       |      (sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) *
-       |       sqrt(list_sum(list_transform(range(1, len(pv) + 1), i -> pv[i] * pv[i])))),
-       |      9) AS cos
+       |    ${Portable.sqlRatio9(
+           "list_sum(list_transform(range(1, len(v) + 1)," +
+           " i -> v[i] * pv[i])) /" +
+           " (sqrt(list_sum(list_transform(range(1, len(v) + 1)," +
+           " i -> v[i] * v[i]))) *" +
+           " sqrt(list_sum(list_transform(range(1, len(pv) + 1)," +
+           " i -> pv[i] * pv[i]))))")} AS cos
        |  FROM c, p WHERE vec_id <> probe_id
        |)
        |SELECT probe_id, vec_id, cos,
@@ -1042,7 +1046,7 @@ object SparkEntry {
     s"""$srpSqlCte,
        |scored AS (
        |  SELECT p.vec_id AS probe_id, c.vec_id,
-       |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+       |         ${Portable.sqlRatio9(cosSql("ec.v", "ep.v"))} AS cos
        |  FROM buck p JOIN buck c ON p.bucket = c.bucket
        |    AND c.vec_id <> p.vec_id
        |  JOIN ev ep ON p.vec_id = ep.vec_id
@@ -1086,7 +1090,7 @@ object SparkEntry {
          |ptot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
          |                AS total FROM gkeep),
          |pnll AS (
-         |  SELECT doc_id, round(sum(c * -ln(cnt / total)) / sum(c), 9) AS nll
+         |  SELECT doc_id, round(CAST(CAST(floor(round(sum(c * -ln(cnt / total)) / sum(c), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS nll
          |  FROM pcw, ptot GROUP BY doc_id
          |),
          |pb AS (
@@ -1152,7 +1156,7 @@ object SparkEntry {
          |gkeep AS (
          |  SELECT q.doc_id, q.text FROM qkeep q LEFT JOIN rp USING (doc_id)
          |  WHERE rp.total IS NULL
-         |     OR round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9)
+         |     OR round(CAST(CAST(floor(round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |        <= $CurateMaxDupRatio
          |),
          |${pplCtes}ex AS (
@@ -1174,21 +1178,19 @@ object SparkEntry {
     if (!pctGate)
       s"""qkeep AS (
          |  SELECT doc_id, text FROM qm
-         |  WHERE round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |  WHERE round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    >= $CurateMinQuality
          |)""".stripMargin
     else
       s"""qsc AS (
-         |  SELECT doc_id, text, round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |  SELECT doc_id, text, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS score
          |  FROM qm
          |),
          |qpr AS (
          |  SELECT q.doc_id, q.text, q.score,
-         |    round(percent_rank() OVER (PARTITION BY d.source
-         |      ORDER BY q.score), 9) AS pr
+         |    round(CAST(CAST(floor(round(percent_rank() OVER (PARTITION BY d.source
+         |      ORDER BY q.score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pr
          |  FROM qsc q JOIN documents d USING (doc_id)
          |),
          |qkeep AS (
@@ -1225,8 +1227,7 @@ object SparkEntry {
          |  FROM xfc
          |),
          |xqs AS (
-         |  SELECT doc_id, round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |  SELECT doc_id, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS quality_score
          |  FROM xqm
          |),
@@ -1469,8 +1470,9 @@ object SparkEntry {
       val num = dd(s"n * sp_${a}_$b - s_$a * s_$b")
       s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
          |  CAST(n AS BIGINT) AS n_docs,
-         |  round(CASE WHEN $da > 0 AND $db > 0 THEN
-         |    $num / (sqrt($da) * sqrt($db)) END, 9) AS corr
+         |  CASE WHEN $da > 0 AND $db > 0 THEN
+         |    ${Portable.sqlRatio9(s"$num / (sqrt($da) * sqrt($db))")}
+         |  END AS corr
          |FROM agg1""".stripMargin
     }.mkString("\nUNION ALL\n")
     val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
@@ -1489,8 +1491,7 @@ object SparkEntry {
        |),
        |qx AS (
        |  SELECT doc_id, lenv,
-       |    round(least(1.0, greatest(0.0,
-       |      0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+       |    round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
        |      AS score
        |  FROM qm
        |),
@@ -1504,7 +1505,7 @@ object SparkEntry {
        |       FROM rc GROUP BY doc_id),
        |rx AS (
        |  SELECT d.doc_id,
-       |    round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9) AS ratio
+       |    round(CAST(CAST(floor(round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ratio
        |  FROM documents d LEFT JOIN rp USING (doc_id)
        |),
        |utf AS (
@@ -1518,7 +1519,7 @@ object SparkEntry {
        |utot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
        |               AS total FROM documents),
        |ux AS (
-       |  SELECT doc_id, round(sum(c * -ln(cnt / total)) / sum(c), 9) AS nllv
+       |  SELECT doc_id, round(CAST(CAST(floor(round(sum(c * -ln(cnt / total)) / sum(c), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS nllv
        |  FROM ucw, utot GROUP BY doc_id
        |),
        |sigf AS (
@@ -1630,10 +1631,10 @@ object SparkEntry {
        |),
        |tfpairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    round(sum(a.u * b.u), 9) AS cos_tfidf
+       |    round(CAST(CAST(floor(round(sum(a.u * b.u), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS cos_tfidf
        |  FROM tnorm a JOIN tnorm b ON a.term = b.term AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
-       |  HAVING round(sum(a.u * b.u), 9) >= $tau
+       |  HAVING round(CAST(CAST(floor(round(sum(a.u * b.u), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) >= $tau
        |)""".stripMargin
 
   /** q86's unrolled PageRank rounds r1..rK (damping 85/100 — the
@@ -1672,8 +1673,7 @@ sy AS (SELECT y_id, sum(ci) AS sy FROM r
        WHERE ry <= $MarginK GROUP BY y_id),
 m AS (
   SELECT si.x_id, si.y_id, si.cos,
-    round(CAST(si.ci * ${2 * MarginK} AS DOUBLE) /
-          CAST(sx.sx + sy.sy AS DOUBLE), 9) AS margin
+    round(CAST(CAST(floor(round(CAST(si.ci * ${2 * MarginK} AS DOUBLE) / CAST(sx.sx + sy.sy AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS margin
   FROM si JOIN sx USING (x_id) JOIN sy USING (y_id)
   WHERE sx.sx + sy.sy <> 0
 ),
@@ -1743,8 +1743,7 @@ etop AS (
 SELECT e.probe_id, count(*) AS n_exact,
   CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
     AS BIGINT) AS n_hit,
-  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-    / count(*)::DOUBLE, 9) AS recall
+  round(CAST(CAST(floor(round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
 FROM etop e LEFT JOIN atop a
   ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
 GROUP BY e.probe_id ORDER BY e.probe_id"""
@@ -1844,8 +1843,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |  FROM documents
        |),
        |qs AS (
-       |  SELECT doc_id, source, lang, round(least(1.0, greatest(0.0,
-       |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+       |  SELECT doc_id, source, lang, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
        |    AS quality_score
        |  FROM m
        |)""".stripMargin
@@ -1920,8 +1918,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |terms AS (
        |  SELECT qt.query_id, st.doc_id,
        |    qt.qtf * CAST(floor(
-       |      round(ln(1 + CAST(2 * tot.n_docs - 2 * st.df + 1 AS DOUBLE)
-       |                  / CAST(2 * st.df + 1 AS DOUBLE)), 9)
+       |      round(CAST(CAST(floor(round(ln(1 + CAST(2 * tot.n_docs - 2 * st.df + 1 AS DOUBLE)
+       |                  / CAST(2 * st.df + 1 AS DOUBLE)), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
        |      * (CAST(22 * st.tf * tot.l_tot AS DOUBLE)
        |         / CAST(10 * st.tf * tot.l_tot + 3 * tot.l_tot
        |                + 9 * st.dl * tot.n_docs AS DOUBLE))
@@ -2038,7 +2036,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // A8: Zipf-rank subsampling table (Keras make_sampling_table formula).
     "q11_sampling_table" -> ((s, dir) => {
       Pairs.samplingTable(s, VocabK, SamplingFactor)
-        .withColumn("keep_prob", round(col("keep_prob"), 9))
+        .withColumn("keep_prob", Portable.ratio9(col("keep_prob")))
         .orderBy("idx")
     }),
 
@@ -3047,8 +3045,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("pred_label"),
           (col("pred_label") === col("lang")).as("correct"),
-          round(col("avg_logp"), 9).as("avg_logp"),
-          round(col("margin"), 9).as("margin"))
+          Portable.ratio9(col("avg_logp")).as("avg_logp"),
+          Portable.ratio9(col("margin")).as("margin"))
         .orderBy("doc_id")
     }),
 
@@ -3071,9 +3069,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // (q34's array convention).
     "q88_int8_quant" -> ((s, dir) => {
       Quantize.int8(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        .select(col("vec_id"), Portable.ratio9(col("scale")).as("scale"),
           array_join(transform(col("q"), _.cast("string")), ",").as("q_str"),
-          round(col("mse"), 9).as("mse"))
+          Portable.ratio9(col("mse")).as("mse"))
         .orderBy("vec_id")
     }),
 
@@ -3876,7 +3874,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .withColumn("next_gap_ms",
           (lead(col("ms"), 1).over(w) - col("ms")).cast("long"))
         .withColumn("mov_sum3",
-          round(sum(col("value")).over(w.rowsBetween(-2, 0)), 9))
+          Portable.ratio9(sum(col("value")).over(w.rowsBetween(-2, 0))))
         .select(col("user_id"), col("event_id"), col("ms"),
           col("prev_gap_ms"), col("next_gap_ms"), col("mov_sum3"))
         .orderBy("user_id", "ms", "event_id")
@@ -4118,8 +4116,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .select(col("n_left"), col("n_right"), col("join_size"),
           col("est_size"),
           (col("est_size") - col("join_size")).as("overestimate"),
-          round(col("est_size").cast("double") /
-            col("join_size").cast("double"), 9).as("ratio"))
+          Portable.ratio9(col("est_size").cast("double") /
+            col("join_size").cast("double")).as("ratio"))
     }),
 
     // k-anonymity / l-diversity release gate on the customer table:
@@ -4553,7 +4551,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |ORDER BY target, context""".stripMargin,
 
     "q11_sampling_table" ->
-      s"""SELECT idx, round(keep_prob, 9) AS keep_prob FROM (
+      s"""SELECT idx, round(CAST(CAST(floor(round(keep_prob, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS keep_prob FROM (
          |${Pairs.samplingTableSql(VocabK, SamplingFactor)}
          |) ORDER BY idx""".stripMargin,
 
@@ -4650,16 +4648,16 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT zroll.vocab_size, zroll.total_tokens, zroll.hapax_count,
          |  zfit.top100_tokens, CAST(zfit.n AS BIGINT) AS fit_terms,
-         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9)
+         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS zipf_slope,
-         |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 1e6, 9)
+         |  round(CAST(CAST(floor(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 1e6, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS zipf_intercept,
-         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
          |      * CAST(n * sxy - sx * sy AS DOUBLE)
          |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
-         |          * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) AS zipf_r2
+         |          * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS zipf_r2
          |FROM zroll CROSS JOIN zfit""".stripMargin,
 
     // q127: same keyed-hash offset draw as the Spark side; DuckDB list
@@ -4703,16 +4701,16 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT sum(c)::BIGINT AS n_chunks,
          |  count(*)::BIGINT AS n_unique_chunks,
          |  sum(c - 1)::BIGINT AS dup_chunks,
-         |  round(sum(c - 1)::DOUBLE / sum(c), 9) AS dup_chunk_ratio,
+         |  round(CAST(CAST(floor(round(sum(c - 1)::DOUBLE / sum(c), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_chunk_ratio,
          |  sum(c * t)::BIGINT AS n_tokens,
          |  sum((c - 1) * t)::BIGINT AS dup_tokens,
-         |  round(sum((c - 1) * t)::DOUBLE / sum(c * t), 9)
+         |  round(CAST(CAST(floor(round(sum((c - 1) * t)::DOUBLE / sum(c * t), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS dup_token_ratio
          |FROM ch""".stripMargin,
 
     // q138: user-keyed lag + matrix count + row-normalizing window.
     "q138_transition_matrix" ->
-      """WITH tp AS (
+      s"""WITH tp AS (
         |  SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS prev
@@ -4724,7 +4722,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  FROM tp WHERE prev IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT from_type, to_type, n,
-        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 9) AS p
+        |  ${Portable.sqlRatio9(
+            "n::DOUBLE / sum(n) OVER (PARTITION BY from_type)")} AS p
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
@@ -4772,8 +4771,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  sum(nu)::BIGINT AS n_urls, sum(ne)::BIGINT AS n_emails,
          |  sum(np)::BIGINT AS n_phones, sum(ni)::BIGINT AS n_ips,
          |  sum(nn)::BIGINT AS n_long_nums,
-         |  round(sum(CASE WHEN nu + ne + np + ni + nn > 0 THEN 1 ELSE 0
-         |    END)::DOUBLE / count(*), 9) AS pii_doc_ratio
+         |  round(CAST(CAST(floor(round(sum(CASE WHEN nu + ne + np + ni + nn > 0 THEN 1 ELSE 0
+         |    END)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pii_doc_ratio
          |FROM pcn GROUP BY source ORDER BY source""".stripMargin,
 
     // q145: the q55 chain unfiltered, per-doc max, integer-edge bins,
@@ -4797,7 +4796,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
          |jacall AS (
          |  SELECT id_a, id_b,
-         |    round(i::DOUBLE / (sa.sz + sb.sz - i), 9) AS jaccard
+         |    ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |      AS jaccard
          |  FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |             JOIN sz sb ON inter.id_b = sb.doc_id
          |),
@@ -4812,7 +4812,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    count(*)::BIGINT AS n_docs
          |  FROM mxj GROUP BY 1
          |)
-         |SELECT round(bucket / 20.0, 9) AS tau_floor, n_docs,
+         |SELECT round(CAST(CAST(floor(round(bucket / 20.0, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS tau_floor, n_docs,
          |  (sum(n_docs) OVER (ORDER BY bucket DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
          |    AS cum_docs_ge
@@ -4842,9 +4842,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |fac AS (
          |  SELECT t.source,
-         |    round(floor(coalesce(w.weight, 0.0) / $wsum
+         |    round(CAST(CAST(floor(round(floor(coalesce(w.weight, 0.0) / $wsum
          |        * ${EpochBudget.toDouble} + 0.5)
-         |      / t.n_tokens::DOUBLE, 9) AS factor
+         |      / t.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS factor
          |  FROM tc t LEFT JOIN wt w USING (source)
          |),
          |nn AS (
@@ -4889,7 +4889,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // q141: exact count moments; entropy from the integerized-ln sum
     // (H = ln N − Σ c·x_c / (N·1e6)), identical shape both engines.
     "q141_key_skew" ->
-      """WITH kc AS (
+      s"""WITH kc AS (
         |  SELECT l_partkey AS k, count(*)::BIGINT AS c
         |  FROM lineitem GROUP BY l_partkey
         |),
@@ -4906,11 +4906,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  FROM kc
         |)
         |SELECT km.n_rows, km.n_keys, km.max_key_rows,
-        |  round(km.max_key_rows::DOUBLE / km.n_rows, 9) AS max_key_share,
+        |  ${Portable.sqlRatio9("km.max_key_rows::DOUBLE / km.n_rows")}
+        |    AS max_key_share,
         |  kt.top10_rows,
-        |  round(kt.top10_rows::DOUBLE / km.n_rows, 9) AS top10_share,
-        |  round(ln(km.n_rows::DOUBLE)
-        |    - CAST(km.sclnc AS DOUBLE) / (km.n_rows::DOUBLE * 1e6), 9)
+        |  ${Portable.sqlRatio9("kt.top10_rows::DOUBLE / km.n_rows")}
+        |    AS top10_share,
+        |  ${Portable.sqlRatio9("ln(km.n_rows::DOUBLE)" +
+            " - CAST(km.sclnc AS DOUBLE) / (km.n_rows::DOUBLE * 1e6)")}
         |    AS entropy
         |FROM km CROSS JOIN kt""".stripMargin,
 
@@ -4965,17 +4967,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT 1::BIGINT AS step_idx, '${FunnelStages(0)}' AS from_stage,
          |  '${FunnelStages(1)}' AS to_stage, count(*)::BIGINT AS n_users,
-         |  round(quantile_cont(lat_ms, 0.25), 9) AS p25,
-         |  round(quantile_cont(lat_ms, 0.5), 9) AS p50,
-         |  round(quantile_cont(lat_ms, 0.95), 9) AS p95,
+         |  round(CAST(CAST(floor(round(quantile_cont(lat_ms, 0.25), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p25,
+         |  round(CAST(CAST(floor(round(quantile_cont(lat_ms, 0.5), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p50,
+         |  round(CAST(CAST(floor(round(quantile_cont(lat_ms, 0.95), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p95,
          |  min(lat_ms)::BIGINT AS min_ms, max(lat_ms)::BIGINT AS max_ms
          |FROM l1
          |UNION ALL
          |SELECT 2::BIGINT, '${FunnelStages(1)}', '${FunnelStages(2)}',
          |  count(*)::BIGINT,
-         |  round(quantile_cont(lat_ms, 0.25), 9),
-         |  round(quantile_cont(lat_ms, 0.5), 9),
-         |  round(quantile_cont(lat_ms, 0.95), 9),
+         |  round(CAST(CAST(floor(round(quantile_cont(lat_ms, 0.25), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9),
+         |  round(CAST(CAST(floor(round(quantile_cont(lat_ms, 0.5), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9),
+         |  round(CAST(CAST(floor(round(quantile_cont(lat_ms, 0.95), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9),
          |  min(lat_ms)::BIGINT, max(lat_ms)::BIGINT
          |FROM l2
          |ORDER BY step_idx""".stripMargin,
@@ -5006,7 +5008,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT shard, doc_id, source,
          |  row_number() OVER
          |    (PARTITION BY shard ORDER BY vt, source, doc_id)::BIGINT AS pos,
-         |  round(vt, 9) AS vt
+         |  round(CAST(CAST(floor(round(vt, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS vt
          |FROM iv ORDER BY shard, pos""".stripMargin,
 
     // q131: first owner of each shingle as a window min; docs without
@@ -5027,7 +5029,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id,
          |  coalesce(np.n_distinct, 0)::BIGINT AS n_distinct,
          |  coalesce(np.n_novel, 0)::BIGINT AS n_novel,
-         |  round(np.n_novel::DOUBLE / np.n_distinct, 9) AS novelty_ratio
+         |  round(CAST(CAST(floor(round(np.n_novel::DOUBLE / np.n_distinct, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS novelty_ratio
          |FROM documents d LEFT JOIN np ON np.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
@@ -5073,13 +5075,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    ROWS BETWEEN $AnomalyTrailing PRECEDING AND 1 PRECEDING)
          |)
          |SELECT event_type, window_start_ms, n_events,
-         |  round(s::DOUBLE / $AnomalyTrailing, 9) AS trail_mean,
-         |  round((ss * $AnomalyTrailing - s * s)::DOUBLE
-         |    / (${AnomalyTrailing.toLong * AnomalyTrailing}), 9) AS trail_var,
-         |  round(CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
+         |  round(CAST(CAST(floor(round(s::DOUBLE / $AnomalyTrailing, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS trail_mean,
+         |  round(CAST(CAST(floor(round((ss * $AnomalyTrailing - s * s)::DOUBLE
+         |    / (${AnomalyTrailing.toLong * AnomalyTrailing}), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS trail_var,
+         |  round(CAST(CAST(floor(round(CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
          |    (n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
          |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
-         |          / (${AnomalyTrailing.toLong * AnomalyTrailing})) END, 9)
+         |          / (${AnomalyTrailing.toLong * AnomalyTrailing})) END, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS zscore,
          |  CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
          |    abs((n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
@@ -5098,7 +5100,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT least(da.source, db.source) AS source_a,
          |  greatest(da.source, db.source) AS source_b,
          |  count(*)::BIGINT AS n_pairs,
-         |  round(avg(jaccard), 9) AS avg_jaccard
+         |  round(CAST(CAST(floor(round(avg(jaccard), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS avg_jaccard
          |FROM ndp
          |JOIN documents da ON da.doc_id = ndp.id_a
          |JOIN documents db ON db.doc_id = ndp.id_b
@@ -5147,10 +5149,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id)
          |SELECT id_a, id_b,
-         |  round(i::DOUBLE / (sa.sz + sb.sz - i), 9) AS jaccard
+         |  ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |    AS jaccard
          |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |           JOIN sz sb ON inter.id_b = sb.doc_id
-         |WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 9) >= $JaccardTau
+         |WHERE ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |  >= $JaccardTau
          |ORDER BY id_a, id_b""".stripMargin,
 
     // q120: q55's posting-list join with the min-size denominator —
@@ -5173,10 +5177,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id)
          |SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b,
-         |  round(i::DOUBLE / least(sa.sz, sb.sz), 9) AS containment
+         |  ${Portable.sqlRatio9("i::DOUBLE / least(sa.sz, sb.sz)")}
+         |    AS containment
          |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |           JOIN sz sb ON inter.id_b = sb.doc_id
-         |WHERE round(i::DOUBLE / least(sa.sz, sb.sz), 9) >= $ContainTau
+         |WHERE ${Portable.sqlRatio9("i::DOUBLE / least(sa.sz, sb.sz)")}
+         |  >= $ContainTau
          |ORDER BY id_a, id_b""".stripMargin,
 
     // q121: the identical CMS table (portable keyed hash per (salt, r,
@@ -5236,15 +5242,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
          |ex AS (
          |  SELECT id_a, id_b,
-         |    round(i::DOUBLE / (sa.sz + sb.sz - i), 9) AS jaccard
+         |    ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |      AS jaccard
          |  FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |             JOIN sz sb ON inter.id_b = sb.doc_id
-         |  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 9) >= $LshAuditTau
+         |  WHERE ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |    >= $LshAuditTau
          |)
          |SELECT floor(ex.jaccard * 10)::BIGINT AS sim_band,
          |  count(*)::BIGINT AS n_true,
          |  count(l.hit)::BIGINT AS n_found,
-         |  round(count(l.hit)::DOUBLE / count(*), 9) AS recall
+         |  round(CAST(CAST(floor(round(count(l.hit)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
          |FROM ex LEFT JOIN lshp l ON ex.id_a = l.fa AND ex.id_b = l.fb
          |GROUP BY sim_band ORDER BY sim_band""".stripMargin,
 
@@ -5284,7 +5292,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |         count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS csize
          |       FROM fc)
          |SELECT doc_id, cluster_rep, csize,
-         |  round(1.0::DOUBLE / csize, 9) AS weight
+         |  round(CAST(CAST(floor(round(1.0::DOUBLE / csize, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS weight
          |FROM sz ORDER BY doc_id""".stripMargin,
 
     // q99: per-source rollup of the cluster labels — docs in any
@@ -5300,7 +5308,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  count(cluster_rep)::BIGINT AS n_dup_docs,
          |  count(DISTINCT eff)::BIGINT AS n_post_dedup,
-         |  round(count(cluster_rep)::DOUBLE / count(*), 9) AS dup_rate
+         |  round(CAST(CAST(floor(round(count(cluster_rep)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_rate
          |FROM fc GROUP BY source ORDER BY source""".stripMargin,
 
     // q95: q91's full-corpus cluster labels, split by the md5-hex
@@ -5342,8 +5350,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM documents
          |),
          |qs AS (
-         |  SELECT doc_id, round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |  SELECT doc_id, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS quality_score
          |  FROM qm
          |),
@@ -5481,11 +5488,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q23_embed_near_pairs" ->
       s"""$srpSqlCte
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       round(${cosSql("ea.v", "eb.v")}, 9) AS cos
+         |       ${Portable.sqlRatio9(cosSql("ea.v", "eb.v"))} AS cos
          |FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |JOIN ev ea ON a.vec_id = ea.vec_id
          |JOIN ev eb ON b.vec_id = eb.vec_id
-         |WHERE round(${cosSql("ea.v", "eb.v")}, 9) >= $CosTau
+         |WHERE ${Portable.sqlRatio9(cosSql("ea.v", "eb.v"))} >= $CosTau
          |ORDER BY id_a, id_b""".stripMargin,
 
     // q73: assignment = rn-1 over (cos DESC, cid ASC) — the same
@@ -5500,7 +5507,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |cen AS (SELECT vec_id AS cid, v AS cv FROM ev
          |        WHERE vec_id < $SemClusters),
          |sc AS (SELECT e.vec_id, c.cid,
-         |              round(${cosSql("e.v", "c.cv")}, 9) AS cos
+         |              ${Portable.sqlRatio9(cosSql("e.v", "c.cv"))} AS cos
          |       FROM ev e CROSS JOIN cen c),
          |a1 AS (SELECT vec_id, cid AS cluster, cos AS cos_centroid FROM (
          |         SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -5511,7 +5518,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |        JOIN ev ea ON a.vec_id = ea.vec_id
          |        JOIN ev eb ON b.vec_id = eb.vec_id
-         |        WHERE round(${cosSql("ea.v", "eb.v")}, 9) >= $CosTau)
+         |        WHERE ${Portable.sqlRatio9(cosSql("ea.v", "eb.v"))} >= $CosTau)
          |SELECT s.vec_id, s.cluster, s.cos_centroid
          |FROM a1 s WHERE s.vec_id NOT IN (SELECT vec_id FROM dom)
          |ORDER BY s.vec_id""".stripMargin,
@@ -5527,7 +5534,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |cen AS (SELECT vec_id AS cid, v AS cv FROM ev
          |        WHERE vec_id < $SemClusters),
          |sc AS (SELECT e.vec_id, c.cid,
-         |              round(${cosSql("e.v", "c.cv")}, 9) AS cos
+         |              ${Portable.sqlRatio9(cosSql("e.v", "c.cv"))} AS cos
          |       FROM ev e CROSS JOIN cen c),
          |a1 AS (SELECT vec_id, cid AS cluster, cos AS cos_centroid FROM (
          |         SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -5550,7 +5557,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
          |  len(regexp_extract_all(text, '${Text.WordPattern}'))::BIGINT AS n_word_tokens,
          |  length(text)::BIGINT AS n_chars,
-         |  round(length(text)::DOUBLE / len(string_split(text, ' ')), 9) AS mean_tok_len,
+         |  round(CAST(CAST(floor(round(length(text)::DOUBLE / len(string_split(text, ' ')), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mean_tok_len,
          |  ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -5571,12 +5578,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM documents
          |)
          |SELECT doc_id, n_toks::BIGINT AS n_tokens,
-         |  round(alpha, 9) AS alpha_ratio,
-         |  round(digits, 9) AS digit_ratio,
-         |  round(stop, 9) AS stopword_ratio,
+         |  round(CAST(CAST(floor(round(alpha, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS alpha_ratio,
+         |  round(CAST(CAST(floor(round(digits, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS digit_ratio,
+         |  round(CAST(CAST(floor(round(stop, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS stopword_ratio,
          |  len_ok::BIGINT AS len_ok,
-         |  round(least(1.0, greatest(0.0,
-         |    0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |  round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin
     },
@@ -5587,8 +5593,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q101_quality_percentiles" ->
       s"""$qualityScoreSqlCtes
          |SELECT doc_id, source, quality_score,
-         |  round(percent_rank() OVER (PARTITION BY source
-         |    ORDER BY quality_score), 9) AS pct_rank
+         |  round(CAST(CAST(floor(round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pct_rank
          |FROM qs ORDER BY doc_id""".stripMargin,
 
     "q26_langid" ->
@@ -5622,8 +5628,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id,
          |  coalesce(p.total, 0)::BIGINT AS n_ngrams,
          |  coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
-         |  round(1.0 - p.n_distinct / p.total::DOUBLE, 9) AS dup_ngram_ratio,
-         |  round(p.topc / p.total::DOUBLE, 9) AS top_ngram_ratio
+         |  round(CAST(CAST(floor(round(1.0 - p.n_distinct / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_ngram_ratio,
+         |  round(CAST(CAST(floor(round(p.topc / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS top_ngram_ratio
          |FROM documents d LEFT JOIN p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
@@ -5663,15 +5669,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |sc AS (
          |  SELECT doc_id, source,
-         |    round(least(1.0, greatest(0.0,
-         |      0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |      AS quality_score
          |  FROM m
          |),
          |r AS (
          |  SELECT doc_id, source, quality_score,
-         |    round(percent_rank() OVER (PARTITION BY source
-         |      ORDER BY quality_score DESC, doc_id ASC), 9) AS rank_pct
+         |    round(CAST(CAST(floor(round(percent_rank() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id ASC), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rank_pct
          |  FROM sc
          |)
          |SELECT doc_id, source, quality_score, rank_pct FROM r
@@ -5692,8 +5697,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |jac AS (
          |  SELECT new_id,
-         |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 9) AS jaccard
+         |    ${Portable.sqlRatio9(
+             "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /" +
+             " len(list_distinct(list_concat(sa.shingles, sb.shingles)))")}
+         |      AS jaccard
          |  FROM cand JOIN sh sa ON cand.new_id = sa.doc_id
          |            JOIN sh sb ON cand.ex_id = sb.doc_id
          |),
@@ -5862,8 +5869,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id, nn.n::BIGINT AS n,
          |  coalesce(p.total, 0)::BIGINT AS n_ngrams,
          |  coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
-         |  round(1.0 - p.n_distinct / p.total::DOUBLE, 9) AS dup_ngram_ratio,
-         |  round(p.topc / p.total::DOUBLE, 9) AS top_ngram_ratio
+         |  round(CAST(CAST(floor(round(1.0 - p.n_distinct / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_ngram_ratio,
+         |  round(CAST(CAST(floor(round(p.topc / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS top_ngram_ratio
          |FROM documents d
          |CROSS JOIN (SELECT unnest([${RepetitionNs.mkString(", ")}]) AS n) nn
          |LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = nn.n
@@ -5937,9 +5944,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |fac AS (
          |  SELECT t.source,
-         |    round(floor(coalesce(w.weight, 0.0) / $wsum
+         |    round(CAST(CAST(floor(round(floor(coalesce(w.weight, 0.0) / $wsum
          |        * ${EpochBudget.toDouble} + 0.5)
-         |      / t.n_tokens::DOUBLE, 9) AS factor
+         |      / t.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS factor
          |  FROM tc t LEFT JOIN wt w USING (source)
          |),
          |nn AS (
@@ -5990,9 +5997,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  len(list_distinct(list_filter(string_split(text, ' '),
          |    t -> list_contains($lst, t))))::BIGINT AS n_blocked_types,
          |  CASE WHEN len(string_split(text, ' ')) > 0 THEN
-         |    round(len(list_filter(string_split(text, ' '),
-         |      t -> list_contains($lst, t)))
-         |      / len(string_split(text, ' '))::DOUBLE, 9)
+         |    round(CAST(CAST(floor(round(len(list_filter(string_split(text, ' '), t -> list_contains($lst, t))) / len(string_split(text, ' '))::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |  END AS blocked_ratio
          |FROM documents ORDER BY doc_id""".stripMargin
     },
@@ -6016,9 +6021,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q111_weighted_sample" ->
       s"""WITH r AS (
          |  SELECT doc_id, row_number() OVER (PARTITION BY source
-         |    ORDER BY round(-ln(1 -
-         |        ${Portable.sqlUnif("doc_id", s"'$WeightedSampleSalt'")})
-         |        / n_chars, 9),
+         |    ORDER BY round(CAST(CAST(floor(round(-ln(1 - ${Portable.sqlUnif("doc_id", s"'$WeightedSampleSalt'")}) / n_chars, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9),
          |      doc_id)::BIGINT AS sample_rank
          |  FROM documents WHERE n_chars > 0
          |)
@@ -6049,7 +6052,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |       FROM deg CROSS JOIN nn),
          |${prRoundCtes(PrIters)}
          |SELECT id AS doc_id, r AS rank_int,
-         |  round(r / $PrScale.0, 9) AS pr
+         |  round(CAST(CAST(floor(round(r / $PrScale.0, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pr
          |FROM r$PrIters ORDER BY doc_id""".stripMargin,
 
     // q173: the same edges, the LPA rounds unrolled — count/argmax/
@@ -6092,8 +6095,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""$nbRankSqlCte
          |SELECT r.doc_id, d.lang, r.label AS pred_label,
          |  (r.label = d.lang) AS correct,
-         |  round(r.avg_logp, 9) AS avg_logp,
-         |  round(r.avg_logp - r.s2, 9) AS margin
+         |  round(CAST(CAST(floor(round(r.avg_logp, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS avg_logp,
+         |  round(CAST(CAST(floor(round(r.avg_logp - r.s2, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS margin
          |FROM rk r JOIN documents d ON d.doc_id = r.doc_id
          |WHERE r.rk = 1
          |ORDER BY r.doc_id""".stripMargin,
@@ -6106,7 +6109,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""$nbRankSqlCte,
          |cl AS (
          |  SELECT r.doc_id, (r.label = d.lang) AS correct,
-         |    round(r.avg_logp - r.s2, 9) AS m
+         |    round(CAST(CAST(floor(round(r.avg_logp - r.s2, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS m
          |  FROM rk r JOIN documents d ON d.doc_id = r.doc_id
          |  WHERE r.rk = 1
          |),
@@ -6117,9 +6120,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
          |  sum(CASE WHEN correct THEN 1 ELSE 0 END)::BIGINT AS n_correct,
-         |  round(sum(CASE WHEN correct THEN 1 ELSE 0 END)::DOUBLE
-         |    / count(*), 9) AS accuracy,
-         |  round(max(m), 9) AS max_margin, round(min(m), 9) AS min_margin
+         |  round(CAST(CAST(floor(round(sum(CASE WHEN correct THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS accuracy,
+         |  round(CAST(CAST(floor(round(max(m), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS max_margin, round(CAST(CAST(floor(round(min(m), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS min_margin
          |FROM cb GROUP BY bin ORDER BY bin""".stripMargin,
 
     // q87: same SRP bucket CTEs as q28; neighbors ranked with the q28
@@ -6129,7 +6132,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""$srpSqlCte,
          |cand AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id,
-         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+         |         ${Portable.sqlRatio9(cosSql("ec.v", "ep.v"))} AS cos
          |  FROM buck p JOIN buck c ON p.bucket = c.bucket
          |    AND c.vec_id <> p.vec_id
          |  JOIN ev ep ON p.vec_id = ep.vec_id
@@ -6154,8 +6157,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  coalesce(a.n_neighbors, 0)::BIGINT AS n_neighbors,
          |  coalesce(a.n_same, 0)::BIGINT AS n_same,
          |  CASE WHEN a.n_neighbors IS NOT NULL
-         |    THEN round(a.n_same::DOUBLE / a.n_neighbors, 9) END AS agreement,
-         |  coalesce(round(a.n_same::DOUBLE / a.n_neighbors, 9) < 0.5, false)
+         |    THEN round(CAST(CAST(floor(round(a.n_same::DOUBLE / a.n_neighbors, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) END AS agreement,
+         |  coalesce(round(CAST(CAST(floor(round(a.n_same::DOUBLE / a.n_neighbors, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) < 0.5, false)
          |    AS suspect
          |FROM embeddings e LEFT JOIN agg a ON a.probe_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
@@ -6180,14 +6183,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |qd AS (SELECT vec_id, v, scale, q,
          |  list_transform(q, x -> x::DOUBLE) AS qdv FROM qq)
-         |SELECT vec_id, round(scale, 9) AS scale,
+         |SELECT vec_id, round(CAST(CAST(floor(round(scale, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS scale,
          |  array_to_string(q, ',') AS q_str,
-         |  round((list_sum(list_transform(range(1, len(v)+1), i -> v[i] * v[i]))
+         |  round(CAST(CAST(floor(round((list_sum(list_transform(range(1, len(v)+1), i -> v[i] * v[i]))
          |    - 2.0 * scale *
          |      list_sum(list_transform(range(1, len(v)+1), i -> v[i] * qdv[i]))
          |    + scale * scale *
          |      list_sum(list_transform(range(1, len(v)+1), i -> qdv[i] * qdv[i])))
-         |    / len(v), 9) AS mse
+         |    / len(v), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mse
          |FROM qd ORDER BY vec_id""".stripMargin,
 
     // q92: the q88 quantization CTEs feed SRP projection and scoring
@@ -6225,7 +6228,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |scored AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id,
-         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+         |         ${Portable.sqlRatio9(cosSql("ec.v", "ep.v"))} AS cos
          |  FROM buck p JOIN buck c ON p.bucket = c.bucket
          |    AND c.vec_id <> p.vec_id
          |  JOIN qv ep ON p.vec_id = ep.vec_id
@@ -6272,7 +6275,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT vec_id, label,
          |  CASE WHEN qqs = 0 OR ccs = 0 THEN NULL
-         |       ELSE round(dot / (sqrt(qqs) * sqrt(ccs)), 9) END AS proto_cos
+         |       ELSE round(CAST(CAST(floor(round(dot / (sqrt(qqs) * sqrt(ccs)), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) END AS proto_cos
          |FROM dots ORDER BY vec_id""".stripMargin,
 
     // q89: same bucket CTEs; candidates restricted to cross-label
@@ -6282,7 +6285,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |scored AS (
          |  SELECT a.vec_id AS anchor_id, ea.label AS anchor_label,
          |         b.vec_id AS neg_id, eb.label AS neg_label,
-         |         round(${cosSql("evb.v", "eva.v")}, 9) AS cos
+         |         ${Portable.sqlRatio9(cosSql("evb.v", "eva.v"))} AS cos
          |  FROM buck a JOIN buck b ON a.bucket = b.bucket
          |    AND b.vec_id <> a.vec_id
          |  JOIN embeddings ea ON ea.vec_id = a.vec_id
@@ -6309,10 +6312,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tw AS (SELECT source, n_tokens,
          |         pow(n_tokens::DOUBLE, $TempAlpha) AS w FROM tc),
          |tp AS (SELECT source, n_tokens,
-         |         round(w / sum(w) OVER (), 9) AS p FROM tw),
+         |         round(CAST(CAST(floor(round(w / sum(w) OVER (), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p FROM tw),
          |tr AS (SELECT source, n_tokens, p,
-         |         round(least(1.0, ${TempTargetTokens.toDouble} * p / n_tokens),
-         |               9) AS rate
+         |         round(CAST(CAST(floor(round(least(1.0, ${TempTargetTokens.toDouble} * p / n_tokens), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rate
          |       FROM tp)
          |SELECT d.doc_id, d.source
          |FROM documents d JOIN tr USING (source)
@@ -6379,8 +6381,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
          |  count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens,
          |  sum(chars)::BIGINT AS n_chars,
-         |  round(sum(toks)::DOUBLE / count(*), 9) AS fertility,
-         |  round(sum(chars)::DOUBLE / sum(toks), 9) AS chars_per_token
+         |  round(CAST(CAST(floor(round(sum(toks)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS fertility,
+         |  round(CAST(CAST(floor(round(sum(chars)::DOUBLE / sum(toks), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS chars_per_token
          |FROM fseg GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin
     },
@@ -6403,10 +6405,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |pref AS (SELECT v, sum(cnt_vw)::BIGINT AS cnt_v FROM bic GROUP BY v),
          |tot AS (SELECT sum(cnt_vw)::DOUBLE AS total FROM bic)
          |SELECT bid.doc_id, sum(c)::BIGINT AS n_tokens,
-         |  round(sum(c * -ln(CASE WHEN v = chr(2) THEN cnt_w / total
+         |  round(CAST(CAST(floor(round(sum(c * -ln(CASE WHEN v = chr(2) THEN cnt_w / total
          |    ELSE CAST($BigramLambda AS DOUBLE) * cnt_vw / cnt_v +
          |         CAST(${1 - BigramLambda} AS DOUBLE) * cnt_w / total
-         |    END)) / sum(c), 9) AS bigram_nll
+         |    END)) / sum(c), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS bigram_nll
          |FROM bid
          |JOIN bic USING (v, w)
          |JOIN unic USING (w)
@@ -6483,17 +6485,16 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM documents
          |), q AS (
          |  SELECT source, lang, n_toks::BIGINT AS n_tokens,
-         |    round(least(1.0, greatest(0.0,
-         |      0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9)
+         |    round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |      AS quality_score
          |  FROM m
          |)
          |SELECT source, lang, count(*)::BIGINT AS n_docs,
          |  sum(n_tokens)::BIGINT AS n_tokens,
-         |  round(avg(n_tokens), 9) AS mean_tokens,
-         |  round(avg(quality_score), 9) AS mean_quality,
-         |  round(min(quality_score), 9) AS min_quality,
-         |  round(max(quality_score), 9) AS max_quality
+         |  round(CAST(CAST(floor(round(avg(n_tokens), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mean_tokens,
+         |  round(CAST(CAST(floor(round(avg(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mean_quality,
+         |  round(CAST(CAST(floor(round(min(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS min_quality,
+         |  round(CAST(CAST(floor(round(max(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS max_quality
          |FROM q GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin
     },
@@ -6518,16 +6519,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tt AS (SELECT count(*)::DOUBLE AS v FROM b WHERE source IN ($tgt)),
          |rt AS (SELECT count(*)::DOUBLE AS v FROM b),
          |w AS (SELECT sp.bucket,
-         |        round(ln((coalesce(tc.ct, 0) + 1) / (tt.v + $DsirBuckets.0)) -
-         |              ln((coalesce(rc.cr, 0) + 1) / (rt.v + $DsirBuckets.0)),
-         |          9) AS w
+         |        round(CAST(CAST(floor(round(ln((coalesce(tc.ct, 0) + 1) / (tt.v + $DsirBuckets.0)) - ln((coalesce(rc.cr, 0) + 1) / (rt.v + $DsirBuckets.0)), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS w
          |      FROM sp LEFT JOIN tc ON sp.bucket = tc.bucket
          |              LEFT JOIN rc ON sp.bucket = rc.bucket, tt, rt),
          |per AS (SELECT b.doc_id, count(*)::BIGINT AS n_grams,
          |               sum(w.w) AS s
          |        FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id)
          |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
-         |       round(coalesce(p.s, 0.0), 9) AS dsir_score
+         |       round(CAST(CAST(floor(round(coalesce(p.s, 0.0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dsir_score
          |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
@@ -6546,7 +6545,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
          |               AS total FROM documents)
          |SELECT doc_id, sum(c)::BIGINT AS n_tokens,
-         |       round(sum(c * -ln(cnt / total)) / sum(c), 9) AS unigram_nll
+         |       round(CAST(CAST(floor(round(sum(c * -ln(cnt / total)) / sum(c), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS unigram_nll
          |FROM cw, tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
@@ -6566,7 +6565,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |               AS total FROM documents),
          |nll AS (
          |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
-         |         round(sum(c * -ln(cnt / total)) / sum(c), 9) AS unigram_nll
+         |         round(CAST(CAST(floor(round(sum(c * -ln(cnt / total)) / sum(c), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS unigram_nll
          |  FROM cw, tot GROUP BY doc_id
          |),
          |b AS (
@@ -6605,10 +6604,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id,
          |  coalesce(a.n_grams, 0)::BIGINT AS n_grams,
          |  coalesce(a.n_boiler_grams, 0)::BIGINT AS n_boiler_grams,
-         |  round(a.n_boiler_grams / a.n_grams::DOUBLE, 9) AS boiler_ratio,
+         |  round(CAST(CAST(floor(round(a.n_boiler_grams / a.n_grams::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS boiler_ratio,
          |  coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
          |  coalesce(a.n_boiler_distinct, 0)::BIGINT AS n_boiler_distinct,
-         |  round(a.n_boiler_distinct / a.n_distinct::DOUBLE, 9)
+         |  round(CAST(CAST(floor(round(a.n_boiler_distinct / a.n_distinct::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS boiler_distinct_ratio
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
@@ -6698,8 +6697,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
          |  sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-         |  round(sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
-         |        / count(*), 9) AS oov_ratio
+         |  round(CAST(CAST(floor(round(sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |        / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS oov_ratio
          |FROM tok t LEFT JOIN vc ON t.w = vc.w
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
@@ -6729,8 +6728,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |         (cb + 0.5) / (nb + 0.5 * v) AS pb
          |  FROM j, tot
          |)
-         |SELECT w, round(pa, 9) AS p_a, round(pb, 9) AS p_b,
-         |  round(pa * ln(pa / pb), 9) AS kl_term
+         |SELECT w, round(CAST(CAST(floor(round(pa, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p_a, round(CAST(CAST(floor(round(pb, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p_b,
+         |  round(CAST(CAST(floor(round(pa * ln(pa / pb), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS kl_term
          |FROM p ORDER BY kl_term DESC, w ASC LIMIT $DriftTopK""".stripMargin,
 
     // q104: the same mixture weights as VALUES; wsum = 5.0 inlined on
@@ -6746,12 +6745,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM documents GROUP BY source
          |)
          |SELECT t.source, t.n_tokens, coalesce(w.weight, 0.0) AS weight,
-         |  round(coalesce(w.weight, 0.0) / $wsum, 9) AS share,
+         |  round(CAST(CAST(floor(round(coalesce(w.weight, 0.0) / $wsum, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS share,
          |  floor(coalesce(w.weight, 0.0) / $wsum * ${EpochBudget.toDouble}
          |    + 0.5)::BIGINT AS target_tokens,
-         |  round(floor(coalesce(w.weight, 0.0) / $wsum
+         |  round(CAST(CAST(floor(round(floor(coalesce(w.weight, 0.0) / $wsum
          |      * ${EpochBudget.toDouble} + 0.5)
-         |    / t.n_tokens::DOUBLE, 9) AS factor
+         |    / t.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS factor
          |FROM tc t LEFT JOIN wt w USING (source)
          |ORDER BY source""".stripMargin
     },
@@ -6801,7 +6800,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |),
         |dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
         |n AS (SELECT count(*) AS n_docs FROM documents)
-        |SELECT w, df, round(ln(n_docs::DOUBLE / df), 9) AS idf
+        |SELECT w, df, round(CAST(CAST(floor(round(ln(n_docs::DOUBLE / df), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS idf
         |FROM dfreq, n ORDER BY w""".stripMargin,
 
     // q56: tf joins the (rounded) idf on the token; rank ties break on
@@ -6817,9 +6816,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |dfreq AS (SELECT w, count(*) AS df FROM dtok GROUP BY w),
          |n AS (SELECT count(*) AS n_docs FROM documents),
-         |idf AS (SELECT w, round(ln(n_docs::DOUBLE / df), 9) AS idf FROM dfreq, n),
+         |idf AS (SELECT w, round(CAST(CAST(floor(round(ln(n_docs::DOUBLE / df), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS idf FROM dfreq, n),
          |wtd AS (
-         |  SELECT tf.doc_id, tf.w, tf.tf, round(tf.tf * idf.idf, 9) AS tfidf
+         |  SELECT tf.doc_id, tf.w, tf.tf, round(CAST(CAST(floor(round(tf.tf * idf.idf, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS tfidf
          |  FROM tf JOIN idf USING (w)
          |),
          |rk AS (
@@ -6863,8 +6862,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT ex.probe_id, count(*) AS n_exact,
          |  CAST(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hit,
-         |  round(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    / count(*)::DOUBLE, 9) AS recall
+         |  round(CAST(CAST(floor(round(sum(CASE WHEN ann.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
          |FROM ex LEFT JOIN ann
          |  ON ann.probe_id = ex.probe_id AND ann.vec_id = ex.vec_id
          |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
@@ -6888,11 +6887,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |dm AS (SELECT unnest($dimsSql) AS dims),
          |s AS (
          |  SELECT probe_id, vec_id, dims,
-         |    round(
-         |      list_sum(list_transform(range(1, dims + 1), i -> v[i] * pv[i])) /
-         |      (sqrt(list_sum(list_transform(range(1, dims + 1), i -> v[i] * v[i]))) *
-         |       sqrt(list_sum(list_transform(range(1, dims + 1), i -> pv[i] * pv[i])))),
-         |      9) AS cos
+         |    ${Portable.sqlRatio9(
+             "list_sum(list_transform(range(1, dims + 1)," +
+             " i -> v[i] * pv[i])) /" +
+             " (sqrt(list_sum(list_transform(range(1, dims + 1)," +
+             " i -> v[i] * v[i]))) *" +
+             " sqrt(list_sum(list_transform(range(1, dims + 1)," +
+             " i -> pv[i] * pv[i]))))")} AS cos
          |  FROM c, p, dm WHERE vec_id <> probe_id
          |),
          |r AS (
@@ -6913,7 +6914,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT dm.dims::BIGINT AS dims, exc.probe_id, exc.n_exact,
          |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-         |  round(coalesce(h.n_hit, 0) / exc.n_exact::DOUBLE, 9) AS recall
+         |  round(CAST(CAST(floor(round(coalesce(h.n_hit, 0) / exc.n_exact::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
          |FROM exc CROSS JOIN dm
          |LEFT JOIN hits h ON h.dims = dm.dims AND h.probe_id = exc.probe_id
          |ORDER BY dims, exc.probe_id""".stripMargin
@@ -6968,13 +6969,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM pts
          |)
          |SELECT c.bucket, c.n_docs, c.n_tokens, c.vocab, c.new_types,
-         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9)
+         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS heaps_beta,
-         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
          |      * CAST(n * sxy - sx * sy AS DOUBLE)
          |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
-         |      * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) AS heaps_r2
+         |      * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS heaps_r2
          |FROM curve c CROSS JOIN fit ORDER BY c.bucket""".stripMargin,
 
     // q155: projected vectors from the same keyed-hash ±1 signs
@@ -6996,7 +6997,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |aps AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id,
-         |    round(${cosSql("c.v", "p.v")}, 9) AS cos
+         |    ${Portable.sqlRatio9(cosSql("c.v", "p.v"))} AS cos
          |  FROM pr c, pr p
          |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
          |),
@@ -7012,8 +7013,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT ex.probe_id, count(*) AS n_exact,
          |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hit,
-         |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    / count(*)::DOUBLE, 9) AS recall
+         |  round(CAST(CAST(floor(round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
          |FROM ex LEFT JOIN ap
          |  ON ap.probe_id = ex.probe_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
@@ -7046,7 +7047,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |sc AS (
          |  SELECT p.gid AS probe_id, c.gid AS vec_id,
-         |    round(${cosSql("c.emb", "p.emb")}, 9) AS cos
+         |    ${Portable.sqlRatio9(cosSql("c.emb", "p.emb"))} AS cos
          |  FROM pool c, pool p
          |  WHERE p.gid < $OrderProbeMax AND c.gid <> p.gid
          |)
@@ -7070,8 +7071,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT ex.probe_id, count(*) AS n_exact,
          |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_hit,
-         |  round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |    / count(*)::DOUBLE, 9) AS recall
+         |  round(CAST(CAST(floor(round(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    / count(*)::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
          |FROM ex LEFT JOIN ap
          |  ON ap.probe_id = ex.probe_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
@@ -7097,9 +7098,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.source, d.n_docs,
          |  coalesce(per.n_tokens, 0) AS n_tokens,
          |  coalesce(per.n_types, 0) AS n_types,
-         |  round(per.n_types / per.n_tokens::DOUBLE, 9) AS ttr,
+         |  round(CAST(CAST(floor(round(per.n_types / per.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ttr,
          |  coalesce(per.n_hapax, 0) AS n_hapax,
-         |  round(per.n_hapax / per.n_types::DOUBLE, 9) AS hapax_ratio
+         |  round(CAST(CAST(floor(round(per.n_hapax / per.n_types::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS hapax_ratio
          |FROM d LEFT JOIN per USING (source)
          |ORDER BY source""".stripMargin,
 
@@ -7130,7 +7131,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |scored AS (
          |  SELECT cand.probe_id, cand.vec_id,
-         |         round(${cosSql("ec.v", "ep.v")}, 9) AS cos
+         |         ${Portable.sqlRatio9(cosSql("ec.v", "ep.v"))} AS cos
          |  FROM cand
          |  JOIN ev ep ON cand.probe_id = ep.vec_id
          |  JOIN ev ec ON cand.vec_id = ec.vec_id
@@ -7146,8 +7147,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""SELECT event_type,
          |  (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT AS window_start_ms,
          |  count(*) AS n_events,
-         |  round(avg(value), 9) AS avg_value,
-         |  round(sum(value), 9) AS sum_value
+         |  round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS avg_value,
+         |  round(CAST(CAST(floor(round(sum(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start_ms""".stripMargin,
 
     "q30_sessionize" -> sessionizeOracleSql,
@@ -7158,9 +7159,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
 
     "q49_value_quantiles" ->
       """SELECT event_type,
-        |  round(quantile_cont(value, 0.25), 9) AS p25,
-        |  round(quantile_cont(value, 0.5), 9) AS p50,
-        |  round(quantile_cont(value, 0.95), 9) AS p95,
+        |  round(CAST(CAST(floor(round(quantile_cont(value, 0.25), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p25,
+        |  round(CAST(CAST(floor(round(quantile_cont(value, 0.5), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p50,
+        |  round(CAST(CAST(floor(round(quantile_cont(value, 0.95), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p95,
         |  min(value) AS min_value,
         |  max(value) AS max_value,
         |  count(*) AS n
@@ -7305,16 +7306,16 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |fin AS (
          |  SELECT pk.lang, n_registers_used,
-         |    round((CAST(709 AS DOUBLE) / CAST(1000 AS DOUBLE)) *
+         |    round(CAST(CAST(floor(round((CAST(709 AS DOUBLE) / CAST(1000 AS DOUBLE)) *
          |      (CAST(${(1L << HllBits) * (1L << HllBits)} AS DOUBLE) *
          |        CAST(${1L << (61 - HllBits)} AS DOUBLE)) /
          |      CAST(zu + (${1L << HllBits} - n_registers_used) *
-         |        (1::BIGINT << ${61 - HllBits}) AS DOUBLE), 6) AS hll_est,
+         |        (1::BIGINT << ${61 - HllBits}) AS DOUBLE), 6) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6, 6) AS hll_est,
          |    exact_distinct
          |  FROM pk JOIN ex USING (lang)
          |)
          |SELECT lang, n_registers_used, hll_est, exact_distinct,
-         |  round((hll_est - exact_distinct) / exact_distinct * 100, 6)
+         |  round(CAST(CAST(floor(round((hll_est - exact_distinct) / exact_distinct * 100, 6) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6, 6)
          |    AS rel_err_pct
          |FROM fin ORDER BY lang""".stripMargin,
 
@@ -7328,7 +7329,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |         FROM ks, rh WHERE rh.rnk <= ks.k GROUP BY ks.k)
          |SELECT ks.k AS k, tot.n_orders,
          |  coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
-         |  round(coalesce(hits.n_hits, 0) / CAST(tot.n_orders AS DOUBLE), 9)
+         |  round(CAST(CAST(floor(round(coalesce(hits.n_hits, 0) / CAST(tot.n_orders AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS hit_rate
          |FROM ks CROSS JOIN tot LEFT JOIN hits ON hits.k = ks.k
          |ORDER BY ks.k""".stripMargin,
@@ -7341,12 +7342,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""$recEvalSqlPrefix
          |SELECT $TopK::BIGINT AS k, tot.n_orders,
          |  (SELECT count(*) FROM rh)::BIGINT AS n_ranked,
-         |  round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
+         |  round(CAST(CAST(floor(round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
          |      THEN ($rr)[rnk] ELSE 0 END), 0) FROM rh)
-         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) AS mrr,
-         |  round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
+         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mrr,
+         |  round(CAST(CAST(floor(round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
          |      THEN ($dcg)[rnk] ELSE 0 END), 0) FROM rh)
-         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) AS ndcg
+         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ndcg
          |FROM tot""".stripMargin
     },
 
@@ -7542,8 +7543,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
            |  count(*) AS n_exact,
            |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_hit,
-           |  round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-           |    / count(*)::DOUBLE, 9) AS recall
+           |  round(CAST(CAST(floor(round(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    / count(*)::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
            |FROM etop e LEFT JOIN at$np a
            |  ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
            |GROUP BY e.probe_id""".stripMargin
@@ -7696,7 +7697,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  SELECT x_id, y_id, cos,
          |         CAST(floor(cos * 1e9 + 0.5) AS BIGINT) AS ci
          |  FROM (SELECT x_id, y_id,
-         |          round(${cosSql("xv", "yv")}, 9) AS cos
+         |          ${Portable.sqlRatio9(cosSql("xv", "yv"))} AS cos
          |        FROM x, y)
          |)$marginMineSqlTail""".stripMargin,
 
@@ -7725,7 +7726,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  SELECT x_id, y_id, cos,
          |         CAST(floor(cos * 1e9 + 0.5) AS BIGINT) AS ci
          |  FROM (SELECT bx.vec_id AS x_id, by_.vec_id AS y_id,
-         |          round(${cosSql("ex.v", "ey.v")}, 9) AS cos
+         |          ${Portable.sqlRatio9(cosSql("ex.v", "ey.v"))} AS cos
          |        FROM buck bx
          |        JOIN buck by_ ON bx.bucket = by_.bucket
          |          AND bx.label = 0 AND by_.label = 1
@@ -7777,7 +7778,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id AS eval_id,
          |  coalesce(per.n_shingles, 0) AS n_shingles,
          |  coalesce(per.n_cont, 0) AS n_contaminated,
-         |  round(per.n_cont / per.n_shingles::DOUBLE, 9) AS coverage
+         |  round(CAST(CAST(floor(round(per.n_cont / per.n_shingles::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS coverage
          |FROM (SELECT doc_id FROM documents
          |      WHERE doc_id < $EvalSetDocs) d
          |LEFT JOIN per ON per.eval_id = d.doc_id
@@ -7811,14 +7812,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  period_offset::BIGINT AS period_offset,
          |  n_active::BIGINT AS n_active,
          |  cohort_size::BIGINT AS cohort_size,
-         |  round(n_active / cohort_size::DOUBLE, 9) AS retention
+         |  ${Portable.sqlRatio9("n_active / cohort_size::DOUBLE")}
+         |    AS retention
          |FROM counts JOIN sizes USING (cp)
          |ORDER BY cohort_start_ms, period_offset""".stripMargin,
 
     "q31_run_table" ->
       """WITH runs AS (
         |  SELECT event_type AS job_name,
-        |         round(avg(value), 9) AS objective,
+        |         round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS objective,
         |         (min(epoch_ns(ts)) // 1000000)::BIGINT AS start_ms
         |  FROM events GROUP BY event_type
         |)
@@ -7828,7 +7830,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
 
     "q32_best_run" ->
       """WITH runs AS (
-        |  SELECT event_type AS job_name, round(avg(value), 9) AS objective
+        |  SELECT event_type AS job_name, round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS objective
         |  FROM events GROUP BY event_type
         |)
         |SELECT job_name, objective FROM runs
@@ -7881,7 +7883,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  SELECT doc_id, bin, count(*) AS cnt FROM nib GROUP BY doc_id, bin
         |)
         |SELECT d.doc_id, d.n_bytes, bins.bin,
-        |  round(coalesce(ht.cnt, 0) / greatest(d.n_bytes, 1)::DOUBLE, 9) AS feat
+        |  round(CAST(CAST(floor(round(coalesce(ht.cnt, 0) / greatest(d.n_bytes, 1)::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS feat
         |FROM hx d
         |CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bins
         |LEFT JOIN hist ht ON ht.doc_id = d.doc_id AND ht.bin = bins.bin
@@ -7931,9 +7933,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |SELECT user_id, event_id, ms,
         |  (ms - lag(ms, 1) OVER w)::BIGINT AS prev_gap_ms,
         |  (lead(ms, 1) OVER w - ms)::BIGINT AS next_gap_ms,
-        |  round(sum(value) OVER (PARTITION BY user_id
+        |  round(CAST(CAST(floor(round(sum(value) OVER (PARTITION BY user_id
         |    ORDER BY tns, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 9) AS mov_sum3
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mov_sum3
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
         |ORDER BY user_id, ms, event_id""".stripMargin,
@@ -7951,7 +7953,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM emb ORDER BY vec_id LIMIT 3
          |),
          |sc AS (
-         |  SELECT probe_id, vec_id, round(${cosSql("v", "pv")}, 9) AS cos
+         |  SELECT probe_id, vec_id, ${Portable.sqlRatio9(cosSql("v", "pv"))} AS cos
          |  FROM emb, p WHERE vec_id <> probe_id
          |),
          |r AS (
@@ -7973,7 +7975,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q175_bm25_topk" ->
       s"""$bm25SqlCtes
          |SELECT query_id, rnk, doc_id, score_i,
-         |  round(CAST(score_i AS DOUBLE) / 1e9, 9) AS score
+         |  round(CAST(CAST(floor(round(CAST(score_i AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS score
          |FROM rk ORDER BY query_id, rnk""".stripMargin,
 
     // q176: the UNCHANGED q175 lexical body + the q16-shaped exact
@@ -7992,7 +7994,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |       WHERE vec_id < $RetrievalQueryDocs),
          |cs AS (
          |  SELECT query_id, vec_id AS doc_id,
-         |    round(${cosSql("v", "pv")}, 9) AS cos
+         |    ${Portable.sqlRatio9(cosSql("v", "pv"))} AS cos
          |  FROM cp, pp
          |),
          |semr AS (
@@ -8019,7 +8021,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM f QUALIFY rnk <= $TopK
          |)
          |SELECT query_id, rnk, doc_id, n_lists, rrf_i,
-         |  round(CAST(rrf_i AS DOUBLE) / 1e9, 9) AS rrf
+         |  round(CAST(CAST(floor(round(CAST(rrf_i AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rrf
          |FROM fr ORDER BY query_id, rnk""".stripMargin,
 
     // q177: degree-ordered orientation replayed relationally — every
@@ -8067,8 +8069,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.id, d.deg,
          |  coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles,
          |  CASE WHEN d.deg >= 2 THEN
-         |    round(CAST(2 * coalesce(pn.n_triangles, 0) AS DOUBLE)
-         |          / CAST(d.deg * (d.deg - 1) AS DOUBLE), 9)
+         |    round(CAST(CAST(floor(round(CAST(2 * coalesce(pn.n_triangles, 0) AS DOUBLE)
+         |          / CAST(d.deg * (d.deg - 1) AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |  END AS clustering_coeff
          |FROM deg d LEFT JOIN pn USING (id)
          |ORDER BY d.id""".stripMargin,
@@ -8131,9 +8133,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT p.i, p.j, n.n, si.s AS sum_i, sj.s AS sum_j,
          |  p.sp AS sumprod,
-         |  round(CAST(CAST(n.n AS HUGEINT) * p.sp
+         |  round(CAST(CAST(floor(round(CAST(CAST(n.n AS HUGEINT) * p.sp
          |             - CAST(si.s AS HUGEINT) * sj.s AS DOUBLE)
-         |        / CAST(n.n * n.n AS DOUBLE) / 1e12, 9) AS cov
+         |        / CAST(n.n * n.n AS DOUBLE) / 1e12, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS cov
          |FROM prods p
          |JOIN sums si ON si.i = p.i
          |JOIN sums sj ON sj.i = p.j
@@ -8163,10 +8165,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tu AS (SELECT sum(c)::BIGINT AS t_u FROM uni),
          |tb AS (SELECT sum(cnt_xy)::BIGINT AS t_b FROM big)
          |SELECT b.w1, b.w2, b.cnt_xy, ux.c AS c_x, uy.c AS c_y,
-         |  round(ln($ratio), 9) AS pmi,
+         |  round(CAST(CAST(floor(round(ln($ratio), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pmi,
          |  CASE WHEN b.cnt_xy < t_b THEN
-         |    round(ln($ratio)
-         |      / -ln(CAST(b.cnt_xy AS DOUBLE) / CAST(t_b AS DOUBLE)), 9)
+         |    round(CAST(CAST(floor(round(ln($ratio)
+         |      / -ln(CAST(b.cnt_xy AS DOUBLE) / CAST(t_b AS DOUBLE)), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |  END AS npmi
          |FROM big b JOIN uni ux ON ux.w = b.w1
          |           JOIN uni uy ON uy.w = b.w2
@@ -8191,12 +8193,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |n AS (SELECT count(DISTINCT t)::BIGINT AS n_orders FROM ti)
          |SELECT p.a AS antecedent, p.b AS consequent, n.n_orders,
          |  ia.c AS c_a, ib.c AS c_b, p.c_ab,
-         |  round(CAST(p.c_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 9)
+         |  round(CAST(CAST(floor(round(CAST(p.c_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS support,
-         |  round(CAST(p.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE), 9)
+         |  round(CAST(CAST(floor(round(CAST(p.c_ab AS DOUBLE) / CAST(ia.c AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS confidence,
-         |  round(CAST(n.n_orders AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
-         |        / CAST(ia.c AS DOUBLE) / CAST(ib.c AS DOUBLE), 9)
+         |  round(CAST(CAST(floor(round(CAST(n.n_orders AS DOUBLE) * CAST(p.c_ab AS DOUBLE)
+         |        / CAST(ia.c AS DOUBLE) / CAST(ib.c AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |    AS lift
          |FROM pc p JOIN ic ia ON ia.i = p.a JOIN ic ib ON ib.i = p.b
          |CROSS JOIN n
@@ -8231,8 +8233,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT e.prev, m.predicted, count(*)::BIGINT AS n_transitions,
          |  sum(CASE WHEN e.next = m.predicted THEN 1 ELSE 0 END)::BIGINT
          |    AS n_hits,
-         |  round(sum(CASE WHEN e.next = m.predicted THEN 1 ELSE 0
-         |    END)::BIGINT / CAST(count(*) AS DOUBLE), 9) AS hit_rate
+         |  ${Portable.sqlRatio9("sum(CASE WHEN e.next = m.predicted" +
+             " THEN 1 ELSE 0 END)::BIGINT / CAST(count(*) AS DOUBLE)")}
+         |    AS hit_rate
          |FROM p2 e LEFT JOIN model m USING (prev)
          |WHERE e.fold = 0
          |GROUP BY 1, 2 ORDER BY e.prev""".stripMargin,
@@ -8260,9 +8263,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |${side("a", s"vec_id < $DriftSplitId")},
          |${side("b", s"vec_id >= $DriftSplitId")}
          |SELECT dd.d, na.n AS n_a, nb.n AS n_b,
-         |  round($ma, 9) AS mean_a,
-         |  round($mb, 9) AS mean_b,
-         |  round($mb - $ma, 9) AS delta
+         |  ${Portable.sqlRatio9(ma)} AS mean_a,
+         |  ${Portable.sqlRatio9(mb)} AS mean_b,
+         |  ${Portable.sqlRatio9(s"$mb - $ma")} AS delta
          |FROM dd JOIN sa ON sa.d = dd.d JOIN sb ON sb.d = dd.d
          |CROSS JOIN na CROSS JOIN nb
          |ORDER BY dd.d""".stripMargin
@@ -8301,9 +8304,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  (count(*) - sum(CASE WHEN f.min_val <= b.band_hi
          |        AND f.max_val >= b.band_lo THEN 1 ELSE 0 END))::BIGINT
          |    AS n_skipped,
-         |  round(CAST(count(*) - sum(CASE WHEN f.min_val <= b.band_hi
+         |  round(CAST(CAST(floor(round(CAST(count(*) - sum(CASE WHEN f.min_val <= b.band_hi
          |        AND f.max_val >= b.band_lo THEN 1 ELSE 0 END) AS DOUBLE)
-         |      / CAST(count(*) AS DOUBLE), 9) AS skip_ratio
+         |      / CAST(count(*) AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS skip_ratio
          |FROM f CROSS JOIN b
          |GROUP BY b.band_lo, b.band_hi""".stripMargin,
 
@@ -8330,8 +8333,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT nn.n AS n_left, nn.n AS n_right, ex.join_size,
          |  est.est_size,
          |  (est.est_size - ex.join_size)::BIGINT AS overestimate,
-         |  round(CAST(est.est_size AS DOUBLE)
-         |    / CAST(ex.join_size AS DOUBLE), 9) AS ratio
+         |  round(CAST(CAST(floor(round(CAST(est.est_size AS DOUBLE)
+         |    / CAST(ex.join_size AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ratio
          |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
 
     // q204: one QI agg, one rollup — counts exact, one division.
@@ -8353,8 +8356,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    AS n_viol_groups,
          |  sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)::BIGINT
          |    AS n_viol_rows,
-         |  round(sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)
-         |    / CAST(sum(sz) AS DOUBLE), 9) AS viol_share,
+         |  ${Portable.sqlRatio9(
+             s"sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)" +
+             " / CAST(sum(sz) AS DOUBLE)")} AS viol_share,
          |  min(l)::BIGINT AS min_l
          |FROM g""".stripMargin,
 
@@ -8373,9 +8377,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM e WHERE ms <= $DecayAsOfMs
          |)
          |SELECT event_type, count(*)::BIGINT AS n_events,
-         |  round(CAST(sum(w9) AS DOUBLE) / 1e9, 9) AS decayed_mass,
-         |  round(CAST(sum(w9) AS DOUBLE) / 1e9
-         |    / CAST(count(*) AS DOUBLE), 9) AS recency
+         |  round(CAST(CAST(floor(round(CAST(sum(w9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS decayed_mass,
+         |  ${Portable.sqlRatio9("CAST(sum(w9) AS DOUBLE) / 1e9" +
+             " / CAST(count(*) AS DOUBLE)")} AS recency
          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q206: the oracle is deliberately the brute-force O(V²) join the
@@ -8456,9 +8460,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |pr AS (SELECT DISTINCT probe_id FROM ex)
          |SELECT pr.probe_id,
          |  coalesce(ag.n_common, 0)::BIGINT AS n_common,
-         |  round(CAST(coalesce(ag.r9, 0) AS DOUBLE) / 1e9, 9) AS rbo,
-         |  round(CAST(coalesce(ag.r9, 0) AS DOUBLE)
-         |    / CAST(${suf.sum} AS DOUBLE), 9) AS rbo_norm
+         |  round(CAST(CAST(floor(round(CAST(coalesce(ag.r9, 0) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rbo,
+         |  round(CAST(CAST(floor(round(CAST(coalesce(ag.r9, 0) AS DOUBLE)
+         |    / CAST(${suf.sum} AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rbo_norm
          |FROM pr LEFT JOIN ag USING (probe_id)
          |ORDER BY probe_id""".stripMargin
     },
@@ -8487,8 +8491,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
          |)
          |SELECT pr.id_a, pr.id_b, pr.n_shared, sa.s AS n_a, sb.s AS n_b,
-         |  round(CAST(pr.n_shared AS DOUBLE)
-         |    / CAST(least(sa.s, sb.s) AS DOUBLE), 9) AS containment
+         |  round(CAST(CAST(floor(round(CAST(pr.n_shared AS DOUBLE)
+         |    / CAST(least(sa.s, sb.s) AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS containment
          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
          |JOIN sz sb ON pr.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
@@ -8530,7 +8534,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |      / CAST(f.totp AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
          |      AS DOUBLE) / 1e9, 9)
          |    END AS recall,
-         |  round(CAST(f.f19 AS DOUBLE) / 1e9, 9) AS f1,
+         |  round(CAST(CAST(floor(round(CAST(f.f19 AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS f1,
          |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
          |FROM f CROSS JOIN b ORDER BY f.threshold""".stripMargin,
 
@@ -8599,9 +8603,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, n_pos, n_neg,
          |  (r2 - n_pos * (n_pos + 1))::BIGINT AS u2_pos,
          |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-         |    round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-         |      / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
-         |         * CAST(n_neg AS DOUBLE)), 9) END AS auc
+         |    ${Portable.sqlRatio9(
+             "CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)" +
+             " / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)" +
+             " * CAST(n_neg AS DOUBLE))")} END AS auc
          |FROM a ORDER BY source""".stripMargin,
 
     // q221: identical per-term integerized logs (floor(ln·1e9 + ½)
@@ -8650,11 +8655,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT t, at_risk, deaths, censored,
          |  CASE WHEN dead = 1 THEN 0.0
-         |    ELSE round(exp(CAST(lns AS DOUBLE) / 1e9), 9) END
-         |    AS survival,
+         |    ELSE ${Portable.sqlRatio9("exp(CAST(lns AS DOUBLE) / 1e9)")}
+         |    END AS survival,
          |  CASE WHEN dead = 0 THEN
-         |    round(exp(CAST(lns AS DOUBLE) / 1e9)
-         |      * sqrt(CAST(gw AS DOUBLE) / 1e9), 9) END AS se
+         |    ${Portable.sqlRatio9("exp(CAST(lns AS DOUBLE) / 1e9)" +
+             " * sqrt(CAST(gw AS DOUBLE) / 1e9)")} END AS se
          |FROM k ORDER BY t""".stripMargin,
 
     // q217: the BETWEEN-join WAU is the oracle's O(days × user-days)
@@ -8683,8 +8688,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT s.day, coalesce(dau.dau, 0)::BIGINT AS dau,
          |  coalesce(wau.wau, 0)::BIGINT AS wau,
          |  CASE WHEN coalesce(wau.wau, 0) > 0 THEN
-         |    round(CAST(coalesce(dau.dau, 0) AS DOUBLE)
-         |      / CAST(wau.wau AS DOUBLE), 9) END AS stickiness,
+         |    ${Portable.sqlRatio9("CAST(coalesce(dau.dau, 0) AS DOUBLE)" +
+             " / CAST(wau.wau AS DOUBLE)")} END AS stickiness,
          |  coalesce(nu.new_users, 0)::BIGINT AS new_users,
          |  sum(coalesce(nu.new_users, 0))
          |    OVER (ORDER BY s.day)::BIGINT AS cum_users
@@ -8764,19 +8769,24 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM u
          |)
          |SELECT n_a, n_b,
-         |  CASE WHEN $ok THEN round($theta, 9) END AS theta,
-         |  CASE WHEN n_a > 0 THEN round(${mean("sya", "n_a")}, 9)
+         |  CASE WHEN $ok THEN ${Portable.sqlRatio9(theta)} END AS theta,
+         |  CASE WHEN n_a > 0
+         |    THEN ${Portable.sqlRatio9(mean("sya", "n_a"))}
          |    END AS mean_a,
-         |  CASE WHEN n_b > 0 THEN round(${mean("syb", "n_b")}, 9)
+         |  CASE WHEN n_b > 0
+         |    THEN ${Portable.sqlRatio9(mean("syb", "n_b"))}
          |    END AS mean_b,
-         |  CASE WHEN $ok AND n_a > 0 THEN round($adjA, 9) END AS adj_a,
-         |  CASE WHEN $ok AND n_b > 0 THEN round($adjB, 9) END AS adj_b,
+         |  CASE WHEN $ok AND n_a > 0 THEN ${Portable.sqlRatio9(adjA)}
+         |    END AS adj_a,
+         |  CASE WHEN $ok AND n_b > 0 THEN ${Portable.sqlRatio9(adjB)}
+         |    END AS adj_b,
          |  CASE WHEN $ok AND $vyP > CAST(0 AS DOUBLE)
-         |    THEN round($thN * $thN / ($thD * $vyP), 9)
+         |    THEN ${Portable.sqlRatio9(s"$thN * $thN / ($thD * $vyP)")}
          |    END AS var_reduction,
          |  CASE WHEN $ok AND n_a > 0 AND n_b > 0
          |      AND $seAdj > CAST(0 AS DOUBLE)
-         |    THEN round(($adjA - $adjB) / $seAdj, 9) END AS z_adj
+         |    THEN ${Portable.sqlRatio9(s"($adjA - $adjB) / $seAdj")}
+         |    END AS z_adj
          |FROM m ORDER BY n_a""".stripMargin
     },
 
@@ -8823,8 +8833,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
          |  count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens,
          |  sum(chars)::BIGINT AS n_chars,
-         |  round(sum(toks)::DOUBLE / count(*), 9) AS fertility,
-         |  round(sum(chars)::DOUBLE / sum(toks), 9) AS chars_per_token
+         |  round(CAST(CAST(floor(round(sum(toks)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS fertility,
+         |  round(CAST(CAST(floor(round(sum(chars)::DOUBLE / sum(toks), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS chars_per_token
          |FROM fseg GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin,
 
@@ -8833,10 +8843,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q212_reliability_diagram" ->
       s"""$calibBinsSqlCte
          |SELECT bin, n, pos,
-         |  round(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1e9, 9)
+         |  ${Portable.sqlRatio9(
+             "CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1e9")}
          |    AS mean_score,
-         |  round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS frac_pos,
-         |  round(CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1e18, 9)
+         |  ${Portable.sqlRatio9(
+             "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_pos,
+         |  ${Portable.sqlRatio9(
+             "CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1e18")}
          |    AS brier_bin
          |FROM b ORDER BY bin""".stripMargin,
 
@@ -8866,14 +8879,16 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM b CROSS JOIN t
          |)
          |SELECT nn AS n, pp AS pos,
-         |  round(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS pos_rate,
-         |  round(CAST(sse AS DOUBLE) / CAST(nn AS DOUBLE) / 1e18, 9)
+         |  ${Portable.sqlRatio9(
+             "CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)")} AS pos_rate,
+         |  ${Portable.sqlRatio9(
+             "CAST(sse AS DOUBLE) / CAST(nn AS DOUBLE) / 1e18")}
          |    AS brier,
-         |  round(CAST(sum(rel9) AS DOUBLE) / 1e9, 9) AS reliability,
-         |  round(CAST(sum(res9) AS DOUBLE) / 1e9, 9) AS resolution,
-         |  round(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)
-         |    * (CAST(1 AS DOUBLE) - CAST(pp AS DOUBLE)
-         |        / CAST(nn AS DOUBLE)), 9) AS uncertainty
+         |  round(CAST(CAST(floor(round(CAST(sum(rel9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS reliability,
+         |  round(CAST(CAST(floor(round(CAST(sum(res9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS resolution,
+         |  ${Portable.sqlRatio9("CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)" +
+             " * (CAST(1 AS DOUBLE) - CAST(pp AS DOUBLE)" +
+             " / CAST(nn AS DOUBLE))")} AS uncertainty
          |FROM terms GROUP BY nn, pp, sse
          |ORDER BY n""".stripMargin,
 
@@ -8913,9 +8928,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |f AS (SELECT bkt, max(m) AS f9 FROM mn GROUP BY 1)
          |SELECT b.bucket, b.n, b.pos,
-         |  round(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE), 9)
+         |  ${Portable.sqlRatio9(
+             "CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)")}
          |    AS raw_rate,
-         |  round(CAST(f.f9 AS DOUBLE) / 1e9, 9) AS fitted
+         |  round(CAST(CAST(floor(round(CAST(f.f9 AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS fitted
          |FROM b JOIN f ON b.bucket = f.bkt ORDER BY b.bucket""".stripMargin,
 
     // q201: global-minus-group algebra over the same integerized sums.
@@ -8930,16 +8946,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tot AS (SELECT sum(n_g)::BIGINT AS n, sum(sg)::BIGINT AS s
          |        FROM per)
          |SELECT p.source, p.n_g,
-         |  round(CAST(p.sg AS DOUBLE) / CAST(p.n_g AS DOUBLE) / 1e9, 9)
+         |  ${Portable.sqlRatio9("CAST(p.sg AS DOUBLE)" +
+             " / CAST(p.n_g AS DOUBLE) / 1e9")}
          |    AS mean_g,
          |  CASE WHEN t.n > p.n_g THEN
-         |    round(CAST(t.s - p.sg AS DOUBLE)
-         |      / CAST(t.n - p.n_g AS DOUBLE) / 1e9, 9)
+         |    ${Portable.sqlRatio9("CAST(t.s - p.sg AS DOUBLE)" +
+             " / CAST(t.n - p.n_g AS DOUBLE) / 1e9")}
          |  END AS mean_without,
          |  CASE WHEN t.n > p.n_g THEN
-         |    round(CAST(t.s - p.sg AS DOUBLE)
-         |        / CAST(t.n - p.n_g AS DOUBLE) / 1e9
-         |      - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) / 1e9, 9)
+         |    ${Portable.sqlRatio9("CAST(t.s - p.sg AS DOUBLE)" +
+             " / CAST(t.n - p.n_g AS DOUBLE) / 1e9" +
+             " - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) / 1e9")}
          |  END AS delta
          |FROM per p CROSS JOIN tot t
          |ORDER BY delta DESC, p.source""".stripMargin,
@@ -8970,8 +8987,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT source, max(n)::BIGINT AS n, sum(k)::BIGINT AS n_kept,
          |  CASE WHEN sum(k) > 0 THEN
-         |    round(CAST(sum(k * vi) AS DOUBLE) / CAST(sum(k) AS DOUBLE)
-         |      / 1e9, 9)
+         |    ${Portable.sqlRatio9("CAST(sum(k * vi) AS DOUBLE)" +
+             " / CAST(sum(k) AS DOUBLE) / 1e9")}
          |  END AS trimmed_mean
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
@@ -9013,8 +9030,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  WHERE cum >= (n + 1) // 2 GROUP BY source
          |)
          |SELECT dv.source, count(*)::BIGINT AS n,
-         |  round(CAST(max(dv.med) AS DOUBLE) / 1e9, 9) AS median,
-         |  round(CAST(max(mad.mad) AS DOUBLE) / 1e9, 9) AS mad,
+         |  round(CAST(CAST(floor(round(CAST(max(dv.med) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS median,
+         |  round(CAST(CAST(floor(round(CAST(max(mad.mad) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mad,
          |  sum(CASE WHEN dv.d > $MadK * mad.mad THEN 1 ELSE 0
          |    END)::BIGINT AS n_outliers
          |FROM dv JOIN mad USING (source)
@@ -9044,8 +9061,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT n_a AS n_pos, n_b AS n_neg,
          |  (r2 - n_a * (n_a + 1))::BIGINT AS u2_pos,
-         |  round(CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
-         |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 9)
+         |  ${Portable.sqlRatio9("CAST(r2 - n_a * (n_a + 1) AS DOUBLE)" +
+             " / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")}
          |    AS auc
          |FROM ag""".stripMargin,
 
@@ -9109,7 +9126,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    AS n_bins,
          |  CASE WHEN (SELECT sum(CASE WHEN t9 IS NULL THEN 1 ELSE 0 END)
          |             FROM tt) = 0 THEN
-         |    round(CAST((SELECT sum(t9) FROM tt) AS DOUBLE) / 1e9, 9)
+         |    round(CAST(CAST(floor(round(CAST((SELECT sum(t9) FROM tt) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |  END AS psi
          |FROM na CROSS JOIN nb""".stripMargin,
 
@@ -9170,10 +9187,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT n_a, n_b, u2_a,
          |  CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
          |  CASE WHEN n_a * n_b * ((nn + 1) * nn * (nn - 1) - t3) > 0 THEN
-         |    round((CAST(u2_a - n_a * n_b AS DOUBLE) / 2.0)
+         |    round(CAST(CAST(floor(round((CAST(u2_a - n_a * n_b AS DOUBLE) / 2.0)
          |      / sqrt(CAST(n_a * n_b * ((nn + 1) * nn * (nn - 1) - t3)
          |               AS DOUBLE)
-         |             / CAST(12 * nn * (nn - 1) AS DOUBLE)), 9)
+         |             / CAST(12 * nn * (nn - 1) AS DOUBLE)), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
          |  END AS z
          |FROM fin""".stripMargin,
 
@@ -9217,12 +9234,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |SELECT n, n_rows, n_cols,
         |  ((n_rows - 1) * (n_cols - 1))::BIGINT AS dof,
         |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
-        |    round(CAST(chi9 AS DOUBLE) / 1e9, 9)
+        |    round(CAST(CAST(floor(round(CAST(chi9 AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
         |  END AS chi2,
         |  CASE WHEN (n_rows - 1) * (n_cols - 1) > 0 THEN
-        |    round(sqrt((CAST(chi9 AS DOUBLE) / 1e9)
+        |    round(CAST(CAST(floor(round(sqrt((CAST(chi9 AS DOUBLE) / 1e9)
         |      / (CAST(n AS DOUBLE)
-        |         * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))), 9)
+        |         * CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
         |  END AS cramers_v
         |FROM ag""".stripMargin,
 
@@ -9277,8 +9294,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT t.source, t.ng AS n_g, t.ks_at, t.ks_num,
          |  CASE WHEN nn.n - t.ng > 0 THEN
-         |    round(CAST(t.ks_num AS DOUBLE)
-         |      / (CAST(t.ng AS DOUBLE) * CAST(nn.n - t.ng AS DOUBLE)), 9)
+         |    ${Portable.sqlRatio9("CAST(t.ks_num AS DOUBLE)" +
+             " / (CAST(t.ng AS DOUBLE) * CAST(nn.n - t.ng AS DOUBLE))")}
          |  END AS ks
          |FROM top t CROSS JOIN nn
          |ORDER BY ks DESC, t.source""".stripMargin,
@@ -9322,8 +9339,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |top AS (SELECT v, d FROM g ORDER BY d DESC, v ASC LIMIT 1)
          |SELECT na.n AS n_a, nb.n AS n_b, top.v AS ks_at,
          |  top.d AS ks_num,
-         |  round(CAST(top.d AS DOUBLE)
-         |    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)), 9) AS ks
+         |  ${Portable.sqlRatio9("CAST(top.d AS DOUBLE)" +
+             " / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))")} AS ks
          |FROM top CROSS JOIN na CROSS JOIN nb""".stripMargin,
 
     // q192: the identical pooled-z double chain over exact counts
@@ -9353,14 +9370,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM u
          |)
          |SELECT n_a, conv_a, n_b, conv_b,
-         |  round($pA, 9) AS rate_a,
-         |  round($pB, 9) AS rate_b,
+         |  ${Portable.sqlRatio9(pA)} AS rate_a,
+         |  ${Portable.sqlRatio9(pB)} AS rate_b,
          |  CASE WHEN $se > CAST(0 AS DOUBLE) THEN
-         |    round(($pA - $pB) / $se, 9)
+         |    ${Portable.sqlRatio9(s"($pA - $pB) / $se")}
          |  END AS z,
          |  coalesce(abs(CASE WHEN $se > CAST(0 AS DOUBLE) THEN
-         |    round(($pA - $pB) / $se, 9) END) >= 1.96, false)
-         |    AS significant
+         |    ${Portable.sqlRatio9(s"($pA - $pB) / $se")} END) >= 1.96,
+         |    false) AS significant
          |FROM w""".stripMargin
     },
 
@@ -9368,14 +9385,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // chain, summed exactly; share/imbalance are single divisions of
     // exact counts.
     "q185_class_balance" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT label, count(*)::BIGINT AS n FROM embeddings
         |  GROUP BY label
         |),
         |t AS (SELECT sum(n)::BIGINT AS t FROM c),
         |pl AS (
         |  SELECT label, n,
-        |    round(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE), 9) AS share,
+        |    ${Portable.sqlRatio9("CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE)")}
+        |      AS share,
         |    CAST(floor(round(
         |      (CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE))
         |        * ln(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE)), 9)
@@ -9383,10 +9401,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  FROM c CROSS JOIN t
         |)
         |SELECT label, n, share,
-        |  round(CAST(-(SELECT sum(plogp) FROM pl) AS DOUBLE) / 1e9, 9)
+        |  round(CAST(CAST(floor(round(CAST(-(SELECT sum(plogp) FROM pl) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
         |    AS entropy,
-        |  round(CAST((SELECT max(n) FROM c) AS DOUBLE)
-        |        / CAST((SELECT min(n) FROM c) AS DOUBLE), 9) AS imbalance
+        |  ${Portable.sqlRatio9(
+             "CAST((SELECT max(n) FROM c) AS DOUBLE) / CAST((SELECT min(n) FROM c) AS DOUBLE)")}
+        |    AS imbalance
         |FROM pl ORDER BY label""".stripMargin,
 
     // q186: the UNCHANGED q85 rank chain feeds the confusion cells;
@@ -9415,14 +9434,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT label, support, tp, fp, fn,
          |  CASE WHEN tp + fp > 0 THEN
-         |    round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 9)
+         |    ${Portable.sqlRatio9("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")}
          |  END AS precision,
          |  CASE WHEN tp + fn > 0 THEN
-         |    round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 9)
+         |    ${Portable.sqlRatio9("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)")}
          |  END AS recall,
          |  CASE WHEN 2 * tp + fp + fn > 0 THEN
-         |    round(CAST(2 * tp AS DOUBLE)
-         |          / CAST(2 * tp + fp + fn AS DOUBLE), 9)
+         |    ${Portable.sqlRatio9(
+              "CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)")}
          |  END AS f1
          |FROM j ORDER BY label""".stripMargin,
 

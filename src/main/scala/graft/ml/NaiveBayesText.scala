@@ -132,9 +132,10 @@ object NaiveBayesText {
   def calibration(scored: DataFrame, idCol: String,
                   bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val w = Window.orderBy(round(col("margin"), 9).desc, col(idCol).asc)
+    val w = Window.orderBy(graft.ops.Portable.ratio9(col("margin")).desc,
+      col(idCol).asc)
     scored
-      .withColumn("__m", round(col("margin"), 9))
+      .withColumn("__m", graft.ops.Portable.ratio9(col("margin")))
       .withColumn("bin", ntile(bins).over(w).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -142,8 +143,8 @@ object NaiveBayesText {
         max(col("__m")).as("max_margin"),
         min(col("__m")).as("min_margin"))
       .select(col("bin"), col("n_docs"), col("n_correct"),
-        round(col("n_correct").cast("double") / col("n_docs"), 9)
-          .as("accuracy"),
+        graft.ops.Portable.ratio9(col("n_correct").cast("double") /
+          col("n_docs")).as("accuracy"),
         col("max_margin"), col("min_margin"))
   }
 }

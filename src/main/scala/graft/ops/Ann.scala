@@ -112,8 +112,8 @@ object Ann {
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         coalesce(col("n_same"), lit(0L)).as("n_same"),
         when(col("n_neighbors").isNotNull,
-          round(col("n_same").cast("double") / col("n_neighbors"), 9))
-          .as("agreement"))
+          Portable.ratio9(col("n_same").cast("double") /
+            col("n_neighbors"))).as("agreement"))
   }
 
   /** Hard-negative mining for contrastive training: per anchor, the
@@ -217,8 +217,8 @@ object Ann {
       .select(col(idCol), col(labelCol),
         when(col("__qq") === 0 || col("__cc") === 0,
           lit(null).cast("double"))
-          .otherwise(round(col("__dot")
-            / (sqrt(col("__qq")) * sqrt(col("__cc"))), 9))
+          .otherwise(Portable.ratio9(col("__dot")
+            / (sqrt(col("__qq")) * sqrt(col("__cc")))))
           .as("proto_cos"))
   }
 
@@ -243,7 +243,8 @@ object Ann {
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
       .select(col("probe_id"), col("n_exact"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_exact"), 9).as("recall"))
+        Portable.ratio9(col("n_hit").cast("double") / col("n_exact"))
+          .as("recall"))
   }
 
   /** Recall of the approximate result against the exact top-k: fraction

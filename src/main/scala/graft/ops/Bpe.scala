@@ -306,9 +306,9 @@ object Bpe {
         sum(col("__chars")).as("n_chars"))
       .select(groupCols.map(col) ++ Seq(col("n_docs"), col("n_words"),
         col("n_tokens"), col("n_chars"),
-        round(col("n_tokens").cast("double") / col("n_words"), 9)
+        Portable.ratio9(col("n_tokens").cast("double") / col("n_words"))
           .as("fertility"),
-        round(col("n_chars").cast("double") / col("n_tokens"), 9)
+        Portable.ratio9(col("n_chars").cast("double") / col("n_tokens"))
           .as("chars_per_token")): _*)
   }
 

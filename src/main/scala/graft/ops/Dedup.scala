@@ -143,9 +143,9 @@ object Dedup {
     val sb = existingShingled
       .select(col(idCol).as("__ex"), col("shingles").as("__shb"))
     val drops = cands.join(sa, Seq("__new")).join(sb, Seq("__ex"))
-      .filter(round(
+      .filter(Portable.ratio9(
         size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
-          size(array_union(col("__sha"), col("__shb"))), 9) >= tau)
+          size(array_union(col("__sha"), col("__shb")))) >= tau)
       .select(col("__new").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }
@@ -215,9 +215,9 @@ object Dedup {
     val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", Portable.ratio9(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 9))
+          size(array_union(col("sh_a"), col("sh_b")))))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -246,11 +246,11 @@ object Dedup {
         sum(col("__c") * col("__t")).as("n_tokens"),
         sum((col("__c") - 1) * col("__t")).as("dup_tokens"))
       .select(col("n_chunks"), col("n_unique_chunks"), col("dup_chunks"),
-        round(col("dup_chunks").cast("double") / col("n_chunks"), 9)
-          .as("dup_chunk_ratio"),
+        Portable.ratio9(col("dup_chunks").cast("double") /
+          col("n_chunks")).as("dup_chunk_ratio"),
         col("n_tokens"), col("dup_tokens"),
-        round(col("dup_tokens").cast("double") / col("n_tokens"), 9)
-          .as("dup_token_ratio"))
+        Portable.ratio9(col("dup_tokens").cast("double") /
+          col("n_tokens")).as("dup_token_ratio"))
 
   /** Incremental chunk-level scrub against a stored chunk index — the
     * delta-crawl consumer [[graft.ops.Text.chunkContentDefined]]'s
@@ -334,8 +334,8 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        round(col("n_novel").cast("double") / col("n_distinct"), 9)
-          .as("novelty_ratio"))
+        Portable.ratio9(col("n_novel").cast("double") /
+          col("n_distinct")).as("novelty_ratio"))
   }
 
   /** Dedup threshold-sensitivity curve — what a τ choice actually
@@ -370,7 +370,8 @@ object Dedup {
       .withColumn("bucket", floor(col("__mj") * buckets).cast("long"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
       .withColumn("cum_docs_ge", sum(col("n_docs")).over(w))
-      .select(round(col("bucket") / buckets.toDouble, 9).as("tau_floor"),
+      .select(Portable.ratio9(col("bucket") / buckets.toDouble)
+          .as("tau_floor"),
         col("n_docs"), col("cum_docs_ge"))
   }
 
@@ -401,7 +402,7 @@ object Dedup {
         greatest(col("__ga"), col("__gb")).as("source_b"), col("jaccard"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 9).as("avg_jaccard"))
+        Portable.ratio9(avg(col("jaccard"))).as("avg_jaccard"))
   }
 
   /** EXACT n-gram-Jaccard similarity join via an inverted shingle
@@ -456,8 +457,8 @@ object Dedup {
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")),
         Seq("id_b"))
-      .withColumn("jaccard", round(col("__i").cast("double") /
-        (col("__sza") + col("__szb") - col("__i")), 9))
+      .withColumn("jaccard", Portable.ratio9(col("__i").cast("double") /
+        (col("__sza") + col("__szb") - col("__i"))))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -500,8 +501,8 @@ object Dedup {
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("sz_b")),
         Seq("id_b"))
-      .withColumn("containment", round(col("__i").cast("double") /
-        least(col("sz_a"), col("sz_b")), 9))
+      .withColumn("containment", Portable.ratio9(col("__i").cast("double") /
+        least(col("sz_a"), col("sz_b"))))
       .filter(col("containment") >= tau)
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
         col("containment"))
@@ -544,7 +545,7 @@ object Dedup {
       .groupBy(floor(col("jaccard") * 10).cast("long").as("sim_band"))
       .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
       .select(col("sim_band"), col("n_true"), col("n_found"),
-        round(col("n_found").cast("double") / col("n_true"), 9)
+        Portable.ratio9(col("n_found").cast("double") / col("n_true"))
           .as("recall"))
   }
 
@@ -664,7 +665,8 @@ object Dedup {
         coalesce(col("__n"), lit(0L)).as("n_shingles"),
         coalesce(col("__c"), lit(0L)).as("n_contaminated"),
         // un-coalesced operands: shingle-less docs yield NULL, never 0/0
-        round(col("__c").cast("double") / col("__n"), 9).as("coverage"))
+        Portable.ratio9(col("__c").cast("double") / col("__n"))
+          .as("coverage"))
   }
 
   /** Near-dedup applied: the corpus with near-duplicates REMOVED —
@@ -834,7 +836,7 @@ object Dedup {
       .withColumn("cluster_rep", coalesce(col("cluster_rep"), col(idCol)))
       .withColumn("csize",
         count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
-      .withColumn("weight", round(lit(1.0) / col("csize"), 9))
+      .withColumn("weight", Portable.ratio9(lit(1.0) / col("csize")))
   }
 
   /** Per-source near-duplication audit — the first report a curation
@@ -860,8 +862,8 @@ object Dedup {
         count(col("cluster_rep")).as("n_dup_docs"),
         countDistinct(coalesce(col("cluster_rep"), col(idCol)))
           .as("n_post_dedup"),
-        round(count(col("cluster_rep")).cast("double") / count(lit(1)), 9)
-          .as("dup_rate"))
+        Portable.ratio9(count(col("cluster_rep")).cast("double") /
+          count(lit(1))).as("dup_rate"))
 
   /** Quality-aware near-dedup survivor policy: keep, per near-dup
     * cluster, the row with the HIGHEST `scoreCol` (ties → smallest id)

@@ -40,8 +40,8 @@ object Events {
         (ms - pmod(ms, lit(widthMs))).cast("long"))
       .groupBy(col("event_type"), col("window_start_ms"))
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 9).as("avg_value"),
-        round(sum(col("value")), 9).as("sum_value"))
+        Portable.ratio9(avg(col("value"))).as("avg_value"),
+        Portable.ratio9(sum(col("value"))).as("sum_value"))
 
   /** Trailing-baseline anomaly detection over the tumbling counts —
     * the monitoring twin of [[tumbling]]: per event type, each window's
@@ -89,9 +89,9 @@ object Events {
       .withColumn("__ss", sum(col("n_events") * col("n_events")).over(w))
       .filter(col("__k") === k)
       .select(col("event_type"), col("window_start_ms"), col("n_events"),
-        round(trailMean, 9).as("trail_mean"),
-        round(trailVar, 9).as("trail_var"),
-        round(when(varNum > 0, z), 9).as("zscore"),
+        Portable.ratio9(trailMean).as("trail_mean"),
+        Portable.ratio9(trailVar).as("trail_var"),
+        when(varNum > 0, Portable.ratio9(z)).as("zscore"),
         when(varNum > 0, abs(z) >= zThresh)
           .otherwise(col("n_events") * k =!= col("__s")).as("is_anomaly"))
   }
@@ -121,7 +121,7 @@ object Events {
         expr("min(ts) div 1000000").as("start_ms"),
         expr("max(ts) div 1000000").as("end_ms"),
         expr("(max(ts) div 1000000) - (min(ts) div 1000000)").as("duration_ms"),
-        round(sum(col("value")), 9).as("sum_value"))
+        Portable.ratio9(sum(col("value"))).as("sum_value"))
   }
 
   /** Two-phase (time-bucketed) sessionization — identical output to
@@ -181,7 +181,7 @@ object Events {
         expr("max(__max) div 1000000").as("end_ms"),
         expr("(max(__max) div 1000000) - (min(__min) div 1000000)")
           .as("duration_ms"),
-        round(sum(col("__sv")), 9).as("sum_value"))
+        Portable.ratio9(sum(col("__sv"))).as("sum_value"))
   }
 
   /** Distributed as-of join (temporal enrich): for every left row, the
@@ -350,7 +350,7 @@ object Events {
 
   def quantileProfile(events: DataFrame, probs: Seq[Double]): DataFrame = {
     val qs = quantileCols(probs).map { case (p, name) =>
-      round(expr(s"percentile(value, ${p}D)"), 9).as(name)
+      Portable.ratio9(expr(s"percentile(value, ${p}D)")).as(name)
     }
     events.groupBy(col("event_type"))
       .agg(qs.head, qs.tail ++ Seq(
@@ -501,8 +501,8 @@ object Events {
       .select(col("__prev").as("from_type"), col("event_type").as("to_type"))
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n").cast("double") /
-        sum(col("n")).over(Window.partitionBy(col("from_type"))), 9))
+      .withColumn("p", Portable.ratio9(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))))
   }
 
   /** Top user journey prefixes — the Sankey/behavior-flow counterpart
@@ -639,8 +639,8 @@ object Events {
     counts.join(sizes, Seq("__cp"))
       .select((col("__cp") * widthMs).as("cohort_start_ms"),
         col("period_offset"), col("n_active"), col("cohort_size"),
-        round(col("n_active").cast("double") / col("cohort_size"), 9)
-          .as("retention"))
+        Portable.ratio9(col("n_active").cast("double") /
+          col("cohort_size")).as("retention"))
   }
 
   /** Type-2 slowly-changing-dimension build (Kimball's SCD2) from an
@@ -718,8 +718,8 @@ object Events {
       .select(col("event_type"), col("n_events"),
         round(col("__m9").cast("double") / lit(1e9), 9)
           .as("decayed_mass"),
-        round(col("__m9").cast("double") / lit(1e9) /
-          col("n_events").cast("double"), 9).as("recency"))
+        Portable.ratio9(col("__m9").cast("double") / lit(1e9) /
+          col("n_events").cast("double")).as("recency"))
   }
 
   /** Two-proportion A/B z-test over hash-assigned user arms — the
@@ -765,10 +765,10 @@ object Events {
     // guard (Spark's And evaluates lazily), so an empty arm yields the
     // documented NULLs instead of a DIVIDE_BY_ZERO
     wide
-      .withColumn("rate_a", when(col("n_a") > 0, round(pA, 9)))
-      .withColumn("rate_b", when(col("n_b") > 0, round(pB, 9)))
+      .withColumn("rate_a", when(col("n_a") > 0, Portable.ratio9(pA)))
+      .withColumn("rate_b", when(col("n_b") > 0, Portable.ratio9(pB)))
       .withColumn("z", when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0,
-        round((pA - pB) / se, 9)))
+        Portable.ratio9((pA - pB) / se)))
       .withColumn("significant",
         coalesce(abs(col("z")) >= zCrit, lit(false)))
   }
@@ -817,8 +817,8 @@ object Events {
       .agg(count(lit(1)).as("n_transitions"),
         sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
           .as("n_hits"))
-      .withColumn("hit_rate", round(col("n_hits").cast("double") /
-        col("n_transitions").cast("double"), 9))
+      .withColumn("hit_rate", Portable.ratio9(col("n_hits").cast("double") /
+        col("n_transitions").cast("double")))
   }
 
   /** Incremental [[scd2]] maintenance — fold a NEW batch of events
@@ -895,7 +895,7 @@ object Events {
     * start-time order (`tuning_analysis.py:30-41`). */
   def runTable(events: DataFrame): DataFrame = {
     val runs = events.groupBy(col("event_type").as("job_name"))
-      .agg(round(avg(col("value")), 9).as("objective"),
+      .agg(Portable.ratio9(avg(col("value"))).as("objective"),
         expr("min(ts) div 1000000").as("start_ms"))
     // tiny table (one row per event type) — single-partition window is fine
     Similarity.withIteration(runs, "start_ms")
@@ -952,8 +952,8 @@ object Events {
         coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("wau"), lit(0L)).as("wau"),
         when(coalesce(col("wau"), lit(0L)) > 0,
-          round(coalesce(col("dau"), lit(0L)).cast("double") /
-            col("wau").cast("double"), 9)).as("stickiness"),
+          Portable.ratio9(coalesce(col("dau"), lit(0L)).cast("double") /
+            col("wau").cast("double"))).as("stickiness"),
         coalesce(col("new_users"), lit(0L)).as("new_users"))
       .withColumn("cum_users", sum(col("new_users")).over(wCum))
   }
@@ -1063,11 +1063,12 @@ object Events {
           .over(wCum))
       .select(col("t"), col("at_risk"), col("deaths"), col("censored"),
         when(col("__dead") === 1, lit(0.0))
-          .otherwise(round(exp(col("__lnS").cast("double") / 1e9), 9))
+          .otherwise(
+            Portable.ratio9(exp(col("__lnS").cast("double") / 1e9)))
           .as("survival"),
         when(col("__dead") === 0,
-          round(exp(col("__lnS").cast("double") / 1e9) *
-            sqrt(col("__gw").cast("double") / 1e9), 9)).as("se"))
+          Portable.ratio9(exp(col("__lnS").cast("double") / 1e9) *
+            sqrt(col("__gw").cast("double") / 1e9))).as("se"))
       .orderBy(col("t"))
   }
 
@@ -1139,20 +1140,22 @@ object Events {
       vB / nz(col("n_b").cast("double")))
     val ok = col("n") > 0 && thD > 0.0
     m.select(col("n_a"), col("n_b"),
-      when(ok, round(theta, 9)).as("theta"),
-      when(col("n_a") > 0, round(mean(col("sya"), col("n_a")), 9))
-        .as("mean_a"),
-      when(col("n_b") > 0, round(mean(col("syb"), col("n_b")), 9))
-        .as("mean_b"),
+      when(ok, Portable.ratio9(theta)).as("theta"),
+      when(col("n_a") > 0,
+        Portable.ratio9(mean(col("sya"), col("n_a")))).as("mean_a"),
+      when(col("n_b") > 0,
+        Portable.ratio9(mean(col("syb"), col("n_b")))).as("mean_b"),
       when(ok && col("n_a") > 0,
-        round(adj(col("sya"), col("sxa"), col("n_a")), 9)).as("adj_a"),
+        Portable.ratio9(adj(col("sya"), col("sxa"), col("n_a"))))
+        .as("adj_a"),
       when(ok && col("n_b") > 0,
-        round(adj(col("syb"), col("sxb"), col("n_b")), 9)).as("adj_b"),
+        Portable.ratio9(adj(col("syb"), col("sxb"), col("n_b"))))
+        .as("adj_b"),
       when(ok && vyP > 0.0,
-        round(thN * thN / nz(thD * vyP), 9)).as("var_reduction"),
+        Portable.ratio9(thN * thN / nz(thD * vyP))).as("var_reduction"),
       when(ok && col("n_a") > 0 && col("n_b") > 0 && seAdj > 0.0,
-        round((adj(col("sya"), col("sxa"), col("n_a")) -
-          adj(col("syb"), col("sxb"), col("n_b"))) / seAdj, 9))
+        Portable.ratio9((adj(col("sya"), col("sxa"), col("n_a")) -
+          adj(col("syb"), col("sxb"), col("n_b"))) / seAdj))
         .as("z_adj"))
   }
 }

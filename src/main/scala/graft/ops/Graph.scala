@@ -194,8 +194,8 @@ object Graph {
       .select(col("id"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering_coeff",
-        when(col("deg") >= 2, round(
+        when(col("deg") >= 2, Portable.ratio9(
           (lit(2L) * col("n_triangles")).cast("double") /
-            (col("deg") * (col("deg") - lit(1L))).cast("double"), 9)))
+            (col("deg") * (col("deg") - lit(1L))).cast("double"))))
   }
 }

@@ -277,12 +277,12 @@ object Pairs {
       .crossJoin(broadcast(n))
       .select(col("a").as("antecedent"), col("b").as("consequent"),
         col("n_orders"), col("c_a"), col("c_b"), col("c_ab"),
-        round(col("c_ab").cast("double") / col("n_orders").cast("double"),
-          9).as("support"),
-        round(col("c_ab").cast("double") / col("c_a").cast("double"), 9)
-          .as("confidence"),
-        round(col("n_orders").cast("double") * col("c_ab").cast("double")
-          / col("c_a").cast("double") / col("c_b").cast("double"), 9)
-          .as("lift"))
+        Portable.ratio9(col("c_ab").cast("double") /
+          col("n_orders").cast("double")).as("support"),
+        Portable.ratio9(col("c_ab").cast("double") /
+          col("c_a").cast("double")).as("confidence"),
+        Portable.ratio9(col("n_orders").cast("double") *
+          col("c_ab").cast("double") / col("c_a").cast("double") /
+          col("c_b").cast("double")).as("lift"))
   }
 }

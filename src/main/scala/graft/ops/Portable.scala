@@ -83,12 +83,21 @@ object Portable {
     * guard zero denominators OUTSIDE with when(), because an ANSI
     * cast of Infinity/NaN to long throws. DuckDB mirror:
     * [[sqlRatio9]]. */
-  def ratio9(x: Column): Column =
-    round(floor(round(x, 9) * lit(1e9) + lit(0.5)).cast("long")
-      .cast("double") / lit(1e9), 9)
+  def ratio9(x: Column): Column = ratioAt(x, 9)
+
+  /** [[ratio9]] at an arbitrary decimal precision (e.g. the 6dp
+    * sketch-audit columns). */
+  def ratioAt(x: Column, dp: Int): Column = {
+    val s = math.pow(10.0, dp.toDouble)
+    round(floor(round(x, dp) * lit(s) + lit(0.5)).cast("long")
+      .cast("double") / lit(s), dp)
+  }
 
   /** DuckDB SQL mirror of [[ratio9]]; `x` is a SQL DOUBLE expression. */
-  def sqlRatio9(x: String): String =
-    s"round(CAST(CAST(floor(round($x, 9) * 1e9 + 0.5) AS BIGINT)" +
-      s" AS DOUBLE) / 1e9, 9)"
+  def sqlRatio9(x: String): String = sqlRatioAt(x, 9)
+
+  /** DuckDB SQL mirror of [[ratioAt]]. */
+  def sqlRatioAt(x: String, dp: Int): String =
+    s"round(CAST(CAST(floor(round($x, $dp) * 1e$dp + 0.5) AS BIGINT)" +
+      s" AS DOUBLE) / 1e$dp, $dp)"
 }

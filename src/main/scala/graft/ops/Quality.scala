@@ -183,11 +183,11 @@ object Quality {
     counts.crossJoin(broadcast(tot))
       .withColumn("__plogp",
         floor(round(p * log(p), 9) * lit(1e9) + lit(0.5)).cast("long"))
-      .select(col(labelCol), col("n"), round(p, 9).as("share"),
+      .select(col(labelCol), col("n"), Portable.ratio9(p).as("share"),
         round((-sum(col("__plogp")).over(w)).cast("double") / lit(1e9), 9)
           .as("entropy"),
-        round(max(col("n")).over(w).cast("double") /
-          min(col("n")).over(w).cast("double"), 9).as("imbalance"))
+        Portable.ratio9(max(col("n")).over(w).cast("double") /
+          min(col("n")).over(w).cast("double")).as("imbalance"))
   }
 
   /** Per-class classifier evaluation from a (truth, prediction) frame —
@@ -224,14 +224,14 @@ object Quality {
         (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
           .as("fn"))
       .withColumn("precision", when(col("tp") + col("fp") > 0,
-        round(col("tp").cast("double") /
-          (col("tp") + col("fp")).cast("double"), 9)))
+        Portable.ratio9(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"))))
       .withColumn("recall", when(col("tp") + col("fn") > 0,
-        round(col("tp").cast("double") /
-          (col("tp") + col("fn")).cast("double"), 9)))
+        Portable.ratio9(col("tp").cast("double") /
+          (col("tp") + col("fn")).cast("double"))))
       .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
-        round((lit(2L) * col("tp")).cast("double") /
-          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 9)))
+        Portable.ratio9((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))))
   }
 
   /** Per-dimension (n, Σ integerized-coordinate) stats in long form —
@@ -294,8 +294,8 @@ object Quality {
         max(struct(col("__d"), (-col("v")).as("__negv"))).as("__m"))
       .select(col("n_a"), col("n_b"), (-col("__m.__negv")).as("ks_at"),
         col("__m.__d").as("ks_num"),
-        round(col("__m.__d").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 9)
+        Portable.ratio9(col("__m.__d").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
           .as("ks"))
   }
 
@@ -343,10 +343,10 @@ object Quality {
       .withColumn("__varnum", col("n_a") * col("n_b") *
         ((col("__n") + 1L) * col("__n") * (col("__n") - 1L) - col("__t3")))
       .withColumn("__varden", lit(12L) * col("__n") * (col("__n") - 1L))
-      .withColumn("z", when(col("__varnum") > 0L, round(
+      .withColumn("z", when(col("__varnum") > 0L, Portable.ratio9(
         ((col("u2_a") - col("n_a") * col("n_b")).cast("double") / lit(2.0))
           / sqrt(col("__varnum").cast("double") /
-            col("__varden").cast("double")), 9)))
+            col("__varden").cast("double")))))
       .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"), col("z"))
   }
 
@@ -381,8 +381,8 @@ object Quality {
         min(col("__l")).as("min_l"))
       .select(col("n_rows"), col("n_groups"), col("min_group_size"),
         col("n_viol_groups"), col("n_viol_rows"),
-        round(col("n_viol_rows").cast("double") /
-          col("n_rows").cast("double"), 9).as("viol_share"),
+        Portable.ratio9(col("n_viol_rows").cast("double") /
+          col("n_rows").cast("double")).as("viol_share"),
         col("min_l"))
   }
 
@@ -412,13 +412,15 @@ object Quality {
       sc.cast("double") / nc.cast("double") / lit(1e9)
     per.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n_g"),
-        round(mean(col("__sg"), col("n_g")), 9).as("mean_g"),
+        Portable.ratio9(mean(col("__sg"), col("n_g"))).as("mean_g"),
         when(col("__n") > col("n_g"),
-          round(mean(col("__s") - col("__sg"), col("__n") - col("n_g")), 9))
+          Portable.ratio9(
+            mean(col("__s") - col("__sg"), col("__n") - col("n_g"))))
           .as("mean_without"),
         when(col("__n") > col("n_g"),
-          round(mean(col("__s") - col("__sg"), col("__n") - col("n_g")) -
-            mean(col("__s"), col("__n")), 9)).as("delta"))
+          Portable.ratio9(
+            mean(col("__s") - col("__sg"), col("__n") - col("n_g")) -
+              mean(col("__s"), col("__n")))).as("delta"))
   }
 
   /** Exact trimmed mean per group — the robust location estimate a
@@ -463,8 +465,8 @@ object Quality {
       .agg(first(col("__n")).as("n"), sum(col("__k")).as("n_kept"),
         sum(col("__k") * col("__vi")).as("__ks"))
       .withColumn("trimmed_mean", when(col("n_kept") > 0L,
-        round(col("__ks").cast("double") / col("n_kept").cast("double") /
-          lit(1e9), 9)))
+        Portable.ratio9(col("__ks").cast("double") /
+          col("n_kept").cast("double") / lit(1e9))))
       .select(col(groupCol), col("n"), col("n_kept"), col("trimmed_mean"))
   }
 
@@ -531,9 +533,9 @@ object Quality {
     mannWhitney(df.filter(labelCol), df.filter(!labelCol), scoreCol)
       .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
         col("u2_a").as("u2_pos"),
-        round(col("u2_a").cast("double") /
+        Portable.ratio9(col("u2_a").cast("double") /
           (lit(2.0) * col("n_a").cast("double") *
-            col("n_b").cast("double")), 9).as("auc"))
+            col("n_b").cast("double"))).as("auc"))
 
   /** Isotonic calibration of a score against a binary label via the
     * Pool-Adjacent-Violators solution in its minimax CLOSED FORM
@@ -583,8 +585,8 @@ object Quality {
       .groupBy(col("__bb")).agg(max(col("__mn")).as("__f9"))
     b.join(fitted, col("bucket") === col("__bb"))
       .select(col("bucket"), col("n"), col("pos"),
-        round(col("pos").cast("double") / col("n").cast("double"), 9)
-          .as("raw_rate"),
+        Portable.ratio9(col("pos").cast("double") /
+          col("n").cast("double")).as("raw_rate"),
         round(col("__f9").cast("double") / lit(1e9), 9).as("fitted"))
   }
 
@@ -618,9 +620,9 @@ object Quality {
         col("__r2") - col("n_pos") * (col("n_pos") + 1L))
       .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2_pos"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("u2_pos").cast("double") /
+          Portable.ratio9(col("u2_pos").cast("double") /
             (lit(2.0) * col("n_pos").cast("double") *
-              col("n_neg").cast("double")), 9)).as("auc"))
+              col("n_neg").cast("double")))).as("auc"))
   }
 
   /** Classification-threshold sweep: for every DISTINCT score value t
@@ -759,12 +761,12 @@ object Quality {
                          labelCol: Column, bins: Int): DataFrame =
     calibrationBins(df, scoreCol, labelCol, bins)
       .select(col("bin"), col("n"), col("pos"),
-        round(col("__ss").cast("double") / col("n").cast("double") /
-          lit(1e9), 9).as("mean_score"),
-        round(col("pos").cast("double") / col("n").cast("double"), 9)
-          .as("frac_pos"),
-        round(col("__se").cast("double") / col("n").cast("double") /
-          lit(1e18), 9).as("brier_bin"))
+        Portable.ratio9(col("__ss").cast("double") /
+          col("n").cast("double") / lit(1e9)).as("mean_score"),
+        Portable.ratio9(col("pos").cast("double") /
+          col("n").cast("double")).as("frac_pos"),
+        Portable.ratio9(col("__se").cast("double") /
+          col("n").cast("double") / lit(1e18)).as("brier_bin"))
 
   /** Murphy decomposition of the Brier score over score buckets
     * (Murphy '73): REL = Σ_b n_b(s̄_b − ȳ_b)²/N (calibration error —
@@ -808,15 +810,16 @@ object Quality {
     terms.groupBy(col("__nn"), col("__pp"), col("__sse"))
       .agg(sum(col("__rel9")).as("__r"), sum(col("__res9")).as("__s"))
       .select(col("__nn").as("n"), col("__pp").as("pos"),
-        round(col("__pp").cast("double") / col("__nn").cast("double"), 9)
-          .as("pos_rate"),
-        round(col("__sse").cast("double") / col("__nn").cast("double") /
-          lit(1e18), 9).as("brier"),
+        Portable.ratio9(col("__pp").cast("double") /
+          col("__nn").cast("double")).as("pos_rate"),
+        Portable.ratio9(col("__sse").cast("double") /
+          col("__nn").cast("double") / lit(1e18)).as("brier"),
         round(col("__r").cast("double") / lit(1e9), 9).as("reliability"),
         round(col("__s").cast("double") / lit(1e9), 9).as("resolution"),
-        round(col("__pp").cast("double") / col("__nn").cast("double") *
+        Portable.ratio9(col("__pp").cast("double") /
+          col("__nn").cast("double") *
           (lit(1.0) - col("__pp").cast("double") /
-            col("__nn").cast("double")), 9).as("uncertainty"))
+            col("__nn").cast("double"))).as("uncertainty"))
   }
 
   /** Population Stability Index between a BASELINE sample and a
@@ -997,9 +1000,9 @@ object Quality {
       .select(col(groupCol), col("__ng").as("n_g"),
         (-col("__m.__negv")).as("ks_at"), col("__m.__d").as("ks_num"),
         when(col("__n") - col("__ng") > 0,
-          round(col("__m.__d").cast("double") /
+          Portable.ratio9(col("__m.__d").cast("double") /
             (col("__ng").cast("double") *
-              (col("__n") - col("__ng")).cast("double")), 9)).as("ks"))
+              (col("__n") - col("__ng")).cast("double")))).as("ks"))
   }
 
   /** Embedding-space drift between two corpora (model versions, time
@@ -1023,9 +1026,10 @@ object Quality {
       .join(dimStats(b, vecCol, dims, s).toDF("d", "n_b", "__sb"),
         Seq("d"))
       .select(col("d"), col("n_a"), col("n_b"),
-        round(mean("n_a", "__sa"), 9).as("mean_a"),
-        round(mean("n_b", "__sb"), 9).as("mean_b"),
-        round(mean("n_b", "__sb") - mean("n_a", "__sa"), 9).as("delta"))
+        Portable.ratio9(mean("n_a", "__sa")).as("mean_a"),
+        Portable.ratio9(mean("n_b", "__sb")).as("mean_b"),
+        Portable.ratio9(mean("n_b", "__sb") - mean("n_a", "__sa"))
+          .as("delta"))
   }
 
   /** Exact embedding covariance matrix (upper triangle, long form) —
@@ -1109,11 +1113,11 @@ object Quality {
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     rows.toDF("i", "j", "n", "sum_i", "sum_j", "sumprod")
-      .withColumn("cov", round(
+      .withColumn("cov", Portable.ratio9(
         (col("n").cast(dec) * col("sumprod").cast(dec) -
           col("sum_i").cast(dec) * col("sum_j").cast(dec)).cast("double") /
           (col("n") * col("n")).cast("double") /
-          lit(s * s), 9))
+          lit(s * s)))
   }
 
   /** Corpus version diff — what changed between two snapshots of the
@@ -1196,8 +1200,8 @@ object Quality {
       .groupBy(col(sourceCol), col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        round(avg(col("n_tokens")), 9).as("mean_tokens"),
-        round(avg(col("quality_score")), 9).as("mean_quality"),
+        Portable.ratio9(avg(col("n_tokens"))).as("mean_tokens"),
+        Portable.ratio9(avg(col("quality_score"))).as("mean_quality"),
         round(min(col("quality_score")), 9).as("min_quality"),
         round(max(col("quality_score")), 9).as("max_quality"))
 
@@ -1235,14 +1239,14 @@ object Quality {
         .as("__sclnc"))
     broadcast(mom).crossJoin(broadcast(top))
       .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
-        round(col("max_key_rows").cast("double") / col("n_rows"), 9)
-          .as("max_key_share"),
+        Portable.ratio9(col("max_key_rows").cast("double") /
+          col("n_rows")).as("max_key_share"),
         col("top10_rows"),
-        round(col("top10_rows").cast("double") / col("n_rows"), 9)
-          .as("top10_share"),
-        round(log(col("n_rows").cast("double")) -
+        Portable.ratio9(col("top10_rows").cast("double") /
+          col("n_rows")).as("top10_share"),
+        Portable.ratio9(log(col("n_rows").cast("double")) -
           col("__sclnc").cast("double") /
-            (col("n_rows").cast("double") * lit(1e6)), 9).as("entropy"))
+            (col("n_rows").cast("double") * lit(1e6))).as("entropy"))
   }
 
   /** Auto-salt pre-flight — [[keySkew]] turned into a decision: profile
@@ -1339,8 +1343,8 @@ object Quality {
         .cast("double")
       one.select(lit(a).as("sig_a"), lit(b).as("sig_b"),
         col("n").cast("long").as("n_docs"),
-        round(when(da > 0d && db > 0d, num / (sqrt(da) * sqrt(db))), 9)
-          .as("corr"))
+        when(da > 0d && db > 0d,
+          Portable.ratio9(num / (sqrt(da) * sqrt(db)))).as("corr"))
     }.reduce(_ union _)
   }
 

@@ -69,12 +69,13 @@ object Sampling {
       .groupBy(col(sourceCol))
       .agg(sum("__t").as("n_tokens"))
       .withColumn("weight", w)
-      .withColumn("share", round(col("weight") / lit(wsum), 9))
+      .withColumn("share", Portable.ratio9(col("weight") / lit(wsum)))
       .withColumn("target_tokens",
         floor(col("weight") / lit(wsum) * lit(budget.toDouble) + lit(0.5))
           .cast("long"))
       .withColumn("factor",
-        round(col("target_tokens").cast("double") / col("n_tokens"), 9))
+        Portable.ratio9(col("target_tokens").cast("double") /
+          col("n_tokens")))
   }
 
   /** REALIZE an epoch-factor plan ([[epochFactors]]) as an actual
@@ -213,9 +214,9 @@ object Sampling {
   def sampleNWeighted(df: DataFrame, idCol: String, sourceCol: String,
                       weightCol: String, n: Int, salt: String): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val key = round(
+    val key = Portable.ratio9(
       -log(lit(1.0) - Portable.unif(col(idCol), lit(salt)))
-        / col(weightCol), 9)
+        / col(weightCol))
     val w = Window.partitionBy(col(sourceCol)).orderBy(key, col(idCol))
     val kept = df.select(col(idCol), col(sourceCol), col(weightCol))
       .filter(col(weightCol) > 0)
@@ -256,10 +257,11 @@ object Sampling {
     df.groupBy(col(sourceCol))
       .agg(sum(size(Text.tokens(col(textCol))).cast("long")).as("n_tokens"))
       .withColumn("__w", pow(col("n_tokens").cast("double"), lit(alpha)))
-      .withColumn("p", round(col("__w") / sum(col("__w")).over(Window.partitionBy()), 9))
+      .withColumn("p", Portable.ratio9(
+        col("__w") / sum(col("__w")).over(Window.partitionBy())))
       .select(col(sourceCol), col("n_tokens"), col("p"),
-        round(least(lit(1.0),
-          lit(totalTokens.toDouble) * col("p") / col("n_tokens")), 9)
+        Portable.ratio9(least(lit(1.0),
+          lit(totalTokens.toDouble) * col("p") / col("n_tokens")))
           .as("rate"))
   }
 
@@ -556,7 +558,8 @@ object Sampling {
       .withColumn("__tt", sum(col("ct")).over(all).cast("double"))
       .withColumn("__tr", sum(col("cr")).over(all).cast("double"))
       .select(col("bucket"), col("ct"), col("cr"),
-        round(log(p("ct", "__tt")) - log(p("cr", "__tr")), 9).as("w"))
+        Portable.ratio9(log(p("ct", "__tt")) - log(p("cr", "__tr")))
+          .as("w"))
   }
 
   /** DSIR importance score per document: the sum of bucket weights over
@@ -582,7 +585,7 @@ object Sampling {
     df.select(col(idCol)).join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        round(coalesce(col("__s"), lit(0.0)), 9).as("dsir_score"))
+        Portable.ratio9(coalesce(col("__s"), lit(0.0))).as("dsir_score"))
   }
 
   /** Cluster-balanced exact-N sample: assign every vector to its

@@ -99,7 +99,7 @@ object Similarity {
       col("embedding").as("pv"))
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosine(col("v"), col("pv")), 9))
+      .withColumn("cos", Portable.ratio9(cosine(col("v"), col("pv"))))
       .withColumn("rnk",
         row_number().over(Window.partitionBy(col("probe_id"))
           .orderBy(desc("cos"), asc("vec_id"))))
@@ -145,7 +145,7 @@ object Similarity {
     val x = xs.select(col("vec_id").as("x_id"), col("embedding").as("xv"))
     val y = ys.select(col("vec_id").as("y_id"), col("embedding").as("yv"))
     val scored = x.crossJoin(broadcast(y))
-      .withColumn("cos", round(cosine(col("xv"), col("yv")), 9))
+      .withColumn("cos", Portable.ratio9(cosine(col("xv"), col("yv"))))
       .withColumn("__ci", floor(col("cos") * 1e9 + lit(0.5)).cast("long"))
       .select(col("x_id"), col("y_id"), col("cos"), col("__ci"))
     mineScored(scored, k, tau)
@@ -176,7 +176,7 @@ object Similarity {
     // one bucket code per vector, so a pair meets in at most one bucket
     // — no candidate dedup needed
     val scored = bx.join(by, Seq("bucket"))
-      .withColumn("cos", round(cosine(col("xv"), col("yv")), 9))
+      .withColumn("cos", Portable.ratio9(cosine(col("xv"), col("yv"))))
       .withColumn("__ci", floor(col("cos") * 1e9 + lit(0.5)).cast("long"))
       .select(col("x_id"), col("y_id"), col("cos"), col("__ci"))
     mineScored(scored, k, tau)
@@ -199,9 +199,9 @@ object Similarity {
     val margins = scored
       .join(sx, Seq("x_id")).join(sy, Seq("y_id"))
       .filter(col("__sx") + col("__sy") =!= 0L)
-      .withColumn("margin", round(
+      .withColumn("margin", Portable.ratio9(
         (col("__ci") * lit(2L * k)).cast("double") /
-          (col("__sx") + col("__sy")).cast("double"), 9))
+          (col("__sx") + col("__sy")).cast("double")))
     margins
       .withColumn("__bx", row_number().over(Window.partitionBy(col("x_id"))
         .orderBy(desc("margin"), asc("y_id"))))
@@ -352,7 +352,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         explode(array(dimsList.map(d => struct(lit(d.toLong).as("dims"),
-          round(cosine(slice(col("v"), 1, d), slice(col("pv"), 1, d)), 9)
+          Portable.ratio9(
+            cosine(slice(col("v"), 1, d), slice(col("pv"), 1, d)))
             .as("cos"))): _*)).as("s"))
       .select(col("probe_id"), col("vec_id"),
         col("s.dims").as("dims"), col("s.cos").as("cos"))
@@ -373,8 +374,8 @@ object Similarity {
       .join(hits, Seq("dims", "probe_id"), "left")
       .select(col("dims"), col("probe_id"), col("n_exact"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_exact"), 9).as("recall"))
+        Portable.ratio9(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact")).as("recall"))
   }
 
   /** M6: best-row selection — explicit `orderBy(asc(objective)).limit(1)`
@@ -442,7 +443,7 @@ object Similarity {
     a.join(b, Seq("term"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(round(sum(col("ua") * col("ub")), 9).as("cos_tfidf"))
+      .agg(Portable.ratio9(sum(col("ua") * col("ub"))).as("cos_tfidf"))
       .filter(col("cos_tfidf") >= tau)
   }
 }

@@ -198,7 +198,7 @@ object Sketch {
         col("__zu") + (lit(m) - col("n_registers_used")) *
           lit(1L << maxRho))
       .select(col("key"), col("n_registers_used"),
-        round((lit(aNum.toDouble) / lit(aDen.toDouble)) *
+        Portable.ratioAt((lit(aNum.toDouble) / lit(aDen.toDouble)) *
           (lit((m * m).toDouble) * lit(math.pow(2.0, maxRho))) /
           col("__z").cast("double"), 6).as("hll_est"))
   }
@@ -233,7 +233,7 @@ object Sketch {
       .join(exact, Seq("key"))
       .select(col("key"), col("n_registers_used"), col("hll_est"),
         col("exact_distinct"),
-        round((col("hll_est") - col("exact_distinct")) /
+        Portable.ratioAt((col("hll_est") - col("exact_distinct")) /
           col("exact_distinct") * 100, 6).as("rel_err_pct"))
   }
 

@@ -63,8 +63,8 @@ object Text {
       size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
       size(wordTokens(col(textCol))).cast("long").as("n_word_tokens"),
       length(col(textCol)).cast("long").as("n_chars"),
-      round(length(col(textCol)).cast("double") /
-        size(tokens(col(textCol))), 9).as("mean_tok_len"),
+      Portable.ratio9(length(col(textCol)).cast("double") /
+        size(tokens(col(textCol)))).as("mean_tok_len"),
       ceil(length(col(textCol)) / lit(4.0)).cast("long").as("est_bpe_tokens"))
 
   /** English-stopword mini-list used by the quality score (public,
@@ -98,11 +98,11 @@ object Text {
         lit(0.1) * (lit(1.0) - digits)))
     df.select(col("doc_id") +: keep.map(col) ++: Seq(
       nToks.cast("long").as("n_tokens"),
-      round(alpha, 9).as("alpha_ratio"),
-      round(digits, 9).as("digit_ratio"),
-      round(stop, 9).as("stopword_ratio"),
+      Portable.ratio9(alpha).as("alpha_ratio"),
+      Portable.ratio9(digits).as("digit_ratio"),
+      Portable.ratio9(stop).as("stopword_ratio"),
       lenOk.cast("long").as("len_ok"),
-      round(score, 9).as("quality_score")): _*)
+      Portable.ratio9(score).as("quality_score")): _*)
   }
 
   /** Stopword profile per language for the n-gram/stopword language-ID
@@ -302,7 +302,7 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        round(col("n_oov") / col("n_tokens"), 9).as("oov_ratio"))
+        Portable.ratio9(col("n_oov") / col("n_tokens")).as("oov_ratio"))
   }
 
   /** Length-bucketed batching audit: documents bucket to the smallest
@@ -383,7 +383,8 @@ object Text {
       .withColumn("__n", sum(col("__c")).over(whole))
       .select(col(groupCol), col(scoreCol),
         when(col("__n") > 1,
-          round(col("__below").cast("double") / (col("__n") - lit(1)), 9))
+          Portable.ratio9(col("__below").cast("double") /
+            (col("__n") - lit(1))))
           .otherwise(lit(0.0)).as("pct_rank"))
     df.join(ranks, Seq(groupCol, scoreCol))
   }
@@ -457,10 +458,10 @@ object Text {
         coalesce(col("__total"), lit(0L)).as("n_ngrams"),
         coalesce(col("__distinct"), lit(0L)).as("n_distinct"),
         // un-coalesced operands: no-gram docs yield NULL ratios, never 0/0
-        round(lit(1.0) -
-          col("__distinct").cast("double") / col("__total"), 9)
+        Portable.ratio9(lit(1.0) -
+          col("__distinct").cast("double") / col("__total"))
           .as("dup_ngram_ratio"),
-        round(col("__top").cast("double") / col("__total"), 9)
+        Portable.ratio9(col("__top").cast("double") / col("__total"))
           .as("top_ngram_ratio"))
   }
 
@@ -504,8 +505,8 @@ object Text {
         col("n_blocked_types"),
         // un-coalesced: token-less docs yield NULL, never 0/0
         when(col("n_tokens") > 0,
-          round(col("n_blocked").cast("double") / col("n_tokens"), 9))
-          .as("blocked_ratio"))
+          Portable.ratio9(col("n_blocked").cast("double") /
+            col("n_tokens"))).as("blocked_ratio"))
   }
 
   /** Blocklist scrub — the REWRITE companion to [[blocklistStats]]:
@@ -568,9 +569,10 @@ object Text {
         coalesce(col("__tok"), lit(0L)).as("n_tokens"),
         coalesce(col("__typ"), lit(0L)).as("n_types"),
         // un-coalesced operands: token-less sources yield NULL ratios
-        round(col("__typ").cast("double") / col("__tok"), 9).as("ttr"),
+        Portable.ratio9(col("__typ").cast("double") / col("__tok"))
+          .as("ttr"),
         coalesce(col("__hap"), lit(0L)).as("n_hapax"),
-        round(col("__hap").cast("double") / col("__typ"), 9)
+        Portable.ratio9(col("__hap").cast("double") / col("__typ"))
           .as("hapax_ratio"))
   }
 
@@ -653,7 +655,8 @@ object Text {
         sum(col("n_ips")).as("n_ips"),
         sum(col("n_long_nums")).as("n_long_nums"))
       .withColumn("pii_doc_ratio",
-        round(col("docs_with_pii").cast("double") / col("n_docs"), 9))
+        Portable.ratio9(col("docs_with_pii").cast("double") /
+          col("n_docs")))
   }
 
   /** Corpus document-frequency / IDF table: one row per distinct token
@@ -673,7 +676,8 @@ object Text {
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("w"), col("df"),
-        round(log(col("n_docs").cast("double") / col("df")), 9).as("idf"))
+        Portable.ratio9(log(col("n_docs").cast("double") / col("df")))
+          .as("idf"))
   }
 
   /** Per-document top-k TF-IDF keywords — the document-tagging step a
@@ -706,8 +710,8 @@ object Text {
     tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf",
-        round(log(col("n_docs").cast("double") / col("df")), 9))
-      .withColumn("tfidf", round(col("tf") * col("idf"), 9))
+        Portable.ratio9(log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("tfidf", Portable.ratio9(col("tf") * col("idf")))
       .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(desc("tfidf"), asc("w"))).cast("long"))
       .filter(col("rank") <= k)
@@ -824,8 +828,8 @@ object Text {
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        round(sum(col("c") * -log(col("cnt") / col("__total"))) /
-          sum(col("c")), 9).as("unigram_nll"))
+        Portable.ratio9(sum(col("c") * -log(col("cnt") / col("__total"))) /
+          sum(col("c"))).as("unigram_nll"))
   }
 
   /** Corpus-drift report: the top-k tokens driving the unigram KL
@@ -872,9 +876,10 @@ object Text {
         (col("__ca") + lit(0.5)) / (col("__na") + lit(0.5) * col("__v")))
       .withColumn("__pb",
         (col("__cb") + lit(0.5)) / (col("__nb") + lit(0.5) * col("__v")))
-      .select(col("w"), round(col("__pa"), 9).as("p_a"),
-        round(col("__pb"), 9).as("p_b"),
-        round(col("__pa") * log(col("__pa") / col("__pb")), 9).as("kl_term"))
+      .select(col("w"), Portable.ratio9(col("__pa")).as("p_a"),
+        Portable.ratio9(col("__pb")).as("p_b"),
+        Portable.ratio9(col("__pa") * log(col("__pa") / col("__pb")))
+          .as("kl_term"))
       .orderBy(col("kl_term").desc, col("w").asc)
       .limit(k)
   }
@@ -974,7 +979,8 @@ object Text {
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        round(sum(col("c") * -log(p)) / sum(col("c")), 9).as("bigram_nll"))
+        Portable.ratio9(sum(col("c") * -log(p)) / sum(col("c")))
+          .as("bigram_nll"))
   }
 
   /** Corpus collocation mining by pointwise mutual information (Church
@@ -1037,9 +1043,9 @@ object Text {
       .crossJoin(broadcast(totU))
       .crossJoin(broadcast(totB))
       .select(col("w1"), col("w2"), col("cnt_xy"), col("c_x"), col("c_y"),
-        round(log(ratio), 9).as("pmi"),
+        Portable.ratio9(log(ratio)).as("pmi"),
         when(col("cnt_xy") < col("t_b"),
-          round(log(ratio) / -log(pxy), 9)).as("npmi"))
+          Portable.ratio9(log(ratio) / -log(pxy))).as("npmi"))
   }
 
   /** Cross-document boilerplate statistics (the RefinedWeb / C4 "seen
@@ -1085,12 +1091,12 @@ object Text {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
-        round(col("n_boiler_grams").cast("double") / col("n_grams"), 9)
-          .as("boiler_ratio"),
+        Portable.ratio9(col("n_boiler_grams").cast("double") /
+          col("n_grams")).as("boiler_ratio"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("n_boiler_distinct"), lit(0L)).as("n_boiler_distinct"),
-        round(col("n_boiler_distinct").cast("double") / col("n_distinct"), 9)
-          .as("boiler_distinct_ratio"))
+        Portable.ratio9(col("n_boiler_distinct").cast("double") /
+          col("n_distinct")).as("boiler_distinct_ratio"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
@@ -1227,11 +1233,11 @@ object Text {
     broadcast(rollup).crossJoin(broadcast(fit))
       .select(col("vocab_size"), col("total_tokens"), col("hapax_count"),
         col("top100_tokens"), col("n").cast("long").as("fit_terms"),
-        round(when(dxx =!= 0d, dxy / dxx), 9).as("zipf_slope"),
-        round(when(dxx =!= 0d, aNum / dxx / lit(1e6)), 9)
+        when(dxx =!= 0d, Portable.ratio9(dxy / dxx)).as("zipf_slope"),
+        when(dxx =!= 0d, Portable.ratio9(aNum / dxx / lit(1e6)))
           .as("zipf_intercept"),
-        round(when(dxx =!= 0d && dyy =!= 0d, dxy * dxy / (dxx * dyy)), 9)
-          .as("zipf_r2"))
+        when(dxx =!= 0d && dyy =!= 0d,
+          Portable.ratio9(dxy * dxy / (dxx * dyy))).as("zipf_r2"))
   }
 
   /** Corpus-health Heaps audit — the vocabulary-GROWTH twin of
@@ -1303,9 +1309,9 @@ object Text {
     curve.crossJoin(broadcast(fit))
       .select(col("bucket"), col("n_docs"), col("n_tokens"), col("vocab"),
         col("new_types"),
-        round(when(dxx =!= 0d, dxy / dxx), 9).as("heaps_beta"),
-        round(when(dxx =!= 0d && dyy =!= 0d, dxy * dxy / (dxx * dyy)), 9)
-          .as("heaps_r2"))
+        when(dxx =!= 0d, Portable.ratio9(dxy / dxx)).as("heaps_beta"),
+        when(dxx =!= 0d && dyy =!= 0d,
+          Portable.ratio9(dxy * dxy / (dxx * dyy))).as("heaps_r2"))
   }
 
   /** Inverse-Cloze-Task contrastive pairs (Lee et al., ACL'19 — the
@@ -1446,8 +1452,8 @@ object Text {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
         col("n_b"),
-        round(col("n_shared").cast("double") /
-          least(col("n_a"), col("n_b")).cast("double"), 9)
+        Portable.ratio9(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
           .as("containment"))
   }
 }
