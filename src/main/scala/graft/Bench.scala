@@ -10,11 +10,28 @@ object Bench {
     * a failing pass still spent the wall-clock). */
   def passTotal(p: Pass): Double = p.values.map(_._1).sum
 
-  /** The contended-run trip wire: two pass totals more than 25% apart
-    * mean a co-tenant stole the box for one of them, and every
-    * two-pass min is suspect. */
+  /** The contended-run trip wire, part 1: two pass totals more than
+    * 15% apart (the documented idle-box noise band) mean a co-tenant
+    * stole the box for one of them, and every two-pass min is suspect.
+    * Round 9's driver run diverged 23% and slipped under the old 25%
+    * wire while individual funnel queries read 3-4x their idle cost —
+    * hence the band-edge threshold plus [[perQueryDivergent]]. */
   def divergent(a: Double, b: Double): Boolean =
-    math.abs(a - b) / math.max(math.min(a, b), 1e-9) > 0.25
+    math.abs(a - b) / math.max(math.min(a, b), 1e-9) > 0.15
+
+  /** The trip wire, part 2: totals AVERAGE contention away (r9: q62
+    * read 3x between passes while totals sat 23% apart), so also trip
+    * when any single query's two successful passes disagree by more
+    * than 2x above a 1 s floor (sub-second queries jitter freely —
+    * scheduling noise, not co-tenancy). */
+  def perQueryDivergent(a: Pass, b: Pass): Boolean =
+    a.keys.exists { n =>
+      (a(n), b(n)) match {
+        case ((ta, None), (tb, None)) =>
+          math.min(ta, tb) >= 1.0 && math.max(ta, tb) > 2.0 * math.min(ta, tb)
+        case _ => false
+      }
+    }
 
   /** Per-query min over the passes that SUCCEEDED; a query that failed
     * in every pass falls back to the min elapsed (which then measures
@@ -118,7 +135,8 @@ object Bench {
     // so a reader knows the numbers came from a defended run.
     // (BENCH_r08's 431.7 vs 223.6 s passes made every funnel row a lie
     // — this is the fix.)
-    val contended = divergent(passTotal(pass1), passTotal(pass2))
+    val contended = divergent(passTotal(pass1), passTotal(pass2)) ||
+      perQueryDivergent(pass1, pass2)
     val passes =
       if (contended) Seq(pass1, pass2, names.map(n => n -> timeOnce(n)).toMap)
       else Seq(pass1, pass2)

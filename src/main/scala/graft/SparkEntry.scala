@@ -2003,6 +2003,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("order_id")
     }),
 
+    // A1 profile: basket-size histogram off the collected baskets —
+    // the distribution a data team reads before choosing P7's
+    // truncation cap.
+    "q222_basket_lengths" -> ((s, dir) => {
+      Baskets.lengthHistogram(
+        Baskets.sortedBaskets(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey"))
+        .orderBy("basket_len")
+    }),
+
     // Q1 (quality): one-pass per-column null profile of lineitem.
     "q7_quality_nulls" -> ((s, dir) => {
       Quality.report(t(s, dir, "lineitem"))
@@ -3888,16 +3899,19 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // under test and globs directories like any 100 TB table.
     "q41_csv_roundtrip" -> ((s, dir) => {
       val path = q41CsvPath(dir)
-      t(s, dir, "lineitem")
-        // deterministic ~1/16 slice: the fixture write is plumbing, not
-        // the operator under test — keep it cheap at any SF
-        .filter(col("l_orderkey") % 16 === 0)
-        .select(col("l_orderkey").as("order_id"),
-          col("l_partkey").as("product_id"),
-          col("l_linenumber").as("add_to_cart_order"),
-          (col("l_linenumber") % 2).as("reordered"))
-        .repartition(1)
-        .write.mode("overwrite").option("header", "true").csv(path)
+      // S3/S6/S7 carrier: the CSV leg goes through Sources.writeCsv —
+      // the same sink the embeddings/tuning-table exports use.
+      Sources.writeCsv(
+        t(s, dir, "lineitem")
+          // deterministic ~1/16 slice: the fixture write is plumbing,
+          // not the operator under test — keep it cheap at any SF
+          .filter(col("l_orderkey") % 16 === 0)
+          .select(col("l_orderkey").as("order_id"),
+            col("l_partkey").as("product_id"),
+            col("l_linenumber").as("add_to_cart_order"),
+            (col("l_linenumber") % 2).as("reordered"))
+          .repartition(1),
+        path)
       Sources.csv(s, path, Sources.orderProductsSchema)
         .groupBy(col("reordered"))
         .agg(count(lit(1)).as("n_rows"),
@@ -4525,6 +4539,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       """SELECT l_orderkey AS order_id, count(*) AS basket_size,
         |  array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS basket
         |FROM lineitem GROUP BY l_orderkey ORDER BY order_id""".stripMargin,
+
+    "q222_basket_lengths" ->
+      """SELECT basket_len, count(*)::BIGINT AS n_baskets FROM (
+        |  SELECT count(*)::BIGINT AS basket_len
+        |  FROM lineitem GROUP BY l_orderkey)
+        |GROUP BY basket_len ORDER BY basket_len""".stripMargin,
 
     "q7_quality_nulls" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -70,8 +70,11 @@ object Baskets {
   def truncate(df: DataFrame, basketArr: String, maxLen: Int): DataFrame =
     df.withColumn(basketArr, slice(col(basketArr), 1, maxLen))
 
-  /** Basket length distribution — cheap sanity profile used by tests. */
+  /** Basket length distribution — the sanity profile a data team reads
+    * before choosing [[truncate]]'s cap (q222): one row per distinct
+    * basket size with the basket count. One map-side-combined groupBy
+    * over sizes already in hand — no re-scan of the item stream. */
   def lengthHistogram(baskets: DataFrame, basketArr: String = "basket"): DataFrame =
-    baskets.select(size(col(basketArr)).as("basket_len"))
+    baskets.select(size(col(basketArr)).cast("long").as("basket_len"))
       .groupBy("basket_len").agg(count(lit(1)).as("n_baskets"))
 }

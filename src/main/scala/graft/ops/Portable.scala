@@ -51,14 +51,6 @@ object Portable {
   def unif(cols: Column*): Column =
     seededHash(cols: _*) / lit(TwoPow60)
 
-  /** Spark-SQL fragment computing the same 60-bit hash — for use inside
-    * `expr(...)` strings where the Column API can't reach (e.g. lambda
-    * variables of higher-order functions). Resolves to the registered
-    * [[graft.functions.Hash60]] SQL function: call
-    * `Hash60.register(spark)` before resolving the fragment. */
-  def sparkSqlHash(keys: String*): String =
-    s"${graft.functions.Hash60.FuncName}(" + keys.mkString(", ") + ")"
-
   /** DuckDB SQL fragment computing the same 60-bit hash; `keys` are SQL
     * expressions of string or integer type. */
   def sqlHash(keys: String*): String =

@@ -9,13 +9,29 @@ class BenchSpec extends AnyFunSuite {
   private def pass(obs: (String, Double)*): Bench.Pass =
     obs.map { case (n, t) => n -> (t, None: Option[String]) }.toMap
 
-  test("divergent: trips past 25% pass-total divergence, not within it") {
+  test("divergent: trips past 15% pass-total divergence, not within it") {
     assert(!Bench.divergent(100.0, 100.0))
-    assert(!Bench.divergent(100.0, 115.0)) // the normal ±15% noise band
-    assert(!Bench.divergent(100.0, 124.9))
-    assert(Bench.divergent(100.0, 125.1))
+    assert(!Bench.divergent(100.0, 114.9)) // inside the ±15% noise band
+    assert(Bench.divergent(100.0, 115.1))
+    assert(Bench.divergent(466.6, 573.7)) // the BENCH_r09 contended run
     assert(Bench.divergent(223.6, 431.7)) // the BENCH_r08 contended run
     assert(Bench.divergent(431.7, 223.6)) // symmetric
+  }
+
+  test("perQueryDivergent: any >2x single-query swing above the 1 s " +
+      "floor trips; sub-second jitter and failed passes don't") {
+    // the r9 signature: totals 23% apart, q62 7.2 s vs 28.9 s
+    assert(Bench.perQueryDivergent(
+      pass("q62" -> 7.2, "q80" -> 9.0), pass("q62" -> 28.9, "q80" -> 9.4)))
+    // within 2x: quiet
+    assert(!Bench.perQueryDivergent(
+      pass("q1" -> 5.0, "q2" -> 3.0), pass("q1" -> 9.9, "q2" -> 3.1)))
+    // sub-second queries jitter freely below the floor
+    assert(!Bench.perQueryDivergent(
+      pass("q1" -> 0.1), pass("q1" -> 0.9)))
+    // a failed pass measures the failure, not contention
+    val failed: Bench.Pass = Map("q1" -> (30.0, Some("boom")))
+    assert(!Bench.perQueryDivergent(pass("q1" -> 5.0), failed))
   }
 
   test("minFold: a contended pass never wins; third pass folds in") {
