@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * rates (1/625 exact at sf0.1; near-dups planted at 1/125 with every
   * 10th token resampled). Every doc is a pure function of its id
   * (seeded per-row RNG), so the corpus is deterministic, partitioning-
-  * independent, and regenerable. All other tables copy through
-  * unchanged — the 10 most expensive queries under study read only
-  * `documents`.
+  * independent, and regenerable.
+  *
+  * Round 10 extends the same treatment to the other decade-study
+  * inputs: `part` (p_name redrawn from the source's name-word table —
+  * the q206/q209 edit-join axis), `events` (factor× users over the
+  * same calendar span, copies time-jittered — the q217/q221 axis), and
+  * `embeddings` (factor× vectors as seeded ±10% perturbations of their
+  * base — the PQ/IVF axis). Remaining tables copy through unchanged.
   *
   * Usage: runMain graft.GenScale <srcDir> <destDir> <factor>
   */
@@ -151,10 +156,113 @@ object GenScale {
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
 
-    // pass-through tables (the studied queries read only documents, but
-    // a complete dir keeps every query runnable)
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "embeddings").foreach { t =>
+    // --- part: p_name space grown factor× for the edit-distance /
+    // entity-resolution decade rows (q206/q209 read only p_name).
+    // Names re-draw 5 words from the source's own name-word table
+    // (TPC-H's ~92 color words), so near-miss collisions keep their
+    // empirical density; rows beyond the source keyspace simply never
+    // join lineitem (which passes through) — the studied queries don't
+    // read those columns. Pure function of id.
+    val partSrc = spark.read.parquet(s"$srcDir/part.parquet")
+    val pWordsEmp: Array[(String, Long)] = partSrc
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect().sorted
+    // Heaps growth for the name vocabulary too (same round-9 lesson as
+    // documents): a fixed word table at factor× names saturates the
+    // name space and fakes match density — the first q206 decade run
+    // on a fixed table read 100×/decade with 4500× the matches, a
+    // fixture artifact. Real catalogs grow brand/series tokens as they
+    // grow rows.
+    val pWords: Array[(String, Long)] = {
+      val v0 = pWordsEmp.length
+      val v = math.ceil(v0 * math.pow(factor.toDouble, HeapsBeta)).toInt
+      if (v <= v0) pWordsEmp
+      else {
+        val zipf = (1 to v).map(r => math.pow(r.toDouble, -ZipfS))
+        val zTot = zipf.sum
+        val headMass = zipf.take(v0).sum / zTot
+        val empTot = pWordsEmp.map(_._2).sum.toDouble
+        val scale = 1e9
+        val head = pWordsEmp.map { case (w, c) =>
+          (w, math.max(1L, (c / empTot * headMass * scale).toLong)) }
+        // tail words are seeded random letter strings, NOT numbered
+        // ("pz101"/"pz102" are edit-distance-1 neighbors — numbering
+        // the tail manufactured 12× the quadratic match density)
+        val tail = (v0 + 1 to v).map { r =>
+          val rnd = new java.util.Random(r * 0x9e3779b97f4a7c15L + 31L)
+          val w = Array.fill(7)(('a' + rnd.nextInt(26)).toChar).mkString
+          (w,
+            math.max(1L, (math.pow(r.toDouble, -ZipfS) / zTot * scale).toLong))
+        }.toArray
+        head ++ tail
+      }
+    }
+    val (pwVals, pwCum, pwTot) = cum(pWords)
+    val np0 = partSrc.count()
+    val restCols = partSrc.columns.toSeq
+      .filter(c => c != "p_partkey" && c != "p_name")
+    val rest = partSrc.select(((col("p_partkey") - 1L) % np0).as("__j"),
+      struct(restCols.map(col): _*).as("__rest"))
+    spark.range(np0 * factor).map { id =>
+        val rnd = new java.util.Random(id * 0x2545f4914f6cdd1dL + 11L)
+        // 5 DISTINCT words per name (TPC-H permutes, never repeats —
+        // with-replacement repeats shorten names and inflate collisions)
+        val ws = scala.collection.mutable.LinkedHashSet.empty[String]
+        while (ws.size < 5) ws += pick(pwVals, pwCum, pwTot, rnd)
+        (id + 1L, ws.mkString(" "), id % np0)
+      }.toDF("p_partkey", "p_name", "__j")
+      .join(rest, Seq("__j"))
+      .select(col("p_partkey") +: col("p_name") +:
+        restCols.map(c => col(s"__rest.$c").as(c)): _*)
+      .write.mode("overwrite").parquet(s"$destDir/part.parquet")
+
+    // --- events: factor× users over the SAME calendar span (the axis
+    // the DAU/retention/survival curves feel): copy c remaps users and
+    // event ids into disjoint ranges and shifts each (copy, user)'s
+    // whole timeline by a deterministic sub-hour jitter — per-user
+    // lifetimes, event-type mix, and value distribution are preserved
+    // exactly; copies are independent users.
+    val evSrc = spark.read.parquet(s"$srcDir/events.parquet")
+    val evMax = evSrc.agg(max(col("event_id")), max(col("user_id")))
+      .as[(Long, Long)].collect()(0)
+    evSrc.crossJoin(
+        spark.range(factor.toLong).select(col("id").as("__c")))
+      .withColumn("__j",
+        pmod(xxhash64(col("__c"), col("user_id"), lit(13L)), lit(1800L)))
+      .select(
+        (col("event_id") + col("__c") * (lit(evMax._1) + 1L))
+          .as("event_id"),
+        expr("timestampadd(SECOND, __j, ts)").as("ts"),
+        (col("user_id") + col("__c") * (lit(evMax._2) + 1L))
+          .as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$destDir/events.parquet")
+
+    // --- embeddings: factor× vectors — copy c perturbs every
+    // coordinate of its base vector with seeded ±10%-of-|x| noise, so
+    // the point cloud densifies without collapsing into exact atoms
+    // (the PQ/IVF training decade rows read this). Labels copy.
+    val embSrc = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Int)]
+    val ne0 = embSrc.count()
+    embSrc.flatMap { case (vid, emb, label) =>
+      (0 until factor).map { c =>
+        val id = vid + c * ne0
+        val rnd = new java.util.Random(id * 0x9e3779b97f4a7c15L + 23L)
+        val v =
+          if (c == 0) emb
+          else emb.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f *
+            math.abs(x))
+        (id, v, label)
+      }
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
+
+    // pass-through tables (complete dir keeps every query runnable)
+    Seq("region", "nation", "customer", "supplier", "orders",
+      "lineitem").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
     }

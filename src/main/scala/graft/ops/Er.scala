@@ -67,68 +67,93 @@ object Er {
     * for every length. */
   def editJoin(df: DataFrame, strCol: String, k: Int): DataFrame = {
     require(k >= 1, s"edit-distance threshold k must be >= 1, got $k")
-    val strs = df.groupBy(col(strCol).as("s"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("s"), col("n"), length(col("s")).cast("long").as("l"))
+    import org.apache.spark.sql.expressions.Window
+    // Distinct names get DENSE integer ids (one bounded vocab-sized
+    // sort) and every corpus-scale frame below carries ids + hashed
+    // segments instead of strings: the candidate join on a low-entropy
+    // catalog (q206's sf1 decade: 92M raw candidates from 197k names
+    // built out of ~200 common words) shuffles long tuples instead of
+    // ~70-char string pairs, and the pair dedup compares 16 bytes, not
+    // strings — measured 77 s → ~25 s at that scale, same output.
+    // The name dimension is vocab-bounded, so it broadcasts back in
+    // for the banded-levenshtein verify.
+    // the id window is a bounded single-task sort of the VOCAB, but it
+    // leaves the frame on one partition and re-executes per branch (six
+    // consumers) — barrier it and re-spread, or every downstream
+    // explode runs single-threaded
+    val strs = Barrier.cut(
+      df.groupBy(col(strCol).as("s"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("s"), col("n"), length(col("s")).cast("long").as("l"))
+        .withColumn("id", row_number().over(Window.orderBy(col("s")))
+          .cast("long"))
+        .repartition(col("id")))
     val longs = strs.filter(col("l") >= k + 1)
 
-    // index side: the k+1 segments of every long string
+    // index side: the k+1 segments of every long string, seg hashed —
+    // a 64-bit collision only ADDS a candidate (verify kills it);
+    // completeness never depends on hash injectivity
     val segs = longs
-      .select(col("s").as("sb"), col("l").as("lb"),
+      .select(col("id").as("idb"), col("s").as("sb"), col("l").as("lb"),
         explode(sequence(lit(0L), lit(k.toLong))).as("i"))
-      .select(col("sb"), col("lb"), col("i"),
-        col("sb").substr(segStart(col("i"), col("lb"), k),
-          segLen(col("i"), col("lb"), k)).as("seg"))
+      .select(col("idb"), col("lb"), col("i"),
+        xxhash64(col("sb").substr(segStart(col("i"), col("lb"), k),
+          segLen(col("i"), col("lb"), k))).as("segh"))
 
     // probe side: for each candidate indexed length l2 ∈ [l−k, l+k]
     // (≥ k+1), each segment slot, each shift d ∈ [−k, k], the probe
     // substring at the segment's position-in-l2 plus d — deduplicated
     // on the join key before the shuffle.
     val probes = longs
-      .select(col("s").as("sa"), col("l").as("la"),
+      .select(col("id").as("ida"), col("s").as("sa"), col("l").as("la"),
         explode(sequence(lit(-k.toLong), lit(k.toLong))).as("dl"))
       .withColumn("l2", col("la") + col("dl"))
       .filter(col("l2") >= k + 1)
-      .select(col("sa"), col("la"), col("l2"),
+      .select(col("ida"), col("sa"), col("la"), col("l2"),
         explode(sequence(lit(0L), lit(k.toLong))).as("i"))
-      .select(col("sa"), col("la"), col("l2"), col("i"),
+      .select(col("ida"), col("sa"), col("la"), col("l2"), col("i"),
         explode(sequence(lit(-k.toLong), lit(k.toLong))).as("d"))
       .withColumn("pst", segStart(col("i"), col("l2"), k) + col("d"))
       .withColumn("pln", segLen(col("i"), col("l2"), k))
       .filter(col("pst") >= 1 && col("pst") <= col("la") - col("pln") + 1)
-      .select(col("sa"), col("l2"), col("i"),
-        col("sa").substr(col("pst"), col("pln")).as("seg"))
+      .select(col("ida"), col("l2"), col("i"),
+        xxhash64(col("sa").substr(col("pst"), col("pln"))).as("segh"))
       .distinct()
 
     val candLong = probes.join(segs,
-        probes("seg") === segs("seg") && probes("i") === segs("i") &&
-          probes("l2") === segs("lb") && probes("sa") =!= segs("sb"))
-      .select(col("sa"), col("sb"))
+        probes("segh") === segs("segh") && probes("i") === segs("i") &&
+          probes("l2") === segs("lb") && probes("ida") =!= segs("idb"))
+      .select(col("ida"), col("idb"))
 
     // short pool: strings of length ≤ k vs the (≤ 2k)-length pool —
     // both alphabet-bounded, broadcast on the short side.
-    val shorts = strs.filter(col("l") <= k).select(col("s").as("sa"))
-    val pool = strs.filter(col("l") <= 2L * k).select(col("s").as("sb"))
+    val shorts = strs.filter(col("l") <= k).select(col("id").as("ida"))
+    val pool = strs.filter(col("l") <= 2L * k).select(col("id").as("idb"))
     val candShort = broadcast(shorts).crossJoin(pool)
-      .filter(col("sa") =!= col("sb"))
+      .filter(col("ida") =!= col("idb"))
 
+    // dedup on the 16-byte id pair, then broadcast the vocab-sized
+    // name dimension back in for the banded verify
     val cands = candLong.union(candShort)
-      .select(least(col("sa"), col("sb")).as("name_a"),
-        greatest(col("sa"), col("sb")).as("name_b"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
       .distinct()
-
+    val dims = strs.select(col("id"), col("s"), col("n"))
     val verified = cands
+      .join(broadcast(dims.select(col("id").as("id_a"),
+        col("s").as("sa2"), col("n").as("na2"))), Seq("id_a"))
+      .join(broadcast(dims.select(col("id").as("id_b"),
+        col("s").as("sb2"), col("n").as("nb2"))), Seq("id_b"))
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b"), k).cast("long"))
+        levenshtein(col("sa2"), col("sb2"), k).cast("long"))
       .filter(col("dist") >= 1 && col("dist") <= k)
-    val dims = strs.select(col("s"), col("n"))
     verified
-      .join(broadcast(dims).withColumnRenamed("s", "name_a")
-        .withColumnRenamed("n", "n_a"), Seq("name_a"))
-      .join(broadcast(dims).withColumnRenamed("s", "name_b")
-        .withColumnRenamed("n", "n_b"), Seq("name_b"))
-      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"),
-        col("n_b"))
+      .select(least(col("sa2"), col("sb2")).as("name_a"),
+        greatest(col("sa2"), col("sb2")).as("name_b"), col("dist"),
+        when(col("sa2") < col("sb2"), col("na2")).otherwise(col("nb2"))
+          .as("n_a"),
+        when(col("sa2") < col("sb2"), col("nb2")).otherwise(col("na2"))
+          .as("n_b"))
   }
 
   /** End-to-end entity resolution over a string catalog: the
