@@ -637,12 +637,21 @@ object Quality {
     * as doubles. Returns (threshold, tp, fp, fn, precision, recall,
     * f1, is_best) — recall NULL when the corpus has no positives. */
   def thresholdSweep(df: DataFrame, scoreCol: String,
-                     labelCol: Column): DataFrame = {
+                     labelCol: Column): DataFrame =
+    thresholdSweepFromCounts(
+      df.select(col(scoreCol).as("threshold"),
+          when(labelCol, 1L).otherwise(0L).as("__y"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p")))
+
+  /** [[thresholdSweep]] from the distinct-score count frame directly —
+    * `g` = (threshold, __n = rows at score, __p = positives at score).
+    * This is the entry a STREAMING monitor re-derives from (the
+    * [[graft.streaming.StreamOps.thresholdSweepStream]] twin keeps
+    * exactly this frame as its aggregation state), and the batch op
+    * above is one groupBy away from it. */
+  def thresholdSweepFromCounts(g: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = df.select(col(scoreCol).as("threshold"),
-        when(labelCol, 1L).otherwise(0L).as("__y"))
-      .groupBy(col("threshold"))
-      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
     // bounded global windows: one row per distinct score
     val wCum = Window.orderBy(col("threshold").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -843,7 +852,19 @@ object Quality {
     * the lower bin); one (side, bin) agg; a bins-sized rollup.
     * Returns ONE row: (n_a, n_b, n_bins, psi). */
   def psi(a: DataFrame, b: DataFrame, scoreCol: String,
-          bins: Int): DataFrame = {
+          bins: Int): DataFrame =
+    psiFromCounts(a,
+      b.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c")),
+      scoreCol, bins)
+
+  /** [[psi]] with the COMPARISON side supplied as its distinct-score
+    * count frame `bCounts` = (__s, __c) — the compact state a
+    * streaming monitor accumulates ([[
+    * graft.streaming.StreamOps.psiStream]] re-derives from exactly
+    * this frame every micro-batch); the baseline stays a static raw
+    * frame (its quantile boundaries are fixed by definition). */
+  def psiFromCounts(a: DataFrame, bCounts: DataFrame, scoreCol: String,
+                    bins: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val distA = a.groupBy(col(scoreCol).as("__v"))
@@ -858,16 +879,17 @@ object Quality {
     val bounds = distA.crossJoin(broadcast(targets))
       .filter(col("__cum") >= col("__target"))
       .groupBy(col("__i")).agg(min(col("__v")).as("__v"))
-    def binned(df: DataFrame, as: String) = df
-      .groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    def binned(counts: DataFrame, as: String) = counts
       .crossJoin(broadcast(bounds))
       .groupBy(col("__s"), col("__c"))
       .agg(sum(when(col("__s") > col("__v"),
         lit(1L)).otherwise(0L)).as("__bin"))
       .groupBy(col("__bin")).agg(sum(col("__c")).as(as))
-    val ca = binned(a, "ca")
-    val cb = binned(b, "cb")
-    val nB = b.agg(count(lit(1)).as("n_b"))
+    val ca = binned(
+      a.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c")),
+      "ca")
+    val cb = binned(bCounts, "cb")
+    val nB = bCounts.agg(coalesce(sum(col("__c")), lit(0L)).as("n_b"))
     val pa = col("ca").cast("double") / col("n_a").cast("double")
     val pb = col("cb").cast("double") / col("n_b").cast("double")
     val term = (pa - pb) * log(pa / pb)

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming counterparts of the batch event analytics
   * ([[graft.ops.Events]]). The reference has no streaming surface
@@ -410,6 +410,49 @@ object StreamOps {
 
   /** Convenience: wire a streaming DataFrame to an in-memory sink (specs
     * and smoke runs) and return the query name to select from. */
+  /** Streaming twin of [[graft.ops.Quality.thresholdSweep]] — the
+    * monitoring loop's continuous operating-point table: the scored
+    * stream folds into the distinct-score count frame (a streaming
+    * groupBy in Complete mode — state is ONE ROW PER DISTINCT 9-dp
+    * SCORE, the same vocab-bounded frame the batch op aggregates, so
+    * state never grows with row count), and every micro-batch
+    * re-derives the FULL sweep from those counts via
+    * [[graft.ops.Quality.thresholdSweepFromCounts]] — bit-identical
+    * to the batch op over all rows seen so far (spec-pinned, the
+    * scd2Stream discipline). `sink` receives the derived sweep and
+    * the micro-batch id; the caller starts the returned writer. */
+  def thresholdSweepStream(scored: DataFrame, scoreCol: String,
+                           labelCol: Column)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val counts = scored.select(col(scoreCol).as("threshold"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    counts.writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.ops.Quality.thresholdSweepFromCounts(batch), id)
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.Quality.psi]] — continuous drift
+    * monitoring of a score stream against a STATIC baseline (whose
+    * quantile boundaries are fixed by definition): the stream folds
+    * into its distinct-score count frame (Complete-mode groupBy,
+    * vocab-bounded state), and each micro-batch re-derives the full
+    * PSI via [[graft.ops.Quality.psiFromCounts]] — equal to the batch
+    * op over all rows seen so far. */
+  def psiStream(baseline: DataFrame, scored: DataFrame, scoreCol: String,
+                bins: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val counts = scored.groupBy(col(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__c"))
+    counts.writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.ops.Quality.psiFromCounts(baseline, batch, scoreCol,
+          bins), id)
+      }
+  }
+
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

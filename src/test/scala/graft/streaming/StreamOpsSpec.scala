@@ -524,4 +524,59 @@ class StreamOpsSpec extends SparkSpec {
       assert(emitted.map(_._1) == Set(10L, 20L))
     } finally q.stop()
   }
+
+  test("thresholdSweepStream: each micro-batch re-derivation equals the " +
+      "batch sweep over all rows seen so far") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Quality
+    val b1 = Seq((0.9, true), (0.8, false), (0.9, true), (0.5, true))
+    val b2 = Seq((0.7, false), (0.5, false), (0.3, true), (0.8, true))
+    val in = MemoryStream[(Double, Boolean)]
+    @volatile var last: Set[(Double, Long, Long, Long, Double,
+      Double, Double, Boolean)] = Set.empty
+    val q = StreamOps.thresholdSweepStream(
+        in.toDF().toDF("score", "is_en"), "score", col("is_en")) {
+        (sweep, _) =>
+          last = sweep.as[(Double, Long, Long, Long, Double, Double,
+            Double, Boolean)].collect().toSet
+      }.start()
+    try {
+      def batchSet(rows: Seq[(Double, Boolean)]) =
+        Quality.thresholdSweep(rows.toDF("score", "is_en"), "score",
+            col("is_en"))
+          .as[(Double, Long, Long, Long, Double, Double, Double, Boolean)]
+          .collect().toSet
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(last == batchSet(b1) && last.nonEmpty)
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(last == batchSet(b1 ++ b2))
+    } finally q.stop()
+  }
+
+  test("psiStream: each micro-batch re-derivation equals the batch PSI " +
+      "of the static baseline vs all rows seen so far") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Quality
+    // baseline: uniform-ish scores; stream drifts upward in batch 2
+    val base = (1 to 40).map(i => i / 40.0).toDF("score")
+    val b1 = Seq(0.1, 0.3, 0.4, 0.6, 0.7, 0.9)
+    val b2 = Seq(0.8, 0.85, 0.9, 0.95, 0.9, 0.85, 0.8, 0.9)
+    val in = MemoryStream[Double]
+    @volatile var last: Set[(Long, Long, Long, Option[Double])] = Set.empty
+    val q = StreamOps.psiStream(base, in.toDF().toDF("score"), "score", 4) {
+        (p, _) =>
+          last = p.as[(Long, Long, Long, Option[Double])].collect().toSet
+      }.start()
+    try {
+      def batchSet(rows: Seq[Double]) =
+        Quality.psi(base, rows.toDF("score"), "score", 4)
+          .as[(Long, Long, Long, Option[Double])].collect().toSet
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(last == batchSet(b1) && last.nonEmpty)
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(last == batchSet(b1 ++ b2))
+      // and the drifted stream actually moves the statistic
+      assert(last.head._4.exists(_ > 0.0))
+    } finally q.stop()
+  }
 }
