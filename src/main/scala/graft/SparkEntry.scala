@@ -469,6 +469,18 @@ object SparkEntry {
     * grows instead of exploding in nodes), non-degenerate at sf0.01
     * (≈390 nodes / 4.7k edges / 3.5k triangles measured). */
   val TriPartMax = 400L
+
+  /** q229 k-core: the membership threshold and the unrolled peel
+    * rounds (mirrored round-for-round in the oracle CTE chain). */
+  val KCoreK = 3
+  val KCoreRounds = 4
+
+  /** q228 Poisson bootstrap: resample count and the draw salt. */
+  val BootstrapB = 64
+  val BootstrapSalt = "boot"
+
+  /** q227 Neyman allocation: total sample budget to split. */
+  val NeymanBudget = 1000L
   /** q179 range-sorted layout file count — [[ZorderFiles]]' twin so the
     * one-column and two-column layouts are comparable. */
   val RangeFiles = 8
@@ -2012,6 +2024,72 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           .select(col("l_orderkey"), col("l_partkey")),
           "l_orderkey", "l_partkey"))
         .orderBy("basket_len")
+    }),
+
+    // Wasserstein-1 drift: how much score mass moves how far between
+    // one source and the rest — the magnitude twin of q191's KS.
+    "q223_wasserstein_drift" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Quality.wassersteinDrift(qs.filter(col("source") === KsSourceA),
+        qs.filter(col("source") =!= KsSourceA), "quality_score")
+    }),
+
+    // Jensen–Shannon divergence between the two corpus halves'
+    // unigram mixes — the symmetric, bounded summary of q103's
+    // one-way KL table.
+    "q224_jensen_shannon" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Text.jensenShannon(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "text")
+    }),
+
+    // Token-frequency concentration: Gini + head-mass shares over the
+    // corpus unigram distribution — the assumption-free companion of
+    // q126's fitted Zipf slope.
+    "q225_token_concentration" -> ((s, dir) => {
+      Text.tokenConcentration(t(s, dir, "documents"), "text")
+    }),
+
+    // Hour-of-day periodicity per event type: peak hour/share and the
+    // exact-integer chi-square against the uniform-over-24 null.
+    "q226_hour_profile" -> ((s, dir) => {
+      Events.hourOfDayProfile(Sources.eventsNs(s, dir))
+        .orderBy("event_type")
+    }),
+
+    // Neyman-optimal stratified allocation of a labeling budget
+    // across sources by quality-score variance.
+    "q227_neyman_allocation" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .select(col("source"), col("quality_score"))
+      Sampling.neymanAllocation(qs, "source", "quality_score",
+          NeymanBudget)
+        .orderBy("stratum")
+    }),
+
+    // Poisson-bootstrap percentile CI for the corpus mean quality —
+    // keyed-hash resampling, exact order-statistic bounds.
+    "q228_bootstrap_ci" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text", Nil)
+        .select(col("doc_id"), col("quality_score"))
+      Quality.bootstrapMeanCi(qs, "doc_id", "quality_score",
+        BootstrapB, BootstrapSalt)
+    }),
+
+    // k-core membership over the q177 co-purchase graph: the dense
+    // cluster vs stringy periphery split, synchronous peel.
+    "q229_kcore" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < TriPartMax)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = lp.toDF("o", "pa").join(lp.toDF("o", "pb"), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+      Graph.kCore(edges, "pa", "pb", KCoreK, KCoreRounds).orderBy("id")
     }),
 
     // Q1 (quality): one-pass per-column null profile of lineitem.
@@ -4545,6 +4623,295 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  SELECT count(*)::BIGINT AS basket_len
         |  FROM lineitem GROUP BY l_orderkey)
         |GROUP BY basket_len ORDER BY basket_len""".stripMargin,
+
+    // q223: the q191 CDF-merge machinery plus lead(v9) step widths;
+    // per-step exact-integer terms in DECIMAL(38,0), one division.
+    "q223_wasserstein_drift" ->
+      s"""$qualityScoreSqlCtes,
+         |av AS (SELECT quality_score AS v FROM qs
+         |       WHERE source = '$KsSourceA'),
+         |bv AS (SELECT quality_score AS v FROM qs
+         |       WHERE source <> '$KsSourceA'),
+         |ca2 AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM (SELECT v, count(*)::BIGINT AS c FROM av GROUP BY v)
+         |),
+         |cb2 AS (
+         |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM (SELECT v, count(*)::BIGINT AS c FROM bv GROUP BY v)
+         |),
+         |na AS (SELECT count(*)::BIGINT AS n FROM av),
+         |nb AS (SELECT count(*)::BIGINT AS n FROM bv),
+         |mg AS (
+         |  SELECT v, ca2.cum AS ca, cb2.cum AS cb
+         |  FROM ca2 FULL JOIN cb2 USING (v)
+         |),
+         |f AS (
+         |  SELECT v,
+         |    coalesce(last_value(ca IGNORE NULLS) OVER w, 0)::BIGINT AS ca,
+         |    coalesce(last_value(cb IGNORE NULLS) OVER w, 0)::BIGINT AS cb
+         |  FROM mg WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)
+         |),
+         |g AS (
+         |  SELECT ca, cb,
+         |    lead(CAST(floor(v * 1e9 + 0.5) AS BIGINT)) OVER (ORDER BY v)
+         |      - CAST(floor(v * 1e9 + 0.5) AS BIGINT) AS dv9
+         |  FROM f
+         |),
+         |t AS (
+         |  SELECT count(*)::BIGINT AS nv,
+         |    CAST(sum(CASE WHEN dv9 IS NOT NULL THEN
+         |      CAST(abs(ca * nb.n - cb * na.n) AS DECIMAL(38,0))
+         |        * CAST(dv9 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS w
+         |  FROM g CROSS JOIN na CROSS JOIN nb
+         |)
+         |SELECT na.n AS n_a, nb.n AS n_b, t.nv AS n_values,
+         |  CASE WHEN na.n > 0 AND nb.n > 0 THEN
+         |    ${Portable.sqlRatio9(
+             "CAST(coalesce(t.w, 0) AS DOUBLE)" +
+             " / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) / 1e9")}
+         |  END AS w1
+         |FROM t CROSS JOIN na CROSS JOIN nb""".stripMargin,
+
+    // q224: no smoothing — M > 0 wherever a term exists; per-token
+    // terms integerized through identical double chains, LONG-summed.
+    "q224_jensen_shannon" -> {
+      val pa = "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+      val pb = "(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+      def term(p: String, q: String, c: String) =
+        s"""CASE WHEN $c > 0 THEN
+           |      CAST(floor(round($p * ln(CAST(2 AS DOUBLE) * $p
+           |        / ($p + $q)), 9) * 1e9 + 0.5) AS BIGINT)
+           |    ELSE 0 END""".stripMargin
+      s"""WITH ta AS (
+         |  SELECT w, count(*)::BIGINT AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE doc_id % 2 = 0) _ GROUP BY w
+         |),
+         |tb AS (
+         |  SELECT w, count(*)::BIGINT AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE doc_id % 2 = 1) _ GROUP BY w
+         |),
+         |j AS (
+         |  SELECT coalesce(ta.c, 0)::BIGINT AS ca,
+         |         coalesce(tb.c, 0)::BIGINT AS cb
+         |  FROM ta FULL JOIN tb ON ta.w = tb.w
+         |),
+         |tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+         |        count(*)::BIGINT AS v FROM j),
+         |terms AS (
+         |  SELECT na, nb, v,
+         |    ${term(pa, pb, "ca")} AS t_a,
+         |    ${term(pb, pa, "cb")} AS t_b
+         |  FROM j CROSS JOIN tot
+         |)
+         |SELECT na AS n_a, nb AS n_b, v AS vocab,
+         |  ${Portable.sqlRatio9(
+             "CAST(sum(t_a) + sum(t_b) AS DOUBLE) / 2e9")} AS jsd
+         |FROM terms GROUP BY na, nb, v""".stripMargin
+    },
+
+    // q225: ranks ascending over the vocab frame; Gini numerator in
+    // exact DECIMAL; head shares by integer ceil-div rank cuts.
+    "q225_token_concentration" ->
+      s"""WITH c AS (
+         |  SELECT w, count(*)::BIGINT AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |  ) _ GROUP BY w
+         |),
+         |r AS (
+         |  SELECT c, row_number() OVER (ORDER BY c ASC, w ASC)::BIGINT
+         |      AS r,
+         |    count(*) OVER ()::BIGINT AS v
+         |  FROM c
+         |),
+         |a AS (
+         |  SELECT v, sum(c)::BIGINT AS n,
+         |    CAST(sum(CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS rc,
+         |    sum(CASE WHEN r > v - (v + 99) // 100 THEN c ELSE 0 END)
+         |      ::BIGINT AS t1,
+         |    sum(CASE WHEN r > v - (v + 9) // 10 THEN c ELSE 0 END)
+         |      ::BIGINT AS t10
+         |  FROM r GROUP BY v
+         |)
+         |SELECT v AS vocab, n AS n_tokens,
+         |  CASE WHEN v > 0 AND n > 0 THEN
+         |    ${Portable.sqlRatio9(
+             "CAST(CAST(2 AS DECIMAL(38,0)) * rc" +
+             " - CAST(v + 1 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))" +
+             " AS DOUBLE) / (CAST(v AS DOUBLE) * CAST(n AS DOUBLE))")}
+         |  END AS gini,
+         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
+             "CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  END AS top1pct_share,
+         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
+             "CAST(t10 AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  END AS top10pct_share
+         |FROM a""".stripMargin,
+
+    // q226: 24-cell uniform chi-square clears to (24·Σo² − n²)/n in
+    // exact DECIMAL; peak by (count DESC, hour ASC).
+    "q226_hour_profile" ->
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) // 1000000 // 3600000) % 24 AS hour,
+         |    count(*)::BIGINT AS o
+         |  FROM events GROUP BY 1, 2
+         |),
+         |pk AS (
+         |  SELECT event_type, hour AS peak_hour, o AS peak_o,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY o DESC, hour ASC) AS rn
+         |  FROM cells QUALIFY rn = 1
+         |),
+         |ag AS (
+         |  SELECT event_type, sum(o)::BIGINT AS n_events,
+         |    CAST(sum(CAST(o AS DECIMAL(38,0)) * CAST(o AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS ss
+         |  FROM cells GROUP BY 1
+         |)
+         |SELECT ag.event_type, ag.n_events, pk.peak_hour,
+         |  ${Portable.sqlRatio9("CAST(pk.peak_o AS DOUBLE)" +
+             " / CAST(ag.n_events AS DOUBLE)")} AS peak_share,
+         |  ${Portable.sqlRatio9(
+             "CAST(CAST(24 AS DECIMAL(38,0)) * ag.ss" +
+             " - CAST(ag.n_events AS DECIMAL(38,0))" +
+             " * CAST(ag.n_events AS DECIMAL(38,0)) AS DOUBLE)" +
+             " / CAST(ag.n_events AS DOUBLE)")} AS chi2_uniform
+         |FROM ag JOIN pk USING (event_type)
+         |ORDER BY ag.event_type""".stripMargin,
+
+    // q227: exact integer moments per stratum, IEEE sqrt, integerized
+    // N·σ summed in LONG, allocation by floor(·+½).
+    "q227_neyman_allocation" -> {
+      val x9 = "CAST(floor(round(CAST(quality_score AS DOUBLE), 9)" +
+        " * 1e9 + 0.5) AS BIGINT)"
+      val sigma = "sqrt(greatest(CAST(0 AS DOUBLE)," +
+        " CAST(CAST(n_rows AS DECIMAL(38,0)) * ss - s * s AS DOUBLE)))" +
+        " / CAST(n_rows AS DOUBLE) / 1e9"
+      s"""$qualityScoreSqlCtes,
+         |per AS (
+         |  SELECT source AS stratum, count(*)::BIGINT AS n_rows,
+         |    CAST(sum(CAST($x9 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         |    CAST(sum(CAST($x9 AS DECIMAL(38,0))
+         |      * CAST($x9 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+         |  FROM qs GROUP BY 1
+         |),
+         |ns AS (
+         |  SELECT stratum, n_rows, $sigma AS sigma,
+         |    CAST(floor(round(CAST(n_rows AS DOUBLE) * ($sigma), 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS nsig9
+         |  FROM per
+         |),
+         |t AS (SELECT sum(nsig9)::BIGINT AS tot9 FROM ns)
+         |SELECT stratum, n_rows,
+         |  ${Portable.sqlRatio9("sigma")} AS sigma,
+         |  CASE WHEN tot9 > 0 THEN ${Portable.sqlRatio9(
+             "CAST(nsig9 AS DOUBLE) / CAST(tot9 AS DOUBLE)")}
+         |    ELSE CAST(0 AS DOUBLE) END AS alloc_share,
+         |  CASE WHEN tot9 > 0 THEN
+         |    CAST(floor(CAST(nsig9 AS DOUBLE) / CAST(tot9 AS DOUBLE)
+         |      * CAST($NeymanBudget AS DOUBLE) + 0.5) AS BIGINT)
+         |    ELSE 0 END AS alloc_n
+         |FROM ns CROSS JOIN t ORDER BY stratum""".stripMargin
+    },
+
+    // q228: the Poisson(1) inverse-CDF compares the RAW 60-bit hash
+    // against Scala-computed literal thresholds in hash units (the
+    // q170 literal discipline — pure integer comparisons, no float
+    // scaling); resample means integerize; CI = exact order stats.
+    "q228_bootstrap_ci" -> {
+      val wExpr = Quality.BootstrapCumHash
+        .map(c => s"(CASE WHEN h >= $c THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$qualityScoreSqlCtes,
+         |rows_ AS (
+         |  SELECT doc_id,
+         |    CAST(floor(round(CAST(quality_score AS DOUBLE), 9) * 1e9
+         |      + 0.5) AS BIGINT) AS x9
+         |  FROM qs
+         |),
+         |bs AS (SELECT unnest(range(0, $BootstrapB)) AS b),
+         |u AS (
+         |  SELECT b, x9,
+         |    ${Portable.sqlHash("doc_id", s"'$BootstrapSalt'", "b")} AS h
+         |  FROM rows_ CROSS JOIN bs
+         |),
+         |bm AS (
+         |  SELECT b,
+         |    CAST(floor(round(CAST(sum(w * x9) AS DOUBLE)
+         |      / CAST(sum(w) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT)
+         |      AS m9
+         |  FROM (SELECT b, x9, ($wExpr) AS w FROM u) _
+         |  GROUP BY b HAVING sum(w) > 0
+         |),
+         |r AS (
+         |  SELECT m9, row_number() OVER (ORDER BY m9, b)::BIGINT AS r,
+         |    count(*) OVER ()::BIGINT AS nb
+         |  FROM bm
+         |),
+         |ci AS (
+         |  SELECT nb,
+         |    min(CASE WHEN r = (nb * 25 + 999) // 1000 THEN m9 END)
+         |      ::BIGINT AS lo9,
+         |    min(CASE WHEN r = (nb * 975 + 999) // 1000 THEN m9 END)
+         |      ::BIGINT AS hi9
+         |  FROM r GROUP BY nb
+         |),
+         |nm AS (SELECT count(*)::BIGINT AS n, sum(x9)::BIGINT AS sx
+         |       FROM rows_)
+         |SELECT nm.n, ci.nb AS n_resamples,
+         |  CASE WHEN nm.n > 0 THEN ${Portable.sqlRatio9(
+             "CAST(nm.sx AS DOUBLE) / CAST(nm.n AS DOUBLE) / 1e9")}
+         |  END AS mean,
+         |  round(CAST(ci.lo9 AS DOUBLE) / 1e9, 9) AS lo95,
+         |  round(CAST(ci.hi9 AS DOUBLE) / 1e9, 9) AS hi95
+         |FROM ci CROSS JOIN nm""".stripMargin
+    },
+
+    // q229: the q177 edge build, then the synchronous peel unrolled
+    // round-for-round; membership from the final round's degrees,
+    // converged = the last round removed nothing.
+    "q229_kcore" -> {
+      def degs(e: String, d: String) =
+        s"""$d AS (
+           |  SELECT id, count(*)::BIGINT AS deg FROM (
+           |    SELECT lo AS id FROM $e UNION ALL SELECT hi FROM $e) _
+           |  GROUP BY id
+           |)""".stripMargin
+      def round(i: Int) =
+        s"""k$i AS (SELECT id FROM d${i - 1} WHERE deg >= $KCoreK),
+           |e$i AS (
+           |  SELECT e.lo, e.hi FROM e${i - 1} e
+           |  JOIN k$i a ON e.lo = a.id JOIN k$i b ON e.hi = b.id
+           |),
+           |${degs(s"e$i", s"d$i")}""".stripMargin
+      s"""WITH lp AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem WHERE l_partkey < $TriPartMax
+         |),
+         |e0 AS (
+         |  SELECT DISTINCT a.p AS lo, b.p AS hi
+         |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+         |),
+         |${degs("e0", "d0")},
+         |${(1 to KCoreRounds).map(round).mkString(",\n")},
+         |core AS (SELECT id FROM d$KCoreRounds WHERE deg >= $KCoreK),
+         |cnt3 AS (SELECT count(*)::BIGINT AS c
+         |         FROM e${KCoreRounds - 1}),
+         |cnt4 AS (SELECT count(*)::BIGINT AS c FROM e$KCoreRounds)
+         |SELECT d0.id, d0.deg AS degree,
+         |  core.id IS NOT NULL AS in_kcore,
+         |  cnt3.c = cnt4.c AS converged
+         |FROM d0 LEFT JOIN core ON d0.id = core.id
+         |CROSS JOIN cnt3 CROSS JOIN cnt4
+         |ORDER BY d0.id""".stripMargin
+    },
 
     "q7_quality_nulls" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

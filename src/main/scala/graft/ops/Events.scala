@@ -722,6 +722,44 @@ object Events {
           col("n_events").cast("double")).as("recency"))
   }
 
+  /** Hour-of-day periodicity profile per event type — the seasonality
+    * sanity check behind every windowed monitor ([[windowAnomaly]]'s
+    * trailing baseline assumes comparable windows; a strongly diurnal
+    * type needs hour-matched baselines instead): per type, the peak
+    * hour and its share, plus a χ² statistic against the uniform-
+    * over-24-hours null. χ² = Σ(o_h − n/24)²/(n/24) clears to the
+    * EXACT integer form (24·Σo_h² − n²)/n — one division, emitted via
+    * [[Portable.ratio9]]; absent hours count as observed 0 (the
+    * chiSquare zero-cell lesson: dropping them understates).
+    *
+    * Shape: one (type, hour) count agg (24·|types| rows), per-type
+    * rollups as bounded windows, one row per type. At 100 TB the
+    * count agg map-side combines to ≤ 24 rows per type per task.
+    * Returns (event_type, n_events, peak_hour, peak_share,
+    * chi2_uniform), peak ties → earliest hour. */
+  def hourOfDayProfile(events: DataFrame): DataFrame = {
+    val hour = expr("pmod((ts div 1000000) div 3600000, 24)").cast("long")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = events.select(col("event_type"), hour.as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("o"))
+    // o² sums carry in DECIMAL(38,0): at 100 TB a hot type's n² would
+    // overflow a LONG past ~3·10⁹ events
+    cells.groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n_events"),
+        sum(col("o").cast(dec) * col("o").cast(dec)).as("__ss"),
+        max(struct(col("o"), (-col("hour")).as("__nh"))).as("__pk"))
+      .select(col("event_type"), col("n_events"),
+        (-col("__pk.__nh")).as("peak_hour"),
+        Portable.ratio9(col("__pk.o").cast("double") /
+          col("n_events").cast("double")).as("peak_share"),
+        Portable.ratio9(
+          (lit(24).cast(dec) * col("__ss") -
+            col("n_events").cast(dec) * col("n_events").cast(dec))
+            .cast("double") / col("n_events").cast("double"))
+          .as("chi2_uniform"))
+  }
+
   /** Two-proportion A/B z-test over hash-assigned user arms — the
     * experiment readout: users split into arms by keyed hash (the
     * [[graft.ops.Portable]] assignment an experimentation system

@@ -198,4 +198,54 @@ object Graph {
           (lit(2L) * col("n_triangles")).cast("double") /
             (col("deg") * (col("deg") - lit(1L))).cast("double"))))
   }
+
+  /** k-core peeling (Seidman '83; the [[triangles]] density signal
+    * turned into a MEMBERSHIP: the k-core is the maximal subgraph
+    * where every node keeps degree ≥ k after everyone below it is
+    * removed — the standard "dense cluster vs stringy periphery"
+    * split for a near-dup / co-occurrence graph). Synchronous peeling
+    * unrolled `rounds` times: each round recomputes degrees over the
+    * SURVIVING subgraph and drops every node under k at once —
+    * deterministic (no peel order), and each round is one degree agg
+    * + one semi-join, behind a [[Barrier]] like the other fixpoints.
+    * Peeling converges in ≤ |V| rounds but in practice a handful;
+    * `rounds` is the caller's explicit (and oracle-unrollable) bound,
+    * with `converged` reporting whether the LAST round still removed
+    * anything (false = the peel is exact, the GraphSpec law).
+    *
+    * Returns one row per ORIGINAL node: (id, degree — original —,
+    * in_kcore, converged). */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1,64], got $rounds")
+    val e0 = Barrier.cut(pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct())
+    def degrees(e: DataFrame) = e.select(col("lo").as("id"))
+      .union(e.select(col("hi").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val orig = Barrier.cut(degrees(e0))
+    var edges = e0
+    var lastRemoved = 0L
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("deg") >= k)
+        .select(col("id"))
+      val next = Barrier.cut(edges
+        .join(keep.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi")))
+      lastRemoved = edges.count() - next.count()
+      edges = next
+    }
+    val core = degrees(edges).filter(col("deg") >= k).select(col("id"))
+    orig
+      .join(core.withColumn("__in", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("deg").as("degree"),
+        coalesce(col("__in"), lit(false)).as("in_kcore"),
+        lit(lastRemoved == 0L).as("converged"))
+  }
 }

@@ -299,6 +299,146 @@ object Quality {
           .as("ks"))
   }
 
+  /** Cumulative Poisson(1) thresholds integerized at 1e9 — the
+    * bootstrap weight table, computed once here and inlined as the
+    * SAME literal integers into the DuckDB oracle (the q170
+    * literal-table discipline; cross-engine exp/factorial chains are
+    * not trusted). Truncated at weight 8: P(X > 8) < 1.2e-7 folds into
+    * the last bucket. */
+  val BootstrapCum9: Seq[Long] = {
+    val pmf = (0 to 7).scanLeft(math.exp(-1.0)) { (p, k) => p / (k + 1) }
+      .take(8)
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 1e9 + 0.5).toLong)
+  }
+
+  /** The same thresholds re-based to RAW 60-bit HASH units
+    * (ceil(c₉·2⁶⁰/10⁹)): the draw compares the keyed hash against
+    * these as PURE INTEGERS — no float scaling anywhere, so no
+    * engine can disagree at a boundary. */
+  val BootstrapCumHash: Seq[Long] = BootstrapCum9
+    .map(c9 => (((BigInt(c9) << 60) + 999999999) / 1000000000).toLong)
+
+  /** Poisson bootstrap confidence interval for a score mean (Oza &
+    * Russell '01 online bootstrap; the production form — Chamandy et
+    * al., Google '12 "Estimating Uncertainty for Massive Data
+    * Streams"): each row's multiplicity in resample b is a
+    * Poisson(1) draw KEYED on (id, salt, b) — no per-resample data
+    * pass, no RNG state, bit-reproducible across runs, partitionings
+    * and engines. The CI is the exact [⌈0.025B⌉, ⌈0.975B⌉] order
+    * statistics of the B resample means (percentile bootstrap).
+    *
+    * Cross-engine determinism: the Poisson inverse-CDF compares the
+    * RAW 60-bit hash against the [[BootstrapCumHash]] literal
+    * integers — pure integer comparisons, no float scaling; resample
+    * means are exact-integer ratios (Σw·x₉ / Σw) integerized back at
+    * 1e9; the CI bounds are order statistics of those integers — no
+    * float sort anywhere.
+    *
+    * Shape: one pass emits (b, w·x₉, w) per (row, resample) —
+    * map-side combined into B partial rows per task, so the shuffle
+    * carries B·tasks rows, never B·n. B is a report knob (64–256);
+    * the final CI ranks a B-row frame. Empty resamples (possible only
+    * for tiny n) drop, and the rank targets use the SURVIVING count.
+    * Returns ONE row: (n, n_resamples, mean, lo95, hi95). */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, scoreCol: String,
+                      b: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(b >= 8 && b <= 1024, s"b must be in [8,1024], got $b")
+    val x9 = floor(round(col(scoreCol).cast("double"), 9) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val h = Portable.seededHash(col(idCol), lit(salt), col("__b"))
+    val w = BootstrapCumHash.map(c => when(h >= c, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val per = df.select(col(idCol), x9.as("__x"))
+      .crossJoin(broadcast(
+        df.sparkSession.range(b.toLong).select(col("id").as("__b"))))
+      .select(col("__b"), w.as("__w"), col("__x"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__w") * col("__x")).as("__swx"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0L)
+      .select(col("__b"),
+        floor(round(col("__swx").cast("double") /
+          col("__sw").cast("double") / lit(1e9), 9) * lit(1e9) +
+          lit(0.5)).cast("long").as("__m9"))
+    val wAll = Window.orderBy(col("__m9"), col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = per
+      .withColumn("__r", row_number()
+        .over(Window.orderBy(col("__m9"), col("__b"))).cast("long"))
+      .withColumn("__nb", count(lit(1)).over(wAll))
+    val nm = df.agg(count(lit(1)).as("n"), sum(x9).as("__sx"))
+    ranked
+      .groupBy(col("__nb"))
+      .agg(
+        min(when(col("__r") === expr("(__nb * 25 + 999) div 1000"),
+          col("__m9"))).as("__lo9"),
+        min(when(col("__r") === expr("(__nb * 975 + 999) div 1000"),
+          col("__m9"))).as("__hi9"))
+      .crossJoin(broadcast(nm))
+      .select(col("n"), col("__nb").as("n_resamples"),
+        when(col("n") > 0L, Portable.ratio9(col("__sx").cast("double") /
+          col("n").cast("double") / lit(1e9))).as("mean"),
+        round(col("__lo9").cast("double") / lit(1e9), 9).as("lo95"),
+        round(col("__hi9").cast("double") / lit(1e9), 9).as("hi95"))
+  }
+
+  /** 1-D Wasserstein-1 (earth-mover) distance between two score
+    * samples — the MAGNITUDE complement of [[ksDrift]]'s supremum:
+    * KS says the CDFs disagree somewhere; W₁ = ∫|F_A − F_B| dx prices
+    * how much probability mass must move how far, in score units (the
+    * drift number a data team can compare against a gate threshold's
+    * width). On the merged distinct-value grid the integrand is
+    * piecewise constant, so W₁ = Σᵢ |F_A(vᵢ) − F_B(vᵢ)|·(vᵢ₊₁ − vᵢ)
+    * EXACTLY — no binning, no approximation.
+    *
+    * Cross-engine determinism: per-step terms are the exact integers
+    * |cumA·n_b − cumB·n_a| · Δv9 (scores integerized at 1e9 — 9-dp
+    * inputs are exact), summed in DECIMAL(38,0); ONE double chain
+    * divides by n_a·n_b·1e9 at the end ([[Portable.ratio9]]).
+    *
+    * Shape: the [[ksDrift]] machinery — two distinct-value CDFs,
+    * full-outer merge, step-fill windows, lead(v) for Δ — everything
+    * bounded by the distinct-score count, never a data sort.
+    * Returns ONE row: (n_a, n_b, n_values, w1). */
+  def wassersteinDrift(a: DataFrame, b: DataFrame,
+                       scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cdf(df: DataFrame, cum: String) = df
+      .groupBy(col(scoreCol).as("v")).agg(count(lit(1)).as("__c"))
+      .withColumn(cum, sum(col("__c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__c")
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v9 = floor(col("v") * lit(1e9) + lit(0.5)).cast("long")
+    cdf(a, "__ca").join(cdf(b, "__cb"), Seq("v"), "full_outer")
+      .withColumn("__ca2",
+        coalesce(last(col("__ca"), ignoreNulls = true).over(wOrd), lit(0L)))
+      .withColumn("__cb2",
+        coalesce(last(col("__cb"), ignoreNulls = true).over(wOrd), lit(0L)))
+      .withColumn("__dv9",
+        lead(v9, 1).over(Window.orderBy(col("v"))) - v9)
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("__t",
+        when(col("__dv9").isNotNull,
+          abs(col("__ca2") * col("n_b") - col("__cb2") * col("n_a"))
+            .cast(dec) * col("__dv9").cast(dec)).cast(dec))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_values"),
+        sum(col("__t")).as("__w"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          Portable.ratio9(coalesce(col("__w"), lit(0).cast(dec))
+            .cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")) /
+            lit(1e9))).as("w1"))
+  }
+
   /** Tie-corrected Mann–Whitney U test between two score samples —
     * the LOCATION complement of [[ksDrift]]'s shape statistic: "is
     * one source's quality systematically higher", robust to any

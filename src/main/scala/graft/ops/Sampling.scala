@@ -112,6 +112,64 @@ object Sampling {
       .drop("factor", "__n")
   }
 
+  /** Neyman-optimal stratified sample allocation (Neyman 1934 — the
+    * survey-sampling standard): given a per-row score and a stratum
+    * column, allocate a total sample `budget` across strata as
+    * n_h ∝ N_h·σ_h — high-variance strata earn more of the budget than
+    * proportional allocation gives them, which minimizes the variance
+    * of the stratified mean estimator. This is the PLANNING table for
+    * an eval/labeling budget ("which sources deserve the annotation
+    * dollars"); realize it with [[tokenBudget]]-style keyed-hash draws
+    * per stratum.
+    *
+    * Cross-engine determinism: per-stratum moments are exact integer
+    * sums of 1e9-integerized scores (Σx₉, Σx₉² in DECIMAL(38,0));
+    * σ_h = sqrt((N·Σx² − (Σx)²)/N²) is ONE pinned double chain (IEEE
+    * sqrt — portable); the allocation share and count integerize via
+    * the floor(·+½) recipe, so both engines land the same integers.
+    * All-constant strata (σ=0) get 0 — the estimator needs no sample
+    * to know a constant; callers wanting a floor add one.
+    *
+    * Shape: one stratum-keyed agg (map-side combined), one 1-row
+    * total broadcast back — no data movement beyond the agg. Returns
+    * (stratum, n_rows, sigma, alloc_share, alloc_n). */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x9 = floor(round(col(scoreCol).cast("double"), 9) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val per = df.select(col(stratumCol).as("stratum"), x9.as("__x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__x").cast(dec)).as("__s"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__ss"))
+    // σ_h in score units: sqrt(max(0, N·Σx² − S²)) / (N · 1e9) — the
+    // max(0,·) guards the exact-zero variance case against DECIMAL→
+    // double widening dust
+    val sigma = sqrt(greatest(lit(0.0),
+      (col("n_rows").cast(dec) * col("__ss") - col("__s") * col("__s"))
+        .cast("double"))) / col("n_rows").cast("double") / lit(1e9)
+    // N_h·σ_h integerizes at 1e9 per stratum and sums in exact LONG —
+    // a raw double sum across strata would be accumulation-order-
+    // dependent (partitioning-sensitive AND engine-sensitive)
+    val scored = per.withColumn("__nsig9",
+      floor(round(col("n_rows").cast("double") * sigma, 9) * lit(1e9) +
+        lit(0.5)).cast("long"))
+    val tot = scored.agg(sum(col("__nsig9")).as("__tot9"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"),
+        Portable.ratio9(sigma).as("sigma"),
+        when(col("__tot9") > 0L,
+          Portable.ratio9(col("__nsig9").cast("double") /
+            col("__tot9").cast("double")))
+          .otherwise(lit(0.0)).as("alloc_share"),
+        when(col("__tot9") > 0L,
+          floor(col("__nsig9").cast("double") /
+            col("__tot9").cast("double") * lit(budget.toDouble) +
+            lit(0.5)).cast("long")).otherwise(lit(0L)).as("alloc_n"))
+  }
+
   /** Per-source token budget: documents are ranked by an independent
     * keyed-hash draw (id tiebreak — a deterministic uniform shuffle,
     * so the kept set is an unbiased sample of the source) and kept

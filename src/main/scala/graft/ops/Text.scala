@@ -884,6 +884,108 @@ object Text {
       .limit(k)
   }
 
+  /** Jensen–Shannon divergence between two corpora's unigram
+    * distributions — the SYMMETRIC, bounded ([0, ln 2]) complement of
+    * [[unigramDrift]]'s one-way KL terms: JSD(A,B) = ½KL(A‖M) +
+    * ½KL(B‖M), M = ½(A+B). Because every token present in either
+    * corpus has M > 0, NO smoothing is needed (absent-side terms are
+    * the exact p·ln 2 limit) — the number is a pure function of the
+    * observed counts, which keeps both engines on identical ground.
+    *
+    * Cross-engine determinism: per-token terms p_a·ln(2p_a/(p_a+p_b))
+    * (and the b twin) integerize at 1e9 through ONE pinned double
+    * chain each and sum in LONG; the ½ weights fold in at the end
+    * inside [[Portable.ratio9]]. A zero count contributes exactly 0
+    * to its own side (0·ln → 0 by convention, realized as a when()).
+    *
+    * Shape: one token-keyed full-outer count join (the unigramDrift
+    * frame), a broadcast 1-row total, one rollup. Returns ONE row:
+    * (n_a, n_b, vocab, jsd) — 0 = identical mixes, ln 2 = disjoint. */
+  def jensenShannon(a: DataFrame, b: DataFrame,
+                    textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as(as))
+    val j = counts(a, "__ca").join(counts(b, "__cb"), Seq("w"),
+        "full_outer")
+      .select(col("w"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = j.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"),
+      count(lit(1)).as("__v"))
+    val pa = col("__ca").cast("double") / col("__na").cast("double")
+    val pb = col("__cb").cast("double") / col("__nb").cast("double")
+    def term9(p: Column, q: Column, c: Column) =
+      when(c > 0L,
+        floor(round(p * log(lit(2.0) * p / (p + q)), 9) * lit(1e9) +
+          lit(0.5)).cast("long")).otherwise(lit(0L))
+    j.crossJoin(broadcast(tot))
+      .select(col("__na"), col("__nb"), col("__v"),
+        term9(pa, pb, col("__ca")).as("__ta"),
+        term9(pb, pa, col("__cb")).as("__tb"))
+      .groupBy(col("__na"), col("__nb"), col("__v"))
+      .agg(sum(col("__ta")).as("__sa"), sum(col("__tb")).as("__sb"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__v").as("vocab"),
+        Portable.ratio9(
+          (col("__sa") + col("__sb")).cast("double") / lit(2e9))
+          .as("jsd"))
+  }
+
+  /** Token-frequency concentration report — the Gini coefficient over
+    * the corpus unigram distribution plus the head-mass shares (top-1%
+    * / top-10% of TYPES' share of TOKENS): the one-row "how Zipfian is
+    * this corpus" summary a mixture designer reads next to
+    * [[zipfAudit]]'s fitted slope (Gini prices concentration without
+    * assuming the power law fits). Exact integer arithmetic end to
+    * end: with counts c₁ ≤ … ≤ c_V ranked ascending,
+    * G = (2·Σ r·c_r − (V+1)·N) / (V·N) — every sum an exact LONG
+    * (DECIMAL for the rank products), ONE final division
+    * ([[Portable.ratio9]]).
+    *
+    * Shape: token-keyed count agg, then ranks via ONE bounded window
+    * over the VOCAB frame ordered by (count, token) — the repo's
+    * distinct-value discipline (never a data sort); head shares read
+    * off the same ranked frame. Returns ONE row: (vocab, n_tokens,
+    * gini, top1pct_share, top10pct_share). */
+  def tokenConcentration(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val wAll = Window.orderBy(col("__c").asc, col("w").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("__r", row_number()
+        .over(Window.orderBy(col("__c").asc, col("w").asc)).cast("long"))
+      .withColumn("__v", count(lit(1)).over(wAll))
+      // top shares count from the COMMON end: the top p% of types are
+      // ranks > V − ⌈p·V⌉ (ceil by integer arithmetic)
+      .withColumn("__k1", expr("(__v + 99) div 100"))
+      .withColumn("__k10", expr("(__v + 9) div 10"))
+    ranked
+      .groupBy(col("__v"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__r").cast(dec) * col("__c").cast(dec)).as("__rc"),
+        sum(when(col("__r") > col("__v") - col("__k1"), col("__c"))
+          .otherwise(0L)).as("__t1"),
+        sum(when(col("__r") > col("__v") - col("__k10"), col("__c"))
+          .otherwise(0L)).as("__t10"))
+      .select(col("__v").as("vocab"), col("n_tokens"),
+        when(col("__v") > 0L && col("n_tokens") > 0L, Portable.ratio9(
+          (lit(2).cast(dec) * col("__rc") -
+            (col("__v") + 1L).cast(dec) * col("n_tokens").cast(dec))
+            .cast("double") /
+            (col("__v").cast("double") * col("n_tokens").cast("double"))))
+          .as("gini"),
+        when(col("n_tokens") > 0L, Portable.ratio9(
+          col("__t1").cast("double") / col("n_tokens").cast("double")))
+          .as("top1pct_share"),
+        when(col("n_tokens") > 0L, Portable.ratio9(
+          col("__t10").cast("double") / col("n_tokens").cast("double")))
+          .as("top10pct_share"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC'20 §4.3):
     * within each language, documents split into `nBuckets` equal-count
     * NLL tiers — `head` (most corpus-fluent), `middle`, `tail` — and a

@@ -602,4 +602,23 @@ class EventsSpec extends SparkSpec {
       assert(got == expect, s"cut at $cutMin min diverged from rebuild")
     }
   }
+
+  test("hourOfDayProfile: uniform-over-24 reads chi2 0; all-in-one-hour " +
+      "reads 23n; peak ties break to the earliest hour") {
+    val HR = 3600L * 1000000000L
+    val uniform = (0 until 24).map(h =>
+      (h.toLong, h * HR, 1L, "u", 0.0))
+    val burst = (0 until 10).map(i =>
+      (100L + i, 5 * HR + i, 2L, "b", 0.0))
+    val df = (uniform ++ burst)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.hourOfDayProfile(df)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    val u = r("u")
+    assert(u._2 == 24L && u._3 == 0L && u._5 == 0.0)
+    assert(u._4 == 0.041666667) // 1/24 at 9dp
+    val b = r("b")
+    assert(b._2 == 10L && b._3 == 5L && b._4 == 1.0 && b._5 == 230.0)
+  }
 }

@@ -144,4 +144,29 @@ class GraphSpec extends SparkSpec {
     assert(cornerSum % 3 == 0, "every triangle must contribute 3 corners")
     assert(r.getLong(1) > 0)
   }
+
+  test("kCore: triangle with a tail — k=2 core keeps the triangle, " +
+      "drops the tail; peel converges") {
+    // 1-2-3 triangle, 3-4-5 path tail
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val r = Graph.kCore(pairs, "a", "b", k = 2, rounds = 4)
+      .orderBy("id").as[(Long, Long, Boolean, Boolean)].collect()
+    assert(r.map(x => (x._1, x._3)).toSeq ==
+      Seq((1L, true), (2L, true), (3L, true), (4L, false), (5L, false)))
+    // original degrees preserved; 3 has the tail edge too
+    assert(r.map(x => (x._1, x._2)).toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+    assert(r.forall(_._4), "4 rounds converge on this graph")
+  }
+
+  test("kCore: a pure cycle is its own 2-core; k=3 empties it") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val k2 = Graph.kCore(cyc, "a", "b", k = 2, rounds = 2)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(k2.forall(_._3) && k2.forall(_._4))
+    val k3 = Graph.kCore(cyc, "a", "b", k = 3, rounds = 4)
+      .as[(Long, Long, Boolean, Boolean)].collect()
+    assert(k3.forall(!_._3) && k3.forall(_._4))
+  }
 }

@@ -573,4 +573,46 @@ class QualitySpec extends SparkSpec {
       assert(a((i, i)).last.asInstanceOf[Double] >= 0.0)
     }
   }
+
+  test("wassersteinDrift: identical samples read 0; a pure +d shift " +
+      "reads d; hand case matches") {
+    val a = Seq(0.1, 0.2, 0.3, 0.4).toDF("s")
+    assert(Quality.wassersteinDrift(a, a, "s")
+      .select("w1").as[Double].head() == 0.0)
+    val b = Seq(0.35, 0.45, 0.55, 0.65).toDF("s") // a + 0.25
+    assert(Quality.wassersteinDrift(a, b, "s")
+      .select("w1").as[Double].head() == 0.25)
+    // A={0,1}, B={1}: |F| = 0.5 on [0,1) -> W1 = 0.5
+    val r = Quality.wassersteinDrift(Seq(0.0, 1.0).toDF("s"),
+      Seq(1.0).toDF("s"), "s").as[(Long, Long, Long, Double)].head()
+    assert(r == ((2L, 1L, 2L, 0.5)))
+  }
+
+  test("bootstrapMeanCi: constant scores collapse the CI onto the " +
+      "mean; varied scores bracket it; all resamples survive") {
+    val const = (1L to 200L).map(i => (i, 0.5)).toDF("id", "s")
+    val c = Quality.bootstrapMeanCi(const, "id", "s", 64, "t")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(c == ((200L, 64L, 0.5, 0.5, 0.5)))
+    val varied = (1L to 200L).map(i => (i, (i % 10) / 10.0))
+      .toDF("id", "s")
+    val v = Quality.bootstrapMeanCi(varied, "id", "s", 64, "t")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(v._1 == 200L && v._2 == 64L)
+    assert(v._4 <= v._3 && v._3 <= v._5, s"CI [${v._4},${v._5}] " +
+      s"should bracket the mean ${v._3}")
+    assert(v._5 - v._4 < 0.2, "CI width should be sampling-noise-sized")
+  }
+
+  test("bootstrapMeanCi: the Poisson weight table is a valid CDF in " +
+      "hash units and mean weight is ~1") {
+    assert(Quality.BootstrapCumHash == Quality.BootstrapCumHash.sorted)
+    assert(Quality.BootstrapCum9.head == 367879441L) // e^-1 at 9dp
+    // truncation folds P(X >= 8) ~ 1.02e-5 into the weight-8 bucket
+    assert(Quality.BootstrapCum9.last >= 999980000L)
+    // E[w] = sum over thresholds of P(h >= c) = 8 - sum(cum): ~1
+    val mean9 = 8L * 1000000000L - Quality.BootstrapCum9.sum
+    assert(math.abs(mean9 - 1000000000L) < 100000L,
+      s"mean Poisson weight should be ~1, got ${mean9 / 1e9}")
+  }
 }

@@ -530,4 +530,22 @@ class SamplingSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     assert(s(3L) == 3.0, "singleton group sits at p = 0, the global min")
   }
+
+  test("neymanAllocation: constant strata get 0; budget splits by " +
+      "N_h sigma_h; shares sum to ~1") {
+    // s0: 4 rows constant 0.5 (sigma 0); s1: 4 rows alternating 0/1
+    // (sigma 0.5); s2: 2 rows alternating 0/1 (sigma 0.5)
+    val df = (Seq.fill(4)(0.5).map(("s0", _)) ++
+      Seq(0.0, 1.0, 0.0, 1.0).map(("s1", _)) ++
+      Seq(0.0, 1.0).map(("s2", _))).toDF("src", "score")
+    val r = Sampling.neymanAllocation(df, "src", "score", 600L)
+      .orderBy("stratum")
+      .as[(String, Long, Double, Double, Long)].collect()
+    val m = r.map(x => x._1 -> x).toMap
+    assert(m("s0")._3 == 0.0 && m("s0")._5 == 0L)
+    assert(m("s1")._3 == 0.5 && m("s2")._3 == 0.5)
+    // N*sigma: s1 = 2, s2 = 1 -> shares 2/3, 1/3 of 600 = 400/200
+    assert(m("s1")._5 == 400L && m("s2")._5 == 200L)
+    assert(math.abs(r.map(_._4).sum - 1.0) < 1e-8)
+  }
 }

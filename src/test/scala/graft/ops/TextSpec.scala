@@ -669,4 +669,41 @@ class TextSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
     assert(a.values.forall(_(2).asInstanceOf[Long] >= 5L))
   }
+
+  test("jensenShannon: identical corpora read 0; disjoint vocabularies " +
+      "read ln 2; symmetric") {
+    val a = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+    assert(Text.jensenShannon(a, a, "text")
+      .select("jsd").as[Double].head() == 0.0)
+    val b = Seq((3L, "p q"), (4L, "q r p")).toDF("doc_id", "text")
+    val d = Text.jensenShannon(a, b, "text")
+      .select("jsd").as[Double].head()
+    // ln 2, up to per-term 9dp integerization dust
+    assert(math.abs(d - 0.693147181) < 3e-9)
+    val ab = Text.jensenShannon(a, b, "text").select("jsd")
+      .as[Double].head()
+    val ba = Text.jensenShannon(b, a, "text").select("jsd")
+      .as[Double].head()
+    assert(ab == ba)
+  }
+
+  test("tokenConcentration: uniform counts read gini 0; a dominating " +
+      "token pushes it up; head shares exact on a hand case") {
+    val uni = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val u = Text.tokenConcentration(uni, "text")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(u._1 == 4L && u._2 == 4L && u._3 == 0.0)
+    // 10 types: one with 91 tokens, nine singletons -> N=100
+    val skewText = (("z " * 91).trim +: (1 to 9).map(i => s"w$i"))
+      .mkString(" ")
+    val sk = Text.tokenConcentration(Seq((1L, skewText))
+      .toDF("doc_id", "text"), "text")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(sk._1 == 10L && sk._2 == 100L)
+    // ranks: singletons 1..9 (ties by token), z at rank 10
+    // G = (2*(45*1 + 10*91) - 11*100) / (10*100) = (2*955 - 1100)/1000
+    assert(sk._3 == 0.81)
+    // top 1% of 10 types = ceil(0.1)=1 type = z -> 91/100
+    assert(sk._4 == 0.91 && sk._5 == 0.91)
+  }
 }
