@@ -2092,6 +2092,50 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Graph.kCore(edges, "pa", "pb", KCoreK, KCoreRounds).orderBy("id")
     }),
 
+    // Exact tie-correct Spearman between quality score and token
+    // count — "do longer documents score higher", monotone-transform-
+    // robust; both axes come out of the one qualityScore pass.
+    "q230_spearman" -> ((s, dir) => {
+      Quality.spearman(Text.qualityScore(t(s, dir, "documents"), "text"),
+        "quality_score", "n_tokens")
+    }),
+
+    // Cohen's kappa of the q85/q186 self-classifier against truth —
+    // chance-corrected agreement over the same confusion grid the
+    // per-class report reads.
+    "q231_cohen_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = graft.ml.NaiveBayesText
+        .classify(graft.ml.NaiveBayesText.train(docs, "text", "lang"),
+          docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Quality.cohenKappa(pred, "lang", "pred_label")
+    }),
+
+    // Kish effective sample size of the quality score used as an
+    // importance weight, per source — how many equal-weight docs each
+    // source's reweighted mass is really worth.
+    "q232_effective_sample_size" -> ((s, dir) => {
+      Sampling.effectiveSampleSize(
+        Text.qualityScore(t(s, dir, "documents"), "text", Seq("source")),
+        "source", "quality_score").orderBy("group")
+    }),
+
+    // Mutual information (and NMI) between source and language — the
+    // information-theoretic twin of q198's chi-square on the same
+    // grid.
+    "q233_mutual_information" -> ((s, dir) => {
+      Quality.mutualInformation(t(s, dir, "documents"), "source", "lang")
+    }),
+
+    // Benford first-digit audit of extended price — digit extraction
+    // by integer-string head on exact cents, expectation from the
+    // literal integer table.
+    "q234_benford" -> ((s, dir) => {
+      Quality.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")
+    }),
+
     // Q1 (quality): one-pass per-column null profile of lineitem.
     "q7_quality_nulls" -> ((s, dir) => {
       Quality.report(t(s, dir, "lineitem"))
@@ -4911,6 +4955,189 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM d0 LEFT JOIN core ON d0.id = core.id
          |CROSS JOIN cnt3 CROSS JOIN cnt4
          |ORDER BY d0.id""".stripMargin
+    },
+
+    // q230: the identical 2x-midrank frames (2·cum − c + 1 per
+    // distinct 1e9-integerized value), HUGEINT moment sums (exact,
+    // like Spark's DECIMAL(38,0)), one num/(√d₁·√d₂) chain.
+    "q230_spearman" ->
+      s"""$qualityScoreSqlCtes,
+         |b AS (
+         |  SELECT
+         |    CAST(floor(round(q.quality_score, 9) * 1e9 + 0.5)
+         |      AS BIGINT) AS x,
+         |    CAST(floor(round(len(string_split(d.text, ' '))::DOUBLE, 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS y
+         |  FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+         |),
+         |rx AS (
+         |  SELECT x, (2 * cum - c + 1)::BIGINT AS r FROM (
+         |    SELECT x, c, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |    FROM (SELECT x, count(*)::BIGINT AS c FROM b GROUP BY x) _) _
+         |),
+         |ry AS (
+         |  SELECT y, (2 * cum - c + 1)::BIGINT AS r FROM (
+         |    SELECT y, c, sum(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |    FROM (SELECT y, count(*)::BIGINT AS c FROM b GROUP BY y) _) _
+         |),
+         |mo AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(CAST(rx.r AS HUGEINT)) AS sx,
+         |    sum(CAST(ry.r AS HUGEINT)) AS sy,
+         |    sum(CAST(rx.r AS HUGEINT) * rx.r) AS sxx,
+         |    sum(CAST(ry.r AS HUGEINT) * ry.r) AS syy,
+         |    sum(CAST(rx.r AS HUGEINT) * ry.r) AS sxy
+         |  FROM b JOIN rx USING (x) JOIN ry USING (y)
+         |)
+         |SELECT n,
+         |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+         |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+         |    ${Portable.sqlRatio9(
+              "CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)" +
+                " / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx" +
+                " AS DOUBLE)) * sqrt(CAST(CAST(n AS HUGEINT) * syy" +
+                " - sy * sy AS DOUBLE)))")}
+         |  END AS rho
+         |FROM mo""".stripMargin,
+
+    // q231: the q186 NB pred chain, then kappa's exact integer form
+    // (N·agree − Σrc) / (N² − Σrc) with full-outer margins.
+    "q231_cohen_kappa" ->
+      s"""$nbRankSqlCte,
+         |pr AS (
+         |  SELECT d.lang AS a, r.label AS b
+         |  FROM rk r JOIN documents d ON d.doc_id = r.doc_id
+         |  WHERE r.rk = 1
+         |),
+         |cells AS (SELECT a, b, count(*)::BIGINT AS c
+         |          FROM pr GROUP BY 1, 2),
+         |ra AS (SELECT a AS l, sum(c)::BIGINT AS ra FROM cells GROUP BY 1),
+         |cb AS (SELECT b AS l, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
+         |pec AS (
+         |  SELECT sum(CAST(coalesce(ra, 0) AS HUGEINT)
+         |    * coalesce(cb, 0)) AS pev
+         |  FROM ra FULL JOIN cb USING (l)
+         |),
+         |tt AS (SELECT sum(c)::BIGINT AS n,
+         |  sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS agree
+         |  FROM cells)
+         |SELECT n, agree,
+         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
+              "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  END AS po,
+         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
+              "CAST(pev AS DOUBLE) / (CAST(n AS DOUBLE)" +
+                " * CAST(n AS DOUBLE))")}
+         |  END AS pe,
+         |  CASE WHEN CAST(n AS HUGEINT) * n - pev > 0 THEN
+         |    ${Portable.sqlRatio9(
+              "CAST(CAST(n AS HUGEINT) * agree - pev AS DOUBLE)" +
+                " / CAST(CAST(n AS HUGEINT) * n - pev AS DOUBLE)")}
+         |  END AS kappa
+         |FROM tt CROSS JOIN pec""".stripMargin,
+
+    // q232: exact HUGEINT Σw, Σw² per source, one s·s/ss chain.
+    "q232_effective_sample_size" ->
+      s"""$qualityScoreSqlCtes,
+         |w AS (
+         |  SELECT source AS "group",
+         |    CAST(floor(round(quality_score, 9) * 1e9 + 0.5) AS BIGINT)
+         |      AS w9
+         |  FROM qs
+         |),
+         |g AS (
+         |  SELECT "group", count(*)::BIGINT AS n_rows,
+         |    sum(CAST(w9 AS HUGEINT)) AS s,
+         |    sum(CAST(w9 AS HUGEINT) * w9) AS ss
+         |  FROM w GROUP BY 1
+         |)
+         |SELECT "group", n_rows,
+         |  CASE WHEN ss > 0 THEN ${Portable.sqlRatio9(
+              "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+                " / CAST(ss AS DOUBLE)")}
+         |  END AS ess,
+         |  CASE WHEN ss > 0 THEN ${Portable.sqlRatio9(
+              "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+                " / CAST(ss AS DOUBLE) / CAST(n_rows AS DOUBLE)")}
+         |  END AS ess_ratio
+         |FROM g ORDER BY "group"""".stripMargin,
+
+    // q233: per-cell and per-margin 1e9-integerized p·ln terms summed
+    // in BIGINT, NMI as one MI9/√(Ha9·Hb9) chain.
+    "q233_mutual_information" ->
+      s"""WITH cells AS (
+         |  SELECT source AS a, lang AS b, count(*)::BIGINT AS c
+         |  FROM documents GROUP BY 1, 2
+         |),
+         |nt AS (SELECT sum(c)::BIGINT AS n FROM cells),
+         |ra AS (SELECT a, sum(c)::BIGINT AS ra FROM cells GROUP BY 1),
+         |cb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
+         |mi AS (
+         |  SELECT count(*)::BIGINT AS n_cells,
+         |    sum(CAST(floor(round(
+         |      (CAST(c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE) * CAST(nt.n AS DOUBLE)
+         |        / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))), 9)
+         |      * 1e9 + 0.5) AS BIGINT))::BIGINT AS mi9
+         |  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nt
+         |),
+         |ha AS (
+         |  SELECT sum(CAST(floor(round(
+         |    -(CAST(ra AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |    * ln(CAST(ra AS DOUBLE) / CAST(nt.n AS DOUBLE)), 9)
+         |    * 1e9 + 0.5) AS BIGINT))::BIGINT AS h9
+         |  FROM ra CROSS JOIN nt
+         |),
+         |hb AS (
+         |  SELECT sum(CAST(floor(round(
+         |    -(CAST(cb AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |    * ln(CAST(cb AS DOUBLE) / CAST(nt.n AS DOUBLE)), 9)
+         |    * 1e9 + 0.5) AS BIGINT))::BIGINT AS h9
+         |  FROM cb CROSS JOIN nt
+         |)
+         |SELECT nt.n AS n, mi.n_cells,
+         |  round(CAST(mi.mi9 AS DOUBLE) / 1e9, 9) AS mi,
+         |  round(CAST(ha.h9 AS DOUBLE) / 1e9, 9) AS h_a,
+         |  round(CAST(hb.h9 AS DOUBLE) / 1e9, 9) AS h_b,
+         |  CASE WHEN ha.h9 > 0 AND hb.h9 > 0 THEN ${Portable.sqlRatio9(
+              "CAST(mi.mi9 AS DOUBLE) / (sqrt(CAST(ha.h9 AS DOUBLE))" +
+                " * sqrt(CAST(hb.h9 AS DOUBLE)))")}
+         |  END AS nmi
+         |FROM mi CROSS JOIN nt CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
+    // q234: first digit of exact cents by integer-string head; the
+    // Benford expectation from the SAME literal integers as the
+    // engine ([[Quality.Benford9]]).
+    "q234_benford" -> {
+      val grid = Quality.Benford9.zipWithIndex
+        .map { case (p9, i) => s"(${i + 1}, ${p9})" }.mkString(", ")
+      val share9 = "CAST(floor(round(CAST(coalesce(observed, 0)" +
+        " AS DOUBLE) / CAST(n AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)"
+      s"""WITH v AS (
+         |  SELECT CAST(floor(round(CAST(l_extendedprice AS DOUBLE), 2)
+         |    * 1e2 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem
+         |),
+         |d AS (
+         |  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+         |    AS digit
+         |  FROM v WHERE cents > 0
+         |),
+         |cnt AS (SELECT digit, count(*)::BIGINT AS observed
+         |        FROM d GROUP BY 1),
+         |grid AS (SELECT digit::INT AS digit, p9::BIGINT AS p9
+         |         FROM (VALUES $grid) t(digit, p9)),
+         |tot AS (SELECT sum(observed)::BIGINT AS n FROM cnt)
+         |SELECT g.digit, coalesce(observed, 0)::BIGINT AS observed, n,
+         |  CASE WHEN n > 0 THEN
+         |    round(CAST($share9 AS DOUBLE) / 1e9, 9) END AS share,
+         |  round(CAST(p9 AS DOUBLE) / 1e9, 9) AS benford_p,
+         |  CASE WHEN n > 0 THEN
+         |    round(CAST($share9 - p9 AS DOUBLE) / 1e9, 9) END AS excess
+         |FROM grid g LEFT JOIN cnt USING (digit) CROSS JOIN tot
+         |ORDER BY g.digit""".stripMargin
     },
 
     "q7_quality_nulls" -> {

@@ -490,6 +490,213 @@ object Quality {
       .select(col("n_a"), col("n_b"), col("u2_a"), col("u_a"), col("z"))
   }
 
+  /** Exact Spearman rank correlation between two numeric columns —
+    * the monotone-association readout between two quality signals
+    * ("do longer documents score higher"), robust to any monotone
+    * transform of either axis (Pearson on raw scores is not — a
+    * heavy-tailed length column would dominate it). Computed as
+    * Pearson over MIDRANKS with the tie-correct 2×-integer trick
+    * ([[mannWhitney]]'s): per column, the doubled midrank of value v
+    * is 2·cum(v) − c(v) + 1 — an exact integer from the distinct-
+    * value CDF, and the constant factor 2 cancels in the correlation.
+    *
+    * Cross-engine determinism: values integerize at 1e9 before
+    * ranking (ties are decided on exact integers, never on float
+    * identity); all five moment sums are exact DECIMAL(38,0) (ranks
+    * ≤ 2n ⇒ Σr² ≤ 4n³ — fine to n ~ 10¹¹); ONE pinned double chain
+    * forms num / (√d₁·√d₂) at the end (IEEE sqrt/mult — portable).
+    *
+    * Shape: two distinct-value CDFs (bounded windows over the VALUE
+    * frames — never a data sort), two value-keyed joins back, one
+    * 1-row rollup. Constant columns (zero rank variance) yield NULL.
+    * Returns ONE row: (n, rho). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def i9(c: Column) = floor(round(c.cast("double"), 9) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val base = df.select(i9(col(xCol)).as("__x"), i9(col(yCol)).as("__y"))
+    def ranks(vc: String, rc: String) = base
+      .groupBy(col(vc)).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(vc),
+        (lit(2L) * col("__cum") - col("__c") + 1L).as(rc))
+    val moments = base
+      .join(ranks("__x", "__rx"), Seq("__x"))
+      .join(ranks("__y", "__ry"), Seq("__y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx").cast(dec)).as("__sx"),
+        sum(col("__ry").cast(dec)).as("__sy"),
+        sum(col("__rx").cast(dec) * col("__rx").cast(dec)).as("__sxx"),
+        sum(col("__ry").cast(dec) * col("__ry").cast(dec)).as("__syy"),
+        sum(col("__rx").cast(dec) * col("__ry").cast(dec)).as("__sxy"))
+    val dxx = col("n").cast(dec) * col("__sxx") -
+      col("__sx") * col("__sx")
+    val dyy = col("n").cast(dec) * col("__syy") -
+      col("__sy") * col("__sy")
+    moments.select(col("n"),
+      when(dxx > 0 && dyy > 0, Portable.ratio9(
+        (col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") /
+          (sqrt(dxx.cast("double")) * sqrt(dyy.cast("double")))))
+        .as("rho"))
+  }
+
+  /** Cohen's kappa (Cohen '60) — chance-corrected agreement between
+    * two categorical labelings of the same rows (classifier vs truth,
+    * or two annotators): κ = (p_o − p_e)/(1 − p_e) with p_e the
+    * marginal-product chance agreement. The raw-agreement complement
+    * of [[classifierReport]]'s per-class view — a skewed label mix
+    * makes raw agreement flatter the rarer rater; κ prices it.
+    *
+    * Exact to the last division: κ = (N·ΣdiagC − Σ_k r_k·c_k) /
+    * (N² − Σ_k r_k·c_k) — every term an exact DECIMAL(38,0) product
+    * of counts (full-outer margin join so a label one rater never
+    * emits still contributes through its other margin), ONE pinned
+    * double chain each for p_o, p_e, κ.
+    *
+    * Shape: one (a,b) grid agg, two margin aggs over the GRID (label-
+    * bounded), a 1-row rollup. Degenerate p_e = 1 (both raters
+    * constant) yields NULL κ. Returns ONE row:
+    * (n, agree, po, pe, kappa). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val ra = cells.groupBy(col("__a").as("__l"))
+      .agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy(col("__b").as("__l"))
+      .agg(sum(col("__c")).as("__cb"))
+    val pe = ra.join(cb, Seq("__l"), "full_outer")
+      .select((coalesce(col("__ra"), lit(0L)).cast(dec) *
+        coalesce(col("__cb"), lit(0L)).cast(dec)).as("__rc"))
+      .agg(sum(col("__rc")).as("__pe"))
+    cells
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L))
+          .as("agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"),
+        when(col("n") > 0L, Portable.ratio9(col("agree").cast("double") /
+          col("n").cast("double"))).as("po"),
+        when(col("n") > 0L, Portable.ratio9(col("__pe").cast("double") /
+          (col("n").cast("double") * col("n").cast("double"))))
+          .as("pe"),
+        when(col("n").cast(dec) * col("n").cast(dec) - col("__pe") > 0,
+          Portable.ratio9(
+            (col("n").cast(dec) * col("agree").cast(dec) - col("__pe"))
+              .cast("double") /
+              (col("n").cast(dec) * col("n").cast(dec) - col("__pe"))
+                .cast("double"))).as("kappa"))
+  }
+
+  /** Mutual information (and normalized MI) between two categorical
+    * columns — the information-theoretic twin of [[chiSquare]]:
+    * MI = Σ_cells p(a,b)·ln(p(a,b)/(p(a)p(b))), how many nats one
+    * column reveals about the other; NMI = MI/√(H_a·H_b) rescales to
+    * [0,1] so mixes of different entropy are comparable. Zero cells
+    * contribute exactly 0 (p ln p → 0), so unlike χ² the observed
+    * grid IS the full grid.
+    *
+    * Cross-engine determinism: per-cell and per-margin log terms
+    * integerize at 1e9 through ONE pinned double chain each (the
+    * q103 KL-term recipe) and sum in LONG; NMI is one further pinned
+    * chain over the three integer sums (MI9/√(Ha9·Hb9) — the 1e9
+    * scales cancel exactly).
+    *
+    * Shape: one (a,b) grid agg, margins re-aggregated from the GRID,
+    * margin-keyed joins back over the grid (all label-bounded), 1-row
+    * broadcast total. Returns ONE row:
+    * (n, n_cells, mi, h_a, h_b, nmi). */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val n = cells.agg(sum(col("__c")).as("__n"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__cb"))
+    def t9(x: Column) =
+      floor(round(x, 9) * lit(1e9) + lit(0.5)).cast("long")
+    def ent(m: DataFrame, mc: String) = m.crossJoin(broadcast(n))
+      .select(t9(-(col(mc).cast("double") / col("__n").cast("double")) *
+        log(col(mc).cast("double") / col("__n").cast("double")))
+        .as("__t"))
+      .agg(sum(col("__t")).as(s"${mc}9"))
+    val mi = cells.join(ra, Seq("__a")).join(cb, Seq("__b"))
+      .crossJoin(broadcast(n))
+      .select(t9((col("__c").cast("double") / col("__n").cast("double")) *
+        log(col("__c").cast("double") * col("__n").cast("double") /
+          (col("__ra").cast("double") * col("__cb").cast("double"))))
+        .as("__t"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__t")).as("__mi9"))
+    mi.crossJoin(broadcast(n)).crossJoin(broadcast(ent(ra, "__ra")))
+      .crossJoin(broadcast(ent(cb, "__cb")))
+      .select(col("__n").as("n"), col("n_cells"),
+        round(col("__mi9").cast("double") / lit(1e9), 9).as("mi"),
+        round(col("__ra9").cast("double") / lit(1e9), 9).as("h_a"),
+        round(col("__cb9").cast("double") / lit(1e9), 9).as("h_b"),
+        when(col("__ra9") > 0L && col("__cb9") > 0L, Portable.ratio9(
+          col("__mi9").cast("double") /
+            (sqrt(col("__ra9").cast("double")) *
+              sqrt(col("__cb9").cast("double"))))).as("nmi"))
+  }
+
+  /** Benford first-digit CDF: P(d) = log₁₀(1 + 1/d) integerized at
+    * 1e9 ONCE here and inlined as the SAME literal integers into the
+    * oracle (the q170 literal-table discipline — cross-engine log10
+    * is not trusted). */
+  val Benford9: Seq[Long] = (1 to 9).map(d =>
+    math.floor(math.log10(1.0 + 1.0 / d) * 1e9 + 0.5).toLong)
+
+  /** Benford first-significant-digit audit of a positive numeric
+    * column (Benford 1938; the classic fabricated-data / unit-mixing
+    * smell test for prices, counts, durations): observed first-digit
+    * shares against the Benford expectation. Naturally-grown
+    * multiplicative quantities follow it; truncation, synthetic
+    * fill-in, or a clamped range bend it.
+    *
+    * The digit extraction never touches floats or logs: the value
+    * integerizes at `dp` decimals (exact for fixed-point money), and
+    * the first digit of a nonneg LONG is its first decimal-string
+    * character — integer-to-string is exact in every engine. All 9
+    * digit rows emit (the χ² zero-cell lesson); `excess` is the exact
+    * integer difference share9 − p9 over 1e9.
+    *
+    * Shape: one digit-keyed agg (9 groups, map-side combined), the
+    * 9-row literal grid joined in, a 1-row total broadcast. Returns
+    * 9 rows: (digit, observed, n, share, benford_p, excess). */
+  def benfordAudit(df: DataFrame, valueCol: String,
+                   dp: Int = 2): DataFrame = {
+    require(dp >= 0 && dp <= 6, s"dp must be in [0,6], got $dp")
+    import df.sparkSession.implicits._
+    val s = math.pow(10.0, dp.toDouble)
+    val v = floor(round(col(valueCol).cast("double"), dp) * lit(s) +
+      lit(0.5)).cast("long")
+    val counted = df
+      .select(v.as("__v")).filter(col("__v") > 0L)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val grid = Benford9.zipWithIndex
+      .map { case (p9, i) => (i + 1, p9) }.toDF("digit", "__p9")
+    val tot = counted.agg(sum(col("observed")).as("n"))
+    val share9 = floor(round(col("observed").cast("double") /
+      col("n").cast("double"), 9) * lit(1e9) + lit(0.5)).cast("long")
+    broadcast(grid)
+      .join(counted, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"), col("__p9"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("observed"), col("n"),
+        when(col("n") > 0L,
+          round(share9.cast("double") / lit(1e9), 9)).as("share"),
+        round(col("__p9").cast("double") / lit(1e9), 9).as("benford_p"),
+        when(col("n") > 0L,
+          round((share9 - col("__p9")).cast("double") / lit(1e9), 9))
+          .as("excess"))
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney'02; Machanavajjhala
     * et al.'07) — the release-gate numbers for any table carrying
     * quasi-identifiers: a row is k-anonymous iff at least k rows share

@@ -170,6 +170,40 @@ object Sampling {
             lit(0.5)).cast("long")).otherwise(lit(0L)).as("alloc_n"))
   }
 
+  /** Kish effective sample size per group (Kish '65; the standard
+    * importance-weight health check for DSIR-style reweighted
+    * corpora): ESS = (Σw)²/Σw² — how many EQUALLY-weighted rows the
+    * weighted set is worth. ess_ratio = ESS/n near 1 means weights
+    * are flat; near 1/n means one row dominates and the reweighted
+    * estimate is resting on a handful of documents.
+    *
+    * Cross-engine determinism: weights integerize at 1e9; Σw and Σw²
+    * are exact DECIMAL(38,0) sums (w ≤ ~10 ⇒ Σw² ≤ 10²⁰·n — fine to
+    * n ~ 10¹⁷ rows per group); ONE pinned double chain forms
+    * s·s/ss (the 1e18 scales cancel exactly) and ·/n for the ratio.
+    *
+    * Shape: one group-keyed agg, map-side combined — nothing else
+    * moves. Returns (group, n_rows, ess, ess_ratio). */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          weightCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w9 = floor(round(col(weightCol).cast("double"), 9) * lit(1e9) +
+      lit(0.5)).cast("long")
+    df.select(col(groupCol).as("group"), w9.as("__w"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__w").cast(dec)).as("__s"),
+        sum(col("__w").cast(dec) * col("__w").cast(dec)).as("__ss"))
+      .select(col("group"), col("n_rows"),
+        when(col("__ss") > 0, Portable.ratio9(
+          col("__s").cast("double") * col("__s").cast("double") /
+            col("__ss").cast("double"))).as("ess"),
+        when(col("__ss") > 0, Portable.ratio9(
+          col("__s").cast("double") * col("__s").cast("double") /
+            col("__ss").cast("double") / col("n_rows").cast("double")))
+          .as("ess_ratio"))
+  }
+
   /** Per-source token budget: documents are ranked by an independent
     * keyed-hash draw (id tiebreak — a deterministic uniform shuffle,
     * so the kept set is an unbiased sample of the source) and kept

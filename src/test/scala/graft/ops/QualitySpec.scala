@@ -615,4 +615,76 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(mean9 - 1000000000L) < 100000L,
       s"mean Poisson weight should be ~1, got ${mean9 / 1e9}")
   }
+
+  test("spearman: monotone pairs hit ±1; ties match the closed form; " +
+      "constant axis is NULL") {
+    val up = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 90.0))
+      .toDF("x", "y")
+    assert(Quality.spearman(up, "x", "y")
+      .as[(Long, Option[Double])].head() == ((4L, Some(1.0))))
+    val down = Seq((1.0, 9.0), (2.0, 7.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Quality.spearman(down, "x", "y")
+      .as[(Long, Option[Double])].head()._2.contains(-1.0))
+    // x = [1,2,2,3], y = [1,2,3,4]: rho = 3/sqrt(10)
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+      .toDF("x", "y")
+    val rho = Quality.spearman(tied, "x", "y")
+      .as[(Long, Option[Double])].head()._2.get
+    assert(math.abs(rho - 3.0 / math.sqrt(10.0)) < 1e-9)
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("x", "y")
+    assert(Quality.spearman(const, "x", "y")
+      .as[(Long, Option[Double])].head()._2.isEmpty)
+  }
+
+  test("cohenKappa: perfect agreement 1; independent 2x2 0; " +
+      "both-constant NULL") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("t", "p")
+    val k1 = Quality.cohenKappa(perfect, "t", "p")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(k1._2 == 3L && k1._5.contains(1.0))
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+      .toDF("t", "p")
+    val k0 = Quality.cohenKappa(indep, "t", "p")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(k0._3 == 0.5 && k0._4 == 0.5 && k0._5.contains(0.0))
+    val const = Seq(("a", "a"), ("a", "a")).toDF("t", "p")
+    assert(Quality.cohenKappa(const, "t", "p")
+      .as[(Long, Long, Double, Double, Option[Double])].head()._5.isEmpty)
+  }
+
+  test("mutualInformation: identical columns give MI = H and NMI = 1; " +
+      "independent grid gives MI 0") {
+    val same = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("u", "v")
+    val r = Quality.mutualInformation(same, "u", "v")
+      .as[(Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(r._1 == 4L && r._2 == 2L)
+    assert(math.abs(r._3 - math.log(2.0)) < 1e-8)
+    assert(r._3 == r._4 && r._4 == r._5)
+    assert(r._6.contains(1.0))
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val r0 = Quality.mutualInformation(indep, "u", "v")
+      .as[(Long, Long, Double, Double, Double, Option[Double])].head()
+    assert(r0._3 == 0.0 && r0._6.contains(0.0))
+  }
+
+  test("benfordAudit: exact digit extraction on cents, all 9 rows, " +
+      "shares sum to 1, literal table head is log10(2)") {
+    assert(Quality.Benford9.head == 301029996L)
+    assert(Quality.Benford9.length == 9)
+    val vals = Seq(0.01, 0.19, 999.99, 123.45, 2.50, 0.0, -5.0, 88.8)
+      .toDF("v")
+    val rows = Quality.benfordAudit(vals, "v").orderBy("digit")
+      .as[(Int, Long, Long, Option[Double], Double, Option[Double])]
+      .collect()
+    assert(rows.length == 9 && rows.map(_._1).toSeq == (1 to 9))
+    // 0.0 and -5.0 drop; digits: 1 (0.01), 1 (0.19→19), 9 (99999),
+    // 1 (12345), 2 (250), 8 (8880)
+    assert(rows.map(_._3).distinct.toSeq == Seq(6L))
+    assert(rows.map(_._2).sum == 6L)
+    assert(rows(0)._2 == 3L && rows(1)._2 == 1L && rows(7)._2 == 1L &&
+      rows(8)._2 == 1L)
+    assert(math.abs(rows.flatMap(_._4).sum - 1.0) < 1e-8)
+  }
 }

@@ -548,4 +548,16 @@ class SamplingSpec extends SparkSpec {
     assert(m("s1")._5 == 400L && m("s2")._5 == 200L)
     assert(math.abs(r.map(_._4).sum - 1.0) < 1e-8)
   }
+
+  test("effectiveSampleSize: flat weights give ESS = n; one dominant " +
+      "weight collapses ESS to ~1") {
+    val flat = Seq.fill(8)(("g", 0.25)).toDF("src", "w")
+    val f = Sampling.effectiveSampleSize(flat, "src", "w")
+      .as[(String, Long, Option[Double], Option[Double])].head()
+    assert(f._2 == 8L && f._3.contains(8.0) && f._4.contains(1.0))
+    val skew = (("g", 1.0) +: Seq.fill(7)(("g", 0.0))).toDF("src", "w")
+    val s = Sampling.effectiveSampleSize(skew, "src", "w")
+      .as[(String, Long, Option[Double], Option[Double])].head()
+    assert(s._3.contains(1.0) && s._4.contains(0.125))
+  }
 }
