@@ -481,6 +481,21 @@ object SparkEntry {
 
   /** q227 Neyman allocation: total sample budget to split. */
   val NeymanBudget = 1000L
+
+  /** q235 attribution: touch lookback before a conversion (1 day). */
+  val AttribLookbackMs = 86400000L
+
+  /** q236 SPRT: null/alternative conversion rates and error budget —
+    * the integer walk constants derive from these via
+    * [[graft.ops.Events.sprtConstants]] in BOTH engines. */
+  val SprtP0 = 0.30
+  val SprtP1 = 0.35
+  val SprtAlpha = 0.05
+  val SprtBeta = 0.05
+
+  /** q238 HITS: unrolled mutual-reinforcement rounds (mirrored
+    * round-for-round in the oracle CTE chain). */
+  val HitsRounds = 2
   /** q179 range-sorted layout file count — [[ZorderFiles]]' twin so the
     * one-column and two-column layouts are comparable. */
   val RangeFiles = 8
@@ -2134,6 +2149,48 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q234_benford" -> ((s, dir) => {
       Quality.benfordAudit(t(s, dir, "lineitem"), "l_extendedprice")
         .orderBy("digit")
+    }),
+
+    // First/last-touch purchase attribution with a 1-day lookback —
+    // which touch types open and close converting journeys.
+    "q235_touch_attribution" -> ((s, dir) => {
+      Events.touchAttribution(Sources.eventsNs(s, dir), "purchase",
+        AttribLookbackMs).orderBy("event_type")
+    }),
+
+    // Wald SPRT daily trace on the purchase rate — a pure integer
+    // LLR random walk on both engines via the literal constants.
+    "q236_sprt_trace" -> ((s, dir) => {
+      Events.sprtTrace(Sources.eventsNs(s, dir), "purchase",
+        SprtP0, SprtP1, SprtAlpha, SprtBeta).orderBy("day")
+    }),
+
+    // Bucketed interval-overlap join: user sessions x anomalous
+    // hourly windows — "which sessions ran during an incident",
+    // cell-equality candidates then the exact overlap predicate.
+    "q237_overlap_join" -> ((s, dir) => {
+      val sess = Events.sessionize(eventsUs(s, dir), SessionGapMs)
+        .select(concat_ws("#", col("user_id"), col("session_id"))
+          .as("a_id"),
+          col("start_ms").as("a_start"), col("end_ms").as("a_end"))
+      val anom = Events.windowAnomaly(Sources.eventsNs(s, dir),
+          WindowMs, AnomalyTrailing, AnomalyZ)
+        .filter(col("is_anomaly"))
+        .select(concat_ws("#", col("event_type"), col("window_start_ms"))
+          .as("b_id"),
+          col("window_start_ms").as("b_start"),
+          (col("window_start_ms") + WindowMs - 1L).as("b_end"))
+      Events.overlapJoin(sess, anom, WindowMs).orderBy("a_id", "b_id")
+    }),
+
+    // HITS on the order->product bipartite graph — hub orders and
+    // authority products, an all-integer normalized walk.
+    "q238_hits" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .filter(col("l_partkey") < TriPartMax)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      Graph.hits(lp, "o", "p", HitsRounds).orderBy("role", "id")
     }),
 
     // Q1 (quality): one-pass per-column null profile of lineitem.
@@ -5138,6 +5195,177 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    round(CAST($share9 - p9 AS DOUBLE) / 1e9, 9) END AS excess
          |FROM grid g LEFT JOIN cnt USING (digit) CROSS JOIN tot
          |ORDER BY g.digit""".stripMargin
+    },
+
+    // q235: journeys by prior-conversion count, first/last eligible
+    // touch via per-journey row_numbers (the (tns, event_id) order is
+    // unique, so min/max struct and rank-1 agree exactly).
+    "q235_touch_attribution" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isc
+         |  FROM events
+         |),
+         |tg AS (
+         |  SELECT *, coalesce(sum(isc) OVER (PARTITION BY user_id
+         |    ORDER BY tns, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND 1 PRECEDING), 0)::BIGINT AS j
+         |  FROM ev
+         |),
+         |convs AS (SELECT user_id, j, tns AS cts FROM tg WHERE isc = 1),
+         |nc AS (SELECT count(*)::BIGINT AS n_conversions FROM convs),
+         |el AS (
+         |  SELECT t.user_id, t.j, t.event_type, t.tns, t.event_id
+         |  FROM tg t JOIN convs c ON c.user_id = t.user_id AND c.j = t.j
+         |  WHERE t.isc = 0 AND c.cts - t.tns <= ${AttribLookbackMs}000000
+         |),
+         |rk1 AS (
+         |  SELECT event_type,
+         |    row_number() OVER (PARTITION BY user_id, j
+         |      ORDER BY tns, event_id) AS rf,
+         |    row_number() OVER (PARTITION BY user_id, j
+         |      ORDER BY tns DESC, event_id DESC) AS rl
+         |  FROM el
+         |),
+         |f AS (SELECT event_type, count(*)::BIGINT AS first_touch
+         |      FROM rk1 WHERE rf = 1 GROUP BY 1),
+         |l AS (SELECT event_type, count(*)::BIGINT AS last_touch
+         |      FROM rk1 WHERE rl = 1 GROUP BY 1)
+         |SELECT event_type,
+         |  coalesce(first_touch, 0)::BIGINT AS first_touch,
+         |  coalesce(last_touch, 0)::BIGINT AS last_touch,
+         |  nc.n_conversions
+         |FROM f FULL JOIN l USING (event_type) CROSS JOIN nc
+         |ORDER BY event_type""".stripMargin,
+
+    // q236: the identical integer LLR walk over the SAME literal
+    // constants (sprtConstants is called by both builders).
+    "q236_sprt_trace" -> {
+      val (c09, c19, a9, b9) =
+        Events.sprtConstants(SprtP0, SprtP1, SprtAlpha, SprtBeta)
+      s"""WITH ud AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END)::BIGINT AS conv
+         |  FROM events GROUP BY 1, 2
+         |),
+         |d AS (SELECT day, count(*)::BIGINT AS trials,
+         |        sum(conv)::BIGINT AS conversions
+         |      FROM ud GROUP BY 1),
+         |c AS (
+         |  SELECT day, trials, conversions,
+         |    (sum(trials) OVER w)::BIGINT AS cum_trials,
+         |    (sum(conversions) OVER w)::BIGINT AS cum_conversions
+         |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW)
+         |),
+         |x AS (
+         |  SELECT *, CAST(cum_conversions AS HUGEINT) * ($c19)
+         |    + CAST(cum_trials - cum_conversions AS HUGEINT) * ($c09)
+         |    AS llr9
+         |  FROM c
+         |)
+         |SELECT day, trials, conversions, cum_trials, cum_conversions,
+         |  round(CAST(llr9 AS DOUBLE) / 1e9, 9) AS llr,
+         |  CASE WHEN llr9 >= ($a9) THEN 'accept_h1'
+         |       WHEN llr9 <= ($b9) THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM x ORDER BY day""".stripMargin
+    },
+
+    // q237: native range join over the q30 session spans and the q133
+    // anomalous windows — the exact semantics the bucketed
+    // cell-equality join must reproduce.
+    "q237_overlap_join" ->
+      s"""WITH se AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+         |    CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+         |           OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+         |             > ${SessionGapMs}000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts),
+         |    event_id)
+         |),
+         |sg AS (
+         |  SELECT user_id, tns,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns,
+         |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+         |      ROW) AS session_id
+         |  FROM se
+         |),
+         |sess AS (
+         |  SELECT CAST(user_id AS VARCHAR) || '#'
+         |      || CAST(session_id AS VARCHAR) AS a_id,
+         |    (min(tns) // 1000000)::BIGINT AS a_start,
+         |    (max(tns) // 1000000)::BIGINT AS a_end
+         |  FROM sg GROUP BY user_id, session_id
+         |),
+         |wc AS (
+         |  SELECT event_type,
+         |    (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT
+         |      AS window_start_ms,
+         |    count(*)::BIGINT AS n_events
+         |  FROM events GROUP BY 1, 2
+         |),
+         |wt AS (
+         |  SELECT event_type, window_start_ms, n_events,
+         |    count(*) OVER tw AS k,
+         |    (sum(n_events) OVER tw)::BIGINT AS s,
+         |    (sum(n_events * n_events) OVER tw)::BIGINT AS ss
+         |  FROM wc
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_ms
+         |    ROWS BETWEEN $AnomalyTrailing PRECEDING AND 1 PRECEDING)
+         |),
+         |anom AS (
+         |  SELECT event_type || '#' || CAST(window_start_ms AS VARCHAR)
+         |      AS b_id,
+         |    window_start_ms AS b_start,
+         |    (window_start_ms + $WindowMs - 1)::BIGINT AS b_end
+         |  FROM wt
+         |  WHERE k = $AnomalyTrailing AND (
+         |    CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
+         |      abs((n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
+         |        / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
+         |            / (${AnomalyTrailing.toLong * AnomalyTrailing})))
+         |        >= $AnomalyZ
+         |    ELSE n_events * $AnomalyTrailing <> s END)
+         |)
+         |SELECT a_id, a_start, a_end, b_id, b_start, b_end
+         |FROM sess JOIN anom
+         |  ON a_start <= b_end AND b_start <= a_end
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q238: the HITS half-rounds unrolled — HUGEINT raw sums and the
+    // same integer floor-division normalizer each half-round.
+    "q238_hits" -> {
+      def half(i: Int) =
+        s"""ar$i AS (SELECT dst, sum(h) AS raw
+           |  FROM lp JOIN h${i - 1} USING (src) GROUP BY dst),
+           |at$i AS (SELECT sum(raw) AS tot FROM ar$i),
+           |a$i AS (SELECT dst,
+           |  CAST((CAST(raw AS HUGEINT) * 1000000000) // tot AS BIGINT)
+           |    AS a
+           |  FROM ar$i CROSS JOIN at$i),
+           |hr$i AS (SELECT src, sum(a) AS raw
+           |  FROM lp JOIN a$i USING (dst) GROUP BY src),
+           |ht$i AS (SELECT sum(raw) AS tot FROM hr$i),
+           |h$i AS (SELECT src,
+           |  CAST((CAST(raw AS HUGEINT) * 1000000000) // tot AS BIGINT)
+           |    AS h
+           |  FROM hr$i CROSS JOIN ht$i)""".stripMargin
+      s"""WITH lp AS (
+         |  SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+         |  FROM lineitem WHERE l_partkey < $TriPartMax
+         |),
+         |h0 AS (SELECT DISTINCT src, 1000000000::BIGINT AS h FROM lp),
+         |${(1 to HitsRounds).map(half).mkString(",\n")}
+         |SELECT src AS id, 'hub' AS role,
+         |  round(CAST(h AS DOUBLE) / 1e9, 9) AS score FROM h$HitsRounds
+         |UNION ALL
+         |SELECT dst AS id, 'authority' AS role,
+         |  round(CAST(a AS DOUBLE) / 1e9, 9) AS score FROM a$HitsRounds
+         |ORDER BY role, id""".stripMargin
     },
 
     "q7_quality_nulls" -> {

@@ -760,6 +760,164 @@ object Events {
           .as("chi2_uniform"))
   }
 
+  /** First-touch / last-touch conversion attribution — the marketing
+    * readout over the raw event log: each conversion's credit goes to
+    * the FIRST and LAST non-conversion touch in its journey (the
+    * events since the user's previous conversion) within `lookbackMs`
+    * of the conversion. Journeys are delimited by the conversions
+    * themselves — the j-th journey is every event carrying exactly j
+    * PRIOR conversions in the user's (ts, event_id) order, so each
+    * journey holds at most one conversion and every touch in it
+    * precedes that conversion. Conversions with no eligible touch
+    * (cold conversions, or all touches older than the lookback) earn
+    * no attribution row — the n_conversions column prices the gap.
+    *
+    * Determinism: first/last are min/max over (ts, event_id, type)
+    * structs — (ts, event_id) is unique, so ties cannot exist. All
+    * counts exact.
+    *
+    * Shape: one user-keyed ordered window (the [[sessionize]] per-key
+    * sort bound), a (user, journey)-keyed agg, two type-keyed aggs
+    * over the JOURNEY frame (≤ one row per conversion), a full-outer
+    * merge on the type dimension. Returns one row per touch type that
+    * earned credit: (event_type, first_touch, last_touch,
+    * n_conversions — the same global total on every row). */
+  def touchAttribution(events: DataFrame, convType: String,
+                       lookbackMs: Long): DataFrame = {
+    require(lookbackMs >= 1, s"lookbackMs must be >= 1, got $lookbackMs")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val lbNs = lookbackMs * 1000000L
+    val tagged = events
+      .withColumn("__isc",
+        when(col("event_type") === convType, 1L).otherwise(0L))
+      .withColumn("__j", coalesce(sum(col("__isc"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val convs = tagged.filter(col("__isc") === 1L)
+      .select(col("user_id"), col("__j"), col("ts").as("__cts"))
+    val nConv = convs.agg(count(lit(1)).as("n_conversions"))
+    val per = tagged.filter(col("__isc") === 0L)
+      .select(col("user_id"), col("__j"), col("event_type"),
+        col("ts"), col("event_id"))
+      .join(convs, Seq("user_id", "__j"))
+      .filter(col("__cts") - col("ts") <= lbNs)
+      .groupBy(col("user_id"), col("__j"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("__f"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("__l"))
+    val f = per.groupBy(col("__f.event_type").as("event_type"))
+      .agg(count(lit(1)).as("first_touch"))
+    val l = per.groupBy(col("__l.event_type").as("event_type"))
+      .agg(count(lit(1)).as("last_touch"))
+    f.join(l, Seq("event_type"), "full_outer")
+      .crossJoin(broadcast(nConv))
+      .select(col("event_type"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        col("n_conversions"))
+  }
+
+  /** SPRT constants (Wald '45) integerized at 1e9 ONCE here — the
+    * per-observation log-likelihood-ratio increments for failure/
+    * success and the accept boundaries ln((1−β)/α), ln(β/(1−α)).
+    * The oracle SQL builder calls this SAME function, so both engines
+    * walk the identical integer random walk (cross-engine ln chains
+    * are not trusted — the q170 literal discipline). */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double,
+                    beta: Double): (Long, Long, Long, Long) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0/p1 must be distinct in (0,1), got $p0/$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta must be in (0,1), got $alpha/$beta")
+    def i9(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    (i9(math.log((1 - p1) / (1 - p0))), i9(math.log(p1 / p0)),
+      i9(math.log((1 - beta) / alpha)), i9(math.log(beta / (1 - alpha))))
+  }
+
+  /** Wald sequential probability ratio test trace over daily
+    * conversion — the SEQUENTIAL complement of [[abTest]]'s fixed-
+    * horizon z: per day, the cumulative log-likelihood ratio of
+    * H₁: rate = p1 against H₀: rate = p0, with the day's decision
+    * (`accept_h1` / `accept_h0` / `continue`) read off Wald's
+    * boundaries. An experimenter stops at the FIRST non-continue day;
+    * the full trace is emitted so the monitor (and its streaming
+    * twin) can replay the walk.
+    *
+    * Determinism: a user-day converts iff it has ≥1 `convType` event;
+    * the LLR is cum_conv·C1 + (cum_trials − cum_conv)·C0 over the
+    * [[sprtConstants]] literal integers, summed in DECIMAL(38,0) —
+    * a pure integer random walk; boundary compares are integer.
+    *
+    * Shape: one (day, user) distinct agg, a day-keyed rollup, and
+    * cumulative windows over the DAY frame (bounded by the calendar,
+    * the [[activeUsers]] discipline). Returns one row per day:
+    * (day, trials, conversions, cum_trials, cum_conversions, llr,
+    * decision). */
+  def sprtTrace(events: DataFrame, convType: String, p0: Double,
+                p1: Double, alpha: Double, beta: Double): DataFrame = {
+    val (c09, c19, a9, b9) = sprtConstants(p0, p1, alpha, beta)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ud = events
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"),
+        when(col("event_type") === convType, 1L).otherwise(0L).as("__c"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("__c")).as("__conv"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("trials"), sum(col("__conv")).as("conversions"))
+      .withColumn("cum_trials", sum(col("trials")).over(wCum))
+      .withColumn("cum_conversions", sum(col("conversions")).over(wCum))
+      .withColumn("__llr9",
+        col("cum_conversions").cast(dec) * lit(c19) +
+          (col("cum_trials") - col("cum_conversions")).cast(dec) * lit(c09))
+      .select(col("day"), col("trials"), col("conversions"),
+        col("cum_trials"), col("cum_conversions"),
+        round(col("__llr9").cast("double") / lit(1e9), 9).as("llr"),
+        when(col("__llr9") >= lit(a9).cast(dec), lit("accept_h1"))
+          .when(col("__llr9") <= lit(b9).cast(dec), lit("accept_h0"))
+          .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** Bucketed interval-overlap join — the batch scale path for
+    * "which A-intervals overlap which B-intervals" (sessions ×
+    * incident windows, spans × campaign flights). A naive theta-join
+    * on `a_start <= b_end AND b_start <= a_end` is a cartesian
+    * product at the planner level; instead every interval explodes
+    * onto the coarse grid cells it touches (cell width = `bucket`),
+    * candidates meet by CELL EQUALITY (a plain shuffled equi-join),
+    * and the exact closed-interval predicate + a distinct prune the
+    * grid duplicates. Loss-free: overlapping intervals share at
+    * least one cell by construction.
+    *
+    * Contract: `a` has exactly (a_id, a_start, a_end), `b` exactly
+    * (b_id, b_start, b_end); bounds are nonneg longs (ms or ns —
+    * either, both sides the same unit), closed intervals, end ≥
+    * start (violations drop). Pick `bucket` near the TYPICAL
+    * interval length: each interval then touches O(1) cells, so the
+    * join is linear in candidates; a hot cell (many long overlapping
+    * intervals) is the documented skew knob — raise `bucket` or
+    * pre-split the long tail.
+    *
+    * Returns the exact overlap pairs:
+    * (a_id, a_start, a_end, b_id, b_start, b_end). */
+  def overlapJoin(a: DataFrame, b: DataFrame, bucket: Long): DataFrame = {
+    require(bucket >= 1, s"bucket must be >= 1, got $bucket")
+    def cells(df: DataFrame, id: String, s: String, e: String) = df
+      .select(col(id), col(s), col(e))
+      .filter(col(e) >= col(s) && col(s) >= 0L)
+      .withColumn("__cell",
+        explode(sequence(expr(s"$s div $bucket"), expr(s"$e div $bucket"))))
+    cells(a, "a_id", "a_start", "a_end")
+      .join(cells(b, "b_id", "b_start", "b_end"), Seq("__cell"))
+      .filter(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end"))
+      .select(col("a_id"), col("a_start"), col("a_end"),
+        col("b_id"), col("b_start"), col("b_end"))
+      .distinct()
+  }
+
   /** Two-proportion A/B z-test over hash-assigned user arms — the
     * experiment readout: users split into arms by keyed hash (the
     * [[graft.ops.Portable]] assignment an experimentation system

@@ -248,4 +248,56 @@ object Graph {
         coalesce(col("__in"), lit(false)).as("in_kcore"),
         lit(lastRemoved == 0L).as("converged"))
   }
+
+  /** HITS hubs & authorities (Kleinberg '99) on a DIRECTED edge set,
+    * unrolled `rounds` times — on the order→product bipartite graph
+    * this reads "an order is a good hub if it holds authoritative
+    * products; a product is authoritative if good hubs hold it", the
+    * mutual-reinforcement ranking PageRank's single score can't
+    * express. Each half-round is one edge-keyed join + agg + L1
+    * normalization; mirrored round-for-round in the oracle CTE chain
+    * (the q86 PageRank discipline).
+    *
+    * Cross-engine determinism is TOTAL — no floats anywhere: scores
+    * live as 1e9-scaled LONGs, the normalizer is exact integer
+    * division (raw·1e9 div Σraw, products carried in DECIMAL(38,0)),
+    * and both engines floor identically. L1 (not the textbook L2)
+    * normalization keeps the fixpoint direction identical while
+    * avoiding a cross-engine sqrt per round; ranks and ratios are
+    * unchanged (normalization is a per-round positive scalar).
+    *
+    * Shape: per round two shuffled equi-joins on the edge keys +
+    * map-side-combined aggs + a 1-row total broadcast, behind
+    * [[Barrier]]s like the other fixpoints. Returns one row per node
+    * side: (id, role ∈ hub|authority, score — the L1-normalized
+    * 9 dp share). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1,8], got $rounds")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Barrier.cut(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    def normalize(raw: DataFrame, idc: String, out: String) = {
+      val tot = raw.agg(sum(col("__raw").cast(dec)).as("__tot"))
+      Barrier.cut(raw.crossJoin(broadcast(tot))
+        .select(col(idc),
+          expr("CAST((CAST(__raw AS DECIMAL(38,0)) * 1000000000)" +
+            " div __tot AS BIGINT)").as(out)))
+    }
+    var hubs = Barrier.cut(
+      e.select(col("src")).distinct().withColumn("h", lit(1000000000L)))
+    var auths: DataFrame = null
+    for (_ <- 1 to rounds) {
+      auths = normalize(e.join(hubs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("__raw")), "dst", "a")
+      hubs = normalize(e.join(auths, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("__raw")), "src", "h")
+    }
+    hubs.select(col("src").as("id"), lit("hub").as("role"),
+        round(col("h").cast("double") / lit(1e9), 9).as("score"))
+      .unionByName(auths.select(col("dst").as("id"),
+        lit("authority").as("role"),
+        round(col("a").cast("double") / lit(1e9), 9).as("score")))
+  }
 }

@@ -621,4 +621,70 @@ class EventsSpec extends SparkSpec {
     val b = r("b")
     assert(b._2 == 10L && b._3 == 5L && b._4 == 1.0 && b._5 == 230.0)
   }
+
+  test("touchAttribution: journeys split on conversions; first/last " +
+      "credit; lookback drops stale touches; cold convs only count") {
+    val e = Seq(
+      // user 1, journey 0: view, cart -> purchase; journey 1: view -> purchase
+      (1L, 0L * M, 1L, "view", 0.0),
+      (2L, 5L * M, 1L, "cart", 0.0),
+      (3L, 10L * M, 1L, "purchase", 1.0),
+      (4L, 20L * M, 1L, "view", 0.0),
+      (5L, 30L * M, 1L, "purchase", 1.0),
+      // user 2: stale touch (25h before conv) then a cold conversion
+      (6L, 0L * M, 2L, "cart", 0.0),
+      (7L, 25L * H, 2L, "purchase", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.touchAttribution(e, "purchase", 86400000L)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long)].collect()
+    assert(r.map(_._4).distinct.toSeq == Seq(3L)) // 3 conversions total
+    val m = r.map(x => x._1 -> x).toMap
+    assert(m("view") == (("view", 2L, 1L, 3L)))   // first in j0 and j1
+    assert(m("cart") == (("cart", 0L, 1L, 3L)))   // last in j0 only
+    assert(!m.contains("purchase"))
+  }
+
+  test("sprtTrace: constants have the right signs; an all-convert " +
+      "run crosses the H1 boundary at the closed-form day") {
+    val (c09, c19, a9, b9) = Events.sprtConstants(0.2, 0.8, 0.05, 0.05)
+    assert(c19 > 0L && c09 < 0L && a9 > 0L && b9 < 0L)
+    assert(c19 == 1386294361L)  // ln 4 at 1e9
+    assert(a9 == 2944438979L)   // ln 19
+    // one converting user per day: llr(day d) = d·ln4 crosses ln19 at d=3
+    val D = 24L * H
+    val e = (1 to 4).flatMap { d =>
+      Seq((d.toLong * 10L, (d - 1).toLong * D, d.toLong, "purchase", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.sprtTrace(e, "purchase", 0.2, 0.8, 0.05, 0.05)
+      .orderBy("day")
+      .as[(Long, Long, Long, Long, Long, Double, String)].collect()
+    assert(r.map(_._7).toSeq ==
+      Seq("continue", "continue", "accept_h1", "accept_h1"))
+    assert(r(2)._6 == 4.158883083) // 3·ln4 at 9dp
+  }
+
+  test("overlapJoin: closed-interval semantics incl. touching " +
+      "endpoints; equals the brute-force theta join; grid dups pruned") {
+    val a = Seq(("a1", 0L, 10L), ("a2", 25L, 40L), ("a3", 100L, 230L))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq(("b1", 10L, 20L), ("b2", 50L, 99L), ("b3", 0L, 300L))
+      .toDF("b_id", "b_start", "b_end")
+    val got = Events.overlapJoin(a, b, 16L)
+      .select("a_id", "b_id").as[(String, String)].collect().toSet
+    val want = (for {
+      (ai, as_, ae) <- Seq(("a1", 0L, 10L), ("a2", 25L, 40L),
+        ("a3", 100L, 230L))
+      (bi, bs, be) <- Seq(("b1", 10L, 20L), ("b2", 50L, 99L),
+        ("b3", 0L, 300L))
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)).toSet
+    assert(got == want)
+    assert(got.contains(("a1", "b1"))) // touching at 10 overlaps
+    assert(!got.contains(("a2", "b2")))
+    // a3 x b3 spans many 16-wide cells -> must appear exactly once
+    val n = Events.overlapJoin(a, b, 16L)
+      .filter(col("a_id") === "a3" && col("b_id") === "b3").count()
+    assert(n == 1L)
+  }
 }

@@ -169,4 +169,23 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Boolean, Boolean)].collect()
     assert(k3.forall(!_._3) && k3.forall(_._4))
   }
+
+  test("hits: one round of the 2-hub star matches hand-computed " +
+      "integer floors; L1 mass within floor loss of 1") {
+    // o1 -> {p1, p2}, o2 -> {p1}: a1 = (2/3, 1/3);
+    // h1 raw = (999999999, 666666666), tot = 1666666665 -> (0.6, 0.4)
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", rounds = 1)
+      .as[(Long, String, Double)].collect()
+      .map(x => (x._2, x._1) -> x._3).toMap
+    assert(r(("authority", 10L)) == 0.666666666)
+    assert(r(("authority", 20L)) == 0.333333333)
+    assert(r(("hub", 1L)) == 0.6)
+    assert(r(("hub", 2L)) == 0.4)
+    // floor normalization: each role's mass in (1 - 1e-6, 1]
+    Seq("hub", "authority").foreach { role =>
+      val m = r.collect { case ((ro, _), s) if ro == role => s }.sum
+      assert(m <= 1.0 + 1e-9 && m > 1.0 - 1e-6, s"$role mass $m")
+    }
+  }
 }
