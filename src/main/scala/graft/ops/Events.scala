@@ -855,14 +855,26 @@ object Events {
     * (day, trials, conversions, cum_trials, cum_conversions, llr,
     * decision). */
   def sprtTrace(events: DataFrame, convType: String, p0: Double,
-                p1: Double, alpha: Double, beta: Double): DataFrame = {
+                p1: Double, alpha: Double, beta: Double): DataFrame =
+    sprtTraceFromUserDays(userDayConversions(events, convType),
+      p0, p1, alpha, beta)
+
+  /** The (day, user, converted) distinct frame [[sprtTrace]] walks —
+    * exposed so the streaming twin can hold exactly this as its
+    * Complete-mode state and re-derive the identical trace. */
+  def userDayConversions(events: DataFrame,
+                         convType: String): DataFrame = events
+    .select(expr("ts div 86400000000000").as("day"), col("user_id"),
+      when(col("event_type") === convType, 1L).otherwise(0L).as("__c"))
+    .groupBy(col("day"), col("user_id"))
+    .agg(max(col("__c")).as("__conv"))
+
+  /** [[sprtTrace]]'s walk from an already-built [[userDayConversions]]
+    * frame (columns day, user_id, __conv). */
+  def sprtTraceFromUserDays(ud: DataFrame, p0: Double, p1: Double,
+                            alpha: Double, beta: Double): DataFrame = {
     val (c09, c19, a9, b9) = sprtConstants(p0, p1, alpha, beta)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ud = events
-      .select(expr("ts div 86400000000000").as("day"), col("user_id"),
-        when(col("event_type") === convType, 1L).otherwise(0L).as("__c"))
-      .groupBy(col("day"), col("user_id"))
-      .agg(max(col("__c")).as("__conv"))
     val wCum = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ud.groupBy(col("day"))

@@ -453,6 +453,29 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Events.sprtTrace]] — the
+    * sequential test is streaming-native (Wald designed it to stop a
+    * RUNNING experiment): the stream folds into the (day, user,
+    * converted) distinct frame (Complete-mode state, bounded by
+    * users × calendar days), and each micro-batch re-derives the full
+    * LLR walk via [[graft.ops.Events.sprtTraceFromUserDays]] — equal
+    * row-for-row to the batch trace over all events seen so far, so
+    * the first accept_h1/accept_h0 day is the live stopping rule. */
+  def sprtStream(events: DataFrame, convType: String, p0: Double,
+                 p1: Double, alpha: Double, beta: Double)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val ud = events
+      .select(expr("ts div 86400000000000").as("day"), col("user_id"),
+        when(col("event_type") === convType, 1L).otherwise(0L).as("__c"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("__c")).as("__conv"))
+    ud.writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.ops.Events.sprtTraceFromUserDays(batch,
+          p0, p1, alpha, beta), id)
+      }
+  }
+
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -560,6 +560,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q237: the overlap join meets by cell equality — never a " +
+      "cartesian or nested-loop range join") {
+    val p = plan("q237_overlap_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q228: the bootstrap resample spine rides broadcast; no " +
+      "sort-merge join anywhere in the walk") {
+    val p = plan("q228_bootstrap_ci")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q230: spearman's rank joins are keyed equi-joins; the only " +
+      "nested-loops are 1-row broadcasts") {
+    val p = plan("q230_spearman")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q238/q229: graph fixpoints join equi-keyed; totals broadcast; " +
+      "never cartesian") {
+    Seq("q238_hits", "q229_kcore").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin") || q == "q229_kcore", s"$q:\n$p")
+    }
+  }
+
+  test("q235: attribution windows are user-partitioned — no global " +
+      "single-partition window over the event log") {
+    val p = plan("q235_touch_attribution")
+    val eventWindows = p.linesIterator.filter(l =>
+      l.trim.startsWith("Window") && l.contains("_we0")).toSeq
+    // every Window over raw events must carry a partition spec
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("user_id"), s"unpartitioned window: $l")
+    }
+    assert(eventWindows.isEmpty || eventWindows.forall(_.contains("user_id")))
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over

@@ -579,4 +579,41 @@ class StreamOpsSpec extends SparkSpec {
       assert(last.head._4.exists(_ > 0.0))
     } finally q.stop()
   }
+
+  test("sprtStream: each micro-batch re-derivation equals the batch " +
+      "trace over all events seen so far; decisions move with the data") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Events
+    val D = 86400L * 1000000000L
+    // (event_id, ts, user_id, event_type, value): day d = user d
+    // converting -> llr climbs ln4 per day (the EventsSpec walk)
+    def day(d: Long, conv: Boolean) =
+      (d * 10L, (d - 1L) * D, d, if (conv) "purchase" else "view", 1.0)
+    val b1 = Seq(day(1, conv = true), day(2, conv = true))
+    val b2 = Seq(day(3, conv = true), day(4, conv = true))
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    @volatile var last: Set[(Long, Long, Long, Long, Long, Double,
+      String)] = Set.empty
+    val q = StreamOps.sprtStream(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "purchase", 0.2, 0.8, 0.05, 0.05) { (trace, _) =>
+        last = trace.as[(Long, Long, Long, Long, Long, Double, String)]
+          .collect().toSet
+      }.start()
+    try {
+      def batchSet(rows: Seq[(Long, Long, Long, String, Double)]) =
+        Events.sprtTrace(rows
+            .toDF("event_id", "ts", "user_id", "event_type", "value"),
+            "purchase", 0.2, 0.8, 0.05, 0.05)
+          .as[(Long, Long, Long, Long, Long, Double, String)]
+          .collect().toSet
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(last == batchSet(b1) && last.nonEmpty)
+      assert(last.forall(_._7 == "continue"))
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(last == batchSet(b1 ++ b2))
+      // day 3 crosses ln19: the live stopping rule fires
+      assert(last.exists(_._7 == "accept_h1"))
+    } finally q.stop()
+  }
 }
