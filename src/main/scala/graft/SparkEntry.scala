@@ -496,6 +496,10 @@ object SparkEntry {
   /** q238 HITS: unrolled mutual-reinforcement rounds (mirrored
     * round-for-round in the oracle CTE chain). */
   val HitsRounds = 2
+
+  /** q243 weighted WOR sample: draw count and the Gumbel-key salt. */
+  val WorK = 100
+  val WorSalt = "wor"
   /** q179 range-sorted layout file count — [[ZorderFiles]]' twin so the
     * one-column and two-column layouts are comparable. */
   val RangeFiles = 8
@@ -2191,6 +2195,50 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
       Graph.hits(lp, "o", "p", HitsRounds).orderBy("role", "id")
+    }),
+
+    // Cochran-Armitage: is the daily purchase rate drifting
+    // monotonically over the calendar — the ordered-alternative
+    // complement of q236's level test.
+    "q239_trend_test" -> ((s, dir) => {
+      Events.trendTest(Sources.eventsNs(s, dir), "purchase")
+    }),
+
+    // ECE/MCE over the q212 reliability bins — the one-number
+    // calibration gates, every per-bin gap an exact integer.
+    "q240_calibration_error" -> ((s, dir) => {
+      val qs = Text.qualityScore(t(s, dir, "documents"), "text",
+          Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      Quality.calibrationError(qs, "quality_score",
+        col("lang") === "en", IsoBins)
+    }),
+
+    // Token-weighted median quality per source — the median TOKEN's
+    // quality, where the row median overweights short docs.
+    "q241_weighted_median" -> ((s, dir) => {
+      Quality.weightedMedian(
+        Text.qualityScore(t(s, dir, "documents"), "text", Seq("source")),
+        "source", "quality_score", "n_tokens").orderBy("group")
+    }),
+
+    // Mann-Kendall on the daily purchase-event counts — monotone
+    // drift without a slope model, k bounded by the calendar.
+    "q242_mann_kendall" -> ((s, dir) => {
+      val daily = Sources.eventsNs(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      Quality.mannKendall(daily, "day", "n")
+    }),
+
+    // Gumbel-top-k weighted WOR sample: 100 docs drawn proportional
+    // to token mass, one scan + one distributed top-k.
+    "q243_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSampleWor(
+        Text.qualityScore(t(s, dir, "documents"), "text"),
+        "doc_id", "n_tokens", WorK, WorSalt)
+        .orderBy(desc("draw_key"), col("doc_id"))
     }),
 
     // Q1 (quality): one-pass per-column null profile of lineitem.
@@ -5367,6 +5415,129 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(a AS DOUBLE) / 1e9, 9) AS score FROM a$HitsRounds
          |ORDER BY role, id""".stripMargin
     },
+
+    // q239: exact HUGEINT moments over relative-day scores, the one
+    // z chain (A·N − R·B)/√(R(N−R)(CN−B²)/N).
+    "q239_trend_test" ->
+      s"""WITH ud AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END)::BIGINT AS conv
+         |  FROM events GROUP BY 1, 2
+         |),
+         |d AS (SELECT day, count(*)::BIGINT AS n,
+         |        sum(conv)::BIGINT AS r
+         |      FROM ud GROUP BY 1),
+         |d0 AS (SELECT min(day) AS dd FROM d),
+         |mm AS (
+         |  SELECT count(*)::BIGINT AS n_days,
+         |    sum(n)::BIGINT AS trials, sum(r)::BIGINT AS successes,
+         |    sum(CAST(day - dd AS HUGEINT) * r) AS a,
+         |    sum(CAST(day - dd AS HUGEINT) * n) AS b,
+         |    sum(CAST(day - dd AS HUGEINT) * (day - dd) * n) AS c
+         |  FROM d CROSS JOIN d0
+         |)
+         |SELECT n_days, trials, successes,
+         |  CASE WHEN CAST(successes AS HUGEINT)
+         |      * (trials - successes) * (c * trials - b * b) > 0 THEN
+         |    ${Portable.sqlRatio9(
+              "CAST(a * trials - successes * b AS DOUBLE)" +
+                " / sqrt(CAST(CAST(successes AS HUGEINT)" +
+                " * (trials - successes) * (c * trials - b * b)" +
+                " AS DOUBLE) / CAST(trials AS DOUBLE))")}
+         |  END AS z
+         |FROM mm""".stripMargin,
+
+    // q240: the q212 bins, per-bin gap |pos·1e9 − Σs9| exact, one
+    // division for ECE, integer-backed max for MCE.
+    "q240_calibration_error" ->
+      s"""$calibBinsSqlCte,
+         |g AS (
+         |  SELECT n,
+         |    abs(CAST(pos AS HUGEINT) * 1000000000 - ss) AS gap
+         |  FROM b
+         |)
+         |SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_bins,
+         |  CASE WHEN sum(n) > 0 THEN ${Portable.sqlRatio9(
+              "CAST(sum(gap) AS DOUBLE) / CAST(sum(n) AS DOUBLE) / 1e9")}
+         |  END AS ece,
+         |  round(CAST(max(CAST(floor(round(CAST(gap AS DOUBLE)
+         |    / CAST(n AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT))
+         |    AS DOUBLE) / 1e9, 9) AS mce
+         |FROM g""".stripMargin,
+
+    // q241: weighted distinct-value CDF per source, lower weighted
+    // median by the integer 2·cum ≥ W compare.
+    "q241_weighted_median" ->
+      s"""$qualityScoreSqlCtes,
+         |wv AS (
+         |  SELECT q.source AS "group", q.quality_score AS v,
+         |    len(string_split(d.text, ' '))::BIGINT AS w
+         |  FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+         |),
+         |gv AS (SELECT "group", v, count(*)::BIGINT AS n,
+         |         sum(w)::BIGINT AS gw
+         |       FROM wv GROUP BY 1, 2),
+         |cm AS (
+         |  SELECT "group", v, n, gw,
+         |    (sum(gw) OVER (PARTITION BY "group" ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |      ::BIGINT AS cum,
+         |    (sum(gw) OVER (PARTITION BY "group"))::BIGINT AS tot
+         |  FROM gv
+         |)
+         |SELECT "group", sum(n)::BIGINT AS n_rows,
+         |  max(tot)::BIGINT AS w_total,
+         |  min(CASE WHEN 2 * cum >= tot THEN v END) AS median
+         |FROM cm GROUP BY "group" ORDER BY "group"""".stripMargin,
+
+    // q242: the k² pair sign sum (k calendar-bounded), tie-corrected
+    // variance numerator exact, continuity-corrected z.
+    "q242_mann_kendall" ->
+      s"""WITH d AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS t,
+         |    count(*)::BIGINT AS n
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+         |),
+         |bb AS (SELECT t, CAST(floor(round(CAST(n AS DOUBLE), 9) * 1e9
+         |         + 0.5) AS BIGINT) AS v
+         |       FROM d),
+         |p AS (SELECT sum(CASE WHEN j.v > i.v THEN 1
+         |        WHEN j.v < i.v THEN -1 ELSE 0 END)::BIGINT AS s
+         |      FROM bb i JOIN bb j ON i.t < j.t),
+         |t2 AS (
+         |  SELECT count(*)::BIGINT AS nv, sum(u)::BIGINT AS k,
+         |    sum(u * (u - 1) * (2 * u + 5))::BIGINT AS tc
+         |  FROM (SELECT v, count(*)::BIGINT AS u FROM bb GROUP BY v) _
+         |)
+         |SELECT k, s,
+         |  CASE WHEN k >= 2 AND k * (k - 1) * (2 * k + 5) - tc > 0 THEN
+         |    ${Portable.sqlRatio9(
+              "CAST(s - sign(s) AS DOUBLE)" +
+                " / sqrt(CAST(k * (k - 1) * (2 * k + 5) - tc AS DOUBLE)" +
+                " / CAST(18 AS DOUBLE))")}
+         |  END AS z
+         |FROM p CROSS JOIN t2""".stripMargin,
+
+    // q243: the identical Gumbel-key chain — u strictly inside (0,1),
+    // key integerized once, (k9 DESC, id) rank, LIMIT k.
+    "q243_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS weight
+         |  FROM documents
+         |),
+         |kk AS (
+         |  SELECT doc_id, weight,
+         |    CAST(floor(round(ln(CAST(weight AS DOUBLE))
+         |      - ln(-ln((CAST(${Portable.sqlHash(s"'$WorSalt'", "doc_id")}
+         |        AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |        / CAST(1152921504606846976 AS DOUBLE))), 9) * 1e9
+         |      + 0.5) AS BIGINT) AS k9
+         |  FROM w WHERE weight > 0
+         |)
+         |SELECT doc_id, weight,
+         |  round(CAST(k9 AS DOUBLE) / 1e9, 9) AS draw_key
+         |FROM kk ORDER BY k9 DESC, doc_id LIMIT $WorK""".stripMargin,
 
     "q7_quality_nulls" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

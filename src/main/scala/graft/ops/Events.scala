@@ -892,6 +892,47 @@ object Events {
           .otherwise(lit("continue")).as("decision"))
   }
 
+  /** Cochran–Armitage trend test (Cochran '54; Armitage '55) on the
+    * daily conversion rate — "is the rate MONOTONICALLY drifting over
+    * the experiment's days", the ordered-alternative complement of
+    * [[sprtTrace]]'s level test (SPRT detects p ≠ p0; a novelty
+    * effect that decays day over day needs the trend statistic).
+    * Scores are the day indexes relative to the first day (integers,
+    * so every moment is exact).
+    *
+    * Exact core: with A = Σs·r, B = Σs·n, C = Σs²·n, N, R all exact
+    * DECIMAL(38,0), z = (A·N − R·B) / √(R·(N−R)·(C·N − B²)/N) — ONE
+    * pinned double chain (IEEE sqrt — portable). Degenerate rates
+    * (R = 0 or R = N) or a constant day score yield NULL z.
+    *
+    * Shape: the [[userDayConversions]] frame, a day-keyed rollup,
+    * a 1-row moment agg. Returns ONE row:
+    * (n_days, trials, successes, z). */
+  def trendTest(events: DataFrame, convType: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = userDayConversions(events, convType)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("__n"), sum(col("__conv")).as("__r"))
+    val d0 = daily.agg(min(col("day")).as("__d0"))
+    daily.crossJoin(broadcast(d0))
+      .withColumn("__s", (col("day") - col("__d0")).cast(dec))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__n")).as("trials"), sum(col("__r")).as("successes"),
+        sum(col("__s") * col("__r").cast(dec)).as("__a"),
+        sum(col("__s") * col("__n").cast(dec)).as("__b"),
+        sum(col("__s") * col("__s") * col("__n").cast(dec)).as("__c"))
+      .withColumn("__varn",
+        col("successes").cast(dec) *
+          (col("trials") - col("successes")).cast(dec) *
+          (col("__c") * col("trials").cast(dec) - col("__b") * col("__b")))
+      .select(col("n_days"), col("trials"), col("successes"),
+        when(col("__varn") > 0, Portable.ratio9(
+          (col("__a") * col("trials").cast(dec) -
+            col("successes").cast(dec) * col("__b")).cast("double") /
+            sqrt(col("__varn").cast("double") /
+              col("trials").cast("double")))).as("z"))
+  }
+
   /** Bucketed interval-overlap join — the batch scale path for
     * "which A-intervals overlap which B-intervals" (sessions ×
     * incident windows, spans × campaign flights). A naive theta-join

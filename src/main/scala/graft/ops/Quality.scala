@@ -1107,6 +1107,108 @@ object Quality {
         .cast("decimal(38,0)")).as("__se"))
   }
 
+  /** Expected / maximum calibration error over the
+    * [[reliabilityDiagram]] bins (Naeini et al., AAAI'15):
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, MCE = max_b |acc_b − conf_b|
+    * — the one-number calibration gates a model card quotes next to
+    * the diagram. The per-bin gap clears to EXACT integers:
+    * |acc − conf|·n_b = |pos_b·1e9 − Σs9_b| / 1e9, so ECE is one
+    * division of a DECIMAL sum and MCE one division per bin then an
+    * integer-backed max — no float accumulates anywhere.
+    *
+    * Shape: the same single binned agg as the diagram, then a 1-row
+    * rollup. Returns ONE row: (n, n_bins, ece, mce). */
+  def calibrationError(df: DataFrame, scoreCol: String,
+                       labelCol: Column, bins: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e9 = lit(1000000000L)
+    calibrationBins(df, scoreCol, labelCol, bins)
+      .select(col("n"), col("pos"), col("__ss"),
+        abs(col("pos").cast(dec) * e9 - col("__ss")).as("__gap"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        sum(col("__gap")).as("__g"),
+        max(floor(round(col("__gap").cast("double") /
+          col("n").cast("double") / lit(1e9), 9) * lit(1e9) + lit(0.5))
+          .cast("long")).as("__m9"))
+      .select(col("n"), col("n_bins"),
+        when(col("n") > 0L, Portable.ratio9(col("__g").cast("double") /
+          col("n").cast("double") / lit(1e9))).as("ece"),
+        round(col("__m9").cast("double") / lit(1e9), 9).as("mce"))
+  }
+
+  /** Mann–Kendall trend test (Mann '45; Kendall's S over a time
+    * series) on a SMALL ordered frame — one value per time key, k
+    * bounded by the calendar (daily/weekly aggregates; the
+    * [[graft.ops.Events.hourOfDayProfile]] family's frame sizes):
+    * S = Σ_{i<j} sign(v_j − v_i) with the tie-corrected normal
+    * approximation and ±1 continuity correction. The nonparametric
+    * "is this metric drifting monotonically" readout — no slope model,
+    * robust to any monotone transform.
+    *
+    * Contract: `df` has ONE row per `tCol` value (pre-aggregate).
+    * The pair join is k², which is the POINT — k is a calendar-
+    * bounded report axis, never data-sized (the [[mannWhitney]]
+    * variance-capacity note's discipline).
+    *
+    * Determinism: values integerize at 1e9 before comparing (sign on
+    * exact integers); S and the tie-corrected variance NUMERATOR
+    * (k(k−1)(2k+5) − Σ u(u−1)(2u+5), over 18) are exact LONGs; z is
+    * one pinned chain with the continuity correction. k < 2 or zero
+    * variance yields NULL z. Returns ONE row: (k, s, z). */
+  def mannKendall(df: DataFrame, tCol: String, vCol: String): DataFrame = {
+    val v9 = floor(round(col(vCol).cast("double"), 9) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val base = df.select(col(tCol).as("__t"), v9.as("__v"))
+    val pairs = base.toDF("__ti", "__vi")
+      .join(base.toDF("__tj", "__vj"), col("__ti") < col("__tj"))
+      .agg(sum(signum(col("__vj") - col("__vi")).cast("long")).as("s"))
+    val ties = base.groupBy(col("__v")).agg(count(lit(1)).as("__u"))
+      .agg(count(lit(1)).as("__nv"), sum(col("__u")).as("k"),
+        sum(col("__u") * (col("__u") - 1L) * (lit(2L) * col("__u") + 5L))
+          .as("__tc"))
+    pairs.crossJoin(broadcast(ties))
+      .withColumn("__vn",
+        col("k") * (col("k") - 1L) * (lit(2L) * col("k") + 5L) -
+          col("__tc"))
+      .select(col("k"), col("s"),
+        when(col("k") >= 2L && col("__vn") > 0L, Portable.ratio9(
+          (col("s") - signum(col("s")).cast("long")).cast("double") /
+            sqrt(col("__vn").cast("double") / lit(18.0)))).as("z"))
+  }
+
+  /** Exact weighted median per group over nonnegative INTEGER weights
+    * (token counts, byte sizes — the natural corpus masses): the
+    * smallest value whose cumulative weight reaches half the total
+    * (the lower weighted median, stated so both engines agree at the
+    * exact-half boundary). "The median quality of a TOKEN from this
+    * source" weighs big documents properly where the row median
+    * can't.
+    *
+    * Shape: one (group, value) agg, cumulative sums as windows over
+    * the per-group DISTINCT-VALUE frames (the CDF discipline — never
+    * a data sort), one min-conditional rollup per group. All
+    * arithmetic integer (2·cum vs W compares — no halving). Returns
+    * (group, n_rows, w_total, median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df.select(col(groupCol).as("group"),
+        col(valueCol).as("__v"), col(weightCol).cast("long").as("__w"))
+      .groupBy(col("group"), col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(col("__w")).as("__gw"))
+    val wOrd = Window.partitionBy(col("group")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("group"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gv.withColumn("__cum", sum(col("__gw")).over(wOrd))
+      .withColumn("__tot", sum(col("__gw")).over(wAll))
+      .groupBy(col("group"))
+      .agg(sum(col("__n")).as("n_rows"),
+        max(col("__tot")).as("w_total"),
+        min(when(lit(2L) * col("__cum") >= col("__tot"), col("__v")))
+          .as("median"))
+  }
+
   /** Reliability diagram of a probabilistic score against a binary
     * outcome: per score bucket, volume, mean forecast, observed
     * positive rate, and the bucket's own Brier (mean squared error)

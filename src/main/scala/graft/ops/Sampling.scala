@@ -204,6 +204,39 @@ object Sampling {
           .as("ess_ratio"))
   }
 
+  /** Weighted sampling WITHOUT replacement via the Gumbel-top-k trick
+    * (Efraimidis & Spirakis '06 / Vieira '14): each row draws
+    * key = ln(w) + Gumbel(u) from a KEYED-hash uniform and the top-k
+    * keys are exactly a w-proportional WOR sample — one scan, one
+    * distributed top-k (`TakeOrderedAndProject`), no sequential draw
+    * state, bit-reproducible across runs, partitionings and engines.
+    * The w-proportional complement of [[tokenBudget]]'s uniform draw:
+    * big documents should win labeling slots in proportion to their
+    * token mass.
+    *
+    * Determinism: u = (h + ½)/2⁶⁰ is strictly inside (0,1) (no ±∞
+    * through the double log chain — an ANSI cast of ∞ throws); the
+    * key integerizes at 1e9 through ONE pinned chain and ranking is
+    * (key9 DESC, id) — exact integers, deterministic ties. Zero or
+    * negative weights drop (ln undefined — and they'd never be
+    * sampled). Returns the k sampled rows:
+    * (id, weight, draw_key). */
+  def weightedSampleWor(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = Portable.seededHash(lit(salt), col(idCol))
+    val u = (h.cast("double") + lit(0.5)) / lit(Portable.TwoPow60)
+    val key = log(col(weightCol).cast("double")) - log(-log(u))
+    val key9 = floor(round(key, 9) * lit(1e9) + lit(0.5)).cast("long")
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        key9.as("__k9"))
+      .orderBy(col("__k9").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"),
+        round(col("__k9").cast("double") / lit(1e9), 9).as("draw_key"))
+  }
+
   /** Per-source token budget: documents are ranked by an independent
     * keyed-hash draw (id tiebreak — a deterministic uniform shuffle,
     * so the kept set is an unbiased sample of the source) and kept

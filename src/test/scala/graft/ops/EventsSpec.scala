@@ -664,6 +664,34 @@ class EventsSpec extends SparkSpec {
     assert(r(2)._6 == 4.158883083) // 3·ln4 at 9dp
   }
 
+  test("trendTest: rising daily rates give z > 0; flat rates give " +
+      "exactly 0; a single day is NULL") {
+    val D = 24L * H
+    // day d has 2 users; conversions 0, 1, 2 across days 1..3
+    def u(d: Long, uid: Long, conv: Boolean) =
+      (d * 100L + uid, (d - 1L) * D, uid + d * 10L,
+        if (conv) "purchase" else "view", 1.0)
+    val rising = Seq(
+      u(1, 1, conv = false), u(1, 2, conv = false),
+      u(2, 1, conv = true), u(2, 2, conv = false),
+      u(3, 1, conv = true), u(3, 2, conv = true)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.trendTest(rising, "purchase")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(r._1 == 3L && r._2 == 6L && r._3 == 3L)
+    assert(r._4.exists(_ > 1.7)) // perfect trend on 6 obs
+    val flat = Seq(
+      u(1, 1, conv = true), u(1, 2, conv = false),
+      u(2, 1, conv = true), u(2, 2, conv = false)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.trendTest(flat, "purchase")
+      .as[(Long, Long, Long, Option[Double])].head()._4.contains(0.0))
+    val one = Seq(u(1, 1, conv = true))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.trendTest(one, "purchase")
+      .as[(Long, Long, Long, Option[Double])].head()._4.isEmpty)
+  }
+
   test("overlapJoin: closed-interval semantics incl. touching " +
       "endpoints; equals the brute-force theta join; grid dups pruned") {
     val a = Seq(("a1", 0L, 10L), ("a2", 25L, 40L), ("a3", 100L, 230L))

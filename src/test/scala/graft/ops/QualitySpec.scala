@@ -687,4 +687,47 @@ class QualitySpec extends SparkSpec {
       rows(8)._2 == 1L)
     assert(math.abs(rows.flatMap(_._4).sum - 1.0) < 1e-8)
   }
+
+  test("calibrationError: hand-computed ECE/MCE; a perfectly sharp " +
+      "calibrated score reads 0") {
+    val off = Seq((0.9, true), (0.1, false)).toDF("s", "y")
+    val r = Quality.calibrationError(off, "s", col("y"), 10)
+      .as[(Long, Long, Option[Double], Double)].head()
+    assert(r._1 == 2L && r._2 == 2L)
+    assert(r._3.contains(0.1) && r._4 == 0.1)
+    // score 1.0 on positives, 0.0 on negatives: zero gap in each bin
+    val sharp = Seq((1.0, true), (1.0, true), (0.0, false)).toDF("s", "y")
+    val r0 = Quality.calibrationError(sharp, "s", col("y"), 10)
+      .as[(Long, Long, Option[Double], Double)].head()
+    assert(r0._3.contains(0.0) && r0._4 == 0.0)
+  }
+
+  test("mannKendall: strictly increasing series matches the closed " +
+      "form; decreasing flips sign; constant series is NULL") {
+    val up = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("t", "v")
+    val r = Quality.mannKendall(up, "t", "v")
+      .as[(Long, Long, Option[Double])].head()
+    assert(r._1 == 5L && r._2 == 10L)
+    // z = (10-1)/sqrt(5*4*15/18) = 9/4.082482905 = 2.2045407685
+    assert(r._3.contains(2.204540769))
+    val down = (1 to 5).map(i => (i.toLong, -i.toDouble)).toDF("t", "v")
+    assert(Quality.mannKendall(down, "t", "v")
+      .as[(Long, Long, Option[Double])].head()._3.contains(-2.204540769))
+    val const = (1 to 5).map(i => (i.toLong, 7.0)).toDF("t", "v")
+    assert(Quality.mannKendall(const, "t", "v")
+      .as[(Long, Long, Option[Double])].head()._3.isEmpty)
+  }
+
+  test("weightedMedian: mass beats row count; exact-half boundary " +
+      "takes the LOWER median; groups independent") {
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 2.0, 1L), ("g1", 3.0, 10L),
+      ("g2", 1.0, 1L), ("g2", 2.0, 1L)
+    ).toDF("src", "v", "w")
+    val r = Quality.weightedMedian(df, "src", "v", "w")
+      .orderBy("group")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r(0) == (("g1", 3L, 12L, 3.0)))  // 10/12 of mass at 3.0
+    assert(r(1) == (("g2", 2L, 2L, 1.0)))   // 2·cum(1)=2 >= 2 -> lower
+  }
 }

@@ -560,4 +560,19 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Option[Double], Option[Double])].head()
     assert(s._3.contains(1.0) && s._4.contains(0.125))
   }
+
+  test("weightedSampleWor: deterministic, distinct, k-bounded; a " +
+      "dominant weight wins its slot; zero weights never sampled") {
+    val df = ((1L to 50L).map(i => (i, 1L)) :+ (99L, 1000000L) :+
+      (100L, 0L)).toDF("id", "w")
+    def draw() = Sampling.weightedSampleWor(df, "id", "w", 5, "t")
+      .as[(Long, Long, Double)].collect()
+    val a = draw(); val b = draw()
+    assert(a.toSeq == b.toSeq)                   // keyed-hash: no RNG state
+    assert(a.length == 5 && a.map(_._1).distinct.length == 5)
+    assert(a.map(_._1).contains(99L))            // ln-weight advantage
+    assert(!a.map(_._1).contains(100L))          // w = 0 filtered
+    // keys are ranked descending
+    assert(a.map(_._3).toSeq == a.map(_._3).sortBy(-_).toSeq)
+  }
 }
