@@ -500,6 +500,10 @@ object SparkEntry {
   /** q243 weighted WOR sample: draw count and the Gumbel-key salt. */
   val WorK = 100
   val WorSalt = "wor"
+
+  /** q246 Apriori triples: minimum basket support (user-day
+    * event-type baskets). */
+  val TriSupport = 50L
   /** q179 range-sorted layout file count — [[ZorderFiles]]' twin so the
     * one-column and two-column layouts are comparable. */
   val RangeFiles = 8
@@ -2239,6 +2243,30 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         Text.qualityScore(t(s, dir, "documents"), "text"),
         "doc_id", "n_tokens", WorK, WorSalt)
         .orderBy(desc("draw_key"), col("doc_id"))
+    }),
+
+    // Flesch-Kincaid grade per doc — map-only regex counts, one
+    // pinned grade chain.
+    "q244_readability" -> ((s, dir) => {
+      Text.readability(t(s, dir, "documents"), "text").orderBy("doc_id")
+    }),
+
+    // Fano overdispersion of daily counts per event type — zero-fill
+    // via the calendar spine, one exact-integer division.
+    "q245_dispersion" -> ((s, dir) => {
+      Events.dispersionProfile(Sources.eventsNs(s, dir))
+        .orderBy("event_type")
+    }),
+
+    // Apriori frequent triples over user-day event-type baskets —
+    // which activity triads co-occur within a user's day; the
+    // level-wise prune that makes level 3 feasible.
+    "q246_frequent_triples" -> ((s, dir) => {
+      val ud = Sources.eventsNs(s, dir)
+        .select(concat_ws("#", col("user_id"),
+          expr("ts div 86400000000000")).as("bk"), col("event_type"))
+      Baskets.frequentTriples(ud, "bk", "event_type", TriSupport)
+        .orderBy("item_a", "item_b", "item_c")
     }),
 
     // Q1 (quality): one-pass per-column null profile of lineitem.
@@ -5538,6 +5566,83 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT doc_id, weight,
          |  round(CAST(k9 AS DOUBLE) / 1e9, 9) AS draw_key
          |FROM kk ORDER BY k9 DESC, doc_id LIMIT $WorK""".stripMargin,
+
+    // q244: the identical RE2 counts and the identical 0.39/11.8/15.59
+    // double chain (constants CAST to DOUBLE — DuckDB decimal-literal
+    // hazard).
+    "q244_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |      ::BIGINT AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      ::BIGINT AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      ::BIGINT AS n_syllables
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(CAST(CAST(floor(round(
+        |    CAST(0.39 AS DOUBLE) * CAST(n_words AS DOUBLE)
+        |      / CAST(n_sentences AS DOUBLE)
+        |    + CAST(11.8 AS DOUBLE) * CAST(n_syllables AS DOUBLE)
+        |      / CAST(n_words AS DOUBLE)
+        |    - CAST(15.59 AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 1e9, 9) AS fk_grade
+        |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+
+    // q245: the same zero-filled calendar spine and the one
+    // (k·Q − S²)/((k−1)·S) division.
+    "q245_dispersion" ->
+      s"""WITH cells AS (
+         |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         |    count(*)::BIGINT AS x
+         |  FROM events GROUP BY 1, 2
+         |),
+         |sp AS (SELECT unnest(range(lo, hi + 1)) AS day
+         |       FROM (SELECT min(day) AS lo, max(day) AS hi
+         |             FROM cells) _),
+         |ty AS (SELECT DISTINCT event_type FROM cells),
+         |fl AS (
+         |  SELECT t.event_type, s.day, coalesce(c.x, 0)::BIGINT AS x
+         |  FROM ty t CROSS JOIN sp s
+         |  LEFT JOIN cells c ON c.event_type = t.event_type
+         |    AND c.day = s.day
+         |),
+         |ag AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_days,
+         |    sum(x)::BIGINT AS n_events, sum(CAST(x AS HUGEINT) * x) AS q
+         |  FROM fl GROUP BY 1
+         |)
+         |SELECT event_type, n_days, n_events,
+         |  CASE WHEN n_days > 0 THEN ${Portable.sqlRatio9(
+              "CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)")}
+         |  END AS mean,
+         |  CASE WHEN n_days >= 2 AND n_events > 0 THEN
+         |    ${Portable.sqlRatio9(
+              "CAST(CAST(n_days AS HUGEINT) * q" +
+                " - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)" +
+                " / (CAST(n_days - 1 AS DOUBLE)" +
+                " * CAST(n_events AS DOUBLE))")}
+         |  END AS fano
+         |FROM ag ORDER BY event_type""".stripMargin,
+
+    // q246: the ground-truth 3-way ordered basket self-join — the
+    // Apriori-pruned engine plan must return exactly this set.
+    "q246_frequent_triples" ->
+      s"""WITH bi AS (
+         |  SELECT DISTINCT CAST(user_id AS VARCHAR) || '#'
+         |      || CAST(epoch_ns(ts) // 86400000000000 AS VARCHAR) AS b,
+         |    event_type AS i
+         |  FROM events
+         |)
+         |SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+         |  count(*)::BIGINT AS support
+         |FROM bi x
+         |JOIN bi y ON x.b = y.b AND x.i < y.i
+         |JOIN bi z ON x.b = z.b AND y.i < z.i
+         |GROUP BY 1, 2, 3 HAVING count(*) >= $TriSupport
+         |ORDER BY item_a, item_b, item_c""".stripMargin,
 
     "q7_quality_nulls" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

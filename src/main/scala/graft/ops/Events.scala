@@ -892,6 +892,53 @@ object Events {
           .otherwise(lit("continue")).as("decision"))
   }
 
+  /** Daily-count overdispersion profile per event type — the Fano
+    * factor (variance-to-mean ratio of the per-day counts): ≈1 is
+    * Poisson-compatible, ≫1 flags bursty/clumped arrivals (bot
+    * spikes, batch replays) that invalidate [[windowAnomaly]]'s
+    * normal baseline and any Poisson-assuming alert threshold.
+    * Absent days count as observed ZERO via the per-type day spine
+    * (the [[graft.ops.Quality.chiSquare]] zero-cell lesson — a type
+    * that fires one day a week is the most overdispersed, not the
+    * least).
+    *
+    * Exact core: with k days, S = Σx, Q = Σx² (DECIMAL — a hot
+    * type's x² overflows a LONG past ~3e9 events/day),
+    * fano = sample_var/mean = (k·Q − S²)/((k−1)·S) — ONE division of
+    * exact integers. S = 0 or k < 2 yields NULL.
+    *
+    * Shape: one (type, day) count agg, the bounded calendar spine
+    * cross (types × days), a type-keyed rollup. Returns
+    * (event_type, n_days, n_events, mean, fano). */
+  def dispersionProfile(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = events
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("__x"))
+    val spine = cells.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val types = cells.select(col("event_type")).distinct()
+    types.crossJoin(broadcast(spine))
+      .join(cells, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        coalesce(col("__x"), lit(0L)).as("__x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("n_events"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__q"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        when(col("n_days") > 0L, Portable.ratio9(
+          col("n_events").cast("double") / col("n_days").cast("double")))
+          .as("mean"),
+        when(col("n_days") >= 2L && col("n_events") > 0L,
+          Portable.ratio9(
+            (col("n_days").cast(dec) * col("__q") -
+              col("n_events").cast(dec) * col("n_events").cast(dec))
+              .cast("double") /
+              ((col("n_days") - 1L).cast("double") *
+                col("n_events").cast("double")))).as("fano"))
+  }
+
   /** Cochran–Armitage trend test (Cochran '54; Armitage '55) on the
     * daily conversion rate — "is the rate MONOTONICALLY drifting over
     * the experiment's days", the ordered-alternative complement of

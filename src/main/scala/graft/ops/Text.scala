@@ -884,6 +884,39 @@ object Text {
       .limit(k)
   }
 
+  /** Flesch–Kincaid grade-level readability per document (Kincaid
+    * '75) — the classic prose-complexity heuristic a quality funnel
+    * reads next to [[qualityScore]]: grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/word) − 15.59. Counts are pure RE2-safe regex
+    * counts identical in both engines ([[maskPii]]'s discipline):
+    * sentences = runs of [.!?] (min 1 — headline-style docs have no
+    * terminator), syllables ≈ vowel-group runs [aeiouy]+ of the
+    * lowercased text (the standard cheap proxy; stated as the
+    * CONTRACT, not an approximation to some truer count). Map-only —
+    * no join, no shuffle; the grade is ONE pinned double chain over
+    * the three exact integer counts, constants written as double
+    * literals in both engines.
+    *
+    * Returns one row per doc with ≥1 word:
+    * (doc_id, n_words, n_sentences, n_syllables, fk_grade). */
+  def readability(df: DataFrame, textCol: String): DataFrame = {
+    val words = size(filter(tokens(col(textCol)), w => w =!= ""))
+      .cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val sylls = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    df.select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .filter(col("n_words") > 0L)
+      .withColumn("fk_grade", Portable.ratio9(
+        lit(0.39) * col("n_words").cast("double") /
+          col("n_sentences").cast("double") +
+          lit(11.8) * col("n_syllables").cast("double") /
+            col("n_words").cast("double") - lit(15.59)))
+  }
+
   /** Jensen–Shannon divergence between two corpora's unigram
     * distributions — the SYMMETRIC, bounded ([0, ln 2]) complement of
     * [[unigramDrift]]'s one-way KL terms: JSD(A,B) = ½KL(A‖M) +

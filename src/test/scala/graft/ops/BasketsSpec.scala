@@ -64,4 +64,26 @@ class BasketsSpec extends SparkSpec {
     val sizes = shuffled.select(size($"basket")).as[Int].collect().sorted
     assert(sizes.toSeq === Seq(1, 4, 7))
   }
+
+  test("frequentTriples: exact support counting; Apriori prune is " +
+      "loss-free; support monotone under the pair supports") {
+    val bi = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 5L) // lone item: never in a triple
+    ).toDF("bk", "item")
+    val r = Baskets.frequentTriples(bi, "bk", "item", 2L)
+      .orderBy("item_a", "item_b", "item_c")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 3L, 2L), (1L, 2L, 4L, 2L)))
+    // support 3: only the {1,2} pair reaches 3 baskets, no triple does
+    assert(Baskets.frequentTriples(bi, "bk", "item", 3L).count() == 0L)
+    // duplicate (basket, item) rows never double-count support
+    val dup = bi.union(bi)
+    val rd = Baskets.frequentTriples(dup, "bk", "item", 2L)
+      .orderBy("item_a", "item_b", "item_c")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rd.toSeq == r.toSeq)
+  }
 }

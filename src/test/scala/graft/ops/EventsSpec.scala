@@ -692,6 +692,23 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].head()._4.isEmpty)
   }
 
+  test("dispersionProfile: a one-day burst reads Fano 6 on a 3-day " +
+      "span; a uniform type reads exactly 0; absent days count as 0") {
+    val D = 24L * H
+    val e = (
+      // type a: 6 events on day 1 of a 3-day span -> counts [6,0,0]
+      (1 to 6).map(i => (i.toLong, 0L, i.toLong, "a", 1.0)) ++
+      // type b: 2 events each day -> counts [2,2,2]
+      (0 to 2).flatMap(d => Seq(
+        (100L + d * 2, d * D, 1L, "b", 1.0),
+        (101L + d * 2, d * D + M, 2L, "b", 1.0)))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.dispersionProfile(e).orderBy("event_type")
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+    assert(r(0) == (("a", 3L, 6L, Some(2.0), Some(6.0))))
+    assert(r(1) == (("b", 3L, 6L, Some(2.0), Some(0.0))))
+  }
+
   test("overlapJoin: closed-interval semantics incl. touching " +
       "endpoints; equals the brute-force theta join; grid dups pruned") {
     val a = Seq(("a1", 0L, 10L), ("a2", 25L, 40L), ("a3", 100L, 230L))

@@ -706,4 +706,21 @@ class TextSpec extends SparkSpec {
     // top 1% of 10 types = ceil(0.1)=1 type = z -> 91/100
     assert(sk._4 == 0.91 && sk._5 == 0.91)
   }
+
+  test("readability: hand-computed FK grade; terminator-less docs " +
+      "clamp to one sentence; wordless docs drop") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syl
+      (2L, "no terminator here"),        // 3 words, 1 sent, 6 syl
+      (3L, "")                            // wordless: drops
+    ).toDF("doc_id", "text")
+    val r = Text.readability(docs, "text").orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r.length == 2)
+    assert(r(0) == ((1L, 6L, 2L, 6L, -2.62)))
+    // vowel runs: "no" o | "terminator" e,i,a,o | "here" e,e -> 7
+    assert(r(1)._2 == 3L && r(1)._3 == 1L && r(1)._4 == 7L)
+    val g2 = 0.39 * 3.0 / 1.0 + 11.8 * 7.0 / 3.0 - 15.59
+    assert(math.abs(r(1)._5 - g2) < 1e-8)
+  }
 }
