@@ -2269,6 +2269,19 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("item_a", "item_b", "item_c")
     }),
 
+    // Per-dimension embedding feature health: dead dims, scale
+    // drift, stuck-at-zero — one wide-agg pass, d rows out.
+    "q247_embedding_dim_stats" -> ((s, dir) => {
+      Quality.embeddingDimStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")
+    }),
+
+    // L2-norm distribution audit: exact order-statistic quantiles
+    // off the distinct-norm CDF — collapse / stray-giant detector.
+    "q248_embedding_norms" -> ((s, dir) => {
+      Quality.embeddingNormProfile(t(s, dir, "embeddings"), "embedding")
+    }),
+
     // Q1 (quality): one-pass per-column null profile of lineitem.
     "q7_quality_nulls" -> ((s, dir) => {
       Quality.report(t(s, dir, "lineitem"))
@@ -5643,6 +5656,92 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |JOIN bi z ON x.b = z.b AND y.i < z.i
          |GROUP BY 1, 2, 3 HAVING count(*) >= $TriSupport
          |ORDER BY item_a, item_b, item_c""".stripMargin,
+
+    // q247: a dimension spine (data-driven length) indexes each
+    // coordinate; identical integerized moment sums per dim.
+    "q247_embedding_dim_stats" ->
+      s"""WITH dm AS (
+         |  SELECT unnest(range(1,
+         |    (SELECT len(embedding) FROM embeddings LIMIT 1) + 1))
+         |    AS dim
+         |),
+         |x AS (
+         |  SELECT d.dim,
+         |    CAST(floor(round(CAST(embedding[d.dim] AS DOUBLE), 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS x9
+         |  FROM embeddings CROSS JOIN dm d
+         |  WHERE embedding IS NOT NULL
+         |    AND len(embedding) =
+         |      (SELECT len(embedding) FROM embeddings LIMIT 1)
+         |),
+         |a AS (
+         |  SELECT dim, count(*)::BIGINT AS n, sum(x9)::BIGINT AS s,
+         |    sum(CAST(x9 AS HUGEINT) * x9) AS q,
+         |    min(x9)::BIGINT AS lo, max(x9)::BIGINT AS hi,
+         |    sum(CASE WHEN x9 = 0 THEN 1 ELSE 0 END)::BIGINT AS z
+         |  FROM x GROUP BY dim
+         |)
+         |SELECT dim::INT AS dim, n,
+         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
+              "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9")}
+         |  END AS mean,
+         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
+              "sqrt(greatest(CAST(0 AS DOUBLE)," +
+                " CAST(CAST(n AS HUGEINT) * q" +
+                " - CAST(s AS HUGEINT) * s AS DOUBLE)))" +
+                " / CAST(n AS DOUBLE) / 1e9")}
+         |  END AS std,
+         |  round(CAST(lo AS DOUBLE) / 1e9, 9) AS min,
+         |  round(CAST(hi AS DOUBLE) / 1e9, 9) AS max,
+         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
+              "CAST(z AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  END AS zero_frac
+         |FROM a ORDER BY dim""".stripMargin,
+
+    // q248: per-vector exact Σx9², one sqrt chain to the 1e9 norm,
+    // exact ⌈p·n⌉ order statistics off the distinct-norm CDF.
+    "q248_embedding_norms" -> {
+      def qq(num: Int, name: String) =
+        s"""round(CAST(min(CASE WHEN cum * 100 >= tt.n * $num
+           |    THEN n9 END) AS DOUBLE) / 1e9, 9) AS $name""".stripMargin
+      s"""WITH xs AS (
+         |  SELECT vec_id,
+         |    CAST(floor(round(CAST(unnest(embedding) AS DOUBLE), 9)
+         |      * 1e9 + 0.5) AS BIGINT) AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |),
+         |rn AS (
+         |  SELECT vec_id,
+         |    CAST(floor(round(sqrt(CAST(sum(CAST(y AS HUGEINT) * y)
+         |      AS DOUBLE)) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS n9
+         |  FROM xs GROUP BY vec_id
+         |),
+         |g AS (SELECT n9, count(*)::BIGINT AS c FROM rn GROUP BY n9),
+         |cd AS (
+         |  SELECT n9, c, (sum(c) OVER (ORDER BY n9 ROWS BETWEEN
+         |    UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+         |  FROM g
+         |),
+         |tt AS (
+         |  SELECT sum(c)::BIGINT AS n,
+         |    sum(CAST(n9 AS HUGEINT) * c) AS sn,
+         |    sum(CASE WHEN n9 = 0 THEN c ELSE 0 END)::BIGINT AS n_zero
+         |  FROM g
+         |)
+         |SELECT tt.n, tt.n_zero,
+         |  CASE WHEN tt.n > 0 THEN ${Portable.sqlRatio9(
+              "CAST(tt.sn AS DOUBLE) / CAST(tt.n AS DOUBLE) / 1e9")}
+         |  END AS mean,
+         |  ${qq(1, "p01")},
+         |  ${qq(25, "p25")},
+         |  ${qq(50, "p50")},
+         |  ${qq(75, "p75")},
+         |  ${qq(99, "p99")},
+         |  round(CAST(min(n9) AS DOUBLE) / 1e9, 9) AS min,
+         |  round(CAST(max(n9) AS DOUBLE) / 1e9, 9) AS max
+         |FROM cd CROSS JOIN tt
+         |GROUP BY tt.n, tt.sn, tt.n_zero""".stripMargin
+    },
 
     "q7_quality_nulls" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -697,6 +697,114 @@ object Quality {
           .as("excess"))
   }
 
+  /** Per-dimension embedding feature health — mean / std / min / max
+    * / zero fraction for every coordinate: the table that catches
+    * dead dimensions (std 0), scale drift between model versions
+    * (one dim 100× its siblings distorts every unnormalized dot),
+    * and stuck-at-zero features, none of which the vector-level
+    * [[embeddingChecks]] can see. One pass: the [[graft.ops
+    * .Similarity.meanPoolEmbeddings]] wide-agg discipline — d×5
+    * map-side-combined agg columns, never a per-dim explode into
+    * skinny rows — then a d-row inline. The dimension comes from a
+    * 1-row probe (bounded driver probe; mis-sized/null vectors are
+    * [[embeddingChecks]]' job and are excluded here).
+    *
+    * Determinism: coordinates integerize at 1e9 (float32 values are
+    * exact in double); sums and squared sums are exact LONG/DECIMAL;
+    * mean, std = √((n·Σx²−S²))/n/1e9 and zero_frac are single pinned
+    * chains; min/max are exact integers over 1e9.
+    * Returns d rows: (dim — 1-based —, n, mean, std, min, max,
+    * zero_frac). */
+  def embeddingDimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dim = emb.select(size(col(vecCol)).as("n")).head().getInt(0)
+    val clean = emb.select(col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+    def x9(i: Int) = floor(round(element_at(col("__v"), i + 1)
+      .cast("double"), 9) * lit(1e9) + lit(0.5)).cast("long")
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(sum(x9(i)).as(s"__s$i"),
+        sum(x9(i).cast(dec) * x9(i).cast(dec)).as(s"__q$i"),
+        min(x9(i)).as(s"__lo$i"), max(x9(i)).as(s"__hi$i"),
+        sum(when(x9(i) === 0L, 1L).otherwise(0L)).as(s"__z$i"))
+    }
+    val wide = clean.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = (0 until dim).map { i =>
+      struct(lit(i + 1).as("dim"), col("__n").as("n"),
+        when(col("__n") > 0L, Portable.ratio9(
+          col(s"__s$i").cast("double") / col("__n").cast("double") /
+            lit(1e9))).as("mean"),
+        when(col("__n") > 0L, Portable.ratio9(
+          sqrt(greatest(lit(0.0),
+            (col("__n").cast(dec) * col(s"__q$i") -
+              col(s"__s$i").cast(dec) * col(s"__s$i").cast(dec))
+              .cast("double"))) / col("__n").cast("double") / lit(1e9)))
+          .as("std"),
+        round(col(s"__lo$i").cast("double") / lit(1e9), 9).as("min"),
+        round(col(s"__hi$i").cast("double") / lit(1e9), 9).as("max"),
+        when(col("__n") > 0L, Portable.ratio9(
+          col(s"__z$i").cast("double") / col("__n").cast("double")))
+          .as("zero_frac"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Embedding L2-norm distribution audit — the collapsed/exploded-
+    * vector detector: per corpus, count, mean norm, exact order-
+    * statistic quantiles (p01/p25/p50/p75/p99 as the ⌈p·n⌉-th norm),
+    * min/max, and the zero-vector count. A healthy normalized store
+    * reads ≈1 everywhere; a fat left tail is collapse, stray giants
+    * distort every unnormalized dot product.
+    *
+    * Determinism: per-row Σx₉² is an exact LONG (coordinate-mass
+    * bound: |x|≤~10 ⇒ per-row ≤ d·10²⁰ — DECIMAL carries it); the
+    * norm √(Σx₉²)/1e9 is one pinned chain integerized back at 1e9;
+    * quantiles are exact order statistics off the distinct-norm CDF
+    * (never a data sort); mean is one division of the exact LONG sum.
+    * Returns ONE row: (n, n_zero, mean, p01, p25, p50, p75, p99,
+    * min, max). */
+  def embeddingNormProfile(emb: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ssq = aggregate(col(vecCol),
+      lit(0L).cast(dec),
+      (acc, x) => acc + {
+        val x9 = floor(round(x.cast("double"), 9) * lit(1e9) + lit(0.5))
+          .cast("long")
+        (x9.cast(dec) * x9.cast(dec))
+      })
+    val n9 = floor(round(sqrt(ssq.cast("double")) / lit(1e9), 9) *
+      lit(1e9) + lit(0.5)).cast("long")
+    val norms = emb.filter(col(vecCol).isNotNull)
+      .select(n9.as("__n9"))
+      .groupBy(col("__n9")).agg(count(lit(1)).as("__c"))
+    val wOrd = Window.orderBy(col("__n9"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = norms.withColumn("__cum", sum(col("__c")).over(wOrd))
+    def q(pNum: Int, pDen: Int, name: String) =
+      min(when(col("__cum") * pDen >= col("__n") * pNum, col("__n9")))
+        .as(name)
+    cdf.crossJoin(broadcast(
+        norms.agg(sum(col("__c")).as("__n"),
+          sum(col("__n9").cast(dec) * col("__c").cast(dec)).as("__sn"),
+          sum(when(col("__n9") === 0L, col("__c")).otherwise(0L))
+            .as("n_zero"))))
+      .groupBy(col("__n"), col("__sn"), col("n_zero"))
+      .agg(q(1, 100, "__p01"), q(25, 100, "__p25"), q(50, 100, "__p50"),
+        q(75, 100, "__p75"), q(99, 100, "__p99"),
+        min(col("__n9")).as("__min"), max(col("__n9")).as("__max"))
+      .select(col("__n").as("n"), col("n_zero"),
+        when(col("__n") > 0L, Portable.ratio9(col("__sn").cast("double") /
+          col("__n").cast("double") / lit(1e9))).as("mean"),
+        round(col("__p01").cast("double") / lit(1e9), 9).as("p01"),
+        round(col("__p25").cast("double") / lit(1e9), 9).as("p25"),
+        round(col("__p50").cast("double") / lit(1e9), 9).as("p50"),
+        round(col("__p75").cast("double") / lit(1e9), 9).as("p75"),
+        round(col("__p99").cast("double") / lit(1e9), 9).as("p99"),
+        round(col("__min").cast("double") / lit(1e9), 9).as("min"),
+        round(col("__max").cast("double") / lit(1e9), 9).as("max"))
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney'02; Machanavajjhala
     * et al.'07) — the release-gate numbers for any table carrying
     * quasi-identifiers: a row is k-anonymous iff at least k rows share

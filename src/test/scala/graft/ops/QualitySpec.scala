@@ -718,6 +718,37 @@ class QualitySpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].head()._3.isEmpty)
   }
 
+  test("embeddingDimStats: dead dim reads std 0 / zero_frac 1; " +
+      "null and ragged vectors excluded from the moments") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]]), (4L, Seq(5.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Quality.embeddingDimStats(vecs, "embedding").orderBy("dim")
+      .as[(Int, Long, Option[Double], Option[Double], Double, Double,
+        Option[Double])].collect()
+    assert(r.length == 2)
+    assert(r(0) == ((1, 2L, Some(2.0), Some(1.0), 1.0, 3.0, Some(0.0))))
+    assert(r(1) == ((2, 2L, Some(0.0), Some(0.0), 0.0, 0.0, Some(1.0))))
+  }
+
+  test("embeddingNormProfile: hand norms (0, 5, 10) land the exact " +
+      "order statistics; zero vector counted") {
+    val vecs = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(6.0f, 8.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Quality.embeddingNormProfile(vecs, "embedding")
+      .as[(Long, Long, Option[Double], Double, Double, Double, Double,
+        Double, Double, Double)].head()
+    assert(r._1 == 3L && r._2 == 1L)
+    assert(r._3.contains(5.0))
+    assert(r._4 == 0.0)   // p01 = 1st order stat
+    assert(r._6 == 5.0)   // p50 = ceil(1.5) = 2nd
+    assert(r._8 == 10.0)  // p99 = 3rd
+    assert(r._9 == 0.0 && r._10 == 10.0)
+  }
+
   test("weightedMedian: mass beats row count; exact-half boundary " +
       "takes the LOWER median; groups independent") {
     val df = Seq(
