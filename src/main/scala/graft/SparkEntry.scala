@@ -2282,6 +2282,18 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       Quality.embeddingNormProfile(t(s, dir, "embeddings"), "embedding")
     }),
 
+    // Incremental data card: state built on the even half, the odd
+    // half MERGED in, rendered — hashed against a full-corpus rebuild
+    // oracle, so merge-equals-rebuild runs under the driver's gate.
+    "q249_data_card_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val st = Quality.corpusReportState(
+        docs.filter(col("doc_id") % 2 === 0), "source", "lang", "text")
+      Quality.corpusReportFinish(Quality.corpusReportMerge(st,
+          docs.filter(col("doc_id") % 2 === 1), "source", "lang", "text"))
+        .orderBy("source", "lang")
+    }),
+
     // Q1 (quality): one-pass per-column null profile of lineitem.
     "q7_quality_nulls" -> ((s, dir) => {
       Quality.report(t(s, dir, "lineitem"))
@@ -5742,6 +5754,35 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM cd CROSS JOIN tt
          |GROUP BY tt.n, tt.sn, tt.n_zero""".stripMargin
     },
+
+    // q249: the FULL-corpus rebuild of the exact-integer card — the
+    // engine's state-merge path must hash to this, which is the
+    // merge-equals-rebuild law under the driver's gate.
+    "q249_data_card_merge" ->
+      s"""$qualityScoreSqlCtes,
+         |st AS (
+         |  SELECT q.source AS source, q.lang AS lang,
+         |    count(*)::BIGINT AS n_docs,
+         |    sum(len(string_split(d.text, ' ')))::BIGINT AS n_tokens,
+         |    sum(CAST(CAST(floor(round(quality_score, 9) * 1e9 + 0.5)
+         |      AS BIGINT) AS HUGEINT)) AS sum_q9,
+         |    min(CAST(floor(round(quality_score, 9) * 1e9 + 0.5)
+         |      AS BIGINT))::BIGINT AS min_q9,
+         |    max(CAST(floor(round(quality_score, 9) * 1e9 + 0.5)
+         |      AS BIGINT))::BIGINT AS max_q9
+         |  FROM qs q JOIN documents d ON d.doc_id = q.doc_id
+         |  GROUP BY q.source, q.lang
+         |)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  CASE WHEN n_docs > 0 THEN ${Portable.sqlRatio9(
+              "CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |  END AS mean_tokens,
+         |  CASE WHEN n_docs > 0 THEN ${Portable.sqlRatio9(
+              "CAST(sum_q9 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e9")}
+         |  END AS mean_quality,
+         |  round(CAST(min_q9 AS DOUBLE) / 1e9, 9) AS min_quality,
+         |  round(CAST(max_q9 AS DOUBLE) / 1e9, 9) AS max_quality
+         |FROM st ORDER BY source, lang""".stripMargin,
 
     "q7_quality_nulls" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -1784,6 +1784,59 @@ object Quality {
         round(min(col("quality_score")), 9).as("min_quality"),
         round(max(col("quality_score")), 9).as("max_quality"))
 
+  /** Mergeable data-card state — [[corpusReport]] re-based on EXACT
+    * integer internals so the card can be maintained INCREMENTALLY:
+    * per (source, lang), doc/token counts, the 1e9-integerized
+    * quality-score sum (DECIMAL(38,0)), and integer min/max. Every
+    * column is a commutative monoid, so a nightly ingest merges its
+    * batch state into the stored card without ever re-scanning the
+    * corpus — the [[scd2Merge]] discipline for the reporting layer.
+    * [[corpusReportMerge]] folds a new batch in;
+    * [[corpusReportFinish]] renders the human card; the q249 oracle
+    * hashes finish∘merge against a full-corpus rebuild, which IS the
+    * merge-equals-rebuild law under the driver's gate. */
+  def corpusReportState(df: DataFrame, sourceCol: String,
+                        langCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q9 = floor(round(col("quality_score"), 9) * lit(1e9) + lit(0.5))
+      .cast("long")
+    Text.qualityScore(df, textCol, Seq(sourceCol, langCol))
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        col("n_tokens"), q9.as("__q9"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__q9").cast(dec)).as("sum_q9"),
+        min(col("__q9")).as("min_q9"), max(col("__q9")).as("max_q9"))
+  }
+
+  /** Fold a new batch into a stored [[corpusReportState]] — one
+    * batch-sized state build plus a slice-keyed merge agg; the
+    * historical corpus never re-scans. */
+  def corpusReportMerge(state: DataFrame, newDocs: DataFrame,
+                        sourceCol: String, langCol: String,
+                        textCol: String): DataFrame =
+    state.unionByName(
+        corpusReportState(newDocs, sourceCol, langCol, textCol))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("sum_q9")).as("sum_q9"),
+        min(col("min_q9")).as("min_q9"), max(col("max_q9")).as("max_q9"))
+
+  /** Render the human card from a [[corpusReportState]]: means as
+    * single divisions of the exact integer sums, min/max over 1e9. */
+  def corpusReportFinish(state: DataFrame): DataFrame =
+    state.select(col("source"), col("lang"), col("n_docs"),
+      col("n_tokens"),
+      when(col("n_docs") > 0L, Portable.ratio9(
+        col("n_tokens").cast("double") / col("n_docs").cast("double")))
+        .as("mean_tokens"),
+      when(col("n_docs") > 0L, Portable.ratio9(
+        col("sum_q9").cast("double") / col("n_docs").cast("double") /
+          lit(1e9))).as("mean_quality"),
+      round(col("min_q9").cast("double") / lit(1e9), 9).as("min_quality"),
+      round(col("max_q9").cast("double") / lit(1e9), 9).as("max_quality"))
+
   /** Key-skew audit — the pre-flight a 100 TB join/agg runs before
     * choosing a partitioning strategy: one row profiling how a key
     * column's mass is distributed. `max_key_share` near 1 or a fat

@@ -718,6 +718,32 @@ class QualitySpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].head()._3.isEmpty)
   }
 
+  test("corpusReportState/Merge/Finish: merge equals rebuild on any " +
+      "split; an empty batch is the identity") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "s1", "en"),
+      (2L, "a b", "s1", "en"),
+      (3L, "der hund und die katze und das haus", "s2", "de"),
+      (4L, "the cat sat on the mat again and again today", "s2", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    def card(df: org.apache.spark.sql.DataFrame) =
+      Quality.corpusReportFinish(
+        Quality.corpusReportState(df, "source", "lang", "text"))
+        .orderBy("source", "lang").collect().toSeq
+    val rebuild = card(docs)
+    val merged = Quality.corpusReportFinish(Quality.corpusReportMerge(
+        Quality.corpusReportState(docs.filter($"doc_id" <= 2),
+          "source", "lang", "text"),
+        docs.filter($"doc_id" > 2), "source", "lang", "text"))
+      .orderBy("source", "lang").collect().toSeq
+    assert(merged == rebuild)
+    val idEmpty = Quality.corpusReportFinish(Quality.corpusReportMerge(
+        Quality.corpusReportState(docs, "source", "lang", "text"),
+        docs.filter($"doc_id" < 0), "source", "lang", "text"))
+      .orderBy("source", "lang").collect().toSeq
+    assert(idEmpty == rebuild)
+  }
+
   test("embeddingDimStats: dead dim reads std 0 / zero_frac 1; " +
       "null and ragged vectors excluded from the moments") {
     val vecs = Seq(
