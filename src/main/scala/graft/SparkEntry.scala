@@ -392,6 +392,13 @@ object SparkEntry {
   def q106JsonlPath(dir: String): String =
     "/root/repo/target/q106_jsonl_" + dir.split('/').last
 
+  /** q250 ORC round-trip scratch dir (one per SF, like q106's). */
+  def q250OrcPath(dir: String): String =
+    "/root/repo/target/q250_orc_" + dir.split('/').last
+
+  /** q251 RAKE: corpus keyphrase count. */
+  val RakeK = 20
+
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
 
@@ -2280,6 +2287,30 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // off the distinct-norm CDF — collapse / stray-giant detector.
     "q248_embedding_norms" -> ((s, dir) => {
       Quality.embeddingNormProfile(t(s, dir, "embeddings"), "embedding")
+    }),
+
+    // RAKE corpus keyphrases: stopword-delimited phrase runs,
+    // deg/freq word scores, exact integer phrase sums, one top-k.
+    "q251_rake_keyphrases" -> ((s, dir) => {
+      Text.rakeKeyphrases(t(s, dir, "documents"), "text", RakeK)
+    }),
+
+    // ORC round-trip: the interchange slice written as ORC, read
+    // back, aggregated — hashed against the parquet original, so the
+    // format conversion is content-equal under the driver's gate.
+    "q250_orc_roundtrip" -> ((s, dir) => {
+      val path = q250OrcPath(dir)
+      Sources.writeOrc(t(s, dir, "documents")
+        .filter(col("doc_id") % 8 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .repartition(1), path)
+      Sources.orc(s, path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
     }),
 
     // Incremental data card: state built on the even half, the odd
@@ -5754,6 +5785,67 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM cd CROSS JOIN tt
          |GROUP BY tt.n, tt.sn, tt.n_zero""".stripMargin
     },
+
+    // q251: the same break/score/assembly chain — zipped unnest for
+    // positions, window phrase ids, deg/freq integerized once,
+    // ordered string_agg assembly.
+    "q251_rake_keyphrases" -> {
+      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+         |    unnest(range(1, len(string_split(lower(text), ' ')) + 1))
+         |      AS pos
+         |  FROM documents
+         |),
+         |mk AS (
+         |  SELECT doc_id, pos, w,
+         |    CASE WHEN w IN ($stopList) OR w = '' THEN 1 ELSE 0 END
+         |      AS st
+         |  FROM tok
+         |),
+         |ph AS (
+         |  SELECT doc_id, pos, w, st,
+         |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos ROWS
+         |      BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+         |  FROM mk
+         |),
+         |wl AS (
+         |  SELECT doc_id, pid, pos, w,
+         |    count(*) OVER (PARTITION BY doc_id, pid) AS len
+         |  FROM ph WHERE st = 0
+         |),
+         |ws AS (
+         |  SELECT w, CAST(floor(round(CAST(sum(len) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
+         |    AS ws9
+         |  FROM wl GROUP BY w
+         |),
+         |pr AS (
+         |  SELECT wl.doc_id, wl.pid,
+         |    string_agg(wl.w, ' ' ORDER BY wl.pos) AS phrase,
+         |    count(*)::BIGINT AS n_words, sum(ws.ws9)::BIGINT AS s9
+         |  FROM wl JOIN ws USING (w)
+         |  GROUP BY wl.doc_id, wl.pid
+         |),
+         |ag AS (
+         |  SELECT phrase, max(n_words)::BIGINT AS n_words,
+         |    count(*)::BIGINT AS n_occurrences, max(s9)::BIGINT AS s9
+         |  FROM pr GROUP BY phrase
+         |)
+         |SELECT phrase, n_words, n_occurrences,
+         |  round(CAST(s9 AS DOUBLE) / 1e9, 9) AS score
+         |FROM ag ORDER BY s9 DESC, phrase LIMIT $RakeK""".stripMargin
+    },
+
+    // q250: DuckDB cannot read ORC, and doesn't need to — the oracle
+    // aggregates the PARQUET original of the same slice; matching
+    // hashes prove the ORC write→read preserved content exactly.
+    "q250_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 8 = 0
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // q249: the FULL-corpus rebuild of the exact-integer card — the
     // engine's state-merge path must hash to this, which is the

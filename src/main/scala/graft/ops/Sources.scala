@@ -89,6 +89,21 @@ object Sources {
                               partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** ORC sink — the columnar interchange format the Hive/Trino side
+    * of a lakehouse speaks. Same writer-parallelism contract as
+    * [[writeParquet]]; ORC carries its own schema and per-stripe
+    * stats, so the read side stays splittable with pushdown. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC scan (schema from the file footer — ORC is self-describing,
+    * so unlike [[jsonl]] no caller schema is needed and no inference
+    * pass runs). q250 round-trips the documents interchange slice
+    * through [[writeOrc]] → here and hashes the content against the
+    * parquet original — format-independent content equality. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Schema-pinned JSONL scan — one JSON object per line, the lingua
     * franca of LLM-corpus interchange (every public corpus release and
     * every training loader speaks it). Same inversion as [[csv]]: the

@@ -884,6 +884,69 @@ object Text {
       .limit(k)
   }
 
+  /** RAKE keyphrase extraction (Rose et al. '10) — corpus-level top-k
+    * multi-word keyphrases: candidate phrases are the maximal runs of
+    * non-stopword tokens (stopwords and empty tokens are the phrase
+    * BREAKS — the contract; punctuation-aware splitting would extend
+    * the break set), each word scores deg(w)/freq(w) with
+    * deg(w) = Σ over the word's phrase occurrences of the phrase
+    * length (frequency + co-occurrence, RAKE's ratio that favors
+    * words living in long phrases), and a phrase scores the sum of
+    * its word scores. The keyword table [[topKeywords]] can't see
+    * multi-word terms; RAKE is the standard cheap phrase miner.
+    *
+    * Cross-engine determinism: word scores integerize at 1e9 (ONE
+    * pinned division each); phrase scores are exact LONG sums of
+    * those integers; identical phrase TEXT always reproduces the
+    * identical score (word stats are corpus-level), so the distinct-
+    * phrase rollup is well-defined; final rank is (score9 DESC,
+    * phrase) — deterministic.
+    *
+    * Shape: one tokenize, per-doc position windows (the sessionize
+    * per-key bound), a corpus word-stat agg joined back by word, a
+    * (doc, phrase)-keyed assembly, a distinct-phrase rollup, one
+    * distributed top-k. Returns k rows:
+    * (phrase, n_words, n_occurrences, score). */
+  def rakeKeyphrases(df: DataFrame, textCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df
+      .select(col("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "w")))
+      .withColumn("__stop",
+        col("w").isin(EnStopwords.map(x => x: Any): _*) || col("w") === "")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val words = toks
+      .withColumn("__pid", sum(when(col("__stop"), 1L).otherwise(0L))
+        .over(wDoc))
+      .filter(!col("__stop"))
+      .select(col("doc_id"), col("__pid"), col("pos"), col("w"))
+    val withLen = words
+      .withColumn("__len", count(lit(1))
+        .over(Window.partitionBy(col("doc_id"), col("__pid"))))
+    val wordScore = withLen.groupBy(col("w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("w"),
+        floor(round(col("__deg").cast("double") /
+          col("__freq").cast("double"), 9) * lit(1e9) + lit(0.5))
+          .cast("long").as("__ws9"))
+    val phrases = withLen.join(wordScore, Seq("w"))
+      .groupBy(col("doc_id"), col("__pid"))
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("phrase"),
+        count(lit(1)).as("n_words"), sum(col("__ws9")).as("__s9"))
+    phrases.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occurrences"), max(col("__s9")).as("__s9"))
+      .orderBy(col("__s9").desc, col("phrase"))
+      .limit(k)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("__s9").cast("double") / lit(1e9), 9).as("score"))
+  }
+
   /** Flesch–Kincaid grade-level readability per document (Kincaid
     * '75) — the classic prose-complexity heuristic a quality funnel
     * reads next to [[qualityScore]]: grade = 0.39·(words/sentences) +

@@ -285,4 +285,17 @@ class SourcesSpec extends SparkSpec {
     assert(none._4 == 8L && none._5 == 0L && none._6 == 0.0,
       s"hash layout skips nothing: $none")
   }
+
+  test("orc sink/scan round-trip preserves rows, schema names, and " +
+      "values exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, null, 0.0))
+      .toDF("id", "name", "score")
+    val path = "target/test_orc_roundtrip"
+    Sources.writeOrc(df, path)
+    val back = Sources.orc(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
 }

@@ -707,6 +707,25 @@ class TextSpec extends SparkSpec {
     assert(sk._4 == 0.91 && sk._5 == 0.91)
   }
 
+  test("rakeKeyphrases: stopword breaks, deg/freq scores, and phrase " +
+      "sums match the hand computation; rank is (score, phrase)") {
+    // "deep learning is deep learning fun": phrases [deep learning],
+    // [deep learning fun]; freq d=2 l=2 f=1; deg d=5 l=5 f=3;
+    // scores 2.5, 2.5, 3.0 -> phrase scores 5.0 and 8.0
+    val docs = Seq((1L, "deep learning is deep learning fun"))
+      .toDF("doc_id", "text")
+    val r = Text.rakeKeyphrases(docs, "text", 10)
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.length == 2)
+    assert(r(0) == (("deep learning fun", 3L, 1L, 8.0)))
+    assert(r(1) == (("deep learning", 2L, 1L, 5.0)))
+    // repeated phrase rolls up with its occurrence count
+    val two = Seq((1L, "big cats"), (2L, "big cats")).toDF("doc_id", "text")
+    val rr = Text.rakeKeyphrases(two, "text", 10)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rr.toSeq == Seq(("big cats", 2L, 2L, 4.0)))
+  }
+
   test("readability: hand-computed FK grade; terminator-less docs " +
       "clamp to one sentence; wordless docs drop") {
     val docs = Seq(
