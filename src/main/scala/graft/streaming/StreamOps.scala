@@ -476,6 +476,25 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of the incremental data card
+    * ([[graft.ops.Quality.corpusReportState]]): the card's state IS a
+    * commutative monoid, so the stream holds it directly as a
+    * Complete-mode aggregation (state bounded by |sources|×|langs|
+    * slices, never documents) and each micro-batch renders the card
+    * via [[graft.ops.Quality.corpusReportFinish]] — equal to the
+    * batch card over all documents seen so far (the q249
+    * merge-equals-rebuild law, live). */
+  def corpusReportStream(docs: DataFrame, sourceCol: String,
+                         langCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val state = graft.ops.Quality.corpusReportState(docs, sourceCol,
+      langCol, textCol)
+    state.writeStream.outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.ops.Quality.corpusReportFinish(batch), id)
+      }
+  }
+
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

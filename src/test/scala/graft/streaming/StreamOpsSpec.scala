@@ -616,4 +616,32 @@ class StreamOpsSpec extends SparkSpec {
       assert(last.exists(_._7 == "accept_h1"))
     } finally q.stop()
   }
+
+  test("corpusReportStream: each micro-batch card equals the batch " +
+      "card over all documents seen so far") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Quality
+    val b1 = Seq((1L, "the quick brown fox jumps over the dog", "s1", "en"),
+      (2L, "der hund und die katze", "s2", "de"))
+    val b2 = Seq((3L, "a b c d e f g h i j k", "s1", "en"),
+      (4L, "the cat sat on the mat", "s2", "en"))
+    val in = MemoryStream[(Long, String, String, String)]
+    @volatile var last: Seq[org.apache.spark.sql.Row] = Seq.empty
+    val q = StreamOps.corpusReportStream(
+        in.toDF().toDF("doc_id", "text", "source", "lang"),
+        "source", "lang", "text") { (card, _) =>
+        last = card.orderBy("source", "lang").collect().toSeq
+      }.start()
+    try {
+      def batchCard(rows: Seq[(Long, String, String, String)]) =
+        Quality.corpusReportFinish(Quality.corpusReportState(
+            rows.toDF("doc_id", "text", "source", "lang"),
+            "source", "lang", "text"))
+          .orderBy("source", "lang").collect().toSeq
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(last == batchCard(b1) && last.nonEmpty)
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(last == batchCard(b1 ++ b2))
+    } finally q.stop()
+  }
 }
