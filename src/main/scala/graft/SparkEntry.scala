@@ -399,6 +399,10 @@ object SparkEntry {
   /** q251 RAKE: corpus keyphrase count. */
   val RakeK = 20
 
+  /** q252 anisotropy: unrolled power-iteration rounds (mirrored
+    * CTE-for-CTE in the oracle). */
+  val PowerRounds = 3
+
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
 
@@ -2293,6 +2297,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // deg/freq word scores, exact integer phrase sums, one top-k.
     "q251_rake_keyphrases" -> ((s, dir) => {
       Text.rakeKeyphrases(t(s, dir, "documents"), "text", RakeK)
+    }),
+
+    // Anisotropy: top principal direction of the coordinate
+    // covariance by unrolled power iteration; the all-but-the-top
+    // pre-flight for any cosine-based pipeline.
+    "q252_anisotropy" -> ((s, dir) => {
+      Quality.embeddingAnisotropy(t(s, dir, "embeddings"), "embedding",
+        EmbDims, PowerRounds).orderBy("dim")
     }),
 
     // ORC round-trip: the interchange slice written as ORC, read
@@ -5784,6 +5796,74 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(max(n9) AS DOUBLE) / 1e9, 9) AS max
          |FROM cd CROSS JOIN tt
          |GROUP BY tt.n, tt.sn, tt.n_zero""".stripMargin
+    },
+
+    // q252: the q180 Gramian chain to integerized covariance entries,
+    // then the power-iteration rounds unrolled CTE-for-CTE with the
+    // identical normalize / sign / Rayleigh chains.
+    "q252_anisotropy" -> {
+      def rnd(r: Int) =
+        s"""w$r AS (SELECT cf.i, sum(CAST(c9 AS HUGEINT) * v) AS w
+           |  FROM cf JOIN v${r - 1} USING (j) GROUP BY cf.i),
+           |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+           |v$r AS (SELECT i AS j,
+           |  CAST(floor(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 9)
+           |    * 1e9 + 0.5) AS BIGINT) AS v
+           |  FROM w$r CROSS JOIN m$r)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))
+         |    AS xi
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) = $EmbDims
+         |),
+         |n AS (SELECT count(*)::BIGINT AS n FROM ev),
+         |d AS (SELECT unnest(range(1, ${EmbDims + 1}))::BIGINT AS i),
+         |sums AS (
+         |  SELECT i, sum(xi[i])::BIGINT AS s FROM ev, d GROUP BY i
+         |),
+         |prods AS (
+         |  SELECT di.i AS i, dj.i AS j,
+         |    sum(xi[di.i] * xi[dj.i])::BIGINT AS sp
+         |  FROM ev, d di, d dj WHERE dj.i >= di.i GROUP BY 1, 2
+         |),
+         |tri AS (
+         |  SELECT p.i, p.j,
+         |    CAST(floor(round(CAST(CAST(n.n AS HUGEINT) * p.sp
+         |        - CAST(si.s AS HUGEINT) * sj.s AS DOUBLE)
+         |      / CAST(n.n * n.n AS DOUBLE) / 1e12, 9) * 1e9 + 0.5)
+         |      AS BIGINT) AS c9
+         |  FROM prods p
+         |  JOIN sums si ON si.i = p.i
+         |  JOIN sums sj ON sj.i = p.j
+         |  CROSS JOIN n
+         |),
+         |cf AS (SELECT i, j, c9 FROM tri
+         |       UNION ALL
+         |       SELECT j AS i, i AS j, c9 FROM tri WHERE i <> j),
+         |v0 AS (SELECT i AS j, 1000000000::BIGINT AS v FROM d),
+         |${(1 to PowerRounds).map(rnd).mkString(",\n")},
+         |sg AS (SELECT CASE WHEN (SELECT v FROM v$PowerRounds
+         |         ORDER BY abs(v) DESC, j ASC LIMIT 1) < 0
+         |       THEN -1 ELSE 1 END AS s),
+         |vs AS (SELECT j, (v * s)::BIGINT AS v
+         |       FROM v$PowerRounds CROSS JOIN sg),
+         |nm AS (SELECT sum(CAST(c9 AS HUGEINT) * vj.v * vi.v) AS num
+         |       FROM cf JOIN vs vj ON vj.j = cf.j
+         |       JOIN vs vi ON vi.j = cf.i),
+         |dn AS (SELECT sum(CAST(v AS HUGEINT) * v) AS den FROM vs),
+         |tr AS (SELECT sum(c9)::BIGINT AS tr9 FROM tri WHERE i = j)
+         |SELECT j AS dim,
+         |  round(CAST(v AS DOUBLE) / 1e9, 9) AS loading,
+         |  CASE WHEN den > 0 THEN ${Portable.sqlRatio9(
+              "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e9")}
+         |  END AS eigenvalue,
+         |  CASE WHEN den > 0 AND tr9 > 0 THEN ${Portable.sqlRatio9(
+              "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)" +
+                " / CAST(tr9 AS DOUBLE)")}
+         |  END AS explained_share
+         |FROM vs CROSS JOIN nm CROSS JOIN dn CROSS JOIN tr
+         |ORDER BY dim""".stripMargin
     },
 
     // q251: the same break/score/assembly chain — zipped unnest for

@@ -805,6 +805,81 @@ object Quality {
         round(col("__max").cast("double") / lit(1e9), 9).as("max"))
   }
 
+  /** Embedding anisotropy audit (Ethayarajh, EMNLP'19; Mu & Viswanath
+    * '18 "All-but-the-Top") — the top principal direction of the
+    * coordinate covariance and its share of total variance: an
+    * embedding store whose variance concentrates in one direction
+    * makes every cosine similarity read artificially high, and the
+    * dominant direction is exactly what all-but-the-top removes.
+    * Computed as a FIXED `rounds`-step power iteration over the
+    * [[embeddingCovariance]] matrix (the semantics ARE the unrolled
+    * rounds, mirrored CTE-for-CTE in the oracle — the q86/q238
+    * discipline; the d×d matrix is report-sized, the corpus cost is
+    * the one Gramian pass).
+    *
+    * Determinism: covariance entries integerize at 1e9; each
+    * mat-vec product is an exact DECIMAL(38,0) sum; each
+    * normalization is ONE pinned double chain (w/max|w|, floor at
+    * 1e9 — floor, not truncation, so negative components agree
+    * across engines); the sign convention pins the largest-|loading|
+    * component (ties → lowest dim) positive. The eigenvalue is the
+    * Rayleigh quotient of the final vector; `explained_share` divides
+    * by the exact trace.
+    *
+    * Returns d rows: (dim, loading, eigenvalue, explained_share) —
+    * the scalars repeated per row. */
+  def embeddingAnisotropy(emb: DataFrame, vecCol: String, dims: Int,
+                          rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1,8], got $rounds")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = emb.sparkSession
+    val c9 = floor(round(col("cov"), 9) * lit(1e9) + lit(0.5))
+      .cast("long").as("c9")
+    val tri = Barrier.cut(
+      embeddingCovariance(emb, vecCol, dims).select(col("i"), col("j"), c9))
+    val full = Barrier.cut(tri.unionByName(tri.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c9"))))
+    var v = spark.range(1, dims + 1L)
+      .select(col("id").as("j"), lit(1000000000L).as("v"))
+    for (_ <- 1 to rounds) {
+      val w = full.join(v, Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("c9").cast(dec) * col("v").cast(dec)).as("__w"))
+      val mx = w.agg(max(abs(col("__w"))).as("__m"))
+      v = Barrier.cut(w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          floor(round(col("__w").cast("double") /
+            col("__m").cast("double"), 9) * lit(1e9) + lit(0.5))
+            .cast("long").as("v")))
+    }
+    // pin the sign: the largest-|loading| component (ties -> lowest
+    // dim) must be positive
+    val sgn = v.agg(max(struct(abs(col("v")).as("a"), (-col("j")).as("nj"),
+        signum(col("v")).cast("long").as("s"))).as("__p"))
+      .select(when(col("__p.s") < 0L, -1L).otherwise(1L).as("__sg"))
+    val vs = Barrier.cut(v.crossJoin(broadcast(sgn))
+      .select(col("j"), (col("v") * col("__sg")).as("v")))
+    val num = full.join(vs.select(col("j"), col("v")), Seq("j"))
+      .join(vs.select(col("j").as("i"), col("v").as("__vi")), Seq("i"))
+      .agg(sum(col("c9").cast(dec) * col("v").cast(dec) *
+        col("__vi").cast(dec)).as("__num"))
+    val den = vs.agg(sum(col("v").cast(dec) * col("v").cast(dec))
+      .as("__den"))
+    val trace = tri.filter(col("i") === col("j"))
+      .agg(sum(col("c9")).as("__tr9"))
+    vs.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .crossJoin(broadcast(trace))
+      .select(col("j").as("dim"),
+        round(col("v").cast("double") / lit(1e9), 9).as("loading"),
+        when(col("__den") > 0, Portable.ratio9(
+          col("__num").cast("double") / col("__den").cast("double") /
+            lit(1e9))).as("eigenvalue"),
+        when(col("__den") > 0 && col("__tr9") > 0L, Portable.ratio9(
+          col("__num").cast("double") / col("__den").cast("double") /
+            col("__tr9").cast("double"))).as("explained_share"))
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney'02; Machanavajjhala
     * et al.'07) — the release-gate numbers for any table carrying
     * quasi-identifiers: a row is k-anonymous iff at least k rows share

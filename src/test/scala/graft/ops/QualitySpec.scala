@@ -744,6 +744,30 @@ class QualitySpec extends SparkSpec {
     assert(idEmpty == rebuild)
   }
 
+  test("embeddingAnisotropy: a planted dominant axis reads loading 1 " +
+      "/ share 1 with the hand eigenvalue; an isotropic pair reads " +
+      "share 1/d") {
+    val planted = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(2.0f, 0.0f)), (4L, Seq(-2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Quality.embeddingAnisotropy(planted, "embedding", 2, 3)
+      .orderBy("dim")
+      .as[(Long, Double, Option[Double], Option[Double])].collect()
+    assert(r(0)._2 == 1.0 && r(1)._2 == 0.0) // sign-pinned +e1
+    assert(r(0)._3.contains(2.5))            // var = (1+1+4+4)/4
+    assert(r(0)._4.contains(1.0))
+    // equal-variance axes: share = 1/d, loadings stay uniform
+    val iso = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(-1.0f, -1.0f)),
+      (3L, Seq(1.0f, -1.0f)), (4L, Seq(-1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val ri = Quality.embeddingAnisotropy(iso, "embedding", 2, 3)
+      .orderBy("dim")
+      .as[(Long, Double, Option[Double], Option[Double])].collect()
+    assert(ri(0)._4.contains(0.5))
+  }
+
   test("embeddingDimStats: dead dim reads std 0 / zero_frac 1; " +
       "null and ragged vectors excluded from the moments") {
     val vecs = Seq(
