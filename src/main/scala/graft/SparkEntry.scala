@@ -2307,6 +2307,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         EmbDims, PowerRounds).orderBy("dim")
     }),
 
+    // Join-fanout pre-flight on the q14 co-purchase self-join: the
+    // exact output cardinality and the hottest part key, priced from
+    // two count aggs before any wide join runs.
+    "q253_join_fanout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Quality.joinFanout(li, "l_partkey", li, "l_partkey")
+    }),
+
     // ORC round-trip: the interchange slice written as ORC, read
     // back, aggregated — hashed against the parquet original, so the
     // format conversion is content-equal under the driver's gate.
@@ -5797,6 +5805,37 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM cd CROSS JOIN tt
          |GROUP BY tt.n, tt.sn, tt.n_zero""".stripMargin
     },
+
+    // q253: the same two compact key frames; the hottest key by
+    // (pairs DESC, key ASC).
+    "q253_join_fanout" ->
+      """WITH ca AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k, count(*)::BIGINT AS ca
+        |  FROM lineitem GROUP BY 1
+        |),
+        |cb AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS k, count(*)::BIGINT AS cb
+        |  FROM lineitem GROUP BY 1
+        |),
+        |j AS (
+        |  SELECT ca.k, CAST(ca AS HUGEINT) * cb AS p
+        |  FROM ca JOIN cb USING (k)
+        |),
+        |tp AS (SELECT
+        |         (SELECT p FROM j ORDER BY p DESC, k LIMIT 1)
+        |           AS max_key_pairs,
+        |         (SELECT k FROM j ORDER BY p DESC, k LIMIT 1)
+        |           AS top_key),
+        |sa AS (SELECT count(*)::BIGINT AS n_keys_a,
+        |         sum(ca)::BIGINT AS rows_a FROM ca),
+        |sb AS (SELECT count(*)::BIGINT AS n_keys_b,
+        |         sum(cb)::BIGINT AS rows_b FROM cb),
+        |sj AS (SELECT count(*)::BIGINT AS n_common,
+        |         sum(p) AS est_pairs FROM j)
+        |SELECT n_keys_a, n_keys_b, n_common, rows_a, rows_b,
+        |  CAST(est_pairs AS BIGINT) AS est_pairs,
+        |  CAST(max_key_pairs AS BIGINT) AS max_key_pairs, top_key
+        |FROM sj CROSS JOIN sa CROSS JOIN sb CROSS JOIN tp""".stripMargin,
 
     // q252: the q180 Gramian chain to integerized covariance entries,
     // then the power-iteration rounds unrolled CTE-for-CTE with the

@@ -1912,6 +1912,57 @@ object Quality {
       round(col("min_q9").cast("double") / lit(1e9), 9).as("min_quality"),
       round(col("max_q9").cast("double") / lit(1e9), 9).as("max_quality"))
 
+  /** Join-fanout pre-flight — the TWO-sided companion to [[keySkew]]:
+    * before a 100 TB join runs, price its output EXACTLY from the
+    * per-key multiplicities: est_pairs = Σ_common cntA·cntB is the
+    * precise join cardinality (not an estimate — the sketch-based
+    * [[graft.ops.Dedup]] CMS variant is the one-pass approximation;
+    * this is the exact two-agg form), and max_key_pairs names the
+    * single key that will dominate the shuffle (the salting / AQE
+    * skew-join trigger). A join whose est_pairs is 100× its inputs is
+    * a bug caught before the cluster burns a day.
+    *
+    * Shape: one count agg per side (map-side combined), an equi-join
+    * of the two compact key frames behind a [[Barrier]] (read for the
+    * rollup and the argmax), two 1-row side rollups. The hottest key
+    * resolves by (pairs DESC, key ASC) — deterministic. Returns ONE
+    * row: (n_keys_a, n_keys_b, n_common, rows_a, rows_b, est_pairs,
+    * max_key_pairs, top_key — as a string). */
+  def joinFanout(a: DataFrame, aKey: String, b: DataFrame,
+                 bKey: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ca = a.groupBy(col(aKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(bKey).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__cb"))
+    val joined = Barrier.cut(ca.join(cb, Seq("__k"))
+      .select(col("__k"),
+        (col("__ca").cast(dec) * col("__cb").cast(dec)).as("__p")))
+    // argmax as a 1-row agg (min over (-pairs, key) — ties take the
+    // LOWEST key), not an orderBy().limit(1): an empty common-key
+    // frame must still yield one NULL row, not erase the summary
+    // through the cross join
+    val top = joined
+      .agg(min(struct((-col("__p")).as("np"), col("__k").as("k")))
+        .as("__t"))
+      .select((-col("__t.np")).as("max_key_pairs"),
+        col("__t.k").as("top_key"))
+    val sa = ca.agg(count(lit(1)).as("n_keys_a"),
+      sum(col("__ca")).as("rows_a"))
+    val sb = cb.agg(count(lit(1)).as("n_keys_b"),
+      sum(col("__cb")).as("rows_b"))
+    joined
+      .agg(count(lit(1)).as("n_common"), sum(col("__p")).as("est_pairs"))
+      .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(top))
+      .select(col("n_keys_a"), col("n_keys_b"), col("n_common"),
+        col("rows_a"), col("rows_b"),
+        coalesce(col("est_pairs"), lit(0).cast(dec)).cast("long")
+          .as("est_pairs"),
+        col("max_key_pairs").cast("long").as("max_key_pairs"),
+        col("top_key"))
+  }
+
   /** Key-skew audit — the pre-flight a 100 TB join/agg runs before
     * choosing a partitioning strategy: one row profiling how a key
     * column's mass is distributed. `max_key_share` near 1 or a fat

@@ -744,6 +744,20 @@ class QualitySpec extends SparkSpec {
     assert(idEmpty == rebuild)
   }
 
+  test("joinFanout: exact pair count and the hottest key; disjoint " +
+      "key sets price to zero") {
+    val a = Seq("x", "x", "x", "y", "z").toDF("k")
+    val b = Seq("x", "x", "y", "y", "w").toDF("k")
+    val r = Quality.joinFanout(a, "k", b, "k")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].head()
+    // common: x (3*2=6), y (1*2=2) -> est 8; hottest x
+    assert(r == ((3L, 3L, 2L, 5L, 5L, 8L, 6L, "x")))
+    val none = Quality.joinFanout(a, "k", Seq("q").toDF("k"), "k")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long],
+        Option[String])].head()
+    assert(none._3 == 0L && none._6 == 0L)
+  }
+
   test("embeddingAnisotropy: a planted dominant axis reads loading 1 " +
       "/ share 1 with the hand eigenvalue; an isotropic pair reads " +
       "share 1/d") {
