@@ -403,6 +403,11 @@ object SparkEntry {
     * CTE-for-CTE in the oracle). */
   val PowerRounds = 3
 
+  /** q254 robust anomaly: Hampel threshold k = kNum/kDen (3 is the
+    * classic), kept rational so the decision stays pure-integer. */
+  val RobustKNum = 3L
+  val RobustKDen = 1L
+
   /** SimHash near-dup Hamming radius (4×15-bit banding is exact to ≤3). */
   val MaxHamming = 2
 
@@ -2313,6 +2318,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q253_join_fanout" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       Quality.joinFanout(li, "l_partkey", li, "l_partkey")
+    }),
+
+    // Robust median/MAD window anomaly (Hampel rule) — the fix q245's
+    // overdispersion diagnosis calls for; the decision is pure
+    // integer compares, no float anywhere.
+    "q254_window_anomaly_robust" -> ((s, dir) => {
+      Events.windowAnomalyRobust(Sources.eventsNs(s, dir), WindowMs,
+          AnomalyTrailing, RobustKNum, RobustKDen)
+        .orderBy("event_type", "window_start_ms")
     }),
 
     // ORC round-trip: the interchange slice written as ORC, read
@@ -5804,6 +5818,50 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(max(n9) AS DOUBLE) / 1e9, 9) AS max
          |FROM cd CROSS JOIN tt
          |GROUP BY tt.n, tt.sn, tt.n_zero""".stripMargin
+    },
+
+    // q254: sorted trailing lists per window, twice-the-median
+    // element reads, the identical integer Hampel compare.
+    "q254_window_anomaly_robust" -> {
+      val T = AnomalyTrailing
+      val h = T / 2
+      s"""WITH wc AS (
+         |  SELECT event_type,
+         |    (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT
+         |      AS window_start_ms,
+         |    count(*)::BIGINT AS n_events
+         |  FROM events GROUP BY 1, 2
+         |),
+         |wt AS (
+         |  SELECT event_type, window_start_ms, n_events,
+         |    count(*) OVER tw AS k,
+         |    list_sort(list(n_events) OVER tw) AS trail
+         |  FROM wc
+         |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_ms
+         |    ROWS BETWEEN $T PRECEDING AND 1 PRECEDING)
+         |),
+         |x AS (
+         |  SELECT event_type, window_start_ms, n_events, trail,
+         |    (trail[$h] + trail[${h + 1}])::BIGINT AS m2
+         |  FROM wt WHERE k = $T
+         |),
+         |y AS (
+         |  SELECT event_type, window_start_ms, n_events, m2,
+         |    list_sort(list_transform(trail, e -> abs(2 * e - m2)))
+         |      AS devs,
+         |    abs(2 * n_events - m2)::BIGINT AS dx
+         |  FROM x
+         |),
+         |z AS (
+         |  SELECT *, (devs[$h] + devs[${h + 1}])::BIGINT AS dm2 FROM y
+         |)
+         |SELECT event_type, window_start_ms, n_events,
+         |  CAST(m2 AS DOUBLE) / 2 AS robust_center,
+         |  CAST(dm2 AS DOUBLE) / 4 AS robust_scale,
+         |  CASE WHEN dm2 > 0 THEN
+         |    2 * dx * $RobustKDen >= $RobustKNum * dm2
+         |  ELSE dx > 0 END AS is_anomaly
+         |FROM z ORDER BY event_type, window_start_ms""".stripMargin
     },
 
     // q253: the same two compact key frames; the hottest key by

@@ -892,6 +892,66 @@ object Events {
           .otherwise(lit("continue")).as("decision"))
   }
 
+  /** Robust (median/MAD) twin of [[windowAnomaly]] — the fix for what
+    * [[dispersionProfile]] diagnoses: a bursty (Fano ≫ 1) type's
+    * trailing MEAN/VARIANCE baseline is dragged by the very spikes it
+    * should flag, while the median/MAD baseline (Hampel's rule,
+    * |x − med| ≥ k·MAD) ignores up to half the window being garbage.
+    * The trailing window is a REPORT-SIZED constant (`trailing`
+    * windows), so the exact medians are sorted-array element reads —
+    * no sketch, no percentile UDAF.
+    *
+    * Cross-engine determinism is TOTAL — the decision never touches a
+    * float: with integer counts, med2 = s[m]+s[m+1] (twice the
+    * median), per-window deviations dev = |2x − med2| (twice the
+    * absolute deviation), dev_med2 = twice their median (= 4·MAD),
+    * and the flag is the pure integer compare
+    * 2·dev·kDen ≥ kNum·dev_med2. Centers emit as exact binary
+    * fractions (halves/quarters). Zero MAD (≥half the trailing
+    * windows identical) falls back to "any deviation flags" — the
+    * [[windowAnomaly]] degenerate-variance contract.
+    *
+    * Returns (event_type, window_start_ms, n_events, robust_center,
+    * robust_scale, is_anomaly) for windows with a full trailing
+    * history. */
+  def windowAnomalyRobust(events: DataFrame, widthMs: Long,
+                          trailing: Int, kNum: Long,
+                          kDen: Long): DataFrame = {
+    require(widthMs >= 1, s"widthMs must be >= 1, got $widthMs")
+    require(trailing >= 2, s"trailing must be >= 2, got $trailing")
+    require(kNum >= 1 && kDen >= 1, s"k must be positive, got $kNum/$kDen")
+    val counts = events
+      .withColumn("window_start_ms",
+        (ms - pmod(ms, lit(widthMs))).cast("long"))
+      .groupBy(col("event_type"), col("window_start_ms"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("window_start_ms"))
+      .rowsBetween(-trailing, -1)
+    // twice-the-median of a sorted integer list of length n: the two
+    // middle elements' sum (n even) or twice the middle (n odd)
+    def med2(sorted: Column, n: Int) =
+      if (n % 2 == 0)
+        element_at(sorted, n / 2) + element_at(sorted, n / 2 + 1)
+      else lit(2L) * element_at(sorted, n / 2 + 1)
+    counts
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__trail", sort_array(collect_list(col("n_events"))
+        .over(w)))
+      .filter(col("__k") === trailing)
+      .withColumn("__m2", med2(col("__trail"), trailing))
+      .withColumn("__devs", sort_array(transform(col("__trail"),
+        e => abs(lit(2L) * e - col("__m2")))))
+      .withColumn("__dm2", med2(col("__devs"), trailing))
+      .withColumn("__dx", abs(lit(2L) * col("n_events") - col("__m2")))
+      .select(col("event_type"), col("window_start_ms"), col("n_events"),
+        (col("__m2").cast("double") / lit(2.0)).as("robust_center"),
+        (col("__dm2").cast("double") / lit(4.0)).as("robust_scale"),
+        when(col("__dm2") > 0L,
+          lit(2L) * col("__dx") * kDen >= lit(kNum) * col("__dm2"))
+          .otherwise(col("__dx") > 0L).as("is_anomaly"))
+  }
+
   /** Daily-count overdispersion profile per event type — the Fano
     * factor (variance-to-mean ratio of the per-day counts): ≈1 is
     * Poisson-compatible, ≫1 flags bursty/clumped arrivals (bot

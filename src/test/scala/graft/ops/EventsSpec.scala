@@ -692,6 +692,29 @@ class EventsSpec extends SparkSpec {
       .as[(Long, Long, Long, Option[Double])].head()._4.isEmpty)
   }
 
+  test("windowAnomalyRobust: a spike against a stable median flags; " +
+      "the median baseline shrugs off one outlier in the trail; " +
+      "zero MAD falls back to any-deviation") {
+    // type a, hourly windows: counts 2,2,2,9,2,50 over 6 hours
+    val counts = Seq(2, 2, 2, 9, 2, 50)
+    val e = counts.zipWithIndex.flatMap { case (c, hr) =>
+      (1 to c).map(i =>
+        ((hr * 100 + i).toLong, hr.toLong * H + i * M, 1L, "a", 1.0))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.windowAnomalyRobust(e, 3600000L, trailing = 4,
+        kNum = 3L, kDen = 1L)
+      .orderBy("window_start_ms")
+      .as[(String, Long, Long, Double, Double, Boolean)].collect()
+    // windows with full history: hr4 (trail 2,2,2,9) and hr5
+    assert(r.length == 2)
+    // hr4: sorted trail [2,2,2,9], med2 = 4 -> center 2, devs
+    // [0,0,0,14] -> dm2 = 0 -> zero-MAD fallback; x = 2 = med -> calm
+    assert(r(0)._4 == 2.0 && r(0)._5 == 0.0 && !r(0)._6)
+    // hr5: trail = hrs 1-4 sorted [2,2,2,9]: center 2,
+    // dx = |2*50 - 4| = 96 -> flags
+    assert(r(1)._3 == 50L && r(1)._6)
+  }
+
   test("dispersionProfile: a one-day burst reads Fano 6 on a 3-day " +
       "span; a uniform type reads exactly 0; absent days count as 0") {
     val D = 24L * H
