@@ -155,6 +155,71 @@ object StreamOps {
       }
   }
 
+  case class RobustAnomRow(event_type: String, window_start_ms: Long,
+                           n_events: Long, robust_center: Double,
+                           robust_scale: Double, is_anomaly: Boolean)
+
+  /** Streaming twin of [[graft.ops.Events.windowAnomalyRobust]] — the
+    * Hampel median/MAD monitor emitting as windows pass the
+    * watermark, with the SAME state discipline as [[anomalyStream]]
+    * (open window counts + the last `trailing` closed counts per
+    * type; everything else evicts). The decision is the identical
+    * pure-integer compare — twice-the-median element reads over the
+    * sorted trail — so a batch replay of the same events produces
+    * row-identical flags (the spec law). `trailing` must be even
+    * (the fixture constant is; the med2 form assumes it). */
+  def robustAnomalyStream(events: DataFrame, widthMs: Long,
+                          trailing: Int, kNum: Long, kDen: Long,
+                          watermark: String): Dataset[RobustAnomRow] = {
+    require(widthMs >= 1, s"widthMs must be >= 1, got $widthMs")
+    require(trailing >= 2 && trailing % 2 == 0,
+      s"trailing must be even >= 2, got $trailing")
+    require(kNum >= 1 && kDen >= 1, s"k must be positive, got $kNum/$kDen")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def med2(sorted: IndexedSeq[Long]): Long =
+      sorted(trailing / 2 - 1) + sorted(trailing / 2)
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .select(col("event_type").as("k"),
+        expr(s"""(((ts - pmod(ts, 1000000)) div 1000000)
+                 | - pmod((ts - pmod(ts, 1000000)) div 1000000, $widthMs))
+                 |""".stripMargin).cast("long").as("w"),
+        col("event_time"))
+      .as[AnomIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AnomState, RobustAnomRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val st = state.getOption.getOrElse(AnomState(Nil, Nil))
+          val open = collection.mutable.Map(st.open: _*)
+          rows.foreach { r => open(r.w) = open.getOrElse(r.w, 0L) + 1L }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = open.toSeq.partition(_._1 + widthMs <= wm)
+          var hist = st.hist
+          val out = closed.sortBy(_._1).flatMap { case (w, c) =>
+            val row = if (hist.size == trailing) {
+              val sorted = hist.sorted.toIndexedSeq
+              val m2 = med2(sorted)
+              val devs = sorted.map(x => math.abs(2L * x - m2)).sorted
+              val dm2 = med2(devs)
+              val dx = math.abs(2L * c - m2)
+              val anom = if (dm2 > 0L) 2L * dx * kDen >= kNum * dm2
+                         else dx > 0L
+              Some(RobustAnomRow(key, w, c, m2.toDouble / 2.0,
+                dm2.toDouble / 4.0, anom))
+            } else None
+            hist = (hist :+ c).takeRight(trailing)
+            row
+          }
+          state.update(AnomState(stillOpen.sortBy(_._1), hist))
+          if (stillOpen.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(stillOpen.map(_._1).min + widthMs, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.ops.Dedup.dedupExact]]: drop any row whose content hash was
     * already seen, with state bounded by the watermark

@@ -398,6 +398,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(math.abs(r._6.get - 1.0 / math.sqrt(2.0 / 3)) < 1e-6)
   }
 
+  test("robustAnomalyStream: windows close on watermark; rows equal " +
+      "the batch Hampel twin; a spike flags") {
+    import graft.ops.Events
+    implicit val sqlCtx = spark.sqlContext
+    // type A hourly counts 2, 2, 2, 9, 50 (hours 1-5), trailing=4:
+    // hour 5 is the only full-baseline window — trail sorted
+    // [2,2,2,9], med2=4, devs [0,0,0,14], dm2=0 -> zero-MAD fallback,
+    // dx=|100-4|=96 > 0 -> flags
+    val counts = Seq(2, 2, 2, 9, 50)
+    val aRows = counts.zipWithIndex.flatMap { case (c, i) =>
+      (0 until c).map(j => ((i * 100 + j).toLong, (i + 1).toLong * H,
+        1L, "A", 0.0))
+    }
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.robustAnomalyStream(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        3600000L, trailing = 4, kNum = 3L, kDen = 1L,
+        watermark = "0 seconds").toDF(),
+      "robust_anom_stream", OutputMode.Append)
+    val sentinels = Seq((900L, 7 * H, 9L, "Z", 0.0),
+      (901L, 8 * H, 9L, "Z", 0.0))
+    val streamed = try {
+      in.addData(aRows: _*); q.processAllAvailable()
+      in.addData(sentinels.head); q.processAllAvailable()
+      in.addData(sentinels.last); q.processAllAvailable()
+      spark.table("robust_anom_stream")
+        .as[(String, Long, Long, Double, Double, Boolean)]
+        .collect().toSet
+    } finally q.stop()
+    val batch = Events.windowAnomalyRobust(mkDf(aRows ++ sentinels),
+        3600000L, 4, 3L, 1L)
+      .as[(String, Long, Long, Double, Double, Boolean)]
+      .collect().toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.size == 1)
+    val r = streamed.head
+    assert(r._1 == "A" && r._3 == 50L && r._4 == 2.0 && r._5 == 0.0 &&
+      r._6)
+  }
+
   test("curateStream kill/recover: restart from checkpoint is exactly-once " +
       "(no loss, no dups) vs the batch twin") {
     // the production property the per-gate twins can't show: a file
