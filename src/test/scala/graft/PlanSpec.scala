@@ -601,6 +601,23 @@ class PlanSpec extends SparkSpec {
     assert(eventWindows.isEmpty || eventWindows.forall(_.contains("user_id")))
   }
 
+  test("q254: robust-anomaly windows are type-partitioned — no " +
+      "global single-partition window over the counts") {
+    val p = plan("q254_window_anomaly_robust")
+    p.linesIterator.filter(_.trim.startsWith("Window")).foreach { l =>
+      assert(l.contains("event_type"), s"unpartitioned window: $l")
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q252: the anisotropy walk never cartesians anything " +
+      "corpus-sized — only 1-row broadcast scalars") {
+    // the d x d matrix frames may sort-merge join among themselves
+    // (report-sized); what must never appear is a cartesian product
+    val p = plan("q252_anisotropy")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("generate does not re-derive hash trees below the projection") {
     // the InferFiltersFromGenerate + pushdown pathology (see q19/q27
     // comments): if it regresses, hash60 shows up inside a Filter over
