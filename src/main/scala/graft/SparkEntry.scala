@@ -1185,14 +1185,7 @@ object SparkEntry {
          |),
          |qm AS (
          |  SELECT doc_id, text,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |    $qMetricColsSql
          |  FROM lkeep
          |),
          |${qkeepSql(pctGate)},
@@ -1207,7 +1200,7 @@ object SparkEntry {
          |gkeep AS (
          |  SELECT q.doc_id, q.text FROM qkeep q LEFT JOIN rp USING (doc_id)
          |  WHERE rp.total IS NULL
-         |     OR round(CAST(CAST(floor(round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |     OR ${Portable.sqlIntRatio9("rp.total - rp.n_distinct", "rp.total")}
          |        <= $CurateMaxDupRatio
          |),
          |${pplCtes}ex AS (
@@ -1229,19 +1222,22 @@ object SparkEntry {
     if (!pctGate)
       s"""qkeep AS (
          |  SELECT doc_id, text FROM qm
-         |  WHERE round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |  WHERE $qScoreSqlExpr
          |    >= $CurateMinQuality
          |)""".stripMargin
     else
       s"""qsc AS (
-         |  SELECT doc_id, text, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |  SELECT doc_id, text, $qScoreSqlExpr
          |    AS score
          |  FROM qm
          |),
          |qpr AS (
          |  SELECT q.doc_id, q.text, q.score,
-         |    round(CAST(CAST(floor(round(percent_rank() OVER (PARTITION BY d.source
-         |      ORDER BY q.score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pr
+         |    CASE WHEN count(*) OVER (PARTITION BY d.source) > 1 THEN
+         |      ${Portable.sqlIntRatio9(
+              "rank() OVER (PARTITION BY d.source ORDER BY q.score) - 1",
+              "count(*) OVER (PARTITION BY d.source) - 1")}
+         |    ELSE CAST(0 AS DOUBLE) END AS pr
          |  FROM qsc q JOIN documents d USING (doc_id)
          |),
          |qkeep AS (
@@ -1267,18 +1263,11 @@ object SparkEntry {
          |        FROM ex e LEFT JOIN xcl ON xcl.id = e.doc_id),
          |xqm AS (
          |  SELECT doc_id,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |    $qMetricColsSql
          |  FROM xfc
          |),
          |xqs AS (
-         |  SELECT doc_id, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |  SELECT doc_id, $qScoreSqlExpr
          |    AS quality_score
          |  FROM xqm
          |),
@@ -1530,19 +1519,12 @@ object SparkEntry {
     s"""WITH qm AS (
        |  SELECT doc_id,
        |    len(string_split(text, ' '))::BIGINT AS lenv,
-       |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-       |      / length(text)::DOUBLE AS alpha,
-       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-       |      / length(text)::DOUBLE AS digits,
-       |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-       |      / len(string_split(text, ' '))::DOUBLE AS stop,
-       |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-       |         THEN 1.0 ELSE 0.0 END AS len_ok
+       |    $qMetricColsSql
        |  FROM documents
        |),
        |qx AS (
        |  SELECT doc_id, lenv,
-       |    round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+       |    $qScoreSqlExpr
        |      AS score
        |  FROM qm
        |),
@@ -1556,7 +1538,7 @@ object SparkEntry {
        |       FROM rc GROUP BY doc_id),
        |rx AS (
        |  SELECT d.doc_id,
-       |    round(CAST(CAST(floor(round(1.0 - rp.n_distinct / rp.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ratio
+       |    ${Portable.sqlIntRatio9("rp.total - rp.n_distinct", "rp.total")} AS ratio
        |  FROM documents d LEFT JOIN rp USING (doc_id)
        |),
        |utf AS (
@@ -1876,6 +1858,38 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        | (sqrt(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]))) *
        |  sqrt(list_sum(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i])))))""".stripMargin
 
+  /** Integer quality-metric columns ([[graft.ops.Text.qualityScore]]'s
+    * exact counts): qcl chars, qca alpha-chars, qcd digit-chars, qcs
+    * stopwords, qct tokens, qok length-flag — the inputs every
+    * quality-score CTE derives the EXACT-integer score from. */
+  private val qMetricColsSql: String = {
+    val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+    s"""length(text)::BIGINT AS qcl,
+       |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))::BIGINT AS qca,
+       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS qcd,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::BIGINT AS qcs,
+       |    len(string_split(text, ' '))::BIGINT AS qct,
+       |    (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+       |      THEN 1 ELSE 0 END) AS qok""".stripMargin
+  }
+
+  /** The composite quality score over [[qMetricColsSql]] columns as ONE
+    * exact integral division — score = (4·ok·L·T + 3·a·T + 2·s·L +
+    * (L−d)·T) / (10·L·T), the cleared-denominator form of
+    * 0.4·ok + 0.3·a/L + 0.2·s/T + 0.1·(L−d)/L — clamped in integer
+    * land, one IEEE division to the emitted double. No double round()
+    * anywhere (the q218/q219 driver-version-sensitivity class). */
+  private val qScoreSqlExpr: String = {
+    val num = "4 * qok * CAST(qcl AS HUGEINT) * qct" +
+      " + 3 * CAST(qca AS HUGEINT) * qct" +
+      " + 2 * CAST(qcs AS HUGEINT) * qcl" +
+      " + CAST(qcl - qcd AS HUGEINT) * qct"
+    val den = "10 * CAST(qcl AS HUGEINT) * qct"
+    "(CAST(least(1000000000, greatest(0, " +
+      Portable.sqlIntRatioScaled(num, den, 9) +
+      ")) AS DOUBLE) / 1e9)"
+  }
+
   /** q101/q184 shared oracle prefix: the per-doc quality score
     * ([[graft.ops.Text.qualityScore]]'s exact DuckDB twin) as CTE `qs`
     * = (doc_id, source, quality_score). */
@@ -1883,18 +1897,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH m AS (
        |  SELECT doc_id, source, lang,
-       |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-       |      / length(text)::DOUBLE AS alpha,
-       |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-       |      / length(text)::DOUBLE AS digits,
-       |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-       |      / len(string_split(text, ' '))::DOUBLE AS stop,
-       |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-       |         THEN 1.0 ELSE 0.0 END AS len_ok
+       |    $qMetricColsSql
        |  FROM documents
        |),
        |qs AS (
-       |  SELECT doc_id, source, lang, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+       |  SELECT doc_id, source, lang, $qScoreSqlExpr
        |    AS quality_score
        |  FROM m
        |)""".stripMargin
@@ -4475,8 +4482,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .select(col("n_left"), col("n_right"), col("join_size"),
           col("est_size"),
           (col("est_size") - col("join_size")).as("overestimate"),
-          Portable.ratio9(col("est_size").cast("double") /
-            col("join_size").cast("double")).as("ratio"))
+          Portable.intRatio9(col("est_size"), col("join_size"))
+            .as("ratio"))
     }),
 
     // k-anonymity / l-diversity release gate on the customer table:
@@ -4937,9 +4944,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT na.n AS n_a, nb.n AS n_b, t.nv AS n_values,
          |  CASE WHEN na.n > 0 AND nb.n > 0 THEN
-         |    ${Portable.sqlRatio9(
-             "CAST(coalesce(t.w, 0) AS DOUBLE)" +
-             " / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) / 1e9")}
+         |    ${Portable.sqlIntRatio9("coalesce(t.w, 0)",
+             "CAST(na.n AS HUGEINT) * nb.n * 1000000000")}
          |  END AS w1
          |FROM t CROSS JOIN na CROSS JOIN nb""".stripMargin,
 
@@ -4977,8 +4983,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM j CROSS JOIN tot
          |)
          |SELECT na AS n_a, nb AS n_b, v AS vocab,
-         |  ${Portable.sqlRatio9(
-             "CAST(sum(t_a) + sum(t_b) AS DOUBLE) / 2e9")} AS jsd
+         |  ${Portable.sqlIntRatioSigned9("sum(t_a) + sum(t_b)",
+             "2000000000")} AS jsd
          |FROM terms GROUP BY na, nb, v""".stripMargin
     },
 
@@ -5008,16 +5014,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT v AS vocab, n AS n_tokens,
          |  CASE WHEN v > 0 AND n > 0 THEN
-         |    ${Portable.sqlRatio9(
-             "CAST(CAST(2 AS DECIMAL(38,0)) * rc" +
-             " - CAST(v + 1 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))" +
-             " AS DOUBLE) / (CAST(v AS DOUBLE) * CAST(n AS DOUBLE))")}
+         |    ${Portable.sqlIntRatioSigned9(
+             "2 * CAST(rc AS HUGEINT) - CAST(v + 1 AS HUGEINT) * n",
+             "CAST(v AS HUGEINT) * n")}
          |  END AS gini,
-         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
-             "CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  CASE WHEN n > 0 THEN ${Portable.sqlIntRatio9("t1", "n")}
          |  END AS top1pct_share,
-         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
-             "CAST(t10 AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  CASE WHEN n > 0 THEN ${Portable.sqlIntRatio9("t10", "n")}
          |  END AS top10pct_share
          |FROM a""".stripMargin,
 
@@ -5111,9 +5114,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |bm AS (
          |  SELECT b,
-         |    CAST(floor(round(CAST(sum(w * x9) AS DOUBLE)
-         |      / CAST(sum(w) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT)
-         |      AS m9
+         |    ${Portable.sqlIntRatioScaledSigned("sum(w * x9)",
+              "CAST(sum(w) AS HUGEINT) * 1000000000", 9)} AS m9
          |  FROM (SELECT b, x9, ($wExpr) AS w FROM u) _
          |  GROUP BY b HAVING sum(w) > 0
          |),
@@ -5247,17 +5249,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS agree
          |  FROM cells)
          |SELECT n, agree,
-         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
-              "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  CASE WHEN n > 0 THEN ${Portable.sqlIntRatio9("agree", "n")}
          |  END AS po,
-         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
-              "CAST(pev AS DOUBLE) / (CAST(n AS DOUBLE)" +
-                " * CAST(n AS DOUBLE))")}
+         |  CASE WHEN n > 0 THEN ${Portable.sqlIntRatio9("pev",
+              "CAST(n AS HUGEINT) * n")}
          |  END AS pe,
          |  CASE WHEN CAST(n AS HUGEINT) * n - pev > 0 THEN
-         |    ${Portable.sqlRatio9(
-              "CAST(CAST(n AS HUGEINT) * agree - pev AS DOUBLE)" +
-                " / CAST(CAST(n AS HUGEINT) * n - pev AS DOUBLE)")}
+         |    ${Portable.sqlIntRatioSigned9(
+              "CAST(n AS HUGEINT) * agree - pev",
+              "CAST(n AS HUGEINT) * n - pev")}
          |  END AS kappa
          |FROM tt CROSS JOIN pec""".stripMargin,
 
@@ -5336,8 +5336,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q234_benford" -> {
       val grid = Quality.Benford9.zipWithIndex
         .map { case (p9, i) => s"(${i + 1}, ${p9})" }.mkString(", ")
-      val share9 = "CAST(floor(round(CAST(coalesce(observed, 0)" +
-        " AS DOUBLE) / CAST(n AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)"
+      val share9 =
+        Portable.sqlIntRatioScaled("coalesce(observed, 0)", "n", 9)
       s"""WITH v AS (
          |  SELECT CAST(floor(round(CAST(l_extendedprice AS DOUBLE), 2)
          |    * 1e2 + 0.5) AS BIGINT) AS cents
@@ -5576,11 +5576,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM b
          |)
          |SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_bins,
-         |  CASE WHEN sum(n) > 0 THEN ${Portable.sqlRatio9(
-              "CAST(sum(gap) AS DOUBLE) / CAST(sum(n) AS DOUBLE) / 1e9")}
+         |  CASE WHEN sum(n) > 0 THEN ${Portable.sqlIntRatio9("sum(gap)",
+              "CAST(sum(n) AS HUGEINT) * 1000000000")}
          |  END AS ece,
-         |  round(CAST(max(CAST(floor(round(CAST(gap AS DOUBLE)
-         |    / CAST(n AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT))
+         |  round(CAST(max(${Portable.sqlIntRatioScaled("gap",
+             "CAST(n AS HUGEINT) * 1000000000", 9)})
          |    AS DOUBLE) / 1e9, 9) AS mce
          |FROM g""".stripMargin,
 
@@ -5661,7 +5661,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // double chain (constants CAST to DOUBLE — DuckDB decimal-literal
     // hazard).
     "q244_readability" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT doc_id,
         |    len(list_filter(string_split(text, ' '), w -> w <> ''))
         |      ::BIGINT AS n_words,
@@ -5672,13 +5672,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  FROM documents
         |)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  round(CAST(CAST(floor(round(
-        |    CAST(0.39 AS DOUBLE) * CAST(n_words AS DOUBLE)
-        |      / CAST(n_sentences AS DOUBLE)
-        |    + CAST(11.8 AS DOUBLE) * CAST(n_syllables AS DOUBLE)
-        |      / CAST(n_words AS DOUBLE)
-        |    - CAST(15.59 AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
-        |    AS DOUBLE) / 1e9, 9) AS fk_grade
+        |  ${Portable.sqlIntRatioSigned9(
+            "39 * CAST(n_words AS HUGEINT) * n_words" +
+              " + 1180 * CAST(n_syllables AS HUGEINT) * n_sentences" +
+              " - 1559 * CAST(n_sentences AS HUGEINT) * n_words",
+            "100 * CAST(n_sentences AS HUGEINT) * n_words")} AS fk_grade
         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     // q245: the same zero-filled calendar spine and the one
@@ -5759,8 +5757,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM x GROUP BY dim
          |)
          |SELECT dim::INT AS dim, n,
-         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
-              "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e9")}
+         |  CASE WHEN n > 0 THEN ${Portable.sqlIntRatioSigned9("s",
+              "CAST(n AS HUGEINT) * 1000000000")}
          |  END AS mean,
          |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
               "sqrt(greatest(CAST(0 AS DOUBLE)," +
@@ -5770,8 +5768,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  END AS std,
          |  round(CAST(lo AS DOUBLE) / 1e9, 9) AS min,
          |  round(CAST(hi AS DOUBLE) / 1e9, 9) AS max,
-         |  CASE WHEN n > 0 THEN ${Portable.sqlRatio9(
-              "CAST(z AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |  CASE WHEN n > 0 THEN ${Portable.sqlIntRatio9("z", "n")}
          |  END AS zero_frac
          |FROM a ORDER BY dim""".stripMargin,
 
@@ -5806,8 +5803,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM g
          |)
          |SELECT tt.n, tt.n_zero,
-         |  CASE WHEN tt.n > 0 THEN ${Portable.sqlRatio9(
-              "CAST(tt.sn AS DOUBLE) / CAST(tt.n AS DOUBLE) / 1e9")}
+         |  CASE WHEN tt.n > 0 THEN ${Portable.sqlIntRatio9("tt.sn",
+              "CAST(tt.n AS HUGEINT) * 1000000000")}
          |  END AS mean,
          |  ${qq(1, "p01")},
          |  ${qq(25, "p25")},
@@ -5904,8 +5901,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
            |  FROM cf JOIN v${r - 1} USING (j) GROUP BY cf.i),
            |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
            |v$r AS (SELECT i AS j,
-           |  CAST(floor(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE), 9)
-           |    * 1e9 + 0.5) AS BIGINT) AS v
+           |  CAST(${Portable.sqlIntRatioScaledSigned("w", "m", 9)}
+           |    AS BIGINT) AS v
            |  FROM w$r CROSS JOIN m$r)""".stripMargin
       s"""WITH ev AS (
          |  SELECT list_transform(embedding,
@@ -5926,9 +5923,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |tri AS (
          |  SELECT p.i, p.j,
-         |    CAST(floor(round(CAST(CAST(n.n AS HUGEINT) * p.sp
-         |        - CAST(si.s AS HUGEINT) * sj.s AS DOUBLE)
-         |      / CAST(n.n * n.n AS DOUBLE) / 1e12, 9) * 1e9 + 0.5)
+         |    CAST(${Portable.sqlIntRatioScaledSigned(
+              "CAST(n.n AS HUGEINT) * p.sp - CAST(si.s AS HUGEINT) * sj.s",
+              "CAST(n.n AS HUGEINT) * n.n * 1000000000000", 9)}
          |      AS BIGINT) AS c9
          |  FROM prods p
          |  JOIN sums si ON si.i = p.i
@@ -5952,12 +5949,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tr AS (SELECT sum(c9)::BIGINT AS tr9 FROM tri WHERE i = j)
          |SELECT j AS dim,
          |  round(CAST(v AS DOUBLE) / 1e9, 9) AS loading,
-         |  CASE WHEN den > 0 THEN ${Portable.sqlRatio9(
-              "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1e9")}
+         |  CASE WHEN den > 0 THEN ${Portable.sqlIntRatioSigned9("num",
+              "CAST(den AS HUGEINT) * 1000000000")}
          |  END AS eigenvalue,
-         |  CASE WHEN den > 0 AND tr9 > 0 THEN ${Portable.sqlRatio9(
-              "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)" +
-                " / CAST(tr9 AS DOUBLE)")}
+         |  CASE WHEN den > 0 AND tr9 > 0 THEN ${Portable.sqlIntRatioSigned9(
+              "num", "CAST(den AS HUGEINT) * tr9")}
          |  END AS explained_share
          |FROM vs CROSS JOIN nm CROSS JOIN dn CROSS JOIN tr
          |ORDER BY dim""".stripMargin
@@ -5992,9 +5988,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM ph WHERE st = 0
          |),
          |ws AS (
-         |  SELECT w, CAST(floor(round(CAST(sum(len) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
-         |    AS ws9
+         |  SELECT w, CAST(${Portable.sqlIntRatioScaled("sum(len)",
+              "count(*)", 9)} AS BIGINT) AS ws9
          |  FROM wl GROUP BY w
          |),
          |pr AS (
@@ -6043,11 +6038,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  GROUP BY q.source, q.lang
          |)
          |SELECT source, lang, n_docs, n_tokens,
-         |  CASE WHEN n_docs > 0 THEN ${Portable.sqlRatio9(
-              "CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+         |  CASE WHEN n_docs > 0 THEN ${Portable.sqlIntRatio9(
+              "n_tokens", "n_docs")}
          |  END AS mean_tokens,
-         |  CASE WHEN n_docs > 0 THEN ${Portable.sqlRatio9(
-              "CAST(sum_q9 AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e9")}
+         |  CASE WHEN n_docs > 0 THEN ${Portable.sqlIntRatio9("sum_q9",
+              "CAST(n_docs AS HUGEINT) * 1000000000")}
          |  END AS mean_quality,
          |  round(CAST(min_q9 AS DOUBLE) / 1e9, 9) AS min_quality,
          |  round(CAST(max_q9 AS DOUBLE) / 1e9, 9) AS max_quality
@@ -6163,29 +6158,39 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM ztop
          |),
          |zfit AS (
-         |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
-         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
-         |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
-         |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
-         |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
-         |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy,
+         |    sum(x * y)::BIGINT AS sxy,
+         |    sum(x * x)::BIGINT AS sxx,
+         |    sum(y * y)::BIGINT AS syy,
          |    sum(CASE WHEN rank <= 100 THEN c ELSE 0 END)::BIGINT
          |      AS top100_tokens
          |  FROM zxy
+         |),
+         |zd AS (
+         |  SELECT n, top100_tokens,
+         |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS dxy,
+         |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dxx,
+         |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dyy,
+         |    CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+         |      AS anum
+         |  FROM zfit
          |)
          |SELECT zroll.vocab_size, zroll.total_tokens, zroll.hapax_count,
-         |  zfit.top100_tokens, CAST(zfit.n AS BIGINT) AS fit_terms,
-         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
-         |    AS zipf_slope,
-         |  round(CAST(CAST(floor(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0) / 1e6, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
-         |    AS zipf_intercept,
-         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |      * CAST(n * sxy - sx * sy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
-         |          * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS zipf_r2
-         |FROM zroll CROSS JOIN zfit""".stripMargin,
+         |  zd.top100_tokens, zd.n AS fit_terms,
+         |  CASE WHEN dxx <> 0 THEN
+         |    ${Portable.sqlIntRatioSigned9("dxy", "dxx")}
+         |  END AS zipf_slope,
+         |  CASE WHEN dxx <> 0 THEN
+         |    ${Portable.sqlIntRatioSigned9("anum", "dxx * 1000000")}
+         |  END AS zipf_intercept,
+         |  CASE WHEN dxx <> 0 AND dyy <> 0 THEN
+         |    round(CAST(CAST(floor(round(CAST(dxy AS DOUBLE)
+         |      * CAST(dxy AS DOUBLE) / (CAST(dxx AS DOUBLE)
+         |      * CAST(dyy AS DOUBLE)), 9) * 1e9 + 0.5) AS BIGINT)
+         |      AS DOUBLE) / 1e9, 9) END AS zipf_r2
+         |FROM zroll CROSS JOIN zd""".stripMargin,
 
     // q127: same keyed-hash offset draw as the Spark side; DuckDB list
     // slices are 1-based inclusive, l[1:0] is empty.
@@ -6298,8 +6303,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  sum(nu)::BIGINT AS n_urls, sum(ne)::BIGINT AS n_emails,
          |  sum(np)::BIGINT AS n_phones, sum(ni)::BIGINT AS n_ips,
          |  sum(nn)::BIGINT AS n_long_nums,
-         |  round(CAST(CAST(floor(round(sum(CASE WHEN nu + ne + np + ni + nn > 0 THEN 1 ELSE 0
-         |    END)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pii_doc_ratio
+         |  ${Portable.sqlIntRatio9(
+             "sum(CASE WHEN nu + ne + np + ni + nn > 0 THEN 1 ELSE 0 END)",
+             "count(*)")} AS pii_doc_ratio
          |FROM pcn GROUP BY source ORDER BY source""".stripMargin,
 
     // q145: the q55 chain unfiltered, per-doc max, integer-edge bins,
@@ -6433,10 +6439,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  FROM kc
         |)
         |SELECT km.n_rows, km.n_keys, km.max_key_rows,
-        |  ${Portable.sqlRatio9("km.max_key_rows::DOUBLE / km.n_rows")}
+        |  ${Portable.sqlIntRatio9("km.max_key_rows", "km.n_rows")}
         |    AS max_key_share,
         |  kt.top10_rows,
-        |  ${Portable.sqlRatio9("kt.top10_rows::DOUBLE / km.n_rows")}
+        |  ${Portable.sqlIntRatio9("kt.top10_rows", "km.n_rows")}
         |    AS top10_share,
         |  ${Portable.sqlRatio9("ln(km.n_rows::DOUBLE)" +
             " - CAST(km.sclnc AS DOUBLE) / (km.n_rows::DOUBLE * 1e6)")}
@@ -6866,18 +6872,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |       FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
          |qm AS (
          |  SELECT doc_id,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |    $qMetricColsSql
          |  FROM documents
          |),
          |qs AS (
-         |  SELECT doc_id, round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |  SELECT doc_id, $qScoreSqlExpr
          |    AS quality_score
          |  FROM qm
          |),
@@ -7084,35 +7083,25 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
          |  len(regexp_extract_all(text, '${Text.WordPattern}'))::BIGINT AS n_word_tokens,
          |  length(text)::BIGINT AS n_chars,
-         |  round(CAST(CAST(floor(round(length(text)::DOUBLE / len(string_split(text, ' ')), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mean_tok_len,
+         |  ${Portable.sqlIntRatio9("length(text)",
+             "len(string_split(text, ' '))")} AS mean_tok_len,
          |  ceil(length(text) / 4.0)::BIGINT AS est_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q25_quality_score" -> {
-      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
+    "q25_quality_score" ->
       s"""WITH m AS (
          |  SELECT doc_id,
-         |    len(string_split(text, ' '))::DOUBLE AS n_toks,
-         |    length(text)::DOUBLE AS n_chars,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |    $qMetricColsSql
          |  FROM documents
          |)
-         |SELECT doc_id, n_toks::BIGINT AS n_tokens,
-         |  round(CAST(CAST(floor(round(alpha, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS alpha_ratio,
-         |  round(CAST(CAST(floor(round(digits, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS digit_ratio,
-         |  round(CAST(CAST(floor(round(stop, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS stopword_ratio,
-         |  len_ok::BIGINT AS len_ok,
-         |  round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |SELECT doc_id, qct AS n_tokens,
+         |  ${Portable.sqlIntRatio9("qca", "qcl")} AS alpha_ratio,
+         |  ${Portable.sqlIntRatio9("qcd", "qcl")} AS digit_ratio,
+         |  ${Portable.sqlIntRatio9("qcs", "qct")} AS stopword_ratio,
+         |  qok::BIGINT AS len_ok,
+         |  $qScoreSqlExpr
          |    AS quality_score
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // q101: the q25 score + percent_rank per source — the native
     // window IS the spec; the Spark side reproduces its tie semantics
@@ -7120,8 +7109,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q101_quality_percentiles" ->
       s"""$qualityScoreSqlCtes
          |SELECT doc_id, source, quality_score,
-         |  round(CAST(CAST(floor(round(percent_rank() OVER (PARTITION BY source
-         |    ORDER BY quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pct_rank
+         |  CASE WHEN count(*) OVER (PARTITION BY source) > 1 THEN
+         |    ${Portable.sqlIntRatio9(
+             "rank() OVER (PARTITION BY source ORDER BY quality_score) - 1",
+             "count(*) OVER (PARTITION BY source) - 1")}
+         |  ELSE CAST(0 AS DOUBLE) END AS pct_rank
          |FROM qs ORDER BY doc_id""".stripMargin,
 
     "q26_langid" ->
@@ -7155,8 +7147,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id,
          |  coalesce(p.total, 0)::BIGINT AS n_ngrams,
          |  coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
-         |  round(CAST(CAST(floor(round(1.0 - p.n_distinct / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_ngram_ratio,
-         |  round(CAST(CAST(floor(round(p.topc / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS top_ngram_ratio
+         |  ${Portable.sqlIntRatio9("p.total - p.n_distinct", "p.total")} AS dup_ngram_ratio,
+         |  ${Portable.sqlIntRatio9("p.topc", "p.total")} AS top_ngram_ratio
          |FROM documents d LEFT JOIN p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
@@ -7184,26 +7176,23 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH m AS (
          |  SELECT doc_id, source,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |    $qMetricColsSql
          |  FROM documents
          |),
          |sc AS (
          |  SELECT doc_id, source,
-         |    round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |    $qScoreSqlExpr
          |      AS quality_score
          |  FROM m
          |),
          |r AS (
          |  SELECT doc_id, source, quality_score,
-         |    round(CAST(CAST(floor(round(percent_rank() OVER (PARTITION BY source
-         |      ORDER BY quality_score DESC, doc_id ASC), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rank_pct
+         |    CASE WHEN count(*) OVER (PARTITION BY source) > 1 THEN
+         |      ${Portable.sqlIntRatio9(
+              "row_number() OVER (PARTITION BY source" +
+                " ORDER BY quality_score DESC, doc_id ASC) - 1",
+              "count(*) OVER (PARTITION BY source) - 1")}
+         |    ELSE CAST(0 AS DOUBLE) END AS rank_pct
          |  FROM sc
          |)
          |SELECT doc_id, source, quality_score, rank_pct FROM r
@@ -7396,8 +7385,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id, nn.n::BIGINT AS n,
          |  coalesce(p.total, 0)::BIGINT AS n_ngrams,
          |  coalesce(p.n_distinct, 0)::BIGINT AS n_distinct,
-         |  round(CAST(CAST(floor(round(1.0 - p.n_distinct / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_ngram_ratio,
-         |  round(CAST(CAST(floor(round(p.topc / p.total::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS top_ngram_ratio
+         |  ${Portable.sqlIntRatio9("p.total - p.n_distinct", "p.total")} AS dup_ngram_ratio,
+         |  ${Portable.sqlIntRatio9("p.topc", "p.total")} AS top_ngram_ratio
          |FROM documents d
          |CROSS JOIN (SELECT unnest([${RepetitionNs.mkString(", ")}]) AS n) nn
          |LEFT JOIN p ON p.doc_id = d.doc_id AND p.n = nn.n
@@ -7524,7 +7513,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  len(list_distinct(list_filter(string_split(text, ' '),
          |    t -> list_contains($lst, t))))::BIGINT AS n_blocked_types,
          |  CASE WHEN len(string_split(text, ' ')) > 0 THEN
-         |    round(CAST(CAST(floor(round(len(list_filter(string_split(text, ' '), t -> list_contains($lst, t))) / len(string_split(text, ' '))::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |    ${Portable.sqlIntRatio9(
+              s"len(list_filter(string_split(text, ' '), " +
+                s"t -> list_contains($lst, t)))",
+              "len(string_split(text, ' '))")}
          |  END AS blocked_ratio
          |FROM documents ORDER BY doc_id""".stripMargin
     },
@@ -8001,25 +7993,21 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""WITH m AS (
          |  SELECT doc_id, source, lang,
          |    len(string_split(text, ' '))::DOUBLE AS n_toks,
-         |    (length(text) - length(regexp_replace(text, '[a-z A-Z]', '', 'g')))
-         |      / length(text)::DOUBLE AS alpha,
-         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |      / length(text)::DOUBLE AS digits,
-         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))
-         |      / len(string_split(text, ' '))::DOUBLE AS stop,
-         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
-         |         THEN 1.0 ELSE 0.0 END AS len_ok
+         |    $qMetricColsSql
          |  FROM documents
          |), q AS (
          |  SELECT source, lang, n_toks::BIGINT AS n_tokens,
-         |    round(CAST(CAST(floor(round(least(1.0, greatest(0.0, 0.4*len_ok + 0.3*alpha + 0.2*stop + 0.1*(1.0 - digits))), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |    $qScoreSqlExpr
          |      AS quality_score
          |  FROM m
          |)
          |SELECT source, lang, count(*)::BIGINT AS n_docs,
          |  sum(n_tokens)::BIGINT AS n_tokens,
-         |  round(CAST(CAST(floor(round(avg(n_tokens), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mean_tokens,
-         |  round(CAST(CAST(floor(round(avg(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mean_quality,
+         |  ${Portable.sqlIntRatio9("sum(n_tokens)", "count(*)")}
+         |    AS mean_tokens,
+         |  ${Portable.sqlIntRatio9(
+             "sum(CAST(floor(quality_score * 1e9 + 0.5) AS BIGINT))",
+             "CAST(count(*) AS HUGEINT) * 1000000000")} AS mean_quality,
          |  round(CAST(CAST(floor(round(min(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS min_quality,
          |  round(CAST(CAST(floor(round(max(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS max_quality
          |FROM q GROUP BY source, lang
@@ -8224,8 +8212,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
          |  sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-         |  round(CAST(CAST(floor(round(sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
-         |        / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS oov_ratio
+         |  ${Portable.sqlIntRatio9(
+             "sum(CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END)",
+             "count(*)")} AS oov_ratio
          |FROM tok t LEFT JOIN vc ON t.w = vc.w
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
@@ -8251,11 +8240,16 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tot AS (SELECT sum(ca)::DOUBLE AS na, sum(cb)::DOUBLE AS nb,
          |               count(*)::DOUBLE AS v FROM j),
          |p AS (
-         |  SELECT w, (ca + 0.5) / (na + 0.5 * v) AS pa,
+         |  SELECT w, ca, cb, na, nb, v,
+         |         (ca + 0.5) / (na + 0.5 * v) AS pa,
          |         (cb + 0.5) / (nb + 0.5 * v) AS pb
          |  FROM j, tot
          |)
-         |SELECT w, round(CAST(CAST(floor(round(pa, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p_a, round(CAST(CAST(floor(round(pb, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS p_b,
+         |SELECT w,
+         |  ${Portable.sqlIntRatio9("2 * ca + 1",
+             "CAST(2 * na AS BIGINT) + CAST(v AS BIGINT)")} AS p_a,
+         |  ${Portable.sqlIntRatio9("2 * cb + 1",
+             "CAST(2 * nb AS BIGINT) + CAST(v AS BIGINT)")} AS p_b,
          |  round(CAST(CAST(floor(round(pa * ln(pa / pb), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS kl_term
          |FROM p ORDER BY kl_term DESC, w ASC LIMIT $DriftTopK""".stripMargin,
 
@@ -8487,23 +8481,29 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM curve WHERE n_tokens > 0 AND vocab > 0
          |),
          |fit AS (
-         |  SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
-         |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
-         |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
-         |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
-         |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
-         |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         |    sum(y * y)::BIGINT AS syy
          |  FROM pts
+         |),
+         |hd AS (
+         |  SELECT
+         |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS dxy,
+         |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dxx,
+         |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dyy
+         |  FROM fit
          |)
          |SELECT c.bucket, c.n_docs, c.n_tokens, c.vocab, c.new_types,
-         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
-         |    AS heaps_beta,
-         |  round(CAST(CAST(floor(round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |      * CAST(n * sxy - sx * sy AS DOUBLE)
-         |      / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
-         |      * CAST(n * syy - sy * sy AS DOUBLE), 0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS heaps_r2
-         |FROM curve c CROSS JOIN fit ORDER BY c.bucket""".stripMargin,
+         |  CASE WHEN dxx <> 0 THEN
+         |    ${Portable.sqlIntRatioSigned9("dxy", "dxx")}
+         |  END AS heaps_beta,
+         |  CASE WHEN dxx <> 0 AND dyy <> 0 THEN
+         |    round(CAST(CAST(floor(round(CAST(dxy AS DOUBLE)
+         |      * CAST(dxy AS DOUBLE) / (CAST(dxx AS DOUBLE)
+         |      * CAST(dyy AS DOUBLE)), 9) * 1e9 + 0.5) AS BIGINT)
+         |      AS DOUBLE) / 1e9, 9) END AS heaps_r2
+         |FROM curve c CROSS JOIN hd ORDER BY c.bucket""".stripMargin,
 
     // q155: projected vectors from the same keyed-hash ±1 signs
     // (('jl' || j, i) → sign), fold order matching FoldDot; float32
@@ -8625,9 +8625,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.source, d.n_docs,
          |  coalesce(per.n_tokens, 0) AS n_tokens,
          |  coalesce(per.n_types, 0) AS n_types,
-         |  round(CAST(CAST(floor(round(per.n_types / per.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ttr,
+         |  ${Portable.sqlIntRatio9("per.n_types", "per.n_tokens")} AS ttr,
          |  coalesce(per.n_hapax, 0) AS n_hapax,
-         |  round(CAST(CAST(floor(round(per.n_hapax / per.n_types::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS hapax_ratio
+         |  ${Portable.sqlIntRatio9("per.n_hapax", "per.n_types")}
+         |    AS hapax_ratio
          |FROM d LEFT JOIN per USING (source)
          |ORDER BY source""".stripMargin,
 
@@ -9660,9 +9661,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT p.i, p.j, n.n, si.s AS sum_i, sj.s AS sum_j,
          |  p.sp AS sumprod,
-         |  round(CAST(CAST(floor(round(CAST(CAST(n.n AS HUGEINT) * p.sp
-         |             - CAST(si.s AS HUGEINT) * sj.s AS DOUBLE)
-         |        / CAST(n.n * n.n AS DOUBLE) / 1e12, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS cov
+         |  ${Portable.sqlIntRatioSigned9(
+             "CAST(n.n AS HUGEINT) * p.sp - CAST(si.s AS HUGEINT) * sj.s",
+             "CAST(n.n AS HUGEINT) * n.n * 1000000000000")} AS cov
          |FROM prods p
          |JOIN sums si ON si.i = p.i
          |JOIN sums sj ON sj.i = p.j
@@ -9784,15 +9785,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
            |  SELECT dd.d, sum(xi[dd.d])::BIGINT AS s
            |  FROM e$as, dd GROUP BY 1
            |)""".stripMargin
-      val ma = "CAST(sa.s AS DOUBLE) / CAST(na.n AS DOUBLE) / 1e6"
-      val mb = "CAST(sb.s AS DOUBLE) / CAST(nb.n AS DOUBLE) / 1e6"
       s"""WITH dd AS (SELECT unnest(range(1, ${EmbDims + 1}))::BIGINT AS d),
          |${side("a", s"vec_id < $DriftSplitId")},
          |${side("b", s"vec_id >= $DriftSplitId")}
          |SELECT dd.d, na.n AS n_a, nb.n AS n_b,
-         |  ${Portable.sqlRatio9(ma)} AS mean_a,
-         |  ${Portable.sqlRatio9(mb)} AS mean_b,
-         |  ${Portable.sqlRatio9(s"$mb - $ma")} AS delta
+         |  ${Portable.sqlIntRatioSigned9("sa.s",
+             "CAST(na.n AS HUGEINT) * 1000000")} AS mean_a,
+         |  ${Portable.sqlIntRatioSigned9("sb.s",
+             "CAST(nb.n AS HUGEINT) * 1000000")} AS mean_b,
+         |  ${Portable.sqlIntRatioSigned9(
+             "CAST(sb.s AS HUGEINT) * na.n - CAST(sa.s AS HUGEINT) * nb.n",
+             "CAST(na.n AS HUGEINT) * nb.n * 1000000")} AS delta
          |FROM dd JOIN sa ON sa.d = dd.d JOIN sb ON sb.d = dd.d
          |CROSS JOIN na CROSS JOIN nb
          |ORDER BY dd.d""".stripMargin
@@ -9860,8 +9863,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT nn.n AS n_left, nn.n AS n_right, ex.join_size,
          |  est.est_size,
          |  (est.est_size - ex.join_size)::BIGINT AS overestimate,
-         |  round(CAST(CAST(floor(round(CAST(est.est_size AS DOUBLE)
-         |    / CAST(ex.join_size AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ratio
+         |  ${Portable.sqlIntRatio9("est.est_size", "ex.join_size")}
+         |    AS ratio
          |FROM ex CROSS JOIN est CROSS JOIN nn""".stripMargin,
 
     // q204: one QI agg, one rollup — counts exact, one division.
@@ -9883,9 +9886,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    AS n_viol_groups,
          |  sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)::BIGINT
          |    AS n_viol_rows,
-         |  ${Portable.sqlRatio9(
-             s"sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)" +
-             " / CAST(sum(sz) AS DOUBLE)")} AS viol_share,
+         |  ${Portable.sqlIntRatio9(
+             s"sum(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END)",
+             "sum(sz)")} AS viol_share,
          |  min(l)::BIGINT AS min_l
          |FROM g""".stripMargin,
 
@@ -10018,14 +10021,18 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
          |)
          |SELECT pr.id_a, pr.id_b, pr.n_shared, sa.s AS n_a, sb.s AS n_b,
-         |  round(CAST(CAST(floor(round(CAST(pr.n_shared AS DOUBLE)
-         |    / CAST(least(sa.s, sb.s) AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS containment
+         |  ${Portable.sqlIntRatio9("pr.n_shared",
+             "least(sa.s, sb.s)")} AS containment
          |FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
          |JOIN sz sb ON pr.id_b = sb.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
 
-    // q218: distinct-score CDF, descending cumulative windows, F1
-    // integerized at 1e9; best row via ORDER BY (f19, s9) DESC LIMIT 1.
+    // q218: distinct-score CDF, descending cumulative windows, F1 as
+    // one EXACT integral division at 1e9 (no double round() anywhere —
+    // round(<raw double quotient>, 9) is driver-version-sensitive, the
+    // r9/r10 hash-fail class); best row via ORDER BY (f19, s9) DESC
+    // LIMIT 1, s9 recovered from the already-9dp-integerized score by
+    // one exact IEEE multiply + floor.
     "q218_threshold_sweep" ->
       s"""$qualityScoreSqlCtes,
          |g AS (
@@ -10043,25 +10050,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |f AS (
          |  SELECT threshold, tp, fp, (totp - tp)::BIGINT AS fn, totp,
-         |    CAST(floor(round(CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE)
-         |      / (CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE)
-         |         + CAST(fp AS DOUBLE) + CAST(totp - tp AS DOUBLE)), 9)
-         |      * 1e9 + 0.5) AS BIGINT) AS f19,
-         |    CAST(floor(round(CAST(threshold AS DOUBLE), 9) * 1e9 + 0.5)
-         |      AS BIGINT) AS s9
+         |    ${Portable.sqlIntRatioScaled("2 * tp",
+              "2 * tp + fp + (totp - tp)", 9)} AS f19,
+         |    CAST(floor(threshold * 1e9 + 0.5) AS BIGINT) AS s9
          |  FROM c
          |),
          |b AS (SELECT f19, s9 FROM f ORDER BY f19 DESC, s9 DESC LIMIT 1)
          |SELECT f.threshold, f.tp, f.fp, f.fn,
-         |  round(CAST(CAST(floor(round(CAST(f.tp AS DOUBLE)
-         |    / CAST(f.tp + f.fp AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
-         |    AS DOUBLE) / 1e9, 9) AS precision,
+         |  ${Portable.sqlIntRatio9("f.tp", "f.tp + f.fp")} AS precision,
          |  CASE WHEN f.totp > 0 THEN
-         |    round(CAST(CAST(floor(round(CAST(f.tp AS DOUBLE)
-         |      / CAST(f.totp AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
-         |      AS DOUBLE) / 1e9, 9)
-         |    END AS recall,
-         |  round(CAST(CAST(floor(round(CAST(f.f19 AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS f1,
+         |    ${Portable.sqlIntRatio9("f.tp", "f.totp")} END AS recall,
+         |  (CAST(f.f19 AS DOUBLE) / 1e9) AS f1,
          |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
          |FROM f CROSS JOIN b ORDER BY f.threshold""".stripMargin,
 
@@ -10092,15 +10091,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT sel.tile, cdf.v AS threshold, cdf.cum_n AS n,
          |  cdf.cum_p AS pos,
          |  CASE WHEN sel.pp > 0 THEN
-         |    round(CAST(CAST(floor(round(CAST(cdf.cum_p AS DOUBLE)
-         |      / CAST(sel.pp AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT)
-         |      AS DOUBLE) / 1e9, 9) END AS gain,
+         |    ${Portable.sqlIntRatio9("cdf.cum_p", "sel.pp")} END AS gain,
          |  CASE WHEN sel.pp > 0 THEN
-         |    round(CAST(CAST(floor(round(CAST(cdf.cum_p AS DOUBLE)
-         |      / CAST(cdf.cum_n AS DOUBLE)
-         |      / (CAST(sel.pp AS DOUBLE) / CAST(sel.nn AS DOUBLE)), 9)
-         |      * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
-         |    END AS lift
+         |    ${Portable.sqlIntRatio9(
+                "CAST(cdf.cum_p AS HUGEINT) * sel.nn",
+                "CAST(cdf.cum_n AS HUGEINT) * sel.pp")} END AS lift
          |FROM sel JOIN cdf ON cdf.cum_n = sel.n
          |ORDER BY sel.tile""".stripMargin,
 
@@ -10130,10 +10125,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, n_pos, n_neg,
          |  (r2 - n_pos * (n_pos + 1))::BIGINT AS u2_pos,
          |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-         |    ${Portable.sqlRatio9(
-             "CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)" +
-             " / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)" +
-             " * CAST(n_neg AS DOUBLE))")} END AS auc
+         |    ${Portable.sqlIntRatio9("r2 - n_pos * (n_pos + 1)",
+             "2 * CAST(n_pos AS HUGEINT) * n_neg")} END AS auc
          |FROM a ORDER BY source""".stripMargin,
 
     // q221: identical per-term integerized logs (floor(ln·1e9 + ½)
@@ -10370,13 +10363,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q212_reliability_diagram" ->
       s"""$calibBinsSqlCte
          |SELECT bin, n, pos,
-         |  ${Portable.sqlRatio9(
-             "CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1e9")}
-         |    AS mean_score,
-         |  ${Portable.sqlRatio9(
-             "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_pos,
-         |  ${Portable.sqlRatio9(
-             "CAST(se AS DOUBLE) / CAST(n AS DOUBLE) / 1e18")}
+         |  ${Portable.sqlIntRatio9("ss",
+             "CAST(n AS HUGEINT) * 1000000000")} AS mean_score,
+         |  ${Portable.sqlIntRatio9("pos", "n")} AS frac_pos,
+         |  ${Portable.sqlIntRatio9("se",
+             "CAST(n AS HUGEINT) * 1000000000 * 1000000000")}
          |    AS brier_bin
          |FROM b ORDER BY bin""".stripMargin,
 
@@ -10389,33 +10380,27 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |        sum(se) AS sse FROM b),
          |terms AS (
          |  SELECT t.nn, t.pp, t.sse,
-         |    CAST(floor(round(
-         |      CAST(b.ss - CAST(b.pos AS DECIMAL(38,0)) * 1000000000
-         |        AS DOUBLE)
-         |      * CAST(b.ss - CAST(b.pos AS DECIMAL(38,0)) * 1000000000
-         |        AS DOUBLE)
-         |      / CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) / 1e18, 9)
-         |      * 1e9 + 0.5) AS BIGINT) AS rel9,
-         |    CAST(floor(round(
-         |      (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
-         |        - CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
-         |      * (CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)
-         |        - CAST(t.pp AS DOUBLE) / CAST(t.nn AS DOUBLE))
-         |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE), 9)
-         |      * 1e9 + 0.5) AS BIGINT) AS res9
+         |    ${Portable.sqlIntRatioScaled(
+              "(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)" +
+                " * 1000000000) * (CAST(b.ss AS HUGEINT)" +
+                " - CAST(b.pos AS HUGEINT) * 1000000000)",
+              "CAST(b.n AS HUGEINT) * t.nn * 1000000000 * 1000000000",
+              9)} AS rel9,
+         |    ${Portable.sqlIntRatioScaled(
+              "(CAST(b.pos AS HUGEINT) * t.nn - CAST(t.pp AS HUGEINT)" +
+                " * b.n) * (CAST(b.pos AS HUGEINT) * t.nn" +
+                " - CAST(t.pp AS HUGEINT) * b.n)",
+              "CAST(b.n AS HUGEINT) * t.nn * t.nn * t.nn", 9)} AS res9
          |  FROM b CROSS JOIN t
          |)
          |SELECT nn AS n, pp AS pos,
-         |  ${Portable.sqlRatio9(
-             "CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)")} AS pos_rate,
-         |  ${Portable.sqlRatio9(
-             "CAST(sse AS DOUBLE) / CAST(nn AS DOUBLE) / 1e18")}
-         |    AS brier,
+         |  ${Portable.sqlIntRatio9("pp", "nn")} AS pos_rate,
+         |  ${Portable.sqlIntRatio9("sse",
+             "CAST(nn AS HUGEINT) * 1000000000 * 1000000000")} AS brier,
          |  round(CAST(CAST(floor(round(CAST(sum(rel9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS reliability,
          |  round(CAST(CAST(floor(round(CAST(sum(res9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS resolution,
-         |  ${Portable.sqlRatio9("CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)" +
-             " * (CAST(1 AS DOUBLE) - CAST(pp AS DOUBLE)" +
-             " / CAST(nn AS DOUBLE))")} AS uncertainty
+         |  ${Portable.sqlIntRatio9("CAST(pp AS HUGEINT) * (nn - pp)",
+             "CAST(nn AS HUGEINT) * nn")} AS uncertainty
          |FROM terms GROUP BY nn, pp, sse
          |ORDER BY n""".stripMargin,
 
@@ -10442,9 +10427,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |grid AS (
          |  SELECT i.bucket AS bi, j.bucket AS bj,
-         |    CAST(floor(round(CAST(j.cp - (i.cp - i.pos) AS DOUBLE)
-         |      / CAST(j.cn - (i.cn - i.n) AS DOUBLE), 9) * 1e9 + 0.5)
-         |      AS BIGINT) AS r9
+         |    ${Portable.sqlIntRatioScaled("j.cp - (i.cp - i.pos)",
+              "j.cn - (i.cn - i.n)", 9)} AS r9
          |  FROM c i JOIN c j ON i.bucket <= j.bucket
          |),
          |mn AS (
@@ -10455,9 +10439,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |f AS (SELECT bkt, max(m) AS f9 FROM mn GROUP BY 1)
          |SELECT b.bucket, b.n, b.pos,
-         |  ${Portable.sqlRatio9(
-             "CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)")}
-         |    AS raw_rate,
+         |  ${Portable.sqlIntRatio9("b.pos", "b.n")} AS raw_rate,
          |  round(CAST(CAST(floor(round(CAST(f.f9 AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS fitted
          |FROM b JOIN f ON b.bucket = f.bkt ORDER BY b.bucket""".stripMargin,
 
@@ -10473,17 +10455,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |tot AS (SELECT sum(n_g)::BIGINT AS n, sum(sg)::BIGINT AS s
          |        FROM per)
          |SELECT p.source, p.n_g,
-         |  ${Portable.sqlRatio9("CAST(p.sg AS DOUBLE)" +
-             " / CAST(p.n_g AS DOUBLE) / 1e9")}
-         |    AS mean_g,
+         |  ${Portable.sqlIntRatio9("p.sg",
+             "CAST(p.n_g AS HUGEINT) * 1000000000")} AS mean_g,
          |  CASE WHEN t.n > p.n_g THEN
-         |    ${Portable.sqlRatio9("CAST(t.s - p.sg AS DOUBLE)" +
-             " / CAST(t.n - p.n_g AS DOUBLE) / 1e9")}
+         |    ${Portable.sqlIntRatio9("t.s - p.sg",
+             "CAST(t.n - p.n_g AS HUGEINT) * 1000000000")}
          |  END AS mean_without,
          |  CASE WHEN t.n > p.n_g THEN
-         |    ${Portable.sqlRatio9("CAST(t.s - p.sg AS DOUBLE)" +
-             " / CAST(t.n - p.n_g AS DOUBLE) / 1e9" +
-             " - CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) / 1e9")}
+         |    ${Portable.sqlIntRatioSigned9(
+             "(CAST(t.s AS HUGEINT) - p.sg) * t.n" +
+               " - CAST(t.s AS HUGEINT) * (t.n - p.n_g)",
+             "CAST(t.n AS HUGEINT) * (t.n - p.n_g) * 1000000000")}
          |  END AS delta
          |FROM per p CROSS JOIN tot t
          |ORDER BY delta DESC, p.source""".stripMargin,
@@ -10514,8 +10496,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT source, max(n)::BIGINT AS n, sum(k)::BIGINT AS n_kept,
          |  CASE WHEN sum(k) > 0 THEN
-         |    ${Portable.sqlRatio9("CAST(sum(k * vi) AS DOUBLE)" +
-             " / CAST(sum(k) AS DOUBLE) / 1e9")}
+         |    ${Portable.sqlIntRatioSigned9("sum(k * vi)",
+             "CAST(sum(k) AS HUGEINT) * 1000000000")}
          |  END AS trimmed_mean
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
@@ -10588,9 +10570,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT n_a AS n_pos, n_b AS n_neg,
          |  (r2 - n_a * (n_a + 1))::BIGINT AS u2_pos,
-         |  ${Portable.sqlRatio9("CAST(r2 - n_a * (n_a + 1) AS DOUBLE)" +
-             " / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))")}
-         |    AS auc
+         |  ${Portable.sqlIntRatio9("r2 - n_a * (n_a + 1)",
+             "2 * CAST(n_a AS HUGEINT) * n_b")} AS auc
          |FROM ag""".stripMargin,
 
     // q200: baseline decile boundaries as exact order statistics off
@@ -10821,8 +10802,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT t.source, t.ng AS n_g, t.ks_at, t.ks_num,
          |  CASE WHEN nn.n - t.ng > 0 THEN
-         |    ${Portable.sqlRatio9("CAST(t.ks_num AS DOUBLE)" +
-             " / (CAST(t.ng AS DOUBLE) * CAST(nn.n - t.ng AS DOUBLE))")}
+         |    ${Portable.sqlIntRatio9("t.ks_num",
+             "CAST(t.ng AS HUGEINT) * (nn.n - t.ng)")}
          |  END AS ks
          |FROM top t CROSS JOIN nn
          |ORDER BY ks DESC, t.source""".stripMargin,
@@ -10866,8 +10847,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |top AS (SELECT v, d FROM g ORDER BY d DESC, v ASC LIMIT 1)
          |SELECT na.n AS n_a, nb.n AS n_b, top.v AS ks_at,
          |  top.d AS ks_num,
-         |  ${Portable.sqlRatio9("CAST(top.d AS DOUBLE)" +
-             " / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))")} AS ks
+         |  ${Portable.sqlIntRatio9("top.d",
+             "CAST(na.n AS HUGEINT) * nb.n")} AS ks
          |FROM top CROSS JOIN na CROSS JOIN nb""".stripMargin,
 
     // q192: the identical pooled-z double chain over exact counts
@@ -10919,8 +10900,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |t AS (SELECT sum(n)::BIGINT AS t FROM c),
         |pl AS (
         |  SELECT label, n,
-        |    ${Portable.sqlRatio9("CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE)")}
-        |      AS share,
+        |    ${Portable.sqlIntRatio9("n", "t.t")} AS share,
         |    CAST(floor(round(
         |      (CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE))
         |        * ln(CAST(n AS DOUBLE) / CAST(t.t AS DOUBLE)), 9)
@@ -10930,8 +10910,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |SELECT label, n, share,
         |  round(CAST(CAST(floor(round(CAST(-(SELECT sum(plogp) FROM pl) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
         |    AS entropy,
-        |  ${Portable.sqlRatio9(
-             "CAST((SELECT max(n) FROM c) AS DOUBLE) / CAST((SELECT min(n) FROM c) AS DOUBLE)")}
+        |  ${Portable.sqlIntRatio9(
+             "(SELECT max(n) FROM c)", "(SELECT min(n) FROM c)")}
         |    AS imbalance
         |FROM pl ORDER BY label""".stripMargin,
 
@@ -10961,14 +10941,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT label, support, tp, fp, fn,
          |  CASE WHEN tp + fp > 0 THEN
-         |    ${Portable.sqlRatio9("CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)")}
+         |    ${Portable.sqlIntRatio9("tp", "tp + fp")}
          |  END AS precision,
          |  CASE WHEN tp + fn > 0 THEN
-         |    ${Portable.sqlRatio9("CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)")}
+         |    ${Portable.sqlIntRatio9("tp", "tp + fn")}
          |  END AS recall,
          |  CASE WHEN 2 * tp + fp + fn > 0 THEN
-         |    ${Portable.sqlRatio9(
-              "CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)")}
+         |    ${Portable.sqlIntRatio9("2 * tp", "2 * tp + fp + fn")}
          |  END AS f1
          |FROM j ORDER BY label""".stripMargin,
 

@@ -92,4 +92,90 @@ object Portable {
   def sqlRatioAt(x: String, dp: Int): String =
     s"round(CAST(CAST(floor(round($x, $dp) * 1e$dp + 0.5) AS BIGINT)" +
       s" AS DOUBLE) / 1e$dp, $dp)"
+
+  /** Exact 9-dp ratio of two exact NONNEGATIVE integers, computed
+    * entirely in integer arithmetic: round-half-up at 1e9 via
+    * `(2·num·1e9 + den) div (2·den)` carried in DECIMAL(38,0) (so no
+    * corpus size overflows it), then ONE IEEE division by the 1e9
+    * literal. Unlike [[ratio9]] there is NO double `round()` anywhere:
+    * `round(<raw double quotient>, 9)` is oracle-engine-VERSION-
+    * sensitive (the q218/q219 driver hash-fail class, rounds 9–10) —
+    * two engines' round() can land one decimal step apart when the
+    * quotient sits within an ulp of a half-way point. Integer div plus
+    * one correctly-rounded IEEE division is bit-identical in any
+    * engine holding the same exact integers. Caller guards `den > 0`
+    * with a short-circuiting when() (ANSI throws on zero). DuckDB
+    * mirror: [[sqlIntRatio9]]. */
+  def intRatio9(num: Column, den: Column): Column = intRatioAt(num, den, 9)
+
+  /** [[intRatio9]] at an arbitrary decimal precision. */
+  def intRatioAt(num: Column, den: Column, dp: Int): Column =
+    intRatioScaled(num, den, dp).cast("double") /
+      lit(math.pow(10.0, dp.toDouble))
+
+  /** The scaled integer itself — round-half-up of `num·10^dp / den`
+    * as a LONG — the form argmaxes and tie-breaks should compare
+    * ([[graft.ops.Quality.thresholdSweepFromCounts]]'s `__f19`).
+    * DuckDB mirror: [[sqlIntRatioScaled]]. */
+  def intRatioScaled(num: Column, den: Column, dp: Int): Column = {
+    val s = math.pow(10.0, dp.toDouble).toLong
+    val dec = "decimal(38,0)"
+    idiv(num.cast(dec) * lit(2L * s) + den.cast(dec),
+      den.cast(dec) * lit(2L))
+  }
+
+  /** Catalyst IntegralDivide lifted to the Column API (Spark exposes
+    * it only as the SQL `div` operator) — exact integral division of
+    * LONG/DECIMAL operands returning LONG. */
+  private def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** [[intRatio9]] for a possibly-NEGATIVE numerator (den > 0):
+    * round-half-up on the magnitude, sign reapplied — sidesteps the
+    * engines' differing negative integer-division conventions
+    * (Catalyst IntegralDivide truncates toward zero, DuckDB `//`
+    * floors). */
+  def intRatioSigned9(num: Column, den: Column): Column = {
+    val n = num.cast("decimal(38,0)")
+    when(n >= 0, intRatio9(n, den)).otherwise(-intRatio9(-n, den))
+  }
+
+  /** [[intRatioScaled]] for a possibly-negative numerator (den > 0):
+    * round-half-up on the magnitude, sign reapplied. */
+  def intRatioScaledSigned(num: Column, den: Column, dp: Int): Column = {
+    val n = num.cast("decimal(38,0)")
+    when(n >= 0, intRatioScaled(n, den, dp))
+      .otherwise(-intRatioScaled(-n, den, dp))
+  }
+
+  /** DuckDB SQL mirror of [[intRatioScaledSigned]]. */
+  def sqlIntRatioScaledSigned(num: String, den: String, dp: Int): String =
+    s"(CASE WHEN ($num) >= 0 THEN ${sqlIntRatioScaled(num, den, dp)}" +
+      s" ELSE -${sqlIntRatioScaled(s"-($num)", den, dp)} END)"
+
+  /** DuckDB SQL mirror of [[intRatioSigned9]]. */
+  def sqlIntRatioSigned9(num: String, den: String): String =
+    s"(CASE WHEN ($num) >= 0 THEN ${sqlIntRatio9(num, den)}" +
+      s" ELSE -${sqlIntRatio9(s"-($num)", den)} END)"
+
+  /** DuckDB SQL mirror of [[intRatio9]]; `num`/`den` are SQL integer
+    * expressions (any width — promoted to HUGEINT). */
+  def sqlIntRatio9(num: String, den: String): String =
+    sqlIntRatioAt(num, den, 9)
+
+  /** DuckDB SQL mirror of [[intRatioAt]]. */
+  def sqlIntRatioAt(num: String, den: String, dp: Int): String =
+    s"(CAST(${sqlIntRatioScaled(num, den, dp)} AS DOUBLE) / 1e$dp)"
+
+  /** DuckDB SQL mirror of [[intRatioScaled]] — a BIGINT-ranged
+    * HUGEINT. */
+  def sqlIntRatioScaled(num: String, den: String, dp: Int): String = {
+    val s = "1" + ("0" * dp)
+    s"((2 * CAST(($num) AS HUGEINT) * $s + ($den)) // " +
+      s"(2 * CAST(($den) AS HUGEINT)))"
+  }
 }

@@ -183,11 +183,12 @@ object Quality {
     counts.crossJoin(broadcast(tot))
       .withColumn("__plogp",
         floor(round(p * log(p), 9) * lit(1e9) + lit(0.5)).cast("long"))
-      .select(col(labelCol), col("n"), Portable.ratio9(p).as("share"),
+      .select(col(labelCol), col("n"),
+        Portable.intRatio9(col("n"), col("__t")).as("share"),
         round((-sum(col("__plogp")).over(w)).cast("double") / lit(1e9), 9)
           .as("entropy"),
-        Portable.ratio9(max(col("n")).over(w).cast("double") /
-          min(col("n")).over(w).cast("double")).as("imbalance"))
+        Portable.intRatio9(max(col("n")).over(w), min(col("n")).over(w))
+          .as("imbalance"))
   }
 
   /** Per-class classifier evaluation from a (truth, prediction) frame —
@@ -224,14 +225,12 @@ object Quality {
         (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L)))
           .as("fn"))
       .withColumn("precision", when(col("tp") + col("fp") > 0,
-        Portable.ratio9(col("tp").cast("double") /
-          (col("tp") + col("fp")).cast("double"))))
+        Portable.intRatio9(col("tp"), col("tp") + col("fp"))))
       .withColumn("recall", when(col("tp") + col("fn") > 0,
-        Portable.ratio9(col("tp").cast("double") /
-          (col("tp") + col("fn")).cast("double"))))
+        Portable.intRatio9(col("tp"), col("tp") + col("fn"))))
       .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
-        Portable.ratio9((lit(2L) * col("tp")).cast("double") /
-          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))))
+        Portable.intRatio9(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn"))))
   }
 
   /** Per-dimension (n, Σ integerized-coordinate) stats in long form —
@@ -294,9 +293,8 @@ object Quality {
         max(struct(col("__d"), (-col("v")).as("__negv"))).as("__m"))
       .select(col("n_a"), col("n_b"), (-col("__m.__negv")).as("ks_at"),
         col("__m.__d").as("ks_num"),
-        Portable.ratio9(col("__m.__d").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")))
-          .as("ks"))
+        Portable.intRatio9(col("__m.__d"),
+          col("n_a").cast("decimal(38,0)") * col("n_b")).as("ks"))
   }
 
   /** Cumulative Poisson(1) thresholds integerized at 1e9 — the
@@ -359,9 +357,9 @@ object Quality {
         sum(col("__w")).as("__sw"))
       .filter(col("__sw") > 0L)
       .select(col("__b"),
-        floor(round(col("__swx").cast("double") /
-          col("__sw").cast("double") / lit(1e9), 9) * lit(1e9) +
-          lit(0.5)).cast("long").as("__m9"))
+        Portable.intRatioScaledSigned(col("__swx"),
+          col("__sw").cast("decimal(38,0)") * lit(1000000000L), 9)
+          .as("__m9"))
     val wAll = Window.orderBy(col("__m9"), col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = per
@@ -378,8 +376,8 @@ object Quality {
           col("__m9"))).as("__hi9"))
       .crossJoin(broadcast(nm))
       .select(col("n"), col("__nb").as("n_resamples"),
-        when(col("n") > 0L, Portable.ratio9(col("__sx").cast("double") /
-          col("n").cast("double") / lit(1e9))).as("mean"),
+        when(col("n") > 0L, Portable.intRatioSigned9(col("__sx"),
+          col("n").cast("decimal(38,0)") * lit(1000000000L))).as("mean"),
         round(col("__lo9").cast("double") / lit(1e9), 9).as("lo95"),
         round(col("__hi9").cast("double") / lit(1e9), 9).as("hi95"))
   }
@@ -433,10 +431,9 @@ object Quality {
         sum(col("__t")).as("__w"))
       .select(col("n_a"), col("n_b"), col("n_values"),
         when(col("n_a") > 0 && col("n_b") > 0,
-          Portable.ratio9(coalesce(col("__w"), lit(0).cast(dec))
-            .cast("double") /
-            (col("n_a").cast("double") * col("n_b").cast("double")) /
-            lit(1e9))).as("w1"))
+          Portable.intRatio9(coalesce(col("__w"), lit(0).cast(dec)),
+            col("n_a").cast(dec) * col("n_b") * lit(1000000000L)))
+          .as("w1"))
   }
 
   /** Tie-corrected Mann–Whitney U test between two score samples —
@@ -578,17 +575,15 @@ object Quality {
           .as("agree"))
       .crossJoin(broadcast(pe))
       .select(col("n"), col("agree"),
-        when(col("n") > 0L, Portable.ratio9(col("agree").cast("double") /
-          col("n").cast("double"))).as("po"),
-        when(col("n") > 0L, Portable.ratio9(col("__pe").cast("double") /
-          (col("n").cast("double") * col("n").cast("double"))))
-          .as("pe"),
+        when(col("n") > 0L, Portable.intRatio9(col("agree"), col("n")))
+          .as("po"),
+        when(col("n") > 0L, Portable.intRatio9(col("__pe"),
+          col("n").cast(dec) * col("n"))).as("pe"),
         when(col("n").cast(dec) * col("n").cast(dec) - col("__pe") > 0,
-          Portable.ratio9(
-            (col("n").cast(dec) * col("agree").cast(dec) - col("__pe"))
-              .cast("double") /
-              (col("n").cast(dec) * col("n").cast(dec) - col("__pe"))
-                .cast("double"))).as("kappa"))
+          Portable.intRatioSigned9(
+            col("n").cast(dec) * col("agree").cast(dec) - col("__pe"),
+            col("n").cast(dec) * col("n").cast(dec) - col("__pe")))
+          .as("kappa"))
   }
 
   /** Mutual information (and normalized MI) between two categorical
@@ -681,8 +676,7 @@ object Quality {
     val grid = Benford9.zipWithIndex
       .map { case (p9, i) => (i + 1, p9) }.toDF("digit", "__p9")
     val tot = counted.agg(sum(col("observed")).as("n"))
-    val share9 = floor(round(col("observed").cast("double") /
-      col("n").cast("double"), 9) * lit(1e9) + lit(0.5)).cast("long")
+    val share9 = Portable.intRatioScaled(col("observed"), col("n"), 9)
     broadcast(grid)
       .join(counted, Seq("digit"), "left")
       .select(col("digit"),
@@ -731,9 +725,8 @@ object Quality {
     val wide = clean.agg(count(lit(1)).as("__n"), aggs: _*)
     val rows = (0 until dim).map { i =>
       struct(lit(i + 1).as("dim"), col("__n").as("n"),
-        when(col("__n") > 0L, Portable.ratio9(
-          col(s"__s$i").cast("double") / col("__n").cast("double") /
-            lit(1e9))).as("mean"),
+        when(col("__n") > 0L, Portable.intRatioSigned9(col(s"__s$i"),
+          col("__n").cast(dec) * lit(1000000000L))).as("mean"),
         when(col("__n") > 0L, Portable.ratio9(
           sqrt(greatest(lit(0.0),
             (col("__n").cast(dec) * col(s"__q$i") -
@@ -742,9 +735,8 @@ object Quality {
           .as("std"),
         round(col(s"__lo$i").cast("double") / lit(1e9), 9).as("min"),
         round(col(s"__hi$i").cast("double") / lit(1e9), 9).as("max"),
-        when(col("__n") > 0L, Portable.ratio9(
-          col(s"__z$i").cast("double") / col("__n").cast("double")))
-          .as("zero_frac"))
+        when(col("__n") > 0L, Portable.intRatio9(col(s"__z$i"),
+          col("__n"))).as("zero_frac"))
     }
     wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
@@ -794,8 +786,9 @@ object Quality {
         q(75, 100, "__p75"), q(99, 100, "__p99"),
         min(col("__n9")).as("__min"), max(col("__n9")).as("__max"))
       .select(col("__n").as("n"), col("n_zero"),
-        when(col("__n") > 0L, Portable.ratio9(col("__sn").cast("double") /
-          col("__n").cast("double") / lit(1e9))).as("mean"),
+        when(col("__n") > 0L, Portable.intRatio9(col("__sn"),
+          col("__n").cast("decimal(38,0)") * lit(1000000000L)))
+          .as("mean"),
         round(col("__p01").cast("double") / lit(1e9), 9).as("p01"),
         round(col("__p25").cast("double") / lit(1e9), 9).as("p25"),
         round(col("__p50").cast("double") / lit(1e9), 9).as("p50"),
@@ -849,9 +842,8 @@ object Quality {
       val mx = w.agg(max(abs(col("__w"))).as("__m"))
       v = Barrier.cut(w.crossJoin(broadcast(mx))
         .select(col("i").as("j"),
-          floor(round(col("__w").cast("double") /
-            col("__m").cast("double"), 9) * lit(1e9) + lit(0.5))
-            .cast("long").as("v")))
+          Portable.intRatioScaledSigned(col("__w"), col("__m"), 9)
+            .as("v")))
     }
     // pin the sign: the largest-|loading| component (ties -> lowest
     // dim) must be positive
@@ -872,12 +864,12 @@ object Quality {
       .crossJoin(broadcast(trace))
       .select(col("j").as("dim"),
         round(col("v").cast("double") / lit(1e9), 9).as("loading"),
-        when(col("__den") > 0, Portable.ratio9(
-          col("__num").cast("double") / col("__den").cast("double") /
-            lit(1e9))).as("eigenvalue"),
-        when(col("__den") > 0 && col("__tr9") > 0L, Portable.ratio9(
-          col("__num").cast("double") / col("__den").cast("double") /
-            col("__tr9").cast("double"))).as("explained_share"))
+        when(col("__den") > 0, Portable.intRatioSigned9(col("__num"),
+          col("__den").cast(dec) * lit(1000000000L))).as("eigenvalue"),
+        when(col("__den") > 0 && col("__tr9") > 0L,
+          Portable.intRatioSigned9(col("__num"),
+            col("__den").cast(dec) * col("__tr9")))
+          .as("explained_share"))
   }
 
   /** k-anonymity / l-diversity audit (Sweeney'02; Machanavajjhala
@@ -911,8 +903,8 @@ object Quality {
         min(col("__l")).as("min_l"))
       .select(col("n_rows"), col("n_groups"), col("min_group_size"),
         col("n_viol_groups"), col("n_viol_rows"),
-        Portable.ratio9(col("n_viol_rows").cast("double") /
-          col("n_rows").cast("double")).as("viol_share"),
+        Portable.intRatio9(col("n_viol_rows"), col("n_rows"))
+          .as("viol_share"),
         col("min_l"))
   }
 
@@ -938,19 +930,23 @@ object Quality {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_g"), sum(col("__si")).as("__sg"))
     val tot = per.agg(sum(col("n_g")).as("__n"), sum(col("__sg")).as("__s"))
-    def mean(sc: Column, nc: Column) =
-      sc.cast("double") / nc.cast("double") / lit(1e9)
+    val dec = "decimal(38,0)"
+    val e9 = lit(1000000000L)
     per.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n_g"),
-        Portable.ratio9(mean(col("__sg"), col("n_g"))).as("mean_g"),
+        Portable.intRatio9(col("__sg"), col("n_g").cast(dec) * e9)
+          .as("mean_g"),
         when(col("__n") > col("n_g"),
-          Portable.ratio9(
-            mean(col("__s") - col("__sg"), col("__n") - col("n_g"))))
-          .as("mean_without"),
+          Portable.intRatio9(col("__s") - col("__sg"),
+            (col("__n") - col("n_g")).cast(dec) * e9)).as("mean_without"),
+        // delta = mean_without − mean_overall cleared to ONE signed
+        // exact ratio: ((s−sg)·n − s·(n−ng)) / (n·(n−ng)·1e9)
         when(col("__n") > col("n_g"),
-          Portable.ratio9(
-            mean(col("__s") - col("__sg"), col("__n") - col("n_g")) -
-              mean(col("__s"), col("__n")))).as("delta"))
+          Portable.intRatioSigned9(
+            (col("__s") - col("__sg")).cast(dec) * col("__n") -
+              col("__s").cast(dec) * (col("__n") - col("n_g")),
+            col("__n").cast(dec) * (col("__n") - col("n_g")) * e9))
+          .as("delta"))
   }
 
   /** Exact trimmed mean per group — the robust location estimate a
@@ -995,8 +991,8 @@ object Quality {
       .agg(first(col("__n")).as("n"), sum(col("__k")).as("n_kept"),
         sum(col("__k") * col("__vi")).as("__ks"))
       .withColumn("trimmed_mean", when(col("n_kept") > 0L,
-        Portable.ratio9(col("__ks").cast("double") /
-          col("n_kept").cast("double") / lit(1e9))))
+        Portable.intRatioSigned9(col("__ks"),
+          col("n_kept").cast("decimal(38,0)") * lit(1000000000L))))
       .select(col(groupCol), col("n"), col("n_kept"), col("trimmed_mean"))
   }
 
@@ -1063,9 +1059,9 @@ object Quality {
     mannWhitney(df.filter(labelCol), df.filter(!labelCol), scoreCol)
       .select(col("n_a").as("n_pos"), col("n_b").as("n_neg"),
         col("u2_a").as("u2_pos"),
-        Portable.ratio9(col("u2_a").cast("double") /
-          (lit(2.0) * col("n_a").cast("double") *
-            col("n_b").cast("double"))).as("auc"))
+        Portable.intRatio9(col("u2_a"),
+          lit(2L) * col("n_a").cast("decimal(38,0)") * col("n_b"))
+          .as("auc"))
 
   /** Isotonic calibration of a score against a binary label via the
     * Pool-Adjacent-Violators solution in its minimax CLOSED FORM
@@ -1105,9 +1101,8 @@ object Quality {
     val jF = cum.select(col("bucket").as("__bj"), col("__cn"), col("__cp"))
     val grid = iF.join(jF, col("__bi") <= col("__bj"))
       .select(col("__bi"), col("__bj"),
-        floor(round((col("__cp") - col("__pp")).cast("double") /
-          (col("__cn") - col("__pn")).cast("double"), 9) * lit(1e9) +
-          lit(0.5)).cast("long").as("__r9"))
+        Portable.intRatioScaled(col("__cp") - col("__pp"),
+          col("__cn") - col("__pn"), 9).as("__r9"))
     val fitted = grid
       .join(b.select(col("bucket").as("__bb")),
         col("__bi") <= col("__bb") && col("__bj") >= col("__bb"))
@@ -1115,8 +1110,7 @@ object Quality {
       .groupBy(col("__bb")).agg(max(col("__mn")).as("__f9"))
     b.join(fitted, col("bucket") === col("__bb"))
       .select(col("bucket"), col("n"), col("pos"),
-        Portable.ratio9(col("pos").cast("double") /
-          col("n").cast("double")).as("raw_rate"),
+        Portable.intRatio9(col("pos"), col("n")).as("raw_rate"),
         round(col("__f9").cast("double") / lit(1e9), 9).as("fitted"))
   }
 
@@ -1150,9 +1144,9 @@ object Quality {
         col("__r2") - col("n_pos") * (col("n_pos") + 1L))
       .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2_pos"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          Portable.ratio9(col("u2_pos").cast("double") /
-            (lit(2.0) * col("n_pos").cast("double") *
-              col("n_neg").cast("double")))).as("auc"))
+          Portable.intRatio9(col("u2_pos"),
+            lit(2L) * col("n_pos").cast("decimal(38,0)") * col("n_neg")))
+          .as("auc"))
   }
 
   /** Classification-threshold sweep: for every DISTINCT score value t
@@ -1193,26 +1187,28 @@ object Quality {
       .withColumn("__tot_p", sum(col("__p")).over(wAll))
       .withColumn("fn", col("__tot_p") - col("tp"))
       // f1 = 2tp/(2tp+fp+fn); denominator ≥ 1 because the threshold
-      // row itself contributes ≥ 1 selected row
-      .withColumn("__f19",
-        floor(round(lit(2.0) * col("tp").cast("double") /
-          (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"),
-          9) * lit(1e9) + lit(0.5)).cast("long"))
-    val s9 = floor(round(col("threshold").cast("double"), 9) * lit(1e9) +
-      lit(0.5)).cast("long")
-    // precision/recall emitted via Portable.ratio9 — the same
-    // integerize-then-divide-once shape as f1, which is what makes
-    // the hash engine-portable (the naked round(tp/(tp+fp),9) form
-    // hash-failed the driver's oracle in round 9).
+      // row itself contributes ≥ 1 selected row. PURE integer
+      // arithmetic: every count is an exact LONG, so the 1e9-scaled
+      // F1 is one exact integral division — no double round()
+      // anywhere before the single final emission (round(<raw double
+      // quotient>, 9) is driver-engine-version-sensitive: the
+      // q218/q219 hash-fail class, rounds 9–10).
+      .withColumn("__f19", Portable.intRatioScaled(
+        lit(2L) * col("tp"),
+        lit(2L) * col("tp") + col("fp") + col("fn"), 9))
+    // threshold is a 9-dp-integerized score upstream (exactly k/1e9):
+    // recover k with one exact IEEE multiply + floor — no re-round of
+    // the double (t·1e9 is within an ulp of k, so +0.5 floor is exact).
+    val s9 = floor(col("threshold").cast("double") * lit(1e9) + lit(0.5))
+      .cast("long")
     c.withColumn("__best",
         max(struct(col("__f19"), s9.as("__s9"))).over(wAll))
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
-        Portable.ratio9(col("tp").cast("double") /
-          (col("tp") + col("fp")).cast("double")).as("precision"),
+        Portable.intRatio9(col("tp"), col("tp") + col("fp"))
+          .as("precision"),
         when(col("__tot_p") > 0,
-          Portable.ratio9(col("tp").cast("double") /
-            col("__tot_p").cast("double"))).as("recall"),
-        round(col("__f19").cast("double") / lit(1e9), 9).as("f1"),
+          Portable.intRatio9(col("tp"), col("__tot_p"))).as("recall"),
+        (col("__f19").cast("double") / lit(1e9)).as("f1"),
         (col("__best") === struct(col("__f19"), s9.as("__s9")))
           .as("is_best"))
   }
@@ -1250,22 +1246,24 @@ object Quality {
     // distinct score (descending) whose cumulative count reaches it
     val rk = ((col("tile") * col("__nn") + lit(tiles.toLong) - 1L) /
       lit(tiles.toLong)).cast("long")
-    // gain/lift via Portable.ratio9 — the raw round()-of-division
-    // chain is oracle-engine-version-sensitive (the q218/q219 r9
-    // hash-fail class).
+    // gain/lift in PURE integer arithmetic (counts are exact LONGs):
+    // gain = cum_p/pp and lift = (cum_p·nn)/(cum_n·pp) as single
+    // exact integral divisions at 1e9 — no double round() anywhere
+    // (the raw round()-of-division chain is oracle-engine-version-
+    // sensitive: the q218/q219 hash-fail class, rounds 9–10). The
+    // lift products ride in DECIMAL(38,0) inside intRatio9.
     spine.join(cdf, col("cum_n") >= rk)
       .groupBy(col("tile"), col("__nn"), col("__pp"))
       .agg(min(struct(col("cum_n"), col("v"), col("cum_p"))).as("__c"))
       .select(col("tile"), col("__c.v").as("threshold"),
         col("__c.cum_n").as("n"), col("__c.cum_p").as("pos"),
         when(col("__pp") > 0,
-          Portable.ratio9(col("__c.cum_p").cast("double") /
-            col("__pp").cast("double"))).as("gain"),
+          Portable.intRatio9(col("__c.cum_p"), col("__pp"))).as("gain"),
         when(col("__pp") > 0,
-          Portable.ratio9(col("__c.cum_p").cast("double") /
-            col("__c.cum_n").cast("double") /
-            (col("__pp").cast("double") /
-              col("__nn").cast("double")))).as("lift"))
+          Portable.intRatio9(
+            col("__c.cum_p").cast("decimal(38,0)") * col("__nn"),
+            col("__c.cum_n").cast("decimal(38,0)") * col("__pp")))
+          .as("lift"))
   }
 
   /** Shared bucket frame for [[reliabilityDiagram]] /
@@ -1310,12 +1308,11 @@ object Quality {
         abs(col("pos").cast(dec) * e9 - col("__ss")).as("__gap"))
       .agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
         sum(col("__gap")).as("__g"),
-        max(floor(round(col("__gap").cast("double") /
-          col("n").cast("double") / lit(1e9), 9) * lit(1e9) + lit(0.5))
-          .cast("long")).as("__m9"))
+        max(Portable.intRatioScaled(col("__gap"),
+          col("n").cast(dec) * e9, 9)).as("__m9"))
       .select(col("n"), col("n_bins"),
-        when(col("n") > 0L, Portable.ratio9(col("__g").cast("double") /
-          col("n").cast("double") / lit(1e9))).as("ece"),
+        when(col("n") > 0L, Portable.intRatio9(col("__g"),
+          col("n").cast(dec) * e9)).as("ece"),
         round(col("__m9").cast("double") / lit(1e9), 9).as("mce"))
   }
 
@@ -1402,12 +1399,13 @@ object Quality {
                          labelCol: Column, bins: Int): DataFrame =
     calibrationBins(df, scoreCol, labelCol, bins)
       .select(col("bin"), col("n"), col("pos"),
-        Portable.ratio9(col("__ss").cast("double") /
-          col("n").cast("double") / lit(1e9)).as("mean_score"),
-        Portable.ratio9(col("pos").cast("double") /
-          col("n").cast("double")).as("frac_pos"),
-        Portable.ratio9(col("__se").cast("double") /
-          col("n").cast("double") / lit(1e18)).as("brier_bin"))
+        Portable.intRatio9(col("__ss"),
+          col("n").cast("decimal(38,0)") * lit(1000000000L))
+          .as("mean_score"),
+        Portable.intRatio9(col("pos"), col("n")).as("frac_pos"),
+        Portable.intRatio9(col("__se"),
+          col("n").cast("decimal(38,0)") *
+            lit(1000000000L) * lit(1000000000L)).as("brier_bin"))
 
   /** Murphy decomposition of the Brier score over score buckets
     * (Murphy '73): REL = Σ_b n_b(s̄_b − ȳ_b)²/N (calibration error —
@@ -1431,36 +1429,38 @@ object Quality {
     val b = calibrationBins(df, scoreCol, labelCol, bins)
     val tot = b.agg(sum(col("n")).as("__nn"), sum(col("pos")).as("__pp"),
       sum(col("__se")).as("__sse"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e9 = lit(1000000000L)
     val terms = b.crossJoin(broadcast(tot))
       .select(col("__nn"), col("__pp"), col("__sse"),
-        // d = Σs9 − 1e9·pos exactly in decimal, ONE cast to double
-        (col("__ss") - col("pos").cast("decimal(38,0)") *
-          lit(1000000000L)).cast("double").as("__d"),
-        col("n").cast("double").as("__nd"),
-        col("pos").cast("double").as("__pd"))
+        // d = Σs9 − 1e9·pos exactly in decimal (signed; squared below)
+        (col("__ss") - col("pos").cast(dec) * e9).as("__d"),
+        col("n").as("__nb"), col("pos").as("__pb"))
       .select(col("__nn"), col("__pp"), col("__sse"),
-        floor(round(col("__d") * col("__d") / col("__nd") /
-          col("__nn").cast("double") / lit(1e18), 9) * lit(1e9) +
-          lit(0.5)).cast("long").as("__rel9"),
-        floor(round((col("__pd") / col("__nd") -
-            col("__pp").cast("double") / col("__nn").cast("double")) *
-          (col("__pd") / col("__nd") -
-            col("__pp").cast("double") / col("__nn").cast("double")) *
-          col("__nd") / col("__nn").cast("double"), 9) * lit(1e9) +
-          lit(0.5)).cast("long").as("__res9"))
+        // REL term = d²/(n_b·N·1e18), RES term = (p_b·N − P·n_b)²/
+        // (n_b·N³) — both EXACT integer rationals, each one integral
+        // division at 1e9 (no double round(): the q218/q219 class)
+        Portable.intRatioScaled(col("__d") * col("__d"),
+          col("__nb").cast(dec) * col("__nn") * e9 * e9, 9)
+          .as("__rel9"),
+        Portable.intRatioScaled(
+          (col("__pb").cast(dec) * col("__nn") -
+            col("__pp").cast(dec) * col("__nb")) *
+            (col("__pb").cast(dec) * col("__nn") -
+              col("__pp").cast(dec) * col("__nb")),
+          col("__nb").cast(dec) * col("__nn") * col("__nn") *
+            col("__nn"), 9).as("__res9"))
     terms.groupBy(col("__nn"), col("__pp"), col("__sse"))
       .agg(sum(col("__rel9")).as("__r"), sum(col("__res9")).as("__s"))
       .select(col("__nn").as("n"), col("__pp").as("pos"),
-        Portable.ratio9(col("__pp").cast("double") /
-          col("__nn").cast("double")).as("pos_rate"),
-        Portable.ratio9(col("__sse").cast("double") /
-          col("__nn").cast("double") / lit(1e18)).as("brier"),
+        Portable.intRatio9(col("__pp"), col("__nn")).as("pos_rate"),
+        Portable.intRatio9(col("__sse"),
+          col("__nn").cast(dec) * e9 * e9).as("brier"),
         round(col("__r").cast("double") / lit(1e9), 9).as("reliability"),
         round(col("__s").cast("double") / lit(1e9), 9).as("resolution"),
-        Portable.ratio9(col("__pp").cast("double") /
-          col("__nn").cast("double") *
-          (lit(1.0) - col("__pp").cast("double") /
-            col("__nn").cast("double"))).as("uncertainty"))
+        Portable.intRatio9(
+          col("__pp").cast(dec) * (col("__nn") - col("__pp")),
+          col("__nn").cast(dec) * col("__nn")).as("uncertainty"))
   }
 
   /** Population Stability Index between a BASELINE sample and a
@@ -1654,9 +1654,9 @@ object Quality {
       .select(col(groupCol), col("__ng").as("n_g"),
         (-col("__m.__negv")).as("ks_at"), col("__m.__d").as("ks_num"),
         when(col("__n") - col("__ng") > 0,
-          Portable.ratio9(col("__m.__d").cast("double") /
-            (col("__ng").cast("double") *
-              (col("__n") - col("__ng")).cast("double")))).as("ks"))
+          Portable.intRatio9(col("__m.__d"),
+            col("__ng").cast("decimal(38,0)") *
+              (col("__n") - col("__ng")))).as("ks"))
   }
 
   /** Embedding-space drift between two corpora (model versions, time
@@ -1674,16 +1674,21 @@ object Quality {
                      dims: Int): DataFrame = {
     require(dims >= 1 && dims <= 4096, s"dims in [1,4096], got $dims")
     val s = 1000000.0
-    def mean(nc: String, sc: String) =
-      col(sc).cast("double") / col(nc).cast("double") / lit(s)
+    val dec = "decimal(38,0)"
+    val e6 = lit(s.toLong)
     dimStats(a, vecCol, dims, s).toDF("d", "n_a", "__sa")
       .join(dimStats(b, vecCol, dims, s).toDF("d", "n_b", "__sb"),
         Seq("d"))
       .select(col("d"), col("n_a"), col("n_b"),
-        Portable.ratio9(mean("n_a", "__sa")).as("mean_a"),
-        Portable.ratio9(mean("n_b", "__sb")).as("mean_b"),
-        Portable.ratio9(mean("n_b", "__sb") - mean("n_a", "__sa"))
-          .as("delta"))
+        Portable.intRatioSigned9(col("__sa"), col("n_a").cast(dec) * e6)
+          .as("mean_a"),
+        Portable.intRatioSigned9(col("__sb"), col("n_b").cast(dec) * e6)
+          .as("mean_b"),
+        // delta = mean_b − mean_a cleared to ONE signed exact ratio
+        Portable.intRatioSigned9(
+          col("__sb").cast(dec) * col("n_a") -
+            col("__sa").cast(dec) * col("n_b"),
+          col("n_a").cast(dec) * col("n_b") * e6).as("delta"))
   }
 
   /** Exact embedding covariance matrix (upper triangle, long form) —
@@ -1767,11 +1772,10 @@ object Quality {
     import spark.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     rows.toDF("i", "j", "n", "sum_i", "sum_j", "sumprod")
-      .withColumn("cov", Portable.ratio9(
-        (col("n").cast(dec) * col("sumprod").cast(dec) -
-          col("sum_i").cast(dec) * col("sum_j").cast(dec)).cast("double") /
-          (col("n") * col("n")).cast("double") /
-          lit(s * s)))
+      .withColumn("cov", Portable.intRatioSigned9(
+        col("n").cast(dec) * col("sumprod").cast(dec) -
+          col("sum_i").cast(dec) * col("sum_j").cast(dec),
+        col("n").cast(dec) * col("n") * lit((s * s).toLong)))
   }
 
   /** Corpus version diff — what changed between two snapshots of the
@@ -1854,10 +1858,20 @@ object Quality {
       .groupBy(col(sourceCol), col(langCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        Portable.ratio9(avg(col("n_tokens"))).as("mean_tokens"),
-        Portable.ratio9(avg(col("quality_score"))).as("mean_quality"),
+        // quality_score is exactly k/1e9, so the per-row integerize is
+        // lossless and the means are single exact integral divisions
+        sum(floor(col("quality_score") * lit(1e9) + lit(0.5))
+          .cast("long").cast("decimal(38,0)")).as("__sq9"),
         round(min(col("quality_score")), 9).as("min_quality"),
         round(max(col("quality_score")), 9).as("max_quality"))
+      .select(col(sourceCol), col(langCol), col("n_docs"),
+        col("n_tokens"),
+        Portable.intRatio9(col("n_tokens"), col("n_docs"))
+          .as("mean_tokens"),
+        Portable.intRatio9(col("__sq9"),
+          col("n_docs").cast("decimal(38,0)") * lit(1000000000L))
+          .as("mean_quality"),
+        col("min_quality"), col("max_quality"))
 
   /** Mergeable data-card state — [[corpusReport]] re-based on EXACT
     * integer internals so the card can be maintained INCREMENTALLY:
@@ -1903,12 +1917,12 @@ object Quality {
   def corpusReportFinish(state: DataFrame): DataFrame =
     state.select(col("source"), col("lang"), col("n_docs"),
       col("n_tokens"),
-      when(col("n_docs") > 0L, Portable.ratio9(
-        col("n_tokens").cast("double") / col("n_docs").cast("double")))
+      when(col("n_docs") > 0L,
+        Portable.intRatio9(col("n_tokens"), col("n_docs")))
         .as("mean_tokens"),
-      when(col("n_docs") > 0L, Portable.ratio9(
-        col("sum_q9").cast("double") / col("n_docs").cast("double") /
-          lit(1e9))).as("mean_quality"),
+      when(col("n_docs") > 0L, Portable.intRatio9(col("sum_q9"),
+        col("n_docs").cast("decimal(38,0)") * lit(1000000000L)))
+        .as("mean_quality"),
       round(col("min_q9").cast("double") / lit(1e9), 9).as("min_quality"),
       round(col("max_q9").cast("double") / lit(1e9), 9).as("max_quality"))
 
@@ -1997,11 +2011,11 @@ object Quality {
         .as("__sclnc"))
     broadcast(mom).crossJoin(broadcast(top))
       .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
-        Portable.ratio9(col("max_key_rows").cast("double") /
-          col("n_rows")).as("max_key_share"),
+        Portable.intRatio9(col("max_key_rows"), col("n_rows"))
+          .as("max_key_share"),
         col("top10_rows"),
-        Portable.ratio9(col("top10_rows").cast("double") /
-          col("n_rows")).as("top10_share"),
+        Portable.intRatio9(col("top10_rows"), col("n_rows"))
+          .as("top10_share"),
         Portable.ratio9(log(col("n_rows").cast("double")) -
           col("__sclnc").cast("double") /
             (col("n_rows").cast("double") * lit(1e6))).as("entropy"))

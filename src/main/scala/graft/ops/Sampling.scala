@@ -284,8 +284,17 @@ object Sampling {
       s"keepFrac must be in (0, 1], got $keepFrac")
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(desc(scoreCol), col(idCol))
+    val wAll = Window.partitionBy(col(sourceCol))
+    // percent_rank re-derived as ONE exact integral division
+    // (rank−1)/(n−1) — the (score DESC, id) order is tie-free, so
+    // row_number IS rank; round(percent_rank(), 9) of the raw double
+    // quotient is the q218/q219 driver-version-sensitivity class
     val kept = df.select(col(idCol), col(sourceCol), col(scoreCol))
-      .withColumn("rank_pct", round(percent_rank().over(w), 9))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("rank_pct", when(col("__n") > 1,
+        Portable.intRatio9(col("__rk") - 1L, col("__n") - 1L))
+        .otherwise(lit(0.0)))
       .filter(col("rank_pct") <= keepFrac)
       .select(col(idCol), col("rank_pct"))
     df.join(kept, Seq(idCol))

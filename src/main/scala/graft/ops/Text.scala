@@ -63,8 +63,8 @@ object Text {
       size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
       size(wordTokens(col(textCol))).cast("long").as("n_word_tokens"),
       length(col(textCol)).cast("long").as("n_chars"),
-      Portable.ratio9(length(col(textCol)).cast("double") /
-        size(tokens(col(textCol)))).as("mean_tok_len"),
+      Portable.intRatio9(length(col(textCol)).cast("long"),
+        size(tokens(col(textCol))).cast("long")).as("mean_tok_len"),
       ceil(length(col(textCol)) / lit(4.0)).cast("long").as("est_bpe_tokens"))
 
   /** English-stopword mini-list used by the quality score (public,
@@ -86,23 +86,32 @@ object Text {
                    keep: Seq[String]): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    val nToks = size(toks).cast("double")
-    val nChars = length(t).cast("double")
-    val alpha = (nChars - length(regexp_replace(t, "[a-z A-Z]", ""))) / nChars
-    val digits = (nChars - length(regexp_replace(t, "[0-9]", ""))) / nChars
-    val stop = size(filter(toks, w => w.isin(EnStopwords.map(lit): _*)))
-      .cast("double") / nToks
-    val lenOk = when(nToks >= 10 && nToks <= 1000, lit(1.0)).otherwise(lit(0.0))
-    val score = least(lit(1.0), greatest(lit(0.0),
-      lit(0.4) * lenOk + lit(0.3) * alpha + lit(0.2) * stop +
-        lit(0.1) * (lit(1.0) - digits)))
+    val nT = size(toks).cast("long")
+    val nC = length(t).cast("long")
+    val aC = nC - length(regexp_replace(t, "[a-z A-Z]", "")).cast("long")
+    val dC = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
+    val sC = size(filter(toks, w => w.isin(EnStopwords.map(lit): _*)))
+      .cast("long")
+    val ok = when(nT >= 10 && nT <= 1000, lit(1L)).otherwise(lit(0L))
+    // score = 0.4·ok + 0.3·a/L + 0.2·s/T + 0.1·(L−d)/L with cleared
+    // denominators — (4·ok·L·T + 3·a·T + 2·s·L + (L−d)·T)/(10·L·T) —
+    // so the composite is ONE exact integral division, clamped in
+    // integer land: no double round() of a raw quotient anywhere (the
+    // q218/q219 driver-version-sensitivity class).
+    val dec = "decimal(38,0)"
+    val num = lit(4L) * ok * nC.cast(dec) * nT +
+      lit(3L) * aC.cast(dec) * nT + lit(2L) * sC.cast(dec) * nC +
+      (nC - dC).cast(dec) * nT
+    val den = lit(10L) * nC.cast(dec) * nT
+    val s9 = least(lit(1000000000L),
+      greatest(lit(0L), Portable.intRatioScaled(num, den, 9)))
     df.select(col("doc_id") +: keep.map(col) ++: Seq(
-      nToks.cast("long").as("n_tokens"),
-      Portable.ratio9(alpha).as("alpha_ratio"),
-      Portable.ratio9(digits).as("digit_ratio"),
-      Portable.ratio9(stop).as("stopword_ratio"),
-      lenOk.cast("long").as("len_ok"),
-      Portable.ratio9(score).as("quality_score")): _*)
+      nT.as("n_tokens"),
+      Portable.intRatio9(aC, nC).as("alpha_ratio"),
+      Portable.intRatio9(dC, nC).as("digit_ratio"),
+      Portable.intRatio9(sC, nT).as("stopword_ratio"),
+      ok.as("len_ok"),
+      (s9.cast("double") / lit(1e9)).as("quality_score")): _*)
   }
 
   /** Stopword profile per language for the n-gram/stopword language-ID
@@ -302,7 +311,7 @@ object Text {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-        Portable.ratio9(col("n_oov") / col("n_tokens")).as("oov_ratio"))
+        Portable.intRatio9(col("n_oov"), col("n_tokens")).as("oov_ratio"))
   }
 
   /** Length-bucketed batching audit: documents bucket to the smallest
@@ -383,8 +392,7 @@ object Text {
       .withColumn("__n", sum(col("__c")).over(whole))
       .select(col(groupCol), col(scoreCol),
         when(col("__n") > 1,
-          Portable.ratio9(col("__below").cast("double") /
-            (col("__n") - lit(1))))
+          Portable.intRatio9(col("__below"), col("__n") - lit(1)))
           .otherwise(lit(0.0)).as("pct_rank"))
     df.join(ranks, Seq(groupCol, scoreCol))
   }
@@ -458,10 +466,9 @@ object Text {
         coalesce(col("__total"), lit(0L)).as("n_ngrams"),
         coalesce(col("__distinct"), lit(0L)).as("n_distinct"),
         // un-coalesced operands: no-gram docs yield NULL ratios, never 0/0
-        Portable.ratio9(lit(1.0) -
-          col("__distinct").cast("double") / col("__total"))
-          .as("dup_ngram_ratio"),
-        Portable.ratio9(col("__top").cast("double") / col("__total"))
+        Portable.intRatio9(col("__total") - col("__distinct"),
+          col("__total")).as("dup_ngram_ratio"),
+        Portable.intRatio9(col("__top"), col("__total"))
           .as("top_ngram_ratio"))
   }
 
@@ -505,8 +512,8 @@ object Text {
         col("n_blocked_types"),
         // un-coalesced: token-less docs yield NULL, never 0/0
         when(col("n_tokens") > 0,
-          Portable.ratio9(col("n_blocked").cast("double") /
-            col("n_tokens"))).as("blocked_ratio"))
+          Portable.intRatio9(col("n_blocked"), col("n_tokens")))
+          .as("blocked_ratio"))
   }
 
   /** Blocklist scrub — the REWRITE companion to [[blocklistStats]]:
@@ -569,10 +576,9 @@ object Text {
         coalesce(col("__tok"), lit(0L)).as("n_tokens"),
         coalesce(col("__typ"), lit(0L)).as("n_types"),
         // un-coalesced operands: token-less sources yield NULL ratios
-        Portable.ratio9(col("__typ").cast("double") / col("__tok"))
-          .as("ttr"),
+        Portable.intRatio9(col("__typ"), col("__tok")).as("ttr"),
         coalesce(col("__hap"), lit(0L)).as("n_hapax"),
-        Portable.ratio9(col("__hap").cast("double") / col("__typ"))
+        Portable.intRatio9(col("__hap"), col("__typ"))
           .as("hapax_ratio"))
   }
 
@@ -655,7 +661,7 @@ object Text {
         sum(col("n_ips")).as("n_ips"),
         sum(col("n_long_nums")).as("n_long_nums"))
       .withColumn("pii_doc_ratio",
-        Portable.ratio9(col("docs_with_pii").cast("double") /
+        Portable.intRatio9(col("docs_with_pii"),
           col("n_docs")))
   }
 
@@ -876,8 +882,14 @@ object Text {
         (col("__ca") + lit(0.5)) / (col("__na") + lit(0.5) * col("__v")))
       .withColumn("__pb",
         (col("__cb") + lit(0.5)) / (col("__nb") + lit(0.5) * col("__v")))
-      .select(col("w"), Portable.ratio9(col("__pa")).as("p_a"),
-        Portable.ratio9(col("__pb")).as("p_b"),
+      .select(col("w"),
+        // smoothed p = (c+½)/(n+½v) cleared to (2c+1)/(2n+v) — exact
+        Portable.intRatio9(lit(2L) * col("__ca") + 1L,
+          lit(2L) * col("__na").cast("long") + col("__v").cast("long"))
+          .as("p_a"),
+        Portable.intRatio9(lit(2L) * col("__cb") + 1L,
+          lit(2L) * col("__nb").cast("long") + col("__v").cast("long"))
+          .as("p_b"),
         Portable.ratio9(col("__pa") * log(col("__pa") / col("__pb")))
           .as("kl_term"))
       .orderBy(col("kl_term").desc, col("w").asc)
@@ -929,9 +941,8 @@ object Text {
     val wordScore = withLen.groupBy(col("w"))
       .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
       .select(col("w"),
-        floor(round(col("__deg").cast("double") /
-          col("__freq").cast("double"), 9) * lit(1e9) + lit(0.5))
-          .cast("long").as("__ws9"))
+        Portable.intRatioScaled(col("__deg"), col("__freq"), 9)
+          .as("__ws9"))
     val phrases = withLen.join(wordScore, Seq("w"))
       .groupBy(col("doc_id"), col("__pid"))
       .agg(concat_ws(" ", transform(
@@ -973,11 +984,18 @@ object Text {
     df.select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
         sylls.as("n_syllables"))
       .filter(col("n_words") > 0L)
-      .withColumn("fk_grade", Portable.ratio9(
-        lit(0.39) * col("n_words").cast("double") /
-          col("n_sentences").cast("double") +
-          lit(11.8) * col("n_syllables").cast("double") /
-            col("n_words").cast("double") - lit(15.59)))
+      // grade = 0.39·W/S + 11.8·Y/W − 15.59 with cleared denominators:
+      // (39·W² + 1180·Y·S − 1559·S·W) / (100·S·W) — ONE exact signed
+      // integral division (the q218/q219 discipline)
+      .withColumn("fk_grade", {
+        val dec = "decimal(38,0)"
+        val w = col("n_words").cast(dec)
+        val s = col("n_sentences").cast(dec)
+        val y = col("n_syllables").cast(dec)
+        Portable.intRatioSigned9(
+          lit(39L) * w * w + lit(1180L) * y * s - lit(1559L) * s * w,
+          lit(100L) * s * w)
+      })
   }
 
   /** Jensen–Shannon divergence between two corpora's unigram
@@ -1023,9 +1041,8 @@ object Text {
       .agg(sum(col("__ta")).as("__sa"), sum(col("__tb")).as("__sb"))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
         col("__v").as("vocab"),
-        Portable.ratio9(
-          (col("__sa") + col("__sb")).cast("double") / lit(2e9))
-          .as("jsd"))
+        Portable.intRatioSigned9(col("__sa") + col("__sb"),
+          lit(2000000000L)).as("jsd"))
   }
 
   /** Token-frequency concentration report — the Gini coefficient over
@@ -1068,17 +1085,16 @@ object Text {
         sum(when(col("__r") > col("__v") - col("__k10"), col("__c"))
           .otherwise(0L)).as("__t10"))
       .select(col("__v").as("vocab"), col("n_tokens"),
-        when(col("__v") > 0L && col("n_tokens") > 0L, Portable.ratio9(
-          (lit(2).cast(dec) * col("__rc") -
-            (col("__v") + 1L).cast(dec) * col("n_tokens").cast(dec))
-            .cast("double") /
-            (col("__v").cast("double") * col("n_tokens").cast("double"))))
-          .as("gini"),
-        when(col("n_tokens") > 0L, Portable.ratio9(
-          col("__t1").cast("double") / col("n_tokens").cast("double")))
+        when(col("__v") > 0L && col("n_tokens") > 0L,
+          Portable.intRatioSigned9(
+            lit(2).cast(dec) * col("__rc") -
+              (col("__v") + 1L).cast(dec) * col("n_tokens").cast(dec),
+            col("__v").cast(dec) * col("n_tokens"))).as("gini"),
+        when(col("n_tokens") > 0L,
+          Portable.intRatio9(col("__t1"), col("n_tokens")))
           .as("top1pct_share"),
-        when(col("n_tokens") > 0L, Portable.ratio9(
-          col("__t10").cast("double") / col("n_tokens").cast("double")))
+        when(col("n_tokens") > 0L,
+          Portable.intRatio9(col("__t10"), col("n_tokens")))
           .as("top10pct_share"))
   }
 
@@ -1289,12 +1305,12 @@ object Text {
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_boiler_grams"), lit(0L)).as("n_boiler_grams"),
-        Portable.ratio9(col("n_boiler_grams").cast("double") /
-          col("n_grams")).as("boiler_ratio"),
+        Portable.intRatio9(col("n_boiler_grams"), col("n_grams"))
+          .as("boiler_ratio"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("n_boiler_distinct"), lit(0L)).as("n_boiler_distinct"),
-        Portable.ratio9(col("n_boiler_distinct").cast("double") /
-          col("n_distinct")).as("boiler_distinct_ratio"))
+        Portable.intRatio9(col("n_boiler_distinct"), col("n_distinct"))
+          .as("boiler_distinct_ratio"))
   }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
@@ -1424,18 +1440,24 @@ object Text {
       sum((col("y") * col("y")).cast(dec)).as("syy"),
       sum(when(col("rank") <= 100, col("c")).otherwise(0L))
         .as("top100_tokens"))
-    val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-    val aNum = (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val aNum = col("sy") * col("sxx") - col("sx") * col("sxy")
+    val z = lit(0).cast(dec)
     broadcast(rollup).crossJoin(broadcast(fit))
       .select(col("vocab_size"), col("total_tokens"), col("hapax_count"),
         col("top100_tokens"), col("n").cast("long").as("fit_terms"),
-        when(dxx =!= 0d, Portable.ratio9(dxy / dxx)).as("zipf_slope"),
-        when(dxx =!= 0d, Portable.ratio9(aNum / dxx / lit(1e6)))
-          .as("zipf_intercept"),
-        when(dxx =!= 0d && dyy =!= 0d,
-          Portable.ratio9(dxy * dxy / (dxx * dyy))).as("zipf_r2"))
+        when(dxx =!= z, Portable.intRatioSigned9(dxy, dxx))
+          .as("zipf_slope"),
+        when(dxx =!= z, Portable.intRatioSigned9(aNum,
+          dxx * lit(1000000L))).as("zipf_intercept"),
+        // r2's exact form (dxy²/(dxx·dyy)) needs ~40 digits — past
+        // DECIMAL(38,0)/HUGEINT — so it stays a documented
+        // single-division float chain over the exact integer moments
+        when(dxx =!= z && dyy =!= z,
+          Portable.ratio9(dxy.cast("double") * dxy.cast("double") /
+            (dxx.cast("double") * dyy.cast("double")))).as("zipf_r2"))
   }
 
   /** Corpus-health Heaps audit — the vocabulary-GROWTH twin of
@@ -1501,15 +1523,19 @@ object Text {
       sum((col("x") * col("y")).cast(dec)).as("sxy"),
       sum((col("x") * col("x")).cast(dec)).as("sxx"),
       sum((col("y") * col("y")).cast(dec)).as("syy"))
-    val dxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val dxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val dyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val z = lit(0).cast(dec)
     curve.crossJoin(broadcast(fit))
       .select(col("bucket"), col("n_docs"), col("n_tokens"), col("vocab"),
         col("new_types"),
-        when(dxx =!= 0d, Portable.ratio9(dxy / dxx)).as("heaps_beta"),
-        when(dxx =!= 0d && dyy =!= 0d,
-          Portable.ratio9(dxy * dxy / (dxx * dyy))).as("heaps_r2"))
+        when(dxx =!= z, Portable.intRatioSigned9(dxy, dxx))
+          .as("heaps_beta"),
+        // r2: see zipfAudit — exact form exceeds 128-bit range
+        when(dxx =!= z && dyy =!= z,
+          Portable.ratio9(dxy.cast("double") * dxy.cast("double") /
+            (dxx.cast("double") * dyy.cast("double")))).as("heaps_r2"))
   }
 
   /** Inverse-Cloze-Task contrastive pairs (Lee et al., ACL'19 — the
@@ -1650,8 +1676,7 @@ object Text {
         Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
         col("n_b"),
-        Portable.ratio9(col("n_shared").cast("double") /
-          least(col("n_a"), col("n_b")).cast("double"))
+        Portable.intRatio9(col("n_shared"), least(col("n_a"), col("n_b")))
           .as("containment"))
   }
 }
