@@ -800,9 +800,9 @@ object SparkEntry {
        |),
        |jac AS (
        |  SELECT id_a, id_b,
-       |    ${Portable.sqlRatio9(
-           "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /" +
-           " len(list_distinct(list_concat(sa.shingles, sb.shingles)))")}
+       |    ${Portable.sqlIntRatio9(
+           "len(list_intersect(sa.shingles, sb.shingles))",
+           "len(list_distinct(list_concat(sa.shingles, sb.shingles)))")}
        |      AS jaccard
        |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
        |            JOIN sh sb ON cand.id_b = sb.doc_id
@@ -836,7 +836,7 @@ object SparkEntry {
        |  (min(tns) // 1000000)::BIGINT AS start_ms,
        |  (max(tns) // 1000000)::BIGINT AS end_ms,
        |  ((max(tns) // 1000000) - (min(tns) // 1000000))::BIGINT AS duration_ms,
-       |  round(CAST(CAST(floor(round(sum(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS sum_value
+       |  ${Portable.sqlIntRatioSigned9("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))", "100")} AS sum_value
        |FROM s GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
@@ -863,7 +863,7 @@ object SparkEntry {
     s"""WITH wdw AS (
        |  SELECT event_type,
        |    ((epoch_ms(ts) - (epoch_ms(ts) % $WindowMs)) + $WindowMs)::BIGINT AS avail_ms,
-       |    round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS prev_avg
+       |    ${Portable.sqlIntRatioSigned9("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))", "CAST(count(*) AS HUGEINT) * 100")} AS prev_avg
        |  FROM events GROUP BY 1, 2
        |),
        |e AS (
@@ -1706,7 +1706,10 @@ sy AS (SELECT y_id, sum(ci) AS sy FROM r
        WHERE ry <= $MarginK GROUP BY y_id),
 m AS (
   SELECT si.x_id, si.y_id, si.cos,
-    round(CAST(CAST(floor(round(CAST(si.ci * ${2 * MarginK} AS DOUBLE) / CAST(sx.sx + sy.sy AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS margin
+    ${Portable.sqlIntRatioSigned9(
+      s"CASE WHEN sx.sx + sy.sy < 0 THEN -(si.ci * ${2 * MarginK})" +
+        s" ELSE si.ci * ${2 * MarginK} END",
+      "abs(sx.sx + sy.sy)")} AS margin
   FROM si JOIN sx USING (x_id) JOIN sy USING (y_id)
   WHERE sx.sx + sy.sy <> 0
 ),
@@ -3381,7 +3384,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         "doc_id", "text", PrTau, TfidfMaxDf)
       Graph.pageRank(edges, "id_a", "id_b", PrIters, PrScale)
         .select(col("id").as("doc_id"), col("r").as("rank_int"),
-          round(col("r").cast("double") / lit(PrScale.toDouble), 9).as("pr"))
+          Portable.intRatio9(col("r"), lit(PrScale)).as("pr"))
         .orderBy("doc_id")
     }),
 
@@ -4237,7 +4240,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .withColumn("next_gap_ms",
           (lead(col("ms"), 1).over(w) - col("ms")).cast("long"))
         .withColumn("mov_sum3",
-          Portable.ratio9(sum(col("value")).over(w.rowsBetween(-2, 0))))
+          Portable.intRatioSigned9(
+            sum(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+              .over(w.rowsBetween(-2, 0)), lit(100L)))
         .select(col("user_id"), col("event_id"), col("ms"),
           col("prev_gap_ms"), col("next_gap_ms"), col("mov_sum3"))
         .orderBy("user_id", "ms", "event_id")
@@ -5046,13 +5051,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM cells GROUP BY 1
          |)
          |SELECT ag.event_type, ag.n_events, pk.peak_hour,
-         |  ${Portable.sqlRatio9("CAST(pk.peak_o AS DOUBLE)" +
-             " / CAST(ag.n_events AS DOUBLE)")} AS peak_share,
-         |  ${Portable.sqlRatio9(
-             "CAST(CAST(24 AS DECIMAL(38,0)) * ag.ss" +
-             " - CAST(ag.n_events AS DECIMAL(38,0))" +
-             " * CAST(ag.n_events AS DECIMAL(38,0)) AS DOUBLE)" +
-             " / CAST(ag.n_events AS DOUBLE)")} AS chi2_uniform
+         |  ${Portable.sqlIntRatio9("pk.peak_o", "ag.n_events")}
+         |    AS peak_share,
+         |  ${Portable.sqlIntRatioSigned9(
+             "24 * CAST(ag.ss AS HUGEINT)" +
+             " - CAST(ag.n_events AS HUGEINT) * ag.n_events",
+             "ag.n_events")} AS chi2_uniform
          |FROM ag JOIN pk USING (event_type)
          |ORDER BY ag.event_type""".stripMargin,
 
@@ -5081,12 +5085,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |t AS (SELECT sum(nsig9)::BIGINT AS tot9 FROM ns)
          |SELECT stratum, n_rows,
          |  ${Portable.sqlRatio9("sigma")} AS sigma,
-         |  CASE WHEN tot9 > 0 THEN ${Portable.sqlRatio9(
-             "CAST(nsig9 AS DOUBLE) / CAST(tot9 AS DOUBLE)")}
+         |  CASE WHEN tot9 > 0 THEN
+         |    ${Portable.sqlIntRatio9("nsig9", "tot9")}
          |    ELSE CAST(0 AS DOUBLE) END AS alloc_share,
          |  CASE WHEN tot9 > 0 THEN
-         |    CAST(floor(CAST(nsig9 AS DOUBLE) / CAST(tot9 AS DOUBLE)
-         |      * CAST($NeymanBudget AS DOUBLE) + 0.5) AS BIGINT)
+         |    CAST(${Portable.sqlIntRatioScaled(
+              s"CAST(nsig9 AS HUGEINT) * $NeymanBudget", "tot9", 0)}
+         |      AS BIGINT)
          |    ELSE 0 END AS alloc_n
          |FROM ns CROSS JOIN t ORDER BY stratum""".stripMargin
     },
@@ -5277,13 +5282,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM w GROUP BY 1
          |)
          |SELECT "group", n_rows,
-         |  CASE WHEN ss > 0 THEN ${Portable.sqlRatio9(
-              "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
-                " / CAST(ss AS DOUBLE)")}
+         |  CASE WHEN ss > 0 THEN ${Portable.sqlIntRatio9("s * s", "ss")}
          |  END AS ess,
-         |  CASE WHEN ss > 0 THEN ${Portable.sqlRatio9(
-              "CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
-                " / CAST(ss AS DOUBLE) / CAST(n_rows AS DOUBLE)")}
+         |  CASE WHEN ss > 0 THEN
+         |    ${Portable.sqlIntRatio9("s * s", "ss * n_rows")}
          |  END AS ess_ratio
          |FROM g ORDER BY "group"""".stripMargin,
 
@@ -5703,15 +5705,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM fl GROUP BY 1
          |)
          |SELECT event_type, n_days, n_events,
-         |  CASE WHEN n_days > 0 THEN ${Portable.sqlRatio9(
-              "CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)")}
+         |  CASE WHEN n_days > 0 THEN
+         |    ${Portable.sqlIntRatio9("n_events", "n_days")}
          |  END AS mean,
          |  CASE WHEN n_days >= 2 AND n_events > 0 THEN
-         |    ${Portable.sqlRatio9(
-              "CAST(CAST(n_days AS HUGEINT) * q" +
-                " - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)" +
-                " / (CAST(n_days - 1 AS DOUBLE)" +
-                " * CAST(n_events AS DOUBLE))")}
+         |    ${Portable.sqlIntRatioSigned9(
+              "CAST(n_days AS HUGEINT) * q" +
+                " - CAST(n_events AS HUGEINT) * n_events",
+              "CAST(n_days - 1 AS HUGEINT) * n_events")}
          |  END AS fano
          |FROM ag ORDER BY event_type""".stripMargin,
 
@@ -6233,10 +6234,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT sum(c)::BIGINT AS n_chunks,
          |  count(*)::BIGINT AS n_unique_chunks,
          |  sum(c - 1)::BIGINT AS dup_chunks,
-         |  round(CAST(CAST(floor(round(sum(c - 1)::DOUBLE / sum(c), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_chunk_ratio,
+         |  ${Portable.sqlIntRatio9("sum(c - 1)", "sum(c)")}
+         |    AS dup_chunk_ratio,
          |  sum(c * t)::BIGINT AS n_tokens,
          |  sum((c - 1) * t)::BIGINT AS dup_tokens,
-         |  round(CAST(CAST(floor(round(sum((c - 1) * t)::DOUBLE / sum(c * t), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |  ${Portable.sqlIntRatio9("sum((c - 1) * t)", "sum(c * t)")}
          |    AS dup_token_ratio
          |FROM ch""".stripMargin,
 
@@ -6254,8 +6256,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  FROM tp WHERE prev IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT from_type, to_type, n,
-        |  ${Portable.sqlRatio9(
-            "n::DOUBLE / sum(n) OVER (PARTITION BY from_type)")} AS p
+        |  ${Portable.sqlIntRatio9("n",
+            "sum(n) OVER (PARTITION BY from_type)")} AS p
         |FROM tc ORDER BY from_type, to_type""".stripMargin,
 
     "q139_signal_corr" -> q139OracleSql,
@@ -6329,7 +6331,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
          |jacall AS (
          |  SELECT id_a, id_b,
-         |    ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |    ${Portable.sqlIntRatio9("i", "sa.sz + sb.sz - i")}
          |      AS jaccard
          |  FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |             JOIN sz sb ON inter.id_b = sb.doc_id
@@ -6345,7 +6347,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    count(*)::BIGINT AS n_docs
          |  FROM mxj GROUP BY 1
          |)
-         |SELECT round(CAST(CAST(floor(round(bucket / 20.0, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS tau_floor, n_docs,
+         |SELECT ${Portable.sqlIntRatio9("bucket", "20")} AS tau_floor,
+         |  n_docs,
          |  (sum(n_docs) OVER (ORDER BY bucket DESC
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
          |    AS cum_docs_ge
@@ -6375,9 +6378,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |fac AS (
          |  SELECT t.source,
-         |    round(CAST(CAST(floor(round(floor(coalesce(w.weight, 0.0) / $wsum
-         |        * ${EpochBudget.toDouble} + 0.5)
-         |      / t.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS factor
+         |    ${Portable.sqlIntRatio9(s"CAST(floor(coalesce(w.weight, 0.0)" +
+                 s" / $wsum * ${EpochBudget.toDouble} + 0.5) AS BIGINT)",
+               "t.n_tokens")} AS factor
          |  FROM tc t LEFT JOIN wt w USING (source)
          |),
          |nn AS (
@@ -6562,7 +6565,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id,
          |  coalesce(np.n_distinct, 0)::BIGINT AS n_distinct,
          |  coalesce(np.n_novel, 0)::BIGINT AS n_novel,
-         |  round(CAST(CAST(floor(round(np.n_novel::DOUBLE / np.n_distinct, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS novelty_ratio
+         |  ${Portable.sqlIntRatio9("np.n_novel", "np.n_distinct")}
+         |    AS novelty_ratio
          |FROM documents d LEFT JOIN np ON np.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
@@ -6608,9 +6612,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    ROWS BETWEEN $AnomalyTrailing PRECEDING AND 1 PRECEDING)
          |)
          |SELECT event_type, window_start_ms, n_events,
-         |  round(CAST(CAST(floor(round(s::DOUBLE / $AnomalyTrailing, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS trail_mean,
-         |  round(CAST(CAST(floor(round((ss * $AnomalyTrailing - s * s)::DOUBLE
-         |    / (${AnomalyTrailing.toLong * AnomalyTrailing}), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS trail_var,
+         |  ${Portable.sqlIntRatio9("s", AnomalyTrailing.toString)}
+         |    AS trail_mean,
+         |  ${Portable.sqlIntRatioSigned9(
+              s"ss * $AnomalyTrailing - s * s",
+              (AnomalyTrailing.toLong * AnomalyTrailing).toString)}
+         |    AS trail_var,
          |  round(CAST(CAST(floor(round(CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
          |    (n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
          |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
@@ -6633,7 +6640,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT least(da.source, db.source) AS source_a,
          |  greatest(da.source, db.source) AS source_b,
          |  count(*)::BIGINT AS n_pairs,
-         |  round(CAST(CAST(floor(round(avg(jaccard), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS avg_jaccard
+         |  ${Portable.sqlIntRatio9(
+             "sum(CAST(floor(jaccard * 1e9 + 0.5) AS BIGINT))",
+             "CAST(count(*) AS HUGEINT) * 1000000000")} AS avg_jaccard
          |FROM ndp
          |JOIN documents da ON da.doc_id = ndp.id_a
          |JOIN documents db ON db.doc_id = ndp.id_b
@@ -6682,11 +6691,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id)
          |SELECT id_a, id_b,
-         |  ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |  ${Portable.sqlIntRatio9("i", "sa.sz + sb.sz - i")}
          |    AS jaccard
          |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |           JOIN sz sb ON inter.id_b = sb.doc_id
-         |WHERE ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |WHERE ${Portable.sqlIntRatio9("i", "sa.sz + sb.sz - i")}
          |  >= $JaccardTau
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -6710,11 +6719,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id)
          |SELECT id_a, id_b, sa.sz AS sz_a, sb.sz AS sz_b,
-         |  ${Portable.sqlRatio9("i::DOUBLE / least(sa.sz, sb.sz)")}
+         |  ${Portable.sqlIntRatio9("i", "least(sa.sz, sb.sz)")}
          |    AS containment
          |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |           JOIN sz sb ON inter.id_b = sb.doc_id
-         |WHERE ${Portable.sqlRatio9("i::DOUBLE / least(sa.sz, sb.sz)")}
+         |WHERE ${Portable.sqlIntRatio9("i", "least(sa.sz, sb.sz)")}
          |  >= $ContainTau
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -6775,17 +6784,18 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |sz AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY doc_id),
          |ex AS (
          |  SELECT id_a, id_b,
-         |    ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |    ${Portable.sqlIntRatio9("i", "sa.sz + sb.sz - i")}
          |      AS jaccard
          |  FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
          |             JOIN sz sb ON inter.id_b = sb.doc_id
-         |  WHERE ${Portable.sqlRatio9("i::DOUBLE / (sa.sz + sb.sz - i)")}
+         |  WHERE ${Portable.sqlIntRatio9("i", "sa.sz + sb.sz - i")}
          |    >= $LshAuditTau
          |)
          |SELECT floor(ex.jaccard * 10)::BIGINT AS sim_band,
          |  count(*)::BIGINT AS n_true,
          |  count(l.hit)::BIGINT AS n_found,
-         |  round(CAST(CAST(floor(round(count(l.hit)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
+         |  ${Portable.sqlIntRatio9("count(l.hit)", "count(*)")}
+         |    AS recall
          |FROM ex LEFT JOIN lshp l ON ex.id_a = l.fa AND ex.id_b = l.fb
          |GROUP BY sim_band ORDER BY sim_band""".stripMargin,
 
@@ -6825,7 +6835,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |         count(*) OVER (PARTITION BY cluster_rep)::BIGINT AS csize
          |       FROM fc)
          |SELECT doc_id, cluster_rep, csize,
-         |  round(CAST(CAST(floor(round(1.0::DOUBLE / csize, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS weight
+         |  ${Portable.sqlIntRatio9("1", "csize")} AS weight
          |FROM sz ORDER BY doc_id""".stripMargin,
 
     // q99: per-source rollup of the cluster labels — docs in any
@@ -6841,7 +6851,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, count(*)::BIGINT AS n_docs,
          |  count(cluster_rep)::BIGINT AS n_dup_docs,
          |  count(DISTINCT eff)::BIGINT AS n_post_dedup,
-         |  round(CAST(CAST(floor(round(count(cluster_rep)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dup_rate
+         |  ${Portable.sqlIntRatio9("count(cluster_rep)", "count(*)")}
+         |    AS dup_rate
          |FROM fc GROUP BY source ORDER BY source""".stripMargin,
 
     // q95: q91's full-corpus cluster labels, split by the md5-hex
@@ -7213,9 +7224,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |jac AS (
          |  SELECT new_id,
-         |    ${Portable.sqlRatio9(
-             "len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /" +
-             " len(list_distinct(list_concat(sa.shingles, sb.shingles)))")}
+         |    ${Portable.sqlIntRatio9(
+             "len(list_intersect(sa.shingles, sb.shingles))",
+             "len(list_distinct(list_concat(sa.shingles, sb.shingles)))")}
          |      AS jaccard
          |  FROM cand JOIN sh sa ON cand.new_id = sa.doc_id
          |            JOIN sh sb ON cand.ex_id = sb.doc_id
@@ -7460,9 +7471,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |),
          |fac AS (
          |  SELECT t.source,
-         |    round(CAST(CAST(floor(round(floor(coalesce(w.weight, 0.0) / $wsum
-         |        * ${EpochBudget.toDouble} + 0.5)
-         |      / t.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS factor
+         |    ${Portable.sqlIntRatio9(s"CAST(floor(coalesce(w.weight, 0.0)" +
+                 s" / $wsum * ${EpochBudget.toDouble} + 0.5) AS BIGINT)",
+               "t.n_tokens")} AS factor
          |  FROM tc t LEFT JOIN wt w USING (source)
          |),
          |nn AS (
@@ -7571,7 +7582,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |       FROM deg CROSS JOIN nn),
          |${prRoundCtes(PrIters)}
          |SELECT id AS doc_id, r AS rank_int,
-         |  round(CAST(CAST(floor(round(r / $PrScale.0, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS pr
+         |  ${Portable.sqlIntRatio9("r", PrScale.toString)} AS pr
          |FROM r$PrIters ORDER BY doc_id""".stripMargin,
 
     // q173: the same edges, the LPA rounds unrolled — count/argmax/
@@ -7676,8 +7687,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  coalesce(a.n_neighbors, 0)::BIGINT AS n_neighbors,
          |  coalesce(a.n_same, 0)::BIGINT AS n_same,
          |  CASE WHEN a.n_neighbors IS NOT NULL
-         |    THEN round(CAST(CAST(floor(round(a.n_same::DOUBLE / a.n_neighbors, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) END AS agreement,
-         |  coalesce(round(CAST(CAST(floor(round(a.n_same::DOUBLE / a.n_neighbors, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) < 0.5, false)
+         |    THEN ${Portable.sqlIntRatio9("a.n_same", "a.n_neighbors")}
+         |    END AS agreement,
+         |  coalesce(${Portable.sqlIntRatio9("a.n_same",
+              "a.n_neighbors")} < 0.5, false)
          |    AS suspect
          |FROM embeddings e LEFT JOIN agg a ON a.probe_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin,
@@ -7900,8 +7913,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
          |  count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens,
          |  sum(chars)::BIGINT AS n_chars,
-         |  round(CAST(CAST(floor(round(sum(toks)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS fertility,
-         |  round(CAST(CAST(floor(round(sum(chars)::DOUBLE / sum(toks), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS chars_per_token
+         |  ${Portable.sqlIntRatio9("sum(toks)", "count(*)")} AS fertility,
+         |  ${Portable.sqlIntRatio9("sum(chars)", "sum(toks)")}
+         |    AS chars_per_token
          |FROM fseg GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin
     },
@@ -8038,10 +8052,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |      FROM sp LEFT JOIN tc ON sp.bucket = tc.bucket
          |              LEFT JOIN rc ON sp.bucket = rc.bucket, tt, rt),
          |per AS (SELECT b.doc_id, count(*)::BIGINT AS n_grams,
-         |               sum(w.w) AS s
+         |               sum(CAST(floor(w.w * 1e9 + 0.5) AS BIGINT)) AS s9
          |        FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id)
          |SELECT d.doc_id, coalesce(p.n_grams, 0)::BIGINT AS n_grams,
-         |       round(CAST(CAST(floor(round(coalesce(p.s, 0.0), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS dsir_score
+         |       ${Portable.sqlIntRatioSigned9("coalesce(p.s9, 0)",
+                  "1000000000")} AS dsir_score
          |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
@@ -8119,10 +8134,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id,
          |  coalesce(a.n_grams, 0)::BIGINT AS n_grams,
          |  coalesce(a.n_boiler_grams, 0)::BIGINT AS n_boiler_grams,
-         |  round(CAST(CAST(floor(round(a.n_boiler_grams / a.n_grams::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS boiler_ratio,
+         |  ${Portable.sqlIntRatio9("a.n_boiler_grams", "a.n_grams")}
+         |    AS boiler_ratio,
          |  coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
          |  coalesce(a.n_boiler_distinct, 0)::BIGINT AS n_boiler_distinct,
-         |  round(CAST(CAST(floor(round(a.n_boiler_distinct / a.n_distinct::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |  ${Portable.sqlIntRatio9("a.n_boiler_distinct",
+              "a.n_distinct")}
          |    AS boiler_distinct_ratio
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
@@ -8269,9 +8286,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  round(CAST(CAST(floor(round(coalesce(w.weight, 0.0) / $wsum, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS share,
          |  floor(coalesce(w.weight, 0.0) / $wsum * ${EpochBudget.toDouble}
          |    + 0.5)::BIGINT AS target_tokens,
-         |  round(CAST(CAST(floor(round(floor(coalesce(w.weight, 0.0) / $wsum
-         |      * ${EpochBudget.toDouble} + 0.5)
-         |    / t.n_tokens::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS factor
+         |  ${Portable.sqlIntRatio9(s"CAST(floor(coalesce(w.weight, 0.0)" +
+               s" / $wsum * ${EpochBudget.toDouble} + 0.5) AS BIGINT)",
+             "t.n_tokens")} AS factor
          |FROM tc t LEFT JOIN wt w USING (source)
          |ORDER BY source""".stripMargin
     },
@@ -8435,7 +8452,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT dm.dims::BIGINT AS dims, exc.probe_id, exc.n_exact,
          |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-         |  round(CAST(CAST(floor(round(coalesce(h.n_hit, 0) / exc.n_exact::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS recall
+         |  ${Portable.sqlIntRatio9("coalesce(h.n_hit, 0)",
+              "exc.n_exact")} AS recall
          |FROM exc CROSS JOIN dm
          |LEFT JOIN hits h ON h.dims = dm.dims AND h.probe_id = exc.probe_id
          |ORDER BY dims, exc.probe_id""".stripMargin
@@ -8675,8 +8693,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""SELECT event_type,
          |  (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT AS window_start_ms,
          |  count(*) AS n_events,
-         |  round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS avg_value,
-         |  round(CAST(CAST(floor(round(sum(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS sum_value
+         |  ${Portable.sqlIntRatioSigned9(
+             "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
+             "CAST(count(*) AS HUGEINT) * 100")} AS avg_value,
+         |  ${Portable.sqlIntRatioSigned9(
+             "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))",
+             "100")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start_ms""".stripMargin,
 
     "q30_sessionize" -> sessionizeOracleSql,
@@ -8843,7 +8865,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM pk JOIN ex USING (lang)
          |)
          |SELECT lang, n_registers_used, hll_est, exact_distinct,
-         |  round(CAST(CAST(floor(round((hll_est - exact_distinct) / exact_distinct * 100, 6) * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6, 6)
+         |  (CAST(${Portable.sqlIntRatioScaledSigned(
+             "(CAST(floor(hll_est * 1e6 + 0.5) AS HUGEINT)" +
+               " - CAST(exact_distinct AS HUGEINT) * 1000000) * 100",
+             "CAST(exact_distinct AS HUGEINT) * 1000000", 6)}
+         |    AS DOUBLE) / 1e6)
          |    AS rel_err_pct
          |FROM fin ORDER BY lang""".stripMargin,
 
@@ -8857,7 +8883,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |         FROM ks, rh WHERE rh.rnk <= ks.k GROUP BY ks.k)
          |SELECT ks.k AS k, tot.n_orders,
          |  coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
-         |  round(CAST(CAST(floor(round(coalesce(hits.n_hits, 0) / CAST(tot.n_orders AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+         |  ${Portable.sqlIntRatio9("coalesce(hits.n_hits, 0)",
+              "tot.n_orders")}
          |    AS hit_rate
          |FROM ks CROSS JOIN tot LEFT JOIN hits ON hits.k = ks.k
          |ORDER BY ks.k""".stripMargin,
@@ -8870,12 +8897,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""$recEvalSqlPrefix
          |SELECT $TopK::BIGINT AS k, tot.n_orders,
          |  (SELECT count(*) FROM rh)::BIGINT AS n_ranked,
-         |  round(CAST(CAST(floor(round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
-         |      THEN ($rr)[rnk] ELSE 0 END), 0) FROM rh)
-         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS mrr,
-         |  round(CAST(CAST(floor(round((SELECT coalesce(sum(CASE WHEN rnk <= $TopK
-         |      THEN ($dcg)[rnk] ELSE 0 END), 0) FROM rh)
-         |    / CAST(tot.n_orders AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS ndcg
+         |  ${Portable.sqlIntRatio9(
+             s"(SELECT coalesce(sum(CASE WHEN rnk <= $TopK" +
+               s" THEN ($rr)[rnk] ELSE 0 END), 0) FROM rh)",
+             "CAST(tot.n_orders AS HUGEINT) * 1000000000")} AS mrr,
+         |  ${Portable.sqlIntRatio9(
+             s"(SELECT coalesce(sum(CASE WHEN rnk <= $TopK" +
+               s" THEN ($dcg)[rnk] ELSE 0 END), 0) FROM rh)",
+             "CAST(tot.n_orders AS HUGEINT) * 1000000000")} AS ndcg
          |FROM tot""".stripMargin
     },
 
@@ -9306,7 +9335,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT d.doc_id AS eval_id,
          |  coalesce(per.n_shingles, 0) AS n_shingles,
          |  coalesce(per.n_cont, 0) AS n_contaminated,
-         |  round(CAST(CAST(floor(round(per.n_cont / per.n_shingles::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS coverage
+         |  ${Portable.sqlIntRatio9("per.n_cont", "per.n_shingles")}
+         |    AS coverage
          |FROM (SELECT doc_id FROM documents
          |      WHERE doc_id < $EvalSetDocs) d
          |LEFT JOIN per ON per.eval_id = d.doc_id
@@ -9340,15 +9370,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  period_offset::BIGINT AS period_offset,
          |  n_active::BIGINT AS n_active,
          |  cohort_size::BIGINT AS cohort_size,
-         |  ${Portable.sqlRatio9("n_active / cohort_size::DOUBLE")}
+         |  ${Portable.sqlIntRatio9("n_active", "cohort_size")}
          |    AS retention
          |FROM counts JOIN sizes USING (cp)
          |ORDER BY cohort_start_ms, period_offset""".stripMargin,
 
     "q31_run_table" ->
-      """WITH runs AS (
+      s"""WITH runs AS (
         |  SELECT event_type AS job_name,
-        |         round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS objective,
+        |         ${Portable.sqlIntRatioSigned9("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))", "CAST(count(*) AS HUGEINT) * 100")} AS objective,
         |         (min(epoch_ns(ts)) // 1000000)::BIGINT AS start_ms
         |  FROM events GROUP BY event_type
         |)
@@ -9357,8 +9387,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |FROM runs ORDER BY iteration""".stripMargin,
 
     "q32_best_run" ->
-      """WITH runs AS (
-        |  SELECT event_type AS job_name, round(CAST(CAST(floor(round(avg(value), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS objective
+      s"""WITH runs AS (
+        |  SELECT event_type AS job_name, ${Portable.sqlIntRatioSigned9("sum(CAST(floor(value * 100 + 0.5) AS BIGINT))", "CAST(count(*) AS HUGEINT) * 100")} AS objective
         |  FROM events GROUP BY event_type
         |)
         |SELECT job_name, objective FROM runs
@@ -9411,7 +9441,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  SELECT doc_id, bin, count(*) AS cnt FROM nib GROUP BY doc_id, bin
         |)
         |SELECT d.doc_id, d.n_bytes, bins.bin,
-        |  round(CAST(CAST(floor(round(coalesce(ht.cnt, 0) / greatest(d.n_bytes, 1)::DOUBLE, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS feat
+        |  (CAST(CAST(floor((coalesce(ht.cnt, 0)
+        |    / greatest(d.n_bytes, 1)::DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 1e9) AS feat
         |FROM hx d
         |CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) bins
         |LEFT JOIN hist ht ON ht.doc_id = d.doc_id AND ht.bin = bins.bin
@@ -9761,8 +9793,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT e.prev, m.predicted, count(*)::BIGINT AS n_transitions,
          |  sum(CASE WHEN e.next = m.predicted THEN 1 ELSE 0 END)::BIGINT
          |    AS n_hits,
-         |  ${Portable.sqlRatio9("sum(CASE WHEN e.next = m.predicted" +
-             " THEN 1 ELSE 0 END)::BIGINT / CAST(count(*) AS DOUBLE)")}
+         |  ${Portable.sqlIntRatio9(
+             "sum(CASE WHEN e.next = m.predicted THEN 1 ELSE 0 END)",
+             "count(*)")}
          |    AS hit_rate
          |FROM p2 e LEFT JOIN model m USING (prev)
          |WHERE e.fold = 0
@@ -9908,8 +9941,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT event_type, count(*)::BIGINT AS n_events,
          |  round(CAST(CAST(floor(round(CAST(sum(w9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS decayed_mass,
-         |  ${Portable.sqlRatio9("CAST(sum(w9) AS DOUBLE) / 1e9" +
-             " / CAST(count(*) AS DOUBLE)")} AS recency
+         |  ${Portable.sqlIntRatio9("sum(w9)",
+             "CAST(count(*) AS HUGEINT) * 1000000000")} AS recency
          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q206: the oracle is deliberately the brute-force O(V²) join the
@@ -9991,8 +10024,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT pr.probe_id,
          |  coalesce(ag.n_common, 0)::BIGINT AS n_common,
          |  round(CAST(CAST(floor(round(CAST(coalesce(ag.r9, 0) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rbo,
-         |  round(CAST(CAST(floor(round(CAST(coalesce(ag.r9, 0) AS DOUBLE)
-         |    / CAST(${suf.sum} AS DOUBLE), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS rbo_norm
+         |  ${Portable.sqlIntRatio9("coalesce(ag.r9, 0)",
+             s"${suf.sum}")} AS rbo_norm
          |FROM pr LEFT JOIN ag USING (probe_id)
          |ORDER BY probe_id""".stripMargin
     },
@@ -10208,8 +10241,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT s.day, coalesce(dau.dau, 0)::BIGINT AS dau,
          |  coalesce(wau.wau, 0)::BIGINT AS wau,
          |  CASE WHEN coalesce(wau.wau, 0) > 0 THEN
-         |    ${Portable.sqlRatio9("CAST(coalesce(dau.dau, 0) AS DOUBLE)" +
-             " / CAST(wau.wau AS DOUBLE)")} END AS stickiness,
+         |    ${Portable.sqlIntRatio9("coalesce(dau.dau, 0)", "wau.wau")}
+         |  END AS stickiness,
          |  coalesce(nu.new_users, 0)::BIGINT AS new_users,
          |  sum(coalesce(nu.new_users, 0))
          |    OVER (ORDER BY s.day)::BIGINT AS cum_users
@@ -10289,12 +10322,17 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM u
          |)
          |SELECT n_a, n_b,
-         |  CASE WHEN $ok THEN ${Portable.sqlRatio9(theta)} END AS theta,
+         |  CASE WHEN $ok THEN ${Portable.sqlIntRatioSigned9(
+              "CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)" +
+                " - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT)",
+              "CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)" +
+                " - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)")}
+         |  END AS theta,
          |  CASE WHEN n_a > 0
-         |    THEN ${Portable.sqlRatio9(mean("sya", "n_a"))}
+         |    THEN ${Portable.sqlIntRatioSigned9("sya", "n_a")}
          |    END AS mean_a,
          |  CASE WHEN n_b > 0
-         |    THEN ${Portable.sqlRatio9(mean("syb", "n_b"))}
+         |    THEN ${Portable.sqlIntRatioSigned9("syb", "n_b")}
          |    END AS mean_b,
          |  CASE WHEN $ok AND n_a > 0 THEN ${Portable.sqlRatio9(adjA)}
          |    END AS adj_a,
@@ -10353,8 +10391,9 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |SELECT source, lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
          |  count(*)::BIGINT AS n_words, sum(toks)::BIGINT AS n_tokens,
          |  sum(chars)::BIGINT AS n_chars,
-         |  round(CAST(CAST(floor(round(sum(toks)::DOUBLE / count(*), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS fertility,
-         |  round(CAST(CAST(floor(round(sum(chars)::DOUBLE / sum(toks), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS chars_per_token
+         |  ${Portable.sqlIntRatio9("sum(toks)", "count(*)")} AS fertility,
+         |  ${Portable.sqlIntRatio9("sum(chars)", "sum(toks)")}
+         |    AS chars_per_token
          |FROM fseg GROUP BY source, lang
          |ORDER BY source, lang""".stripMargin,
 
@@ -10878,8 +10917,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  FROM u
          |)
          |SELECT n_a, conv_a, n_b, conv_b,
-         |  ${Portable.sqlRatio9(pA)} AS rate_a,
-         |  ${Portable.sqlRatio9(pB)} AS rate_b,
+         |  CASE WHEN n_a > 0 THEN
+         |    ${Portable.sqlIntRatio9("conv_a", "n_a")} END AS rate_a,
+         |  CASE WHEN n_b > 0 THEN
+         |    ${Portable.sqlIntRatio9("conv_b", "n_b")} END AS rate_b,
          |  CASE WHEN $se > CAST(0 AS DOUBLE) THEN
          |    ${Portable.sqlRatio9(s"($pA - $pB) / $se")}
          |  END AS z,

@@ -138,7 +138,14 @@ object CorpusPipeline {
       scrubSpanK: Option[Int] = None,
       packSeqTokens: Option[Int] = None,
       packShards: Int = 16,
-      packSalt: String = "pack")
+      packSalt: String = "pack",
+      // Storage level for every intermediate the funnel persists. The
+      // default suits the test rig; at real scale (100 TB corpus,
+      // memory-pressured executors) set DISK_ONLY so the persisted
+      // normalized/survivor frames never churn the block manager's
+      // memory pool. Counts and hashes are storage-level-invariant
+      // (CorpusPipelineSpec pins the law).
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
 
   /** Final chunk table + the per-stage survivor counts (empty when
     * `collectFunnel = false`) + every frame [[curate]] left persisted
@@ -232,7 +239,7 @@ object CorpusPipeline {
     val normed = scrubbed.select(col("doc_id"),
         Text.normalize(col("text")).as("text"), col("lang"), col("source"))
       .filter(length(col("text")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(cfg.storageLevel)
 
     // language gate on the n-gram-profile PREDICTION, not the source-
     // provided tag (at corpus scale the tag is missing or wrong).
@@ -244,7 +251,7 @@ object CorpusPipeline {
         .select("doc_id"),
       Seq("doc_id"))
     val inLang =
-      if (collectFunnel) inLang0.persist(StorageLevel.MEMORY_AND_DISK)
+      if (collectFunnel) inLang0.persist(cfg.storageLevel)
       else inLang0
 
     // quality gate: length/alpha/stopword/digit composite (read by its
@@ -270,7 +277,7 @@ object CorpusPipeline {
           .select("doc_id")
     }
     val quality = inLang.join(qkeep, Seq("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(cfg.storageLevel)
 
     // optional C4-style blocklist gate: drop any document containing a
     // blocklisted token ([[Text.blocklistStats]], n_blocked == 0 keeps).
@@ -285,7 +292,7 @@ object CorpusPipeline {
             .filter(col("n_blocked") === 0)
             .select("doc_id"),
           Seq("doc_id"))
-        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        if (collectFunnel) surv.persist(cfg.storageLevel)
         else surv
     }
 
@@ -312,7 +319,7 @@ object CorpusPipeline {
           .select("doc_id")
         val surv = clean.join(
           if (collectFunnel) ids else Barrier.cut(ids), Seq("doc_id"))
-        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        if (collectFunnel) surv.persist(cfg.storageLevel)
         else surv
     }
 
@@ -330,7 +337,7 @@ object CorpusPipeline {
           .select("doc_id")
         val surv = good.join(
           if (collectFunnel) ids else Barrier.cut(ids), Seq("doc_id"))
-        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        if (collectFunnel) surv.persist(cfg.storageLevel)
         else surv
     }
 
@@ -355,14 +362,14 @@ object CorpusPipeline {
         // repetition gate note), so downstream multi-reads never re-run
         // the NLL/ntile chain.
         if (!collectFunnel && (gated ne quality))
-          gated.persist(StorageLevel.MEMORY_AND_DISK)
+          gated.persist(cfg.storageLevel)
         val ids = Text.perplexityBuckets(gated, "text", "lang",
             cfg.pplBuckets)
           .filter(col("bucket").isin(keep.toSeq: _*))
           .select("doc_id")
         val surv = gated.join(
           if (collectFunnel) ids else Barrier.cut(ids), Seq("doc_id"))
-        if (collectFunnel) surv.persist(StorageLevel.MEMORY_AND_DISK)
+        if (collectFunnel) surv.persist(cfg.storageLevel)
         else surv
     }
 
@@ -372,10 +379,10 @@ object CorpusPipeline {
     // score recomputes map-only over the persisted exact frame (the
     // gate stage kept only ids, and the gate may not even have run).
     val exact = Dedup.dedupExact(tiered, "doc_id", "text")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(cfg.storageLevel)
     val shingled = exact.select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), cfg.shingleN).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(cfg.storageLevel)
     val near = (if (!cfg.keepBestQuality)
         Dedup.dedupNearClustered(exact, "doc_id", shingled,
           cfg.minhashPerms, cfg.bands, cfg.rowsPerBand, cfg.jaccardTau)
@@ -393,7 +400,7 @@ object CorpusPipeline {
         Dedup.dedupNearClusteredBest(scored, "doc_id", "quality_score",
             Dedup.nearDupClusters(verified, "doc_id"))
           .drop("quality_score", "cluster_rep")
-      }).persist(StorageLevel.MEMORY_AND_DISK)
+      }).persist(cfg.storageLevel)
 
     // optional benchmark decontamination: drop survivors sharing too
     // many shingles with the eval set. Eval text passes the SAME
@@ -419,7 +426,7 @@ object CorpusPipeline {
             cfg.contaminationMinShared, cfg.broadcastEval)
           .select(col("doc_id")).distinct()
         near.join(drops, Seq("doc_id"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(cfg.storageLevel)
     }
 
     // optional repeated-span scrub: rewrite survivor text, removing
@@ -436,7 +443,7 @@ object CorpusPipeline {
           .filter(length(col("text_scrubbed")) > 0)
           .select(col("doc_id"), col("text_scrubbed").as("text"))
         decon.drop("text").join(s, Seq("doc_id"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(cfg.storageLevel)
     }
 
     val chunks = Text.chunk(spanScrubbed, "text", cfg.chunkTokens)

@@ -143,8 +143,8 @@ object NaiveBayesText {
         max(col("__m")).as("max_margin"),
         min(col("__m")).as("min_margin"))
       .select(col("bin"), col("n_docs"), col("n_correct"),
-        graft.ops.Portable.ratio9(col("n_correct").cast("double") /
-          col("n_docs")).as("accuracy"),
+        graft.ops.Portable.intRatio9(col("n_correct"), col("n_docs"))
+          .as("accuracy"),
         col("max_margin"), col("min_margin"))
   }
 }

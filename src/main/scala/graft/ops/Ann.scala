@@ -112,8 +112,8 @@ object Ann {
         coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
         coalesce(col("n_same"), lit(0L)).as("n_same"),
         when(col("n_neighbors").isNotNull,
-          Portable.ratio9(col("n_same").cast("double") /
-            col("n_neighbors"))).as("agreement"))
+          Portable.intRatio9(col("n_same"), col("n_neighbors")))
+          .as("agreement"))
   }
 
   /** Hard-negative mining for contrastive training: per anchor, the
@@ -243,7 +243,7 @@ object Ann {
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
       .select(col("probe_id"), col("n_exact"), col("n_hit"),
-        Portable.ratio9(col("n_hit").cast("double") / col("n_exact"))
+        Portable.intRatio9(col("n_hit"), col("n_exact"))
           .as("recall"))
   }
 

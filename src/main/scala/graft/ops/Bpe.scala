@@ -306,9 +306,9 @@ object Bpe {
         sum(col("__chars")).as("n_chars"))
       .select(groupCols.map(col) ++ Seq(col("n_docs"), col("n_words"),
         col("n_tokens"), col("n_chars"),
-        Portable.ratio9(col("n_tokens").cast("double") / col("n_words"))
+        Portable.intRatio9(col("n_tokens"), col("n_words"))
           .as("fertility"),
-        Portable.ratio9(col("n_chars").cast("double") / col("n_tokens"))
+        Portable.intRatio9(col("n_chars"), col("n_tokens"))
           .as("chars_per_token")): _*)
   }
 

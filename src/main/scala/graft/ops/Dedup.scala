@@ -143,9 +143,10 @@ object Dedup {
     val sb = existingShingled
       .select(col(idCol).as("__ex"), col("shingles").as("__shb"))
     val drops = cands.join(sa, Seq("__new")).join(sb, Seq("__ex"))
-      .filter(Portable.ratio9(
-        size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
-          size(array_union(col("__sha"), col("__shb")))) >= tau)
+      .filter(Portable.intRatio9(
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long"),
+        size(array_union(col("__sha"), col("__shb"))).cast("long"))
+        >= tau)
       .select(col("__new").as(idCol)).distinct()
     df.join(drops, Seq(idCol), "left_anti")
   }
@@ -215,9 +216,9 @@ object Dedup {
     val sa = shingled.select(col(idCol).as("id_a"), col("shingles").as("sh_a"))
     val sb = shingled.select(col(idCol).as("id_b"), col("shingles").as("sh_b"))
     cands.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .withColumn("jaccard", Portable.ratio9(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))))
+      .withColumn("jaccard", Portable.intRatio9(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -246,11 +247,11 @@ object Dedup {
         sum(col("__c") * col("__t")).as("n_tokens"),
         sum((col("__c") - 1) * col("__t")).as("dup_tokens"))
       .select(col("n_chunks"), col("n_unique_chunks"), col("dup_chunks"),
-        Portable.ratio9(col("dup_chunks").cast("double") /
-          col("n_chunks")).as("dup_chunk_ratio"),
+        Portable.intRatio9(col("dup_chunks"), col("n_chunks"))
+          .as("dup_chunk_ratio"),
         col("n_tokens"), col("dup_tokens"),
-        Portable.ratio9(col("dup_tokens").cast("double") /
-          col("n_tokens")).as("dup_token_ratio"))
+        Portable.intRatio9(col("dup_tokens"), col("n_tokens"))
+          .as("dup_token_ratio"))
 
   /** Incremental chunk-level scrub against a stored chunk index — the
     * delta-crawl consumer [[graft.ops.Text.chunkContentDefined]]'s
@@ -334,8 +335,8 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        Portable.ratio9(col("n_novel").cast("double") /
-          col("n_distinct")).as("novelty_ratio"))
+        Portable.intRatio9(col("n_novel"), col("n_distinct"))
+          .as("novelty_ratio"))
   }
 
   /** Dedup threshold-sensitivity curve — what a τ choice actually
@@ -370,7 +371,7 @@ object Dedup {
       .withColumn("bucket", floor(col("__mj") * buckets).cast("long"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
       .withColumn("cum_docs_ge", sum(col("n_docs")).over(w))
-      .select(Portable.ratio9(col("bucket") / buckets.toDouble)
+      .select(Portable.intRatio9(col("bucket"), lit(buckets.toLong))
           .as("tau_floor"),
         col("n_docs"), col("cum_docs_ge"))
   }
@@ -402,7 +403,12 @@ object Dedup {
         greatest(col("__ga"), col("__gb")).as("source_b"), col("jaccard"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        Portable.ratio9(avg(col("jaccard"))).as("avg_jaccard"))
+        // jaccard is exactly k/1e9: integerize per pair (lossless),
+        // sum exactly, ONE division
+        Portable.intRatio9(
+          sum(floor(col("jaccard") * lit(1e9) + lit(0.5)).cast("long")),
+          count(lit(1)).cast("decimal(38,0)") * lit(1000000000L))
+          .as("avg_jaccard"))
   }
 
   /** EXACT n-gram-Jaccard similarity join via an inverted shingle
@@ -457,8 +463,8 @@ object Dedup {
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")),
         Seq("id_b"))
-      .withColumn("jaccard", Portable.ratio9(col("__i").cast("double") /
-        (col("__sza") + col("__szb") - col("__i"))))
+      .withColumn("jaccard", Portable.intRatio9(col("__i"),
+        col("__sza") + col("__szb") - col("__i")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -501,7 +507,7 @@ object Dedup {
         Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("sz_b")),
         Seq("id_b"))
-      .withColumn("containment", Portable.ratio9(col("__i").cast("double") /
+      .withColumn("containment", Portable.intRatio9(col("__i"),
         least(col("sz_a"), col("sz_b"))))
       .filter(col("containment") >= tau)
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
@@ -545,7 +551,7 @@ object Dedup {
       .groupBy(floor(col("jaccard") * 10).cast("long").as("sim_band"))
       .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_found"))
       .select(col("sim_band"), col("n_true"), col("n_found"),
-        Portable.ratio9(col("n_found").cast("double") / col("n_true"))
+        Portable.intRatio9(col("n_found"), col("n_true"))
           .as("recall"))
   }
 
@@ -665,7 +671,7 @@ object Dedup {
         coalesce(col("__n"), lit(0L)).as("n_shingles"),
         coalesce(col("__c"), lit(0L)).as("n_contaminated"),
         // un-coalesced operands: shingle-less docs yield NULL, never 0/0
-        Portable.ratio9(col("__c").cast("double") / col("__n"))
+        Portable.intRatio9(col("__c"), col("__n"))
           .as("coverage"))
   }
 
@@ -836,7 +842,7 @@ object Dedup {
       .withColumn("cluster_rep", coalesce(col("cluster_rep"), col(idCol)))
       .withColumn("csize",
         count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
-      .withColumn("weight", Portable.ratio9(lit(1.0) / col("csize")))
+      .withColumn("weight", Portable.intRatio9(lit(1L), col("csize")))
   }
 
   /** Per-source near-duplication audit — the first report a curation
@@ -862,8 +868,8 @@ object Dedup {
         count(col("cluster_rep")).as("n_dup_docs"),
         countDistinct(coalesce(col("cluster_rep"), col(idCol)))
           .as("n_post_dedup"),
-        Portable.ratio9(count(col("cluster_rep")).cast("double") /
-          count(lit(1))).as("dup_rate"))
+        Portable.intRatio9(count(col("cluster_rep")), count(lit(1)))
+          .as("dup_rate"))
 
   /** Quality-aware near-dedup survivor policy: keep, per near-dup
     * cluster, the row with the HIGHEST `scoreCol` (ties → smallest id)

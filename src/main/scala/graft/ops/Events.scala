@@ -39,9 +39,19 @@ object Events {
       .withColumn("window_start_ms",
         (ms - pmod(ms, lit(widthMs))).cast("long"))
       .groupBy(col("event_type"), col("window_start_ms"))
+      // value is exact cents in a double: per-row integerize is
+      // lossless, the sum is exact, and avg/sum leave integer land in
+      // ONE integral division each (a float sum of non-dyadic cents
+      // is association-order-sensitive — across partitionings AND
+      // engines; the q218/q219 class)
       .agg(count(lit(1)).as("n_events"),
-        Portable.ratio9(avg(col("value"))).as("avg_value"),
-        Portable.ratio9(sum(col("value"))).as("sum_value"))
+        sum(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+          .as("__v2"))
+      .select(col("event_type"), col("window_start_ms"), col("n_events"),
+        Portable.intRatioSigned9(col("__v2"),
+          col("n_events").cast("decimal(38,0)") * lit(100L))
+          .as("avg_value"),
+        Portable.intRatioSigned9(col("__v2"), lit(100L)).as("sum_value"))
 
   /** Trailing-baseline anomaly detection over the tumbling counts —
     * the monitoring twin of [[tumbling]]: per event type, each window's
@@ -89,8 +99,8 @@ object Events {
       .withColumn("__ss", sum(col("n_events") * col("n_events")).over(w))
       .filter(col("__k") === k)
       .select(col("event_type"), col("window_start_ms"), col("n_events"),
-        Portable.ratio9(trailMean).as("trail_mean"),
-        Portable.ratio9(trailVar).as("trail_var"),
+        Portable.intRatio9(col("__s"), lit(k)).as("trail_mean"),
+        Portable.intRatioSigned9(varNum, lit(k * k)).as("trail_var"),
         when(varNum > 0, Portable.ratio9(z)).as("zscore"),
         when(varNum > 0, abs(z) >= zThresh)
           .otherwise(col("n_events") * k =!= col("__s")).as("is_anomaly"))
@@ -121,7 +131,10 @@ object Events {
         expr("min(ts) div 1000000").as("start_ms"),
         expr("max(ts) div 1000000").as("end_ms"),
         expr("(max(ts) div 1000000) - (min(ts) div 1000000)").as("duration_ms"),
-        Portable.ratio9(sum(col("value"))).as("sum_value"))
+        // exact cents sum, ONE division (see [[tumbling]])
+        Portable.intRatioSigned9(
+          sum(floor(col("value") * lit(100) + lit(0.5)).cast("long")),
+          lit(100L)).as("sum_value"))
   }
 
   /** Two-phase (time-bucketed) sessionization — identical output to
@@ -165,7 +178,9 @@ object Events {
         wCell.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("__b"), col("__ls"))
       .agg(count(lit(1)).as("__n"), min(col("ts")).as("__min"),
-        max(col("ts")).as("__max"), sum(col("value")).as("__sv"))
+        max(col("ts")).as("__max"),
+        sum(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+          .as("__sv"))
     val wUser = Window.partitionBy(col("user_id"))
       .orderBy(col("__min"), col("__b"), col("__ls"))
     cellSessions
@@ -181,7 +196,8 @@ object Events {
         expr("max(__max) div 1000000").as("end_ms"),
         expr("(max(__max) div 1000000) - (min(__min) div 1000000)")
           .as("duration_ms"),
-        Portable.ratio9(sum(col("__sv"))).as("sum_value"))
+        Portable.intRatioSigned9(sum(col("__sv")), lit(100L))
+          .as("sum_value"))
   }
 
   /** Distributed as-of join (temporal enrich): for every left row, the
@@ -501,7 +517,7 @@ object Events {
       .select(col("__prev").as("from_type"), col("event_type").as("to_type"))
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", Portable.ratio9(col("n").cast("double") /
+      .withColumn("p", Portable.intRatio9(col("n"),
         sum(col("n")).over(Window.partitionBy(col("from_type")))))
   }
 
@@ -639,8 +655,8 @@ object Events {
     counts.join(sizes, Seq("__cp"))
       .select((col("__cp") * widthMs).as("cohort_start_ms"),
         col("period_offset"), col("n_active"), col("cohort_size"),
-        Portable.ratio9(col("n_active").cast("double") /
-          col("cohort_size")).as("retention"))
+        Portable.intRatio9(col("n_active"), col("cohort_size"))
+          .as("retention"))
   }
 
   /** Type-2 slowly-changing-dimension build (Kimball's SCD2) from an
@@ -718,8 +734,9 @@ object Events {
       .select(col("event_type"), col("n_events"),
         round(col("__m9").cast("double") / lit(1e9), 9)
           .as("decayed_mass"),
-        Portable.ratio9(col("__m9").cast("double") / lit(1e9) /
-          col("n_events").cast("double")).as("recency"))
+        Portable.intRatio9(col("__m9"),
+          col("n_events").cast("decimal(38,0)") * lit(1000000000L))
+          .as("recency"))
   }
 
   /** Hour-of-day periodicity profile per event type — the seasonality
@@ -751,13 +768,12 @@ object Events {
         max(struct(col("o"), (-col("hour")).as("__nh"))).as("__pk"))
       .select(col("event_type"), col("n_events"),
         (-col("__pk.__nh")).as("peak_hour"),
-        Portable.ratio9(col("__pk.o").cast("double") /
-          col("n_events").cast("double")).as("peak_share"),
-        Portable.ratio9(
-          (lit(24).cast(dec) * col("__ss") -
-            col("n_events").cast(dec) * col("n_events").cast(dec))
-            .cast("double") / col("n_events").cast("double"))
-          .as("chi2_uniform"))
+        Portable.intRatio9(col("__pk.o"), col("n_events"))
+          .as("peak_share"),
+        Portable.intRatioSigned9(
+          lit(24).cast(dec) * col("__ss") -
+            col("n_events").cast(dec) * col("n_events").cast(dec),
+          col("n_events")).as("chi2_uniform"))
   }
 
   /** First-touch / last-touch conversion attribution — the marketing
@@ -987,16 +1003,14 @@ object Events {
       .agg(count(lit(1)).as("n_days"), sum(col("__x")).as("n_events"),
         sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__q"))
       .select(col("event_type"), col("n_days"), col("n_events"),
-        when(col("n_days") > 0L, Portable.ratio9(
-          col("n_events").cast("double") / col("n_days").cast("double")))
-          .as("mean"),
+        when(col("n_days") > 0L,
+          Portable.intRatio9(col("n_events"), col("n_days"))).as("mean"),
         when(col("n_days") >= 2L && col("n_events") > 0L,
-          Portable.ratio9(
-            (col("n_days").cast(dec) * col("__q") -
-              col("n_events").cast(dec) * col("n_events").cast(dec))
-              .cast("double") /
-              ((col("n_days") - 1L).cast("double") *
-                col("n_events").cast("double")))).as("fano"))
+          Portable.intRatioSigned9(
+            col("n_days").cast(dec) * col("__q") -
+              col("n_events").cast(dec) * col("n_events").cast(dec),
+            (col("n_days") - 1L).cast(dec) * col("n_events")))
+          .as("fano"))
   }
 
   /** Cochran–Armitage trend test (Cochran '54; Armitage '55) on the
@@ -1121,8 +1135,10 @@ object Events {
     // guard (Spark's And evaluates lazily), so an empty arm yields the
     // documented NULLs instead of a DIVIDE_BY_ZERO
     wide
-      .withColumn("rate_a", when(col("n_a") > 0, Portable.ratio9(pA)))
-      .withColumn("rate_b", when(col("n_b") > 0, Portable.ratio9(pB)))
+      .withColumn("rate_a", when(col("n_a") > 0,
+        Portable.intRatio9(col("conv_a"), col("n_a"))))
+      .withColumn("rate_b", when(col("n_b") > 0,
+        Portable.intRatio9(col("conv_b"), col("n_b"))))
       .withColumn("z", when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0,
         Portable.ratio9((pA - pB) / se)))
       .withColumn("significant",
@@ -1173,8 +1189,8 @@ object Events {
       .agg(count(lit(1)).as("n_transitions"),
         sum(when(col("next") === col("predicted"), 1L).otherwise(0L))
           .as("n_hits"))
-      .withColumn("hit_rate", Portable.ratio9(col("n_hits").cast("double") /
-        col("n_transitions").cast("double")))
+      .withColumn("hit_rate",
+        Portable.intRatio9(col("n_hits"), col("n_transitions")))
   }
 
   /** Incremental [[scd2]] maintenance — fold a NEW batch of events
@@ -1251,7 +1267,10 @@ object Events {
     * start-time order (`tuning_analysis.py:30-41`). */
   def runTable(events: DataFrame): DataFrame = {
     val runs = events.groupBy(col("event_type").as("job_name"))
-      .agg(Portable.ratio9(avg(col("value"))).as("objective"),
+      .agg(Portable.intRatioSigned9(
+          sum(floor(col("value") * lit(100) + lit(0.5)).cast("long")),
+          count(lit(1)).cast("decimal(38,0)") * lit(100L))
+          .as("objective"),
         expr("min(ts) div 1000000").as("start_ms"))
     // tiny table (one row per event type) — single-partition window is fine
     Similarity.withIteration(runs, "start_ms")
@@ -1308,8 +1327,8 @@ object Events {
         coalesce(col("dau"), lit(0L)).as("dau"),
         coalesce(col("wau"), lit(0L)).as("wau"),
         when(coalesce(col("wau"), lit(0L)) > 0,
-          Portable.ratio9(coalesce(col("dau"), lit(0L)).cast("double") /
-            col("wau").cast("double"))).as("stickiness"),
+          Portable.intRatio9(coalesce(col("dau"), lit(0L)), col("wau")))
+          .as("stickiness"),
         coalesce(col("new_users"), lit(0L)).as("new_users"))
       .withColumn("cum_users", sum(col("new_users")).over(wCum))
   }
@@ -1496,11 +1515,14 @@ object Events {
       vB / nz(col("n_b").cast("double")))
     val ok = col("n") > 0 && thD > 0.0
     m.select(col("n_a"), col("n_b"),
-      when(ok, Portable.ratio9(theta)).as("theta"),
+      when(ok, Portable.intRatioSigned9(
+        d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy")),
+        d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx"))))
+        .as("theta"),
       when(col("n_a") > 0,
-        Portable.ratio9(mean(col("sya"), col("n_a")))).as("mean_a"),
+        Portable.intRatioSigned9(col("sya"), col("n_a"))).as("mean_a"),
       when(col("n_b") > 0,
-        Portable.ratio9(mean(col("syb"), col("n_b")))).as("mean_b"),
+        Portable.intRatioSigned9(col("syb"), col("n_b"))).as("mean_b"),
       when(ok && col("n_a") > 0,
         Portable.ratio9(adj(col("sya"), col("sxa"), col("n_a"))))
         .as("adj_a"),

@@ -194,9 +194,9 @@ object Graph {
       .select(col("id"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn("clustering_coeff",
-        when(col("deg") >= 2, Portable.ratio9(
-          (lit(2L) * col("n_triangles")).cast("double") /
-            (col("deg") * (col("deg") - lit(1L))).cast("double"))))
+        when(col("deg") >= 2, Portable.intRatio9(
+          lit(2L) * col("n_triangles"),
+          col("deg") * (col("deg") - lit(1L)))))
   }
 
   /** k-core peeling (Seidman '83; the [[triangles]] density signal

@@ -277,12 +277,10 @@ object Pairs {
       .crossJoin(broadcast(n))
       .select(col("a").as("antecedent"), col("b").as("consequent"),
         col("n_orders"), col("c_a"), col("c_b"), col("c_ab"),
-        Portable.ratio9(col("c_ab").cast("double") /
-          col("n_orders").cast("double")).as("support"),
-        Portable.ratio9(col("c_ab").cast("double") /
-          col("c_a").cast("double")).as("confidence"),
-        Portable.ratio9(col("n_orders").cast("double") *
-          col("c_ab").cast("double") / col("c_a").cast("double") /
-          col("c_b").cast("double")).as("lift"))
+        Portable.intRatio9(col("c_ab"), col("n_orders")).as("support"),
+        Portable.intRatio9(col("c_ab"), col("c_a")).as("confidence"),
+        Portable.intRatio9(
+          col("n_orders").cast("decimal(38,0)") * col("c_ab"),
+          col("c_a").cast("decimal(38,0)") * col("c_b")).as("lift"))
   }
 }

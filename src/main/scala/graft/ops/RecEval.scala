@@ -69,7 +69,7 @@ object RecEval {
       .select(col("k"), col("n_orders"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("hit_rate",
-        Portable.ratio9(col("n_hits").cast("double") / col("n_orders")))
+        Portable.intRatio9(col("n_hits"), col("n_orders")))
   }
 
   /** Reciprocal-rank table for ranks 1..k, integerized at 1e9 — shared
@@ -107,10 +107,12 @@ object RecEval {
     eligible(baskets).agg(count(lit(1)).as("n_orders"))
       .crossJoin(agg)
       .select(lit(k.toLong).as("k"), col("n_orders"), col("n_ranked"),
-        Portable.ratio9(col("__rr").cast("double") /
-          col("n_orders") / 1e9).as("mrr"),
-        Portable.ratio9(col("__dcg").cast("double") /
-          col("n_orders") / 1e9).as("ndcg"))
+        Portable.intRatio9(col("__rr"),
+          col("n_orders").cast("decimal(38,0)") * lit(1000000000L))
+          .as("mrr"),
+        Portable.intRatio9(col("__dcg"),
+          col("n_orders").cast("decimal(38,0)") * lit(1000000000L))
+          .as("ndcg"))
   }
 
   /** Reciprocal-rank-fusion of ranked lists (Cormack, Clarke &
@@ -224,7 +226,7 @@ object RecEval {
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         round(coalesce(col("__r9"), lit(0L)).cast("double") / lit(1e9), 9)
           .as("rbo"),
-        Portable.ratio9(coalesce(col("__r9"), lit(0L)).cast("double") /
-          lit(suf.sum.toDouble)).as("rbo_norm"))
+        Portable.intRatio9(coalesce(col("__r9"), lit(0L)),
+          lit(suf.sum)).as("rbo_norm"))
   }
 }

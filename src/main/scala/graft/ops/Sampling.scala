@@ -74,8 +74,7 @@ object Sampling {
         floor(col("weight") / lit(wsum) * lit(budget.toDouble) + lit(0.5))
           .cast("long"))
       .withColumn("factor",
-        Portable.ratio9(col("target_tokens").cast("double") /
-          col("n_tokens")))
+        Portable.intRatio9(col("target_tokens"), col("n_tokens")))
   }
 
   /** REALIZE an epoch-factor plan ([[epochFactors]]) as an actual
@@ -161,13 +160,12 @@ object Sampling {
       .select(col("stratum"), col("n_rows"),
         Portable.ratio9(sigma).as("sigma"),
         when(col("__tot9") > 0L,
-          Portable.ratio9(col("__nsig9").cast("double") /
-            col("__tot9").cast("double")))
+          Portable.intRatio9(col("__nsig9"), col("__tot9")))
           .otherwise(lit(0.0)).as("alloc_share"),
         when(col("__tot9") > 0L,
-          floor(col("__nsig9").cast("double") /
-            col("__tot9").cast("double") * lit(budget.toDouble) +
-            lit(0.5)).cast("long")).otherwise(lit(0L)).as("alloc_n"))
+          Portable.intRatioScaled(
+            col("__nsig9").cast("decimal(38,0)") * lit(budget),
+            col("__tot9"), 0)).otherwise(lit(0L)).as("alloc_n"))
   }
 
   /** Kish effective sample size per group (Kish '65; the standard
@@ -195,13 +193,11 @@ object Sampling {
         sum(col("__w").cast(dec)).as("__s"),
         sum(col("__w").cast(dec) * col("__w").cast(dec)).as("__ss"))
       .select(col("group"), col("n_rows"),
-        when(col("__ss") > 0, Portable.ratio9(
-          col("__s").cast("double") * col("__s").cast("double") /
-            col("__ss").cast("double"))).as("ess"),
-        when(col("__ss") > 0, Portable.ratio9(
-          col("__s").cast("double") * col("__s").cast("double") /
-            col("__ss").cast("double") / col("n_rows").cast("double")))
-          .as("ess_ratio"))
+        when(col("__ss") > 0, Portable.intRatio9(
+          col("__s") * col("__s"), col("__ss"))).as("ess"),
+        when(col("__ss") > 0, Portable.intRatio9(
+          col("__s") * col("__s"),
+          col("__ss") * col("n_rows"))).as("ess_ratio"))
   }
 
   /** Weighted sampling WITHOUT replacement via the Gumbel-top-k trick
@@ -715,11 +711,17 @@ object Sampling {
     val per = gramBuckets(df, idCol, textCol, buckets, n)
       .join(broadcast(w.select(col("bucket"), col("w"))), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("__s"))
+      .agg(count(lit(1)).as("n_grams"),
+        // w is exactly k/1e9: per-row integerize is lossless and the
+        // sum exact — a float sum of non-dyadic weights is
+        // association-order-sensitive
+        sum(floor(col("w") * lit(1e9) + lit(0.5)).cast("long"))
+          .as("__s9"))
     df.select(col(idCol)).join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        Portable.ratio9(coalesce(col("__s"), lit(0.0))).as("dsir_score"))
+        Portable.intRatioSigned9(coalesce(col("__s9"), lit(0L)),
+          lit(1000000000L)).as("dsir_score"))
   }
 
   /** Cluster-balanced exact-N sample: assign every vector to its

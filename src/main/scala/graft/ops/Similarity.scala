@@ -199,9 +199,14 @@ object Similarity {
     val margins = scored
       .join(sx, Seq("x_id")).join(sy, Seq("y_id"))
       .filter(col("__sx") + col("__sy") =!= 0L)
-      .withColumn("margin", Portable.ratio9(
-        (col("__ci") * lit(2L * k)).cast("double") /
-          (col("__sx") + col("__sy")).cast("double")))
+      .withColumn("margin", {
+        // signed/signed exact ratio: normalize the denominator sign
+        // into the numerator so the integral division sees den > 0
+        val den = col("__sx") + col("__sy")
+        val num = col("__ci") * lit(2L * k)
+        Portable.intRatioSigned9(when(den < 0, -num).otherwise(num),
+          abs(den))
+      })
     margins
       .withColumn("__bx", row_number().over(Window.partitionBy(col("x_id"))
         .orderBy(desc("margin"), asc("y_id"))))
@@ -374,7 +379,7 @@ object Similarity {
       .join(hits, Seq("dims", "probe_id"), "left")
       .select(col("dims"), col("probe_id"), col("n_exact"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        Portable.ratio9(coalesce(col("n_hit"), lit(0L)).cast("double") /
+        Portable.intRatio9(coalesce(col("n_hit"), lit(0L)),
           col("n_exact")).as("recall"))
   }
 

@@ -233,8 +233,17 @@ object Sketch {
       .join(exact, Seq("key"))
       .select(col("key"), col("n_registers_used"), col("hll_est"),
         col("exact_distinct"),
-        Portable.ratioAt((col("hll_est") - col("exact_distinct")) /
-          col("exact_distinct") * 100, 6).as("rel_err_pct"))
+        {
+          // hll_est is exactly k/1e6: recover k and clear denominators
+          // so the percent error is ONE exact signed integral division
+          val dec = "decimal(38,0)"
+          val k6 = floor(col("hll_est") * lit(1e6) + lit(0.5)).cast("long")
+          (Portable.intRatioScaledSigned(
+            (k6.cast(dec) - col("exact_distinct").cast(dec) *
+              lit(1000000L)) * lit(100L),
+            col("exact_distinct").cast(dec) * lit(1000000L), 6)
+            .cast("double") / lit(1e6)).as("rel_err_pct")
+        })
   }
 
   /** Flajolet's bias-correction constant as an exact rational. */

@@ -435,8 +435,8 @@ object Sources {
       .select(col("n_files"), col("band_lo"), col("band_hi"),
         col("n_touched"),
         (col("n_files") - col("n_touched")).as("n_skipped"),
-        Portable.ratio9((col("n_files") - col("n_touched")).cast("double") /
-          col("n_files").cast("double")).as("skip_ratio"))
+        Portable.intRatio9(col("n_files") - col("n_touched"),
+          col("n_files")).as("skip_ratio"))
   }
 
   /** Compaction plan from a [[parquetLayoutAudit]] frame — the FIX for
