@@ -2339,6 +2339,39 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("event_type", "window_start_ms")
     }),
 
+    // Streaming curation gate prefix, ORACLE-certified end to end: the
+    // documents table rides a real file-source micro-batch stream
+    // (maxFilesPerTrigger=1 forces multiple batches) through
+    // StreamOps.curateStream's stateless normalize→langid→quality
+    // prefix into a memory sink; the collected output hashes against
+    // the batch funnel's own gate-prefix SQL. The twin law the specs
+    // pin ("stateless prefix = batch gates on every micro-batch")
+    // becomes a driver-gate fact, not just a spec claim.
+    "q255_curate_stream" -> ((s, dir) => {
+      // stage the single-file fixture as a 4-file directory so the
+      // file source has a directory to watch and maxFilesPerTrigger=1
+      // genuinely exercises MULTIPLE micro-batches (fixture plumbing,
+      // the q41 CSV-leg pattern — a production stream would watch the
+      // landing directory directly)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("q255_stream_src").toString
+      docs.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.curateStream(sdf,
+        CurateLangs, CurateMinQuality)
+      val sink = s"q255_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(sink)
+        .select(col("doc_id"), col("text"), col("pred_lang"),
+          col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip: the interchange slice written as ORC, read
     // back, aggregated — hashed against the parquet original, so the
     // format conversion is content-equal under the driver's gate.
@@ -5820,6 +5853,55 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
 
     // q254: sorted trailing lists per window, twice-the-median
     // element reads, the identical integer Hampel compare.
+    // q255: the batch gate-prefix SQL (normalize → langid → quality,
+    // the q62 funnel's own CTEs) — hashing the STREAM's micro-batched
+    // output against it certifies the stateless-prefix twin law under
+    // the driver's gate.
+    "q255_curate_stream" -> {
+      val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'")
+        .mkString(", ")
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |         ' +', ' ', 'g')) AS text
+         |  FROM documents
+         |),
+         |nz AS (SELECT doc_id, text FROM norm WHERE length(text) > 0),
+         |profile(plang, w) AS (VALUES ${Text.langProfileSql}),
+         |ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |         FROM nz),
+         |lhits AS (
+         |  SELECT t.doc_id, p.plang, count(*) AS n
+         |  FROM ltok t JOIN profile p ON t.w = p.w
+         |  GROUP BY t.doc_id, p.plang
+         |),
+         |lbest AS (
+         |  SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n DESC, plang ASC) AS r
+         |    FROM lhits
+         |  ) WHERE r = 1
+         |),
+         |lk AS (
+         |  SELECT nz.doc_id, nz.text, b.plang FROM nz
+         |  JOIN lbest b USING (doc_id)
+         |  WHERE b.plang IN ($langList)
+         |),
+         |m AS (
+         |  SELECT doc_id, text, plang,
+         |    $qMetricColsSql
+         |  FROM lk
+         |),
+         |sc AS (
+         |  SELECT doc_id, text, plang AS pred_lang, qct AS n_tokens,
+         |    $qScoreSqlExpr AS quality_score
+         |  FROM m
+         |)
+         |SELECT doc_id, text, pred_lang, n_tokens, quality_score
+         |FROM sc WHERE quality_score >= $CurateMinQuality
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q254_window_anomaly_robust" -> {
       val T = AnomalyTrailing
       val h = T / 2

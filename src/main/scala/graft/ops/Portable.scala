@@ -67,14 +67,23 @@ object Portable {
     * drift between engines' round() implementations — then ONE IEEE
     * division by the 1e9 literal (correctly rounded, so the emitted
     * bit pattern is identical in any engine holding the same exact
-    * integer). Use for EVERY emitted column that would otherwise be
-    * a naked round(<division chain>, 9): that form is
-    * oracle-engine-version-sensitive (the q218/q219 round-9 driver
-    * hash-fail — bit-exact vs local DuckDB, red vs the driver's).
-    * NULL-safe (NULL in → NULL out); the input must be FINITE —
-    * guard zero denominators OUTSIDE with when(), because an ANSI
-    * cast of Infinity/NaN to long throws. DuckDB mirror:
-    * [[sqlRatio9]]. */
+    * integer). NULL-safe (NULL in → NULL out); the input must be
+    * FINITE — guard zero denominators OUTSIDE with when(), because an
+    * ANSI cast of Infinity/NaN to long throws. DuckDB mirror:
+    * [[sqlRatio9]].
+    *
+    * SCOPE (post round-11 audit): because the inner round(x, 9) is
+    * still engine-version-sensitive when x sits within an ulp of a
+    * half-way point (the q218/q219 driver hash-fail class), every
+    * ratio whose operands are EXACT INTEGERS emits via [[intRatio9]]/
+    * [[intRatioScaled]] instead. The call sites that remain on
+    * ratio9/ratioAt are exactly: (a) genuinely-float chains —
+    * ln/exp/sqrt/pow/percentile (IEEE sqrt is correctly rounded; the
+    * log family integerizes per TERM before summing), (b) divisions
+    * of double LITERALS (mixture-weight shares), and (c) the
+    * zipf/heaps r² fits, whose exact rational needs more than 38
+    * digits — past both engines' 128-bit integer range. Each is one
+    * pinned double chain over exact integers. */
   def ratio9(x: Column): Column = ratioAt(x, 9)
 
   /** [[ratio9]] at an arbitrary decimal precision (e.g. the 6dp
