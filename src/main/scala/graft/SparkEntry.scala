@@ -1910,6 +1910,43 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |)""".stripMargin
   }
 
+  /** q218/q256 shared oracle: the exact-integer threshold sweep over
+    * the quality-score distinct-value CDF — F1 as ONE integral
+    * division at 1e9, the best-row tie-break on (f19, s9) integers,
+    * s9 recovered from the 9dp-integerized score by one exact IEEE
+    * multiply + floor. q256 hashes a STREAM-fed re-derivation of the
+    * same table against this. */
+  private val thresholdSweepOracleSql: String =
+    s"""$qualityScoreSqlCtes,
+       |g AS (
+       |  SELECT quality_score AS threshold, count(*)::BIGINT AS n,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p
+       |  FROM qs GROUP BY 1
+       |),
+       |c AS (
+       |  SELECT threshold, sum(p) OVER w AS tp, sum(n - p) OVER w AS fp,
+       |    sum(p) OVER (ORDER BY threshold DESC ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS totp
+       |  FROM g
+       |  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |f AS (
+       |  SELECT threshold, tp, fp, (totp - tp)::BIGINT AS fn, totp,
+       |    ${Portable.sqlIntRatioScaled("2 * tp",
+            "2 * tp + fp + (totp - tp)", 9)} AS f19,
+       |    CAST(floor(threshold * 1e9 + 0.5) AS BIGINT) AS s9
+       |  FROM c
+       |),
+       |b AS (SELECT f19, s9 FROM f ORDER BY f19 DESC, s9 DESC LIMIT 1)
+       |SELECT f.threshold, f.tp, f.fp, f.fn,
+       |  ${Portable.sqlIntRatio9("f.tp", "f.tp + f.fp")} AS precision,
+       |  CASE WHEN f.totp > 0 THEN
+       |    ${Portable.sqlIntRatio9("f.tp", "f.totp")} END AS recall,
+       |  (CAST(f.f19 AS DOUBLE) / 1e9) AS f1,
+       |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
+       |FROM f CROSS JOIN b ORDER BY f.threshold""".stripMargin
+
   /** q178/q183 shared oracle: the SCD2 FULL rebuild over the whole
     * event log — change detection then versioning, both ordered by the
     * original (ts, event_id); timestamps leave as ms-floors (the
@@ -2370,6 +2407,34 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .select(col("doc_id"), col("text"), col("pred_lang"),
           col("n_tokens"), col("quality_score"))
         .orderBy("doc_id")
+    }),
+
+    // The round-9/10 driver-gate fail, STREAM-certified: the scored
+    // documents ride a micro-batched file stream into
+    // thresholdSweepStream's Complete-mode distinct-score count state;
+    // the FINAL micro-batch's sweep (the table over all rows seen)
+    // hashes against q218's own exact-integer oracle — the stateful
+    // twin law under the driver's gate.
+    "q256_threshold_sweep_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("q256_stream_src").toString
+      docs.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val scored = Text.qualityScore(sdf, "text", Seq("lang"))
+        .select(col("lang"), col("quality_score"))
+      val last = new java.util.concurrent.atomic.AtomicReference[
+        (Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]()
+      val q = graft.streaming.StreamOps.thresholdSweepStream(scored,
+        "quality_score", col("lang") === "en") { (sweep, _) =>
+          last.set((sweep.collect(), sweep.schema))
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val (rows, schema) = last.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("threshold")
     }),
 
     // ORC round-trip: the interchange slice written as ORC, read
@@ -10147,37 +10212,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // round(<raw double quotient>, 9) is driver-version-sensitive, the
     // r9/r10 hash-fail class); best row via ORDER BY (f19, s9) DESC
     // LIMIT 1, s9 recovered from the already-9dp-integerized score by
-    // one exact IEEE multiply + floor.
-    "q218_threshold_sweep" ->
-      s"""$qualityScoreSqlCtes,
-         |g AS (
-         |  SELECT quality_score AS threshold, count(*)::BIGINT AS n,
-         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p
-         |  FROM qs GROUP BY 1
-         |),
-         |c AS (
-         |  SELECT threshold, sum(p) OVER w AS tp, sum(n - p) OVER w AS fp,
-         |    sum(p) OVER (ORDER BY threshold DESC ROWS BETWEEN
-         |      UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS totp
-         |  FROM g
-         |  WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN
-         |    UNBOUNDED PRECEDING AND CURRENT ROW)
-         |),
-         |f AS (
-         |  SELECT threshold, tp, fp, (totp - tp)::BIGINT AS fn, totp,
-         |    ${Portable.sqlIntRatioScaled("2 * tp",
-              "2 * tp + fp + (totp - tp)", 9)} AS f19,
-         |    CAST(floor(threshold * 1e9 + 0.5) AS BIGINT) AS s9
-         |  FROM c
-         |),
-         |b AS (SELECT f19, s9 FROM f ORDER BY f19 DESC, s9 DESC LIMIT 1)
-         |SELECT f.threshold, f.tp, f.fp, f.fn,
-         |  ${Portable.sqlIntRatio9("f.tp", "f.tp + f.fp")} AS precision,
-         |  CASE WHEN f.totp > 0 THEN
-         |    ${Portable.sqlIntRatio9("f.tp", "f.totp")} END AS recall,
-         |  (CAST(f.f19 AS DOUBLE) / 1e9) AS f1,
-         |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
-         |FROM f CROSS JOIN b ORDER BY f.threshold""".stripMargin,
+    // one exact IEEE multiply + floor. q256 is the STREAM-fed twin:
+    // the Complete-mode count state re-derives this exact table, so
+    // the final micro-batch hashes against the SAME oracle.
+    "q218_threshold_sweep" -> thresholdSweepOracleSql,
+
+    "q256_threshold_sweep_stream" -> thresholdSweepOracleSql,
 
     // q219: the descending CDF again; cut k = first distinct score
     // whose cumulative count reaches ⌈kN/tiles⌉ (integer ceil-div).
