@@ -23,6 +23,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Sources.table(s, dir, name)
 
+  /** Remove a temp staging tree (the q255/q256 stream-source dirs) —
+    * best-effort; a leftover temp dir must never fail a query. */
+  private def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+
   /** Vocab size including the reserved UNK index — kept below the distinct
     * part count of every fixture SF so the OOV path is exercised. */
   val VocabK = 100
@@ -2403,6 +2414,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try { q.processAllAvailable() } finally { q.stop() }
+      // the memory sink owns the rows now — drop the staged files
+      deleteRecursively(staged)
       s.table(sink)
         .select(col("doc_id"), col("text"), col("pred_lang"),
           col("n_tokens"), col("quality_score"))
@@ -2432,6 +2445,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           last.set((sweep.collect(), sweep.schema))
         }.start()
       try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
       val (rows, schema) = last.get()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("threshold")
