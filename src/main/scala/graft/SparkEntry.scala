@@ -1950,7 +1950,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |  FROM c
        |),
        |b AS (SELECT f19, s9 FROM f ORDER BY f19 DESC, s9 DESC LIMIT 1)
-       |SELECT f.threshold, f.tp, f.fp, f.fn,
+       |SELECT f.threshold, f.tp::BIGINT AS tp, f.fp::BIGINT AS fp, f.fn,
        |  ${Portable.sqlIntRatio9("f.tp", "f.tp + f.fp")} AS precision,
        |  CASE WHEN f.totp > 0 THEN
        |    ${Portable.sqlIntRatio9("f.tp", "f.totp")} END AS recall,
@@ -10257,8 +10257,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |    ON cdf.cum_n >= (sp.tile * sp.nn + 9) // 10
          |  GROUP BY 1, 2, 3
          |)
-         |SELECT sel.tile, cdf.v AS threshold, cdf.cum_n AS n,
-         |  cdf.cum_p AS pos,
+         |SELECT sel.tile, cdf.v AS threshold, cdf.cum_n::BIGINT AS n,
+         |  cdf.cum_p::BIGINT AS pos,
          |  CASE WHEN sel.pp > 0 THEN
          |    ${Portable.sqlIntRatio9("cdf.cum_p", "sel.pp")} END AS gain,
          |  CASE WHEN sel.pp > 0 THEN

@@ -58,6 +58,25 @@ def main(sf_dir: str, out_dir: str, approx: bool = False) -> int:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
+        # Output-TYPE gate: pandas .df() launders DuckDB HUGEINT (and
+        # friends) to float64 before the value compare, but the driver's
+        # hash is type-sensitive — an uncast sum(BIGINT) window (HUGEINT)
+        # matches values here yet hash-fails there (q218/q219/q256, r9-r11).
+        # DESCRIBE the oracle body and fail on any non-portable output type.
+        try:
+            desc = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
+            bad_types = [(c, t) for c, t, *_ in desc
+                         if any(x in t.upper() for x in
+                                ("HUGEINT", "UHUGEINT", "DECIMAL"))]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits non-portable types "
+                      f"(cast ::BIGINT/::DOUBLE): {bad_types}")
+                failures += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: oracle DESCRIBE error: {e}")
+            failures += 1
+            continue
         got = pd.concat([pd.read_parquet(p) for p in sorted(files)])
         w, g = norm(want), norm(got)
         if list(w.columns) != list(g.columns):
