@@ -158,7 +158,12 @@ object Bench {
     // "contended":true marks a run that tripped the >25% divergence guard
     // and was min-folded over THREE passes
     val passTotals = passes.map(passTotal).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$totalMin,"unit":"sec","pass_totals":$passTotals,"contended":$contended,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // field order matters: the driver's artifact keeps only the log
+    // TAIL, so the bulky per-query map goes FIRST and the headline
+    // fields (metric/unit/value/pass_totals) go LAST — a truncated
+    // capture still ends with the totals (r10/r11 artifacts lost them
+    // and parsed as null with the old totals-first order)
+    val line = s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"pass_totals":$passTotals,"metric":"total","unit":"sec","value":$totalMin}"""
     println(line)
     // Also persist to a file: the driver's artifact captures only the
     // log TAIL, which truncated away the totals + 88 per-query rows in

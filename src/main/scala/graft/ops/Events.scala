@@ -20,7 +20,18 @@ import org.apache.spark.sql.functions._
   * plan that survives any data size as long as a single user's events
   * fit a partition ([[sessionizeBucketed]] is the same computation with
   * that bound removed — reach for it when users are pathologically hot).
-  */
+  *
+  * VALUE-PRECISION CONTRACT (public, not a fixture accident): every
+  * `value` aggregate here — [[tumbling]]/[[sessionize]]/
+  * [[sessionizeBucketed]] `sum_value`/`avg_value`, [[runTable]]'s
+  * objective — treats `value` as a MONETARY amount with AT MOST TWO
+  * DECIMAL PLACES: each row is quantized to exact cents
+  * (⌊v·100 + ½⌋), summed exactly in LONG, and divided once — so the
+  * result is association-order-independent across partitionings AND
+  * engines (a raw double sum of cents is neither). A caller whose
+  * values carry more than 2 dp gets them rounded half-up to cents,
+  * silently; pre-scale such values to an integer-cents column (or
+  * quantize to the precision you own) before aggregating. */
 object Events {
 
   /** Epoch-milliseconds from the ns LONG — exact FLOOR for any sign

@@ -104,9 +104,15 @@ object Portable {
 
   /** Exact 9-dp ratio of two exact NONNEGATIVE integers, computed
     * entirely in integer arithmetic: round-half-up at 1e9 via
-    * `(2·num·1e9 + den) div (2·den)` carried in DECIMAL(38,0) (so no
-    * corpus size overflows it), then ONE IEEE division by the 1e9
-    * literal. Unlike [[ratio9]] there is NO double `round()` anywhere:
+    * `(2·num·1e9 + den) div (2·den)` carried in DECIMAL(38,0), then
+    * ONE IEEE division by the 1e9 literal. Headroom: DECIMAL(38,0)
+    * caps `num` at ~5e28 and `den` at ~5e37 — no LINEAR count/sum of
+    * row-level integers overflows it at any corpus size, but a caller
+    * that SQUARES a scaled operand first (numerator ~(n·1e9)²) hits
+    * the cap near n ≈ 2e5 and must bound-check its inputs
+    * ([[graft.ops.Quality.brierDecomposition]]'s operand-bound
+    * contract is the model; under non-ANSI Spark the overflow would
+    * otherwise be a silent NULL). Unlike [[ratio9]] there is NO double `round()` anywhere:
     * `round(<raw double quotient>, 9)` is oracle-engine-VERSION-
     * sensitive (the q218/q219 driver hash-fail class, rounds 9–10) —
     * two engines' round() can land one decimal step apart when the

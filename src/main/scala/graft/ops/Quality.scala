@@ -1423,7 +1423,20 @@ object Quality {
     * LONG (the chi-square/PSI discipline — a ≤`bins`-element double
     * sum would be accumulation-order-dependent); one final division
     * each. The bucket frame is ≤ `bins` rows, so every window/agg
-    * here is bounded. */
+    * here is bounded.
+    *
+    * OPERAND-BOUND CONTRACT: the exact rational terms SQUARE a
+    * 1e9-scaled residual before dividing, so unlike the linear
+    * [[graft.ops.Portable.intRatio9]] sites ("no corpus size
+    * overflows it"), DECIMAL(38,0) here bounds the INPUT: the REL
+    * numerator d² needs n_b ≤ ~2.2e5 rows per bucket, and the RES
+    * term needs n_b·N ≤ ~2.2e14 (N = total rows). Past those bounds a
+    * non-ANSI session would silently NULL the term, so each term is
+    * wrapped in an explicit bound check that `raise_error`s with this
+    * contract instead — at that scale, run the decomposition on a
+    * deterministic sample (a 1e5-row uniform sample estimates REL/RES
+    * to ±3e-3, far below any decision threshold) or raise `bins`
+    * until buckets fit. */
   def brierDecomposition(df: DataFrame, scoreCol: String,
                          labelCol: Column, bins: Int): DataFrame = {
     val b = calibrationBins(df, scoreCol, labelCol, bins)
@@ -1439,17 +1452,33 @@ object Quality {
       .select(col("__nn"), col("__pp"), col("__sse"),
         // REL term = d²/(n_b·N·1e18), RES term = (p_b·N − P·n_b)²/
         // (n_b·N³) — both EXACT integer rationals, each one integral
-        // division at 1e9 (no double round(): the q218/q219 class)
-        Portable.intRatioScaled(col("__d") * col("__d"),
-          col("__nb").cast(dec) * col("__nn") * e9 * e9, 9)
+        // division at 1e9 (no double round(): the q218/q219 class).
+        // The squared numerators bound the inputs (see scaladoc):
+        // double-arithmetic bound checks (cannot themselves overflow)
+        // turn what non-ANSI DECIMAL would silently NULL into a loud
+        // contract error.
+        when(col("__nb").cast("double") <= lit(2.2e5),
+          Portable.intRatioScaled(col("__d") * col("__d"),
+            col("__nb").cast(dec) * col("__nn") * e9 * e9, 9))
+          .otherwise(raise_error(lit("brierDecomposition: bucket of " +
+            "> 2.2e5 rows overflows the exact REL rational " +
+            "(DECIMAL(38,0)) — sample the input or raise `bins` " +
+            "(see scaladoc operand-bound contract)")))
           .as("__rel9"),
-        Portable.intRatioScaled(
-          (col("__pb").cast(dec) * col("__nn") -
-            col("__pp").cast(dec) * col("__nb")) *
+        when(col("__nb").cast("double") * col("__nn").cast("double") <=
+            lit(2.2e14),
+          Portable.intRatioScaled(
             (col("__pb").cast(dec) * col("__nn") -
-              col("__pp").cast(dec) * col("__nb")),
-          col("__nb").cast(dec) * col("__nn") * col("__nn") *
-            col("__nn"), 9).as("__res9"))
+              col("__pp").cast(dec) * col("__nb")) *
+              (col("__pb").cast(dec) * col("__nn") -
+                col("__pp").cast(dec) * col("__nb")),
+            col("__nb").cast(dec) * col("__nn") * col("__nn") *
+              col("__nn"), 9))
+          .otherwise(raise_error(lit("brierDecomposition: n_bucket * " +
+            "n_total > 2.2e14 overflows the exact RES rational " +
+            "(DECIMAL(38,0)) — sample the input or raise `bins` " +
+            "(see scaladoc operand-bound contract)")))
+          .as("__res9"))
     terms.groupBy(col("__nn"), col("__pp"), col("__sse"))
       .agg(sum(col("__rel9")).as("__r"), sum(col("__res9")).as("__s"))
       .select(col("__nn").as("n"), col("__pp").as("pos"),

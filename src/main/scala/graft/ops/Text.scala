@@ -105,13 +105,19 @@ object Text {
     val den = lit(10L) * nC.cast(dec) * nT
     val s9 = least(lit(1000000000L),
       greatest(lit(0L), Portable.intRatioScaled(num, den, 9)))
+    // intRatio9's contract is "caller guards den > 0": empty text has
+    // nC = 0 (and a null doc nulls nT), so every ratio short-circuits
+    // to NULL via when() instead of tripping ANSI DIVIDE_BY_ZERO (the
+    // batch funnels filter empties upstream, but this is a public
+    // operator run over raw documents)
     df.select(col("doc_id") +: keep.map(col) ++: Seq(
       nT.as("n_tokens"),
-      Portable.intRatio9(aC, nC).as("alpha_ratio"),
-      Portable.intRatio9(dC, nC).as("digit_ratio"),
-      Portable.intRatio9(sC, nT).as("stopword_ratio"),
+      when(nC > 0, Portable.intRatio9(aC, nC)).as("alpha_ratio"),
+      when(nC > 0, Portable.intRatio9(dC, nC)).as("digit_ratio"),
+      when(nT > 0, Portable.intRatio9(sC, nT)).as("stopword_ratio"),
       ok.as("len_ok"),
-      (s9.cast("double") / lit(1e9)).as("quality_score")): _*)
+      when(nC > 0 && nT > 0, s9.cast("double") / lit(1e9))
+        .as("quality_score")): _*)
   }
 
   /** Stopword profile per language for the n-gram/stopword language-ID

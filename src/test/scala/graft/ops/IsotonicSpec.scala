@@ -69,6 +69,21 @@ class IsotonicSpec extends SparkSpec {
     assert(bd == ((10L, 5L, 0.5, 0.25, 0.0, 0.0, 0.25)))
   }
 
+  test("brierDecomposition: a bucket past the exact-rational operand " +
+      "bound raises the contract error loudly, never a silent NULL") {
+    // 250k identical scores land in ONE bucket — past the ~2.2e5-row
+    // REL bound where DECIMAL(38,0) would silently NULL under non-ANSI
+    val big = spark.range(250000L)
+      .select(lit(0.5).as("score"), (col("id") % 2 === 0).as("y"))
+    val e = intercept[Exception] {
+      Quality.brierDecomposition(big, "score", col("y"), 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows the exact REL rational")),
+      msgs(e).mkString(" | "))
+  }
+
   test("isotonicCalibration: fitted is monotone non-decreasing on a " +
       "noisy profile; score=1.0 clamps into the top bucket") {
     val noisy = mk(Seq((0.05, 7, 3), (0.15, 5, 0), (0.35, 9, 4),
