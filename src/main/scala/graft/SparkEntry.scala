@@ -1958,6 +1958,53 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
        |FROM f CROSS JOIN b ORDER BY f.threshold""".stripMargin
 
+  /** q254/q257 shared oracle: the Hampel median/MAD window anomaly
+    * table over the whole event log — q254 hashes the batch operator
+    * against it, q257 hashes the `flatMapGroupsWithState` streaming
+    * twin's watermark-closed emissions against the SAME SQL (the
+    * stream-equals-batch law under the driver's gate). */
+  private val robustAnomalyOracleSql: String = {
+    val T = AnomalyTrailing
+    val h = T / 2
+    s"""WITH wc AS (
+       |  SELECT event_type,
+       |    (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT
+       |      AS window_start_ms,
+       |    count(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1, 2
+       |),
+       |wt AS (
+       |  SELECT event_type, window_start_ms, n_events,
+       |    count(*) OVER tw AS k,
+       |    list_sort(list(n_events) OVER tw) AS trail
+       |  FROM wc
+       |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_ms
+       |    ROWS BETWEEN $T PRECEDING AND 1 PRECEDING)
+       |),
+       |x AS (
+       |  SELECT event_type, window_start_ms, n_events, trail,
+       |    (trail[$h] + trail[${h + 1}])::BIGINT AS m2
+       |  FROM wt WHERE k = $T
+       |),
+       |y AS (
+       |  SELECT event_type, window_start_ms, n_events, m2,
+       |    list_sort(list_transform(trail, e -> abs(2 * e - m2)))
+       |      AS devs,
+       |    abs(2 * n_events - m2)::BIGINT AS dx
+       |  FROM x
+       |),
+       |z AS (
+       |  SELECT *, (devs[$h] + devs[${h + 1}])::BIGINT AS dm2 FROM y
+       |)
+       |SELECT event_type, window_start_ms, n_events,
+       |  CAST(m2 AS DOUBLE) / 2 AS robust_center,
+       |  CAST(dm2 AS DOUBLE) / 4 AS robust_scale,
+       |  CASE WHEN dm2 > 0 THEN
+       |    2 * dx * $RobustKDen >= $RobustKNum * dm2
+       |  ELSE dx > 0 END AS is_anomaly
+       |FROM z ORDER BY event_type, window_start_ms""".stripMargin
+  }
+
   /** q178/q183 shared oracle: the SCD2 FULL rebuild over the whole
     * event log — change detection then versioning, both ordered by the
     * original (ts, event_id); timestamps leave as ms-floors (the
@@ -2449,6 +2496,111 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       val (rows, schema) = last.get()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("threshold")
+    }),
+
+    // The STATEFUL/WATERMARKED twin under the driver gate (q255/q256
+    // certified the stateless prefix and Complete-mode aggregation —
+    // this is the flatMapGroupsWithState case): the event log rides a
+    // micro-batched file stream into robustAnomalyStream; windows
+    // close as the watermark passes and the emitted Hampel anomaly
+    // rows hash against q254's own batch oracle. A 60-day watermark
+    // delay covers the staged files' arbitrary arrival order
+    // (certification replays history; a live deployment would run the
+    // documented minutes-scale delay), and two far-future sentinel
+    // events on a FRESH key — the StreamOpsSpec pattern — advance the
+    // watermark past every real window so event-time timeouts flush
+    // them; the sentinel key itself never accumulates a full trailing
+    // baseline, so it emits nothing in stream OR batch.
+    "q257_window_anomaly_robust_stream" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val staged = java.nio.file.Files
+        .createTempDirectory("q257_stream_src").toString
+      ev.repartition(4).write.mode("overwrite").parquet(staged)
+      val delayMs = 60L * 24 * 3600 * 1000
+      val maxTs = ev.agg(max(col("ts"))).head.getLong(0) // 1-row probe
+      val s1 = maxTs + (delayMs + 2 * WindowMs) * 1000000L
+      // the file source orders batches by modification time, so the
+      // sentinels are appended AFTER the fixture files and their
+      // mtimes pushed explicitly apart — deterministic two-extra-
+      // batch tail, no sleeps
+      def listed() = new java.io.File(staged).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.toPath).toSet
+      import s.implicits._
+      def appendSentinel(ts: Long, mtimeBump: Long): Unit = {
+        val before = listed()
+        Seq((-1L, ts, -1L, "__wm_sentinel__", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .repartition(1).write.mode("append").parquet(staged)
+        val t = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + mtimeBump)
+        (listed() -- before).foreach(
+          java.nio.file.Files.setLastModifiedTime(_, t))
+      }
+      appendSentinel(s1, 60000L)
+      appendSentinel(s1 + WindowMs * 1000000L, 120000L)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.robustAnomalyStream(sdf,
+        WindowMs, AnomalyTrailing, RobustKNum, RobustKDen, "60 days")
+      val sink = s"q257_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink).orderBy("event_type", "window_start_ms")
+    }),
+
+    // scd2Stream under the driver gate — the NO-watermark keyed-state
+    // case (closed versions emit the moment the next version arrives,
+    // so a finite replay needs no sentinels): the event log replays in
+    // (ts, event_id) order as four mtime-ordered file-stream slices
+    // (scd2Merge's append-only arrival contract; a production CDC feed
+    // is in-order by construction), and the sink's accumulated closed
+    // rows hash against q178's own batch SQL restricted to
+    // is_current = false. The open tail lives in the state store — the
+    // append-correct projection q178's scaladoc describes.
+    "q258_scd2_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val staged = java.nio.file.Files
+        .createTempDirectory("q258_stream_src").toString
+      val slices = 4
+      val cnt = ev.count()
+      // certification plumbing: one bounded fixture-sized sort to cut
+      // the history into ordered slices
+      val sliced = ev.withColumn("__rn", row_number()
+        .over(Window.orderBy(col("ts"), col("event_id"))).cast("long"))
+      val base = System.currentTimeMillis()
+      for (i <- 0 until slices) {
+        val lo = i.toLong * cnt / slices
+        val hi = (i + 1).toLong * cnt / slices
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"q258_slice$i").toString
+        sliced.filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+          .repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = java.nio.file.Paths.get(staged, f"slice_$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 60000L))
+        deleteRecursively(tmp)
+      }
+      val sdf = s.readStream.schema(sliced.drop("__rn").schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.scd2Stream(sdf)
+      val sink = s"q258_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink).orderBy("user_id", "version")
     }),
 
     // ORC round-trip: the interchange slice written as ORC, read
@@ -5981,47 +6133,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |ORDER BY doc_id""".stripMargin
     },
 
-    "q254_window_anomaly_robust" -> {
-      val T = AnomalyTrailing
-      val h = T / 2
-      s"""WITH wc AS (
-         |  SELECT event_type,
-         |    (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT
-         |      AS window_start_ms,
-         |    count(*)::BIGINT AS n_events
-         |  FROM events GROUP BY 1, 2
-         |),
-         |wt AS (
-         |  SELECT event_type, window_start_ms, n_events,
-         |    count(*) OVER tw AS k,
-         |    list_sort(list(n_events) OVER tw) AS trail
-         |  FROM wc
-         |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_ms
-         |    ROWS BETWEEN $T PRECEDING AND 1 PRECEDING)
-         |),
-         |x AS (
-         |  SELECT event_type, window_start_ms, n_events, trail,
-         |    (trail[$h] + trail[${h + 1}])::BIGINT AS m2
-         |  FROM wt WHERE k = $T
-         |),
-         |y AS (
-         |  SELECT event_type, window_start_ms, n_events, m2,
-         |    list_sort(list_transform(trail, e -> abs(2 * e - m2)))
-         |      AS devs,
-         |    abs(2 * n_events - m2)::BIGINT AS dx
-         |  FROM x
-         |),
-         |z AS (
-         |  SELECT *, (devs[$h] + devs[${h + 1}])::BIGINT AS dm2 FROM y
-         |)
-         |SELECT event_type, window_start_ms, n_events,
-         |  CAST(m2 AS DOUBLE) / 2 AS robust_center,
-         |  CAST(dm2 AS DOUBLE) / 4 AS robust_scale,
-         |  CASE WHEN dm2 > 0 THEN
-         |    2 * dx * $RobustKDen >= $RobustKNum * dm2
-         |  ELSE dx > 0 END AS is_anomaly
-         |FROM z ORDER BY event_type, window_start_ms""".stripMargin
-    },
+    "q254_window_anomaly_robust" -> robustAnomalyOracleSql,
+
+    // q257: the streaming Hampel twin hashes against the SAME batch
+    // SQL — the watermark-closed emissions must reproduce the batch
+    // anomaly table exactly.
+    "q257_window_anomaly_robust_stream" -> robustAnomalyOracleSql,
 
     // q253: the same two compact key frames; the hottest key by
     // (pairs DESC, key ASC).
@@ -9800,6 +9917,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // original (ts, event_id); timestamps leave as ms-floors (the
     // sessionize cross-engine contract).
     "q178_scd2" -> scd2OracleSql,
+
+    // q258: the streaming SCD2 twin's sink holds exactly the batch
+    // rebuild's CLOSED versions.
+    "q258_scd2_stream" ->
+      s"""SELECT user_id, version, attr, from_ms, to_ms, is_current
+         |FROM ($scd2OracleSql) t
+         |WHERE NOT is_current ORDER BY user_id, version""".stripMargin,
 
     // q183: the merge result must equal the full rebuild — the oracle
     // IS q178's full-recompute SQL over the whole log.

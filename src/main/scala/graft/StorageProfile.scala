@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+/** Scratch A/B harness for [[graft.app.CorpusPipeline.Config.storageLevel]]
+  * (not part of the driver contract): runs the q62 (chunks) and q77
+  * (packed) funnels at `SPARK_GRAFT_SF_DIR` under each storage level
+  * named in args (default `MEMORY_AND_DISK DISK_ONLY`), two back-to-back
+  * runs each, and prints both times plus the warm min — the measurement
+  * the third-decade study's block-manager-pressure attribution needs
+  * (README "Third decade"). sf10 wants `SPARK_DRIVER_MEM=48g`. */
+object StorageProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf10")
+    val levels = (if (args.nonEmpty) args.toSeq
+      else Seq("MEMORY_AND_DISK", "DISK_ONLY"))
+      .map(n => n -> StorageLevel.fromString(n))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.app.CorpusPipeline
+    import SparkEntry._
+
+    def cfg(level: StorageLevel, packed: Boolean) = CorpusPipeline.Config(
+      keepLangs = CurateLangs, minQuality = CurateMinQuality,
+      shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+      rowsPerBand = LshRows, jaccardTau = JaccardTau,
+      chunkTokens = CurateChunkTokens,
+      maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN,
+      packSeqTokens = if (packed) Some(PackSeqTokens) else None,
+      packShards = PackShards, storageLevel = level)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def runOnce(level: StorageLevel, packed: Boolean): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = CorpusPipeline.curate(docs, cfg(level, packed),
+        collectFunnel = false)
+      val n = (if (packed) out.packed.get else out.chunks).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    for ((name, lvl) <- levels; packed <- Seq(false, true)) {
+      val q = if (packed) "q77_packed" else "q62_chunks"
+      val (t1, n1) = runOnce(lvl, packed)
+      val (t2, n2) = runOnce(lvl, packed)
+      assert(n1 == n2, s"$q rows diverged across runs: $n1 vs $n2")
+      println(f"$q%-12s $name%-16s run1=$t1%7.2f s  run2=$t2%7.2f s  " +
+        f"min=${math.min(t1, t2)}%7.2f s  rows=$n1")
+    }
+    spark.stop()
+  }
+}
