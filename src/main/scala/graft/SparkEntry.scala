@@ -2603,6 +2603,46 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s.table(sink).orderBy("user_id", "version")
     }),
 
+    // The STREAM-STREAM join case under the driver gate: both sides of
+    // intervalJoin replay the event log as independent micro-batched
+    // file streams; inner-join matches emit as the later side arrives
+    // (no sentinels needed — the watermark only bounds state, and the
+    // 60-day delay keeps the finite replay lossless), and the sink
+    // hashes against a plain batch self-join oracle. Per user, every
+    // (left, right) event pair with the right event 0..1 window after
+    // the left — the "what followed within the hour" join.
+    "q259_interval_join_stream" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      def stage(tag: String): String = {
+        val d = java.nio.file.Files
+          .createTempDirectory(s"q259_${tag}_src").toString
+        ev.repartition(2).write.mode("overwrite").parquet(d)
+        d
+      }
+      val ldir = stage("l")
+      val rdir = stage("r")
+      def src(d: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val out = graft.streaming.StreamOps.intervalJoin(
+          src(ldir), src(rdir), "user_id", 0L, WindowMs, "60 days")
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("r_event_id").as("r_id"),
+          expr("(ts - pmod(ts, 1000000)) div 1000000").cast("long")
+            .as("l_ms"),
+          expr("(r_ts - pmod(r_ts, 1000000)) div 1000000").cast("long")
+            .as("r_ms"))
+      val sink = s"q259_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(ldir)
+      deleteRecursively(rdir)
+      s.table(sink).orderBy("user_id", "l_id", "r_id")
+    }),
+
     // ORC round-trip: the interchange slice written as ORC, read
     // back, aggregated — hashed against the parquet original, so the
     // format conversion is content-equal under the driver's gate.
@@ -9924,6 +9964,18 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""SELECT user_id, version, attr, from_ms, to_ms, is_current
          |FROM ($scd2OracleSql) t
          |WHERE NOT is_current ORDER BY user_id, version""".stripMargin,
+
+    // q259: the stream-stream interval join's sink equals the batch
+    // self-join — the time comparison runs at the engines' shared
+    // micros precision (parquet NANOS truncate to micros in both),
+    // the emitted floors at ms.
+    "q259_interval_join_stream" ->
+      s"""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+         |  epoch_ms(l.ts)::BIGINT AS l_ms, epoch_ms(r.ts)::BIGINT AS r_ms
+         |FROM events l JOIN events r ON l.user_id = r.user_id
+         |  AND epoch_us(r.ts) >= epoch_us(l.ts)
+         |  AND epoch_us(r.ts) <= epoch_us(l.ts) + ${WindowMs * 1000L}
+         |ORDER BY l.user_id, l_id, r_id""".stripMargin,
 
     // q183: the merge result must equal the full rebuild — the oracle
     // IS q178's full-recompute SQL over the whole log.
