@@ -2005,6 +2005,53 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |FROM z ORDER BY event_type, window_start_ms""".stripMargin
   }
 
+  /** q255/q260 shared oracle chain: curateStream's stateless gate
+    * prefix (normalize → non-empty → language gate → quality metrics)
+    * over the `documents` rows matching `docFilter`, ending at CTE
+    * `sc` (doc_id, text, pred_lang, n_tokens, quality_score). Callers
+    * append further CTEs with a leading comma or the final SELECT. */
+  private def curateStreamPrefixSql(docFilter: String): String = {
+    val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'")
+      .mkString(", ")
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |         ' +', ' ', 'g')) AS text
+       |  FROM documents WHERE $docFilter
+       |),
+       |nz AS (SELECT doc_id, text FROM norm WHERE length(text) > 0),
+       |profile(plang, w) AS (VALUES ${Text.langProfileSql}),
+       |ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |         FROM nz),
+       |lhits AS (
+       |  SELECT t.doc_id, p.plang, count(*) AS n
+       |  FROM ltok t JOIN profile p ON t.w = p.w
+       |  GROUP BY t.doc_id, p.plang
+       |),
+       |lbest AS (
+       |  SELECT doc_id, plang FROM (
+       |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n DESC, plang ASC) AS r
+       |    FROM lhits
+       |  ) WHERE r = 1
+       |),
+       |lk AS (
+       |  SELECT nz.doc_id, nz.text, b.plang FROM nz
+       |  JOIN lbest b USING (doc_id)
+       |  WHERE b.plang IN ($langList)
+       |),
+       |m AS (
+       |  SELECT doc_id, text, plang,
+       |    $qMetricColsSql
+       |  FROM lk
+       |),
+       |sc AS (
+       |  SELECT doc_id, text, plang AS pred_lang, qct AS n_tokens,
+       |    $qScoreSqlExpr AS quality_score
+       |  FROM m
+       |)""".stripMargin
+  }
+
   /** q178/q183 shared oracle: the SCD2 FULL rebuild over the whole
     * event log — change detection then versioning, both ordered by the
     * original (ts, event_id); timestamps leave as ms-floors (the
@@ -2641,6 +2688,43 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       deleteRecursively(ldir)
       deleteRecursively(rdir)
       s.table(sink).orderBy("user_id", "l_id", "r_id")
+    }),
+
+    // The INCREMENTAL-ingest composition under the driver gate: the
+    // odd half of the corpus streams through the full curateStream
+    // gate chain with the stream-static exact-dedup gate LIVE — the
+    // static index is the stored content hashes (of normalized text,
+    // the form the batch funnel stores) of the even half PLUS the
+    // doc_id % 8 = 1 slice of the stream itself (a re-crawl: part of
+    // the delta batch was already ingested, so the gate PROVABLY
+    // drops those rows — the fixture's halves share no exact dups, so
+    // an even-only index would leave the anti-join vacuous), joined
+    // stateless anti per micro-batch. The daily delta-crawl ingest
+    // path, certified end to end against a batch oracle.
+    "q260_curate_stream_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idx = docs
+        .filter(col("doc_id") % 2 === 0 || col("doc_id") % 8 === 1)
+        .select(md5(graft.ops.Text.normalize(col("text")).cast("binary"))
+          .as("content_hash")).distinct()
+      val staged = java.nio.file.Files
+        .createTempDirectory("q260_stream_src").toString
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.curateStream(sdf,
+        CurateLangs, CurateMinQuality, existingHashes = Some(idx))
+      val sink = s"q260_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink)
+        .select(col("doc_id"), col("text"), col("pred_lang"),
+          col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
     }),
 
     // ORC round-trip: the interchange slice written as ORC, read
@@ -6128,50 +6212,28 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // the q62 funnel's own CTEs) — hashing the STREAM's micro-batched
     // output against it certifies the stateless-prefix twin law under
     // the driver's gate.
-    "q255_curate_stream" -> {
-      val langList = CurateLangs.toSeq.sorted.map(l => s"'$l'")
-        .mkString(", ")
-      s"""WITH norm AS (
-         |  SELECT doc_id,
+    "q255_curate_stream" ->
+      s"""${curateStreamPrefixSql("TRUE")}
+         |SELECT doc_id, text, pred_lang, n_tokens, quality_score
+         |FROM sc WHERE quality_score >= $CurateMinQuality
+         |ORDER BY doc_id""".stripMargin,
+
+    // q260: the same gate prefix over the ODD half with the
+    // stream-static exact-dedup gate live — survivors are the gated
+    // odd docs whose NORMALIZED text hash is absent from the stored
+    // index (even half + the already-ingested % 8 = 1 re-crawl slice).
+    "q260_curate_stream_incremental" ->
+      s"""${curateStreamPrefixSql("doc_id % 2 = 1")},
+         |ev AS (
+         |  SELECT DISTINCT md5(
          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-         |         ' +', ' ', 'g')) AS text
-         |  FROM documents
-         |),
-         |nz AS (SELECT doc_id, text FROM norm WHERE length(text) > 0),
-         |profile(plang, w) AS (VALUES ${Text.langProfileSql}),
-         |ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-         |         FROM nz),
-         |lhits AS (
-         |  SELECT t.doc_id, p.plang, count(*) AS n
-         |  FROM ltok t JOIN profile p ON t.w = p.w
-         |  GROUP BY t.doc_id, p.plang
-         |),
-         |lbest AS (
-         |  SELECT doc_id, plang FROM (
-         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY n DESC, plang ASC) AS r
-         |    FROM lhits
-         |  ) WHERE r = 1
-         |),
-         |lk AS (
-         |  SELECT nz.doc_id, nz.text, b.plang FROM nz
-         |  JOIN lbest b USING (doc_id)
-         |  WHERE b.plang IN ($langList)
-         |),
-         |m AS (
-         |  SELECT doc_id, text, plang,
-         |    $qMetricColsSql
-         |  FROM lk
-         |),
-         |sc AS (
-         |  SELECT doc_id, text, plang AS pred_lang, qct AS n_tokens,
-         |    $qScoreSqlExpr AS quality_score
-         |  FROM m
+         |         ' +', ' ', 'g'))) AS content_hash
+         |  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 8 = 1
          |)
          |SELECT doc_id, text, pred_lang, n_tokens, quality_score
          |FROM sc WHERE quality_score >= $CurateMinQuality
-         |ORDER BY doc_id""".stripMargin
-    },
+         |  AND md5(sc.text) NOT IN (SELECT content_hash FROM ev)
+         |ORDER BY doc_id""".stripMargin,
 
     "q254_window_anomaly_robust" -> robustAnomalyOracleSql,
 
