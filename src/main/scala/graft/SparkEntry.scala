@@ -34,6 +34,45 @@ object SparkEntry {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
+  /** Stage the 5-column events frame as 4 parquet files plus two
+    * far-future sentinel rows (user_id −1 / event_type
+    * "__wm_sentinel__" — key values absent from the fixture), for the
+    * watermark-driven streaming certifications (q257/q261/q262). The
+    * file source replays files in MODIFICATION-TIME order, so the
+    * sentinels' mtimes are pushed explicitly after the fixture files —
+    * a deterministic two-extra-batch tail, no sleeps. With watermark
+    * delay `delayMs` the sentinels advance the final watermark to
+    * max(ts) + 3·widthMs — past every real window/session end — while
+    * their own key's window/session stays OPEN forever (wm never
+    * reaches maxTs + delayMs + 2·widthMs), so sentinels flush every
+    * real group and emit nothing themselves, in stream OR batch. */
+  private def stageEventsWithSentinels(s: SparkSession, ev: DataFrame,
+                                       tag: String, delayMs: Long,
+                                       widthMs: Long): String = {
+    val staged = java.nio.file.Files
+      .createTempDirectory(s"${tag}_stream_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(staged)
+    val maxTs = ev.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("ts"))).head.getLong(0)
+    val s1 = maxTs + (delayMs + 2 * widthMs) * 1000000L
+    def listed() = new java.io.File(staged).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toPath).toSet
+    import s.implicits._
+    def appendSentinel(ts: Long, mtimeBump: Long): Unit = {
+      val before = listed()
+      Seq((-1L, ts, -1L, "__wm_sentinel__", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(staged)
+      val t = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + mtimeBump)
+      (listed() -- before).foreach(
+        java.nio.file.Files.setLastModifiedTime(_, t))
+    }
+    appendSentinel(s1, 60000L)
+    appendSentinel(s1 + widthMs * 1000000L, 120000L)
+    staged
+  }
+
   /** Vocab size including the reserved UNK index — kept below the distinct
     * part count of every fixture SF so the OOV path is exercised. */
   val VocabK = 100
@@ -2562,31 +2601,8 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      val staged = java.nio.file.Files
-        .createTempDirectory("q257_stream_src").toString
-      ev.repartition(4).write.mode("overwrite").parquet(staged)
-      val delayMs = 60L * 24 * 3600 * 1000
-      val maxTs = ev.agg(max(col("ts"))).head.getLong(0) // 1-row probe
-      val s1 = maxTs + (delayMs + 2 * WindowMs) * 1000000L
-      // the file source orders batches by modification time, so the
-      // sentinels are appended AFTER the fixture files and their
-      // mtimes pushed explicitly apart — deterministic two-extra-
-      // batch tail, no sleeps
-      def listed() = new java.io.File(staged).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).map(_.toPath).toSet
-      import s.implicits._
-      def appendSentinel(ts: Long, mtimeBump: Long): Unit = {
-        val before = listed()
-        Seq((-1L, ts, -1L, "__wm_sentinel__", 0.0))
-          .toDF("event_id", "ts", "user_id", "event_type", "value")
-          .repartition(1).write.mode("append").parquet(staged)
-        val t = java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() + mtimeBump)
-        (listed() -- before).foreach(
-          java.nio.file.Files.setLastModifiedTime(_, t))
-      }
-      appendSentinel(s1, 60000L)
-      appendSentinel(s1 + WindowMs * 1000000L, 120000L)
+      val staged = stageEventsWithSentinels(s, ev, "q257",
+        60L * 24 * 3600 * 1000, WindowMs)
       val sdf = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
       val out = graft.streaming.StreamOps.robustAnomalyStream(sdf,
@@ -2598,6 +2614,78 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       try { q.processAllAvailable() } finally { q.stop() }
       deleteRecursively(staged)
       s.table(sink).orderBy("event_type", "window_start_ms")
+    }),
+
+    // The BUILT-IN streaming windowed aggregation under the driver
+    // gate (q257 certified custom flatMapGroupsWithState state; this
+    // is Spark's own watermark-closed window agg): tumbling counts +
+    // cents-rounded value sums per (window, event_type), emitted in
+    // Append mode as the watermark passes each window end; sentinels
+    // flush the tail, and the sink hashes against a plain batch
+    // GROUP BY. The sum certifies at exact cents: per-window double
+    // accumulation error (≤ n·ε·Σ|v| ≈ 1e-10) is five orders below
+    // the 0.005 rounding margin, so both engines land the same LONG.
+    "q261_windowed_counts_stream" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val staged = stageEventsWithSentinels(s, ev, "q261",
+        60L * 24 * 3600 * 1000, WindowMs)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.windowedCounts(sdf,
+          s"$WindowMs milliseconds", "60 days")
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("n_events"),
+          floor(col("sum_value") * lit(100) + lit(0.5)).cast("long")
+            .as("sum_cents"))
+      val sink = s"q261_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink).orderBy("window_start_ms", "event_type")
+    }),
+
+    // The BUILT-IN session_window under the driver gate: gap-merged
+    // per-user sessions emitted as the watermark passes each session
+    // end (last event + gap); the sentinel user's own session never
+    // closes. The oracle is an independent gaps-and-islands SQL with
+    // session_window's boundary rule (an event at EXACTLY last + gap
+    // starts a new session — the window is [start, last+gap); the
+    // ns-resolution fixture cannot sit on the boundary, but the SQL
+    // states the operator's own contract).
+    "q262_session_windows_stream" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val staged = stageEventsWithSentinels(s, ev, "q262",
+        60L * 24 * 3600 * 1000, SessionGapMs)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      // NOTE: no post-agg filter — a comparison filter above a
+      // streaming session aggregation empties the append output
+      // (observed on 4.1.2; the session-window operator's output
+      // rows don't survive a pushed-down predicate), and none is
+      // needed: the sentinel user's session never closes (its end
+      // sits ~60 days past the final watermark), so it cannot reach
+      // the sink.
+      val out = graft.streaming.StreamOps.sessionWindows(sdf,
+          s"$SessionGapMs milliseconds", "60 days")
+        .select(col("user_id"),
+          unix_millis(col("session_start")).as("session_start_ms"),
+          unix_millis(col("session_end")).as("session_end_ms"),
+          col("n_events"),
+          floor(col("sum_value") * lit(100) + lit(0.5)).cast("long")
+            .as("sum_cents"))
+      val sink = s"q262_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink).orderBy("user_id", "session_start_ms")
     }),
 
     // scd2Stream under the driver gate — the NO-watermark keyed-state
@@ -10026,6 +10114,46 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""SELECT user_id, version, attr, from_ms, to_ms, is_current
          |FROM ($scd2OracleSql) t
          |WHERE NOT is_current ORDER BY user_id, version""".stripMargin,
+
+    // q261: the built-in watermark-closed window agg's sink equals
+    // the plain batch GROUP BY; sums certify at exact cents (the
+    // double-accumulation error is orders below the rounding margin).
+    "q261_windowed_counts_stream" ->
+      s"""SELECT
+         |  (epoch_ms(ts) - epoch_ms(ts) % $WindowMs)::BIGINT
+         |    AS window_start_ms,
+         |  event_type, count(*)::BIGINT AS n_events,
+         |  floor(sum(value) * 100 + 0.5)::BIGINT AS sum_cents
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q262: the built-in session_window's sink equals an independent
+    // gaps-and-islands rebuild with session_window's own boundary
+    // rule (new session at exactly last + gap — the window is
+    // [start, last+gap)); end = last event + gap.
+    "q262_session_windows_stream" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS us, value FROM events
+         |),
+         |b AS (
+         |  SELECT user_id, us, value,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |         OR us - lag(us) OVER w >= ${SessionGapMs * 1000L}
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+         |),
+         |g AS (
+         |  SELECT user_id, us, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM b
+         |)
+         |SELECT user_id,
+         |  (min(us) // 1000)::BIGINT AS session_start_ms,
+         |  (max(us) // 1000 + $SessionGapMs)::BIGINT AS session_end_ms,
+         |  count(*)::BIGINT AS n_events,
+         |  floor(sum(value) * 100 + 0.5)::BIGINT AS sum_cents
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_ms""".stripMargin,
 
     // q259: the stream-stream interval join's sink equals the batch
     // self-join — the time comparison runs at the engines' shared
