@@ -66,6 +66,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(s(2L) == Seq(1L))
   }
 
+  test("sessionWindows STREAMING: sessions emit as the watermark passes " +
+      "last + gap; an open sentinel session never reaches the sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = StreamOps.toMemorySink(
+      StreamOps.sessionWindows(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "30 minutes", "1 hour"),
+      "sess_stream", OutputMode.Append)
+    val streamed = try {
+      // user 1: two events 10 min apart (one session), then one 2h
+      // later (second session); user 2: one event
+      in.addData((1L, H, 1L, "click", 1.0),
+        (2L, H + 600L * 1000000000L, 1L, "click", 2.0),
+        (3L, 3 * H, 1L, "click", 3.0), (4L, H, 2L, "view", 4.0))
+      q.processAllAvailable()
+      // sentinel user 9 far in the future: advances the watermark so
+      // every real session closes; its own session stays open forever
+      in.addData((90L, 100 * H, 9L, "z", 0.0)); q.processAllAvailable()
+      in.addData((91L, 101 * H, 9L, "z", 0.0)); q.processAllAvailable()
+      spark.table("sess_stream")
+        .select(unix_millis($"session_start").as("s"),
+          unix_millis($"session_end").as("e"), $"user_id", $"n_events",
+          $"sum_value")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    } finally q.stop()
+    val hMs = 3600000L
+    assert(streamed == Set(
+      (hMs, hMs + 40 * 60000L, 1L, 2L, 3.0),       // ends last+gap
+      (3 * hMs, 3 * hMs + 30 * 60000L, 1L, 1L, 3.0),
+      (hMs, hMs + 30 * 60000L, 2L, 1L, 4.0)),
+      s"got $streamed")
+    assert(!streamed.exists(_._3 == 9L), "open sentinel session leaked")
+    // NOTE (Spark 4.1.2): do NOT put a comparison filter above a
+    // streaming session aggregation — it empties the append output
+    // (q262 discovered this; the sentinel design makes one unnecessary).
+  }
+
   test("dedupStream: duplicate content dropped across micro-batches within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Long, Long, String, Double)]
