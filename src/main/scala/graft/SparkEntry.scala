@@ -2815,6 +2815,51 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("doc_id")
     }),
 
+    // EXACTLY-ONCE RESTART under the driver gate (the kill/recover
+    // spec's production property, now hash-certified): the first half
+    // of the corpus streams through the gate prefix into a REAL
+    // parquet file sink with a checkpoint, the query STOPS, the second
+    // half lands while it is down, and the restarted query resumes
+    // from the checkpoint — consuming only the unseen files, never
+    // re-emitting the first half. The sink directory read back must
+    // hash against the same batch oracle as an uninterrupted run
+    // (q255's chain): any loss or duplication across the restart
+    // breaks the hash.
+    "q263_curate_stream_restart" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("q263_stream_src").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("q263_sink").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q263_ckpt").toString
+      def start() = {
+        val sdf = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        graft.streaming.StreamOps.curateStream(sdf,
+            CurateLangs, CurateMinQuality)
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+      }
+      docs.filter(col("doc_id") % 2 === 0)
+        .repartition(2).write.mode("append").parquet(staged)
+      val q1 = start()
+      try { q1.processAllAvailable() } finally { q1.stop() }
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartition(2).write.mode("append").parquet(staged)
+      val q2 = start()
+      try { q2.processAllAvailable() } finally { q2.stop() }
+      // the parquet SINK is the result — only the source staging and
+      // the checkpoint can go; /tmp owns the sink dir's lifetime
+      deleteRecursively(staged)
+      deleteRecursively(ckpt)
+      s.read.parquet(outDir)
+        .select(col("doc_id"), col("text"), col("pred_lang"),
+          col("n_tokens"), col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip: the interchange slice written as ORC, read
     // back, aggregated — hashed against the parquet original, so the
     // format conversion is content-equal under the driver's gate.
@@ -6301,6 +6346,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // output against it certifies the stateless-prefix twin law under
     // the driver's gate.
     "q255_curate_stream" ->
+      s"""${curateStreamPrefixSql("TRUE")}
+         |SELECT doc_id, text, pred_lang, n_tokens, quality_score
+         |FROM sc WHERE quality_score >= $CurateMinQuality
+         |ORDER BY doc_id""".stripMargin,
+
+    // q263: loss- and duplicate-free across the restart ⇔ the sink
+    // equals the uninterrupted batch result — q255's own oracle.
+    "q263_curate_stream_restart" ->
       s"""${curateStreamPrefixSql("TRUE")}
          |SELECT doc_id, text, pred_lang, n_tokens, quality_score
          |FROM sc WHERE quality_score >= $CurateMinQuality
