@@ -1997,6 +1997,192 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
        |  (f.f19 = b.f19 AND f.s9 = b.s9) AS is_best
        |FROM f CROSS JOIN b ORDER BY f.threshold""".stripMargin
 
+  /** q200/q264 shared oracle: baseline decile boundaries as exact
+    * order statistics off the distinct-value CDF; bins by
+    * strictly-below boundary counts; per-bin terms in the
+    * classBalance integerization; any empty bin on either side nulls
+    * the statistic. q264 hashes a STREAM-fed re-derivation of the
+    * same one-row statistic against this. */
+  private val psiOracleSql: String =
+    s"""$qualityScoreSqlCtes,
+       |av AS (SELECT quality_score AS v FROM qs
+       |       WHERE source <> '$KsSourceA'),
+       |bv AS (SELECT quality_score AS v FROM qs
+       |       WHERE source = '$KsSourceA'),
+       |da AS (SELECT v, count(*)::BIGINT AS c FROM av GROUP BY v),
+       |db AS (SELECT v, count(*)::BIGINT AS c FROM bv GROUP BY v),
+       |dac AS (
+       |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM da
+       |),
+       |na AS (SELECT count(*)::BIGINT AS n_a FROM av),
+       |nb AS (SELECT count(*)::BIGINT AS n_b FROM bv),
+       |tg AS (
+       |  SELECT ii.i, (ii.i * na.n_a + ${PsiBins - 1}) // $PsiBins
+       |    AS target
+       |  FROM (SELECT unnest(range(1, $PsiBins))::BIGINT AS i) ii
+       |  CROSS JOIN na
+       |),
+       |bd AS (
+       |  SELECT tg.i, min(dac.v) AS v
+       |  FROM dac JOIN tg ON dac.cum >= tg.target GROUP BY tg.i
+       |),
+       |ba AS (
+       |  SELECT s.bin, sum(s.c)::BIGINT AS ca FROM (
+       |    SELECT d.v, d.c,
+       |      sum(CASE WHEN d.v > bd.v THEN 1 ELSE 0 END)::BIGINT AS bin
+       |    FROM da d CROSS JOIN bd GROUP BY d.v, d.c) s
+       |  GROUP BY s.bin
+       |),
+       |bb AS (
+       |  SELECT s.bin, sum(s.c)::BIGINT AS cb FROM (
+       |    SELECT d.v, d.c,
+       |      sum(CASE WHEN d.v > bd.v THEN 1 ELSE 0 END)::BIGINT AS bin
+       |    FROM db d CROSS JOIN bd GROUP BY d.v, d.c) s
+       |  GROUP BY s.bin
+       |),
+       |ff AS (
+       |  SELECT bin, ca, cb FROM ba FULL JOIN bb USING (bin)
+       |),
+       |tt AS (
+       |  SELECT bin, ca, cb,
+       |    CAST(floor(round(
+       |      (CAST(ca AS DOUBLE) / CAST(na.n_a AS DOUBLE)
+       |       - CAST(cb AS DOUBLE) / CAST(nb.n_b AS DOUBLE))
+       |      * ln((CAST(ca AS DOUBLE) / CAST(na.n_a AS DOUBLE))
+       |           / (CAST(cb AS DOUBLE) / CAST(nb.n_b AS DOUBLE))), 9)
+       |      * 1e9 + 0.5) AS BIGINT) AS t9
+       |  FROM ff CROSS JOIN na CROSS JOIN nb
+       |)
+       |SELECT na.n_a, nb.n_b, (SELECT count(*) FROM ff)::BIGINT
+       |    AS n_bins,
+       |  CASE WHEN (SELECT sum(CASE WHEN t9 IS NULL THEN 1 ELSE 0 END)
+       |             FROM tt) = 0 THEN
+       |    round(CAST(CAST(floor(round(CAST((SELECT sum(t9) FROM tt) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+       |  END AS psi
+       |FROM na CROSS JOIN nb""".stripMargin
+
+  /** q236/q265 shared oracle: the identical integer LLR walk over the
+    * SAME literal constants (sprtConstants is called by both
+    * builders). q265 hashes the stream's final-batch re-derivation
+    * against this. */
+  private val sprtTraceOracleSql: String = {
+    val (c09, c19, a9, b9) =
+      Events.sprtConstants(SprtP0, SprtP1, SprtAlpha, SprtBeta)
+    s"""WITH ud AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END)::BIGINT AS conv
+       |  FROM events GROUP BY 1, 2
+       |),
+       |d AS (SELECT day, count(*)::BIGINT AS trials,
+       |        sum(conv)::BIGINT AS conversions
+       |      FROM ud GROUP BY 1),
+       |c AS (
+       |  SELECT day, trials, conversions,
+       |    (sum(trials) OVER w)::BIGINT AS cum_trials,
+       |    (sum(conversions) OVER w)::BIGINT AS cum_conversions
+       |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
+       |    PRECEDING AND CURRENT ROW)
+       |),
+       |x AS (
+       |  SELECT *, CAST(cum_conversions AS HUGEINT) * ($c19)
+       |    + CAST(cum_trials - cum_conversions AS HUGEINT) * ($c09)
+       |    AS llr9
+       |  FROM c
+       |)
+       |SELECT day, trials, conversions, cum_trials, cum_conversions,
+       |  round(CAST(llr9 AS DOUBLE) / 1e9, 9) AS llr,
+       |  CASE WHEN llr9 >= ($a9) THEN 'accept_h1'
+       |       WHEN llr9 <= ($b9) THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision
+       |FROM x ORDER BY day""".stripMargin
+  }
+
+  /** q75/q266 shared oracle: the q25 per-doc score CTE rolled up per
+    * (source, lang) — means taken over the 9-dp-rounded per-doc
+    * scores on both sides. q266 hashes the stream's final-batch
+    * rendered card against this. */
+  private val corpusReportOracleSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, source, lang,
+       |    len(string_split(text, ' '))::DOUBLE AS n_toks,
+       |    $qMetricColsSql
+       |  FROM documents
+       |), q AS (
+       |  SELECT source, lang, n_toks::BIGINT AS n_tokens,
+       |    $qScoreSqlExpr
+       |      AS quality_score
+       |  FROM m
+       |)
+       |SELECT source, lang, count(*)::BIGINT AS n_docs,
+       |  sum(n_tokens)::BIGINT AS n_tokens,
+       |  ${Portable.sqlIntRatio9("sum(n_tokens)", "count(*)")}
+       |    AS mean_tokens,
+       |  ${Portable.sqlIntRatio9(
+           "sum(CAST(floor(quality_score * 1e9 + 0.5) AS BIGINT))",
+           "CAST(count(*) AS HUGEINT) * 1000000000")} AS mean_quality,
+       |  round(CAST(CAST(floor(round(min(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS min_quality,
+       |  round(CAST(CAST(floor(round(max(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS max_quality
+       |FROM q GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
+
+  /** q124/q270 shared oracle: odd-id survivors by brute-force min
+    * hamming vs the even-id fingerprints — exact because MaxHamming <
+    * SimHashBands makes the engine's band join exhaustive
+    * (pigeonhole). q270 hashes the REAL-stream run of the same gate
+    * against it. */
+  private val nearDedupAgainstOracleSql: String =
+    s"""$simhashSqlCte
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN sim s USING (doc_id)
+       |WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+       |  SELECT 1 FROM sim c WHERE c.doc_id % 2 = 0
+       |    AND bit_count(xor(s.simhash, c.simhash)) <= $MaxHamming)
+       |ORDER BY doc_id""".stripMargin
+
+  /** q133/q268 shared oracle: exact-integer baseline moments; the z
+    * expression shape is identical to the Spark side so even the
+    * floats are bit-equal. q268 hashes the streaming twin's
+    * watermark-closed emissions against the same SQL. */
+  private val windowAnomalyOracleSql: String =
+    s"""WITH wc AS (
+       |  SELECT event_type,
+       |    (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT
+       |      AS window_start_ms,
+       |    count(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1, 2
+       |),
+       |wt AS (
+       |  SELECT event_type, window_start_ms, n_events,
+       |    count(*) OVER tw AS k,
+       |    (sum(n_events) OVER tw)::BIGINT AS s,
+       |    (sum(n_events * n_events) OVER tw)::BIGINT AS ss
+       |  FROM wc
+       |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_ms
+       |    ROWS BETWEEN $AnomalyTrailing PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT event_type, window_start_ms, n_events,
+       |  ${Portable.sqlIntRatio9("s", AnomalyTrailing.toString)}
+       |    AS trail_mean,
+       |  ${Portable.sqlIntRatioSigned9(
+            s"ss * $AnomalyTrailing - s * s",
+            (AnomalyTrailing.toLong * AnomalyTrailing).toString)}
+       |    AS trail_var,
+       |  round(CAST(CAST(floor(round(CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
+       |    (n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
+       |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
+       |          / (${AnomalyTrailing.toLong * AnomalyTrailing})) END, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
+       |    AS zscore,
+       |  CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
+       |    abs((n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
+       |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
+       |          / (${AnomalyTrailing.toLong * AnomalyTrailing}))) >= $AnomalyZ
+       |  ELSE n_events * $AnomalyTrailing <> s END AS is_anomaly
+       |FROM wt WHERE k = $AnomalyTrailing
+       |ORDER BY event_type, window_start_ms""".stripMargin
+
   /** q254/q257 shared oracle: the Hampel median/MAD window anomaly
     * table over the whole event log — q254 hashes the batch operator
     * against it, q257 hashes the `flatMapGroupsWithState` streaming
@@ -2858,6 +3044,217 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .select(col("doc_id"), col("text"), col("pred_lang"),
           col("n_tokens"), col("quality_score"))
         .orderBy("doc_id")
+    }),
+
+    // The remaining Complete-mode foreachBatch monitors under the
+    // driver gate (q256 proved the pattern for the threshold sweep):
+    // the src0 score stream folds into its distinct-score count state
+    // and the FINAL micro-batch's PSI re-derivation hashes against
+    // q200's own exact-integer oracle — the static baseline (corpus
+    // minus src0) keeps its quantile boundaries fixed by definition.
+    "q264_psi_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val baseline = Text.qualityScore(docs, "text", Seq("source"))
+        .filter(col("source") =!= KsSourceA)
+        .select(col("quality_score"))
+      val staged = java.nio.file.Files
+        .createTempDirectory("q264_stream_src").toString
+      docs.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val scored = Text.qualityScore(sdf, "text", Seq("source"))
+        .filter(col("source") === KsSourceA)
+        .select(col("quality_score"))
+      val last = new java.util.concurrent.atomic.AtomicReference[
+        (Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]()
+      val q = graft.streaming.StreamOps.psiStream(baseline, scored,
+        "quality_score", PsiBins) { (p, _) =>
+          last.set((p.collect(), p.schema))
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      val (rows, schema) = last.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
+
+    // Wald's sequential test run the way Wald designed it — ON the
+    // stream: the event log rides a micro-batched file stream into
+    // sprtStream's (day, user) Complete-mode state and the FINAL
+    // micro-batch's LLR walk hashes against q236's own integer-walk
+    // oracle, so the live stopping rule is certified equal to the
+    // batch trace.
+    "q265_sprt_stream" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val staged = java.nio.file.Files
+        .createTempDirectory("q265_stream_src").toString
+      ev.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val last = new java.util.concurrent.atomic.AtomicReference[
+        (Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]()
+      val q = graft.streaming.StreamOps.sprtStream(sdf, "purchase",
+        SprtP0, SprtP1, SprtAlpha, SprtBeta) { (tr, _) =>
+          last.set((tr.collect(), tr.schema))
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      val (rows, schema) = last.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("day")
+    }),
+
+    // The live data card: documents ride a micro-batched file stream
+    // into corpusReportStream's monoid state (slice-bounded, never
+    // document-bounded) and the FINAL micro-batch's rendered card
+    // hashes against q75's own batch oracle — the merge-equals-rebuild
+    // law (q249) running continuously.
+    "q266_corpus_report_stream" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("q266_stream_src").toString
+      docs.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val last = new java.util.concurrent.atomic.AtomicReference[
+        (Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]()
+      val q = graft.streaming.StreamOps.corpusReportStream(sdf,
+        "source", "lang", "text") { (card, _) =>
+          last.set((card.collect(), card.schema))
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      val (rows, schema) = last.get()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("source", "lang")
+    }),
+
+    // dropDuplicatesWithinWatermark under the driver gate: the event
+    // log replays as a micro-batched file stream through dedupStream
+    // on the (user, type) content key (13× duplicated in the fixture)
+    // and the emitted DISTINCT-HASH SET hashes against a batch
+    // SELECT DISTINCT — exactly one survivor per content across
+    // micro-batches, none lost, none duplicated. (WHICH row survives
+    // a same-batch collision is explicitly unguaranteed — the specs
+    // pin that — so the certification projects the hash, the
+    // deterministic part of the contract.) The 60-day watermark
+    // covers the fixture's 30-day span, so state never evicts
+    // mid-replay.
+    "q267_dedup_stream" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+        .withColumn("content",
+          concat_ws("#", col("user_id"), col("event_type")))
+      val staged = java.nio.file.Files
+        .createTempDirectory("q267_stream_src").toString
+      ev.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.dedupStream(sdf, "content",
+          "60 days")
+        .select(col("content_hash"))
+      val sink = s"q267_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink).orderBy("content_hash")
+    }),
+
+    // The z-score anomaly monitor's streaming twin under the driver
+    // gate (q257 certified the Hampel variant; this is the classical
+    // moment-based one, the same flatMapGroupsWithState state
+    // discipline): watermark-closed emissions hash against q133's own
+    // exact-integer batch oracle. Sentinels flush the tail as in
+    // q257; the sentinel key never accumulates a full trailing
+    // baseline, so it emits nothing in stream OR batch.
+    "q268_window_anomaly_stream" -> ((s, dir) => {
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val staged = stageEventsWithSentinels(s, ev, "q268",
+        60L * 24 * 3600 * 1000, WindowMs)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.anomalyStream(sdf,
+        WindowMs, AnomalyTrailing, AnomalyZ, "60 days")
+      val sink = s"q268_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink).orderBy("event_type", "window_start_ms")
+    }),
+
+    // mapGroupsWithState running per-user totals under the driver
+    // gate — the Update-mode keyed-state case (q257/q268 certified
+    // Append with event-time timeouts): each micro-batch emits the
+    // UPDATED state for keys it touched; last-write-wins over the
+    // sequential batch ids reconstructs the final state table, which
+    // must equal a plain batch GROUP BY. Sums certify at exact cents
+    // (the q261 argument: per-user double accumulation error is five
+    // orders below the 0.005 rounding margin).
+    "q269_running_state_stream" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val ev = Sources.eventsNs(s, dir)
+        .select(col("user_id"), col("value"))
+      val staged = java.nio.file.Files
+        .createTempDirectory("q269_stream_src").toString
+      ev.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val finalState = new java.util.concurrent.ConcurrentHashMap[
+        Long, (Long, Double)]()
+      val q = graft.streaming.StreamOps.runningUserState(sdf)
+        .toDF().writeStream.outputMode("update")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach { r =>
+            finalState.put(r.getLong(0), (r.getLong(1), r.getDouble(2)))
+          }
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      val rows = finalState.asScala.toSeq.map { case (u, (n, sv)) =>
+        (u, n, math.floor(sv * 100 + 0.5).toLong)
+      }
+      rows.toDF("user_id", "n_events", "sum_cents").orderBy("user_id")
+    }),
+
+    // The near-dedup gate on a REAL stream (q124 certifies the same
+    // function on a batch frame): odd-id docs ride a micro-batched
+    // file stream through dedupNearStreamAgainst vs the even-id
+    // SimHash index; stateless per micro-batch, so the accumulated
+    // sink must equal the batch run — q124's own oracle.
+    "q270_near_dedup_stream_live" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val idx = Dedup.simhashes(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      val staged = java.nio.file.Files
+        .createTempDirectory("q270_stream_src").toString
+      docs.filter(col("doc_id") % 2 === 1)
+        .repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val out = graft.streaming.StreamOps.dedupNearStreamAgainst(sdf,
+          "text", idx, MaxHamming)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+      val sink = s"q270_sink_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      s.table(sink).orderBy("doc_id")
     }),
 
     // ORC round-trip: the interchange slice written as ORC, read
@@ -5929,38 +6326,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
 
     // q236: the identical integer LLR walk over the SAME literal
     // constants (sprtConstants is called by both builders).
-    "q236_sprt_trace" -> {
-      val (c09, c19, a9, b9) =
-        Events.sprtConstants(SprtP0, SprtP1, SprtAlpha, SprtBeta)
-      s"""WITH ud AS (
-         |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
-         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
-         |      END)::BIGINT AS conv
-         |  FROM events GROUP BY 1, 2
-         |),
-         |d AS (SELECT day, count(*)::BIGINT AS trials,
-         |        sum(conv)::BIGINT AS conversions
-         |      FROM ud GROUP BY 1),
-         |c AS (
-         |  SELECT day, trials, conversions,
-         |    (sum(trials) OVER w)::BIGINT AS cum_trials,
-         |    (sum(conversions) OVER w)::BIGINT AS cum_conversions
-         |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED
-         |    PRECEDING AND CURRENT ROW)
-         |),
-         |x AS (
-         |  SELECT *, CAST(cum_conversions AS HUGEINT) * ($c19)
-         |    + CAST(cum_trials - cum_conversions AS HUGEINT) * ($c09)
-         |    AS llr9
-         |  FROM c
-         |)
-         |SELECT day, trials, conversions, cum_trials, cum_conversions,
-         |  round(CAST(llr9 AS DOUBLE) / 1e9, 9) AS llr,
-         |  CASE WHEN llr9 >= ($a9) THEN 'accept_h1'
-         |       WHEN llr9 <= ($b9) THEN 'accept_h0'
-         |       ELSE 'continue' END AS decision
-         |FROM x ORDER BY day""".stripMargin
-    },
+    "q236_sprt_trace" -> sprtTraceOracleSql,
 
     // q237: native range join over the q30 session spans and the q133
     // anomalous windows — the exact semantics the bucketed
@@ -6375,6 +6741,34 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |FROM sc WHERE quality_score >= $CurateMinQuality
          |  AND md5(sc.text) NOT IN (SELECT content_hash FROM ev)
          |ORDER BY doc_id""".stripMargin,
+
+    // q264/q265/q266: the Complete-mode foreachBatch monitors hash
+    // their FINAL micro-batch re-derivation against the batch twins'
+    // own oracles (stream-equals-batch over all rows seen).
+    "q264_psi_stream" -> psiOracleSql,
+    "q265_sprt_stream" -> sprtTraceOracleSql,
+    "q266_corpus_report_stream" -> corpusReportOracleSql,
+
+    // q267: exactly one survivor per content key across micro-batches
+    // ⇔ the emitted hash set equals a batch SELECT DISTINCT (which
+    // ROW survives a same-batch collision is unguaranteed, so the
+    // deterministic projection is the hash itself).
+    "q267_dedup_stream" ->
+      """SELECT DISTINCT
+        |  md5(CAST(user_id AS VARCHAR) || '#' || event_type)
+        |    AS content_hash
+        |FROM events
+        |ORDER BY content_hash""".stripMargin,
+
+    // q268: the streaming z-score twin hashes against q133's batch
+    // SQL; q269: last-write-wins over the Update-mode emissions must
+    // equal the plain batch GROUP BY (sums at exact cents).
+    "q268_window_anomaly_stream" -> windowAnomalyOracleSql,
+    "q269_running_state_stream" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q254_window_anomaly_robust" -> robustAnomalyOracleSql,
 
@@ -7115,42 +7509,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
 
     // q133: exact-integer baseline moments; the z expression shape is
     // identical to the Spark side so even the floats are bit-equal.
-    "q133_window_anomaly" ->
-      s"""WITH wc AS (
-         |  SELECT event_type,
-         |    (epoch_ms(ts) - (epoch_ms(ts) % $WindowMs))::BIGINT
-         |      AS window_start_ms,
-         |    count(*)::BIGINT AS n_events
-         |  FROM events GROUP BY 1, 2
-         |),
-         |wt AS (
-         |  SELECT event_type, window_start_ms, n_events,
-         |    count(*) OVER tw AS k,
-         |    (sum(n_events) OVER tw)::BIGINT AS s,
-         |    (sum(n_events * n_events) OVER tw)::BIGINT AS ss
-         |  FROM wc
-         |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_ms
-         |    ROWS BETWEEN $AnomalyTrailing PRECEDING AND 1 PRECEDING)
-         |)
-         |SELECT event_type, window_start_ms, n_events,
-         |  ${Portable.sqlIntRatio9("s", AnomalyTrailing.toString)}
-         |    AS trail_mean,
-         |  ${Portable.sqlIntRatioSigned9(
-              s"ss * $AnomalyTrailing - s * s",
-              (AnomalyTrailing.toLong * AnomalyTrailing).toString)}
-         |    AS trail_var,
-         |  round(CAST(CAST(floor(round(CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
-         |    (n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
-         |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
-         |          / (${AnomalyTrailing.toLong * AnomalyTrailing})) END, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
-         |    AS zscore,
-         |  CASE WHEN ss * $AnomalyTrailing - s * s > 0 THEN
-         |    abs((n_events::DOUBLE - s::DOUBLE / $AnomalyTrailing)
-         |      / sqrt((ss * $AnomalyTrailing - s * s)::DOUBLE
-         |          / (${AnomalyTrailing.toLong * AnomalyTrailing}))) >= $AnomalyZ
-         |  ELSE n_events * $AnomalyTrailing <> s END AS is_anomaly
-         |FROM wt WHERE k = $AnomalyTrailing
-         |ORDER BY event_type, window_start_ms""".stripMargin,
+    "q133_window_anomaly" -> windowAnomalyOracleSql,
 
     // q130: the q20 jac pairs bridged to their sources; unordered cells.
     "q130_dup_source_matrix" ->
@@ -7534,14 +7893,12 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // q124: odd-id survivors by brute-force min hamming vs the even-id
     // fingerprints — exact because MaxHamming < SimHashBands makes the
     // engine's band join exhaustive (pigeonhole).
-    "q124_near_dedup_stream" ->
-      s"""$simhashSqlCte
-         |SELECT d.doc_id, d.lang, d.source, d.n_chars
-         |FROM documents d JOIN sim s USING (doc_id)
-         |WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
-         |  SELECT 1 FROM sim c WHERE c.doc_id % 2 = 0
-         |    AND bit_count(xor(s.simhash, c.simhash)) <= $MaxHamming)
-         |ORDER BY doc_id""".stripMargin,
+    "q124_near_dedup_stream" -> nearDedupAgainstOracleSql,
+
+    // q270: the SAME gate fed by a real micro-batched file stream —
+    // stateless per micro-batch, so the union over batches must equal
+    // the batch run (q124's own oracle).
+    "q270_near_dedup_stream_live" -> nearDedupAgainstOracleSql,
 
     "q23_embed_near_pairs" ->
       s"""$srpSqlCte
@@ -8523,31 +8880,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
 
     // q75: the q25 per-doc score CTE rolled up per (source, lang) —
     // means taken over the 9-dp-rounded per-doc scores on both sides.
-    "q75_corpus_report" -> {
-      val stopList = Text.EnStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH m AS (
-         |  SELECT doc_id, source, lang,
-         |    len(string_split(text, ' '))::DOUBLE AS n_toks,
-         |    $qMetricColsSql
-         |  FROM documents
-         |), q AS (
-         |  SELECT source, lang, n_toks::BIGINT AS n_tokens,
-         |    $qScoreSqlExpr
-         |      AS quality_score
-         |  FROM m
-         |)
-         |SELECT source, lang, count(*)::BIGINT AS n_docs,
-         |  sum(n_tokens)::BIGINT AS n_tokens,
-         |  ${Portable.sqlIntRatio9("sum(n_tokens)", "count(*)")}
-         |    AS mean_tokens,
-         |  ${Portable.sqlIntRatio9(
-             "sum(CAST(floor(quality_score * 1e9 + 0.5) AS BIGINT))",
-             "CAST(count(*) AS HUGEINT) * 1000000000")} AS mean_quality,
-         |  round(CAST(CAST(floor(round(min(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS min_quality,
-         |  round(CAST(CAST(floor(round(max(quality_score), 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS max_quality
-         |FROM q GROUP BY source, lang
-         |ORDER BY source, lang""".stripMargin
-    },
+    "q75_corpus_report" -> corpusReportOracleSql,
 
     // q74: bucket counts per corpus slice, Laplace-smoothed log-ratio
     // weights on the full bucket spine, per-doc occurrence sum — the
@@ -11172,65 +11505,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // the distinct-value CDF; bins by strictly-below boundary counts;
     // per-bin terms in the classBalance integerization; any empty bin
     // on either side nulls the statistic.
-    "q200_psi" ->
-      s"""$qualityScoreSqlCtes,
-         |av AS (SELECT quality_score AS v FROM qs
-         |       WHERE source <> '$KsSourceA'),
-         |bv AS (SELECT quality_score AS v FROM qs
-         |       WHERE source = '$KsSourceA'),
-         |da AS (SELECT v, count(*)::BIGINT AS c FROM av GROUP BY v),
-         |db AS (SELECT v, count(*)::BIGINT AS c FROM bv GROUP BY v),
-         |dac AS (
-         |  SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
-         |    PRECEDING AND CURRENT ROW)::BIGINT AS cum
-         |  FROM da
-         |),
-         |na AS (SELECT count(*)::BIGINT AS n_a FROM av),
-         |nb AS (SELECT count(*)::BIGINT AS n_b FROM bv),
-         |tg AS (
-         |  SELECT ii.i, (ii.i * na.n_a + ${PsiBins - 1}) // $PsiBins
-         |    AS target
-         |  FROM (SELECT unnest(range(1, $PsiBins))::BIGINT AS i) ii
-         |  CROSS JOIN na
-         |),
-         |bd AS (
-         |  SELECT tg.i, min(dac.v) AS v
-         |  FROM dac JOIN tg ON dac.cum >= tg.target GROUP BY tg.i
-         |),
-         |ba AS (
-         |  SELECT s.bin, sum(s.c)::BIGINT AS ca FROM (
-         |    SELECT d.v, d.c,
-         |      sum(CASE WHEN d.v > bd.v THEN 1 ELSE 0 END)::BIGINT AS bin
-         |    FROM da d CROSS JOIN bd GROUP BY d.v, d.c) s
-         |  GROUP BY s.bin
-         |),
-         |bb AS (
-         |  SELECT s.bin, sum(s.c)::BIGINT AS cb FROM (
-         |    SELECT d.v, d.c,
-         |      sum(CASE WHEN d.v > bd.v THEN 1 ELSE 0 END)::BIGINT AS bin
-         |    FROM db d CROSS JOIN bd GROUP BY d.v, d.c) s
-         |  GROUP BY s.bin
-         |),
-         |ff AS (
-         |  SELECT bin, ca, cb FROM ba FULL JOIN bb USING (bin)
-         |),
-         |tt AS (
-         |  SELECT bin, ca, cb,
-         |    CAST(floor(round(
-         |      (CAST(ca AS DOUBLE) / CAST(na.n_a AS DOUBLE)
-         |       - CAST(cb AS DOUBLE) / CAST(nb.n_b AS DOUBLE))
-         |      * ln((CAST(ca AS DOUBLE) / CAST(na.n_a AS DOUBLE))
-         |           / (CAST(cb AS DOUBLE) / CAST(nb.n_b AS DOUBLE))), 9)
-         |      * 1e9 + 0.5) AS BIGINT) AS t9
-         |  FROM ff CROSS JOIN na CROSS JOIN nb
-         |)
-         |SELECT na.n_a, nb.n_b, (SELECT count(*) FROM ff)::BIGINT
-         |    AS n_bins,
-         |  CASE WHEN (SELECT sum(CASE WHEN t9 IS NULL THEN 1 ELSE 0 END)
-         |             FROM tt) = 0 THEN
-         |    round(CAST(CAST(floor(round(CAST((SELECT sum(t9) FROM tt) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9)
-         |  END AS psi
-         |FROM na CROSS JOIN nb""".stripMargin,
+    "q200_psi" -> psiOracleSql,
 
     // q196: the order statistic at the exact-integer conformal rank;
     // tie values make the rank's VALUE deterministic regardless of
