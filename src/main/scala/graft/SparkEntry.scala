@@ -2977,10 +2977,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // path, certified end to end against a batch oracle.
     "q260_curate_stream_incremental" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // stored-index-at-rest: the hash index re-enters the anti join
+      // every micro-batch — persist it once
       val idx = docs
         .filter(col("doc_id") % 2 === 0 || col("doc_id") % 8 === 1)
         .select(md5(graft.ops.Text.normalize(col("text")).cast("binary"))
           .as("content_hash")).distinct()
+        .persist()
       val staged = java.nio.file.Files
         .createTempDirectory("q260_stream_src").toString
       docs.filter(col("doc_id") % 2 === 1)
@@ -2993,7 +2996,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .replace("-", "")}"
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        idx.unpersist(blocking = false)
+      }
       deleteRecursively(staged)
       s.table(sink)
         .select(col("doc_id"), col("text"), col("pred_lang"),
@@ -3054,9 +3060,13 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // minus src0) keeps its quantile boundaries fixed by definition.
     "q264_psi_stream" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // the static baseline re-enters psiFromCounts every micro-batch —
+      // persist it once (the stored-baseline-at-rest posture; without
+      // it each trigger re-scores the whole baseline corpus)
       val baseline = Text.qualityScore(docs, "text", Seq("source"))
         .filter(col("source") =!= KsSourceA)
         .select(col("quality_score"))
+        .persist()
       val staged = java.nio.file.Files
         .createTempDirectory("q264_stream_src").toString
       docs.repartition(4).write.mode("overwrite").parquet(staged)
@@ -3072,7 +3082,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         "quality_score", PsiBins) { (p, _) =>
           last.set((p.collect(), p.schema))
         }.start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        baseline.unpersist(blocking = false)
+      }
       deleteRecursively(staged)
       val (rows, schema) = last.get()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
@@ -3236,8 +3249,11 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // sink must equal the batch run — q124's own oracle.
     "q270_near_dedup_stream_live" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // the static SimHash index re-enters the band join every
+      // micro-batch — persist it once (the stored-index-at-rest
+      // posture; without it each trigger re-fingerprints the corpus)
       val idx = Dedup.simhashes(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text")
+        "doc_id", "text").persist()
       val staged = java.nio.file.Files
         .createTempDirectory("q270_stream_src").toString
       docs.filter(col("doc_id") % 2 === 1)
@@ -3252,7 +3268,10 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .replace("-", "")}"
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        idx.unpersist(blocking = false)
+      }
       deleteRecursively(staged)
       s.table(sink).orderBy("doc_id")
     }),

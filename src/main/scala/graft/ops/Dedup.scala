@@ -433,10 +433,32 @@ object Dedup {
     * on the shingle — uniform once hot shingles are pruned), one
     * pair-keyed count agg. Candidate volume is Σ_sh df², bounded above
     * by maxDf · Σ_sh df. Prefer [[lshCandidatePairs]] when approximate
-    * recall is acceptable; this is the exact path. */
+    * recall is acceptable; this is the exact path.
+    *
+    * CANDIDATE-MASS PRE-FLIGHT (the [[graft.ops.Er.editJoin]]
+    * contract, same default budget): before the posting self-join
+    * launches, its mass Σ_sh df² (over the maxDf-surviving shingles —
+    * an upper bound on candidate rows; self-matches counted here,
+    * excluded by the join) is priced from the posting-count frame. If
+    * it exceeds `maxCandidatePairs` the join does NOT run: with
+    * `autoSample = false` (default) the call throws, naming the
+    * measured mass and the escape hatches (tighten maxDf — the skew
+    * lever removes mass quadratically per hot shingle — raise the
+    * budget, sample, or use the banded path); with `autoSample =
+    * true` the DOCUMENT set is deterministically subsampled
+    * (xxhash64(id, seed) bucket filter) by √(budget/mass) per round
+    * until the re-measured mass fits, and the result is the exact
+    * Jaccard join OF THE SAMPLED corpus — the q119/q145 sample-only
+    * audit contract (measured: the exact chain went 32–43× across the
+    * sf1→sf10 decade while the banded path it audits stayed ~4×). */
   def jaccardPairsExact(shingled: DataFrame, idCol: String, tau: Double,
-                        maxDf: Long): DataFrame = {
+                        maxDf: Long,
+                        maxCandidatePairs: Long = Er.DefaultMaxCandidatePairs,
+                        autoSample: Boolean = false,
+                        sampleSeed: Long = 42L): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(maxCandidatePairs >= 1,
+      s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
     // ONE shingle explosion, checkpointed: the df filter, both self-join
     // sides and the set sizes all reuse it — without the barrier the
     // interpreted-HOF shingle pipeline recomputes once per branch
@@ -444,13 +466,53 @@ object Dedup {
     // explode_OUTER + isNotNull, never bare explode: the non-outer form
     // pushes a Filter that re-derives the whole shingle HOF per row
     // (measured 13x this stage's cost at sf0.1)
-    val posts = Barrier.cut(shingled
+    val allPosts = Barrier.cut(shingled
       .select(col(idCol), explode_outer(col("shingles")).as("__sh"))
       .filter(col("__sh").isNotNull))
-    val kept = posts.join(
-      posts.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select(col("__sh")),
-      Seq("__sh"))
+    // posting-count frame (shingle-bounded, barriered: read by the mass
+    // agg and the df filter) + the exactly-priced join mass
+    def priced(posts: DataFrame): (DataFrame, BigDecimal) = {
+      val dfs = Barrier.cut(posts.groupBy(col("__sh"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf))
+      val m = dfs.agg(coalesce(
+          sum(col("__df").cast("decimal(38,0)") * col("__df")),
+          lit(0).cast("decimal(38,0)")).as("__m"))
+        .head.getDecimal(0)
+      (dfs, BigDecimal(m))
+    }
+    var posts = allPosts
+    var (dfs, mass) = priced(posts)
+    var fraction = 1.0
+    var rounds = 0
+    while (mass > BigDecimal(maxCandidatePairs)) {
+      if (!autoSample) throw new IllegalArgumentException(
+        s"jaccardPairsExact pre-flight: the posting self-join would " +
+          s"generate $mass candidate rows, over the budget of " +
+          s"$maxCandidatePairs. The exact audit is sample-only at this " +
+          "corpus size: tighten maxDf (each pruned hot shingle removes " +
+          "df² mass), pass autoSample = true to run it on a " +
+          "deterministic uniform document sample, raise " +
+          "maxCandidatePairs if the cluster can pay for the shuffle, " +
+          "or use the banded path (minhashSignatures/lshCandidatePairs" +
+          "/jaccardVerify), which scales linearly.")
+      rounds += 1
+      require(rounds <= 8, "jaccardPairsExact auto-sample did not " +
+        s"converge in 8 rounds (mass $mass vs budget " +
+        s"$maxCandidatePairs) — the shingle universe is too skewed for " +
+        "a uniform document sample; tighten maxDf or use the banded " +
+        "path instead")
+      // pair mass scales ~fraction² for a self-join; 0.9 safety margin
+      fraction *= math.max(1e-6, 0.9 *
+        math.sqrt((BigDecimal(maxCandidatePairs) / mass).toDouble))
+      posts = Barrier.cut(allPosts.filter(
+        pmod(xxhash64(col(idCol), lit(sampleSeed)), lit(1000000000L)) <
+          lit(math.max(1L, math.ceil(fraction * 1e9).toLong))))
+      val r = priced(posts)
+      dfs = r._1
+      mass = r._2
+    }
+    val kept = posts.join(dfs.select(col("__sh")), Seq("__sh"))
     // shingle arrays are distinct per doc, so |A| = the doc's post count
     // — counted over KEPT posts, the same universe as the intersection
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))

@@ -345,6 +345,48 @@ class DedupSpec extends SparkSpec {
     assert(restricted == Set((1L, 2L, math.round(1.0 / 3 * 1e9) / 1e9)))
   }
 
+  test("jaccardPairsExact: candidate-mass pre-flight refuses over budget, " +
+      "prices exactly, and auto-samples deterministically") {
+    val sh = docs.select($"doc_id",
+      Text.shingles(Text.tokens($"text"), 3).as("shingles"))
+    // exact price of the fixture's posting join: sum df^2 over df<=maxDf
+    val massTruth = sh
+      .select($"doc_id", explode($"shingles").as("sh"))
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 1000L)
+      .agg(sum($"df" * $"df")).as[Long].head()
+    // one under the measured mass: refuses, naming the exact number
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsExact(sh, "doc_id", 0.5, maxDf = 1000L,
+        maxCandidatePairs = massTruth - 1)
+    }
+    assert(e.getMessage.contains(massTruth.toString), e.getMessage)
+    // exactly at the measured mass: runs, identical to the default
+    val guarded = Dedup.jaccardPairsExact(sh, "doc_id", 0.5,
+        maxDf = 1000L, maxCandidatePairs = massTruth)
+      .as[(Long, Long, Double)].collect().toSet
+    val default = Dedup.jaccardPairsExact(sh, "doc_id", 0.5, maxDf = 1000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded == default)
+    // autoSample: completes under a tight budget on a SUBSET of docs;
+    // every surviving pair exists in the full exact result, and the
+    // sampled doc set is the deterministic hash-bucket filter (both
+    // sides of each emitted pair survived the same filter)
+    val sampled = Dedup.jaccardPairsExact(sh, "doc_id", 0.0 + 1e-9,
+        maxDf = 1000L, maxCandidatePairs = massTruth / 4,
+        autoSample = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.jaccardPairsExact(sh, "doc_id", 0.0 + 1e-9,
+        maxDf = 1000L).as[(Long, Long, Double)].collect().toSet
+    assert(sampled.subsetOf(full))
+    // determinism: the same call yields the same sample
+    val again = Dedup.jaccardPairsExact(sh, "doc_id", 0.0 + 1e-9,
+        maxDf = 1000L, maxCandidatePairs = massTruth / 4,
+        autoSample = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == sampled)
+  }
+
   test("containmentPairsExact: finds subset duplication jaccard dilutes; >= jaccard law") {
     // doc 2's shingle set is a strict subset of doc 1's: containment
     // 1.0, jaccard |B|/|A| — the asymmetric score's reason to exist
