@@ -3276,6 +3276,47 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s.table(sink).orderBy("doc_id")
     }),
 
+    // The aggregation-side skew lever under the driver gate: the q10
+    // co-occurrence counts re-derived through saltedCounts' two-stage
+    // (keys, salt) → keys shape must hash against q10's own oracle —
+    // counts are algebraic, so salting is IDENTITY on the result (the
+    // PairsSpec law, now driver-certified). The salt is a keyed
+    // Portable hash of the pair's identity columns, so placement is
+    // deterministic across runs and partitionings.
+    "q271_salted_cooc" -> ((s, dir) => {
+      Pairs.saltedCounts(pairs(s, dir), Seq("target", "context"),
+          Seq(col("order_id"), col("pos_t"), col("pos_c")), 8)
+        .withColumn("target", col("target").cast("long"))
+        .withColumn("context", col("context").cast("long"))
+        .orderBy("target", "context")
+    }),
+
+    // Bucketed-sink roundtrip under the driver gate (the q250 protocol
+    // for the CO-LOCATED-JOIN layout): the interchange slice saved as
+    // a bucketed+sorted parquet table, read back through the catalog,
+    // aggregated — content-equal to the parquet original. The rows
+    // collect before the table drops (the catalog owns the files).
+    "q272_bucketed_roundtrip" -> ((s, dir) => {
+      val tbl = s"q272_bucketed_${java.util.UUID.randomUUID().toString
+        .replace("-", "")}"
+      Sources.writeBucketed(t(s, dir, "documents")
+          .filter(col("doc_id") % 8 === 1)
+          .select(col("doc_id"), col("text"), col("lang"), col("source")),
+        tbl, "doc_id", 8)
+      val out = s.table(tbl)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+      val rows = out.collect()
+      val schema = out.schema
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("source")
+    }),
+
     // ORC round-trip: the interchange slice written as ORC, read
     // back, aggregated — hashed against the parquet original, so the
     // format conversion is content-equal under the driver's gate.
@@ -6952,6 +6993,21 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
         |  count(DISTINCT lang) AS n_langs, max(doc_id) AS max_id
         |FROM documents WHERE doc_id % 8 = 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q271: salting is identity on algebraic counts — q10's own SQL.
+    "q271_salted_cooc" ->
+      s"""$pairsSqlCte
+         |SELECT target, context, count(*) AS cnt
+         |FROM pairs GROUP BY target, context
+         |ORDER BY target, context""".stripMargin,
+
+    // q272: the q250 content-equality protocol over the bucketed slice.
+    "q272_bucketed_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT lang) AS n_langs, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 8 = 1
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // q249: the FULL-corpus rebuild of the exact-integer card — the
