@@ -34,6 +34,13 @@ object GenScale {
     val Array(srcDir, destDir, factorS) = args.take(3)
     val factor = factorS.toInt
     require(factor >= 1)
+    // optional 4th arg: comma-separated table subset to synthesize
+    // (e.g. "documents" for a funnel-only decade — at factor 10000 the
+    // full dir would mean 1B events and 200M part names nothing reads)
+    val only: Set[String] =
+      args.lift(3).map(_.split(",").toSet).getOrElse(Set("all"))
+    def want(t: String): Boolean =
+      only.contains("all") || only.contains(t)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -132,10 +139,11 @@ object GenScale {
       if (id % 625 == 624 && id >= 625) {
         // exact dup of the doc one stride earlier — genDoc, not gen: the
         // base may itself sit on the near-dup stride, and an exact dup
-        // must copy what the base ACTUALLY says (recursion walks the
-        // stride chain and terminates at id < 625)
-        val (_, l, s, t) = genDoc(id - 625)
-        (id, l, s, t)
+        // must copy what the base ACTUALLY says. Every chain member is
+        // ≡ 624 (mod 625), so the stride walk bottoms out at id % 625
+        // in ONE step — the equivalent recursion (id − 625 per frame)
+        // is id/625 deep and overflows the task stack past ~5M docs
+        (genDoc(id % 625) match { case (_, l, s, t) => (id, l, s, t) })
       } else if (id % 125 == 124) {
         val (l, s, t) = gen(id - 124) // near-dup: every 10th token fresh
         val rnd = new java.util.Random(id * 0x517cc1b727220a95L + 7L)
@@ -150,7 +158,8 @@ object GenScale {
       }
     }
 
-    spark.range(n).repartition(32).map { id =>
+    if (want("documents"))
+      spark.range(n).repartition(32).map { id =>
         val (i, l, s, t) = genDoc(id)
         (i, t, l, s, t.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -163,6 +172,7 @@ object GenScale {
     // empirical density; rows beyond the source keyspace simply never
     // join lineitem (which passes through) — the studied queries don't
     // read those columns. Pure function of id.
+    if (want("part")) {
     val partSrc = spark.read.parquet(s"$srcDir/part.parquet")
     val pWordsEmp: Array[(String, Long)] = partSrc
       .select(explode(split(col("p_name"), " ")).as("w"))
@@ -216,6 +226,7 @@ object GenScale {
       .select(col("p_partkey") +: col("p_name") +:
         restCols.map(c => col(s"__rest.$c").as(c)): _*)
       .write.mode("overwrite").parquet(s"$destDir/part.parquet")
+    }
 
     // --- events: factor× users over the SAME calendar span (the axis
     // the DAU/retention/survival curves feel): copy c remaps users and
@@ -223,6 +234,7 @@ object GenScale {
     // whole timeline by a deterministic sub-hour jitter — per-user
     // lifetimes, event-type mix, and value distribution are preserved
     // exactly; copies are independent users.
+    if (want("events")) {
     val evSrc = spark.read.parquet(s"$srcDir/events.parquet")
     val evMax = evSrc.agg(max(col("event_id")), max(col("user_id")))
       .as[(Long, Long)].collect()(0)
@@ -238,11 +250,13 @@ object GenScale {
           .as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$destDir/events.parquet")
+    }
 
     // --- embeddings: factor× vectors — copy c perturbs every
     // coordinate of its base vector with seeded ±10%-of-|x| noise, so
     // the point cloud densifies without collapsing into exact atoms
     // (the PQ/IVF training decade rows read this). Labels copy.
+    if (want("embeddings")) {
     val embSrc = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
@@ -259,10 +273,11 @@ object GenScale {
       }
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
+    }
 
     // pass-through tables (complete dir keeps every query runnable)
     Seq("region", "nation", "customer", "supplier", "orders",
-      "lineitem").foreach { t =>
+      "lineitem").filter(want).foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$destDir/$t.parquet")
     }
