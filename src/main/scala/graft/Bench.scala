@@ -165,6 +165,12 @@ object Bench {
     // and parsed as null with the old totals-first order)
     val line = s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"pass_totals":$passTotals,"metric":"total","unit":"sec","value":$totalMin}"""
     println(line)
+    // Second, SHORT summary line AFTER the big one: the driver keeps the
+    // log tail, and the ~9 KB full line loses its head under the capture
+    // window (r12's artifact had readable totals but still parsed as
+    // null because the line's opening brace was gone). This line is
+    // ~150 bytes — it survives any truncation and parses on its own.
+    println(s"""{"metric":"total","unit":"sec","value":$totalMin,"sf":"$sfDir","contended":$contended,"pass_totals":$passTotals,"nqueries":${names.size},"nerrors":${errors.size}}""")
     // Also persist to a file: the driver's artifact captures only the
     // log TAIL, which truncated away the totals + 88 per-query rows in
     // round 7 once the suite outgrew the capture window. The file is the

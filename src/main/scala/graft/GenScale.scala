@@ -39,6 +39,14 @@ object GenScale {
     // full dir would mean 1B events and 200M part names nothing reads)
     val only: Set[String] =
       args.lift(3).map(_.split(",").toSet).getOrElse(Set("all"))
+    // a typo like "document" would otherwise synthesize nothing and
+    // exit 0, leaving an incomplete scale dir that only fails at read
+    val knownTables = Set("all", "documents", "part", "events",
+      "embeddings", "region", "nation", "customer", "supplier",
+      "orders", "lineitem")
+    val unknown = only -- knownTables
+    require(unknown.isEmpty,
+      s"unknown table(s) ${unknown.mkString(",")}; valid: ${knownTables.toSeq.sorted.mkString(",")}")
     def want(t: String): Boolean =
       only.contains("all") || only.contains(t)
     val spark = SparkSession.builder()

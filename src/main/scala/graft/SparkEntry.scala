@@ -464,6 +464,12 @@ object SparkEntry {
   /** q148 image side: 8×8 = 64 gray samples ≥ the 60 aHash positions. */
   val MediaGridSide = 8
 
+  /** q273 audio: PCM samples per synthetic WAV payload. */
+  val AudioSamples = 256
+  /** q273 audio: sample rate stamped into (and decoded back out of)
+    * every synthetic WAV's fmt chunk. */
+  val AudioRateHz = 8000
+
   /** Shared q148/q154 oracle chain: the aHash every document's REAL
     * decoded pixels must produce, recomputed straight from the source
     * text bytes (encodePng's pixel layout × decodeGrayGrid's identity
@@ -810,15 +816,29 @@ object SparkEntry {
   /** DuckDB CTEs mirroring [[shingled]]: tokens → distinct shingles. */
   private val shingleSqlCte: String = s"WITH ${shingleCtesFrom("documents")}"
 
-  /** [[shingleCtesFrom]] + MinHash signatures (no WITH prefix). */
+  /** [[shingleCtesFrom]] + MinHash signatures (no WITH prefix).
+    * Kernel-lockstep with [[graft.functions.MinHashSig]]: ONE md5-based
+    * [[Portable.sqlHash]] per shingle, then per-permutation
+    * (a·h + b) mod (2^61 − 1) mixes in exact HUGEINT arithmetic — the
+    * coefficient literals come from the very same
+    * [[graft.functions.MinHashSig.coefA]]/[[graft.functions.MinHashSig.coefB]]
+    * the Spark expression uses, so the engines' signatures are
+    * bit-equal by construction. */
   private def minhashCtesFrom(src: String): String = {
-    val sigExpr = (0 until NumPerms).map(p =>
-      s"list_min(list_transform(shingles, s -> ${Portable.sqlHash("s", p.toString)}))")
-      .mkString(", ")
+    val M = graft.functions.MinHashSig.Prime
+    val sigExpr = (0 until NumPerms).map { p =>
+      val a = graft.functions.MinHashSig.coefA(p)
+      val b = graft.functions.MinHashSig.coefB(p)
+      s"list_min(list_transform(bh, h -> CAST(($a::HUGEINT * h + $b) % $M AS BIGINT)))"
+    }.mkString(", ")
     s"""${shingleCtesFrom(src)},
-       |sig AS (
-       |  SELECT doc_id, shingles, [$sigExpr] AS sig
+       |sigb AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(shingles, s -> ${Portable.sqlHash("s")}) AS bh
        |  FROM sh WHERE len(shingles) >= 1
+       |),
+       |sig AS (
+       |  SELECT doc_id, shingles, [$sigExpr] AS sig FROM sigb
        |)""".stripMargin
   }
 
@@ -2765,7 +2785,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         }.start()
       try { q.processAllAvailable() } finally { q.stop() }
       deleteRecursively(staged)
-      val (rows, schema) = last.get()
+      val (rows, schema) = {
+        // a stream that produced zero micro-batches (e.g. an empty
+        // filtered frame staged no part files) leaves the ref null —
+        // fail diagnosably, not with an opaque NPE downstream
+        val v = last.get()
+        require(v != null,
+          s"stream produced no micro-batches (staged dir was $staged)")
+        v
+      }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("threshold")
     }),
@@ -3087,7 +3115,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         baseline.unpersist(blocking = false)
       }
       deleteRecursively(staged)
-      val (rows, schema) = last.get()
+      val (rows, schema) = {
+        // a stream that produced zero micro-batches (e.g. an empty
+        // filtered frame staged no part files) leaves the ref null —
+        // fail diagnosably, not with an opaque NPE downstream
+        val v = last.get()
+        require(v != null,
+          s"stream produced no micro-batches (staged dir was $staged)")
+        v
+      }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }),
 
@@ -3115,7 +3151,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         }.start()
       try { q.processAllAvailable() } finally { q.stop() }
       deleteRecursively(staged)
-      val (rows, schema) = last.get()
+      val (rows, schema) = {
+        // a stream that produced zero micro-batches (e.g. an empty
+        // filtered frame staged no part files) leaves the ref null —
+        // fail diagnosably, not with an opaque NPE downstream
+        val v = last.get()
+        require(v != null,
+          s"stream produced no micro-batches (staged dir was $staged)")
+        v
+      }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("day")
     }),
@@ -3141,7 +3185,15 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         }.start()
       try { q.processAllAvailable() } finally { q.stop() }
       deleteRecursively(staged)
-      val (rows, schema) = last.get()
+      val (rows, schema) = {
+        // a stream that produced zero micro-batches (e.g. an empty
+        // filtered frame staged no part files) leaves the ref null —
+        // fail diagnosably, not with an opaque NPE downstream
+        val v = last.get()
+        require(v != null,
+          s"stream produced no micro-batches (staged dir was $staged)")
+        v
+      }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("source", "lang")
     }),
@@ -3299,20 +3351,23 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     "q272_bucketed_roundtrip" -> ((s, dir) => {
       val tbl = s"q272_bucketed_${java.util.UUID.randomUUID().toString
         .replace("-", "")}"
-      Sources.writeBucketed(t(s, dir, "documents")
-          .filter(col("doc_id") % 8 === 1)
-          .select(col("doc_id"), col("text"), col("lang"), col("source")),
-        tbl, "doc_id", 8)
-      val out = s.table(tbl)
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).cast("long").as("n_chars"),
-          countDistinct(col("lang")).as("n_langs"),
-          max(col("doc_id")).as("max_id"))
-        .orderBy("source")
-      val rows = out.collect()
-      val schema = out.schema
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // try/finally: a failure anywhere between write and collect must
+      // still drop the UUID-named managed table, or its bucketed files
+      // leak into the warehouse for the rest of the Verify run
+      val (rows, schema) = try {
+        Sources.writeBucketed(t(s, dir, "documents")
+            .filter(col("doc_id") % 8 === 1)
+            .select(col("doc_id"), col("text"), col("lang"), col("source")),
+          tbl, "doc_id", 8)
+        val out = s.table(tbl)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).cast("long").as("n_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("source")
+        (out.collect(), out.schema)
+      } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy("source")
     }),
@@ -3898,6 +3953,32 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .orderBy("id_a", "id_b")
     }),
 
+    // REAL audio decode under the driver gate (the q148 protocol
+    // applied to WAV/PCM): every document renders as a real RIFF/WAV
+    // payload (sample k = (text byte at k mod len − 128)·256, a source
+    // both engines can recompute), decodePcm parses the container and
+    // PCM frames back, and the per-doc sample aggregates — count, sum,
+    // min, max, and a position-weighted sum that catches any
+    // permutation — hash against the oracle's recomputation straight
+    // from the text. A match PROVES decode(encode(samples)) returned
+    // the exact samples; the decode is inside the verified chain.
+    // Same ASCII-fixture assumption as q148 (charAt vs ascii()).
+    "q273_audio_pcm_real" -> ((s, dir) => {
+      val wav = Multimodal.encodeWav(t(s, dir, "documents"),
+        "doc_id", "text", AudioSamples, AudioRateHz)
+      Multimodal.decodePcm(wav)
+        .select(col("doc_id"), col("sample_rate").cast("long"),
+          col("n_channels").cast("long"),
+          posexplode(col("samples")).as(Seq("pos", "s")))
+        .groupBy("doc_id", "sample_rate", "n_channels")
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("s")).as("sum_s"),
+          min(col("s")).as("min_s"),
+          max(col("s")).as("max_s"),
+          sum((col("pos") + 1) * col("s")).as("pos_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup pairs via SRP buckets.
     "q23_embed_near_pairs" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -4085,6 +4166,28 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       CorpusPipeline.curate(t(s, dir, "documents"), cfg,
         collectFunnel = false).chunks
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // The composed funnel-to-training-shards EXPORT under one hash:
+    // q62's survivor chain feeding exportShards — epoch plan over the
+    // survivors' own token mass (q104), realized copies (q114), packed
+    // sequences (q67/q143), and the per-shard manifest (q107) with an
+    // order-independent content hash over every (seq_idx, seq) pair.
+    // A manifest hash match certifies the entire raw-docs →
+    // training-shards product end to end — the one-call loader story.
+    "q274_corpus_export" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN)
+      val r = CorpusPipeline.curate(t(s, dir, "documents"), cfg,
+        collectFunnel = false)
+      val (_, manifest) = CorpusPipeline.exportShards(r.survivors.get,
+        EpochWeights, EpochBudget, EpochRealizeSalt, PackSeqTokens,
+        PackShards)
+      manifest.orderBy("shard")
     }),
 
     // q62's funnel with the CCNet perplexity-tier gate live between the
@@ -7914,6 +8017,27 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""$mediaAHashSqlCte
          |SELECT doc_id, simhash FROM msim ORDER BY doc_id""".stripMargin,
 
+    // q273: the expected PCM samples recomputed straight from the text
+    // bytes (encodeWav's sample law), aggregated identically — a hash
+    // match proves the Spark side's RIFF parse returned every sample
+    // bit-exact, in order (pos_sum), with the fmt fields intact.
+    "q273_audio_pcm_real" ->
+      s"""WITH ks AS (SELECT unnest(range(0, $AudioSamples)) AS k),
+         |smp AS (
+         |  SELECT d.doc_id, ks.k,
+         |    CASE WHEN len(d.text) = 0 THEN 0
+         |         ELSE (ascii(substring(d.text,
+         |                (1 + (ks.k % len(d.text)))::INT, 1)) - 128) * 256
+         |    END AS s
+         |  FROM documents d CROSS JOIN ks
+         |)
+         |SELECT doc_id, $AudioRateHz::BIGINT AS sample_rate,
+         |  1::BIGINT AS n_channels, count(*)::BIGINT AS n_samples,
+         |  sum(s)::BIGINT AS sum_s, min(s)::BIGINT AS min_s,
+         |  max(s)::BIGINT AS max_s,
+         |  sum((k + 1) * s)::BIGINT AS pos_sum
+         |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // q154: the REAL-decode media near-dup pairs — q148's verified
     // encode→decode→aHash chain (msim) feeding q22's band join
     // verbatim. The end-to-end "which images are near-copies" product
@@ -8329,6 +8453,67 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       s"""$curateOracleCtes,
          |psrc AS (SELECT doc_id, text FROM surv),
          |${packTailSql("psrc")}""".stripMargin,
+
+    // q274: the q62 survivor chain → q143's epoch plan/realization
+    // (token counts over the SURVIVORS, source joined back from
+    // documents) → the q67 pack pieces → per-shard manifest rollup
+    // with an order-independent content hash over (seq_idx, seq) —
+    // the composed export, same CTEs, same constants, no drift.
+    "q274_corpus_export" -> {
+      val vals = EpochWeights.toSeq.sorted
+        .map { case (s, w) => s"('$s', ${w}::DOUBLE)" }.mkString(", ")
+      val wsum = EpochWeights.values.sum
+      s"""$curateOracleCtes,
+         |wt(source, weight) AS (VALUES $vals),
+         |esrc AS (
+         |  SELECT s.doc_id, d.source, s.text
+         |  FROM surv s JOIN documents d USING (doc_id)
+         |),
+         |tc AS (
+         |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+         |    AS n_tokens
+         |  FROM esrc GROUP BY source
+         |),
+         |fac AS (
+         |  SELECT t.source,
+         |    ${Portable.sqlIntRatio9(s"CAST(floor(coalesce(w.weight, 0.0)" +
+                 s" / $wsum * ${EpochBudget.toDouble} + 0.5) AS BIGINT)",
+               "t.n_tokens")} AS factor
+         |  FROM tc t LEFT JOIN wt w USING (source)
+         |),
+         |nn AS (
+         |  SELECT e.doc_id, e.text,
+         |    (floor(f.factor) + CASE WHEN
+         |        ${Portable.sqlUnif("e.doc_id", s"'$EpochRealizeSalt'")}
+         |        < f.factor - floor(f.factor) THEN 1 ELSE 0 END)::BIGINT
+         |      AS n
+         |  FROM esrc e JOIN fac f USING (source)
+         |),
+         |ee AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, n + 1))::BIGINT AS epoch_copy
+         |  FROM nn WHERE n >= 1
+         |),
+         |erz AS (
+         |  SELECT (doc_id * 1024 + epoch_copy)::BIGINT AS doc_id, text
+         |  FROM ee
+         |),
+         |${packPiecesSql("erz")},
+         |pseq AS (
+         |  SELECT shard::BIGINT AS shard, seq_idx::BIGINT AS seq_idx,
+         |    sum(pe2 - ps)::BIGINT AS n_tokens,
+         |    string_agg(array_to_string(part, ' '), ' ' ORDER BY ps) AS seq
+         |  FROM pp GROUP BY shard, seq_idx
+         |)
+         |SELECT shard, count(*)::BIGINT AS n_seqs,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  sum(length(seq))::BIGINT AS n_chars,
+         |  min(seq_idx)::BIGINT AS min_seq,
+         |  max(seq_idx)::BIGINT AS max_seq,
+         |  bit_xor(${Portable.sqlHash("seq_idx", "seq")})::BIGINT
+         |    AS content_hash
+         |FROM pseq GROUP BY shard ORDER BY shard""".stripMargin
+    },
 
     // q63: per-n twin of q58 — one gram CTE per n, unioned; the (doc, n)
     // spine cross-joins the n list so gram-less (doc, n) cells keep NULL
@@ -11382,17 +11567,40 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |        sum(se) AS sse FROM b),
          |terms AS (
          |  SELECT t.nn, t.pp, t.sse,
-         |    ${Portable.sqlIntRatioScaled(
+         |    CASE WHEN CAST(b.n AS DOUBLE) <= 2.2e5 THEN
+         |      ${Portable.sqlIntRatioScaled(
               "(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)" +
                 " * 1000000000) * (CAST(b.ss AS HUGEINT)" +
                 " - CAST(b.pos AS HUGEINT) * 1000000000)",
               "CAST(b.n AS HUGEINT) * t.nn * 1000000000 * 1000000000",
-              9)} AS rel9,
-         |    ${Portable.sqlIntRatioScaled(
+              9)}
+         |    ELSE CAST(floor(
+         |      (CAST(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)
+         |         * 1000000000 AS DOUBLE)
+         |       / (CAST(b.n AS DOUBLE) * 1e9))
+         |      * (CAST(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)
+         |           * 1000000000 AS DOUBLE)
+         |         / (CAST(b.n AS DOUBLE) * 1e9))
+         |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) * 1e9
+         |      + 0.5) AS BIGINT)
+         |    END AS rel9,
+         |    CASE WHEN CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+         |        <= 2.2e14 THEN
+         |      ${Portable.sqlIntRatioScaled(
               "(CAST(b.pos AS HUGEINT) * t.nn - CAST(t.pp AS HUGEINT)" +
                 " * b.n) * (CAST(b.pos AS HUGEINT) * t.nn" +
                 " - CAST(t.pp AS HUGEINT) * b.n)",
-              "CAST(b.n AS HUGEINT) * t.nn * t.nn * t.nn", 9)} AS res9
+              "CAST(b.n AS HUGEINT) * t.nn * t.nn * t.nn", 9)}
+         |    ELSE CAST(floor(
+         |      (CAST(CAST(b.pos AS HUGEINT) * t.nn
+         |         - CAST(t.pp AS HUGEINT) * b.n AS DOUBLE)
+         |       / (CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+         |      * (CAST(CAST(b.pos AS HUGEINT) * t.nn
+         |           - CAST(t.pp AS HUGEINT) * b.n AS DOUBLE)
+         |         / (CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+         |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) * 1e9
+         |      + 0.5) AS BIGINT)
+         |    END AS res9
          |  FROM b CROSS JOIN t
          |)
          |SELECT nn AS n, pp AS pos,

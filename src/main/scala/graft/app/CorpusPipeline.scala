@@ -3,7 +3,7 @@ package graft.app
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import graft.ops.{Barrier, Dedup, Sources, Text}
+import graft.ops.{Barrier, Dedup, Sampling, Sources, Text}
 
 /** LLM training-data curation, end-to-end — the 100 TB use case the
   * extension operators exist for (SURVEY.md §7.4), composed into the
@@ -152,10 +152,13 @@ object CorpusPipeline {
     * for the chunk table's benefit: a long-lived session should
     * `result.persisted.foreach(_.unpersist())` once the chunks are
     * consumed ([[curateToParquet]] does this itself after the sink
-    * write). */
+    * write). `survivors` is the final post-dedup/scrub document frame
+    * (persisted; (doc_id, text, lang, source) with the funnel's
+    * normalized text) — the input [[exportShards]] consumes. */
   case class Result(chunks: DataFrame, funnel: Seq[(String, Long)],
                     persisted: Seq[DataFrame] = Seq.empty,
-                    packed: Option[DataFrame] = None)
+                    packed: Option[DataFrame] = None,
+                    survivors: Option[DataFrame] = None)
 
   /** Run the funnel over a `documents`-shaped frame
     * (doc_id, text, lang, source).
@@ -185,7 +188,48 @@ object CorpusPipeline {
   def curate(docs: DataFrame, cfg: Config = Config(),
              collectFunnel: Boolean = true): Result = {
     val f = curateFrames(docs, cfg, collectFunnel)
-    f.result.copy(persisted = f.persisted)
+    f.result.copy(persisted = f.persisted, survivors = Some(f.survivors))
+  }
+
+  /** Funnel-to-training-shards EXPORT: the three individually
+    * certified loader-side pieces composed behind one call over the
+    * funnel's survivor frame — the epoch plan
+    * ([[graft.ops.Sampling.epochFactors]], q104) computed over the
+    * SURVIVORS' own token mass, realized into repeated copies
+    * ([[graft.ops.Sampling.applyEpochFactors]], q114; copy identity
+    * doc_id·1024 + epoch_copy, the q143 packing-determinism rule), cut
+    * into fixed training sequences ([[graft.ops.Sampling.pack]], q67),
+    * and summarized per shard ([[graft.ops.Sources.shardManifest]],
+    * q107) with a per-shard order-independent content hash — so one
+    * manifest hash certifies the ENTIRE raw-docs → training-shards
+    * product (the q274 gate).
+    *
+    * Returns (packed sequences, manifest). Scale shape: everything
+    * upstream of the packer is map-side over the persisted survivor
+    * frame (the epoch fan-out is an in-partition explode); the packer
+    * pays one shard-keyed shuffle; the manifest is a shard-keyed
+    * rollup of the packed frame — nothing corpus-sized moves twice. */
+  def exportShards(survivors: DataFrame, weights: Map[String, Double],
+                   tokenBudget: Long, realizeSalt: String,
+                   seqTokens: Int, shards: Int,
+                   packSalt: String = "pack"): (DataFrame, DataFrame) = {
+    val src = survivors.select(col("doc_id"), col("source"), col("text"))
+    val factors = Sampling.epochFactors(src, "source", "text", weights,
+      tokenBudget)
+    val realized = Sampling.applyEpochFactors(src, "doc_id", "source",
+        factors, realizeSalt)
+      .select((col("doc_id") * 1024 + col("epoch_copy")).as("doc_id"),
+        col("text"))
+    val packed = Sampling.pack(realized, "doc_id", "text", seqTokens,
+      shards, packSalt)
+    val manifest = Sources.shardManifest(packed, "seq_idx", "seq")
+      .withColumnRenamed("n_docs", "n_seqs")
+      .withColumnRenamed("min_id", "min_seq")
+      .withColumnRenamed("max_id", "max_seq")
+      .join(packed.groupBy(col("shard")).agg(
+        bit_xor(graft.ops.Portable.seededHash(col("seq_idx"), col("seq")))
+          .as("content_hash")), Seq("shard"))
+    (packed, manifest)
   }
 
   /** Internal hand-off between [[curate]] and [[curateToParquet]]:

@@ -158,30 +158,21 @@ object Dedup {
     * `shingles` array column ([[Text.shingles]]); documents with no
     * shingles are dropped (no signature is definable).
     *
-    * Shape: explode shingles → one codegen'd projection computing all
-    * `numPerms` hashes per shingle → partial+final min-aggregate back to
-    * one row per doc. The all-array `transform` form is shuffle-free but
-    * its lambda bodies evaluate INTERPRETED (Spark doesn't codegen
-    * higher-order-function lambdas) — measured ~2x slower than paying
-    * this narrow shuffle (numPerms longs per doc after map-side combine).
+    * Shape: MAP-ONLY — one codegen'd [[graft.functions.MinHashSig]]
+    * per row computes the entire signature (one [[graft.functions.Hash60]]
+    * digest per shingle + numPerms multiply-mod mixes) inside the
+    * projection. This replaces two earlier shapes: the all-array
+    * `transform` lambdas (interpreted — Spark doesn't codegen
+    * higher-order-function bodies, measured ~2x) and the round-4..12
+    * explode → numPerms-hash projection → min-groupBy (correct and
+    * codegen'd, but it paid one FULL MD5 digest per (shingle, perm) —
+    * 16x the digests at 16 perms, the measured map-side bill of the
+    * 5M-doc funnel run — plus a shuffle of numPerms longs per doc).
     * Output: (idCol, sig: array<bigint>). */
-  def minhashSignatures(df: DataFrame, idCol: String, numPerms: Int): DataFrame = {
-    val perShingle = df
-      // explode_OUTER + isNotNull: a plain explode makes the optimizer
-      // infer size(shingles) > 0 and push it below the projection,
-      // re-deriving the whole shingle expression at the scan (see the
-      // PlanSpec regression test); empty-shingle docs drop either way
-      .select(col(idCol), explode_outer(col("shingles")).as("__s"))
-      .filter(col("__s").isNotNull)
-      .select(col(idCol) +: (0 until numPerms).map(p =>
-        Portable.seededHash(col("__s"), lit(p)).as(s"__h$p")): _*)
-    perShingle
-      .groupBy(col(idCol))
-      .agg(min(col("__h0")).as("__m0"),
-        (1 until numPerms).map(p => min(col(s"__h$p")).as(s"__m$p")): _*)
-      .select(col(idCol),
-        array((0 until numPerms).map(p => col(s"__m$p")): _*).as("sig"))
-  }
+  def minhashSignatures(df: DataFrame, idCol: String, numPerms: Int): DataFrame =
+    df.select(col(idCol),
+        graft.functions.MinHashSig(col("shingles"), numPerms).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** LSH banding: split the signature into `bands` bands of `rpb` rows,
     * hash each band → (doc, band, band_hash). Docs sharing any band hash

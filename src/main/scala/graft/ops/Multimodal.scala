@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: [[decodeGrayGrid]] decodes PNG/BMP payloads
   * with the JDK's own `javax.imageio` (encode twin [[encodePng]];
   * roundtrip law in MultimodalSpec; aHash-over-real-pixels oracle'd as
-  * q148). Audio/video codecs don't exist in this container, so
-  * [[extractFeatures]]'/[[sampleFrames]]' inner decoders remain
-  * clearly-marked deterministic STUBs (byte histogram / byte chunks);
-  * the Spark-side plumbing — schema, binary column handling,
+  * q148). AUDIO decode is REAL for WAV/PCM: [[decodePcm]] parses the
+  * RIFF container and 16-bit PCM frames in pure JDK byte-buffer code
+  * (encode twin [[encodeWav]]; decode(encode(samples)) hash-verified
+  * as q273). Compressed-audio and video codecs don't exist in this
+  * container, so [[extractFeatures]]'/[[sampleFrames]]' inner decoders
+  * remain clearly-marked deterministic STUBs (byte histogram / byte
+  * chunks); the Spark-side plumbing — schema, binary column handling,
   * partition-batch iteration, typed output — is real and tested either
   * way. Swapping a stub for a JNI/ONNX decoder changes one function.
   *
@@ -352,6 +355,133 @@ object Multimodal {
            |           shiftleft(CAST(1 AS BIGINT), k),
            |           CAST(0 AS BIGINT)))""".stripMargin))
       .select(col("doc_id"), col("simhash"))
+  }
+
+  /** Encode per-document deterministic 16-bit PCM mono audio as REAL
+    * WAV payloads (canonical 44-byte RIFF header + little-endian PCM
+    * data — pure JDK, no codec dependency): sample k is the document's
+    * text byte at position k mod len, centered and scaled to the
+    * int16 range — `(byte − 128) · 256` — a sample source both engines
+    * can recompute (`(ascii(substr(text, …)) − 128) · 256`), so a
+    * downstream oracle can verify a real decode end-to-end (the
+    * [[encodePng]] recipe applied verbatim to audio). Empty texts
+    * yield silence. Map-only per-partition batches. */
+  def encodeWav(df: DataFrame, idCol: String, textCol: String,
+                nSamples: Int, sampleRateHz: Int): DataFrame = {
+    require(nSamples >= 1 && sampleRateHz >= 1,
+      s"nSamples/sampleRateHz must be >= 1, got $nSamples/$sampleRateHz")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          val dataSize = nSamples * 2
+          val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1) // PCM
+            .putShort(1) // mono
+            .putInt(sampleRateHz)
+            .putInt(sampleRateHz * 2) // byte rate = rate·channels·2
+            .putShort(2) // block align
+            .putShort(16) // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var k = 0
+          while (k < nSamples) {
+            val s =
+              if (t.isEmpty) 0
+              else ((t.charAt(k % t.length).toInt & 0xff) - 128) * 256
+            buf.putShort(s.toShort)
+            k += 1
+          }
+          (id, buf.array())
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode: payloads whose magic bytes say RIFF/WAVE are
+    * parsed with a pure-JDK chunk walker — `fmt ` (must be
+    * uncompressed 16-bit PCM) then `data`, little-endian int16 samples
+    * out as `array<bigint>` — (doc_id, sample_rate, n_channels,
+    * samples), channels left interleaved. Payloads that are NOT RIFF
+    * fall back to the byte-stream stub (each payload byte as one
+    * unsigned sample, rate/channels −1 — the mixed-table path
+    * [[decodeGrayGrid]] documents). RIFF payloads that are truncated,
+    * compressed, or not 16-bit yield a null samples column — a poison
+    * row the caller can audit, never a crash.
+    *
+    * Per-partition batches (`mapPartitions`); payloads never shuffle;
+    * only (id, samples) leaves the map. This retires the audio half of
+    * the round-1..12 stub ledger: [[extractFeatures]]' byte histogram
+    * remains the generic-blob feature path, but PCM audio now has a
+    * real decoded-sample path the q-gate hash-verifies
+    * (decode(encode(samples)) bit-exact). */
+  def decodePcm(payloadDf: DataFrame): DataFrame = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          def ascii4(off: Int): String =
+            new String(bytes, off, 4, "US-ASCII")
+          val isRiff = bytes.length >= 12 &&
+            ascii4(0) == "RIFF" && ascii4(8) == "WAVE"
+          if (isRiff) {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var off = 12
+            var rate = -1
+            var channels = -1
+            var ok = false // fmt seen, PCM, 16-bit
+            var samples: Array[Long] = null
+            var poison = false
+            while (!poison && samples == null && off + 8 <= bytes.length) {
+              val cid = ascii4(off)
+              val csize = bb.getInt(off + 4)
+              if (csize < 0 || off + 8 + csize > bytes.length) poison = true
+              else cid match {
+                case "fmt " =>
+                  if (csize < 16) poison = true
+                  else {
+                    val fmt = bb.getShort(off + 8).toInt
+                    channels = bb.getShort(off + 10).toInt
+                    rate = bb.getInt(off + 12)
+                    val bits = bb.getShort(off + 22).toInt
+                    if (fmt != 1 || bits != 16 || channels < 1) poison = true
+                    else ok = true
+                  }
+                  off += 8 + csize + (csize & 1)
+                case "data" =>
+                  if (!ok) poison = true // data before a valid fmt
+                  else {
+                    val n = csize / 2
+                    val out = new Array[Long](n)
+                    var i = 0
+                    while (i < n) {
+                      out(i) = bb.getShort(off + 8 + 2 * i).toLong
+                      i += 1
+                    }
+                    samples = out
+                  }
+                case _ => off += 8 + csize + (csize & 1)
+              }
+            }
+            if (poison || samples == null) (id, -1, -1, null: Array[Long])
+            else (id, rate, channels, samples)
+          } else {
+            // stub path: every payload byte as one unsigned sample
+            val out = new Array[Long](bytes.length)
+            var i = 0
+            while (i < bytes.length) { out(i) = (bytes(i) & 0xff).toLong; i += 1 }
+            (id, -1, -1, out)
+          }
+        }
+      }.toDF("doc_id", "sample_rate", "n_channels", "samples")
   }
 
   def extractFeatures(payloadDf: DataFrame): Dataset[FeatureRow] = {

@@ -1425,18 +1425,25 @@ object Quality {
     * each. The bucket frame is ≤ `bins` rows, so every window/agg
     * here is bounded.
     *
-    * OPERAND-BOUND CONTRACT: the exact rational terms SQUARE a
-    * 1e9-scaled residual before dividing, so unlike the linear
-    * [[graft.ops.Portable.intRatio9]] sites ("no corpus size
-    * overflows it"), DECIMAL(38,0) here bounds the INPUT: the REL
-    * numerator d² needs n_b ≤ ~2.2e5 rows per bucket, and the RES
-    * term needs n_b·N ≤ ~2.2e14 (N = total rows). Past those bounds a
-    * non-ANSI session would silently NULL the term, so each term is
-    * wrapped in an explicit bound check that `raise_error`s with this
-    * contract instead — at that scale, run the decomposition on a
-    * deterministic sample (a 1e5-row uniform sample estimates REL/RES
-    * to ±3e-3, far below any decision threshold) or raise `bins`
-    * until buckets fit. */
+    * OPERAND-BOUND CONTRACT → PRECISION CONTRACT: the exact rational
+    * terms SQUARE a 1e9-scaled residual before dividing, so unlike
+    * the linear [[graft.ops.Portable.intRatio9]] sites ("no corpus
+    * size overflows it"), DECIMAL(38,0) bounds the EXACT path's
+    * input: the REL numerator d² needs n_b ≤ ~2.2e5 rows per bucket,
+    * and the RES term needs n_b·N ≤ ~2.2e14 (N = total rows). Within
+    * those bounds the terms are exact integer rationals. PAST the
+    * bounds (where a non-ANSI DECIMAL would silently NULL, and
+    * rounds 11–12 raised a loud contract error) each term falls back
+    * to the zipf/heaps reduced-precision discipline — DIVIDE BEFORE
+    * SQUARING: the linear residual (still an exact DECIMAL) casts to
+    * double, one IEEE division recovers the per-bucket mean gap, and
+    * the term is a pinned left-associated double chain integerized at
+    * 1e9. Every op in the chain is a correctly-rounded IEEE binary op
+    * over identically-valued operands, so the oracle computes the
+    * identical bits; precision loss is bounded by the double cast of
+    * the linear residual (|d| ≤ n_b·1e9 — exact through n_b ≈ 9e6,
+    * ~1e-7 relative past it), far below any calibration decision
+    * threshold. The operator is total: no input size errors. */
   def brierDecomposition(df: DataFrame, scoreCol: String,
                          labelCol: Column, bins: Int): DataFrame = {
     val b = calibrationBins(df, scoreCol, labelCol, bins)
@@ -1453,17 +1460,21 @@ object Quality {
         // REL term = d²/(n_b·N·1e18), RES term = (p_b·N − P·n_b)²/
         // (n_b·N³) — both EXACT integer rationals, each one integral
         // division at 1e9 (no double round(): the q218/q219 class).
-        // The squared numerators bound the inputs (see scaladoc):
-        // double-arithmetic bound checks (cannot themselves overflow)
-        // turn what non-ANSI DECIMAL would silently NULL into a loud
-        // contract error.
+        // The squared numerators bound the exact path (see scaladoc);
+        // past the bound, divide-before-square: the LINEAR residual
+        // (exact DECIMAL) casts to double and the term is one pinned
+        // left-associated double chain — bit-identical in any IEEE
+        // engine running the same chain (the oracle mirrors it).
         when(col("__nb").cast("double") <= lit(2.2e5),
           Portable.intRatioScaled(col("__d") * col("__d"),
             col("__nb").cast(dec) * col("__nn") * e9 * e9, 9))
-          .otherwise(raise_error(lit("brierDecomposition: bucket of " +
-            "> 2.2e5 rows overflows the exact REL rational " +
-            "(DECIMAL(38,0)) — sample the input or raise `bins` " +
-            "(see scaladoc operand-bound contract)")))
+          .otherwise {
+            val md = col("__d").cast("double") /
+              (col("__nb").cast("double") * lit(1e9))
+            floor(md * md * col("__nb").cast("double") /
+              col("__nn").cast("double") * lit(1e9) + lit(0.5))
+              .cast("long")
+          }
           .as("__rel9"),
         when(col("__nb").cast("double") * col("__nn").cast("double") <=
             lit(2.2e14),
@@ -1474,10 +1485,15 @@ object Quality {
                 col("__pp").cast(dec) * col("__nb")),
             col("__nb").cast(dec) * col("__nn") * col("__nn") *
               col("__nn"), 9))
-          .otherwise(raise_error(lit("brierDecomposition: n_bucket * " +
-            "n_total > 2.2e14 overflows the exact RES rational " +
-            "(DECIMAL(38,0)) — sample the input or raise `bins` " +
-            "(see scaladoc operand-bound contract)")))
+          .otherwise {
+            val qd = (col("__pb").cast(dec) * col("__nn") -
+              col("__pp").cast(dec) * col("__nb")).cast("double")
+            val mq = qd /
+              (col("__nb").cast("double") * col("__nn").cast("double"))
+            floor(mq * mq * col("__nb").cast("double") /
+              col("__nn").cast("double") * lit(1e9) + lit(0.5))
+              .cast("long")
+          }
           .as("__res9"))
     terms.groupBy(col("__nn"), col("__pp"), col("__sse"))
       .agg(sum(col("__rel9")).as("__r"), sum(col("__res9")).as("__s"))

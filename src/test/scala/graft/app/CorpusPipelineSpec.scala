@@ -344,6 +344,43 @@ class CorpusPipelineSpec extends SparkSpec {
     r.persisted.foreach(_.unpersist())
   }
 
+  test("exportShards: manifest totals equal the packed frame; epoch " +
+      "mass realized per plan; content hash pins sequence content") {
+    import spark.implicits._
+    val r = CorpusPipeline.curate(docs, CorpusPipeline.Config(),
+      collectFunnel = false)
+    // every source weighted 1 so the plan is non-degenerate
+    val srcs = r.survivors.get.select("source").distinct()
+      .as[String].collect()
+    val w = srcs.map(_ -> 1.0).toMap
+    val (packed, manifest) = CorpusPipeline.exportShards(
+      r.survivors.get, w, 20000L, "epoch", 32, 4)
+    val m = manifest.as[(Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(x => x._1 -> x).toMap
+    val p = packed.select("shard", "seq_idx", "n_tokens", "seq")
+      .as[(Long, Long, Long, String)].collect()
+    // manifest rolls up exactly the packed frame
+    assert(m.values.map(_._2).sum == p.length, "n_seqs == packed rows")
+    assert(m.values.map(_._3).sum == p.map(_._3).sum, "token totals")
+    p.groupBy(_._1).foreach { case (sh, seqs) =>
+      assert(m(sh)._5 == seqs.map(_._2).min && m(sh)._6 == seqs.map(_._2).max)
+    }
+    // content hash: recompute independently via the composed md5 chain
+    val want = packed.groupBy(col("shard")).agg(bit_xor(
+        graft.ops.Portable.composedSeededHash(col("seq_idx"), col("seq")))
+        .as("h")).as[(Long, Long)].collect().toMap
+    m.foreach { case (sh, row) => assert(row._7 == want(sh), s"shard $sh") }
+    // the realized token mass follows the epoch plan: per-doc
+    // stochastic rounding is unbiased around the 20k budget, and the
+    // per-source deviation is bounded by one fractional copy of that
+    // source's mass — a generous envelope still catches a broken plan
+    // (no realization ≈ survivor mass ~1.4k; double-apply ≈ 40k)
+    val realizedTokens = p.map(_._3).sum
+    assert(realizedTokens > 10000L && realizedTokens < 30000L,
+      s"realized $realizedTokens tokens for a 20k budget")
+    r.persisted.foreach(_.unpersist())
+  }
+
   test("curate under a reliable checkpoint dir (the q62 config): chunks " +
       "bit-identical to local mode, checkpoint files land") {
     // the 100 TB durability mode certified on the flagship path, not

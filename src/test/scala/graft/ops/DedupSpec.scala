@@ -155,9 +155,12 @@ class DedupSpec extends SparkSpec {
       Text.shingles(Text.tokens($"text"), 3).as("shingles"))
     val clustered = Dedup.dedupNearClustered(docs, "doc_id", sh, 16, 4, 4, 0.5)
       .select("doc_id").as[Long].collect().toSet
-    // component {1,2} (3's jaccard vs 1 falls under tau) -> rep 1
-    // survives; 3, 4, 5 unpaired -> survive
-    assert(clustered == Set(1L, 3L, 4L, 5L))
+    // true jaccard(1,3) = 5/9 >= tau, and the shipped MinHash kernel's
+    // 4x4 banding surfaces the candidate (at j=0.556 the S-curve gives
+    // ~33% — whether a given pair collides is kernel-deterministic but
+    // hash-family-dependent; re-pin if the kernel legitimately changes)
+    // -> component {1,2,3}, rep 1 survives; 4, 5 unpaired -> survive
+    assert(clustered == Set(1L, 4L, 5L))
     // greedy twin keeps the same set here (every link names the min id);
     // both policies agree when the pair list is transitively closed
     val greedy = Dedup.dedupNear(docs, "doc_id", sh, 16, 4, 4, 0.5)
@@ -243,8 +246,11 @@ class DedupSpec extends SparkSpec {
     val exactClean = Dedup.dedupExactAgainst(batch, docs, "doc_id", "text")
     assert(exactClean.select("doc_id").as[Long].collect().toSet ==
       Set(11L, 12L, 13L, 14L)) // only the verbatim re-crawl dropped
+    // 8 bands of 2 rows: at j(11,1) = 6/8 the 4x4 banding's recall is
+    // a hash-family coin flip (~68%); 8x2 takes the miss probability to
+    // ~1e-3 so the expectation is robust to kernel changes
     val nearClean = Dedup.dedupNearAgainst(exactClean, "doc_id",
-      sh(batch), sh(docs), 16, 4, 4, 0.5)
+      sh(batch), sh(docs), 16, 8, 2, 0.5)
     // 11 jaccard-matches existing doc 1; the in-batch pair SURVIVES
     assert(nearClean.select("doc_id").as[Long].collect().toSet ==
       Set(12L, 13L, 14L))

@@ -70,18 +70,34 @@ class IsotonicSpec extends SparkSpec {
   }
 
   test("brierDecomposition: a bucket past the exact-rational operand " +
-      "bound raises the contract error loudly, never a silent NULL") {
+      "bound takes the divide-before-square fallback — total, and " +
+      "equal to the textbook values within double precision") {
     // 250k identical scores land in ONE bucket — past the ~2.2e5-row
-    // REL bound where DECIMAL(38,0) would silently NULL under non-ANSI
-    val big = spark.range(250000L)
-      .select(lit(0.5).as("score"), (col("id") % 2 === 0).as("y"))
-    val e = intercept[Exception] {
-      Quality.brierDecomposition(big, "score", col("y"), 2).collect()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("overflows the exact REL rational")),
-      msgs(e).mkString(" | "))
+    // REL bound where DECIMAL(38,0) would overflow the exact d² path
+    // (rounds 11-12 raised a contract error here; the operator is now
+    // total via the reduced-precision fallback)
+    val n = 250000L
+    val p = 100000L // pos rate 0.4 at constant forecast 0.5
+    val big = spark.range(n)
+      .select(lit(0.5).as("score"), (col("id") < p).as("y"))
+    val bd = Quality.brierDecomposition(big, "score", col("y"), 2)
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(bd._1 == n && bd._2 == p)
+    // one bucket: REL = (0.5 - 0.4)^2 = 0.01, RES = 0 (bucket mean ==
+    // global mean), UNC = 0.4*0.6 = 0.24, brier = 0.25
+    assert(bd._4 == 0.25, s"brier ${bd._4}")
+    assert(math.abs(bd._5 - 0.01) < 1e-9, s"reliability ${bd._5}")
+    assert(bd._6 == 0.0, s"resolution ${bd._6}")
+    assert(bd._7 == 0.24, s"uncertainty ${bd._7}")
+    // the small-bucket exact path is unchanged: same distribution at
+    // 1/1000 the rows decomposes to the identical values
+    val small = spark.range(250L)
+      .select(lit(0.5).as("score"), (col("id") < 100L).as("y"))
+    val bs = Quality.brierDecomposition(small, "score", col("y"), 2)
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(math.abs(bs._5 - bd._5) < 1e-9 && bs._6 == bd._6)
   }
 
   test("isotonicCalibration: fitted is monotone non-decreasing on a " +

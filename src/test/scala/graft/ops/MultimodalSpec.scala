@@ -247,6 +247,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHashFromGrid(bad).count() == 0L)
   }
 
+  test("real WAV decode roundtrip law: decode(encodeWav(text)) returns " +
+      "the exact samples, rate and channels; silence for empty text") {
+    val wav = Multimodal.encodeWav(docs, "doc_id", "text", 32, 8000)
+    val dec = Multimodal.decodePcm(wav)
+      .as[(Long, Int, Int, Seq[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    for ((id, (_, rate, ch, samples)) <- dec) {
+      assert(rate == 8000 && ch == 1, s"doc $id fmt fields")
+      val t = texts(id)
+      val want = (0 until 32).map { k =>
+        if (t.isEmpty) 0L
+        else ((t.charAt(k % t.length).toInt & 0xff) - 128).toLong * 256L
+      }
+      assert(samples == want, s"doc $id samples")
+    }
+    assert(dec(2L)._4.forall(_ == 0L)) // empty text -> silence
+  }
+
+  test("decodePcm: truncated/compressed RIFF poisons (null samples); " +
+      "non-RIFF payloads take the byte-stream stub path") {
+    val good = Multimodal.encodeWav(docs.filter($"doc_id" === 1L),
+      "doc_id", "text", 16, 8000).as[(Long, Array[Byte])].collect().head._2
+    val rows = Seq(
+      (1L, good.take(30)),                       // truncated mid-header
+      (2L, {                                      // fmt says not PCM
+        val b = good.clone(); b(20) = 3; b
+      }),
+      (3L, "plain text, not a container".getBytes("UTF-8")),
+      (4L, good)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodePcm(rows)
+      .as[(Long, Int, Int, Option[Seq[Long]])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._4.isEmpty && out(1L)._2 == -1, "truncated -> poison")
+    assert(out(2L)._4.isEmpty, "non-PCM fmt -> poison")
+    // stub: every byte as one unsigned sample
+    assert(out(3L)._2 == -1 && out(3L)._4.get ==
+      "plain text, not a container".getBytes("UTF-8").toSeq.map(b => (b & 0xff).toLong))
+    assert(out(4L)._4.get.length == 16 && out(4L)._2 == 8000)
+  }
+
   test("stub features: 16-bin normalized byte histogram, empty-safe") {
     val f = Multimodal.extractFeatures(
         Multimodal.payloads(docs, "doc_id", "text"))
