@@ -10,28 +10,55 @@ object Bench {
     * a failing pass still spent the wall-clock). */
   def passTotal(p: Pass): Double = p.values.map(_._1).sum
 
+  /** Per-query first-execution allowance subtracted from the pass-total
+    * gap before the 15% wire fires: pass 1 is every query's FIRST
+    * execution in the JVM and systematically carries ~0.3 s/query of
+    * one-time codegen/classload — measured 79 s over 272 queries (r12,
+    * 530.6 vs 451.5) and 86 s over 274 (r13, 454.0 vs 368.4), BOTH on
+    * clean boxes — so a relative-only band stopped fitting once the
+    * suite outgrew ~200 queries and flagged every run contended. True
+    * co-tenancy steals whole seconds per query across the board (r8:
+    * 208 s over ~180 queries), which clears the allowance; theft
+    * concentrated in a few queries (the r9 signature) is
+    * [[perQueryDivergent]]'s job either way. */
+  val FirstRunSecPerQuery = 0.35
+
   /** The contended-run trip wire, part 1: two pass totals more than
-    * 15% apart (the documented idle-box noise band) mean a co-tenant
-    * stole the box for one of them, and every two-pass min is suspect.
-    * Round 9's driver run diverged 23% and slipped under the old 25%
-    * wire while individual funnel queries read 3-4x their idle cost —
-    * hence the band-edge threshold plus [[perQueryDivergent]]. */
-  def divergent(a: Double, b: Double): Boolean =
-    math.abs(a - b) / math.max(math.min(a, b), 1e-9) > 0.15
+    * 15% apart (the documented idle-box noise band) BEYOND the
+    * [[FirstRunSecPerQuery]]·n first-execution allowance mean a
+    * co-tenant stole the box for one of them, and every two-pass min
+    * is suspect. Round 9's driver run diverged 23% and slipped under
+    * the old 25% wire while individual funnel queries read 3-4x their
+    * idle cost — hence the band-edge threshold plus
+    * [[perQueryDivergent]]. `n` is the suite size (0 = no allowance,
+    * for comparing two equally-warm totals). */
+  def divergent(a: Double, b: Double, n: Int = 0): Boolean =
+    math.abs(a - b) - FirstRunSecPerQuery * n >
+      0.15 * math.max(math.min(a, b), 1e-9)
 
   /** The trip wire, part 2: totals AVERAGE contention away (r9: q62
     * read 3x between passes while totals sat 23% apart), so also trip
     * when any single query's two successful passes disagree by more
-    * than 2x above a 1 s floor (sub-second queries jitter freely —
-    * scheduling noise, not co-tenancy). */
-  def perQueryDivergent(a: Pass, b: Pass): Boolean =
-    a.keys.exists { n =>
+    * than `factor`x above a 1 s floor (sub-second queries jitter
+    * freely — scheduling noise, not co-tenancy). The TRIGGER
+    * comparison (pass 1 vs 2) uses the default 2x; the VERDICT
+    * comparison (the two warm passes) uses 3x, because a 274-query
+    * suite under an 8 GB driver evicts cached frames stochastically
+    * between warm passes — a mid-size persist-reusing query
+    * legitimately reads ~2x when its cache went cold (measured on
+    * idle-box runs), while r9-style theft read 4x. */
+  def suspects(a: Pass, b: Pass, factor: Double = 2.0): Seq[String] =
+    a.keys.toSeq.sorted.filter { n =>
       (a(n), b(n)) match {
         case ((ta, None), (tb, None)) =>
-          math.min(ta, tb) >= 1.0 && math.max(ta, tb) > 2.0 * math.min(ta, tb)
+          math.min(ta, tb) >= 1.0 &&
+            math.max(ta, tb) > factor * math.min(ta, tb)
         case _ => false
       }
     }
+
+  def perQueryDivergent(a: Pass, b: Pass, factor: Double = 2.0): Boolean =
+    suspects(a, b, factor).nonEmpty
 
   /** Per-query min over the passes that SUCCEEDED; a query that failed
     * in every pass falls back to the min elapsed (which then measures
@@ -133,19 +160,30 @@ object Bench {
     val obs = names.map { n => n -> (timeOnce(n), timeOnce(n)) }
     val pass1 = obs.map { case (n, (a, _)) => n -> a }.toMap
     val pass2 = obs.map { case (n, (_, b)) => n -> b }.toMap
-    // Contention self-defense: pass totals agreeing within ~15% is the
-    // trustworthy-run signature; >25% apart ([[divergent]]) means a
-    // co-tenant stole the box for one pass and EVERY min would be
-    // suspect — run a third pass and min-fold all three (two of three
-    // passes land on the quiet side in practice), and flag the artifact
-    // so a reader knows the numbers came from a defended run.
-    // (BENCH_r08's 431.7 vs 223.6 s passes made every funnel row a lie
-    // — this is the fix.)
-    val contended = divergent(passTotal(pass1), passTotal(pass2)) ||
-      perQueryDivergent(pass1, pass2)
-    val passes =
-      if (contended) Seq(pass1, pass2, names.map(n => n -> timeOnce(n)).toMap)
-      else Seq(pass1, pass2)
+    // Contention self-defense: pass totals agreeing (within ~15% past
+    // the first-run allowance) is the trustworthy-run signature —
+    // disagreement means a co-tenant MAY have stolen the box for one
+    // pass, so run a third pass and min-fold all three (two of three
+    // passes land on the quiet side in practice). (BENCH_r08's 431.7
+    // vs 223.6 s passes made every funnel row a lie — this is the
+    // fix.) The pass-1 wires only TRIGGER the defense pass; they do
+    // not convict: pass 1 is every query's first execution and pays
+    // planning+codegen (~5 s on the composed funnel entries — q62
+    // reads 10.2 s cold vs 4.4 s warm on an idle box, structurally
+    // tripping the 2x per-query wire on every clean run). The VERDICT
+    // compares the two equally-warm passes 2 and 3, where only real
+    // co-tenancy (or block-manager drift worth flagging) shows.
+    val triggered =
+      divergent(passTotal(pass1), passTotal(pass2), names.size) ||
+        perQueryDivergent(pass1, pass2)
+    val (passes, contended, suspectList) =
+      if (triggered) {
+        val pass3 = names.map(n => n -> timeOnce(n)).toMap
+        val sus = suspects(pass2, pass3, factor = 3.0)
+        (Seq(pass1, pass2, pass3),
+          divergent(passTotal(pass2), passTotal(pass3)) || sus.nonEmpty,
+          sus)
+      } else (Seq(pass1, pass2), false, Seq.empty[String])
     val results = minFold(names, passes)
     errors = names.flatMap(n => allFailMessage(n, passes)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -163,14 +201,16 @@ object Bench {
     // fields (metric/unit/value/pass_totals) go LAST — a truncated
     // capture still ends with the totals (r10/r11 artifacts lost them
     // and parsed as null with the old totals-first order)
-    val line = s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"pass_totals":$passTotals,"metric":"total","unit":"sec","value":$totalMin}"""
+    val susJson = suspectList.take(10)
+      .map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val line = s"""{"queries":$qs,"errors":$errs,"sf":"$sfDir","contended":$contended,"suspects":$susJson,"pass_totals":$passTotals,"metric":"total","unit":"sec","value":$totalMin}"""
     println(line)
     // Second, SHORT summary line AFTER the big one: the driver keeps the
     // log tail, and the ~9 KB full line loses its head under the capture
     // window (r12's artifact had readable totals but still parsed as
     // null because the line's opening brace was gone). This line is
     // ~150 bytes — it survives any truncation and parses on its own.
-    println(s"""{"metric":"total","unit":"sec","value":$totalMin,"sf":"$sfDir","contended":$contended,"pass_totals":$passTotals,"nqueries":${names.size},"nerrors":${errors.size}}""")
+    println(s"""{"metric":"total","unit":"sec","value":$totalMin,"sf":"$sfDir","contended":$contended,"suspects":$susJson,"pass_totals":$passTotals,"nqueries":${names.size},"nerrors":${errors.size}}""")
     // Also persist to a file: the driver's artifact captures only the
     // log TAIL, which truncated away the totals + 88 per-query rows in
     // round 7 once the suite outgrew the capture window. The file is the

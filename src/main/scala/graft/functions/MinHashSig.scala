@@ -154,3 +154,45 @@ object MinHashSig {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(a), numPerms))
   }
 }
+
+/** Permutation p's mix of a pre-computed [[Hash60]] base —
+  * `(coefA(p)·h + coefB(p)) mod (2^61 − 1)` as a scalar expression, so
+  * the relational MinHash shape ([[graft.ops.Dedup.minhashSignatures]])
+  * can pay ONE digest per shingle in its own projection column and
+  * derive all permutations with these (codegen'd, ~ns) mixes. Null
+  * propagates from the child. */
+case class MinHashMix(child: Expression, perm: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType if perm >= 0 => TypeCheckResult.TypeCheckSuccess
+    case LongType =>
+      TypeCheckResult.TypeCheckFailure(s"perm must be >= 0, got $perm")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_mix expects bigint, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(h: Any): Any =
+    MinHashSig.mix(h.asInstanceOf[Long],
+      MinHashSig.coefA(perm), MinHashSig.coefB(perm))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = MinHashSig.coefA(perm)
+    val b = MinHashSig.coefB(perm)
+    defineCodeGen(ctx, ev,
+      h => s"graft.functions.MinHashSig.mix($h, ${a}L, ${b}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashMix {
+  /** Column-API entry. */
+  def apply(h: Column, perm: Int)(implicit d: DummyImplicit): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MinHashMix(ColumnBridge.expression(h), perm))
+  }
+}

@@ -158,21 +158,47 @@ object Dedup {
     * `shingles` array column ([[Text.shingles]]); documents with no
     * shingles are dropped (no signature is definable).
     *
-    * Shape: MAP-ONLY — one codegen'd [[graft.functions.MinHashSig]]
-    * per row computes the entire signature (one [[graft.functions.Hash60]]
-    * digest per shingle + numPerms multiply-mod mixes) inside the
-    * projection. This replaces two earlier shapes: the all-array
-    * `transform` lambdas (interpreted — Spark doesn't codegen
-    * higher-order-function bodies, measured ~2x) and the round-4..12
-    * explode → numPerms-hash projection → min-groupBy (correct and
-    * codegen'd, but it paid one FULL MD5 digest per (shingle, perm) —
-    * 16x the digests at 16 perms, the measured map-side bill of the
-    * 5M-doc funnel run — plus a shuffle of numPerms longs per doc).
-    * Output: (idCol, sig: array<bigint>). */
-  def minhashSignatures(df: DataFrame, idCol: String, numPerms: Int): DataFrame =
-    df.select(col(idCol),
-        graft.functions.MinHashSig(col("shingles"), numPerms).as("sig"))
-      .filter(col("sig").isNotNull)
+    * Shape: explode shingles → ONE codegen'd [[graft.functions.Hash60]]
+    * digest per shingle → numPerms [[graft.functions.MinHashMix]]
+    * multiply-mod mixes (~ns each) → partial+final min-aggregate back
+    * to one row per doc. Three shapes were measured before this one:
+    * the all-array `transform` lambdas (interpreted — Spark doesn't
+    * codegen higher-order-function bodies, ~2x), the round-4..12
+    * explode form with one FULL MD5 digest per (shingle, perm) — 16x
+    * the digests at 16 perms, the thread-sampled map-side bill of the
+    * 5M-doc funnel run — and a fully MAP-ONLY per-row
+    * [[graft.functions.MinHashSig]] projection, which priced the
+    * digests right but REGRESSED the q43/q51 near-dup family ~4x:
+    * without the groupBy there is no exchange below the band
+    * self-join, so each join side re-derived the whole
+    * tokenize→shingle→sign chain from the scan (and CollapseProject
+    * inlined the signature into every element_at). The narrow shuffle
+    * (numPerms longs per doc after map-side combine) buys exchange
+    * REUSE for every downstream self-join — it is the cheap half of
+    * the trade at any scale. Output: (idCol, sig: array<bigint>). */
+  def minhashSignatures(df: DataFrame, idCol: String, numPerms: Int): DataFrame = {
+    val perShingle = df
+      // explode_OUTER + isNotNull: a plain explode makes the optimizer
+      // infer size(shingles) > 0 and push it below the projection,
+      // re-deriving the whole shingle expression at the scan (see the
+      // PlanSpec regression test); empty-shingle docs drop either way
+      .select(col(idCol), explode_outer(col("shingles")).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol) +: (0 until numPerms).map(p =>
+        graft.functions.MinHashMix(
+          Portable.seededHash(col("__s")), p).as(s"__h$p")): _*)
+    // one digest feeds all mixes: the collapsed projection repeats
+    // Hash60(__s) per perm SYNTACTICALLY, but whole-stage codegen's
+    // subexpression elimination evaluates it once per row (the r12
+    // form's per-perm Hash60(__s, p) digests were DISTINCT expressions
+    // no CSE could merge — that one-character difference is the 16x)
+    perShingle
+      .groupBy(col(idCol))
+      .agg(min(col("__h0")).as("__m0"),
+        (1 until numPerms).map(p => min(col(s"__h$p")).as(s"__m$p")): _*)
+      .select(col(idCol),
+        array((0 until numPerms).map(p => col(s"__m$p")): _*).as("sig"))
+  }
 
   /** LSH banding: split the signature into `bands` bands of `rpb` rows,
     * hash each band → (doc, band, band_hash). Docs sharing any band hash

@@ -18,6 +18,18 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.divergent(431.7, 223.6)) // symmetric
   }
 
+  test("divergent with the first-run allowance: pass-1 codegen bias on " +
+      "a big suite doesn't trip; whole-box theft still does") {
+    // the r12/r13 false-positive class: ~0.3 s/query of first-execution
+    // codegen lands in pass 1 — observed clean-box totals
+    assert(!Bench.divergent(530.6, 451.5, 272)) // BENCH_r12
+    assert(!Bench.divergent(454.0, 368.4, 274)) // r13 idle re-run
+    // real co-tenancy (r8 signature) clears any plausible allowance
+    assert(Bench.divergent(431.7, 223.6, 180))
+    // the allowance never masks large relative theft on small suites
+    assert(Bench.divergent(100.0, 130.0, 16))
+  }
+
   test("perQueryDivergent: any >2x single-query swing above the 1 s " +
       "floor trips; sub-second jitter and failed passes don't") {
     // the r9 signature: totals 23% apart, q62 7.2 s vs 28.9 s
@@ -32,6 +44,17 @@ class BenchSpec extends AnyFunSuite {
     // a failed pass measures the failure, not contention
     val failed: Bench.Pass = Map("q1" -> (30.0, Some("boom")))
     assert(!Bench.perQueryDivergent(pass("q1" -> 5.0), failed))
+  }
+
+  test("suspects + the 3x verdict factor: warm-pass cache-eviction " +
+      "jitter (~2x) stays quiet, r9-style theft still convicts") {
+    val warm2 = pass("q62" -> 4.4, "q80" -> 6.2, "q255" -> 10.8)
+    val evicted = pass("q62" -> 9.5, "q80" -> 6.0, "q255" -> 10.1)
+    assert(Bench.suspects(warm2, evicted) == Seq("q62")) // 2x trigger
+    assert(!Bench.perQueryDivergent(warm2, evicted, factor = 3.0))
+    val theft = pass("q62" -> 28.9, "q80" -> 6.0, "q255" -> 10.1)
+    assert(Bench.perQueryDivergent(warm2, theft, factor = 3.0))
+    assert(Bench.suspects(warm2, theft, 3.0) == Seq("q62"))
   }
 
   test("minFold: a contended pass never wins; third pass folds in") {
