@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through RAW instead of
+// re-logging each line with an `[info] ` prefix: Bench's final JSON
+// summary line must reach log-tail parsers as a line that BEGINS with
+// `{` (the r13 driver artifact captured the line but could not parse
+// `[info] {...}`).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,10 +30,15 @@ object Bench {
     * is suspect. Round 9's driver run diverged 23% and slipped under
     * the old 25% wire while individual funnel queries read 3-4x their
     * idle cost — hence the band-edge threshold plus
-    * [[perQueryDivergent]]. `n` is the suite size (0 = no allowance,
-    * for comparing two equally-warm totals). */
+    * [[perQueryDivergent]]. `a` is pass 1 (the first-execution pass),
+    * `b` pass 2; the allowance is DIRECTION-AWARE — it only excuses
+    * pass 1 being the slower total, because codegen/classload cannot
+    * make pass 2 slower: evenly-spread co-tenant theft landing in
+    * pass 2 must still trip. `n` is the suite size (0 = no allowance,
+    * for comparing two equally-warm totals, where the wire is
+    * symmetric). */
   def divergent(a: Double, b: Double, n: Int = 0): Boolean =
-    math.abs(a - b) - FirstRunSecPerQuery * n >
+    math.max(a - b - FirstRunSecPerQuery * n, b - a) >
       0.15 * math.max(math.min(a, b), 1e-9)
 
   /** The trip wire, part 2: totals AVERAGE contention away (r9: q62
@@ -178,7 +183,23 @@ object Bench {
         perQueryDivergent(pass1, pass2)
     val (passes, contended, suspectList) =
       if (triggered) {
-        val pass3 = names.map(n => n -> timeOnce(n)).toMap
+        // The defense pass is itself TWO back-to-back timings per query
+        // (successful min wins), exactly like the trigger passes: a
+        // single distant pass re-reads inputs evicted since pass 2 and
+        // carries pure run-order skew — the repo's own r10 data point
+        // (q77: 13.0 s distant vs 4.1 s warm) is 3.17x, ABOVE the 3x
+        // verdict factor, so a clean run could be convicted. Min-of-two
+        // back-to-back restores the warm number the verdict compares.
+        def betterOf(x: (Double, Option[String]),
+                     y: (Double, Option[String])): (Double, Option[String]) =
+          (x, y) match {
+            case ((tx, None), (ty, None)) => (math.min(tx, ty), None)
+            case ((_, None), _) => x
+            case (_, (_, None)) => y
+            case _ => if (x._1 <= y._1) x else y
+          }
+        val pass3 = names.map { n =>
+          n -> betterOf(timeOnce(n), timeOnce(n)) }.toMap
         val sus = suspects(pass2, pass3, factor = 3.0)
         (Seq(pass1, pass2, pass3),
           divergent(passTotal(pass2), passTotal(pass3)) || sus.nonEmpty,

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * (factor, numPartitions) with tokens, fit seconds, and tokens/sec.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.W2vProfile [factors...]
+  *
+  * Heap: in local mode the driver IS the executor, and the heap is
+  * fixed at JVM launch — a `spark.driver.memory` conf set here would
+  * be a silent no-op (sbt forks the JVM before this main runs). The
+  * factor=100 profile needs ~48g: pass it via the build's env hook,
+  * `SPARK_DRIVER_MEM=48g sbt "runMain graft.W2vProfile"` (build.sbt
+  * turns it into the forked JVM's -Xmx).
   */
 object W2vProfile {
   def main(args: Array[String]): Unit = {
@@ -33,7 +40,6 @@ object W2vProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "48g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

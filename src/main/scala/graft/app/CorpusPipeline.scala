@@ -214,8 +214,28 @@ object CorpusPipeline {
                    seqTokens: Int, shards: Int,
                    packSalt: String = "pack"): (DataFrame, DataFrame) = {
     val src = survivors.select(col("doc_id"), col("source"), col("text"))
-    val factors = Sampling.epochFactors(src, "source", "text", weights,
+    // The epoch plan is ≤ |sources| rows but its input is a corpus-
+    // sized token-count groupBy — collect it ONCE into a LocalRelation
+    // (a ≤sources-row probe, the q141/q253 class) so the bound check
+    // below is free and the realize join broadcasts a local frame
+    // instead of re-deriving the groupBy per consumer.
+    val planned = Sampling.epochFactors(src, "source", "text", weights,
       tokenBudget)
+    val fRows = planned.collect()
+    // The realized-copy identity below is doc_id·1024 + epoch_copy, so
+    // a source whose epoch factor reaches 1023 (epoch_copy = ⌊f⌋+1 =
+    // 1024) would SILENTLY alias copy 1024 of doc N onto copy 0 of
+    // doc N+1 and reorder packing — and the oracle, using the same
+    // formula, would still agree. Fence the bound loudly instead: a
+    // ≥1023x epoch plan is a mis-sized budget, not a real mixture.
+    val maxFactor = fRows.map(_.getAs[Double]("factor"))
+      .foldLeft(0.0)(math.max)
+    require(maxFactor < 1023.0,
+      s"exportShards: max epoch factor $maxFactor >= 1023 would overflow " +
+        "the doc_id*1024 + epoch_copy realized-copy identity; raise the " +
+        "source weight floor or lower tokenBudget")
+    val factors = survivors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(fRows: _*), planned.schema)
     val realized = Sampling.applyEpochFactors(src, "doc_id", "source",
         factors, realizeSalt)
       .select((col("doc_id") * 1024 + col("epoch_copy")).as("doc_id"),

@@ -427,6 +427,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          // null payload (plausible in mixed tables) = poison row, the
+          // same discipline as a malformed RIFF — never an NPE
+          if (bytes == null) (id, -1, -1, null: Array[Long])
+          else {
           def ascii4(off: Int): String =
             new String(bytes, off, 4, "US-ASCII")
           val isRiff = bytes.length >= 12 &&
@@ -479,6 +483,7 @@ object Multimodal {
             var i = 0
             while (i < bytes.length) { out(i) = (bytes(i) & 0xff).toLong; i += 1 }
             (id, -1, -1, out)
+          }
           }
         }
       }.toDF("doc_id", "sample_rate", "n_channels", "samples")

@@ -28,6 +28,11 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.divergent(431.7, 223.6, 180))
     // the allowance never masks large relative theft on small suites
     assert(Bench.divergent(100.0, 130.0, 16))
+    // DIRECTION-AWARE: the allowance only excuses pass 1 being slower
+    // (codegen cannot slow pass 2) — evenly-spread theft landing in
+    // pass 2 trips even when it is under allowance-sized in magnitude
+    assert(Bench.divergent(451.5, 530.6, 272)) // r12 totals, reversed
+    assert(!Bench.divergent(451.5, 500.0, 272)) // pass 2 inside the band
   }
 
   test("perQueryDivergent: any >2x single-query swing above the 1 s " +
