@@ -470,6 +470,13 @@ object SparkEntry {
     * every synthetic WAV's fmt chunk. */
   val AudioRateHz = 8000
 
+  /** q275 video: synthetic Y4M geometry — width × height luma plane
+    * per frame, frames per payload. 8×6×4 = 192 pixels/doc keeps the
+    * oracle's cross-join modest while exercising multi-frame demux. */
+  val VideoW = 8
+  val VideoH = 6
+  val VideoFrames = 4
+
   /** Shared q148/q154 oracle chain: the aHash every document's REAL
     * decoded pixels must produce, recomputed straight from the source
     * text bytes (encodePng's pixel layout × decodeGrayGrid's identity
@@ -3977,6 +3984,33 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           max(col("s")).as("max_s"),
           sum((col("pos") + 1) * col("s")).as("pos_sum"))
         .orderBy("doc_id")
+    }),
+
+    // REAL video decode under the driver gate (the q148/q273 protocol
+    // applied to Y4M): every document renders as a real YUV4MPEG2
+    // payload (mono luma plane; pixel p of frame f = text byte at
+    // (f·w·h + p) mod len — a source both engines can recompute),
+    // decodeY4mFrames demuxes the header + FRAME markers and decodes
+    // the planes back, and the per-frame pixel aggregates — count,
+    // sum, min, max, and a position-weighted sum that catches any
+    // permutation — hash against the oracle's recomputation straight
+    // from the text. A match PROVES decode(encode(frames)) returned
+    // every plane bit-exact, frame order intact (frame_idx), with the
+    // header geometry (width/height) parsed right. Same ASCII-fixture
+    // assumption as q148/q273 (charAt vs ascii()).
+    "q275_video_y4m_real" -> ((s, dir) => {
+      val y4m = Multimodal.encodeY4m(t(s, dir, "documents"),
+        "doc_id", "text", VideoW, VideoH, VideoFrames)
+      Multimodal.decodeY4mFrames(y4m)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("frame_idx"), posexplode(col("pixels")).as(Seq("pos", "v")))
+        .groupBy("doc_id", "width", "height", "frame_idx")
+        .agg(count(lit(1)).as("n_px"),
+          sum(col("v")).as("sum_v"),
+          min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"),
+          sum((col("pos") + 1) * col("v")).as("pos_sum"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // Embedding-cosine near-dup pairs via SRP buckets.
@@ -8037,6 +8071,33 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  max(s)::BIGINT AS max_s,
          |  sum((k + 1) * s)::BIGINT AS pos_sum
          |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q275: the expected luma planes recomputed straight from the text
+    // bytes (encodeY4m's pixel law), aggregated identically per frame —
+    // a hash match proves the Spark side's Y4M demux returned every
+    // frame's plane bit-exact, in order, with the header geometry
+    // intact.
+    "q275_video_y4m_real" -> {
+      val fsz = VideoW * VideoH
+      s"""WITH fp AS (
+         |  SELECT f, p
+         |  FROM (SELECT unnest(range(0, $VideoFrames)) AS f),
+         |       (SELECT unnest(range(0, $fsz)) AS p)
+         |),
+         |px AS (
+         |  SELECT d.doc_id, fp.f, fp.p,
+         |    CASE WHEN len(d.text) = 0 THEN 0
+         |         ELSE ascii(substring(d.text,
+         |                (1 + ((fp.f * $fsz + fp.p) % len(d.text)))::INT, 1))
+         |    END AS v
+         |  FROM documents d CROSS JOIN fp
+         |)
+         |SELECT doc_id, $VideoW::BIGINT AS width, $VideoH::BIGINT AS height,
+         |  f AS frame_idx, count(*)::BIGINT AS n_px,
+         |  sum(v)::BIGINT AS sum_v, min(v)::BIGINT AS min_v,
+         |  max(v)::BIGINT AS max_v, sum((p + 1) * v)::BIGINT AS pos_sum
+         |FROM px GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin
+    },
 
     // q154: the REAL-decode media near-dup pairs — q148's verified
     // encode→decode→aHash chain (msim) feeding q22's band join

@@ -13,10 +13,16 @@ import org.apache.spark.sql.functions._
   * q148). AUDIO decode is REAL for WAV/PCM: [[decodePcm]] parses the
   * RIFF container and 16-bit PCM frames in pure JDK byte-buffer code
   * (encode twin [[encodeWav]]; decode(encode(samples)) hash-verified
-  * as q273). Compressed-audio and video codecs don't exist in this
-  * container, so [[extractFeatures]]'/[[sampleFrames]]' inner decoders
-  * remain clearly-marked deterministic STUBs (byte histogram / byte
-  * chunks); the Spark-side plumbing — schema, binary column handling,
+  * as q273). VIDEO decode is REAL for Y4M (YUV4MPEG2, the standard
+  * uncompressed container): [[decodeY4mFrames]] demuxes the stream
+  * header + FRAME markers and decodes mono luma planes in pure JDK
+  * code (encode twin [[encodeY4m]]; decode(encode(frames))
+  * hash-verified as q275). COMPRESSED codecs (JPEG aside — imageio
+  * covers it — MP3/AAC audio, H.26x/VP9 video) have no decoder in
+  * this container and stay honestly out of scope:
+  * [[extractFeatures]]'/[[sampleFrames]]' inner decoders remain
+  * clearly-marked deterministic STUBs (byte histogram / byte chunks);
+  * the Spark-side plumbing — schema, binary column handling,
   * partition-batch iteration, typed output — is real and tested either
   * way. Swapping a stub for a JNI/ONNX decoder changes one function.
   *
@@ -487,6 +493,145 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "sample_rate", "n_channels", "samples")
+  }
+
+  /** Encode per-document deterministic grayscale VIDEO as REAL Y4M
+    * (YUV4MPEG2) payloads — the standard uncompressed video container
+    * (plain-ASCII stream header, `FRAME` markers, raw planes; pure
+    * JDK, no codec dependency). `Cmono` colorspace: one 8-bit luma
+    * plane of width·height bytes per frame, no chroma subsampling to
+    * re-derive. Pixel p of frame f is the document's text byte at
+    * position (f·width·height + p) mod len — a pixel source both
+    * engines can recompute (`ascii(substr(text, …))`), so a downstream
+    * oracle can verify a real demux + decode end-to-end (the
+    * [[encodePng]]/[[encodeWav]] recipe applied to video). Empty texts
+    * yield black frames. Map-only per-partition batches. */
+  def encodeY4m(df: DataFrame, idCol: String, textCol: String,
+                width: Int, height: Int, nFrames: Int): DataFrame = {
+    require(width >= 1 && height >= 1 && nFrames >= 1,
+      s"width/height/nFrames must be >= 1, got $width/$height/$nFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val header = s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n"
+          .getBytes("US-ASCII")
+        val marker = "FRAME\n".getBytes("US-ASCII")
+        val fsz = width * height
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          val out =
+            new Array[Byte](header.length + nFrames * (marker.length + fsz))
+          System.arraycopy(header, 0, out, 0, header.length)
+          var off = header.length
+          var f = 0
+          while (f < nFrames) {
+            System.arraycopy(marker, 0, out, off, marker.length)
+            off += marker.length
+            var p = 0
+            while (p < fsz) {
+              out(off + p) =
+                if (t.isEmpty) 0
+                else (t.charAt((f * fsz + p) % t.length).toInt & 0xff).toByte
+              p += 1
+            }
+            off += fsz
+            f += 1
+          }
+          (id, out)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL video decode: demux + decode a Y4M (YUV4MPEG2) payload with
+    * a pure-JDK byte walker — stream header (`YUV4MPEG2 W… H… … Cmono`,
+    * newline-terminated ASCII), then per frame a `FRAME` marker line
+    * and a raw width·height luma plane, pixels out as unsigned bytes
+    * in `array<bigint>`. One output row per frame:
+    * (doc_id, width, height, frame_idx, pixels) — the fan-out happens
+    * INSIDE the partition (iterator flatMap), payloads never shuffle.
+    *
+    * Poison discipline (the [[decodePcm]] contract): a null payload,
+    * a missing/garbled header, a non-mono colorspace (4:2:0/4:2:2
+    * chroma would need a subsampling law this engine doesn't claim), a
+    * missing FRAME marker or a truncated plane all yield ONE
+    * (doc_id, -1, -1, -1, null) row the caller can audit — never a
+    * crash, never partial frames from a corrupt stream. Compressed
+    * video (H.26x/VP9/AV1) stays out of scope — no decoder in this
+    * container; the container walk, plane decode, typed fan-out and
+    * the q275 decode(encode(frames)) hash gate are the real machinery
+    * a JNI decoder would drop into. */
+  def decodeY4mFrames(payloadDf: DataFrame): DataFrame = {
+    val spark = payloadDf.sparkSession
+    import spark.implicits._
+    payloadDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          def poison = Iterator.single((id, -1L, -1L, -1L,
+            null: Array[Long]))
+          if (bytes == null) poison
+          else {
+            def lineEnd(from: Int): Int = {
+              var i = from
+              while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1
+              i // == bytes.length when unterminated (malformed)
+            }
+            def intOf(s: String): Int =
+              try s.toInt catch { case _: NumberFormatException => -1 }
+            val he = lineEnd(0)
+            if (he >= bytes.length) poison
+            else {
+              val toks = new String(bytes, 0, he, "US-ASCII").split(' ')
+              var w = -1
+              var h = -1
+              var cs: String = null
+              toks.iterator.drop(1).filter(_.nonEmpty).foreach { tk =>
+                tk.charAt(0) match {
+                  case 'W' => w = intOf(tk.substring(1))
+                  case 'H' => h = intOf(tk.substring(1))
+                  case 'C' => cs = tk.substring(1)
+                  case _ => () // F/I/A/X params don't affect a mono demux
+                }
+              }
+              // absent C defaults to 4:2:0 per the Y4M spec — not mono,
+              // so it poisons like any other unsupported colorspace
+              if (toks.isEmpty || toks(0) != "YUV4MPEG2" ||
+                  w < 1 || h < 1 || cs != "mono") poison
+              else {
+                val fsz = w * h
+                val frames =
+                  Vector.newBuilder[(Long, Long, Long, Long, Array[Long])]
+                var off = he + 1
+                var f = 0L
+                var poisoned = false
+                while (!poisoned && off < bytes.length) {
+                  val fe = lineEnd(off)
+                  val marker =
+                    if (fe >= bytes.length) ""
+                    else new String(bytes, off, fe - off, "US-ASCII")
+                  if (!(marker == "FRAME" || marker.startsWith("FRAME ")))
+                    poisoned = true
+                  else if (fe + 1 + fsz > bytes.length) poisoned = true
+                  else {
+                    val px = new Array[Long](fsz)
+                    var i = 0
+                    while (i < fsz) {
+                      px(i) = (bytes(fe + 1 + i) & 0xff).toLong
+                      i += 1
+                    }
+                    frames += ((id, w.toLong, h.toLong, f, px))
+                    f += 1
+                    off = fe + 1 + fsz
+                  }
+                }
+                if (poisoned) poison else frames.result().iterator
+              }
+            }
+          }
+        }
+      }.toDF("doc_id", "width", "height", "frame_idx", "pixels")
   }
 
   def extractFeatures(payloadDf: DataFrame): Dataset[FeatureRow] = {

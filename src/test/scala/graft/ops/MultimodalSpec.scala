@@ -290,6 +290,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L)._4.get.length == 16 && out(4L)._2 == 8000)
   }
 
+  test("real Y4M decode roundtrip law: decodeY4mFrames(encodeY4m(text)) " +
+      "returns every frame's exact luma plane, geometry and order") {
+    val y4m = Multimodal.encodeY4m(docs, "doc_id", "text", 4, 3, 2)
+    val dec = Multimodal.decodeY4mFrames(y4m)
+      .as[(Long, Long, Long, Long, Seq[Long])].collect()
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    assert(dec.length == texts.size * 2, "2 frames per doc")
+    for ((id, w, h, f, px) <- dec) {
+      assert(w == 4L && h == 3L, s"doc $id geometry")
+      val t = texts(id)
+      val want = (0 until 12).map { p =>
+        if (t.isEmpty) 0L
+        else (t.charAt((f.toInt * 12 + p) % t.length).toInt & 0xff).toLong
+      }
+      assert(px == want, s"doc $id frame $f plane")
+    }
+    // empty text -> black frames
+    assert(dec.filter(_._1 == 2L).forall(_._5.forall(_ == 0L)))
+  }
+
+  test("decodeY4mFrames: null payload, garbled header, non-mono " +
+      "colorspace, bad marker and truncated plane all poison") {
+    val good = Multimodal.encodeY4m(docs.filter($"doc_id" === 1L),
+      "doc_id", "text", 4, 3, 2).as[(Long, Array[Byte])].collect().head._2
+    def mut(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
+    val rows = Seq(
+      (1L, null: Array[Byte]),                       // null payload
+      (2L, "not a stream".getBytes("UTF-8")),        // no header newline
+      (3L, mut { b => b(3) = 'X'.toByte; b }),       // magic broken
+      (4L, new String(good, "ISO-8859-1")            // C420 colorspace
+        .replace("Cmono", "C420 ").getBytes("ISO-8859-1")),
+      (5L, mut { b =>                                 // FRAME marker broken
+        val i = new String(b, "ISO-8859-1").indexOf("FRAME")
+        b(i) = 'G'.toByte; b
+      }),
+      (6L, good.dropRight(5)),                        // truncated last plane
+      (7L, good)                                      // control: intact
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeY4mFrames(rows)
+      .as[(Long, Long, Long, Long, Option[Seq[Long]])].collect()
+      .groupBy(_._1)
+    for (id <- 1L to 6L) {
+      assert(out(id).length == 1 && out(id).head._2 == -1L &&
+        out(id).head._5.isEmpty, s"doc $id should poison")
+    }
+    assert(out(7L).length == 2 && out(7L).forall(_._5.nonEmpty))
+  }
+
   test("stub features: 16-bin normalized byte histogram, empty-safe") {
     val f = Multimodal.extractFeatures(
         Multimodal.payloads(docs, "doc_id", "text"))
