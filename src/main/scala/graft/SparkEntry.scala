@@ -477,6 +477,15 @@ object SparkEntry {
   val VideoH = 6
   val VideoFrames = 4
 
+  /** q276: synthetic calibration-frame size and bucket count, sized so
+    * every bucket (~N/bins = 4e5 rows) crosses the ≤2.2e5-rows-per-
+    * bucket DECIMAL(38,0) operand bound and the Brier REL
+    * divide-before-square fallback FIRES under the oracle gate
+    * ([[graft.ops.Quality.brierDecomposition]]; q213's real buckets
+    * stay on the exact path). */
+  val BrierScaleN = 2000000L
+  val BrierScaleBins = 5
+
   /** Shared q148/q154 oracle chain: the aHash every document's REAL
     * decoded pixels must produce, recomputed straight from the source
     * text bytes (encodePng's pixel layout × decodeGrayGrid's identity
@@ -1035,6 +1044,65 @@ object SparkEntry {
        |      AS DECIMAL(38,0))) AS se
        |  FROM bk GROUP BY 1
        |)""".stripMargin
+
+  /** DuckDB tail shared by q213/q276: the Murphy-decomposition terms
+    * over a prepared bucket frame `b(bin, n, pos, ss, se)` — per-bucket
+    * REL/RES integerized at 1e9 and summed in BIGINT, with the
+    * divide-before-square pinned-double fallback past the DECIMAL
+    * operand bounds, branch for branch the
+    * [[graft.ops.Quality.brierDecomposition]] plan. Prefix must END
+    * with the `b` CTE and a trailing comma. */
+  private lazy val brierDecompSqlTail: String =
+    s"""t AS (SELECT sum(n)::BIGINT AS nn, sum(pos)::BIGINT AS pp,
+       |        sum(se) AS sse FROM b),
+       |terms AS (
+       |  SELECT t.nn, t.pp, t.sse,
+       |    CASE WHEN CAST(b.n AS DOUBLE) <= 2.2e5 THEN
+       |      ${Portable.sqlIntRatioScaled(
+            "(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)" +
+              " * 1000000000) * (CAST(b.ss AS HUGEINT)" +
+              " - CAST(b.pos AS HUGEINT) * 1000000000)",
+            "CAST(b.n AS HUGEINT) * t.nn * 1000000000 * 1000000000",
+            9)}
+       |    ELSE CAST(floor(
+       |      (CAST(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)
+       |         * 1000000000 AS DOUBLE)
+       |       / (CAST(b.n AS DOUBLE) * 1e9))
+       |      * (CAST(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)
+       |           * 1000000000 AS DOUBLE)
+       |         / (CAST(b.n AS DOUBLE) * 1e9))
+       |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) * 1e9
+       |      + 0.5) AS BIGINT)
+       |    END AS rel9,
+       |    CASE WHEN CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+       |        <= 2.2e14 THEN
+       |      ${Portable.sqlIntRatioScaled(
+            "(CAST(b.pos AS HUGEINT) * t.nn - CAST(t.pp AS HUGEINT)" +
+              " * b.n) * (CAST(b.pos AS HUGEINT) * t.nn" +
+              " - CAST(t.pp AS HUGEINT) * b.n)",
+            "CAST(b.n AS HUGEINT) * t.nn * t.nn * t.nn", 9)}
+       |    ELSE CAST(floor(
+       |      (CAST(CAST(b.pos AS HUGEINT) * t.nn
+       |         - CAST(t.pp AS HUGEINT) * b.n AS DOUBLE)
+       |       / (CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+       |      * (CAST(CAST(b.pos AS HUGEINT) * t.nn
+       |           - CAST(t.pp AS HUGEINT) * b.n AS DOUBLE)
+       |         / (CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)))
+       |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) * 1e9
+       |      + 0.5) AS BIGINT)
+       |    END AS res9
+       |  FROM b CROSS JOIN t
+       |)
+       |SELECT nn AS n, pp AS pos,
+       |  ${Portable.sqlIntRatio9("pp", "nn")} AS pos_rate,
+       |  ${Portable.sqlIntRatio9("sse",
+           "CAST(nn AS HUGEINT) * 1000000000 * 1000000000")} AS brier,
+       |  round(CAST(CAST(floor(round(CAST(sum(rel9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS reliability,
+       |  round(CAST(CAST(floor(round(CAST(sum(res9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS resolution,
+       |  ${Portable.sqlIntRatio9("CAST(pp AS HUGEINT) * (nn - pp)",
+           "CAST(nn AS HUGEINT) * nn")} AS uncertainty
+       |FROM terms GROUP BY nn, pp, sse
+       |ORDER BY n""".stripMargin
 
   /** DuckDB CTE chain computing per-doc winnowing fingerprints
     * (relational twin of [[Text.winnowFingerprints]]): positional
@@ -5815,6 +5883,27 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .select(col("lang"), col("quality_score"))
       Quality.brierDecomposition(qs, "quality_score",
           col("lang") === "en", IsoBins)
+        .orderBy("n")
+    }),
+
+    // The >2.2e5-rows-per-bucket REL fallback (divide-before-square
+    // pinned double chain, Quality.scala's operand-bound contract)
+    // driven through the driver gate where it actually FIRES: a
+    // synthetic 2M-row calibration frame — score = keyed-hash ‰,
+    // label = a second keyed draw below the first, both recomputable
+    // in either engine — puts ~400k rows in each of 5 buckets, past
+    // the DECIMAL(38,0) bound q213's small real buckets never cross.
+    // A hash match here proves the fallback chain's bit-parity in
+    // production, not just in the spec fixture.
+    "q276_brier_at_scale" -> ((s, _) => {
+      val k1 = (Portable.seededHash(col("id"), lit("bscore")) % 1000L)
+        .as("__k1")
+      val k2 = (Portable.seededHash(col("id"), lit("blabel")) % 1000L)
+        .as("__k2")
+      val cal = s.range(BrierScaleN).select(k1, k2)
+        .select((col("__k1").cast("double") / lit(1000.0)).as("score"),
+          (col("__k2") < col("__k1")).as("__y"))
+      Quality.brierDecomposition(cal, "score", col("__y"), BrierScaleBins)
         .orderBy("n")
     }),
 
@@ -11623,57 +11712,36 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // BIGINT (the chi-square discipline — no order-dependent double
     // accumulation), totals via one cross-joined 1-row frame.
     "q213_brier_decomposition" ->
-      s"""$calibBinsSqlCte,
-         |t AS (SELECT sum(n)::BIGINT AS nn, sum(pos)::BIGINT AS pp,
-         |        sum(se) AS sse FROM b),
-         |terms AS (
-         |  SELECT t.nn, t.pp, t.sse,
-         |    CASE WHEN CAST(b.n AS DOUBLE) <= 2.2e5 THEN
-         |      ${Portable.sqlIntRatioScaled(
-              "(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)" +
-                " * 1000000000) * (CAST(b.ss AS HUGEINT)" +
-                " - CAST(b.pos AS HUGEINT) * 1000000000)",
-              "CAST(b.n AS HUGEINT) * t.nn * 1000000000 * 1000000000",
-              9)}
-         |    ELSE CAST(floor(
-         |      (CAST(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)
-         |         * 1000000000 AS DOUBLE)
-         |       / (CAST(b.n AS DOUBLE) * 1e9))
-         |      * (CAST(CAST(b.ss AS HUGEINT) - CAST(b.pos AS HUGEINT)
-         |           * 1000000000 AS DOUBLE)
-         |         / (CAST(b.n AS DOUBLE) * 1e9))
-         |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) * 1e9
-         |      + 0.5) AS BIGINT)
-         |    END AS rel9,
-         |    CASE WHEN CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
-         |        <= 2.2e14 THEN
-         |      ${Portable.sqlIntRatioScaled(
-              "(CAST(b.pos AS HUGEINT) * t.nn - CAST(t.pp AS HUGEINT)" +
-                " * b.n) * (CAST(b.pos AS HUGEINT) * t.nn" +
-                " - CAST(t.pp AS HUGEINT) * b.n)",
-              "CAST(b.n AS HUGEINT) * t.nn * t.nn * t.nn", 9)}
-         |    ELSE CAST(floor(
-         |      (CAST(CAST(b.pos AS HUGEINT) * t.nn
-         |         - CAST(t.pp AS HUGEINT) * b.n AS DOUBLE)
-         |       / (CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)))
-         |      * (CAST(CAST(b.pos AS HUGEINT) * t.nn
-         |           - CAST(t.pp AS HUGEINT) * b.n AS DOUBLE)
-         |         / (CAST(b.n AS DOUBLE) * CAST(t.nn AS DOUBLE)))
-         |      * CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE) * 1e9
-         |      + 0.5) AS BIGINT)
-         |    END AS res9
-         |  FROM b CROSS JOIN t
-         |)
-         |SELECT nn AS n, pp AS pos,
-         |  ${Portable.sqlIntRatio9("pp", "nn")} AS pos_rate,
-         |  ${Portable.sqlIntRatio9("sse",
-             "CAST(nn AS HUGEINT) * 1000000000 * 1000000000")} AS brier,
-         |  round(CAST(CAST(floor(round(CAST(sum(rel9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS reliability,
-         |  round(CAST(CAST(floor(round(CAST(sum(res9) AS DOUBLE) / 1e9, 9) * 1e9 + 0.5) AS BIGINT) AS DOUBLE) / 1e9, 9) AS resolution,
-         |  ${Portable.sqlIntRatio9("CAST(pp AS HUGEINT) * (nn - pp)",
-             "CAST(nn AS HUGEINT) * nn")} AS uncertainty
-         |FROM terms GROUP BY nn, pp, sse
-         |ORDER BY n""".stripMargin,
+      s"$calibBinsSqlCte,\n$brierDecompSqlTail",
+
+    // q276: the same decomposition over a SYNTHETIC 2M-row calibration
+    // frame (score = keyed-hash ‰, label = a second keyed draw below
+    // the first — both engines recompute the rows exactly) whose 5
+    // buckets each hold ~400k rows — PAST the 2.2e5 DECIMAL(38,0)
+    // operand bound, so the REL divide-before-square fallback FIRES
+    // under the gate (q213's real buckets never cross it).
+    "q276_brier_at_scale" ->
+      (s"""WITH ids AS (SELECT unnest(range(0, $BrierScaleN)) AS id),
+          |hs AS (
+          |  SELECT ${Portable.sqlHash("id", "'bscore'")} % 1000 AS k1,
+          |         ${Portable.sqlHash("id", "'blabel'")} % 1000 AS k2
+          |  FROM ids
+          |),
+          |bk AS (
+          |  SELECT least(floor((k1 / 1000.0) * $BrierScaleBins),
+          |      ${BrierScaleBins - 1})::BIGINT AS bin,
+          |    CAST(floor(round(k1 / 1000.0, 9) * 1e9 + 0.5) AS BIGINT)
+          |      AS s9,
+          |    CASE WHEN k2 < k1 THEN 1 ELSE 0 END AS y
+          |  FROM hs
+          |),
+          |b AS (
+          |  SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+          |    sum(CAST(s9 AS DECIMAL(38,0))) AS ss,
+          |    sum(CAST((s9 - 1000000000*y)*(s9 - 1000000000*y)
+          |      AS DECIMAL(38,0))) AS se
+          |  FROM bk GROUP BY 1
+          |),""".stripMargin + "\n" + brierDecompSqlTail),
 
     // q207: the identical bucket agg, cumulative frame, integerized
     // pooled-rate grid and min/max lattice — buckets are distinct so
