@@ -2467,7 +2467,14 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ extQueries
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ extOracleSql
+  def oracleSql: Map[String, String] = {
+    val base = coreOracleSql ++ extOracleSql
+    // q277 streams raw documents into micro-batch ingest and re-derives
+    // the funnel+export over everything at rest — its FINAL refresh must
+    // equal the one-shot batch export over the same documents, so the
+    // batch entry's oracle is its oracle, verbatim.
+    base + ("q277_corpus_export_stream" -> base("q274_corpus_export"))
+  }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -4290,6 +4297,52 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         EpochWeights, EpochBudget, EpochRealizeSalt, PackSeqTokens,
         PackShards)
       manifest.orderBy("shard")
+    }),
+
+    // q274's export composed into the STREAMING story: raw documents
+    // ride a micro-batched file stream into exportStream, which appends
+    // each batch to a documents-at-rest dir and re-derives the whole
+    // funnel + exportShards over everything at rest (the landing-zone
+    // posture — a global packer is a batch view over data at rest, not
+    // executor state). Every refresh is a certified snapshot of the
+    // corpus-so-far; the FINAL refresh (all 4 files ingested) must
+    // equal the one-shot batch export bit-for-bit — q274's own oracle
+    // hashes the streamed manifest. Closes the last batch/stream
+    // asymmetry: every public stage now has a streaming twin.
+    "q277_corpus_export_stream" -> ((s, dir) => {
+      val cfg = CorpusPipeline.Config(
+        keepLangs = CurateLangs, minQuality = CurateMinQuality,
+        shingleN = ShingleN, minhashPerms = NumPerms, bands = LshBands,
+        rowsPerBand = LshRows, jaccardTau = JaccardTau,
+        chunkTokens = CurateChunkTokens,
+        maxDupNgramRatio = Some(CurateMaxDupRatio), repetitionN = RepetitionN)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("q277_stream_src").toString
+      val atRest = java.nio.file.Files
+        .createTempDirectory("q277_at_rest").toString
+      docs.repartition(4).write.mode("overwrite").parquet(staged)
+      val sdf = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      val last = new java.util.concurrent.atomic.AtomicReference[
+        (Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)]()
+      val q = graft.streaming.StreamOps.exportStream(sdf, atRest, cfg,
+        EpochWeights, EpochBudget, EpochRealizeSalt, PackSeqTokens,
+        PackShards) { (manifest, _) =>
+          last.set((manifest.collect(), manifest.schema))
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
+      deleteRecursively(atRest)
+      val (rows, schema) = {
+        val v = last.get()
+        require(v != null,
+          s"stream produced no micro-batches (staged dir was $staged)")
+        v
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy("shard")
     }),
 
     // q62's funnel with the CCNet perplexity-tier gate live between the

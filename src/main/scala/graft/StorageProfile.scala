@@ -9,10 +9,15 @@ import org.apache.spark.storage.StorageLevel
   * named in args (default `MEMORY_AND_DISK DISK_ONLY`), two back-to-back
   * runs each, and prints both times plus the warm min — the measurement
   * the third-decade study's block-manager-pressure attribution needs
-  * (README "Third decade"). sf10 wants `SPARK_DRIVER_MEM=48g`. */
+  * (README "Third decade"). sf10 wants `SPARK_DRIVER_MEM=48g`; the
+  * decade studies use 96g. `SPARK_GRAFT_FUNNELS` (default `q62,q77`)
+  * picks the funnel variants — the fifth-decade point runs `q62`
+  * alone (one funnel at 50M docs is the hour-scale budget). */
 object StorageProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/target/sf10")
+    val funnels = sys.env.getOrElse("SPARK_GRAFT_FUNNELS", "q62,q77")
+      .split(",").map(_.trim).toSet
     val levels = (if (args.nonEmpty) args.toSeq
       else Seq("MEMORY_AND_DISK", "DISK_ONLY"))
       .map(n => n -> StorageLevel.fromString(n))
@@ -44,7 +49,8 @@ object StorageProfile {
       val n = (if (packed) out.packed.get else out.chunks).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    for ((name, lvl) <- levels; packed <- Seq(false, true)) {
+    for ((name, lvl) <- levels; packed <- Seq(false, true)
+         if funnels.contains(if (packed) "q77" else "q62")) {
       val q = if (packed) "q77_packed" else "q62_chunks"
       val (t1, n1) = runOnce(lvl, packed)
       val (t2, n2) = runOnce(lvl, packed)

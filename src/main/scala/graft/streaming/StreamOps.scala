@@ -560,6 +560,54 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of the batch funnel-to-shards export (q274): raw
+    * documents ingest as micro-batches APPENDING to a documents-at-rest
+    * location, and each micro-batch re-derives the whole
+    * [[graft.app.CorpusPipeline.curate]] funnel +
+    * [[graft.app.CorpusPipeline.exportShards]] over everything at rest,
+    * handing the refreshed (manifest, batchId) to `sink`.
+    *
+    * Why the state lives in the at-rest table and not in stream state:
+    * the export's tail is a GLOBAL packer (hash-priority packing over
+    * every realized copy) and its head a corpus-wide near-dedup — batch-
+    * shaped operators that cannot fold incrementally without changing
+    * their semantics. The Spark-native posture for that is exactly a
+    * landing zone: micro-batch ingest is streaming (exactly-once file
+    * appends), the export is a deterministic BATCH VIEW over data at
+    * rest, re-derived per refresh. Because every stage is a pure
+    * function of the at-rest SET (keyed-hash epoch realization,
+    * hash-priority packing, pinned survivorship), arrival order and
+    * batch boundaries cannot change a refresh — and the final refresh
+    * equals the one-shot batch export over the same documents
+    * bit-for-bit (the q277 gate, q274's own oracle).
+    *
+    * Intermediate refreshes are each internally consistent manifests of
+    * the corpus-so-far (a training run launched between refreshes sees
+    * a certified snapshot); they are NOT prefixes of the final manifest
+    * — near-dedup and epoch factors legitimately shift as the corpus
+    * grows. The funnel's persisted frames are unpersisted after each
+    * refresh so block-manager state does not accumulate across
+    * batches. */
+  def exportStream(docs: DataFrame, atRestDir: String,
+                   cfg: graft.app.CorpusPipeline.Config,
+                   weights: Map[String, Double], tokenBudget: Long,
+                   realizeSalt: String, seqTokens: Int, shards: Int)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(atRestDir)
+        val spark = batch.sparkSession
+        val atRest = spark.read.parquet(atRestDir)
+          .select("doc_id", "text", "lang", "source")
+        val r = graft.app.CorpusPipeline.curate(atRest, cfg,
+          collectFunnel = false)
+        val (_, manifest) = graft.app.CorpusPipeline.exportShards(
+          r.survivors.get, weights, tokenBudget, realizeSalt, seqTokens,
+          shards)
+        try sink(manifest, id)
+        finally r.persisted.foreach(_.unpersist(blocking = false))
+      }
+
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
