@@ -178,9 +178,10 @@ object Bench {
     // tripping the 2x per-query wire on every clean run). The VERDICT
     // compares the two equally-warm passes 2 and 3, where only real
     // co-tenancy (or block-manager drift worth flagging) shows.
-    val triggered =
-      divergent(passTotal(pass1), passTotal(pass2), names.size) ||
-        perQueryDivergent(pass1, pass2)
+    val wireTotals12 = divergent(passTotal(pass1), passTotal(pass2), names.size)
+    val wirePerQuery12 = perQueryDivergent(pass1, pass2)
+    val triggered = wireTotals12 || wirePerQuery12
+    var wireTotals23 = false
     val (passes, contended, suspectList) =
       if (triggered) {
         // The defense pass is itself TWO back-to-back timings per query
@@ -201,9 +202,8 @@ object Bench {
         val pass3 = names.map { n =>
           n -> betterOf(timeOnce(n), timeOnce(n)) }.toMap
         val sus = suspects(pass2, pass3, factor = 3.0)
-        (Seq(pass1, pass2, pass3),
-          divergent(passTotal(pass2), passTotal(pass3)) || sus.nonEmpty,
-          sus)
+        wireTotals23 = divergent(passTotal(pass2), passTotal(pass3))
+        (Seq(pass1, pass2, pass3), wireTotals23 || sus.nonEmpty, sus)
       } else (Seq(pass1, pass2), false, Seq.empty[String])
     val results = minFold(names, passes)
     errors = names.flatMap(n => allFailMessage(n, passes)).toMap
@@ -240,6 +240,25 @@ object Bench {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("bench.json"), line + "\n")
+      // Raw per-pass record: three straight contended rounds (r12-r14)
+      // each cost an idle-rig adjudication session because only the
+      // min-fold shipped — with every pass's raw timing plus which wire
+      // fired, a reader can separate co-tenant theft (one pass inflated,
+      // others at the idle level) from a real regression (all passes
+      // moved together) without re-running anything. Pass 1 is each
+      // query's first JVM execution (carries ~0.35 s/query codegen);
+      // pass 3, when present, is itself a min-of-two back-to-back
+      // defense pass.
+      val passesJson = passes.map { p =>
+        names.map { n =>
+          val (t, e) = p(n)
+          "\"" + n + "\":{\"sec\":" + t +
+            e.fold("")(m => ",\"err\":\"" + m + "\"") + "}"
+        }.mkString("{", ",", "}")
+      }.mkString("[", ",", "]")
+      val wires = s"""{"pass12_totals":$wireTotals12,"pass12_per_query":$wirePerQuery12,"defense_ran":$triggered,"pass23_totals":$wireTotals23,"pass23_suspects":$susJson}"""
+      java.nio.file.Files.writeString(dir.resolve("bench_passes.json"),
+        s"""{"sf":"$sfDir","contended":$contended,"wires":$wires,"pass_totals":$passTotals,"first_run_allowance_sec_per_query":$FirstRunSecPerQuery,"nqueries":${names.size},"passes":$passesJson}""" + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench.json: $e") }
     spark.stop()

@@ -476,6 +476,10 @@ object SparkEntry {
   val VideoW = 8
   val VideoH = 6
   val VideoFrames = 4
+  /** q279: sampleFrames stride over the Y4M payloads — every 2nd frame
+    * of the 4, so the demuxed indices (0, 2) prove stride sampling
+    * runs on REAL container frames. */
+  val VideoStride = 2
 
   /** q276: synthetic calibration-frame size and bucket count, sized so
     * every bucket (~N/bins = 4e5 rows) crosses the ≤2.2e5-rows-per-
@@ -4085,6 +4089,63 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
           min(col("v")).as("min_v"),
           max(col("v")).as("max_v"),
           sum((col("pos") + 1) * col("v")).as("pos_sum"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // The retired-stub gate for extractFeatures (r15): all three REAL
+    // feature kernels — imageio pixel histogram over decoded PNG,
+    // RIFF-walked int16 amplitude-band histogram over decoded WAV,
+    // demuxed all-frames luma histogram over Y4M — verified in one
+    // query against oracles that recompute each histogram straight
+    // from the encoders' pixel/sample laws. A hash match proves the
+    // features came from DECODED content, not payload bytes (the
+    // payload bytes of a PNG are deflate output — a byte histogram
+    // could not match). Same ASCII-fixture assumption as q148.
+    "q278_media_features_real" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def feats(payloads: DataFrame, kind: String): DataFrame =
+        Multimodal.extractFeatures(payloads).toDF()
+          .select(col("doc_id"), lit(kind).as("kind"),
+            posexplode(col("features")).as(Seq("bin", "feat")))
+          .withColumn("bin", col("bin").cast("long"))
+      feats(Multimodal.encodePng(docs, "doc_id", "text", MediaGridSide),
+          "png")
+        .unionByName(feats(Multimodal.encodeWav(docs, "doc_id", "text",
+          AudioSamples, AudioRateHz), "wav"))
+        .unionByName(feats(Multimodal.encodeY4m(docs, "doc_id", "text",
+          VideoW, VideoH, VideoFrames), "y4m"))
+        .orderBy("doc_id", "kind", "bin")
+    }),
+
+    // The retired-stub gate for sampleFrames (r15): stride-sampling
+    // over REAL Y4M payloads demuxes actual container frames — emitted
+    // frame_idx are the STREAM indices (0, 2, … — stride over the
+    // container's frame sequence, not byte chunks; frameBytes is
+    // ignored on this path), and each frame's bytes are the exact
+    // decoded luma plane, proven by the q275 aggregate protocol
+    // (count/sum/min/max/position-weighted sum per plane) against the
+    // oracle's recomputation from the pixel law.
+    "q279_video_frames_real" -> ((s, dir) => {
+      import s.implicits._
+      val y4m = Multimodal.encodeY4m(t(s, dir, "documents"),
+        "doc_id", "text", VideoW, VideoH, VideoFrames)
+      Multimodal.sampleFrames(y4m, frameBytes = 1, stride = VideoStride)
+        .map { fr =>
+          val px = fr.frame
+          var sum = 0L; var mn = 256L; var mx = -1L; var ps = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = (px(i) & 0xff).toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            ps += (i + 1) * v
+            i += 1
+          }
+          (fr.doc_id, fr.frame_idx, px.length.toLong, sum, mn, mx, ps)
+        }
+        .toDF("doc_id", "frame_idx", "n_px", "sum_v", "min_v", "max_v",
+          "pos_sum")
         .orderBy("doc_id", "frame_idx")
     }),
 
@@ -8236,6 +8297,74 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |)
          |SELECT doc_id, $VideoW::BIGINT AS width, $VideoH::BIGINT AS height,
          |  f AS frame_idx, count(*)::BIGINT AS n_px,
+         |  sum(v)::BIGINT AS sum_v, min(v)::BIGINT AS min_v,
+         |  max(v)::BIGINT AS max_v, sum((p + 1) * v)::BIGINT AS pos_sum
+         |FROM px GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin
+    },
+
+    // q278: the three REAL feature-kernel histograms recomputed from
+    // the encoders' laws. PNG pixels and Y4M planes both read text
+    // byte k mod len (k over side² grid / frames·w·h plane positions),
+    // bin = value>>4; WAV samples are (byte−128)·256, whose amplitude
+    // band (s+32768)>>12 collapses to byte>>4 for non-empty text and
+    // to band 8 (silence = 0) for empty text. Normalization and
+    // half-up round-to-9 mirror the Spark kernels exactly.
+    "q278_media_features_real" -> {
+      val pngN = MediaGridSide * MediaGridSide
+      val y4mN = VideoW * VideoH * VideoFrames
+      def hist(kind: String, n: Int, binExpr: String): String =
+        s"""${kind}v AS (
+           |  SELECT d.doc_id, $binExpr AS bin
+           |  FROM documents d
+           |  CROSS JOIN (SELECT unnest(range(0, $n)) AS k) p
+           |),
+           |${kind}h AS (
+           |  SELECT doc_id, bin, count(*) AS cnt
+           |  FROM ${kind}v GROUP BY doc_id, bin
+           |),
+           |$kind AS (
+           |  SELECT d.doc_id, '$kind' AS kind, bins.bin,
+           |    (CAST(CAST(floor((coalesce(h.cnt, 0) / $n::DOUBLE) * 1e9
+           |       + 0.5) AS BIGINT) AS DOUBLE) / 1e9) AS feat
+           |  FROM documents d CROSS JOIN bins
+           |  LEFT JOIN ${kind}h h
+           |    ON h.doc_id = d.doc_id AND h.bin = bins.bin
+           |)""".stripMargin
+      val byteAt =
+        "ascii(substring(d.text, (1 + (p.k % len(d.text)))::INT, 1))"
+      s"""WITH bins AS (SELECT unnest(range(0, 16)) AS bin),
+         |${hist("png", pngN,
+            s"CASE WHEN len(d.text) = 0 THEN 0 ELSE $byteAt // 16 END")},
+         |${hist("wav", AudioSamples,
+            s"CASE WHEN len(d.text) = 0 THEN 8 ELSE $byteAt // 16 END")},
+         |${hist("y4m", y4mN,
+            s"CASE WHEN len(d.text) = 0 THEN 0 ELSE $byteAt // 16 END")}
+         |SELECT * FROM png UNION ALL SELECT * FROM wav
+         |UNION ALL SELECT * FROM y4m
+         |ORDER BY doc_id, kind, bin""".stripMargin
+    },
+
+    // q279: every stride-th frame's luma plane recomputed from the
+    // pixel law (the q275 oracle restricted to f % stride = 0),
+    // aggregated identically — a hash match proves sampleFrames
+    // demuxed REAL container frames at their stream indices.
+    "q279_video_frames_real" -> {
+      val fsz = VideoW * VideoH
+      s"""WITH fp AS (
+         |  SELECT f, p
+         |  FROM (SELECT unnest(range(0, $VideoFrames)) AS f),
+         |       (SELECT unnest(range(0, $fsz)) AS p)
+         |  WHERE f % $VideoStride = 0
+         |),
+         |px AS (
+         |  SELECT d.doc_id, fp.f, fp.p,
+         |    CASE WHEN len(d.text) = 0 THEN 0
+         |         ELSE ascii(substring(d.text,
+         |                (1 + ((fp.f * $fsz + fp.p) % len(d.text)))::INT, 1))
+         |    END AS v
+         |  FROM documents d CROSS JOIN fp
+         |)
+         |SELECT doc_id, f AS frame_idx, count(*)::BIGINT AS n_px,
          |  sum(v)::BIGINT AS sum_v, min(v)::BIGINT AS min_v,
          |  max(v)::BIGINT AS max_v, sum((p + 1) * v)::BIGINT AS pos_sum
          |FROM px GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
@@ -572,14 +572,18 @@ object StreamOps {
     * every realized copy) and its head a corpus-wide near-dedup — batch-
     * shaped operators that cannot fold incrementally without changing
     * their semantics. The Spark-native posture for that is exactly a
-    * landing zone: micro-batch ingest is streaming (exactly-once file
-    * appends), the export is a deterministic BATCH VIEW over data at
-    * rest, re-derived per refresh. Because every stage is a pure
-    * function of the at-rest SET (keyed-hash epoch realization,
-    * hash-priority packing, pinned survivorship), arrival order and
-    * batch boundaries cannot change a refresh — and the final refresh
-    * equals the one-shot batch export over the same documents
-    * bit-for-bit (the q277 gate, q274's own oracle).
+    * landing zone: micro-batch ingest lands idempotently (one
+    * batchId-named subdir per micro-batch, overwritten — foreachBatch
+    * is at-least-once, so a checkpointed restart replays the last
+    * batch; the overwrite makes the replay a no-op, the standard
+    * foreachBatch exactly-once pattern), and the export is a
+    * deterministic BATCH VIEW over data at rest, re-derived per
+    * refresh. Because every stage is a pure function of the at-rest
+    * SET (keyed-hash epoch realization, hash-priority packing, pinned
+    * survivorship), arrival order and batch boundaries cannot change a
+    * refresh — and the final refresh equals the one-shot batch export
+    * over the same documents bit-for-bit (the q277 gate, q274's own
+    * oracle).
     *
     * Intermediate refreshes are each internally consistent manifests of
     * the corpus-so-far (a training run launched between refreshes sees
@@ -587,26 +591,54 @@ object StreamOps {
     * — near-dedup and epoch factors legitimately shift as the corpus
     * grows. The funnel's persisted frames are unpersisted after each
     * refresh so block-manager state does not accumulate across
-    * batches. */
+    * batches.
+    *
+    * `refreshEvery` separates the certification cadence from the
+    * production posture: per-trigger re-derivation (the default, 1) is
+    * what lets q277 hash every snapshot, but at scale a refresh costs
+    * a full batch export, so a production stream refreshes every N
+    * batches — or never in-stream, calling [[refreshExport]] on
+    * demand. Skipping refreshes cannot change any later one: the
+    * manifest is a pure function of the at-rest set, which the landing
+    * writes maintain regardless (the Rq277b spec law). */
   def exportStream(docs: DataFrame, atRestDir: String,
                    cfg: graft.app.CorpusPipeline.Config,
                    weights: Map[String, Double], tokenBudget: Long,
-                   realizeSalt: String, seqTokens: Int, shards: Int)(
-      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+                   realizeSalt: String, seqTokens: Int, shards: Int,
+                   refreshEvery: Int = 1)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        batch.write.mode("append").parquet(atRestDir)
-        val spark = batch.sparkSession
-        val atRest = spark.read.parquet(atRestDir)
-          .select("doc_id", "text", "lang", "source")
-        val r = graft.app.CorpusPipeline.curate(atRest, cfg,
-          collectFunnel = false)
-        val (_, manifest) = graft.app.CorpusPipeline.exportShards(
-          r.survivors.get, weights, tokenBudget, realizeSalt, seqTokens,
-          shards)
-        try sink(manifest, id)
-        finally r.persisted.foreach(_.unpersist(blocking = false))
+        batch.write.mode("overwrite").parquet(s"$atRestDir/batch=$id")
+        if (id % refreshEvery == 0)
+          refreshExport(batch.sparkSession, atRestDir, cfg, weights,
+            tokenBudget, realizeSalt, seqTokens, shards)(sink(_, id))
       }
+  }
+
+  /** On-demand refresh of the landing-zone export: derive the funnel +
+    * shard manifest over everything at rest under `atRestDir` (the
+    * batchId-subdir layout [[exportStream]] maintains), hand it to
+    * `use`, then unpersist the funnel's cached frames. A pure function
+    * of the at-rest set — calling it at any point between (or instead
+    * of) in-stream refreshes yields exactly the manifest an in-stream
+    * refresh would have produced over the same landed batches. */
+  def refreshExport(spark: SparkSession, atRestDir: String,
+                    cfg: graft.app.CorpusPipeline.Config,
+                    weights: Map[String, Double], tokenBudget: Long,
+                    realizeSalt: String, seqTokens: Int, shards: Int)(
+      use: DataFrame => Unit): Unit = {
+    val atRest = spark.read.parquet(atRestDir)
+      .select("doc_id", "text", "lang", "source")
+    val r = graft.app.CorpusPipeline.curate(atRest, cfg,
+      collectFunnel = false)
+    val (_, manifest) = graft.app.CorpusPipeline.exportShards(
+      r.survivors.get, weights, tokenBudget, realizeSalt, seqTokens,
+      shards)
+    try use(manifest)
+    finally r.persisted.foreach(_.unpersist(blocking = false))
+  }
 
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -327,12 +327,18 @@ class MultimodalSpec extends SparkSpec {
         b(i) = 'G'.toByte; b
       }),
       (6L, good.dropRight(5)),                        // truncated last plane
-      (7L, good)                                      // control: intact
+      (7L, good),                                     // control: intact
+      (8L, new String(good, "ISO-8859-1")             // parsable-but-absurd
+        .replace("W4 H3", "W50000 H50000")            // geometry: W·H
+        .getBytes("ISO-8859-1")),                     // overflows Int
+      (9L, new String(good, "ISO-8859-1")             // valid mono header,
+        .takeWhile(_ != '\n').concat("\n")            // zero FRAME sections
+        .getBytes("ISO-8859-1"))
     ).toDF("doc_id", "payload")
     val out = Multimodal.decodeY4mFrames(rows)
       .as[(Long, Long, Long, Long, Option[Seq[Long]])].collect()
       .groupBy(_._1)
-    for (id <- 1L to 6L) {
+    for (id <- (1L to 6L) ++ Seq(8L, 9L)) {
       assert(out(id).length == 1 && out(id).head._2 == -1L &&
         out(id).head._5.isEmpty, s"doc $id should poison")
     }

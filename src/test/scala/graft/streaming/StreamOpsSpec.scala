@@ -723,4 +723,74 @@ class StreamOpsSpec extends SparkSpec {
       assert(last == batchCard(b1 ++ b2))
     } finally q.stop()
   }
+
+  test("exportStream: idempotent batchId landing (a replayed micro-batch " +
+      "cannot duplicate documents at rest) and the Rq277b cadence law " +
+      "(skipped refreshes leave the on-demand manifest equal to " +
+      "per-trigger refreshing)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.app.CorpusPipeline
+    val cfg = CorpusPipeline.Config(minQuality = 0.0, jaccardTau = 0.9,
+      chunkTokens = 8)
+    val weights = Map("s0" -> 0.5, "s1" -> 0.5)
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the barn",
+        "en", "s0"),
+      (2L, "a tall ship sails across the wide ocean while sailors watch",
+        "en", "s1"))
+    val b2 = Seq(
+      (3L, "the old library keeps a rare map of ancient roads and trade",
+        "en", "s0"),
+      (4L, "machines hum in the workshop as gears turn and belts whir on",
+        "en", "s1"))
+    def runStream(refreshEvery: Int)
+        : (String, Seq[org.apache.spark.sql.Row], Int) = {
+      val atRest = java.nio.file.Files
+        .createTempDirectory("graft_export_stream").toString
+      val in = MemoryStream[(Long, String, String, String)]
+      @volatile var last: Seq[org.apache.spark.sql.Row] = Seq.empty
+      var refreshes = 0
+      val q = StreamOps.exportStream(
+          in.toDF().toDF("doc_id", "text", "lang", "source"),
+          atRest, cfg, weights, tokenBudget = 200L, realizeSalt = "rs",
+          seqTokens = 8, shards = 2, refreshEvery = refreshEvery) {
+          (manifest, _) =>
+            refreshes += 1
+            last = manifest.orderBy("shard").collect().toSeq
+        }.start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      (atRest, last, refreshes)
+    }
+    val (dirA, perTrigger, nA) = runStream(1)
+    assert(nA == 2 && perTrigger.nonEmpty)
+    // landing layout: one batch=<id> subdir per micro-batch, and the
+    // at-rest SET is exactly the input docs — no duplicate landings
+    val atRestDocs = spark.read.parquet(dirA)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(atRestDocs == Seq(1L, 2L, 3L, 4L))
+    // idempotence under foreachBatch's at-least-once contract: re-land
+    // batch 0 verbatim (what a checkpointed restart replay does) — the
+    // overwrite makes it a no-op, so the refreshed manifest is unchanged
+    b1.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dirA/batch=0")
+    var replayed: Seq[org.apache.spark.sql.Row] = Seq.empty
+    StreamOps.refreshExport(spark, dirA, cfg, weights, 200L, "rs", 8, 2) {
+      m => replayed = m.orderBy("shard").collect().toSeq }
+    assert(replayed == perTrigger,
+      "replayed batch landing changed the manifest")
+    // cadence law: refreshEvery larger than the batch count skips every
+    // in-stream refresh after batch 0; the on-demand refresh over the
+    // landed set equals the per-trigger stream's final manifest — the
+    // manifest is a pure function of the at-rest set
+    val (dirB, _, nB) = runStream(1000)
+    assert(nB == 1) // only batch 0 (0 % 1000 == 0) refreshed in-stream
+    var onDemand: Seq[org.apache.spark.sql.Row] = Seq.empty
+    StreamOps.refreshExport(spark, dirB, cfg, weights, 200L, "rs", 8, 2) {
+      m => onDemand = m.orderBy("shard").collect().toSeq }
+    assert(onDemand == perTrigger,
+      "skipped in-stream refreshes changed the final manifest")
+  }
 }
