@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   *
   * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.W2vProfile [factors...]
   *
+  * `SPARK_GRAFT_W2V_DIM` / `SPARK_GRAFT_W2V_ITERS` /
+  * `SPARK_GRAFT_W2V_NP` (defaults 16 / 1 / "1,8") override the
+  * trained dimension, epoch count and partition list — the round-15
+  * task prices the REFERENCE's actual operating point
+  * (`model_train.py:97-124` + `prod2vec_config.yaml:34-48`:
+  * dim=1024, 15 epochs) on the sf0.1 baskets instead of the small
+  * defaults the decade slope used. Each line also reports the JVM's
+  * peak heap across the fit (max over per-pool `getPeakUsage`,
+  * reset before each fit) — the "does the reference's config fit an
+  * executor" number.
+  *
   * Heap: in local mode the driver IS the executor, and the heap is
   * fixed at JVM launch — a `spark.driver.memory` conf set here would
   * be a silent no-op (sbt forks the JVM before this main runs). The
@@ -60,19 +71,31 @@ object W2vProfile {
       graft.ml.Prod2Vec.Params(vectorSize = 4, minCount = 1,
         numPartitions = 1)).getVectors.count()
 
+    val dim = sys.env.getOrElse("SPARK_GRAFT_W2V_DIM", "16").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_W2V_ITERS", "1").toInt
+    val nps = sys.env.getOrElse("SPARK_GRAFT_W2V_NP", "1,8")
+      .split(",").map(_.trim.toInt).toSeq
+    import scala.jdk.CollectionConverters._
+    def pools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
     for (f <- factors) {
       val corpus = scaled(f).persist()
       val nBaskets = corpus.count()
       val nTokens = corpus.select(sum(size(col("tokens")))).head().getLong(0)
-      for (np <- Seq(1, 8)) {
+      for (np <- nps) {
+        pools.foreach(_.resetPeakUsage())
         val t0 = System.nanoTime()
         val model = graft.ml.Prod2Vec.train(corpus,
-          graft.ml.Prod2Vec.Params(numPartitions = np))
+          graft.ml.Prod2Vec.Params(vectorSize = dim, maxIter = iters,
+            numPartitions = np))
         val vocab = model.getVectors.count()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"factor=$f%-4d np=$np baskets=$nBaskets%-9d " +
-          f"tokens=$nTokens%-10d vocab=$vocab%-6d fit=$sec%8.2f s " +
-          f"tok_per_sec=${nTokens / sec}%12.0f")
+        val peakGb = pools.map(_.getPeakUsage.getUsed).sum / 1e9
+        println(f"factor=$f%-4d np=$np dim=$dim iters=$iters " +
+          f"baskets=$nBaskets%-9d tokens=$nTokens%-10d vocab=$vocab%-6d " +
+          f"fit=$sec%8.2f s tok_per_sec=${nTokens / sec}%12.0f " +
+          f"peak_heap=$peakGb%6.2f GB")
       }
       corpus.unpersist(blocking = false)
     }
