@@ -480,6 +480,10 @@ object SparkEntry {
     * of the 4, so the demuxed indices (0, 2) prove stride sampling
     * runs on REAL container frames. */
   val VideoStride = 2
+  /** q280: resize block factor over the 8×8 PNGs — 2×2 exact blocks,
+    * output 4×4, every output pixel an integer block average the
+    * oracle recomputes from the pixel law. */
+  val ResizeFactor = 2
 
   /** q276: synthetic calibration-frame size and bucket count, sized so
     * every bucket (~N/bins = 4e5 rows) crosses the ≤2.2e5-rows-per-
@@ -4147,6 +4151,27 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
         .toDF("doc_id", "frame_idx", "n_px", "sum_v", "min_v", "max_v",
           "pos_sum")
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // The retired-stub gate for resize (r15): REAL image resize —
+    // imageio decode, exact 2×2 integer box averages, grayscale-PNG
+    // re-encode — driven through the q148-verified decodeGrayGrid
+    // chain. The oracle recomputes every output pixel as
+    // (Σ 2×2 block of the encoder's text-byte pixels) // 4, so a hash
+    // match proves the resize averaged DECODED pixels (byte decimation
+    // of deflate output could not match). Same ASCII-fixture
+    // assumption as q148.
+    "q280_media_resize_real" -> ((s, dir) => {
+      val png = Multimodal.encodePng(t(s, dir, "documents"),
+        "doc_id", "text", MediaGridSide)
+      val rs = Multimodal.resize(png, ResizeFactor)
+        .select(col("doc_id"), col("payload_resized").as("payload"))
+      Multimodal.decodeGrayGrid(rs, MediaGridSide / ResizeFactor)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("gray")).as(Seq("pos", "v")))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
     }),
 
     // Embedding-cosine near-dup pairs via SRP buckets.
@@ -8368,6 +8393,36 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
          |  sum(v)::BIGINT AS sum_v, min(v)::BIGINT AS min_v,
          |  max(v)::BIGINT AS max_v, sum((p + 1) * v)::BIGINT AS pos_sum
          |FROM px GROUP BY doc_id, f ORDER BY doc_id, f""".stripMargin
+    },
+
+    // q280: every resized pixel recomputed straight from the text
+    // bytes — output pixel p of the (side/f)² grid is the integer
+    // average of its exact f×f source block under encodePng's pixel
+    // law (source pixel (y,x) = text byte at (y·side + x) mod len).
+    "q280_media_resize_real" -> {
+      val side = MediaGridSide
+      val f = ResizeFactor
+      val ow = side / f
+      val nOut = ow * ow
+      val nBlk = f * f
+      s"""WITH bp AS (
+         |  SELECT p, d
+         |  FROM (SELECT unnest(range(0, $nOut)) AS p),
+         |       (SELECT unnest(range(0, $nBlk)) AS d)
+         |),
+         |src AS (
+         |  SELECT doc.doc_id, bp.p,
+         |    CASE WHEN len(doc.text) = 0 THEN 0
+         |         ELSE ascii(substring(doc.text,
+         |           (1 + ((((bp.p // $ow) * $f + bp.d // $f) * $side
+         |              + ((bp.p % $ow) * $f + bp.d % $f))
+         |             % len(doc.text)))::INT, 1))
+         |    END AS v
+         |  FROM documents doc CROSS JOIN bp
+         |)
+         |SELECT doc_id, $ow::BIGINT AS width, $ow::BIGINT AS height,
+         |  p AS pos, (sum(v) // $nBlk)::BIGINT AS v
+         |FROM src GROUP BY doc_id, p ORDER BY doc_id, pos""".stripMargin
     },
 
     // q154: the REAL-decode media near-dup pairs — q148's verified

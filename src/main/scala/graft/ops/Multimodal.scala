@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * hash-verified as q275). [[extractFeatures]] and [[sampleFrames]]
   * dispatch on magic bytes and run REAL kernels for every format above
   * (decoded-pixel/sample/plane histograms, q278; demuxed Y4M planes,
-  * q279). COMPRESSED codecs (JPEG aside — imageio covers it — MP3/AAC
+  * q279), and [[resize]] box-averages DECODED pixels for image magics
+  * (q280). COMPRESSED codecs (JPEG aside — imageio covers it — MP3/AAC
   * audio, H.26x/VP9 video) have no decoder in this container and stay
-  * honestly out of scope: for those blobs (and generic bytes) the two
-  * ops fall back to clearly-marked deterministic STUBs (byte
-  * histogram / byte chunks), as does [[resize]]'s byte decimator and
+  * honestly out of scope: for those blobs (and generic bytes) the ops
+  * fall back to clearly-marked deterministic STUBs (byte histogram /
+  * byte chunks / byte decimation), as does
   * [[perceptualHashes]]' byte-stream grid; the Spark-side plumbing —
   * schema, binary column handling, partition-batch iteration, typed
   * output — is real and tested either way. Swapping a stub for a
@@ -112,11 +113,23 @@ object Multimodal {
   /** Resize as a per-partition batch operator — the image analog of
     * [[sampleFrames]]: shrink each payload by an integer `factor`.
     *
-    * STUB DECODER: no image codec in this container — "resize" is byte
-    * decimation (every `factor`-th byte), deterministic, so the plumbing
-    * (map-only shape, per-partition init point, binary-in/binary-out
-    * schema) is real and testable; a real implementation swaps the
-    * decimator for decode → interpolate → encode. */
+    * REAL RESIZE for decodable images (PNG/BMP/JPEG magic): decode via
+    * `javax.imageio`, box-average exact `factor`×`factor` blocks in
+    * INTEGER arithmetic (block average = Σ gray / factor², integer
+    * division over the [[decodeGrayGrid]] luma — bit-deterministic, so
+    * a downstream oracle can recompute every output pixel from the
+    * encoder's pixel law), re-encode as grayscale PNG. Output geometry
+    * is (w/factor)×(h/factor) full blocks; edge remainders truncate.
+    * An image magic that fails to decode, or one smaller than a single
+    * block, yields a null payload_resized — the poison-row discipline
+    * ([[decodePcm]]). The q280 gate drives resize(encode(pixels))
+    * through the verified [[decodeGrayGrid]] chain and hash-matches
+    * the block averages computed straight from the text bytes.
+    *
+    * STUB fallback for non-image payloads: byte decimation (every
+    * `factor`-th byte), deterministic, keeping mixed media/text tables
+    * flowing through one operator; a compressed-codec decoder would
+    * drop into the same decode → average → encode shape. */
   def resize(payloadDf: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = payloadDf.sparkSession
@@ -126,10 +139,60 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init happens HERE (codec/interpolator handles)
         it.map { case (id, bytes) =>
-          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-          (id, out)
+          if (bytes == null) (id, null: Array[Byte]) // poison, never NPE
+          else if (isDecodable(bytes)) {
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            val ow = if (img == null) 0 else img.getWidth / factor
+            val oh = if (img == null) 0 else img.getHeight / factor
+            if (ow < 1 || oh < 1) (id, null: Array[Byte])
+            else {
+              val raster = img.getRaster
+              val bands = raster.getNumBands
+              val out = new java.awt.image.BufferedImage(ow, oh,
+                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+              val outRaster = out.getRaster
+              var by = 0
+              while (by < oh) {
+                var bx = 0
+                while (bx < ow) {
+                  var sum = 0L
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      val x = bx * factor + dx
+                      val y = by * factor + dy
+                      val g =
+                        if (bands >= 3) {
+                          val r = raster.getSample(x, y, 0)
+                          val gg = raster.getSample(x, y, 1)
+                          val b = raster.getSample(x, y, 2)
+                          (299 * r + 587 * gg + 114 * b) / 1000
+                        } else raster.getSample(x, y, 0)
+                      sum += math.min(g, 255)
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  outRaster.setSample(bx, by, 0,
+                    (sum / (factor.toLong * factor)).toInt)
+                  bx += 1
+                }
+                by += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (id, bos.toByteArray)
+            }
+          } else {
+            val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+            var i = 0
+            while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+            (id, out)
+          }
         }
       }.toDF("doc_id", "payload_resized")
   }

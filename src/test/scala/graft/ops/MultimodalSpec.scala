@@ -85,6 +85,98 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2L).length == 0)
   }
 
+  test("resize REAL path: 2x2 integer block averages of decoded pixels, " +
+      "re-encoded as PNG; undecodable/too-small/null images poison") {
+    val png = Multimodal.encodePng(docs, "doc_id", "text", 8)
+    val rs = Multimodal.resize(png, 2)
+      .select($"doc_id", $"payload_resized".as("payload"))
+    val grid = Multimodal.decodeGrayGrid(rs, 4)
+      .as[(Long, Int, Int, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    for ((id, (_, w, h, gray)) <- grid) {
+      assert(w == 4 && h == 4, s"doc $id geometry")
+      val t = texts(id)
+      def src(y: Int, x: Int): Long =
+        if (t.isEmpty) 0L else (t.charAt((y * 8 + x) % t.length).toInt & 0xff).toLong
+      val want = for (p <- 0 until 16) yield {
+        val by = p / 4; val bx = p % 4
+        (src(2 * by, 2 * bx) + src(2 * by, 2 * bx + 1) +
+          src(2 * by + 1, 2 * bx) + src(2 * by + 1, 2 * bx + 1)) / 4
+      }
+      assert(gray == want, s"doc $id block averages")
+    }
+    // poison discipline: truncated PNG (magic intact, decode fails),
+    // image smaller than one block, and null payload all -> null
+    val good = png.filter($"doc_id" === 1L)
+      .as[(Long, Array[Byte])].collect().head._2
+    val tiny = Multimodal.encodePng(
+        Seq((9L, "x", "en", "s")).toDF("doc_id", "text", "lang", "source"),
+        "doc_id", "text", 1)
+      .as[(Long, Array[Byte])].collect().head._2
+    val out = Multimodal.resize(Seq(
+        (1L, good.take(30)), (2L, tiny), (3L, null: Array[Byte]),
+        (4L, good)
+      ).toDF("doc_id", "payload"), 2)
+      .as[(Long, Option[Array[Byte]])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty)
+    assert(out(4L).nonEmpty)
+  }
+
+  test("sampleFrames REAL path: Y4M payloads demux to actual planes at " +
+      "stream indices; malformed Y4M poisons") {
+    val y4m = Multimodal.encodeY4m(docs, "doc_id", "text", 4, 3, 4)
+    val f = Multimodal.sampleFrames(y4m, frameBytes = 1, stride = 2)
+      .collect().groupBy(_.doc_id)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(f(id).map(_.frame_idx).sorted.sameElements(Array(0L, 2L)),
+        s"doc $id stride indices")
+      for (fr <- f(id)) {
+        val t = texts(id)
+        val want = Array.tabulate[Byte](12) { p =>
+          if (t.isEmpty) 0
+          else (t.charAt((fr.frame_idx.toInt * 12 + p) % t.length).toInt
+            & 0xff).toByte
+        }
+        assert(fr.frame.sameElements(want), s"doc $id frame ${fr.frame_idx}")
+      }
+    }
+    // malformed Y4M (right magic, garbled geometry) -> ONE poison row
+    val bad = Multimodal.sampleFrames(
+        Seq((7L, "YUV4MPEG2 W0 H0 Cmono\n".getBytes("US-ASCII")))
+          .toDF("doc_id", "payload"), 4, 2)
+      .collect()
+    assert(bad.length == 1 && bad.head.frame_idx == -1L
+      && bad.head.frame == null)
+  }
+
+  test("extractFeatures REAL kernels: decoded-pixel, decoded-sample and " +
+      "demuxed-plane histograms; truncated image poisons") {
+    val t3 = "0123456789abcdef" // bytes 0x30-0x39 (bin 3), 0x61-0x66 (bin 6)
+    def featsOf(payloads: org.apache.spark.sql.DataFrame): Map[Long, Multimodal.FeatureRow] =
+      Multimodal.extractFeatures(payloads).collect().map(r => r.doc_id -> r).toMap
+    // PNG: 8x8 pixels are text bytes at k mod len — doc 3's 64 pixels
+    // cycle the 16-char string 4x: 40 pixels in bin 3, 24 in bin 6
+    val png = featsOf(Multimodal.encodePng(docs, "doc_id", "text", 8))
+    assert(png(3L).features(3) == 0.625 && png(3L).features(6) == 0.375)
+    assert(png(2L).features(0) == 1.0) // empty text -> black image
+    // WAV: sample k = (byte-128)*256, amplitude band = byte>>4
+    val wav = featsOf(Multimodal.encodeWav(docs, "doc_id", "text", 64, 8000))
+    assert(wav(3L).features(3) == 0.625 && wav(3L).features(6) == 0.375)
+    assert(wav(2L).features(8) == 1.0) // silence sits in the middle band
+    // Y4M: all frames' plane bytes are text bytes at k mod len
+    val y4m = featsOf(Multimodal.encodeY4m(docs, "doc_id", "text", 4, 4, 2))
+    assert(y4m(3L).features(3) == 0.625 && y4m(3L).features(6) == 0.375)
+    // truncated PNG: image magic, decode fails -> null-features poison
+    val goodPng = Multimodal.encodePng(docs, "doc_id", "text", 8)
+      .filter($"doc_id" === 1L).as[(Long, Array[Byte])].collect().head._2
+    val poisoned = featsOf(Seq((1L, goodPng.take(30)))
+      .toDF("doc_id", "payload"))
+    assert(poisoned(1L).features == null)
+  }
+
   test("sampleFrames: every stride-th fixed-size chunk, partial tail dropped") {
     val f = Multimodal.sampleFrames(
         Multimodal.payloads(docs, "doc_id", "text"), 4, 2)
