@@ -793,4 +793,62 @@ class StreamOpsSpec extends SparkSpec {
     assert(onDemand == perTrigger,
       "skipped in-stream refreshes changed the final manifest")
   }
+
+  test("exportStream kill/recover: a checkpointed restart converges the " +
+      "at-rest set and final manifest to the one-shot batch export — " +
+      "the idempotent batchId landing under an ACTUAL restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.app.CorpusPipeline
+    val cfg = CorpusPipeline.Config(minQuality = 0.0, jaccardTau = 0.9,
+      chunkTokens = 8)
+    val weights = Map("s0" -> 0.5, "s1" -> 0.5)
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the barn",
+        "en", "s0"),
+      (2L, "a tall ship sails across the wide ocean while sailors watch",
+        "en", "s1"))
+    val b2 = Seq(
+      (3L, "the old library keeps a rare map of ancient roads and trade",
+        "en", "s0"),
+      (4L, "machines hum in the workshop as gears turn and belts whir on",
+        "en", "s1"))
+    val in = MemoryStream[(Long, String, String, String)]
+    val atRest = java.nio.file.Files
+      .createTempDirectory("graft_export_kr").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_export_kr_ckpt").toString
+    def start() = StreamOps.exportStream(
+        in.toDF().toDF("doc_id", "text", "lang", "source"),
+        atRest, cfg, weights, tokenBudget = 200L, realizeSalt = "rs",
+        seqTokens = 8, shards = 2) { (_, _) => () }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      in.addData(b1: _*)
+      q1.processAllAvailable() // batch 0 landed + committed
+      in.addData(b2: _*)       // enqueued, NOT awaited
+    } finally q1.stop()        // the kill — b2 may be mid-landing
+    val q2 = start()           // recovery replays/continues from ckpt
+    try q2.processAllAvailable() finally q2.stop()
+    // the at-rest SET converged exactly: replayed/interrupted landings
+    // overwrite their own batch=<id> dir, so no loss and no duplicates
+    val atRestDocs = spark.read.parquet(atRest)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(atRestDocs == Seq(1L, 2L, 3L, 4L),
+      s"at-rest set after restart: $atRestDocs")
+    // and the export over it equals the uninterrupted one-shot batch
+    var refreshed: Seq[org.apache.spark.sql.Row] = Seq.empty
+    StreamOps.refreshExport(spark, atRest, cfg, weights, 200L, "rs", 8, 2) {
+      m => refreshed = m.orderBy("shard").collect().toSeq }
+    val r = CorpusPipeline.curate(
+      (b1 ++ b2).toDF("doc_id", "text", "lang", "source"), cfg,
+      collectFunnel = false)
+    val (_, bm) = CorpusPipeline.exportShards(r.survivors.get, weights,
+      200L, "rs", 8, 2)
+    val batchManifest = bm.orderBy("shard").collect().toSeq
+    r.persisted.foreach(_.unpersist(blocking = false))
+    assert(refreshed == batchManifest,
+      "post-restart manifest diverged from the one-shot batch export")
+  }
 }
