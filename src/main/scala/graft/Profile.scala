@@ -19,14 +19,27 @@ import org.apache.spark.sql.functions._
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    // EXACTLY Bench's session (recommendedConfs: AQE + coalescing +
+    // skew-join + UTC + nanos-as-long) — r15 found Profile's old
+    // bare-conf session made funnel timings incomparable to the
+    // driver's BENCH artifact (no AQE coalescing = 32-task exchanges
+    // over tiny post-shuffle partitions)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.conf.Sessions.recommendedConfs(
+        shufflePartitions = cpus.toInt, maxPartitionBytes = 128L << 20)
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Bench's untimed warmup (q1 checksum) so pass1 of the first named
+    // query is not billed the fresh JVM's classload/codegen setup
+    try {
+      val w = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
+      w.select(xxhash64(w.columns.toIndexedSeq.map(col): _*).as("__h"))
+        .agg(bit_xor(col("__h"))).collect()
+    } catch { case _: Throwable => () }
     val names = if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     def once(n: String): Double = {
