@@ -446,15 +446,25 @@ object StreamOps {
     val scrubbed =
       if (!scrubPii) docs
       else docs.withColumn("text", Text.piiMasked(col("text")))
+    // The expensive per-row gate kernels are fenced with
+    // [[graft.functions.Stable]]: without it, Catalyst pushes each
+    // gate's filter below the projection that computes its column by
+    // substituting the FULL kernel expression into the predicate, so
+    // the language fold and the quality composite each evaluated once
+    // for the pushed filter and again for the surviving row — measured
+    // 3.3x the single-evaluation cost over the sf0.1 corpus (no cache
+    // can sit between gates in a streaming pipeline, so the fence is
+    // the streaming twin of the batch funnel's persisted gate frame).
     val normed = scrubbed
       .withColumn("text", Text.normalize(col("text")))
       .filter(length(col("text")) > 0)
-      .withColumn("__toks", Text.tokens(col("text")))
-      .withColumn("pred_lang", Text.langIdColumn(col("__toks")))
+      .withColumn("pred_lang",
+        graft.functions.Stable.col(Text.langIdTextColumn(col("text"))))
       .filter(col("pred_lang").isin(keepLangs.toSeq: _*))
-      .drop("__toks")
     val scored = Text.qualityScore(normed, "text",
         normed.columns.filterNot(_ == "doc_id").toSeq)
+      .withColumn("quality_score",
+        graft.functions.Stable.col(col("quality_score")))
       .filter(col("quality_score") >= minQuality)
     // blocklist gate in its per-row form (the batch funnel's any-hit
     // rule over the SAME literal list) — exists() over the row's own
@@ -597,21 +607,24 @@ object StreamOps {
     * production posture: per-trigger re-derivation (the default, 1) is
     * what lets q277 hash every snapshot, but at scale a refresh costs
     * a full batch export, so a production stream refreshes every N
-    * batches — or never in-stream, calling [[refreshExport]] on
-    * demand. Skipping refreshes cannot change any later one: the
-    * manifest is a pure function of the at-rest set, which the landing
-    * writes maintain regardless (the Rq277b spec law). */
+    * batches — or never in-stream (`refreshEvery = 0`), calling
+    * [[refreshExport]] on demand. Skipping refreshes cannot change any
+    * later one: the manifest is a pure function of the at-rest set,
+    * which the landing writes maintain regardless (the Rq277b spec
+    * law, pinned for both the every-N and the never-in-stream
+    * cadence). */
   def exportStream(docs: DataFrame, atRestDir: String,
                    cfg: graft.app.CorpusPipeline.Config,
                    weights: Map[String, Double], tokenBudget: Long,
                    realizeSalt: String, seqTokens: Int, shards: Int,
                    refreshEvery: Int = 1)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    require(refreshEvery >= 0,
+      s"refreshEvery must be >= 0 (0 = never in-stream), got $refreshEvery")
     docs.writeStream.outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         batch.write.mode("overwrite").parquet(s"$atRestDir/batch=$id")
-        if (id % refreshEvery == 0)
+        if (refreshEvery > 0 && id % refreshEvery == 0)
           refreshExport(batch.sparkSession, atRestDir, cfg, weights,
             tokenBudget, realizeSalt, seqTokens, shards)(sink(_, id))
       }

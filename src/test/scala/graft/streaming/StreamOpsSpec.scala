@@ -792,6 +792,16 @@ class StreamOpsSpec extends SparkSpec {
       m => onDemand = m.orderBy("shard").collect().toSeq }
     assert(onDemand == perTrigger,
       "skipped in-stream refreshes changed the final manifest")
+    // never-in-stream cadence (refreshEvery = 0, the q277 production
+    // posture): zero in-stream refreshes, landing still maintained,
+    // on-demand refresh still equals the per-trigger stream's manifest
+    val (dirC, _, nC) = runStream(0)
+    assert(nC == 0, s"refreshEvery=0 must never refresh in-stream, got $nC")
+    var onDemand0: Seq[org.apache.spark.sql.Row] = Seq.empty
+    StreamOps.refreshExport(spark, dirC, cfg, weights, 200L, "rs", 8, 2) {
+      m => onDemand0 = m.orderBy("shard").collect().toSeq }
+    assert(onDemand0 == perTrigger,
+      "never-in-stream cadence changed the final manifest")
   }
 
   test("exportStream kill/recover: a checkpointed restart converges the " +
