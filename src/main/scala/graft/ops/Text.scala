@@ -79,6 +79,50 @@ object Text {
   def qualityScore(df: DataFrame, textCol: String): DataFrame =
     qualityScore(df, textCol, Nil)
 
+  /** The composite `quality_score` of [[qualityScore]] as ONE scalar
+    * column — same integral arithmetic, same NULL-on-empty guard —
+    * for consumers that need only the score (the curation funnel's
+    * quality gate computes it once into its persisted frame and
+    * filters on the stored value; no join, no second projection).
+    * Value-identical to `qualityScore(df, c)("quality_score")`
+    * (TextSpec pins it). */
+  def qualityScoreColumn(t: Column): Column = {
+    val toks = tokens(t)
+    val nT = size(toks).cast("long")
+    val nC = length(t).cast("long")
+    val aC = nC - length(regexp_replace(t, "[a-z A-Z]", "")).cast("long")
+    val dC = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
+    val sC = segmentHits(t, EnStopwords)
+    val ok = when(nT >= 10 && nT <= 1000, lit(1L)).otherwise(lit(0L))
+    val dec = "decimal(38,0)"
+    val num = lit(4L) * ok * nC.cast(dec) * nT +
+      lit(3L) * aC.cast(dec) * nT + lit(2L) * sC.cast(dec) * nC +
+      (nC - dC).cast(dec) * nT
+    val den = lit(10L) * nC.cast(dec) * nT
+    val s9 = least(lit(1000000000L),
+      greatest(lit(0L), Portable.intRatioScaled(num, den, 9)))
+    when(nC > 0 && nT > 0, s9.cast("double") / lit(1e9))
+  }
+
+  /** [[repetitionStats]]'s `dup_ngram_ratio` as ONE scalar column over
+    * a materialized token array: `1 − distinct/total` of the
+    * (non-distinct) n-gram multiset, NULL when the document has no
+    * n-grams (fewer than n tokens) — exactly the relational op's
+    * semantics (left-join NULL there, guarded `when` here; TextSpec
+    * pins value equality). Map-only: the funnel's repetition gate
+    * computes this once into its persisted frame instead of paying
+    * the explode + two doc-keyed shuffles + join-back of the full
+    * relational report. Pass a PRE-MATERIALIZED token column (its own
+    * projection) — inlining `split` here re-runs it per `element_at`
+    * (the documented fingerprints trap). */
+  def dupNgramRatioColumn(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = shinglesAll(toks, n)
+    val total = size(grams).cast("long")
+    when(total > 0, Portable.intRatio9(
+      total - size(array_distinct(grams)).cast("long"), total))
+  }
+
   /** [[qualityScore]] with extra input columns passed through — lets a
     * rollup ([[Quality.corpusReport]]) group the per-doc scores without
     * a corpus-sized join back to the metadata. */
@@ -90,8 +134,10 @@ object Text {
     val nC = length(t).cast("long")
     val aC = nC - length(regexp_replace(t, "[a-z A-Z]", "")).cast("long")
     val dC = nC - length(regexp_replace(t, "[0-9]", "")).cast("long")
-    val sC = size(filter(toks, w => w.isin(EnStopwords.map(lit): _*)))
-      .cast("long")
+    // stopword hits via one codegen'd regex segment scan instead of the
+    // interpreted filter-isin HOF — value-identical ([[segmentHits]]),
+    // and this op runs on every curation gate's hot path
+    val sC = segmentHits(t, EnStopwords)
     val ok = when(nT >= 10 && nT <= 1000, lit(1L)).otherwise(lit(0L))
     // score = 0.4·ok + 0.3·a/L + 0.2·s/T + 0.1·(L−d)/L with cleared
     // denominators — (4·ok·L·T + 3·a·T + 2·s·L + (L−d)·T)/(10·L·T) —
@@ -161,28 +207,52 @@ object Text {
         col("lang"))
   }
 
-  /** Map-only column form of [[languageId]] — the STREAM-SAFE language
-    * gate: no explode, no aggregation, no window, so it runs inside a
-    * `writeStream` pipeline in append mode where the relational form
-    * (groupBy + rank) cannot. Per language, the hit count is
-    * `size(filter(toks, profile words))` over the materialized token
-    * array; the argmax folds in ascending language order with a strict
-    * `>`, which reproduces [[languageId]]'s (count DESC, lang ASC)
-    * tiebreak and its 'und' fallback exactly (TextSpec pins equality on
-    * the full fixture corpus). The per-language filter lambdas are
-    * interpreted (no codegen) — fine for the profile's 5 languages;
-    * prefer [[languageId]] for batch corpora, where the broadcast-join
-    * form stays in codegen. */
-  def langIdColumn(toks: Column): Column = {
+  /** Count of `split(text, " ")` segments exactly equal to one of
+    * `words`, as a pure codegen'd expression: a segment equals w iff
+    * the padded string `' ' + text + ' '` contains `' w '` at that
+    * position, so `regexp_count` with space lookarounds counts EXACT
+    * token membership — for ANY text, not just normalized text
+    * (consecutive spaces make empty segments, which no non-empty word
+    * matches; a tab or newline glued to a word fails the lookaround
+    * exactly as it fails `==`). Replaces the interpreted
+    * `size(filter(toks, isin))` HOF — one native regex scan of the
+    * string instead of an array traversal + array allocation per call
+    * (the r15 streaming-gate measurement: the 5-language HOF fold
+    * alone cost 1.5 s over the sf0.1 corpus). `words` must be
+    * non-empty, space-free and regex-meta-free (the profile/stopword
+    * lists are). */
+  private[graft] def segmentHits(text: Column, words: Seq[String]): Column =
+    regexp_count(concat(lit(" "), text, lit(" ")),
+      lit(words.mkString("(?<= )(", "|", ")(?= )"))).cast("long")
+
+  /** Map-only TEXT form of [[languageId]] — hit counts via
+    * [[segmentHits]] (one codegen'd regex scan per profile language);
+    * the argmax folds in ascending language order with a strict `>`,
+    * which reproduces [[languageId]]'s (count DESC, lang ASC) tiebreak
+    * and its 'und' fallback exactly (TextSpec pins equality on the
+    * full fixture corpus). */
+  def langIdTextColumn(text: Column): Column = {
     val byLang = LangProfile.groupBy(_._1).view
       .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
     byLang.foldLeft(struct(lit(0L).as("n"), lit("und").as("l"))) {
       case (acc, (lg, ws)) =>
-        val n = size(filter(toks, w => w.isin(ws.map(lit): _*))).cast("long")
+        val n = segmentHits(text, ws)
         when(n > acc.getField("n"),
           struct(n.as("n"), lit(lg).as("l"))).otherwise(acc)
     }.getField("l")
   }
+
+  /** Map-only column form of [[languageId]] — the STREAM-SAFE language
+    * gate: no explode, no aggregation, no window, so it runs inside a
+    * `writeStream` pipeline in append mode where the relational form
+    * (groupBy + rank) cannot. Token-array compatibility wrapper over
+    * [[langIdTextColumn]]: `array_join(toks, " ")` reconstructs the
+    * exact space-delimited segment list the counts are defined over
+    * (tokens never contain a space — they came from splitting on it),
+    * so the two forms are value-identical; callers holding the TEXT
+    * should call [[langIdTextColumn]] directly and skip the join. */
+  def langIdColumn(toks: Column): Column =
+    langIdTextColumn(array_join(toks, " "))
 
   /** C4-style text normalization: lowercase, non-alphanumeric → space,
     * collapse space runs, trim. Pure per-row scalar chain (map-only),
