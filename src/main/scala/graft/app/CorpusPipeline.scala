@@ -289,102 +289,100 @@ object CorpusPipeline {
 
     // normalize next so the gates, dedup shingles and chunks all see
     // canonical text; normalization can empty a document (all symbols).
+    //
+    // r15 optimization (guide §2.4 — remove shuffles outright): every
+    // PER-ROW gate signal — the language prediction, the quality
+    // composite, and (when the gate is on) the Gopher duplication
+    // ratio — is computed ONCE into this projection and materialized
+    // by the persist, so each downstream gate is a FILTER on a stored
+    // column. The previous shape derived each signal relationally
+    // (explode → agg → survivor-id frame) and joined the ids back,
+    // paying per gate one aggregation (up to two corpus-keyed
+    // shuffles) plus a corpus-sized join — per funnel query, the
+    // language + quality + repetition gates cost 5 exchanges and 3
+    // joins that a scan can answer. The cache is also the evaluation
+    // barrier: filters over InMemoryTableScan read stored values, so
+    // no Catalyst rule can duplicate the kernels (the streaming twin
+    // uses [[graft.functions.Stable]] for the same guarantee).
     // ALWAYS persist-registered (persist is metadata; in lazy mode
     // nothing materializes before the fixpoint construction): Spark
     // plans are trees, not DAGs, and every downstream branch hangs off
     // this frame — unpersisted, the lazy chunk plan multiplied to ~120
     // SOURCE SCANS (measured at sf0.01; one scan with the persist,
-    // accumulator-spec-pinned). Same for `quality` below, which the
-    // repetition gate and the exact dedup both read twice. The cheap
-    // single-join gate frames between them (`inLang`, `good`) stay
-    // UNpersisted outside funnel mode: their recomputation is a
-    // bounded ×2 over a cached parent, and the cache boundary itself
-    // measured ~40% of q62's steady-state cost when they were cached.
-    val normed = scrubbed.select(col("doc_id"),
+    // accumulator-spec-pinned).
+    // `__t` rides a lower projection so the gram HOF's element_at
+    // references share ONE split (the fingerprints trap); it is NOT
+    // part of the persisted schema.
+    val normedBase = scrubbed.select(col("doc_id"),
         Text.normalize(col("text")).as("text"), col("lang"), col("source"))
       .filter(length(col("text")) > 0)
+    val gateCols = Seq(
+        Text.langIdTextColumn(col("text")).as("__pred_lang"),
+        Text.qualityScoreColumn(col("text")).as("__q")) ++
+      cfg.maxDupNgramRatio.map(_ =>
+        Text.dupNgramRatioColumn(col("__t"), cfg.repetitionN).as("__dup"))
+        .toSeq
+    val normed = normedBase
+      .withColumn("__t", Text.tokens(col("text")))
+      .select(Seq("doc_id", "text", "lang", "source").map(col) ++
+        gateCols: _*)
       .persist(cfg.storageLevel)
 
     // language gate on the n-gram-profile PREDICTION, not the source-
     // provided tag (at corpus scale the tag is missing or wrong).
-    // With collectFunnel the frame persists for the funnel's duration
-    // (unpersisted below) so the counts run the langid chain once.
-    val inLang0 = normed.join(
-      Text.languageId(normed, "text")
-        .filter(col("pred_lang").isin(cfg.keepLangs.toSeq: _*))
-        .select("doc_id"),
-      Seq("doc_id"))
-    val inLang =
-      if (collectFunnel) inLang0.persist(cfg.storageLevel)
-      else inLang0
+    // [[Text.langIdTextColumn]] is the spec-pinned map-only twin of
+    // the relational [[Text.languageId]] — same prediction, same
+    // tiebreak, zero shuffles.
+    val inLang = normed.filter(
+      col("__pred_lang").isin(cfg.keepLangs.toSeq: _*))
 
-    // quality gate: length/alpha/stopword/digit composite (read by its
-    // own join + the repetition gate + the exact dedup + the funnel
-    // count — always persisted, see the normed comment). With
-    // `minQualityPct` the absolute cut is ANDed with a per-source
-    // percentile cut ("keep each source's top slice") — the ranks come
-    // from [[Text.scorePercentiles]]'s compact (source, score) frame
-    // over ALL in-lang docs, so one source's score inflation never
+    // quality gate: length/alpha/stopword/digit composite, stored in
+    // `__q` — the absolute cut is a pure filter. With `minQualityPct`
+    // the absolute cut is ANDed with a per-source percentile cut
+    // ("keep each source's top slice") — the ranks come from
+    // [[Text.scorePercentiles]]'s compact (source, score) frame over
+    // ALL in-lang docs (a genuine corpus aggregation — the one quality
+    // path that keeps its join), so one source's score inflation never
     // crowds out another's documents.
-    val qkeep = cfg.minQualityPct match {
-      case None =>
-        Text.qualityScore(inLang, "text")
-          .filter(col("quality_score") >= cfg.minQuality)
-          .select("doc_id")
+    val quality = cfg.minQualityPct match {
+      case None => inLang.filter(col("__q") >= cfg.minQuality)
       case Some(pct) =>
-        Text.scorePercentiles(
-            Text.qualityScore(inLang, "text", Seq("source"))
-              .select(col("doc_id"), col("source"), col("quality_score")),
+        // survivor ids behind a [[Barrier]] in BOTH modes: the gate
+        // output is no longer persisted (it is a join over the cached
+        // normed frame), so the rank aggregation would otherwise
+        // re-run once per downstream read (exact dedup reads ×2)
+        val ranked = Barrier.cut(Text.scorePercentiles(
+            inLang.select(col("doc_id"), col("source"),
+              col("__q").as("quality_score")),
             "quality_score", "source")
           .filter(col("quality_score") >= cfg.minQuality &&
             col("pct_rank") >= pct)
-          .select("doc_id")
+          .select("doc_id"))
+        inLang.join(ranked, Seq("doc_id"))
     }
-    val quality = inLang.join(qkeep, Seq("doc_id"))
-      .persist(cfg.storageLevel)
 
     // optional C4-style blocklist gate: drop any document containing a
-    // blocklisted token ([[Text.blocklistStats]], n_blocked == 0 keeps).
-    // Map-only — the list is a codegen literal, so the stage adds no
-    // join and no shuffle, only one more read of the cached quality
-    // frame (stats + join = the bounded-×2 gate contract).
+    // blocklisted token — the one-line any-hit filter over the row's
+    // own tokens ([[Text.blocklistStats]]'s n_blocked == 0 rule as a
+    // predicate; the list is a codegen literal). Map-only, no join.
     val clean = cfg.blocklist match {
       case None => quality
       case Some(terms) =>
-        val surv = quality.join(
-          Text.blocklistStats(quality, "text", terms)
-            .filter(col("n_blocked") === 0)
-            .select("doc_id"),
-          Seq("doc_id"))
-        if (collectFunnel) surv.persist(cfg.storageLevel)
-        else surv
+        val lst = typedLit(terms.distinct)
+        quality.filter(!exists(Text.tokens(col("text")),
+          t => array_contains(lst, t)))
     }
 
     // optional Gopher duplication gate: drop degenerate-repetition docs
     // (boilerplate/spam) the quality composite cannot see. NULL ratios
-    // (docs too short for an n-gram) pass; unset = stage skipped, no
-    // extra scan.
-    //
-    // Lazy-mode gate idiom (here and in the boiler/ppl gates below):
-    // the expensive stats chain collapses to its tiny survivor-ID
-    // frame behind a [[Barrier]], so downstream consumers that read
-    // the gate output more than once (exact dedup's group+join is ×2)
-    // re-scan only the CACHED parent joined with materialized ids —
-    // the n-gram explode never runs twice. Funnel mode instead
-    // persists the gate output and materializes it once in count
-    // order (the ids stay lazy — they run exactly once inside that
-    // materialization).
+    // (docs too short for an n-gram) pass; unset = no `__dup` column
+    // is even computed. A filter on the stored ratio — the previous
+    // relational form paid an n-gram explode + two doc-keyed shuffles
+    // + a join-back per funnel run.
     val good = cfg.maxDupNgramRatio match {
       case None => clean
       case Some(maxDup) =>
-        val ids = Text.repetitionStats(clean, "text", cfg.repetitionN)
-          .filter(col("dup_ngram_ratio").isNull ||
-            col("dup_ngram_ratio") <= maxDup)
-          .select("doc_id")
-        val surv = clean.join(
-          if (collectFunnel) ids else Barrier.cut(ids), Seq("doc_id"))
-        if (collectFunnel) surv.persist(cfg.storageLevel)
-        else surv
+        clean.filter(col("__dup").isNull || col("__dup") <= maxDup)
     }
 
     // optional cross-document boilerplate gate: drop docs that are
@@ -439,10 +437,13 @@ object CorpusPipeline {
 
     // exact dedup (hash-groupBy, deterministic min-id survivor), then
     // near-dedup with the transitive-cluster policy: min-id by default,
-    // or the highest-quality copy per cluster (keepBestQuality) — the
-    // score recomputes map-only over the persisted exact frame (the
-    // gate stage kept only ids, and the gate may not even have run).
-    val exact = Dedup.dedupExact(tiered, "doc_id", "text")
+    // or the highest-quality copy per cluster (keepBestQuality). The
+    // gate-signal columns stop here: everything from the dedup joins
+    // on keeps the original (doc_id, text, lang, source) schema, so
+    // the extra bytes never ride a dedup shuffle.
+    val postGates = tiered.select(
+      col("doc_id"), col("text"), col("lang"), col("source"))
+    val exact = Dedup.dedupExact(postGates, "doc_id", "text")
       .persist(cfg.storageLevel)
     val shingled = exact.select(col("doc_id"),
         Text.shingles(Text.tokens(col("text")), cfg.shingleN).as("shingles"))
@@ -458,9 +459,11 @@ object CorpusPipeline {
           "doc_id")
         val verified = Dedup.jaccardVerify(cands, shingled, "doc_id",
           cfg.jaccardTau)
-        val scored = exact.join(
-          Text.qualityScore(exact, "text")
-            .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        // score as a scalar column over the persisted exact frame —
+        // value-identical to the relational qualityScore and saves
+        // its doc_id self-join (r15; guide §2.4)
+        val scored = exact.withColumn("quality_score",
+          Text.qualityScoreColumn(col("text")))
         Dedup.dedupNearClusteredBest(scored, "doc_id", "quality_score",
             Dedup.nearDupClusters(verified, "doc_id"))
           .drop("quality_score", "cluster_rep")
@@ -545,21 +548,21 @@ object CorpusPipeline {
           "near_dedup" -> near.count()) ++ scrubCounts ++ Seq(
           "chunks" -> chunks.count()) ++
           packed.map(p => "packed_sequences" -> p.count()).toSeq
+        // only the corpus-aggregation gates (boilerplate, perplexity)
+        // persist their outputs now — the per-row gates are filters
+        // over the normed cache and have nothing to unpersist
         if (tiered ne gated) tiered.unpersist()
         if (gated ne good) gated.unpersist()
-        if (good ne clean) good.unpersist()
-        if (clean ne quality) clean.unpersist()
-        quality.unpersist()
-        inLang.unpersist()
         normed.unpersist()
         counts
       }
-    // lazy mode keeps normed + quality cached (the always-persisted
-    // multi-read frames) — hand them to the caller alongside the
-    // dedup-side frames for unpersist after consumption
+    // lazy mode keeps normed cached (the one always-persisted
+    // multi-read frame — every gate filter reads its stored columns) —
+    // hand it to the caller alongside the dedup-side frames for
+    // unpersist after consumption
     val extraPersisted =
       if (collectFunnel) Seq.empty
-      else Seq(quality, normed) ++
+      else Seq(normed) ++
         (if (cfg.pplKeepTiers.isDefined && (gated ne quality)) Seq(gated)
          else Seq.empty)
     val deconPersisted = if (decon ne near) Seq(decon) else Seq.empty
