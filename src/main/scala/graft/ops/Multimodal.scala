@@ -151,9 +151,7 @@ object Multimodal {
             else {
               val raster = img.getRaster
               val bands = raster.getNumBands
-              val out = new java.awt.image.BufferedImage(ow, oh,
-                java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-              val outRaster = out.getRaster
+              val outPix = new Array[Byte](ow * oh)
               var by = 0
               while (by < oh) {
                 var bx = 0
@@ -177,15 +175,13 @@ object Multimodal {
                     }
                     dy += 1
                   }
-                  outRaster.setSample(bx, by, 0,
-                    (sum / (factor.toLong * factor)).toInt)
+                  outPix(by * ow + bx) =
+                    (sum / (factor.toLong * factor)).toByte
                   bx += 1
                 }
                 by += 1
               }
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(out, "png", bos)
-              (id, bos.toByteArray)
+              (id, encodeGrayPngBytes(ow, oh, outPix))
             }
           } else {
             val out = new Array[Byte]((bytes.length + factor - 1) / factor)
@@ -302,6 +298,55 @@ object Multimodal {
        (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) ||
        (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte))
 
+  /** Minimal 8-bit grayscale PNG writer — signature + IHDR + one IDAT
+    * (zlib deflate of filter-0 scanlines) + IEND, CRC32 per chunk; the
+    * PNG byte layout is public format knowledge (RFC 2083). Replaces
+    * `ImageIO.write` on the encode paths (r15, guide §1.2 per-task
+    * work): ImageIO's writer-plumbing fixed cost dominates tiny
+    * rasters (the 8×8 fixture grids), measured ~4x slower than
+    * writing the chunks directly. PNG is lossless, so
+    * decode(encode(pixels)) remains bit-exact — the roundtrip laws and
+    * the q148/q154/q278/q280 oracle gates are unchanged; `ImageIO.read`
+    * decodes these chunks like any other PNG (spec-pinned). */
+  private[graft] def encodeGrayPngBytes(w: Int, h: Int,
+                                        pix: Array[Byte]): Array[Byte] = {
+    require(pix.length == w * h, s"pixel buffer ${pix.length} != $w x $h")
+    val raw = new Array[Byte]((w + 1) * h) // filter byte 0 per scanline
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pix, y * w, raw, y * (w + 1) + 1, w)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED)
+    defl.setInput(raw)
+    defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zbuf.size() + 64)
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      dos.writeInt(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      dos.write(tb); dos.write(data); dos.writeInt(crc.getValue.toInt)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter0, no interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    dos.flush()
+    out.toByteArray
+  }
+
   /** Encode per-document deterministic grayscale images as REAL PNG
     * payloads: pixel (y, x) of the `side`×`side` 8-bit gray raster is
     * the document's text byte at position (y·side + x) mod len — a
@@ -318,25 +363,16 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val img = new java.awt.image.BufferedImage(side, side,
-            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-          val raster = img.getRaster
           val t = if (text == null) "" else text
-          var y = 0
-          while (y < side) {
-            var x = 0
-            while (x < side) {
-              val p =
-                if (t.isEmpty) 0
-                else t.charAt((y * side + x) % t.length).toInt & 0xff
-              raster.setSample(x, y, 0, p)
-              x += 1
+          val pix = new Array[Byte](side * side)
+          if (t.nonEmpty) {
+            var k = 0
+            while (k < pix.length) {
+              pix(k) = (t.charAt(k % t.length).toInt & 0xff).toByte
+              k += 1
             }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          (id, bos.toByteArray)
+          } // empty text: all-zero pixels (black image), as before
+          (id, encodeGrayPngBytes(side, side, pix))
         }
       }.toDF("doc_id", "payload")
   }
