@@ -34,6 +34,34 @@ object SparkEntry {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: Throwable => () }
 
+  /** Run `body` (a stream-start/processAllAvailable harness) with
+    * `spark.sql.shuffle.partitions` pinned to the STREAM STATE sizing,
+    * restoring the session value after (r15 optimization).
+    *
+    * Why: a stateful micro-batch operator instantiates one state store
+    * per shuffle partition, and EVERY store pays a delta-file write +
+    * commit per micro-batch — cost proportional to the partition
+    * count, not the data (measured on the q261 replay shape: 5.6–12.4 s
+    * at 32 partitions vs 2.8–3.2 s at 2, same rows, same results).
+    * Stream-static joins pay the same per-trigger exchange tax. This
+    * is the guide's fewer-larger-partitions rule (§2.2) applied to
+    * state stores: size the state shuffle to KEY CARDINALITY, not to
+    * the batch session's core-count default. The fixture streams carry
+    * O(10^1..10^3) keys (event types, users, content hashes), so 4
+    * partitions bounds per-trigger file churn at every bench core
+    * count; a production stream with a wide key space sizes up via
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS (states are hash-partitioned,
+    * so the setting changes layout, never results — the oracle gates
+    * pin that). Never raises above the session's batch setting. */
+  private def withStreamStatePartitions[A](s: SparkSession)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val n = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(math.min(4, prev.toInt))
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stage the 5-column events frame as 4 parquet files plus two
     * far-future sentinel rows (user_id −1 / event_type
     * "__wm_sentinel__" — key values absent from the fixture), for the
@@ -2857,7 +2885,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // the FINAL micro-batch's sweep (the table over all rows seen)
     // hashes against q218's own exact-integer oracle — the stateful
     // twin law under the driver's gate.
-    "q256_threshold_sweep_stream" -> ((s, dir) => {
+    "q256_threshold_sweep_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val staged = java.nio.file.Files
         .createTempDirectory("q256_stream_src").toString
@@ -2901,7 +2929,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // watermark past every real window so event-time timeouts flush
     // them; the sentinel key itself never accumulates a full trailing
     // baseline, so it emits nothing in stream OR batch.
-    "q257_window_anomaly_robust_stream" -> ((s, dir) => {
+    "q257_window_anomaly_robust_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -2929,7 +2957,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // GROUP BY. The sum certifies at exact cents: per-window double
     // accumulation error (≤ n·ε·Σ|v| ≈ 1e-10) is five orders below
     // the 0.005 rounding margin, so both engines land the same LONG.
-    "q261_windowed_counts_stream" -> ((s, dir) => {
+    "q261_windowed_counts_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -2960,7 +2988,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // starts a new session — the window is [start, last+gap); the
     // ns-resolution fixture cannot sit on the boundary, but the SQL
     // states the operator's own contract).
-    "q262_session_windows_stream" -> ((s, dir) => {
+    "q262_session_windows_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -3001,7 +3029,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // rows hash against q178's own batch SQL restricted to
     // is_current = false. The open tail lives in the state store — the
     // append-correct projection q178's scaladoc describes.
-    "q258_scd2_stream" -> ((s, dir) => {
+    "q258_scd2_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       import org.apache.spark.sql.expressions.Window
       val ev = Sources.eventsNs(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
@@ -3050,7 +3078,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // hashes against a plain batch self-join oracle. Per user, every
     // (left, right) event pair with the right event 0..1 window after
     // the left — the "what followed within the hour" join.
-    "q259_interval_join_stream" -> ((s, dir) => {
+    "q259_interval_join_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -3093,7 +3121,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // an even-only index would leave the anti-join vacuous), joined
     // stateless anti per micro-batch. The daily delta-crawl ingest
     // path, certified end to end against a batch oracle.
-    "q260_curate_stream_incremental" -> ((s, dir) => {
+    "q260_curate_stream_incremental" -> ((s, dir) => withStreamStatePartitions(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // stored-index-at-rest: the hash index re-enters the anti join
       // every micro-batch — persist it once
@@ -3176,7 +3204,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // and the FINAL micro-batch's PSI re-derivation hashes against
     // q200's own exact-integer oracle — the static baseline (corpus
     // minus src0) keeps its quantile boundaries fixed by definition.
-    "q264_psi_stream" -> ((s, dir) => {
+    "q264_psi_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // the static baseline re-enters psiFromCounts every micro-batch —
       // persist it once (the stored-baseline-at-rest posture; without
@@ -3223,7 +3251,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // micro-batch's LLR walk hashes against q236's own integer-walk
     // oracle, so the live stopping rule is certified equal to the
     // batch trace.
-    "q265_sprt_stream" -> ((s, dir) => {
+    "q265_sprt_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -3259,7 +3287,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // document-bounded) and the FINAL micro-batch's rendered card
     // hashes against q75's own batch oracle — the merge-equals-rebuild
     // law (q249) running continuously.
-    "q266_corpus_report_stream" -> ((s, dir) => {
+    "q266_corpus_report_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val staged = java.nio.file.Files
         .createTempDirectory("q266_stream_src").toString
@@ -3299,7 +3327,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // deterministic part of the contract.) The 60-day watermark
     // covers the fixture's 30-day span, so state never evicts
     // mid-replay.
-    "q267_dedup_stream" -> ((s, dir) => {
+    "q267_dedup_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"))
@@ -3329,7 +3357,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // exact-integer batch oracle. Sentinels flush the tail as in
     // q257; the sentinel key never accumulates a full trailing
     // baseline, so it emits nothing in stream OR batch.
-    "q268_window_anomaly_stream" -> ((s, dir) => {
+    "q268_window_anomaly_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       val ev = Sources.eventsNs(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
@@ -3356,7 +3384,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // must equal a plain batch GROUP BY. Sums certify at exact cents
     // (the q261 argument: per-user double accumulation error is five
     // orders below the 0.005 rounding margin).
-    "q269_running_state_stream" -> ((s, dir) => {
+    "q269_running_state_stream" -> ((s, dir) => withStreamStatePartitions(s) {
       import s.implicits._
       import scala.jdk.CollectionConverters._
       val ev = Sources.eventsNs(s, dir)
@@ -3389,7 +3417,7 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
     // file stream through dedupNearStreamAgainst vs the even-id
     // SimHash index; stateless per micro-batch, so the accumulated
     // sink must equal the batch run — q124's own oracle.
-    "q270_near_dedup_stream_live" -> ((s, dir) => {
+    "q270_near_dedup_stream_live" -> ((s, dir) => withStreamStatePartitions(s) {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // the static SimHash index re-enters the band join every
       // micro-batch — persist it once (the stored-index-at-rest
@@ -4410,21 +4438,33 @@ GROUP BY e.probe_id ORDER BY e.probe_id"""
       docs.repartition(4).write.mode("overwrite").parquet(staged)
       val sdf = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
+      // Production refresh cadence (r15 optimization): the landing
+      // writes run per trigger as before, but the funnel + export
+      // re-derivation — a full batch export per refresh — runs ON
+      // DEMAND once, after ingest, instead of once per micro-batch
+      // (refreshEvery = 0, the never-in-stream cadence). The manifest
+      // is a pure function of the at-rest SET (the Rq277b spec law),
+      // so the on-demand refresh is bit-identical to the last
+      // per-trigger refresh the previous harness collected — same
+      // rows, same hash — for ONE funnel derivation instead of four.
+      val q = graft.streaming.StreamOps.exportStream(sdf, atRest, cfg,
+        EpochWeights, EpochBudget, EpochRealizeSalt, PackSeqTokens,
+        PackShards, refreshEvery = 0) { (_, _) => () }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      deleteRecursively(staged)
       val last = new java.util.concurrent.atomic.AtomicReference[
         (Array[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType)]()
-      val q = graft.streaming.StreamOps.exportStream(sdf, atRest, cfg,
+      graft.streaming.StreamOps.refreshExport(s, atRest, cfg,
         EpochWeights, EpochBudget, EpochRealizeSalt, PackSeqTokens,
-        PackShards) { (manifest, _) =>
+        PackShards) { manifest =>
           last.set((manifest.collect(), manifest.schema))
-        }.start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      deleteRecursively(staged)
+        }
       deleteRecursively(atRest)
       val (rows, schema) = {
         val v = last.get()
         require(v != null,
-          s"stream produced no micro-batches (staged dir was $staged)")
+          s"final refresh produced no manifest (staged dir was $staged)")
         v
       }
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
