@@ -31,14 +31,14 @@ object Text {
     regexp_extract_all(text, lit(WordPattern), lit(0))
 
   /** Distinct token n-gram shingles of an array column; empty when the
-    * document has fewer than n tokens. 1-based `element_at` keeps the
-    * construction aligned with the DuckDB oracle ([[shinglesSql]]). */
-  def shingles(toks: Column, n: Int): Column = {
-    val gram = transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
-    array_distinct(when(size(toks) >= n, gram)
-      .otherwise(array().cast("array<string>")))
-  }
+    * document has fewer than n tokens. Native single-pass expression
+    * ([[graft.functions.TokenShingles]], r15) — value-identical to the
+    * previous `transform(sequence…)` + `concat_ws` + `array_distinct`
+    * chain (TextSpec pins it) but ~an order of magnitude cheaper: the
+    * HOF chain ran interpreted and re-bound a lambda per element.
+    * DuckDB oracle twin unchanged ([[shinglesSql]]). */
+  def shingles(toks: Column, n: Int): Column =
+    graft.functions.TokenShingles.col(toks, n, distinct = true)
 
   /** DuckDB fragment: distinct n-gram shingles of list column `t`. */
   def shinglesSql(t: String, n: Int): String = {
@@ -117,7 +117,16 @@ object Text {
     * (the documented fingerprints trap). */
   def dupNgramRatioColumn(toks: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val grams = shinglesAll(toks, n)
+    dupNgramRatioFromGrams(shinglesAll(toks, n))
+  }
+
+  /** [[dupNgramRatioColumn]] over an already-materialized gram ARRAY
+    * column — the hot-path form: the ratio references its gram input
+    * three times (two sizes + distinct), so passing the expression
+    * itself re-builds the grams per reference; a column attribute from
+    * a lower projection is referenced for free (the funnel computes
+    * `__g` once next to `__t`). */
+  def dupNgramRatioFromGrams(grams: Column): Column = {
     val total = size(grams).cast("long")
     when(total > 0, Portable.intRatio9(
       total - size(array_distinct(grams)).cast("long"), total))
@@ -1652,12 +1661,11 @@ object Text {
 
   /** All (non-distinct) k-gram shingles — winnowing and occurrence-
     * weighted gram features ([[Sampling.dsirScores]]) need positional
-    * k-grams, not the distinct set. DuckDB twin: [[shinglesAllSql]]. */
-  def shinglesAll(toks: Column, n: Int): Column = {
-    val gram = transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
-      concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
-    when(size(toks) >= n, gram).otherwise(array().cast("array<string>"))
-  }
+    * k-grams, not the distinct set. Native single-pass expression
+    * ([[graft.functions.TokenShingles]], r15 — see [[shingles]]).
+    * DuckDB twin: [[shinglesAllSql]]. */
+  def shinglesAll(toks: Column, n: Int): Column =
+    graft.functions.TokenShingles.col(toks, n, distinct = false)
 
   /** [[Dedup.SimHashBits]]-bit SimHash from a pre-hashed token array
     * (`array<bigint>` of 60-bit [[Portable]] hashes): bit b of the
