@@ -1068,7 +1068,12 @@ object Dedup {
     require(maxHam < SimHashBands,
       s"$SimHashBands bands only guarantee recall for hamming <= ${SimHashBands - 1}")
     val bandMask = (1L << SimHashBandBits) - 1
-    val banded = sims.select(col(idCol), col("simhash"),
+    // both self-join sides read the fingerprint frame — cut it so a
+    // MAP-ONLY upstream computes once (r15: the q154 chain re-ran
+    // encode→decode→aHash PER SIDE without this — [[simhashBandAudit]]
+    // had the barrier, this op did not); 16 bytes/doc, trivially cheap
+    val cut = Barrier.cut(sims.select(col(idCol), col("simhash")))
+    val banded = cut.select(col(idCol), col("simhash"),
         explode(array((0 until SimHashBands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), SimHashBandBits * b)

@@ -462,15 +462,21 @@ object Multimodal {
     * spec-verified (roundtrip law: decode(encode(pixels)) = pixels). */
   def aHashFromGrid(gridDf: DataFrame): DataFrame = {
     val n = graft.ops.Dedup.SimHashBits
+    // unrolled codegen sums instead of the aggregate() HOFs (r15):
+    // higher-order functions run interpreted (CodegenFallback) and the
+    // two folds cost ~2 s over the 5k-doc fixture; the n-term
+    // element_at/when sums compile into whole-stage codegen and
+    // evaluate the IDENTICAL arithmetic (same terms, same Long adds)
+    val sm = (1 to n).map(i => element_at(col("__bs"), i)).reduce(_ + _)
+    val bits = (0 until n).map(k =>
+        when(element_at(col("__bs"), k + 1) * lit(n.toLong) >= col("__sm"),
+          lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
     gridDf
       .filter(col("gray").isNotNull && size(col("gray")) >= n)
       .withColumn("__bs", slice(col("gray"), 1, n))
-      .withColumn("__sm", aggregate(col("__bs"), lit(0L), (a, x) => a + x))
-      .withColumn("simhash", expr(
-        s"""aggregate(sequence(0, ${n - 1}), CAST(0 AS BIGINT), (acc, k) ->
-           |  acc + IF(element_at(__bs, k + 1) * $n >= __sm,
-           |           shiftleft(CAST(1 AS BIGINT), k),
-           |           CAST(0 AS BIGINT)))""".stripMargin))
+      .withColumn("__sm", sm)
+      .withColumn("simhash", bits)
       .select(col("doc_id"), col("simhash"))
   }
 
