@@ -242,13 +242,21 @@ object CorpusPipeline {
         col("text"))
     val packed = Sampling.pack(realized, "doc_id", "text", seqTokens,
       shards, packSalt)
-    val manifest = Sources.shardManifest(packed, "seq_idx", "seq")
-      .withColumnRenamed("n_docs", "n_seqs")
-      .withColumnRenamed("min_id", "min_seq")
-      .withColumnRenamed("max_id", "max_seq")
-      .join(packed.groupBy(col("shard")).agg(
+    // ONE shard-keyed aggregation producing the manifest columns AND
+    // the content hash (r15): the previous shardManifest + groupBy +
+    // join shape aggregated `packed` twice and re-ran the packer's
+    // window shuffle per branch — same rows, same columns, same order
+    // as [[Sources.shardManifest]]'s renamed output joined with the
+    // hash rollup (the q274/q277 oracles pin it).
+    val manifest = packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(size(graft.ops.Text.tokens(col("seq"))).cast("long"))
+          .as("n_tokens"),
+        sum(length(col("seq")).cast("long")).as("n_chars"),
+        min(col("seq_idx")).as("min_seq"),
+        max(col("seq_idx")).as("max_seq"),
         bit_xor(graft.ops.Portable.seededHash(col("seq_idx"), col("seq")))
-          .as("content_hash")), Seq("shard"))
+          .as("content_hash"))
     (packed, manifest)
   }
 
@@ -320,10 +328,14 @@ object CorpusPipeline {
         Text.langIdTextColumn(col("text")).as("__pred_lang"),
         Text.qualityScoreColumn(col("text")).as("__q")) ++
       cfg.maxDupNgramRatio.map(_ =>
-        Text.dupNgramRatioColumn(col("__t"), cfg.repetitionN).as("__dup"))
-        .toSeq
-    val normed = normedBase
-      .withColumn("__t", Text.tokens(col("text")))
+        Text.dupNgramRatioFromGrams(col("__g")).as("__dup")).toSeq
+    val withToks = normedBase.withColumn("__t", Text.tokens(col("text")))
+    val withGrams = cfg.maxDupNgramRatio match {
+      case None => withToks
+      case Some(_) => withToks.withColumn("__g",
+        Text.shinglesAll(col("__t"), cfg.repetitionN))
+    }
+    val normed = withGrams
       .select(Seq("doc_id", "text", "lang", "source").map(col) ++
         gateCols: _*)
       .persist(cfg.storageLevel)
