@@ -105,12 +105,28 @@ object StreamProbe {
       noop(graft.streaming.StreamOps.curateStream(docs,
         SparkEntry.CurateLangs, SparkEntry.CurateMinQuality))
     }
-    timeIt("langIdColumn alone as batch") {
-      noop(docs.select(graft.ops.Text.langIdColumn(
-        graft.ops.Text.tokens(col("text"))).as("pl")))
-    }
     timeIt("langIdTextColumn alone as batch") {
       noop(docs.select(graft.ops.Text.langIdTextColumn(col("text")).as("pl")))
+    }
+    // kernel variants for the segment-hit count (×3 each)
+    val stop = graft.ops.Text.EnStopwords
+    def rep(label: String)(c: => org.apache.spark.sql.Column): Unit =
+      (1 to 3).foreach(i => timeIt(s"$label #$i")(noop(docs.select(c.as("v")))))
+    rep("sC hof filter-isin") {
+      size(filter(split(col("text"), " "),
+        w => w.isin(stop.map(lit): _*))).cast("long")
+    }
+    rep("sC regexp_count lookbehind") {
+      regexp_count(concat(lit(" "), col("text"), lit(" ")),
+        lit(stop.mkString("(?<= )(", "|", ")(?= )"))).cast("long")
+    }
+    rep("sC regexp_count consume-left") {
+      regexp_count(concat(lit(" "), col("text"), lit(" ")),
+        lit(stop.mkString(" (", "|", ")(?= )"))).cast("long")
+    }
+    rep("sC aggregate-hof single pass") {
+      aggregate(split(col("text"), " "), lit(0L),
+        (acc, w) => acc + when(w.isin(stop.map(lit): _*), 1L).otherwise(0L))
     }
     timeIt("qualityScore alone as batch") {
       noop(graft.ops.Text.qualityScore(docs, "text"))

@@ -215,10 +215,18 @@ object Dedup {
 
   /** Candidate pairs: self-join of band hashes — the one shuffle of the
     * MinHash pipeline, keyed on (band, band_hash) so only docs in the
-    * same bucket ever meet. Returns distinct (id_a < id_b). */
+    * same bucket ever meet. Returns distinct (id_a < id_b).
+    *
+    * The band frame is cut behind a [[Barrier]] first (r15): both
+    * self-join sides consume it, and Spark plans are trees — without
+    * the cut the whole upstream signature chain (shingle explode +
+    * 16-perm min aggregate) executed once PER SIDE for callers whose
+    * input is not already cached. bands × 3 longs per doc — trivially
+    * cheap to materialize. */
   def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = bandsDf.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val cut = Barrier.cut(bandsDf.select(col(idCol), col("band"), col("bh")))
+    val a = cut.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = cut.select(col("band"), col("bh"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

@@ -348,7 +348,16 @@ object Quality {
     val h = Portable.seededHash(col(idCol), lit(salt), col("__b"))
     val w = BootstrapCumHash.map(c => when(h >= c, 1L).otherwise(0L))
       .reduce(_ + _)
-    val per = df.select(col(idCol), x9.as("__x"))
+    // The scored frame is CUT before the b-way fanout (r15): fused into
+    // the nested-loop join's codegen stage, the score expression (for
+    // q228 the full qualityScore composite — splits + two regexes) was
+    // re-evaluated inside the per-resample loop, b× per document
+    // (measured 1.3 s → 19 s when the score gained a third regex; with
+    // the barrier the fanout multiplies 16-byte (id, long) rows and the
+    // score evaluates exactly once per row, whatever the score
+    // expression costs).
+    val scored9 = graft.ops.Barrier.cut(df.select(col(idCol), x9.as("__x")))
+    val per = scored9
       .crossJoin(broadcast(
         df.sparkSession.range(b.toLong).select(col("id").as("__b"))))
       .select(col("__b"), w.as("__w"), col("__x"))
