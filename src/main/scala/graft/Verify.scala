@@ -18,16 +18,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) =>
-        nameFilter.forall(_.findFirstIn(name).isDefined) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,7 +38,23 @@ object Verify {
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(SparkEntry.SfToken, sfBase))}" }
       .mkString("{", ",", "}")
+    // Written BEFORE the query loop (it depends only on the declared
+    // SQL, not on any query result): round 15's driver verify produced
+    // an EMPTY correctness artifact (VERIFY_r15 n_queries: 0) — if that
+    // run died or was cut off mid-loop, an end-of-run oracle_sql.json
+    // write zeroes the whole round, whereas with the file first every
+    // query dump completed before the cut remains scoreable.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
 object NaiveBayesText {
 
   /** Trained model: `classes` (label, n_docs, n_tokens), `tokenCounts`
-    * (label, token, cnt), `totals` (1 row: docs_total, vocab_v). All lazy
-    * frames — nothing materializes until a scoring action runs. */
+    * (label, token, cnt), `totals` (1 row: docs_total, vocab_v). The
+    * shared (label, token, tf) aggregate materializes once behind a
+    * barrier at train time (lexicon × classes rows — bounded at any
+    * corpus size); the three model frames stay lazy views over it. */
   case class Model(classes: DataFrame, tokenCounts: DataFrame,
                    totals: DataFrame)
 
@@ -55,8 +57,13 @@ object NaiveBayesText {
   /** Train on labeled documents: exact counts, Laplace α=1 applied at
     * score time. */
   def train(docs: DataFrame, textCol: String, labelCol: String): Model = {
-    val toks = tf(docs, Seq(labelCol), textCol)
-      .withColumnRenamed(labelCol, "label")
+    // The (label, token, tf) aggregate is consumed THREE times below
+    // (token counts, per-class token totals, the vocab count), and each
+    // consumer would otherwise re-run the corpus explode+count — cut it
+    // once (guide §1.2; it is lexicon-sized, so the barrier is bounded
+    // at any corpus scale).
+    val toks = graft.ops.Barrier.cut(tf(docs, Seq(labelCol), textCol)
+      .withColumnRenamed(labelCol, "label"))
     val tokenCounts = toks.groupBy("label", "token")
       .agg(sum("tf").as("cnt"))
     val classes = toks.groupBy("label")
@@ -83,7 +90,16 @@ object NaiveBayesText {
       .join(broadcast(model.tokenCounts), Seq("token"))
       .groupBy(col(idCol), col("label"))
       .agg(sum(col("tf") * log(col("cnt") + lit(1))).as("ssum"))
-    val docLen = docTf.groupBy(idCol).agg(sum("tf").as("n_d"))
+    // n_d is the doc's non-empty token count — computable MAP-ONLY from
+    // the text itself instead of a second corpus explode + doc-keyed
+    // shuffle over docTf (guide §2.4). The n_d > 0 guard reproduces the
+    // aggregate form's semantics exactly: a doc with no tokens had no
+    // docTf group and so never appeared.
+    val docLen = docs
+      .select(col(idCol),
+        size(array_remove(split(col(textCol), " "), ""))
+          .cast("long").as("n_d"))
+      .where(col("n_d") > 0)
     docLen
       .crossJoin(broadcast(model.classes.crossJoin(model.totals)))
       .join(seen, Seq(idCol, "label"), "left")

@@ -47,16 +47,55 @@ object Kmeans {
         .as("cluster"))
   }
 
+  /** The Lloyd-update pooling sums shared by [[step]] and
+    * [[Quantize.pqTrain]] — per-dimension exact-LONG sums of the
+    * 1e9-integerized coordinates, [[Similarity.meanPoolEmbeddings]]'s
+    * arithmetic verbatim (sum order is commutative over longs, the one
+    * double division sequence happens in [[poolMean]]). */
+  private[ops] def poolSums(vec: org.apache.spark.sql.Column, dim: Int) =
+    (0 until dim).map(i =>
+      sum(floor(element_at(vec, i + 1).cast("double")
+        * lit(1e9) + lit(0.5)).cast("long")).as(s"__s$i"))
+
+  /** The exact-integer mean finish: (Σ int9) / n / 1e9 per dimension,
+    * float32-narrowed — bit-identical to
+    * [[Similarity.meanPoolEmbeddings]]'s output at any partitioning. */
+  private[ops] def poolMean(dim: Int) =
+    array((0 until dim).map(i =>
+      (col(s"__s$i").cast("double") / col("__n") / lit(1e9))
+        .cast("float")): _*)
+
   /** One Lloyd update: assign, then per-cluster exact-integer mean;
     * empty clusters keep their previous centroid. Returns the new
-    * centroid table in the input's (idCol, vecCol) shape. */
+    * centroid table in the input's (idCol, vecCol) shape.
+    *
+    * Shape (r16): the member VECTOR rides through the assignment argmin
+    * (every candidate row of a vector carries the same array, so
+    * min_by returns it verbatim) and the pooling aggregates it
+    * directly — the previous shape re-attached vectors to assignments
+    * with an id-keyed corpus join ([[Similarity.meanPoolEmbeddings]]),
+    * one whole extra corpus shuffle per Lloyd step. Arithmetic is
+    * meanPoolEmbeddings' verbatim ([[poolSums]]/[[poolMean]]), so the
+    * centroids are bit-identical. */
   def step(df: DataFrame, idCol: String, vecCol: String,
-           centroids: DataFrame): DataFrame = {
-    val a = assign(df, idCol, vecCol, centroids)
-    val pooled = Similarity.meanPoolEmbeddings(
-        a.select(col("cluster"), col(idCol)), "cluster", idCol,
-        df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")))
-      .select(col("vec_id").as(idCol), col("embedding").as(vecCol))
+           centroids: DataFrame): DataFrame =
+    stepWithDim(df, idCol, vecCol, centroids,
+      df.select(size(col(vecCol)).as("n")).head().getInt(0))
+
+  private def stepWithDim(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: DataFrame, dim: Int): DataFrame = {
+    val cen = centroids.select(col(idCol).as("__cid"),
+      col(vecCol).as("__cv"))
+    val members = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cen))
+      .withColumn("__d", Quantize.l2i(col(vecCol), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("__cid"), col(vecCol).as("__v")),
+        struct(col("__d"), col("__cid"))).as("__m"))
+      .select(col("__m.__cid").as("__g"), col("__m.__v"))
+    val pooled = members.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), poolSums(col("__v"), dim): _*)
+      .select(col("__g").as(idCol), poolMean(dim).as(vecCol))
     val kept = centroids.select(col(idCol), col(vecCol))
       .join(pooled.select(col(idCol)), Seq(idCol), "left_anti")
     pooled.unionByName(kept)
@@ -69,9 +108,12 @@ object Kmeans {
   def fit(df: DataFrame, idCol: String, vecCol: String, init: DataFrame,
           iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // fixed-dimension by contract: probe once for the whole fit, not
+    // once per step
+    lazy val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
     var cen = init.select(col(idCol), col(vecCol))
     for (_ <- 0 until iters)
-      cen = Barrier.cut(step(df, idCol, vecCol, cen))
+      cen = Barrier.cut(stepWithDim(df, idCol, vecCol, cen, dim))
     cen
   }
 

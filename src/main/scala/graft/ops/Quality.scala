@@ -1550,7 +1550,18 @@ object Quality {
     * this frame every micro-batch); the baseline stays a static raw
     * frame (its quantile boundaries are fixed by definition). */
   def psiFromCounts(a: DataFrame, bCounts: DataFrame, scoreCol: String,
-                    bins: Int): DataFrame = {
+                    bins: Int): DataFrame =
+    psiFromBaselineFrames(psiBaselineFrames(a, scoreCol, bins), bCounts)
+
+  /** The STATIC-baseline half of [[psiFromCounts]] — (bin bounds,
+    * baseline total, baseline per-bin counts), all bins-bounded tiny
+    * frames and pure functions of `a`. A streaming monitor derives
+    * them ONCE at wiring time ([[graft.streaming.StreamOps.psiStream]]
+    * barriers them), instead of re-walking the baseline three times
+    * per micro-batch; the batch [[psi]]/[[psiFromCounts]] composition
+    * is unchanged. */
+  def psiBaselineFrames(a: DataFrame, scoreCol: String,
+                        bins: Int): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val distA = a.groupBy(col(scoreCol).as("__v"))
@@ -1565,16 +1576,27 @@ object Quality {
     val bounds = distA.crossJoin(broadcast(targets))
       .filter(col("__cum") >= col("__target"))
       .groupBy(col("__i")).agg(min(col("__v")).as("__v"))
-    def binned(counts: DataFrame, as: String) = counts
-      .crossJoin(broadcast(bounds))
-      .groupBy(col("__s"), col("__c"))
-      .agg(sum(when(col("__s") > col("__v"),
-        lit(1L)).otherwise(0L)).as("__bin"))
-      .groupBy(col("__bin")).agg(sum(col("__c")).as(as))
-    val ca = binned(
+    val ca = psiBinned(bounds,
       a.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c")),
       "ca")
-    val cb = binned(bCounts, "cb")
+    (bounds, nA, ca)
+  }
+
+  private def psiBinned(bounds: DataFrame, counts: DataFrame,
+                        as: String): DataFrame = counts
+    .crossJoin(broadcast(bounds))
+    .groupBy(col("__s"), col("__c"))
+    .agg(sum(when(col("__s") > col("__v"),
+      lit(1L)).otherwise(0L)).as("__bin"))
+    .groupBy(col("__bin")).agg(sum(col("__c")).as(as))
+
+  /** The per-batch half of [[psiFromCounts]]: bin the comparison
+    * counts against precomputed baseline frames and finish the PSI
+    * sum — expression-identical to the one-shot form. */
+  def psiFromBaselineFrames(pre: (DataFrame, DataFrame, DataFrame),
+                            bCounts: DataFrame): DataFrame = {
+    val (bounds, nA, ca) = pre
+    val cb = psiBinned(bounds, bCounts, "cb")
     val nB = bCounts.agg(coalesce(sum(col("__c")), lit(0L)).as("n_b"))
     val pa = col("ca").cast("double") / col("n_a").cast("double")
     val pb = col("cb").cast("double") / col("n_b").cast("double")

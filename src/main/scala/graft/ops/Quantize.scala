@@ -114,14 +114,34 @@ object Quantize {
     val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val w = dim / m
-    (0 until m).map { s =>
-      def sub(frame: DataFrame): DataFrame =
-        frame.select(col(idCol), slice(col(vecCol), s * w + 1, w)
-          .as(vecCol))
-      Kmeans.fit(sub(df), idCol, vecCol, sub(init), iters)
-        .select(lit(s).as("s"), col(idCol).as("cid"),
-          col(vecCol).as("cv"))
-    }.reduce(_.unionByName(_))
+    // All m subspace trainers run FUSED in one iteration loop keyed by
+    // (s, cid) — the subspaces are independent, so per subspace this is
+    // exactly [[Kmeans.fit]]'s Lloyd update (same argmin ties, same
+    // exact-integer pooling via [[Kmeans.poolSums]]/[[Kmeans.poolMean]],
+    // same empty-cluster keep), but the corpus is scanned once per
+    // iteration instead of once per (subspace × iteration) and the loop
+    // runs `iters` barriered jobs instead of m·iters — the guide §1.2
+    // pass-count rule applied to codebook training. Codebook values are
+    // bit-identical to the per-subspace form.
+    var books = subspaces(init, idCol, vecCol, m, w, "cid", "cv")
+      .select(col("s"), col("cid"), col("cv"))
+    for (_ <- 0 until iters) {
+      val corpus = subspaces(df, idCol, vecCol, m, w, idCol, "sv")
+      val members = corpus.join(broadcast(books), Seq("s"))
+        .withColumn("__d", l2i(col("sv"), col("cv")))
+        .groupBy(col(idCol), col("s"))
+        .agg(min_by(struct(col("cid"), col("sv").as("__v")),
+          struct(col("__d"), col("cid"))).as("__m"))
+        .select(col("s"), col("__m.cid").as("__g"), col("__m.__v"))
+      val pooled = members.groupBy(col("s"), col("__g"))
+        .agg(count(lit(1)).as("__n"), Kmeans.poolSums(col("__v"), w): _*)
+        .select(col("s"), col("__g").as("cid"),
+          Kmeans.poolMean(w).as("cv"))
+      val kept = books.join(pooled.select(col("s"), col("cid")),
+        Seq("s", "cid"), "left_anti")
+      books = graft.ops.Barrier.cut(pooled.unionByName(kept))
+    }
+    books
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the probe stays
@@ -228,6 +248,64 @@ object Quantize {
           .orderBy(col("__ad"), col("vec_id"))))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vec_id"), col("rnk"))
+  }
+
+  /** The [[ivfPqTopK]] nprobe SWEEP with the shared frames factored
+    * out (q174): cells, codes, the probe distance table, and the
+    * ranked probe→cell list are pure functions of the index — derive
+    * each ONCE behind a barrier and run only the per-nprobe gate +
+    * ADC tail per sweep point, instead of rebuilding the whole index
+    * per point (guide §1.2 — the sweep re-derived 4 identical
+    * cell/code frames; the scaladoc of q174 always named the shared
+    * form as the production posture). Per nprobe the result is
+    * bit-identical to [[ivfPqTopK]]: the ranked cell list filtered at
+    * `__r <= np` equals the per-np row_number window (same ordering,
+    * same ties), and everything downstream is the same expression
+    * tree. Returns (np, topK frame) pairs in `nprobes` order. */
+  def ivfPqTopKSweep(df: DataFrame, idCol: String, vecCol: String,
+                     probes: DataFrame, m: Int, centroids: DataFrame,
+                     coarse: DataFrame, nprobes: Seq[Int],
+                     k: Int): Seq[(Int, DataFrame)] = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      s"nprobes must all be >= 1, got $nprobes")
+    val dim = df.select(size(col(vecCol)).as("n")).head().getInt(0)
+    val w = dim / m
+    val cut = graft.ops.Barrier.cut _
+    val cells = cut(ivfAssign(df, idCol, vecCol, coarse))
+    val codes = cut(pqCodes(df, idCol, vecCol, m, centroids))
+    val cen = coarse.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val rankedCells = cut(probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .crossJoin(broadcast(cen))
+      .withColumn("__d", l2i(col("__pv"), col("__cv")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("__d"), col("__cid"))))
+      .filter(col("__r") <= nprobes.max)
+      .select(col("probe_id"), col("__cid").as("cell"), col("__r")))
+    val pqCen = subspaces(centroids, idCol, vecCol, m, w, "cid", "cv")
+    val tab = cut(subspaces(probes, idCol, vecCol, m, w, "probe_id", "pv")
+      .join(pqCen, Seq("s"))
+      .select(col("probe_id"), col("s"), col("cid"),
+        l2i(col("pv"), col("cv")).as("__d")))
+    val coded = cut(codes.join(cells, Seq(idCol)))
+    nprobes.map { np =>
+      val probeCells = rankedCells.filter(col("__r") <= np)
+        .select(col("probe_id"), col("cell"))
+      val cand = coded.join(broadcast(probeCells), Seq("cell"))
+      np -> cand.join(broadcast(tab),
+          cand("probe_id") === tab("probe_id") && cand("s") === tab("s")
+            && cand("code") === tab("cid"))
+        .select(cand("probe_id"), cand(idCol).as("vec_id"), tab("__d"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("__d")).as("__ad"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+            .orderBy(col("__ad"), col("vec_id"))))
+        .filter(col("rnk") <= k)
+        .select(col("probe_id"), col("vec_id"), col("rnk"))
+    }
   }
 
   /** Exact squared-L2 top-k — the ground-truth twin the PQ path is

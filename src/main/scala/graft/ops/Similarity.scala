@@ -82,9 +82,16 @@ object Similarity {
   def coPurchaseTopKAuto(pairs: DataFrame, k: Int, parallelism: Int,
                          floorSalts: Int = 1,
                          sampleOneIn: Int = 1): DataFrame = {
+    // The probe and the salted count are TWO consumers of the pair
+    // lineage (encode join → basket window → skip-gram self-join) —
+    // materialize it once behind a barrier so the pre-flight costs a
+    // re-read, not a full second derivation (guide §1.2: don't compute
+    // things twice; the r15 simhashPairs/LSH pattern). Values are salt-
+    // invariant either way, so this changes plan shape only.
+    val cut = graft.ops.Barrier.cut(pairs)
     val salts = math.max(floorSalts, Quality.autoSalts(
-      pairs, Seq("target", "context"), parallelism, sampleOneIn))
-    coPurchaseTopK(pairs, k, salts)
+      cut, Seq("target", "context"), parallelism, sampleOneIn))
+    coPurchaseTopK(cut, k, salts)
   }
 
   /** J5/M3 vector form: exact cosine top-k of every probe against the

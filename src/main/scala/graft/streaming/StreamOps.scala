@@ -519,12 +519,22 @@ object StreamOps {
   def psiStream(baseline: DataFrame, scored: DataFrame, scoreCol: String,
                 bins: Int)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    // The baseline's quantile boundaries, total, and per-bin counts
+    // are FIXED by definition — derive them once at wiring time and
+    // barrier the three bins-bounded frames, instead of re-walking the
+    // baseline three times inside every micro-batch (the stream-static
+    // persist rule applied to the derivation, not just the scan; the
+    // per-batch PSI expressions are identical, so the emitted frame
+    // is too).
+    val (bounds, nA, ca) =
+      graft.ops.Quality.psiBaselineFrames(baseline, scoreCol, bins)
+    val pre = (graft.ops.Barrier.cut(bounds), graft.ops.Barrier.cut(nA),
+      graft.ops.Barrier.cut(ca))
     val counts = scored.groupBy(col(scoreCol).as("__s"))
       .agg(count(lit(1)).as("__c"))
     counts.writeStream.outputMode(OutputMode.Complete)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.ops.Quality.psiFromCounts(baseline, batch, scoreCol,
-          bins), id)
+        sink(graft.ops.Quality.psiFromBaselineFrames(pre, batch), id)
       }
   }
 
