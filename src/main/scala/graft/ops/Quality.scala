@@ -723,15 +723,21 @@ object Quality {
     val dim = emb.select(size(col(vecCol)).as("n")).head().getInt(0)
     val clean = emb.select(col(vecCol).as("__v"))
       .filter(col("__v").isNotNull && size(col("__v")) === dim)
+    // integerize each coordinate ONCE in a projection — the five agg
+    // functions below otherwise each re-evaluated the full
+    // element_at→round→floor chain per row (6·d evaluations/row for
+    // d needed; same expressions, so the stats are bit-identical)
     def x9(i: Int) = floor(round(element_at(col("__v"), i + 1)
       .cast("double"), 9) * lit(1e9) + lit(0.5)).cast("long")
+    val proj = clean.select((0 until dim).map(i => x9(i).as(s"__x$i")): _*)
+    def xc(i: Int) = col(s"__x$i")
     val aggs = (0 until dim).flatMap { i =>
-      Seq(sum(x9(i)).as(s"__s$i"),
-        sum(x9(i).cast(dec) * x9(i).cast(dec)).as(s"__q$i"),
-        min(x9(i)).as(s"__lo$i"), max(x9(i)).as(s"__hi$i"),
-        sum(when(x9(i) === 0L, 1L).otherwise(0L)).as(s"__z$i"))
+      Seq(sum(xc(i)).as(s"__s$i"),
+        sum(xc(i).cast(dec) * xc(i).cast(dec)).as(s"__q$i"),
+        min(xc(i)).as(s"__lo$i"), max(xc(i)).as(s"__hi$i"),
+        sum(when(xc(i) === 0L, 1L).otherwise(0L)).as(s"__z$i"))
     }
-    val wide = clean.agg(count(lit(1)).as("__n"), aggs: _*)
+    val wide = proj.agg(count(lit(1)).as("__n"), aggs: _*)
     val rows = (0 until dim).map { i =>
       struct(lit(i + 1).as("dim"), col("__n").as("n"),
         when(col("__n") > 0L, Portable.intRatioSigned9(col(s"__s$i"),
