@@ -96,4 +96,29 @@ class NaiveBayesTextSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast model join, got:\n$plan")
   }
+
+  test("score (r16 map-only doc length): double spaces collapse out of " +
+      "n_d, an empty-text doc never appears — the aggregate-form row " +
+      "set, pinned on the edge cases") {
+    val train = Seq((1L, "a b", "en"), (2L, "c d", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val m = NaiveBayesText.train(train, "text", "lang")
+    val docs = Seq(
+      (10L, "a  b a"),   // double space: 3 tokens, not 4
+      (11L, ""),         // no tokens: must be ABSENT from the output
+      (12L, " "),        // only empties: absent too
+      (13L, "a")
+    ).toDF("doc_id", "text")
+    val scored = NaiveBayesText.score(m, docs, "doc_id", "text")
+    assert(scored.filter(col("doc_id").isin(11L, 12L)).count() == 0)
+    // n_d enters avg_logp as the normalizer: replay doc 13 by hand
+    // against doc 10 — same seen-token mass per class, different n_d
+    val perDoc = scored.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(10L -> 2L, 13L -> 2L)) // one row per class
+    // and classify still yields one prediction per surviving doc
+    val pred = NaiveBayesText.classify(m, docs, "doc_id", "text")
+    assert(pred.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 13L))
+  }
 }

@@ -140,4 +140,41 @@ class QuantizeSpec extends SparkSpec {
     assert(per.forall(_._2 <= 10L) && per.length == 5)
     assert(bounded.filter(col("probe_id") === col("vec_id")).count() == 0)
   }
+
+  test("pqTrain (fused r16): codebooks are bit-identical to the m " +
+      "sequential per-subspace Kmeans.fit loops it replaced") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val init = emb.filter(col("vec_id") < 16)
+    val fused = Quantize.pqTrain(emb, "vec_id", "embedding", 4, init, 2)
+      .as[(Int, Long, Seq[Float])].collect().toSet
+    // the pre-r16 shape, spelled out: one Kmeans.fit per subspace over
+    // the sliced corpus/init, results stacked
+    val w = 16
+    val sequential = (0 until 4).flatMap { s =>
+      def sub(f: org.apache.spark.sql.DataFrame) =
+        f.select(col("vec_id"), slice(col("embedding"), s * w + 1, w)
+          .as("embedding"))
+      Kmeans.fit(sub(emb), "vec_id", "embedding", sub(init), 2)
+        .as[(Long, Seq[Float])].collect()
+        .map { case (cid, cv) => (s, cid, cv) }
+    }.toSet
+    assert(fused == sequential)
+  }
+
+  test("ivfPqTopKSweep: every sweep point is bit-identical to the " +
+      "one-shot ivfPqTopK at that nprobe") {
+    val emb = Sources.table(spark, sf("sf0.001"), "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val cen = emb.filter(col("vec_id") < 16)
+    val coarse = emb.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().toSet
+    val sweep = Quantize.ivfPqTopKSweep(emb, "vec_id", "embedding",
+      probes, 4, cen, coarse, Seq(1, 2, 4, 8), 10).toMap
+    Seq(1, 2, 4, 8).foreach { np =>
+      assert(rows(sweep(np)) == rows(Quantize.ivfPqTopK(emb, "vec_id",
+        "embedding", probes, 4, cen, coarse, np, 10)),
+        s"sweep point nprobe=$np diverged from the one-shot form")
+    }
+  }
 }
